@@ -1,0 +1,327 @@
+package graft.queries
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational query catalog over the TPC-H-ish test tables.
+  *
+  * Re-expresses, Spark-first, the query semantics the reference exercises
+  * end-to-end (SURVEY.md §2.5: projection/cast, aggregation, event-time
+  * windows, stream-stream-style self-join, union, limit — reference
+  * examples at LoghubMicroBatchSourceSuite.scala:381-459,
+  * StructuredLoghubWordCount.scala:77, LoghubRelationSuite.scala:163-172)
+  * plus the standard OLAP surface (joins incl. semi/anti, rollup, ranking
+  * windows) a user of the connector would run in Spark on ingested logs.
+  *
+  * Scale notes (100 TB): every aggregation is a partial (map-side) +
+  * final hash aggregate; dimension joins broadcast (nation/region/
+  * customer/part are tiny vs lineitem); fact-fact joins shuffle on the
+  * join key only after filters are pushed to the parquet scan.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    "q1_pricing_summary" -> q1,
+    "q2_parts_by_brand" -> q2,
+    "q3_top_orders" -> q3,
+    "q4_order_priority" -> q4,
+    "q5_nation_revenue" -> q5,
+    "q6_forecast_revenue" -> q6,
+    "q7_rank_window" -> q7,
+    "q8_segment_stats" -> q8,
+    "q9_union_distinct" -> q9,
+    "q10_anti_join" -> q10,
+    "q11_rollup" -> q11,
+    "q12_events_hourly" -> q12,
+    "q13_attribution_join" -> q13,
+    "q14_json_extract" -> q14
+  )
+
+  /** TPC-H Q1-style pricing summary: partial+final hash agg, no shuffle of
+    * raw rows beyond the 6-group key. */
+  private def q1: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum2(col("l_quantity")).as("sum_qty"),
+        dsum2(col("l_extendedprice")).as("sum_base_price"),
+        sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast(DoubleType).as("sum_disc_price"),
+        sum(charge(col("l_extendedprice"), col("l_discount"), col("l_tax")))
+          .cast(DoubleType).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Filter + project + agg on a small dim table. */
+  private def q2: Q = (spark, dir) => {
+    val p = t(spark, dir, "part")
+    p.filter(col("p_size") < 30)
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        dsum2(col("p_retailprice")).as("sum_retail"),
+        min(col("p_size")).as("min_size"),
+        max(col("p_size")).as("max_size"))
+  }
+
+  /** TPC-H Q3-style: 3-way join (customer broadcast), agg, top-10 with a
+    * total tie-break order so LIMIT is deterministic. */
+  private def q3: Q = (spark, dir) => {
+    val c = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast(TimestampType))
+    val li = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-01-01 00:00:00").cast(TimestampType))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast(DoubleType).as("revenue"))
+      .select(col("l_orderkey"), epochS(col("o_orderdate")).as("o_orderdate_s"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q4-style: left-semi join (EXISTS) then count by priority. */
+  private def q4: Q = (spark, dir) => {
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast(TimestampType))
+      .filter(col("o_orderdate") < lit("1997-01-01 00:00:00").cast(TimestampType))
+    val lateLi = t(spark, dir, "lineitem")
+    o.join(lateLi, o("o_orderkey") === lateLi("l_orderkey") &&
+        lateLi("l_shipdate") > o("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q5-style: multi-way join with broadcast dims, revenue by nation. */
+  private def q5: Q = (spark, dir) => {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    val li = t(spark, dir, "lineitem")
+    val s = t(spark, dir, "supplier")
+    val n = t(spark, dir, "nation")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast(DoubleType).as("revenue"))
+  }
+
+  /** TPC-H Q6-style: fully pushed-down filter + single exact sum. */
+  private def q6: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast(TimestampType))
+      .filter(col("l_shipdate") < lit("1998-01-01 00:00:00").cast(TimestampType))
+      .filter(col("l_discount").between(0.02, 0.09))
+      .filter(col("l_quantity") < 24)
+      .agg(
+        sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+          col("l_discount").cast(DecimalType(18, 2))).cast(DecimalType(18, 4)))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** Ranking window: top-5 line items per return flag, total tie-break. */
+  private def q7: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("l_returnflag"), col("rn"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"))
+  }
+
+  /** Join + exact distinct count + raw-double min/max (no fp arithmetic). */
+  private def q8: Q = (spark, dir) => {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"))
+  }
+
+  /** Union + distinct (reference self-union test, LoghubRelationSuite:163). */
+  private def q9: Q = (spark, dir) => {
+    val c = t(spark, dir, "customer").select(col("c_custkey").as("custkey"))
+    val o = t(spark, dir, "orders").select(col("o_custkey").as("custkey"))
+    c.union(o).distinct()
+  }
+
+  /** Anti join: customers with no orders in 2001. */
+  private def q10: Q = (spark, dir) => {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2001-01-01 00:00:00").cast(TimestampType))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+  }
+
+  /** Rollup over (returnflag, linestatus) with exact sums. */
+  private def q11: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), dsum2(col("l_quantity")).as("sum_qty"))
+  }
+
+  /** Event-time tumbling window over the stream stand-in table (reference
+    * watermark+window test, LoghubMicroBatchSourceSuite.scala:381-424).
+    * Surfaced as epoch seconds of the hour bucket. */
+  private def q12: Q = (spark, dir) => {
+    // ts arrives as epoch-nanos long (nanosAsLong); window() needs a real
+    // timestamp — microsecond truncation cannot move an hour bucket.
+    val ev = t(spark, dir, "events")
+      .withColumn("ts_t", expr("timestamp_micros(ts DIV 1000)"))
+    ev.groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum6(col("value")).as("sum_value"))
+      .select(epochS(col("window.start")).as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** Self-join (reference stream-stream self-join semantics,
+    * LoghubMicroBatchSourceSuite.scala:426-459): view→purchase conversion
+    * within 1 hour, per user. */
+  private def q13: Q = (spark, dir) => {
+    val ev = t(spark, dir, "events")
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    // ts is epoch-nanos long → exact integer interval arithmetic.
+    v.join(p, col("user_id") === col("p_user") &&
+        col("p_ts") > col("v_ts") &&
+        col("p_ts") <= col("v_ts") + lit(3600L * 1000 * 1000 * 1000))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_conversions"))
+  }
+
+  /** JSON extraction from the props payload — the default-schema
+    * `__value__` JSON pattern of the reference (SURVEY.md §1.2 /
+    * LoghubSourceRDD.scala:154-176): schema-on-read via JSON path. */
+  private def q14: Q = (spark, dir) => {
+    val ev = t(spark, dir, "events")
+    ev.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+  }
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        | COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_parts_by_brand" ->
+      """SELECT p_brand, COUNT(*) AS n_parts,
+        | CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_retail,
+        | MIN(p_size) AS min_size, MAX(p_size) AS max_size
+        |FROM part WHERE p_size < 30 GROUP BY p_brand""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT l_orderkey,
+        | CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_s,
+        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT
+        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.09
+        |  AND l_quantity < 24""".stripMargin,
+    "q7_rank_window" ->
+      """SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_extendedprice
+        |FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |        ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |      FROM lineitem) x
+        |WHERE rn <= 5""".stripMargin,
+    "q8_segment_stats" ->
+      """SELECT c_mktsegment,
+        | COUNT(DISTINCT c_custkey) AS n_customers,
+        | COUNT(*) AS n_orders,
+        | MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q9_union_distinct" ->
+      """SELECT DISTINCT custkey FROM (
+        |  SELECT c_custkey AS custkey FROM customer
+        |  UNION ALL SELECT o_custkey AS custkey FROM orders) u""".stripMargin,
+    "q10_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')""".stripMargin,
+    "q11_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q12_events_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+        | event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q13_attribution_join" ->
+      """SELECT v.user_id, COUNT(*) AS n_conversions
+        |FROM (SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT user_id AS p_user, ts AS p_ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.p_user AND p.p_ts > v.v_ts
+        |  AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR
+        |GROUP BY v.user_id""".stripMargin,
+    "q14_json_extract" ->
+      """SELECT event_type,
+        | CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(k) AS n_k,
+        | MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |      FROM events) x
+        |GROUP BY event_type""".stripMargin
+  )
+}

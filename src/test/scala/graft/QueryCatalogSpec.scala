@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Smoke-level invariants of the query catalog on the sf0.001 fixture.
+  * (Value-level correctness is checked against the DuckDB oracle by the
+  * driver and tools/check_parity.py.) */
+class QueryCatalogSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every oracle key has a query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("all queries run on sf0.001 and are deterministic across runs") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val a = fn(spark, sf)
+      val n = a.count()
+      withClue(name) {
+        // re-plan and re-run: identical content hash
+        val h1 = a.selectExpr("sum(cast(xxhash64(struct(*)) as decimal(38,0))) h").first()
+        val h2 = fn(spark, sf)
+          .selectExpr("sum(cast(xxhash64(struct(*)) as decimal(38,0))) h").first()
+        assert(h1 == h2, s"$name not deterministic")
+        assert(n >= 0)
+      }
+    }
+  }
+
+  test("q1 grouping is complete (6 flag/status groups at sf0.001)") {
+    val rows = SparkEntry.queries("q1_pricing_summary")(spark, sf).collect()
+    assert(rows.length >= 4 && rows.length <= 8)
+  }
+}
