@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis column builders for the documents pipeline.
+  *
+  * All built from codegen'd `org.apache.spark.sql.functions` so they stay
+  * inside whole-stage codegen; each has a lockstep DuckDB formulation used
+  * by the oracle SQL (see queries/TextQueries.scala).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization (matches DuckDB
+    * regexp_split_to_array(trim(x), '\s+')). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Canonical form: lowercase, collapsed whitespace. */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Content fingerprint of the canonical form (cross-engine stable). */
+  def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** Distinct word-level n-gram shingles of a token array.
+    * i-th shingle = toks[i..i+n-1] joined by a single space. */
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + (k + 1))): _*)))
+
+  /** Count of tokens contained in a marker set. */
+  def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(markers.map(lit): _*), t)))
+
+  /** Stopword-marker language guess (n-gram/stopword heuristic).
+    * Deterministic argmax with fixed precedence en>de>es>fr>zh; 'und'
+    * (undetermined) when no marker hits. Mirrored verbatim in the oracle. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "y", "que"),
+    "fr" -> Seq("le", "les", "et", "est", "une"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  def langGuess(toks: Column): Column = {
+    val byLang = langMarkers.map { case (lang, ws) => lang -> markerCount(toks, ws) }.toMap
+    val langs = langMarkers.map(_._1)
+    // first declared language whose score is positive and >= every other
+    langs.foldRight(lit("und")) { (lang, elseCol) =>
+      val cond = langs.filter(_ != lang).foldLeft(byLang(lang) > 0) { (acc, o) =>
+        acc && byLang(lang) >= byLang(o)
+      }
+      when(cond, lit(lang)).otherwise(elseCol)
+    }
+  }
+}

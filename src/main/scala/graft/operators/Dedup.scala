@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.functions.{MinHashAgg, TextFunctions => TF}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for large-scale document pipelines.
+  *
+  * Four families, all shuffle-on-key distributed designs (SURVEY.md §7.4):
+  *  - exact: hash-groupBy on a content fingerprint
+  *  - exact n-gram Jaccard: shingle-inverted-index self-join
+  *  - MinHash + LSH banding: candidates by band bucket, then exact verify
+  *  - SimHash: 64-bit sketch, byte-banded candidate join, then exact verify
+  *
+  * The approximate families *verify candidates with exact Jaccard*, so with
+  * sound parameters (miss probability ~1e-7 at the 0.8 threshold) their
+  * output equals the exact-Jaccard pair set — which is what the DuckDB
+  * oracle checks.
+  *
+  * Scale notes (100 TB): nothing here collects to the driver. The inverted
+  * index shuffles (shingle → doc) pairs — for web-scale data, frequent
+  * shingles are the skew risk; LSH banding caps that by joining on
+  * constant-width band hashes (k=128 mins, b=32×r=4). Candidate
+  * verification joins are on doc_id, broadcast-able when the candidate set
+  * is small relative to the corpus.
+  */
+object Dedup {
+
+  val ShingleN = 3
+  val NumPerms = 128
+  val Bands = 32
+  val RowsPerBand = 4
+
+  /** (doc_id, shingle) inverted-index rows, distinct shingles per doc. */
+  def docShingles(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+        explode(TF.shingles(TF.tokens(lower(col(textCol))), ShingleN)).as("shingle"))
+
+  /** Exact duplicate groups by canonical-text fingerprint. */
+  def exactDuplicates(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.groupBy(TF.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** Exact shingle-Jaccard near-duplicate pairs (a_id < b_id, jac >= θ).
+    * Inverted-index self-join; exact and deterministic. */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = docShingles(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    withJaccard(inter, sizes, threshold)
+  }
+
+  /** jaccard = inter / (|A| + |B| - inter), single exact int division. */
+  private def withJaccard(inter: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame =
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "a_sz"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "b_sz"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast(DoubleType) /
+          (col("a_sz") + col("b_sz") - col("inter"))).as("jac"))
+      .filter(col("jac") >= threshold)
+
+  /** MinHash signatures: k permutations h_i(s) = xxhash64(shingle, i),
+    * element-wise min per doc via the custom MinHashAgg aggregator. */
+  def minHashSignatures(sh: DataFrame): DataFrame = {
+    val sig = transform(sequence(lit(0), lit(NumPerms - 1)),
+      i => xxhash64(col("shingle"), i))
+    sh.select(col("doc_id"), sig.as("sig"))
+      .groupBy(col("doc_id"))
+      .agg(MinHashAgg.minSig(NumPerms)(col("sig")).as("sig"))
+  }
+
+  /** LSH band buckets: (doc_id, band_idx, band_hash) — docs sharing a
+    * bucket are candidate pairs. */
+  def lshBuckets(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), lit(Bands - 1)),
+          b => xxhash64(b, slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))
+      .toDF("doc_id", "band_idx", "band_hash")
+
+  /** MinHash-LSH near-dup pairs: band-bucket candidates → exact verify. */
+  def minHashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = docShingles(docs).cache()
+    val buckets = lshBuckets(minHashSignatures(sh))
+    val a = buckets.as("a"); val b = buckets.as("b")
+    val candidates = a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    verifyCandidates(candidates, sh, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate (a_id, b_id) pairs. */
+  def verifyCandidates(candidates: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = candidates
+      .join(sh.withColumnRenamed("doc_id", "a_id").withColumnRenamed("shingle", "a_sh"), "a_id")
+      .join(sh.withColumnRenamed("doc_id", "b_id").withColumnRenamed("shingle", "b_sh"), "b_id")
+      .filter(col("a_sh") === col("b_sh"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    withJaccard(inter, sizes, threshold)
+  }
+
+  /** 64-bit SimHash per doc: sign of per-bit ±1 sums over shingle hashes. */
+  def simHashes(sh: DataFrame): DataFrame = {
+    val h = xxhash64(col("shingle"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val packed = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    sh.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: nibble-banded candidates (pigeonhole: 16
+    * 4-bit bands ⇒ complete for hamming <= 15) → cheap hamming filter →
+    * exact-Jaccard verify on the tiny survivor set.
+    *
+    * Scale note: 4-bit bands are coarse (1/16 selectivity) — at 100 TB
+    * you widen the sketch (128-bit simhash, 16 byte-bands at 1/256
+    * selectivity, complete for hamming <= 15 of 128) rather than narrow
+    * the bands; the pipeline shape below is unchanged. */
+  def simHashPairs(docs: DataFrame, maxHamming: Int, threshold: Double): DataFrame = {
+    require(maxHamming < 16, "nibble banding is only complete for hamming < 16")
+    val sh = docShingles(docs).cache()
+    val hashes = simHashes(sh)
+    val nibbleStructs = array((0 until 16).map { bi =>
+      struct(lit(bi).as("band_idx"),
+        shiftright(col("simhash"), bi * 4).bitwiseAND(0xF).as("band_val"))
+    }: _*)
+    val banded = hashes
+      .select(col("doc_id"), col("simhash"), explode(nibbleStructs).as("b"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
+    val a = banded.as("a"); val b = banded.as("b")
+    val candidates = a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    verifyCandidates(candidates, sh, threshold)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.functions.{VectorFunctions => VF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Baseline: exact brute-force cosine top-k — the query set is broadcast
+  * against the corpus, so the corpus is never shuffled; per-partition
+  * partial top-k would be the next refinement at cluster scale (here the
+  * rank window partitions by query id, k queries × corpus rows).
+  *
+  * Scale path: random-hyperplane LSH bucketing — corpus is hashed into
+  * 2^bits sign-pattern buckets; queries probe their own bucket (plus
+  * optionally neighboring buckets), turning O(|Q|×|C|) into
+  * O(|Q|×|C|/2^bits) expected. Approximate: recall depends on bucket
+  * granularity, so it has no equality oracle; ScalaTest checks recall
+  * against the exact baseline.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Output: (query_id, neighbor_id, rank, sim) — double math as a strict
+    * left-to-right fold for cross-engine determinism. */
+  def bruteForceKnn(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val corpus = emb.select(col("vec_id"), VF.toDoubleVec(col("embedding")).as("v"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      VF.toDoubleVec(col("embedding")).as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        VF.cosine(col("qv"), col("v")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  /** Random-hyperplane signature: sign bits of dot(v, h_j) for
+    * deterministic pseudo-random hyperplanes h_j derived from xxhash64 of
+    * (dimension index, plane index) — no RNG state, reproducible across
+    * the cluster. */
+  def hyperplaneSig(v: org.apache.spark.sql.Column, dim: Int, bits: Int) = {
+    val planes = (0 until bits).map { j =>
+      // h_j[i] in [-1, 1): derived from a 64-bit mix of (i, j)
+      val proj = aggregate(
+        zip_with(v,
+          transform(sequence(lit(0), lit(dim - 1)),
+            i => (xxhash64(i, lit(j)).cast(DoubleType) / lit(Long.MaxValue.toDouble))),
+          (x, h) => x * h),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << j)).otherwise(0L)
+    }
+    planes.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: exact rerank within each signature
+    * bucket. Output schema matches bruteForceKnn (rank gaps possible when
+    * a bucket holds < k candidates). */
+  def lshKnn(emb: DataFrame, queries: DataFrame, k: Int, bits: Int): DataFrame = {
+    val dim = 64
+    val corpus = emb.select(col("vec_id"), VF.toDoubleVec(col("embedding")).as("v"))
+      .withColumn("bucket", hyperplaneSig(col("v"), dim, bits))
+    val q = queries.select(col("vec_id").as("query_id"),
+        VF.toDoubleVec(col("embedding")).as("qv"))
+      .withColumn("bucket", hyperplaneSig(col("qv"), dim, bits))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    corpus.join(broadcast(q), col("vec_id") =!= col("query_id") &&
+        corpus("bucket") === q("bucket"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        VF.cosine(col("qv"), col("v")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+}

@@ -1,0 +1,183 @@
+package graft.queries
+
+import graft.Tables._
+import graft.functions.{TextFunctions => TF}
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis / dedup / similarity query catalog (the north-star
+  * LLM-data-pipeline operators, SURVEY.md §7.4) over `documents` and
+  * `embeddings`.
+  *
+  * Every SQL-expressible operator has a lockstep DuckDB oracle; the
+  * approximate dedup operators (minhash-LSH, simhash) verify candidates
+  * with exact Jaccard, so their contract — equality with the exact pair
+  * set at the 0.8 threshold — is oracle-checkable too. The LSH ANN variant
+  * is approximate by design and has no equality oracle (covered by recall
+  * tests in ScalaTest).
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val jaccardThreshold = 0.8
+
+  def queries: Map[String, Q] = Map(
+    "t1_token_stats" -> t1,
+    "t2_quality_score" -> t2,
+    "t3_lang_guess" -> t3,
+    "t4_fingerprint" -> t4,
+    "d1_dedup_exact" -> d1,
+    "d2_dedup_jaccard" -> d2,
+    "d3_dedup_minhash_lsh" -> d3,
+    "d4_dedup_simhash" -> d4,
+    "s1_ann_cosine" -> s1,
+    "s2_ann_lsh" -> s2
+  )
+
+  private def t1: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    d.select(col("doc_id"),
+      size(TF.tokens(col("text"))).as("n_tokens"),
+      length(col("text")).as("len_chars"))
+  }
+
+  private def t2: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    val toks = TF.tokens(lower(col("text")))
+    val nTokens = size(toks).cast(DoubleType)
+    val uniqRatio = size(array_distinct(toks)).cast(DoubleType) / nTokens
+    val stopRatio = TF.markerCount(toks, Seq("the", "a", "of", "and", "is"))
+      .cast(DoubleType) / nTokens
+    val avgTokLen = length(regexp_replace(col("text"), " ", ""))
+      .cast(DoubleType) / nTokens
+    d.select(col("doc_id"),
+      size(toks).as("n_tokens"),
+      uniqRatio.as("uniq_ratio"),
+      stopRatio.as("stop_ratio"),
+      avgTokLen.as("avg_token_len"),
+      (uniqRatio * 0.5 + stopRatio * 0.3 +
+        least(avgTokLen / 10.0, lit(1.0)) * 0.2).as("quality"))
+  }
+
+  private def t3: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    val guess = TF.langGuess(TF.tokens(lower(col("text"))))
+    d.select(col("doc_id"), guess.as("lang_guess"),
+      (guess === col("lang")).as("is_match"))
+  }
+
+  private def t4: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    d.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+  }
+
+  private def d1: Q = (spark, dir) =>
+    Dedup.exactDuplicates(t(spark, dir, "documents"))
+
+  private def d2: Q = (spark, dir) =>
+    Dedup.jaccardPairs(t(spark, dir, "documents"), jaccardThreshold)
+
+  private def d3: Q = (spark, dir) =>
+    Dedup.minHashLshPairs(t(spark, dir, "documents"), jaccardThreshold)
+
+  private def d4: Q = (spark, dir) =>
+    Dedup.simHashPairs(t(spark, dir, "documents"), maxHamming = 15,
+      threshold = jaccardThreshold)
+
+  private def s1: Q = (spark, dir) => {
+    val e = t(spark, dir, "embeddings")
+    Similarity.bruteForceKnn(e, e.filter(col("vec_id") < 8), k = 4)
+  }
+
+  private def s2: Q = (spark, dir) => {
+    val e = t(spark, dir, "embeddings")
+    Similarity.lshKnn(e, e.filter(col("vec_id") < 8), k = 4, bits = 4)
+  }
+
+  // DuckDB CTE fragments shared by the jaccard-contract oracles.
+  private val shingleCte =
+    """WITH words AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+      |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s FROM words),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS aid, b.doc_id AS bid, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT aid AS a_id, bid AS b_id,
+      |       CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jac
+      |FROM pairs JOIN sizes s1 ON aid = s1.doc_id JOIN sizes s2 ON bid = s2.doc_id
+      |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.8""".stripMargin
+
+  private val langCase =
+    """CASE
+      | WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      | WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      | WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      | WHEN s_fr > 0 AND s_fr >= s_zh THEN 'fr'
+      | WHEN s_zh > 0 THEN 'zh'
+      | ELSE 'und' END""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "t1_token_stats" ->
+      """SELECT doc_id,
+        | len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        | length(text) AS len_chars
+        |FROM documents""".stripMargin,
+    "t2_quality_score" ->
+      """SELECT doc_id, n_tokens,
+        | uniq_ratio, stop_ratio, avg_token_len,
+        | uniq_ratio * 0.5 + stop_ratio * 0.3 +
+        |   least(avg_token_len / 10.0, 1.0) * 0.2 AS quality
+        |FROM (
+        | SELECT doc_id, len(w) AS n_tokens,
+        |  CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS uniq_ratio,
+        |  CAST(len(list_filter(w, t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+        |    / CAST(len(w) AS DOUBLE) AS stop_ratio,
+        |  CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+        |    / CAST(len(w) AS DOUBLE) AS avg_token_len
+        | FROM (SELECT doc_id, text,
+        |         regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |       FROM documents) x) y""".stripMargin,
+    "t3_lang_guess" ->
+      s"""SELECT doc_id, $langCase AS lang_guess,
+        | ($langCase = lang) AS is_match
+        |FROM (
+        | SELECT doc_id, lang,
+        |  len(list_filter(w, t -> t IN ('the','a','of','and','is'))) AS s_en,
+        |  len(list_filter(w, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+        |  len(list_filter(w, t -> t IN ('el','los','las','y','que'))) AS s_es,
+        |  len(list_filter(w, t -> t IN ('le','les','et','est','une'))) AS s_fr,
+        |  len(list_filter(w, t -> t IN ('的','是','在','了','和'))) AS s_zh
+        | FROM (SELECT doc_id, lang,
+        |         regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+        |       FROM documents) x) y""".stripMargin,
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+    "d1_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        | min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d2_dedup_jaccard" -> shingleCte,
+    "d3_dedup_minhash_lsh" -> shingleCte,
+    "d4_dedup_simhash" -> shingleCte,
+    "s1_ann_cosine" ->
+      """SELECT query_id, neighbor_id, rn AS rank, sim FROM (
+        | SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+        |  list_dot_product(q.qv, e.v) /
+        |    (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim,
+        |  row_number() OVER (PARTITION BY q.qid ORDER BY
+        |    list_dot_product(q.qv, e.v) /
+        |    (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) DESC,
+        |    e.vec_id) AS rn
+        | FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e
+        | JOIN (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |       FROM embeddings WHERE vec_id < 8) q ON e.vec_id <> q.qid) x
+        |WHERE rn <= 4""".stripMargin
+    // s2_ann_lsh: approximate by design — rows-only check.
+  )
+}
