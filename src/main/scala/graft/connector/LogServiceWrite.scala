@@ -1,0 +1,124 @@
+package graft.connector
+
+import graft.store.{EmbeddedLogStore, LogRecord}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types.{StructType, TimestampType}
+import scala.collection.mutable
+
+/** Write path (re-expression of K1-K6, SURVEY.md §2.2): rows are
+  * flattened to string key/value contents (Utils.toConverter semantics,
+  * Utils.scala:53-99) and appended as immutable per-task segments.
+  *
+  *  - Batch write: segment name `b<jobId>-p<partition>` — a task retry
+  *    overwrites its own segment, so speculative/failed tasks cannot
+  *    duplicate data.
+  *  - Streaming write: segment name `e<epochId>-p<partition>` — a
+  *    replayed epoch overwrites itself, which is exactly the reference
+  *    sink's skip-committed-batch idempotence (LoghubSink.scala:31-38)
+  *    without a driver-side ledger.
+  *  - Shard routing: `__shard__` column if present, else
+  *    hash(partitionId) round-robin over writable shards (the writer-API
+  *    hash-key routing of K6 maps to repartitioning before the write).
+  *  - A `__time__` TimestampType/epoch column feeds the record time;
+  *    otherwise wall-free deterministic 0 (tests always set it).
+  */
+class LogWriteBuilder(info: LogicalWriteInfo, opts: LogServiceOptions)
+    extends WriteBuilder {
+  override def build(): Write = new LogWrite(info.schema(), opts, info.queryId())
+}
+
+class LogWrite(schema: StructType, opts: LogServiceOptions, queryId: String)
+    extends Write {
+  override def toBatch: BatchWrite = new LogBatchWrite(schema, opts, queryId)
+  override def toStreaming: StreamingWrite = new LogStreamingWrite(schema, opts)
+}
+
+class LogBatchWrite(schema: StructType, opts: LogServiceOptions,
+    queryId: String) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new LogWriterFactory(schema, opts, s"b$queryId")
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class LogStreamingWrite(schema: StructType, opts: LogServiceOptions)
+    extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new LogStreamingWriterFactory(schema, opts)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class LogCommitMessage(shardCounts: Map[Int, Long]) extends WriterCommitMessage
+
+class LogWriterFactory(schema: StructType, opts: LogServiceOptions,
+    prefix: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new LogDataWriter(schema, opts, s"$prefix-p$partitionId")
+}
+
+class LogStreamingWriterFactory(schema: StructType, opts: LogServiceOptions)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new LogDataWriter(schema, opts, s"e$epochId-p$partitionId")
+}
+
+class LogDataWriter(schema: StructType, opts: LogServiceOptions,
+    segmentName: String) extends DataWriter[InternalRow] {
+
+  private val store = opts.newStore
+  private val fields = schema.fields
+  private val shardIdx = schema.fieldNames.indexOf(RowConverters.Shard)
+  private val timeIdx = schema.fieldNames.indexOf(RowConverters.Time)
+  private val topicIdx = schema.fieldNames.indexOf(RowConverters.Topic)
+  private val sourceIdx = schema.fieldNames.indexOf(RowConverters.Source)
+  private val writableShards =
+    store.listShards(opts.project, opts.store).filterNot(_.readOnly).map(_.id)
+  require(writableShards.nonEmpty, s"no writable shards in ${opts.project}#${opts.store}")
+  private val pending = mutable.Map[Int, mutable.Buffer[LogRecord]]()
+  private val partShard = // stable default route for this task's segment
+    writableShards(math.abs(segmentName.hashCode) % writableShards.size)
+
+  override def write(row: InternalRow): Unit = {
+    val contents = mutable.Map[String, String]()
+    var time = 0
+    var topic = ""; var source = ""
+    var shard = partShard
+    var i = 0
+    while (i < fields.length) {
+      val f = fields(i)
+      if (!row.isNullAt(i)) {
+        f.name match {
+          case RowConverters.Shard =>
+            shard = row.get(i, f.dataType).toString.toInt
+          case RowConverters.Time =>
+            val v = row.get(i, f.dataType).toString
+            time = f.dataType match {
+              case TimestampType => (v.toLong / 1000000L).toInt // micros → s
+              case _ => v.toDouble.toInt
+            }
+          case RowConverters.Topic => topic = row.get(i, f.dataType).toString
+          case RowConverters.Source => source = row.get(i, f.dataType).toString
+          case name =>
+            contents(name) = RowConverters.valueToString(f.dataType, row.get(i, f.dataType))
+        }
+      }
+      i += 1
+    }
+    pending.getOrElseUpdate(shard, mutable.Buffer()) +=
+      LogRecord(time, topic, source, Map.empty, contents.toMap)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    pending.foreach { case (shard, recs) =>
+      store.appendSegment(opts.project, opts.store, shard, segmentName, recs.toSeq)
+    }
+    LogCommitMessage(pending.map { case (s, r) => s -> r.size.toLong }.toMap)
+  }
+
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}

@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.Tables._
+import graft.store.EmbeddedLogStore
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** End-to-end connector queries: the events table is ingested into the
+  * embedded log store through the DSv2 write path, read back through the
+  * DSv2 scan, and aggregated — so scan, converters, metadata columns,
+  * JSON packing and shard routing are all on the oracle-checked path
+  * (the oracle runs on the original events parquet; any loss or
+  * duplication in the connector breaks the hash match).
+  */
+object ConnectorQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    "c1_logstore_roundtrip" -> c1,
+    "c2_logstore_json_value" -> c2
+  )
+
+  private def ingest(spark: SparkSession, dir: String, shards: Int): Map[String, String] = {
+    val root = Files.createTempDirectory("graft-logstore").toString
+    new EmbeddedLogStore(root).createStore("proj", "events", shards)
+    val opts = Map("store.root" -> root, "store.project" -> "proj",
+      "store.name" -> "events")
+    t(spark, dir, "events")
+      .select(
+        (col("user_id") % shards).cast(IntegerType).as("__shard__"),
+        expr("ts DIV 1000000000").cast(IntegerType).as("__time__"),
+        col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts"), col("props"))
+      .write.format("graft-logstore").options(opts).mode("append").save()
+    opts
+  }
+
+  /** Typed user-schema path: string→typed converters on every column. */
+  private def c1: Q = (spark, dir) => {
+    val opts = ingest(spark, dir, 4)
+    spark.read.format("graft-logstore").options(opts)
+      .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts LONG")
+      .load()
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum6(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        // µs precision: DuckDB reads parquet nanos as TIMESTAMP (µs)
+        min(expr("ts DIV 1000")).as("min_ts"))
+  }
+
+  /** Default-schema path: schema-on-read from the __value__ JSON column
+    * (reference T4 semantics, LoghubSourceRDD.scala:154-176). */
+  private def c2: Q = (spark, dir) => {
+    val opts = ingest(spark, dir, 2)
+    spark.read.format("graft-logstore").options(opts).load()
+      .select(
+        get_json_object(col("__value__"), "$.event_type").as("event_type"),
+        get_json_object(col("__value__"), "$.value").cast(DoubleType).as("value"),
+        get_json_object(col("__value__"), "$.user_id").cast(LongType).as("user_id"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum6(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  def oracles: Map[String, String] = Map(
+    "c1_logstore_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        | COUNT(DISTINCT user_id) AS n_users,
+        | MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+        | CAST(epoch_us(min(ts)) AS BIGINT) AS min_ts
+        |FROM events GROUP BY event_type""".stripMargin,
+    "c2_logstore_json_value" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        | COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin
+  )
+}

@@ -198,14 +198,15 @@ object Relational {
     * within 1 hour, per user. */
   private def q13: Q = (spark, dir) => {
     val ev = t(spark, dir, "events")
+    // µs-truncated epoch longs: exact integer interval arithmetic, at the
+    // same precision DuckDB reads the nanos parquet column with.
     val v = ev.filter(col("event_type") === "view")
-      .select(col("user_id"), col("ts").as("v_ts"))
+      .select(col("user_id"), expr("ts DIV 1000").as("v_ts"))
     val p = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
-    // ts is epoch-nanos long → exact integer interval arithmetic.
+      .select(col("user_id").as("p_user"), expr("ts DIV 1000").as("p_ts"))
     v.join(p, col("user_id") === col("p_user") &&
         col("p_ts") > col("v_ts") &&
-        col("p_ts") <= col("v_ts") + lit(3600L * 1000 * 1000 * 1000))
+        col("p_ts") <= col("v_ts") + lit(3600L * 1000 * 1000))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_conversions"))
   }

@@ -1,0 +1,223 @@
+package graft.store
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** One log record on the "wire": flat string key/values plus fixed
+  * metadata — the data model of the reference's SLS store
+  * (LoghubSourceRDD.scala:145-231: LogGroup{topic,source,tags} /
+  * Log{time,contents}). */
+case class LogRecord(
+    time: Int, // unix seconds
+    topic: String,
+    source: String,
+    tags: Map[String, String],
+    contents: Map[String, String])
+
+case class ShardInfo(id: Int, readOnly: Boolean)
+
+/** File-backed sharded log store — the hermetic stand-in for the log
+  * service the reference connects to (replaces LoghubClientAgent.java;
+  * cursor model per Utils.decodeCursorToTimestamp, Utils.scala:221-225).
+  *
+  * Layout: `<root>/<project>/<store>/meta.json` + per shard a directory of
+  * immutable JSONL segment files. A shard's logical record sequence is the
+  * concatenation of its segments in lexicographic filename order; a
+  * **cursor** is a base64-encoded record ordinal in that sequence (the
+  * reference's cursors also decode to numbers). Segment names carry their
+  * record count (`<name>-<count>.jsonl`) so ordinal→segment seeks need no
+  * data reads.
+  *
+  * Writers append whole segments with deterministic names, so replayed
+  * epochs overwrite rather than duplicate (the sink's exactly-once
+  * contract, LoghubSink.scala:31-38) and concurrent tasks never contend
+  * on a shared file. On a cluster the root lives on shared storage; every
+  * operation here is a pure function of the directory listing, so any
+  * executor can read or write without coordination.
+  */
+class EmbeddedLogStore(root: String) extends Serializable {
+  import EmbeddedLogStore._
+
+  private def storeDir(project: String, store: String) =
+    Paths.get(root, project, store)
+  private def shardDir(project: String, store: String, shard: Int) =
+    storeDir(project, store).resolve(s"shard-$shard")
+  private def metaPath(project: String, store: String) =
+    storeDir(project, store).resolve("meta.json")
+
+  def createStore(project: String, store: String, numShards: Int): Unit = {
+    require(numShards > 0)
+    val dir = storeDir(project, store)
+    Files.createDirectories(dir)
+    val shards = (0 until numShards).map(ShardInfo(_, readOnly = false))
+    writeMeta(project, store, shards)
+    shards.foreach(s => Files.createDirectories(shardDir(project, store, s.id)))
+  }
+
+  def listShards(project: String, store: String): Seq[ShardInfo] = {
+    val mapper = new ObjectMapper()
+    val tree = mapper.readTree(Files.readAllBytes(metaPath(project, store)))
+    tree.get("shards").elements().asScala.map { n =>
+      ShardInfo(n.get("id").asInt(), n.get("readOnly").asBoolean())
+    }.toSeq.sortBy(_.id)
+  }
+
+  private def writeMeta(project: String, store: String, shards: Seq[ShardInfo]): Unit = {
+    val mapper = new ObjectMapper()
+    val rootNode = mapper.createObjectNode()
+    val arr = rootNode.putArray("shards")
+    shards.sortBy(_.id).foreach { s =>
+      val n = arr.addObject()
+      n.put("id", s.id); n.put("readOnly", s.readOnly)
+    }
+    Files.write(metaPath(project, store),
+      mapper.writeValueAsBytes(rootNode))
+  }
+
+  /** Split a shard: parent becomes read-only, two new shards are created
+    * (reference semantics: parent drains then is skipped —
+    * DirectLoghubInputDStream.scala:138-145). */
+  def splitShard(project: String, store: String, shard: Int): (Int, Int) = {
+    val shards = listShards(project, store)
+    require(shards.exists(s => s.id == shard && !s.readOnly), s"shard $shard not writable")
+    val next = shards.map(_.id).max + 1
+    val updated = shards.map(s => if (s.id == shard) s.copy(readOnly = true) else s) ++
+      Seq(ShardInfo(next, readOnly = false), ShardInfo(next + 1, readOnly = false))
+    Files.createDirectories(shardDir(project, store, next))
+    Files.createDirectories(shardDir(project, store, next + 1))
+    writeMeta(project, store, updated)
+    (next, next + 1)
+  }
+
+  /** Append records as one immutable segment. `segmentName` must be unique
+    * per logical write (and stable across retries for idempotence). */
+  def appendSegment(project: String, store: String, shard: Int,
+      segmentName: String, records: Seq[LogRecord]): Unit = {
+    val dir = shardDir(project, store, shard)
+    Files.createDirectories(dir)
+    val mapper = new ObjectMapper()
+    val sb = new StringBuilder
+    records.foreach { r => sb.append(recordToJson(mapper, r)).append('\n') }
+    val tmp = dir.resolve(s".$segmentName-${records.size}.jsonl.tmp")
+    val fin = dir.resolve(s"$segmentName-${records.size}.jsonl")
+    // remove a prior segment of the same logical name (epoch replay)
+    listSegments(project, store, shard)
+      .filter(_.logicalName == segmentName)
+      .foreach(s => Files.deleteIfExists(dir.resolve(s.fileName)))
+    Files.write(tmp, sb.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, fin, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  case class Segment(fileName: String, logicalName: String, count: Long)
+
+  def listSegments(project: String, store: String, shard: Int): Seq[Segment] = {
+    val dir = shardDir(project, store, shard)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".jsonl") && !n.startsWith("."))
+      .toSeq.sorted
+      .map { n =>
+        val base = n.stripSuffix(".jsonl")
+        val i = base.lastIndexOf('-')
+        Segment(n, base.substring(0, i), base.substring(i + 1).toLong)
+      }
+  }
+
+  /** Total records in a shard = END cursor ordinal. */
+  def shardEnd(project: String, store: String, shard: Int): Long =
+    listSegments(project, store, shard).map(_.count).sum
+
+  /** First ordinal whose record time >= t (for cursor-from-time);
+    * shardEnd if none. Scans record times only. */
+  def cursorAtTime(project: String, store: String, shard: Int, t: Int): Long = {
+    var ordinal = 0L
+    val mapper = new ObjectMapper()
+    listSegments(project, store, shard).foreach { seg =>
+      val lines = Files.readAllLines(
+        shardDir(project, store, shard).resolve(seg.fileName)).asScala
+      lines.foreach { line =>
+        if (mapper.readTree(line).get("time").asInt() >= t) return ordinal
+        ordinal += 1
+      }
+    }
+    ordinal
+  }
+
+  /** Read records with ordinals in [from, until). */
+  def read(project: String, store: String, shard: Int,
+      from: Long, until: Long): Iterator[(Long, LogRecord)] = {
+    val mapper = new ObjectMapper()
+    val dir = shardDir(project, store, shard)
+    val segs = listSegments(project, store, shard)
+    var base = 0L
+    val out = mutable.Buffer[(String, Long)]() // (file, segBase)
+    segs.foreach { seg =>
+      if (base < until && base + seg.count > from) out += ((seg.fileName, base))
+      base += seg.count
+    }
+    out.iterator.flatMap { case (file, segBase) =>
+      Files.readAllLines(dir.resolve(file)).asScala.iterator.zipWithIndex
+        .map { case (line, i) => (segBase + i, line) }
+        .filter { case (ord, _) => ord >= from && ord < until }
+        .map { case (ord, line) => (ord, jsonToRecord(mapper, line)) }
+    }
+  }
+
+  /** Exact per-shard record count with time in [fromT, untilT) — the
+    * histogram primitive behind admission control (reference O4,
+    * LoghubOffsetReader.scala:155-220; ours is exact, not bucketed). */
+  def countInTimeRange(project: String, store: String, shard: Int,
+      fromT: Int, untilT: Int): Long = {
+    val mapper = new ObjectMapper()
+    val dir = shardDir(project, store, shard)
+    listSegments(project, store, shard).map { seg =>
+      Files.readAllLines(dir.resolve(seg.fileName)).asScala.count { line =>
+        val t = mapper.readTree(line).get("time").asInt()
+        t >= fromT && t < untilT
+      }.toLong
+    }.sum
+  }
+}
+
+object EmbeddedLogStore {
+  private val B64 = java.util.Base64.getEncoder
+  private val B64D = java.util.Base64.getDecoder
+
+  /** Cursors are base64 ordinals, like the reference's base64 numeric
+    * cursors (ShardUtils.decodeCursor, ShardUtils.scala:8-11). */
+  def encodeCursor(ordinal: Long): String =
+    B64.encodeToString(ordinal.toString.getBytes(StandardCharsets.UTF_8))
+  def decodeCursor(cursor: String): Long =
+    new String(B64D.decode(cursor), StandardCharsets.UTF_8).toLong
+
+  private[store] def recordToJson(mapper: ObjectMapper, r: LogRecord): String = {
+    val n = mapper.createObjectNode()
+    n.put("time", r.time)
+    n.put("topic", r.topic)
+    n.put("source", r.source)
+    val tags = n.putObject("tags")
+    r.tags.foreach { case (k, v) => tags.put(k, v) }
+    val contents = n.putObject("contents")
+    r.contents.foreach { case (k, v) => contents.put(k, v) }
+    mapper.writeValueAsString(n)
+  }
+
+  private[store] def jsonToRecord(mapper: ObjectMapper, line: String): LogRecord = {
+    val n = mapper.readTree(line)
+    def toMap(field: String): Map[String, String] = {
+      val node = n.get(field)
+      if (node == null) Map.empty
+      else node.asInstanceOf[ObjectNode].fields().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap
+    }
+    LogRecord(n.get("time").asInt(), n.get("topic").asText(""),
+      n.get("source").asText(""), toMap("tags"), toMap("contents"))
+  }
+}

@@ -1,0 +1,134 @@
+package graft
+
+import graft.connector.RowConverters
+import graft.store.{EmbeddedLogStore, LogRecord}
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ConnectorSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-store").toString
+
+  private def seed(root: String, n: Int = 20): Unit = {
+    val store = new EmbeddedLogStore(root)
+    store.createStore("proj", "logs", 2)
+    val recs = (0 until n).map { i =>
+      LogRecord(1700000000 + i, "topicA", "src1", Map("env" -> "test"),
+        Map("msg" -> i.toString, "level" -> (if (i % 2 == 0) "INFO" else "WARN")))
+    }
+    store.appendSegment("proj", "logs", 0, "seed", recs.filter(_.time % 2 == 0))
+    store.appendSegment("proj", "logs", 1, "seed", recs.filter(_.time % 2 == 1))
+  }
+
+  private def readOpts(root: String) =
+    Map("store.root" -> root, "store.project" -> "proj", "store.name" -> "logs")
+
+  test("batch read with user schema, typed casting and metadata columns") {
+    val root = freshRoot(); seed(root)
+    val df = spark.read.format("graft-logstore").options(readOpts(root))
+      .schema("msg INT, level STRING, __shard__ INT, __time__ TIMESTAMP, `__tag__:env` STRING")
+      .load()
+    assert(df.count() === 20)
+    assert(df.agg(sum("msg")).first().getLong(0) === (0 until 20).sum)
+    assert(df.select("__shard__").distinct().collect().map(_.getInt(0)).sorted
+      === Array(0, 1))
+    assert(df.filter(col("`__tag__:env`") === "test").count() === 20)
+    val t = df.agg(min(col("__time__").cast("long"))).first().getLong(0)
+    assert(t === 1700000000L)
+  }
+
+  test("default schema packs contents+tags as JSON in __value__") {
+    val root = freshRoot(); seed(root)
+    val df = spark.read.format("graft-logstore").options(readOpts(root)).load()
+    assert(df.schema === RowConverters.DefaultSchema)
+    val parsed = df.select(
+      get_json_object(col("__value__"), "$.msg").cast("int").as("msg"),
+      get_json_object(col("__value__"), "$['__tag__:env']").as("env"))
+    assert(parsed.agg(sum("msg")).first().getLong(0) === (0 until 20).sum)
+    assert(parsed.filter(col("env") === "test").count() === 20)
+  }
+
+  test("batch write routes via __shard__ and round-trips") {
+    val root = freshRoot()
+    new EmbeddedLogStore(root).createStore("proj", "logs", 2)
+    import spark.implicits._
+    val df = (0 until 10).map(i => (i % 2, 1700000100 + i, s"m$i"))
+      .toDF("__shard__", "__time__", "payload")
+    df.write.format("graft-logstore").options(readOpts(root)).mode("append").save()
+    val back = spark.read.format("graft-logstore").options(readOpts(root))
+      .schema("payload STRING, __shard__ INT, __time__ TIMESTAMP").load()
+    assert(back.count() === 10)
+    assert(back.groupBy("__shard__").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap === Map(0 -> 5, 1 -> 5))
+  }
+
+  test("bounded offsets json with sentinels") {
+    val root = freshRoot(); seed(root)
+    val df = spark.read.format("graft-logstore").options(readOpts(root))
+      .option("startingoffsets", """{"proj#logs":{"0":2,"1":-2}}""")
+      .option("endingoffsets", """{"proj#logs":{"0":-1,"1":5}}""")
+      .schema("msg INT, __shard__ INT").load()
+    // shard 0 has 10 records: ordinals 2..10 → 8; shard 1: 0..5 → 5
+    assert(df.filter(col("__shard__") === 0).count() === 8)
+    assert(df.filter(col("__shard__") === 1).count() === 5)
+  }
+
+  test("batch validation: start=latest and end=earliest rejected") {
+    val root = freshRoot(); seed(root)
+    val e1 = intercept[Exception] {
+      spark.read.format("graft-logstore").options(readOpts(root))
+        .option("startingoffsets", "latest").schema("msg INT").load().count()
+    }
+    assert(e1.getMessage.contains("latest") || e1.getCause != null)
+    val e2 = intercept[Exception] {
+      spark.read.format("graft-logstore").options(readOpts(root))
+        .option("endingoffsets", "earliest").schema("msg INT").load().count()
+    }
+    assert(e2.getMessage.contains("earliest") || e2.getCause != null)
+  }
+
+  test("missing required option error") {
+    val e = intercept[Exception] {
+      spark.read.format("graft-logstore")
+        .option("store.project", "p").load().count()
+    }
+    assert(e.getMessage.contains("store.root") ||
+      e.getCause.getMessage.contains("store.root"))
+  }
+
+  test("shard split: parent readonly, writers avoid it, readers drain it") {
+    val root = freshRoot(); seed(root)
+    val store = new EmbeddedLogStore(root)
+    val (c1, c2) = store.splitShard("proj", "logs", 0)
+    assert(Set(c1, c2) === Set(2, 3))
+    assert(store.listShards("proj", "logs").find(_.id == 0).get.readOnly)
+    // parent data still readable
+    val df = spark.read.format("graft-logstore").options(readOpts(root))
+      .schema("msg INT, __shard__ INT").load()
+    assert(df.filter(col("__shard__") === 0).count() === 10)
+    // new writes only land on writable shards
+    import spark.implicits._
+    (0 until 8).map(i => (1700000200 + i, s"n$i")).toDF("__time__", "payload")
+      .write.format("graft-logstore").options(readOpts(root)).mode("append").save()
+    val shards = spark.read.format("graft-logstore").options(readOpts(root))
+      .schema("payload STRING, __shard__ INT").load()
+      .filter(col("payload").startsWith("n"))
+      .select("__shard__").distinct().collect().map(_.getInt(0)).toSet
+    assert(!shards.contains(0))
+  }
+
+  test("exact-ordinal cursors encode/decode") {
+    assert(EmbeddedLogStore.decodeCursor(EmbeddedLogStore.encodeCursor(12345L)) === 12345L)
+  }
+
+  test("offset json format matches reference shape") {
+    val o = graft.connector.LogServiceOffset("logProject-A", "logStore-B",
+      Map(0 -> 1409569200L, 1 -> 1409569201L))
+    assert(o.json() === """{"logProject-A#logStore-B":{"0":1409569200,"1":1409569201}}""")
+    assert(graft.connector.LogServiceOffset.parse(o.json()) === o)
+  }
+}
