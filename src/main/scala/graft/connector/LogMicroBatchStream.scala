@@ -21,12 +21,23 @@ import org.apache.spark.sql.types.StructType
   *  - offset monotonicity is asserted (O9, ShardUtils.scala:6-22).
   */
 class LogMicroBatchStream(schema: StructType, opts: LogServiceOptions)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private val store = opts.newStore
+  // Trigger.AvailableNow: freeze the target end offsets at query start so
+  // the run drains exactly to that point, still paced by the read limit.
+  private var availableNowTarget: Option[Map[Int, Long]] = None
   private def shardEnds(): Map[Int, Long] =
-    store.listShards(opts.project, opts.store)
-      .map(s => s.id -> store.shardEnd(opts.project, opts.store, s.id)).toMap
+    availableNowTarget.getOrElse(
+      store.listShards(opts.project, opts.store)
+        .map(s => s.id -> store.shardEnd(opts.project, opts.store, s.id)).toMap)
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowTarget = Some(
+      store.listShards(opts.project, opts.store)
+        .map(s => s.id -> store.shardEnd(opts.project, opts.store, s.id)).toMap)
+  }
 
   override def initialOffset(): Offset = opts.startingOffsets.trim.toLowerCase match {
     case "earliest" => LogServiceOffset(opts.project, opts.store,

@@ -95,7 +95,13 @@ class EmbeddedLogStore(root: String) extends Serializable {
   }
 
   /** Append records as one immutable segment. `segmentName` must be unique
-    * per logical write (and stable across retries for idempotence). */
+    * per logical write and stable across retries: a replay (same logical
+    * name) replaces the original segment *in place* — same sequence
+    * position — so ordinals of later records never move.
+    *
+    * Segment file name: `<seq>-<logicalName>-<count>.jsonl`; the shard's
+    * record order is by zero-padded arrival sequence (NOT by logical
+    * name, which would reorder history as new segments arrive). */
   def appendSegment(project: String, store: String, shard: Int,
       segmentName: String, records: Seq[LogRecord]): Unit = {
     val dir = shardDir(project, store, shard)
@@ -103,18 +109,24 @@ class EmbeddedLogStore(root: String) extends Serializable {
     val mapper = new ObjectMapper()
     val sb = new StringBuilder
     records.foreach { r => sb.append(recordToJson(mapper, r)).append('\n') }
-    val tmp = dir.resolve(s".$segmentName-${records.size}.jsonl.tmp")
-    val fin = dir.resolve(s"$segmentName-${records.size}.jsonl")
-    // remove a prior segment of the same logical name (epoch replay)
-    listSegments(project, store, shard)
-      .filter(_.logicalName == segmentName)
-      .foreach(s => Files.deleteIfExists(dir.resolve(s.fileName)))
+    val existing = listSegments(project, store, shard)
+    val seq = existing.find(_.logicalName == segmentName) match {
+      case Some(prior) => // epoch replay: replace at the same position
+        require(prior.count == records.size,
+          s"replayed segment $segmentName has ${records.size} records, original had ${prior.count}")
+        Files.deleteIfExists(dir.resolve(prior.fileName))
+        prior.seq
+      case None => existing.map(_.seq + 1).maxOption.getOrElse(0L)
+    }
+    val base = f"$seq%010d-$segmentName-${records.size}"
+    val tmp = dir.resolve(s".$base.jsonl.tmp")
     Files.write(tmp, sb.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, fin, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+    Files.move(tmp, dir.resolve(s"$base.jsonl"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  case class Segment(fileName: String, logicalName: String, count: Long)
+  case class Segment(fileName: String, seq: Long, logicalName: String, count: Long)
 
   def listSegments(project: String, store: String, shard: Int): Seq[Segment] = {
     val dir = shardDir(project, store, shard)
@@ -122,11 +134,14 @@ class EmbeddedLogStore(root: String) extends Serializable {
     Files.list(dir).iterator().asScala
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".jsonl") && !n.startsWith("."))
-      .toSeq.sorted
+      .toSeq.sorted // zero-padded seq prefix ⇒ arrival order
       .map { n =>
         val base = n.stripSuffix(".jsonl")
-        val i = base.lastIndexOf('-')
-        Segment(n, base.substring(0, i), base.substring(i + 1).toLong)
+        val firstDash = base.indexOf('-')
+        val lastDash = base.lastIndexOf('-')
+        Segment(n, base.substring(0, firstDash).toLong,
+          base.substring(firstDash + 1, lastDash),
+          base.substring(lastDash + 1).toLong)
       }
   }
 

@@ -1,0 +1,208 @@
+package graft
+
+import graft.store.{EmbeddedLogStore, LogRecord}
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured-streaming scenarios over the embedded store — hermetic port
+  * of the reference's LoghubMicroBatchSourceSuite patterns (earliest /
+  * latest starts, incremental batches, recovery, admission control, shard
+  * split, watermark+window, stream-stream self-join, sink idempotence). */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def freshRoot(): String = Files.createTempDirectory("graft-ss").toString
+
+  private def opts(root: String) = Map("store.root" -> root,
+    "store.project" -> "proj", "store.name" -> "logs")
+
+  private def addData(root: String, shard: Int, seg: String, values: Seq[Int],
+      baseTime: Int = 1700000000): Unit =
+    new EmbeddedLogStore(root).appendSegment("proj", "logs", shard, seg,
+      values.map(v => LogRecord(baseTime + v, "t", "s", Map.empty,
+        Map("msg" -> v.toString))))
+
+  private def streamDf(root: String, extra: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.format("graft-logstore").options(opts(root) ++ extra)
+      .schema("msg INT, __shard__ INT, __time__ TIMESTAMP").load()
+
+  private def runToMemory(df: DataFrame, name: String, ckpt: String,
+      mode: String = "append") = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    q
+  }
+
+  /** Run stream → logstore sink (checkpoint-recoverable) and return a
+    * batch reader over the sink store. */
+  private def runToSink(df: DataFrame, dstRoot: String, ckpt: String): Unit = {
+    val q = df.selectExpr("msg", "__time__")
+      .writeStream.format("graft-logstore")
+      .option("store.root", dstRoot).option("store.project", "proj")
+      .option("store.name", "out")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+  }
+
+  private def sinkTable(dstRoot: String): DataFrame =
+    spark.read.format("graft-logstore")
+      .option("store.root", dstRoot).option("store.project", "proj")
+      .option("store.name", "out").schema("msg INT").load()
+
+  private def newSink(): String = {
+    val dst = freshRoot()
+    new EmbeddedLogStore(dst).createStore("proj", "out", 1)
+    dst
+  }
+
+  test("earliest start reads existing + incremental data across restarts") {
+    val root = freshRoot()
+    new EmbeddedLogStore(root).createStore("proj", "logs", 2)
+    addData(root, 0, "a", 1 to 5)
+    addData(root, 1, "a", 6 to 10)
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val dst = newSink()
+    runToSink(streamDf(root), dst, ckpt)
+    assert(sinkTable(dst).count() === 10)
+    // restart from checkpoint picks up only new data
+    addData(root, 0, "b", 11 to 13)
+    runToSink(streamDf(root), dst, ckpt)
+    assert(sinkTable(dst).count() === 13)
+    assert(sinkTable(dst).agg(sum("msg")).first().getLong(0) === (1 to 13).sum)
+  }
+
+  test("latest start skips pre-existing data") {
+    val root = freshRoot()
+    new EmbeddedLogStore(root).createStore("proj", "logs", 2)
+    addData(root, 0, "old", 1 to 5)
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val dst = newSink()
+    runToSink(streamDf(root, Map("startingoffsets" -> "latest")), dst, ckpt)
+    assert(sinkTable(dst).count() === 0)
+    addData(root, 0, "new", 6 to 8)
+    runToSink(streamDf(root, Map("startingoffsets" -> "latest")), dst, ckpt)
+    assert(sinkTable(dst).collect().map(_.getInt(0)).sorted === Array(6, 7, 8))
+  }
+
+  test("maxoffsetspertrigger paces admission across micro-batches") {
+    val root = freshRoot()
+    new EmbeddedLogStore(root).createStore("proj", "logs", 2)
+    addData(root, 0, "a", 1 to 50)
+    addData(root, 1, "a", 51 to 100)
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val q = streamDf(root, Map("maxoffsetspertrigger" -> "20"))
+      .writeStream.format("memory").queryName("t_paced")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // all data arrives, over >= 5 micro-batches of <= 20
+    assert(spark.table("t_paced").count() === 100)
+    val progress = q.recentProgress
+    assert(progress.count(_.numInputRows > 0) >= 5)
+    assert(progress.forall(_.numInputRows <= 20))
+  }
+
+  test("Long.MaxValue budget does not overflow (SPARK-26718 semantics)") {
+    val root = freshRoot()
+    new EmbeddedLogStore(root).createStore("proj", "logs", 2)
+    addData(root, 0, "a", 1 to 10)
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    runToMemory(streamDf(root,
+      Map("maxoffsetspertrigger" -> Long.MaxValue.toString)), "t_big", ckpt)
+    assert(spark.table("t_big").count() === 10)
+  }
+
+  test("shard split mid-stream: children picked up at earliest, parent drains") {
+    val root = freshRoot()
+    val store = new EmbeddedLogStore(root)
+    store.createStore("proj", "logs", 2)
+    addData(root, 0, "a", 1 to 4)
+    addData(root, 1, "a", 5 to 8)
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val dst = newSink()
+    runToSink(streamDf(root), dst, ckpt)
+    assert(sinkTable(dst).count() === 8)
+    store.splitShard("proj", "logs", 0)
+    addData(root, 2, "b", 9 to 10)
+    addData(root, 3, "b", 11 to 12)
+    runToSink(streamDf(root), dst, ckpt)
+    assert(sinkTable(dst).count() === 12)
+    assert(sinkTable(dst).agg(sum("msg")).first().getLong(0) === (1 to 12).sum)
+  }
+
+  test("watermark + tumbling window aggregation") {
+    val root = freshRoot()
+    new EmbeddedLogStore(root).createStore("proj", "logs", 1)
+    // two 5-second windows: values 0..4 and 10..14 seconds
+    addData(root, 0, "a", Seq(0, 1, 2, 10, 11))
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val agg = streamDf(root)
+      .withWatermark("__time__", "10 seconds")
+      .groupBy(window(col("__time__"), "5 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("ws"), col("n"))
+    runToMemory(agg, "t_window", ckpt, mode = "complete")
+    val rows = spark.table("t_window").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows === Map(1700000000L -> 3L, 1700000010L -> 2L))
+  }
+
+  test("stream-stream self-join on key") {
+    val root = freshRoot()
+    new EmbeddedLogStore(root).createStore("proj", "logs", 2)
+    addData(root, 0, "a", 1 to 6)
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val base = streamDf(root)
+      .selectExpr("msg AS value", "msg % 3 AS key", "__time__")
+    val joined = base.select("key", "value")
+      .join(base.selectExpr("key", "value AS value2"), "key")
+    runToMemory(joined, "t_selfjoin", ckpt)
+    // keys 1,2 appear twice, key 0 twice → each key yields 2x2 pairs
+    assert(spark.table("t_selfjoin").count() === 12)
+  }
+
+  test("streaming sink to logstore: epoch replay is idempotent") {
+    val srcRoot = freshRoot(); val dstRoot = freshRoot()
+    new EmbeddedLogStore(srcRoot).createStore("proj", "logs", 1)
+    new EmbeddedLogStore(dstRoot).createStore("proj", "out", 2)
+    addData(srcRoot, 0, "a", 1 to 9)
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    def writeOnce(): Unit = {
+      val q = spark.readStream.format("graft-logstore").options(opts(srcRoot))
+        .schema("msg INT, __time__ TIMESTAMP").load()
+        .selectExpr("msg", "__time__")
+        .writeStream.format("graft-logstore")
+        .option("store.root", dstRoot).option("store.project", "proj")
+        .option("store.name", "out")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    writeOnce()
+    val read = () => spark.read.format("graft-logstore")
+      .option("store.root", dstRoot).option("store.project", "proj")
+      .option("store.name", "out").schema("msg INT").load()
+    assert(read().count() === 9)
+    // replaying the identical epoch (fresh query, same segments) can't dup:
+    // simulate a replay by re-running with a WIPED checkpoint — epochs
+    // restart at 0 and overwrite the same segment names
+    val ckpt2 = Files.createTempDirectory("ckpt").toString
+    val q2 = spark.readStream.format("graft-logstore").options(opts(srcRoot))
+      .schema("msg INT, __time__ TIMESTAMP").load()
+      .selectExpr("msg", "__time__")
+      .writeStream.format("graft-logstore")
+      .option("store.root", dstRoot).option("store.project", "proj")
+      .option("store.name", "out")
+      .option("checkpointLocation", ckpt2)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    assert(read().count() === 9) // overwritten, not appended
+    assert(read().agg(sum("msg")).first().getLong(0) === (1 to 9).sum)
+  }
+}
