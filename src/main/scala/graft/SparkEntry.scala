@@ -18,10 +18,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextQueries.queries ++ ConnectorQueries.queries
+    Relational.queries ++ TextQueries.queries ++ ConnectorQueries.queries ++
+      MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ TextQueries.oracles ++ ConnectorQueries.oracles
+    Relational.oracles ++ TextQueries.oracles ++ ConnectorQueries.oracles ++
+      MultimodalQueries.oracles
 }
