@@ -1,0 +1,63 @@
+package graft.api
+
+import graft.store.EmbeddedLogStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.DataStreamReader
+import org.apache.spark.sql.types.StructType
+
+/** Convenience factory API over the `graft-logstore` connector — the
+  * Spark-4 replacement for the reference's 22-overload LoghubUtils
+  * factory surface (LoghubUtils.scala:36-856): every variant collapses
+  * onto reader/writer options, so one method per access pattern suffices
+  * (and the connector stays language-agnostic for PySpark, the S10 shim,
+  * for free). */
+object LogServiceUtils {
+
+  case class StoreRef(root: String, project: String, store: String) {
+    def options: Map[String, String] = Map(
+      "store.root" -> root, "store.project" -> project, "store.name" -> store)
+  }
+
+  /** Create the backing store with `numShards` shards. */
+  def createStore(ref: StoreRef, numShards: Int): Unit =
+    new EmbeddedLogStore(ref.root).createStore(ref.project, ref.store, numShards)
+
+  /** Bounded batch read; optional schema (default: the 8-column string
+    * schema with `__value__` JSON), offsets, or a [startTime, endTime)
+    * unix-seconds range (the S8 time-range RDD surface). */
+  def createBatchDF(spark: SparkSession, ref: StoreRef,
+      schema: Option[StructType] = None,
+      startingOffsets: Option[String] = None,
+      endingOffsets: Option[String] = None,
+      startTime: Option[Int] = None,
+      endTime: Option[Int] = None,
+      sliceShard: Int = 1): DataFrame = {
+    var r = spark.read.format("graft-logstore").options(ref.options)
+      .option("store.sliceshard", sliceShard.toString)
+    schema.foreach(s => r = r.schema(s))
+    startingOffsets.foreach(o => r = r.option("startingoffsets", o))
+    endingOffsets.foreach(o => r = r.option("endingoffsets", o))
+    startTime.foreach(t => r = r.option("starttime", t.toString))
+    endTime.foreach(t => r = r.option("endtime", t.toString))
+    r.load()
+  }
+
+  /** Micro-batch streaming read (the S1/S5 surface: earliest/latest/
+    * specific starts + admission control). */
+  def createStreamDF(spark: SparkSession, ref: StoreRef,
+      schema: Option[StructType] = None,
+      startingOffsets: String = "earliest",
+      maxOffsetsPerTrigger: Long = 65536L): DataFrame = {
+    var r: DataStreamReader = spark.readStream.format("graft-logstore")
+      .options(ref.options)
+      .option("startingoffsets", startingOffsets)
+      .option("maxoffsetspertrigger", maxOffsetsPerTrigger.toString)
+    schema.foreach(s => r = r.schema(s))
+    r.load()
+  }
+
+  /** Batch write (the K2/K6 surface; `__shard__`/`__time__`/`__topic__`/
+    * `__source__` columns route, everything else becomes contents). */
+  def writeDF(df: DataFrame, ref: StoreRef): Unit =
+    df.write.format("graft-logstore").options(ref.options).mode("append").save()
+}

@@ -7,7 +7,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import scala.jdk.CollectionConverters._
@@ -53,6 +53,14 @@ case class LogServiceOptions(all: Map[String, String]) {
   val appendSequenceNumber: Boolean =
     norm.getOrElse("appendsequencenumber", "false").toBoolean
   val numShards: Int = norm.getOrElse("store.shards", "2").toInt
+  /** Bounded time-range scan [starttime, endtime) in unix seconds —
+    * the S8 LoghubBatchRDD surface (LoghubBatchRDD.scala:30-208). */
+  val startTime: Option[Int] = norm.get("starttime").map(_.toInt)
+  val endTime: Option[Int] = norm.get("endtime").map(_.toInt)
+  /** Partitions per shard for bounded scans (reference
+    * `parallelismInShard`, 1..5 — LoghubBatchRDD.scala:40-41; ours is
+    * uncapped). */
+  val sliceShard: Int = math.max(1, norm.getOrElse("store.sliceshard", "1").toInt)
   def newStore: EmbeddedLogStore = new EmbeddedLogStore(root)
 }
 
@@ -76,10 +84,17 @@ class LogServiceTable(tableSchema: StructType, opts: LogServiceOptions)
 /** Column pruning reaches the deserializer: only requested fields are
   * converted (the reference prunes only via user schema,
   * LoghubSourceRDD.scala:178-219 — here Catalyst's pruning flows through
-  * SupportsPushDownRequiredColumns, SURVEY.md §2.4 T1). */
+  * SupportsPushDownRequiredColumns, SURVEY.md §2.4 T1). Time predicates
+  * on `__time__` push down to segment-skipping cursor ranges — the
+  * reference's one missing pushdown (T6, SURVEY.md §2.4); pushed filters
+  * stay in Spark's post-scan filter for sub-second exactness, so the
+  * pushdown only ever *removes I/O*, never changes semantics. */
 class LogScanBuilder(fullSchema: StructType, opts: LogServiceOptions)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var prunedSchema: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var timeRange: Option[(Int, Int)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve declared field order and metadata handling
@@ -88,24 +103,83 @@ class LogScanBuilder(fullSchema: StructType, opts: LogServiceOptions)
     prunedSchema = StructType(if (kept.isEmpty) Array(fullSchema.fields.head) else kept)
   }
 
-  override def build(): Scan = new LogScan(prunedSchema, opts)
+  /** (floor epoch seconds, has sub-second fraction). Record times are
+    * integer seconds, so each comparison op has an exact integer bound:
+    * GT → floor+1; GTE → ceil; LT → exclusive ceil; LTE → floor+1. */
+  private def toEpochS(v: Any): Option[(Long, Boolean)] = v match {
+    case t: java.sql.Timestamp =>
+      Some((Math.floorDiv(t.getTime, 1000L), Math.floorMod(t.getTime, 1000L) != 0))
+    case i: java.time.Instant => Some((i.getEpochSecond, i.getNano != 0))
+    case n: java.lang.Number => Some((n.longValue(), false))
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    import org.apache.spark.sql.sources._
+    var lo = Int.MinValue.toLong
+    var hi = Int.MaxValue.toLong // exclusive
+    def ceilOf(s: Long, frac: Boolean): Long = if (frac) s + 1 else s
+    val accepted = filters.filter {
+      case GreaterThan(RowConverters.Time, v) =>
+        toEpochS(v).exists { case (s, _) => lo = math.max(lo, s + 1); true }
+      case GreaterThanOrEqual(RowConverters.Time, v) =>
+        toEpochS(v).exists { case (s, f) => lo = math.max(lo, ceilOf(s, f)); true }
+      case LessThan(RowConverters.Time, v) =>
+        toEpochS(v).exists { case (s, f) => hi = math.min(hi, ceilOf(s, f)); true }
+      case LessThanOrEqual(RowConverters.Time, v) =>
+        toEpochS(v).exists { case (s, _) => hi = math.min(hi, s + 1); true }
+      case EqualTo(RowConverters.Time, v) =>
+        toEpochS(v).exists { case (s, f) =>
+          lo = math.max(lo, ceilOf(s, f)); hi = math.min(hi, s + 1); true }
+      case _ => false
+    }
+    pushed = accepted
+    if (accepted.nonEmpty && (lo > Int.MinValue || hi < Int.MaxValue))
+      timeRange = Some((
+        math.max(0L, lo).min(Int.MaxValue).toInt,
+        math.max(0L, hi).min(Int.MaxValue).toInt))
+    filters // all filters re-evaluated by Spark post-scan (conservative)
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new LogScan(prunedSchema, opts, timeRange)
 }
 
-class LogScan(schema: StructType, opts: LogServiceOptions) extends Scan {
+class LogScan(schema: StructType, opts: LogServiceOptions,
+    pushedTimeRange: Option[(Int, Int)] = None) extends Scan {
   override def readSchema(): StructType = schema
   override def description(): String =
-    s"graft-logstore ${opts.project}#${opts.store}"
-  override def toBatch: Batch = new LogBatch(schema, opts)
+    s"graft-logstore ${opts.project}#${opts.store} timeRange=$pushedTimeRange"
+  override def toBatch: Batch = new LogBatch(schema, opts, pushedTimeRange)
   override def toMicroBatchStream(checkpointLocation: String) =
     new LogMicroBatchStream(schema, opts)
 }
 
 /** One InputPartition per shard slice — the unit of parallelism, as in
-  * the reference (1 task per shard, LoghubSourceRDD.scala:283-289). */
+  * the reference (1 task per shard, LoghubSourceRDD.scala:283-289),
+  * optionally sliced `store.sliceshard` ways and bounded by a pushed or
+  * option-supplied time range. */
 case class LogInputPartition(project: String, store: String, shard: Int,
-    from: Long, until: Long, root: String) extends InputPartition
+    from: Long, until: Long, root: String,
+    timeRange: Option[(Int, Int)] = None) extends InputPartition
 
-class LogBatch(schema: StructType, opts: LogServiceOptions) extends Batch {
+class LogBatch(schema: StructType, opts: LogServiceOptions,
+    pushedTimeRange: Option[(Int, Int)] = None) extends Batch {
+
+  /** Intersect option-level [starttime, endtime) with pushed bounds. */
+  private def effectiveTimeRange: Option[(Int, Int)] = {
+    val optRange = (opts.startTime, opts.endTime) match {
+      case (None, None) => None
+      case (lo, hi) => Some((lo.getOrElse(0), hi.getOrElse(Int.MaxValue)))
+    }
+    (optRange, pushedTimeRange) match {
+      case (Some((a, b)), Some((c, d))) => Some((math.max(a, c), math.min(b, d)))
+      case (r @ Some(_), None) => r
+      case (None, r) => r
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val store = opts.newStore
     val shards = store.listShards(opts.project, opts.store)
@@ -113,12 +187,21 @@ class LogBatch(schema: StructType, opts: LogServiceOptions) extends Batch {
       isStart = true, shards)
     val endOrds = OffsetRanges.resolve(store, opts, opts.endingOffsets,
       isStart = false, shards)
-    shards.map { s =>
-      LogInputPartition(opts.project, opts.store, s.id,
-        startOrds.getOrElse(s.id, 0L),
-        endOrds.getOrElse(s.id, 0L), opts.root): InputPartition
-    }.filter { p => p.asInstanceOf[LogInputPartition].until >
-      p.asInstanceOf[LogInputPartition].from }.toArray
+    val tr = effectiveTimeRange
+    shards.flatMap { s =>
+      val from = startOrds.getOrElse(s.id, 0L)
+      val until = endOrds.getOrElse(s.id, 0L)
+      if (until <= from) Seq.empty
+      else {
+        val slices = math.min(opts.sliceShard.toLong, until - from).toInt
+        (0 until slices).map { i =>
+          val lo = from + (until - from) * i / slices
+          val hi = from + (until - from) * (i + 1) / slices
+          LogInputPartition(opts.project, opts.store, s.id, lo, hi,
+            opts.root, tr): InputPartition
+        }
+      }
+    }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new LogReaderFactory(schema, opts.appendSequenceNumber)
@@ -166,7 +249,7 @@ class LogPartitionReader(schema: StructType, p: LogInputPartition,
   private val readers = schema.fields.map(f =>
     RowConverters.makeReader(f.dataType, f.nullable))
   private val it: Iterator[(Long, LogRecord)] =
-    store.read(p.project, p.store, p.shard, p.from, p.until)
+    store.read(p.project, p.store, p.shard, p.from, p.until, p.timeRange)
   private var current: InternalRow = _
 
   override def next(): Boolean = {

@@ -99,16 +99,20 @@ class EmbeddedLogStore(root: String) extends Serializable {
     * name) replaces the original segment *in place* — same sequence
     * position — so ordinals of later records never move.
     *
-    * Segment file name: `<seq>-<logicalName>-<count>.jsonl`; the shard's
-    * record order is by zero-padded arrival sequence (NOT by logical
-    * name, which would reorder history as new segments arrive). */
+    * Segment file name: `<seq>-<logicalName>-<minT>-<maxT>-<count>.jsonl`:
+    * the shard's record order is by zero-padded arrival sequence (NOT by
+    * logical name, which would reorder history as new segments arrive),
+    * and the embedded time bounds let time-range scans skip whole
+    * segments from the listing alone (no data reads). */
   def appendSegment(project: String, store: String, shard: Int,
       segmentName: String, records: Seq[LogRecord]): Unit = {
+    require(!segmentName.contains("/"), s"bad segment name $segmentName")
     val dir = shardDir(project, store, shard)
     Files.createDirectories(dir)
     val mapper = new ObjectMapper()
     val sb = new StringBuilder
     records.foreach { r => sb.append(recordToJson(mapper, r)).append('\n') }
+    require(records.forall(_.time >= 0), "record times must be >= 0")
     val existing = listSegments(project, store, shard)
     val seq = existing.find(_.logicalName == segmentName) match {
       case Some(prior) => // epoch replay: replace at the same position
@@ -118,7 +122,9 @@ class EmbeddedLogStore(root: String) extends Serializable {
         prior.seq
       case None => existing.map(_.seq + 1).maxOption.getOrElse(0L)
     }
-    val base = f"$seq%010d-$segmentName-${records.size}"
+    val minT = records.map(_.time).minOption.getOrElse(0)
+    val maxT = records.map(_.time).maxOption.getOrElse(0)
+    val base = f"$seq%010d-$segmentName-$minT-$maxT-${records.size}"
     val tmp = dir.resolve(s".$base.jsonl.tmp")
     Files.write(tmp, sb.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, dir.resolve(s"$base.jsonl"),
@@ -126,7 +132,8 @@ class EmbeddedLogStore(root: String) extends Serializable {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  case class Segment(fileName: String, seq: Long, logicalName: String, count: Long)
+  case class Segment(fileName: String, seq: Long, logicalName: String,
+      minTime: Int, maxTime: Int, count: Long)
 
   def listSegments(project: String, store: String, shard: Int): Seq[Segment] = {
     val dir = shardDir(project, store, shard)
@@ -136,12 +143,11 @@ class EmbeddedLogStore(root: String) extends Serializable {
       .filter(n => n.endsWith(".jsonl") && !n.startsWith("."))
       .toSeq.sorted // zero-padded seq prefix ⇒ arrival order
       .map { n =>
-        val base = n.stripSuffix(".jsonl")
-        val firstDash = base.indexOf('-')
-        val lastDash = base.lastIndexOf('-')
-        Segment(n, base.substring(0, firstDash).toLong,
-          base.substring(firstDash + 1, lastDash),
-          base.substring(lastDash + 1).toLong)
+        val parts = n.stripSuffix(".jsonl").split("-")
+        Segment(n, parts.head.toLong,
+          parts.slice(1, parts.length - 3).mkString("-"),
+          parts(parts.length - 3).toInt, parts(parts.length - 2).toInt,
+          parts.last.toLong)
       }
   }
 
@@ -165,23 +171,37 @@ class EmbeddedLogStore(root: String) extends Serializable {
     ordinal
   }
 
-  /** Read records with ordinals in [from, until). */
+  /** Read records with ordinals in [from, until). An optional time range
+    * [fromT, untilT) additionally (a) skips whole segments whose embedded
+    * [minTime, maxTime] bounds are disjoint from it — a listing-only
+    * decision, no data reads — and (b) filters surviving records exactly.
+    * Ordinal numbering is unaffected by skipping. */
   def read(project: String, store: String, shard: Int,
-      from: Long, until: Long): Iterator[(Long, LogRecord)] = {
+      from: Long, until: Long,
+      timeRange: Option[(Int, Int)] = None): Iterator[(Long, LogRecord)] = {
     val mapper = new ObjectMapper()
     val dir = shardDir(project, store, shard)
     val segs = listSegments(project, store, shard)
     var base = 0L
     val out = mutable.Buffer[(String, Long)]() // (file, segBase)
     segs.foreach { seg =>
-      if (base < until && base + seg.count > from) out += ((seg.fileName, base))
+      val ordOverlap = base < until && base + seg.count > from
+      val timeOverlap = timeRange.forall { case (fromT, untilT) =>
+        seg.maxTime >= fromT && seg.minTime < untilT
+      }
+      if (ordOverlap && timeOverlap) out += ((seg.fileName, base))
       base += seg.count
     }
-    out.iterator.flatMap { case (file, segBase) =>
+    val inRange = out.iterator.flatMap { case (file, segBase) =>
       Files.readAllLines(dir.resolve(file)).asScala.iterator.zipWithIndex
         .map { case (line, i) => (segBase + i, line) }
         .filter { case (ord, _) => ord >= from && ord < until }
         .map { case (ord, line) => (ord, jsonToRecord(mapper, line)) }
+    }
+    timeRange match {
+      case Some((fromT, untilT)) =>
+        inRange.filter { case (_, r) => r.time >= fromT && r.time < untilT }
+      case None => inRange
     }
   }
 

@@ -1,0 +1,81 @@
+package graft
+
+import graft.api.LogServiceUtils
+import graft.api.LogServiceUtils.StoreRef
+import graft.store.{EmbeddedLogStore, LogRecord}
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+
+class PushdownSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def seeded(): StoreRef = {
+    val ref = StoreRef(Files.createTempDirectory("graft-pd").toString, "proj", "logs")
+    LogServiceUtils.createStore(ref, 2)
+    val store = new EmbeddedLogStore(ref.root)
+    // three time-disjoint segments per shard: [100,199], [200,299], [300,399]
+    for (shard <- 0 to 1; epoch <- 0 to 2) {
+      val base = 1700000000 + epoch * 100
+      store.appendSegment("proj", "logs", shard, s"seg$epoch",
+        (0 until 50).map(i => LogRecord(base + (i % 100), "t", "s", Map.empty,
+          Map("msg" -> (shard * 1000 + epoch * 100 + i).toString))))
+    }
+    ref
+  }
+
+  private val schema = StructType.fromDDL("msg INT, __time__ TIMESTAMP")
+
+  test("__time__ range filter prunes segments but returns exact results") {
+    val ref = seeded()
+    val df = LogServiceUtils.createBatchDF(spark, ref, Some(schema))
+      .filter(col("__time__") >= lit("2023-11-14 22:15:00").cast("timestamp")) // 1700000100
+      .filter(col("__time__") < lit("2023-11-14 22:16:40").cast("timestamp")) // 1700000200
+    // middle segment only: 50 per shard
+    assert(df.count() === 100)
+    // pushdown must appear in the scan description
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("timeRange=Some((1700000100,1700000200))"), plan)
+  }
+
+  test("starttime/endtime options bound the scan exactly") {
+    val ref = seeded()
+    // seeded times per shard: seg0 [..000-..049], seg1 [..100-..149],
+    // seg2 [..200-..249]; window [..120, ..230) → 30 + 30 per shard
+    val df = LogServiceUtils.createBatchDF(spark, ref, Some(schema),
+      startTime = Some(1700000120), endTime = Some(1700000230))
+    assert(df.count() === 120)
+    val r = df.agg(min(col("__time__").cast("long")),
+      max(col("__time__").cast("long"))).first()
+    assert(r.getLong(0) === 1700000120L && r.getLong(1) === 1700000229L)
+  }
+
+  test("sliceshard multiplies partitions without changing results") {
+    val ref = seeded()
+    val df1 = LogServiceUtils.createBatchDF(spark, ref, Some(schema))
+    val df4 = LogServiceUtils.createBatchDF(spark, ref, Some(schema), sliceShard = 4)
+    assert(df4.rdd.getNumPartitions === 8) // 2 shards × 4 slices
+    assert(df1.rdd.getNumPartitions === 2)
+    assert(df4.count() === df1.count())
+    assert(df4.agg(sum("msg")).first().getLong(0) ===
+      df1.agg(sum("msg")).first().getLong(0))
+  }
+
+  test("facade stream + write round-trip") {
+    val ref = seeded()
+    val dst = StoreRef(Files.createTempDirectory("graft-pd-out").toString, "proj", "out")
+    LogServiceUtils.createStore(dst, 1)
+    import org.apache.spark.sql.streaming.Trigger
+    val q = LogServiceUtils.createStreamDF(spark, ref, Some(schema),
+        maxOffsetsPerTrigger = 64)
+      .writeStream.format("graft-logstore")
+      .options(dst.options)
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val back = LogServiceUtils.createBatchDF(spark, dst,
+      Some(StructType.fromDDL("msg INT")))
+    assert(back.count() === 300)
+  }
+}
