@@ -29,6 +29,8 @@ object TextQueries {
     "t2_quality_score" -> t2,
     "t3_lang_guess" -> t3,
     "t4_fingerprint" -> t4,
+    "t5_bpe_tokens" -> t5,
+    "t6_rolling_fingerprint" -> t6,
     "d1_dedup_exact" -> d1,
     "d2_dedup_jaccard" -> d2,
     "d3_dedup_minhash_lsh" -> d3,
@@ -72,6 +74,32 @@ object TextQueries {
   private def t4: Q = (spark, dir) => {
     val d = t(spark, dir, "documents")
     d.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+  }
+
+  /** BPE-ish subword counting: alpha runs, digit runs, and single
+    * punctuation marks as units — the regex pre-tokenization step of a
+    * byte-pair tokenizer (counts approximate LLM token budgets). */
+  private def t5: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    val units = regexp_extract_all(lower(col("text")),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+    d.select(col("doc_id"),
+      size(units).as("n_units"),
+      size(array_distinct(units)).as("n_uniq_units"),
+      // subword length proxy: total unit chars / units (single division)
+      (aggregate(transform(units, u => length(u)), lit(0),
+        (acc, x) => acc + x).cast(DoubleType) /
+        size(units).cast(DoubleType)).as("avg_unit_len"))
+  }
+
+  /** Native codegen'd rolling-hash fingerprint (RollingHash Expression).
+    * Not SQL-expressible in DuckDB → rows-only check; value correctness
+    * covered by RollingHashSpec (interpreted == codegen == reference). */
+  private def t6: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    d.select(col("doc_id"),
+      graft.functions.RollingHash.rolling_hash(
+        TF.normText(col("text"))).as("rfp"))
   }
 
   private def d1: Q = (spark, dir) =>
@@ -158,6 +186,14 @@ object TextQueries {
       """SELECT doc_id,
         | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    "t5_bpe_tokens" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_units,
+        | len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS n_uniq_units,
+        | CAST(list_sum(list_transform(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'), u -> length(u))) AS DOUBLE)
+        |   / CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS DOUBLE) AS avg_unit_len
+        |FROM documents""".stripMargin,
+    // t6_rolling_fingerprint: custom native expression — rows-only check.
     "d1_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         | min(doc_id) AS keep_id, count(*) AS n_docs

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Access bridge into Spark's `private[sql]` Column⇄Expression
+  * converters — the supported pattern for external connectors/extensions
+  * that define native Catalyst expressions (the public API deliberately
+  * hides Expression behind ColumnNode since Spark 4). */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -167,6 +167,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("t_selfjoin").count() === 12)
   }
 
+  test("streaming dedup with dropDuplicatesWithinWatermark") {
+    val root = freshRoot()
+    new EmbeddedLogStore(root).createStore("proj", "logs", 1)
+    // same msg ids appended twice within the watermark horizon
+    addData(root, 0, "a", Seq(1, 2, 3))
+    addData(root, 0, "b", Seq(2, 3, 4))
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val deduped = streamDf(root)
+      .withWatermark("__time__", "1 hour")
+      .dropDuplicatesWithinWatermark("msg")
+    runToMemory(deduped, "t_dedup", ckpt)
+    assert(spark.table("t_dedup").select("msg").collect()
+      .map(_.getInt(0)).sorted === Array(1, 2, 3, 4))
+  }
+
   test("streaming sink to logstore: epoch replay is idempotent") {
     val srcRoot = freshRoot(); val dstRoot = freshRoot()
     new EmbeddedLogStore(srcRoot).createStore("proj", "logs", 1)
