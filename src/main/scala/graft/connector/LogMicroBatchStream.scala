@@ -57,6 +57,13 @@ class LogMicroBatchStream(schema: StructType, opts: LogServiceOptions)
   override def getDefaultReadLimit: ReadLimit =
     ReadLimit.maxRows(opts.maxOffsetsPerTrigger)
 
+  /** Per-trigger re-read of the store's config.json (O12 dynamic config):
+    * a live `maxoffsetspertrigger` override takes effect on the next
+    * micro-batch without restarting the query. */
+  private def liveBudgetOverride(): Option[Long] =
+    store.readSourceConfig(opts.project, opts.store)
+      .get("maxoffsetspertrigger").flatMap(v => scala.util.Try(v.toLong).toOption)
+
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
@@ -69,10 +76,10 @@ class LogMicroBatchStream(schema: StructType, opts: LogServiceOptions)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startOff = start.asInstanceOf[LogServiceOffset]
     val ends = shardEnds()
-    val budget: Long = limit match {
+    val budget: Long = liveBudgetOverride().getOrElse(limit match {
       case m: ReadMaxRows => m.maxRows()
       case _ => Long.MaxValue
-    }
+    })
     val shardIds = ends.keys.toSeq.sorted
     val perShard = math.max(1L, budget / math.max(1, shardIds.size))
     val next = shardIds.map { s =>

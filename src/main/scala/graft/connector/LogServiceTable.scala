@@ -61,6 +61,9 @@ case class LogServiceOptions(all: Map[String, String]) {
     * `parallelismInShard`, 1..5 — LoghubBatchRDD.scala:40-41; ours is
     * uncapped). */
   val sliceShard: Int = math.max(1, norm.getOrElse("store.sliceshard", "1").toInt)
+  /** Writer: route each row to shard hash(column) % writableShards — the
+    * reference's hash-key routing (K6, RDDLoghubWriter.scala:27-78). */
+  val routingColumn: Option[String] = norm.get("routing.column")
   def newStore: EmbeddedLogStore = new EmbeddedLogStore(root)
 }
 
@@ -71,8 +74,8 @@ class LogServiceTable(tableSchema: StructType, opts: LogServiceOptions)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] = Set(
     TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-    TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-    TableCapability.ACCEPT_ANY_SCHEMA).asJava
+    TableCapability.CONTINUOUS_READ, TableCapability.BATCH_WRITE,
+    TableCapability.STREAMING_WRITE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LogScanBuilder(tableSchema, opts)
@@ -154,6 +157,8 @@ class LogScan(schema: StructType, opts: LogServiceOptions,
   override def toBatch: Batch = new LogBatch(schema, opts, pushedTimeRange)
   override def toMicroBatchStream(checkpointLocation: String) =
     new LogMicroBatchStream(schema, opts)
+  override def toContinuousStream(checkpointLocation: String) =
+    new LogContinuousStream(schema, opts)
 }
 
 /** One InputPartition per shard slice — the unit of parallelism, as in

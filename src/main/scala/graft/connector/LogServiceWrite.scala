@@ -78,6 +78,12 @@ class LogDataWriter(schema: StructType, opts: LogServiceOptions,
   private val writableShards =
     store.listShards(opts.project, opts.store).filterNot(_.readOnly).map(_.id)
   require(writableShards.nonEmpty, s"no writable shards in ${opts.project}#${opts.store}")
+  private val routingIdx = opts.routingColumn
+    .map { c =>
+      val i = schema.fieldNames.indexOf(c)
+      require(i >= 0, s"routing.column '$c' not in write schema")
+      i
+    }
   private val pending = mutable.Map[Int, mutable.Buffer[LogRecord]]()
   private val partShard = // stable default route for this task's segment
     writableShards(math.abs(segmentName.hashCode) % writableShards.size)
@@ -86,7 +92,12 @@ class LogDataWriter(schema: StructType, opts: LogServiceOptions,
     val contents = mutable.Map[String, String]()
     var time = 0
     var topic = ""; var source = ""
-    var shard = partShard
+    var shard = routingIdx match {
+      case Some(ri) if !row.isNullAt(ri) =>
+        val key = row.get(ri, fields(ri).dataType).toString
+        writableShards(math.floorMod(key.hashCode, writableShards.size))
+      case _ => partShard
+    }
     var i = 0
     while (i < fields.length) {
       val f = fields(i)

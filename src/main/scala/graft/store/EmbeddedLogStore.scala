@@ -205,6 +205,31 @@ class EmbeddedLogStore(root: String) extends Serializable {
     }
   }
 
+  /** Live source-config override (reference O12 dynamic config,
+    * DynamicConfigManager.scala:30-120 — ZK watcher there, a per-trigger
+    * re-read of `<store>/config.json` here; same contract: ops can
+    * retune a running stream without restarting it). */
+  def writeSourceConfig(project: String, store: String,
+      config: Map[String, String]): Unit = {
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("version", "v1")
+    val c = root.putObject("config")
+    config.foreach { case (k, v) => c.put(k, v) }
+    Files.write(storeDir(project, store).resolve("config.json"),
+      mapper.writeValueAsBytes(root))
+  }
+
+  def readSourceConfig(project: String, store: String): Map[String, String] = {
+    val p = storeDir(project, store).resolve("config.json")
+    if (!Files.exists(p)) return Map.empty
+    val mapper = new ObjectMapper()
+    val n = mapper.readTree(Files.readAllBytes(p)).get("config")
+    if (n == null) Map.empty
+    else n.asInstanceOf[ObjectNode].fields().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap
+  }
+
   /** Exact per-shard record count with time in [fromT, untilT) — the
     * histogram primitive behind admission control (reference O4,
     * LoghubOffsetReader.scala:155-220; ours is exact, not bucketed). */

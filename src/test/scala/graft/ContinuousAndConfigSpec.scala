@@ -1,0 +1,114 @@
+package graft
+
+import graft.connector.{LogServiceOffset, LogShardPartitionOffset}
+import graft.store.{EmbeddedLogStore, LogRecord}
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+class ContinuousAndConfigSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def seeded(n: Int): String = {
+    val root = Files.createTempDirectory("graft-cc").toString
+    val store = new EmbeddedLogStore(root)
+    store.createStore("proj", "logs", 2)
+    store.appendSegment("proj", "logs", 0, "a",
+      (0 until n).map(i => LogRecord(1700000000 + i, "t", "s", Map.empty,
+        Map("msg" -> i.toString))))
+    root
+  }
+
+  private def opts(root: String) = Map("store.root" -> root,
+    "store.project" -> "proj", "store.name" -> "logs")
+
+  test("continuous trigger end-to-end: drains existing and tails new data") {
+    val root = seeded(20)
+    val q = spark.readStream.format("graft-logstore").options(opts(root))
+      .schema("msg INT").load()
+      .writeStream.format("memory").queryName("t_cont")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .trigger(Trigger.Continuous("1 second")).start()
+    try {
+      var tries = 0
+      while (spark.table("t_cont").count() < 20 && tries < 150) {
+        assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+        Thread.sleep(200); tries += 1
+      }
+      assert(spark.table("t_cont").count() >= 20)
+      // low-latency tail: rows appended mid-flight arrive without a restart
+      new EmbeddedLogStore(root).appendSegment("proj", "logs", 1, "live",
+        Seq(LogRecord(1700000500, "t", "s", Map.empty, Map("msg" -> "777"))))
+      tries = 0
+      while (spark.table("t_cont").filter(col("msg") === 777).count() < 1 &&
+          tries < 150) {
+        Thread.sleep(200); tries += 1
+      }
+      assert(spark.table("t_cont").filter(col("msg") === 777).count() === 1)
+    } finally q.stop()
+  }
+
+  test("continuous stream: offsets merge per shard and reader tails new data") {
+    val root = seeded(5)
+    val streamOpts = graft.connector.LogServiceOptions(opts(root))
+    val cs = new graft.connector.LogContinuousStream(
+      org.apache.spark.sql.types.StructType.fromDDL("msg INT"), streamOpts)
+    val init = cs.initialOffset().asInstanceOf[LogServiceOffset]
+    assert(init.shardOrdinals === Map(0 -> 0L, 1 -> 0L))
+    assert(cs.planInputPartitions(init).length === 2)
+    val merged = cs.mergeOffsets(Array(
+      LogShardPartitionOffset(0, 7L), LogShardPartitionOffset(1, 3L)))
+    assert(LogServiceOffset.parse(merged.json()).shardOrdinals ===
+      Map(0 -> 7L, 1 -> 3L))
+    // reader drains existing records then picks up appended ones
+    val p = graft.connector.LogInputPartition("proj", "logs", 0, 0, Long.MaxValue, root)
+    val reader = new graft.connector.LogContinuousPartitionReader(
+      org.apache.spark.sql.types.StructType.fromDDL("msg INT"), p, false)
+    (0 until 5).foreach { i =>
+      assert(reader.next()); assert(reader.get().getInt(0) === i)
+    }
+    new EmbeddedLogStore(root).appendSegment("proj", "logs", 0, "b",
+      Seq(LogRecord(1700000100, "t", "s", Map.empty, Map("msg" -> "99"))))
+    assert(reader.next())
+    assert(reader.get().getInt(0) === 99)
+    assert(reader.getOffset === LogShardPartitionOffset(0, 6L))
+    reader.close()
+  }
+
+  test("dynamic config override retunes admission without restart") {
+    val root = seeded(100)
+    val store = new EmbeddedLogStore(root)
+    store.writeSourceConfig("proj", "logs", Map("maxoffsetspertrigger" -> "10"))
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val q = spark.readStream.format("graft-logstore").options(opts(root))
+      .option("maxoffsetspertrigger", "1000") // overridden by config.json
+      .schema("msg INT").load()
+      .writeStream.format("memory").queryName("t_dyn")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("t_dyn").count() === 100)
+    assert(q.recentProgress.forall(_.numInputRows <= 10))
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 10)
+  }
+
+  test("writer hash-key routing by column") {
+    val root = Files.createTempDirectory("graft-rt").toString
+    new EmbeddedLogStore(root).createStore("proj", "logs", 4)
+    import spark.implicits._
+    (0 until 40).map(i => (1700000000 + i, s"user${i % 8}", s"m$i"))
+      .toDF("__time__", "user", "payload")
+      .write.format("graft-logstore").options(opts(root))
+      .option("routing.column", "user").mode("append").save()
+    val back = spark.read.format("graft-logstore").options(opts(root))
+      .schema("user STRING, payload STRING, __shard__ INT").load()
+    assert(back.count() === 40)
+    // same key always lands on the same shard
+    val spread = back.groupBy("user").agg(countDistinct("__shard__").as("n"))
+      .agg(max("n")).first().getLong(0)
+    assert(spread === 1L)
+    // multiple shards used overall
+    assert(back.select("__shard__").distinct().count() >= 2)
+  }
+}
