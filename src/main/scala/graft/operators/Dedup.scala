@@ -45,7 +45,7 @@ object Dedup {
   /** Exact shingle-Jaccard near-duplicate pairs (a_id < b_id, jac >= θ).
     * Inverted-index self-join; exact and deterministic. */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = docShingles(docs)
+    val sh = docShingles(docs).cache() // reused 3x: sizes + both join sides
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b, col("a.shingle") === col("b.shingle") &&

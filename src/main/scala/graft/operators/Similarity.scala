@@ -39,6 +39,55 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
+  /** IVF (inverted-file) ANN: corpus is partitioned into cells around
+    * centroids; queries probe only the nProbe nearest cells and rerank
+    * exactly inside them — O(|corpus| × nProbe / nCells) per query.
+    *
+    * Centroids here are a deterministic sample (lowest `nCells` ids,
+    * L2-normalized on the driver — the tiny-collect is the standard
+    * IVF training step; a k-means refinement would slot in unchanged).
+    * Cell assignment and probing are pure codegen'd column math. */
+  def ivfKnn(emb: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.Column
+    val centroids: Array[Seq[Double]] = emb.orderBy(col("vec_id")).limit(nCells)
+      .select(VF.toDoubleVec(col("embedding")).as("v")).collect()
+      .map { r =>
+        val v = r.getSeq[Double](0)
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / n)
+      }
+    def centSims(v: Column): Column =
+      array(centroids.map(c => VF.dot(v, typedLit(c))): _*)
+    // 1-based index of the best cell; ties resolve to the first max
+    def cellOf(v: Column): Column =
+      array_position(centSims(v), array_max(centSims(v)))
+
+    val corpus = emb.select(col("vec_id"), VF.toDoubleVec(col("embedding")).as("v"))
+      .withColumn("cell", cellOf(col("v")))
+    // each query probes its nProbe closest cells
+    val q = queries
+      .select(col("vec_id").as("query_id"), VF.toDoubleVec(col("embedding")).as("qv"))
+      .select(col("query_id"), col("qv"), posexplode(centSims(col("qv"))))
+      .toDF("query_id", "qv", "cell0", "csim")
+      .withColumn("cell", col("cell0") + 1)
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cell"))
+    val probed = q.withColumn("probe_rank", row_number().over(probeW))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cell"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    corpus.join(broadcast(probed),
+        corpus("cell") === probed("cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        VF.cosine(col("qv"), col("v")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
   /** Random-hyperplane signature: sign bits of dot(v, h_j) for
     * deterministic pseudo-random hyperplanes h_j derived from xxhash64 of
     * (dimension index, plane index) — no RNG state, reproducible across

@@ -39,7 +39,9 @@ object Relational {
     "q11_rollup" -> q11,
     "q12_events_hourly" -> q12,
     "q13_attribution_join" -> q13,
-    "q14_json_extract" -> q14
+    "q14_json_extract" -> q14,
+    "q15_cube" -> q15,
+    "q16_except" -> q16
   )
 
   /** TPC-H Q1-style pricing summary: partial+final hash agg, no shuffle of
@@ -223,6 +225,23 @@ object Relational {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
   }
 
+  /** Cube over (returnflag, linestatus) — all 4 grouping combinations. */
+  private def q15: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), dsum2(col("l_quantity")).as("sum_qty"))
+  }
+
+  /** Set difference: customer keys that never placed a high-priority
+    * order (EXCEPT semantics = distinct). */
+  private def q16: Q = (spark, dir) => {
+    val o = t(spark, dir, "orders")
+    val all = o.select(col("o_custkey").as("custkey"))
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey"))
+    all.except(urgent)
+  }
+
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -303,6 +322,15 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q15_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q16_except" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
     "q12_events_hourly" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
         | event_type, COUNT(*) AS n_events,

@@ -36,7 +36,8 @@ object TextQueries {
     "d3_dedup_minhash_lsh" -> d3,
     "d4_dedup_simhash" -> d4,
     "s1_ann_cosine" -> s1,
-    "s2_ann_lsh" -> s2
+    "s2_ann_lsh" -> s2,
+    "s3_ann_ivf" -> s3
   )
 
   private def t1: Q = (spark, dir) => {
@@ -123,6 +124,11 @@ object TextQueries {
   private def s2: Q = (spark, dir) => {
     val e = t(spark, dir, "embeddings")
     Similarity.lshKnn(e, e.filter(col("vec_id") < 8), k = 4, bits = 4)
+  }
+
+  private def s3: Q = (spark, dir) => {
+    val e = t(spark, dir, "embeddings")
+    Similarity.ivfKnn(e, e.filter(col("vec_id") < 8), k = 4)
   }
 
   // DuckDB CTE fragments shared by the jaccard-contract oracles.

@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.Similarity
+import graft.store.{EmbeddedLogStore, LogRecord}
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Remaining §2.5 capability patterns exercised end-to-end over the
+  * connector: typed Dataset map/flatMap (the reference wordcount,
+  * StructuredLoghubWordCount.scala:77) and foreachBatch + limit +
+  * table insert (StructuredLoghubSinkHive.scala:72-78). Plus IVF ANN
+  * recall structure. */
+class CapabilitiesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def seeded(): String = {
+    val root = Files.createTempDirectory("graft-cap").toString
+    val store = new EmbeddedLogStore(root)
+    store.createStore("proj", "logs", 2)
+    store.appendSegment("proj", "logs", 0, "a",
+      Seq("spark makes logs fast", "logs make spark useful", "fast logs")
+        .zipWithIndex.map { case (s, i) =>
+          LogRecord(1700000000 + i, "t", "s", Map.empty, Map("content" -> s)) })
+    root
+  }
+
+  private def opts(root: String) = Map("store.root" -> root,
+    "store.project" -> "proj", "store.name" -> "logs")
+
+  test("typed Dataset flatMap wordcount over the streaming source") {
+    import spark.implicits._
+    val root = seeded()
+    val q = spark.readStream.format("graft-logstore").options(opts(root))
+      .schema("content STRING").load()
+      .as[String]
+      .flatMap(_.split(" "))
+      .groupBy(col("value").as("word")).count()
+      .writeStream.format("memory").queryName("t_wc").outputMode("complete")
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val counts = spark.table("t_wc").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("logs") === 3 && counts("spark") === 2 && counts("fast") === 2)
+  }
+
+  test("foreachBatch with limit + insert into a table") {
+    val root = seeded()
+    spark.sql("DROP TABLE IF EXISTS t_sink")
+    spark.sql("CREATE TABLE t_sink (content STRING) USING parquet")
+    val q = spark.readStream.format("graft-logstore").options(opts(root))
+      .schema("content STRING").load()
+      .writeStream
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ds.limit(2).write.insertInto("t_sink")
+      }
+      .option("checkpointLocation", Files.createTempDirectory("ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("t_sink").count() === 2)
+    spark.sql("DROP TABLE t_sink")
+  }
+
+  test("ivf knn: contiguous ranks, no self matches, recall recorded") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 8)
+    val ivf = Similarity.ivfKnn(emb, q, k = 4)
+    assert(ivf.filter(col("neighbor_id") === col("query_id")).count() === 0)
+    val perQuery = ivf.groupBy("query_id").agg(collect_list("rank").as("rs"))
+      .select(array_sort(col("rs")).as("rs")).collect()
+    perQuery.foreach { r =>
+      val rs = r.getSeq[Int](0)
+      assert(rs === (1 to rs.size)) // contiguous from 1
+    }
+    val brute = Similarity.bruteForceKnn(emb, q, k = 4)
+      .select("query_id", "neighbor_id")
+    val hits = brute.intersect(ivf.select("query_id", "neighbor_id")).count()
+    info(s"IVF recall@4 = $hits/${brute.count()}")
+    assert(hits >= 1)
+  }
+}
