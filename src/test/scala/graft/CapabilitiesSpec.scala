@@ -63,6 +63,30 @@ class CapabilitiesSpec extends AnyFunSuite {
     spark.sql("DROP TABLE t_sink")
   }
 
+  test("salted join equals plain join on skewed keys") {
+    val sf = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_suppkey").as("k"), col("l_quantity"), col("l_orderkey"))
+    val s = spark.read.parquet(s"$sf/supplier.parquet")
+      .select(col("s_suppkey").as("k"), col("s_name"))
+    val plain = li.join(s, "k")
+    val salted = graft.operators.Skew.saltedJoin(li, s, "k", salts = 8)
+    assert(salted.count() === plain.count())
+    val h = (df: org.apache.spark.sql.DataFrame) => df
+      .select(col("k"), col("l_orderkey"), col("s_name"))
+      .selectExpr("sum(cast(xxhash64(struct(*)) as decimal(38,0))) h").first()
+    assert(h(salted) === h(plain))
+  }
+
+  test("approx_count_distinct tracks exact within 5%") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val r = ev.agg(
+      countDistinct(col("user_id")).as("exact"),
+      approx_count_distinct(col("user_id")).as("approx")).first()
+    val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+
   test("ivf knn: contiguous ranks, no self matches, recall recorded") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 8)
