@@ -1,0 +1,102 @@
+package graft
+
+import graft.store.{EmbeddedLogStore, LogRecord}
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Failure-path contract: scans fail LOUDLY. The reference swallows scan
+  * setup errors into an empty iterator (LoghubSourceRDD.scala:245-248 —
+  * silently lossy, called out in SURVEY §4); we deliberately do the
+  * opposite, so a misconfigured or corrupted store can never masquerade
+  * as an empty-but-successful read. */
+class ErrorHandlingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def opts(root: String) = Map("store.root" -> root,
+    "store.project" -> "proj", "store.name" -> "logs")
+
+  test("reading a nonexistent store fails, not empty") {
+    val root = Files.createTempDirectory("graft-err").toString
+    val e = intercept[Exception] {
+      spark.read.format("graft-logstore").options(opts(root))
+        .schema("msg INT").load().count()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("corrupted segment file fails the task, not silently skipped") {
+    val root = Files.createTempDirectory("graft-err").toString
+    val store = new EmbeddedLogStore(root)
+    store.createStore("proj", "logs", 1)
+    store.appendSegment("proj", "logs", 0, "a",
+      Seq(LogRecord(1700000000, "t", "s", Map.empty, Map("msg" -> "1"))))
+    val seg = store.listSegments("proj", "logs", 0).head
+    Files.writeString(
+      Paths.get(root, "proj", "logs", "shard-0", seg.fileName),
+      "this is not json\n")
+    val e = intercept[Exception] {
+      spark.read.format("graft-logstore").options(opts(root))
+        .schema("msg INT").load().count()
+    }
+    assert(e != null)
+  }
+
+  test("unconvertible field value fails loudly under a typed schema") {
+    val root = Files.createTempDirectory("graft-err").toString
+    val store = new EmbeddedLogStore(root)
+    store.createStore("proj", "logs", 1)
+    store.appendSegment("proj", "logs", 0, "a",
+      Seq(LogRecord(1700000000, "t", "s", Map.empty, Map("msg" -> "not-an-int"))))
+    val e = intercept[Exception] {
+      spark.read.format("graft-logstore").options(opts(root))
+        .schema("msg INT").load().count()
+    }
+    assert(e != null)
+  }
+
+  test("replayed segment with different record count is rejected") {
+    val root = Files.createTempDirectory("graft-err").toString
+    val store = new EmbeddedLogStore(root)
+    store.createStore("proj", "logs", 1)
+    val rec = (n: Int) => (0 until n).map(i =>
+      LogRecord(1700000000 + i, "t", "s", Map.empty, Map("msg" -> i.toString)))
+    store.appendSegment("proj", "logs", 0, "epoch1", rec(5))
+    val e = intercept[IllegalArgumentException] {
+      store.appendSegment("proj", "logs", 0, "epoch1", rec(3))
+    }
+    assert(e.getMessage.contains("replayed segment"))
+  }
+
+  test("splitting a readonly shard is rejected") {
+    val root = Files.createTempDirectory("graft-err").toString
+    val store = new EmbeddedLogStore(root)
+    store.createStore("proj", "logs", 2)
+    store.splitShard("proj", "logs", 0)
+    val e = intercept[IllegalArgumentException] {
+      store.splitShard("proj", "logs", 0)
+    }
+    assert(e.getMessage.contains("not writable"))
+  }
+
+  test("sequence numbers and topic/source metadata round-trip") {
+    val root = Files.createTempDirectory("graft-md").toString
+    val store = new EmbeddedLogStore(root)
+    store.createStore("proj", "logs", 1)
+    store.appendSegment("proj", "logs", 0, "a", (0 until 3).map(i =>
+      LogRecord(1700000000 + i, "topicX", "host9", Map.empty,
+        Map("msg" -> i.toString))))
+    val df = spark.read.format("graft-logstore").options(opts(root))
+      .option("appendsequencenumber", "true")
+      .schema("msg INT, __topic__ STRING, __source__ STRING, __sequence_number__ STRING")
+      .load()
+    val rows = df.orderBy("msg").collect()
+    assert(rows.map(_.getString(1)).toSet === Set("topicX"))
+    assert(rows.map(_.getString(2)).toSet === Set("host9"))
+    assert(rows.map(_.getString(3)).toSeq === Seq("0-0", "0-1", "0-2"))
+    // without the option the column is null (reference default)
+    val noseq = spark.read.format("graft-logstore").options(opts(root))
+      .schema("msg INT, __sequence_number__ STRING").load()
+    assert(noseq.filter(col("__sequence_number__").isNull).count() === 3)
+  }
+}

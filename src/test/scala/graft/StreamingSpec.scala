@@ -167,6 +167,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("t_selfjoin").count() === 12)
   }
 
+  test("events table end-to-end: ingest to store, stream out, window agg matches batch") {
+    // the events table is the streaming stand-in (FIXTURES.md §5): load it,
+    // route into shards through the writer, stream it back with pacing,
+    // and check the windowed aggregation against the batch answer.
+    val root = freshRoot()
+    new EmbeddedLogStore(root).createStore("proj", "logs", 2)
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .selectExpr("CAST(user_id % 2 AS INT) AS __shard__",
+        "CAST(ts DIV 1000000000 AS INT) AS __time__", "event_type", "value")
+    ev.write.format("graft-logstore").options(opts(root)).mode("append").save()
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val agg = spark.readStream.format("graft-logstore").options(opts(root))
+      .option("maxoffsetspertrigger", "200")
+      .schema("event_type STRING, value DOUBLE, __time__ TIMESTAMP").load()
+      .withWatermark("__time__", "1 hour")
+      .groupBy(window(col("__time__"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("ws"), col("event_type"), col("n"))
+    runToMemory(agg, "t_events_e2e", ckpt, mode = "complete")
+    val streamed = spark.table("t_events_e2e").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = ev.selectExpr("(__time__ DIV 3600) * 3600 AS ws", "event_type")
+      .groupBy("ws", "event_type").count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+  }
+
   test("streaming dedup with dropDuplicatesWithinWatermark") {
     val root = freshRoot()
     new EmbeddedLogStore(root).createStore("proj", "logs", 1)
