@@ -41,7 +41,8 @@ object Relational {
     "q13_attribution_join" -> q13,
     "q14_json_extract" -> q14,
     "q15_cube" -> q15,
-    "q16_except" -> q16
+    "q16_except" -> q16,
+    "q17_sessionize" -> q17
   )
 
   /** TPC-H Q1-style pricing summary: partial+final hash agg, no shuffle of
@@ -242,6 +243,34 @@ object Relational {
     all.except(urgent)
   }
 
+  /** Sessionization: gap-based sessions per user (30-minute inactivity
+    * gap) via lag + running sum of session-break flags — the batch
+    * formulation of session windows; the streaming formulation
+    * (flatMapGroupsWithState) is covered by StatefulStreamingSpec with
+    * this query as its cross-check. Times at µs precision (DuckDB reads
+    * the nanos column as µs). */
+  private def q17: Q = (spark, dir) => {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    val withBreaks = ev
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_break",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("is_break")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withBreaks.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("session_start"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        sum(col("duration_us")).as("total_session_us"))
+  }
+
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -331,6 +360,24 @@ object Relational {
         |EXCEPT
         |SELECT o_custkey AS custkey FROM orders
         |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "q17_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+        |b AS (SELECT user_id, ts_us,
+        |        CASE WHEN lag(ts_us) OVER w IS NULL
+        |               OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+        |             ELSE 0 END AS is_break
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |s AS (SELECT user_id, ts_us,
+        |        SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts_us
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |      FROM b),
+        |g AS (SELECT user_id, session_id, COUNT(*) AS n_events,
+        |        MAX(ts_us) - MIN(ts_us) AS duration_us
+        |      FROM s GROUP BY user_id, session_id)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+        |  CAST(SUM(duration_us) AS BIGINT) AS total_session_us
+        |FROM g GROUP BY user_id""".stripMargin,
     "q12_events_hourly" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
         | event_type, COUNT(*) AS n_events,

@@ -1,0 +1,72 @@
+package graft
+
+import graft.store.{EmbeddedLogStore, LogRecord}
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+case class UserAgg(userId: Long, nEvents: Long, maxTsS: Long)
+
+/** Custom streaming state over the connector: mapGroupsWithState
+  * (per-user running aggregates that survive micro-batch boundaries) —
+  * the KeyValueGroupedDataset custom-state path of SURVEY §7.4 /
+  * spark_guide. Pacing forces multiple micro-batches so state is
+  * actually carried across triggers. */
+class StatefulStreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("mapGroupsWithState running per-user aggregates across micro-batches") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-state").toString
+    val store = new EmbeddedLogStore(root)
+    store.createStore("proj", "logs", 2)
+    // 8 users × 25 events, deliberately appended in 5 segments
+    val recs = for (u <- 0 until 8; i <- 0 until 25) yield
+      (u, LogRecord(1700000000 + i * 60 + u, "t", "s", Map.empty,
+        Map("user" -> u.toString, "seq" -> i.toString)))
+    recs.grouped(40).zipWithIndex.foreach { case (chunk, gi) =>
+      chunk.groupBy(_._1 % 2).foreach { case (shard, rs) =>
+        store.appendSegment("proj", "logs", shard, s"seg$gi", rs.map(_._2))
+      }
+    }
+
+    def updateState(userId: Long, rows: Iterator[(Long, Long)],
+        state: GroupState[UserAgg]): UserAgg = {
+      val batch = rows.toSeq
+      val prior = state.getOption.getOrElse(UserAgg(userId, 0L, 0L))
+      val agg = UserAgg(userId,
+        prior.nEvents + batch.size,
+        (prior.maxTsS +: batch.map(_._2)).max)
+      state.update(agg)
+      agg
+    }
+
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val q = spark.readStream.format("graft-logstore")
+      .option("store.root", root).option("store.project", "proj")
+      .option("store.name", "logs")
+      .option("maxoffsetspertrigger", "40")
+      .schema("user LONG, seq LONG, __time__ TIMESTAMP").load()
+      .selectExpr("user", "CAST(__time__ AS LONG) AS ts")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateState)
+      .writeStream.format("memory").queryName("t_state")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    // multiple micro-batches ⇒ state really crossed trigger boundaries
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4)
+    // latest emitted row per user = final running aggregate
+    val finals = spark.table("t_state").as[UserAgg].collect()
+      .groupBy(_.userId).map { case (u, rows) => u -> rows.maxBy(_.nEvents) }
+    (0 until 8).foreach { u =>
+      val f = finals(u.toLong)
+      assert(f.nEvents === 25, s"user $u")
+      assert(f.maxTsS === 1700000000L + 24 * 60 + u)
+    }
+  }
+}
