@@ -24,8 +24,12 @@ import scala.collection.mutable
   *  - A `__time__` TimestampType/epoch column feeds the record time;
   *    otherwise wall-free deterministic 0 (tests always set it).
   */
+/** SupportsStreamingUpdateAsAppend: Update-mode aggregation rows are
+  * appended like any record (the log keeps the update history; latest
+  * row per key is the current value) — same choice as the Kafka sink. */
 class LogWriteBuilder(info: LogicalWriteInfo, opts: LogServiceOptions)
-    extends WriteBuilder {
+    extends WriteBuilder
+    with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
   override def build(): Write = new LogWrite(info.schema(), opts, info.queryId())
 }
 

@@ -209,6 +209,46 @@ class StreamingSpec extends AnyFunSuite {
       .map(_.getInt(0)).sorted === Array(1, 2, 3, 4))
   }
 
+  test("Update-mode aggregation written to the logstore sink") {
+    // reference scenario: streaming agg in Update mode into the sink
+    // (LoghubSinkSuite.scala:171-202) — the sink receives the changed
+    // (key, count) rows per epoch; the log then holds the update history
+    // and the latest row per key is the final answer.
+    val srcRoot = freshRoot(); val dstRoot = freshRoot()
+    new EmbeddedLogStore(srcRoot).createStore("proj", "logs", 1)
+    new EmbeddedLogStore(dstRoot).createStore("proj", "out", 1)
+    addData(srcRoot, 0, "a", Seq(1, 2, 3, 11, 12, 21)) // keys msg%10
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val q = streamDf(srcRoot, Map("maxoffsetspertrigger" -> "2")) // several epochs
+      .selectExpr("msg % 10 AS key")
+      .groupBy("key").count()
+      .selectExpr("CAST(key AS STRING) AS key", "CAST(count AS STRING) AS cnt",
+        "CAST(1700000000 AS TIMESTAMP) AS __time__")
+      .writeStream.format("graft-logstore")
+      .option("store.root", dstRoot).option("store.project", "proj")
+      .option("store.name", "out")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val hist = spark.read.format("graft-logstore")
+      .option("store.root", dstRoot).option("store.project", "proj")
+      .option("store.name", "out")
+      .option("appendsequencenumber", "true")
+      .schema("key INT, cnt INT, __shard__ INT, __sequence_number__ STRING")
+      .load()
+    // latest update per key (by shard ordinal) = final counts
+    import org.apache.spark.sql.expressions.Window
+    val latest = hist
+      .withColumn("ord", split(col("__sequence_number__"), "-")(1).cast("long"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("ord").desc)))
+      .filter(col("rn") === 1)
+      .select("key", "cnt")
+    val got = latest.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(got === Map(1 -> 3, 2 -> 2, 3 -> 1))
+  }
+
   test("streaming sink to logstore: epoch replay is idempotent") {
     val srcRoot = freshRoot(); val dstRoot = freshRoot()
     new EmbeddedLogStore(srcRoot).createStore("proj", "logs", 1)
