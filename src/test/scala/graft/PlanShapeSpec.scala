@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the properties that make these queries
+  * scale (SCALE.md) are asserted on the optimized physical plans, so a
+  * future refactor can't silently trade them away. */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter is pushed to the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q1: scan reads only referenced columns") {
+    val p = plan("q1_pricing_summary")
+    assert(!p.contains("l_orderkey"), p) // unreferenced column must be pruned
+  }
+
+  test("q3: dimension joins broadcast, no sort-merge join") {
+    val p = plan("q3_top_orders")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q5: all dimension joins broadcast") {
+    val p = plan("q5_nation_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("s1: query side broadcast (corpus never shuffled for the join)") {
+    val p = plan("s1_ann_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q1: aggregation is partial+final (map-side combine)") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    // partial agg appears below the exchange: two HashAggregate nodes
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+}
