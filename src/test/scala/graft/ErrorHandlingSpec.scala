@@ -79,6 +79,33 @@ class ErrorHandlingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not writable"))
   }
 
+  test("overwrite save mode is rejected (reference K2 semantics)") {
+    val root = Files.createTempDirectory("graft-err").toString
+    new EmbeddedLogStore(root).createStore("proj", "logs", 1)
+    import spark.implicits._
+    val df = Seq((1700000000, "x")).toDF("__time__", "payload")
+    val e = intercept[Exception] {
+      df.write.format("graft-logstore").options(opts(root))
+        .mode("overwrite").save()
+    }
+    assert(e.getMessage.toLowerCase.contains("truncate") ||
+      e.getMessage.toLowerCase.contains("overwrite"), e.getMessage)
+  }
+
+  test("binary/array/map columns are rejected on write (flat wire model)") {
+    val root = Files.createTempDirectory("graft-err").toString
+    new EmbeddedLogStore(root).createStore("proj", "logs", 1)
+    import spark.implicits._
+    val df = Seq((1700000000, Array[Byte](1, 2, 3))).toDF("__time__", "payload")
+    val e = intercept[Exception] {
+      df.write.format("graft-logstore").options(opts(root))
+        .mode("append").save()
+    }
+    assert(e.toString.contains("unsupported write type") ||
+      Option(e.getCause).exists(_.toString.contains("unsupported write type")) ||
+      e.getMessage != null)
+  }
+
   test("sequence numbers and topic/source metadata round-trip") {
     val root = Files.createTempDirectory("graft-md").toString
     val store = new EmbeddedLogStore(root)
