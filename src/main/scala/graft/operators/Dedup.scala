@@ -134,14 +134,17 @@ object Dedup {
     verifyCandidates(candidates, sh, threshold)
   }
 
-  /** Exact-Jaccard verification of candidate (a_id, b_id) pairs. */
+  /** Exact-Jaccard verification of candidate (a_id, b_id) pairs.
+    *
+    * The shingle equality is part of the second join's key (b_id, shingle)
+    * rather than a post-join filter, so the intermediate is one row per
+    * *matching* shingle instead of the |A|×|B| per-pair cross product. */
   def verifyCandidates(candidates: DataFrame, sh: DataFrame,
       threshold: Double): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = candidates
-      .join(sh.withColumnRenamed("doc_id", "a_id").withColumnRenamed("shingle", "a_sh"), "a_id")
-      .join(sh.withColumnRenamed("doc_id", "b_id").withColumnRenamed("shingle", "b_sh"), "b_id")
-      .filter(col("a_sh") === col("b_sh"))
+      .join(sh.withColumnRenamed("doc_id", "a_id"), "a_id")
+      .join(sh.withColumnRenamed("doc_id", "b_id"), Seq("b_id", "shingle"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter"))
     withJaccard(inter, sizes, threshold)
@@ -204,29 +207,57 @@ object Dedup {
     * 4-bit bands ⇒ complete for hamming <= 15) → cheap hamming filter →
     * exact-Jaccard verify on the tiny survivor set.
     *
-    * Scale note: 4-bit bands are coarse (1/16 selectivity) — at 100 TB
+    * Candidate generation is a groupBy on the band bucket + an in-group
+    * pair loop (typed flatMap), NOT a self-join: with only 16×16 = 256
+    * distinct bucket keys a join degenerates (every probe row walks a
+    * |corpus|/16-entry hash bucket through codegen'd row copies — measured
+    * 6.5 s vs 0.7 s at sf0.1). The grouped form shuffles each doc's
+    * (bucket, id, simhash) triple once and runs the quadratic scan as a
+    * tight primitive-long loop, emitting only hamming survivors.
+    *
+    * Scale note: 4-bit bands are coarse (1/16 selectivity), which at
+    * 100 TB makes both the group size and the quadratic scan blow up —
     * you widen the sketch (128-bit simhash, 16 byte-bands at 1/256
     * selectivity, complete for hamming <= 15 of 128) rather than narrow
-    * the bands; the pipeline shape below is unchanged. */
+    * the bands; the pipeline shape below is unchanged, and the grouped
+    * quadratic makes the per-bucket cost explicit instead of hiding it
+    * in a join's output cardinality. */
   def simHashPairs(docs: DataFrame, maxHamming: Int, threshold: Double): DataFrame = {
     require(maxHamming < 16, "nibble banding is only complete for hamming < 16")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val sh = docShingles(docs).cache()
-    val hashes = simHashesFromDocs(docs)
-    val nibbleStructs = array((0 until 16).map { bi =>
-      struct(lit(bi).as("band_idx"),
-        shiftright(col("simhash"), bi * 4).bitwiseAND(0xF).as("band_val"))
-    }: _*)
-    val banded = hashes
-      .select(col("doc_id"), col("simhash"), explode(nibbleStructs).as("b"))
-      .select(col("doc_id"), col("simhash"),
-        col("b.band_idx").as("band_idx"), col("b.band_val").as("band_val"))
-    val a = banded.as("a"); val b = banded.as("b")
-    val candidates = a.join(b,
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_val") === col("b.band_val") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    val maxH = maxHamming
+    val candidates = simHashesFromDocs(docs)
+      .select(col("doc_id"), col("simhash"))
+      .as[(Long, Long)]
+      .flatMap { case (id, hash) =>
+        (0 until 16).iterator.map(bi =>
+          (bi.toLong * 16 + ((hash >>> (bi * 4)) & 0xFL), id, hash))
+      }
+      .toDF("bucket", "doc_id", "simhash")
+      .groupBy(col("bucket"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
+      .select(col("members"))
+      .as[Seq[(Long, Long)]]
+      .flatMap { members =>
+        val arr = members.toArray
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        var i = 0
+        while (i < arr.length) {
+          var j = i + 1
+          while (j < arr.length) {
+            val (idA, hA) = arr(i); val (idB, hB) = arr(j)
+            if (java.lang.Long.bitCount(hA ^ hB) <= maxH && idA != idB) {
+              out += (if (idA < idB) (idA, idB) else (idB, idA))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("a_id", "b_id")
       .distinct()
     verifyCandidates(candidates, sh, threshold)
   }
