@@ -1,8 +1,10 @@
 package graft
 
-import graft.operators.Dedup
+import graft.store.EmbeddedLogStore
+import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Throwaway profiling harness (deleted before round end). */
 object Scratch {
@@ -17,64 +19,40 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
       println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    docs.cache().count()
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    println(s"[scratch] n_events=${ev.count()}")
 
     for (_ <- 1 to 2) {
-      val sh = time("docShingles") { val s = Dedup.docShingles(docs); s.cache().count(); s }
-
-      // variant A: current string-key join
-      time("d2 A string join") {
-        val a = sh.as("a"); val b = sh.as("b")
-        a.join(b, col("a.shingle") === col("b.shingle") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-          .agg(count(lit(1)).as("inter"))
+      val root = Files.createTempDirectory("graft-scratch").toString
+      new EmbeddedLogStore(root).createStore("proj", "events", 4)
+      val opts = Map("store.root" -> root, "store.project" -> "proj",
+        "store.name" -> "events")
+      time("c1 ingest") {
+        ev.select(
+            (col("user_id") % 4).cast(IntegerType).as("__shard__"),
+            expr("ts DIV 1000000000").cast(IntegerType).as("__time__"),
+            col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("ts"), col("props"))
+          .write.format("graft-logstore").options(opts).mode("append").save()
+      }
+      time("c1 typed read+agg") {
+        spark.read.format("graft-logstore").options(opts)
+          .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts LONG")
+          .load()
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
           .write.mode("overwrite").format("noop").save()
       }
-
-      // variant B: hash-encoded key join
-      time("d2 B hash-key join") {
-        val enc = sh.select(col("doc_id"), xxhash64(col("shingle")).as("s"))
-        val a = enc.as("a"); val b = enc.as("b")
-        a.join(b, col("a.s") === col("b.s") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-          .agg(count(lit(1)).as("inter"))
+      time("c2 default read") {
+        spark.read.format("graft-logstore").options(opts).load()
+          .select(get_json_object(col("__value__"), "$.event_type").as("event_type"))
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
           .write.mode("overwrite").format("noop").save()
       }
-
-      // variant C: groupBy shingle-hash, in-group pair emission, count pairs
-      time("d2 C grouped pairs") {
-        sh.select(col("doc_id"), xxhash64(col("shingle")).as("s"))
-          .groupBy(col("s"))
-          .agg(collect_list(col("doc_id")).as("ids"))
-          .select(col("ids"))
-          .filter(size(col("ids")) > 1)
-          .as[Seq[Long]]
-          .flatMap { ids =>
-            val arr = ids.toArray
-            java.util.Arrays.sort(arr)
-            val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-            var i = 0
-            while (i < arr.length) {
-              var j = i + 1
-              while (j < arr.length) { out += ((arr(i), arr(j))); j += 1 }
-              i += 1
-            }
-            out.iterator
-          }
-          .toDF("a_id", "b_id")
-          .groupBy(col("a_id"), col("b_id"))
-          .agg(count(lit(1)).as("inter"))
-          .write.mode("overwrite").format("noop").save()
-      }
-      sh.unpersist()
     }
     spark.stop()
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{MinHashAgg, TextFunctions => TF}
+import graft.functions.{MinHashAgg, TextFunctions => TF, VectorFunctions => VF}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -302,5 +302,158 @@ object Dedup {
       .toDF("a_id", "b_id")
       .distinct()
     verifyCandidates(candidates, sh, threshold)
+  }
+
+  /** Exact embedding-cosine near-duplicate pairs (a_id < b_id,
+    * sim >= θ) — the correctness baseline of the embedding dedup family
+    * (the scale path is [[embeddingLshPairs]]).
+    *
+    * Shape: broadcast the corpus as primitive arrays, stream every
+    * partition's vectors against it in a tight fused loop — exactly what
+    * Spark's BroadcastExchange + nested-loop join does, minus the
+    * per-pair row copies and higher-order-function array churn (a
+    * `broadcast(b).join(a, a_id < b_id)` + zip_with/aggregate cosine
+    * measured 45 s at sf0.1 vs 0.7 s for this: each of the n² pair
+    * evaluations re-materialized two array columns through codegen).
+    * The dot/norm folds are strict ascending-index double math —
+    * bit-identical to VectorFunctions.dot and DuckDB's
+    * `list_dot_product`.
+    *
+    * The broadcast build side is the whole corpus (id, vec, norm):
+    * fine to ~10⁶ vectors × 64 dims (~0.5 GB) — the same ceiling any
+    * broadcast join has. Past that, [[embeddingLshPairs]] shuffles
+    * bucket-local candidate groups and never materializes the corpus
+    * on one node. */
+  def embeddingCosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id").cast("long"),
+        VF.toDoubleVec(col("embedding")))
+      .as[(Long, Seq[Double])]
+    val corpus = vecs.collect().sortBy(_._1) // broadcast build side
+    val ids = corpus.map(_._1)
+    val arrs = corpus.map(_._2.toArray)
+    val norms = arrs.map { v =>
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i) * v(i); i += 1 }
+      math.sqrt(acc)
+    }
+    val bc = spark.sparkContext.broadcast((ids, arrs, norms))
+    val thr = threshold
+    vecs.mapPartitions { it =>
+      val (bIds, bArrs, bNorms) = bc.value
+      it.flatMap { case (aId, vseq) =>
+        val v = vseq.toArray
+        var acc = 0.0; var i = 0
+        while (i < v.length) { acc += v(i) * v(i); i += 1 }
+        val an = math.sqrt(acc)
+        // corpus is id-sorted: start past aId for the a_id < b_id half
+        var lo = java.util.Arrays.binarySearch(bIds, aId)
+        if (lo < 0) lo = -lo - 1 else lo += 1
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+        var j = lo
+        while (j < bIds.length) {
+          val w = bArrs(j)
+          var dot = 0.0; var k = 0
+          while (k < v.length) { dot += v(k) * w(k); k += 1 }
+          val sim = dot / (an * bNorms(j))
+          if (sim >= thr) out += ((aId, bIds(j), sim))
+          j += 1
+        }
+        out.iterator
+      }
+    }.toDF("a_id", "b_id", "sim")
+  }
+
+  /** splitmix64 — deterministic pseudo-random stream for hyperplane
+    * components; no RNG state, identical on every executor. */
+  @inline private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Approximate embedding near-dup pairs at scale: random-hyperplane
+    * sign bands → per-bucket exact cosine scan → distinct survivors.
+    *
+    * Each vector gets a `bands × bitsPerBand`-bit signature from
+    * deterministic splitmix64-derived hyperplanes; vectors sharing any
+    * band bucket are candidates, verified exactly (same strict fold as
+    * [[embeddingCosinePairs]], so a surviving pair carries a bit-identical
+    * `sim`). Per-bucket work is an explicit primitive loop (the d4
+    * grouped-pair-scan shape): expected cost O(n²/2^bitsPerBand) per
+    * band instead of the exact baseline's O(n²). More bands raise
+    * recall; wider bands cut candidate volume. */
+  def embeddingLshPairs(emb: DataFrame, threshold: Double,
+      bands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val nBits = bands * bitsPerBand
+    val thr = threshold
+    emb.select(col("vec_id").cast("long"), VF.toDoubleVec(col("embedding")))
+      .as[(Long, Seq[Double])]
+      .flatMap { case (id, vec) =>
+        val v = vec.toArray
+        val sig = new Array[Boolean](nBits)
+        var j = 0
+        while (j < nBits) {
+          var acc = 0.0
+          var i = 0
+          while (i < v.length) {
+            // hyperplane component in [-1, 1)
+            val h = splitmix64(i.toLong * 0x10001 + j).toDouble / Long.MaxValue.toDouble
+            acc += v(i) * h
+            i += 1
+          }
+          sig(j) = acc >= 0
+          j += 1
+        }
+        (0 until bands).iterator.map { bi =>
+          var bv = 0L
+          var k = 0
+          while (k < bitsPerBand) {
+            if (sig(bi * bitsPerBand + k)) bv |= (1L << k)
+            k += 1
+          }
+          (bi.toLong * (1L << bitsPerBand) + bv, id, vec)
+        }
+      }
+      .toDF("bucket", "vec_id", "v")
+      .groupBy(col("bucket"))
+      .agg(collect_list(struct(col("vec_id"), col("v"))).as("members"))
+      .select(col("members"))
+      .as[Seq[(Long, Seq[Double])]]
+      .flatMap { members =>
+        val arr = members.toArray
+        val vs = arr.map(_._2.toArray)
+        val norms = vs.map { v =>
+          var acc = 0.0; var i = 0
+          while (i < v.length) { acc += v(i) * v(i); i += 1 }
+          math.sqrt(acc)
+        }
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+        var i = 0
+        while (i < arr.length) {
+          var j = i + 1
+          while (j < arr.length) {
+            var dot = 0.0; var k = 0
+            val vi = vs(i); val vj = vs(j)
+            while (k < vi.length) { dot += vi(k) * vj(k); k += 1 }
+            val sim = dot / (norms(i) * norms(j))
+            if (sim >= thr && arr(i)._1 != arr(j)._1) {
+              val (aId, bId) =
+                if (arr(i)._1 < arr(j)._1) (arr(i)._1, arr(j)._1)
+                else (arr(j)._1, arr(i)._1)
+              out += ((aId, bId, sim))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("a_id", "b_id", "sim")
+      .distinct()
   }
 }

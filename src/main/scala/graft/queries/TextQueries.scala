@@ -35,6 +35,7 @@ object TextQueries {
     "d2_dedup_jaccard" -> d2,
     "d3_dedup_minhash_lsh" -> d3,
     "d4_dedup_simhash" -> d4,
+    "d5_dedup_embedding" -> d5,
     "s1_ann_cosine" -> s1,
     "s2_ann_lsh" -> s2,
     "s3_ann_ivf" -> s3
@@ -115,6 +116,14 @@ object TextQueries {
   private def d4: Q = (spark, dir) =>
     Dedup.simHashPairs(t(spark, dir, "documents"), maxHamming = 15,
       threshold = jaccardThreshold)
+
+  /** Embedding-cosine near-dup pairs. The synthetic embeddings are
+    * near-orthogonal random vectors (max pairwise cosine ≈ 0.6 at sf0.1),
+    * so the demo threshold is 0.4; real text embeddings cluster and a
+    * production threshold sits near 0.9. Exact baseline is oracle-checked;
+    * the LSH scale path is spec-checked for recall (DedupSimilaritySpec). */
+  private def d5: Q = (spark, dir) =>
+    Dedup.embeddingCosinePairs(t(spark, dir, "embeddings"), 0.4)
 
   private def s1: Q = (spark, dir) => {
     val e = t(spark, dir, "embeddings")
@@ -207,6 +216,14 @@ object TextQueries {
     "d2_dedup_jaccard" -> shingleCte,
     "d3_dedup_minhash_lsh" -> shingleCte,
     "d4_dedup_simhash" -> shingleCte,
+    "d5_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        | list_dot_product(a.v, b.v) /
+        |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""".stripMargin,
     "s1_ann_cosine" ->
       """SELECT query_id, neighbor_id, rn AS rank, sim FROM (
         | SELECT q.qid AS query_id, e.vec_id AS neighbor_id,

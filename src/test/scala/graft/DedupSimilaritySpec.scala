@@ -56,6 +56,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(hit >= 0) // recorded, not asserted: buckets at 4 bits are coarse
   }
 
+  test("embedding-cosine exact pairs: ordered ids, sims within threshold") {
+    val pairs = Dedup.embeddingCosinePairs(emb, 0.3).cache()
+    assert(pairs.filter(col("a_id") >= col("b_id")).count() === 0)
+    assert(pairs.filter(col("sim") < 0.3).count() === 0)
+    assert(pairs.count() > 0)
+  }
+
+  test("embedding LSH pairs: sound on the raw corpus, high recall on planted near-dups") {
+    // soundness: every LSH survivor is a true pair (exact verify in-loop),
+    // even in the hostile low-cosine regime of the random test corpus
+    val exactLow = Dedup.embeddingCosinePairs(emb, 0.3).select("a_id", "b_id")
+    val lshLow = Dedup.embeddingLshPairs(emb, 0.3, bands = 8, bitsPerBand = 8)
+      .select("a_id", "b_id")
+    assert(lshLow.exceptAll(exactLow).isEmpty)
+
+    // recall: sign-hyperplane LSH targets HIGH-cosine near-dups (the dedup
+    // regime, θ≈0.9). The synthetic corpus is near-orthogonal (max cosine
+    // ≈0.6), so plant near-dups: v' = 0.95·v + 0.05·v_next ⇒ cosine ≈ 0.99.
+    // P(band survives) = (1 - acos(.99)/π)^8 ≈ 0.74 ⇒ 8 bands miss ~1e-5.
+    import spark.implicits._
+    val base = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val planted = base.take(50).zipWithIndex.map { case ((id, v), i) =>
+      val w = base((i + 1) % base.length)._2
+      (id + 100000, v.zip(w).map { case (x, y) => 0.95f * x + 0.05f * y })
+    }
+    val all = spark.createDataFrame(
+      spark.sparkContext.parallelize((base ++ planted).toIndexedSeq.map {
+        case (id, v) => org.apache.spark.sql.Row(id, v)
+      }),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    val exact = Dedup.embeddingCosinePairs(all, 0.9).select("a_id", "b_id").cache()
+    val lsh = Dedup.embeddingLshPairs(all, 0.9, bands = 8, bitsPerBand = 8)
+      .select("a_id", "b_id").cache()
+    val nExact = exact.count()
+    assert(nExact >= 50) // the planted pairs are all above 0.9
+    val hit = exact.intersect(lsh).count()
+    assert(hit.toDouble / nExact >= 0.95, s"recall $hit/$nExact")
+  }
+
   test("minhash signature length and determinism") {
     val sh = Dedup.docShingles(docs.limit(20))
     val sig = Dedup.minHashSignatures(sh).collect()
