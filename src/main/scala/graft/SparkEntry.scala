@@ -19,11 +19,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextQueries.queries ++ ConnectorQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++ SketchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TextQueries.oracles ++ ConnectorQueries.oracles ++
-      MultimodalQueries.oracles
+      MultimodalQueries.oracles ++ SketchQueries.oracles
 }

@@ -1,0 +1,366 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** Mergeable sketches as native Catalyst aggregates — the 100 TB
+  * aggregation pattern the built-in `approx_count_distinct` /
+  * `percentile_approx` don't expose: the SKETCH ITSELF is a binary
+  * column, so partial sketches can be persisted (per day / per
+  * partition), re-aggregated later with a merge aggregate, and finished
+  * with a scalar estimator — no re-scan of raw data. (Same contract as
+  * the DataSketches-style rollup pattern in Druid/Hive/BigQuery.)
+  *
+  * Both aggregates are `TypedImperativeAggregate`s: they run under
+  * ObjectHashAggregateExec with map-side partial merge; past
+  * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` distinct
+  * groups per partition (default 128) Spark falls back to sort-based
+  * aggregation — raise the threshold for high-cardinality group-bys.
+  *
+  * - HLL: dense HyperLogLog, p=12 (4096 1-byte registers, ~1.6% rel.
+  *   std. error), xxhash64 input hashing, linear-counting small-range
+  *   correction. Register-wise max is associative+commutative ⇒ merge
+  *   order never changes the estimate.
+  * - KLL-style quantiles: MRL/KLL compactor ladder with deterministic
+  *   alternating-offset compaction (no RNG — reproducible across
+  *   retries), level weights 2^i, ~O(k) space for any input size.
+  */
+object Sketches {
+
+  /** Aggregate: build an HLL sketch (binary) of the column's values. */
+  def hll_build(c: Column): Column =
+    Bridge.column(HllSketchBuild(Bridge.expression(c)).toAggregateExpression())
+
+  /** Aggregate: merge HLL sketch binaries into one sketch. */
+  def hll_merge(c: Column): Column =
+    Bridge.column(HllSketchMerge(Bridge.expression(c)).toAggregateExpression())
+
+  /** Scalar: estimated distinct count of an HLL sketch binary. */
+  def hll_estimate(c: Column): Column =
+    Bridge.column(HllEstimate(Bridge.expression(c)))
+
+  /** Aggregate: build a KLL quantile sketch (binary) of a double column. */
+  def kll_build(c: Column, k: Int = 256): Column =
+    Bridge.column(KllSketchBuild(Bridge.expression(c), k).toAggregateExpression())
+
+  /** Aggregate: merge KLL sketch binaries into one sketch. */
+  def kll_merge(c: Column): Column =
+    Bridge.column(KllSketchMerge(Bridge.expression(c)).toAggregateExpression())
+
+  /** Scalar: estimated q-quantile (0..1) of a KLL sketch binary. */
+  def kll_quantile(c: Column, q: Double): Column =
+    Bridge.column(KllQuantile(Bridge.expression(c), q))
+}
+
+// ---------------------------------------------------------------- HLL ----
+
+object HllOps {
+  val P = 12
+  val M: Int = 1 << P // 4096 registers
+
+  def emptyRegisters(): Array[Byte] = new Array[Byte](M)
+
+  /** Offer a 64-bit hash into the registers. */
+  def offerHash(regs: Array[Byte], h: Long): Unit = {
+    val idx = (h >>> (64 - P)).toInt
+    val rest = h << P
+    // rank = leading zeros of the remaining 52 bits + 1, capped
+    val rank = (java.lang.Long.numberOfLeadingZeros(rest | (1L << (P - 1))) + 1)
+      .min(64 - P + 1)
+    if (rank > regs(idx)) regs(idx) = rank.toByte
+  }
+
+  def mergeInto(into: Array[Byte], from: Array[Byte]): Unit = {
+    var i = 0
+    while (i < M) { if (from(i) > into(i)) into(i) = from(i); i += 1 }
+  }
+
+  def estimate(regs: Array[Byte]): Long = {
+    val alpha = 0.7213 / (1.0 + 1.079 / M)
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < M) {
+      sum += 1.0 / (1L << (regs(i) & 0xFF)).toDouble
+      if (regs(i) == 0) zeros += 1
+      i += 1
+    }
+    val raw = alpha * M.toDouble * M.toDouble / sum
+    val est =
+      if (raw <= 2.5 * M && zeros > 0) M * math.log(M.toDouble / zeros)
+      else raw
+    math.rint(est).toLong
+  }
+}
+
+abstract class HllAggBase extends TypedImperativeAggregate[Array[Byte]]
+    with UnaryLike[Expression] {
+  override def createAggregationBuffer(): Array[Byte] = HllOps.emptyRegisters()
+  override def merge(b: Array[Byte], o: Array[Byte]): Array[Byte] = {
+    HllOps.mergeInto(b, o); b
+  }
+  override def eval(b: Array[Byte]): Any = b
+  override def serialize(b: Array[Byte]): Array[Byte] = b
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+}
+
+/** hll_build(col): HLL sketch of any atomic-typed column. */
+case class HllSketchBuild(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends HllAggBase {
+  override def update(b: Array[Byte], row: InternalRow): Array[Byte] = {
+    val v = child.eval(row)
+    if (v != null) HllOps.offerHash(b, XxHash64Function.hash(v, child.dataType, 42L))
+    b
+  }
+  override def withNewMutableAggBufferOffset(n: Int): HllSketchBuild =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): HllSketchBuild =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): HllSketchBuild =
+    copy(child = c)
+  override def prettyName: String = "hll_build"
+}
+
+/** hll_merge(sketch): register-wise max over sketch binaries. */
+case class HllSketchMerge(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends HllAggBase {
+  override def update(b: Array[Byte], row: InternalRow): Array[Byte] = {
+    val v = child.eval(row)
+    if (v != null) {
+      val arr = v.asInstanceOf[Array[Byte]]
+      require(arr.length == HllOps.M, s"not a p=${HllOps.P} HLL sketch")
+      HllOps.mergeInto(b, arr)
+    }
+    b
+  }
+  override def withNewMutableAggBufferOffset(n: Int): HllSketchMerge =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): HllSketchMerge =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): HllSketchMerge =
+    copy(child = c)
+  override def prettyName: String = "hll_merge"
+}
+
+/** Scalar finisher: sketch binary → estimated distinct count. Runs once
+  * per aggregated row, not in the per-record hot path — interpreted
+  * (CodegenFallback) is fine here. */
+case class HllEstimate(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    HllOps.estimate(v.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): HllEstimate =
+    copy(child = c)
+  override def prettyName: String = "hll_estimate"
+}
+
+// ---------------------------------------------------------------- KLL ----
+
+/** Compactor ladder: level i holds items of weight 2^i; each level holds
+  * at most `k` items. Compaction sorts a level, promotes every other
+  * item (alternating start offset per compaction — deterministic, no
+  * RNG), keeps an odd leftover in place. */
+class KllBuffer(val k: Int) extends Serializable {
+  var levels: Array[scala.collection.mutable.ArrayBuffer[Double]] =
+    Array(scala.collection.mutable.ArrayBuffer.empty[Double])
+  var parities: Array[Boolean] = Array(false)
+  var count: Long = 0L
+
+  private def ensureLevel(i: Int): Unit =
+    if (i >= levels.length) {
+      levels = levels ++ Array.fill(i - levels.length + 1)(
+        scala.collection.mutable.ArrayBuffer.empty[Double])
+      parities = parities ++ Array.fill(i - parities.length + 1)(false)
+    }
+
+  def add(x: Double): Unit = {
+    levels(0) += x
+    count += 1
+    compactCascade()
+  }
+
+  private def compactCascade(): Unit = {
+    var i = 0
+    while (i < levels.length) {
+      if (levels(i).length > k) compactLevel(i)
+      i += 1
+    }
+  }
+
+  private def compactLevel(i: Int): Unit = {
+    ensureLevel(i + 1)
+    val sorted = levels(i).toArray
+    java.util.Arrays.sort(sorted)
+    val off = if (parities(i)) 1 else 0
+    parities(i) = !parities(i)
+    val keepOdd = sorted.length % 2 == 1
+    val promoted = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var j = off
+    val n = if (keepOdd) sorted.length - 1 else sorted.length
+    while (j < n) { promoted += sorted(j); j += 2 }
+    levels(i).clear()
+    if (keepOdd) levels(i) += sorted(sorted.length - 1)
+    levels(i + 1) ++= promoted
+  }
+
+  def mergeIn(o: KllBuffer): Unit = {
+    require(o.k == k, "mismatched sketch k")
+    var i = 0
+    while (i < o.levels.length) {
+      ensureLevel(i)
+      levels(i) ++= o.levels(i)
+      i += 1
+    }
+    count += o.count
+    compactCascade()
+  }
+
+  def quantile(q: Double): Double = {
+    val items = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+    var i = 0
+    while (i < levels.length) {
+      val w = 1L << i
+      levels(i).foreach(v => items += ((v, w)))
+      i += 1
+    }
+    if (items.isEmpty) return Double.NaN
+    val sorted = items.sortBy(_._1)
+    val total = sorted.map(_._2).sum
+    val target = (q * total).toLong.max(1L).min(total)
+    var cum = 0L
+    var j = 0
+    while (j < sorted.length) {
+      cum += sorted(j)._2
+      if (cum >= target) return sorted(j)._1
+      j += 1
+    }
+    sorted.last._1
+  }
+
+  def serialize(): Array[Byte] = {
+    val nItems = levels.map(_.length).sum
+    val buf = ByteBuffer.allocate(4 + 4 + 8 + levels.length * (4 + 1) + nItems * 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(k); buf.putInt(levels.length); buf.putLong(count)
+    levels.indices.foreach { i =>
+      buf.putInt(levels(i).length)
+      buf.put(if (parities(i)) 1.toByte else 0.toByte)
+      levels(i).foreach(buf.putDouble)
+    }
+    buf.array()
+  }
+}
+
+object KllOps {
+  def deserialize(bytes: Array[Byte]): KllBuffer = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val b = new KllBuffer(buf.getInt)
+    val nLevels = buf.getInt
+    b.count = buf.getLong
+    b.levels = Array.fill(nLevels)(scala.collection.mutable.ArrayBuffer.empty[Double])
+    b.parities = new Array[Boolean](nLevels)
+    (0 until nLevels).foreach { i =>
+      val n = buf.getInt
+      b.parities(i) = buf.get() == 1
+      (0 until n).foreach(_ => b.levels(i) += buf.getDouble)
+    }
+    b
+  }
+}
+
+abstract class KllAggBase extends TypedImperativeAggregate[KllBuffer]
+    with UnaryLike[Expression] {
+  override def merge(b: KllBuffer, o: KllBuffer): KllBuffer = { b.mergeIn(o); b }
+  override def eval(b: KllBuffer): Any = b.serialize()
+  override def serialize(b: KllBuffer): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): KllBuffer = KllOps.deserialize(bytes)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+}
+
+/** kll_build(col, k): quantile sketch of a numeric column (cast the
+  * input to double before aggregating). */
+case class KllSketchBuild(
+    child: Expression,
+    k: Int = 256,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends KllAggBase {
+  override def createAggregationBuffer(): KllBuffer = new KllBuffer(k)
+  override def update(b: KllBuffer, row: InternalRow): KllBuffer = {
+    val v = child.eval(row)
+    if (v != null) b.add(v match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case l: Long => l.toDouble
+      case i: Int => i.toDouble
+      case s: Short => s.toDouble
+      case by: Byte => by.toDouble
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"kll_build needs a numeric column, got $other")
+    })
+    b
+  }
+  override def withNewMutableAggBufferOffset(n: Int): KllSketchBuild =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): KllSketchBuild =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): KllSketchBuild =
+    copy(child = c)
+  override def prettyName: String = "kll_build"
+}
+
+/** kll_merge(sketch): merge sketch binaries. */
+case class KllSketchMerge(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends KllAggBase {
+  override def createAggregationBuffer(): KllBuffer = new KllBuffer(256)
+  override def update(b: KllBuffer, row: InternalRow): KllBuffer = {
+    val v = child.eval(row)
+    if (v != null) {
+      val o = KllOps.deserialize(v.asInstanceOf[Array[Byte]])
+      if (b.count == 0 && b.k != o.k) {
+        // adopt the incoming k on first merge into a fresh buffer
+        val fresh = new KllBuffer(o.k)
+        fresh.mergeIn(o)
+        return fresh
+      }
+      b.mergeIn(o)
+    }
+    b
+  }
+  override def withNewMutableAggBufferOffset(n: Int): KllSketchMerge =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): KllSketchMerge =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): KllSketchMerge =
+    copy(child = c)
+  override def prettyName: String = "kll_merge"
+}
+
+/** Scalar finisher: sketch binary → q-quantile estimate. */
+case class KllQuantile(child: Expression, q: Double) extends UnaryExpression
+    with CodegenFallback {
+  require(q >= 0.0 && q <= 1.0, s"quantile $q out of [0,1]")
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    KllOps.deserialize(v.asInstanceOf[Array[Byte]]).quantile(q)
+  override protected def withNewChildInternal(c: Expression): KllQuantile =
+    copy(child = c)
+  override def prettyName: String = "kll_quantile"
+}

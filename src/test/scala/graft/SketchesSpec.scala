@@ -1,0 +1,88 @@
+package graft
+
+import graft.functions.Sketches._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SketchesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.01"
+  private def events = spark.read.parquet(s"$sf/events.parquet")
+  private def lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+
+  test("hll estimate within 5% of exact distinct count") {
+    val r = events.agg(
+      hll_estimate(hll_build(col("user_id"))).as("est"),
+      countDistinct(col("user_id")).as("exact")).head()
+    val (est, exact) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(est - exact).toDouble / exact < 0.05, s"est $est exact $exact")
+  }
+
+  test("hll merge of per-group sketches equals the global sketch exactly") {
+    val global = events.agg(hll_estimate(hll_build(col("user_id")))).head().getLong(0)
+    val merged = events.groupBy(col("event_type"))
+      .agg(hll_build(col("user_id")).as("sk"))
+      .agg(hll_estimate(hll_merge(col("sk"))))
+      .head().getLong(0)
+    // register-wise max is associative+commutative: identical, not close
+    assert(merged === global)
+  }
+
+  test("hll sketch column is storable and re-aggregable (two-level rollup)") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("graft-sketch").toString
+    events.groupBy(col("event_type"), (col("user_id") % 7).as("slice"))
+      .agg(hll_build(col("user_id")).as("sk"))
+      .write.mode("overwrite").parquet(out)
+    val rolled = spark.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(hll_estimate(hll_merge(col("sk"))).as("est"))
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact"))
+    val joined = rolled.join(exact, "event_type").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (est, ex) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(est - ex).toDouble / ex < 0.05, s"$r")
+    }
+  }
+
+  test("kll quantiles within 2% rank error of exact") {
+    val qs = Seq(0.1, 0.5, 0.95, 0.99)
+    val sk = lineitem.agg(kll_build(col("l_extendedprice").cast("double")).as("sk"))
+    val ests = sk.select(qs.map(q => kll_quantile(col("sk"), q).as(s"q$q")): _*)
+      .head().toSeq.map(_.asInstanceOf[Double])
+    val n = lineitem.count()
+    val sortedDf = lineitem.select(col("l_extendedprice").cast("double").as("v"))
+      .orderBy(col("v")).collect().map(_.getDouble(0))
+    qs.zip(ests).foreach { case (q, est) =>
+      // rank error: position of the estimate vs target rank, within 2% of n
+      val rank = sortedDf.count(_ <= est)
+      val target = q * n
+      assert(math.abs(rank - target) <= 0.02 * n,
+        s"q=$q est=$est rank=$rank target=$target n=$n")
+    }
+  }
+
+  test("kll merge of per-group sketches keeps rank error") {
+    val merged = lineitem.groupBy(col("l_returnflag"))
+      .agg(kll_build(col("l_extendedprice").cast("double")).as("sk"))
+      .agg(kll_quantile(kll_merge(col("sk")), 0.5).as("p50"))
+      .head().getDouble(0)
+    val n = lineitem.count()
+    val sorted = lineitem.select(col("l_extendedprice").cast("double").as("v"))
+      .orderBy(col("v")).collect().map(_.getDouble(0))
+    val rank = sorted.count(_ <= merged)
+    assert(math.abs(rank - 0.5 * n) <= 0.03 * n, s"p50=$merged rank=$rank n=$n")
+  }
+
+  test("kll total weight equals ingested count") {
+    val skBytes = lineitem.limit(10000)
+      .agg(kll_build(col("l_quantity").cast("double"))).head()
+      .getAs[Array[Byte]](0)
+    val buf = graft.functions.KllOps.deserialize(skBytes)
+    val weight = buf.levels.indices.map(i => buf.levels(i).length.toLong << i).sum
+    assert(buf.count === 10000L)
+    assert(weight === 10000L, s"weight $weight")
+  }
+}
