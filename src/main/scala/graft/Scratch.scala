@@ -1,58 +1,32 @@
 package graft
 
-import graft.store.EmbeddedLogStore
-import java.nio.file.Files
+import graft.operators.Similarity
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Throwaway profiling harness (deleted before round end). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sfDir = "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
-    println(s"[scratch] n_events=${ev.count()}")
-
-    for (_ <- 1 to 2) {
-      val root = Files.createTempDirectory("graft-scratch").toString
-      new EmbeddedLogStore(root).createStore("proj", "events", 4)
-      val opts = Map("store.root" -> root, "store.project" -> "proj",
-        "store.name" -> "events")
-      time("c1 ingest") {
-        ev.select(
-            (col("user_id") % 4).cast(IntegerType).as("__shard__"),
-            expr("ts DIV 1000000000").cast(IntegerType).as("__time__"),
-            col("event_id"), col("user_id"), col("event_type"),
-            col("value"), col("ts"), col("props"))
-          .write.format("graft-logstore").options(opts).mode("append").save()
+    for (sf <- Seq("0.001", "0.01")) {
+      val emb = spark.read.parquet(s"/root/testdata/sf$sf/embeddings.parquet")
+      val q = emb.filter(col("vec_id") < 32)
+      val brute = Similarity.bruteForceKnn(emb, q, 4)
+        .select("query_id", "neighbor_id").cache()
+      val n = brute.count()
+      for (bits <- Seq(6, 8); probes <- Seq(0, 2, 4, 8).filter(_ <= bits)) {
+        val mp = Similarity.multiProbeLshKnn(emb, q, 4, bits, probes)
+          .select("query_id", "neighbor_id")
+        val hit = brute.intersect(mp).count()
+        println(f"[scratch] sf=$sf bits=$bits probes=$probes recall=${hit.toDouble / n}%.3f")
       }
-      time("c1 typed read+agg") {
-        spark.read.format("graft-logstore").options(opts)
-          .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts LONG")
-          .load()
-          .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n_events"))
-          .write.mode("overwrite").format("noop").save()
-      }
-      time("c2 default read") {
-        spark.read.format("graft-logstore").options(opts).load()
-          .select(get_json_object(col("__value__"), "$.event_type").as("event_type"))
-          .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-          .write.mode("overwrite").format("noop").save()
-      }
+      val single = Similarity.lshKnn(emb, q, 4, 4).select("query_id", "neighbor_id")
+      println(f"[scratch] sf=$sf single-probe bits=4 recall=${brute.intersect(single).count().toDouble / n}%.3f")
     }
     spark.stop()
   }

@@ -367,12 +367,18 @@ object Dedup {
 
   /** splitmix64 — deterministic pseudo-random stream for hyperplane
     * components; no RNG state, identical on every executor. */
-  @inline private def splitmix64(x0: Long): Long = {
+  @inline private[operators] def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9e3779b97f4a7c15L
     x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
     x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
     x ^ (x >>> 31)
   }
+
+  /** Deterministic hyperplane component h_j[i] in [-1, 1) — shared by
+    * every sign-hyperplane operator (embedding LSH dedup, multi-probe
+    * ANN) so their bucket spaces are interchangeable. */
+  @inline private[operators] def hyperplaneComponent(i: Int, j: Int): Double =
+    splitmix64(i.toLong * 0x10001 + j).toDouble / Long.MaxValue.toDouble
 
   /** Approximate embedding near-dup pairs at scale: random-hyperplane
     * sign bands → per-bucket exact cosine scan → distinct survivors.
@@ -401,9 +407,7 @@ object Dedup {
           var acc = 0.0
           var i = 0
           while (i < v.length) {
-            // hyperplane component in [-1, 1)
-            val h = splitmix64(i.toLong * 0x10001 + j).toDouble / Long.MaxValue.toDouble
-            acc += v(i) * h
+            acc += v(i) * hyperplaneComponent(i, j)
             i += 1
           }
           sig(j) = acc >= 0

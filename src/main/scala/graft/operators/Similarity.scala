@@ -106,6 +106,72 @@ object Similarity {
     planes.reduce(_ + _)
   }
 
+  /** Multi-probe LSH top-k: queries probe their own sign-hyperplane
+    * bucket PLUS the `probes` buckets reached by flipping the
+    * lowest-|margin| projection bits — the planes the query sits closest
+    * to, i.e. the most likely sign disagreements with a true neighbor
+    * (Lv et al., VLDB'07 multi-probe LSH). Lifts recall at the same
+    * bucket granularity for `probes`× the probe cost instead of the
+    * 2^Δbits cost of coarser buckets.
+    *
+    * Hyperplanes are the shared deterministic splitmix64 family
+    * (Dedup.hyperplaneComponent); signature + margins are computed in one
+    * typed pass per vector (fused primitive loops — the column-HOF
+    * formulation re-materializes a dim-length array per plane). The
+    * probe fan-out is broadcast; the corpus is never shuffled. */
+  def multiProbeLshKnn(emb: DataFrame, queries: DataFrame, k: Int,
+      bits: Int, probes: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(probes >= 0 && probes <= bits, s"probes $probes out of [0, $bits]")
+
+    def projections(v: Array[Double]): Array[Double] = {
+      val proj = new Array[Double](bits)
+      var j = 0
+      while (j < bits) {
+        var acc = 0.0; var i = 0
+        while (i < v.length) { acc += v(i) * Dedup.hyperplaneComponent(i, j); i += 1 }
+        proj(j) = acc
+        j += 1
+      }
+      proj
+    }
+    def sigOf(proj: Array[Double]): Long = {
+      var sig = 0L; var j = 0
+      while (j < bits) { if (proj(j) >= 0) sig |= (1L << j); j += 1 }
+      sig
+    }
+
+    val corpus = emb.select(col("vec_id").cast("long"),
+        VF.toDoubleVec(col("embedding")))
+      .as[(Long, Seq[Double])]
+      .map { case (id, vec) => (id, vec, sigOf(projections(vec.toArray))) }
+      .toDF("vec_id", "v", "bucket")
+    val qProbes = queries.select(col("vec_id").cast("long"),
+        VF.toDoubleVec(col("embedding")))
+      .as[(Long, Seq[Double])]
+      .flatMap { case (id, vec) =>
+        val proj = projections(vec.toArray)
+        val base = sigOf(proj)
+        // flip the `probes` planes with the smallest |projection|
+        val order = (0 until bits).sortBy(j => math.abs(proj(j)))
+        Iterator.single((id, vec, base)) ++
+          order.take(probes).iterator.map(j => (id, vec, base ^ (1L << j)))
+      }
+      .toDF("query_id", "qv", "bucket")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    corpus.join(broadcast(qProbes),
+        corpus("bucket") === qProbes("bucket") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        VF.cosine(col("qv"), col("v")).as("sim"))
+      .distinct() // a neighbor can surface via several probes
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
   /** LSH-bucketed approximate top-k: exact rerank within each signature
     * bucket. Output schema matches bruteForceKnn (rank gaps possible when
     * a bucket holds < k candidates). */

@@ -38,7 +38,8 @@ object TextQueries {
     "d5_dedup_embedding" -> d5,
     "s1_ann_cosine" -> s1,
     "s2_ann_lsh" -> s2,
-    "s3_ann_ivf" -> s3
+    "s3_ann_ivf" -> s3,
+    "s4_ann_multiprobe" -> s4
   )
 
   private def t1: Q = (spark, dir) => {
@@ -138,6 +139,15 @@ object TextQueries {
   private def s3: Q = (spark, dir) => {
     val e = t(spark, dir, "embeddings")
     Similarity.ivfKnn(e, e.filter(col("vec_id") < 8), k = 4)
+  }
+
+  /** Multi-probe LSH ANN: same bucket granularity as s2 but each query
+    * additionally probes the `probes` lowest-margin bit flips.
+    * Approximate → rows-only check; recall-vs-s2 asserted in spec. */
+  private def s4: Q = (spark, dir) => {
+    val e = t(spark, dir, "embeddings")
+    Similarity.multiProbeLshKnn(e, e.filter(col("vec_id") < 8), k = 4,
+      bits = 8, probes = 4)
   }
 
   // DuckDB CTE fragments shared by the jaccard-contract oracles.

@@ -101,6 +101,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(hit.toDouble / nExact >= 0.95, s"recall $hit/$nExact")
   }
 
+  test("multi-probe LSH: dominates single-probe, near-full recall on planted neighbors") {
+    val q = emb.filter(col("vec_id") < 16)
+    val brute = Similarity.bruteForceKnn(emb, q, 4)
+      .select("query_id", "neighbor_id").cache()
+    val n = brute.count()
+    // probing more buckets can only add candidates: recall is monotone
+    val r0 = brute.intersect(Similarity.multiProbeLshKnn(emb, q, 4, 8, 0)
+      .select("query_id", "neighbor_id")).count()
+    val r4 = brute.intersect(Similarity.multiProbeLshKnn(emb, q, 4, 8, 4)
+      .select("query_id", "neighbor_id")).count()
+    assert(r4 >= r0, s"multi-probe recall $r4/$n below single-probe $r0/$n")
+
+    // planted 0.99-cosine neighbors (the ANN regime): one flip of a
+    // low-margin plane recovers nearly every band miss
+    import spark.implicits._
+    val base = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val planted = base.take(30).zipWithIndex.map { case ((id, v), i) =>
+      val w = base((i + 1) % base.length)._2
+      (id + 100000L, v.zip(w).map { case (x, y) => 0.95f * x + 0.05f * y })
+    }
+    val all = (base ++ planted).toSeq.toDF("vec_id", "embedding")
+    val queries = all.filter(col("vec_id") >= 100000)
+    val mp = Similarity.multiProbeLshKnn(all, queries, k = 1, bits = 8, probes = 4)
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the planted vector's true nearest neighbor is its source
+    val found = planted.count { case (pid, _) => mp.get(pid).contains(pid - 100000L) }
+    assert(found >= 27, s"found $found/30 planted nearest neighbors")
+  }
+
   test("minhash signature length and determinism") {
     val sh = Dedup.docShingles(docs.limit(20))
     val sig = Dedup.minHashSignatures(sh).collect()
