@@ -9,15 +9,19 @@ import scala.collection.mutable
 
 /** Write path (re-expression of K1-K6, SURVEY.md §2.2): rows are
   * flattened to string key/value contents (Utils.toConverter semantics,
-  * Utils.scala:53-99) and appended as immutable per-task segments.
+  * Utils.scala:53-99) and written as immutable per-task segments through
+  * the store's two-phase commit: tasks STAGE data files (invisible to
+  * readers), the driver's `commit()` publishes them in ONE manifest —
+  * so a job's output appears atomically, speculative/failed tasks never
+  * leak partial data, and concurrent jobs writing the same store can't
+  * interleave ordinals.
   *
   *  - Batch write: segment name `b<jobId>-p<partition>` — a task retry
-  *    overwrites its own segment, so speculative/failed tasks cannot
-  *    duplicate data.
+  *    re-stages the same name, replacing its own file.
   *  - Streaming write: segment name `e<epochId>-p<partition>` — a
-  *    replayed epoch overwrites itself, which is exactly the reference
-  *    sink's skip-committed-batch idempotence (LoghubSink.scala:31-38)
-  *    without a driver-side ledger.
+  *    replayed epoch re-stages and commits idempotently (the manifest
+  *    skip), which is exactly the reference sink's skip-committed-batch
+  *    idempotence (LoghubSink.scala:31-38) without a separate ledger.
   *  - Shard routing: `__shard__` column if present, else
   *    hash(partitionId) round-robin over writable shards (the writer-API
   *    hash-key routing of K6 maps to repartitioning before the write).
@@ -43,7 +47,9 @@ class LogBatchWrite(schema: StructType, opts: LogServiceOptions,
     queryId: String) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new LogWriterFactory(schema, opts, s"b$queryId")
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    opts.newStore.commitSegments(opts.project, opts.store,
+      messages.toSeq.flatMap(_.asInstanceOf[LogCommitMessage].staged))
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
@@ -51,11 +57,14 @@ class LogStreamingWrite(schema: StructType, opts: LogServiceOptions)
     extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new LogStreamingWriterFactory(schema, opts)
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    opts.newStore.commitSegments(opts.project, opts.store,
+      messages.toSeq.flatMap(_.asInstanceOf[LogCommitMessage].staged))
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-case class LogCommitMessage(shardCounts: Map[Int, Long]) extends WriterCommitMessage
+case class LogCommitMessage(staged: Seq[graft.store.StagedSegment])
+  extends WriterCommitMessage
 
 class LogWriterFactory(schema: StructType, opts: LogServiceOptions,
     prefix: String) extends DataWriterFactory {
@@ -127,12 +136,10 @@ class LogDataWriter(schema: StructType, opts: LogServiceOptions,
       LogRecord(time, topic, source, Map.empty, contents.toMap)
   }
 
-  override def commit(): WriterCommitMessage = {
-    pending.foreach { case (shard, recs) =>
-      store.appendSegment(opts.project, opts.store, shard, segmentName, recs.toSeq)
-    }
-    LogCommitMessage(pending.map { case (s, r) => s -> r.size.toLong }.toMap)
-  }
+  override def commit(): WriterCommitMessage =
+    LogCommitMessage(pending.toSeq.map { case (shard, recs) =>
+      store.stageSegment(opts.project, opts.store, shard, segmentName, recs.toSeq)
+    })
 
   override def abort(): Unit = ()
   override def close(): Unit = ()

@@ -21,24 +21,40 @@ case class LogRecord(
 
 case class ShardInfo(id: Int, readOnly: Boolean)
 
+/** A staged-but-uncommitted segment data file; carried in writer commit
+  * messages from tasks to the driver's manifest commit. */
+case class StagedSegment(shard: Int, file: String)
+
 /** File-backed sharded log store — the hermetic stand-in for the log
   * service the reference connects to (replaces LoghubClientAgent.java;
   * cursor model per Utils.decodeCursorToTimestamp, Utils.scala:221-225).
   *
-  * Layout: `<root>/<project>/<store>/meta.json` + per shard a directory of
-  * immutable JSONL segment files. A shard's logical record sequence is the
-  * concatenation of its segments in lexicographic filename order; a
-  * **cursor** is a base64-encoded record ordinal in that sequence (the
-  * reference's cursors also decode to numbers). Segment names carry their
-  * record count (`<name>-<count>.jsonl`) so ordinal→segment seeks need no
-  * data reads.
+  * Layout: `<root>/<project>/<store>/meta.json`, a `manifests/` commit
+  * log, and per shard a directory of immutable JSONL segment files. A
+  * shard's logical record sequence is the concatenation of its segments
+  * in **manifest commit order**; a **cursor** is a base64-encoded record
+  * ordinal in that sequence (the reference's cursors also decode to
+  * numbers). Segment names carry their time bounds and record count
+  * (`<name>-<minT>-<maxT>-<count>.jsonl`) so ordinal→segment seeks and
+  * time-range pruning need no data reads.
   *
-  * Writers append whole segments with deterministic names, so replayed
-  * epochs overwrite rather than duplicate (the sink's exactly-once
-  * contract, LoghubSink.scala:31-38) and concurrent tasks never contend
-  * on a shared file. On a cluster the root lives on shared storage; every
-  * operation here is a pure function of the directory listing, so any
-  * executor can read or write without coordination.
+  * **Commit protocol** (two-phase, Delta-style): writers [[stageSegment]]
+  * data files into the shard dirs — invisible to readers until a
+  * manifest references them — then one [[commitSegments]] call publishes
+  * the whole write atomically by linking `manifests/m-<version>.json`
+  * (hard-link creation is atomic-fail-if-exists, so two racing
+  * committers can never claim the same version; the loser re-reads and
+  * retries with the next one). Readers fold the manifests in version
+  * order, which makes segment ordinals append-only and stable even
+  * while concurrent jobs are writing — a directory listing can tell you
+  * a file exists, only the commit log can tell you *when it became
+  * data*. Replayed epochs re-stage the same logical segment name and
+  * commit idempotently: the file is replaced in place and its ordinal
+  * position stays pinned by the first manifest that listed it.
+  *
+  * On a cluster the root lives on shared storage; every operation here
+  * is a pure function of manifest contents, so any executor can read or
+  * write without coordination beyond the version link.
   */
 class EmbeddedLogStore(root: String) extends Serializable {
   import EmbeddedLogStore._
@@ -49,6 +65,8 @@ class EmbeddedLogStore(root: String) extends Serializable {
     storeDir(project, store).resolve(s"shard-$shard")
   private def metaPath(project: String, store: String) =
     storeDir(project, store).resolve("meta.json")
+  private def manifestDir(project: String, store: String) =
+    storeDir(project, store).resolve("manifests")
 
   def createStore(project: String, store: String, numShards: Int): Unit = {
     require(numShards > 0)
@@ -94,62 +112,138 @@ class EmbeddedLogStore(root: String) extends Serializable {
     (next, next + 1)
   }
 
-  /** Append records as one immutable segment. `segmentName` must be unique
-    * per logical write and stable across retries: a replay (same logical
-    * name) replaces the original segment *in place* — same sequence
-    * position — so ordinals of later records never move.
+  /** Stage one immutable segment data file into the shard dir. Invisible
+    * to readers until a manifest references it. `segmentName` must be
+    * unique per logical write and stable across retries: a task retry or
+    * epoch replay re-stages the same name and the file is replaced
+    * atomically in place.
     *
-    * Segment file name: `<seq>-<logicalName>-<minT>-<maxT>-<count>.jsonl`:
-    * the shard's record order is by zero-padded arrival sequence (NOT by
-    * logical name, which would reorder history as new segments arrive),
-    * and the embedded time bounds let time-range scans skip whole
-    * segments from the listing alone (no data reads). */
-  def appendSegment(project: String, store: String, shard: Int,
-      segmentName: String, records: Seq[LogRecord]): Unit = {
+    * Segment file name: `<logicalName>-<minT>-<maxT>-<count>.jsonl` —
+    * the embedded time bounds let time-range scans skip whole segments
+    * with no data reads; record ORDER comes from the commit log, not
+    * the file name. Returns the staged descriptor for commit. */
+  def stageSegment(project: String, store: String, shard: Int,
+      segmentName: String, records: Seq[LogRecord]): StagedSegment = {
     require(!segmentName.contains("/"), s"bad segment name $segmentName")
+    require(records.forall(_.time >= 0), "record times must be >= 0")
     val dir = shardDir(project, store, shard)
     Files.createDirectories(dir)
     val mapper = new ObjectMapper()
     val sb = new StringBuilder
     records.foreach { r => sb.append(recordToJson(mapper, r)).append('\n') }
-    require(records.forall(_.time >= 0), "record times must be >= 0")
-    val existing = listSegments(project, store, shard)
-    val seq = existing.find(_.logicalName == segmentName) match {
-      case Some(prior) => // epoch replay: replace at the same position
-        require(prior.count == records.size,
-          s"replayed segment $segmentName has ${records.size} records, original had ${prior.count}")
-        Files.deleteIfExists(dir.resolve(prior.fileName))
-        prior.seq
-      case None => existing.map(_.seq + 1).maxOption.getOrElse(0L)
-    }
     val minT = records.map(_.time).minOption.getOrElse(0)
     val maxT = records.map(_.time).maxOption.getOrElse(0)
-    val base = f"$seq%010d-$segmentName-$minT-$maxT-${records.size}"
-    val tmp = dir.resolve(s".$base.jsonl.tmp")
+    val file = s"$segmentName-$minT-$maxT-${records.size}.jsonl"
+    // a replayed logical segment must not change shape once committed
+    committedFile(project, store, shard, segmentName).foreach { prior =>
+      require(prior == file,
+        s"replayed segment $segmentName is $file, committed as $prior")
+    }
+    val tmp = dir.resolve(s".$file.tmp")
     Files.write(tmp, sb.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, dir.resolve(s"$base.jsonl"),
+    Files.move(tmp, dir.resolve(file),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    StagedSegment(shard, file)
   }
 
-  case class Segment(fileName: String, seq: Long, logicalName: String,
+  /** Atomically publish staged segments as one commit. Optimistic
+    * versioning: the manifest is hard-linked into place as
+    * `m-<version>.json` — link creation fails if the version is taken,
+    * and the committer retries with the next number. Already-committed
+    * segment files (an epoch replay) are skipped, keeping commit
+    * idempotent and ordinals pinned. Within a commit, segments are
+    * ordered by (shard, file name) — deterministic regardless of task
+    * completion order. */
+  def commitSegments(project: String, store: String,
+      staged: Seq[StagedSegment]): Unit = {
+    val mDir = manifestDir(project, store)
+    Files.createDirectories(mDir)
+    var done = false
+    while (!done) {
+      val committed = committedSet(project, store)
+      val fresh = staged.filterNot(s => committed.contains((s.shard, s.file)))
+        .distinct.sortBy(s => (s.shard, s.file))
+      if (fresh.isEmpty) { done = true }
+      else {
+        val version = currentVersion(project, store) + 1
+        val mapper = new ObjectMapper()
+        val rootNode = mapper.createObjectNode()
+        rootNode.put("version", version)
+        val arr = rootNode.putArray("segments")
+        fresh.foreach { s =>
+          val n = arr.addObject(); n.put("shard", s.shard); n.put("file", s.file)
+        }
+        val tmp = mDir.resolve(s".m-$version.json.tmp-${System.nanoTime()}")
+        Files.write(tmp, mapper.writeValueAsBytes(rootNode))
+        try {
+          Files.createLink(mDir.resolve(f"m-$version%010d.json"), tmp)
+          done = true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => // lost the race
+        } finally Files.deleteIfExists(tmp)
+      }
+    }
+  }
+
+  /** Stage + commit in one call — the single-writer convenience path. */
+  def appendSegment(project: String, store: String, shard: Int,
+      segmentName: String, records: Seq[LogRecord]): Unit =
+    commitSegments(project, store,
+      Seq(stageSegment(project, store, shard, segmentName, records)))
+
+  case class Segment(fileName: String, logicalName: String,
       minTime: Int, maxTime: Int, count: Long)
 
-  def listSegments(project: String, store: String, shard: Int): Seq[Segment] = {
-    val dir = shardDir(project, store, shard)
+  private def manifestFiles(project: String, store: String): Seq[String] = {
+    val dir = manifestDir(project, store)
     if (!Files.isDirectory(dir)) return Seq.empty
     Files.list(dir).iterator().asScala
       .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".jsonl") && !n.startsWith("."))
-      .toSeq.sorted // zero-padded seq prefix ⇒ arrival order
-      .map { n =>
-        val parts = n.stripSuffix(".jsonl").split("-")
-        Segment(n, parts.head.toLong,
-          parts.slice(1, parts.length - 3).mkString("-"),
-          parts(parts.length - 3).toInt, parts(parts.length - 2).toInt,
-          parts.last.toLong)
-      }
+      .filter(n => n.startsWith("m-") && n.endsWith(".json"))
+      .toSeq.sorted // zero-padded version ⇒ commit order
   }
+
+  private def currentVersion(project: String, store: String): Long =
+    manifestFiles(project, store)
+      .map(_.stripPrefix("m-").stripSuffix(".json").toLong)
+      .maxOption.getOrElse(0L)
+
+  /** All committed (shard, file) pairs in commit order. */
+  private def committedEntries(project: String, store: String): Seq[(Int, String)] = {
+    val mDir = manifestDir(project, store)
+    val mapper = new ObjectMapper()
+    manifestFiles(project, store).flatMap { m =>
+      val tree = mapper.readTree(Files.readAllBytes(mDir.resolve(m)))
+      tree.get("segments").elements().asScala.map { n =>
+        (n.get("shard").asInt(), n.get("file").asText())
+      }.toSeq
+    }
+  }
+
+  private def committedSet(project: String, store: String): Set[(Int, String)] =
+    committedEntries(project, store).toSet
+
+  private def committedFile(project: String, store: String, shard: Int,
+      logicalName: String): Option[String] =
+    committedEntries(project, store).collectFirst {
+      case (s, f) if s == shard && f.startsWith(logicalName + "-") &&
+        parseSegment(f).logicalName == logicalName => f
+    }
+
+  private def parseSegment(fileName: String): Segment = {
+    val parts = fileName.stripSuffix(".jsonl").split("-")
+    Segment(fileName, parts.dropRight(3).mkString("-"),
+      parts(parts.length - 3).toInt, parts(parts.length - 2).toInt,
+      parts.last.toLong)
+  }
+
+  /** A shard's committed segments in commit order — the record sequence
+    * cursors index into. Pure function of the manifest log: stable under
+    * concurrent writers and racing readers. */
+  def listSegments(project: String, store: String, shard: Int): Seq[Segment] =
+    committedEntries(project, store)
+      .collect { case (s, f) if s == shard => parseSegment(f) }
 
   /** Total records in a shard = END cursor ordinal. */
   def shardEnd(project: String, store: String, shard: Int): Long =

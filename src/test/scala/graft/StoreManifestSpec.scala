@@ -1,0 +1,75 @@
+package graft
+
+import graft.store.{EmbeddedLogStore, LogRecord}
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+class StoreManifestSpec extends AnyFunSuite {
+
+  private def rec(t: Int) =
+    LogRecord(t, "", "", Map.empty, Map("k" -> t.toString))
+  private def newStore() = {
+    val root = Files.createTempDirectory("graft-manifest").toString
+    val s = new EmbeddedLogStore(root)
+    s.createStore("proj", "logs", 2)
+    s
+  }
+
+  test("staged segments are invisible until the manifest commit") {
+    val s = newStore()
+    val st0 = s.stageSegment("proj", "logs", 0, "a", Seq(rec(1), rec(2)))
+    val st1 = s.stageSegment("proj", "logs", 1, "b", Seq(rec(3)))
+    assert(s.listSegments("proj", "logs", 0).isEmpty)
+    assert(s.shardEnd("proj", "logs", 1) === 0L)
+    s.commitSegments("proj", "logs", Seq(st0, st1))
+    assert(s.shardEnd("proj", "logs", 0) === 2L)
+    assert(s.shardEnd("proj", "logs", 1) === 1L)
+    assert(s.read("proj", "logs", 0, 0, 2).map(_._2.time).toSeq === Seq(1, 2))
+  }
+
+  test("recommitting the same staged set is a no-op (epoch replay)") {
+    val s = newStore()
+    val st = s.stageSegment("proj", "logs", 0, "e1", Seq(rec(1)))
+    s.commitSegments("proj", "logs", Seq(st))
+    // replay: re-stage the same logical segment, commit again
+    val st2 = s.stageSegment("proj", "logs", 0, "e1", Seq(rec(1)))
+    s.commitSegments("proj", "logs", Seq(st2))
+    assert(s.shardEnd("proj", "logs", 0) === 1L)
+    assert(s.listSegments("proj", "logs", 0).size === 1)
+  }
+
+  test("a replayed logical segment may not change shape once committed") {
+    val s = newStore()
+    s.appendSegment("proj", "logs", 0, "e1", Seq(rec(1), rec(2)))
+    val e = intercept[IllegalArgumentException] {
+      s.stageSegment("proj", "logs", 0, "e1", Seq(rec(1)))
+    }
+    assert(e.getMessage.contains("committed as"))
+  }
+
+  test("racing committers all land, with distinct manifest versions") {
+    val s = newStore()
+    val n = 16
+    val staged = (0 until n).map(i =>
+      s.stageSegment("proj", "logs", i % 2, s"t$i", Seq(rec(i))))
+    val threads = staged.map { st =>
+      new Thread(() => s.commitSegments("proj", "logs", Seq(st)))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(s.shardEnd("proj", "logs", 0) + s.shardEnd("proj", "logs", 1) === n.toLong)
+    // every segment exactly once, ordinals stable across re-listing
+    val l0 = s.listSegments("proj", "logs", 0).map(_.fileName)
+    assert(l0.distinct.size === l0.size)
+    assert(l0 === s.listSegments("proj", "logs", 0).map(_.fileName))
+  }
+
+  test("ordinals of earlier commits never move as later commits land") {
+    val s = newStore()
+    s.appendSegment("proj", "logs", 0, "first", Seq(rec(10), rec(11)))
+    val before = s.read("proj", "logs", 0, 0, 2).toSeq.map { case (o, r) => (o, r.time) }
+    s.appendSegment("proj", "logs", 0, "second", Seq(rec(5)))
+    val after = s.read("proj", "logs", 0, 0, 2).toSeq.map { case (o, r) => (o, r.time) }
+    assert(before === after) // commit order, not time order or name order
+    assert(s.read("proj", "logs", 0, 2, 3).map(_._2.time).toSeq === Seq(5))
+  }
+}
