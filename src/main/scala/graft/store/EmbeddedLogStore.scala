@@ -250,16 +250,21 @@ class EmbeddedLogStore(root: String) extends Serializable {
     listSegments(project, store, shard).map(_.count).sum
 
   /** First ordinal whose record time >= t (for cursor-from-time);
-    * shardEnd if none. Scans record times only. */
+    * shardEnd if none. Segments whose embedded maxTime < t are skipped
+    * from the listing alone — only the first candidate segment onward
+    * is actually scanned. */
   def cursorAtTime(project: String, store: String, shard: Int, t: Int): Long = {
     var ordinal = 0L
     val mapper = new ObjectMapper()
     listSegments(project, store, shard).foreach { seg =>
-      val lines = Files.readAllLines(
-        shardDir(project, store, shard).resolve(seg.fileName)).asScala
-      lines.foreach { line =>
-        if (mapper.readTree(line).get("time").asInt() >= t) return ordinal
-        ordinal += 1
+      if (seg.maxTime < t) ordinal += seg.count
+      else {
+        val lines = Files.readAllLines(
+          shardDir(project, store, shard).resolve(seg.fileName)).asScala
+        lines.foreach { line =>
+          if (mapper.readTree(line).get("time").asInt() >= t) return ordinal
+          ordinal += 1
+        }
       }
     }
     ordinal
@@ -338,13 +343,18 @@ class EmbeddedLogStore(root: String) extends Serializable {
 
   /** Exact per-shard record count with time in [fromT, untilT) — the
     * histogram primitive behind admission control (reference O4,
-    * LoghubOffsetReader.scala:155-220; ours is exact, not bucketed). */
+    * LoghubOffsetReader.scala:155-220; ours is exact, not bucketed).
+    * Segments fully inside the range are counted from their embedded
+    * metadata; fully outside are skipped — only boundary-straddling
+    * segments are scanned. */
   def countInTimeRange(project: String, store: String, shard: Int,
       fromT: Int, untilT: Int): Long = {
     val mapper = new ObjectMapper()
     val dir = shardDir(project, store, shard)
     listSegments(project, store, shard).map { seg =>
-      Files.readAllLines(dir.resolve(seg.fileName)).asScala.count { line =>
+      if (seg.minTime >= untilT || seg.maxTime < fromT) 0L
+      else if (seg.minTime >= fromT && seg.maxTime < untilT) seg.count
+      else Files.readAllLines(dir.resolve(seg.fileName)).asScala.count { line =>
         val t = mapper.readTree(line).get("time").asInt()
         t >= fromT && t < untilT
       }.toLong
