@@ -42,7 +42,8 @@ object Relational {
     "q14_json_extract" -> q14,
     "q15_cube" -> q15,
     "q16_except" -> q16,
-    "q17_sessionize" -> q17
+    "q17_sessionize" -> q17,
+    "q18_asof_join" -> q18
   )
 
   /** TPC-H Q1-style pricing summary: partial+final hash agg, no shuffle of
@@ -271,6 +272,27 @@ object Relational {
         sum(col("duration_us")).as("total_session_us"))
   }
 
+  /** As-of join: each purchase picks up the latest view at-or-before its
+    * timestamp, per user (graft.operators.AsOfJoin — single
+    * shuffle+sort, no range-join blowup). Right side is pre-aggregated
+    * to one row per (user, ts) so the carried row is deterministic.
+    * DuckDB oracle uses its native ASOF JOIN (same inclusive-<=
+    * semantics). */
+  private def q18: Q = (spark, dir) => {
+    val ev = t(spark, dir, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), expr("ts DIV 1000").as("v_ts"))
+      .agg(max(col("value")).as("v_value"))
+      .select(col("user_id"), col("v_ts").as("ats"), col("v_ts"), col("v_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ats"),
+        expr("ts DIV 1000").as("p_ts"))
+    graft.operators.AsOfJoin.asOfInner(purchases, views, "user_id", "ats",
+        Seq("v_ts", "v_value"), nullMarker = "v_ts")
+      .select(col("user_id"), col("event_id"), col("p_ts"), col("v_ts"),
+        col("v_value"))
+  }
+
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -391,6 +413,14 @@ object Relational {
         |  ON v.user_id = p.p_user AND p.p_ts > v.v_ts
         |  AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR
         |GROUP BY v.user_id""".stripMargin,
+    "q18_asof_join" ->
+      """WITH v AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS v_ts,
+        |             MAX(value) AS v_value
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS p_ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id, p.p_ts, v.v_ts, v.v_value
+        |FROM p ASOF JOIN v ON p.user_id = v.user_id AND v.v_ts <= p.p_ts""".stripMargin,
     "q14_json_extract" ->
       """SELECT event_type,
         | CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(k) AS n_k,
