@@ -136,14 +136,19 @@ object Relational {
         count(lit(1)).as("n_rows"))
   }
 
-  /** Ranking window: top-5 line items per return flag, total tie-break. */
+  /** Ranking window: top-5 line items per return flag, total tie-break.
+    * Via TopK.perKey — local sort + streaming per-partition prune, so
+    * the global window sees ≤ partitions×keys×5 rows instead of every
+    * row shuffling onto 3 reducers (the explicit select keeps column
+    * pruning at the scan despite the typed prune stage). */
   private def q7: Q = (spark, dir) => {
     val li = t(spark, dir, "lineitem")
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
-    li.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select(col("l_returnflag"), col("rn"), col("l_orderkey"),
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+    graft.operators.TopK.perKey(li, Seq("l_returnflag"),
+        Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")),
+        k = 5)
+      .select(col("l_returnflag"), col("rank").as("rn"), col("l_orderkey"),
         col("l_linenumber"), col("l_extendedprice"))
   }
 
