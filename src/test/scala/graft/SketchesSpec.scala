@@ -76,6 +76,24 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(rank - 0.5 * n) <= 0.03 * n, s"p50=$merged rank=$rank n=$n")
   }
 
+  test("SQL surface matches the Column API") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    events.createOrReplaceTempView("ev_sql")
+    val viaSql = spark.sql(
+      """SELECT hll_estimate(hll_build(user_id)) AS est,
+        |       kll_quantile(kll_build(CAST(value AS DOUBLE)), 0.5) AS p50,
+        |       rolling_hash('abc') AS rh
+        |FROM ev_sql""".stripMargin).head()
+    val viaCols = events.agg(
+      hll_estimate(hll_build(col("user_id"))).as("est"),
+      kll_quantile(kll_build(col("value").cast("double")), 0.5).as("p50"))
+      .head()
+    assert(viaSql.getLong(0) === viaCols.getLong(0))
+    assert(viaSql.getDouble(1) === viaCols.getDouble(1))
+    assert(viaSql.getLong(2) ===
+      graft.functions.RollingHash.hashBytes("abc".getBytes("UTF-8")))
+  }
+
   test("kll total weight equals ingested count") {
     val skBytes = lineitem.limit(10000)
       .agg(kll_build(col("l_quantity").cast("double"))).head()
