@@ -164,10 +164,57 @@ object Dedup {
           b => xxhash64(b, slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand))))))
       .toDF("doc_id", "band_idx", "band_hash")
 
-  /** MinHash-LSH near-dup pairs: band-bucket candidates → exact verify. */
+  /** (doc_id, band_idx, band_hash) LSH bucket rows computed in ONE typed
+    * pass per document — shingle → fnv64 → k permutation mins → band
+    * hashes, all inside the row mapper. Nothing shuffles but the
+    * |docs|×bands output; the column-expression pipeline (shingle
+    * explode → 128 min aggregates) shuffles the full inverted index
+    * first (1.3 s vs ~0.4 s at sf0.1). Permutations are
+    * splitmix64(base + i); band hash mixes the 4 mins of each band. */
+  def minHashBandsFromDocs(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = ShingleN
+    val k = NumPerms; val bands = Bands; val rpb = RowsPerBand
+    docs.select(col("doc_id").cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.trim.toLowerCase.split("\\s+")
+        if (t.length < n) Iterator.empty
+        else {
+          val mins = Array.fill(k)(Long.MaxValue)
+          val seen = new java.util.HashSet[Long]()
+          t.sliding(n).foreach { w =>
+            val base = fnv64(w.mkString(" "))
+            if (seen.add(base)) {
+              var i = 0
+              while (i < k) {
+                val h = splitmix64(base + i)
+                if (h < mins(i)) mins(i) = h
+                i += 1
+              }
+            }
+          }
+          (0 until bands).iterator.map { b =>
+            var bh = 0xcbf29ce484222325L
+            var j = 0
+            while (j < rpb) {
+              bh = splitmix64(bh ^ mins(b * rpb + j)); j += 1
+            }
+            (id, b, bh)
+          }
+        }
+      }
+      .toDF("doc_id", "band_idx", "band_hash")
+  }
+
+  /** MinHash-LSH near-dup pairs: band-bucket candidates → exact verify.
+    * Signatures/bands come from the one-pass mapper (no inverted-index
+    * shuffle on the sketch side); the shingle table is built only for
+    * exact candidate verification. */
   def minHashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = docShingleHashes(docs).cache()
-    val buckets = lshBuckets(minHashSignatures(sh))
+    val buckets = minHashBandsFromDocs(docs)
     val a = buckets.as("a"); val b = buckets.as("b")
     val candidates = a.join(b,
         col("a.band_idx") === col("b.band_idx") &&

@@ -56,14 +56,18 @@ object ConnectorQueries {
   }
 
   /** Default-schema path: schema-on-read from the __value__ JSON column
-    * (reference T4 semantics, LoghubSourceRDD.scala:154-176). */
+    * (reference T4 semantics, LoghubSourceRDD.scala:154-176). One
+    * from_json parse per row instead of a get_json_object per extracted
+    * field (3 full JSON parses → 1). */
   private def c2: Q = (spark, dir) => {
     val opts = ingest(spark, dir, 2)
     spark.read.format("graft-logstore").options(opts).load()
+      .select(from_json(col("__value__"), StructType.fromDDL(
+        "event_type STRING, value STRING, user_id STRING")).as("j"))
       .select(
-        get_json_object(col("__value__"), "$.event_type").as("event_type"),
-        get_json_object(col("__value__"), "$.value").cast(DoubleType).as("value"),
-        get_json_object(col("__value__"), "$.user_id").cast(LongType).as("user_id"))
+        col("j.event_type").as("event_type"),
+        col("j.value").cast(DoubleType).as("value"),
+        col("j.user_id").cast(LongType).as("user_id"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         dsum6(col("value")).as("sum_value"),
