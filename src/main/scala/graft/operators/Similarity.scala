@@ -49,33 +49,50 @@ object Similarity {
     * Cell assignment and probing are pure codegen'd column math. */
   def ivfKnn(emb: DataFrame, queries: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.Column
-    val centroids: Array[Seq[Double]] = emb.orderBy(col("vec_id")).limit(nCells)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids: Array[Array[Double]] = emb.orderBy(col("vec_id")).limit(nCells)
       .select(VF.toDoubleVec(col("embedding")).as("v")).collect()
       .map { r =>
-        val v = r.getSeq[Double](0)
+        val v = r.getSeq[Double](0).toArray
         val n = math.sqrt(v.map(x => x * x).sum)
         v.map(_ / n)
       }
-    def centSims(v: Column): Column =
-      array(centroids.map(c => VF.dot(v, typedLit(c))): _*)
-    // 1-based index of the best cell; ties resolve to the first max
-    def cellOf(v: Column): Column =
-      array_position(centSims(v), array_max(centSims(v)))
+    // centroid sims in a fused loop (the column-HOF form materializes 16
+    // arrays per row); ties resolve to the first max, matching the
+    // previous array_position(array_max) formulation
+    def cSims(v: Array[Double]): Array[Double] = {
+      val out = new Array[Double](centroids.length)
+      var c = 0
+      while (c < centroids.length) {
+        var acc = 0.0; var i = 0
+        val cv = centroids(c)
+        while (i < v.length) { acc += v(i) * cv(i); i += 1 }
+        out(c) = acc; c += 1
+      }
+      out
+    }
 
-    val corpus = emb.select(col("vec_id"), VF.toDoubleVec(col("embedding")).as("v"))
-      .withColumn("cell", cellOf(col("v")))
-    // each query probes its nProbe closest cells
-    val q = queries
-      .select(col("vec_id").as("query_id"), VF.toDoubleVec(col("embedding")).as("qv"))
-      .select(col("query_id"), col("qv"), posexplode(centSims(col("qv"))))
-      .toDF("query_id", "qv", "cell0", "csim")
-      .withColumn("cell", col("cell0") + 1)
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("csim").desc, col("cell"))
-    val probed = q.withColumn("probe_rank", row_number().over(probeW))
-      .filter(col("probe_rank") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cell"))
+    val corpus = emb.select(col("vec_id").cast("long"),
+        VF.toDoubleVec(col("embedding")))
+      .as[(Long, Seq[Double])]
+      .map { case (id, vec) =>
+        val sims = cSims(vec.toArray)
+        var best = 0; var c = 1
+        while (c < sims.length) { if (sims(c) > sims(best)) best = c; c += 1 }
+        (id, vec, best + 1)
+      }
+      .toDF("vec_id", "v", "cell")
+    // each query probes its nProbe closest cells (desc sim, asc cell)
+    val probed = queries.select(col("vec_id").cast("long"),
+        VF.toDoubleVec(col("embedding")))
+      .as[(Long, Seq[Double])]
+      .flatMap { case (id, vec) =>
+        val sims = cSims(vec.toArray)
+        sims.indices.sortBy(c => (-sims(c), c)).take(nProbe)
+          .map(c => (id, vec, c + 1))
+      }
+      .toDF("query_id", "qv", "cell")
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
