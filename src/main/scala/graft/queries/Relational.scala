@@ -181,12 +181,37 @@ object Relational {
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
   }
 
-  /** Rollup over (returnflag, linestatus) with exact sums. */
+  /** Rollup over (returnflag, linestatus) with exact sums — derived
+    * from the finest-grain base aggregate instead of `rollup()`:
+    * Catalyst's Expand multiplies every input row by the number of
+    * grouping sets BEFORE partial aggregation; re-aggregating the
+    * 6-row base is the same answer (decimal sums are associative,
+    * counts are longs) for one pass over the data. */
   private def q11: Q = (spark, dir) => {
     val li = t(spark, dir, "lineitem")
-    li.rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n_rows"), dsum2(col("l_quantity")).as("sum_qty"))
+    val base = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).as("s"))
+      .cache()
+    rollupLevels(base, Seq("l_returnflag", "l_linestatus"),
+      Seq(Seq("l_returnflag", "l_linestatus"), Seq("l_returnflag"), Seq()))
   }
+
+  /** Re-aggregate a (keys, n, s) base to the given grouping sets,
+    * null-padding dropped keys; output (keys..., n_rows, sum_qty). */
+  private def rollupLevels(base: DataFrame, keys: Seq[String],
+      sets: Seq[Seq[String]]): DataFrame =
+    sets.map { set =>
+      val grouped =
+        if (set.isEmpty) base.agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+        else base.groupBy(set.map(col): _*)
+          .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+      grouped.select(
+        keys.map(k => (if (set.contains(k)) col(k)
+          else lit(null).cast("string").as(k))) ++
+        Seq(col("n").as("n_rows"),
+          col("s").cast(DoubleType).as("sum_qty")): _*)
+    }.reduce(_.unionByName(_))
 
   /** Event-time tumbling window over the stream stand-in table (reference
     * watermark+window test, LoghubMicroBatchSourceSuite.scala:381-424).
@@ -232,11 +257,17 @@ object Relational {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
   }
 
-  /** Cube over (returnflag, linestatus) — all 4 grouping combinations. */
+  /** Cube over (returnflag, linestatus) — all 4 grouping combinations,
+    * derived from the same one-pass base aggregate as q11. */
   private def q15: Q = (spark, dir) => {
     val li = t(spark, dir, "lineitem")
-    li.cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n_rows"), dsum2(col("l_quantity")).as("sum_qty"))
+    val base = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).as("s"))
+      .cache()
+    rollupLevels(base, Seq("l_returnflag", "l_linestatus"),
+      Seq(Seq("l_returnflag", "l_linestatus"), Seq("l_returnflag"),
+        Seq("l_linestatus"), Seq()))
   }
 
   /** Set difference: customer keys that never placed a high-priority
