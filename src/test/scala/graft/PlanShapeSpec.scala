@@ -44,4 +44,29 @@ class PlanShapeSpec extends AnyFunSuite {
     // partial agg appears below the exchange: two HashAggregate nodes
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("d5: exact embedding pairs avoid the nested-loop join") {
+    val p = plan("d5_dedup_embedding")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q18: as-of join is a window over one shuffle, not a range join") {
+    val p = plan("q18_asof_join")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q11: rollup levels re-aggregate the base, no Expand of raw rows") {
+    val p = plan("q11_rollup")
+    assert(!p.contains("Expand"), p)
+  }
+
+  test("q7: the global window runs over locally pruned input") {
+    // the prune stage (typed mapPartitions) must sit below the window
+    val p = plan("q7_rank_window")
+    assert(p.contains("Window"), p)
+    assert(p.contains("MapPartitions") || p.contains("mapPartitions"), p)
+  }
 }
