@@ -20,7 +20,8 @@ object ConnectorQueries {
 
   def queries: Map[String, Q] = Map(
     "c1_logstore_roundtrip" -> c1,
-    "c2_logstore_json_value" -> c2
+    "c2_logstore_json_value" -> c2,
+    "c3_stream_hourly" -> c3
   )
 
   private def ingest(spark: SparkSession, dir: String, shards: Int): Map[String, String] = {
@@ -74,6 +75,40 @@ object ConnectorQueries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** End-to-end STREAMING path on the oracle gate: micro-batch read from
+    * the store (Trigger.AvailableNow), stateful hourly aggregation in
+    * Update mode, logstore sink (Update-as-append: the log keeps the
+    * update history), then reconcile by key. Counts are monotone across
+    * Update emissions, so max(n_events) per key is the final value —
+    * deterministic regardless of how many triggers AvailableNow splits
+    * the backlog into. Any loss/duplication in source offsets, sink
+    * commits, or state recovery breaks the hash against DuckDB's batch
+    * answer over the original parquet. */
+  private def c3: Q = (spark, dir) => {
+    val srcOpts = ingest(spark, dir, 2)
+    val dstRoot = Files.createTempDirectory("graft-logstore-c3").toString
+    new EmbeddedLogStore(dstRoot).createStore("proj", "hourly", 1)
+    val dstOpts = Map("store.root" -> dstRoot, "store.project" -> "proj",
+      "store.name" -> "hourly")
+    val ckpt = Files.createTempDirectory("graft-c3-ckpt").toString
+    val hourly = spark.readStream.format("graft-logstore").options(srcOpts)
+      .schema("event_type STRING, __time__ TIMESTAMP").load()
+      .select(col("event_type"),
+        expr("CAST(__time__ AS LONG) DIV 3600 * 3600").as("hour_start"))
+      .groupBy(col("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = hourly.writeStream.format("graft-logstore").options(dstOpts)
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    spark.read.format("graft-logstore").options(dstOpts)
+      .schema("hour_start LONG, event_type STRING, n_events LONG").load()
+      .groupBy(col("hour_start"), col("event_type"))
+      .agg(max(col("n_events")).as("n_events"))
+  }
+
   def oracles: Map[String, String] = Map(
     "c1_logstore_roundtrip" ->
       """SELECT event_type, COUNT(*) AS n_events,
@@ -86,6 +121,10 @@ object ConnectorQueries {
       """SELECT event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
         | COUNT(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+    "c3_stream_hourly" ->
+      """SELECT CAST(epoch_us(ts) // 1000000 // 3600 * 3600 AS BIGINT) AS hour_start,
+        | event_type, COUNT(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin
   )
 }
