@@ -15,7 +15,9 @@ object MultimodalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  def queries: Map[String, Q] = Map("m1_binary_assets" -> m1)
+  def queries: Map[String, Q] = Map(
+    "m1_binary_assets" -> m1,
+    "m2_frame_sample" -> m2)
 
   /** Binary asset stats + round-trip through fixed-size chunking: chunk
     * count must match octet math and reassembled digests must equal the
@@ -35,6 +37,32 @@ object MultimodalQueries {
       .join(chunked, "asset_id")
   }
 
+  /** Video-style frame sampling through Multimodal.stubSampleFrames
+    * (every 3rd fixed-size frame) in a typed per-batch pass — the real
+    * pipeline shape for frame extraction; the deterministic byte math
+    * (frame counts, first-sampled-frame digest) is what the oracle
+    * pins. Assets shorter than one frame yield zero frames and a null
+    * digest. */
+  private def m2: Q = (spark, dir) => {
+    import spark.implicits._
+    val frameBytes = 128
+    val everyK = 3
+    t(spark, dir, "documents")
+      .select(col("doc_id").cast("long"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val frames = Multimodal.stubSampleFrames(payload, frameBytes, everyK)
+        val digest = frames.headOption.map { f =>
+          f.map("%02x".format(_)).mkString
+        }.orNull
+        (id, payload.length / frameBytes, frames.length, digest)
+      }
+      .toDF("asset_id", "n_frames", "n_sampled", "first_frame_hex")
+      .select(col("asset_id"), col("n_frames").cast("long").as("n_frames"),
+        col("n_sampled").cast("long").as("n_sampled"), col("first_frame_hex"))
+  }
+
   def oracles: Map[String, String] = Map(
     "m1_binary_assets" ->
       """SELECT doc_id AS asset_id,
@@ -42,6 +70,13 @@ object MultimodalQueries {
         | md5(text) AS digest,
         | CAST((octet_length(encode(text)) - 1) // 256 + 1 AS BIGINT) AS n_chunks,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes_chunked
+        |FROM documents""".stripMargin,
+    "m2_frame_sample" ->
+      """SELECT doc_id AS asset_id,
+        | CAST(octet_length(encode(text)) // 128 AS BIGINT) AS n_frames,
+        | CAST((octet_length(encode(text)) // 128 + 2) // 3 AS BIGINT) AS n_sampled,
+        | CASE WHEN octet_length(encode(text)) >= 128
+        |      THEN lower(substring(hex(encode(text)), 1, 256)) END AS first_frame_hex
         |FROM documents""".stripMargin
   )
 }
