@@ -43,7 +43,10 @@ object Relational {
     "q15_cube" -> q15,
     "q16_except" -> q16,
     "q17_sessionize" -> q17,
-    "q18_asof_join" -> q18
+    "q18_asof_join" -> q18,
+    "q19_intersect" -> q19,
+    "q20_window_suite" -> q20,
+    "q21_pivot" -> q21
   )
 
   /** TPC-H Q1-style pricing summary: partial+final hash agg, no shuffle of
@@ -329,6 +332,48 @@ object Relational {
         col("v_value"))
   }
 
+  /** Set intersection: customers active in both 1996 and 1997
+    * (INTERSECT = distinct). */
+  private def q19: Q = (spark, dir) => {
+    val o = t(spark, dir, "orders")
+    def active(y: String, y1: String) =
+      o.filter(col("o_orderdate") >= lit(s"$y-01-01 00:00:00").cast(TimestampType))
+        .filter(col("o_orderdate") < lit(s"$y1-01-01 00:00:00").cast(TimestampType))
+        .select(col("o_custkey").as("custkey"))
+    active("1996", "1997").intersect(active("1997", "1998"))
+  }
+
+  /** Analytic-window suite over one sorted pass: lag/lead, dense_rank,
+    * ntile, cume_dist per customer's order history (all exact: integer
+    * ranks and a single int/int division for cume_dist). Restricted to
+    * a deterministic total order. */
+  private def q20: Q = (spark, dir) => {
+    val o = t(spark, dir, "orders")
+    // ordering by epoch seconds ≡ ordering by o_orderdate (monotone)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("order_s"), col("o_orderkey"))
+    o.filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        epochS(col("o_orderdate")).as("order_s"))
+      .withColumn("prev_s", lag(col("order_s"), 1).over(w))
+      .withColumn("next_s", lead(col("order_s"), 1).over(w))
+      .withColumn("dr", dense_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("cd", cume_dist().over(w))
+  }
+
+  /** Pivot: per-user event counts spread into one column per event
+    * type — Spark's relational pivot re-expressed as conditional
+    * aggregation so the oracle is engine-neutral ANSI. */
+  private def q21: Q = (spark, dir) => {
+    val ev = t(spark, dir, "events")
+    val types = Seq("view", "click", "purchase")
+    ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_total"),
+        types.map(tp => sum(when(col("event_type") === tp, 1L).otherwise(0L))
+          .as(s"n_$tp")): _*)
+  }
+
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -449,6 +494,30 @@ object Relational {
         |  ON v.user_id = p.p_user AND p.p_ts > v.v_ts
         |  AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR
         |GROUP BY v.user_id""".stripMargin,
+    "q19_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'""".stripMargin,
+    "q20_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(epoch(o_orderdate) AS BIGINT) AS order_s,
+        | lag(CAST(epoch(o_orderdate) AS BIGINT)) OVER w AS prev_s,
+        | lead(CAST(epoch(o_orderdate) AS BIGINT)) OVER w AS next_s,
+        | CAST(dense_rank() OVER w AS INT) AS dr,
+        | CAST(ntile(4) OVER w AS INT) AS quartile,
+        | cume_dist() OVER w AS cd
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q21_pivot" ->
+      """SELECT user_id, COUNT(*) AS n_total,
+        | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        | CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        | CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+        |FROM events GROUP BY user_id""".stripMargin,
     "q18_asof_join" ->
       """WITH v AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS v_ts,
         |             MAX(value) AS v_value
