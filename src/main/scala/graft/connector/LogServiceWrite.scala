@@ -50,7 +50,10 @@ class LogBatchWrite(schema: StructType, opts: LogServiceOptions,
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     opts.newStore.commitSegments(opts.project, opts.store,
       messages.toSeq.flatMap(_.asInstanceOf[LogCommitMessage].staged))
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    opts.newStore.discardStaged(opts.project, opts.store,
+      messages.toSeq.filter(_ != null)
+        .flatMap(_.asInstanceOf[LogCommitMessage].staged))
 }
 
 class LogStreamingWrite(schema: StructType, opts: LogServiceOptions)
@@ -60,7 +63,10 @@ class LogStreamingWrite(schema: StructType, opts: LogServiceOptions)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     opts.newStore.commitSegments(opts.project, opts.store,
       messages.toSeq.flatMap(_.asInstanceOf[LogCommitMessage].staged))
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    opts.newStore.discardStaged(opts.project, opts.store,
+      messages.toSeq.filter(_ != null)
+        .flatMap(_.asInstanceOf[LogCommitMessage].staged))
 }
 
 case class LogCommitMessage(staged: Seq[graft.store.StagedSegment])

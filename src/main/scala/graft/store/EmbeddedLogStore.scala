@@ -192,6 +192,16 @@ class EmbeddedLogStore(root: String) extends Serializable {
     commitSegments(project, store,
       Seq(stageSegment(project, store, shard, segmentName, records)))
 
+  /** Delete staged-but-uncommitted segment files (an aborted job's
+    * leftovers). Committed files are never touched. */
+  def discardStaged(project: String, store: String,
+      staged: Seq[StagedSegment]): Unit = {
+    val committed = committedSet(project, store)
+    staged.filterNot(s => committed.contains((s.shard, s.file))).foreach { s =>
+      Files.deleteIfExists(shardDir(project, store, s.shard).resolve(s.file))
+    }
+  }
+
   case class Segment(fileName: String, logicalName: String,
       minTime: Int, maxTime: Int, count: Long)
 
