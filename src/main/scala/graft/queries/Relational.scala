@@ -236,14 +236,15 @@ object Relational {
   private def q13: Q = (spark, dir) => {
     val ev = t(spark, dir, "events")
     // µs-truncated epoch longs: exact integer interval arithmetic, at the
-    // same precision DuckDB reads the nanos parquet column with.
+    // same precision DuckDB reads the nanos parquet column with. Bucketed
+    // interval join (RangeJoin) keeps hot users from exploding into
+    // per-lifetime cross products.
     val v = ev.filter(col("event_type") === "view")
       .select(col("user_id"), expr("ts DIV 1000").as("v_ts"))
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), expr("ts DIV 1000").as("p_ts"))
-    v.join(p, col("user_id") === col("p_user") &&
-        col("p_ts") > col("v_ts") &&
-        col("p_ts") <= col("v_ts") + lit(3600L * 1000 * 1000))
+    graft.operators.RangeJoin.intervalJoin(v, p, "user_id", "p_user",
+        "v_ts", "p_ts", lo = 0L, hi = 3600L * 1000 * 1000)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_conversions"))
   }
