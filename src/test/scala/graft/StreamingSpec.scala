@@ -249,6 +249,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Map(1 -> 3, 2 -> 2, 3 -> 1))
   }
 
+  test("append mode drops late data beyond the watermark") {
+    val srcRoot = freshRoot(); val dstRoot = freshRoot()
+    new EmbeddedLogStore(srcRoot).createStore("proj", "logs", 1)
+    new EmbeddedLogStore(dstRoot).createStore("proj", "out", 1)
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    def run(): Unit = {
+      val agg = streamDf(srcRoot)
+        .withWatermark("__time__", "10 seconds")
+        .groupBy(window(col("__time__"), "5 seconds"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("long").cast("string").as("ws"),
+          col("n").cast("string").as("n"),
+          col("window.start").as("__time__"))
+      val q = agg.writeStream.format("graft-logstore")
+        .option("store.root", dstRoot).option("store.project", "proj")
+        .option("store.name", "out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+    }
+    // window [0,5) gets 3 events; value 100 pushes the watermark to 90,
+    // finalizing [0,5)
+    addData(srcRoot, 0, "a", Seq(0, 1, 2, 100))
+    run()
+    // a LATE event for [0,5) (watermark is 90) plus a fresh one to
+    // finalize [100,105)
+    addData(srcRoot, 0, "b", Seq(3, 200))
+    run()
+    val out = spark.read.format("graft-logstore")
+      .option("store.root", dstRoot).option("store.project", "proj")
+      .option("store.name", "out").schema("ws LONG, n LONG").load()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // [0,5) emitted once with the pre-late count; the late row vanished
+    assert(out(1700000000L) === 3L)
+    assert(out(1700000100L) === 1L)
+  }
+
   test("streaming sink to logstore: epoch replay is idempotent") {
     val srcRoot = freshRoot(); val dstRoot = freshRoot()
     new EmbeddedLogStore(srcRoot).createStore("proj", "logs", 1)
