@@ -219,15 +219,59 @@ class EmbeddedLogStore(root: String) extends Serializable {
       .map(_.stripPrefix("m-").stripSuffix(".json").toLong)
       .maxOption.getOrElse(0L)
 
-  /** All committed (shard, file) pairs in commit order. */
+  /** All committed (shard, file) pairs in commit order. A checkpoint
+    * manifest (written by [[compactManifests]]) carries the full prefix
+    * folded in, so reading starts at the LAST checkpoint and folds only
+    * the delta manifests after it — O(commits since compaction), not
+    * O(all commits ever). */
   private def committedEntries(project: String, store: String): Seq[(Int, String)] = {
     val mDir = manifestDir(project, store)
     val mapper = new ObjectMapper()
-    manifestFiles(project, store).flatMap { m =>
-      val tree = mapper.readTree(Files.readAllBytes(mDir.resolve(m)))
+    val files = manifestFiles(project, store)
+    val trees = files.map(m =>
+      mapper.readTree(Files.readAllBytes(mDir.resolve(m))))
+    val lastCkpt = trees.lastIndexWhere(t =>
+      t.get("checkpoint") != null && t.get("checkpoint").asBoolean())
+    trees.drop(math.max(lastCkpt, 0)).flatMap { tree =>
       tree.get("segments").elements().asScala.map { n =>
         (n.get("shard").asInt(), n.get("file").asText())
       }.toSeq
+    }
+  }
+
+  /** Fold the whole manifest history into one checkpoint manifest at the
+    * next version (same optimistic link protocol as commits — safe under
+    * racing committers), then delete the superseded delta manifests.
+    * Readers that raced the deletion still see a consistent prefix:
+    * every entry they could read from the old manifests is in the
+    * checkpoint, in the same order. Run periodically (e.g. every ~1e3
+    * epochs) to bound per-trigger manifest reads. */
+  def compactManifests(project: String, store: String): Unit = {
+    val mDir = manifestDir(project, store)
+    if (!Files.isDirectory(mDir)) return
+    var done = false
+    while (!done) {
+      val folded = manifestFiles(project, store)
+      if (folded.isEmpty) return
+      val entries = committedEntries(project, store)
+      val version = currentVersion(project, store) + 1
+      val mapper = new ObjectMapper()
+      val rootNode = mapper.createObjectNode()
+      rootNode.put("version", version)
+      rootNode.put("checkpoint", true)
+      val arr = rootNode.putArray("segments")
+      entries.foreach { case (shard, file) =>
+        val n = arr.addObject(); n.put("shard", shard); n.put("file", file)
+      }
+      val tmp = mDir.resolve(s".m-$version.json.tmp-${System.nanoTime()}")
+      Files.write(tmp, mapper.writeValueAsBytes(rootNode))
+      try {
+        Files.createLink(mDir.resolve(f"m-$version%010d.json"), tmp)
+        done = true
+        folded.foreach(f => Files.deleteIfExists(mDir.resolve(f)))
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => // lost the race
+      } finally Files.deleteIfExists(tmp)
     }
   }
 

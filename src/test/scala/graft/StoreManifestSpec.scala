@@ -63,6 +63,26 @@ class StoreManifestSpec extends AnyFunSuite {
     assert(l0 === s.listSegments("proj", "logs", 0).map(_.fileName))
   }
 
+  test("manifest compaction preserves order, content, and later commits") {
+    val s = newStore()
+    (0 until 10).foreach(i =>
+      s.appendSegment("proj", "logs", 0, s"e$i", Seq(rec(i))))
+    val before = s.read("proj", "logs", 0, 0, 10).toSeq.map { case (o, r) => (o, r.time) }
+    s.compactManifests("proj", "logs")
+    assert(s.read("proj", "logs", 0, 0, 10).toSeq
+      .map { case (o, r) => (o, r.time) } === before)
+    // commits after compaction keep appending
+    s.appendSegment("proj", "logs", 0, "post", Seq(rec(99)))
+    assert(s.shardEnd("proj", "logs", 0) === 11L)
+    assert(s.read("proj", "logs", 0, 10, 11).map(_._2.time).toSeq === Seq(99))
+    // a second compaction folds the delta into the new checkpoint
+    s.compactManifests("proj", "logs")
+    assert(s.shardEnd("proj", "logs", 0) === 11L)
+    // replay of a pre-compaction epoch stays idempotent
+    s.appendSegment("proj", "logs", 0, "e3", Seq(rec(3)))
+    assert(s.shardEnd("proj", "logs", 0) === 11L)
+  }
+
   test("ordinals of earlier commits never move as later commits land") {
     val s = newStore()
     s.appendSegment("proj", "logs", 0, "first", Seq(rec(10), rec(11)))
