@@ -184,7 +184,15 @@ class EmbeddedLogStore(root: String) extends Serializable {
         } finally Files.deleteIfExists(tmp)
       }
     }
+    // long-running streams write one manifest per epoch: fold the
+    // history once the delta chain grows past the threshold so reader
+    // cost stays bounded without operator intervention
+    if (manifestFiles(project, store).size > AutoCompactThreshold)
+      compactManifests(project, store)
   }
+
+  /** Delta-manifest count that triggers auto-compaction on commit. */
+  val AutoCompactThreshold = 256
 
   /** Stage + commit in one call — the single-writer convenience path. */
   def appendSegment(project: String, store: String, shard: Int,

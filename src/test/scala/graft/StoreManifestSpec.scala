@@ -83,6 +83,17 @@ class StoreManifestSpec extends AnyFunSuite {
     assert(s.shardEnd("proj", "logs", 0) === 11L)
   }
 
+  test("auto-compaction bounds the manifest chain on many commits") {
+    val s = newStore()
+    val n = s.AutoCompactThreshold + 40
+    (0 until n).foreach(i =>
+      s.appendSegment("proj", "logs", 0, s"e$i", Seq(rec(i))))
+    assert(s.shardEnd("proj", "logs", 0) === n.toLong)
+    // content intact and ordered after the automatic fold
+    assert(s.read("proj", "logs", 0, 0, 3).map(_._2.time).toSeq === Seq(0, 1, 2))
+    assert(s.read("proj", "logs", 0, n - 1, n).map(_._2.time).toSeq === Seq(n - 1))
+  }
+
   test("ordinals of earlier commits never move as later commits land") {
     val s = newStore()
     s.appendSegment("proj", "logs", 0, "first", Seq(rec(10), rec(11)))
