@@ -94,10 +94,17 @@ class LogServiceTable(tableSchema: StructType, opts: LogServiceOptions)
   * pushdown only ever *removes I/O*, never changes semantics. */
 class LogScanBuilder(fullSchema: StructType, opts: LogServiceOptions)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit {
   private var prunedSchema: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var timeRange: Option[(Int, Int)] = None
+  private var limit: Option[Int] = None
+
+  /** LIMIT n caps each partition's ordinal range to its first n records
+    * (partial pushdown: Spark's own limit still runs above). Only safe
+    * when no residual time filter could exclude rows inside the cap —
+    * combined with a time range the cap is skipped at plan time. */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // preserve declared field order and metadata handling
@@ -146,15 +153,16 @@ class LogScanBuilder(fullSchema: StructType, opts: LogServiceOptions)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new LogScan(prunedSchema, opts, timeRange)
+  override def build(): Scan = new LogScan(prunedSchema, opts, timeRange, limit)
 }
 
 class LogScan(schema: StructType, opts: LogServiceOptions,
-    pushedTimeRange: Option[(Int, Int)] = None) extends Scan {
+    pushedTimeRange: Option[(Int, Int)] = None,
+    pushedLimit: Option[Int] = None) extends Scan {
   override def readSchema(): StructType = schema
   override def description(): String =
-    s"graft-logstore ${opts.project}#${opts.store} timeRange=$pushedTimeRange"
-  override def toBatch: Batch = new LogBatch(schema, opts, pushedTimeRange)
+    s"graft-logstore ${opts.project}#${opts.store} timeRange=$pushedTimeRange limit=$pushedLimit"
+  override def toBatch: Batch = new LogBatch(schema, opts, pushedTimeRange, pushedLimit)
   override def toMicroBatchStream(checkpointLocation: String) =
     new LogMicroBatchStream(schema, opts)
   override def toContinuousStream(checkpointLocation: String) =
@@ -170,7 +178,8 @@ case class LogInputPartition(project: String, store: String, shard: Int,
     timeRange: Option[(Int, Int)] = None) extends InputPartition
 
 class LogBatch(schema: StructType, opts: LogServiceOptions,
-    pushedTimeRange: Option[(Int, Int)] = None) extends Batch {
+    pushedTimeRange: Option[(Int, Int)] = None,
+    pushedLimit: Option[Int] = None) extends Batch {
 
   /** Intersect option-level [starttime, endtime) with pushed bounds. */
   private def effectiveTimeRange: Option[(Int, Int)] = {
@@ -193,9 +202,13 @@ class LogBatch(schema: StructType, opts: LogServiceOptions,
     val endOrds = OffsetRanges.resolve(store, opts, opts.endingOffsets,
       isStart = false, shards)
     val tr = effectiveTimeRange
+    // with a residual time filter the first-n ordinals may not be the
+    // first n MATCHING rows — the cap applies only to unfiltered scans
+    val cap = if (tr.isEmpty) pushedLimit else None
     shards.flatMap { s =>
       val from = startOrds.getOrElse(s.id, 0L)
-      val until = endOrds.getOrElse(s.id, 0L)
+      val until0 = endOrds.getOrElse(s.id, 0L)
+      val until = cap.map(n => math.min(until0, from + n)).getOrElse(until0)
       if (until <= from) Seq.empty
       else {
         val slices = math.min(opts.sliceShard.toLong, until - from).toInt

@@ -51,6 +51,30 @@ class PushdownSpec extends AnyFunSuite {
     assert(r.getLong(0) === 1700000120L && r.getLong(1) === 1700000229L)
   }
 
+  test("limit pushdown caps partition ranges; residual time filter disables it") {
+    val root = Files.createTempDirectory("graft-limit").toString
+    val store = new EmbeddedLogStore(root)
+    store.createStore("proj", "logs", 2)
+    (0 until 2).foreach(sh => store.appendSegment("proj", "logs", sh, "a",
+      (0 until 100).map(i => LogRecord(1700000000 + i, "", "", Map.empty,
+        Map("msg" -> i.toString)))))
+    def df = spark.read.format("graft-logstore")
+      .option("store.root", root).option("store.project", "proj")
+      .option("store.name", "logs").schema("msg INT, __time__ TIMESTAMP").load()
+    val limited = df.select("msg").limit(3)
+    assert(limited.count() === 3)
+    assert(limited.queryExecution.executedPlan.toString.contains("limit=Some(3)"))
+    // with a filter between limit and scan, Spark doesn't offer the
+    // limit to the source at all (and our cap would refuse it anyway
+    // when a time range is pushed) — matching rows stay reachable
+    val filtered = df.filter(col("__time__") >= lit("2023-11-14 22:14:30")
+        .cast("timestamp")).select("msg").limit(3)
+    assert(filtered.count() === 3)
+    assert(filtered.queryExecution.executedPlan.toString.contains("limit=None"))
+    assert(df.filter(col("__time__") >= lit("2023-11-14 22:14:30")
+      .cast("timestamp")).count() > 3)
+  }
+
   test("sliceshard multiplies partitions without changing results") {
     val ref = seeded()
     val df1 = LogServiceUtils.createBatchDF(spark, ref, Some(schema))
