@@ -158,10 +158,30 @@ class LogScanBuilder(fullSchema: StructType, opts: LogServiceOptions)
 
 class LogScan(schema: StructType, opts: LogServiceOptions,
     pushedTimeRange: Option[(Int, Int)] = None,
-    pushedLimit: Option[Int] = None) extends Scan {
+    pushedLimit: Option[Int] = None) extends Scan
+    with SupportsReportStatistics {
   override def readSchema(): StructType = schema
   override def description(): String =
     s"graft-logstore ${opts.project}#${opts.store} timeRange=$pushedTimeRange limit=$pushedLimit"
+
+  /** Exact row count from segment metadata (a manifest fold, no data
+    * reads) — lets Catalyst/AQE treat small stores as broadcast-able
+    * instead of assuming the default size. Bytes are estimated at a
+    * conservative 64 per record per projected column. */
+  override def estimateStatistics(): Statistics = {
+    val store = opts.newStore
+    val rows = store.listShards(opts.project, opts.store)
+      .map(s => store.shardEnd(opts.project, opts.store, s.id)).sum
+    val capped = pushedLimit.map(n => math.min(rows, n.toLong)).getOrElse(rows)
+    val bytes = capped * 64L * math.max(1, schema.fields.length)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(capped)
+    }
+  }
+
   override def toBatch: Batch = new LogBatch(schema, opts, pushedTimeRange, pushedLimit)
   override def toMicroBatchStream(checkpointLocation: String) =
     new LogMicroBatchStream(schema, opts)

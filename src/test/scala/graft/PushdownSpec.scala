@@ -75,6 +75,19 @@ class PushdownSpec extends AnyFunSuite {
       .cast("timestamp")).count() > 3)
   }
 
+  test("scan reports exact row-count statistics from segment metadata") {
+    val ref = seeded()
+    val df = LogServiceUtils.createBatchDF(spark, ref, Some(schema))
+    val stats = df.queryExecution.optimizedPlan.stats
+    // 2 shards x 3 segments x 50 records
+    assert(stats.rowCount.exists(_.toLong === 300L), stats)
+    // a small logstore joined to a big table plans as the broadcast side
+    val big = spark.range(100000).selectExpr("CAST(id % 1000 AS INT) AS msg")
+    val joined = big.join(df.select("msg"), "msg")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("sliceshard multiplies partitions without changing results") {
     val ref = seeded()
     val df1 = LogServiceUtils.createBatchDF(spark, ref, Some(schema))
