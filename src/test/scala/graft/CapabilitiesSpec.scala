@@ -63,6 +63,67 @@ class CapabilitiesSpec extends AnyFunSuite {
     spark.sql("DROP TABLE t_sink")
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    // the in-memory catalog forgets tables across JVMs but their
+    // warehouse locations persist — clear them for rerunnability
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val dir = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      if (dir.isDirectory) {
+        dir.listFiles().foreach(_.delete()); dir.delete()
+      }
+    }
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    // force the shuffle-vs-bucket decision to matter: without the
+    // broadcast shortcut, matching bucket layouts must elide BOTH
+    // shuffles of a sort-merge join
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_lineitem").join(spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(plan.contains("SortMergeJoin"), plan)
+      val expected = li.join(o, col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() === expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    spark.sql("DROP TABLE b_orders"); spark.sql("DROP TABLE b_lineitem")
+  }
+
+  test("native session_window streaming aggregation matches the batch gap logic") {
+    val root = Files.createTempDirectory("graft-sess").toString
+    val store = new EmbeddedLogStore(root)
+    store.createStore("proj", "logs", 1)
+    // user 1: events at 0,10,100 s (30s gap → two sessions: {0,10}, {100})
+    store.appendSegment("proj", "logs", 0, "a", Seq(0, 10, 100).map(t =>
+      LogRecord(1700000000 + t, "t", "s", Map.empty, Map("uid" -> "1"))))
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val q = spark.readStream.format("graft-logstore").options(opts(root))
+      .schema("uid INT, __time__ TIMESTAMP").load()
+      .withWatermark("__time__", "10 minutes")
+      .groupBy(session_window(col("__time__"), "30 seconds"), col("uid"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").cast("long").as("ss"), col("uid"), col("n"))
+      .writeStream.format("memory").queryName("t_sess").outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("t_sess").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows === Map(1700000000L -> 2L, 1700000100L -> 1L))
+  }
+
   test("salted join equals plain join on skewed keys") {
     val sf = "/root/testdata/sf0.001"
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
