@@ -100,6 +100,10 @@ object ConnectorQueries {
       "store.name" -> "hourly")
     val ckpt = Files.createTempDirectory("graft-c3-ckpt").toString
     val hourly = spark.readStream.format("graft-logstore").options(srcOpts)
+      // admission budget sized to drain the backlog in one trigger at
+      // bench scale; pacing across many triggers is covered by
+      // StreamingSpec and the reconciliation is trigger-count-agnostic
+      .option("maxoffsetspertrigger", "1000000")
       .schema("event_type STRING, __time__ TIMESTAMP").load()
       .select(col("event_type"),
         expr("CAST(__time__ AS LONG) DIV 3600 * 3600").as("hour_start"))
