@@ -31,7 +31,9 @@ object TextQueries {
     "t4_fingerprint" -> t4,
     "t5_bpe_tokens" -> t5,
     "t6_rolling_fingerprint" -> t6,
+    "t7_split_assign" -> t7,
     "d1_dedup_exact" -> d1,
+    "d6_decontaminate" -> d6,
     "d2_dedup_jaccard" -> d2,
     "d3_dedup_minhash_lsh" -> d3,
     "d4_dedup_simhash" -> d4,
@@ -105,8 +107,38 @@ object TextQueries {
         TF.normText(col("text"))).as("rfp"))
   }
 
+  /** Deterministic train/val/test assignment by content hash — the
+    * reproducible way to split at 100 TB: no RNG state, stable across
+    * retries and re-runs, and duplicate documents land in the same
+    * split (hash of content, not of position). ~90/5/5 via the first
+    * two hex digits of the canonical-text md5. */
+  private def t7: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    // lowercase two-digit hex compares lexicographically == numerically,
+    // so the bucket boundaries are plain string comparisons ('e6' = 230,
+    // 'f3' = 243 of 256 → ~90/5/5), identical in any engine
+    val bucket = substring(TF.fingerprint(col("text")), 1, 2)
+    d.select(col("doc_id"),
+      when(bucket < "e6", "train").when(bucket < "f3", "val")
+        .otherwise("test").as("split"))
+  }
+
   private def d1: Q = (spark, dir) =>
     Dedup.exactDuplicates(t(spark, dir, "documents"))
+
+  /** Benchmark decontamination: drop training documents whose canonical
+    * fingerprint appears in a held-out set (stand-in: doc_id % 20 == 0)
+    * — the cross-corpus exact-match filter every training pipeline runs
+    * before a data release. Anti-join on the fingerprint: broadcast-able
+    * when the benchmark corpus is small. */
+  private def d6: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    val fp = TF.fingerprint(col("text"))
+    val benchmark = d.filter(col("doc_id") % 20 === 0).select(fp.as("bfp"))
+    d.select(col("doc_id"), fp.as("fp"))
+      .join(benchmark, col("fp") === col("bfp"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+  }
 
   private def d2: Q = (spark, dir) =>
     Dedup.jaccardPairs(t(spark, dir, "documents"), jaccardThreshold)
@@ -219,6 +251,19 @@ object TextQueries {
         |   / CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS DOUBLE) AS avg_unit_len
         |FROM documents""".stripMargin,
     // t6_rolling_fingerprint: custom native expression — rows-only check.
+    "t7_split_assign" ->
+      """SELECT doc_id,
+        | CASE WHEN substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 2) < 'e6' THEN 'train'
+        |      WHEN substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 2) < 'f3' THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+    "d6_decontaminate" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents
+        |WHERE md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) NOT IN
+        | (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |  FROM documents WHERE doc_id % 20 = 0)""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         | min(doc_id) AS keep_id, count(*) AS n_docs
