@@ -83,6 +83,28 @@ class StoreManifestSpec extends AnyFunSuite {
     assert(s.shardEnd("proj", "logs", 0) === 11L)
   }
 
+  test("concurrent readers always observe a prefix while commits land") {
+    val s = newStore()
+    val n = 60
+    @volatile var failure: Option[String] = None
+    val writer = new Thread(() => (0 until n).foreach { i =>
+      s.appendSegment("proj", "logs", 0, s"w$i", Seq(rec(i)))
+    })
+    val reader = new Thread(() => {
+      var prev = Seq.empty[String]
+      while (writer.isAlive && failure.isEmpty) {
+        val cur = s.listSegments("proj", "logs", 0).map(_.fileName)
+        if (!cur.startsWith(prev))
+          failure = Some(s"listing regressed: $prev -> $cur")
+        prev = cur
+      }
+    })
+    writer.start(); reader.start()
+    writer.join(); reader.join()
+    assert(failure.isEmpty, failure)
+    assert(s.shardEnd("proj", "logs", 0) === n.toLong)
+  }
+
   test("auto-compaction bounds the manifest chain on many commits") {
     val s = newStore()
     val n = s.AutoCompactThreshold + 40

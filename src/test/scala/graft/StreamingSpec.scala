@@ -249,6 +249,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Map(1 -> 3, 2 -> 2, 3 -> 1))
   }
 
+  test("stream-stream interval join with watermarks matches the batch answer") {
+    // the streaming analogue of q13: views joined to purchases within
+    // one hour, both sides watermarked so join state is bounded
+    val root = freshRoot()
+    new EmbeddedLogStore(root).createStore("proj", "logs", 1)
+    val store = new EmbeddedLogStore(root)
+    // events: (user, type, t): purchases at +30min and +90min of views
+    val recs = Seq(
+      (1, "view", 0), (1, "purchase", 1800), (1, "purchase", 5400),
+      (2, "view", 0), (2, "view", 600), (2, "purchase", 900),
+      (3, "purchase", 100)) // purchase with no prior view
+    store.appendSegment("proj", "logs", 0, "a", recs.map { case (u, ty, dt) =>
+      LogRecord(1700000000 + dt, "t", "s", Map.empty,
+        Map("uid" -> u.toString, "etype" -> ty))
+    })
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val src = spark.readStream.format("graft-logstore").options(opts(root))
+      .schema("uid INT, etype STRING, __time__ TIMESTAMP").load()
+    val views = src.filter(col("etype") === "view")
+      .select(col("uid").as("v_uid"), col("__time__").as("v_t"))
+      .withWatermark("v_t", "2 hours")
+    val purchases = src.filter(col("etype") === "purchase")
+      .select(col("uid").as("p_uid"), col("__time__").as("p_t"))
+      .withWatermark("p_t", "2 hours")
+    val joined = views.join(purchases,
+      col("v_uid") === col("p_uid") &&
+      col("p_t") > col("v_t") &&
+      col("p_t") <= col("v_t") + expr("INTERVAL 1 HOUR"))
+    val q = joined.select(col("v_uid"), col("v_t").cast("long"),
+        col("p_t").cast("long"))
+      .writeStream.format("memory").queryName("t_ssij")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("t_ssij").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    // user 1: only the +30min purchase joins; user 2: both views see the
+    // purchase at 900 (each within the hour); user 3: nothing
+    assert(got === Set(
+      (1, 1700000000L, 1700001800L),
+      (2, 1700000000L, 1700000900L),
+      (2, 1700000600L, 1700000900L)))
+  }
+
   test("append mode drops late data beyond the watermark") {
     val srcRoot = freshRoot(); val dstRoot = freshRoot()
     new EmbeddedLogStore(srcRoot).createStore("proj", "logs", 1)
