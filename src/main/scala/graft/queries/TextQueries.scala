@@ -41,8 +41,38 @@ object TextQueries {
     "s1_ann_cosine" -> s1,
     "s2_ann_lsh" -> s2,
     "s3_ann_ivf" -> s3,
-    "s4_ann_multiprobe" -> s4
+    "s4_ann_multiprobe" -> s4,
+    "p1_prep_pipeline" -> p1
   )
+
+  /** The composed data-prep pipeline a training run actually executes:
+    * quality filter → exact dedup (keep the lowest doc_id per canonical
+    * fingerprint) → deterministic split assignment → per-split counts.
+    * Each stage is an operator proven individually (t2, d1, t7); this
+    * query pins their COMPOSITION end-to-end against one SQL oracle. */
+  private def p1: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    val toks = TF.tokens(lower(col("text")))
+    val nTokens = size(toks).cast(DoubleType)
+    val uniqRatio = size(array_distinct(toks)).cast(DoubleType) / nTokens
+    val stopRatio = TF.markerCount(toks, Seq("the", "a", "of", "and", "is"))
+      .cast(DoubleType) / nTokens
+    val avgTokLen = length(regexp_replace(col("text"), " ", ""))
+      .cast(DoubleType) / nTokens
+    val quality = uniqRatio * 0.5 + stopRatio * 0.3 +
+      least(avgTokLen / 10.0, lit(1.0)) * 0.2
+    val fp = TF.fingerprint(col("text"))
+    val scored = d.select(col("doc_id"), fp.as("fp"), quality.as("q"))
+      .filter(col("q") >= 0.5)
+    val kept = scored.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val bucket = substring(col("fp"), 1, 2)
+    kept.select(col("doc_id"),
+        when(bucket < "e6", "train").when(bucket < "f3", "val")
+          .otherwise("test").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
 
   private def t1: Q = (spark, dir) => {
     val d = t(spark, dir, "documents")
@@ -268,6 +298,25 @@ object TextQueries {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         | min(doc_id) AS keep_id, count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
+    "p1_prep_pipeline" ->
+      """WITH scored AS (
+        | SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) * 0.5 +
+        |  CAST(len(list_filter(w, t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+        |    / CAST(len(w) AS DOUBLE) * 0.3 +
+        |  least(CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+        |    / CAST(len(w) AS DOUBLE) / 10.0, 1.0) * 0.2 AS q
+        | FROM (SELECT doc_id, text,
+        |         regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        |       FROM documents) x),
+        |kept AS (SELECT fp, min(doc_id) AS doc_id FROM scored
+        |         WHERE q >= 0.5 GROUP BY fp)
+        |SELECT CASE WHEN substring(fp, 1, 2) < 'e6' THEN 'train'
+        |            WHEN substring(fp, 1, 2) < 'f3' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       COUNT(*) AS n_docs
+        |FROM kept GROUP BY 1""".stripMargin,
     "d2_dedup_jaccard" -> shingleCte,
     "d3_dedup_minhash_lsh" -> shingleCte,
     "d4_dedup_simhash" -> shingleCte,
