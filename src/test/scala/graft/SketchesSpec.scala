@@ -94,6 +94,40 @@ class SketchesSpec extends AnyFunSuite {
       graft.functions.RollingHash.hashBytes("abc".getBytes("UTF-8")))
   }
 
+  test("hll aggregates merge correctly inside streaming state") {
+    import graft.store.{EmbeddedLogStore, LogRecord}
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft-sk-stream").toString
+    val store = new EmbeddedLogStore(root)
+    store.createStore("proj", "logs", 1)
+    // users 0..39 across two segments → several micro-batches with pacing
+    store.appendSegment("proj", "logs", 0, "a", (0 until 60).map(i =>
+      LogRecord(1700000000 + i, "t", "s", Map.empty,
+        Map("uid" -> (i % 40).toString))))
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val q = spark.readStream.format("graft-logstore")
+      .option("store.root", root).option("store.project", "proj")
+      .option("store.name", "logs")
+      .option("maxoffsetspertrigger", "16") // force multi-batch state merges
+      .schema("uid LONG").load()
+      .agg(hll_estimate(hll_build(col("uid"))).as("est"))
+      .writeStream.format("memory").queryName("t_hll_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("t_hll_stream").head().getLong(0)
+    // deterministic sketch: the streaming state-store merge path must
+    // produce the IDENTICAL estimate as one batch pass
+    val batch = spark.read.format("graft-logstore")
+      .option("store.root", root).option("store.project", "proj")
+      .option("store.name", "logs").schema("uid LONG").load()
+      .agg(hll_estimate(hll_build(col("uid")))).head().getLong(0)
+    assert(streamed === batch)
+    assert(math.abs(streamed - 40L) <= 2, s"est $streamed for 40 users")
+  }
+
   test("kll total weight equals ingested count") {
     val skBytes = lineitem.limit(10000)
       .agg(kll_build(col("l_quantity").cast("double"))).head()
