@@ -480,6 +480,11 @@ object EmbeddedLogStore {
   }
 
   private[store] def jsonToRecord(mapper: ObjectMapper, line: String): LogRecord = {
+    // fast path first: our own writer's output shape; any surprise falls
+    // back to the tolerant Jackson parse (differential-tested in
+    // StoreManifestSpec — both must agree wherever the fast path accepts)
+    val fast = FastJsonl.tryParse(line)
+    if (fast != null) return fast
     val n = mapper.readTree(line)
     def toMap(field: String): Map[String, String] = {
       val node = n.get(field)

@@ -83,6 +83,31 @@ class StoreManifestSpec extends AnyFunSuite {
     assert(s.shardEnd("proj", "logs", 0) === 11L)
   }
 
+  test("fast JSONL parse round-trips adversarial records exactly") {
+    val nasty = Seq("", "plain", "with \"quotes\"", "back\\slash",
+      "tab\there", "new\nline", "cr\rhere", "ctl\u0001x", "uni \u7684 ok",
+      "{\"fake\":\"json\"}", "trail\\", "a:b,c}d{", " nul")
+    val rng = new scala.util.Random(42)
+    def randStr(): String = nasty(rng.nextInt(nasty.length)) +
+      rng.alphanumeric.take(rng.nextInt(8)).mkString
+    val records = (0 until 500).map { k =>
+      LogRecord(rng.nextInt(Int.MaxValue), randStr(), randStr(),
+        Map(randStr() -> randStr()),
+        Map("k" -> k.toString, randStr() -> randStr()))
+    }
+    // writer -> segment file -> reader (fast path first): any misparse
+    // surfaces as a record inequality here
+    val s = newStore()
+    s.appendSegment("proj", "logs", 0, "nasty", records)
+    val back = s.read("proj", "logs", 0, 0, records.size).map(_._2).toSeq
+    assert(back === records)
+    // lines the fast path must REJECT (fall back to Jackson), never misparse
+    Seq("""{"time":1,"topic":"a"}""", """{ "time":1}""", "",
+      """{"time":1,"topic":"a","source":"b","tags":{},"contents":{}} """,
+      """{"time":1,"topic":"a","source":"b","tags":{"k":1},"contents":{}}""")
+      .foreach(l => assert(graft.store.FastJsonl.tryParse(l) == null, l))
+  }
+
   test("concurrent readers always observe a prefix while commits land") {
     val s = newStore()
     val n = 60
