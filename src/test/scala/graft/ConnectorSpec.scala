@@ -121,6 +121,20 @@ class ConnectorSpec extends AnyFunSuite {
     assert(!shards.contains(0))
   }
 
+  test("a re-executed batch DataFrame re-resolves 'latest' and sees new data") {
+    // reference LoghubRelationSuite:94-125: offset limits re-evaluate on
+    // each read, so the same relation picks up later appends
+    val root = freshRoot()
+    seed(root, 10)
+    val df = spark.read.format("graft-logstore").options(readOpts(root))
+      .schema("msg INT").load()
+    assert(df.count() === 10)
+    new EmbeddedLogStore(root).appendSegment("proj", "logs", 0, "more",
+      (100 until 105).map(i => LogRecord(1700000000 + i, "t", "s",
+        Map.empty, Map("msg" -> i.toString))))
+    assert(df.count() === 15) // same DataFrame, fresh offset resolution
+  }
+
   test("exact-ordinal cursors encode/decode") {
     assert(EmbeddedLogStore.decodeCursor(EmbeddedLogStore.encodeCursor(12345L)) === 12345L)
   }
