@@ -210,6 +210,28 @@ class EmbeddedLogStore(root: String) extends Serializable {
     }
   }
 
+  /** Remove every data file no manifest references — the leftovers of
+    * CRASHED jobs, which never reached abort(). Run only while no
+    * writer is active: a concurrent job's staged-but-uncommitted
+    * segments are indistinguishable from orphans (the store has no
+    * clock to age-gate with, by design — determinism over convenience).
+    * Returns the number of files removed. */
+  def vacuumOrphans(project: String, store: String): Int = {
+    val committed = committedSet(project, store)
+    var removed = 0
+    listShards(project, store).foreach { sh =>
+      val dir = shardDir(project, store, sh.id)
+      if (Files.isDirectory(dir)) {
+        Files.list(dir).iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(n => n.endsWith(".jsonl") && !n.startsWith("."))
+          .filterNot(n => committed.contains((sh.id, n)))
+          .foreach { n => Files.deleteIfExists(dir.resolve(n)); removed += 1 }
+      }
+    }
+    removed
+  }
+
   case class Segment(fileName: String, logicalName: String,
       minTime: Int, maxTime: Int, count: Long)
 

@@ -141,6 +141,18 @@ class StoreManifestSpec extends AnyFunSuite {
     assert(s.read("proj", "logs", 0, n - 1, n).map(_._2.time).toSeq === Seq(n - 1))
   }
 
+  test("vacuum removes crash leftovers, keeps all committed data") {
+    val s = newStore()
+    s.appendSegment("proj", "logs", 0, "kept", Seq(rec(1), rec(2)))
+    // a crashed job's staged files: never committed, never aborted
+    s.stageSegment("proj", "logs", 0, "crashA", Seq(rec(7)))
+    s.stageSegment("proj", "logs", 1, "crashB", Seq(rec(8)))
+    assert(s.vacuumOrphans("proj", "logs") === 2)
+    assert(s.vacuumOrphans("proj", "logs") === 0) // idempotent
+    assert(s.shardEnd("proj", "logs", 0) === 2L)
+    assert(s.read("proj", "logs", 0, 0, 2).map(_._2.time).toSeq === Seq(1, 2))
+  }
+
   test("ordinals of earlier commits never move as later commits land") {
     val s = newStore()
     s.appendSegment("proj", "logs", 0, "first", Seq(rec(10), rec(11)))
