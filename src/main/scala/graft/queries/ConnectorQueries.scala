@@ -21,7 +21,8 @@ object ConnectorQueries {
   def queries: Map[String, Q] = Map(
     "c1_logstore_roundtrip" -> c1,
     "c2_logstore_json_value" -> c2,
-    "c3_stream_hourly" -> c3
+    "c3_stream_hourly" -> c3,
+    "c4_split_reroute" -> c4
   )
 
   /** One shared ingest per (session, sf dir): the three connector
@@ -121,6 +122,55 @@ object ConnectorQueries {
       .agg(max(col("n_events")).as("n_events"))
   }
 
+  /** Shard split mid-ingest on the oracle gate (reference O7/O8: children
+    * start at earliest, the readonly parent drains exactly once). Half
+    * the events land before the split on shards {0,1}; shard 0 is then
+    * split into {2,3} and the rest lands on the post-split writable set
+    * {1,2,3}. The streaming read over the split topology must produce
+    * the batch answer over the whole parquet table — missing parent
+    * drain, skipped children, or double-reads all break the hash. */
+  private def c4: Q = (spark, dir) => {
+    val root = Files.createTempDirectory("graft-logstore-c4").toString
+    val store = new EmbeddedLogStore(root)
+    store.createStore("proj", "events", 2)
+    val srcOpts = Map("store.root" -> root, "store.project" -> "proj",
+      "store.name" -> "events")
+    def write(half: DataFrame, shardExpr: org.apache.spark.sql.Column): Unit =
+      half.select(
+          shardExpr.cast(IntegerType).as("__shard__"),
+          expr("ts DIV 1000000000").cast(IntegerType).as("__time__"),
+          col("event_id"), col("event_type"), col("value"))
+        .write.format("graft-logstore").options(srcOpts).mode("append").save()
+    val ev = t(spark, dir, "events")
+    write(ev.filter(col("event_id") % 2 === 0), col("user_id") % 2)
+    store.splitShard("proj", "events", 0) // -> {2,3}; 0 readonly
+    write(ev.filter(col("event_id") % 2 === 1), (col("user_id") % 3) + 1)
+
+    val dstRoot = Files.createTempDirectory("graft-logstore-c4out").toString
+    new EmbeddedLogStore(dstRoot).createStore("proj", "agg", 1)
+    val dstOpts = Map("store.root" -> dstRoot, "store.project" -> "proj",
+      "store.name" -> "agg")
+    val ckpt = Files.createTempDirectory("graft-c4-ckpt").toString
+    val q = spark.readStream.format("graft-logstore").options(srcOpts)
+      .option("maxoffsetspertrigger", "1000000")
+      .schema("event_id LONG, event_type STRING, value DOUBLE").load()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .writeStream.format("graft-logstore").options(dstOpts)
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // reconcile the update history: count/max grow, min shrinks
+    spark.read.format("graft-logstore").options(dstOpts)
+      .schema("event_type STRING, n_events LONG, min_id LONG, max_id LONG").load()
+      .groupBy(col("event_type"))
+      .agg(max(col("n_events")).as("n_events"),
+        min(col("min_id")).as("min_id"), max(col("max_id")).as("max_id"))
+  }
+
   def oracles: Map[String, String] = Map(
     "c1_logstore_roundtrip" ->
       """SELECT event_type, COUNT(*) AS n_events,
@@ -137,6 +187,10 @@ object ConnectorQueries {
     "c3_stream_hourly" ->
       """SELECT CAST(epoch_us(ts) // 1000000 // 3600 * 3600 AS BIGINT) AS hour_start,
         | event_type, COUNT(*) AS n_events
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "c4_split_reroute" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        |FROM events GROUP BY event_type""".stripMargin
   )
 }
