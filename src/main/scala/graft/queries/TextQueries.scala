@@ -32,6 +32,7 @@ object TextQueries {
     "t5_bpe_tokens" -> t5,
     "t6_rolling_fingerprint" -> t6,
     "t7_split_assign" -> t7,
+    "t8_rare_tokens" -> t8,
     "d1_dedup_exact" -> d1,
     "d6_decontaminate" -> d6,
     "d2_dedup_jaccard" -> d2,
@@ -151,6 +152,31 @@ object TextQueries {
     d.select(col("doc_id"),
       when(bucket < "e6", "train").when(bucket < "f3", "val")
         .otherwise("test").as("split"))
+  }
+
+  /** Corpus-statistics scoring: every token joined against the global
+    * frequency table (built once, broadcast back) — the shape of
+    * LM-likelihood / rare-token quality filters at 100 TB: the corpus
+    * aggregate is tiny relative to the data and broadcasts, the data
+    * itself never shuffles twice. Integer-only outputs (frequency mass,
+    * rare-token count) keep the oracle exact — a log-prob variant would
+    * hinge on cross-engine libm bit-parity. */
+  private def t8: Q = (spark, dir) => {
+    val spark2 = spark
+    import spark2.implicits._
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        text.trim.toLowerCase.split("\\s+").iterator.map(w => (id, w))
+      }
+      .toDF("doc_id", "tok")
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    toks.join(broadcast(freq), "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("cnt")).as("freq_mass"),
+        sum(when(col("cnt") < 1000, 1L).otherwise(0L)).as("n_rare"))
   }
 
   private def d1: Q = (spark, dir) =>
@@ -287,6 +313,15 @@ object TextQueries {
         |      WHEN substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 2) < 'f3' THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "t8_rare_tokens" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |              FROM documents),
+        |freq AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        | CAST(SUM(cnt) AS BIGINT) AS freq_mass,
+        | CAST(SUM(CASE WHEN cnt < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        |FROM toks JOIN freq USING (tok)
+        |GROUP BY doc_id""".stripMargin,
     "d6_decontaminate" ->
       """SELECT doc_id,
         | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
