@@ -33,6 +33,7 @@ object TextQueries {
     "t6_rolling_fingerprint" -> t6,
     "t7_split_assign" -> t7,
     "t8_rare_tokens" -> t8,
+    "t9_lang_quota" -> t9,
     "d1_dedup_exact" -> d1,
     "d6_decontaminate" -> d6,
     "d2_dedup_jaccard" -> d2,
@@ -179,6 +180,19 @@ object TextQueries {
         sum(when(col("cnt") < 1000, 1L).otherwise(0L)).as("n_rare"))
   }
 
+  /** Balanced per-language quota sample: the N docs with the smallest
+    * content hash per language — deterministic "random" sampling without
+    * RNG state (stable across retries, content-addressed), the
+    * rebalancing step of a multilingual training mix. Distributed via
+    * TopK.perKey: per-partition streaming prune, tiny final window. */
+  private def t9: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), TF.fingerprint(col("text")).as("fp"))
+    graft.operators.TopK.perKey(d, Seq("lang"),
+        Seq(col("fp"), col("doc_id")), k = 50)
+      .select(col("lang"), col("rank"), col("doc_id"))
+  }
+
   private def d1: Q = (spark, dir) =>
     Dedup.exactDuplicates(t(spark, dir, "documents"))
 
@@ -322,6 +336,13 @@ object TextQueries {
         | CAST(SUM(CASE WHEN cnt < 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
         |FROM toks JOIN freq USING (tok)
         |GROUP BY doc_id""".stripMargin,
+    "t9_lang_quota" ->
+      """SELECT lang, rn AS rank, doc_id FROM (
+        | SELECT lang, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), doc_id) AS rn
+        | FROM documents) x
+        |WHERE rn <= 50""".stripMargin,
     "d6_decontaminate" ->
       """SELECT doc_id,
         | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
