@@ -46,7 +46,8 @@ object Relational {
     "q18_asof_join" -> q18,
     "q19_intersect" -> q19,
     "q20_window_suite" -> q20,
-    "q21_pivot" -> q21
+    "q21_pivot" -> q21,
+    "q22_region_revenue" -> q22
   )
 
   /** TPC-H Q1-style pricing summary: partial+final hash agg, no shuffle of
@@ -375,7 +376,40 @@ object Relational {
           .as(s"n_$tp")): _*)
   }
 
+  /** Full TPC-H Q5 join chain through region: every dimension broadcast,
+    * the fact table shuffles only on its aggregation key. Completes
+    * fixture coverage (region was the one unexercised table). */
+  private def q22: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val s = t(spark, dir, "supplier")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast(DoubleType).as("revenue"),
+        countDistinct(col("n_name")).as("n_nations"))
+  }
+
   def oracles: Map[String, String] = Map(
+    "q22_region_revenue" ->
+      """SELECT r_name,
+        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | COUNT(DISTINCT n_name) AS n_nations
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
