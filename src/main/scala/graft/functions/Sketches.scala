@@ -284,7 +284,17 @@ object KllOps {
 
 abstract class KllAggBase extends TypedImperativeAggregate[KllBuffer]
     with UnaryLike[Expression] {
-  override def merge(b: KllBuffer, o: KllBuffer): KllBuffer = { b.mergeIn(o); b }
+  override def merge(b: KllBuffer, o: KllBuffer): KllBuffer = {
+    // final-side buffers are created with the default k; adopt the
+    // incoming k when merging into an empty buffer (mirrors the
+    // KllSketchMerge.update path), and skip empty partials outright so a
+    // row-less partition's default-k buffer can't poison a non-default
+    // aggregation
+    if (o.count == 0) b
+    else if (b.count == 0 && b.k != o.k) {
+      val fresh = new KllBuffer(o.k); fresh.mergeIn(o); fresh
+    } else { b.mergeIn(o); b }
+  }
   override def eval(b: KllBuffer): Any = b.serialize()
   override def serialize(b: KllBuffer): Array[Byte] = b.serialize()
   override def deserialize(bytes: Array[Byte]): KllBuffer = KllOps.deserialize(bytes)

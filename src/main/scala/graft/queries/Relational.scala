@@ -329,7 +329,7 @@ object Relational {
       .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ats"),
         expr("ts DIV 1000").as("p_ts"))
     graft.operators.AsOfJoin.asOfInner(purchases, views, "user_id", "ats",
-        Seq("v_ts", "v_value"), nullMarker = "v_ts")
+        Seq("v_ts", "v_value"))
       .select(col("user_id"), col("event_id"), col("p_ts"), col("v_ts"),
         col("v_value"))
   }

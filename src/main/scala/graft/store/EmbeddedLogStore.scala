@@ -253,11 +253,30 @@ class EmbeddedLogStore(root: String) extends Serializable {
     * manifest (written by [[compactManifests]]) carries the full prefix
     * folded in, so reading starts at the LAST checkpoint and folds only
     * the delta manifests after it — O(commits since compaction), not
-    * O(all commits ever). */
+    * O(all commits ever).
+    *
+    * A compaction can delete superseded delta manifests between our
+    * directory listing and the per-file reads; a reader that trips on
+    * the deletion re-lists (bounded retries) and picks up the checkpoint
+    * that replaced the deleted deltas — same entries, same order. */
   private def committedEntries(project: String, store: String): Seq[(Int, String)] = {
+    var attempt = 0
+    while (true) {
+      try return entriesFrom(project, store, manifestFiles(project, store))
+      catch {
+        case e: java.nio.file.NoSuchFileException =>
+          attempt += 1
+          if (attempt > 8) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Fold an explicit manifest-file snapshot (sorted = commit order). */
+  private def entriesFrom(project: String, store: String,
+      files: Seq[String]): Seq[(Int, String)] = {
     val mDir = manifestDir(project, store)
     val mapper = new ObjectMapper()
-    val files = manifestFiles(project, store)
     val trees = files.map(m =>
       mapper.readTree(Files.readAllBytes(mDir.resolve(m))))
     val lastCkpt = trees.lastIndexWhere(t =>
@@ -281,27 +300,43 @@ class EmbeddedLogStore(root: String) extends Serializable {
     if (!Files.isDirectory(mDir)) return
     var done = false
     while (!done) {
+      // ONE directory listing is the snapshot: both the folded entries
+      // and the checkpoint's version derive from it. A manifest
+      // committed by a racing writer after this listing necessarily
+      // carries a version >= ours and collides on the link below — the
+      // loser retries — so no commit can slot in BELOW the checkpoint
+      // and be silently dropped by the post-checkpoint fold.
       val folded = manifestFiles(project, store)
       if (folded.isEmpty) return
-      val entries = committedEntries(project, store)
-      val version = currentVersion(project, store) + 1
-      val mapper = new ObjectMapper()
-      val rootNode = mapper.createObjectNode()
-      rootNode.put("version", version)
-      rootNode.put("checkpoint", true)
-      val arr = rootNode.putArray("segments")
-      entries.foreach { case (shard, file) =>
-        val n = arr.addObject(); n.put("shard", shard); n.put("file", file)
+      val entriesOpt =
+        try Some(entriesFrom(project, store, folded))
+        catch {
+          // a racing compactor deleted part of our snapshot: re-list
+          case _: java.nio.file.NoSuchFileException => None
+        }
+      entriesOpt match {
+        case None => // retry with a fresh snapshot
+        case Some(entries) =>
+          val version = folded
+            .map(_.stripPrefix("m-").stripSuffix(".json").toLong).max + 1
+          val mapper = new ObjectMapper()
+          val rootNode = mapper.createObjectNode()
+          rootNode.put("version", version)
+          rootNode.put("checkpoint", true)
+          val arr = rootNode.putArray("segments")
+          entries.foreach { case (shard, file) =>
+            val n = arr.addObject(); n.put("shard", shard); n.put("file", file)
+          }
+          val tmp = mDir.resolve(s".m-$version.json.tmp-${System.nanoTime()}")
+          Files.write(tmp, mapper.writeValueAsBytes(rootNode))
+          try {
+            Files.createLink(mDir.resolve(f"m-$version%010d.json"), tmp)
+            done = true
+            folded.foreach(f => Files.deleteIfExists(mDir.resolve(f)))
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => // lost the race
+          } finally Files.deleteIfExists(tmp)
       }
-      val tmp = mDir.resolve(s".m-$version.json.tmp-${System.nanoTime()}")
-      Files.write(tmp, mapper.writeValueAsBytes(rootNode))
-      try {
-        Files.createLink(mDir.resolve(f"m-$version%010d.json"), tmp)
-        done = true
-        folded.foreach(f => Files.deleteIfExists(mDir.resolve(f)))
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => // lost the race
-      } finally Files.deleteIfExists(tmp)
     }
   }
 

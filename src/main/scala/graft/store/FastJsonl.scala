@@ -39,7 +39,9 @@ object FastJsonl {
       val tags = obj(); if (tags == null) return null
       if (!expect(",\"contents\":{")) return null
       val contents = obj(); if (contents == null) return null
-      if (!expect("}}") || i != s.length) return null
+      // obj() already consumed the contents object's closing brace —
+      // exactly one outer '}' remains in writer output
+      if (!expect("}") || i != s.length) return null
       LogRecord(time, topic, source, tags, contents)
     }
 

@@ -32,9 +32,29 @@ class AsOfJoinSpec extends AnyFunSuite {
   }
 
   test("asOfInner drops unmatched left rows") {
-    val out = AsOfJoin.asOfInner(left, right, "k", "t", Seq("v"), "v")
+    val out = AsOfJoin.asOfInner(left, right, "k", "t", Seq("v"))
     assert(out.count() === 3)
     assert(out.filter(col("v").isNull).count() === 0)
+  }
+
+  test("null payload fields travel atomically with their right row") {
+    // right row at t=20 has a null in column `a`: a left row at t=25
+    // must see (null, "y") — the t=20 row whole — not "x" from t=10
+    // spliced with "y" from t=20 (per-column fill would tear them)
+    val r = Seq((1L, 10L, Some("x"), None: Option[String]),
+      (1L, 20L, None: Option[String], Some("y")))
+      .toDF("k", "t", "a", "b")
+    val l = Seq((1L, 25L), (1L, 15L), (1L, 5L)).toDF("k", "t")
+    val out = AsOfJoin.asOfLeft(l, r, "k", "t", Seq("a", "b"))
+      .collect().map(x => (x.getLong(1), x.getString(2), x.getString(3))).toSet
+    assert(out === Set(
+      (25L, null, "y"), // the t=20 row, atomic
+      (15L, "x", null), // the t=10 row, atomic
+      (5L, null, null)))
+    // inner keeps the matched-but-null-field row (no per-column marker)
+    val inner = AsOfJoin.asOfInner(l, r, "k", "t", Seq("a", "b"))
+      .collect().map(x => x.getLong(1)).toSet
+    assert(inner === Set(25L, 15L))
   }
 
   test("matches the naive range-join formulation on events data") {
@@ -44,7 +64,7 @@ class AsOfJoinSpec extends AnyFunSuite {
       .groupBy(col("user_id"), col("ts_us")).agg(max(col("value")).as("v_value"))
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), col("ts_us"))
-    val fast = AsOfJoin.asOfInner(p, v, "user_id", "ts_us", Seq("v_value"), "v_value")
+    val fast = AsOfJoin.asOfInner(p, v, "user_id", "ts_us", Seq("v_value"))
       .select(col("user_id"), col("event_id"), col("v_value"))
     // naive: all earlier views per purchase, keep the latest
     val naive = p.as("p").join(v.as("v"),

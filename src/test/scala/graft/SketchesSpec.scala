@@ -47,6 +47,18 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("kll_merge carries a non-default k through partial merge") {
+    // final-side buffers are created with the default k=256; merging
+    // k=128 partials must adopt the incoming k, not fail the query
+    val p50 = lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(kll_build(col("l_extendedprice").cast("double"), k = 128).as("sk"))
+      .agg(kll_quantile(kll_merge(col("sk")), 0.5).as("p50"))
+      .head().getDouble(0)
+    val exact = lineitem.stat.approxQuantile("l_extendedprice", Array(0.5), 0.0)(0)
+    assert(math.abs(p50 - exact) / exact < 0.1, s"p50 $p50 exact $exact")
+  }
+
   test("kll quantiles within 2% rank error of exact") {
     val qs = Seq(0.1, 0.5, 0.95, 0.99)
     val sk = lineitem.agg(kll_build(col("l_extendedprice").cast("double")).as("sk"))
