@@ -178,7 +178,27 @@ class EmbeddedLogStore(root: String) extends Serializable {
         Files.write(tmp, mapper.writeValueAsBytes(rootNode))
         try {
           Files.createLink(mDir.resolve(f"m-$version%010d.json"), tmp)
-          done = true
+          // The link can land in a version slot a concurrent compaction
+          // just VACATED: if our listing raced the compactor's deletions
+          // and missed its checkpoint, `version` can sit below the
+          // checkpoint, the link finds the slot free (its old occupant
+          // was deleted), and no fold will ever read the manifest. A
+          // successful link is therefore not yet a durable commit —
+          // verify the segments are visible in a validated fold, and if
+          // a newer checkpoint superseded the slot without folding us,
+          // delete the orphan and recommit at a fresh version.
+          var verifying = true
+          var attempt = 0
+          while (verifying) {
+            val view = manifestView(project, store)
+            val visible = view.entries.toSet
+            if (fresh.forall(s => visible.contains((s.shard, s.file)))) {
+              verifying = false; done = true
+            } else if (view.checkpointVersion > version || attempt > 64) {
+              Files.deleteIfExists(mDir.resolve(f"m-$version%010d.json"))
+              verifying = false // outer loop recommits the segments
+            } else attempt += 1 // torn view missed our manifest: re-list
+          }
         } catch {
           case _: java.nio.file.FileAlreadyExistsException => // lost the race
         } finally Files.deleteIfExists(tmp)
@@ -244,9 +264,11 @@ class EmbeddedLogStore(root: String) extends Serializable {
       .toSeq.sorted // zero-padded version ⇒ commit order
   }
 
+  private def manifestVersion(name: String): Long =
+    name.stripPrefix("m-").stripSuffix(".json").toLong
+
   private def currentVersion(project: String, store: String): Long =
-    manifestFiles(project, store)
-      .map(_.stripPrefix("m-").stripSuffix(".json").toLong)
+    manifestFiles(project, store).map(manifestVersion)
       .maxOption.getOrElse(0L)
 
   /** All committed (shard, file) pairs in commit order. A checkpoint
@@ -258,34 +280,71 @@ class EmbeddedLogStore(root: String) extends Serializable {
     * A compaction can delete superseded delta manifests between our
     * directory listing and the per-file reads; a reader that trips on
     * the deletion re-lists (bounded retries) and picks up the checkpoint
-    * that replaced the deleted deltas — same entries, same order. */
-  private def committedEntries(project: String, store: String): Seq[(Int, String)] = {
+    * that replaced the deleted deltas — same entries, same order.
+    * A torn listing (later manifest observed, earlier one missed) is
+    * detected by the contiguity guard in [[viewFrom]] and also
+    * re-lists. */
+  private def committedEntries(project: String, store: String): Seq[(Int, String)] =
+    manifestView(project, store).entries
+
+  /** One validated, untorn view of the manifest directory. */
+  private case class ManifestView(files: Seq[String],
+      entries: Seq[(Int, String)], checkpointVersion: Long)
+
+  private def manifestView(project: String, store: String): ManifestView = {
     var attempt = 0
     while (true) {
-      try return entriesFrom(project, store, manifestFiles(project, store))
-      catch {
+      try {
+        viewFrom(project, store, manifestFiles(project, store)) match {
+          case Some(view) => return view
+          case None => // torn listing — re-list for a consistent snapshot
+            attempt += 1
+            if (attempt > 64) throw new IllegalStateException(
+              s"manifest listing for $project/$store torn after $attempt attempts")
+        }
+      } catch {
         case e: java.nio.file.NoSuchFileException =>
           attempt += 1
-          if (attempt > 8) throw e
+          if (attempt > 64) throw e
       }
     }
     throw new IllegalStateException("unreachable")
   }
 
-  /** Fold an explicit manifest-file snapshot (sorted = commit order). */
-  private def entriesFrom(project: String, store: String,
-      files: Seq[String]): Seq[(Int, String)] = {
+  /** Fold an explicit manifest-file listing (sorted = commit order) into
+    * committed (shard, file) pairs, validating the listing is an untorn
+    * snapshot first. Manifest versions are DENSE by construction (max+1
+    * with collision-retry on the link), so the versions at or after the
+    * last checkpoint must be contiguous, and when no checkpoint is
+    * present the listing must start at version 1. A hole means the
+    * directory iteration raced a writer and observed a later manifest
+    * while missing an earlier one — folding such a listing would
+    * silently drop the missed commit's segments. Returns None so the
+    * caller re-lists. (A missed manifest ABOVE the observed max is
+    * harmless: readers fold a consistent prefix, and a compactor
+    * checkpointing at max+1 collides on the link and retries.) */
+  private def viewFrom(project: String, store: String,
+      files: Seq[String]): Option[ManifestView] = {
     val mDir = manifestDir(project, store)
     val mapper = new ObjectMapper()
     val trees = files.map(m =>
       mapper.readTree(Files.readAllBytes(mDir.resolve(m))))
     val lastCkpt = trees.lastIndexWhere(t =>
       t.get("checkpoint") != null && t.get("checkpoint").asBoolean())
-    trees.drop(math.max(lastCkpt, 0)).flatMap { tree =>
-      tree.get("segments").elements().asScala.map { n =>
-        (n.get("shard").asInt(), n.get("file").asText())
-      }.toSeq
-    }
+    val tailFiles = files.drop(math.max(lastCkpt, 0))
+    val versions = tailFiles.map(manifestVersion)
+    val untorn =
+      versions.lazyZip(versions.drop(1)).forall((a, b) => b == a + 1) &&
+        (lastCkpt >= 0 || versions.headOption.forall(_ == 1L))
+    if (!untorn) None
+    else Some(ManifestView(
+      files,
+      trees.drop(math.max(lastCkpt, 0)).flatMap { tree =>
+        tree.get("segments").elements().asScala.map { n =>
+          (n.get("shard").asInt(), n.get("file").asText())
+        }.toSeq
+      },
+      if (lastCkpt >= 0) manifestVersion(files(lastCkpt)) else 0L))
   }
 
   /** Fold the whole manifest history into one checkpoint manifest at the
@@ -302,14 +361,18 @@ class EmbeddedLogStore(root: String) extends Serializable {
     while (!done) {
       // ONE directory listing is the snapshot: both the folded entries
       // and the checkpoint's version derive from it. A manifest
-      // committed by a racing writer after this listing necessarily
-      // carries a version >= ours and collides on the link below — the
-      // loser retries — so no commit can slot in BELOW the checkpoint
-      // and be silently dropped by the post-checkpoint fold.
+      // committed by a racing writer after this listing carries a
+      // version >= ours and collides on the link below — the loser
+      // retries. A TORN listing (directory iteration concurrent with a
+      // writer's createLink can observe a later manifest while missing
+      // an earlier one) is rejected by foldValidated's contiguity
+      // guard — versions are dense, so a hole proves the listing is not
+      // a snapshot — and we re-list rather than checkpoint without the
+      // missed commit.
       val folded = manifestFiles(project, store)
       if (folded.isEmpty) return
       val entriesOpt =
-        try Some(entriesFrom(project, store, folded))
+        try viewFrom(project, store, folded).map(_.entries)
         catch {
           // a racing compactor deleted part of our snapshot: re-list
           case _: java.nio.file.NoSuchFileException => None
@@ -317,8 +380,7 @@ class EmbeddedLogStore(root: String) extends Serializable {
       entriesOpt match {
         case None => // retry with a fresh snapshot
         case Some(entries) =>
-          val version = folded
-            .map(_.stripPrefix("m-").stripSuffix(".json").toLong).max + 1
+          val version = folded.map(manifestVersion).max + 1
           val mapper = new ObjectMapper()
           val rootNode = mapper.createObjectNode()
           rootNode.put("version", version)
