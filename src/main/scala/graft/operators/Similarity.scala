@@ -2,16 +2,16 @@ package graft.operators
 
 import graft.functions.{VectorFunctions => VF}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Similarity search over an embedding column (array<float>).
   *
   * Baseline: exact brute-force cosine top-k — the query set is broadcast
-  * against the corpus, so the corpus is never shuffled; per-partition
-  * partial top-k would be the next refinement at cluster scale (here the
-  * rank window partitions by query id, k queries × corpus rows).
+  * against the corpus, so the corpus is never shuffled, and each
+  * partition is pruned to its local top-k per query before the exact
+  * rank window (TopK.perKey), so the window exchange never sees the
+  * full |Q|×|C| candidate stream.
   *
   * Scale path: random-hyperplane LSH bucketing — corpus is hashed into
   * 2^bits sign-pattern buckets; queries probe their own bucket (plus
@@ -22,6 +22,19 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
+  /** Exact top-k of `scored` (query_id, neighbor_id, sim) per query.
+    * [[TopK.perKey]] prunes each partition to its local top-k BEFORE the
+    * rank window, so the window's exchange moves ≤ partitions × |Q| × k
+    * rows instead of every scored candidate — a bare
+    * `row_number().over(partitionBy(query_id))` funnels |Q|×|C| rows
+    * into |Q| reducers, the classic window bottleneck at scale. The
+    * pruning is lossless under the total (sim desc, neighbor_id) order,
+    * so ranks are bit-identical to the naive window. */
+  private def topkPerQuery(scored: DataFrame, k: Int): DataFrame =
+    TopK.perKey(scored, Seq("query_id"),
+        Seq(col("sim").desc, col("neighbor_id")), k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+
   /** Exact top-k cosine neighbors for each query vector.
     * Output: (query_id, neighbor_id, rank, sim) — double math as a strict
     * left-to-right fold for cross-engine determinism. */
@@ -29,14 +42,11 @@ object Similarity {
     val corpus = emb.select(col("vec_id"), VF.toDoubleVec(col("embedding")).as("v"))
     val q = queries.select(col("vec_id").as("query_id"),
       VF.toDoubleVec(col("embedding")).as("qv"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        VF.cosine(col("qv"), col("v")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+    topkPerQuery(
+      corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          VF.cosine(col("qv"), col("v")).as("sim")),
+      k)
   }
 
   /** IVF (inverted-file) ANN: corpus is partitioned into cells around
@@ -94,15 +104,12 @@ object Similarity {
       }
       .toDF("query_id", "qv", "cell")
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    corpus.join(broadcast(probed),
-        corpus("cell") === probed("cell") && col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        VF.cosine(col("qv"), col("v")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+    topkPerQuery(
+      corpus.join(broadcast(probed),
+          corpus("cell") === probed("cell") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          VF.cosine(col("qv"), col("v")).as("sim")),
+      k)
   }
 
   /** Random-hyperplane signature: sign bits of dot(v, h_j) for
@@ -176,17 +183,14 @@ object Similarity {
           order.take(probes).iterator.map(j => (id, vec, base ^ (1L << j)))
       }
       .toDF("query_id", "qv", "bucket")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    corpus.join(broadcast(qProbes),
-        corpus("bucket") === qProbes("bucket") &&
-        col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        VF.cosine(col("qv"), col("v")).as("sim"))
-      .distinct() // a neighbor can surface via several probes
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+    topkPerQuery(
+      corpus.join(broadcast(qProbes),
+          corpus("bucket") === qProbes("bucket") &&
+          col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          VF.cosine(col("qv"), col("v")).as("sim"))
+        .distinct(), // a neighbor can surface via several probes
+      k)
   }
 
   /** LSH-bucketed approximate top-k: exact rerank within each signature
@@ -199,14 +203,11 @@ object Similarity {
     val q = queries.select(col("vec_id").as("query_id"),
         VF.toDoubleVec(col("embedding")).as("qv"))
       .withColumn("bucket", hyperplaneSig(col("qv"), dim, bits))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    corpus.join(broadcast(q), col("vec_id") =!= col("query_id") &&
-        corpus("bucket") === q("bucket"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        VF.cosine(col("qv"), col("v")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+    topkPerQuery(
+      corpus.join(broadcast(q), col("vec_id") =!= col("query_id") &&
+          corpus("bucket") === q("bucket"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          VF.cosine(col("qv"), col("v")).as("sim")),
+      k)
   }
 }

@@ -38,6 +38,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("s1: candidates are pruned per partition before the rank window") {
+    // a bare row_number window would funnel |Q|x|C| scored rows into
+    // |Q| reducers; TopK.perKey's local prune must sit below the window
+    val p = plan("s1_ann_cosine")
+    assert(p.contains("MapPartitions"), p)
+    assert(p.contains("Window"), p)
+    assert(p.indexOf("Window") < p.indexOf("MapPartitions"), // plans print top-down
+      "prune must run before the window:\n" + p)
+  }
+
   test("q1: aggregation is partial+final (map-side combine)") {
     val p = plan("q1_pricing_summary")
     assert(p.contains("HashAggregate"), p)
