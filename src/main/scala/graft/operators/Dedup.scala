@@ -368,10 +368,18 @@ object Dedup {
     *
     * The broadcast build side is the whole corpus (id, vec, norm):
     * fine to ~10⁶ vectors × 64 dims (~0.5 GB) — the same ceiling any
-    * broadcast join has. Past that, [[embeddingLshPairs]] shuffles
-    * bucket-local candidate groups and never materializes the corpus
-    * on one node. */
-  def embeddingCosinePairs(emb: DataFrame, threshold: Double): DataFrame = {
+    * broadcast join has. Past `broadcastLimit` rows the operator
+    * switches to [[blockedCosinePairs]] — still exact, no driver or
+    * single-node corpus materialization (each task holds two id-blocks)
+    * — so the operator is safe at any corpus size; the approximate
+    * scale path with sub-quadratic COMPUTE remains
+    * [[embeddingLshPairs]]. */
+  def embeddingCosinePairs(emb: DataFrame, threshold: Double,
+      broadcastLimit: Long = 1L << 20): DataFrame = {
+    val n = emb.count()
+    if (n > broadcastLimit)
+      return blockedCosinePairs(emb, threshold,
+        blocks = math.max(2, math.ceil(n.toDouble / (1 << 17)).toInt))
     val spark = emb.sparkSession
     import spark.implicits._
     val vecs = emb.select(col("vec_id").cast("long"),
@@ -410,6 +418,81 @@ object Dedup {
         out.iterator
       }
     }.toDF("a_id", "b_id", "sim")
+  }
+
+  /** Exact embedding-cosine pairs WITHOUT any single-node corpus
+    * materialization: triangle block partitioning. Vectors hash into
+    * `blocks` id-blocks; every unordered block pair {b, c} (including
+    * b = c) is scanned by exactly one task, which holds only its two
+    * blocks (2·n/blocks vectors) in memory. Each vector is shuffled
+    * `blocks` times — O(n·√tasks) shuffle volume against the inherent
+    * O(n²) compute, the standard trade for distributed exact all-pairs.
+    * The per-pair dot/norm folds are the same strict ascending-index
+    * loops as the broadcast path (dot and norm products commute
+    * bit-exactly), so the emitted `sim` values are identical. */
+  def blockedCosinePairs(emb: DataFrame, threshold: Double,
+      blocks: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val thr = threshold
+    val nB = blocks
+    emb.select(col("vec_id").cast("long"), VF.toDoubleVec(col("embedding")))
+      .as[(Long, Seq[Double])]
+      .flatMap { case (id, vec) =>
+        val b = (((id % nB) + nB) % nB).toInt
+        // one replica per unordered block pair containing b
+        (0 until nB).iterator.map { c =>
+          (math.min(b, c) * nB + math.max(b, c), b, id, vec)
+        }
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (pairKey: Int, it: Iterator[(Int, Int, Long, Seq[Double])]) =>
+        val lo = pairKey / nB
+        val hi = pairKey % nB
+        val rows = it.map { case (_, b, id, vec) =>
+          val v = vec.toArray
+          var acc = 0.0; var i = 0
+          while (i < v.length) { acc += v(i) * v(i); i += 1 }
+          (b, id, v, math.sqrt(acc))
+        }.toArray
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+        def score(aId: Long, av: Array[Double], an: Double,
+            bId: Long, bv: Array[Double], bn: Double): Unit = {
+          var dot = 0.0; var k = 0
+          while (k < av.length) { dot += av(k) * bv(k); k += 1 }
+          val sim = dot / (an * bn)
+          if (sim >= thr) {
+            out += (if (aId < bId) (aId, bId, sim) else (bId, aId, sim))
+          }
+        }
+        if (lo == hi) { // intra-block triangle
+          var i = 0
+          while (i < rows.length) {
+            var j = i + 1
+            while (j < rows.length) {
+              score(rows(i)._2, rows(i)._3, rows(i)._4,
+                rows(j)._2, rows(j)._3, rows(j)._4)
+              j += 1
+            }
+            i += 1
+          }
+        } else { // cross-block rectangle
+          val left = rows.filter(_._1 == lo)
+          val right = rows.filter(_._1 == hi)
+          var i = 0
+          while (i < left.length) {
+            var j = 0
+            while (j < right.length) {
+              score(left(i)._2, left(i)._3, left(i)._4,
+                right(j)._2, right(j)._3, right(j)._4)
+              j += 1
+            }
+            i += 1
+          }
+        }
+        out.iterator
+      }
+      .toDF("a_id", "b_id", "sim")
   }
 
   /** splitmix64 — deterministic pseudo-random stream for hyperplane

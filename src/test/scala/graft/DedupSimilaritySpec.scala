@@ -63,6 +63,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.count() > 0)
   }
 
+  test("embedding-cosine exact pairs: blocked path is bit-identical, no driver corpus") {
+    // above broadcastLimit the operator must route to the triangle
+    // block-join (no collect() of the corpus); results — ids AND the
+    // strict-fold sims — must be bit-identical to the broadcast path
+    val viaBroadcast = Dedup.embeddingCosinePairs(emb, 0.3)
+      .orderBy("a_id", "b_id").collect().toSeq
+    val viaBlocks = Dedup.embeddingCosinePairs(emb, 0.3, broadcastLimit = 1)
+      .orderBy("a_id", "b_id").collect().toSeq
+    assert(viaBroadcast === viaBlocks)
+    // and directly at an awkward block count (ids not divisible evenly)
+    val direct = Dedup.blockedCosinePairs(emb, 0.3, blocks = 7)
+      .orderBy("a_id", "b_id").collect().toSeq
+    assert(viaBroadcast === direct)
+  }
+
   test("embedding LSH pairs: sound on the raw corpus, high recall on planted near-dups") {
     // soundness: every LSH survivor is a true pair (exact verify in-loop),
     // even in the hostile low-cosine regime of the random test corpus
