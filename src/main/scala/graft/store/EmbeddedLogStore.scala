@@ -56,8 +56,21 @@ case class StagedSegment(shard: Int, file: String)
   * is a pure function of manifest contents, so any executor can read or
   * write without coordination beyond the version link.
   */
-class EmbeddedLogStore(root: String) extends Serializable {
+class EmbeddedLogStore(root: String, ioRetries: Int = 10,
+    ioBackoffMs: Long = 1000, ioMaxBackoffMs: Long = 10000)
+    extends Serializable {
   import EmbeddedLogStore._
+
+  /** Fault-injection seam for tests: every retryable IO section runs
+    * through here. Production is the identity. */
+  protected def fsOp[T](op: => T): T = op
+
+  /** Retryable storage-IO section: transient IOExceptions back off and
+    * retry per the reference client contract ([[Retry.io]]); protocol
+    * signals (NoSuchFile / FileAlreadyExists) pass through to their
+    * handlers. */
+  private def io[T](op: => T): T =
+    Retry.io(ioRetries, ioBackoffMs, ioMaxBackoffMs)(fsOp(op))
 
   private def storeDir(project: String, store: String) =
     Paths.get(root, project, store)
@@ -79,7 +92,7 @@ class EmbeddedLogStore(root: String) extends Serializable {
 
   def listShards(project: String, store: String): Seq[ShardInfo] = {
     val mapper = new ObjectMapper()
-    val tree = mapper.readTree(Files.readAllBytes(metaPath(project, store)))
+    val tree = mapper.readTree(io(Files.readAllBytes(metaPath(project, store))))
     tree.get("shards").elements().asScala.map { n =>
       ShardInfo(n.get("id").asInt(), n.get("readOnly").asBoolean())
     }.toSeq.sortBy(_.id)
@@ -93,8 +106,8 @@ class EmbeddedLogStore(root: String) extends Serializable {
       val n = arr.addObject()
       n.put("id", s.id); n.put("readOnly", s.readOnly)
     }
-    Files.write(metaPath(project, store),
-      mapper.writeValueAsBytes(rootNode))
+    io(Files.write(metaPath(project, store),
+      mapper.writeValueAsBytes(rootNode)))
   }
 
   /** Split a shard: parent becomes read-only, two new shards are created
@@ -140,10 +153,12 @@ class EmbeddedLogStore(root: String) extends Serializable {
         s"replayed segment $segmentName is $file, committed as $prior")
     }
     val tmp = dir.resolve(s".$file.tmp")
-    Files.write(tmp, sb.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, dir.resolve(file),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    io {
+      Files.write(tmp, sb.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, dir.resolve(file),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     StagedSegment(shard, file)
   }
 
@@ -175,9 +190,9 @@ class EmbeddedLogStore(root: String) extends Serializable {
           val n = arr.addObject(); n.put("shard", s.shard); n.put("file", s.file)
         }
         val tmp = mDir.resolve(s".m-$version.json.tmp-${System.nanoTime()}")
-        Files.write(tmp, mapper.writeValueAsBytes(rootNode))
+        io(Files.write(tmp, mapper.writeValueAsBytes(rootNode)))
         try {
-          Files.createLink(mDir.resolve(f"m-$version%010d.json"), tmp)
+          io(Files.createLink(mDir.resolve(f"m-$version%010d.json"), tmp))
           // The link can land in a version slot a concurrent compaction
           // just VACATED: if our listing raced the compactor's deletions
           // and missed its checkpoint, `version` can sit below the
@@ -258,10 +273,10 @@ class EmbeddedLogStore(root: String) extends Serializable {
   private def manifestFiles(project: String, store: String): Seq[String] = {
     val dir = manifestDir(project, store)
     if (!Files.isDirectory(dir)) return Seq.empty
-    Files.list(dir).iterator().asScala
+    io(Files.list(dir).iterator().asScala
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("m-") && n.endsWith(".json"))
-      .toSeq.sorted // zero-padded version ⇒ commit order
+      .toSeq).sorted // zero-padded version ⇒ commit order
   }
 
   private def manifestVersion(name: String): Long =
@@ -328,7 +343,7 @@ class EmbeddedLogStore(root: String) extends Serializable {
     val mDir = manifestDir(project, store)
     val mapper = new ObjectMapper()
     val trees = files.map(m =>
-      mapper.readTree(Files.readAllBytes(mDir.resolve(m))))
+      mapper.readTree(io(Files.readAllBytes(mDir.resolve(m)))))
     val lastCkpt = trees.lastIndexWhere(t =>
       t.get("checkpoint") != null && t.get("checkpoint").asBoolean())
     val tailFiles = files.drop(math.max(lastCkpt, 0))
@@ -390,9 +405,9 @@ class EmbeddedLogStore(root: String) extends Serializable {
             val n = arr.addObject(); n.put("shard", shard); n.put("file", file)
           }
           val tmp = mDir.resolve(s".m-$version.json.tmp-${System.nanoTime()}")
-          Files.write(tmp, mapper.writeValueAsBytes(rootNode))
+          io(Files.write(tmp, mapper.writeValueAsBytes(rootNode)))
           try {
-            Files.createLink(mDir.resolve(f"m-$version%010d.json"), tmp)
+            io(Files.createLink(mDir.resolve(f"m-$version%010d.json"), tmp))
             done = true
             folded.foreach(f => Files.deleteIfExists(mDir.resolve(f)))
           } catch {
@@ -440,8 +455,8 @@ class EmbeddedLogStore(root: String) extends Serializable {
     listSegments(project, store, shard).foreach { seg =>
       if (seg.maxTime < t) ordinal += seg.count
       else {
-        val lines = Files.readAllLines(
-          shardDir(project, store, shard).resolve(seg.fileName)).asScala
+        val lines = io(Files.readAllLines(
+          shardDir(project, store, shard).resolve(seg.fileName))).asScala
         lines.foreach { line =>
           if (mapper.readTree(line).get("time").asInt() >= t) return ordinal
           ordinal += 1
@@ -475,7 +490,7 @@ class EmbeddedLogStore(root: String) extends Serializable {
       base += seg.count
     }
     val inRange = out.iterator.flatMap { case (file, segBase) =>
-      val reader = Files.newBufferedReader(dir.resolve(file), StandardCharsets.UTF_8)
+      val reader = io(Files.newBufferedReader(dir.resolve(file), StandardCharsets.UTF_8))
       new Iterator[(Long, String)] {
         private var ord = segBase
         private var line: String = advance()
