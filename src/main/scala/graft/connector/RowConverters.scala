@@ -39,6 +39,9 @@ object RowConverters {
           java.time.ZoneOffset.UTC)
       case DateType => s => DateTimeUtils.stringToDateAnsi(UTF8String.fromString(s))
       case StringType => s => UTF8String.fromString(s)
+      // UDT values live in their sqlType representation inside Catalyst
+      // rows: recurse on it (reference Utils.scala:145-146)
+      case udt: UserDefinedType[_] => return makeReader(udt.sqlType, nullable)
       case other => throw new IllegalArgumentException(
         s"unsupported read type $other for the flat string wire model")
     }
@@ -62,6 +65,7 @@ object RowConverters {
     case TimestampType => v.toString // micros epoch
     case DateType => v.toString
     case _: DecimalType => v.asInstanceOf[Decimal].toJavaBigDecimal.toPlainString
+    case udt: UserDefinedType[_] => valueToString(udt.sqlType, v)
     case BinaryType | _: ArrayType | _: MapType | _: StructType =>
       throw new IllegalArgumentException(
         s"unsupported write type $dt for the flat string wire model")

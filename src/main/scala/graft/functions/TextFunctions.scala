@@ -46,14 +46,15 @@ object TextFunctions {
     "zh" -> Seq("的", "是", "在", "了", "和"))
 
   def langGuess(toks: Column): Column = {
-    val byLang = langMarkers.map { case (lang, ws) => lang -> markerCount(toks, ws) }.toMap
-    val langs = langMarkers.map(_._1)
-    // first declared language whose score is positive and >= every other
-    langs.foldRight(lit("und")) { (lang, elseCol) =>
-      val cond = langs.filter(_ != lang).foldLeft(byLang(lang) > 0) { (acc, o) =>
-        acc && byLang(lang) >= byLang(o)
-      }
-      when(cond, lit(lang)).otherwise(elseCol)
-    }
+    // each marker count is evaluated exactly ONCE (the nested when-chain
+    // formulation re-evaluated up to 25 of them per row); the winner is
+    // the FIRST index holding the max — array_position's first-match
+    // semantics give the fixed declared-order tie precedence for free
+    val counts = array(langMarkers.map { case (_, ws) => markerCount(toks, ws) }: _*)
+    val langsArr = array(langMarkers.map { case (lang, _) => lit(lang) }: _*)
+    val mx = array_max(counts)
+    when(mx > 0,
+      element_at(langsArr, array_position(counts, mx).cast(IntegerType)))
+      .otherwise(lit("und"))
   }
 }

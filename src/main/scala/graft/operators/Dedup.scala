@@ -306,11 +306,11 @@ object Dedup {
     *
     * Scale note: 4-bit bands are coarse (1/16 selectivity), which at
     * 100 TB makes both the group size and the quadratic scan blow up —
-    * you widen the sketch (128-bit simhash, 16 byte-bands at 1/256
-    * selectivity, complete for hamming <= 15 of 128) rather than narrow
-    * the bands; the pipeline shape below is unchanged, and the grouped
-    * quadratic makes the per-bucket cost explicit instead of hiding it
-    * in a join's output cardinality. */
+    * you widen the sketch rather than narrow the bands:
+    * [[simHashPairs128]] is that widening (16 byte-bands at 1/256
+    * selectivity, complete for hamming <= 15 of 128) behind the same
+    * pipeline shape. The grouped quadratic makes the per-bucket cost
+    * explicit instead of hiding it in a join's output cardinality. */
   def simHashPairs(docs: DataFrame, maxHamming: Int, threshold: Double): DataFrame = {
     require(maxHamming < 16, "nibble banding is only complete for hamming < 16")
     val spark = docs.sparkSession
@@ -338,6 +338,103 @@ object Dedup {
           while (j < arr.length) {
             val (idA, hA) = arr(i); val (idB, hB) = arr(j)
             if (java.lang.Long.bitCount(hA ^ hB) <= maxH && idA != idB) {
+              out += (if (idA < idB) (idA, idB) else (idB, idA))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("a_id", "b_id")
+      .distinct()
+    verifyCandidates(candidates, sh, threshold)
+  }
+
+  /** 128-bit SimHash per doc, same one-pass shape as
+    * [[simHashesFromDocs]]: the low 64 sketch bits come from the FNV-1a
+    * shingle hash, the high 64 from a splitmix64 remix of it (an
+    * independent deterministic bit family — no second pass over the
+    * text). Output: (doc_id, sim_lo, sim_hi). */
+  def simHashes128FromDocs(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = ShingleN
+    docs.select(col("doc_id").cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val t = text.trim.toLowerCase.split("\\s+")
+        val sums = new Array[Int](128)
+        if (t.length >= n) {
+          val seen = new java.util.HashSet[Long]()
+          t.sliding(n).foreach { w => seen.add(fnv64(w.mkString(" "))) }
+          seen.forEach { h1 =>
+            val h2 = splitmix64(h1)
+            var b = 0
+            while (b < 64) {
+              if (((h1 >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+              if (((h2 >>> b) & 1L) == 1L) sums(64 + b) += 1 else sums(64 + b) -= 1
+              b += 1
+            }
+          }
+        }
+        var lo = 0L; var hi = 0L
+        var b = 0
+        while (b < 64) {
+          if (sums(b) > 0) lo |= (1L << b)
+          if (sums(64 + b) > 0) hi |= (1L << b)
+          b += 1
+        }
+        (id, lo, hi)
+      }
+      .toDF("doc_id", "sim_lo", "sim_hi")
+  }
+
+  /** The 128-bit widening of [[simHashPairs]] — the documented scale
+    * path built: 16 byte-bands give 1/256 per-band selectivity (16× the
+    * nibble bands' 1/16), pigeonhole-complete for hamming <= 15 of 128.
+    * A near-dup's expected hamming scales with sketch width (a pair at
+    * hamming ~10 of 64 sits at ~20 of 128), so `maxHamming` here is
+    * typically ~2× the 64-bit setting; above 15 recall through the
+    * bands is probabilistic rather than guaranteed (a pair is missed
+    * only when ALL 16 bands differ — at hamming 31 that needs the 31
+    * flipped bits to cover every band, vanishingly unlikely), and the
+    * exact-Jaccard verify keeps precision exact regardless. Same
+    * pipeline shape: banded grouped bucket scan → 128-bit hamming
+    * filter → exact-Jaccard verify, with per-bucket group sizes 16×
+    * smaller. */
+  def simHashPairs128(docs: DataFrame, maxHamming: Int, threshold: Double): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 128, s"maxHamming $maxHamming out of [0, 128)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = docShingleHashes(docs).cache()
+    val maxH = maxHamming
+    val candidates = simHashes128FromDocs(docs)
+      .as[(Long, Long, Long)]
+      .flatMap { case (id, lo, hi) =>
+        (0 until 16).iterator.map { bi =>
+          val byte =
+            if (bi < 8) (lo >>> (bi * 8)) & 0xFFL
+            else (hi >>> ((bi - 8) * 8)) & 0xFFL
+          (bi.toLong * 256 + byte, id, lo, hi)
+        }
+      }
+      .toDF("bucket", "doc_id", "sim_lo", "sim_hi")
+      .groupBy(col("bucket"))
+      .agg(collect_list(struct(col("doc_id"), col("sim_lo"), col("sim_hi"))).as("members"))
+      .select(col("members"))
+      .as[Seq[(Long, Long, Long)]]
+      .flatMap { members =>
+        val arr = members.toArray
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        var i = 0
+        while (i < arr.length) {
+          var j = i + 1
+          while (j < arr.length) {
+            val (idA, loA, hiA) = arr(i); val (idB, loB, hiB) = arr(j)
+            val ham = java.lang.Long.bitCount(loA ^ loB) +
+              java.lang.Long.bitCount(hiA ^ hiB)
+            if (ham <= maxH && idA != idB) {
               out += (if (idA < idB) (idA, idB) else (idB, idA))
             }
             j += 1

@@ -39,6 +39,7 @@ object TextQueries {
     "d2_dedup_jaccard" -> d2,
     "d3_dedup_minhash_lsh" -> d3,
     "d4_dedup_simhash" -> d4,
+    "d7_dedup_simhash128" -> d7,
     "d5_dedup_embedding" -> d5,
     "s1_ann_cosine" -> s1,
     "s2_ann_lsh" -> s2,
@@ -220,6 +221,13 @@ object TextQueries {
     Dedup.simHashPairs(t(spark, dir, "documents"), maxHamming = 15,
       threshold = jaccardThreshold)
 
+  /** Widened 128-bit sketch, 16 byte-bands (1/256 selectivity) — the
+    * scale path for corpora where 4-bit bands over-collide; maxHamming
+    * scales ~2× with the doubled sketch width. */
+  private def d7: Q = (spark, dir) =>
+    Dedup.simHashPairs128(t(spark, dir, "documents"), maxHamming = 31,
+      threshold = jaccardThreshold)
+
   /** Embedding-cosine near-dup pairs. The synthetic embeddings are
     * near-orthogonal random vectors (max pairwise cosine ≈ 0.6 at sf0.1),
     * so the demo threshold is 0.4; real text embeddings cluster and a
@@ -376,6 +384,7 @@ object TextQueries {
     "d2_dedup_jaccard" -> shingleCte,
     "d3_dedup_minhash_lsh" -> shingleCte,
     "d4_dedup_simhash" -> shingleCte,
+    "d7_dedup_simhash128" -> shingleCte,
     "d5_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,

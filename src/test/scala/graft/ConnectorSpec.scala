@@ -66,6 +66,28 @@ class ConnectorSpec extends AnyFunSuite {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap === Map(0 -> 5, 1 -> 5))
   }
 
+  test("UDT column round-trips through its sqlType representation") {
+    // reference recurses on UserDefinedType.sqlType (Utils.scala:145-146);
+    // our converters mirror that on both read and write
+    val root = freshRoot()
+    new EmbeddedLogStore(root).createStore("proj", "logs", 1)
+    val udt = new TemperatureUDT
+    val schema = StructType(Seq(
+      StructField("__shard__", IntegerType),
+      StructField("__time__", TimestampType),
+      StructField("temp", udt)))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(0, new java.sql.Timestamp(1700000100L * 1000), Temperature(21.5)),
+        org.apache.spark.sql.Row(0, new java.sql.Timestamp(1700000101L * 1000), Temperature(-7.25)))
+    spark.createDataFrame(rows, schema)
+      .write.format("graft-logstore").options(readOpts(root)).mode("append").save()
+    val back = spark.read.format("graft-logstore").options(readOpts(root))
+      .schema(StructType(Seq(StructField("temp", udt)))).load()
+      .collect().map(_.getAs[Temperature]("temp")).sortBy(_.degrees)
+    assert(back.toSeq === Seq(Temperature(-7.25), Temperature(21.5)))
+  }
+
   test("bounded offsets json with sentinels") {
     val root = freshRoot(); seed(root)
     val df = spark.read.format("graft-logstore").options(readOpts(root))
@@ -145,4 +167,16 @@ class ConnectorSpec extends AnyFunSuite {
     assert(o.json() === """{"logProject-A#logStore-B":{"0":1409569200,"1":1409569201}}""")
     assert(graft.connector.LogServiceOffset.parse(o.json()) === o)
   }
+}
+
+/** Minimal UDT for the round-trip test: carried as its DoubleType
+  * sqlType on the wire. */
+case class Temperature(degrees: Double)
+
+class TemperatureUDT extends UserDefinedType[Temperature] {
+  override def sqlType: DataType = DoubleType
+  override def serialize(t: Temperature): Any = t.degrees
+  override def deserialize(datum: Any): Temperature =
+    Temperature(datum.asInstanceOf[Double])
+  override def userClass: Class[Temperature] = classOf[Temperature]
 }

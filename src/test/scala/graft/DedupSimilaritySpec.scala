@@ -22,6 +22,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(exact.exceptAll(sim).isEmpty && sim.exceptAll(exact).isEmpty)
   }
 
+  test("128-bit simhash pairs equal exact jaccard pairs at 0.8, with tighter bands") {
+    val exact = Dedup.jaccardPairs(docs, 0.8).select("a_id", "b_id")
+    val sim = Dedup.simHashPairs128(docs, 31, 0.8).select("a_id", "b_id")
+    assert(exact.exceptAll(sim).isEmpty && sim.exceptAll(exact).isEmpty)
+    // the widened sketch must actually be more selective: byte bands
+    // admit far fewer same-bucket collisions than nibble bands
+    import spark.implicits._
+    val n = docs.count()
+    def bucketPairs(banded: org.apache.spark.sql.DataFrame): Long =
+      banded.groupBy("bucket").count()
+        .agg(sum(col("count") * (col("count") - 1))).first().getLong(0)
+    val nibble = Dedup.simHashesFromDocs(docs).as[(Long, Long)]
+      .flatMap { case (id, h) =>
+        (0 until 16).iterator.map(bi => (bi.toLong * 16 + ((h >>> (bi * 4)) & 0xFL), id))
+      }.toDF("bucket", "doc_id")
+    val byte8 = Dedup.simHashes128FromDocs(docs).as[(Long, Long, Long)]
+      .flatMap { case (id, lo, hi) =>
+        (0 until 16).iterator.map { bi =>
+          val b = if (bi < 8) (lo >>> (bi * 8)) & 0xFFL else (hi >>> ((bi - 8) * 8)) & 0xFFL
+          (bi.toLong * 256 + b, id)
+        }
+      }.toDF("bucket", "doc_id")
+    assert(n > 0 && bucketPairs(byte8) < bucketPairs(nibble))
+  }
+
   test("exact dedup collapses injected duplicates") {
     val base = docs.select(col("doc_id"), col("text"))
     val dup = base.limit(5).select(col("doc_id") + 100000, col("text"))
