@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""PySpark smoke test for the graft-logstore connector (SURVEY §2.1 S10).
+
+The reference ships a py4j shim (loghub.py:26-196) because its DStream
+surface is JVM-only; DSv2 makes that shim unnecessary — the same
+`spark.read/write.format("graft-logstore")` works from any language
+binding. This script proves it end-to-end from Python:
+
+  1. create an embedded store (via the JVM gateway — admin surface),
+  2. write the sf0.001 events table through the DSv2 writer,
+  3. read it back through the DSv2 scan with a typed schema,
+  4. run the c1 aggregate both on the store read and directly on the
+     source parquet, and require identical results.
+
+Run:  python3 tools/pyspark_smoke.py
+Exit: 0 on match, 1 on mismatch.
+"""
+import sys
+import tempfile
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+JAR = "target/scala-2.13/sparkstreaminglogservicespark_2.13-0.1.0.jar"
+SF_DIR = "/root/testdata/sf0.001"
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("graft-pyspark-smoke")
+    .config("spark.jars", JAR)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("WARN")
+
+root = tempfile.mkdtemp(prefix="graft-pyspark-")
+# admin surface (store creation) via the gateway; the data path below is
+# pure DataFrame API — no shim, the reference's loghub.py equivalent
+store = spark._jvm.graft.store.EmbeddedLogStore(root, 10, 1000, 10000)
+store.createStore("proj", "events", 4)
+opts = {"store.root": root, "store.project": "proj", "store.name": "events"}
+
+events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+(
+    events.select(
+        (F.col("user_id") % 4).cast("int").alias("__shard__"),
+        F.expr("ts DIV 1000000000").cast("int").alias("__time__"),
+        "event_id", "user_id", "event_type", "value", "ts",
+    )
+    .write.format("graft-logstore").options(**opts).mode("append").save()
+)
+
+def c1_aggregate(df):
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # partitioning differs between the two reads, so a raw double
+            # sum differs in the last ulp; round like the catalog's dsum6
+            F.round(F.sum(F.col("value")), 6).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .orderBy("event_type")
+    )
+
+back = (
+    spark.read.format("graft-logstore").options(**opts)
+    .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts LONG")
+    .load()
+)
+got = [tuple(r) for r in c1_aggregate(back).collect()]
+want = [tuple(r) for r in c1_aggregate(events).collect()]
+
+print(f"store   : {got}")
+print(f"parquet : {want}")
+if got == want and len(got) > 0:
+    print(f"OK: python DSv2 round-trip matches on {len(got)} groups, "
+          f"{back.count()} rows")
+    sys.exit(0)
+print("MISMATCH between store read-back and source parquet")
+sys.exit(1)
