@@ -46,15 +46,21 @@ object TextFunctions {
     "zh" -> Seq("的", "是", "在", "了", "和"))
 
   def langGuess(toks: Column): Column = {
-    // each marker count is evaluated exactly ONCE (the nested when-chain
-    // formulation re-evaluated up to 25 of them per row); the winner is
-    // the FIRST index holding the max — array_position's first-match
-    // semantics give the fixed declared-order tie precedence for free
-    val counts = array(langMarkers.map { case (_, ws) => markerCount(toks, ws) }: _*)
+    // single-pass argmax. Spark has no let-binding in expression space
+    // and repeats a subexpression wherever it appears, so the token
+    // array and the 5-count array are each bound ONCE as the lambda
+    // variable of a single-element transform(...); the old when-chain
+    // re-evaluated up to 25 marker scans (each dragging its own copy of
+    // the tokenizing split) per row. The winner is the FIRST index
+    // holding the max — array_position's first-match semantics give the
+    // fixed declared-order tie precedence for free.
     val langsArr = array(langMarkers.map { case (lang, _) => lit(lang) }: _*)
-    val mx = array_max(counts)
-    when(mx > 0,
-      element_at(langsArr, array_position(counts, mx).cast(IntegerType)))
-      .otherwise(lit("und"))
+    element_at(transform(array(toks), { ts =>
+      val counts = array(langMarkers.map { case (_, ws) => markerCount(ts, ws) }: _*)
+      element_at(transform(array(counts), c =>
+        when(array_max(c) > 0,
+          element_at(langsArr, array_position(c, array_max(c)).cast(IntegerType)))
+          .otherwise(lit("und"))), 1)
+    }), 1)
   }
 }
