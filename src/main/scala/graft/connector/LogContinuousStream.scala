@@ -75,6 +75,7 @@ class LogContinuousPartitionReader(schema: StructType, p: LogInputPartition,
     RowConverters.makeReader(f.dataType, f.nullable))
   private var ordinal = p.from
   private var it: Iterator[(Long, LogRecord)] = Iterator.empty
+  private var bases: Array[Long] = _
   private var current: InternalRow = _
 
   override def next(): Boolean = {
@@ -82,14 +83,18 @@ class LogContinuousPartitionReader(schema: StructType, p: LogInputPartition,
       val end = store.shardEnd(p.project, p.store, p.shard)
       if (end > ordinal) {
         it = store.read(p.project, p.store, p.shard, ordinal, end)
+        // segment bases are prefix-stable (commit order is append-only),
+        // so refreshing alongside the iterator stays consistent
+        if (appendSeq) bases = store.segmentBases(p.project, p.store, p.shard)
       } else {
         Thread.sleep(10) // poll backoff; interrupted by epoch end/stop
       }
     }
     val (ord, rec) = it.next()
     ordinal = ord + 1
+    val seq = if (appendSeq) RowConverters.sequenceNumberOf(bases, ord) else null
     current = RowConverters.recordToRow(schema, readers, p.project, p.store,
-      p.shard, ord, rec, appendSeq)
+      p.shard, ord, rec, seq)
     true
   }
 

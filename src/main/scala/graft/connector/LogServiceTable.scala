@@ -288,13 +288,16 @@ class LogPartitionReader(schema: StructType, p: LogInputPartition,
     RowConverters.makeReader(f.dataType, f.nullable))
   private val it: Iterator[(Long, LogRecord)] =
     store.read(p.project, p.store, p.shard, p.from, p.until, p.timeRange)
+  private val bases: Array[Long] =
+    if (appendSeq) store.segmentBases(p.project, p.store, p.shard) else null
   private var current: InternalRow = _
 
   override def next(): Boolean = {
     if (!it.hasNext) return false
     val (ord, rec) = it.next()
+    val seq = if (appendSeq) RowConverters.sequenceNumberOf(bases, ord) else null
     current = RowConverters.recordToRow(schema, readers, p.project, p.store,
-      p.shard, ord, rec, appendSeq)
+      p.shard, ord, rec, seq)
     true
   }
   override def get(): InternalRow = current

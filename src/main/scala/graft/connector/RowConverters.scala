@@ -104,9 +104,23 @@ object RowConverters {
     * name against contents, `__tag__:k` against tags, metadata columns
     * filled specially (LoghubSourceRDD.scala:183-219). Unmatched fields →
     * null; unknown incoming keys dropped. */
+  /** Sequence number in the reference's `<logGroupIndex>-<logIndex>`
+    * shape (LoghubSourceRDD.scala:144,166,196-199): our group is the
+    * segment, the group index is the segment's base cursor (the cursor
+    * of its first record — the reference seeds its group index from the
+    * batch cursor the same way), and the log index is the record's
+    * position within the segment. `bases` is
+    * [[graft.store.EmbeddedLogStore.segmentBases]] for the shard. */
+  def sequenceNumberOf(bases: Array[Long], ordinal: Long): String = {
+    var idx = java.util.Arrays.binarySearch(bases, ordinal)
+    if (idx < 0) idx = -idx - 2 // insertion point - 1 = containing segment
+    val base = bases(idx)
+    s"$base-${ordinal - base}"
+  }
+
   def recordToRow(schema: StructType, readers: Array[FieldReader],
       project: String, store: String, shard: Int, ordinal: Long,
-      r: LogRecord, appendSeq: Boolean): InternalRow = {
+      r: LogRecord, seqNum: String): InternalRow = {
     val row = new GenericInternalRow(schema.length)
     var i = 0
     while (i < schema.length) {
@@ -122,7 +136,7 @@ object RowConverters {
         case Topic => r.topic
         case Source => r.source
         case Value => packValueJson(r)
-        case SequenceNumber => if (appendSeq) s"$shard-$ordinal" else null
+        case SequenceNumber => seqNum
         case n if n.startsWith(TagPrefix) =>
           r.tags.getOrElse(n.substring(TagPrefix.length), null)
         case n => r.contents.getOrElse(n, null)

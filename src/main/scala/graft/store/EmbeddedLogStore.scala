@@ -445,6 +445,16 @@ class EmbeddedLogStore(root: String, ioRetries: Int = 10,
   def shardEnd(project: String, store: String, shard: Int): Long =
     listSegments(project, store, shard).map(_.count).sum
 
+  /** Base ordinal of each committed segment in commit order — the
+    * cursor value of the segment's first record. */
+  def segmentBases(project: String, store: String, shard: Int): Array[Long] = {
+    val segs = listSegments(project, store, shard)
+    val bases = new Array[Long](segs.length)
+    var acc = 0L; var i = 0
+    while (i < segs.length) { bases(i) = acc; acc += segs(i).count; i += 1 }
+    bases
+  }
+
   /** First ordinal whose record time >= t (for cursor-from-time);
     * shardEnd if none. Segments whose embedded maxTime < t are skipped
     * from the listing alone — only the first candidate segment onward

@@ -120,10 +120,19 @@ class ErrorHandlingSpec extends AnyFunSuite {
     val rows = df.orderBy("msg").collect()
     assert(rows.map(_.getString(1)).toSet === Set("topicX"))
     assert(rows.map(_.getString(2)).toSet === Set("host9"))
+    // reference shape <logGroupIndex>-<logIndex>: group = segment,
+    // group index = the segment's base cursor, log index = position
+    // within the segment
     assert(rows.map(_.getString(3)).toSeq === Seq("0-0", "0-1", "0-2"))
+    store.appendSegment("proj", "logs", 0, "b", (3 until 5).map(i =>
+      LogRecord(1700000000 + i, "topicX", "host9", Map.empty,
+        Map("msg" -> i.toString))))
+    val rows2 = df.orderBy("msg").collect()
+    assert(rows2.map(_.getString(3)).toSeq ===
+      Seq("0-0", "0-1", "0-2", "3-0", "3-1"))
     // without the option the column is null (reference default)
     val noseq = spark.read.format("graft-logstore").options(opts(root))
       .schema("msg INT, __sequence_number__ STRING").load()
-    assert(noseq.filter(col("__sequence_number__").isNull).count() === 3)
+    assert(noseq.filter(col("__sequence_number__").isNull).count() === 5)
   }
 }

@@ -240,7 +240,9 @@ class StreamingSpec extends AnyFunSuite {
     // latest update per key (by shard ordinal) = final counts
     import org.apache.spark.sql.expressions.Window
     val latest = hist
-      .withColumn("ord", split(col("__sequence_number__"), "-")(1).cast("long"))
+      .withColumn("ord", // global ordinal = segment base + in-segment index
+        split(col("__sequence_number__"), "-")(0).cast("long") +
+          split(col("__sequence_number__"), "-")(1).cast("long"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("key")).orderBy(col("ord").desc)))
       .filter(col("rn") === 1)
