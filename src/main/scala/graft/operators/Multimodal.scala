@@ -1,5 +1,6 @@
 package graft.operators
 
+import java.nio.charset.StandardCharsets
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -7,13 +8,16 @@ import org.apache.spark.sql.types._
 /** Multimodal columns: image/audio/video as opaque `binary` payloads with
   * typed metadata, processed batch-at-a-time on executors.
   *
-  * The container has no codec libraries, so the *decode* kernels are
-  * deterministic stubs (clearly marked) — but everything Spark-side is
-  * real and tested: the asset schema, binary payload flow through
-  * shuffles, per-partition batch processing, feature extraction on raw
-  * bytes, fixed-size chunking for oversized payloads, and the
-  * metadata-driven dispatch a real pipeline uses. Swapping a stub for a
-  * JNI/codec call changes one function body, not the pipeline.
+  * Container-native formats are decoded for REAL with no external
+  * library: RIFF/WAVE 16-bit PCM ([[decodeWavPcm16]]) and 24bpp BMP
+  * ([[decodeBmp24]]), with content-sniffing dispatch
+  * ([[decodeImage]]). Only formats that genuinely need a codec
+  * (JPEG, H.264) keep deterministic stubs (clearly marked) — and
+  * everything Spark-side is real and tested either way: the asset
+  * schema, binary payload flow through shuffles, per-partition batch
+  * processing, feature extraction, fixed-size chunking, and the
+  * dispatch. Swapping a stub for a JNI/codec call changes one function
+  * body, not the pipeline.
   *
   * Scale notes: payloads stay opaque until the last stage (no byte-level
   * shuffle work before filtering on cheap metadata); chunking bounds task
@@ -86,6 +90,168 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------------
+  // REAL codecs — RIFF/WAVE 16-bit PCM and 24bpp BMP are
+  // container-native formats decodable with no external library. The
+  // stubs above remain only for formats that genuinely need a codec
+  // (JPEG, H.264); [[decodeImage]] dispatches on magic bytes the way a
+  // production pipeline dispatches on content type.
+  // ---------------------------------------------------------------------
+
+  /** Encode 16-bit mono PCM as a RIFF/WAVE file (canonical 44-byte
+    * header + little-endian samples). */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes(StandardCharsets.US_ASCII))
+    buf.putInt(36 + dataLen)
+    buf.put("WAVE".getBytes(StandardCharsets.US_ASCII))
+    buf.put("fmt ".getBytes(StandardCharsets.US_ASCII))
+    buf.putInt(16) // PCM fmt chunk length
+    buf.putShort(1) // audio format: PCM
+    buf.putShort(1) // channels
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * 2) // byte rate
+    buf.putShort(2) // block align
+    buf.putShort(16) // bits per sample
+    buf.put("data".getBytes(StandardCharsets.US_ASCII))
+    buf.putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Decode a RIFF/WAVE payload containing 16-bit PCM: walks the chunk
+    * list (fmt / data in any order, unknown chunks skipped per the RIFF
+    * contract) and returns (sampleRate, channels, samples). Fails on
+    * anything that is not uncompressed 16-bit PCM. */
+  def decodeWavPcm16(payload: Array[Byte]): (Int, Int, Array[Short]) = {
+    require(payload.length >= 44 &&
+      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A' &&
+      payload(10) == 'V' && payload(11) == 'E', "not a RIFF/WAVE payload")
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var sampleRate = -1
+    var channels = -1
+    var samples: Array[Short] = null
+    while (pos + 8 <= payload.length) {
+      val id = new String(payload, pos, 4, StandardCharsets.US_ASCII)
+      val len = buf.getInt(pos + 4)
+      require(len >= 0 && pos + 8 + len <= payload.length,
+        s"truncated RIFF chunk $id")
+      id match {
+        case "fmt " =>
+          require(buf.getShort(pos + 8) == 1, "not PCM")
+          channels = buf.getShort(pos + 10).toInt
+          sampleRate = buf.getInt(pos + 12)
+          require(buf.getShort(pos + 22) == 16, "not 16-bit")
+        case "data" =>
+          samples = new Array[Short](len / 2)
+          var i = 0
+          while (i < samples.length) {
+            samples(i) = buf.getShort(pos + 8 + i * 2); i += 1
+          }
+        case _ => // unknown chunk: skip (RIFF contract)
+      }
+      pos += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    require(sampleRate > 0 && samples != null, "missing fmt or data chunk")
+    (sampleRate, channels, samples)
+  }
+
+  /** PCM features: (durationSec, rms, zeroCrossings). Sum of squares is
+    * exact long arithmetic; rms is one IEEE division + sqrt, bit-stable
+    * across engines. */
+  def pcmFeatures(sampleRate: Int, samples: Array[Short]): (Double, Double, Long) = {
+    var sumSq = 0L
+    var zc = 0L
+    var i = 0
+    while (i < samples.length) {
+      sumSq += samples(i).toLong * samples(i)
+      if (i > 0 && ((samples(i) >= 0) != (samples(i - 1) >= 0))) zc += 1
+      i += 1
+    }
+    val rms =
+      if (samples.isEmpty) 0.0 else math.sqrt(sumSq.toDouble / samples.length)
+    (samples.length.toDouble / sampleRate, rms, zc)
+  }
+
+  /** Encode an 8-bit luma plane (row-major, top-down) as a 24bpp
+    * bottom-up BMP (gray: r = g = b = luma, rows padded to 4 bytes). */
+  def encodeBmp24(w: Int, h: Int, luma: Array[Byte]): Array[Byte] = {
+    require(luma.length == w * h, s"plane ${luma.length} != $w x $h")
+    val rowBytes = (w * 3 + 3) & ~3
+    val dataLen = rowBytes * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + dataLen).putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h) // BITMAPINFOHEADER, bottom-up
+    buf.putShort(1).putShort(24)
+    buf.putInt(0).putInt(dataLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = h - 1 // bottom row first
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val v = luma(y * w + x)
+        buf.put(v).put(v).put(v) // b g r
+        x += 1
+      }
+      var pad = rowBytes - w * 3
+      while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** Decode a 24bpp uncompressed BMP to a top-down row-major luma plane
+    * via integer BT.601 ((77r + 150g + 29b) >> 8 — exact identity on
+    * gray pixels since the weights sum to 256). Handles bottom-up
+    * (positive height) and top-down (negative height) layouts and row
+    * padding. */
+  def decodeBmp24(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(payload.length >= 54 && payload(0) == 'B' && payload(1) == 'M',
+      "not a BMP payload")
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dataOffset = buf.getInt(10)
+    val w = buf.getInt(18)
+    val rawH = buf.getInt(22)
+    val h = math.abs(rawH)
+    require(buf.getShort(28) == 24, "not 24bpp")
+    require(buf.getInt(30) == 0, "compressed BMP not supported")
+    val rowBytes = (w * 3 + 3) & ~3
+    require(dataOffset + rowBytes.toLong * h <= payload.length, "truncated BMP")
+    val luma = new Array[Byte](w * h)
+    var row = 0
+    while (row < h) {
+      // positive height = bottom-up storage
+      val srcRow = if (rawH > 0) h - 1 - row else row
+      val base = dataOffset + srcRow * rowBytes
+      var x = 0
+      while (x < w) {
+        val b = payload(base + x * 3) & 0xFF
+        val g = payload(base + x * 3 + 1) & 0xFF
+        val r = payload(base + x * 3 + 2) & 0xFF
+        luma(row * w + x) = ((77 * r + 150 * g + 29 * b) >> 8).toByte
+        x += 1
+      }
+      row += 1
+    }
+    (w, h, luma)
+  }
+
+  /** Content-sniffing image decode: real BMP payloads take the real
+    * decoder; anything else falls back to the stub (the slot where a
+    * JPEG/PNG codec call goes). */
+  def decodeImage(payload: Array[Byte]): (Int, Int, Array[Byte]) =
+    if (payload.length >= 54 && payload(0) == 'B' && payload(1) == 'M' &&
+        scala.util.Try(decodeBmp24(payload)).isSuccess)
+      decodeBmp24(payload)
+    else stubDecodeImage(payload)
+
+  // ---------------------------------------------------------------------
   // Real byte-level operators (no stubbing needed).
   // ---------------------------------------------------------------------
 
@@ -110,7 +276,7 @@ object Multimodal {
         // per-partition (per-batch) codec init happens HERE, once
         it.map { case (id, modality, payload) =>
           val (w, h, plane) = modality match {
-            case "image" | "video" => stubDecodeImage(payload)
+            case "image" | "video" => decodeImage(payload)
             case _ => (0, 0, payload)
           }
           val hist = new Array[Long](16)

@@ -17,7 +17,8 @@ object MultimodalQueries {
 
   def queries: Map[String, Q] = Map(
     "m1_binary_assets" -> m1,
-    "m2_frame_sample" -> m2)
+    "m2_frame_sample" -> m2,
+    "m3_wav_roundtrip" -> m3)
 
   /** Binary asset stats + round-trip through fixed-size chunking: chunk
     * count must match octet math and reassembled digests must equal the
@@ -63,6 +64,35 @@ object MultimodalQueries {
         col("n_sampled").cast("long").as("n_sampled"), col("first_frame_hex"))
   }
 
+  /** REAL audio codec on the oracle-checked path: each user's event
+    * values become a 16-bit PCM waveform, encoded as an actual
+    * RIFF/WAVE file (Multimodal.encodeWavPcm16), decoded back with the
+    * real chunk-walking parser, and reduced to features. The oracle
+    * computes the same features straight from the source integers —
+    * a hash match proves the container round-trip is lossless. One
+    * shuffle on user_id; payload bytes are built post-shuffle and never
+    * move again. */
+  private def m3: Q = (spark, dir) => {
+    import spark.implicits._
+    val sr = 8000
+    t(spark, dir, "events")
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("value").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, it) =>
+        // deterministic sample order; value*50 <= 28011 fits 16-bit PCM
+        val samples = it.toArray.sortBy(_._2)
+          .map { case (_, _, v) => (v * 50).toInt.toShort }
+        val wav = Multimodal.encodeWavPcm16(sr, samples)
+        val (rate, channels, decoded) = Multimodal.decodeWavPcm16(wav)
+        val (dur, rms, _) = Multimodal.pcmFeatures(rate, decoded)
+        (uid, rate, channels, decoded.length.toLong, dur, rms)
+      }
+      .toDF("user_id", "sample_rate", "channels", "n_samples",
+        "duration_sec", "rms")
+  }
+
   def oracles: Map[String, String] = Map(
     "m1_binary_assets" ->
       """SELECT doc_id AS asset_id,
@@ -77,6 +107,14 @@ object MultimodalQueries {
         | CAST((octet_length(encode(text)) // 128 + 2) // 3 AS BIGINT) AS n_sampled,
         | CASE WHEN octet_length(encode(text)) >= 128
         |      THEN lower(substring(hex(encode(text)), 1, 256)) END AS first_frame_hex
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "m3_wav_roundtrip" ->
+      """SELECT user_id, 8000 AS sample_rate, 1 AS channels,
+        | COUNT(*) AS n_samples,
+        | CAST(COUNT(*) AS DOUBLE) / 8000 AS duration_sec,
+        | sqrt(CAST(SUM(s * s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS rms
+        |FROM (SELECT user_id, CAST(trunc(value * 50) AS BIGINT) AS s
+        |      FROM events)
+        |GROUP BY user_id""".stripMargin
   )
 }

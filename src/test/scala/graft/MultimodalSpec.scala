@@ -75,4 +75,66 @@ class MultimodalSpec extends AnyFunSuite {
     val wide = assets.filter(col("meta.width") >= 8)
     assert(wide.count() === 2)
   }
+
+  test("WAV: 16-bit PCM encode/decode round-trip is sample-exact") {
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345, 7)
+    val wav = Multimodal.encodeWavPcm16(8000, samples)
+    // canonical RIFF layout: magic, WAVE tag, 44-byte header
+    assert(new String(wav.slice(0, 4)) === "RIFF")
+    assert(new String(wav.slice(8, 12)) === "WAVE")
+    assert(wav.length === 44 + samples.length * 2)
+    val (rate, channels, decoded) = Multimodal.decodeWavPcm16(wav)
+    assert(rate === 8000 && channels === 1)
+    assert(decoded.toSeq === samples.toSeq)
+  }
+
+  test("WAV: decoder walks chunks, skips unknown ones, rejects non-PCM") {
+    val samples = Array[Short](5, -6, 7)
+    val wav = Multimodal.encodeWavPcm16(44100, samples)
+    // splice an unknown word-aligned chunk between WAVE tag and fmt
+    val junk = "LIST".getBytes ++ Array[Byte](4, 0, 0, 0, 9, 9, 9, 9)
+    val spliced = wav.slice(0, 12) ++ junk ++ wav.slice(12, wav.length)
+    val (rate, _, decoded) = Multimodal.decodeWavPcm16(spliced)
+    assert(rate === 44100 && decoded.toSeq === samples.toSeq)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWavPcm16("RIFFxxxxWAVE".getBytes ++ new Array[Byte](40))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWavPcm16(Array[Byte](1, 2, 3))
+    }
+  }
+
+  test("BMP: 24bpp encode/decode identity on gray planes, both row orders") {
+    val w = 5; val h = 3 // odd width exercises row padding
+    val luma = Array.tabulate(w * h)(i => ((i * 37 + 11) % 256).toByte)
+    val bmp = Multimodal.encodeBmp24(w, h, luma)
+    assert(bmp(0) === 'B'.toByte && bmp(1) === 'M'.toByte)
+    val (dw, dh, decoded) = Multimodal.decodeBmp24(bmp)
+    assert(dw === w && dh === h)
+    // BT.601 weights sum to 256, so gray pixels decode bit-exactly
+    assert(decoded.toSeq === luma.toSeq)
+    // top-down variant (negative height) must decode to the same plane
+    val buf = java.nio.ByteBuffer.wrap(bmp.clone())
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(22, -h)
+    val flipped = buf.array()
+    val rowBytes = (w * 3 + 3) & ~3
+    val rows = (0 until h).map(r => bmp.slice(54 + r * rowBytes, 54 + (r + 1) * rowBytes))
+    rows.reverse.zipWithIndex.foreach { case (row, r) =>
+      System.arraycopy(row, 0, flipped, 54 + r * rowBytes, rowBytes)
+    }
+    val (_, _, decodedTd) = Multimodal.decodeBmp24(flipped)
+    assert(decodedTd.toSeq === luma.toSeq)
+  }
+
+  test("image dispatch: real BMP payloads take the real decoder, others the stub") {
+    val luma = Array.tabulate(16)(i => (i * 16).toByte)
+    val bmp = Multimodal.encodeBmp24(4, 4, luma)
+    val (w, h, plane) = Multimodal.decodeImage(bmp)
+    assert((w, h) === (4, 4) && plane.toSeq === luma.toSeq)
+    // a non-BMP payload goes through the stub's fake 8-byte header
+    val fake = Array[Byte](0, 2, 0, 3) ++ new Array[Byte](12)
+    val (fw, fh, _) = Multimodal.decodeImage(fake)
+    assert((fw, fh) === (2, 3))
+  }
 }
