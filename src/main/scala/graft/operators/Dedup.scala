@@ -617,9 +617,20 @@ object Dedup {
     * `sim`). Per-bucket work is an explicit primitive loop (the d4
     * grouped-pair-scan shape): expected cost O(n²/2^bitsPerBand) per
     * band instead of the exact baseline's O(n²). More bands raise
-    * recall; wider bands cut candidate volume. */
+    * recall; wider bands cut candidate volume.
+    *
+    * `probes` > 0 adds multi-probing (Lv et al., VLDB'07 — the same
+    * trick [[graft.operators.Similarity.multiProbeLshKnn]] uses on the
+    * ANN side): each vector additionally lands in the `probes` buckets
+    * per band reached by flipping its lowest-|projection| bits — the
+    * planes it sits closest to, i.e. the likeliest sign disagreements
+    * with a true near-dup. Recall rises at (1+probes)× candidate volume
+    * instead of the 2^Δbits cost of narrowing bands; the candidate set
+    * is a strict superset of the single-probe one. */
   def embeddingLshPairs(emb: DataFrame, threshold: Double,
-      bands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
+      bands: Int = 8, bitsPerBand: Int = 8, probes: Int = 0): DataFrame = {
+    require(probes >= 0 && probes <= bitsPerBand,
+      s"probes $probes out of [0, $bitsPerBand]")
     val spark = emb.sparkSession
     import spark.implicits._
     val nBits = bands * bitsPerBand
@@ -628,7 +639,7 @@ object Dedup {
       .as[(Long, Seq[Double])]
       .flatMap { case (id, vec) =>
         val v = vec.toArray
-        val sig = new Array[Boolean](nBits)
+        val proj = new Array[Double](nBits)
         var j = 0
         while (j < nBits) {
           var acc = 0.0
@@ -637,17 +648,23 @@ object Dedup {
             acc += v(i) * hyperplaneComponent(i, j)
             i += 1
           }
-          sig(j) = acc >= 0
+          proj(j) = acc
           j += 1
         }
-        (0 until bands).iterator.map { bi =>
+        (0 until bands).iterator.flatMap { bi =>
           var bv = 0L
           var k = 0
           while (k < bitsPerBand) {
-            if (sig(bi * bitsPerBand + k)) bv |= (1L << k)
+            if (proj(bi * bitsPerBand + k) >= 0) bv |= (1L << k)
             k += 1
           }
-          (bi.toLong * (1L << bitsPerBand) + bv, id, vec)
+          val baseKey = bi.toLong * (1L << bitsPerBand)
+          if (probes == 0) Iterator.single((baseKey + bv, id, vec))
+          else Iterator.single((baseKey + bv, id, vec)) ++
+            (0 until bitsPerBand)
+              .sortBy(k => math.abs(proj(bi * bitsPerBand + k)))
+              .take(probes).iterator
+              .map(k => (baseKey + (bv ^ (1L << k)), id, vec))
         }
       }
       .toDF("bucket", "vec_id", "v")

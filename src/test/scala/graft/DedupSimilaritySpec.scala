@@ -141,6 +141,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(hit.toDouble / nExact >= 0.95, s"recall $hit/$nExact")
   }
 
+  test("multi-probe embedding dedup: superset of single-probe, lifts recall at harsh banding") {
+    import spark.implicits._
+    val base = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val planted = base.take(50).zipWithIndex.map { case ((id, v), i) =>
+      val w = base((i + 1) % base.length)._2
+      (id + 100000, v.zip(w).map { case (x, y) => 0.95f * x + 0.05f * y })
+    }
+    val all = spark.createDataFrame(
+      spark.sparkContext.parallelize((base ++ planted).toIndexedSeq.map {
+        case (id, v) => org.apache.spark.sql.Row(id, v)
+      }),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    // 2 bands x 12 bits: deliberately harsh — P(band survives) ~ .55,
+    // so single-probe misses a visible share of the planted pairs
+    val single = Dedup.embeddingLshPairs(all, 0.9, bands = 2, bitsPerBand = 12)
+      .select("a_id", "b_id").cache()
+    val multi = Dedup.embeddingLshPairs(all, 0.9, bands = 2, bitsPerBand = 12,
+      probes = 6).select("a_id", "b_id").cache()
+    // probing only ADDS candidates; survivors are exact-verified either way
+    assert(single.exceptAll(multi).isEmpty, "multi-probe lost a single-probe pair")
+    val exact = Dedup.embeddingCosinePairs(all, 0.9).select("a_id", "b_id").cache()
+    assert(multi.exceptAll(exact).isEmpty) // soundness at any probe count
+    val (rs, rm) = (exact.intersect(single).count(), exact.intersect(multi).count())
+    assert(rm >= rs, s"multi-probe recall $rm below single-probe $rs")
+    assert(rm.toDouble / exact.count() >= 0.9, s"recall $rm/${exact.count()}")
+  }
+
   test("multi-probe LSH: dominates single-probe, near-full recall on planted neighbors") {
     val q = emb.filter(col("vec_id") < 16)
     val brute = Similarity.bruteForceKnn(emb, q, 4)
