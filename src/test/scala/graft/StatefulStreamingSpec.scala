@@ -69,4 +69,53 @@ class StatefulStreamingSpec extends AnyFunSuite {
       assert(f.maxTsS === 1700000000L + 24 * 60 + u)
     }
   }
+
+  test("transformWithState streaming dedup across micro-batches (RocksDB state)") {
+    import graft.streaming.{DedupVerdict, StreamingDedup}
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-tws").toString
+    val store = new EmbeddedLogStore(root)
+    store.createStore("proj", "docs", 1) // one shard ⇒ deterministic arrival order
+    // 30 docs over 10 distinct texts; first arrival of text k is doc k
+    val recs = (0 until 30).map { i =>
+      LogRecord(1700000000 + i, "t", "s", Map.empty,
+        Map("doc" -> i.toString, "text" -> s"document number ${i % 10}"))
+    }
+    recs.grouped(10).zipWithIndex.foreach { case (chunk, gi) =>
+      store.appendSegment("proj", "docs", 0, s"seg$gi", chunk)
+    }
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = Files.createTempDirectory("ckpt-tws").toString
+      val verdicts = StreamingDedup.exact(
+        spark.readStream.format("graft-logstore")
+          .option("store.root", root).option("store.project", "proj")
+          .option("store.name", "docs")
+          .option("maxoffsetspertrigger", "10") // force several micro-batches
+          .schema("doc LONG, text STRING").load()
+          .selectExpr("md5(text) AS fp", "doc")
+          .as[(String, Long)])
+      val q = verdicts.writeStream.format("memory").queryName("t_tws")
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+      val out = spark.table("t_tws").as[DedupVerdict].collect()
+      assert(out.length === 30)
+      // exactly one admission per distinct text, and it is the FIRST
+      // arrival (state crossed micro-batch boundaries, so docs 10..29
+      // must all be flagged even though they arrive in later triggers)
+      val admitted = out.filter(!_.isDup).map(_.docId).sorted
+      assert(admitted.toSeq === (0L until 10L))
+      assert(out.count(_.isDup) === 20)
+    } finally {
+      prior match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
