@@ -246,9 +246,9 @@ object Multimodal {
     * decoder; anything else falls back to the stub (the slot where a
     * JPEG/PNG codec call goes). */
   def decodeImage(payload: Array[Byte]): (Int, Int, Array[Byte]) =
-    if (payload.length >= 54 && payload(0) == 'B' && payload(1) == 'M' &&
-        scala.util.Try(decodeBmp24(payload)).isSuccess)
-      decodeBmp24(payload)
+    if (payload.length >= 54 && payload(0) == 'B' && payload(1) == 'M')
+      try decodeBmp24(payload)
+      catch { case _: IllegalArgumentException => stubDecodeImage(payload) }
     else stubDecodeImage(payload)
 
   // ---------------------------------------------------------------------
