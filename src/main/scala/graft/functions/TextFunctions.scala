@@ -31,6 +31,25 @@ object TextFunctions {
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + (k + 1))): _*)))
 
+  /** PII patterns shared by redaction and counting — kept inside the
+    * syntax subset Java regex and RE2 agree on, so the DuckDB oracle
+    * evaluates them identically. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Scrub emails then IPv4 literals to typed placeholder tokens — the
+    * standard pre-release redaction pass of a training-data pipeline.
+    * Pure codegen'd regexp_replace; order matters (an email must not
+    * first lose its dotted host to the IP pass). */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailPattern, "<EMAIL>"),
+      Ipv4Pattern, "<IP>")
+
+  /** How many PII spans [[redactPii]] would replace. */
+  def piiCount(c: Column): Column =
+    (size(regexp_extract_all(c, lit(EmailPattern), lit(0))) +
+      size(regexp_extract_all(c, lit(Ipv4Pattern), lit(0)))).cast(LongType)
+
   /** Count of tokens contained in a marker set. */
   def markerCount(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => array_contains(array(markers.map(lit): _*), t)))

@@ -34,6 +34,7 @@ object TextQueries {
     "t7_split_assign" -> t7,
     "t8_rare_tokens" -> t8,
     "t9_lang_quota" -> t9,
+    "t10_redact_pii" -> t10,
     "d1_dedup_exact" -> d1,
     "d6_decontaminate" -> d6,
     "d2_dedup_jaccard" -> d2,
@@ -75,6 +76,21 @@ object TextQueries {
           .otherwise("test").as("split"))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** PII scrubbing: the fixture corpus carries no PII, so each doc is
+    * deterministically salted with an email and an IPv4 literal INSIDE
+    * the query (both engines build the identical string), then redacted
+    * and counted — the oracle hash proves the scrub itself, not just
+    * the plumbing. */
+  private def t10: Q = (spark, dir) => {
+    val salted = t(spark, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com from 10.0."), col("doc_id") % 256, lit(".7"))
+        .as("text"))
+    salted.select(col("doc_id"),
+      TF.redactPii(col("text")).as("redacted"),
+      TF.piiCount(col("text")).as("n_redactions"))
   }
 
   private def t1: Q = (spark, dir) => {
@@ -351,6 +367,20 @@ object TextQueries {
         |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), doc_id) AS rn
         | FROM documents) x
         |WHERE rn <= 50""".stripMargin,
+    "t10_redact_pii" ->
+      """WITH salted AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com from 10.0.'
+        |    || (doc_id % 256) || '.7' AS text
+        | FROM documents)
+        |SELECT doc_id,
+        | regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted,
+        | CAST(len(regexp_extract_all(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+        |  len(regexp_extract_all(text,
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_redactions
+        |FROM salted""".stripMargin,
     "d6_decontaminate" ->
       """SELECT doc_id,
         | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
