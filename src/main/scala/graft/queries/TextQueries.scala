@@ -35,6 +35,7 @@ object TextQueries {
     "t8_rare_tokens" -> t8,
     "t9_lang_quota" -> t9,
     "t10_redact_pii" -> t10,
+    "t11_repetition" -> t11,
     "d1_dedup_exact" -> d1,
     "d6_decontaminate" -> d6,
     "d2_dedup_jaccard" -> d2,
@@ -91,6 +92,37 @@ object TextQueries {
     salted.select(col("doc_id"),
       TF.redactPii(col("text")).as("redacted"),
       TF.piiCount(col("text")).as("n_redactions"))
+  }
+
+  /** Repetition quality signal (the Gopher/RefinedWeb family of rules):
+    * fraction of a document's word bigrams taken by its most frequent
+    * bigram — high values mark boilerplate/spam for filtering. ONE
+    * zero-shuffle typed pass per doc (bigram counts in a local map)
+    * instead of an explode + two-level groupBy, so cost is a scan at
+    * any corpus size. Exact integer counts + one IEEE division keep the
+    * DuckDB hash match. */
+  private def t11: Q = (spark, dir) => {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val w = text.trim.toLowerCase.split("\\s+")
+        if (w.length < 2) None
+        else {
+          val counts = new java.util.HashMap[String, Long]()
+          var top = 0L
+          var i = 0
+          while (i < w.length - 1) {
+            val n = counts.merge(w(i) + " " + w(i + 1), 1L, _ + _)
+            if (n > top) top = n
+            i += 1
+          }
+          val total = (w.length - 1).toLong
+          Some((id, total, top, top.toDouble / total))
+        }
+      }
+      .toDF("doc_id", "n_bigrams", "top_n", "top_fraction")
   }
 
   private def t1: Q = (spark, dir) => {
@@ -381,6 +413,17 @@ object TextQueries {
         |  len(regexp_extract_all(text,
         |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_redactions
         |FROM salted""".stripMargin,
+    "t11_repetition" ->
+      """WITH words AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |bg AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+        | FROM words WHERE len(w) >= 2),
+        |counts AS (SELECT doc_id, bg, COUNT(*) AS n FROM bg GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+        | CAST(MAX(n) AS BIGINT) AS top_n,
+        | CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top_fraction
+        |FROM counts GROUP BY doc_id""".stripMargin,
     "d6_decontaminate" ->
       """SELECT doc_id,
         | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
