@@ -1,0 +1,53 @@
+package graft
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge-case coverage for the text-pipeline operators whose main-line
+  * behavior is pinned by the t10/t11 DuckDB oracles. */
+class TextPipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("redactPii: emails before IPs, multiple spans, puncutation-adjacent") {
+    import spark.implicits._
+    val rows = Seq(
+      "mail a.b+c@host.co.uk now",          // subdomains, plus-tag
+      "two bob@x.io and eve@y.org here",    // several in one doc
+      "server 192.168.0.1, backup 10.0.0.2",// comma-adjacent IPs
+      "dotted host e@10.0.0.99.com stays",  // email wins over its host
+      "almost 999.999.999 not an ip",       // 3 groups: no match
+      "clean text with nothing"
+    ).toDF("text")
+    val out = rows.select(TF.redactPii(col("text")).as("r"),
+      TF.piiCount(col("text")).as("n")).collect()
+    assert(out(0).getString(0) === "mail <EMAIL> now" && out(0).getLong(1) === 1)
+    assert(out(1).getString(0) === "two <EMAIL> and <EMAIL> here" && out(1).getLong(1) === 2)
+    assert(out(2).getString(0) === "server <IP>, backup <IP>" && out(2).getLong(1) === 2)
+    // the email pass consumes the dotted host, so no <IP> remains inside
+    assert(out(3).getString(0) === "dotted host <EMAIL> stays")
+    assert(out(4).getString(0) === "almost 999.999.999 not an ip" && out(4).getLong(1) === 0)
+    assert(out(5).getString(0) === "clean text with nothing" && out(5).getLong(1) === 0)
+  }
+
+  test("repetition query drops sub-bigram docs and bounds the fraction") {
+    val q = SparkEntry.queries("t11_repetition")
+    val df = q(spark, "/root/testdata/sf0.001")
+    assert(df.filter(col("n_bigrams") < 1).count() === 0)
+    assert(df.filter(col("top_fraction") > 1.0 || col("top_fraction") <= 0.0).count() === 0)
+    assert(df.filter(col("top_n") > col("n_bigrams")).count() === 0)
+  }
+
+  test("langGuess argmax: declared-order tie precedence and und fallback") {
+    import spark.implicits._
+    val rows = Seq(
+      "the der",            // en and de tie at 1 → en (declared first)
+      "der die das",        // de wins
+      "xyzzy qqq",          // no markers → und
+      "el el the"           // es 2 beats en 1
+    ).toDF("text")
+    val out = rows.select(TF.langGuess(TF.tokens(lower(col("text")))).as("g"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out === Seq("en", "de", "und", "es"))
+  }
+}
