@@ -11,4 +11,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Fully CONVERT a Column tree to a Catalyst expression (recursing
+    * through the ColumnNode), unlike [[expression]] which returns a
+    * lazy wrapper the analyzer treats as opaque — required when the
+    * result is handed to the function registry. */
+  def toExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

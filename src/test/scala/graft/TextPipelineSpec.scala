@@ -38,6 +38,20 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(df.filter(col("top_n") > col("n_bigrams")).count() === 0)
   }
 
+  test("text builders are reachable from SQL via GraftFunctions") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT lang_guess('the cat sat') AS g,
+        |  redact_pii('mail bob@x.io at 10.0.0.1') AS red,
+        |  pii_count('mail bob@x.io at 10.0.0.1') AS n,
+        |  text_fingerprint('  A  b ') AS fp""".stripMargin).first()
+    assert(r.getString(0) === "en")
+    assert(r.getString(1) === "mail <EMAIL> at <IP>")
+    assert(r.getLong(2) === 2)
+    assert(r.getString(3) === java.security.MessageDigest.getInstance("MD5")
+      .digest("a b".getBytes).map("%02x".format(_)).mkString)
+  }
+
   test("langGuess argmax: declared-order tie precedence and und fallback") {
     import spark.implicits._
     val rows = Seq(
