@@ -22,7 +22,8 @@ object ConnectorQueries {
     "c1_logstore_roundtrip" -> c1,
     "c2_logstore_json_value" -> c2,
     "c3_stream_hourly" -> c3,
-    "c4_split_reroute" -> c4
+    "c4_split_reroute" -> c4,
+    "c5_stream_dedup" -> c5
   )
 
   /** One shared ingest per (session, sf dir): the three connector
@@ -171,6 +172,66 @@ object ConnectorQueries {
         min(col("min_id")).as("min_id"), max(col("max_id")).as("max_id"))
   }
 
+  /** transformWithState streaming dedup on the oracle gate: documents
+    * (plus planted exact duplicates of every 5th doc) are ingested in
+    * doc_id order on ONE shard — so arrival order IS doc_id order —
+    * then streamed through [[graft.streaming.StreamingDedup]] under the
+    * RocksDB state provider with pacing that forces several
+    * micro-batches, and the per-doc verdicts flow out through the
+    * connector sink. The oracle computes first-arrival admission
+    * relationally (is_dup ⟺ doc_id ≠ min doc_id of its fingerprint),
+    * so the hash match proves dedup state survives trigger
+    * boundaries. */
+  private def c5: Q = (spark, dir) => {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-logstore-c5").toString
+    val store = new EmbeddedLogStore(root)
+    store.createStore("proj", "docs", 1)
+    val srcOpts = Map("store.root" -> root, "store.project" -> "proj",
+      "store.name" -> "docs")
+    val d = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionAll(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .orderBy("doc_id").coalesce(1) // one sorted segment = arrival order
+      .select(lit(0).as("__shard__"),
+        (lit(1700000000L) + col("doc_id")).cast(IntegerType).as("__time__"),
+        col("doc_id"), col("text"))
+      .write.format("graft-logstore").options(srcOpts).mode("append").save()
+
+    val dstRoot = Files.createTempDirectory("graft-logstore-c5out").toString
+    new EmbeddedLogStore(dstRoot).createStore("proj", "verdicts", 1)
+    val dstOpts = Map("store.root" -> dstRoot, "store.project" -> "proj",
+      "store.name" -> "verdicts")
+    val ckpt = Files.createTempDirectory("graft-c5-ckpt").toString
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val verdicts = graft.streaming.StreamingDedup.exact(
+        spark.readStream.format("graft-logstore").options(srcOpts)
+          .option("maxoffsetspertrigger", "200") // several micro-batches
+          .schema("doc_id LONG, text STRING").load()
+          .selectExpr("md5(text) AS fp", "doc_id")
+          .as[(String, Long)])
+      val q = verdicts.toDF("doc_id", "fp", "is_dup")
+        .writeStream.format("graft-logstore").options(dstOpts)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    } finally {
+      prior match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    spark.read.format("graft-logstore").options(dstOpts)
+      .schema("doc_id LONG, fp STRING, is_dup BOOLEAN").load()
+  }
+
   def oracles: Map[String, String] = Map(
     "c1_logstore_roundtrip" ->
       """SELECT event_type, COUNT(*) AS n_events,
@@ -191,6 +252,14 @@ object ConnectorQueries {
     "c4_split_reroute" ->
       """SELECT event_type, COUNT(*) AS n_events,
         | MIN(event_id) AS min_id, MAX(event_id) AS max_id
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+    "c5_stream_dedup" ->
+      """WITH all_docs AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0)
+        |SELECT doc_id, md5(text) AS fp,
+        | doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        |FROM all_docs""".stripMargin
   )
 }
