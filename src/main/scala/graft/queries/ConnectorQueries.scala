@@ -190,8 +190,10 @@ object ConnectorQueries {
     val srcOpts = Map("store.root" -> root, "store.project" -> "proj",
       "store.name" -> "docs")
     val d = t(spark, dir, "documents").select(col("doc_id"), col("text"))
-    d.unionAll(d.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val salted = d.unionAll(d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val total = salted.count()
+    salted
       .orderBy("doc_id").coalesce(1) // one sorted segment = arrival order
       .select(lit(0).as("__shard__"),
         (lit(1700000000L) + col("doc_id")).cast(IntegerType).as("__time__"),
@@ -209,7 +211,9 @@ object ConnectorQueries {
     try {
       val verdicts = graft.streaming.StreamingDedup.exact(
         spark.readStream.format("graft-logstore").options(srcOpts)
-          .option("maxoffsetspertrigger", "200") // several micro-batches
+          // ~3 micro-batches at ANY scale: enough to prove state carries
+          // across triggers without paying per-trigger overhead 30x over
+          .option("maxoffsetspertrigger", math.max(1L, total / 3 + 1).toString)
           .schema("doc_id LONG, text STRING").load()
           .selectExpr("md5(text) AS fp", "doc_id")
           .as[(String, Long)])
