@@ -18,7 +18,8 @@ object MultimodalQueries {
   def queries: Map[String, Q] = Map(
     "m1_binary_assets" -> m1,
     "m2_frame_sample" -> m2,
-    "m3_wav_roundtrip" -> m3)
+    "m3_wav_roundtrip" -> m3,
+    "m4_bmp_roundtrip" -> m4)
 
   /** Binary asset stats + round-trip through fixed-size chunking: chunk
     * count must match octet math and reassembled digests must equal the
@@ -93,6 +94,30 @@ object MultimodalQueries {
         "duration_sec", "rms")
   }
 
+  /** REAL image codec on the oracle-checked path, the m3 pattern for
+    * BMP: a deterministic 16x8 luma plane per doc (pixel i =
+    * (doc_id*31+i) mod 256) is encoded as an actual 24bpp BMP
+    * (Multimodal.encodeBmp24), decoded back with the real parser, and
+    * reduced to dimensions + mean luma; the oracle computes the same
+    * mean from the closed form — a hash match proves the BMP container
+    * and BT.601 gray identity are lossless. */
+  private def m4: Q = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = (16, 8)
+    t(spark, dir, "documents").select(col("doc_id").cast("long"))
+      .as[Long]
+      .map { id =>
+        val luma = Array.tabulate(w * h)(i => ((id * 31 + i) % 256).toByte)
+        val bmp = Multimodal.encodeBmp24(w, h, luma)
+        val (dw, dh, plane) = Multimodal.decodeBmp24(bmp)
+        var sum = 0L
+        var i = 0
+        while (i < plane.length) { sum += plane(i) & 0xFF; i += 1 }
+        (id, dw, dh, bmp.length.toLong, sum.toDouble / plane.length)
+      }
+      .toDF("doc_id", "width", "height", "bmp_bytes", "mean_luma")
+  }
+
   def oracles: Map[String, String] = Map(
     "m1_binary_assets" ->
       """SELECT doc_id AS asset_id,
@@ -115,6 +140,12 @@ object MultimodalQueries {
         | sqrt(CAST(SUM(s * s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS rms
         |FROM (SELECT user_id, CAST(trunc(value * 50) AS BIGINT) AS s
         |      FROM events)
-        |GROUP BY user_id""".stripMargin
+        |GROUP BY user_id""".stripMargin,
+    "m4_bmp_roundtrip" ->
+      """SELECT doc_id, 16 AS width, 8 AS height,
+        | CAST(54 + 48 * 8 AS BIGINT) AS bmp_bytes,
+        | CAST(list_sum(list_transform(range(0, 128),
+        |   i -> (doc_id * 31 + i) % 256)) AS DOUBLE) / 128 AS mean_luma
+        |FROM documents""".stripMargin
   )
 }
