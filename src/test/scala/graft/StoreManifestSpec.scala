@@ -178,6 +178,30 @@ class StoreManifestSpec extends AnyFunSuite {
     assert(s.shardEnd("proj", "logs", 0) === n.toLong)
   }
 
+  test("stale delta below a checkpoint (crash mid-deletion) is ignored, then cleaned") {
+    val root = Files.createTempDirectory("graft-crash").toString
+    val s = new EmbeddedLogStore(root)
+    s.createStore("proj", "logs", 2)
+    (0 until 5).foreach(i =>
+      s.appendSegment("proj", "logs", 0, s"w$i", Seq(rec(i))))
+    val mDir = java.nio.file.Paths.get(root, "proj", "logs", "manifests")
+    val staleName = "m-0000000002.json"
+    val staleBytes = Files.readAllBytes(mDir.resolve(staleName))
+    s.compactManifests("proj", "logs") // checkpoint m-6, deltas deleted
+    // crash simulation: a delta the compactor would have deleted is back
+    Files.write(mDir.resolve(staleName), staleBytes)
+    // reads fold from the checkpoint: the stale delta must not resurface
+    assert(s.listSegments("proj", "logs", 0).map(_.logicalName)
+      === (0 until 5).map(i => s"w$i"))
+    assert(s.read("proj", "logs", 0, 0, 5).map(_._2.time).toSeq === (0 until 5))
+    // commits still version past the checkpoint, and the next compaction
+    // sweeps the leftover
+    s.appendSegment("proj", "logs", 0, "w5", Seq(rec(5)))
+    s.compactManifests("proj", "logs")
+    assert(!Files.exists(mDir.resolve(staleName)))
+    assert(s.read("proj", "logs", 0, 0, 6).map(_._2.time).toSeq === (0 until 6))
+  }
+
   test("vacuum removes crash leftovers, keeps all committed data") {
     val s = newStore()
     s.appendSegment("proj", "logs", 0, "kept", Seq(rec(1), rec(2)))
