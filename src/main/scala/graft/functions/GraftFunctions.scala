@@ -13,14 +13,6 @@ object GraftFunctions {
 
   /** Register a Column combinator as a SQL function: wrap the call-site
     * expressions as Columns, apply the builder, unwrap the result. */
-  private def columnFn(reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry,
-      name: String, arity: Int)(build: Seq[org.apache.spark.sql.Column]
-        => org.apache.spark.sql.Column): Unit =
-    reg.createOrReplaceTempFunction(name, { exprs =>
-      require(exprs.length == arity, s"$name expects $arity argument(s)")
-      org.apache.spark.sql.graft.Bridge.toExpression(
-        build(exprs.map(org.apache.spark.sql.graft.Bridge.column)))
-    }, "built-in")
 
   private def lit(e: Expression, what: String): Number = e match {
     case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toJavaBigDecimal
@@ -29,31 +21,44 @@ object GraftFunctions {
       s"$what must be a numeric literal, got $other")
   }
 
+  private def asColumnFn(name: String, arity: Int)(
+      build: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column)
+      : Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == arity, s"$name expects $arity argument(s)")
+    org.apache.spark.sql.graft.Bridge.toExpression(
+      build(exprs.map(org.apache.spark.sql.graft.Bridge.column)))
+  }
+
+  /** Every SQL function the engine adds, as (name, builder) — shared by
+    * the per-session [[registerAll]] and the cluster-install
+    * [[graft.GraftExtensions]] path. */
+  def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "rolling_hash" -> ((exprs: Seq[Expression]) => RollingHash(exprs.head)),
+    "hll_build" -> ((exprs: Seq[Expression]) => HllSketchBuild(exprs.head)),
+    "hll_merge" -> ((exprs: Seq[Expression]) => HllSketchMerge(exprs.head)),
+    "hll_estimate" -> ((exprs: Seq[Expression]) => HllEstimate(exprs.head)),
+    "kll_build" -> ((exprs: Seq[Expression]) => exprs match {
+      case Seq(c) => KllSketchBuild(c)
+      case Seq(c, k) => KllSketchBuild(c, lit(k, "kll_build k").intValue())
+      case _ => throw new IllegalArgumentException("kll_build(col[, k])")
+    }),
+    "kll_merge" -> ((exprs: Seq[Expression]) => KllSketchMerge(exprs.head)),
+    "kll_quantile" -> ((exprs: Seq[Expression]) => KllQuantile(exprs.head,
+      lit(exprs(1), "kll_quantile q").doubleValue())),
+    // SQL surface takes raw text (tokenization inside), matching t3
+    "lang_guess" -> asColumnFn("lang_guess", 1)(cs => TextFunctions.langGuess(
+      TextFunctions.tokens(org.apache.spark.sql.functions.lower(cs.head)))),
+    "redact_pii" -> asColumnFn("redact_pii", 1)(cs =>
+      TextFunctions.redactPii(cs.head)),
+    "pii_count" -> asColumnFn("pii_count", 1)(cs =>
+      TextFunctions.piiCount(cs.head)),
+    "text_fingerprint" -> asColumnFn("text_fingerprint", 1)(cs =>
+      TextFunctions.fingerprint(cs.head)))
+
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    RollingHash.register(spark)
-    reg.createOrReplaceTempFunction("hll_build",
-      exprs => HllSketchBuild(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("hll_merge",
-      exprs => HllSketchMerge(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("hll_estimate",
-      exprs => HllEstimate(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("kll_build",
-      exprs => exprs match {
-        case Seq(c) => KllSketchBuild(c)
-        case Seq(c, k) => KllSketchBuild(c, lit(k, "kll_build k").intValue())
-        case _ => throw new IllegalArgumentException("kll_build(col[, k])")
-      }, "built-in")
-    reg.createOrReplaceTempFunction("kll_merge",
-      exprs => KllSketchMerge(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("kll_quantile",
-      exprs => KllQuantile(exprs.head,
-        lit(exprs(1), "kll_quantile q").doubleValue()), "built-in")
-    // SQL surface takes raw text (tokenization inside), matching t3
-    columnFn(reg, "lang_guess", 1)(cs => TextFunctions.langGuess(
-      TextFunctions.tokens(org.apache.spark.sql.functions.lower(cs.head))))
-    columnFn(reg, "redact_pii", 1)(cs => TextFunctions.redactPii(cs.head))
-    columnFn(reg, "pii_count", 1)(cs => TextFunctions.piiCount(cs.head))
-    columnFn(reg, "text_fingerprint", 1)(cs => TextFunctions.fingerprint(cs.head))
+    builders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

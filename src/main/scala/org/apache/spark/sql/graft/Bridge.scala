@@ -12,6 +12,14 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Apply a [[org.apache.spark.sql.SparkSessionExtensions]]' injected
+    * functions to a registry (the hook the session builder calls —
+    * `private[sql]`, bridged for extension tests). */
+  def registerFunctions(ext: org.apache.spark.sql.SparkSessionExtensions,
+      reg: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    ext.registerFunctions(reg)
+
   /** Fully CONVERT a Column tree to a Catalyst expression (recursing
     * through the ColumnNode), unlike [[expression]] which returns a
     * lazy wrapper the analyzer treats as opaque — required when the

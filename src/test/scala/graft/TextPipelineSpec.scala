@@ -52,6 +52,23 @@ class TextPipelineSpec extends AnyFunSuite {
       .digest("a b".getBytes).map("%02x".format(_)).mkString)
   }
 
+  test("GraftExtensions injects every SQL function into a registry") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext)
+    val reg = org.apache.spark.sql.graft.Bridge.registerFunctions(ext,
+      org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin.clone())
+    graft.functions.GraftFunctions.builders.foreach { case (name, _) =>
+      assert(reg.functionExists(FunctionIdentifier(name)), name)
+    }
+    // an injected builder produces a working expression
+    val expr = reg.lookupFunction(FunctionIdentifier("redact_pii"),
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal("mail bob@x.io")))
+    val out = spark.range(1)
+      .select(org.apache.spark.sql.graft.Bridge.column(expr)).first().getString(0)
+    assert(out === "mail <EMAIL>")
+  }
+
   test("langGuess argmax: declared-order tie precedence and und fallback") {
     import spark.implicits._
     val rows = Seq(
