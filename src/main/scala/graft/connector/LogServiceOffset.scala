@@ -27,10 +27,10 @@ object LogServiceOffset {
   def parse(json: String): LogServiceOffset = {
     val mapper = new ObjectMapper()
     val root = mapper.readTree(json)
-    val field = root.fields().asScala.toSeq.headOption.getOrElse(
+    val field = root.properties().asScala.toSeq.headOption.getOrElse(
       throw new IllegalArgumentException(s"empty offset json: $json"))
     val Array(project, store) = field.getKey.split("#", 2)
-    val ords = field.getValue.fields().asScala
+    val ords = field.getValue.properties().asScala
       .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap
     LogServiceOffset(project, store, ords)
   }

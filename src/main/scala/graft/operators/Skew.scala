@@ -16,7 +16,7 @@ object Skew {
     require(salts > 0)
     // deterministic salt from the full fact row (no RNG state on executors)
     val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(struct(fact.columns.map(col): _*)), lit(salts)).cast("int"))
+      pmod(xxhash64(struct(fact.columns.toIndexedSeq.map(col): _*)), lit(salts)).cast("int"))
     val explodedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(explodedDim, Seq(key, "__salt")).drop("__salt")

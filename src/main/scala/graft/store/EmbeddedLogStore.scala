@@ -543,7 +543,7 @@ class EmbeddedLogStore(root: String, ioRetries: Int = 10,
     val mapper = new ObjectMapper()
     val n = mapper.readTree(Files.readAllBytes(p)).get("config")
     if (n == null) Map.empty
-    else n.asInstanceOf[ObjectNode].fields().asScala
+    else n.asInstanceOf[ObjectNode].properties().asScala
       .map(e => e.getKey -> e.getValue.asText()).toMap
   }
 
@@ -633,7 +633,7 @@ object EmbeddedLogStore {
     def toMap(field: String): Map[String, String] = {
       val node = n.get(field)
       if (node == null) Map.empty
-      else node.asInstanceOf[ObjectNode].fields().asScala
+      else node.asInstanceOf[ObjectNode].properties().asScala
         .map(e => e.getKey -> e.getValue.asText()).toMap
     }
     LogRecord(n.get("time").asInt(), n.get("topic").asText(""),
