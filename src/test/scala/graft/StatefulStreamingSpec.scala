@@ -118,4 +118,66 @@ class StatefulStreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("transformWithState dedup TTL: expired fingerprints re-admit (dedup-window trade)") {
+    import graft.streaming.{DedupVerdict, StreamingDedup}
+    import org.apache.spark.sql.streaming.TimeMode
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ttl").toString
+    val store = new EmbeddedLogStore(root)
+    store.createStore("proj", "docs", 1)
+    store.appendSegment("proj", "docs", 0, "first",
+      Seq(LogRecord(1700000000, "t", "s", Map.empty,
+        Map("doc" -> "1", "text" -> "same text"))))
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val outRoot = Files.createTempDirectory("graft-ttl-out").toString
+      new EmbeddedLogStore(outRoot).createStore("proj", "verdicts", 1)
+      val ckpt = Files.createTempDirectory("ckpt-ttl").toString
+      // logstore sink (memory sink cannot recover a checkpoint)
+      def runOnce(): Unit = {
+        val q = StreamingDedup.exact(
+          spark.readStream.format("graft-logstore")
+            .option("store.root", root).option("store.project", "proj")
+            .option("store.name", "docs")
+            .schema("doc LONG, text STRING").load()
+            .selectExpr("md5(text) AS fp", "doc")
+            .as[(String, Long)],
+          ttl = java.time.Duration.ofMillis(100),
+          timeMode = TimeMode.ProcessingTime())
+          .toDF("doc_id", "fp", "is_dup")
+          .writeStream.format("graft-logstore")
+          .option("store.root", outRoot).option("store.project", "proj")
+          .option("store.name", "verdicts")
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(60000)
+      }
+      def verdicts(): Seq[(Long, Boolean)] =
+        spark.read.format("graft-logstore")
+          .option("store.root", outRoot).option("store.project", "proj")
+          .option("store.name", "verdicts")
+          .schema("doc_id LONG, is_dup BOOLEAN").load()
+          .orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+      runOnce() // admits doc 1
+      assert(verdicts() === Seq((1L, false)))
+      Thread.sleep(2000) // well past the 100 ms TTL
+      // a duplicate of doc 1's text arrives after the window
+      store.appendSegment("proj", "docs", 0, "second",
+        Seq(LogRecord(1700000100, "t", "s", Map.empty,
+          Map("doc" -> "2", "text" -> "same text"))))
+      runOnce()
+      // state for the fingerprint expired between runs: doc 2 re-admits
+      assert(verdicts() === Seq((1L, false), (2L, false)))
+    } finally {
+      prior match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
