@@ -49,25 +49,74 @@ object Similarity {
       k)
   }
 
+  /** IVF centroid training: a deterministic sample (lowest `nCells`
+    * ids, L2-normalized) optionally refined by `iters` spherical-Lloyd
+    * sweeps — assign every vector to its best centroid, recompute each
+    * cell's normalized mean. Fully deterministic: no RNG seeds the
+    * init, and each cell's mean folds its members in vec_id order (the
+    * per-cell sort is bounded by cell size, the same bound as every
+    * bucket scan here). Empty cells keep their previous centroid. The
+    * nCells-row collect per sweep is the standard IVF training step. */
+  def ivfCentroids(emb: DataFrame, nCells: Int,
+      iters: Int = 0): Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    def normalize(v: Array[Double]): Array[Double] = {
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i) * v(i); i += 1 }
+      val n = math.sqrt(acc)
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    var centroids: Array[Array[Double]] = emb.orderBy(col("vec_id")).limit(nCells)
+      .select(VF.toDoubleVec(col("embedding")).as("v")).collect()
+      .map(r => normalize(r.getSeq[Double](0).toArray))
+    val vecs = emb.select(col("vec_id").cast("long"),
+      VF.toDoubleVec(col("embedding"))).as[(Long, Seq[Double])]
+    for (_ <- 0 until iters) {
+      val cs = centroids
+      val means = vecs
+        .map { case (id, vec) =>
+          val v = vec.toArray
+          var best = 0; var bestSim = Double.MinValue
+          var c = 0
+          while (c < cs.length) {
+            var acc = 0.0; var i = 0
+            val cv = cs(c)
+            while (i < v.length) { acc += v(i) * cv(i); i += 1 }
+            if (acc > bestSim) { bestSim = acc; best = c }
+            c += 1
+          }
+          (best, id, vec)
+        }
+        .groupByKey(_._1)
+        .mapGroups { (cell: Int, it: Iterator[(Int, Long, Seq[Double])]) =>
+          val members = it.map { case (_, id, v) => (id, v) }.toArray.sortBy(_._1)
+          val sum = new Array[Double](members.head._2.length)
+          members.foreach { case (_, v) =>
+            var i = 0
+            while (i < sum.length) { sum(i) += v(i); i += 1 }
+          }
+          (cell, sum.map(_ / members.length))
+        }
+        .collect().toMap
+      centroids = centroids.indices.map(c =>
+        means.get(c).map(normalize).getOrElse(centroids(c))).toArray
+    }
+    centroids
+  }
+
   /** IVF (inverted-file) ANN: corpus is partitioned into cells around
     * centroids; queries probe only the nProbe nearest cells and rerank
     * exactly inside them — O(|corpus| × nProbe / nCells) per query.
     *
-    * Centroids here are a deterministic sample (lowest `nCells` ids,
-    * L2-normalized on the driver — the tiny-collect is the standard
-    * IVF training step; a k-means refinement would slot in unchanged).
-    * Cell assignment and probing are pure codegen'd column math. */
+    * Centroids come from [[ivfCentroids]] (deterministic sample, plus
+    * `kmeansIters` optional spherical-Lloyd refinement sweeps). Cell
+    * assignment and probing are fused primitive loops. */
   def ivfKnn(emb: DataFrame, queries: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 0): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val centroids: Array[Array[Double]] = emb.orderBy(col("vec_id")).limit(nCells)
-      .select(VF.toDoubleVec(col("embedding")).as("v")).collect()
-      .map { r =>
-        val v = r.getSeq[Double](0).toArray
-        val n = math.sqrt(v.map(x => x * x).sum)
-        v.map(_ / n)
-      }
+    val centroids = ivfCentroids(emb, nCells, kmeansIters)
     // centroid sims in a fused loop (the column-HOF form materializes 16
     // arrays per row); ties resolve to the first max, matching the
     // previous array_position(array_max) formulation

@@ -141,6 +141,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(hit.toDouble / nExact >= 0.95, s"recall $hit/$nExact")
   }
 
+  test("IVF k-means refinement: deterministic, objective non-decreasing, knn contract holds") {
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      .map(_._2.map(_.toDouble).toArray)
+    def objective(cs: Array[Array[Double]]): Double = vecs.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      cs.map(c => v.zip(c).map { case (a, b) => a * b }.sum / n).max
+    }.sum
+    val c0 = Similarity.ivfCentroids(emb, nCells = 8)
+    val c2 = Similarity.ivfCentroids(emb, nCells = 8, iters = 2)
+    val c2b = Similarity.ivfCentroids(emb, nCells = 8, iters = 2)
+    assert(c2.map(_.toSeq).toSeq === c2b.map(_.toSeq).toSeq) // deterministic
+    // each Lloyd sweep can only improve the spherical k-means objective
+    assert(objective(c2) >= objective(c0) - 1e-9,
+      s"objective regressed: ${objective(c0)} -> ${objective(c2)}")
+    // refined knn keeps the output contract
+    val q = emb.filter(col("vec_id") < 3)
+    val knn = Similarity.ivfKnn(emb, q, k = 4, nCells = 8, nProbe = 3, kmeansIters = 2)
+    assert(knn.count() === 12)
+    assert(knn.filter(col("neighbor_id") === col("query_id")).count() === 0)
+  }
+
   test("multi-probe embedding dedup: superset of single-probe, lifts recall at harsh banding") {
     import spark.implicits._
     val base = emb.select(col("vec_id").cast("long"), col("embedding"))
