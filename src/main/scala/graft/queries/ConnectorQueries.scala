@@ -205,33 +205,26 @@ object ConnectorQueries {
     val dstOpts = Map("store.root" -> dstRoot, "store.project" -> "proj",
       "store.name" -> "verdicts")
     val ckpt = Files.createTempDirectory("graft-c5-ckpt").toString
-    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    // isolated session: the RocksDB provider conf must not leak into
+    // (or race with) other streams on the shared session
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val verdicts = graft.streaming.StreamingDedup.exact(
-        spark.readStream.format("graft-logstore").options(srcOpts)
-          // ~3 micro-batches at ANY scale: enough to prove state carries
-          // across triggers without paying per-trigger overhead 30x over
-          .option("maxoffsetspertrigger", math.max(1L, total / 3 + 1).toString)
-          .schema("doc_id LONG, text STRING").load()
-          .selectExpr("md5(text) AS fp", "doc_id")
-          .as[(String, Long)])
-      val q = verdicts.toDF("doc_id", "fp", "is_dup")
-        .writeStream.format("graft-logstore").options(dstOpts)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination(120000)
-    } finally {
-      prior match {
-        case Some(p) =>
-          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None =>
-          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
-    }
+    val verdicts = graft.streaming.StreamingDedup.exact(
+      s2.readStream.format("graft-logstore").options(srcOpts)
+        // ~3 micro-batches at ANY scale: enough to prove state carries
+        // across triggers without paying per-trigger overhead 30x over
+        .option("maxoffsetspertrigger", math.max(1L, total / 3 + 1).toString)
+        .schema("doc_id LONG, text STRING").load()
+        .selectExpr("md5(text) AS fp", "doc_id")
+        .as[(String, Long)])
+    val q = verdicts.toDF("doc_id", "fp", "is_dup")
+      .writeStream.format("graft-logstore").options(dstOpts)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
     spark.read.format("graft-logstore").options(dstOpts)
       .schema("doc_id LONG, fp STRING, is_dup BOOLEAN").load()
   }

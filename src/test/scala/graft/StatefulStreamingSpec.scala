@@ -84,13 +84,15 @@ class StatefulStreamingSpec extends AnyFunSuite {
     recs.grouped(10).zipWithIndex.foreach { case (chunk, gi) =>
       store.appendSegment("proj", "docs", 0, s"seg$gi", chunk)
     }
-    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    // isolated session: the RocksDB provider conf must not race with
+    // other suites' streams on the shared session
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    locally {
       val ckpt = Files.createTempDirectory("ckpt-tws").toString
       val verdicts = StreamingDedup.exact(
-        spark.readStream.format("graft-logstore")
+        s2.readStream.format("graft-logstore")
           .option("store.root", root).option("store.project", "proj")
           .option("store.name", "docs")
           .option("maxoffsetspertrigger", "10") // force several micro-batches
@@ -103,7 +105,7 @@ class StatefulStreamingSpec extends AnyFunSuite {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination(60000)
       assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
-      val out = spark.table("t_tws").as[DedupVerdict].collect()
+      val out = s2.table("t_tws").as[DedupVerdict].collect()
       assert(out.length === 30)
       // exactly one admission per distinct text, and it is the FIRST
       // arrival (state crossed micro-batch boundaries, so docs 10..29
@@ -111,11 +113,6 @@ class StatefulStreamingSpec extends AnyFunSuite {
       val admitted = out.filter(!_.isDup).map(_.docId).sorted
       assert(admitted.toSeq === (0L until 10L))
       assert(out.count(_.isDup) === 20)
-    } finally {
-      prior match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
   }
 
@@ -129,17 +126,17 @@ class StatefulStreamingSpec extends AnyFunSuite {
     store.appendSegment("proj", "docs", 0, "first",
       Seq(LogRecord(1700000000, "t", "s", Map.empty,
         Map("doc" -> "1", "text" -> "same text"))))
-    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    locally {
       val outRoot = Files.createTempDirectory("graft-ttl-out").toString
       new EmbeddedLogStore(outRoot).createStore("proj", "verdicts", 1)
       val ckpt = Files.createTempDirectory("ckpt-ttl").toString
       // logstore sink (memory sink cannot recover a checkpoint)
       def runOnce(): Unit = {
         val q = StreamingDedup.exact(
-          spark.readStream.format("graft-logstore")
+          s2.readStream.format("graft-logstore")
             .option("store.root", root).option("store.project", "proj")
             .option("store.name", "docs")
             .schema("doc LONG, text STRING").load()
@@ -173,11 +170,6 @@ class StatefulStreamingSpec extends AnyFunSuite {
       runOnce()
       // state for the fingerprint expired between runs: doc 2 re-admits
       assert(verdicts() === Seq((1L, false), (2L, false)))
-    } finally {
-      prior match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
   }
 }
