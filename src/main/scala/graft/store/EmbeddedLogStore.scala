@@ -257,8 +257,7 @@ class EmbeddedLogStore(root: String, ioRetries: Int = 10,
     listShards(project, store).foreach { sh =>
       val dir = shardDir(project, store, sh.id)
       if (Files.isDirectory(dir)) {
-        Files.list(dir).iterator().asScala
-          .map(_.getFileName.toString)
+        listDir(dir)
           .filter(n => n.endsWith(".jsonl") && !n.startsWith("."))
           .filterNot(n => committed.contains((sh.id, n)))
           .foreach { n => Files.deleteIfExists(dir.resolve(n)); removed += 1 }
@@ -267,16 +266,25 @@ class EmbeddedLogStore(root: String, ioRetries: Int = 10,
     removed
   }
 
+  /** Directory listing that CLOSES its stream — `Files.list` holds an
+    * open directory fd until closed, and the manifest protocol lists on
+    * every fold, so an unclosed stream here exhausts the process fd
+    * table under load. */
+  private def listDir(dir: java.nio.file.Path): Seq[String] = {
+    val stream = Files.list(dir)
+    try stream.iterator().asScala.map(_.getFileName.toString).toSeq
+    finally stream.close()
+  }
+
   case class Segment(fileName: String, logicalName: String,
       minTime: Int, maxTime: Int, count: Long)
 
   private def manifestFiles(project: String, store: String): Seq[String] = {
     val dir = manifestDir(project, store)
     if (!Files.isDirectory(dir)) return Seq.empty
-    io(Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
+    io(listDir(dir))
       .filter(n => n.startsWith("m-") && n.endsWith(".json"))
-      .toSeq).sorted // zero-padded version ⇒ commit order
+      .sorted // zero-padded version ⇒ commit order
   }
 
   private def manifestVersion(name: String): Long =
