@@ -668,6 +668,24 @@ object Dedup {
         }
       }
       .toDF("bucket", "vec_id", "v")
+      .transform(withinBucketCosinePairs(_, thr))
+      .distinct()
+  }
+
+  /** Per-bucket exact cosine pair scan over (bucket, vec_id, v) rows:
+    * each bucket's members are gathered to one task and scanned with the
+    * tight primitive-loop quadratic (the d4 grouped-pair-scan shape),
+    * emitting (a_id < b_id, sim >= thr) survivors. The dot/norm folds
+    * are the strict ascending-index order shared by every cosine
+    * operator here — a pair surviving through ANY bucketing scheme
+    * carries a bit-identical `sim`. Shared tail of [[embeddingLshPairs]]
+    * (multi-band buckets, needs a distinct) and [[semanticPairs]]
+    * (disjoint clusters, no distinct needed). */
+  private def withinBucketCosinePairs(buckets: DataFrame,
+      thr: Double): DataFrame = {
+    val spark = buckets.sparkSession
+    import spark.implicits._
+    buckets
       .groupBy(col("bucket"))
       .agg(collect_list(struct(col("vec_id"), col("v"))).as("members"))
       .select(col("members"))
@@ -702,6 +720,72 @@ object Dedup {
         out.iterator
       }
       .toDF("a_id", "b_id", "sim")
-      .distinct()
+  }
+
+  /** SemDeDup-shaped semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus in embedding space, then
+    * search near-duplicate pairs only WITHIN clusters — the compute
+    * drops from O(n²) to O(Σ|cluster|²), the standard way semantic
+    * dedup scales past the all-pairs wall. Output: within-cluster
+    * (a_id < b_id, sim >= threshold) pairs; cross-cluster pairs are the
+    * deliberate recall trade (measured against the exact pair set in
+    * DedupSimilaritySpec; `nClusters = 1` degenerates to the exact
+    * baseline bit-for-bit).
+    *
+    * Centroids here are the `nClusters` lowest-id vectors — a
+    * deterministic seed choice that keeps the whole operator (assignment
+    * included) reproducible in ANSI SQL for the oracle. Production
+    * centroids come from k-means (see
+    * [[graft.operators.Similarity.ivfKnn]]'s refinement loop); the
+    * pipeline shape downstream of assignment is identical. Assignment
+    * ties break toward the lowest centroid id (strict `>` keeps the
+    * earliest maximum — same order as SQL `ORDER BY cos DESC, cid`).
+    *
+    * Scale: the centroid set is nClusters rows (collect is the standard
+    * tiny training side, like IVF's); each vector shuffles ONCE on its
+    * cluster key (vs `bands` replicas in [[embeddingLshPairs]]); choose
+    * nClusters ~ √n so per-cluster quadratic work stays bounded, and
+    * skewed clusters show up as straggler tasks — the explicit grouped
+    * scan makes that cost visible rather than hiding it in a join. */
+  def semanticPairs(emb: DataFrame, threshold: Double,
+      nClusters: Int = 8): DataFrame = {
+    require(nClusters >= 1, s"nClusters $nClusters must be >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id").cast("long"),
+        VF.toDoubleVec(col("embedding")))
+      .as[(Long, Seq[Double])]
+    val seeds = vecs.filter(_._1 < nClusters).collect().sortBy(_._1)
+    require(seeds.nonEmpty, "no seed centroids: no vec_id below nClusters")
+    val cIds = seeds.map(_._1)
+    val cArrs = seeds.map(_._2.toArray)
+    val cNorms = cArrs.map { v =>
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i) * v(i); i += 1 }
+      math.sqrt(acc)
+    }
+    val bc = spark.sparkContext.broadcast((cIds, cArrs, cNorms))
+    vecs.mapPartitions { it =>
+      val (ids, arrs, norms) = bc.value
+      it.map { case (id, vseq) =>
+        val v = vseq.toArray
+        var acc = 0.0; var i = 0
+        while (i < v.length) { acc += v(i) * v(i); i += 1 }
+        val vn = math.sqrt(acc)
+        var best = 0
+        var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < arrs.length) {
+          val w = arrs(c)
+          var dot = 0.0; var k = 0
+          while (k < v.length) { dot += v(k) * w(k); k += 1 }
+          val sim = dot / (vn * norms(c))
+          if (sim > bestSim) { bestSim = sim; best = c }
+          c += 1
+        }
+        (ids(best), id, vseq)
+      }
+    }.toDF("bucket", "vec_id", "v")
+      .transform(withinBucketCosinePairs(_, threshold))
   }
 }

@@ -43,6 +43,7 @@ object TextQueries {
     "d4_dedup_simhash" -> d4,
     "d7_dedup_simhash128" -> d7,
     "d5_dedup_embedding" -> d5,
+    "d8_dedup_semantic" -> d8,
     "s1_ann_cosine" -> s1,
     "s2_ann_lsh" -> s2,
     "s3_ann_ivf" -> s3,
@@ -284,6 +285,14 @@ object TextQueries {
   private def d5: Q = (spark, dir) =>
     Dedup.embeddingCosinePairs(t(spark, dir, "embeddings"), 0.4)
 
+  /** SemDeDup-shaped cluster-then-dedup: 8 deterministic seed centroids
+    * (lowest vec_ids) keep the assignment SQL-reproducible, so the
+    * within-cluster pair set is oracle-checked EXACTLY — the operator's
+    * approximation (dropped cross-cluster pairs) is part of its defined
+    * semantics, not an excuse to skip the hash check. */
+  private def d8: Q = (spark, dir) =>
+    Dedup.semanticPairs(t(spark, dir, "embeddings"), 0.4, nClusters = 8)
+
   private def s1: Q = (spark, dir) => {
     val e = t(spark, dir, "embeddings")
     Similarity.bruteForceKnn(e, e.filter(col("vec_id") < 8), k = 4)
@@ -464,6 +473,24 @@ object TextQueries {
         | list_dot_product(a.v, b.v) /
         |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""".stripMargin,
+    "d8_dedup_semantic" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |scored AS (SELECT e.vec_id, e.v, c.cid,
+        |   list_dot_product(e.v, c.cv) /
+        |     (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS cs
+        | FROM e CROSS JOIN c),
+        |assigned AS (SELECT vec_id, v, cid FROM (
+        |   SELECT vec_id, v, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        |   FROM scored) x WHERE rn = 1)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        | list_dot_product(a.v, b.v) /
+        |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+        |FROM assigned a JOIN assigned b
+        |  ON a.cid = b.cid AND a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v) /
         |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""".stripMargin,
     "s1_ann_cosine" ->

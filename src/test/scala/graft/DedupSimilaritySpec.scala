@@ -229,6 +229,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(found >= 27, s"found $found/30 planted nearest neighbors")
   }
 
+  test("semantic dedup: sound subset, nClusters=1 is the exact baseline, clusters partition") {
+    // soundness: every within-cluster pair is a true pair with the same
+    // strict-fold sim — bit-identical rows of the exact pair set
+    val exact = Dedup.embeddingCosinePairs(emb, 0.3).cache()
+    val sem = Dedup.semanticPairs(emb, 0.3, nClusters = 8).cache()
+    assert(sem.exceptAll(exact).isEmpty, "semantic pair not in the exact set")
+    // degenerate clustering = no pruning: must reproduce the exact set
+    val one = Dedup.semanticPairs(emb, 0.3, nClusters = 1)
+    assert(one.exceptAll(exact).isEmpty && exact.exceptAll(one).isEmpty)
+    // planted near-dups (cosine ≈ 0.9999 to their source — the dedup
+    // regime) land in their source's cluster, SemDeDup's whole premise:
+    // a perturbation that small flips the argmax centroid only for
+    // sources sitting right on a cluster boundary. Recall stays near
+    // complete even though cross-cluster pairs drop by design.
+    import spark.implicits._
+    val base = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val planted = base.take(50).zipWithIndex.map { case ((id, v), i) =>
+      val w = base((i + 1) % base.length)._2
+      (id + 100000L, v.zip(w).map { case (x, y) => 0.99f * x + 0.01f * y })
+    }
+    val all = (base ++ planted).toSeq.toDF("vec_id", "embedding")
+    val exactHigh = Dedup.embeddingCosinePairs(all, 0.9).select("a_id", "b_id")
+    val semHigh = Dedup.semanticPairs(all, 0.9, nClusters = 8)
+      .select("a_id", "b_id")
+    val nExact = exactHigh.count()
+    assert(nExact >= 50)
+    val hit = exactHigh.intersect(semHigh).count()
+    assert(hit.toDouble / nExact >= 0.95, s"recall $hit/$nExact")
+  }
+
   test("minhash signature length and determinism") {
     val sh = Dedup.docShingles(docs.limit(20))
     val sig = Dedup.minHashSignatures(sh).collect()
