@@ -36,6 +36,8 @@ object TextQueries {
     "t9_lang_quota" -> t9,
     "t10_redact_pii" -> t10,
     "t11_repetition" -> t11,
+    "t12_vocab_encode" -> t12,
+    "t13_token_chunks" -> t13,
     "d1_dedup_exact" -> d1,
     "d6_decontaminate" -> d6,
     "d2_dedup_jaccard" -> d2,
@@ -124,6 +126,72 @@ object TextQueries {
         }
       }
       .toDF("doc_id", "n_bigrams", "top_n", "top_fraction")
+  }
+
+  /** Tokenizer-vocabulary induction + encode — the id-ification step of
+    * a training pipeline: the top-V tokens by corpus frequency become
+    * ids 0..V-1 (rank order: count desc, token asc — total, so the
+    * boundary is deterministic), then every document is re-encoded as
+    * its token-id sequence in ONE broadcast-dictionary pass (OOV → -1).
+    *
+    * Scale shape: the corpus shuffles once to build the frequency
+    * table; TopK.perKey prunes it to V rows before the global rank
+    * window (no full-vocabulary single-reducer sort); the V-row
+    * dictionary broadcasts and the encode pass is zero-shuffle. The
+    * emitted `ids_checksum` = Σ (pos+1)·(id+2) pins the exact id
+    * SEQUENCE (values and order) with integer math the oracle
+    * reproduces — arrays themselves would defeat the row-sorted hash
+    * compare. */
+  private def t12: Q = (spark, dir) => {
+    val spark2 = spark
+    import spark2.implicits._
+    val vocabSize = 1000
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)]
+    val freq = docs
+      .flatMap { case (_, text) =>
+        text.trim.toLowerCase.split("\\s+").iterator
+      }
+      .toDF("tok")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val vocab = graft.operators.TopK.perKey(freq, Seq.empty,
+        Seq(col("cnt").desc, col("tok")), vocabSize)
+      .select(col("tok"), (col("rank") - 1).cast("long").as("id"))
+      .as[(String, Long)]
+      .collect().toMap // V rows — the broadcast dictionary
+    val bc = spark.sparkContext.broadcast(vocab)
+    docs.map { case (id, text) =>
+      val m = bc.value
+      val w = text.trim.toLowerCase.split("\\s+")
+      var nOov = 0L; var checksum = 0L
+      var i = 0
+      while (i < w.length) {
+        val tid = m.getOrElse(w(i), -1L)
+        if (tid == -1L) nOov += 1
+        checksum += (i + 1).toLong * (tid + 2)
+        i += 1
+      }
+      (id, w.length.toLong, nOov, checksum)
+    }.toDF("doc_id", "n_tokens", "n_oov", "ids_checksum")
+  }
+
+  /** Context-window chunking: each document explodes into fixed-size
+    * token windows (the sequence-packing precursor — map a corpus onto
+    * training rows of bounded length). Pure codegen projection +
+    * generator, zero shuffle at any corpus size. */
+  private def t13: Q = (spark, dir) => {
+    val window = 64
+    val d = t(spark, dir, "documents")
+    val n = size(TF.tokens(lower(col("text"))))
+    d.select(col("doc_id"), n.cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L),
+          floor((col("n_tokens") + (window - 1)) / window) - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("n_tokens"), col("chunk_idx"),
+        (col("chunk_idx") * window).as("chunk_start"),
+        least(lit(window.toLong),
+          col("n_tokens") - col("chunk_idx") * window).as("chunk_len"))
   }
 
   private def t1: Q = (spark, dir) => {
@@ -433,6 +501,34 @@ object TextQueries {
         | CAST(MAX(n) AS BIGINT) AS top_n,
         | CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top_fraction
         |FROM counts GROUP BY doc_id""".stripMargin,
+    "t12_vocab_encode" ->
+      """WITH words AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |toks AS (SELECT doc_id, unnest(w) AS tok FROM words),
+        |freq AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+        |vocab AS (SELECT tok, rn - 1 AS id FROM (
+        |   SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS rn
+        |   FROM freq) x WHERE rn <= 1000),
+        |pos AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, w FROM words),
+        |enc AS (SELECT p.doc_id, p.i, COALESCE(v.id, -1) AS tid
+        |        FROM (SELECT doc_id, i, w[i] AS tok FROM pos) p
+        |        LEFT JOIN vocab v USING (tok))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        | CAST(SUM(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        | CAST(SUM(i * (tid + 2)) AS BIGINT) AS ids_checksum
+        |FROM enc GROUP BY doc_id""".stripMargin,
+    "t13_token_chunks" ->
+      """WITH words AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |n AS (SELECT doc_id, len(w) AS n_tokens FROM words),
+        |c AS (SELECT doc_id, n_tokens,
+        |  unnest(range(0, CAST(ceil(n_tokens / 64.0) AS BIGINT))) AS chunk_idx
+        | FROM n)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        | CAST(chunk_idx * 64 AS BIGINT) AS chunk_start,
+        | CAST(least(64, n_tokens - chunk_idx * 64) AS BIGINT) AS chunk_len
+        |FROM c""".stripMargin,
     "d6_decontaminate" ->
       """SELECT doc_id,
         | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp

@@ -38,6 +38,39 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(df.filter(col("top_n") > col("n_bigrams")).count() === 0)
   }
 
+  test("vocab encode: id order, OOV accounting, checksum pins the sequence") {
+    val out = SparkEntry.queries("t12_vocab_encode")(spark, "/root/testdata/sf0.001")
+    // every token is either in-vocab or OOV; empty docs don't exist
+    assert(out.filter(col("n_oov") > col("n_tokens")).count() === 0)
+    assert(out.filter(col("n_tokens") < 1).count() === 0)
+    // an all-OOV doc's checksum is fully determined: Σ (i+1)·(−1+2)
+    // = n(n+1)/2 — so any doc with n_oov = n_tokens must hit it exactly
+    val allOov = out.filter(col("n_oov") === col("n_tokens"))
+      .filter(col("ids_checksum") =!=
+        (col("n_tokens") * (col("n_tokens") + 1)) / 2)
+    assert(allOov.count() === 0)
+  }
+
+  test("token chunks: full cover, last-chunk remainder, exact-multiple edge") {
+    import spark.implicits._
+    val out = SparkEntry.queries("t13_token_chunks")(spark, "/root/testdata/sf0.001")
+      .cache()
+    // chunks tile the document: per-doc chunk_len sums to n_tokens
+    assert(out.groupBy("doc_id", "n_tokens")
+      .agg(sum("chunk_len").as("s"))
+      .filter(col("s") =!= col("n_tokens")).count() === 0)
+    // all but the last chunk are full-width
+    assert(out.filter(col("chunk_len") < 64)
+      .filter(col("chunk_start") + col("chunk_len") =!= col("n_tokens"))
+      .count() === 0)
+    // exact multiple of the window: no empty trailing chunk
+    val exact128 = Seq((1L, (("tok " * 128).trim))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("t13").toString
+    exact128.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val chunks = SparkEntry.queries("t13_token_chunks")(spark, dir).collect()
+    assert(chunks.length === 2 && chunks.forall(_.getLong(4) === 64L))
+  }
+
   test("text builders are reachable from SQL via GraftFunctions") {
     graft.functions.GraftFunctions.registerAll(spark)
     val r = spark.sql(
