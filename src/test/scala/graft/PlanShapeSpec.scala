@@ -79,4 +79,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
     assert(p.contains("MapPartitions") || p.contains("mapPartitions"), p)
   }
+
+  test("d8: semantic dedup shuffles once on the cluster key, no join") {
+    // each vector moves once (cluster-key exchange for the grouped
+    // scan); a join/cartesian here would mean the O(n²) wall came back
+    val p = plan("d8_dedup_semantic")
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("t13: chunk explode is a zero-shuffle generator") {
+    val p = plan("t13_token_chunks")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("t12: the encode pass is zero-shuffle (dictionary is broadcast, not joined)") {
+    val p = plan("t12_vocab_encode")
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
+  }
 }
