@@ -242,6 +242,89 @@ object Similarity {
       k)
   }
 
+  /** Scalar-quantized ANN (the FAISS "SQ8" shape): the corpus is
+    * L2-normalized and quantized ONCE to int8 codes + one per-vector
+    * scale — a 4× smaller artifact than float32, which is the object a
+    * production pipeline persists, caches, and scans (the broadcast /
+    * IO ceiling moves 4× with it). Queries score the CODES approximately
+    * (scale · Σ q_i·code_i ≈ cosine, since both sides are normalized),
+    * each partition prunes to its local top-(rerank·k) per query, and
+    * only the surviving rerank·k candidate ids fetch their full-precision
+    * vectors for the exact rerank — so full vectors are touched for
+    * |Q|·rerank·k rows, not the whole corpus.
+    *
+    * Output schema and sims match [[bruteForceKnn]] exactly (the rerank
+    * recomputes cosine with the shared strict fold); whenever the
+    * approximate top-(rerank·k) contains the true top-k — the common
+    * case, since int8 on normalized vectors carries ~1/254 per-component
+    * error — the result is row-for-row identical to brute force.
+    * Approximate by design → recall spec, no equality oracle. */
+  def sqKnn(emb: DataFrame, queries: DataFrame, k: Int,
+      rerank: Int = 4): DataFrame = {
+    require(rerank >= 1, s"rerank $rerank must be >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    def normalize(v: Array[Double]): Array[Double] = {
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i) * v(i); i += 1 }
+      val n = math.sqrt(acc)
+      if (n == 0.0) v else { val o = new Array[Double](v.length)
+        i = 0; while (i < v.length) { o(i) = v(i) / n; i += 1 }; o }
+    }
+    // the persisted artifact: (vec_id, int8 codes, scale)
+    val codes = emb.select(col("vec_id").cast("long"),
+        VF.toDoubleVec(col("embedding")))
+      .as[(Long, Seq[Double])]
+      .map { case (id, vec) =>
+        val v = normalize(vec.toArray)
+        var maxAbs = 0.0; var i = 0
+        while (i < v.length) {
+          val a = math.abs(v(i)); if (a > maxAbs) maxAbs = a; i += 1
+        }
+        val scale = if (maxAbs == 0.0) 1.0 else maxAbs / 127.0
+        val cs = new Array[Byte](v.length)
+        i = 0
+        while (i < v.length) {
+          cs(i) = math.round(v(i) / scale).toByte; i += 1
+        }
+        (id, cs, scale)
+      }
+      .toDF("vec_id", "codes", "scale")
+    val qNorm = queries.select(col("vec_id").cast("long"),
+        VF.toDoubleVec(col("embedding")))
+      .as[(Long, Seq[Double])]
+      .map { case (id, vec) => (id, normalize(vec.toArray).toSeq) }
+      .collect()
+    val bc = spark.sparkContext.broadcast(
+      qNorm.map { case (id, v) => (id, v.toArray) })
+    // approximate scan over the compact codes; corpus never shuffles
+    val approx = codes.as[(Long, Array[Byte], Double)]
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { case (id, cs, scale) =>
+          qs.iterator.filter(_._1 != id).map { case (qid, qv) =>
+            var dot = 0.0; var i = 0
+            while (i < cs.length) { dot += qv(i) * cs(i); i += 1 }
+            (qid, id, dot * scale)
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "approx")
+    val cands = TopK.perKey(approx, Seq("query_id"),
+        Seq(col("approx").desc, col("neighbor_id")), rerank * k)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact rerank: only the candidate ids touch full-precision vectors
+    val q = queries.select(col("vec_id").as("query_id"),
+      VF.toDoubleVec(col("embedding")).as("qv"))
+    val full = emb.select(col("vec_id"), VF.toDoubleVec(col("embedding")).as("v"))
+    topkPerQuery(
+      full.join(broadcast(cands), full("vec_id") === cands("neighbor_id"))
+        .join(broadcast(q), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          VF.cosine(col("qv"), col("v")).as("sim")),
+      k)
+  }
+
   /** LSH-bucketed approximate top-k: exact rerank within each signature
     * bucket. Output schema matches bruteForceKnn (rank gaps possible when
     * a bucket holds < k candidates). */

@@ -50,6 +50,7 @@ object TextQueries {
     "s2_ann_lsh" -> s2,
     "s3_ann_ivf" -> s3,
     "s4_ann_multiprobe" -> s4,
+    "s5_ann_sq" -> s5,
     "p1_prep_pipeline" -> p1
   )
 
@@ -383,6 +384,14 @@ object TextQueries {
     val e = t(spark, dir, "embeddings")
     Similarity.multiProbeLshKnn(e, e.filter(col("vec_id") < 8), k = 4,
       bits = 8, probes = 4)
+  }
+
+  /** Scalar-quantized ANN: int8 codes scanned approximately, exact
+    * rerank on the rerank·k survivors. Approximate → rows-only check;
+    * recall + bit-exact-rerank asserted in DedupSimilaritySpec. */
+  private def s5: Q = (spark, dir) => {
+    val e = t(spark, dir, "embeddings")
+    Similarity.sqKnn(e, e.filter(col("vec_id") < 8), k = 4, rerank = 4)
   }
 
   // DuckDB CTE fragments shared by the jaccard-contract oracles.

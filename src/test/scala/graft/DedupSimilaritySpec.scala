@@ -260,6 +260,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(hit.toDouble / nExact >= 0.95, s"recall $hit/$nExact")
   }
 
+  test("scalar-quantized knn: exact rerank sims, high recall, full-cover equals brute force") {
+    val q = emb.filter(col("vec_id") < 8)
+    val brute = Similarity.bruteForceKnn(emb, q, k = 4).cache()
+    val sq = Similarity.sqKnn(emb, q, k = 4, rerank = 4).cache()
+    // contract: 4 ranked rows per query, no self matches
+    assert(sq.count() === brute.count())
+    assert(sq.filter(col("neighbor_id") === col("query_id")).count() === 0)
+    // wherever SQ found the true neighbor, the reranked sim is
+    // BIT-IDENTICAL to brute force (shared strict cosine fold)
+    val joined = sq.select(col("query_id"), col("neighbor_id"), col("sim").as("s1"))
+      .join(brute.select(col("query_id"), col("neighbor_id"), col("sim").as("s2")),
+        Seq("query_id", "neighbor_id"))
+    assert(joined.filter(col("s1") =!= col("s2")).count() === 0)
+    // recall@4 against brute force: int8 on normalized 64-dim vectors
+    // perturbs sims by ~1e-2 worst-case; rerank=4 absorbs it
+    val n = brute.count()
+    val hit = brute.select("query_id", "neighbor_id")
+      .intersect(sq.select("query_id", "neighbor_id")).count()
+    assert(hit.toDouble / n >= 0.9, s"recall $hit/$n")
+    // rerank window covering the whole corpus ⇒ row-for-row brute force
+    val cover = Similarity.sqKnn(emb, q, k = 4,
+      rerank = (emb.count() / 4 + 1).toInt)
+    assert(cover.exceptAll(brute).isEmpty && brute.exceptAll(cover).isEmpty)
+  }
+
   test("minhash signature length and determinism") {
     val sh = Dedup.docShingles(docs.limit(20))
     val sig = Dedup.minHashSignatures(sh).collect()
