@@ -8,10 +8,12 @@ import org.apache.spark.sql.types._
 /** Multimodal columns: image/audio/video as opaque `binary` payloads with
   * typed metadata, processed batch-at-a-time on executors.
   *
-  * Container-native formats are decoded for REAL with no external
-  * library: RIFF/WAVE 16-bit PCM ([[decodeWavPcm16]]) and 24bpp BMP
-  * ([[decodeBmp24]]), with content-sniffing dispatch
-  * ([[decodeImage]]). Only formats that genuinely need a codec
+  * Container-native and JDK-decodable formats are decoded for REAL with
+  * no external library: RIFF/WAVE 16-bit PCM ([[decodeWavPcm16]]),
+  * 24bpp BMP ([[decodeBmp24]]), and zlib-compressed 8-bit grayscale PNG
+  * ([[decodePngGray8]], full RFC 2083 filter reconstruction over
+  * `java.util.zip`), with content-sniffing dispatch ([[decodeImage]]).
+  * Only formats that genuinely need a codec
   * (JPEG, H.264) keep deterministic stubs (clearly marked) — and
   * everything Spark-side is real and tested either way: the asset
   * schema, binary payload flow through shuffles, per-partition batch
@@ -242,12 +244,155 @@ object Multimodal {
     (w, h, luma)
   }
 
-  /** Content-sniffing image decode: real BMP payloads take the real
-    * decoder; anything else falls back to the stub (the slot where a
-    * JPEG/PNG codec call goes). */
+  private val PngSignature: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** PNG Paeth predictor (RFC 2083 §6.6): closest of left/above/
+    * upper-left to their linear combination, ties left-biased. */
+  @inline private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode an 8-bit grayscale plane as a REAL PNG — zlib DEFLATE via
+    * `java.util.zip.Deflater`, chunk CRCs via `java.util.zip.CRC32`,
+    * no external library. `rowFilter` picks the per-row filter
+    * (0 none / 1 sub / 2 up / 3 average / 4 paeth); the default 0 is
+    * the simplest valid stream, the others exist chiefly to exercise
+    * the decoder's full reconstruction logic. */
+  def encodePngGray8(w: Int, h: Int, luma: Array[Byte],
+      rowFilter: Int = 0): Array[Byte] = {
+    require(luma.length == w * h, s"plane ${luma.length} != $w x $h")
+    require(rowFilter >= 0 && rowFilter <= 4, s"bad filter $rowFilter")
+    // filtered raw stream: one filter-type byte + w filtered bytes per row
+    val raw = new Array[Byte]((w + 1) * h)
+    var y = 0
+    while (y < h) {
+      raw(y * (w + 1)) = rowFilter.toByte
+      var x = 0
+      while (x < w) {
+        val cur = luma(y * w + x) & 0xFF
+        val a = if (x > 0) luma(y * w + x - 1) & 0xFF else 0
+        val b = if (y > 0) luma((y - 1) * w + x) & 0xFF else 0
+        val c = if (x > 0 && y > 0) luma((y - 1) * w + x - 1) & 0xFF else 0
+        val filtered = rowFilter match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - (a + b) / 2
+          case 4 => cur - paeth(a, b, c)
+        }
+        raw(y * (w + 1) + 1 + x) = filtered.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) zbuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val idat = zbuf.toByteArray
+
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length) // big-endian
+      out.putInt(data.length)
+      val tagBytes = tag.getBytes(StandardCharsets.US_ASCII)
+      out.put(tagBytes).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tagBytes); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte)  // bit depth
+      .put(0.toByte)  // color type: grayscale
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
+      .array()
+    PngSignature ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Decode a REAL 8-bit grayscale non-interlaced PNG: walk the chunk
+    * list, inflate the concatenated IDAT stream, and reconstruct all
+    * five filter types per RFC 2083 §6 — a compliant decoder for the
+    * gray8 subset regardless of which encoder produced the file.
+    * Returns (w, h, top-down row-major luma). */
+  def decodePngGray8(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(payload.length > 8 &&
+      PngSignature.indices.forall(i => payload(i) == PngSignature(i)),
+      "not a PNG payload")
+    val buf = java.nio.ByteBuffer.wrap(payload) // big-endian by default
+    var pos = 8
+    var w = -1; var h = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    while (pos + 8 <= payload.length) {
+      val len = buf.getInt(pos)
+      val tag = new String(payload, pos + 4, 4, StandardCharsets.US_ASCII)
+      require(len >= 0 && pos + 12 + len <= payload.length,
+        s"truncated PNG chunk $tag")
+      tag match {
+        case "IHDR" =>
+          w = buf.getInt(pos + 8); h = buf.getInt(pos + 12)
+          require(payload(pos + 16) == 8, "not 8-bit")
+          require(payload(pos + 17) == 0, "not grayscale")
+          require(payload(pos + 20) == 0, "interlaced PNG not supported")
+        case "IDAT" => idat.write(payload, pos + 8, len)
+        case _ => // ancillary chunk: skip
+      }
+      pos += 12 + len
+    }
+    require(w > 0 && h > 0 && idat.size() > 0, "missing IHDR or IDAT")
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val raw = new Array[Byte]((w + 1) * h)
+    var off = 0
+    while (off < raw.length && !inflater.finished()) {
+      val n = inflater.inflate(raw, off, raw.length - off)
+      require(n > 0 || !inflater.needsInput, "truncated IDAT stream")
+      off += n
+    }
+    inflater.end()
+    require(off == raw.length, s"IDAT inflated to $off of ${raw.length}")
+    val luma = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      val filter = raw(y * (w + 1)) & 0xFF
+      var x = 0
+      while (x < w) {
+        val f = raw(y * (w + 1) + 1 + x) & 0xFF
+        val a = if (x > 0) luma(y * w + x - 1) & 0xFF else 0
+        val b = if (y > 0) luma((y - 1) * w + x) & 0xFF else 0
+        val c = if (x > 0 && y > 0) luma((y - 1) * w + x - 1) & 0xFF else 0
+        val v = filter match {
+          case 0 => f
+          case 1 => f + a
+          case 2 => f + b
+          case 3 => f + (a + b) / 2
+          case 4 => f + paeth(a, b, c)
+          case other => throw new IllegalArgumentException(s"bad filter $other")
+        }
+        luma(y * w + x) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, luma)
+  }
+
+  /** Content-sniffing image decode: real BMP and gray8-PNG payloads take
+    * their real decoders; anything else falls back to the stub (the slot
+    * where a JPEG codec call goes). */
   def decodeImage(payload: Array[Byte]): (Int, Int, Array[Byte]) =
     if (payload.length >= 54 && payload(0) == 'B' && payload(1) == 'M')
       try decodeBmp24(payload)
+      catch { case _: IllegalArgumentException => stubDecodeImage(payload) }
+    else if (payload.length > 8 &&
+        PngSignature.indices.forall(i => payload(i) == PngSignature(i)))
+      try decodePngGray8(payload)
       catch { case _: IllegalArgumentException => stubDecodeImage(payload) }
     else stubDecodeImage(payload)
 

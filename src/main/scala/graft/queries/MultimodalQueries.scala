@@ -19,7 +19,8 @@ object MultimodalQueries {
     "m1_binary_assets" -> m1,
     "m2_frame_sample" -> m2,
     "m3_wav_roundtrip" -> m3,
-    "m4_bmp_roundtrip" -> m4)
+    "m4_bmp_roundtrip" -> m4,
+    "m5_png_roundtrip" -> m5)
 
   /** Binary asset stats + round-trip through fixed-size chunking: chunk
     * count must match octet math and reassembled digests must equal the
@@ -118,6 +119,32 @@ object MultimodalQueries {
       .toDF("doc_id", "width", "height", "bmp_bytes", "mean_luma")
   }
 
+  /** REAL compressed image codec on the oracle-checked path: the m4
+    * deterministic plane, encoded as an actual zlib-compressed PNG
+    * (Multimodal.encodePngGray8, per-doc filter = doc_id % 5 so every
+    * RFC 2083 filter type crosses the gate), decoded back with the real
+    * inflate + unfilter parser, and reduced to dimensions + mean luma.
+    * The oracle computes the mean from the closed form — a hash match
+    * proves DEFLATE round-trips the filtered scanlines losslessly.
+    * Payload size is filter/deflate-dependent, so unlike m4 the byte
+    * count is not part of the checked output. */
+  private def m5: Q = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = (16, 8)
+    t(spark, dir, "documents").select(col("doc_id").cast("long"))
+      .as[Long]
+      .map { id =>
+        val luma = Array.tabulate(w * h)(i => ((id * 31 + i) % 256).toByte)
+        val png = Multimodal.encodePngGray8(w, h, luma, (id % 5).toInt)
+        val (dw, dh, plane) = Multimodal.decodePngGray8(png)
+        var sum = 0L
+        var i = 0
+        while (i < plane.length) { sum += plane(i) & 0xFF; i += 1 }
+        (id, dw, dh, sum.toDouble / plane.length)
+      }
+      .toDF("doc_id", "width", "height", "mean_luma")
+  }
+
   def oracles: Map[String, String] = Map(
     "m1_binary_assets" ->
       """SELECT doc_id AS asset_id,
@@ -144,6 +171,11 @@ object MultimodalQueries {
     "m4_bmp_roundtrip" ->
       """SELECT doc_id, 16 AS width, 8 AS height,
         | CAST(54 + 48 * 8 AS BIGINT) AS bmp_bytes,
+        | CAST(list_sum(list_transform(range(0, 128),
+        |   i -> (doc_id * 31 + i) % 256)) AS DOUBLE) / 128 AS mean_luma
+        |FROM documents""".stripMargin,
+    "m5_png_roundtrip" ->
+      """SELECT doc_id, 16 AS width, 8 AS height,
         | CAST(list_sum(list_transform(range(0, 128),
         |   i -> (doc_id * 31 + i) % 256)) AS DOUBLE) / 128 AS mean_luma
         |FROM documents""".stripMargin

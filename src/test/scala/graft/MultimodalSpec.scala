@@ -137,4 +137,34 @@ class MultimodalSpec extends AnyFunSuite {
     val (fw, fh, _) = Multimodal.decodeImage(fake)
     assert((fw, fh) === (2, 3))
   }
+
+  test("PNG: gray8 encode/decode identity under every RFC 2083 filter type") {
+    val w = 7; val h = 5 // odd width: a/c references cross row boundaries
+    val luma = Array.tabulate(w * h)(i => ((i * 89 + 3) % 256).toByte)
+    for (filter <- 0 to 4) {
+      val png = Multimodal.encodePngGray8(w, h, luma, filter)
+      // signature + the compressed stream actually differs per filter
+      assert((png(1), png(2), png(3)) === ('P'.toByte, 'N'.toByte, 'G'.toByte))
+      val (dw, dh, decoded) = Multimodal.decodePngGray8(png)
+      assert(dw === w && dh === h, s"filter $filter")
+      assert(decoded.toSeq === luma.toSeq, s"filter $filter")
+    }
+    // DEFLATE is really compressing: a constant plane shrinks well below raw
+    val flat = Multimodal.encodePngGray8(64, 64, Array.fill(64 * 64)(7.toByte))
+    assert(flat.length < 64 * 64 / 4, s"no compression: ${flat.length}")
+  }
+
+  test("PNG: decoder rejects unsupported shapes, dispatch sniffs the signature") {
+    val luma = Array.tabulate(12)(i => (i * 21).toByte)
+    val png = Multimodal.encodePngGray8(4, 3, luma)
+    // dispatch: PNG magic routes to the real decoder
+    val (w, h, plane) = Multimodal.decodeImage(png)
+    assert((w, h) === (4, 3) && plane.toSeq === luma.toSeq)
+    // corrupt the color type: decoder must refuse, dispatch falls to stub
+    val rgb = png.clone(); rgb(25) = 2 // IHDR color type: sig8 + len4 + tag4 + 9
+    intercept[IllegalArgumentException](Multimodal.decodePngGray8(rgb))
+    // truncated IDAT: refuse rather than return a short plane
+    val cut = png.take(png.length - 13)
+    intercept[IllegalArgumentException](Multimodal.decodePngGray8(cut))
+  }
 }
