@@ -722,6 +722,60 @@ object Dedup {
       .toDF("a_id", "b_id", "sim")
   }
 
+  /** Connected components over near-duplicate pairs — the step that
+    * turns a PAIR list (d2–d5, d7, d8) into per-document GROUP
+    * assignments, i.e. the actual keep/drop decision of a dedup
+    * pipeline: every document gets the minimum doc_id reachable through
+    * near-dup edges as its component id; the component representative
+    * (comp == doc_id) is the keeper.
+    *
+    * Algorithm: distributed min-label propagation — each round every
+    * node takes the min of its own label and its neighbors' labels, via
+    * one join + one aggregate on the edge list; stop when a round
+    * changes nothing. Rounds needed = graph diameter, and near-dup
+    * components are clique-like (every member resembles the shared
+    * content), so 2–3 rounds close them; `maxIters` bounds pathological
+    * chains, and hitting it raises rather than returning a partial
+    * labeling. Each round materializes the (small) label table —
+    * near-dup NODES are a sliver of the corpus — never the corpus
+    * itself; lineage is truncated by the per-round persist+count.
+    * At 100 TB the log-round alternative (small-star/large-star,
+    * Kiveris et al. 2014) drops in behind the same signature if
+    * diameters ever grow past a handful. */
+  def duplicateComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").cast("long").as("src"),
+        col("b_id").cast("long").as("dst"))
+    val undirected = edges.union(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = undirected.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")).persist()
+    labels.count() // materialize
+    var iters = 0
+    var converged = false
+    while (!converged) {
+      require(iters < maxIters,
+        s"component propagation did not converge in $maxIters rounds")
+      val nbrMin = undirected
+        .join(labels, undirected("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .persist()
+      val changed = next.as("n")
+        .join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iters += 1
+    }
+    undirected.unpersist()
+    labels.select(col("id").as("doc_id"), col("comp"),
+      (col("id") === col("comp")).as("is_keeper"))
+  }
+
   /** SemDeDup-shaped semantic dedup (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus in embedding space, then
     * search near-duplicate pairs only WITHIN clusters — the compute

@@ -46,6 +46,7 @@ object TextQueries {
     "d7_dedup_simhash128" -> d7,
     "d5_dedup_embedding" -> d5,
     "d8_dedup_semantic" -> d8,
+    "d9_dedup_groups" -> d9,
     "s1_ann_cosine" -> s1,
     "s2_ann_lsh" -> s2,
     "s3_ann_ivf" -> s3,
@@ -354,6 +355,16 @@ object TextQueries {
   private def d5: Q = (spark, dir) =>
     Dedup.embeddingCosinePairs(t(spark, dir, "embeddings"), 0.4)
 
+  /** Near-dup pairs → per-document components: the keep/drop decision.
+    * Pairs come from the LSH path (oracle-equal to the exact pair set),
+    * components from distributed min-label propagation; the DuckDB
+    * oracle closes the same edge set with a recursive CTE — the hash
+    * match proves the distributed propagation reaches the exact
+    * transitive closure. */
+  private def d9: Q = (spark, dir) =>
+    Dedup.duplicateComponents(
+      Dedup.minHashLshPairs(t(spark, dir, "documents"), jaccardThreshold))
+
   /** SemDeDup-shaped cluster-then-dedup: 8 deterministic seed centroids
     * (lowest vec_ids) keep the assignment SQL-reproducible, so the
     * within-cluster pair set is oracle-checked EXACTLY — the operator's
@@ -570,6 +581,29 @@ object TextQueries {
         |FROM kept GROUP BY 1""".stripMargin,
     "d2_dedup_jaccard" -> shingleCte,
     "d3_dedup_minhash_lsh" -> shingleCte,
+    "d9_dedup_groups" ->
+      """WITH RECURSIVE words AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s FROM words),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS aid, b.doc_id AS bid, count(*) AS n
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |p AS (SELECT aid, bid FROM inter
+        |      JOIN sizes s1 ON aid = s1.doc_id JOIN sizes s2 ON bid = s2.doc_id
+        |      WHERE CAST(n AS DOUBLE) / (s1.sz + s2.sz - n) >= 0.8),
+        |edges AS (SELECT aid AS src, bid AS dst FROM p
+        |          UNION SELECT bid, aid FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id,
+        |           least(src, MIN(dst)) AS comp
+        |         FROM reach GROUP BY src)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(comp AS BIGINT) AS comp,
+        |       doc_id = comp AS is_keeper
+        |FROM comp""".stripMargin,
     "d4_dedup_simhash" -> shingleCte,
     "d7_dedup_simhash128" -> shingleCte,
     "d5_dedup_embedding" ->

@@ -260,6 +260,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(hit.toDouble / nExact >= 0.95, s"recall $hit/$nExact")
   }
 
+  test("duplicate components: chains, cliques, disjoint groups, keeper flags") {
+    import spark.implicits._
+    // components: {1,2,3,4} via a chain (diameter 3 — forces multiple
+    // propagation rounds), {10,11,12} as a triangle, {20,21} a lone pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("a_id", "b_id")
+    val comps = Dedup.duplicateComponents(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(id => comps(id)._1 == 1L))
+    assert(Seq(10L, 11L, 12L).forall(id => comps(id)._1 == 10L))
+    assert(Seq(20L, 21L).forall(id => comps(id)._1 == 20L))
+    // exactly one keeper per component, and it is the representative
+    assert(comps.count(_._2._2) === 3)
+    assert(comps.filter(_._2._2).keySet === Set(1L, 10L, 20L))
+    // the convergence bound is enforced, not silently truncated
+    val longChain = (0L until 12L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    intercept[IllegalArgumentException](
+      Dedup.duplicateComponents(longChain, maxIters = 2).collect())
+  }
+
   test("scalar-quantized knn: exact rerank sims, high recall, full-cover equals brute force") {
     val q = emb.filter(col("vec_id") < 8)
     val brute = Similarity.bruteForceKnn(emb, q, k = 4).cache()
