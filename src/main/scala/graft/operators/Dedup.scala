@@ -759,15 +759,15 @@ object Dedup {
       val nbrMin = undirected
         .join(labels, undirected("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
+      // carry the old label through the join so convergence is a filter
+      // on this round's result, not a second join against the previous
       val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("old"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
         .persist()
-      val changed = next.as("n")
-        .join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") =!= col("old")).count()
+      val changed = next.filter(col("comp") =!= col("old")).count()
       labels.unpersist()
-      labels = next
+      labels = next.select(col("id"), col("comp"))
       converged = changed == 0
       iters += 1
     }
