@@ -1,0 +1,114 @@
+package graft.store
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential model test: drive the store through randomized (but
+  * seeded — reproducible) sequences of mixed operations and compare
+  * every observable — record sequences, ordinals, time counting,
+  * cursor-from-time — against a trivial in-memory model after each
+  * step. The race tests in StoreManifestSpec cover concurrency; this
+  * covers the PROTOCOL under op interleavings a single writer can
+  * produce: splits, compactions, vacuum, abandoned staging, idempotent
+  * replays, in any order. */
+class StoreModelSpec extends AnyFunSuite {
+
+  private def randomRecord(rnd: scala.util.Random, t: Int): LogRecord = {
+    // exercise the serializer: quotes, backslashes, newlines, unicode
+    val alphabet = Seq("plain", "with \"quotes\"", "back\\slash",
+      "line\nbreak", "tab\there", "unicode é中文", "")
+    def s() = alphabet(rnd.nextInt(alphabet.length)) + rnd.nextInt(1000)
+    LogRecord(t, s(), s(),
+      Map("tk" -> s()),
+      Map("k1" -> s(), "k2" -> rnd.nextInt(100000).toString))
+  }
+
+  test("randomized op sequences match the in-memory model at every step") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val root = Files.createTempDirectory(s"store-model-$trial").toString
+      val store = new EmbeddedLogStore(root)
+      store.createStore("p", "s", 2)
+      // model: per shard, the committed records in commit order
+      val model = scala.collection.mutable.Map(
+        0 -> Vector.empty[LogRecord], 1 -> Vector.empty[LogRecord])
+      var writable = Set(0, 1)
+      var segId = 0
+      var committed = Map.empty[String, (Int, Seq[LogRecord])] // name -> (shard, records)
+      var abandoned = List.empty[StagedSegment]
+      var clock = 1000
+
+      def check(): Unit = {
+        model.keys.foreach { sh =>
+          val got = store.read("p", "s", sh, 0, Long.MaxValue).toVector
+          assert(got.map(_._1) == got.indices.map(_.toLong).toVector,
+            s"shard $sh ordinals not dense")
+          assert(got.map(_._2) == model(sh), s"shard $sh records diverged")
+          assert(store.shardEnd("p", "s", sh) == model(sh).size)
+          // time-range primitives against the model
+          val t0 = 1000 + rnd.nextInt(clock - 999)
+          val t1 = t0 + rnd.nextInt(clock - t0 + 1)
+          assert(store.countInTimeRange("p", "s", sh, t0, t1) ==
+            model(sh).count(r => r.time >= t0 && r.time < t1))
+          val ct = store.cursorAtTime("p", "s", sh, t0)
+          val expect = model(sh).indexWhere(_.time >= t0) match {
+            case -1 => model(sh).size.toLong
+            case i => i.toLong
+          }
+          assert(ct == expect, s"cursorAtTime($t0) on shard $sh")
+          // bounded + time-filtered read agrees too
+          val lo = rnd.nextInt(model(sh).size + 1)
+          val hi = lo + rnd.nextInt(model(sh).size - lo + 1)
+          val slice = store.read("p", "s", sh, lo, hi, Some((t0, t1))).toVector
+          val want = model(sh).zipWithIndex.slice(lo, hi)
+            .filter { case (r, _) => r.time >= t0 && r.time < t1 }
+            .map { case (r, i) => (i.toLong, r) }
+          assert(slice == want, s"bounded read [$lo,$hi)x[$t0,$t1)")
+        }
+      }
+
+      for (step <- 1 to 60) {
+        rnd.nextInt(10) match {
+          case 0 | 1 | 2 | 3 | 4 => // append to a random writable shard
+            val sh = writable.toSeq(rnd.nextInt(writable.size))
+            // segment times are non-decreasing within the shard's life
+            val recs = (0 until 1 + rnd.nextInt(5)).map { _ =>
+              clock += rnd.nextInt(3); randomRecord(rnd, clock)
+            }
+            val name = s"seg-$trial-$segId"; segId += 1
+            store.appendSegment("p", "s", sh, name, recs)
+            model(sh) ++= recs
+            committed += name -> (sh, recs)
+          case 5 => // idempotent replay of a previously committed segment
+            if (committed.nonEmpty) {
+              val (name, (sh, recs)) =
+                committed.toSeq(rnd.nextInt(committed.size))
+              // same logical name + same shape: a no-op by contract
+              store.appendSegment("p", "s", sh, name, recs)
+            }
+          case 6 => // split a writable shard
+            if (writable.nonEmpty) {
+              val sh = writable.toSeq(rnd.nextInt(writable.size))
+              val (a, b) = store.splitShard("p", "s", sh)
+              writable = writable - sh + a + b
+              model(a) = Vector.empty; model(b) = Vector.empty
+            }
+          case 7 => // stage without committing (a crashed job's leftovers)
+            val sh = writable.toSeq(rnd.nextInt(writable.size))
+            clock += 1
+            abandoned ::= store.stageSegment("p", "s", sh,
+              s"orphan-$trial-$segId", Seq(randomRecord(rnd, clock)))
+            segId += 1
+          case 8 => // compaction is invisible to every reader observable
+            store.compactManifests("p", "s")
+          case 9 => // vacuum deletes exactly the abandoned staging
+            val removed = store.vacuumOrphans("p", "s")
+            assert(removed == abandoned.size,
+              s"vacuum removed $removed of ${abandoned.size} orphans")
+            abandoned = Nil
+        }
+        check()
+      }
+    }
+  }
+}
