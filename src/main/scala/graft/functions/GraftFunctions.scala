@@ -43,6 +43,20 @@ object GraftFunctions {
       case _ => throw new IllegalArgumentException("kll_build(col[, k])")
     }),
     "kll_merge" -> ((exprs: Seq[Expression]) => KllSketchMerge(exprs.head)),
+    "bloom_build" -> ((exprs: Seq[Expression]) => {
+      val (n, fpp) = exprs match {
+        case Seq(_, n) => (lit(n, "bloom_build expectedItems").longValue(), 0.01)
+        case Seq(_, n, f) => (lit(n, "bloom_build expectedItems").longValue(),
+          lit(f, "bloom_build fpp").doubleValue())
+        case _ => throw new IllegalArgumentException(
+          "bloom_build(col, expectedItems[, fpp])")
+      }
+      val m = BloomOps.optimalNumBits(n, fpp)
+      BloomBuild(exprs.head, m, BloomOps.optimalNumHashes(n, m))
+    }),
+    "bloom_merge" -> ((exprs: Seq[Expression]) => BloomMerge(exprs.head)),
+    "bloom_might_contain" -> asColumnFn("bloom_might_contain", 2)(cs =>
+      Bloom.bloom_might_contain(cs.head, cs(1))),
     "kll_quantile" -> ((exprs: Seq[Expression]) => KllQuantile(exprs.head,
       lit(exprs(1), "kll_quantile q").doubleValue())),
     // SQL surface takes raw text (tokenization inside), matching t3

@@ -842,4 +842,58 @@ object Dedup {
     }.toDF("bucket", "vec_id", "v")
       .transform(withinBucketCosinePairs(_, threshold))
   }
+
+  /** Corpus-level duplicate-segment removal — the C4/CCNet "line dedup"
+    * pass at fixed `segTokens`-token segment granularity (the fixture
+    * corpus has no newlines, so segments stand in for lines): a segment
+    * occurring in >= `minDocs` DISTINCT documents is boilerplate and is
+    * removed from EVERY document. Per doc: segment/removal counts and a
+    * fingerprint of the surviving text (order-preserving reassembly).
+    *
+    * Scale shape (100 TB): one typed pass explodes docs into
+    * (doc_id, seg_idx, segment) rows; boilerplate detection is a
+    * count-distinct groupBy on the segment; the flag join keys on the
+    * same segment, so AQE reuses the aggregation's partitioning (and
+    * broadcasts the boilerplate table when it is small); reassembly
+    * shuffles once on doc_id. Nothing collects to the driver, and no
+    * stage is quadratic — cost is O(corpus) rows through 2-3 shuffles. */
+  def segmentDedup(docs: DataFrame, segTokens: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    require(segTokens >= 1 && minDocs >= 2,
+      s"segTokens $segTokens must be >= 1, minDocs $minDocs must be >= 2")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val segs = docs
+      .select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val w = text.trim.toLowerCase.split("\\s+")
+        val nSegs = (w.length + segTokens - 1) / segTokens
+        (0 until nSegs).iterator.map { i =>
+          val from = i * segTokens
+          val until = math.min(w.length, from + segTokens)
+          (id, i.toLong, w.slice(from, until).mkString(" "))
+        }
+      }
+      .toDF("doc_id", "seg_idx", "seg")
+    val boilerplate = segs.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("seg").as("dseg"))
+    val flagged = segs
+      .join(boilerplate, col("seg") === col("dseg"), "left_outer")
+      .select(col("doc_id"), col("seg_idx"), col("seg"),
+        col("dseg").isNotNull.as("removed"))
+    flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("removed").cast(LongType)).as("n_removed"),
+        // surviving segments, original order, fingerprinted (the hash
+        // compare can't carry the rebuilt text itself deterministically)
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("removed"), struct(col("seg_idx"), col("seg"))))),
+            s => s.getField("seg")),
+          " ")).as("clean_fp"))
+  }
 }

@@ -325,6 +325,148 @@ object Similarity {
       k)
   }
 
+  /** Product-quantized ANN (the FAISS "PQ / ADC" shape): vectors are
+    * L2-normalized, split into `m` subspaces, and each subvector is
+    * replaced by the id of its nearest subspace centroid — `m` BYTES per
+    * vector, a 32× smaller scan artifact than float64 (8× smaller than
+    * s5's int8 codes), which is what moves the IO/broadcast ceiling at
+    * 100 TB. Queries score codes by Asymmetric Distance Computation:
+    * one m×`nCodes` lookup table of exact query-subvector · centroid
+    * dots per query, then each corpus vector's approximate sim is m
+    * table lookups — no float vector is touched during the scan.
+    * Candidates prune per partition to rerank·k (TopK.perKey) and only
+    * those ids fetch full-precision vectors for the exact rerank, same
+    * contract as [[sqKnn]].
+    *
+    * Codebooks are deterministic (seed = the lowest `nCodes` vec_ids'
+    * subvectors, the [[ivfCentroids]] idiom, plus optional Lloyd sweeps
+    * — each sweep is ONE distributed pass assigning all m subspaces and
+    * a m×nCodes-row collect). Approximate by design → recall spec, no
+    * equality oracle; with rerank·k covering the corpus the output is
+    * row-for-row brute force (spec-pinned). */
+  def pqKnn(emb: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, nCodes: Int = 16, rerank: Int = 4,
+      kmeansIters: Int = 1): DataFrame = {
+    require(m >= 1 && nCodes >= 1 && nCodes <= 256 && rerank >= 1,
+      s"bad PQ params (m=$m nCodes=$nCodes rerank=$rerank)")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    def normalize(v: Array[Double]): Array[Double] = {
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i) * v(i); i += 1 }
+      val n = math.sqrt(acc)
+      if (n == 0.0) v else { val o = new Array[Double](v.length)
+        i = 0; while (i < v.length) { o(i) = v(i) / n; i += 1 }; o }
+    }
+    val vecs = emb.select(col("vec_id").cast("long"),
+        VF.toDoubleVec(col("embedding")))
+      .as[(Long, Seq[Double])]
+      .map { case (id, vec) => (id, normalize(vec.toArray).toSeq) }
+    val dim = vecs.head()._2.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    // deterministic seed codebooks: lowest nCodes ids' subvectors
+    var books: Array[Array[Array[Double]]] = {
+      val seeds = vecs.filter(_._1 < nCodes).collect().sortBy(_._1).map(_._2.toArray)
+      require(seeds.nonEmpty, "no codebook seeds: no vec_id below nCodes")
+      Array.tabulate(m)(j =>
+        seeds.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub)))
+    }
+    def codeOf(v: Array[Double], j: Int, book: Array[Array[Double]]): Int = {
+      // nearest centroid by L2 within the subspace; first-min tie-break
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        var d = 0.0; var i = 0
+        val cv = book(c)
+        while (i < cv.length) {
+          val x = v(j * sub + i) - cv(i); d += x * x; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    for (_ <- 0 until kmeansIters) {
+      val bc = spark.sparkContext.broadcast(books)
+      val means = vecs
+        .flatMap { case (id, vec) =>
+          val v = vec.toArray
+          val bs = bc.value
+          (0 until bs.length).iterator.map { j =>
+            ((j, codeOf(v, j, bs(j))), (id, vec))
+          }
+        }
+        .groupByKey(_._1)
+        .mapGroups { (jc: (Int, Int), it: Iterator[((Int, Int), (Long, Seq[Double]))]) =>
+          val (j, c) = jc
+          val members = it.map(_._2).toArray.sortBy(_._1)
+          val sum = new Array[Double](sub)
+          members.foreach { case (_, v) =>
+            var i = 0
+            while (i < sub) { sum(i) += v(j * sub + i); i += 1 }
+          }
+          (j, c, sum.map(_ / members.length).toSeq)
+        }
+        .collect()
+      val next = books.map(_.clone())
+      means.foreach { case (j, c, mean) => next(j)(c) = mean.toArray }
+      books = next
+    }
+    val bcBooks = spark.sparkContext.broadcast(books)
+    // the persisted artifact: m bytes per vector
+    val codes = vecs.map { case (id, vec) =>
+        val v = vec.toArray
+        val bs = bcBooks.value
+        val cs = new Array[Byte](m)
+        var j = 0
+        while (j < m) { cs(j) = codeOf(v, j, bs(j)).toByte; j += 1 }
+        (id, cs)
+      }
+      .toDF("vec_id", "codes")
+    val qNorm = queries.select(col("vec_id").cast("long"),
+        VF.toDoubleVec(col("embedding")))
+      .as[(Long, Seq[Double])]
+      .map { case (id, vec) => (id, normalize(vec.toArray).toSeq) }
+      .collect()
+    // ADC tables: per query, exact dot of each query subvector with each
+    // subspace centroid — m × nCodes doubles per query, built once
+    val bcTables = spark.sparkContext.broadcast(qNorm.map { case (qid, qv) =>
+      val q = qv.toArray
+      val t = Array.tabulate(m, books(0).length) { (j, c) =>
+        var acc = 0.0; var i = 0
+        val cv = books(j)(c)
+        while (i < sub) { acc += q(j * sub + i) * cv(i); i += 1 }
+        acc
+      }
+      (qid, t)
+    })
+    val approx = codes.as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val qs = bcTables.value
+        it.flatMap { case (id, cs) =>
+          qs.iterator.filter(_._1 != id).map { case (qid, t) =>
+            var acc = 0.0; var j = 0
+            while (j < m) { acc += t(j)(cs(j) & 0xFF); j += 1 }
+            (qid, id, acc)
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "approx")
+    val cands = TopK.perKey(approx, Seq("query_id"),
+        Seq(col("approx").desc, col("neighbor_id")), rerank * k)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      VF.toDoubleVec(col("embedding")).as("qv"))
+    val full = emb.select(col("vec_id"), VF.toDoubleVec(col("embedding")).as("v"))
+    topkPerQuery(
+      full.join(broadcast(cands), full("vec_id") === cands("neighbor_id"))
+        .join(broadcast(q), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          VF.cosine(col("qv"), col("v")).as("sim")),
+      k)
+  }
+
   /** LSH-bucketed approximate top-k: exact rerank within each signature
     * bucket. Output schema matches bruteForceKnn (rank gaps possible when
     * a bucket holds < k candidates). */

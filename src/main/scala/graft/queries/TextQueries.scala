@@ -38,6 +38,7 @@ object TextQueries {
     "t11_repetition" -> t11,
     "t12_vocab_encode" -> t12,
     "t13_token_chunks" -> t13,
+    "t14_pack_sequences" -> t14,
     "d1_dedup_exact" -> d1,
     "d6_decontaminate" -> d6,
     "d2_dedup_jaccard" -> d2,
@@ -47,11 +48,14 @@ object TextQueries {
     "d5_dedup_embedding" -> d5,
     "d8_dedup_semantic" -> d8,
     "d9_dedup_groups" -> d9,
+    "d10_segment_dedup" -> d10,
+    "d11_bloom_decontaminate" -> d11,
     "s1_ann_cosine" -> s1,
     "s2_ann_lsh" -> s2,
     "s3_ann_ivf" -> s3,
     "s4_ann_multiprobe" -> s4,
     "s5_ann_sq" -> s5,
+    "s6_ann_pq" -> s6,
     "p1_prep_pipeline" -> p1
   )
 
@@ -373,6 +377,58 @@ object TextQueries {
   private def d8: Q = (spark, dir) =>
     Dedup.semanticPairs(t(spark, dir, "embeddings"), 0.4, nClusters = 8)
 
+  /** GPT-style sequence packing (concat-and-chunk): documents are laid
+    * out in a deterministic order inside hash-bucketed streams, token
+    * offsets accumulate per stream, and each doc maps to the fixed
+    * 256-token training sequences it lands in (`seq_first`..`seq_last`).
+    *
+    * Scale shape: packing inherently needs a total order per OUTPUT
+    * STREAM, not per corpus — the cumulative-sum window partitions by
+    * bucket (16 streams here; one per output shard at cluster scale), so
+    * no single-reducer global sort exists. One shuffle on the bucket. */
+  private def t14: Q = (spark, dir) => {
+    val budget = 256
+    val d = t(spark, dir, "documents")
+    val base = d.select(col("doc_id"),
+      size(TF.tokens(lower(col("text")))).cast(LongType).as("n_tokens"),
+      TF.fingerprint(col("text")).as("fp"))
+      .withColumn("bucket", substring(col("fp"), 1, 1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("fp"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    base
+      .withColumn("seq_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"), col("seq_offset"),
+        floor(col("seq_offset") / budget).cast(LongType).as("seq_first"),
+        floor((col("seq_offset") + col("n_tokens") - 1) / budget)
+          .cast(LongType).as("seq_last"))
+  }
+
+  /** C4-style duplicate-segment removal over the whole corpus (d10):
+    * 8-token segments appearing in >= 2 distinct docs vanish everywhere;
+    * output pins counts AND the reassembled surviving text per doc. */
+  private def d10: Q = (spark, dir) =>
+    Dedup.segmentDedup(t(spark, dir, "documents"), segTokens = 8, minDocs = 2)
+
+  /** Bloom-filter decontamination — d6's zero-shuffle scale path: the
+    * benchmark fingerprints aggregate into ONE mergeable Bloom binary
+    * (driver-held artifact, like IVF centroids), which broadcasts inside
+    * the filter literal; the corpus pass is a codegen'd scan-side probe.
+    * Approximate (bounded false-positive removals, never false
+    * negatives) → rows-only check; the containment/FPR/merge contracts
+    * are asserted in DedupSimilaritySpec. */
+  private def d11: Q = (spark, dir) => {
+    import graft.functions.Bloom._
+    val d = t(spark, dir, "documents")
+    val fp = TF.fingerprint(col("text"))
+    val blob = d.filter(col("doc_id") % 20 === 0)
+      .agg(bloom_build(fp, expectedItems = 4096, fpp = 1e-4).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    d.select(col("doc_id"), fp.as("fp"))
+      .filter(!bloom_might_contain(lit(blob), col("fp")))
+  }
+
   private def s1: Q = (spark, dir) => {
     val e = t(spark, dir, "embeddings")
     Similarity.bruteForceKnn(e, e.filter(col("vec_id") < 8), k = 4)
@@ -403,6 +459,16 @@ object TextQueries {
   private def s5: Q = (spark, dir) => {
     val e = t(spark, dir, "embeddings")
     Similarity.sqKnn(e, e.filter(col("vec_id") < 8), k = 4, rerank = 4)
+  }
+
+  /** Product-quantized ANN: m-byte codes (32× smaller than float64)
+    * scanned by ADC table lookups, exact rerank of rerank·k survivors.
+    * Approximate → rows-only check; full-cover-equals-brute-force and
+    * recall contracts in DedupSimilaritySpec. */
+  private def s6: Q = (spark, dir) => {
+    val e = t(spark, dir, "embeddings")
+    Similarity.pqKnn(e, e.filter(col("vec_id") < 8), k = 4,
+      m = 8, nCodes = 16, rerank = 8)
   }
 
   // DuckDB CTE fragments shared by the jaccard-contract oracles.
@@ -549,6 +615,40 @@ object TextQueries {
         | CAST(chunk_idx * 64 AS BIGINT) AS chunk_start,
         | CAST(least(64, n_tokens - chunk_idx * 64) AS BIGINT) AS chunk_len
         |FROM c""".stripMargin,
+    "t14_pack_sequences" ->
+      """WITH d AS (SELECT doc_id,
+        |  len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        | FROM documents),
+        |c AS (SELECT doc_id, substring(fp, 1, 1) AS bucket, fp, n_tokens,
+        |  SUM(n_tokens) OVER (PARTITION BY substring(fp, 1, 1)
+        |    ORDER BY fp, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS o
+        | FROM d)
+        |SELECT doc_id, bucket, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CAST(o AS BIGINT) AS seq_offset,
+        | CAST(floor(o / 256.0) AS BIGINT) AS seq_first,
+        | CAST(floor((o + n_tokens - 1) / 256.0) AS BIGINT) AS seq_last
+        |FROM c""".stripMargin,
+    "d10_segment_dedup" ->
+      """WITH words AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |idx AS (SELECT doc_id, w,
+        |  unnest(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS seg_idx
+        | FROM words),
+        |segs AS (SELECT doc_id, seg_idx,
+        |  array_to_string(w[seg_idx*8 + 1 : seg_idx*8 + 8], ' ') AS seg
+        | FROM idx),
+        |dup AS (SELECT seg FROM segs GROUP BY seg
+        |        HAVING COUNT(DISTINCT doc_id) >= 2),
+        |flagged AS (SELECT s.doc_id, s.seg_idx, s.seg,
+        |  d.seg IS NOT NULL AS removed
+        | FROM segs s LEFT JOIN dup d ON s.seg = d.seg)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+        | CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        | md5(coalesce(string_agg(CASE WHEN NOT removed THEN seg END, ' '
+        |   ORDER BY seg_idx), '')) AS clean_fp
+        |FROM flagged GROUP BY doc_id""".stripMargin,
     "d6_decontaminate" ->
       """SELECT doc_id,
         | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp

@@ -47,6 +47,56 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(n > 0 && bucketPairs(byte8) < bucketPairs(nibble))
   }
 
+  test("segment dedup removes planted boilerplate everywhere, leaves unique docs intact") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8" // exactly one 8-token segment
+    val tail1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val tail3 = "unique tokens only nine ten eleven twelve thirteen"
+    val base = Seq(
+      (1L, s"$boiler $tail1"),
+      (2L, s"$boiler one two three four five six seven"),
+      (3L, tail3)).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(base, segTokens = 8, minDocs = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_segments") === 2L)
+    assert(out(1L).getAs[Long]("n_removed") === 1L)
+    assert(out(1L).getAs[String]("clean_fp") === md5hex(tail1))
+    assert(out(2L).getAs[Long]("n_removed") === 1L)
+    assert(out(3L).getAs[Long]("n_removed") === 0L)
+    assert(out(3L).getAs[String]("clean_fp") === md5hex(tail3))
+  }
+
+  test("segment dedup: a fully-boilerplate doc reassembles to the empty fingerprint") {
+    import spark.implicits._
+    val seg = "c1 c2 c3 c4 c5 c6 c7 c8"
+    val out = Dedup.segmentDedup(
+        Seq((1L, seg), (2L, seg)).toDF("doc_id", "text"), 8, 2)
+      .filter(col("doc_id") === 1L).head()
+    assert(out.getAs[Long]("n_removed") === 1L)
+    // md5 of "" — both engines coalesce the empty reassembly to ''
+    assert(out.getAs[String]("clean_fp") === "d41d8cd98f00b204e9800998ecf8427e")
+  }
+
+  test("bloom decontamination removes every contaminated doc, over-removal bounded") {
+    import graft.functions.{Bloom, TextFunctions => TF}
+    val fp = TF.fingerprint(col("text"))
+    val blob = docs.filter(col("doc_id") % 20 === 0)
+      .agg(Bloom.bloom_build(fp, 4096, 1e-4)).head().getAs[Array[Byte]](0)
+    val survivors = docs.select(col("doc_id"), fp.as("fp"))
+      .filter(!Bloom.bloom_might_contain(lit(blob), col("fp")))
+    val exact = docs.select(col("doc_id"), fp.as("fp"))
+      .join(docs.filter(col("doc_id") % 20 === 0).select(fp.as("bfp")),
+        col("fp") === col("bfp"), "left_anti")
+    // no false negatives: survivors never include a contaminated fp
+    assert(survivors.exceptAll(exact).isEmpty,
+      "bloom survivors must be a subset of the exact anti-join")
+    // bounded over-removal at fpp=1e-4 on this corpus: none expected
+    assert(exact.exceptAll(survivors).count() <= (0.01 * docs.count()).toLong)
+  }
+
   test("exact dedup collapses injected duplicates") {
     val base = docs.select(col("doc_id"), col("text"))
     val dup = base.limit(5).select(col("doc_id") + 100000, col("text"))
@@ -301,6 +351,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(hit.toDouble / n >= 0.9, s"recall $hit/$n")
     // rerank window covering the whole corpus ⇒ row-for-row brute force
     val cover = Similarity.sqKnn(emb, q, k = 4,
+      rerank = (emb.count() / 4 + 1).toInt)
+    assert(cover.exceptAll(brute).isEmpty && brute.exceptAll(cover).isEmpty)
+  }
+
+  test("product-quantized knn: exact rerank sims, planted duplicates found, full-cover equals brute force") {
+    import spark.implicits._
+    val q = emb.filter(col("vec_id") < 8)
+    val brute = Similarity.bruteForceKnn(emb, q, k = 4).cache()
+    val pq = Similarity.pqKnn(emb, q, k = 4, m = 8, nCodes = 16, rerank = 8)
+      .cache()
+    // contract: ranked rows per query, no self matches
+    assert(pq.count() === brute.count())
+    assert(pq.filter(col("neighbor_id") === col("query_id")).count() === 0)
+    // wherever PQ surfaced the true neighbor, the reranked sim is
+    // BIT-IDENTICAL to brute force (shared strict cosine fold)
+    val joined = pq.select(col("query_id"), col("neighbor_id"), col("sim").as("s1"))
+      .join(brute.select(col("query_id"), col("neighbor_id"), col("sim").as("s2")),
+        Seq("query_id", "neighbor_id"))
+    assert(joined.filter(col("s1") =!= col("s2")).count() === 0)
+    // planted exact duplicates: a copy of each query vector at id+10000
+    // shares every PQ code with its original, so the ADC scan MUST
+    // surface it and the exact rerank MUST rank it first (sim = 1)
+    val planted = emb.select(col("vec_id"), col("embedding")).union(
+      q.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val found = Similarity.pqKnn(planted, q, k = 4, m = 8, nCodes = 16,
+        rerank = 8)
+      .filter(col("neighbor_id") === col("query_id") + 10000 &&
+        col("rank") === 1)
+    assert(found.count() === q.count(), "every planted duplicate must rank first")
+    // rerank window covering the whole corpus ⇒ row-for-row brute force
+    val cover = Similarity.pqKnn(emb, q, k = 4, m = 8, nCodes = 16,
       rerank = (emb.count() / 4 + 1).toInt)
     assert(cover.exceptAll(brute).isEmpty && brute.exceptAll(cover).isEmpty)
   }

@@ -98,4 +98,27 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("t12_vocab_encode")
     assert(!p.contains("Exchange") && !p.contains("Join"), p)
   }
+
+  test("t14: packing windows partition by bucket — no global single-reducer sort") {
+    val p = plan("t14_pack_sequences")
+    assert(p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(bucket"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("d11: the decontamination scan is zero-shuffle, probe inside codegen") {
+    val p = plan("d11_bloom_decontaminate")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      "the bloom probe must be a scan-side filter, not a join:\n" + p)
+    assert(p.contains("bloom_might_contain"), p)
+    // codegen'd spans print as "*(n) Filter ..." in the plan string
+    assert("""\*\(\d+\) Filter NOT bloom_might_contain""".r
+      .findFirstIn(p).isDefined, p)
+  }
+
+  test("d10: segment dedup has no quadratic stage (equi-joins only)") {
+    val p = plan("d10_segment_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

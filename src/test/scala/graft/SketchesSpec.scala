@@ -88,6 +88,53 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(rank - 0.5 * n) <= 0.03 * n, s"p50=$merged rank=$rank n=$n")
   }
 
+  test("bloom filter: no false negatives, FPR within design bound") {
+    import spark.implicits._
+    val b = graft.functions.Bloom
+    val n = 2000
+    val members = (0 until n).map(i => s"item-$i").toDF("v")
+    val blob = members.agg(b.bloom_build(col("v"), n, 0.01)).head()
+      .getAs[Array[Byte]](0)
+    assert(members.filter(!b.bloom_might_contain(lit(blob), col("v")))
+      .count() === 0L, "a Bloom filter must never miss an inserted value")
+    val nProbes = 20000
+    val falsePos = (0 until nProbes).map(i => s"other-$i").toDF("v")
+      .filter(b.bloom_might_contain(lit(blob), col("v"))).count()
+    assert(falsePos <= (nProbes * 0.03).toLong,
+      s"FPR ${falsePos.toDouble / nProbes} above 3x the 1% design point")
+  }
+
+  test("bloom build is partitioning-invariant and bloom_merge equals the whole") {
+    import spark.implicits._
+    val b = graft.functions.Bloom
+    val n = 2000
+    val members = (0 until n).map(i => s"item-$i").toDF("v")
+    val whole = members.agg(b.bloom_build(col("v"), n, 0.01)).head()
+      .getAs[Array[Byte]](0)
+    val repart = members.repartition(8)
+      .agg(b.bloom_build(col("v"), n, 0.01)).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(whole, repart),
+      "partial-OR merge must be byte-identical across partitionings")
+    // the persisted-partials rollup: per-group filters re-merge exactly
+    val merged = members
+      .withColumn("g", pmod(xxhash64(col("v")), lit(4)))
+      .groupBy(col("g")).agg(b.bloom_build(col("v"), n, 0.01).as("bf"))
+      .agg(b.bloom_merge(col("bf"))).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(whole, merged))
+  }
+
+  test("bloom SQL surface matches the Column API") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    events.createOrReplaceTempView("ev_bloom_sql")
+    val viaSql = spark.sql(
+      """SELECT bloom_might_contain(
+        |         (SELECT bloom_build(user_id, 1000, 0.01) FROM ev_bloom_sql),
+        |         user_id) AS hit
+        |FROM ev_bloom_sql""".stripMargin)
+      .filter(!col("hit")).count()
+    assert(viaSql === 0L)
+  }
+
   test("SQL surface matches the Column API") {
     graft.functions.GraftFunctions.registerAll(spark)
     events.createOrReplaceTempView("ev_sql")
