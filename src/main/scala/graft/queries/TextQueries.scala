@@ -39,6 +39,7 @@ object TextQueries {
     "t12_vocab_encode" -> t12,
     "t13_token_chunks" -> t13,
     "t14_pack_sequences" -> t14,
+    "t15_global_shuffle" -> t15,
     "d1_dedup_exact" -> d1,
     "d6_decontaminate" -> d6,
     "d2_dedup_jaccard" -> d2,
@@ -405,6 +406,38 @@ object TextQueries {
           .cast(LongType).as("seq_last"))
   }
 
+  /** Deterministic global corpus shuffle (the training-order reorder):
+    * every doc gets its exact 0-based position in the corpus ordered by
+    * content fingerprint — a reproducible pseudo-random permutation
+    * (retry- and re-run-stable, no RNG state).
+    *
+    * Scale shape — distributed enumerate, NOT a global sort: the fp's
+    * first hex byte is its bucket AND its order prefix, so global rank =
+    * bucket offset + rank within bucket. Per-bucket counts (256 rows)
+    * broadcast back as prefix-sum offsets; ranks come from windows
+    * partitioned per bucket. A naive `row_number() OVER (ORDER BY fp)`
+    * funnels the corpus into ONE reducer — this never does (plan-shape
+    * asserted). */
+  private def t15: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    val base = d.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+      .withColumn("bucket", substring(col("fp"), 1, 2))
+    val offsets = base.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .withColumn("offset",
+        coalesce(sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("fp"), col("doc_id"))
+    base
+      .withColumn("r", row_number().over(w).cast(LongType))
+      .join(broadcast(offsets), "bucket")
+      .select(col("doc_id"), col("fp"),
+        (col("offset") + col("r") - 1).as("shuffle_pos"))
+  }
+
   /** C4-style duplicate-segment removal over the whole corpus (d10):
     * 8-token segments appearing in >= 2 distinct docs vanish everywhere;
     * output pins counts AND the reassembled surviving text per doc. */
@@ -630,6 +663,14 @@ object TextQueries {
         | CAST(floor(o / 256.0) AS BIGINT) AS seq_first,
         | CAST(floor((o + n_tokens - 1) / 256.0) AS BIGINT) AS seq_last
         |FROM c""".stripMargin,
+    "t15_global_shuffle" ->
+      """WITH d AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        | FROM documents)
+        |SELECT doc_id, fp,
+        | CAST(row_number() OVER (ORDER BY fp, doc_id) - 1 AS BIGINT)
+        |   AS shuffle_pos
+        |FROM d""".stripMargin,
     "d10_segment_dedup" ->
       """WITH words AS (SELECT doc_id,
         |  regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),

@@ -106,6 +106,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("t15: the corpus rank window partitions by bucket; only the 256-row count table sees a global order") {
+    val p = plan("t15_global_shuffle")
+    assert(p.contains("row_number"), p)
+    assert(p.contains("hashpartitioning(bucket"), p)
+    // the corpus-side row_number window must be bucket-partitioned, not
+    // a global sort: its Window node names both fp and bucket
+    assert("""Window \[row_number.*bucket""".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("d11: the decontamination scan is zero-shuffle, probe inside codegen") {
     val p = plan("d11_bloom_decontaminate")
     assert(!p.contains("Exchange") && !p.contains("Join"),
