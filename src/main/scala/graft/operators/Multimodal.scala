@@ -383,9 +383,10 @@ object Multimodal {
     (w, h, luma)
   }
 
-  /** Content-sniffing image decode: real BMP and gray8-PNG payloads take
-    * their real decoders; anything else falls back to the stub (the slot
-    * where a JPEG codec call goes). */
+  /** Content-sniffing image decode: real BMP, gray8-PNG, and baseline
+    * gray8-JPEG payloads take their real decoders; anything else falls
+    * back to the stub (the slot left for codecs the env can't build,
+    * e.g. H.264). */
   def decodeImage(payload: Array[Byte]): (Int, Int, Array[Byte]) =
     if (payload.length >= 54 && payload(0) == 'B' && payload(1) == 'M')
       try decodeBmp24(payload)
@@ -393,6 +394,10 @@ object Multimodal {
     else if (payload.length > 8 &&
         PngSignature.indices.forall(i => payload(i) == PngSignature(i)))
       try decodePngGray8(payload)
+      catch { case _: IllegalArgumentException => stubDecodeImage(payload) }
+    else if (payload.length > 4 && (payload(0) & 0xFF) == 0xFF &&
+        (payload(1) & 0xFF) == 0xD8)
+      try JpegGray.decode(payload)
       catch { case _: IllegalArgumentException => stubDecodeImage(payload) }
     else stubDecodeImage(payload)
 

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables._
-import graft.operators.Multimodal
+import graft.operators.{JpegGray, Multimodal}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -20,7 +20,8 @@ object MultimodalQueries {
     "m2_frame_sample" -> m2,
     "m3_wav_roundtrip" -> m3,
     "m4_bmp_roundtrip" -> m4,
-    "m5_png_roundtrip" -> m5)
+    "m5_png_roundtrip" -> m5,
+    "m6_jpeg_roundtrip" -> m6)
 
   /** Binary asset stats + round-trip through fixed-size chunking: chunk
     * count must match octet math and reassembled digests must equal the
@@ -119,6 +120,41 @@ object MultimodalQueries {
       .toDF("doc_id", "width", "height", "bmp_bytes", "mean_luma")
   }
 
+  /** REAL lossy DCT codec on the oracle-checked path: constant 8x8
+    * tiles with even offsets from 128 quantize to a DC-only spectrum
+    * with zero rounding error (DC = 8*(v-128), quantizer 16), so the
+    * baseline-JPEG round-trip through JpegGray.encode/decode is
+    * BIT-EXACT and the oracle computes the decoded mean in closed form
+    * — a hash match proves FDCT, quantization, Huffman entropy coding,
+    * byte stuffing, the marker parser, and the IDCT all at once. The
+    * lossy AC path is PSNR-bounded in MultimodalSpec. */
+  private def m6: Q = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = (16, 16) // 4 constant tiles
+    t(spark, dir, "documents").select(col("doc_id").cast("long"))
+      .as[Long]
+      .map { id =>
+        val luma = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val tile = (y / 8) * 2 + (x / 8)
+            luma(y * w + x) = (128 + 2 * ((id * 11 + tile * 7) % 60) - 60).toByte
+            x += 1
+          }
+          y += 1
+        }
+        val jpg = JpegGray.encode(w, h, luma)
+        val (dw, dh, plane) = JpegGray.decode(jpg)
+        var sum = 0L
+        var i = 0
+        while (i < plane.length) { sum += plane(i) & 0xFF; i += 1 }
+        (id, dw, dh, sum.toDouble / plane.length)
+      }
+      .toDF("doc_id", "width", "height", "mean_luma")
+  }
+
   /** REAL compressed image codec on the oracle-checked path: the m4
     * deterministic plane, encoded as an actual zlib-compressed PNG
     * (Multimodal.encodePngGray8, per-doc filter = doc_id % 5 so every
@@ -178,6 +214,12 @@ object MultimodalQueries {
       """SELECT doc_id, 16 AS width, 8 AS height,
         | CAST(list_sum(list_transform(range(0, 128),
         |   i -> (doc_id * 31 + i) % 256)) AS DOUBLE) / 128 AS mean_luma
+        |FROM documents""".stripMargin,
+    "m6_jpeg_roundtrip" ->
+      """SELECT doc_id, 16 AS width, 16 AS height,
+        | CAST(list_sum(list_transform(range(0, 4),
+        |   t -> 128 + 2 * ((doc_id * 11 + t * 7) % 60) - 60)) AS DOUBLE) / 4
+        |   AS mean_luma
         |FROM documents""".stripMargin
   )
 }

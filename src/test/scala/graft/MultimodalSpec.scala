@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Multimodal
+import graft.operators.{JpegGray, Multimodal}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -166,5 +166,57 @@ class MultimodalSpec extends AnyFunSuite {
     // truncated IDAT: refuse rather than return a short plane
     val cut = png.take(png.length - 13)
     intercept[IllegalArgumentException](Multimodal.decodePngGray8(cut))
+  }
+
+  test("JPEG: constant even-offset tiles round-trip bit-exactly (DC path)") {
+    val (w, h) = (24, 16)
+    val luma = Array.tabulate(w * h) { i =>
+      val tile = (i / w / 8) * 3 + (i % w / 8)
+      (128 + 2 * ((tile * 17) % 50) - 48).toByte
+    }
+    val jpg = JpegGray.encode(w, h, luma)
+    val (dw, dh, out) = JpegGray.decode(jpg)
+    assert((dw, dh) === (w, h))
+    assert(out.toSeq === luma.toSeq,
+      "DC-only blocks with even offsets must survive quantization exactly")
+  }
+
+  test("JPEG: lossy gradient round-trip stays above 30 dB PSNR, odd dimensions crop") {
+    val (w, h) = (41, 23) // neither a multiple of 8
+    val img = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      val v = 96 + x * 2 + (math.sin(x * 0.7) * 20).toInt + ((y % 5) * 6)
+      math.max(0, math.min(255, v)).toByte
+    }
+    val jpg = JpegGray.encode(w, h, img)
+    val (dw, dh, out) = JpegGray.decode(jpg)
+    assert((dw, dh) === (w, h))
+    var se = 0.0
+    img.indices.foreach { i =>
+      val d = (img(i) & 0xFF) - (out(i) & 0xFF); se += d.toDouble * d
+    }
+    val psnr = 10 * math.log10(255.0 * 255.0 / (se / img.length))
+    assert(psnr >= 30.0, f"PSNR $psnr%.1f dB below the 30 dB gate")
+    // the DCT is really compacting energy: the stream beats raw bytes
+    assert(jpg.length < w * h / 2, s"no compression: ${jpg.length}")
+  }
+
+  test("JPEG: decoder rejects progressive/multi-component, dispatch sniffs SOI") {
+    val luma = Array.tabulate(64)(i => (i * 3).toByte)
+    val jpg = JpegGray.encode(8, 8, luma)
+    // dispatch: FFD8 routes to the real decoder
+    val (w, h, _) = Multimodal.decodeImage(jpg)
+    assert((w, h) === (8, 8))
+    // SOF0 -> SOF2 (progressive): refuse loudly
+    val sofAt = {
+      var p = 2
+      while (!((jpg(p) & 0xFF) == 0xFF && (jpg(p + 1) & 0xFF) == 0xC0)) p += 1
+      p
+    }
+    val prog = jpg.clone(); prog(sofAt + 1) = 0xC2.toByte
+    intercept[IllegalArgumentException](JpegGray.decode(prog))
+    // truncated scan: refuse rather than emit a partial plane
+    intercept[IllegalArgumentException](
+      JpegGray.decode(jpg.take(jpg.length - 6)))
   }
 }
