@@ -6,9 +6,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 /** One-call SQL registration for every custom function the engine adds,
   * so `spark.sql` users get the same surface as the Column API:
   * rolling_hash, hll_build/hll_merge/hll_estimate,
-  * kll_build/kll_merge/kll_quantile, plus the text-pipeline builders
-  * (lang_guess, redact_pii, pii_count, text_fingerprint) lowered from
-  * their Column form via the Bridge. */
+  * kll_build/kll_merge/kll_quantile,
+  * bloom_build/bloom_merge/bloom_might_contain, plus the text-pipeline
+  * builders (lang_guess, redact_pii, pii_count, text_fingerprint)
+  * lowered from their Column form via the Bridge. */
 object GraftFunctions {
 
   /** Register a Column combinator as a SQL function: wrap the call-site

@@ -78,9 +78,68 @@ want = [tuple(r) for r in c1_aggregate(events).collect()]
 
 print(f"store   : {got}")
 print(f"parquet : {want}")
-if got == want and len(got) > 0:
-    print(f"OK: python DSv2 round-trip matches on {len(got)} groups, "
-          f"{back.count()} rows")
-    sys.exit(0)
-print("MISMATCH between store read-back and source parquet")
-sys.exit(1)
+if got != want or len(got) == 0:
+    print("MISMATCH between store read-back and source parquet")
+    sys.exit(1)
+print(f"OK: python DSv2 round-trip matches on {len(got)} groups, "
+      f"{back.count()} rows")
+
+# ---------------------------------------------------------------------------
+# mapInPandas multimodal plumbing: binary payload column -> Arrow-batched
+# Python decode (the Pandas-UDF shape of Multimodal.extractFeatures). The
+# payloads are REAL 24bpp BMPs built here byte-for-byte like the Scala
+# encoder (Multimodal.encodeBmp24), so the Python batch decode proves the
+# cross-language contract on the same wire format.
+# ---------------------------------------------------------------------------
+import struct
+
+
+def encode_bmp24(w, h, luma):
+    row = (w * 3 + 3) & ~3
+    size = 54 + row * h
+    head = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, row * h, 2835, 2835, 0, 0)
+    body = bytearray()
+    for y in range(h):
+        for x in range(w):
+            v = luma[y * w + x]
+            body += bytes((v, v, v))
+        body += b"\x00" * (row - w * 3)
+    return head + info + bytes(body)
+
+
+W, H = 16, 8
+assets = spark.createDataFrame(
+    [(i, bytearray(encode_bmp24(W, H, [(i * 31 + p) % 256 for p in range(W * H)])))
+     for i in range(100)],
+    "asset_id LONG, payload BINARY",
+)
+
+
+def decode_batch(batches):
+    # per-batch codec init happens once per Arrow batch, not per row
+    for pdf in batches:
+        rows = []
+        for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+            b = bytes(payload)
+            (w, hh) = struct.unpack_from("<ii", b, 18)
+            hh = abs(hh)
+            row = (w * 3 + 3) & ~3
+            total = sum(b[54 + y * row + x * 3] for y in range(hh) for x in range(w))
+            rows.append((aid, w, hh, total / (w * hh)))
+        import pandas as pd
+        yield pd.DataFrame(rows, columns=["asset_id", "width", "height", "mean_luma"])
+
+
+feats = assets.mapInPandas(
+    decode_batch, "asset_id LONG, width INT, height INT, mean_luma DOUBLE"
+)
+got2 = {r["asset_id"]: (r["width"], r["height"], round(r["mean_luma"], 9))
+        for r in feats.collect()}
+want2 = {i: (W, H, round(sum((i * 31 + p) % 256 for p in range(W * H)) / (W * H), 9))
+         for i in range(100)}
+if got2 != want2:
+    print("MISMATCH in mapInPandas BMP batch decode")
+    sys.exit(1)
+print(f"OK: mapInPandas decoded {len(got2)} BMP payloads to exact dims + mean luma")
+sys.exit(0)
