@@ -41,10 +41,10 @@ object Dedup {
     * flat Scala pass is a single deserialization per document. Semantics
     * are identical to the DuckDB oracle formulation (lower, trim,
     * \s+ split, 3-gram join by single space, set-distinct per doc). */
-  def docShingles(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def docShingles(docs: DataFrame, textCol: String = "text",
+      n: Int = ShingleN): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val n = ShingleN
     docs.select(col("doc_id").cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>

@@ -51,6 +51,8 @@ object TextQueries {
     "d9_dedup_groups" -> d9,
     "d10_segment_dedup" -> d10,
     "d11_bloom_decontaminate" -> d11,
+    "d12_ngram_decontaminate" -> d12,
+    "t16_epoch_mix" -> t16,
     "s1_ann_cosine" -> s1,
     "s2_ann_lsh" -> s2,
     "s3_ann_ivf" -> s3,
@@ -462,6 +464,54 @@ object TextQueries {
       .filter(!bloom_might_contain(lit(blob), col("fp")))
   }
 
+  /** N-gram decontamination (the GPT-3/PaLM contract): a document is
+    * contaminated if it shares ANY 8-token shingle with the held-out
+    * benchmark — catching partial/embedded leakage that the doc-level
+    * fingerprint anti-join (d6) misses. Exact and oracle-checked.
+    *
+    * Scale shape: the corpus shingle stream semi-joins the (much
+    * smaller) benchmark shingle set on the shingle key — one shuffle of
+    * the corpus shingles, benchmark side broadcast-able; the surviving
+    * doc set anti-joins back on doc_id. At 100 TB the benchmark side
+    * compiles into a Bloom filter exactly as d11 does for fingerprints
+    * (same scan-side probe, shingle-level), trading bounded
+    * over-removal for the shuffle. */
+  private def d12: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    val sh = Dedup.docShingles(d, n = 8)
+    val bsh = sh.filter(col("doc_id") % 20 === 0)
+      .select(col("shingle").as("bs")).distinct()
+    val contaminated = sh
+      .join(bsh, col("shingle") === col("bs"), "left_semi")
+      .select(col("doc_id")).distinct()
+    d.select(col("doc_id"))
+      .join(contaminated.withColumnRenamed("doc_id", "cid"),
+        col("doc_id") === col("cid"), "left_anti")
+      .select(col("doc_id"))
+  }
+
+  /** Epoch-based language upsampling — the integer-exact training-mix
+    * repetition pass: low-resource languages repeat for more epochs
+    * (ceil(max_lang_count / lang_count), capped at 4) so the mix
+    * flattens without fractional sampling. Output is one row per
+    * (doc, epoch) — the materialized mix a trainer consumes.
+    *
+    * Scale shape: the per-lang count table is tiny and broadcasts; the
+    * repetition is a zero-shuffle generator (explode over a sequence)
+    * on top of it — one aggregation shuffle total, any corpus size. */
+  private def t16: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val maxN = counts.agg(max(col("n_lang"))).head().getLong(0)
+    val epochs = counts.select(col("lang"),
+      least(lit(4L), floor((lit(maxN) + col("n_lang") - 1) / col("n_lang")))
+        .cast(LongType).as("n_epochs"))
+    d.select(col("doc_id"), col("lang"))
+      .join(broadcast(epochs), "lang")
+      .select(col("doc_id"), col("lang"), col("n_epochs"),
+        explode(sequence(lit(1L), col("n_epochs"))).as("epoch"))
+  }
+
   private def s1: Q = (spark, dir) => {
     val e = t(spark, dir, "embeddings")
     Similarity.bruteForceKnn(e, e.filter(col("vec_id") < 8), k = 4)
@@ -663,6 +713,28 @@ object TextQueries {
         | CAST(floor(o / 256.0) AS BIGINT) AS seq_first,
         | CAST(floor((o + n_tokens - 1) / 256.0) AS BIGINT) AS seq_last
         |FROM c""".stripMargin,
+    "d12_ngram_decontaminate" ->
+      """WITH words AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(w) - 6),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |      || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
+        |      || ' ' || w[i+7]))) AS s
+        | FROM words WHERE len(w) >= 8),
+        |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+        |cont AS (SELECT DISTINCT doc_id FROM sh
+        |         WHERE s IN (SELECT s FROM bsh))
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin,
+    "t16_epoch_mix" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+        |m AS (SELECT MAX(n_lang) AS maxn FROM c),
+        |e AS (SELECT lang, least(4, (maxn + n_lang - 1) // n_lang) AS n_epochs
+        |      FROM c, m)
+        |SELECT d.doc_id, d.lang, CAST(e.n_epochs AS BIGINT) AS n_epochs,
+        |       CAST(unnest(range(1, e.n_epochs + 1)) AS BIGINT) AS epoch
+        |FROM documents d JOIN e USING (lang)""".stripMargin,
     "t15_global_shuffle" ->
       """WITH d AS (SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp

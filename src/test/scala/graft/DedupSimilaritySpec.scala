@@ -97,6 +97,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(exact.exceptAll(survivors).count() <= (0.01 * docs.count()).toLong)
   }
 
+  test("n-gram decontamination survivors are a subset of the doc-fingerprint survivors") {
+    // sharing an 8-gram is implied by sharing the whole text, so d12
+    // must remove everything d6 removes (and may remove more: partial
+    // or embedded benchmark leakage)
+    val d6 = SparkEntry.queries("d6_decontaminate")(spark, sf).select("doc_id")
+    val d12 = SparkEntry.queries("d12_ngram_decontaminate")(spark, sf)
+      .select("doc_id")
+    assert(d12.exceptAll(d6).isEmpty,
+      "a doc with the exact benchmark fingerprint must also fail the n-gram check")
+  }
+
   test("exact dedup collapses injected duplicates") {
     val base = docs.select(col("doc_id"), col("text"))
     val dup = base.limit(5).select(col("doc_id") + 100000, col("text"))
