@@ -53,6 +53,7 @@ object TextQueries {
     "d11_bloom_decontaminate" -> d11,
     "d12_ngram_decontaminate" -> d12,
     "t16_epoch_mix" -> t16,
+    "t17_bpe_tokenize" -> t17,
     "s1_ann_cosine" -> s1,
     "s2_ann_lsh" -> s2,
     "s3_ann_ivf" -> s3,
@@ -510,6 +511,19 @@ object TextQueries {
       .join(broadcast(epochs), "lang")
       .select(col("doc_id"), col("lang"), col("n_epochs"),
         explode(sequence(lit(1L), col("n_epochs"))).as("epoch"))
+  }
+
+  /** Real BPE tokenization (t17): merges trained on the deterministic
+    * lowest-100 doc sample (bounded driver artifact, the production
+    * shape — GPT-2's vocabulary trained on a corpus subset), corpus
+    * encoded in one zero-shuffle broadcast pass. Merge training is not
+    * SQL-expressible → rows-only check; the algorithm itself is pinned
+    * by hand-computed merge sequences in TextPipelineSpec. */
+  private def t17: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    val merges = graft.functions.Bpe.trainMerges(d, numMerges = 200,
+      sampleDocs = 100)
+    graft.functions.Bpe.encode(d, merges)
   }
 
   private def s1: Q = (spark, dir) => {

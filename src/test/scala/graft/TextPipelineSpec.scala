@@ -102,6 +102,42 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(out === "mail <EMAIL>")
   }
 
+  test("BPE: hand-computed merge sequence and encode on the classic corpus") {
+    import graft.functions.Bpe
+    // Sennrich's running example: {"low": 2, "lower": 1}
+    val merges = Bpe.trainOnCounts(Map("low" -> 2L, "lower" -> 1L), 3)
+    assert(merges === Vector(("l", "o"), ("lo", "w"), ("low", Bpe.EndOfWord)))
+    val rank = merges.zipWithIndex.toMap
+    // a word never seen in training reuses the learned stem
+    assert(Bpe.encodeWord("lowest", rank) ===
+      Vector("low", "e", "s", "t", Bpe.EndOfWord))
+    assert(Bpe.encodeWord("low", rank) === Vector("low" + Bpe.EndOfWord))
+    // exhausting all pairs ends training early, deterministically
+    val all = Bpe.trainOnCounts(Map("ab" -> 1L), 100)
+    assert(all === Vector(("a", "b"), ("ab", Bpe.EndOfWord)))
+  }
+
+  test("BPE: distributed encode is deterministic and matches a local re-encode") {
+    import graft.functions.Bpe
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = Bpe.trainMerges(docs, numMerges = 50, sampleDocs = 20)
+    assert(merges.length === 50)
+    val a = Bpe.encode(docs, merges).orderBy("doc_id").collect()
+    val b = Bpe.encode(docs.repartition(7), merges).orderBy("doc_id").collect()
+    assert(a.toSeq === b.toSeq, "encode must not depend on partitioning")
+    // spot-check one doc against a pure-local re-encode
+    val rank = merges.zipWithIndex.toMap
+    val (id0, text0) = docs.select(col("doc_id").cast("long"),
+        col("text").cast("string")).as[(Long, String)]
+      .orderBy(col("doc_id")).head()
+    val subs = text0.trim.toLowerCase.split("\\s+").toSeq
+      .flatMap(w => Bpe.encodeWord(w, rank))
+    val row = a.find(_.getLong(0) == id0).get
+    assert(row.getLong(1) === subs.length.toLong)
+    assert(row.getLong(2) === subs.distinct.length.toLong)
+  }
+
   test("langGuess argmax: declared-order tie precedence and und fallback") {
     import spark.implicits._
     val rows = Seq(
