@@ -131,4 +131,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("d12: n-gram decontamination is equi-joins only") {
+    val p = plan("d12_ngram_decontaminate")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("t16: the epoch mix is a generator over a broadcast join — one corpus shuffle at most") {
+    val p = plan("t16_epoch_mix")
+    assert(p.contains("Generate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
