@@ -135,4 +135,31 @@ class ErrorHandlingSpec extends AnyFunSuite {
       .schema("msg INT, __sequence_number__ STRING").load()
     assert(noseq.filter(col("__sequence_number__").isNull).count() === 5)
   }
+
+  test("pipeline operators validate their parameters loudly") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val emb = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException](
+      graft.operators.Dedup.segmentDedup(docs, segTokens = 0))
+    intercept[IllegalArgumentException](
+      graft.operators.Dedup.segmentDedup(docs, minDocs = 1))
+    // PQ: dimension must split into m subspaces
+    intercept[IllegalArgumentException](
+      graft.operators.Similarity.pqKnn(emb, emb, k = 1, m = 3))
+  }
+
+  test("mismatched Bloom filters refuse to merge") {
+    import spark.implicits._
+    val b = graft.functions.Bloom
+    val small = Seq("x").toDF("v").agg(b.bloom_build(col("v"), 10, 0.1))
+      .head().getAs[Array[Byte]](0)
+    val large = Seq("x").toDF("v").agg(b.bloom_build(col("v"), 10000, 0.001))
+      .head().getAs[Array[Byte]](0)
+    val both = Seq(small, large).toDF("bf")
+    val e = intercept[Exception](both.agg(b.bloom_merge(col("bf"))).head())
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("mismatched") ||
+        e.getCause != null && e.getCause.getMessage.contains("mismatched")))
+  }
 }
