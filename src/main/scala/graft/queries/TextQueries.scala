@@ -60,7 +60,8 @@ object TextQueries {
     "s4_ann_multiprobe" -> s4,
     "s5_ann_sq" -> s5,
     "s6_ann_pq" -> s6,
-    "p1_prep_pipeline" -> p1
+    "p1_prep_pipeline" -> p1,
+    "p2_prep_pipeline_v2" -> p2
   )
 
   /** The composed data-prep pipeline a training run actually executes:
@@ -90,6 +91,49 @@ object TextQueries {
           .otherwise("test").as("split"))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** The MODERN composed prep pipeline (this round's stages end-to-end):
+    * n-gram decontamination (d12) → epoch-based language upsampling
+    * (t16) → concat-and-chunk sequence packing (t14) over the
+    * epoch-expanded stream, reduced to per-bucket totals. Every stage is
+    * proven individually; this pins their COMPOSITION — survivors,
+    * epoch expansion, token accounting, and the packed-sequence count
+    * per output stream — against one SQL oracle. Integer-exact
+    * throughout (counts and ceil-divisions only). */
+  private def p2: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    // stage 1: drop docs sharing any 8-token shingle with the benchmark
+    val sh = Dedup.docShingles(d, n = 8)
+    val bsh = sh.filter(col("doc_id") % 20 === 0)
+      .select(col("shingle").as("bs")).distinct()
+    val contaminated = sh
+      .join(bsh, col("shingle") === col("bs"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val survivors = d
+      .join(contaminated.withColumnRenamed("doc_id", "cid"),
+        col("doc_id") === col("cid"), "left_anti")
+    // stage 2: epoch upsampling of low-resource languages (over survivors)
+    val counts = survivors.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val maxN = counts.agg(max(col("n_lang"))).head().getLong(0)
+    val epochs = counts.select(col("lang"),
+      least(lit(4L), floor((lit(maxN) + col("n_lang") - 1) / col("n_lang")))
+        .cast(LongType).as("n_epochs"))
+    val mixed = survivors.select(col("doc_id"), col("lang"),
+        size(TF.tokens(lower(col("text")))).cast(LongType).as("n_tokens"),
+        TF.fingerprint(col("text")).as("fp"))
+      .join(broadcast(epochs), "lang")
+      .select(col("doc_id"), col("fp"), col("n_tokens"),
+        explode(sequence(lit(1L), col("n_epochs"))).as("epoch"))
+    // stage 3: pack the mixed stream into 256-token sequences per bucket
+    val budget = 256
+    mixed.withColumn("bucket", substring(col("fp"), 1, 1))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_entries"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (floor((sum(col("n_tokens")) - 1) / budget) + 1)
+          .cast(LongType).as("n_sequences"))
   }
 
   /** PII scrubbing: the fixture corpus carries no PII, so each doc is
@@ -727,6 +771,36 @@ object TextQueries {
         | CAST(floor(o / 256.0) AS BIGINT) AS seq_first,
         | CAST(floor((o + n_tokens - 1) / 256.0) AS BIGINT) AS seq_last
         |FROM c""".stripMargin,
+    "p2_prep_pipeline_v2" ->
+      """WITH words AS (SELECT doc_id,
+        |  regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(w) - 6),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |      || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
+        |      || ' ' || w[i+7]))) AS s
+        | FROM words WHERE len(w) >= 8),
+        |bsh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+        |cont AS (SELECT DISTINCT doc_id FROM sh
+        |         WHERE s IN (SELECT s FROM bsh)),
+        |surv AS (SELECT d.doc_id, d.lang,
+        |    len(regexp_split_to_array(lower(trim(d.text)), '\s+')) AS n_tokens,
+        |    md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents d
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM cont)),
+        |c AS (SELECT lang, COUNT(*) AS n_lang FROM surv GROUP BY lang),
+        |m AS (SELECT MAX(n_lang) AS maxn FROM c),
+        |e AS (SELECT lang, least(4, (maxn + n_lang - 1) // n_lang) AS n_epochs
+        |      FROM c, m),
+        |mixed AS (SELECT s.doc_id, s.fp, s.n_tokens,
+        |    unnest(range(1, e.n_epochs + 1)) AS epoch
+        |  FROM surv s JOIN e USING (lang))
+        |SELECT substring(fp, 1, 1) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_entries,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(floor((SUM(n_tokens) - 1) / 256.0) + 1 AS BIGINT) AS n_sequences
+        |FROM mixed GROUP BY 1""".stripMargin,
     "d12_ngram_decontaminate" ->
       """WITH words AS (SELECT doc_id,
         |  regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
