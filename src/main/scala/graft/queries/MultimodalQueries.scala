@@ -21,7 +21,53 @@ object MultimodalQueries {
     "m3_wav_roundtrip" -> m3,
     "m4_bmp_roundtrip" -> m4,
     "m5_png_roundtrip" -> m5,
-    "m6_jpeg_roundtrip" -> m6)
+    "m6_jpeg_roundtrip" -> m6,
+    "m7_audio_frames" -> m7)
+
+  /** Audio frame features (m7): the filter stage of an audio training
+    * pipeline — per-entity waveforms round-trip through the REAL RIFF/WAV
+    * PCM16 codec (m3's), then fixed 32-sample framing with integer-exact
+    * per-frame energy (Σs²) and zero-crossing counts (the VAD/silence
+    * trim primitives). The oracle recomputes both straight from the
+    * deterministic sample definition, so any corruption anywhere in
+    * encode → decode → framing breaks the hash.
+    *
+    * Scale: one shuffle on the asset key (user_id here = one audio
+    * asset); each group materializes only its own waveform — the codec
+    * and framing are per-asset streaming passes, nothing driver-side. */
+  private def m7: Q = (spark, dir) => {
+    import spark.implicits._
+    val sr = 8000
+    val frame = 32
+    t(spark, dir, "events")
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("value").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid, it) =>
+        // deterministic sample order; sign alternates by event_id parity
+        // so zero crossings are exercised; |value*50| <= 28011 fits PCM16
+        val samples = it.toArray.sortBy(_._2)
+          .map { case (_, eid, v) =>
+            val m = (v * 50).toInt
+            (if (eid % 2 == 0) m else -m).toShort
+          }
+        val wav = Multimodal.encodeWavPcm16(sr, samples)
+        val (_, _, decoded) = Multimodal.decodeWavPcm16(wav)
+        decoded.grouped(frame).zipWithIndex.map { case (fr, idx) =>
+          var sumSq = 0L
+          var zc = 0L
+          var i = 0
+          while (i < fr.length) {
+            sumSq += fr(i).toLong * fr(i)
+            if (i > 0 && ((fr(i) >= 0) != (fr(i - 1) >= 0))) zc += 1
+            i += 1
+          }
+          (uid, idx.toLong, fr.length.toLong, sumSq, zc)
+        }
+      }
+      .toDF("user_id", "frame_idx", "n_samples", "sum_sq", "n_zero_cross")
+  }
 
   /** Binary asset stats + round-trip through fixed-size chunking: chunk
     * count must match octet math and reassembled digests must equal the
@@ -196,6 +242,20 @@ object MultimodalQueries {
         | CASE WHEN octet_length(encode(text)) >= 128
         |      THEN lower(substring(hex(encode(text)), 1, 256)) END AS first_frame_hex
         |FROM documents""".stripMargin,
+    "m7_audio_frames" ->
+      """WITH s AS (SELECT user_id, event_id,
+        |    CAST(trunc(value * 50) AS BIGINT)
+        |      * (CASE WHEN event_id % 2 = 0 THEN 1 ELSE -1 END) AS s,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS pos
+        |  FROM events),
+        |f AS (SELECT user_id, pos // 32 AS frame_idx, s, pos,
+        |    LAG(s) OVER (PARTITION BY user_id, pos // 32 ORDER BY pos) AS prev
+        |  FROM s)
+        |SELECT user_id, frame_idx, COUNT(*) AS n_samples,
+        | CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+        | CAST(SUM(CASE WHEN prev IS NOT NULL AND ((prev < 0) <> (s < 0))
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross
+        |FROM f GROUP BY user_id, frame_idx""".stripMargin,
     "m3_wav_roundtrip" ->
       """SELECT user_id, 8000 AS sample_rate, 1 AS channels,
         | COUNT(*) AS n_samples,

@@ -54,6 +54,8 @@ object TextQueries {
     "d12_ngram_decontaminate" -> d12,
     "t16_epoch_mix" -> t16,
     "t17_bpe_tokenize" -> t17,
+    "t18_source_mix" -> t18,
+    "t19_bigram_mass" -> t19,
     "s1_ann_cosine" -> s1,
     "s2_ann_lsh" -> s2,
     "s3_ann_ivf" -> s3,
@@ -635,7 +637,86 @@ object TextQueries {
       | WHEN s_zh > 0 THEN 'zh'
       | ELSE 'und' END""".stripMargin
 
+  /** Corpus data card (t18): per-(source, lang) stratum — doc count,
+    * char/token mass, and the EXACT lower median of document length
+    * (rank ⌈n/2⌉ by (n_chars, doc_id)). The report a pipeline publishes
+    * with every training-data release.
+    *
+    * Scale: one shuffle on the stratum key; the rank window and the
+    * final aggregate share that clustering, so Catalyst reuses the
+    * exchange. No driver-side state — the median comes from a rank
+    * filter, not a collect/percentile pass. */
+  private def t18: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(spark, dir, "documents")
+      .select(col("source"), col("lang"), col("doc_id"), col("n_chars"),
+        size(TF.tokens(lower(col("text")))).cast(LongType).as("n_toks"))
+    val strat = Window.partitionBy(col("source"), col("lang"))
+    val ranked = d
+      .withColumn("rn", row_number().over(strat.orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("cnt", count(lit(1)).over(strat))
+    ranked.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("tot_chars"),
+        sum(col("n_toks")).as("tok_mass"),
+        max(when(col("rn") === expr("(cnt + 1) DIV 2"), col("n_chars")))
+          .as("med_chars"))
+  }
+
+  /** Bigram LM mass (t19): the 2-gram generalization of t8's
+    * corpus-frequency scoring — corpus-wide bigram counts, then each
+    * document scored by total/unique bigram frequency mass. Integer-exact
+    * (the KenLM-style float perplexity is deliberately re-expressed as
+    * exact count mass so the oracle hash-matches across engines).
+    *
+    * Scale: bigrams are derived per-row with zip_with over the token
+    * array (no posexplode self-join); the frequency table is a map-side
+    * partial + final hash agg, then broadcast back against the doc-side
+    * bigrams — the fact stream never shuffles. At 100 TB the frequency
+    * table is Zipf-bounded; if it outgrows broadcast, the same plan
+    * degrades to a shuffle hash join on the bigram key. */
+  private def t19: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), TF.tokens(lower(col("text"))).as("a"))
+    val bigrams = docs
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("a"), lit(1), size(col("a")) - 1),
+          slice(col("a"), lit(2), greatest(size(col("a")) - 1, lit(0))),
+          (x, y) => concat(x, lit(" "), y))).as("bigram"))
+    val freq = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+    bigrams.join(broadcast(freq), "bigram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("cnt")).as("bigram_mass"),
+        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n_unique_bigrams"))
+  }
+
   def oracles: Map[String, String] = Map(
+    "t18_source_mix" ->
+      """WITH d AS (SELECT source, lang, doc_id, n_chars,
+        |   CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_toks
+        | FROM documents),
+        |r AS (SELECT *,
+        |   ROW_NUMBER() OVER (PARTITION BY source, lang ORDER BY n_chars, doc_id) AS rn,
+        |   COUNT(*) OVER (PARTITION BY source, lang) AS cnt
+        | FROM d)
+        |SELECT source, lang, COUNT(*) AS n_docs,
+        | CAST(SUM(n_chars) AS BIGINT) AS tot_chars,
+        | CAST(SUM(n_toks) AS BIGINT) AS tok_mass,
+        | CAST(MAX(CASE WHEN rn = (cnt + 1) // 2 THEN n_chars END) AS BIGINT) AS med_chars
+        |FROM r GROUP BY source, lang""".stripMargin,
+    "t19_bigram_mass" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS a
+        |           FROM documents),
+        |bg AS (SELECT doc_id, p[1] || ' ' || p[2] AS bigram
+        |       FROM (SELECT doc_id, unnest(list_zip(a[1:len(a)-1], a[2:])) AS p FROM d)),
+        |freq AS (SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY bigram)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        | CAST(SUM(cnt) AS BIGINT) AS bigram_mass,
+        | CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_bigrams
+        |FROM bg JOIN freq USING (bigram)
+        |GROUP BY doc_id""".stripMargin,
     "t1_token_stats" ->
       """SELECT doc_id,
         | len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,

@@ -219,4 +219,23 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       JpegGray.decode(jpg.take(jpg.length - 6)))
   }
+
+  test("m7 audio frames: 32-sample framing, boundary crossings uncounted") {
+    import spark.implicits._
+    // one user, 70 samples: frames of 32/32/6. Values alternate sign by
+    // event_id parity, so crossings happen at almost every step — but the
+    // first sample of each frame has no predecessor inside the frame.
+    val events = (0L until 70L).map(i => (1L, i, 2.0)) // s = ±100/50*2...
+      .toDF("user_id", "event_id", "value")
+    val dir = java.nio.file.Files.createTempDirectory("m7").toString
+    events.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("m7_audio_frames")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    // s_i = ±100 (value*50 = 100; sign alternates with event parity)
+    assert(out.toSeq === Seq(
+      (0L, 32L, 32L * 100L * 100L, 31L),
+      (1L, 32L, 32L * 100L * 100L, 31L),
+      (2L, 6L, 6L * 100L * 100L, 5L)))
+  }
 }

@@ -150,4 +150,44 @@ class TextPipelineSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(out === Seq("en", "de", "und", "es"))
   }
+
+  test("t18 source mix: exact lower median for odd and even strata") {
+    import spark.implicits._
+    // stratum A: 4 docs (even count -> lower median = rank 2 = 20);
+    // stratum B: 3 docs (odd count -> rank 2 = 7)
+    val docs = Seq(
+      (1L, "a b", "en", "A", 10L), (2L, "a b c", "en", "A", 20L),
+      (3L, "a", "en", "A", 30L), (4L, "a b c d", "en", "A", 40L),
+      (5L, "x", "de", "B", 5L), (6L, "x y", "de", "B", 7L),
+      (7L, "x y z", "de", "B", 9L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("t18").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("t18_source_mix")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(out === Set(
+      ("A", "en", 4L, 100L, 10L, 20L),
+      ("B", "de", 3L, 21L, 6L, 7L)))
+  }
+
+  test("t19 bigram mass: counts shared vs unique bigrams, 2-token floor") {
+    import spark.implicits._
+    // "a b" appears in docs 1 and 2 (cnt 2); "b c" only in doc 2 (cnt 1);
+    // doc 3 has a single repeated bigram inside one doc (cnt 2 from itself)
+    val docs = Seq(
+      (1L, "a b", "en", "s", 3L),
+      (2L, "a b c", "en", "s", 5L),
+      (3L, "z z z", "en", "s", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("t19").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("t19_bigram_mass")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // doc1: 1 bigram "a b" (corpus cnt 2) -> mass 2, 0 unique
+    // doc2: "a b" (2) + "b c" (1) -> mass 3, 1 unique
+    // doc3: "z z" twice (corpus cnt 2) -> mass 4, 0 unique
+    assert(out === Set((1L, 1L, 2L, 0L), (2L, 2L, 3L, 1L), (3L, 2L, 4L, 0L)))
+  }
 }
