@@ -64,6 +64,9 @@ case class LogServiceOptions(all: Map[String, String]) {
   /** Writer: route each row to shard hash(column) % writableShards — the
     * reference's hash-key routing (K6, RDDLoghubWriter.scala:27-78). */
   val routingColumn: Option[String] = norm.get("routing.column")
+  /** Batch-only snapshot read pinned at a manifest version (Delta-style
+    * time travel; see EmbeddedLogStore.shardEndsAt). */
+  val snapshotVersion: Option[Long] = norm.get("store.snapshotversion").map(_.toLong)
   def newStore: EmbeddedLogStore = new EmbeddedLogStore(root)
 }
 
@@ -183,10 +186,16 @@ class LogScan(schema: StructType, opts: LogServiceOptions,
   }
 
   override def toBatch: Batch = new LogBatch(schema, opts, pushedTimeRange, pushedLimit)
-  override def toMicroBatchStream(checkpointLocation: String) =
+  override def toMicroBatchStream(checkpointLocation: String) = {
+    require(opts.snapshotVersion.isEmpty,
+      "store.snapshotversion is a batch-only option: a stream reads the live log")
     new LogMicroBatchStream(schema, opts)
-  override def toContinuousStream(checkpointLocation: String) =
+  }
+  override def toContinuousStream(checkpointLocation: String) = {
+    require(opts.snapshotVersion.isEmpty,
+      "store.snapshotversion is a batch-only option: a stream reads the live log")
     new LogContinuousStream(schema, opts)
+  }
 }
 
 /** One InputPartition per shard slice — the unit of parallelism, as in
@@ -225,9 +234,17 @@ class LogBatch(schema: StructType, opts: LogServiceOptions,
     // with a residual time filter the first-n ordinals may not be the
     // first n MATCHING rows — the cap applies only to unfiltered scans
     val cap = if (tr.isEmpty) pushedLimit else None
+    // snapshot read: every shard's end is clamped to its ordinal prefix
+    // as of the pinned manifest version (ordinals are append-stable, so
+    // the prefix IS the point-in-time content)
+    val snapEnds = opts.snapshotVersion.map(v =>
+      store.shardEndsAt(opts.project, opts.store, v))
     shards.flatMap { s =>
       val from = startOrds.getOrElse(s.id, 0L)
-      val until0 = endOrds.getOrElse(s.id, 0L)
+      val until0 = snapEnds match {
+        case Some(se) => math.min(endOrds.getOrElse(s.id, 0L), se.getOrElse(s.id, 0L))
+        case None => endOrds.getOrElse(s.id, 0L)
+      }
       val until = cap.map(n => math.min(until0, from + n)).getOrElse(until0)
       if (until <= from) Seq.empty
       else {

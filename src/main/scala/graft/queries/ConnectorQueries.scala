@@ -23,7 +23,8 @@ object ConnectorQueries {
     "c2_logstore_json_value" -> c2,
     "c3_stream_hourly" -> c3,
     "c4_split_reroute" -> c4,
-    "c5_stream_dedup" -> c5
+    "c5_stream_dedup" -> c5,
+    "c6_snapshot_read" -> c6
   )
 
   /** One shared ingest per (session, sf dir): the three connector
@@ -229,7 +230,50 @@ object ConnectorQueries {
       .schema("doc_id LONG, fp STRING, is_dup BOOLEAN").load()
   }
 
+  /** Delta-style snapshot read (time travel): two batch commits land as
+    * manifest versions v1 < v2; a read pinned at `store.snapshotversion`
+    * = v1 must see EXACTLY the first commit — concurrent/later appends
+    * invisible, ordinals stable. The oracle recomputes the first
+    * commit's aggregate from the source parquet, so a snapshot that
+    * leaks any second-commit row (or drops a first-commit one) breaks
+    * the hash. The reproducible-training-run primitive: pin the data
+    * version, not the wall clock. */
+  private def c6: Q = (spark, dir) => {
+    val root = Files.createTempDirectory("graft-logstore-c6").toString
+    val store = new EmbeddedLogStore(root)
+    store.createStore("proj", "tt", 2)
+    val opts = Map("store.root" -> root, "store.project" -> "proj",
+      "store.name" -> "tt")
+    def write(half: DataFrame): Unit =
+      half.select(
+          (col("user_id") % 2).cast(IntegerType).as("__shard__"),
+          expr("ts DIV 1000000000").cast(IntegerType).as("__time__"),
+          col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.format("graft-logstore").options(opts).mode("append").save()
+    val ev = t(spark, dir, "events")
+    write(ev.filter(col("event_id") % 2 === 0)) // commit 1
+    val v1 = store.latestVersion("proj", "tt")
+    write(ev.filter(col("event_id") % 2 === 1)) // commit 2: must stay invisible
+    spark.read.format("graft-logstore").options(opts)
+      .option("store.snapshotversion", v1.toString)
+      .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+      .load()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum6(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+  }
+
   def oracles: Map[String, String] = Map(
+    "c6_snapshot_read" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        | COUNT(DISTINCT user_id) AS n_users,
+        | MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        |FROM events WHERE event_id % 2 = 0
+        |GROUP BY event_type""".stripMargin,
     "c1_logstore_roundtrip" ->
       """SELECT event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,

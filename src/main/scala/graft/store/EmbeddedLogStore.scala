@@ -310,6 +310,64 @@ class EmbeddedLogStore(root: String, ioRetries: Int = 10,
   private def committedEntries(project: String, store: String): Seq[(Int, String)] =
     manifestView(project, store).entries
 
+  /** Highest committed manifest version (0 = empty store). The handle a
+    * caller pins to read this exact snapshot later via [[shardEndsAt]]. */
+  def latestVersion(project: String, store: String): Long =
+    currentVersion(project, store)
+
+  /** Per-shard END ordinals as of manifest `version` — the snapshot /
+    * time-travel read surface. Because readers fold manifests in version
+    * order and a record's ordinal is pinned by the first manifest that
+    * listed it, the snapshot at `version` is exactly the ordinal prefix
+    * [0, end) per shard — so a bounded scan capped at these ends is a
+    * consistent point-in-time read, immune to concurrent appends.
+    *
+    * A version below the last compaction checkpoint is permanently
+    * unreadable (its delta manifests were folded away and deleted, as
+    * with Delta Lake VACUUM): fails loudly rather than silently reading
+    * a different snapshot. Versions above the current head read as the
+    * head (the usual "read at t > now" semantics). */
+  def shardEndsAt(project: String, store: String, version: Long): Map[Int, Long] = {
+    require(version >= 0, s"snapshot version must be >= 0, got $version")
+    var attempt = 0
+    while (attempt <= 64) {
+      try {
+        val files = manifestFiles(project, store)
+        val pre = files.filter(manifestVersion(_) <= version)
+        // An empty prefix under a nonempty manifest log means the
+        // history at `version` is not listable (vacuously "valid" to
+        // viewFrom) — treat it like a torn/compacted prefix below.
+        val gone = pre.isEmpty && version >= 1 && files.nonEmpty
+        (if (gone) None else viewFrom(project, store, pre)) match {
+          case Some(view) =>
+            return view.entries.groupBy(_._1).map { case (s, es) =>
+              s -> es.map(e => parseSegment(e._2).count).sum
+            }
+          case None =>
+            // Either the prefix was compacted away (a checkpoint above
+            // `version` subsumed and deleted its deltas — permanent) or
+            // the listing raced a writer/compactor (transient: re-list).
+            val mapper = new ObjectMapper()
+            val compacted = files.filter(manifestVersion(_) > version).exists { f =>
+              try {
+                val t = mapper.readTree(io(Files.readAllBytes(
+                  manifestDir(project, store).resolve(f))))
+                t.get("checkpoint") != null && t.get("checkpoint").asBoolean()
+              } catch { case _: java.nio.file.NoSuchFileException => false }
+            }
+            if (compacted) throw new IllegalArgumentException(
+              s"snapshot version $version of $project/$store predates the " +
+                "last manifest compaction and is no longer readable")
+            attempt += 1
+        }
+      } catch {
+        case _: java.nio.file.NoSuchFileException => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"manifest listing for $project/$store torn after $attempt attempts")
+  }
+
   /** One validated, untorn view of the manifest directory. */
   private case class ManifestView(files: Seq[String],
       entries: Seq[(Int, String)], checkpointVersion: Long)

@@ -167,6 +167,42 @@ class ConnectorSpec extends AnyFunSuite {
     assert(o.json() === """{"logProject-A#logStore-B":{"0":1409569200,"1":1409569201}}""")
     assert(graft.connector.LogServiceOffset.parse(o.json()) === o)
   }
+
+  test("snapshot read: version pin, head clamp, compaction loss, stream reject") {
+    val root = freshRoot()
+    val store = new EmbeddedLogStore(root)
+    store.createStore("proj", "logs", 2)
+    def recs(lo: Int, hi: Int) = (lo until hi).map(i =>
+      LogRecord(1700000000 + i, "t", "s", Map.empty, Map("msg" -> i.toString)))
+    store.appendSegment("proj", "logs", 0, "a", recs(0, 10)) // v1
+    val v1 = store.latestVersion("proj", "logs")
+    store.appendSegment("proj", "logs", 1, "b", recs(10, 30)) // v2
+    def readAt(v: Long) = spark.read.format("graft-logstore")
+      .options(readOpts(root)).option("store.snapshotversion", v.toString)
+      .schema("msg INT").load()
+    // pinned at v1: exactly the first commit, later appends invisible
+    assert(readAt(v1).count() === 10)
+    assert(readAt(v1).agg(sum("msg")).first().getLong(0) === (0 until 10).sum)
+    // version 0 = empty store; any version above head reads the head
+    assert(readAt(0).count() === 0)
+    assert(readAt(99).count() === 30)
+    // compaction folds v1-v2 into a checkpoint and deletes the deltas:
+    // the pre-compaction version must fail loudly, not read wrong data
+    store.compactManifests("proj", "logs")
+    assert(readAt(99).count() === 30) // post-compaction head still whole
+    val e = intercept[Throwable](readAt(v1).count())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("predates")))
+    // a stream must not accept the batch-only snapshot option
+    val ckpt = Files.createTempDirectory("graft-snap-ckpt").toString
+    val q = spark.readStream.format("graft-logstore").options(readOpts(root))
+      .option("store.snapshotversion", "1").schema("msg INT").load()
+      .writeStream.format("noop").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val se = intercept[Throwable](q.awaitTermination())
+    assert(msgs(se).exists(_.contains("batch-only")))
+  }
 }
 
 /** Minimal UDT for the round-trip test: carried as its DoubleType
