@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 /** One-call SQL registration for every custom function the engine adds,
   * so `spark.sql` users get the same surface as the Column API:
   * rolling_hash, hll_build/hll_merge/hll_estimate,
-  * kll_build/kll_merge/kll_quantile,
+  * kll_build/kll_merge/kll_quantile, cms_build/cms_merge/cms_query,
   * bloom_build/bloom_merge/bloom_might_contain, plus the text-pipeline
   * builders (lang_guess, redact_pii, pii_count, text_fingerprint)
   * lowered from their Column form via the Bridge. */
@@ -60,6 +60,9 @@ object GraftFunctions {
       Bloom.bloom_might_contain(cs.head, cs(1))),
     "kll_quantile" -> ((exprs: Seq[Expression]) => KllQuantile(exprs.head,
       lit(exprs(1), "kll_quantile q").doubleValue())),
+    "cms_build" -> ((exprs: Seq[Expression]) => CmsSketchBuild(exprs.head)),
+    "cms_merge" -> ((exprs: Seq[Expression]) => CmsSketchMerge(exprs.head)),
+    "cms_query" -> ((exprs: Seq[Expression]) => CmsQuery(exprs.head, exprs(1))),
     // SQL surface takes raw text (tokenization inside), matching t3
     "lang_guess" -> asColumnFn("lang_guess", 1)(cs => TextFunctions.langGuess(
       TextFunctions.tokens(org.apache.spark.sql.functions.lower(cs.head)))),

@@ -57,6 +57,19 @@ object Sketches {
   /** Scalar: estimated q-quantile (0..1) of a KLL sketch binary. */
   def kll_quantile(c: Column, q: Double): Column =
     Bridge.column(KllQuantile(Bridge.expression(c), q))
+
+  /** Aggregate: build a count-min frequency sketch (binary). */
+  def cms_build(c: Column): Column =
+    Bridge.column(CmsSketchBuild(Bridge.expression(c)).toAggregateExpression())
+
+  /** Aggregate: merge CMS binaries by counter-wise sum. */
+  def cms_merge(c: Column): Column =
+    Bridge.column(CmsSketchMerge(Bridge.expression(c)).toAggregateExpression())
+
+  /** Scalar: estimated frequency of `item` in a CMS binary (never
+    * undercounts; overcount bounded by (e/width)·N w.h.p.). */
+  def cms_query(sketch: Column, item: Column): Column =
+    Bridge.column(CmsQuery(Bridge.expression(sketch), Bridge.expression(item)))
 }
 
 // ---------------------------------------------------------------- HLL ----
@@ -373,4 +386,134 @@ case class KllQuantile(child: Expression, q: Double) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): KllQuantile =
     copy(child = c)
   override def prettyName: String = "kll_quantile"
+}
+
+// ---------------------------------------------------------------- CMS ----
+
+/** Count-min sketch: depth x width counter matrix; an item increments
+  * one counter per row (chosen by that row's hash), a point query takes
+  * the MIN across rows. Estimates never undercount; the overcount is
+  * bounded by (e/width) * N with probability 1 - (1/e)^depth (Cormode &
+  * Muthukrishnan 2005). Counter addition is associative+commutative, so
+  * build(all data) == merge(partial sketches) BYTE-FOR-BYTE — the
+  * strongest possible merge contract (asserted in SketchesSpec). */
+object CmsOps {
+  val Depth = 4
+  val Width = 2048
+
+  def empty(): Array[Long] = new Array[Long](Depth * Width)
+
+  /** splitmix64 finalizer — derives the per-row hash from one xxhash64
+    * of the item, deterministic on every executor. */
+  @inline private def mix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  def offerHash(t: Array[Long], h: Long): Unit = {
+    var d = 0
+    while (d < Depth) {
+      val idx = ((mix(h ^ d) >>> 1) % Width).toInt
+      t(d * Width + idx) += 1L
+      d += 1
+    }
+  }
+
+  def query(t: Array[Long], h: Long): Long = {
+    var est = Long.MaxValue
+    var d = 0
+    while (d < Depth) {
+      val idx = ((mix(h ^ d) >>> 1) % Width).toInt
+      val c = t(d * Width + idx)
+      if (c < est) est = c
+      d += 1
+    }
+    est
+  }
+
+  def mergeInto(into: Array[Long], from: Array[Long]): Unit = {
+    require(from.length == Depth * Width, s"not a ${Depth}x$Width CMS")
+    var i = 0
+    while (i < into.length) { into(i) += from(i); i += 1 }
+  }
+
+  def serialize(t: Array[Long]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(t.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    buf.asLongBuffer().put(t)
+    buf.array()
+  }
+
+  def deserialize(bytes: Array[Byte]): Array[Long] = {
+    require(bytes.length == Depth * Width * 8, s"not a ${Depth}x$Width CMS")
+    val out = new Array[Long](bytes.length / 8)
+    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).asLongBuffer().get(out)
+    out
+  }
+}
+
+abstract class CmsAggBase extends TypedImperativeAggregate[Array[Long]]
+    with UnaryLike[Expression] {
+  override def createAggregationBuffer(): Array[Long] = CmsOps.empty()
+  override def merge(b: Array[Long], o: Array[Long]): Array[Long] = {
+    CmsOps.mergeInto(b, o); b
+  }
+  override def eval(b: Array[Long]): Any = CmsOps.serialize(b)
+  override def serialize(b: Array[Long]): Array[Byte] = CmsOps.serialize(b)
+  override def deserialize(bytes: Array[Byte]): Array[Long] = CmsOps.deserialize(bytes)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+}
+
+/** cms_build(col): count-min sketch of the column's value frequencies. */
+case class CmsSketchBuild(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends CmsAggBase {
+  override def update(b: Array[Long], row: InternalRow): Array[Long] = {
+    val v = child.eval(row)
+    if (v != null) CmsOps.offerHash(b, XxHash64Function.hash(v, child.dataType, 42L))
+    b
+  }
+  override def withNewMutableAggBufferOffset(n: Int): CmsSketchBuild =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): CmsSketchBuild =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): CmsSketchBuild =
+    copy(child = c)
+  override def prettyName: String = "cms_build"
+}
+
+/** cms_merge(sketch): counter-wise sum over sketch binaries. */
+case class CmsSketchMerge(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends CmsAggBase {
+  override def update(b: Array[Long], row: InternalRow): Array[Long] = {
+    val v = child.eval(row)
+    if (v != null) CmsOps.mergeInto(b, CmsOps.deserialize(v.asInstanceOf[Array[Byte]]))
+    b
+  }
+  override def withNewMutableAggBufferOffset(n: Int): CmsSketchMerge =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): CmsSketchMerge =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): CmsSketchMerge =
+    copy(child = c)
+  override def prettyName: String = "cms_merge"
+}
+
+/** Scalar finisher: estimated frequency of `item` in a CMS binary.
+  * Never undercounts; overcount bounded by (e/width)*N w.h.p. */
+case class CmsQuery(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(sk: Any, item: Any): Any =
+    CmsOps.query(CmsOps.deserialize(sk.asInstanceOf[Array[Byte]]),
+      XxHash64Function.hash(item, right.dataType, 42L))
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CmsQuery = copy(left = l, right = r)
+  override def prettyName: String = "cms_query"
 }

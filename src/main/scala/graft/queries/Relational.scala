@@ -47,8 +47,30 @@ object Relational {
     "q19_intersect" -> q19,
     "q20_window_suite" -> q20,
     "q21_pivot" -> q21,
-    "q22_region_revenue" -> q22
+    "q22_region_revenue" -> q22,
+    "q23_revenue_leader" -> q23
   )
+
+  /** TPC-H Q15-style revenue leader: per-supplier quarterly revenue,
+    * keep the supplier(s) at the maximum (the scalar-subquery argmax
+    * shape). The max is a 1-row aggregate broadcast back against the
+    * revenue table — no single-partition window, no second scan of
+    * lineitem; the decimal equality is exact, so ties surface instead
+    * of being broken arbitrarily. */
+  private def q23: Q = (spark, dir) => {
+    val rev = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast(TimestampType))
+      .filter(col("l_shipdate") < lit("1997-04-01 00:00:00").cast(TimestampType))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("rev"))
+    val maxRev = rev.agg(max(col("rev")).as("maxrev"))
+    rev.crossJoin(broadcast(maxRev))
+      .filter(col("rev") === col("maxrev"))
+      .join(broadcast(t(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev").cast(DoubleType).as("total_revenue"))
+  }
 
   /** TPC-H Q1-style pricing summary: partial+final hash agg, no shuffle of
     * raw rows beyond the 6-group key. */
@@ -445,6 +467,18 @@ object Relational {
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority""".stripMargin,
+    "q23_revenue_leader" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |  SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |    AS DECIMAL(18,4))) AS rev
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |   AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        | GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev = (SELECT MAX(rev) FROM rev)""".stripMargin,
     "q5_nation_revenue" ->
       """SELECT n_name,
         | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

@@ -14,7 +14,25 @@ object SketchQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  def queries: Map[String, Q] = Map("k1_sketch_rollup" -> k1)
+  def queries: Map[String, Q] = Map(
+    "k1_sketch_rollup" -> k1,
+    "k2_freq_sketch" -> k2)
+
+  /** Count-min frequency rollup (k2): per-source partial CMS sketches of
+    * the token stream (level 1; persisted per partition in production),
+    * counter-summed into one corpus sketch (level 2), then point-probed
+    * for a fixed token set — heavy-hitter frequency estimation with no
+    * exact token groupBy anywhere. Estimates never undercount; bounds
+    * + the byte-exact merge contract are asserted in SketchesSpec. */
+  private def k2: Q = (spark, dir) => {
+    import graft.functions.{TextFunctions => TF}
+    val toks = t(spark, dir, "documents")
+      .select(col("source"), explode(TF.tokens(lower(col("text")))).as("tok"))
+    val probes = Seq("the", "data", "spark", "join", "zzz_absent")
+    toks.groupBy(col("source")).agg(cms_build(col("tok")).as("sk"))
+      .agg(cms_merge(col("sk")).as("sk"))
+      .select(probes.map(p => cms_query(col("sk"), lit(p)).as(s"est_$p")): _*)
+  }
 
   private def k1: Q = (spark, dir) => {
     val ev = t(spark, dir, "events")

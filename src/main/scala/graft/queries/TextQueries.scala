@@ -56,6 +56,7 @@ object TextQueries {
     "t17_bpe_tokenize" -> t17,
     "t18_source_mix" -> t18,
     "t19_bigram_mass" -> t19,
+    "t20_hashed_features" -> t20,
     "s1_ann_cosine" -> s1,
     "s2_ann_lsh" -> s2,
     "s3_ann_ivf" -> s3,
@@ -692,7 +693,35 @@ object TextQueries {
         sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n_unique_bigrams"))
   }
 
+  /** Feature hashing (t20): the VW/fastText featurizer — each token is
+    * hashed into one of 128 buckets (first 4 hex chars of md5, mod) and
+    * each document becomes its sparse (bucket, count) vector. md5 is
+    * identical across engines, so the whole vectorization is
+    * oracle-checked exactly — no "approximately the same features".
+    *
+    * Scale: explode + one map-side-combined shuffle on (doc_id, bucket);
+    * no vocabulary state anywhere (that's the point of the hashing
+    * trick — the feature space is fixed before any data is seen). */
+  private def t20: Q = (spark, dir) => {
+    val nb = 128
+    t(spark, dir, "documents")
+      .select(col("doc_id"), explode(TF.tokens(lower(col("text")))).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 4), 16, 10).cast(IntegerType) % nb)
+          .as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   def oracles: Map[String, String] = Map(
+    "t20_hashed_features" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents)
+        |SELECT doc_id,
+        | (('0x' || substring(md5(tok), 1, 4))::INTEGER % 128) AS bucket,
+        | COUNT(*) AS n
+        |FROM toks GROUP BY doc_id, bucket""".stripMargin,
     "t18_source_mix" ->
       """WITH d AS (SELECT source, lang, doc_id, n_chars,
         |   CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_toks

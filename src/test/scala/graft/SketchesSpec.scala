@@ -196,4 +196,32 @@ class SketchesSpec extends AnyFunSuite {
     assert(buf.count === 10000L)
     assert(weight === 10000L, s"weight $weight")
   }
+
+  test("cms: never undercounts, overcount within the epsilon bound") {
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+    val sk = toks.agg(cms_build(col("tok"))).head().getAs[Array[Byte]](0)
+    val n = toks.count()
+    val exact = toks.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val eps = math.E / graft.functions.CmsOps.Width
+    val skDf = spark.range(1).select(lit(sk).as("sk"))
+    (exact.keySet.take(50) + "zzz_never_seen").foreach { t =>
+      val est = skDf.select(cms_query(col("sk"), lit(t))).head().getLong(0)
+      val truth = exact.getOrElse(t, 0L)
+      assert(est >= truth, s"$t undercounted: $est < $truth")
+      assert(est <= truth + (eps * n).toLong + 1,
+        s"$t overcounted past bound: $est vs $truth + ${(eps * n).toLong}")
+    }
+  }
+
+  test("cms merge of per-source sketches is BYTE-equal to the global build") {
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+    val merged = toks.groupBy("source").agg(cms_build(col("tok")).as("sk"))
+      .agg(cms_merge(col("sk"))).head().getAs[Array[Byte]](0)
+    val global = toks.agg(cms_build(col("tok"))).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(merged, global),
+      "counter addition must make merge(partials) identical to build(all)")
+  }
 }
