@@ -48,21 +48,41 @@ object Relational {
     "q20_window_suite" -> q20,
     "q21_pivot" -> q21,
     "q22_region_revenue" -> q22,
-    "q23_revenue_leader" -> q23
+    "q23_revenue_leader" -> q23,
+    "q24_moving_revenue" -> q24
   )
+
+  /** Event-time RANGE window (q24): per-customer trailing-90-day order
+    * value — the moving-aggregate shape rows-frames can't express
+    * (irregular event spacing; peers at the same timestamp are included
+    * by RANGE semantics, so no tie-break is even needed). Ordered by
+    * epoch seconds: a numeric RANGE frame, identical in both engines. */
+  private def q24: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("order_s"))
+      .rangeBetween(-90L * 86400, 0)
+    t(spark, dir, "orders").filter(col("o_custkey") < 500)
+      .select(col("o_custkey"), col("o_orderkey"),
+        epochS(col("o_orderdate")).as("order_s"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
+      .withColumn("win_revenue", sum(col("p")).over(w).cast(DoubleType))
+      .select(col("o_custkey"), col("o_orderkey"), col("order_s"),
+        col("win_revenue"))
+  }
 
   /** TPC-H Q15-style revenue leader: per-supplier quarterly revenue,
     * keep the supplier(s) at the maximum (the scalar-subquery argmax
-    * shape). The max is a 1-row aggregate broadcast back against the
-    * revenue table — no single-partition window, no second scan of
-    * lineitem; the decimal equality is exact, so ties surface instead
-    * of being broken arbitrarily. */
+    * shape). The per-supplier aggregate is PERSISTED and passed over
+    * twice (1-row max, then equality filter) — without it Catalyst
+    * plans two full lineitem scans, the classic Q15 double-scan trap
+    * (plan-guarded). The max broadcasts back; decimal equality is
+    * exact, so ties surface instead of being broken arbitrarily. */
   private def q23: Q = (spark, dir) => {
     val rev = t(spark, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast(TimestampType))
       .filter(col("l_shipdate") < lit("1997-04-01 00:00:00").cast(TimestampType))
       .groupBy(col("l_suppkey"))
       .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("rev"))
+      .persist()
     val maxRev = rev.agg(max(col("rev")).as("maxrev"))
     rev.crossJoin(broadcast(maxRev))
       .filter(col("rev") === col("maxrev"))
@@ -467,6 +487,14 @@ object Relational {
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority""".stripMargin,
+    "q24_moving_revenue" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(epoch(o_orderdate) AS BIGINT) AS order_s,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |   RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   AS win_revenue
+        |FROM orders WHERE o_custkey < 500""".stripMargin,
     "q23_revenue_leader" ->
       """WITH rev AS (SELECT l_suppkey,
         |  SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -144,4 +144,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("t18: the rank window and the stratum aggregate share one exchange") {
+    val p = plan("t18_source_mix")
+    // one shuffle on (source, lang): the window's clustering is reused
+    // by the final aggregate — a second exchange would mean Catalyst
+    // stopped recognizing the shared partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("t19: the bigram frequency table broadcasts back, fact side never shuffles for the join") {
+    val p = plan("t19_bigram_mass")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("t20: feature hashing is one map-side-combined shuffle, no vocabulary join") {
+    val p = plan("t20_hashed_features")
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q23: the argmax is a broadcast of the 1-row max, no window, one lineitem scan") {
+    val p = plan("q23_revenue_leader")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+    // the persisted supplier aggregate is the shared subplan: BOTH its
+    // consumers (max + equality filter) must read the InMemoryRelation
+    // (the string reprints the cached child per use; execution scans
+    // lineitem once, at materialization) — the classic Q15 double-scan
+    // trap is two independent FileScan subtrees with no cache
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("k2: sketches aggregate under ObjectHashAggregate with partial merge") {
+    val p = plan("k2_freq_sketch")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
