@@ -22,7 +22,51 @@ object MultimodalQueries {
     "m4_bmp_roundtrip" -> m4,
     "m5_png_roundtrip" -> m5,
     "m6_jpeg_roundtrip" -> m6,
-    "m7_audio_frames" -> m7)
+    "m7_audio_frames" -> m7,
+    "m8_scene_cuts" -> m8)
+
+  /** Video scene-cut detection (m8): the shot-boundary primitive — each
+    * asset's payload is framed into fixed 64-byte frames and adjacent
+    * frames compared by sum-of-absolute-differences (the SAD metric
+    * real shot detectors threshold); a pair above the threshold is a
+    * cut. All integer byte math, so the oracle recomputes the exact
+    * cut count / SAD totals from the same bytes via hex slicing.
+    *
+    * Scale: embarrassingly parallel — one streaming pass per asset,
+    * no shuffle at all (the per-asset flatMap is the whole operator);
+    * real decoders slot in behind the same frame iterator. */
+  private def m8: Q = (spark, dir) => {
+    import spark.implicits._
+    val F = 64
+    val threshold = F * 24L
+    t(spark, dir, "documents")
+      .select(col("doc_id").cast("long"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        val nf = p.length / F
+        if (nf < 2) Iterator.empty
+        else {
+          var total = 0L
+          var mx = 0L
+          var cuts = 0L
+          var k = 1
+          while (k < nf) {
+            var d = 0L
+            var i = 0
+            while (i < F) {
+              d += math.abs((p((k - 1) * F + i) & 0xFF) - (p(k * F + i) & 0xFF))
+              i += 1
+            }
+            total += d
+            if (d > mx) mx = d
+            if (d > threshold) cuts += 1
+            k += 1
+          }
+          Iterator((id, nf.toLong, cuts, total, mx))
+        }
+      }
+      .toDF("asset_id", "n_frames", "n_cuts", "total_diff", "max_diff")
+  }
 
   /** Audio frame features (m7): the filter stage of an audio training
     * pipeline — per-entity waveforms round-trip through the REAL RIFF/WAV
@@ -242,6 +286,21 @@ object MultimodalQueries {
         | CASE WHEN octet_length(encode(text)) >= 128
         |      THEN lower(substring(hex(encode(text)), 1, 256)) END AS first_frame_hex
         |FROM documents""".stripMargin,
+    "m8_scene_cuts" ->
+      """WITH d AS (SELECT doc_id, hex(encode(text)) AS h,
+        |    CAST(octet_length(encode(text)) // 64 AS BIGINT) AS nf
+        |  FROM documents),
+        |diffs AS (SELECT doc_id, nf,
+        |    list_sum(list_transform(range(0, 64), i ->
+        |      abs(('0x' || substring(h, CAST(((k-1)*64+i)*2+1 AS INTEGER), 2))::INTEGER
+        |        - ('0x' || substring(h, CAST((k*64+i)*2+1 AS INTEGER), 2))::INTEGER)))
+        |      AS diff
+        |  FROM d, UNNEST(range(1, nf)) AS t(k) WHERE nf >= 2)
+        |SELECT doc_id AS asset_id, nf AS n_frames,
+        | CAST(SUM(CASE WHEN diff > 64*24 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+        | CAST(SUM(diff) AS BIGINT) AS total_diff,
+        | CAST(MAX(diff) AS BIGINT) AS max_diff
+        |FROM diffs GROUP BY doc_id, nf""".stripMargin,
     "m7_audio_frames" ->
       """WITH s AS (SELECT user_id, event_id,
         |    CAST(trunc(value * 50) AS BIGINT)

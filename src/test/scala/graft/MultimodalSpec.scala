@@ -238,4 +238,26 @@ class MultimodalSpec extends AnyFunSuite {
       (1L, 32L, 32L * 100L * 100L, 31L),
       (2L, 6L, 6L * 100L * 100L, 5L)))
   }
+
+  test("m8 scene cuts: SAD at the planted boundary, partial frame dropped") {
+    import spark.implicits._
+    // 64 'a' + 64 'z' + 64 'a' + 10 trailing bytes (partial frame dropped):
+    // cuts at both boundaries with SAD = 64*25; below-threshold twin
+    // asset (aaab pattern) has zero cuts
+    val docs = Seq(
+      (1L, "a" * 64 + "z" * 64 + "a" * 64 + "x" * 10, "en", "s", 0L),
+      (2L, "a" * 64 + "b" * 64, "en", "s", 0L),
+      (3L, "a" * 63, "en", "s", 0L) // < 2 frames: excluded
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("m8").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("m8_scene_cuts")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    val sad = 64L * ('z' - 'a') // 64*25 = 1600 > threshold 1536
+    val sadAb = 64L * ('b' - 'a') // 64 < threshold
+    assert(out.toSeq === Seq(
+      (1L, 3L, 2L, 2 * sad, sad),
+      (2L, 2L, 0L, sadAb, sadAb)))
+  }
 }
