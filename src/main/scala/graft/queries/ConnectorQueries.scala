@@ -24,8 +24,46 @@ object ConnectorQueries {
     "c3_stream_hourly" -> c3,
     "c4_split_reroute" -> c4,
     "c5_stream_dedup" -> c5,
-    "c6_snapshot_read" -> c6
+    "c6_snapshot_read" -> c6,
+    "c7_stream_enrich" -> c7
   )
+
+  /** Stream-static broadcast enrich on the oracle gate: the streaming
+    * event log joins a static dimension (broadcast — the dim never
+    * shuffles, the stream never blocks on it), aggregates per enriched
+    * key in Update mode, and reconciles through the sink. Counts and
+    * non-negative sums are monotone across Update emissions, so max()
+    * per key is the final value regardless of trigger count. The oracle
+    * is DuckDB's batch join over the original parquet — any loss,
+    * duplication, or mis-keyed enrich breaks the hash. */
+  private def c7: Q = (spark, dir) => {
+    val srcOpts = ingest(spark, dir, 2)
+    val dim = t(spark, dir, "nation")
+      .select(col("n_nationkey").cast(LongType).as("n_nationkey"), col("n_name"))
+    val dstRoot = Files.createTempDirectory("graft-logstore-c7").toString
+    new EmbeddedLogStore(dstRoot).createStore("proj", "enriched", 1)
+    val dstOpts = Map("store.root" -> dstRoot, "store.project" -> "proj",
+      "store.name" -> "enriched")
+    val ckpt = Files.createTempDirectory("graft-c7-ckpt").toString
+    val q = spark.readStream.format("graft-logstore").options(srcOpts)
+      .option("maxoffsetspertrigger", "1000000")
+      .schema("user_id LONG, event_type STRING, value DOUBLE").load()
+      .join(broadcast(dim), col("user_id") % 25 === col("n_nationkey"))
+      .groupBy(col("n_name"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum6(col("value")).as("sum_value"))
+      .writeStream.format("graft-logstore").options(dstOpts)
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    spark.read.format("graft-logstore").options(dstOpts)
+      .schema("n_name STRING, event_type STRING, n_events LONG, sum_value DOUBLE")
+      .load()
+      .groupBy(col("n_name"), col("event_type"))
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("sum_value")).as("sum_value"))
+  }
 
   /** One shared ingest per (session, sf dir): the three connector
     * queries read the same immutable store — repeated catalog runs
@@ -267,6 +305,11 @@ object ConnectorQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "c7_stream_enrich" ->
+      """SELECT n_name, event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events JOIN nation ON user_id % 25 = n_nationkey
+        |GROUP BY n_name, event_type""".stripMargin,
     "c6_snapshot_read" ->
       """SELECT event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
