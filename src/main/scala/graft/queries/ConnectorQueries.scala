@@ -25,8 +25,48 @@ object ConnectorQueries {
     "c4_split_reroute" -> c4,
     "c5_stream_dedup" -> c5,
     "c6_snapshot_read" -> c6,
-    "c7_stream_enrich" -> c7
+    "c7_stream_enrich" -> c7,
+    "c8_incremental_read" -> c8
   )
+
+  /** CDC-style incremental batch (c8): the rows committed BETWEEN two
+    * pinned snapshot versions, with no new reader surface — a snapshot's
+    * per-shard ends ARE offsets, so "changes since v1" is a bounded scan
+    * from v1's ends (startingoffsets JSON) to v2's snapshot clamp. The
+    * incremental-ETL primitive: process each commit range exactly once,
+    * replayable forever (both bounds are manifest-pinned, immune to
+    * concurrent appends). Oracle = the second commit's aggregate. */
+  private def c8: Q = (spark, dir) => {
+    val root = Files.createTempDirectory("graft-logstore-c8").toString
+    val store = new EmbeddedLogStore(root)
+    store.createStore("proj", "inc", 2)
+    val opts = Map("store.root" -> root, "store.project" -> "proj",
+      "store.name" -> "inc")
+    def write(half: DataFrame): Unit =
+      half.select(
+          (col("user_id") % 2).cast(IntegerType).as("__shard__"),
+          expr("ts DIV 1000000000").cast(IntegerType).as("__time__"),
+          col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.format("graft-logstore").options(opts).mode("append").save()
+    val ev = t(spark, dir, "events")
+    write(ev.filter(col("event_id") % 2 === 0)) // commit 1
+    val v1 = store.latestVersion("proj", "inc")
+    write(ev.filter(col("event_id") % 2 === 1)) // commit 2 = the increment
+    val v2 = store.latestVersion("proj", "inc")
+    val fromOffsets = graft.connector.LogServiceOffset("proj", "inc",
+      store.listShards("proj", "inc").map(s =>
+        s.id -> store.shardEndsAt("proj", "inc", v1).getOrElse(s.id, 0L)).toMap)
+    spark.read.format("graft-logstore").options(opts)
+      .option("startingoffsets", fromOffsets.json())
+      .option("store.snapshotversion", v2.toString)
+      .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+      .load()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum6(col("value")).as("sum_value"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+  }
 
   /** Stream-static broadcast enrich on the oracle gate: the streaming
     * event log joins a static dimension (broadcast — the dim never
@@ -305,6 +345,12 @@ object ConnectorQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "c8_incremental_read" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        | MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        |FROM events WHERE event_id % 2 = 1
+        |GROUP BY event_type""".stripMargin,
     "c7_stream_enrich" ->
       """SELECT n_name, event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

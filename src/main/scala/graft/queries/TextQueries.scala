@@ -64,8 +64,29 @@ object TextQueries {
     "s5_ann_sq" -> s5,
     "s6_ann_pq" -> s6,
     "p1_prep_pipeline" -> p1,
-    "p2_prep_pipeline_v2" -> p2
+    "p2_prep_pipeline_v2" -> p2,
+    "p3_dedup_keeper" -> p3
   )
+
+  /** Dedup with a keeper POLICY (p3): near-dup groups (d3 pairs → d9
+    * components) resolved to the member a real pipeline keeps — the
+    * LONGEST document (C4's policy), tie-broken to the lowest doc_id.
+    * The argmax is one aggregation via min(struct(-len, id)) — no
+    * per-group window, no second shuffle. Composition pinned end-to-end
+    * by extending d9's recursive-CTE oracle with the keeper selection. */
+  private def p3: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+    val comps = Dedup.duplicateComponents(Dedup.minHashLshPairs(docs, jaccardThreshold))
+    val lens = docs.select(col("doc_id"),
+      size(TF.tokens(lower(col("text")))).cast(LongType).as("n_toks"))
+    comps.join(lens, "doc_id")
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_members"),
+        max(col("n_toks")).as("max_toks"),
+        min(struct((-col("n_toks")).as("neg"), col("doc_id").as("id")))
+          .getField("id").as("keeper_id"))
+      .select(col("comp"), col("keeper_id"), col("n_members"), col("max_toks"))
+  }
 
   /** The composed data-prep pipeline a training run actually executes:
     * quality filter → exact dedup (keep the lowest doc_id per canonical
@@ -992,6 +1013,40 @@ object TextQueries {
         |FROM kept GROUP BY 1""".stripMargin,
     "d2_dedup_jaccard" -> shingleCte,
     "d3_dedup_minhash_lsh" -> shingleCte,
+    "p3_dedup_keeper" ->
+      """WITH RECURSIVE words AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s FROM words),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS aid, b.doc_id AS bid, count(*) AS n
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |p AS (SELECT aid, bid FROM inter
+        |      JOIN sizes s1 ON aid = s1.doc_id JOIN sizes s2 ON bid = s2.doc_id
+        |      WHERE CAST(n AS DOUBLE) / (s1.sz + s2.sz - n) >= 0.8),
+        |edges AS (SELECT aid AS src, bid AS dst FROM p
+        |          UNION SELECT bid, aid FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS doc_id,
+        |           least(src, MIN(dst)) AS comp
+        |         FROM reach GROUP BY src),
+        |lens AS (SELECT doc_id,
+        |           CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_toks
+        |         FROM documents),
+        |m AS (SELECT c.comp, c.doc_id, l.n_toks
+        |      FROM comp c JOIN lens l ON c.doc_id = l.doc_id),
+        |sel AS (SELECT comp, doc_id, n_toks,
+        |          ROW_NUMBER() OVER (PARTITION BY comp ORDER BY n_toks DESC, doc_id) AS rn
+        |        FROM m)
+        |SELECT CAST(m.comp AS BIGINT) AS comp,
+        | CAST(MAX(s.doc_id) AS BIGINT) AS keeper_id,
+        | COUNT(*) AS n_members,
+        | CAST(MAX(m.n_toks) AS BIGINT) AS max_toks
+        |FROM m JOIN sel s ON m.comp = s.comp AND s.rn = 1
+        |GROUP BY m.comp""".stripMargin,
     "d9_dedup_groups" ->
       """WITH RECURSIVE words AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),

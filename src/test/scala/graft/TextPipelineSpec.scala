@@ -171,6 +171,28 @@ class TextPipelineSpec extends AnyFunSuite {
       ("B", "de", 3L, 21L, 6L, 7L)))
   }
 
+  test("p3 keeper policy: longest member wins, ties break to lowest doc_id") {
+    import spark.implicits._
+    // docs 1,2,3 are near-identical (one clique); 2 is longest -> keeper.
+    // docs 10,11 tie on length -> keeper is the lower id.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base, "en", "s", 0L),
+      (2L, base + " lambda mu", "en", "s", 0L),
+      (3L, base + " lambda", "en", "s", 0L),
+      (10L, "one two three four five six seven eight nine ten", "en", "s", 0L),
+      (11L, "one two three four five six seven eight nine ten", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("p3").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("p3_dedup_keeper")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, 2L, 3L, 12L),   // comp 1: keeper 2 (12 tokens), 3 members
+      (10L, 10L, 2L, 10L)))// comp 10: tie at 10 tokens -> keeper 10
+  }
+
   test("t19 bigram mass: counts shared vs unique bigrams, 2-token floor") {
     import spark.implicits._
     // "a b" appears in docs 1 and 2 (cnt 2); "b c" only in doc 2 (cnt 1);
