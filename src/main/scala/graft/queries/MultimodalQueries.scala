@@ -23,7 +23,49 @@ object MultimodalQueries {
     "m5_png_roundtrip" -> m5,
     "m6_jpeg_roundtrip" -> m6,
     "m7_audio_frames" -> m7,
-    "m8_scene_cuts" -> m8)
+    "m8_scene_cuts" -> m8,
+    "m9_image_dhash" -> m9)
+
+  /** Image perceptual hash (m9): dHash — the image-dedup primitive
+    * (LAION-style near-dup detection hashes every image; equal or
+    * near-equal hashes mark duplicates). Each asset's 9x8 gray plane round-trips
+    * the REAL 24bpp BMP codec (m4's), then 64 adjacent-pixel
+    * comparisons become the hash, carried as two 32-bit halves so the
+    * oracle's integer math stays overflow-free. All deterministic byte
+    * arithmetic — the oracle recomputes the exact bits.
+    *
+    * Scale: zero-shuffle per-asset map; downstream near-dup grouping is
+    * a groupBy on the hash (or banded hamming join, exactly d4's
+    * simhash machinery — same band-bucket-verify pipeline). */
+  private def m9: Q = (spark, dir) => {
+    import spark.implicits._
+    val W = 9
+    val H = 8
+    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val plane = Array.tabulate(W * H)(i => ((id * 31 + i) % 256).toByte)
+      val bmp = Multimodal.encodeBmp24(W, H, plane)
+      val (_, _, dec) = Multimodal.decodeBmp24(bmp)
+      var lo = 0L
+      var hi = 0L
+      var n = 0L
+      var r = 0
+      while (r < H) {
+        var c = 0
+        while (c < 8) {
+          val a = dec(r * W + c) & 0xFF
+          val b = dec(r * W + c + 1) & 0xFF
+          if (b > a) {
+            val bit = r * 8 + c
+            if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+            n += 1
+          }
+          c += 1
+        }
+        r += 1
+      }
+      (id, lo, hi, n)
+    }.toDF("doc_id", "dhash_lo", "dhash_hi", "n_set")
+  }
 
   /** Video scene-cut detection (m8): the shot-boundary primitive — each
     * asset's payload is framed into fixed 64-byte frames and adjacent
@@ -285,6 +327,21 @@ object MultimodalQueries {
         | CAST((octet_length(encode(text)) // 128 + 2) // 3 AS BIGINT) AS n_sampled,
         | CASE WHEN octet_length(encode(text)) >= 128
         |      THEN lower(substring(hex(encode(text)), 1, 256)) END AS first_frame_hex
+        |FROM documents""".stripMargin,
+    "m9_image_dhash" ->
+      """SELECT doc_id,
+        | CAST(list_sum(list_transform(range(0, 32), b ->
+        |   CASE WHEN ((doc_id*31 + (b//8)*9 + (b%8) + 1) % 256)
+        |          > ((doc_id*31 + (b//8)*9 + (b%8)) % 256)
+        |   THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS dhash_lo,
+        | CAST(list_sum(list_transform(range(32, 64), b ->
+        |   CASE WHEN ((doc_id*31 + (b//8)*9 + (b%8) + 1) % 256)
+        |          > ((doc_id*31 + (b//8)*9 + (b%8)) % 256)
+        |   THEN (1::BIGINT << (b - 32)) ELSE 0 END)) AS BIGINT) AS dhash_hi,
+        | CAST(list_sum(list_transform(range(0, 64), b ->
+        |   CASE WHEN ((doc_id*31 + (b//8)*9 + (b%8) + 1) % 256)
+        |          > ((doc_id*31 + (b//8)*9 + (b%8)) % 256)
+        |   THEN 1 ELSE 0 END)) AS BIGINT) AS n_set
         |FROM documents""".stripMargin,
     "m8_scene_cuts" ->
       """WITH d AS (SELECT doc_id, hex(encode(text)) AS h,
