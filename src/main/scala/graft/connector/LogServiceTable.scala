@@ -5,10 +5,11 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import scala.jdk.CollectionConverters._
 
@@ -97,11 +98,36 @@ class LogServiceTable(tableSchema: StructType, opts: LogServiceOptions)
   * pushdown only ever *removes I/O*, never changes semantics. */
 class LogScanBuilder(fullSchema: StructType, opts: LogServiceOptions)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownLimit {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
   private var prunedSchema: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var timeRange: Option[(Int, Int)] = None
   private var limit: Option[Int] = None
+  private var countStars: Int = 0
+
+  /** COUNT(*) with no grouping, no residual filters, and an unbounded
+    * full-store scan is answered from manifest statistics alone — the
+    * segment counts are exact, so the pushdown reads ZERO data (the
+    * same trick parquet metadata-only queries use, but O(manifest)
+    * instead of O(footers)). Anything narrower (offsets, time range,
+    * limit, filters, snapshot is fine) refuses and scans normally. */
+  private def canPushCount(agg: Aggregation): Boolean =
+    timeRange.isEmpty && limit.isEmpty && pushed.isEmpty &&
+      agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar]) &&
+      opts.startingOffsets == "earliest" && opts.endingOffsets == "latest" &&
+      opts.startTime.isEmpty && opts.endTime.isEmpty
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    canPushCount(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!canPushCount(agg)) return false
+    countStars = agg.aggregateExpressions.length
+    true
+  }
 
   /** LIMIT n caps each partition's ordinal range to its first n records
     * (partial pushdown: Spark's own limit still runs above). Only safe
@@ -156,8 +182,52 @@ class LogScanBuilder(fullSchema: StructType, opts: LogServiceOptions)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new LogScan(prunedSchema, opts, timeRange, limit)
+  override def build(): Scan =
+    if (countStars > 0) new LogCountScan(opts, countStars)
+    else new LogScan(prunedSchema, opts, timeRange, limit)
 }
+
+/** Completely-pushed COUNT(*): one partition, one row, zero data read —
+  * the count is the sum of committed segment record counts from the
+  * manifest fold (snapshot-pinned when `store.snapshotversion` is set).
+  * Exactness is the same invariant the ordinal cursor model already
+  * depends on (Segment.count IS the cursor arithmetic). */
+class LogCountScan(opts: LogServiceOptions, nCounts: Int)
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType((0 until nCounts).map(i =>
+      StructField(s"count_$i", LongType, nullable = false)))
+  override def description(): String =
+    s"graft-logstore count-from-manifest ${opts.project}#${opts.store}"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    val store = opts.newStore
+    val shards = store.listShards(opts.project, opts.store)
+    val total = opts.snapshotVersion match {
+      case Some(v) =>
+        val ends = store.shardEndsAt(opts.project, opts.store, v)
+        shards.map(s => ends.getOrElse(s.id, 0L)).sum
+      case None =>
+        shards.map(s => store.shardEnd(opts.project, opts.store, s.id)).sum
+    }
+    Array(LogCountPartition(total, nCounts))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val cp = p.asInstanceOf[LogCountPartition]
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = !emitted && { emitted = true; true }
+          override def get(): InternalRow =
+            InternalRow.fromSeq(Seq.fill(cp.nCounts)(cp.total))
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+case class LogCountPartition(total: Long, nCounts: Int) extends InputPartition
 
 class LogScan(schema: StructType, opts: LogServiceOptions,
     pushedTimeRange: Option[(Int, Int)] = None,

@@ -88,6 +88,33 @@ class PushdownSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("count(*) is answered from manifest stats — zero data read") {
+    val ref = seeded() // 300 records
+    val df = LogServiceUtils.createBatchDF(spark, ref, Some(schema))
+    val counted = df.count()
+    assert(counted === 300)
+    // the plan must carry the count-from-manifest scan, not a data scan
+    val plan = df.groupBy().count().queryExecution.executedPlan.toString
+    assert(plan.contains("count-from-manifest"), plan)
+    // a filtered count must NOT push (residual filter re-evaluates rows)
+    val filtered = df.filter(col("msg") < 100)
+    assert(filtered.count() === 50) // shard-0 epoch-0 msgs 0..49 only
+    val fplan = filtered.groupBy().count().queryExecution.executedPlan.toString
+    assert(!fplan.contains("count-from-manifest"), fplan)
+    // snapshot-pinned count = the prefix's records
+    val store = new EmbeddedLogStore(ref.root)
+    val v = store.latestVersion("proj", "logs")
+    store.appendSegment("proj", "logs", 0, "late",
+      (0 until 7).map(i => LogRecord(1700009000 + i, "t", "s", Map.empty,
+        Map("msg" -> i.toString))))
+    val pinned = spark.read.format("graft-logstore")
+      .options(Map("store.root" -> ref.root, "store.project" -> "proj",
+        "store.name" -> "logs", "store.snapshotversion" -> v.toString))
+      .schema(schema).load()
+    assert(pinned.count() === 300)
+    assert(LogServiceUtils.createBatchDF(spark, ref, Some(schema)).count() === 307)
+  }
+
   test("sliceshard multiplies partitions without changing results") {
     val ref = seeded()
     val df1 = LogServiceUtils.createBatchDF(spark, ref, Some(schema))
