@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
@@ -104,28 +104,46 @@ class LogScanBuilder(fullSchema: StructType, opts: LogServiceOptions)
   private var pushed: Array[Filter] = Array.empty
   private var timeRange: Option[(Int, Int)] = None
   private var limit: Option[Int] = None
-  private var countStars: Int = 0
+  // pushed stat aggregates, one char per output column:
+  // 'c' = COUNT(*), 'n' = MIN(__time__), 'x' = MAX(__time__)
+  private var statCols: String = ""
 
-  /** COUNT(*) with no grouping, no residual filters, and an unbounded
-    * full-store scan is answered from manifest statistics alone — the
-    * segment counts are exact, so the pushdown reads ZERO data (the
-    * same trick parquet metadata-only queries use, but O(manifest)
+  /** COUNT(*) / MIN(__time__) / MAX(__time__) with no grouping, no
+    * residual filters, and an unbounded full-store scan are answered
+    * from manifest statistics alone — segment record counts and
+    * [minTime, maxTime] bounds are exact, so the pushdown reads ZERO
+    * data (the trick parquet metadata-only queries use, but O(manifest)
     * instead of O(footers)). Anything narrower (offsets, time range,
-    * limit, filters, snapshot is fine) refuses and scans normally. */
-  private def canPushCount(agg: Aggregation): Boolean =
+    * limit, filters; snapshot is fine) refuses and scans normally. */
+  private def statKind(e: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc): Option[Char] = e match {
+    case _: CountStar => Some('c')
+    case m: Min => m.column match {
+      case f: org.apache.spark.sql.connector.expressions.NamedReference
+        if f.fieldNames.sameElements(Array(RowConverters.Time)) => Some('n')
+      case _ => None
+    }
+    case m: Max => m.column match {
+      case f: org.apache.spark.sql.connector.expressions.NamedReference
+        if f.fieldNames.sameElements(Array(RowConverters.Time)) => Some('x')
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def canPushStats(agg: Aggregation): Boolean =
     timeRange.isEmpty && limit.isEmpty && pushed.isEmpty &&
       agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar]) &&
+      agg.aggregateExpressions.forall(e => statKind(e).isDefined) &&
       opts.startingOffsets == "earliest" && opts.endingOffsets == "latest" &&
       opts.startTime.isEmpty && opts.endTime.isEmpty
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    canPushCount(agg)
+    canPushStats(agg)
 
   override def pushAggregation(agg: Aggregation): Boolean = {
-    if (!canPushCount(agg)) return false
-    countStars = agg.aggregateExpressions.length
+    if (!canPushStats(agg)) return false
+    statCols = agg.aggregateExpressions.flatMap(statKind).mkString
     true
   }
 
@@ -183,51 +201,77 @@ class LogScanBuilder(fullSchema: StructType, opts: LogServiceOptions)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    if (countStars > 0) new LogCountScan(opts, countStars)
+    if (statCols.nonEmpty) new LogStatScan(opts, statCols)
     else new LogScan(prunedSchema, opts, timeRange, limit)
 }
 
-/** Completely-pushed COUNT(*): one partition, one row, zero data read —
-  * the count is the sum of committed segment record counts from the
-  * manifest fold (snapshot-pinned when `store.snapshotversion` is set).
-  * Exactness is the same invariant the ordinal cursor model already
-  * depends on (Segment.count IS the cursor arithmetic). */
-class LogCountScan(opts: LogServiceOptions, nCounts: Int)
+/** Completely-pushed stat aggregates: one partition, one row, zero data
+  * read — COUNT(*) is the sum of committed segment record counts from
+  * the manifest fold (snapshot-pinned when `store.snapshotversion` is
+  * set; the same invariant the ordinal cursor model depends on), and
+  * MIN/MAX(__time__) fold the segments' exact [minTime, maxTime]
+  * bounds (null on an empty store, like any aggregate over no rows). */
+class LogStatScan(opts: LogServiceOptions, statCols: String)
     extends Scan with Batch {
   override def readSchema(): StructType =
-    StructType((0 until nCounts).map(i =>
-      StructField(s"count_$i", LongType, nullable = false)))
+    StructType(statCols.zipWithIndex.map {
+      case ('c', i) => StructField(s"count_$i", LongType, nullable = false)
+      case (_, i) => StructField(s"time_$i",
+        org.apache.spark.sql.types.TimestampType, nullable = true)
+    })
   override def description(): String =
-    s"graft-logstore count-from-manifest ${opts.project}#${opts.store}"
+    s"graft-logstore stats-from-manifest($statCols) ${opts.project}#${opts.store}"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
     val store = opts.newStore
     val shards = store.listShards(opts.project, opts.store)
-    val total = opts.snapshotVersion match {
-      case Some(v) =>
-        val ends = store.shardEndsAt(opts.project, opts.store, v)
-        shards.map(s => ends.getOrElse(s.id, 0L)).sum
-      case None =>
-        shards.map(s => store.shardEnd(opts.project, opts.store, s.id)).sum
+    val snapEnds = opts.snapshotVersion.map(v =>
+      store.shardEndsAt(opts.project, opts.store, v))
+    var total = 0L
+    var minT = Long.MaxValue
+    var maxT = Long.MinValue
+    shards.foreach { s =>
+      // fold segments in ordinal order; a snapshot clamp is always
+      // segment-aligned (shardEndsAt sums whole segment counts), so a
+      // segment is either fully in the snapshot or fully out — the
+      // [minTime, maxTime] envelope is only valid for whole segments
+      var ord = 0L
+      val end = snapEnds.map(_.getOrElse(s.id, 0L)).getOrElse(Long.MaxValue)
+      store.listSegments(opts.project, opts.store, s.id).foreach { seg =>
+        if (ord < end && seg.count > 0) {
+          require(ord + seg.count <= end,
+            s"snapshot end $end splits a segment at ordinal $ord — " +
+              "manifest prefix must be segment-aligned")
+          total += seg.count
+          if (seg.minTime < minT) minT = seg.minTime
+          if (seg.maxTime > maxT) maxT = seg.maxTime
+        }
+        ord += seg.count
+      }
     }
-    Array(LogCountPartition(total, nCounts))
+    Array(LogStatPartition(statCols, total,
+      if (total == 0) None else Some(minT), if (total == 0) None else Some(maxT)))
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-        val cp = p.asInstanceOf[LogCountPartition]
+        val sp = p.asInstanceOf[LogStatPartition]
         new PartitionReader[InternalRow] {
           private var emitted = false
           override def next(): Boolean = !emitted && { emitted = true; true }
-          override def get(): InternalRow =
-            InternalRow.fromSeq(Seq.fill(cp.nCounts)(cp.total))
+          override def get(): InternalRow = InternalRow.fromSeq(sp.statCols.map {
+            case 'c' => sp.total: Any
+            case 'n' => sp.minT.map(t => (t * 1000000L): Any).orNull // s → µs
+            case _ => sp.maxT.map(t => (t * 1000000L): Any).orNull
+          })
           override def close(): Unit = ()
         }
       }
     }
 }
 
-case class LogCountPartition(total: Long, nCounts: Int) extends InputPartition
+case class LogStatPartition(statCols: String, total: Long,
+    minT: Option[Long], maxT: Option[Long]) extends InputPartition
 
 class LogScan(schema: StructType, opts: LogServiceOptions,
     pushedTimeRange: Option[(Int, Int)] = None,

@@ -88,19 +88,31 @@ class PushdownSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
-  test("count(*) is answered from manifest stats — zero data read") {
-    val ref = seeded() // 300 records
+  test("count(*) / min/max(__time__) answered from manifest stats — zero data read") {
+    val ref = seeded() // 300 records, times 1700000000+0..299
     val df = LogServiceUtils.createBatchDF(spark, ref, Some(schema))
     val counted = df.count()
     assert(counted === 300)
-    // the plan must carry the count-from-manifest scan, not a data scan
+    // the plan must carry the stats-from-manifest scan, not a data scan
     val plan = df.groupBy().count().queryExecution.executedPlan.toString
-    assert(plan.contains("count-from-manifest"), plan)
+    assert(plan.contains("stats-from-manifest"), plan)
+    // min/max(__time__) fold the segments' exact time bounds
+    val mm = df.agg(min(col("__time__")).cast("long"),
+      max(col("__time__")).cast("long"))
+    val mmPlan = mm.queryExecution.executedPlan.toString
+    assert(mmPlan.contains("stats-from-manifest"), mmPlan)
+    val r = mm.head()
+    // seeded times are base + (0..49) per epoch: max = 1700000200 + 49
+    assert(r.getLong(0) === 1700000000L && r.getLong(1) === 1700000249L, r)
+    // mixed with a non-stat aggregate: refuses, still exact
+    val mixed = df.agg(min(col("__time__")).cast("long"), sum(col("msg")))
+    assert(!mixed.queryExecution.executedPlan.toString.contains("stats-from-manifest"))
+    assert(mixed.head().getLong(0) === 1700000000L)
     // a filtered count must NOT push (residual filter re-evaluates rows)
     val filtered = df.filter(col("msg") < 100)
     assert(filtered.count() === 50) // shard-0 epoch-0 msgs 0..49 only
     val fplan = filtered.groupBy().count().queryExecution.executedPlan.toString
-    assert(!fplan.contains("count-from-manifest"), fplan)
+    assert(!fplan.contains("stats-from-manifest"), fplan)
     // snapshot-pinned count = the prefix's records
     val store = new EmbeddedLogStore(ref.root)
     val v = store.latestVersion("proj", "logs")
