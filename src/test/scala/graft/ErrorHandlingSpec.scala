@@ -35,9 +35,11 @@ class ErrorHandlingSpec extends AnyFunSuite {
     Files.writeString(
       Paths.get(root, "proj", "logs", "shard-0", seg.fileName),
       "this is not json\n")
+    // count() alone is now answered from manifest stats (zero data
+    // read, like parquet footer counts) — force an actual data read
     val e = intercept[Exception] {
       spark.read.format("graft-logstore").options(opts(root))
-        .schema("msg INT").load().count()
+        .schema("msg INT").load().agg(sum(col("msg"))).collect()
     }
     assert(e != null)
   }
@@ -50,7 +52,7 @@ class ErrorHandlingSpec extends AnyFunSuite {
       Seq(LogRecord(1700000000, "t", "s", Map.empty, Map("msg" -> "not-an-int"))))
     val e = intercept[Exception] {
       spark.read.format("graft-logstore").options(opts(root))
-        .schema("msg INT").load().count()
+        .schema("msg INT").load().agg(sum(col("msg"))).collect()
     }
     assert(e != null)
   }
