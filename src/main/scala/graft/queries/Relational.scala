@@ -49,8 +49,28 @@ object Relational {
     "q21_pivot" -> q21,
     "q22_region_revenue" -> q22,
     "q23_revenue_leader" -> q23,
-    "q24_moving_revenue" -> q24
+    "q24_moving_revenue" -> q24,
+    "q25_small_order_revenue" -> q25
   )
+
+  /** TPC-H Q17-style small-order revenue: lineitems whose quantity is
+    * below 20% of their part's average. The correlated scalar-aggregate
+    * is a WINDOW over the part key — one shuffle, ONE lineitem scan —
+    * instead of the textbook agg-then-self-join (two scans, q23's
+    * trap). The 0.2·avg comparison is cross-multiplied to integers
+    * (5·qty·cnt < Σqty), so no engine-specific decimal division ever
+    * happens and the boundary rows match exactly. */
+  private def q25: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("l_partkey"))
+    t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity").cast(LongType).as("qty"),
+        col("l_extendedprice"))
+      .withColumn("sum_qty", sum(col("qty")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(lit(5) * col("qty") * col("cnt") < col("sum_qty"))
+      .agg(count(lit(1)).as("n_small"),
+        dsum2(col("l_extendedprice")).as("small_revenue"))
+  }
 
   /** Event-time RANGE window (q24): per-customer trailing-90-day order
     * value — the moving-aggregate shape rows-frames can't express
@@ -487,6 +507,15 @@ object Relational {
         |  AND EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority""".stripMargin,
+    "q25_small_order_revenue" ->
+      """WITH x AS (SELECT l_partkey,
+        |    CAST(l_quantity AS BIGINT) AS qty, l_extendedprice,
+        |    SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_partkey) AS sum_qty,
+        |    COUNT(*) OVER (PARTITION BY l_partkey) AS cnt
+        |  FROM lineitem)
+        |SELECT COUNT(*) AS n_small,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+        |FROM x WHERE 5 * qty * cnt < sum_qty""".stripMargin,
     "q24_moving_revenue" ->
       """SELECT o_custkey, o_orderkey,
         | CAST(epoch(o_orderdate) AS BIGINT) AS order_s,

@@ -177,6 +177,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q25: the correlated scalar-aggregate is a window — one lineitem scan, one shuffle") {
+    val p = plan("q25_small_order_revenue")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p) // no agg-then-self-join double scan
+    assert("lineitem\\.parquet".r.findAllIn(p).size === 1, p)
+  }
+
   test("k2: sketches aggregate under ObjectHashAggregate with partial merge") {
     val p = plan("k2_freq_sketch")
     assert(p.contains("ObjectHashAggregate"), p)
