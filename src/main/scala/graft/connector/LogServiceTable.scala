@@ -114,17 +114,32 @@ class LogScanBuilder(fullSchema: StructType, opts: LogServiceOptions)
     * [minTime, maxTime] bounds are exact, so the pushdown reads ZERO
     * data (the trick parquet metadata-only queries use, but O(manifest)
     * instead of O(footers)). Anything narrower (offsets, time range,
-    * limit, filters; snapshot is fine) refuses and scans normally. */
+    * limit, filters; snapshot is fine) refuses and scans normally.
+    *
+    * MIN/MAX only push when the declared `__time__` type can be
+    * reproduced exactly from the manifest's epoch-second bounds:
+    * TimestampType (seconds → µs) or an integral type (raw seconds).
+    * With the default no-user-schema load() `__time__` is a STRING and
+    * the unpushed result is the lexicographic min of stringified
+    * timestamps — a different value; the pushdown must refuse rather
+    * than silently change the answer. */
+  private val timeType: Option[org.apache.spark.sql.types.DataType] =
+    fullSchema.fields.find(_.name == RowConverters.Time).map(_.dataType)
+  private val timeStatOk: Boolean = timeType.exists {
+    case org.apache.spark.sql.types.TimestampType | LongType |
+         org.apache.spark.sql.types.IntegerType => true
+    case _ => false
+  }
   private def statKind(e: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc): Option[Char] = e match {
     case _: CountStar => Some('c')
     case m: Min => m.column match {
       case f: org.apache.spark.sql.connector.expressions.NamedReference
-        if f.fieldNames.sameElements(Array(RowConverters.Time)) => Some('n')
+        if timeStatOk && f.fieldNames.sameElements(Array(RowConverters.Time)) => Some('n')
       case _ => None
     }
     case m: Max => m.column match {
       case f: org.apache.spark.sql.connector.expressions.NamedReference
-        if f.fieldNames.sameElements(Array(RowConverters.Time)) => Some('x')
+        if timeStatOk && f.fieldNames.sameElements(Array(RowConverters.Time)) => Some('x')
       case _ => None
     }
     case _ => None
@@ -201,7 +216,9 @@ class LogScanBuilder(fullSchema: StructType, opts: LogServiceOptions)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    if (statCols.nonEmpty) new LogStatScan(opts, statCols)
+    if (statCols.nonEmpty)
+      new LogStatScan(opts, statCols,
+        timeType.getOrElse(org.apache.spark.sql.types.TimestampType))
     else new LogScan(prunedSchema, opts, timeRange, limit)
 }
 
@@ -211,13 +228,15 @@ class LogScanBuilder(fullSchema: StructType, opts: LogServiceOptions)
   * set; the same invariant the ordinal cursor model depends on), and
   * MIN/MAX(__time__) fold the segments' exact [minTime, maxTime]
   * bounds (null on an empty store, like any aggregate over no rows). */
-class LogStatScan(opts: LogServiceOptions, statCols: String)
+class LogStatScan(opts: LogServiceOptions, statCols: String,
+    timeType: org.apache.spark.sql.types.DataType)
     extends Scan with Batch {
   override def readSchema(): StructType =
     StructType(statCols.zipWithIndex.map {
       case ('c', i) => StructField(s"count_$i", LongType, nullable = false)
-      case (_, i) => StructField(s"time_$i",
-        org.apache.spark.sql.types.TimestampType, nullable = true)
+      // min/max carry the DECLARED __time__ type: the builder only
+      // pushes for types the epoch-second bounds reproduce exactly
+      case (_, i) => StructField(s"time_$i", timeType, nullable = true)
     })
   override def description(): String =
     s"graft-logstore stats-from-manifest($statCols) ${opts.project}#${opts.store}"
@@ -252,22 +271,33 @@ class LogStatScan(opts: LogServiceOptions, statCols: String)
     Array(LogStatPartition(statCols, total,
       if (total == 0) None else Some(minT), if (total == 0) None else Some(maxT)))
   }
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val integral = timeType match {
+      case org.apache.spark.sql.types.IntegerType => 1
+      case LongType => 2
+      case _ => 0 // TimestampType: seconds → microseconds
+    }
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
         val sp = p.asInstanceOf[LogStatPartition]
+        def emit(t: Long): Any = integral match {
+          case 1 => t.toInt
+          case 2 => t
+          case _ => t * 1000000L // s → µs
+        }
         new PartitionReader[InternalRow] {
           private var emitted = false
           override def next(): Boolean = !emitted && { emitted = true; true }
           override def get(): InternalRow = InternalRow.fromSeq(sp.statCols.map {
             case 'c' => sp.total: Any
-            case 'n' => sp.minT.map(t => (t * 1000000L): Any).orNull // s → µs
-            case _ => sp.maxT.map(t => (t * 1000000L): Any).orNull
+            case 'n' => sp.minT.map(emit).orNull
+            case _ => sp.maxT.map(emit).orNull
           })
           override def close(): Unit = ()
         }
       }
     }
+  }
 }
 
 case class LogStatPartition(statCols: String, total: Long,

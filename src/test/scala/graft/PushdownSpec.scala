@@ -127,6 +127,39 @@ class PushdownSpec extends AnyFunSuite {
     assert(LogServiceUtils.createBatchDF(spark, ref, Some(schema)).count() === 307)
   }
 
+  test("min/max(__time__) stat pushdown is gated on the declared time type") {
+    val ref = seeded() // 300 records, times 1700000000+0..299
+    // STRING __time__ (the default no-schema load() path): the unpushed
+    // answer is the lexicographic min of stringified timestamps — the
+    // manifest stat (a timestamp) is a DIFFERENT value, so the pushdown
+    // must refuse. COUNT(*) is type-independent and still pushes.
+    val strDf = LogServiceUtils.createBatchDF(spark, ref, None)
+    val strAgg = strDf.agg(min(col("__time__")), max(col("__time__")))
+    val strPlan = strAgg.queryExecution.executedPlan.toString
+    assert(!strPlan.contains("stats-from-manifest"), strPlan)
+    val expected = strDf.select(col("__time__")).collect().map(_.getString(0))
+    val r = strAgg.head()
+    assert(r.getString(0) === expected.min && r.getString(1) === expected.max, r)
+    val cntPlan = strDf.groupBy().count().queryExecution.executedPlan.toString
+    assert(cntPlan.contains("stats-from-manifest"), cntPlan)
+    // BIGINT __time__: epoch seconds reproduce the stat exactly → pushes
+    val longDf = LogServiceUtils.createBatchDF(spark, ref,
+      Some(StructType.fromDDL("msg INT, __time__ BIGINT")))
+    val longAgg = longDf.agg(min(col("__time__")), max(col("__time__")))
+    assert(longAgg.queryExecution.executedPlan.toString
+      .contains("stats-from-manifest"))
+    val lr = longAgg.head()
+    assert(lr.getLong(0) === 1700000000L && lr.getLong(1) === 1700000249L, lr)
+    // INT __time__: same, at the declared width
+    val intDf = LogServiceUtils.createBatchDF(spark, ref,
+      Some(StructType.fromDDL("msg INT, __time__ INT")))
+    val intAgg = intDf.agg(min(col("__time__")), max(col("__time__")))
+    assert(intAgg.queryExecution.executedPlan.toString
+      .contains("stats-from-manifest"))
+    val ir = intAgg.head()
+    assert(ir.getInt(0) === 1700000000 && ir.getInt(1) === 1700000249, ir)
+  }
+
   test("sliceshard multiplies partitions without changing results") {
     val ref = seeded()
     val df1 = LogServiceUtils.createBatchDF(spark, ref, Some(schema))
