@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses the LAST stdout line as the metric
+// JSON; sbt's trailing "[success] Total time ..." banner has broken
+// that parse every round (BENCH_r*.json "parsed": null). Exit code
+// still signals success.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

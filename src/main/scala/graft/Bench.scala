@@ -71,7 +71,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Self-describing: reps/cpus/statistic ride along so a consumer can
+    // tell which methodology produced a given line across rounds.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","stat":"min","reps":$reps,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

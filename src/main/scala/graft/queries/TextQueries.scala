@@ -694,9 +694,12 @@ object TextQueries {
     * Scale: bigrams are derived per-row with zip_with over the token
     * array (no posexplode self-join); the frequency table is a map-side
     * partial + final hash agg, then broadcast back against the doc-side
-    * bigrams — the fact stream never shuffles. At 100 TB the frequency
-    * table is Zipf-bounded; if it outgrows broadcast, the same plan
-    * degrades to a shuffle hash join on the bigram key. */
+    * bigrams — the fact stream never shuffles. The explicit broadcast()
+    * hint is a deliberate bet that the frequency table stays
+    * Zipf-bounded; it forces the broadcast unconditionally, so at a
+    * scale where the table outgrows driver memory the operator must be
+    * re-run with the hint removed (Spark then picks a shuffle hash join
+    * on the bigram key) — the plan does not degrade by itself. */
   private def t19: Q = (spark, dir) => {
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), TF.tokens(lower(col("text"))).as("a"))
