@@ -46,4 +46,34 @@ object RangeJoin {
         col(rightTs) <= col(leftTs) + lit(hi))
       .drop("__bucket__")
   }
+
+  /** Keyless variable-width point-in-interval join: pairs (interval,
+    * point) with `point.ts ∈ [interval.start, interval.end)`.
+    *
+    * With no shared key, the naive plan is a broadcast-nested-loop (or
+    * worse, a cartesian) over |intervals|×|points|. Binning manufactures
+    * the equi-key: an interval is exploded into every `binWidth`-wide
+    * bin it overlaps (⌈len/W⌉+1 of them — choose W near the typical
+    * interval length so that's ~2), a point lives in exactly one bin,
+    * and the join becomes an equi-join on the bin followed by the exact
+    * range predicate. Each true pair is produced exactly once because
+    * the point's single bin is among the interval's bins exactly once.
+    *
+    * At 100 TB both sides shuffle once on the bin — AQE-splittable,
+    * skew visible per-bin — and only same-neighborhood rows ever meet.
+    * Interval columns must be longs in the same unit as `tsCol`;
+    * `end > start` required (empty intervals produce nothing). */
+  def pointInIntervals(intervals: DataFrame, points: DataFrame,
+      startCol: String, endCol: String, tsCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth $binWidth must be positive")
+    def binOf(c: Column): Column =
+      ((c - pmod(c, lit(binWidth))) / lit(binWidth)).cast("long")
+    val l = intervals.withColumn("__bin__",
+      explode(sequence(binOf(col(startCol)), binOf(col(endCol) - 1))))
+    val r = points.withColumn("__bin__", binOf(col(tsCol)))
+    l.join(r, l("__bin__") === r("__bin__") &&
+        col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
+      .drop("__bin__")
+  }
 }

@@ -50,8 +50,53 @@ object Relational {
     "q22_region_revenue" -> q22,
     "q23_revenue_leader" -> q23,
     "q24_moving_revenue" -> q24,
-    "q25_small_order_revenue" -> q25
+    "q25_small_order_revenue" -> q25,
+    "q26_percentiles" -> q26,
+    "q27_interval_join" -> q27
   )
+
+  /** Exact grouped quantiles (q26): per return flag, the SQL-standard
+    * discrete percentiles (smallest value whose cume_dist ≥ p) plus the
+    * continuous median of integer quantities. Integer inputs make the
+    * continuous interpolation exact in binary floating point
+    * ((a+b)·0.5 on integers ≤ 2^52 has no rounding), so the doubles
+    * hash-match across engines.
+    *
+    * Scale: exact percentiles sort WITHIN each group — one shuffle on
+    * the group key, per-group sort in the aggregate buffer. For a
+    * 100 TB ungrouped quantile the KLL sketch (k1) is the scale path;
+    * this is the exact grouped form for cardinality-bounded groups. */
+  private def q26: Q = (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity").cast(LongType).as("qty"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY qty)").as("p25_qty"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY qty)").as("p50_qty"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY qty)").as("p75_qty"),
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY qty)").as("median_qty"))
+
+  /** Keyless point-in-interval join (q27): each error event opens a
+    * 2-minute incident window; count the OTHER events (any user) that
+    * land inside it. With no equi-key at all, the naive plan is a
+    * broadcast-nested-loop over |incidents|×|events| — the bin becomes
+    * the manufactured equi-key instead (RangeJoin.pointInIntervals):
+    * both sides shuffle on their time bin and only same-neighborhood
+    * rows ever meet. Incidents with an empty window drop out (inner
+    * semantics, mirrored by the oracle). */
+  private def q27: Q = (spark, dir) => {
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("us"))
+    val win = 120L * 1000 * 1000 // 2 minutes in µs
+    val inc = t(spark, dir, "events").filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"), expr("ts DIV 1000").as("s"),
+        (expr("ts DIV 1000") + win).as("e"))
+    graft.operators.RangeJoin.pointInIntervals(inc, ev, "s", "e", "us", win)
+      .filter(col("event_id") =!= col("incident_id"))
+      .groupBy(col("incident_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
 
   /** TPC-H Q17-style small-order revenue: lineitems whose quantity is
     * below 20% of their part's average. The correlated scalar-aggregate
@@ -461,6 +506,23 @@ object Relational {
   }
 
   def oracles: Map[String, String] = Map(
+    "q26_percentiles" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        | percentile_disc(0.25) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS p25_qty,
+        | percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS p50_qty,
+        | percentile_disc(0.75) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS p75_qty,
+        | percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS median_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q27_interval_join" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |    CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+        |inc AS (SELECT event_id AS incident_id, us AS s, us + 120000000 AS e
+        |  FROM ev JOIN events USING (event_id) WHERE event_type = 'error')
+        |SELECT incident_id, COUNT(*) AS n_events,
+        | COUNT(DISTINCT user_id) AS n_users
+        |FROM inc JOIN ev ON ev.us >= inc.s AND ev.us < inc.e
+        |  AND ev.event_id <> inc.incident_id
+        |GROUP BY incident_id""".stripMargin,
     "q22_region_revenue" ->
       """SELECT r_name,
         | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

@@ -68,6 +68,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q27: keyless interval join is bin-bucketed, not nested-loop") {
+    val p = plan("q27_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q11: rollup levels re-aggregate the base, no Expand of raw rows") {
     val p = plan("q11_rollup")
     assert(!p.contains("Expand"), p)

@@ -38,6 +38,27 @@ class RangeJoinSpec extends AnyFunSuite {
       naive.count() === fast.count()) // multiset equality already checked
   }
 
+  test("pointInIntervals: keyless variable-width windows match the naive join") {
+    // interval widths 1..3 bins wide; [start, end) semantics at both edges
+    val ivs = Seq((1L, 100L, 150L), (2L, 100L, 300L), (3L, 95L, 96L),
+      (4L, 280L, 281L)).toDF("iid", "s", "e")
+    val pts = Seq((10L, 99L), (11L, 100L), (12L, 149L), (13L, 150L),
+      (14L, 280L), (15L, 299L), (16L, 300L), (17L, 95L)).toDF("pid", "ts")
+    val fast = RangeJoin.pointInIntervals(ivs, pts, "s", "e", "ts", 100L)
+      .select("iid", "pid").as[(Long, Long)].collect().toSet
+    val naive = ivs.join(pts, col("ts") >= col("s") && col("ts") < col("e"))
+      .select("iid", "pid").as[(Long, Long)].collect().toSet
+    assert(fast === naive)
+    // spot-check edges: start inclusive, end exclusive, 1-wide interval
+    assert(fast.contains((1L, 11L)) && !fast.contains((1L, 13L)))
+    assert(fast.contains((3L, 17L)) && fast.contains((4L, 14L)))
+    assert(fast.contains((2L, 15L)) && !fast.contains((2L, 16L)))
+    // no duplicate pairs from the interval's multi-bin explode
+    val all = RangeJoin.pointInIntervals(ivs, pts, "s", "e", "ts", 100L)
+      .select("iid", "pid")
+    assert(all.count() === all.distinct().count())
+  }
+
   test("matches the naive range join on events data") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val v = ev.filter(col("event_type") === "view")
