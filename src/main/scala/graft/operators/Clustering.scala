@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.functions.{VectorFunctions => VF}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Deterministic spherical k-means over an embedding column — the
+  * clustering primitive behind SemDeDup-style semantic curation
+  * (cluster the corpus, then dedup / diversify WITHIN clusters) and a
+  * trainable counterpart to [[Dedup.semanticPairs]]' one-shot seeding.
+  *
+  * Everything is engine-exact so the full iteration is oracle-checkable
+  * against any SQL engine, bit for bit:
+  *
+  *   - vectors are quantized to integer-valued doubles
+  *     (`round(x · scale)` — a power-of-two scale makes the product
+  *     itself exact, so only the round is a semantic step);
+  *   - assignment maximizes cosine, whose dot/norm folds run in strict
+  *     ascending index order (integer dots are EXACT — no accumulated
+  *     rounding at all for |Σ| < 2^53); ties break to the smaller
+  *     cluster id, matching `ORDER BY cos DESC, cid`;
+  *   - a centroid update is the elementwise INTEGER SUM of its members
+  *     — cosine is scale-invariant, so dividing by the count is
+  *     unnecessary and the update is exact and order-independent (the
+  *     one place a mean-of-doubles would have made the result depend on
+  *     Spark's aggregation order);
+  *   - an emptied cluster keeps its previous centroid.
+  *
+  * Scale: centroids live on the driver (k rows — the standard k-means
+  * topology, same as IVF training in [[Similarity]]); each iteration is
+  * one broadcast of k·dim doubles, a map-side assignment pass, and one
+  * k-row reduceGroups shuffle for the sums. The corpus is scanned
+  * `iters` times and never collected. At 100 TB, train on a sample and
+  * run the final assignment pass over the full corpus — the assignment
+  * map is embarrassingly parallel.
+  */
+object Clustering {
+
+  private def dotLoop(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Assign every vector to a cluster after `iters` Lloyd rounds seeded
+    * by the vectors with `vec_id < k`. Output: (vec_id, cluster). */
+  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 3,
+      scale: Int = 1024): DataFrame = {
+    require(k >= 1 && iters >= 1, s"k=$k iters=$iters must be >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id").cast("long").as("vec_id"),
+        transform(VF.toDoubleVec(col("embedding")),
+          x => round(x * scale)).as("v"))
+      .as[(Long, Seq[Double])]
+    val seeds = vecs.filter(_._1 < k).collect().sortBy(_._1)
+    require(seeds.nonEmpty, s"no seed centroids: no vec_id below $k")
+    var centroids: Array[(Long, Array[Double])] =
+      seeds.map { case (id, v) => (id, v.toArray) }
+    var assigned: Dataset[(Long, Seq[Double], Long)] = null
+    for (it <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(centroids.map { case (cid, cv) =>
+        (cid, cv, math.sqrt(dotLoop(cv, cv)))
+      })
+      assigned = vecs.map { case (id, v) =>
+        val arr = v.toArray
+        val n = math.sqrt(dotLoop(arr, arr))
+        var best = -1L
+        var bestCos = Double.NegativeInfinity
+        // ascending cid order + strict > keeps the SMALLEST cid on a
+        // tie — the `ORDER BY cos DESC, cid` contract of the oracle
+        bc.value.foreach { case (cid, cv, cn) =>
+          val cos = dotLoop(arr, cv) / (n * cn)
+          if (cos > bestCos) { bestCos = cos; best = cid }
+        }
+        (id, v, best)
+      }
+      if (it < iters) {
+        val sums = assigned.map(t => (t._3, t._2))
+          .groupByKey(_._1)
+          .reduceGroups((a, b) =>
+            (a._1, a._2.zip(b._2).map(p => p._1 + p._2)))
+          .map(_._2)
+          .collect().toMap
+        centroids = centroids.map { case (cid, prev) =>
+          (cid, sums.get(cid).map(_.toArray).getOrElse(prev))
+        }
+      }
+    }
+    assigned.map(t => (t._1, t._3)).toDF("vec_id", "cluster")
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables._
 import graft.functions.{TextFunctions => TF}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Clustering, Dedup, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -63,6 +63,7 @@ object TextQueries {
     "s4_ann_multiprobe" -> s4,
     "s5_ann_sq" -> s5,
     "s6_ann_pq" -> s6,
+    "s7_kmeans" -> s7,
     "p1_prep_pipeline" -> p1,
     "p2_prep_pipeline_v2" -> p2,
     "p3_dedup_keeper" -> p3
@@ -636,6 +637,15 @@ object TextQueries {
       m = 8, nCodes = 16, rerank = 8)
   }
 
+  /** Spherical k-means cluster assignment (s7): the SemDeDup topology —
+    * 3 Lloyd rounds over integer-quantized embeddings, seeded by the
+    * first k vectors. Fully oracle-checked (assignment AND both centroid
+    * updates replay exactly in DuckDB: integer sums are order-free, the
+    * cosine folds share the ascending-index order). See
+    * [[graft.operators.Clustering]] for the exactness argument. */
+  private def s7: Q = (spark, dir) =>
+    Clustering.kmeansAssign(t(spark, dir, "embeddings"), k = 8, iters = 3)
+
   // DuckDB CTE fragments shared by the jaccard-contract oracles.
   private val shingleCte =
     """WITH words AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
@@ -738,6 +748,38 @@ object TextQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "s7_kmeans" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1024)) AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |a1 AS (SELECT vec_id, v, cid FROM (
+        |  SELECT e.vec_id, e.v, c0.cid, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_dot_product(e.v, c0.cv) /
+        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c0.cv, c0.cv))) DESC,
+        |      c0.cid) AS rn
+        |  FROM e CROSS JOIN c0) x WHERE rn = 1),
+        |s1 AS (SELECT cid, list(sv ORDER BY i) AS cv FROM (
+        |  SELECT cid, i, SUM(v[i]) AS sv FROM a1, range(1, 65) t(i) GROUP BY cid, i) y
+        |  GROUP BY cid),
+        |c1 AS (SELECT c0.cid, COALESCE(s1.cv, c0.cv) AS cv FROM c0 LEFT JOIN s1 USING (cid)),
+        |a2 AS (SELECT vec_id, v, cid FROM (
+        |  SELECT e.vec_id, e.v, c1.cid, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_dot_product(e.v, c1.cv) /
+        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c1.cv, c1.cv))) DESC,
+        |      c1.cid) AS rn
+        |  FROM e CROSS JOIN c1) x WHERE rn = 1),
+        |s2 AS (SELECT cid, list(sv ORDER BY i) AS cv FROM (
+        |  SELECT cid, i, SUM(v[i]) AS sv FROM a2, range(1, 65) t(i) GROUP BY cid, i) y
+        |  GROUP BY cid),
+        |c2 AS (SELECT c1.cid, COALESCE(s2.cv, c1.cv) AS cv FROM c1 LEFT JOIN s2 USING (cid)),
+        |a3 AS (SELECT vec_id, cid FROM (
+        |  SELECT e.vec_id, c2.cid, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_dot_product(e.v, c2.cv) /
+        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c2.cv, c2.cv))) DESC,
+        |      c2.cid) AS rn
+        |  FROM e CROSS JOIN c2) x WHERE rn = 1)
+        |SELECT vec_id, cid AS cluster FROM a3""".stripMargin,
     "t20_hashed_features" ->
       """WITH toks AS (SELECT doc_id,
         |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok

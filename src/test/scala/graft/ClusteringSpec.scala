@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Clustering
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ClusteringSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("assignment matches a driver-local reference implementation") {
+    val k = 4; val iters = 3
+    val got = Clustering.kmeansAssign(emb, k, iters)
+      .as[(Long, Long)].collect().toMap
+    // independent local replay of the contract: quantize, cosine-assign
+    // (ties to smaller cid), integer-sum centroid update
+    val vecs = emb.select(col("vec_id").cast("long"),
+        transform(col("embedding"), x => round(x.cast("double") * 1024)))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      .map { case (id, v) => (id, v.toArray) }
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    var cents = vecs.filter(_._1 < k).map(_._2.map(identity))
+    var assign = Map.empty[Long, Int]
+    for (it <- 1 to iters) {
+      assign = vecs.map { case (id, v) =>
+        val n = math.sqrt(dot(v, v))
+        var best = -1; var bestCos = Double.NegativeInfinity
+        cents.indices.foreach { c =>
+          val cos = dot(v, cents(c)) / (n * math.sqrt(dot(cents(c), cents(c))))
+          if (cos > bestCos) { bestCos = cos; best = c }
+        }
+        id -> best
+      }.toMap
+      if (it < iters) cents = cents.indices.map { c =>
+        val members = vecs.filter(v => assign(v._1) == c)
+        if (members.isEmpty) cents(c)
+        else members.map(_._2).reduce((a, b) =>
+          a.zip(b).map(p => p._1 + p._2))
+      }.toArray
+    }
+    assert(got.size === vecs.length)
+    assert(got.forall { case (id, c) => c === assign(id).toLong }, got.toSeq.sorted.take(5))
+  }
+
+  test("deterministic across runs; ids within the seed range") {
+    val a = Clustering.kmeansAssign(emb, 8, 2).as[(Long, Long)].collect().toMap
+    val b = Clustering.kmeansAssign(emb, 8, 2).as[(Long, Long)].collect().toMap
+    assert(a === b)
+    assert(a.values.forall(c => c >= 0 && c < 8))
+  }
+
+  test("an emptied cluster keeps its centroid and can win members back") {
+    // seed 1 is a scaled copy of seed 0: cosine ties everywhere, so
+    // round 1 assigns EVERYTHING to cid 0 (smaller-cid tie-break) and
+    // cluster 1 empties. The update must then keep centroid 1 (the
+    // COALESCE(prev) path) — after which centroid 0 has drifted to the
+    // sum of all members while centroid 1 still points exactly along
+    // the parallel vectors, so round 2 wins them back.
+    val rows = Seq(
+      0L -> Array(1.0f, 0.0f), 1L -> Array(2.0f, 0.0f),
+      2L -> Array(0.9f, 0.1f), 3L -> Array(-1.0f, 0.05f),
+      4L -> Array(-0.9f, -0.1f))
+    val df = rows.toDF("vec_id", "embedding")
+    val one = Clustering.kmeansAssign(df, k = 2, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one.values.forall(_ == 0L), one) // ties all break to cid 0
+    val two = Clustering.kmeansAssign(df, k = 2, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(two(0L) === 1L && two(1L) === 1L, two) // kept centroid re-attracts
+  }
+}
