@@ -26,8 +26,74 @@ object ConnectorQueries {
     "c5_stream_dedup" -> c5,
     "c6_snapshot_read" -> c6,
     "c7_stream_enrich" -> c7,
-    "c8_incremental_read" -> c8
+    "c8_incremental_read" -> c8,
+    "c9_stream_sessions" -> c9
   )
+
+  /** Streaming SESSION windows on the oracle gate (c9): per-user
+    * sessions with a 30-minute inactivity gap, Append mode — a session
+    * only emits once the watermark passes its end, so what reaches the
+    * sink is FINAL (no reconcile step, unlike c3/c7's Update-mode
+    * monotone-max). One sentinel record past every possible session end
+    * advances the global watermark so the backlog's sessions all
+    * finalize before the AvailableNow drain stops. The sentinel cannot
+    * be filtered before the aggregation — Catalyst pushes deterministic
+    * filters BELOW the watermark operator, which would hide it from the
+    * watermark entirely (observed: the flush batch's watermark stopped
+    * at the last real event) — so it flows in under user_id −1, forms
+    * its own never-finalized session, and is excluded on the batch
+    * read-back. The oracle is DuckDB's batch gaps-and-islands over the
+    * original parquet — merged, split, or re-emitted sessions all break
+    * the hash. Boundary pinned by real data: an event EXACTLY gap
+    * seconds after its predecessor MERGES (session_window merges
+    * touching windows), so the islands break is strictly `> gap`. */
+  private def c9: Q = (spark, dir) => {
+    val gapS = 1800L
+    val root = Files.createTempDirectory("graft-logstore-c9").toString
+    new EmbeddedLogStore(root).createStore("proj", "sess", 2)
+    val srcOpts = Map("store.root" -> root, "store.project" -> "proj",
+      "store.name" -> "sess")
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("ts DIV 1000000000").as("t"))
+    val maxT = ev.agg(max(col("t"))).first().getLong(0)
+    val sentinel = spark.range(1).select(lit(-1L).as("user_id"),
+      lit("__flush__").as("event_type"), lit(0.0).as("value"),
+      lit(maxT + gapS + 3600L).as("t"))
+    ev.unionAll(sentinel)
+      .select(pmod(col("user_id"), lit(2)).cast(IntegerType).as("__shard__"),
+        col("t").cast(IntegerType).as("__time__"),
+        col("user_id"), col("event_type"), col("value"))
+      .write.format("graft-logstore").options(srcOpts).mode("append").save()
+    val dstRoot = Files.createTempDirectory("graft-logstore-c9out").toString
+    new EmbeddedLogStore(dstRoot).createStore("proj", "sessions", 1)
+    val dstOpts = Map("store.root" -> dstRoot, "store.project" -> "proj",
+      "store.name" -> "sessions")
+    val ckpt = Files.createTempDirectory("graft-c9-ckpt").toString
+    val q = spark.readStream.format("graft-logstore").options(srcOpts)
+      .option("maxoffsetspertrigger", "1000000")
+      .schema("user_id LONG, event_type STRING, value DOUBLE, __time__ TIMESTAMP")
+      .load()
+      .withWatermark("__time__", "1 second")
+      .groupBy(col("user_id"),
+        session_window(col("__time__"), s"$gapS seconds"))
+      .agg(count(lit(1)).as("n_events"), dsum6(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").cast(LongType).as("session_start"),
+        col("session_window.end").cast(LongType).as("session_end"),
+        col("n_events"), col("sum_value"))
+      .writeStream.format("graft-logstore").options(dstOpts)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    spark.read.format("graft-logstore").options(dstOpts)
+      .schema("user_id LONG, session_start LONG, session_end LONG, " +
+        "n_events LONG, sum_value DOUBLE")
+      .load()
+      .filter(col("user_id") >= 0) // sentinel session, if ever finalized
+  }
 
   /** CDC-style incremental batch (c8): the rows committed BETWEEN two
     * pinned snapshot versions, with no new reader surface — a snapshot's
@@ -345,6 +411,18 @@ object ConnectorQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "c9_stream_sessions" ->
+      """WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+        |  FROM events),
+        |m AS (SELECT *, CASE WHEN t - lag(t) OVER
+        |    (PARTITION BY user_id ORDER BY t) > 1800 THEN 1 ELSE 0 END AS brk
+        |  FROM ev),
+        |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+        |    ROWS UNBOUNDED PRECEDING) AS grp FROM m)
+        |SELECT user_id, MIN(t) AS session_start, MAX(t) + 1800 AS session_end,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY user_id, grp""".stripMargin,
     "c8_incremental_read" ->
       """SELECT event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
