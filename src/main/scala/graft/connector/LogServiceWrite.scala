@@ -104,6 +104,7 @@ class LogDataWriter(schema: StructType, opts: LogServiceOptions,
       i
     }
   private val pending = mutable.Map[Int, mutable.Buffer[LogRecord]]()
+  private val writableSet = writableShards.toSet
   private val partShard = // stable default route for this task's segment
     writableShards(math.abs(segmentName.hashCode) % writableShards.size)
 
@@ -123,7 +124,13 @@ class LogDataWriter(schema: StructType, opts: LogServiceOptions,
       if (!row.isNullAt(i)) {
         f.name match {
           case RowConverters.Shard =>
+            // an out-of-range shard would create an orphan directory no
+            // reader ever lists — silent data loss; fail the task instead
             shard = row.get(i, f.dataType).toString.toInt
+            require(writableSet.contains(shard),
+              s"__shard__ $shard is not a writable shard of " +
+                s"${opts.project}#${opts.store} " +
+                s"(writable: ${writableShards.sorted.mkString(",")})")
           case RowConverters.Time =>
             val v = row.get(i, f.dataType).toString
             time = f.dataType match {

@@ -66,6 +66,24 @@ class ConnectorSpec extends AnyFunSuite {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap === Map(0 -> 5, 1 -> 5))
   }
 
+  test("an out-of-range __shard__ fails the write loudly, not silently") {
+    // a shard no reader lists would be silent data loss (readers fold
+    // shards 0..n-1 from the manifest) — the task must fail instead
+    val root = freshRoot()
+    new EmbeddedLogStore(root).createStore("proj", "logs", 2)
+    import spark.implicits._
+    for (bad <- Seq(-1, 2)) {
+      val df = Seq((bad, 1700000100, "m")).toDF("__shard__", "__time__", "payload")
+      val e = intercept[Exception] {
+        df.write.format("graft-logstore").options(readOpts(root))
+          .mode("append").save()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("not a writable shard")), e.getMessage)
+    }
+  }
+
   test("UDT column round-trips through its sqlType representation") {
     // reference recurses on UserDefinedType.sqlType (Utils.scala:145-146);
     // our converters mirror that on both read and write
