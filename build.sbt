@@ -16,6 +16,7 @@ run / fork := true
 // that parse every round (BENCH_r*.json "parsed": null). Exit code
 // still signals success.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

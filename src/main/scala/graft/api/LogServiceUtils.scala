@@ -60,4 +60,13 @@ object LogServiceUtils {
     * `__source__` columns route, everything else becomes contents). */
   def writeDF(df: DataFrame, ref: StoreRef): Unit =
     df.write.format("graft-logstore").options(ref.options).mode("append").save()
+
+  /** OPTIMIZE: bin-pack small segments into larger ones (streaming
+    * sinks accumulate one segment per epoch/task — the small-files
+    * problem). Ordinals, offsets, snapshots-at-head, and replay
+    * idempotence are preserved; see EmbeddedLogStore.compactSegments.
+    * Returns the number of merged segments written. */
+  def compactStore(ref: StoreRef, targetRecords: Long = 1L << 20): Int =
+    new EmbeddedLogStore(ref.root)
+      .compactSegments(ref.project, ref.store, targetRecords)
 }

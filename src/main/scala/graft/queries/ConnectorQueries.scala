@@ -27,8 +27,47 @@ object ConnectorQueries {
     "c6_snapshot_read" -> c6,
     "c7_stream_enrich" -> c7,
     "c8_incremental_read" -> c8,
-    "c9_stream_sessions" -> c9
+    "c9_stream_sessions" -> c9,
+    "c10_optimize_compact" -> c10
   )
+
+  /** Segment compaction on the oracle gate (c10): the events table is
+    * ingested in 8 separate commits (16 small segments — the shape a
+    * streaming sink leaves behind), OPTIMIZE bin-packs them (16 → 2,
+    * asserted in-query so a silently inert compactor fails the gate),
+    * and the aggregate over the REWRITTEN layout must still hash-match
+    * DuckDB over the original parquet — any record lost or duplicated
+    * by the rewrite breaks it (ordinal/order stability is pinned by
+    * StoreCompactionSpec). */
+  private def c10: Q = (spark, dir) => {
+    val root = Files.createTempDirectory("graft-logstore-c10").toString
+    val store = new EmbeddedLogStore(root)
+    store.createStore("proj", "opt", 2)
+    val opts = Map("store.root" -> root, "store.project" -> "proj",
+      "store.name" -> "opt")
+    val ev = t(spark, dir, "events")
+      .select(pmod(col("user_id"), lit(2)).cast(IntegerType).as("__shard__"),
+        expr("ts DIV 1000000000").cast(IntegerType).as("__time__"),
+        col("event_id"), col("user_id"), col("event_type"), col("value"))
+    for (k <- 0 until 8)
+      ev.filter(col("event_id") % 8 === k)
+        .write.format("graft-logstore").options(opts).mode("append").save()
+    def nSegments = store.listShards("proj", "opt")
+      .map(s => store.listSegments("proj", "opt", s.id).size).sum
+    val before = nSegments
+    store.compactSegments("proj", "opt")
+    val after = nSegments
+    require(after < before && after <= 2,
+      s"OPTIMIZE left $after of $before segments")
+    spark.read.format("graft-logstore").options(opts)
+      .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+      .load()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum6(col("value")).as("sum_value"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+  }
 
   /** Streaming SESSION windows on the oracle gate (c9): per-user
     * sessions with a 30-minute inactivity gap, Append mode — a session
@@ -47,24 +86,33 @@ object ConnectorQueries {
     * the hash. Boundary pinned by real data: an event EXACTLY gap
     * seconds after its predecessor MERGES (session_window merges
     * touching windows), so the islands break is strictly `> gap`. */
+  private val c9Ingested =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Map[String, String]]
+
   private def c9: Q = (spark, dir) => {
     val gapS = 1800L
-    val root = Files.createTempDirectory("graft-logstore-c9").toString
-    new EmbeddedLogStore(root).createStore("proj", "sess", 2)
-    val srcOpts = Map("store.root" -> root, "store.project" -> "proj",
-      "store.name" -> "sess")
-    val ev = t(spark, dir, "events")
-      .select(col("user_id"), col("event_type"), col("value"),
-        expr("ts DIV 1000000000").as("t"))
-    val maxT = ev.agg(max(col("t"))).first().getLong(0)
-    val sentinel = spark.range(1).select(lit(-1L).as("user_id"),
-      lit("__flush__").as("event_type"), lit(0.0).as("value"),
-      lit(maxT + gapS + 3600L).as("t"))
-    ev.unionAll(sentinel)
-      .select(pmod(col("user_id"), lit(2)).cast(IntegerType).as("__shard__"),
-        col("t").cast(IntegerType).as("__time__"),
-        col("user_id"), col("event_type"), col("value"))
-      .write.format("graft-logstore").options(srcOpts).mode("append").save()
+    // the sentinel-bearing source store is immutable and deterministic
+    // per (session, sf dir) — one ingest, like c1/c2/c3's shared store;
+    // each run still gets a fresh sink + checkpoint (streaming state)
+    val srcOpts = c9Ingested.getOrElseUpdate((spark, dir), {
+      val root = Files.createTempDirectory("graft-logstore-c9").toString
+      new EmbeddedLogStore(root).createStore("proj", "sess", 2)
+      val opts = Map("store.root" -> root, "store.project" -> "proj",
+        "store.name" -> "sess")
+      val ev = t(spark, dir, "events")
+        .select(col("user_id"), col("event_type"), col("value"),
+          expr("ts DIV 1000000000").as("t"))
+      val maxT = ev.agg(max(col("t"))).first().getLong(0)
+      val sentinel = spark.range(1).select(lit(-1L).as("user_id"),
+        lit("__flush__").as("event_type"), lit(0.0).as("value"),
+        lit(maxT + gapS + 3600L).as("t"))
+      ev.unionAll(sentinel)
+        .select(pmod(col("user_id"), lit(2)).cast(IntegerType).as("__shard__"),
+          col("t").cast(IntegerType).as("__time__"),
+          col("user_id"), col("event_type"), col("value"))
+        .write.format("graft-logstore").options(opts).mode("append").save()
+      opts
+    })
     val dstRoot = Files.createTempDirectory("graft-logstore-c9out").toString
     new EmbeddedLogStore(dstRoot).createStore("proj", "sessions", 1)
     val dstOpts = Map("store.root" -> dstRoot, "store.project" -> "proj",
@@ -411,6 +459,11 @@ object ConnectorQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "c10_optimize_compact" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        | MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        |FROM events GROUP BY event_type""".stripMargin,
     "c9_stream_sessions" ->
       """WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
         |  FROM events),

@@ -368,9 +368,15 @@ class EmbeddedLogStore(root: String, ioRetries: Int = 10,
       s"manifest listing for $project/$store torn after $attempt attempts")
   }
 
-  /** One validated, untorn view of the manifest directory. */
+  /** One validated, untorn view of the manifest directory. `absorbed` =
+    * (shard, file) pairs folded INTO merged segments by a past
+    * [[compactSegments]] — no longer part of the ordinal fold, but
+    * still "committed" for replay-idempotence purposes (a streaming
+    * epoch replayed after its segments were merged away must be
+    * skipped, not re-appended). */
   private case class ManifestView(files: Seq[String],
-      entries: Seq[(Int, String)], checkpointVersion: Long)
+      entries: Seq[(Int, String)], checkpointVersion: Long,
+      absorbed: Seq[(Int, String)])
 
   private def manifestView(project: String, store: String): ManifestView = {
     var attempt = 0
@@ -425,7 +431,15 @@ class EmbeddedLogStore(root: String, ioRetries: Int = 10,
           (n.get("shard").asInt(), n.get("file").asText())
         }.toSeq
       },
-      if (lastCkpt >= 0) manifestVersion(files(lastCkpt)) else 0L))
+      if (lastCkpt >= 0) manifestVersion(files(lastCkpt)) else 0L,
+      // only checkpoints carry an absorbed list (written by
+      // compactSegments, carried forward by every later checkpoint)
+      if (lastCkpt < 0) Seq.empty
+      else Option(trees(lastCkpt).get("absorbed")).toSeq.flatMap { a =>
+        a.elements().asScala.map { n =>
+          (n.get("shard").asInt(), n.get("file").asText())
+        }.toSeq
+      }))
   }
 
   /** Fold the whole manifest history into one checkpoint manifest at the
@@ -452,15 +466,16 @@ class EmbeddedLogStore(root: String, ioRetries: Int = 10,
       // missed commit.
       val folded = manifestFiles(project, store)
       if (folded.isEmpty) return
-      val entriesOpt =
-        try viewFrom(project, store, folded).map(_.entries)
+      val viewOpt =
+        try viewFrom(project, store, folded)
         catch {
           // a racing compactor deleted part of our snapshot: re-list
           case _: java.nio.file.NoSuchFileException => None
         }
-      entriesOpt match {
+      viewOpt match {
         case None => // retry with a fresh snapshot
-        case Some(entries) =>
+        case Some(view) =>
+          val entries = view.entries
           val version = folded.map(manifestVersion).max + 1
           val mapper = new ObjectMapper()
           val rootNode = mapper.createObjectNode()
@@ -469,6 +484,13 @@ class EmbeddedLogStore(root: String, ioRetries: Int = 10,
           val arr = rootNode.putArray("segments")
           entries.foreach { case (shard, file) =>
             val n = arr.addObject(); n.put("shard", shard); n.put("file", file)
+          }
+          // replay-idempotence memory survives every later checkpoint
+          if (view.absorbed.nonEmpty) {
+            val ab = rootNode.putArray("absorbed")
+            view.absorbed.foreach { case (shard, file) =>
+              val n = ab.addObject(); n.put("shard", shard); n.put("file", file)
+            }
           }
           val tmp = mDir.resolve(s".m-$version.json.tmp-${System.nanoTime()}")
           io(Files.write(tmp, mapper.writeValueAsBytes(rootNode)))
@@ -483,15 +505,157 @@ class EmbeddedLogStore(root: String, ioRetries: Int = 10,
     }
   }
 
-  private def committedSet(project: String, store: String): Set[(Int, String)] =
-    committedEntries(project, store).toSet
+  /** Bin-pack small consecutive segments into larger merged ones, per
+    * shard — the OPTIMIZE counterpart to [[compactManifests]], aimed at
+    * the small-files problem: a streaming sink writes one segment per
+    * (epoch, task), so a long-lived stream accumulates thousands of
+    * tiny files and every scan pays per-file open/parse overhead.
+    *
+    * Safety rests on two invariants:
+    *   - ORDINALS ARE PRESERVED: a merged segment replaces consecutive
+    *     segments of one shard in place, keeping record order, so
+    *     cursors, snapshot ends, bounded scans, and in-flight streaming
+    *     offsets all mean exactly what they meant before. Readers that
+    *     listed the old layout and trip on a deleted file re-list and
+    *     resume at their current ordinal (see [[read]]).
+    *   - REPLAY IDEMPOTENCE SURVIVES: the merged-away (shard, file)
+    *     pairs move to the checkpoint's `absorbed` list, which
+    *     [[commitSegments]]' duplicate-skip and [[stageSegment]]'s
+    *     shape guard consult — a streaming epoch replayed after its
+    *     segments were merged is skipped, not re-appended.
+    *
+    * Commit uses the same single-snapshot optimistic checkpoint
+    * protocol as [[compactManifests]]: one validated listing feeds both
+    * the rewritten entry list and the version; a racing commit collides
+    * on the version link and one side retries. Superseded delta
+    * manifests and replaced data files are deleted only after the link
+    * lands. Runs of >= 2 consecutive segments are merged while their
+    * record total stays <= `targetRecords`; segments at or above the
+    * target are left alone. Returns the number of merged segments
+    * written (0 = nothing worth merging). */
+  def compactSegments(project: String, store: String,
+      targetRecords: Long = 1L << 20): Int = {
+    require(targetRecords > 0, s"targetRecords $targetRecords must be > 0")
+    val mDir = manifestDir(project, store)
+    if (!Files.isDirectory(mDir)) return 0
+    val mapper = new ObjectMapper()
+    while (true) {
+      val folded = manifestFiles(project, store)
+      if (folded.isEmpty) return 0
+      val viewOpt =
+        try viewFrom(project, store, folded)
+        catch { case _: java.nio.file.NoSuchFileException => None }
+      viewOpt match {
+        case None => // torn/raced listing: re-list
+        case Some(view) =>
+          // greedy consecutive runs per shard: >= 2 segments, <= target
+          val runOf = mutable.Map[(Int, String), Int]()
+          val runFiles = mutable.Buffer[(Int, Seq[String])]()
+          view.entries.groupBy(_._1).foreach { case (shard, es) =>
+            var cur = mutable.Buffer[String]()
+            var total = 0L
+            def flush(): Unit = {
+              if (cur.size >= 2) {
+                val id = runFiles.size
+                runFiles += ((shard, cur.toSeq))
+                cur.foreach(f => runOf((shard, f)) = id)
+              }
+              cur = mutable.Buffer[String](); total = 0L
+            }
+            es.map(_._2).foreach { f =>
+              val c = parseSegment(f).count
+              if (c >= targetRecords) flush()
+              else {
+                if (total + c > targetRecords) flush()
+                cur += f; total += c
+              }
+            }
+            flush()
+          }
+          if (runFiles.isEmpty) return 0
+          // stage each merged segment (constituents read in order); the
+          // logical name is a digest of the constituent files, so a
+          // crashed attempt re-stages the same name atomically
+          val mergedName = runFiles.zipWithIndex.map { case ((shard, files), id) =>
+            val records = files.flatMap { f =>
+              io(Files.readAllLines(
+                  shardDir(project, store, shard).resolve(f))).asScala
+                .map(l => jsonToRecord(mapper, l))
+            }
+            val digest = java.security.MessageDigest.getInstance("MD5")
+              .digest((s"$shard|" + files.mkString("|"))
+                .getBytes(StandardCharsets.UTF_8))
+            val hex = digest.take(8).map(b => f"$b%02x").mkString
+            id -> stageSegment(project, store, shard, s"opt$hex", records).file
+          }.toMap
+          // rewrite the entry list: a run's first member becomes the
+          // merged file, later members drop out, everything else stays
+          val emitted = mutable.Set[Int]()
+          val newEntries = view.entries.flatMap { case (shard, f) =>
+            runOf.get((shard, f)) match {
+              case Some(id) =>
+                if (emitted.add(id)) Some((shard, mergedName(id))) else None
+              case None => Some((shard, f))
+            }
+          }
+          val absorbed = (view.absorbed ++
+            runFiles.flatMap { case (shard, files) =>
+              files.map(f => (shard, f)) }).distinct
+          val version = folded.map(manifestVersion).max + 1
+          val rootNode = mapper.createObjectNode()
+          rootNode.put("version", version)
+          rootNode.put("checkpoint", true)
+          val arr = rootNode.putArray("segments")
+          newEntries.foreach { case (shard, file) =>
+            val n = arr.addObject(); n.put("shard", shard); n.put("file", file)
+          }
+          val ab = rootNode.putArray("absorbed")
+          absorbed.foreach { case (shard, file) =>
+            val n = ab.addObject(); n.put("shard", shard); n.put("file", file)
+          }
+          val tmp = mDir.resolve(s".m-$version.json.tmp-${System.nanoTime()}")
+          io(Files.write(tmp, mapper.writeValueAsBytes(rootNode)))
+          try {
+            io(Files.createLink(mDir.resolve(f"m-$version%010d.json"), tmp))
+            // committed: superseded deltas and replaced data files go
+            folded.foreach(f => Files.deleteIfExists(mDir.resolve(f)))
+            runFiles.foreach { case (shard, files) =>
+              files.foreach(f => Files.deleteIfExists(
+                shardDir(project, store, shard).resolve(f)))
+            }
+            return runFiles.size
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              // lost the race: our staged merged files are uncommitted
+              // orphans — clean them up and retry on a fresh snapshot
+              runFiles.zipWithIndex.foreach { case ((shard, _), id) =>
+                Files.deleteIfExists(
+                  shardDir(project, store, shard).resolve(mergedName(id)))
+              }
+          } finally Files.deleteIfExists(tmp)
+      }
+    }
+    0 // unreachable
+  }
+
+  /** Everything ever committed — live manifest entries PLUS segments a
+    * compaction absorbed into merged files. Replay idempotence
+    * (commitSegments' skip, stageSegment's shape guard, discardStaged)
+    * must use this set, not the live entries, or an epoch replayed
+    * after its segments were merged away would re-append its data. */
+  private def committedSet(project: String, store: String): Set[(Int, String)] = {
+    val view = manifestView(project, store)
+    (view.entries ++ view.absorbed).toSet
+  }
 
   private def committedFile(project: String, store: String, shard: Int,
-      logicalName: String): Option[String] =
-    committedEntries(project, store).collectFirst {
+      logicalName: String): Option[String] = {
+    val view = manifestView(project, store)
+    (view.entries ++ view.absorbed).collectFirst {
       case (s, f) if s == shard && f.startsWith(logicalName + "-") &&
         parseSegment(f).logicalName == logicalName => f
     }
+  }
 
   private def parseSegment(fileName: String): Segment = {
     val parts = fileName.stripSuffix(".jsonl").split("-")
@@ -525,7 +689,27 @@ class EmbeddedLogStore(root: String, ioRetries: Int = 10,
     * shardEnd if none. Segments whose embedded maxTime < t are skipped
     * from the listing alone — only the first candidate segment onward
     * is actually scanned. */
-  def cursorAtTime(project: String, store: String, shard: Int, t: Int): Long = {
+  def cursorAtTime(project: String, store: String, shard: Int, t: Int): Long =
+    retryOnMissingFile(s"cursorAtTime $project/$store/$shard")(
+      cursorAtTimeOnce(project, store, shard, t))
+
+  /** Bounded re-list retry for scans that read data files from a
+    * listing a racing [[compactSegments]] may have invalidated. */
+  private def retryOnMissingFile[T](what: String)(op: => T): T = {
+    var attempts = 0
+    while (true) {
+      try return op
+      catch {
+        case e: java.nio.file.NoSuchFileException =>
+          attempts += 1
+          if (attempts > 64) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def cursorAtTimeOnce(project: String, store: String, shard: Int,
+      t: Int): Long = {
     var ordinal = 0L
     val mapper = new ObjectMapper()
     listSegments(project, store, shard).foreach { seg =>
@@ -548,10 +732,49 @@ class EmbeddedLogStore(root: String, ioRetries: Int = 10,
     * decision, no data reads — and (b) filters surviving records exactly.
     * Ordinal numbering is unaffected by skipping. Segments stream through
     * a buffered reader (no whole-file materialization) and lines that
-    * fall outside the ordinal range are skipped without parsing. */
+    * fall outside the ordinal range are skipped without parsing.
+    *
+    * Self-healing under [[compactSegments]]: a racing compaction can
+    * delete a listed file before this iterator opens it. Ordinals are
+    * stable across compaction (merges preserve per-shard order), so the
+    * iterator re-lists and resumes at the next unread ordinal — each
+    * record is still produced exactly once. */
   def read(project: String, store: String, shard: Int,
       from: Long, until: Long,
-      timeRange: Option[(Int, Int)] = None): Iterator[(Long, LogRecord)] = {
+      timeRange: Option[(Int, Int)] = None): Iterator[(Long, LogRecord)] =
+    new Iterator[(Long, LogRecord)] {
+      private var cur = from
+      private var attempts = 0
+      private var inner = readOnce(project, store, shard, cur, until, timeRange)
+      private def heal(): Unit = {
+        attempts += 1
+        if (attempts > 64) throw new IllegalStateException(
+          s"segment listing for $project/$store shard $shard raced " +
+            s"compaction $attempts times")
+        inner = readOnce(project, store, shard, cur, until, timeRange)
+      }
+      override def hasNext: Boolean = {
+        while (true) {
+          try return inner.hasNext
+          catch { case _: java.nio.file.NoSuchFileException => heal() }
+        }
+        false
+      }
+      override def next(): (Long, LogRecord) = {
+        while (true) {
+          try {
+            val r = inner.next()
+            cur = r._1 + 1
+            return r
+          } catch { case _: java.nio.file.NoSuchFileException => heal() }
+        }
+        throw new IllegalStateException("unreachable")
+      }
+    }
+
+  private def readOnce(project: String, store: String, shard: Int,
+      from: Long, until: Long,
+      timeRange: Option[(Int, Int)]): Iterator[(Long, LogRecord)] = {
     val mapper = new ObjectMapper()
     val dir = shardDir(project, store, shard)
     val segs = listSegments(project, store, shard)
@@ -620,6 +843,11 @@ class EmbeddedLogStore(root: String, ioRetries: Int = 10,
     * metadata; fully outside are skipped — only boundary-straddling
     * segments are scanned. */
   def countInTimeRange(project: String, store: String, shard: Int,
+      fromT: Int, untilT: Int): Long =
+    retryOnMissingFile(s"countInTimeRange $project/$store/$shard")(
+      countInTimeRangeOnce(project, store, shard, fromT, untilT))
+
+  private def countInTimeRangeOnce(project: String, store: String, shard: Int,
       fromT: Int, untilT: Int): Long = {
     val mapper = new ObjectMapper()
     val dir = shardDir(project, store, shard)
