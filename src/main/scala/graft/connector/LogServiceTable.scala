@@ -68,6 +68,14 @@ case class LogServiceOptions(all: Map[String, String]) {
   /** Batch-only snapshot read pinned at a manifest version (Delta-style
     * time travel; see EmbeddedLogStore.shardEndsAt). */
   val snapshotVersion: Option[Long] = norm.get("store.snapshotversion").map(_.toLong)
+  /** Sink-side auto-OPTIMIZE: once any shard holds this many segments
+    * smaller than `store.autocompact.target` records, the streaming
+    * epoch commit runs segment compaction (best-effort — a maintenance
+    * failure never fails the epoch). 0 (default) = off. */
+  val autoCompactSegments: Int =
+    norm.getOrElse("store.autocompact.segments", "0").toInt
+  val autoCompactTarget: Long =
+    norm.getOrElse("store.autocompact.target", (1L << 20).toString).toLong
   def newStore: EmbeddedLogStore = new EmbeddedLogStore(root)
 }
 

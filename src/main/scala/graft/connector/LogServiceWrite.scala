@@ -60,9 +60,30 @@ class LogStreamingWrite(schema: StructType, opts: LogServiceOptions)
     extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new LogStreamingWriterFactory(schema, opts)
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    opts.newStore.commitSegments(opts.project, opts.store,
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val store = opts.newStore
+    store.commitSegments(opts.project, opts.store,
       messages.toSeq.flatMap(_.asInstanceOf[LogCommitMessage].staged))
+    // auto-OPTIMIZE: one segment lands per (epoch, task), so a
+    // long-lived stream accumulates small files without bound unless
+    // the sink folds them. Threshold-gated so steady state isn't a
+    // rewrite per epoch; best-effort — the epoch's data is already
+    // durably committed, so a maintenance failure must not fail it.
+    if (opts.autoCompactSegments > 0) {
+      try {
+        val needs = store.listShards(opts.project, opts.store).exists { sh =>
+          store.listSegments(opts.project, opts.store, sh.id)
+            .count(_.count < opts.autoCompactTarget) >= opts.autoCompactSegments
+        }
+        if (needs)
+          store.compactSegments(opts.project, opts.store, opts.autoCompactTarget)
+      } catch {
+        case t: Throwable =>
+          System.err.println(s"[graft-logstore] auto-compaction after " +
+            s"epoch $epochId failed (data is committed): ${t.getMessage}")
+      }
+    }
+  }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     opts.newStore.discardStaged(opts.project, opts.store,
       messages.toSeq.filter(_ != null)

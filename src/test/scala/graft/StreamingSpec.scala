@@ -40,11 +40,12 @@ class StreamingSpec extends AnyFunSuite {
 
   /** Run stream → logstore sink (checkpoint-recoverable) and return a
     * batch reader over the sink store. */
-  private def runToSink(df: DataFrame, dstRoot: String, ckpt: String): Unit = {
+  private def runToSink(df: DataFrame, dstRoot: String, ckpt: String,
+      sinkExtra: Map[String, String] = Map.empty): Unit = {
     val q = df.selectExpr("msg", "__time__")
       .writeStream.format("graft-logstore")
       .option("store.root", dstRoot).option("store.project", "proj")
-      .option("store.name", "out")
+      .option("store.name", "out").options(sinkExtra)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
@@ -75,6 +76,51 @@ class StreamingSpec extends AnyFunSuite {
     runToSink(streamDf(root), dst, ckpt)
     assert(sinkTable(dst).count() === 13)
     assert(sinkTable(dst).agg(sum("msg")).first().getLong(0) === (1 to 13).sum)
+  }
+
+  test("checkpointed offsets survive segment compaction mid-stream") {
+    // ordinal-addressed offsets must mean the same thing after the
+    // small-files rewrite: stream part of the backlog, OPTIMIZE the
+    // source (every original segment merges away), append more, resume
+    // from the same checkpoint — no loss, no duplication
+    val root = freshRoot()
+    val s = new EmbeddedLogStore(root)
+    s.createStore("proj", "logs", 2)
+    (0 until 6).foreach(i => addData(root, i % 2, s"seg$i", Seq(i)))
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val dst = newSink()
+    // pace to leave offsets mid-backlog at the first stop
+    runToSink(streamDf(root, Map("maxoffsetspertrigger" -> "2")), dst, ckpt)
+    assert(sinkTable(dst).count() === 6)
+    addData(root, 0, "late", Seq(50, 51))
+    s.compactSegments("proj", "logs", targetRecords = 100)
+    // shard 0's four segments merged into ONE file (5 records) — the
+    // checkpointed offset (3) now points into the MIDDLE of it
+    assert(s.listSegments("proj", "logs", 0).size === 1)
+    assert(s.listSegments("proj", "logs", 0).head.count === 5L)
+    runToSink(streamDf(root, Map("maxoffsetspertrigger" -> "2")), dst, ckpt)
+    assert(sinkTable(dst).count() === 8)
+    assert(sinkTable(dst).agg(sum("msg")).first().getLong(0) ===
+      (0 until 6).sum + 50 + 51)
+  }
+
+  test("sink auto-compaction bounds small files across epochs") {
+    val root = freshRoot()
+    new EmbeddedLogStore(root).createStore("proj", "logs", 2)
+    addData(root, 0, "a", 1 to 20)
+    addData(root, 1, "b", 21 to 40)
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val dst = newSink()
+    // 2 records per trigger → ~20 epochs → ~20+ tiny sink segments
+    // without maintenance; the threshold folds them as they accumulate
+    runToSink(streamDf(root, Map("maxoffsetspertrigger" -> "2")), dst, ckpt,
+      Map("store.autocompact.segments" -> "4"))
+    val sink = new EmbeddedLogStore(dst)
+    val segs = sink.listSegments("proj", "out", 0)
+    assert(segs.size <= 4, s"auto-compaction left ${segs.size} segments: $segs")
+    // and not one record lost or duplicated by the rewrites
+    assert(sinkTable(dst).count() === 40)
+    assert(sinkTable(dst).agg(sum("msg")).first().getLong(0) === (1 to 40).sum)
   }
 
   test("latest start skips pre-existing data") {
