@@ -57,6 +57,7 @@ object TextQueries {
     "t18_source_mix" -> t18,
     "t19_bigram_mass" -> t19,
     "t20_hashed_features" -> t20,
+    "t21_bm25" -> t21,
     "s1_ann_cosine" -> s1,
     "s2_ann_lsh" -> s2,
     "s3_ann_ivf" -> s3,
@@ -637,6 +638,56 @@ object TextQueries {
       m = 8, nCodes = 16, rerank = 8)
   }
 
+  /** BM25 retrieval scoring (t21): the classic Robertson/Spärck-Jones
+    * ranking, engine-exact. The query is the corpus's own top-3
+    * non-stopword terms by document frequency (deterministic:
+    * df DESC, term ASC) — the "what does this corpus rank highly for
+    * its dominant topics" probe. The one non-rational piece of textbook
+    * BM25 is ln() in the IDF, whose last-ulp rounding differs across
+    * libm implementations, so the IDF is re-expressed in its exact
+    * rational form (N − df + ½)/(df + ½) — same precedent as t19's
+    * KenLM re-expression. Every remaining operation is a fixed-order
+    * IEEE expression over exact integer operands (tf, df, dl, N,
+    * avgdl = T/N), written token-for-token identically in both engines,
+    * and the ≤3 per-term contributions fold in EXPLICIT rank order
+    * (c1 + c2 + c3), never through an order-free SUM — double addition
+    * is not associative, so a 3-term SUM would already be
+    * nondeterministic.
+    *
+    * Scale: tf and df are map-side-combined shuffles on the token; the
+    * 3-row query table and the 1-row corpus stats broadcast; the final
+    * top-10 is a sort of per-doc scores. The query-term selection
+    * collects 3 rows — queries are small by nature. */
+  private def t21: Q = (spark, dir) => {
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(TF.tokens(lower(col("text")))).as("tok"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
+      .select(col("nd"), (col("tt").cast(DoubleType) / col("nd")).as("avgdl"))
+    val dfTab = toks.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val stop = Seq("the", "a", "of", "and", "is", "to", "in")
+    val q3 = dfTab.filter(!col("tok").isin(stop: _*))
+      .orderBy(col("df").desc, col("tok")).limit(3).collect()
+    val spark2 = spark
+    import spark2.implicits._
+    val qdf = q3.zipWithIndex
+      .map { case (r, i) => (r.getString(0), r.getLong(1), i + 1) }
+      .toSeq.toDF("tok", "df", "r")
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val contrib = tf.join(broadcast(qdf), "tok").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("r"),
+        (((col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))).as("c"))
+    contrib.groupBy(col("doc_id"))
+      .agg((coalesce(max(when(col("r") === 1, col("c"))), lit(0.0)) +
+        coalesce(max(when(col("r") === 2, col("c"))), lit(0.0)) +
+        coalesce(max(when(col("r") === 3, col("c"))), lit(0.0))).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+  }
+
   /** Spherical k-means cluster assignment (s7): the SemDeDup topology —
     * 3 Lloyd rounds over integer-quantized embeddings, seeded by the
     * first k vectors. Fully oracle-checked (assignment AND both centroid
@@ -748,6 +799,32 @@ object TextQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "t21_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT COUNT(*) AS nd,
+        |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        |dftab AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+        |q AS (SELECT tok, df, r FROM (
+        |  SELECT tok, df, row_number() OVER (ORDER BY df DESC, tok) AS r
+        |  FROM dftab
+        |  WHERE tok NOT IN ('the','a','of','and','is','to','in')) x
+        |  WHERE r <= 3),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+        |contrib AS (SELECT tf.doc_id, q.r,
+        |    -- e0 literals force DOUBLE: a bare 0.5 is DECIMAL in DuckDB
+        |    -- and decimal intermediates round differently than IEEE
+        |    ((stats.nd - q.df + 0.5e0) / (q.df + 0.5e0)) * (tf.tf * 2.2e0) /
+        |      (tf.tf + 1.2e0 * (0.25e0 + 0.75e0 * dl.dl / stats.avgdl)) AS c
+        |  FROM tf JOIN q USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id,
+        |  COALESCE(MAX(CASE WHEN r = 1 THEN c END), 0) +
+        |  COALESCE(MAX(CASE WHEN r = 2 THEN c END), 0) +
+        |  COALESCE(MAX(CASE WHEN r = 3 THEN c END), 0) AS score
+        |FROM contrib GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "s7_kmeans" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1024)) AS v
