@@ -58,6 +58,7 @@ object TextQueries {
     "t19_bigram_mass" -> t19,
     "t20_hashed_features" -> t20,
     "t21_bm25" -> t21,
+    "t22_novelty" -> t22,
     "s1_ann_cosine" -> s1,
     "s2_ann_lsh" -> s2,
     "s3_ann_ivf" -> s3,
@@ -688,6 +689,31 @@ object TextQueries {
       .orderBy(col("score").desc, col("doc_id")).limit(10)
   }
 
+  /** Per-document n-gram novelty (t22): what fraction of a document's
+    * distinct 3-gram shingles appear in NO earlier document (doc_id
+    * order = corpus order) — the per-doc "marginal contribution"
+    * metric behind greedy dedup-aware data selection: a doc whose
+    * shingles are all claimed by earlier docs is pure repetition (the
+    * d2/d3 pair view tells you WHO duplicates; this scores HOW MUCH of
+    * each doc is new). Integer-exact counts; the ratio is one exact
+    * int/int double division.
+    *
+    * Scale: reuses the d2 inverted index (one shuffle on the shingle);
+    * first-claimant is a min aggregate, not a window; joining the
+    * index back is shingle-keyed — frequent-shingle skew is the same
+    * risk d2 documents, with the same mitigation path (LSH banding). */
+  private def t22: Q = (spark, dir) => {
+    val sh = Dedup.docShingles(t(spark, dir, "documents"))
+    val first = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast(DoubleType) / col("n_shingles")).as("novelty"))
+  }
+
   /** Spherical k-means cluster assignment (s7): the SemDeDup topology —
     * 3 Lloyd rounds over integer-quantized embeddings, seeded by the
     * first k vectors. Fully oracle-checked (assignment AND both centroid
@@ -799,6 +825,17 @@ object TextQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "t22_novelty" ->
+      """WITH words AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s FROM words),
+        |fst AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s),
+        |agg AS (SELECT sh.doc_id, COUNT(*) AS n_shingles,
+        |    SUM(CASE WHEN fst.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel
+        |  FROM sh JOIN fst USING (s) GROUP BY sh.doc_id)
+        |SELECT doc_id, n_shingles, n_novel,
+        |  CAST(n_novel AS DOUBLE) / n_shingles AS novelty FROM agg""".stripMargin,
     "t21_bm25" ->
       """WITH toks AS (SELECT doc_id,
         |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
