@@ -52,8 +52,38 @@ object Relational {
     "q24_moving_revenue" -> q24,
     "q25_small_order_revenue" -> q25,
     "q26_percentiles" -> q26,
-    "q27_interval_join" -> q27
+    "q27_interval_join" -> q27,
+    "q28_funnel" -> q28
   )
+
+  /** Ordered event-sequence funnel (q28): per user, the earliest
+    * signup, the earliest view strictly AFTER that signup, and the
+    * earliest purchase strictly after that view — the product-analytics
+    * "did the user progress, and when" query, where each stage's
+    * predicate depends on the previous stage's RESULT (not expressible
+    * as independent min()s). Three stage-filtered aggregations chained
+    * by joins; left joins keep drop-offs with null later stages.
+    *
+    * Scale: each stage is a filtered map-side-combined aggregate on
+    * user_id; the joins are all user-keyed equi-joins sharing one
+    * clustering. No windows, no per-user event sorting — at 100 TB the
+    * per-stage filter prunes before any shuffle. */
+  private def q28: Q = (spark, dir) => {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("us"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("us")).as("s_ts"))
+    val vi = ev.filter(col("event_type") === "view")
+      .join(su, "user_id").filter(col("us") > col("s_ts"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_ts"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .join(vi, "user_id").filter(col("us") > col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("p_ts"))
+    su.join(vi, Seq("user_id"), "left").join(pu, Seq("user_id"), "left")
+      .select(col("user_id"), col("s_ts"), col("v_ts"), col("p_ts"),
+        (lit(1) + when(col("v_ts").isNotNull, 1).otherwise(0) +
+          when(col("p_ts").isNotNull, 1).otherwise(0)).as("stage"))
+  }
 
   /** Exact grouped quantiles (q26): per return flag, the SQL-standard
     * discrete percentiles (smallest value whose cume_dist ≥ p) plus the
@@ -506,6 +536,19 @@ object Relational {
   }
 
   def oracles: Map[String, String] = Map(
+    "q28_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+        |su AS (SELECT user_id, MIN(us) AS s_ts FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |vi AS (SELECT ev.user_id, MIN(us) AS v_ts FROM ev JOIN su USING (user_id)
+        |  WHERE event_type = 'view' AND us > s_ts GROUP BY ev.user_id),
+        |pu AS (SELECT ev.user_id, MIN(us) AS p_ts FROM ev JOIN vi USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > v_ts GROUP BY ev.user_id)
+        |SELECT su.user_id, s_ts, v_ts, p_ts,
+        |  1 + CASE WHEN v_ts IS NOT NULL THEN 1 ELSE 0 END
+        |    + CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |FROM su LEFT JOIN vi USING (user_id) LEFT JOIN pu USING (user_id)""".stripMargin,
     "q26_percentiles" ->
       """SELECT l_returnflag, COUNT(*) AS n_items,
         | percentile_disc(0.25) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS p25_qty,
