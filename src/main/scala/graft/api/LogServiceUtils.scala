@@ -69,4 +69,12 @@ object LogServiceUtils {
   def compactStore(ref: StoreRef, targetRecords: Long = 1L << 20): Int =
     new EmbeddedLogStore(ref.root)
       .compactSegments(ref.project, ref.store, targetRecords)
+
+  /** Retention: expire every shard's prefix of segments wholly older
+    * than `beforeTime` (unix seconds). Surviving ordinals are
+    * unchanged; `earliest` moves to the per-shard base; cursors below
+    * the base read what still exists. Returns segments expired. */
+  def expireStore(ref: StoreRef, beforeTime: Int): Int =
+    new EmbeddedLogStore(ref.root)
+      .expireSegments(ref.project, ref.store, beforeTime)
 }

@@ -26,7 +26,9 @@ class LogContinuousStream(schema: StructType, opts: LogServiceOptions)
 
   override def initialOffset(): Offset = opts.startingOffsets.trim.toLowerCase match {
     case "earliest" => LogServiceOffset(opts.project, opts.store,
-      store.listShards(opts.project, opts.store).map(_.id -> 0L).toMap)
+      store.listShards(opts.project, opts.store)
+        .map(s => s.id -> store.shardStart(opts.project, opts.store, s.id))
+        .toMap) // retention moves earliest to the per-shard base
     case "latest" => LogServiceOffset(opts.project, opts.store, shardEnds())
     case json => LogServiceOffset.parse(json)
   }

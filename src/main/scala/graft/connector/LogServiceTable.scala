@@ -262,7 +262,8 @@ class LogStatScan(opts: LogServiceOptions, statCols: String,
       // segment-aligned (shardEndsAt sums whole segment counts), so a
       // segment is either fully in the snapshot or fully out — the
       // [minTime, maxTime] envelope is only valid for whole segments
-      var ord = 0L
+      // live ordinals start at the retention base (expired prefix gone)
+      var ord = store.shardStart(opts.project, opts.store, s.id)
       val end = snapEnds.map(_.getOrElse(s.id, 0L)).getOrElse(Long.MaxValue)
       store.listSegments(opts.project, opts.store, s.id).foreach { seg =>
         if (ord < end && seg.count > 0) {
@@ -325,8 +326,10 @@ class LogScan(schema: StructType, opts: LogServiceOptions,
     * conservative 64 per record per projected column. */
   override def estimateStatistics(): Statistics = {
     val store = opts.newStore
+    // LIVE rows: end minus the retention base (expired records are gone)
     val rows = store.listShards(opts.project, opts.store)
-      .map(s => store.shardEnd(opts.project, opts.store, s.id)).sum
+      .map(s => store.shardEnd(opts.project, opts.store, s.id) -
+        store.shardStart(opts.project, opts.store, s.id)).sum
     val capped = pushedLimit.map(n => math.min(rows, n.toLong)).getOrElse(rows)
     val bytes = capped * 64L * math.max(1, schema.fields.length)
     new Statistics {
@@ -424,7 +427,8 @@ object OffsetRanges {
       case "earliest" =>
         if (!isStart) throw new IllegalArgumentException(
           "ending offsets can't be 'earliest'")
-        shards.map(_.id -> 0L).toMap
+        shards.map(s =>
+          s.id -> store.shardStart(opts.project, opts.store, s.id)).toMap
       case "latest" =>
         if (isStart) throw new IllegalArgumentException(
           "starting offsets can't be 'latest' for batch queries")
@@ -436,7 +440,7 @@ object OffsetRanges {
         // sentinels per LoghubOffsetRangeLimit: -1 latest, -2 earliest
         o.shardOrdinals.map {
           case (s, -1L) => s -> store.shardEnd(opts.project, opts.store, s)
-          case (s, -2L) => s -> 0L
+          case (s, -2L) => s -> store.shardStart(opts.project, opts.store, s)
           case (s, n) => s -> n
         }
     }

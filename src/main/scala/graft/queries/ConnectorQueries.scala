@@ -28,8 +28,47 @@ object ConnectorQueries {
     "c7_stream_enrich" -> c7,
     "c8_incremental_read" -> c8,
     "c9_stream_sessions" -> c9,
-    "c10_optimize_compact" -> c10
+    "c10_optimize_compact" -> c10,
+    "c11_retention_expire" -> c11
   )
+
+  /** Time-based retention on the oracle gate (c11): two time-ordered
+    * commits (cold half, then hot half), expire everything before the
+    * cutoff, and the scan over the survivors must hash-match DuckDB's
+    * time-filtered aggregate over the original parquet — records
+    * resurrected, lost beyond the cutoff, or double-dropped all break
+    * it. The in-query require pins that retention actually moved the
+    * per-shard bases (a silently inert expiry would otherwise pass
+    * only because nothing changed). */
+  private def c11: Q = (spark, dir) => {
+    val cutoff = 1705363200 // 2024-01-16 00:00:00 UTC, mid-corpus
+    val root = Files.createTempDirectory("graft-logstore-c11").toString
+    val store = new EmbeddedLogStore(root)
+    store.createStore("proj", "ret", 2)
+    val opts = Map("store.root" -> root, "store.project" -> "proj",
+      "store.name" -> "ret")
+    val ev = t(spark, dir, "events")
+      .select(pmod(col("user_id"), lit(2)).cast(IntegerType).as("__shard__"),
+        expr("ts DIV 1000000000").cast(IntegerType).as("__time__"),
+        col("event_id"), col("event_type"), col("value"))
+    ev.filter(col("__time__") < cutoff)
+      .write.format("graft-logstore").options(opts).mode("append").save()
+    ev.filter(col("__time__") >= cutoff)
+      .write.format("graft-logstore").options(opts).mode("append").save()
+    val expired = store.expireSegments("proj", "ret", cutoff)
+    require(expired > 0 &&
+      store.listShards("proj", "ret")
+        .forall(s => store.shardStart("proj", "ret", s.id) > 0),
+      s"retention expired $expired segments but moved no base")
+    spark.read.format("graft-logstore").options(opts)
+      .schema("event_id LONG, event_type STRING, value DOUBLE")
+      .load()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum6(col("value")).as("sum_value"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+  }
 
   /** Segment compaction on the oracle gate (c10): the events table is
     * ingested in 8 separate commits (16 small segments — the shape a
@@ -459,6 +498,12 @@ object ConnectorQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "c11_retention_expire" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        | MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |GROUP BY event_type""".stripMargin,
     "c10_optimize_compact" ->
       """SELECT event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,

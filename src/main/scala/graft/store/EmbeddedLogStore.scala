@@ -340,9 +340,14 @@ class EmbeddedLogStore(root: String, ioRetries: Int = 10,
         val gone = pre.isEmpty && version >= 1 && files.nonEmpty
         (if (gone) None else viewFrom(project, store, pre)) match {
           case Some(view) =>
-            return view.entries.groupBy(_._1).map { case (s, es) =>
+            // END ordinal = retention base + live counts (a shard whose
+            // every segment expired still ends at its base)
+            val counts = view.entries.groupBy(_._1).map { case (s, es) =>
               s -> es.map(e => parseSegment(e._2).count).sum
             }
+            return (counts.keySet ++ view.bases.keySet).map { s =>
+              s -> (view.bases.getOrElse(s, 0L) + counts.getOrElse(s, 0L))
+            }.toMap
           case None =>
             // Either the prefix was compacted away (a checkpoint above
             // `version` subsumed and deleted its deltas — permanent) or
@@ -376,7 +381,7 @@ class EmbeddedLogStore(root: String, ioRetries: Int = 10,
     * skipped, not re-appended). */
   private case class ManifestView(files: Seq[String],
       entries: Seq[(Int, String)], checkpointVersion: Long,
-      absorbed: Seq[(Int, String)])
+      absorbed: Seq[(Int, String)], bases: Map[Int, Long])
 
   private def manifestView(project: String, store: String): ManifestView = {
     var attempt = 0
@@ -439,7 +444,13 @@ class EmbeddedLogStore(root: String, ioRetries: Int = 10,
         a.elements().asScala.map { n =>
           (n.get("shard").asInt(), n.get("file").asText())
         }.toSeq
-      }))
+      },
+      // per-shard base ordinals (written by expireSegments; absent = 0)
+      if (lastCkpt < 0) Map.empty
+      else Option(trees(lastCkpt).get("bases")).map { b =>
+        b.asInstanceOf[ObjectNode].properties().asScala
+          .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap
+      }.getOrElse(Map.empty)))
   }
 
   /** Fold the whole manifest history into one checkpoint manifest at the
@@ -475,35 +486,113 @@ class EmbeddedLogStore(root: String, ioRetries: Int = 10,
       viewOpt match {
         case None => // retry with a fresh snapshot
         case Some(view) =>
-          val entries = view.entries
+          // absorbed + bases (replay memory, retention bases) survive
+          // every later checkpoint
           val version = folded.map(manifestVersion).max + 1
-          val mapper = new ObjectMapper()
-          val rootNode = mapper.createObjectNode()
-          rootNode.put("version", version)
-          rootNode.put("checkpoint", true)
-          val arr = rootNode.putArray("segments")
-          entries.foreach { case (shard, file) =>
-            val n = arr.addObject(); n.put("shard", shard); n.put("file", file)
-          }
-          // replay-idempotence memory survives every later checkpoint
-          if (view.absorbed.nonEmpty) {
-            val ab = rootNode.putArray("absorbed")
-            view.absorbed.foreach { case (shard, file) =>
-              val n = ab.addObject(); n.put("shard", shard); n.put("file", file)
-            }
-          }
-          val tmp = mDir.resolve(s".m-$version.json.tmp-${System.nanoTime()}")
-          io(Files.write(tmp, mapper.writeValueAsBytes(rootNode)))
-          try {
-            io(Files.createLink(mDir.resolve(f"m-$version%010d.json"), tmp))
+          if (writeCheckpoint(project, store, version, view.entries,
+              view.absorbed, view.bases)) {
             done = true
             folded.foreach(f => Files.deleteIfExists(mDir.resolve(f)))
-          } catch {
-            case _: java.nio.file.FileAlreadyExistsException => // lost the race
-          } finally Files.deleteIfExists(tmp)
+          } // else lost the race: retry
       }
     }
   }
+
+  /** Write a checkpoint manifest at `version` via the optimistic link
+    * protocol. Returns true if the link landed (caller then owns
+    * cleanup of superseded files), false on a version collision. */
+  private def writeCheckpoint(project: String, store: String, version: Long,
+      entries: Seq[(Int, String)], absorbed: Seq[(Int, String)],
+      bases: Map[Int, Long]): Boolean = {
+    val mDir = manifestDir(project, store)
+    val mapper = new ObjectMapper()
+    val rootNode = mapper.createObjectNode()
+    rootNode.put("version", version)
+    rootNode.put("checkpoint", true)
+    val arr = rootNode.putArray("segments")
+    entries.foreach { case (shard, file) =>
+      val n = arr.addObject(); n.put("shard", shard); n.put("file", file)
+    }
+    if (absorbed.nonEmpty) {
+      val ab = rootNode.putArray("absorbed")
+      absorbed.foreach { case (shard, file) =>
+        val n = ab.addObject(); n.put("shard", shard); n.put("file", file)
+      }
+    }
+    if (bases.nonEmpty) {
+      val b = rootNode.putObject("bases")
+      bases.toSeq.sortBy(_._1).foreach { case (shard, base) =>
+        b.put(shard.toString, base)
+      }
+    }
+    val tmp = mDir.resolve(s".m-$version.json.tmp-${System.nanoTime()}")
+    io(Files.write(tmp, mapper.writeValueAsBytes(rootNode)))
+    try {
+      io(Files.createLink(mDir.resolve(f"m-$version%010d.json"), tmp))
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Time-based retention: drop every shard's PREFIX of segments whose
+    * embedded maxTime < `beforeTime` — the log-store analog of Kafka
+    * retention / Delta VACUUM, for aging out cold data at scale.
+    *
+    * Only a PREFIX expires: ordinals are positional, so dropping from
+    * the middle would renumber later records. Instead each shard gets a
+    * BASE ordinal (checkpoint `bases`): surviving records keep the
+    * ordinals they always had, `earliest` resolves to the base, and a
+    * checkpointed cursor below the base simply reads what still exists
+    * (expired data is skipped — retention semantics, not an error).
+    * Expired (shard, file) pairs join the absorbed list, so a streaming
+    * epoch replayed after its output expired is still deduped, never
+    * resurrected. Returns the number of segments expired. */
+  def expireSegments(project: String, store: String, beforeTime: Int): Int = {
+    val mDir = manifestDir(project, store)
+    if (!Files.isDirectory(mDir)) return 0
+    while (true) {
+      val folded = manifestFiles(project, store)
+      if (folded.isEmpty) return 0
+      val viewOpt =
+        try viewFrom(project, store, folded)
+        catch { case _: java.nio.file.NoSuchFileException => None }
+      viewOpt match {
+        case None => // torn/raced listing: re-list
+        case Some(view) =>
+          val expired = mutable.Buffer[(Int, String)]()
+          val newBases = mutable.Map[Int, Long]() ++ view.bases
+          view.entries.groupBy(_._1).foreach { case (shard, es) =>
+            val pre = es.map(_._2).takeWhile(f =>
+              parseSegment(f).maxTime < beforeTime)
+            if (pre.nonEmpty) {
+              expired ++= pre.map(f => (shard, f))
+              newBases(shard) = newBases.getOrElse(shard, 0L) +
+                pre.map(parseSegment(_).count).sum
+            }
+          }
+          if (expired.isEmpty) return 0
+          val gone = expired.toSet
+          val newEntries = view.entries.filterNot(gone.contains)
+          val absorbed = (view.absorbed ++ expired).distinct
+          val version = folded.map(manifestVersion).max + 1
+          if (writeCheckpoint(project, store, version, newEntries,
+              absorbed, newBases.toMap)) {
+            folded.foreach(f => Files.deleteIfExists(mDir.resolve(f)))
+            expired.foreach { case (shard, f) =>
+              Files.deleteIfExists(shardDir(project, store, shard).resolve(f))
+            }
+            return expired.size
+          } // else lost the race: retry on a fresh snapshot
+      }
+    }
+    0 // unreachable
+  }
+
+  /** First live ordinal of a shard (0 until retention moves it). The
+    * `earliest` offset resolution target. */
+  def shardStart(project: String, store: String, shard: Int): Long =
+    manifestView(project, store).bases.getOrElse(shard, 0L)
 
   /** Bin-pack small consecutive segments into larger merged ones, per
     * shard — the OPTIMIZE counterpart to [[compactManifests]], aimed at
@@ -602,21 +691,8 @@ class EmbeddedLogStore(root: String, ioRetries: Int = 10,
             runFiles.flatMap { case (shard, files) =>
               files.map(f => (shard, f)) }).distinct
           val version = folded.map(manifestVersion).max + 1
-          val rootNode = mapper.createObjectNode()
-          rootNode.put("version", version)
-          rootNode.put("checkpoint", true)
-          val arr = rootNode.putArray("segments")
-          newEntries.foreach { case (shard, file) =>
-            val n = arr.addObject(); n.put("shard", shard); n.put("file", file)
-          }
-          val ab = rootNode.putArray("absorbed")
-          absorbed.foreach { case (shard, file) =>
-            val n = ab.addObject(); n.put("shard", shard); n.put("file", file)
-          }
-          val tmp = mDir.resolve(s".m-$version.json.tmp-${System.nanoTime()}")
-          io(Files.write(tmp, mapper.writeValueAsBytes(rootNode)))
-          try {
-            io(Files.createLink(mDir.resolve(f"m-$version%010d.json"), tmp))
+          if (writeCheckpoint(project, store, version, newEntries,
+              absorbed, view.bases)) {
             // committed: superseded deltas and replaced data files go
             folded.foreach(f => Files.deleteIfExists(mDir.resolve(f)))
             runFiles.foreach { case (shard, files) =>
@@ -624,15 +700,14 @@ class EmbeddedLogStore(root: String, ioRetries: Int = 10,
                 shardDir(project, store, shard).resolve(f)))
             }
             return runFiles.size
-          } catch {
-            case _: java.nio.file.FileAlreadyExistsException =>
-              // lost the race: our staged merged files are uncommitted
-              // orphans — clean them up and retry on a fresh snapshot
-              runFiles.zipWithIndex.foreach { case ((shard, _), id) =>
-                Files.deleteIfExists(
-                  shardDir(project, store, shard).resolve(mergedName(id)))
-              }
-          } finally Files.deleteIfExists(tmp)
+          } else {
+            // lost the race: our staged merged files are uncommitted
+            // orphans — clean them up and retry on a fresh snapshot
+            runFiles.zipWithIndex.foreach { case ((shard, _), id) =>
+              Files.deleteIfExists(
+                shardDir(project, store, shard).resolve(mergedName(id)))
+            }
+          }
       }
     }
     0 // unreachable
@@ -671,16 +746,30 @@ class EmbeddedLogStore(root: String, ioRetries: Int = 10,
     committedEntries(project, store)
       .collect { case (s, f) if s == shard => parseSegment(f) }
 
-  /** Total records in a shard = END cursor ordinal. */
-  def shardEnd(project: String, store: String, shard: Int): Long =
-    listSegments(project, store, shard).map(_.count).sum
+  /** One consistent (base ordinal, live segments) pair for a shard —
+    * ordinal math must never mix a base and a listing from two
+    * different manifest views (an expiry between them would double- or
+    * zero-count the dropped prefix). */
+  private def shardView(project: String, store: String,
+      shard: Int): (Long, Seq[Segment]) = {
+    val view = manifestView(project, store)
+    (view.bases.getOrElse(shard, 0L),
+      view.entries.collect { case (s, f) if s == shard => parseSegment(f) })
+  }
+
+  /** Total records ever committed to a shard = END cursor ordinal
+    * (retention moves the START, never the end). */
+  def shardEnd(project: String, store: String, shard: Int): Long = {
+    val (base, segs) = shardView(project, store, shard)
+    base + segs.map(_.count).sum
+  }
 
   /** Base ordinal of each committed segment in commit order — the
     * cursor value of the segment's first record. */
   def segmentBases(project: String, store: String, shard: Int): Array[Long] = {
-    val segs = listSegments(project, store, shard)
+    val (base, segs) = shardView(project, store, shard)
     val bases = new Array[Long](segs.length)
-    var acc = 0L; var i = 0
+    var acc = base; var i = 0
     while (i < segs.length) { bases(i) = acc; acc += segs(i).count; i += 1 }
     bases
   }
@@ -710,9 +799,10 @@ class EmbeddedLogStore(root: String, ioRetries: Int = 10,
 
   private def cursorAtTimeOnce(project: String, store: String, shard: Int,
       t: Int): Long = {
-    var ordinal = 0L
+    val (base, segs) = shardView(project, store, shard)
+    var ordinal = base
     val mapper = new ObjectMapper()
-    listSegments(project, store, shard).foreach { seg =>
+    segs.foreach { seg =>
       if (seg.maxTime < t) ordinal += seg.count
       else {
         val lines = io(Files.readAllLines(
@@ -777,8 +867,8 @@ class EmbeddedLogStore(root: String, ioRetries: Int = 10,
       timeRange: Option[(Int, Int)]): Iterator[(Long, LogRecord)] = {
     val mapper = new ObjectMapper()
     val dir = shardDir(project, store, shard)
-    val segs = listSegments(project, store, shard)
-    var base = 0L
+    val (shardBase, segs) = shardView(project, store, shard)
+    var base = shardBase // ordinals below it were expired by retention
     val out = mutable.Buffer[(String, Long)]() // (file, segBase)
     segs.foreach { seg =>
       val ordOverlap = base < until && base + seg.count > from
