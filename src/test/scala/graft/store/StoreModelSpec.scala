@@ -29,9 +29,12 @@ class StoreModelSpec extends AnyFunSuite {
       val root = Files.createTempDirectory(s"store-model-$trial").toString
       val store = new EmbeddedLogStore(root)
       store.createStore("p", "s", 2)
-      // model: per shard, the committed records in commit order
+      // model: per shard, the committed records in commit order, plus
+      // the retention base (records below it are expired but ordinals
+      // above it never move — the compaction/retention invariant)
       val model = scala.collection.mutable.Map(
         0 -> Vector.empty[LogRecord], 1 -> Vector.empty[LogRecord])
+      val base = scala.collection.mutable.Map(0 -> 0, 1 -> 0)
       var writable = Set(0, 1)
       var segId = 0
       var committed = Map.empty[String, (Int, Seq[LogRecord])] // name -> (shard, records)
@@ -40,35 +43,34 @@ class StoreModelSpec extends AnyFunSuite {
 
       def check(): Unit = {
         model.keys.foreach { sh =>
+          val b = base(sh)
+          val live = model(sh).zipWithIndex.drop(b)
+            .map { case (r, i) => (i.toLong, r) }
           val got = store.read("p", "s", sh, 0, Long.MaxValue).toVector
-          assert(got.map(_._1) == got.indices.map(_.toLong).toVector,
-            s"shard $sh ordinals not dense")
-          assert(got.map(_._2) == model(sh), s"shard $sh records diverged")
+          assert(got == live, s"shard $sh live records diverged")
           assert(store.shardEnd("p", "s", sh) == model(sh).size)
-          // time-range primitives against the model
+          assert(store.shardStart("p", "s", sh) == b.toLong)
+          // time-range primitives against the live model
           val t0 = 1000 + rnd.nextInt(clock - 999)
           val t1 = t0 + rnd.nextInt(clock - t0 + 1)
           assert(store.countInTimeRange("p", "s", sh, t0, t1) ==
-            model(sh).count(r => r.time >= t0 && r.time < t1))
+            live.count { case (_, r) => r.time >= t0 && r.time < t1 })
           val ct = store.cursorAtTime("p", "s", sh, t0)
-          val expect = model(sh).indexWhere(_.time >= t0) match {
-            case -1 => model(sh).size.toLong
-            case i => i.toLong
-          }
+          val expect = live.find(_._2.time >= t0).map(_._1)
+            .getOrElse(model(sh).size.toLong)
           assert(ct == expect, s"cursorAtTime($t0) on shard $sh")
           // bounded + time-filtered read agrees too
           val lo = rnd.nextInt(model(sh).size + 1)
           val hi = lo + rnd.nextInt(model(sh).size - lo + 1)
           val slice = store.read("p", "s", sh, lo, hi, Some((t0, t1))).toVector
-          val want = model(sh).zipWithIndex.slice(lo, hi)
-            .filter { case (r, _) => r.time >= t0 && r.time < t1 }
-            .map { case (r, i) => (i.toLong, r) }
+          val want = live.filter { case (i, r) =>
+            i >= lo && i < hi && r.time >= t0 && r.time < t1 }
           assert(slice == want, s"bounded read [$lo,$hi)x[$t0,$t1)")
         }
       }
 
       for (step <- 1 to 60) {
-        rnd.nextInt(10) match {
+        rnd.nextInt(12) match {
           case 0 | 1 | 2 | 3 | 4 => // append to a random writable shard
             val sh = writable.toSeq(rnd.nextInt(writable.size))
             // segment times are non-decreasing within the shard's life
@@ -92,6 +94,7 @@ class StoreModelSpec extends AnyFunSuite {
               val (a, b) = store.splitShard("p", "s", sh)
               writable = writable - sh + a + b
               model(a) = Vector.empty; model(b) = Vector.empty
+              base(a) = 0; base(b) = 0
             }
           case 7 => // stage without committing (a crashed job's leftovers)
             val sh = writable.toSeq(rnd.nextInt(writable.size))
@@ -106,6 +109,20 @@ class StoreModelSpec extends AnyFunSuite {
             assert(removed == abandoned.size,
               s"vacuum removed $removed of ${abandoned.size} orphans")
             abandoned = Nil
+          case 10 => // segment compaction is invisible to every observable
+            store.compactSegments("p", "s", targetRecords = 1 + rnd.nextInt(12))
+          case 11 => // retention: expiry is segment-prefix-granular; the
+            // expected drop derives from the store's own live listing
+            // (already validated against the model by every check())
+            val cutoff = 1000 + rnd.nextInt(clock - 999)
+            val expectDrop = model.keys.map { sh =>
+              sh -> store.listSegments("p", "s", sh)
+                .takeWhile(_.maxTime < cutoff).map(_.count).sum
+            }.toMap
+            val n = store.expireSegments("p", "s", cutoff)
+            expectDrop.foreach { case (sh, d) => base(sh) += d.toInt }
+            assert((n == 0) == expectDrop.values.forall(_ == 0L),
+              s"expireSegments($cutoff) returned $n, expected drops $expectDrop")
         }
         check()
       }
