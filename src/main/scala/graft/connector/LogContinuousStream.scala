@@ -85,8 +85,12 @@ class LogContinuousPartitionReader(schema: StructType, p: LogInputPartition,
       val end = store.shardEnd(p.project, p.store, p.shard)
       if (end > ordinal) {
         it = store.read(p.project, p.store, p.shard, ordinal, end)
-        // segment bases are prefix-stable (commit order is append-only),
-        // so refreshing alongside the iterator stays consistent
+        // refreshed alongside the iterator; under append-only commits
+        // bases only extend. A racing compaction can reshape segment
+        // boundaries — ordinals stay exact (the read iterator
+        // self-heals); only the cosmetic "<segment>-<offset>" sequence
+        // strings would reflect the pre-rewrite boundaries until the
+        // next refresh.
         if (appendSeq) bases = store.segmentBases(p.project, p.store, p.shard)
       } else {
         Thread.sleep(10) // poll backoff; interrupted by epoch end/stop

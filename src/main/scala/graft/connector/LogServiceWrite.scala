@@ -78,7 +78,7 @@ class LogStreamingWrite(schema: StructType, opts: LogServiceOptions)
         if (needs)
           store.compactSegments(opts.project, opts.store, opts.autoCompactTarget)
       } catch {
-        case t: Throwable =>
+        case scala.util.control.NonFatal(t) =>
           System.err.println(s"[graft-logstore] auto-compaction after " +
             s"epoch $epochId failed (data is committed): ${t.getMessage}")
       }

@@ -606,7 +606,10 @@ class EmbeddedLogStore(root: String, ioRetries: Int = 10,
     *     cursors, snapshot ends, bounded scans, and in-flight streaming
     *     offsets all mean exactly what they meant before. Readers that
     *     listed the old layout and trip on a deleted file re-list and
-    *     resume at their current ordinal (see [[read]]).
+    *     resume at their current ordinal (see [[read]]). (The cosmetic
+    *     `__sequence_number__` "<segment>-<offset>" strings are derived
+    *     from segment BOUNDARIES and do change across a rewrite —
+    *     ordinals, not sequence strings, are the stable identity.)
     *   - REPLAY IDEMPOTENCE SURVIVES: the merged-away (shard, file)
     *     pairs move to the checkpoint's `absorbed` list, which
     *     [[commitSegments]]' duplicate-skip and [[stageSegment]]'s
