@@ -49,6 +49,45 @@ class ContinuousAndConfigSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("continuous tail survives a mid-flight segment rewrite") {
+    // many 1-record segments so the rewrite has something to fold; the
+    // tailing readers hold listings a compaction invalidates mid-run
+    val root = Files.createTempDirectory("graft-cc-opt").toString
+    val store = new EmbeddedLogStore(root)
+    store.createStore("proj", "logs", 2)
+    (0 until 12).foreach(i =>
+      store.appendSegment("proj", "logs", i % 2, s"s$i",
+        Seq(LogRecord(1700000000 + i, "t", "s", Map.empty,
+          Map("msg" -> i.toString)))))
+    val q = spark.readStream.format("graft-logstore").options(opts(root))
+      .schema("msg INT").load()
+      .writeStream.format("memory").queryName("t_cont_opt")
+      .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
+      .trigger(Trigger.Continuous("1 second")).start()
+    try {
+      var tries = 0
+      while (spark.table("t_cont_opt").count() < 12 && tries < 150) {
+        assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+        Thread.sleep(200); tries += 1
+      }
+      assert(spark.table("t_cont_opt").count() >= 12)
+      // rewrite everything under the running tail, then append more
+      assert(store.compactSegments("proj", "logs", targetRecords = 100) > 0)
+      (12 until 16).foreach(i =>
+        store.appendSegment("proj", "logs", i % 2, s"s$i",
+          Seq(LogRecord(1700000000 + i, "t", "s", Map.empty,
+            Map("msg" -> i.toString)))))
+      tries = 0
+      while (spark.table("t_cont_opt").count() < 16 && tries < 150) {
+        assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+        Thread.sleep(200); tries += 1
+      }
+      // every record exactly once, across the rewrite
+      val got = spark.table("t_cont_opt").collect().map(_.getInt(0)).sorted
+      assert(got.toSeq === (0 until 16), got.mkString(","))
+    } finally q.stop()
+  }
+
   test("continuous stream: offsets merge per shard and reader tails new data") {
     val root = seeded(5)
     val streamOpts = graft.connector.LogServiceOptions(opts(root))
