@@ -53,8 +53,32 @@ object Relational {
     "q25_small_order_revenue" -> q25,
     "q26_percentiles" -> q26,
     "q27_interval_join" -> q27,
-    "q28_funnel" -> q28
+    "q28_funnel" -> q28,
+    "q29_grouping_sets" -> q29
   )
+
+  /** Explicit GROUPING SETS (q29): the general form rollup (q11) and
+    * cube (q15) are sugar for — three hand-picked aggregation levels
+    * plus grouping_id to disambiguate real NULLs from subtotal rows,
+    * through the SQL surface (the one catalog entry exercising
+    * spark.sql end-to-end on the oracle gate).
+    *
+    * Scale: one Expand of 3x the input ahead of a single
+    * map-side-combined hash aggregate — rows multiply by the number of
+    * grouping sets BEFORE the partial agg, which is exactly why q11
+    * re-aggregates the base instead (its plan guard pins no-Expand);
+    * both shapes are in the catalog so the trade is explicit. */
+  private def q29: Q = (spark, dir) => {
+    t(spark, dir, "lineitem").createOrReplaceTempView("lineitem_q29")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        | grouping_id(l_returnflag, l_linestatus) AS gid,
+        | COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem_q29
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), ())""".stripMargin)
+  }
 
   /** Ordered event-sequence funnel (q28): per user, the earliest
     * signup, the earliest view strictly AFTER that signup, and the
@@ -536,6 +560,14 @@ object Relational {
   }
 
   def oracles: Map[String, String] = Map(
+    "q29_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | grouping(l_returnflag, l_linestatus) AS gid,
+        | COUNT(*) AS n_items,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), ())""".stripMargin,
     "q28_funnel" ->
       """WITH ev AS (SELECT user_id, event_type,
         |    CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
