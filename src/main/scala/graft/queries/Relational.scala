@@ -581,13 +581,27 @@ object Relational {
         |  1 + CASE WHEN v_ts IS NOT NULL THEN 1 ELSE 0 END
         |    + CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END AS stage
         |FROM su LEFT JOIN vi USING (user_id) LEFT JOIN pu USING (user_id)""".stripMargin,
+    // Rank-CTE formulation instead of percentile_disc/percentile_cont
+    // WITHIN GROUP: the native percentile functions changed interpolation
+    // semantics across DuckDB releases (r7 driver red on a newer DuckDB
+    // while 1.0.0 matched Spark exactly). percentile_disc(p) == the value
+    // at row_number ceil(p*n) in ascending order; ceil(k*n/4) is exact
+    // integer math ((k*n+3)//4), and the continuous median is the mean of
+    // the two middle ranks — constructs proven portable by green queries
+    // (row_number/COUNT OVER: q25/t21; `//`: m1-m3; MAX(CASE): t21).
     "q26_percentiles" ->
-      """SELECT l_returnflag, COUNT(*) AS n_items,
-        | percentile_disc(0.25) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS p25_qty,
-        | percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS p50_qty,
-        | percentile_disc(0.75) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS p75_qty,
-        | percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(l_quantity AS BIGINT)) AS median_qty
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      """WITH v AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY CAST(l_quantity AS BIGINT)) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag, COUNT(*) AS n_items,
+        | MAX(CASE WHEN rn = (n + 3) // 4 THEN qty END) AS p25_qty,
+        | MAX(CASE WHEN rn = (n + 1) // 2 THEN qty END) AS p50_qty,
+        | MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN qty END) AS p75_qty,
+        | 0.5e0 * (MAX(CASE WHEN rn = (n + 1) // 2 THEN qty END)
+        |        + MAX(CASE WHEN rn = n // 2 + 1 THEN qty END)) AS median_qty
+        |FROM v GROUP BY l_returnflag""".stripMargin,
     "q27_interval_join" ->
       """WITH ev AS (SELECT event_id, user_id,
         |    CAST(epoch_us(ts) AS BIGINT) AS us FROM events),

@@ -825,17 +825,28 @@ object TextQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // Shingles built t19-style (list_zip + slicing, proven green on the
+    // driver for ALL docs) with a plain row-level DISTINCT instead of
+    // list_distinct/list_transform/range — the r7 driver red isolated to
+    // a DuckDB-version drift somewhere in the original construct set, and
+    // every remaining ingredient here (list_zip: t19; LEFT JOIN+COALESCE:
+    // q28/t21; MIN/COUNT group-bys: everywhere) is proven portable.
     "t22_novelty" ->
       """WITH words AS (SELECT doc_id,
         |    regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
-        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s FROM words),
+        |tg AS (SELECT doc_id, p[1] || ' ' || p[2] || ' ' || p[3] AS s
+        |  FROM (SELECT doc_id,
+        |          unnest(list_zip(w[1:len(w)-2], w[2:len(w)-1], w[3:])) AS p
+        |        FROM words WHERE len(w) >= 3)),
+        |sh AS (SELECT DISTINCT doc_id, s FROM tg),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
         |fst AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s),
-        |agg AS (SELECT sh.doc_id, COUNT(*) AS n_shingles,
-        |    SUM(CASE WHEN fst.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel
-        |  FROM sh JOIN fst USING (s) GROUP BY sh.doc_id)
-        |SELECT doc_id, n_shingles, n_novel,
-        |  CAST(n_novel AS DOUBLE) / n_shingles AS novelty FROM agg""".stripMargin,
+        |nov AS (SELECT first_doc AS doc_id, COUNT(*) AS n_novel
+        |        FROM fst GROUP BY first_doc)
+        |SELECT sizes.doc_id, sizes.n_shingles,
+        |  COALESCE(nov.n_novel, CAST(0 AS BIGINT)) AS n_novel,
+        |  CAST(COALESCE(nov.n_novel, 0) AS DOUBLE) / sizes.n_shingles AS novelty
+        |FROM sizes LEFT JOIN nov ON sizes.doc_id = nov.doc_id""".stripMargin,
     "t21_bm25" ->
       """WITH toks AS (SELECT doc_id,
         |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
