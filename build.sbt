@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Inherit the forked program's stdio directly: without this sbt logs
+// program stdout through its logger and prefixes every line with
+// "[info] ", which the driver's JSON-line parser must strip. Direct
+// inheritance emits the metric line byte-identical to what println'd.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // The bench/verify driver parses the LAST stdout line as the metric
 // JSON; sbt's trailing "[success] Total time ..." banner has broken
 // that parse every round (BENCH_r*.json "parsed": null). Exit code
