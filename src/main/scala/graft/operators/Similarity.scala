@@ -161,23 +161,6 @@ object Similarity {
       k)
   }
 
-  /** Random-hyperplane signature: sign bits of dot(v, h_j) for
-    * deterministic pseudo-random hyperplanes h_j derived from xxhash64 of
-    * (dimension index, plane index) — no RNG state, reproducible across
-    * the cluster. */
-  def hyperplaneSig(v: org.apache.spark.sql.Column, dim: Int, bits: Int) = {
-    val planes = (0 until bits).map { j =>
-      // h_j[i] in [-1, 1): derived from a 64-bit mix of (i, j)
-      val proj = aggregate(
-        zip_with(v,
-          transform(sequence(lit(0), lit(dim - 1)),
-            i => (xxhash64(i, lit(j)).cast(DoubleType) / lit(Long.MaxValue.toDouble))),
-          (x, h) => x * h),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << j)).otherwise(0L)
-    }
-    planes.reduce(_ + _)
-  }
 
   /** Multi-probe LSH top-k: queries probe their own sign-hyperplane
     * bucket PLUS the `probes` buckets reached by flipping the
@@ -468,20 +451,12 @@ object Similarity {
   }
 
   /** LSH-bucketed approximate top-k: exact rerank within each signature
-    * bucket. Output schema matches bruteForceKnn (rank gaps possible when
-    * a bucket holds < k candidates). */
-  def lshKnn(emb: DataFrame, queries: DataFrame, k: Int, bits: Int): DataFrame = {
-    val dim = 64
-    val corpus = emb.select(col("vec_id"), VF.toDoubleVec(col("embedding")).as("v"))
-      .withColumn("bucket", hyperplaneSig(col("v"), dim, bits))
-    val q = queries.select(col("vec_id").as("query_id"),
-        VF.toDoubleVec(col("embedding")).as("qv"))
-      .withColumn("bucket", hyperplaneSig(col("qv"), dim, bits))
-    topkPerQuery(
-      corpus.join(broadcast(q), col("vec_id") =!= col("query_id") &&
-          corpus("bucket") === q("bucket"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          VF.cosine(col("qv"), col("v")).as("sim")),
-      k)
-  }
+    * bucket — the single-probe (probes = 0) case of [[multiProbeLshKnn]],
+    * so it shares the deterministic splitmix64 hyperplane family with
+    * every other sign-hyperplane operator (interchangeable bucket
+    * spaces, and the bucketing is exactly replayable in SQL for the
+    * oracle). Output schema matches bruteForceKnn (rank gaps possible
+    * when a bucket holds < k candidates). */
+  def lshKnn(emb: DataFrame, queries: DataFrame, k: Int, bits: Int): DataFrame =
+    multiProbeLshKnn(emb, queries, k, bits, probes = 0)
 }

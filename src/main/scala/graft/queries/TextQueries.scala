@@ -329,8 +329,10 @@ object TextQueries {
   }
 
   /** Native codegen'd rolling-hash fingerprint (RollingHash Expression).
-    * Not SQL-expressible in DuckDB → rows-only check; value correctness
-    * covered by RollingHashSpec (interpreted == codegen == reference). */
+    * Oracle-checked exactly: the per-byte recurrence h = (h*B + byte)
+    * mod 2^31-1 stays under 2^52, so DuckDB replays it verbatim in a
+    * recursive CTE over hex(encode(...)) byte pairs; value correctness
+    * additionally pinned by RollingHashSpec (interpreted == codegen). */
   private def t6: Q = (spark, dir) => {
     val d = t(spark, dir, "documents")
     d.select(col("doc_id"),
@@ -614,7 +616,9 @@ object TextQueries {
 
   /** Multi-probe LSH ANN: same bucket granularity as s2 but each query
     * additionally probes the `probes` lowest-margin bit flips.
-    * Approximate → rows-only check; recall-vs-s2 asserted in spec. */
+    * Approximate by design yet fully deterministic (splitmix64 planes),
+    * so the bucketing + probe order replay exactly in the SQL oracle;
+    * recall-vs-s2 additionally asserted in spec. */
   private def s4: Q = (spark, dir) => {
     val e = t(spark, dir, "embeddings")
     Similarity.multiProbeLshKnn(e, e.filter(col("vec_id") < 8), k = 4,
@@ -737,6 +741,49 @@ object TextQueries {
       |FROM pairs JOIN sizes s1 ON aid = s1.doc_id JOIN sizes s2 ON bid = s2.doc_id
       |WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.8""".stripMargin
 
+  /** Shared CTE fragment: the splitmix64 hyperplane family
+    * (Dedup.hyperplaneComponent) replayed exactly in SQL. 64-bit
+    * wrap-around arithmetic runs in HUGEINT mod 2^64 (checked BIGINT
+    * would overflow); multiplies split the left operand at 2^32 so no
+    * intermediate exceeds 2^97; xors split both operands into 32-bit
+    * halves for BIGINT xor(). Emits per-plane component lists hv
+    * (ordered by dimension — list_dot_product ≡ the engine's ascending
+    * fold) plus the raw per-(i,j) grid for probe logic. */
+  private def splitmixHyperplanes(bits: Int): String =
+    s"""ij AS (SELECT i, j FROM range(0, 64) t(i), range(0, $bits) u(j)),
+       |sm AS (
+       | SELECT i, j,
+       |  CAST(i * 65537 + j AS HUGEINT) + 11400714819323198485 AS x0,
+       |  CAST(xor(CAST(x0 // 4294967296 AS BIGINT), CAST((x0 // 1073741824) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296
+       |    + CAST(xor(CAST(x0 % 4294967296 AS BIGINT), CAST((x0 // 1073741824) % 4294967296 AS BIGINT)) AS HUGEINT) AS x1,
+       |  (((x1 // 4294967296) * 13787848793156543929 % 4294967296) * 4294967296
+       |    + (x1 % 4294967296) * 13787848793156543929) % 18446744073709551616 AS m1,
+       |  CAST(xor(CAST(m1 // 4294967296 AS BIGINT), CAST((m1 // 134217728) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296
+       |    + CAST(xor(CAST(m1 % 4294967296 AS BIGINT), CAST((m1 // 134217728) % 4294967296 AS BIGINT)) AS HUGEINT) AS x2,
+       |  (((x2 // 4294967296) * 10723151780598845931 % 4294967296) * 4294967296
+       |    + (x2 % 4294967296) * 10723151780598845931) % 18446744073709551616 AS m2,
+       |  CAST(xor(CAST(m2 // 4294967296 AS BIGINT), CAST((m2 // 2147483648) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296
+       |    + CAST(xor(CAST(m2 % 4294967296 AS BIGINT), CAST((m2 // 2147483648) % 4294967296 AS BIGINT)) AS HUGEINT) AS x3,
+       |  CAST(CAST(CASE WHEN x3 >= 9223372036854775808 THEN x3 - 18446744073709551616 ELSE x3 END AS BIGINT) AS DOUBLE)
+       |    / 9223372036854775808e0 AS hd
+       | FROM ij),
+       |hp AS (SELECT j, list(hd ORDER BY i) AS hv FROM sm GROUP BY j),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""".stripMargin
+
+  /** Shared cosine-top-k tail over candidate (qid, vec_id, v) rows —
+    * the s1-proven formulation (list_dot_product + rank window). */
+  private val cosineTopkTail =
+    """scored AS (
+      | SELECT cand.qid AS query_id, cand.vec_id AS neighbor_id,
+      |  list_dot_product(e.v, cand.v) /
+      |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cand.v, cand.v))) AS sim,
+      |  row_number() OVER (PARTITION BY cand.qid ORDER BY
+      |    list_dot_product(e.v, cand.v) /
+      |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cand.v, cand.v))) DESC,
+      |    cand.vec_id) AS rn
+      | FROM cand JOIN e ON e.vec_id = cand.qid)
+      |SELECT query_id, neighbor_id, rn AS rank, sim FROM scored WHERE rn <= 4""".stripMargin
+
   private val langCase =
     """CASE
       | WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
@@ -825,6 +872,23 @@ object TextQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // Exact replay of the RollingHash Expression: mod 2^31-1 keeps every
+    // intermediate below 2^52 (plain BIGINT), bytes come from the proven
+    // hex(encode(..)) idiom (m8), iteration from a recursive CTE (d9/p3).
+    "t6_rolling_fingerprint" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT doc_id,
+        |    hex(encode(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS hx,
+        |    octet_length(encode(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n
+        |  FROM documents),
+        |it AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS h, 0 AS i, hx, n FROM b
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    (h * 1000003 + ('0x' || substring(hx, 2*i+1, 2))::INTEGER) % 2147483647,
+        |    i + 1, hx, n
+        |  FROM it WHERE i < n)
+        |SELECT doc_id, h AS rfp FROM it WHERE i = n""".stripMargin,
     // Shingles built t19-style (list_zip + slicing, proven green on the
     // driver for ALL docs) with a plain row-level DISTINCT instead of
     // list_distinct/list_transform/range — the r7 driver red isolated to
@@ -1280,7 +1344,55 @@ object TextQueries {
         | FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e
         | JOIN (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
         |       FROM embeddings WHERE vec_id < 8) q ON e.vec_id <> q.qid) x
-        |WHERE rn <= 4""".stripMargin
-    // s2_ann_lsh: approximate by design — rows-only check.
+        |WHERE rn <= 4""".stripMargin,
+    // s2/s3/s4 are approximate-by-design ANN, but their randomness is
+    // deterministic (splitmix64 planes / first-16 centroids), so the
+    // whole pipeline — bucketing included — replays exactly in SQL.
+    "s2_ann_lsh" ->
+      (s"WITH ${splitmixHyperplanes(4)},\n" +
+      """pj AS (SELECT e.vec_id, hp.j, list_dot_product(e.v, hp.hv) AS proj
+        |       FROM e CROSS JOIN hp),
+        |sig AS (SELECT vec_id, CAST(SUM(CASE WHEN proj >= 0e0
+        |          THEN 1::BIGINT << j ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+        |        FROM pj GROUP BY vec_id),
+        |c AS (SELECT e.vec_id, e.v, sig.bucket FROM e JOIN sig USING (vec_id)),
+        |cand AS (SELECT q.vec_id AS qid, c.vec_id, c.v FROM c
+        |         JOIN (SELECT vec_id, bucket FROM sig WHERE vec_id < 8) q
+        |           ON c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+        |""".stripMargin + cosineTopkTail),
+    "s4_ann_multiprobe" ->
+      (s"WITH ${splitmixHyperplanes(8)},\n" +
+      """pj AS (SELECT e.vec_id, hp.j, list_dot_product(e.v, hp.hv) AS proj
+        |       FROM e CROSS JOIN hp),
+        |sig AS (SELECT vec_id, CAST(SUM(CASE WHEN proj >= 0e0
+        |          THEN 1::BIGINT << j ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+        |        FROM pj GROUP BY vec_id),
+        |flips AS (SELECT qid, xor(bucket, 1::BIGINT << j) AS bucket FROM (
+        |  SELECT pj.vec_id AS qid, pj.j, sig.bucket,
+        |    row_number() OVER (PARTITION BY pj.vec_id ORDER BY abs(pj.proj), pj.j) AS rn
+        |  FROM pj JOIN sig USING (vec_id) WHERE pj.vec_id < 8) x WHERE rn <= 4),
+        |qprobe AS (SELECT vec_id AS qid, bucket FROM sig WHERE vec_id < 8
+        |           UNION ALL SELECT qid, bucket FROM flips),
+        |c AS (SELECT e.vec_id, e.v, sig.bucket FROM e JOIN sig USING (vec_id)),
+        |cand AS (SELECT DISTINCT q.qid, c.vec_id, c.v FROM c
+        |         JOIN qprobe q ON c.bucket = q.bucket AND c.vec_id <> q.qid),
+        |""".stripMargin + cosineTopkTail),
+    "s3_ann_ivf" ->
+      ("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid,
+        |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv
+        |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+        |assign AS (SELECT vec_id, cell FROM (
+        |  SELECT e.vec_id, c0.cid AS cell, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_dot_product(e.v, c0.cv) DESC, c0.cid) AS rn
+        |  FROM e CROSS JOIN c0) x WHERE rn = 1),
+        |probe AS (SELECT qid, cell FROM (
+        |  SELECT e.vec_id AS qid, c0.cid AS cell, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_dot_product(e.v, c0.cv) DESC, c0.cid) AS rn
+        |  FROM e CROSS JOIN c0 WHERE e.vec_id < 8) x WHERE rn <= 4),
+        |c AS (SELECT e.vec_id, e.v, assign.cell FROM e JOIN assign USING (vec_id)),
+        |cand AS (SELECT probe.qid, c.vec_id, c.v FROM c
+        |         JOIN probe ON c.cell = probe.cell AND c.vec_id <> probe.qid),
+        |""".stripMargin + cosineTopkTail)
   )
 }
