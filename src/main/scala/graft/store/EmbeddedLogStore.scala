@@ -625,6 +625,11 @@ class EmbeddedLogStore(root: String, ioRetries: Int = 10,
     * record total stays <= `targetRecords`; segments at or above the
     * target are left alone. Returns the number of merged segments
     * written (0 = nothing worth merging). */
+  /** Test seam: runs after a compaction attempt has staged its merged
+    * files, before it tries to commit — lets a spec deterministically
+    * interleave a concurrent compactor into the race window. */
+  private[graft] var onCompactStaged: () => Unit = () => ()
+
   def compactSegments(project: String, store: String,
       targetRecords: Long = 1L << 20): Int = {
     require(targetRecords > 0, s"targetRecords $targetRecords must be > 0")
@@ -694,6 +699,7 @@ class EmbeddedLogStore(root: String, ioRetries: Int = 10,
             runFiles.flatMap { case (shard, files) =>
               files.map(f => (shard, f)) }).distinct
           val version = folded.map(manifestVersion).max + 1
+          onCompactStaged()
           if (writeCheckpoint(project, store, version, newEntries,
               absorbed, view.bases)) {
             // committed: superseded deltas and replaced data files go
@@ -704,11 +710,17 @@ class EmbeddedLogStore(root: String, ioRetries: Int = 10,
             }
             return runFiles.size
           } else {
-            // lost the race: our staged merged files are uncommitted
-            // orphans — clean them up and retry on a fresh snapshot
+            // Lost the race. Merged names are DETERMINISTIC (digest of
+            // constituents), so a concurrent compactor of the same view
+            // staged — and may have just committed — these exact files;
+            // unconditional cleanup would delete its committed data.
+            // Only files still absent from the committed view are ours
+            // to remove; then retry on a fresh snapshot.
+            val committed = committedSet(project, store)
             runFiles.zipWithIndex.foreach { case ((shard, _), id) =>
-              Files.deleteIfExists(
-                shardDir(project, store, shard).resolve(mergedName(id)))
+              if (!committed.contains((shard, mergedName(id))))
+                Files.deleteIfExists(
+                  shardDir(project, store, shard).resolve(mergedName(id)))
             }
           }
       }

@@ -139,4 +139,28 @@ class StoreCompactionSpec extends AnyFunSuite {
     val total = s.listSegments("proj", "logs", 0).map(_.count).sum
     assert(total === n.toLong)
   }
+
+  test("race loser must not delete the winner's committed merged files") {
+    // Two compactors over the SAME view stage identical merged files
+    // (names are digests of the constituents). The loser's cleanup must
+    // not remove what the winner's checkpoint now references. The test
+    // seam injects the winner exactly inside the loser's race window:
+    // after the loser stages, before it tries to commit.
+    val s = newStore()
+    (0 until 8).foreach(i =>
+      s.appendSegment("proj", "logs", 0, s"a$i", Seq(rec(i))))
+    val before = s.read("proj", "logs", 0, 0, 8).toSeq
+    var winnerMerged = -1
+    s.onCompactStaged = () => {
+      s.onCompactStaged = () => () // one-shot: the winner runs clean
+      winnerMerged = s.compactSegments("proj", "logs", targetRecords = 4)
+    }
+    val loserMerged = s.compactSegments("proj", "logs", targetRecords = 4)
+    assert(winnerMerged === 2)     // 8 records in runs of 4 → 2 files
+    assert(loserMerged === 0)      // loser retried on a fresh snapshot
+    // the winner's merged data must survive the loser's cleanup
+    assert(s.listSegments("proj", "logs", 0).map(_.count) === Seq(4L, 4L))
+    assert(s.read("proj", "logs", 0, 0, 8).toSeq === before)
+    assert(s.shardEnd("proj", "logs", 0) === 8L)
+  }
 }
