@@ -251,21 +251,26 @@ class LogStatScan(opts: LogServiceOptions, statCols: String,
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
     val store = opts.newStore
-    val shards = store.listShards(opts.project, opts.store)
+    // ONE manifest fold for every shard's (base, segments): mixing
+    // per-shard folds could straddle a concurrent expiry and misalign
+    // bases against listings. The snapshot ends are pinned by version —
+    // consistent by construction — and the segment-alignment require
+    // below still guards any base/end drift loudly.
+    val byShard = store.storeView(opts.project, opts.store)
     val snapEnds = opts.snapshotVersion.map(v =>
       store.shardEndsAt(opts.project, opts.store, v))
     var total = 0L
     var minT = Long.MaxValue
     var maxT = Long.MinValue
-    shards.foreach { s =>
+    byShard.toSeq.sortBy(_._1).foreach { case (shard, (base, segs)) =>
       // fold segments in ordinal order; a snapshot clamp is always
       // segment-aligned (shardEndsAt sums whole segment counts), so a
       // segment is either fully in the snapshot or fully out — the
       // [minTime, maxTime] envelope is only valid for whole segments
       // live ordinals start at the retention base (expired prefix gone)
-      var ord = store.shardStart(opts.project, opts.store, s.id)
-      val end = snapEnds.map(_.getOrElse(s.id, 0L)).getOrElse(Long.MaxValue)
-      store.listSegments(opts.project, opts.store, s.id).foreach { seg =>
+      var ord = base
+      val end = snapEnds.map(_.getOrElse(shard, 0L)).getOrElse(Long.MaxValue)
+      segs.foreach { seg =>
         if (ord < end && seg.count > 0) {
           require(ord + seg.count <= end,
             s"snapshot end $end splits a segment at ordinal $ord — " +

@@ -58,13 +58,8 @@ object Dedup {
   /** FNV-1a 64 of a UTF-8 string — the shared shingle encoding for every
     * approximate-dedup pipeline (also the per-shingle hash inside
     * simHashesFromDocs). */
-  @inline private[graft] def fnv64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
-    val bytes = s.getBytes("UTF-8")
-    var i = 0
-    while (i < bytes.length) { h ^= (bytes(i) & 0xFF); h *= 0x100000001b3L; i += 1 }
-    h
-  }
+  @inline private[graft] def fnv64(s: String): Long =
+    graft.functions.Fnv64.hashBytes(s.getBytes("UTF-8"))
 
   /** (doc_id, s) rows where s = fnv64 of each distinct shingle — the
     * dictionary-encoded form of [[docShingles]]. Every downstream join,

@@ -32,10 +32,12 @@ object RangeJoin {
       lo: Long, hi: Long): DataFrame = {
     require(hi > lo, s"empty interval ($lo, $hi]")
     val w = hi - lo
-    // exact floor division (pmod handles negatives; the numerator is
-    // then exactly divisible, so the double division is exact)
+    // exact floor division, all in LONG arithmetic: pmod makes the
+    // numerator an exact multiple (floor semantics for negatives), and
+    // integral `div` avoids the double-rounding a `/` would introduce
+    // for |ts| > 2^53
     def bucketOf(c: Column): Column =
-      ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+      call_function("div", c - pmod(c, lit(w)), lit(w))
     val l = left.withColumn("__bucket__",
       explode(array(bucketOf(col(leftTs) + lit(lo)),
         bucketOf(col(leftTs) + lit(lo)) + 1)))
@@ -68,8 +70,10 @@ object RangeJoin {
       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth $binWidth must be positive")
     def binOf(c: Column): Column =
-      ((c - pmod(c, lit(binWidth))) / lit(binWidth)).cast("long")
-    val l = intervals.withColumn("__bin__",
+      call_function("div", c - pmod(c, lit(binWidth)), lit(binWidth))
+    // an empty/inverted interval must produce nothing — dropped here so
+    // sequence() never sees a descending (end-1 < start) bin range
+    val l = intervals.filter(col(endCol) > col(startCol)).withColumn("__bin__",
       explode(sequence(binOf(col(startCol)), binOf(col(endCol) - 1))))
     val r = points.withColumn("__bin__", binOf(col(tsCol)))
     l.join(r, l("__bin__") === r("__bin__") &&

@@ -525,12 +525,15 @@ object TextQueries {
     * (driver-held artifact, like IVF centroids), which broadcasts inside
     * the filter literal; the corpus pass is a codegen'd scan-side probe.
     * Approximate (bounded false-positive removals, never false
-    * negatives) → rows-only check; the containment/FPR/merge contracts
-    * are asserted in DedupSimilaritySpec. */
+    * negatives) yet fully deterministic: the fingerprint is fnv64 (a
+    * LongType — half the shuffle width of md5 hex, and xxhash64 of a
+    * long is the short fixed path), so build-side bit positions and
+    * every probe replay exactly in the SQL oracle. Containment/FPR/
+    * merge contracts additionally asserted in DedupSimilaritySpec. */
   private def d11: Q = (spark, dir) => {
     import graft.functions.Bloom._
     val d = t(spark, dir, "documents")
-    val fp = TF.fingerprint(col("text"))
+    val fp = graft.functions.Fnv64.fnv64(TF.normText(col("text")))
     val blob = d.filter(col("doc_id") % 20 === 0)
       .agg(bloom_build(fp, expectedItems = 4096, fpp = 1e-4).as("bf"))
       .head().getAs[Array[Byte]](0)
@@ -749,6 +752,23 @@ object TextQueries {
     * halves for BIGINT xor(). Emits per-plane component lists hv
     * (ordered by dimension — list_dot_product ≡ the engine's ascending
     * fold) plus the raw per-(i,j) grid for probe logic. */
+  /** SQL fragments for 64-bit wrap-around arithmetic in DuckDB HUGEINT
+    * (values live in [0, 2^64)): multiplies split the left operand at
+    * 2^32 so no intermediate exceeds ~2^97; xors split both operands
+    * into 32-bit halves for BIGINT xor(); rotates/shifts are
+    * division/multiplication by powers of two. The same idiom the
+    * splitmix64 oracle (s2/s4) proves green. */
+  private def u64mul(x: String, c: BigInt): String =
+    s"(((($x) // 4294967296) * $c % 4294967296) * 4294967296 + (($x) % 4294967296) * $c) % 18446744073709551616"
+  private def u64xor(a: String, b: String): String =
+    s"(CAST(xor(CAST(($a) // 4294967296 AS BIGINT), CAST(($b) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(($a) % 4294967296 AS BIGINT), CAST(($b) % 4294967296 AS BIGINT)) AS HUGEINT))"
+  private def u64shr(x: String, s: Int): String =
+    s"(($x) // ${BigInt(1) << s})"
+  private def u64rotl(x: String, s: Int): String =
+    s"((($x) % ${BigInt(1) << (64 - s)}) * ${BigInt(1) << s} + (($x) // ${BigInt(1) << (64 - s)}))"
+  private def u64signed(x: String): String =
+    s"CAST(CASE WHEN ($x) >= 9223372036854775808 THEN ($x) - 18446744073709551616 ELSE ($x) END AS BIGINT)"
+
   private def splitmixHyperplanes(bits: Int): String =
     s"""ij AS (SELECT i, j FROM range(0, 64) t(i), range(0, $bits) u(j)),
        |sm AS (
@@ -871,7 +891,75 @@ object TextQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Exact replay of d11's Bloom pipeline: fnv64 fingerprints (per-byte
+    * recursive CTE, mod-2^64 multiply via the HUGEINT split idiom),
+    * Spark's xxhash64-of-long (seed 42, validated bit-for-bit against
+    * the builtin), the murmur-fmix64 second hash, and the 13
+    * Kirsch–Mitzenmacher bit positions per value (k = 13, modulus 78528
+    * — BloomOps sizes m = 78521 for n = 4096, fpp = 1e-4, but alloc
+    * rounds the bit array up to whole bytes and add/mightContain mod by
+    * the LIVE bit count (len-4)*8 = 78528). Instead of
+    * materializing the filter, the bench side's position SET stands in
+    * for the bit array: a probe "might contain" iff all 13 of its
+    * positions are present — bit-identical semantics. */
+  private def d11OracleSql: String = {
+    val fnvByte = "CAST(('0x' || substring(hx, 2*i+1, 2))::INTEGER AS BIGINT)"
+    val fnvX = s"((h // 4294967296) * 4294967296 + CAST(xor(CAST(h % 4294967296 AS BIGINT), $fnvByte) AS HUGEINT))"
+    val P1 = BigInt("11400714785074694791") // 0x9E3779B185EBCA87
+    val P2 = BigInt("14029467366897019727") // 0xC2B2AE3D27D4EB4F
+    val P3 = BigInt("1609587929392839161")  // 0x165667B19E3779F9
+    val mc1 = BigInt("18397679294719823053") // 0xFF51AFD7ED558CCD
+    val mc2 = BigInt("14181476777654086739") // 0xC4CEB9FE1A85EC53
+    s"""WITH RECURSIVE b AS (
+       |  SELECT doc_id,
+       |    hex(encode(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS hx,
+       |    octet_length(encode(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS n
+       |  FROM documents),
+       |fnv AS (
+       |  SELECT doc_id, CAST(14695981039346656037 AS HUGEINT) AS h, 0 AS i, hx, n FROM b
+       |  UNION ALL
+       |  SELECT doc_id, ${u64mul(fnvX, BigInt("1099511628211"))}, i + 1, hx, n
+       |  FROM fnv WHERE i < n),
+       |fpt AS MATERIALIZED (SELECT doc_id, h AS fpu FROM fnv WHERE i = n),
+       |xx AS MATERIALIZED (${
+         // one projection LAYER per step: every helper argument is a
+         // plain column reference, never a prior expression — lateral
+         // aliases substitute by copy, and 17 chained copies of 3-5
+         // references each would blow the expression tree up
+         // exponentially (minutes to plan/run; this shape is instant)
+         Seq(
+           s"${u64mul("fpu", P2)} AS s1",
+           s"${u64rotl("s1", 31)} AS s2",
+           s"${u64mul("s2", P1)} AS s3",
+           s"${u64xor("2870177450012600311", "s3")} AS s4",
+           s"${u64rotl("s4", 27)} AS s5",
+           s"(${u64mul("s5", P1)} + 9650029242287828579) % 18446744073709551616 AS s6",
+           s"${u64xor("s6", u64shr("s6", 33))} AS s7",
+           s"${u64mul("s7", P2)} AS s8",
+           s"${u64xor("s8", u64shr("s8", 29))} AS s9",
+           s"${u64mul("s9", P3)} AS s10",
+           s"${u64xor("s10", u64shr("s10", 32))} AS h1u",
+           s"${u64xor("h1u", "11400714819323198485")} AS g1",
+           s"${u64xor("g1", u64shr("g1", 33))} AS g2",
+           s"${u64mul("g2", mc1)} AS g3",
+           s"${u64xor("g3", u64shr("g3", 33))} AS g4",
+           s"${u64mul("g4", mc2)} AS g5",
+           s"${u64xor("g5", u64shr("g5", 33))} AS h2u")
+           .foldLeft("SELECT doc_id, fpu FROM fpt") { (inner, step) =>
+             s"SELECT *, $step FROM ($inner)"
+           }}),
+       |pos AS MATERIALIZED (SELECT doc_id,
+       |  ((${u64signed("(h1u + i * h2u) % 18446744073709551616")}) % 78528 + 78528) % 78528 AS p
+       |  FROM xx, range(0, 13) t(i)),
+       |bench AS (SELECT DISTINCT p FROM pos WHERE doc_id % 20 = 0),
+       |hits AS (SELECT pos.doc_id, min(CASE WHEN bench.p IS NULL THEN 0 ELSE 1 END) AS allhit
+       |         FROM pos LEFT JOIN bench ON pos.p = bench.p GROUP BY pos.doc_id)
+       |SELECT fpt.doc_id, ${u64signed("fpu")} AS fp
+       |FROM fpt JOIN hits ON fpt.doc_id = hits.doc_id WHERE allhit = 0""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "d11_bloom_decontaminate" -> d11OracleSql,
     // Exact replay of the RollingHash Expression: mod 2^31-1 keeps every
     // intermediate below 2^52 (plain BIGINT), bytes come from the proven
     // hex(encode(..)) idiom (m8), iteration from a recursive CTE (d9/p3).

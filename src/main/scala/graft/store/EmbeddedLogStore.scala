@@ -594,6 +594,22 @@ class EmbeddedLogStore(root: String, ioRetries: Int = 10,
   def shardStart(project: String, store: String, shard: Int): Long =
     manifestView(project, store).bases.getOrElse(shard, 0L)
 
+  /** Every shard's (base ordinal, live segments) from ONE manifest
+    * fold — the whole-store analog of [[shardView]]. Ordinal math that
+    * spans shards (stat pushdown) must read bases and listings from a
+    * single view: separate per-shard calls can straddle a concurrent
+    * expiry or compaction and misalign the two. */
+  def storeView(project: String,
+      store: String): Map[Int, (Long, Seq[Segment])] = {
+    val view = manifestView(project, store)
+    val segs = view.entries.groupBy(_._1)
+    (view.bases.keySet ++ segs.keySet ++
+        listShards(project, store).map(_.id)).map { s =>
+      s -> (view.bases.getOrElse(s, 0L),
+        segs.getOrElse(s, Seq.empty).map(e => parseSegment(e._2)))
+    }.toMap
+  }
+
   /** Bin-pack small consecutive segments into larger merged ones, per
     * shard — the OPTIMIZE counterpart to [[compactManifests]], aimed at
     * the small-files problem: a streaming sink writes one segment per
