@@ -95,19 +95,33 @@ object HllOps {
     while (i < M) { if (from(i) > into(i)) into(i) = from(i); i += 1 }
   }
 
+  /** Max register rank: 64 - P + 1. The harmonic sum Σ 2^-reg is
+    * accumulated as the EXACT integer Σ 2^(MaxRank-reg) (each term a
+    * power of two ≤ 2^53; the 4096-term total needs ~66 bits, hence
+    * BigInt) and converted to double ONCE — a float fold would round
+    * order-dependently (mantissa span 53+12 bits > 53), which both
+    * breaks SQL-oracle replay and loses small-register contributions.
+    * The linear-counting ln goes through StrictMath (fdlibm,
+    * bit-reproducible across JVMs/platforms — the oracle embeds the
+    * same values as a 4096-entry literal table). */
   def estimate(regs: Array[Byte]): Long = {
     val alpha = 0.7213 / (1.0 + 1.079 / M)
-    var sum = 0.0
+    val maxRank = 64 - P + 1
+    var sum = BigInt(0)
     var zeros = 0
     var i = 0
     while (i < M) {
-      sum += 1.0 / (1L << (regs(i) & 0xFF)).toDouble
+      sum += BigInt(1) << (maxRank - (regs(i) & 0xFF))
       if (regs(i) == 0) zeros += 1
       i += 1
     }
-    val raw = alpha * M.toDouble * M.toDouble / sum
+    // BigInt→double rounds to nearest once; dividing by 2^53 is an
+    // exact exponent shift — same value DuckDB gets from
+    // CAST(hugeint AS DOUBLE) / 2^53
+    val sumD = sum.toDouble / (1L << maxRank).toDouble
+    val raw = alpha * M.toDouble * M.toDouble / sumD
     val est =
-      if (raw <= 2.5 * M && zeros > 0) M * math.log(M.toDouble / zeros)
+      if (raw <= 2.5 * M && zeros > 0) M * StrictMath.log(M.toDouble / zeros)
       else raw
     math.rint(est).toLong
   }
@@ -412,11 +426,14 @@ object CmsOps {
     x ^ (x >>> 31)
   }
 
+  /** Row-d counter index for a 64-bit item hash — public so the SQL
+    * oracle can constant-fold probe cells and specs can pin the math. */
+  def indexOf(h: Long, d: Int): Int = ((mix(h ^ d) >>> 1) % Width).toInt
+
   def offerHash(t: Array[Long], h: Long): Unit = {
     var d = 0
     while (d < Depth) {
-      val idx = ((mix(h ^ d) >>> 1) % Width).toInt
-      t(d * Width + idx) += 1L
+      t(d * Width + indexOf(h, d)) += 1L
       d += 1
     }
   }
@@ -425,8 +442,7 @@ object CmsOps {
     var est = Long.MaxValue
     var d = 0
     while (d < Depth) {
-      val idx = ((mix(h ^ d) >>> 1) % Width).toInt
-      val c = t(d * Width + idx)
+      val c = t(d * Width + indexOf(h, d))
       if (c < est) est = c
       d += 1
     }

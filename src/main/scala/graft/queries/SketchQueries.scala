@@ -1,37 +1,72 @@
 package graft.queries
 
 import graft.Tables._
+import graft.functions.Fnv64
 import graft.functions.Sketches._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Mergeable-sketch query: the two-level rollup pattern for 100 TB
+/** Mergeable-sketch queries: the two-level rollup pattern for 100 TB
   * pipelines — level 1 builds per-slice sketches (in production these
   * are persisted per day/partition), level 2 re-aggregates the sketch
-  * COLUMN without touching raw data. Approximate by design ⇒ rows-only
-  * driver check; accuracy bounds are asserted in SketchesSpec. */
+  * COLUMN without touching raw data.
+  *
+  * Sketches are approximate ESTIMATORS but deterministic FUNCTIONS of
+  * their input multiset: every hash is fixed (fnv64 → xxhash64 →
+  * splitmix64), counters are integers, and the HLL harmonic sum is
+  * accumulated exactly (see [[graft.functions.HllOps.estimate]]) — so
+  * k2 and k3 replay value-for-value in DuckDB and get full equality
+  * oracles. k1 keeps the rows-only check: its KLL quantile path is
+  * sequence-order-dependent once compaction fires (which level keeps
+  * which items depends on arrival order across partitions), so no
+  * order-free SQL formulation exists; SketchesSpec pins its rank-error
+  * and merge contracts instead. */
 object SketchQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
     "k1_sketch_rollup" -> k1,
-    "k2_freq_sketch" -> k2)
+    "k2_freq_sketch" -> k2,
+    "k3_hll_users" -> k3)
 
   /** Count-min frequency rollup (k2): per-source partial CMS sketches of
     * the token stream (level 1; persisted per partition in production),
     * counter-summed into one corpus sketch (level 2), then point-probed
     * for a fixed token set — heavy-hitter frequency estimation with no
-    * exact token groupBy anywhere. Estimates never undercount; bounds
+    * exact token groupBy anywhere. Items are keyed by their fnv64
+    * fingerprint (the shared 64-bit primitive): an 8-byte key instead of
+    * a variable-width string halves the hashed bytes, and the whole
+    * chain (fnv64 → xxhash64-of-long → splitmix64 row index) replays
+    * exactly in the SQL oracle. Estimates never undercount; bounds
     * + the byte-exact merge contract are asserted in SketchesSpec. */
   private def k2: Q = (spark, dir) => {
     import graft.functions.{TextFunctions => TF}
     val toks = t(spark, dir, "documents")
       .select(col("source"), explode(TF.tokens(lower(col("text")))).as("tok"))
-    val probes = Seq("the", "data", "spark", "join", "zzz_absent")
-    toks.groupBy(col("source")).agg(cms_build(col("tok")).as("sk"))
+    toks.groupBy(col("source"))
+      .agg(cms_build(Fnv64.fnv64(col("tok"))).as("sk"))
       .agg(cms_merge(col("sk")).as("sk"))
-      .select(probes.map(p => cms_query(col("sk"), lit(p)).as(s"est_$p")): _*)
+      .select(K2Probes.map { p =>
+        cms_query(col("sk"), lit(Fnv64.hashBytes(p.getBytes("UTF-8"))))
+          .as(s"est_$p")
+      }: _*)
+  }
+
+  private val K2Probes = Seq("the", "data", "spark", "join", "zzz_absent")
+
+  /** HLL distinct-user rollup (k3): per-(event_type, user-slice) HLL
+    * registers (level 1), register-max merged per event_type (level 2),
+    * then estimated — k1's cardinality half isolated so the full
+    * pipeline is equality-oracled (registers, exact harmonic sum, and
+    * the linear-counting branch all replay in SQL; the ln table is
+    * generated from StrictMath so both engines read identical doubles). */
+  private def k3: Q = (spark, dir) => {
+    val ev = t(spark, dir, "events")
+    ev.groupBy(col("event_type"), (col("user_id") % 16).as("slice"))
+      .agg(hll_build(col("user_id")).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(hll_estimate(hll_merge(col("sk"))).as("approx_users"))
   }
 
   private def k1: Q = (spark, dir) => {
@@ -47,5 +82,95 @@ object SketchQueries {
         kll_quantile(kll_merge(col("value_sk")), 0.95).as("p95_value"))
   }
 
-  def oracles: Map[String, String] = Map.empty // approximate: rows-only
+  /** Exact replay of k2: corpus tokens → fnv64 (recursive CTE) →
+    * xxhash64-of-long (layered projections) → per-row splitmix64 index
+    * → integer counters. The probe side is constant-folded with the
+    * engine's own kernels (fnv64 + CmsOps.indexOf on literal strings),
+    * so only the data-dependent counters run in SQL. A probe's estimate
+    * is the min over the 4 rows of its counter cell (0 when no token
+    * ever hit the cell). */
+  private def k2OracleSql: String = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.LongType
+    val cells = K2Probes.map { p =>
+      val h = XxHash64Function.hash(
+        Fnv64.hashBytes(p.getBytes("UTF-8")), LongType, 42L)
+      val mins = (0 until graft.functions.CmsOps.Depth).map { d =>
+        val idx = graft.functions.CmsOps.indexOf(h, d)
+        s"COALESCE((SELECT c FROM cells WHERE d = $d AND idx = $idx), 0)"
+      }
+      s"CAST(least(${mins.mkString(", ")}) AS BIGINT) AS est_$p"
+    }
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |dt AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+       |${OracleSql.fnv64Ctes(Seq("tok", "cnt"), "tok", "dt")},
+       |xx AS MATERIALIZED (${
+         OracleSql.xxHashLongLayers("SELECT tok, cnt, fpu FROM fp")}),
+       |mixin AS (SELECT cnt, d, ${OracleSql.u64xor("h1u", "d")} AS mxin
+       |          FROM xx CROSS JOIN range(0, 4) t(d)),
+       |mx AS MATERIALIZED (${
+         OracleSql.splitmixLayers("SELECT cnt, d, mxin FROM mixin")}),
+       |cells AS (SELECT d, CAST(${OracleSql.u64shr("mxout", 1)} % 2048 AS BIGINT) AS idx,
+       |            SUM(cnt) AS c
+       |          FROM mx GROUP BY 1, 2)
+       |SELECT ${cells.mkString(",\n  ")}""".stripMargin
+  }
+
+  /** Exact replay of k3: distinct (event_type, user) pairs hash through
+    * xxhash64-of-long; register index = top 12 hash bits, rank =
+    * leading zeros of the remaining bits (via bin() string length —
+    * no float log anywhere) + 1; registers max-merge; the harmonic sum
+    * is the exact integer Σ 2^(53-reg) in HUGEINT; the linear-counting
+    * branch reads ln(4096/zeros) from a 4096-entry table of StrictMath
+    * doubles (libm-portable by construction); ties-to-even rounding is
+    * spelled out (math.rint). */
+  private def k3OracleSql: String = {
+    val lnRows = (1 to 4096).map { z =>
+      s"($z, CAST('${StrictMath.log(4096.0 / z)}' AS DOUBLE))"
+    }
+    val alpha = "(0.7213e0 / (1.0e0 + 1.079e0 / 4096.0e0))"
+    s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+       |xx AS MATERIALIZED (${
+         OracleSql.xxHashLongLayers(
+           "SELECT event_type, CAST(user_id AS HUGEINT) AS fpu FROM du")}),
+       |rk AS (SELECT event_type,
+       |    CAST(${OracleSql.u64shr("h1u", 52)} AS BIGINT) AS idx,
+       |    (h1u % 4503599627370496) * 4096 + 2048 AS rest
+       |  FROM xx),
+       |rnk AS (SELECT event_type, idx,
+       |    least(CASE WHEN rest >= 9223372036854775808 THEN 0
+       |          ELSE 64 - length(bin(CAST(rest AS BIGINT))) END + 1, 53) AS rkv
+       |  FROM rk),
+       |regs AS (SELECT event_type, idx, MAX(rkv) AS r FROM rnk GROUP BY 1, 2),
+       |ets AS (SELECT DISTINCT event_type FROM events),
+       |allr AS (SELECT ets.event_type, g.i AS idx, COALESCE(regs.r, 0) AS r
+       |         FROM ets CROSS JOIN range(0, 4096) g(i)
+       |         LEFT JOIN regs ON regs.event_type = ets.event_type AND regs.idx = g.i),
+       |st AS (SELECT event_type,
+       |         SUM(CAST(1::BIGINT << CAST(53 - r AS INTEGER) AS HUGEINT)) AS s,
+       |         SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS z
+       |       FROM allr GROUP BY 1),
+       |est0 AS (SELECT event_type, z,
+       |    $alpha * 4096.0e0 * 4096.0e0 /
+       |      (CAST(s AS DOUBLE) / 9007199254740992e0) AS raw
+       |  FROM st),
+       |lntab(lz, lnv) AS (VALUES ${lnRows.mkString(", ")}),
+       |est1 AS (SELECT event_type,
+       |    CASE WHEN raw <= 2.5e0 * 4096.0e0 AND est0.z > 0
+       |         THEN 4096.0e0 * lntab.lnv ELSE raw END AS est
+       |  FROM est0 LEFT JOIN lntab ON est0.z = lntab.lz)
+       |SELECT event_type,
+       |  CASE WHEN est = floor(est) + 0.5e0
+       |       THEN CASE WHEN CAST(floor(est) AS BIGINT) % 2 = 0
+       |                 THEN CAST(floor(est) AS BIGINT)
+       |                 ELSE CAST(floor(est) AS BIGINT) + 1 END
+       |       ELSE CAST(floor(est + 0.5e0) AS BIGINT) END AS approx_users
+       |FROM est1""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "k2_freq_sketch" -> k2OracleSql,
+    "k3_hll_users" -> k3OracleSql)
 }

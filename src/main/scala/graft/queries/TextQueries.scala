@@ -629,8 +629,11 @@ object TextQueries {
   }
 
   /** Scalar-quantized ANN: int8 codes scanned approximately, exact
-    * rerank on the rerank·k survivors. Approximate → rows-only check;
-    * recall + bit-exact-rerank asserted in DedupSimilaritySpec. */
+    * rerank on the rerank·k survivors. Approximate by design yet fully
+    * deterministic (normalize → maxAbs scale → Math.round → double
+    * dots, every fold ascending-index), so the whole pipeline —
+    * quantization included — replays exactly in the SQL oracle; recall
+    * + bit-exact-rerank additionally asserted in DedupSimilaritySpec. */
   private def s5: Q = (spark, dir) => {
     val e = t(spark, dir, "embeddings")
     Similarity.sqKnn(e, e.filter(col("vec_id") < 8), k = 4, rerank = 4)
@@ -752,22 +755,7 @@ object TextQueries {
     * halves for BIGINT xor(). Emits per-plane component lists hv
     * (ordered by dimension — list_dot_product ≡ the engine's ascending
     * fold) plus the raw per-(i,j) grid for probe logic. */
-  /** SQL fragments for 64-bit wrap-around arithmetic in DuckDB HUGEINT
-    * (values live in [0, 2^64)): multiplies split the left operand at
-    * 2^32 so no intermediate exceeds ~2^97; xors split both operands
-    * into 32-bit halves for BIGINT xor(); rotates/shifts are
-    * division/multiplication by powers of two. The same idiom the
-    * splitmix64 oracle (s2/s4) proves green. */
-  private def u64mul(x: String, c: BigInt): String =
-    s"(((($x) // 4294967296) * $c % 4294967296) * 4294967296 + (($x) % 4294967296) * $c) % 18446744073709551616"
-  private def u64xor(a: String, b: String): String =
-    s"(CAST(xor(CAST(($a) // 4294967296 AS BIGINT), CAST(($b) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(($a) % 4294967296 AS BIGINT), CAST(($b) % 4294967296 AS BIGINT)) AS HUGEINT))"
-  private def u64shr(x: String, s: Int): String =
-    s"(($x) // ${BigInt(1) << s})"
-  private def u64rotl(x: String, s: Int): String =
-    s"((($x) % ${BigInt(1) << (64 - s)}) * ${BigInt(1) << s} + (($x) // ${BigInt(1) << (64 - s)}))"
-  private def u64signed(x: String): String =
-    s"CAST(CASE WHEN ($x) >= 9223372036854775808 THEN ($x) - 18446744073709551616 ELSE ($x) END AS BIGINT)"
+  import OracleSql.{u64signed, u64shr}
 
   private def splitmixHyperplanes(bits: Int): String =
     s"""ij AS (SELECT i, j FROM range(0, 64) t(i), range(0, $bits) u(j)),
@@ -903,59 +891,18 @@ object TextQueries {
     * for the bit array: a probe "might contain" iff all 13 of its
     * positions are present — bit-identical semantics. */
   private def d11OracleSql: String = {
-    val fnvByte = "CAST(('0x' || substring(hx, 2*i+1, 2))::INTEGER AS BIGINT)"
-    val fnvX = s"((h // 4294967296) * 4294967296 + CAST(xor(CAST(h % 4294967296 AS BIGINT), $fnvByte) AS HUGEINT))"
-    val P1 = BigInt("11400714785074694791") // 0x9E3779B185EBCA87
-    val P2 = BigInt("14029467366897019727") // 0xC2B2AE3D27D4EB4F
-    val P3 = BigInt("1609587929392839161")  // 0x165667B19E3779F9
-    val mc1 = BigInt("18397679294719823053") // 0xFF51AFD7ED558CCD
-    val mc2 = BigInt("14181476777654086739") // 0xC4CEB9FE1A85EC53
-    s"""WITH RECURSIVE b AS (
-       |  SELECT doc_id,
-       |    hex(encode(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS hx,
-       |    octet_length(encode(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS n
-       |  FROM documents),
-       |fnv AS (
-       |  SELECT doc_id, CAST(14695981039346656037 AS HUGEINT) AS h, 0 AS i, hx, n FROM b
-       |  UNION ALL
-       |  SELECT doc_id, ${u64mul(fnvX, BigInt("1099511628211"))}, i + 1, hx, n
-       |  FROM fnv WHERE i < n),
-       |fpt AS MATERIALIZED (SELECT doc_id, h AS fpu FROM fnv WHERE i = n),
+    val norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    s"""WITH RECURSIVE ${OracleSql.fnv64Ctes(Seq("doc_id"), norm, "documents")},
        |xx AS MATERIALIZED (${
-         // one projection LAYER per step: every helper argument is a
-         // plain column reference, never a prior expression — lateral
-         // aliases substitute by copy, and 17 chained copies of 3-5
-         // references each would blow the expression tree up
-         // exponentially (minutes to plan/run; this shape is instant)
-         Seq(
-           s"${u64mul("fpu", P2)} AS s1",
-           s"${u64rotl("s1", 31)} AS s2",
-           s"${u64mul("s2", P1)} AS s3",
-           s"${u64xor("2870177450012600311", "s3")} AS s4",
-           s"${u64rotl("s4", 27)} AS s5",
-           s"(${u64mul("s5", P1)} + 9650029242287828579) % 18446744073709551616 AS s6",
-           s"${u64xor("s6", u64shr("s6", 33))} AS s7",
-           s"${u64mul("s7", P2)} AS s8",
-           s"${u64xor("s8", u64shr("s8", 29))} AS s9",
-           s"${u64mul("s9", P3)} AS s10",
-           s"${u64xor("s10", u64shr("s10", 32))} AS h1u",
-           s"${u64xor("h1u", "11400714819323198485")} AS g1",
-           s"${u64xor("g1", u64shr("g1", 33))} AS g2",
-           s"${u64mul("g2", mc1)} AS g3",
-           s"${u64xor("g3", u64shr("g3", 33))} AS g4",
-           s"${u64mul("g4", mc2)} AS g5",
-           s"${u64xor("g5", u64shr("g5", 33))} AS h2u")
-           .foldLeft("SELECT doc_id, fpu FROM fpt") { (inner, step) =>
-             s"SELECT *, $step FROM ($inner)"
-           }}),
+         OracleSql.xxHashLongLayers("SELECT doc_id, fpu FROM fp", withFmix = true)}),
        |pos AS MATERIALIZED (SELECT doc_id,
        |  ((${u64signed("(h1u + i * h2u) % 18446744073709551616")}) % 78528 + 78528) % 78528 AS p
        |  FROM xx, range(0, 13) t(i)),
        |bench AS (SELECT DISTINCT p FROM pos WHERE doc_id % 20 = 0),
        |hits AS (SELECT pos.doc_id, min(CASE WHEN bench.p IS NULL THEN 0 ELSE 1 END) AS allhit
        |         FROM pos LEFT JOIN bench ON pos.p = bench.p GROUP BY pos.doc_id)
-       |SELECT fpt.doc_id, ${u64signed("fpu")} AS fp
-       |FROM fpt JOIN hits ON fpt.doc_id = hits.doc_id WHERE allhit = 0""".stripMargin
+       |SELECT fp.doc_id, ${u64signed("fpu")} AS fp
+       |FROM fp JOIN hits ON fp.doc_id = hits.doc_id WHERE allhit = 0""".stripMargin
   }
 
   def oracles: Map[String, String] = Map(
@@ -1433,9 +1380,37 @@ object TextQueries {
         | JOIN (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
         |       FROM embeddings WHERE vec_id < 8) q ON e.vec_id <> q.qid) x
         |WHERE rn <= 4""".stripMargin,
-    // s2/s3/s4 are approximate-by-design ANN, but their randomness is
-    // deterministic (splitmix64 planes / first-16 centroids), so the
-    // whole pipeline — bucketing included — replays exactly in SQL.
+    // s2/s3/s4/s5 are approximate-by-design ANN, but their randomness is
+    // deterministic (splitmix64 planes / first-16 centroids / int8
+    // quantization), so the whole pipeline — bucketing and quantization
+    // included — replays exactly in SQL.
+    // s5: normalize (list_dot_product ≡ the engine's ascending fold),
+    // scale = maxAbs/127, codes via floor(x+0.5) (≡ Math.round incl.
+    // negative halves — NOT DuckDB round(), which is half-away), approx
+    // scan = dot(query·codes)·scale, top rerank·k by (approx DESC, id),
+    // exact cosine rerank — byte codes widen to exact doubles.
+    "s5_ann_sq" ->
+      ("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |nv AS (SELECT vec_id, v,
+        |    CASE WHEN sqrt(list_dot_product(v, v)) = 0e0 THEN v
+        |         ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS u
+        |  FROM e),
+        |sc AS (SELECT vec_id, u,
+        |    CASE WHEN list_aggregate(list_transform(u, x -> abs(x)), 'max') = 0e0 THEN 1.0e0
+        |         ELSE list_aggregate(list_transform(u, x -> abs(x)), 'max') / 127.0e0 END AS scl
+        |  FROM nv),
+        |codes AS (SELECT vec_id, scl,
+        |    list_transform(u, x -> floor(x / scl + 0.5e0)) AS cs
+        |  FROM sc),
+        |ap AS (SELECT q.vec_id AS qid, c.vec_id,
+        |    list_dot_product(q.u, c.cs) * c.scl AS approx
+        |  FROM (SELECT vec_id, u FROM sc WHERE vec_id < 8) q
+        |  JOIN codes c ON c.vec_id <> q.vec_id),
+        |cand AS (SELECT x.qid, x.vec_id, e.v FROM (
+        |    SELECT qid, vec_id,
+        |      row_number() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS rn
+        |    FROM ap) x JOIN e ON e.vec_id = x.vec_id WHERE x.rn <= 16),
+        |""".stripMargin + cosineTopkTail),
     "s2_ann_lsh" ->
       (s"WITH ${splitmixHyperplanes(4)},\n" +
       """pj AS (SELECT e.vec_id, hp.j, list_dot_product(e.v, hp.hv) AS proj
