@@ -22,6 +22,17 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
+  /** Round half away from zero — DuckDB/Spark-SQL `round()` semantics
+    * (Java's Math.round rounds negative halves UP instead). Computed
+    * without an `y + 0.5` intermediate, whose own rounding could cross
+    * an integer boundary: `y - floor(y)` is exact for |y| < 2^52. */
+  @inline private[operators] def roundHalfAway(y: Double): Long = {
+    val f = math.floor(y)
+    val r = y - f
+    val up = if (y >= 0) r >= 0.5 else r > 0.5
+    (if (up) f + 1.0 else f).toLong
+  }
+
   /** Exact top-k of `scored` (query_id, neighbor_id, sim) per query.
     * [[TopK.perKey]] prunes each partition to its local top-k BEFORE the
     * rank window, so the window's exchange moves ≤ partitions × |Q| × k
@@ -383,13 +394,22 @@ object Similarity {
         .groupByKey(_._1)
         .mapGroups { (jc: (Int, Int), it: Iterator[((Int, Int), (Long, Seq[Double]))]) =>
           val (j, c) = jc
-          val members = it.map(_._2).toArray.sortBy(_._1)
-          val sum = new Array[Double](sub)
-          members.foreach { case (_, v) =>
+          // integer-quantized mean (the s7/Clustering idiom): summing
+          // round-half-away(x·1024) Longs is order-free, where a double
+          // fold would depend on nondeterministic partition arrival
+          // order (and be un-replayable in SQL). The power-of-two scale
+          // keeps x·1024 exact, so the round itself is the only
+          // semantic step — identical to SQL round() on doubles.
+          var n = 0L
+          val qsum = new Array[Long](sub)
+          it.foreach { case (_, (_, vec)) =>
             var i = 0
-            while (i < sub) { sum(i) += v(j * sub + i); i += 1 }
+            while (i < sub) {
+              qsum(i) += roundHalfAway(vec(j * sub + i) * 1024.0); i += 1
+            }
+            n += 1
           }
-          (j, c, sum.map(_ / members.length).toSeq)
+          (j, c, qsum.map(q => q.toDouble / (n * 1024L).toDouble).toSeq)
         }
         .collect()
       val next = books.map(_.clone())

@@ -1411,6 +1411,58 @@ object TextQueries {
         |      row_number() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS rn
         |    FROM ap) x JOIN e ON e.vec_id = x.vec_id WHERE x.rn <= 16),
         |""".stripMargin + cosineTopkTail),
+    // s6: PQ replay — seed codebooks (lowest-16 ids' subvectors), one
+    // Lloyd sweep with INTEGER-quantized means (round-half-away ×1024,
+    // order-free sums — the engine quantizes identically), assignment
+    // by L2 via list_dot_product of the diff list (≡ the engine's
+    // ascending d += x² fold, first-min tie-break = ORDER BY d, cid),
+    // ADC tables as subvector dots, approx score folded j=0..7 in
+    // explicit left-assoc order (8-term SUM would be order-free), top
+    // rerank·k=32 by (approx DESC, id), exact cosine rerank.
+    "s6_ann_pq" -> {
+      val diff = "list_transform(range(1, 9), i -> n2.u[bk.j*8 + i] - bk.cv[i])"
+      def assign(books: String) =
+        s"""(SELECT vec_id, j, cid FROM (
+           |  SELECT vec_id, j, cid,
+           |    row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+           |  FROM (SELECT n2.vec_id, bk.j, bk.cid,
+           |          list_dot_product($diff, $diff) AS d
+           |        FROM nv n2 CROSS JOIN $books bk) y) x WHERE rn = 1)""".stripMargin
+      val adcFold = (0 until 8).map(j => s"MAX(CASE WHEN t.j = $j THEN tv END)")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nv AS (SELECT vec_id, v,
+         |    CASE WHEN sqrt(list_dot_product(v, v)) = 0e0 THEN v
+         |         ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS u
+         |  FROM e),
+         |c0 AS (SELECT t.j, s.cid, s.u[t.j*8 + 1 : t.j*8 + 8] AS cv
+         |       FROM (SELECT row_number() OVER (ORDER BY vec_id) AS cid, u
+         |             FROM nv WHERE vec_id < 16) s CROSS JOIN range(0, 8) t(j)),
+         |a0 AS ${assign("c0")},
+         |m1 AS (SELECT a0.j, a0.cid, t.i,
+         |         SUM(CAST(round(nv.u[a0.j*8 + t.i] * 1024e0) AS BIGINT)) AS qs,
+         |         COUNT(*) AS n
+         |       FROM a0 JOIN nv USING (vec_id) CROSS JOIN range(1, 9) t(i)
+         |       GROUP BY 1, 2, 3),
+         |b1c AS (SELECT j, cid,
+         |          list(CAST(qs AS DOUBLE) / CAST(n * 1024 AS BIGINT) ORDER BY i) AS cv
+         |        FROM m1 GROUP BY j, cid),
+         |b1 AS (SELECT c0.j, c0.cid, COALESCE(b1c.cv, c0.cv) AS cv
+         |       FROM c0 LEFT JOIN b1c ON b1c.j = c0.j AND b1c.cid = c0.cid),
+         |a1 AS ${assign("b1")},
+         |tbl AS (SELECT q.vec_id AS qid, b1.j, b1.cid,
+         |          list_dot_product(q.u[b1.j*8 + 1 : b1.j*8 + 8], b1.cv) AS tv
+         |        FROM (SELECT vec_id, u FROM nv WHERE vec_id < 8) q CROSS JOIN b1),
+         |ap AS (SELECT t.qid, a1.vec_id, $adcFold AS approx
+         |       FROM a1 JOIN tbl t ON t.j = a1.j AND t.cid = a1.cid
+         |         AND t.qid <> a1.vec_id
+         |       GROUP BY t.qid, a1.vec_id),
+         |cand AS (SELECT x.qid, x.vec_id, e.v FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS rn
+         |    FROM ap) x JOIN e ON e.vec_id = x.vec_id WHERE x.rn <= 32),
+         |""".stripMargin + cosineTopkTail
+    },
     "s2_ann_lsh" ->
       (s"WITH ${splitmixHyperplanes(4)},\n" +
       """pj AS (SELECT e.vec_id, hp.j, list_dot_product(e.v, hp.hv) AS proj
