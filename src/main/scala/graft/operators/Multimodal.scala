@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   *
   * Container-native and JDK-decodable formats are decoded for REAL with
   * no external library: RIFF/WAVE 16-bit PCM ([[decodeWavPcm16]]),
-  * 24bpp BMP ([[decodeBmp24]]), and zlib-compressed 8-bit grayscale PNG
+  * 24bpp BMP ([[decodeBmp24]]), zlib-compressed 8-bit grayscale PNG
   * ([[decodePngGray8]], full RFC 2083 filter reconstruction over
-  * `java.util.zip`), with content-sniffing dispatch ([[decodeImage]]).
-  * Only formats that genuinely need a codec
-  * (JPEG, H.264) keep deterministic stubs (clearly marked) — and
+  * `java.util.zip`), and baseline grayscale JPEG
+  * ([[graft.operators.JpegGray]], a real ITU T.81 entropy-decode +
+  * IDCT codec, oracle-checked in m6), with content-sniffing dispatch
+  * ([[decodeImage]]). Only H.264 video keeps a deterministic stub
+  * (clearly marked — the env ships no codec libs) — and
   * everything Spark-side is real and tested either way: the asset
   * schema, binary payload flow through shuffles, per-partition batch
   * processing, feature extraction, fixed-size chunking, and the

@@ -641,8 +641,12 @@ object TextQueries {
 
   /** Product-quantized ANN: m-byte codes (32× smaller than float64)
     * scanned by ADC table lookups, exact rerank of rerank·k survivors.
-    * Approximate → rows-only check; full-cover-equals-brute-force and
-    * recall contracts in DedupSimilaritySpec. */
+    * Approximate by design yet fully deterministic (seed codebooks from
+    * the lowest-16 ids, one Lloyd sweep with integer-quantized means,
+    * ascending-index L2 folds, total tie-breaks), so training, ADC scan
+    * and rerank all replay exactly in the SQL oracle;
+    * full-cover-equals-brute-force and recall contracts in
+    * DedupSimilaritySpec. */
   private def s6: Q = (spark, dir) => {
     val e = t(spark, dir, "embeddings")
     Similarity.pqKnn(e, e.filter(col("vec_id") < 8), k = 4,
