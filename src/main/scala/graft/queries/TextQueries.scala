@@ -80,9 +80,13 @@ object TextQueries {
   private def p3: Q = (spark, dir) => {
     val docs = t(spark, dir, "documents")
     val comps = Dedup.duplicateComponents(Dedup.minHashLshPairs(docs, jaccardThreshold))
-    val lens = docs.select(col("doc_id"),
-      size(TF.tokens(lower(col("text")))).cast(LongType).as("n_toks"))
-    comps.join(lens, "doc_id")
+    // tokenize AFTER the join: comps holds only duplicate-group members
+    // (a small fraction of the corpus), and a projection stays above the
+    // join in Catalyst — so only members get tokenized, instead of a
+    // full-corpus length pass joined down to the few rows that matter
+    comps.join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("comp"), col("doc_id"),
+        size(TF.tokens(lower(col("text")))).cast(LongType).as("n_toks"))
       .groupBy(col("comp"))
       .agg(count(lit(1)).as("n_members"),
         max(col("n_toks")).as("max_toks"),
@@ -130,25 +134,34 @@ object TextQueries {
     * throughout (counts and ceil-divisions only). */
   private def p2: Q = (spark, dir) => {
     val d = t(spark, dir, "documents")
-    // stage 1: drop docs sharing any 8-token shingle with the benchmark
+    // stage 1: drop docs sharing any 8-token shingle with the benchmark.
+    // The benchmark side shingles only the 5% benchmark docs — filtering
+    // AFTER a typed flatMap would shingle the whole corpus first, since
+    // Catalyst can't push a Column predicate through the object mapper.
     val sh = Dedup.docShingles(d, n = 8)
-    val bsh = sh.filter(col("doc_id") % 20 === 0)
+    val bsh = Dedup.docShingles(d.filter(col("doc_id") % 20 === 0), n = 8)
       .select(col("shingle").as("bs")).distinct()
     val contaminated = sh
       .join(bsh, col("shingle") === col("bs"), "left_semi")
       .select(col("doc_id")).distinct()
-    val survivors = d
+    // Project the per-doc payload (tokens + fingerprint) BEFORE the
+    // anti-join and persist the narrow survivor table: it feeds both the
+    // epoch table and the mixed stream, and without the persist each
+    // branch — including the maxN action below — would re-run the whole
+    // shingle decontamination (the expensive subtree) from scratch.
+    val survivors = d.select(col("doc_id"), col("lang"),
+        size(TF.tokens(lower(col("text")))).cast(LongType).as("n_tokens"),
+        TF.fingerprint(col("text")).as("fp"))
       .join(contaminated.withColumnRenamed("doc_id", "cid"),
         col("doc_id") === col("cid"), "left_anti")
+      .persist()
     // stage 2: epoch upsampling of low-resource languages (over survivors)
     val counts = survivors.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
     val maxN = counts.agg(max(col("n_lang"))).head().getLong(0)
     val epochs = counts.select(col("lang"),
       least(lit(4L), floor((lit(maxN) + col("n_lang") - 1) / col("n_lang")))
         .cast(LongType).as("n_epochs"))
-    val mixed = survivors.select(col("doc_id"), col("lang"),
-        size(TF.tokens(lower(col("text")))).cast(LongType).as("n_tokens"),
-        TF.fingerprint(col("text")).as("fp"))
+    val mixed = survivors
       .join(broadcast(epochs), "lang")
       .select(col("doc_id"), col("fp"), col("n_tokens"),
         explode(sequence(lit(1L), col("n_epochs"))).as("epoch"))
