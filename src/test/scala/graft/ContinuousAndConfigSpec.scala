@@ -118,7 +118,20 @@ class ContinuousAndConfigSpec extends AnyFunSuite {
   test("dynamic config override retunes admission without restart") {
     val root = seeded(100)
     val store = new EmbeddedLogStore(root)
-    store.writeSourceConfig("proj", "logs", Map("maxoffsetspertrigger" -> "10"))
+    // write the override through the operator CLI (the reference's
+    // UpdateSourceConfig surface): set a decoy, then the real budget
+    var said = ""
+    graft.api.UpdateSourceConfig.run(Array(
+      "--root", root, "--project", "proj", "--store", "logs",
+      "--config", "maxoffsetspertrigger:999",
+      "--config", "decoy:x"), said += _)
+    graft.api.UpdateSourceConfig.run(Array(
+      "--root", root, "--project", "proj", "--store", "logs",
+      "--config", "maxoffsetspertrigger:10",
+      "--config", "decoy:"), said += _) // trailing ':' deletes the key
+    assert(said.endsWith("config: maxoffsetspertrigger=10"))
+    assert(store.readSourceConfig("proj", "logs") ===
+      Map("maxoffsetspertrigger" -> "10"))
     val ckpt = Files.createTempDirectory("ckpt").toString
     val q = spark.readStream.format("graft-logstore").options(opts(root))
       .option("maxoffsetspertrigger", "1000") // overridden by config.json

@@ -195,4 +195,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("q22: all five dimension joins broadcast and every join filter reaches a scan") {
+    // at sf0.1 (PLANS.md) this holds too: 5 BHJ, 6 pushed filters. At
+    // 100× customer/supplier outgrow the threshold and AQE degrades
+    // those to SMJ — acceptable; no hint pins the broadcast.
+    val p = plan("q22_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 5, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert("PushedFilters: \\[IsNotNull".r.findAllIn(p).size >= 5, p)
+  }
+
+  test("q28: funnel stages join per-user MIN tables, never raw-event × raw-event") {
+    // each stage is an agg-then-equi-join on user_id; the failure mode
+    // is a range/theta join over raw events (nested-loop at scale). At
+    // sf0.1 AQE picks SMJ for the biggest stage join — still an
+    // equi-join; what must never appear is a non-equi fallback.
+    val p = plan("q28_funnel")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p) // per-stage MINs combine map-side
+  }
 }
