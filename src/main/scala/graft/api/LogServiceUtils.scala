@@ -77,4 +77,61 @@ object LogServiceUtils {
   def expireStore(ref: StoreRef, beforeTime: Int): Int =
     new EmbeddedLogStore(ref.root)
       .expireSegments(ref.project, ref.store, beforeTime)
+
+  /** Consumer-group interop (the reference's user-facing
+    * CanCommitOffsets surface, DirectLoghubInputDStream.scala:227-241):
+    * publish a group's per-shard progress for external tooling. The
+    * store merge is monotonic — stale commits never regress. */
+  def commitOffsets(ref: StoreRef, group: String,
+      offsets: Map[Int, Long]): Map[Int, Long] =
+    new EmbeddedLogStore(ref.root)
+      .commitGroupOffsets(ref.project, ref.store, group, offsets)
+
+  def committedOffsets(ref: StoreRef, group: String): Map[Int, Long] =
+    new EmbeddedLogStore(ref.root)
+      .readGroupOffsets(ref.project, ref.store, group)
+
+  /** The group's committed position as a `startingoffsets` JSON — the
+    * restart-from-consumer-group path (reference
+    * createConsumerGroupOrGetCheckpoint): None if never committed, else
+    * pass the string straight to [[createStreamDF]]'s startingOffsets
+    * or a reader's `startingoffsets` option. */
+  def resumeOffsetsJson(ref: StoreRef, group: String): Option[String] = {
+    val ords = committedOffsets(ref, group)
+    if (ords.isEmpty) None
+    else Some(graft.connector.LogServiceOffset(
+      ref.project, ref.store, ords).json())
+  }
+}
+
+/** The `commitAsync` analog for Structured Streaming (reference
+  * CheckpointManager.java:18-137 batches per-shard cursors and flushes
+  * them to the consumer group off the hot path): register on the
+  * session and every completed micro-batch's END offsets are committed
+  * to the group — asynchronous by construction (listener events fire
+  * off the query thread), at-least-once like the reference (a batch can
+  * complete and the commit lag behind; the monotonic merge absorbs any
+  * replay). Engine checkpointing (O10) still owns exactly-once restart;
+  * this surface exists so EXTERNAL consumers see progress.
+  *
+  * {{{
+  * spark.streams.addListener(new OffsetCommitListener(ref, "etl-group"))
+  * }}}
+  */
+class OffsetCommitListener(ref: LogServiceUtils.StoreRef, group: String)
+    extends org.apache.spark.sql.streaming.StreamingQueryListener {
+  import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+  override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+
+  override def onQueryProgress(e: QueryProgressEvent): Unit =
+    e.progress.sources.foreach { s =>
+      // only this store's sources; other offsets simply don't parse or
+      // name a different project#store
+      scala.util.Try(graft.connector.LogServiceOffset.parse(s.endOffset))
+        .toOption
+        .filter(o => o.project == ref.project && o.store == ref.store)
+        .foreach(o => LogServiceUtils.commitOffsets(ref, group, o.shardOrdinals))
+    }
 }

@@ -947,6 +947,49 @@ class EmbeddedLogStore(root: String, ioRetries: Int = 10,
       mapper.writeValueAsBytes(root))
   }
 
+  /** Consumer-group offset commit (reference CheckpointManager.java:
+    * 18-137 + DirectLoghubInputDStream.commitAsync, :227-241): external
+    * progress interop — a named group's per-shard high-water ordinals,
+    * readable by other tooling and usable to resume a new query. The
+    * merge is MONOTONIC per shard, like the reference's
+    * checkCursorLessThan guard: a stale commit (replayed epoch, late
+    * listener event) never regresses the group. Write is tmp +
+    * ATOMIC_MOVE, so readers see a whole file; concurrent committers
+    * re-read and re-merge, and since merge is a per-key max the race
+    * loser's retry converges. Returns the merged offsets. */
+  def commitGroupOffsets(project: String, store: String, group: String,
+      offsets: Map[Int, Long]): Map[Int, Long] = synchronized {
+    require(group.matches("[A-Za-z0-9._-]+"), s"invalid group name '$group'")
+    val dir = storeDir(project, store).resolve("groups")
+    Files.createDirectories(dir)
+    val merged = readGroupOffsets(project, store, group) match {
+      case prev => (prev.keySet ++ offsets.keySet).map { s =>
+        s -> math.max(prev.getOrElse(s, -1L), offsets.getOrElse(s, -1L))
+      }.toMap
+    }
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    val o = root.putObject("offsets")
+    merged.toSeq.sortBy(_._1).foreach { case (s, v) => o.put(s.toString, v) }
+    val tmp = dir.resolve(s".$group.json.tmp-${System.nanoTime()}")
+    Files.write(tmp, mapper.writeValueAsBytes(root))
+    Files.move(tmp, dir.resolve(s"$group.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    merged
+  }
+
+  /** A group's committed per-shard ordinals; empty if never committed. */
+  def readGroupOffsets(project: String, store: String,
+      group: String): Map[Int, Long] = {
+    val p = storeDir(project, store).resolve("groups").resolve(s"$group.json")
+    if (!Files.exists(p)) return Map.empty
+    val n = new ObjectMapper().readTree(Files.readAllBytes(p)).get("offsets")
+    if (n == null) Map.empty
+    else n.asInstanceOf[ObjectNode].properties().asScala
+      .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap
+  }
+
   def readSourceConfig(project: String, store: String): Map[String, String] = {
     val p = storeDir(project, store).resolve("config.json")
     if (!Files.exists(p)) return Map.empty

@@ -1,5 +1,6 @@
 package graft
 
+import graft.api.{LogServiceUtils, OffsetCommitListener}
 import graft.connector.{LogServiceOffset, LogShardPartitionOffset}
 import graft.store.{EmbeddedLogStore, LogRecord}
 import java.nio.file.Files
@@ -143,6 +144,57 @@ class ContinuousAndConfigSpec extends AnyFunSuite {
     assert(spark.table("t_dyn").count() === 100)
     assert(q.recentProgress.forall(_.numInputRows <= 10))
     assert(q.recentProgress.count(_.numInputRows > 0) >= 10)
+  }
+
+  test("consumer-group offsets: monotonic commit, resume JSON, commitAsync listener") {
+    val root = seeded(30)
+    val store = new EmbeddedLogStore(root)
+    val ref = LogServiceUtils.StoreRef(root, "proj", "logs")
+    // monotonic merge: the stale second commit must not regress shard 0
+    assert(LogServiceUtils.commitOffsets(ref, "g1", Map(0 -> 10L, 1 -> 2L))
+      === Map(0 -> 10L, 1 -> 2L))
+    assert(LogServiceUtils.commitOffsets(ref, "g1", Map(0 -> 7L, 1 -> 5L))
+      === Map(0 -> 10L, 1 -> 5L))
+    assert(store.readGroupOffsets("proj", "logs", "g1") ===
+      Map(0 -> 10L, 1 -> 5L))
+    assert(LogServiceUtils.committedOffsets(ref, "absent") === Map.empty)
+    assert(LogServiceUtils.resumeOffsetsJson(ref, "absent").isEmpty)
+
+    // commitAsync analog: a listener publishes every batch's end offsets
+    val listener = new OffsetCommitListener(ref, "etl")
+    spark.streams.addListener(listener)
+    try {
+      val q = spark.readStream.format("graft-logstore").options(opts(root))
+        .option("maxoffsetspertrigger", "8") // several micro-batches
+        .schema("msg INT").load()
+        .writeStream.format("memory").queryName("t_grp")
+        .option("checkpointLocation",
+          Files.createTempDirectory("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      assert(spark.table("t_grp").count() === 30)
+      // listener events are asynchronous — poll for the final commit
+      var tries = 0
+      while (LogServiceUtils.committedOffsets(ref, "etl").getOrElse(0, 0L) < 30
+          && tries < 100) { Thread.sleep(100); tries += 1 }
+      assert(LogServiceUtils.committedOffsets(ref, "etl")(0) === 30L)
+
+      // resume a NEW query (fresh checkpoint) from the group position:
+      // only records appended after the commit arrive
+      store.appendSegment("proj", "logs", 0, "late",
+        Seq(LogRecord(1700000900, "t", "s", Map.empty, Map("msg" -> "424242"))))
+      val json = LogServiceUtils.resumeOffsetsJson(ref, "etl").get
+      val q2 = spark.readStream.format("graft-logstore").options(opts(root))
+        .option("startingoffsets", json)
+        .schema("msg INT").load()
+        .writeStream.format("memory").queryName("t_grp2")
+        .option("checkpointLocation",
+          Files.createTempDirectory("ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination(60000)
+      assert(spark.table("t_grp2").collect().map(_.getInt(0)).toSeq ===
+        Seq(424242))
+    } finally spark.streams.removeListener(listener)
   }
 
   test("writer hash-key routing by column") {
