@@ -85,6 +85,49 @@ print(f"OK: python DSv2 round-trip matches on {len(got)} groups, "
       f"{back.count()} rows")
 
 # ---------------------------------------------------------------------------
+# Importable module (python/graft_logstore.py): the packaged equivalent of
+# the reference's loghub.py — data path through the module must match the
+# raw DSv2 read above, and the admin surface (dynamic config, consumer
+# groups) must round-trip through the py4j bridge.
+# ---------------------------------------------------------------------------
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "python"))
+from graft_logstore import LogStore
+
+ls = LogStore(spark, root, "proj", "events")
+via_module = ls.read_batch(
+    schema="event_id LONG, user_id LONG, event_type STRING, value DOUBLE, ts LONG")
+got_m = [tuple(r) for r in c1_aggregate(via_module).collect()]
+if got_m != want:
+    print("MISMATCH between module read_batch and source parquet")
+    sys.exit(1)
+
+ls.update_config(maxoffsetspertrigger=500, decoy="x")
+ls.update_config(decoy="")  # empty string keeps key; deletion is CLI-side
+cfg = ls.read_config()
+if cfg.get("maxoffsetspertrigger") != "500":
+    print(f"MISMATCH in dynamic config round-trip: {cfg}")
+    sys.exit(1)
+
+ls.commit_offsets("py-etl", {0: 10, 1: 2})
+ls.commit_offsets("py-etl", {0: 7, 1: 5})  # stale shard 0 must not regress
+if ls.committed_offsets("py-etl") != {0: 10, 1: 5}:
+    print(f"MISMATCH in consumer-group merge: {ls.committed_offsets('py-etl')}")
+    sys.exit(1)
+resume = ls.resume_offsets_json("py-etl")
+if resume is None or "proj#events" not in resume:
+    print(f"MISMATCH in resume offsets json: {resume}")
+    sys.exit(1)
+n_resumed = ls.read_batch(
+    schema="event_id LONG", starting_offsets=resume).count()
+if n_resumed != back.count() - 15:
+    print(f"MISMATCH resuming from group position: {n_resumed}")
+    sys.exit(1)
+print("OK: graft_logstore module — read_batch parity, dynamic config, "
+      "consumer-group commit/resume")
+
+# ---------------------------------------------------------------------------
 # mapInPandas multimodal plumbing: binary payload column -> Arrow-batched
 # Python decode (the Pandas-UDF shape of Multimodal.extractFeatures). The
 # payloads are REAL 24bpp BMPs built here byte-for-byte like the Scala
