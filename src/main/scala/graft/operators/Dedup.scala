@@ -724,28 +724,37 @@ object Dedup {
     * near-dup edges as its component id; the component representative
     * (comp == doc_id) is the keeper.
     *
-    * Algorithm: distributed min-label propagation — each round every
-    * node takes the min of its own label and its neighbors' labels, via
-    * one join + one aggregate on the edge list; stop when a round
-    * changes nothing. Rounds needed = graph diameter, and near-dup
-    * components are clique-like (every member resembles the shared
-    * content), so 2–3 rounds close them; `maxIters` bounds pathological
-    * chains, and hitting it raises rather than returning a partial
-    * labeling. Each round materializes the (small) label table —
-    * near-dup NODES are a sliver of the corpus — never the corpus
-    * itself; lineage is truncated by the per-round persist+count.
-    * At 100 TB the log-round alternative (small-star/large-star,
-    * Kiveris et al. 2014) drops in behind the same signature if
-    * diameters ever grow past a handful. */
+    * Algorithm: distributed min-label propagation with pointer-halving
+    * — each round every node takes the min of its own label, its
+    * neighbors' labels (one join + one aggregate on the edge list), and
+    * its LABEL'S label (one more join on the label table: path
+    * compression); stop when a round changes nothing. Propagation alone
+    * needs diameter rounds — fine for the clique-like common case
+    * (2–3 rounds) but O(n) driver round-trips on a pathological
+    * near-dup CHAIN (content drift: A≈B≈C≈…); the halving jump doubles
+    * the reach per round, giving O(log n) worst case (the label forest
+    * contracts like Kiveris et al. 2014's small-star step). `maxIters`
+    * still bounds the loop, and hitting it raises rather than returning
+    * a partial labeling. Each round materializes the (small) label
+    * table — near-dup NODES are a sliver of the corpus — never the
+    * corpus itself; lineage is truncated by the per-round
+    * persist+count. */
   def duplicateComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("a_id").cast("long").as("src"),
         col("b_id").cast("long").as("dst"))
     val undirected = edges.union(
         edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
+    // localCheckpoint (eager), not persist: the loop references `labels`
+    // THREE times per round (neighbor lookup, own label, parent jump),
+    // so an un-truncated logical plan grows 3^rounds — persist caches
+    // execution but keeps the nested plan, and even printing it OOMs.
+    // Checkpointing roots each round's plan at the materialized table.
+    // (At cluster scale prefer reliable checkpoint() over localCheckpoint
+    // if executor loss mid-loop must be survivable; the tables are
+    // label-sized either way.)
     var labels = undirected.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")).persist()
-    labels.count() // materialize
+      .select(col("id"), col("id").as("comp")).localCheckpoint()
     var iters = 0
     var converged = false
     while (!converged) {
@@ -756,10 +765,23 @@ object Dedup {
         .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
       // carry the old label through the join so convergence is a filter
       // on this round's result, not a second join against the previous
-      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+      val prop = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("id"), col("comp").as("old"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .persist()
+      // pointer-halving (path compression): comp := label(comp). Labels
+      // only ever shrink toward the component min and a node's label
+      // names a node of the SAME component, so the jump can never leave
+      // the component or overshoot the min — it just doubles how far a
+      // round reaches. Without it, a pathological near-dup CHAIN
+      // (A≈B≈C≈…, n docs) needs n propagation rounds — O(n) driver
+      // round-trips at 100 TB; with it, O(log n) (Kiveris et al. 2014's
+      // small-star intuition on the label forest). Clique-ish components
+      // (the common near-dup shape) still converge in 2-3 rounds.
+      val parent = labels.select(col("id").as("pid"), col("comp").as("pcomp"))
+      val next = prop.join(parent, prop("comp") === col("pid"), "left")
+        .select(prop("id"), col("old"),
+          least(prop("comp"), coalesce(col("pcomp"), prop("comp"))).as("comp"))
+        .localCheckpoint()
       val changed = next.filter(col("comp") =!= col("old")).count()
       labels.unpersist()
       labels = next.select(col("id"), col("comp"))

@@ -341,6 +341,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
       Dedup.duplicateComponents(longChain, maxIters = 2).collect())
   }
 
+  test("duplicate components: pointer-halving closes a 41-node chain in O(log n) rounds") {
+    import spark.implicits._
+    // a near-dup CHAIN (content drift) is the worst case for plain
+    // min-label propagation: 40 hops would need 40 rounds and blow the
+    // default maxIters=20. Path compression must close it in ~log2(40)+2
+    // rounds — well under 10, which this tight budget proves.
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val comps = Dedup.duplicateComponents(chain, maxIters = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size === 41)
+    assert((0L to 40L).forall(id => comps(id) == 0L))
+  }
+
   test("scalar-quantized knn: exact rerank sims, high recall, full-cover equals brute force") {
     val q = emb.filter(col("vec_id") < 8)
     val brute = Similarity.bruteForceKnn(emb, q, k = 4).cache()
