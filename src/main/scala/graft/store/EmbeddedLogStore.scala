@@ -951,43 +951,111 @@ class EmbeddedLogStore(root: String, ioRetries: Int = 10,
     * 18-137 + DirectLoghubInputDStream.commitAsync, :227-241): external
     * progress interop — a named group's per-shard high-water ordinals,
     * readable by other tooling and usable to resume a new query. The
-    * merge is MONOTONIC per shard, like the reference's
+    * group view is MONOTONIC per shard, like the reference's
     * checkCursorLessThan guard: a stale commit (replayed epoch, late
-    * listener event) never regresses the group. Write is tmp +
-    * ATOMIC_MOVE, so readers see a whole file; concurrent committers
-    * re-read and re-merge, and since merge is a per-key max the race
-    * loser's retry converges. Returns the merged offsets. */
+    * listener event) never regresses the group.
+    *
+    * Monotonicity is structural, not lock-based: a commit APPENDS an
+    * immutable entry file under `groups/<group>/` and the view is the
+    * per-shard MAX over all entries — there is no read-modify-write, so
+    * concurrent committers (two listeners, two store handles, two JVMs)
+    * cannot lose each other's progress the way a re-read-and-overwrite
+    * scheme would. Max-merge is commutative/associative/idempotent, so
+    * entry arrival order never matters. Opportunistic compaction folds
+    * entries past a threshold into one (the merged entry lands via
+    * ATOMIC_MOVE before its absorbed inputs are deleted, and a racing
+    * compactor just writes an equivalent fold of a subset — deletes are
+    * idempotent, readers retry a torn listing). Returns the folded view
+    * including this commit. */
   def commitGroupOffsets(project: String, store: String, group: String,
-      offsets: Map[Int, Long]): Map[Int, Long] = synchronized {
-    require(group.matches("[A-Za-z0-9._-]+"), s"invalid group name '$group'")
-    val dir = storeDir(project, store).resolve("groups")
+      offsets: Map[Int, Long]): Map[Int, Long] = {
+    val dir = groupDir(project, store, group)
     Files.createDirectories(dir)
-    val merged = readGroupOffsets(project, store, group) match {
-      case prev => (prev.keySet ++ offsets.keySet).map { s =>
-        s -> math.max(prev.getOrElse(s, -1L), offsets.getOrElse(s, -1L))
-      }.toMap
-    }
-    val mapper = new ObjectMapper()
-    val root = mapper.createObjectNode()
-    val o = root.putObject("offsets")
-    merged.toSeq.sortBy(_._1).foreach { case (s, v) => o.put(s.toString, v) }
-    val tmp = dir.resolve(s".$group.json.tmp-${System.nanoTime()}")
-    Files.write(tmp, mapper.writeValueAsBytes(root))
-    Files.move(tmp, dir.resolve(s"$group.json"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    merged
+    writeGroupEntry(dir, offsets)
+    val entries = listGroupEntries(dir)
+    if (entries.size > GroupCompactThreshold) compactGroupEntries(dir, entries)
+    foldGroupEntries(dir)
   }
 
   /** A group's committed per-shard ordinals; empty if never committed. */
   def readGroupOffsets(project: String, store: String,
-      group: String): Map[Int, Long] = {
-    val p = storeDir(project, store).resolve("groups").resolve(s"$group.json")
-    if (!Files.exists(p)) return Map.empty
-    val n = new ObjectMapper().readTree(Files.readAllBytes(p)).get("offsets")
-    if (n == null) Map.empty
-    else n.asInstanceOf[ObjectNode].properties().asScala
-      .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap
+      group: String): Map[Int, Long] =
+    foldGroupEntries(groupDir(project, store, group))
+
+  private val GroupCompactThreshold = 32
+
+  private def groupDir(project: String, store: String,
+      group: String): java.nio.file.Path = {
+    require(group.matches("[A-Za-z0-9._-]+"), s"invalid group name '$group'")
+    storeDir(project, store).resolve("groups").resolve(group)
+  }
+
+  private def writeGroupEntry(dir: java.nio.file.Path,
+      offsets: Map[Int, Long]): Unit = {
+    val mapper = new ObjectMapper()
+    val root = mapper.createObjectNode()
+    val o = root.putObject("offsets")
+    offsets.toSeq.sortBy(_._1).foreach { case (s, v) => o.put(s.toString, v) }
+    // unique name: nanos + thread id + random suffix — entries are
+    // append-only, so uniqueness is all that's needed (no ordering)
+    val name = s"c-${System.nanoTime()}-${Thread.currentThread().getId}-" +
+      s"${scala.util.Random.nextInt(Int.MaxValue)}.json"
+    val tmp = dir.resolve(s".$name.tmp")
+    Files.write(tmp, mapper.writeValueAsBytes(root))
+    Files.move(tmp, dir.resolve(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def listGroupEntries(dir: java.nio.file.Path): Seq[String] = {
+    if (!Files.exists(dir)) return Seq.empty
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith("c-") && n.endsWith(".json")).toSeq
+    finally s.close()
+  }
+
+  private def readGroupEntry(dir: java.nio.file.Path,
+      name: String): Option[Map[Int, Long]] =
+    try {
+      val n = new ObjectMapper()
+        .readTree(Files.readAllBytes(dir.resolve(name))).get("offsets")
+      if (n == null) Some(Map.empty)
+      else Some(n.asInstanceOf[ObjectNode].properties().asScala
+        .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap)
+    } catch { // deleted by a concurrent compactor — its fold covers it
+      case _: java.nio.file.NoSuchFileException => None
+    }
+
+  private def foldGroupEntries(dir: java.nio.file.Path): Map[Int, Long] = {
+    var attempt = 0
+    while (true) {
+      val names = listGroupEntries(dir)
+      val reads = names.map(n => n -> readGroupEntry(dir, n))
+      // a missing entry means a compactor merged-and-deleted it while we
+      // listed; its merged replacement may postdate our listing — relist
+      if (reads.forall(_._2.isDefined))
+        return reads.flatMap(_._2.get).groupBy(_._1)
+          .map { case (s, vs) => s -> vs.map(_._2).max }
+      attempt += 1
+      if (attempt > 64) throw new IllegalStateException(
+        s"group listing at $dir torn after $attempt attempts")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def compactGroupEntries(dir: java.nio.file.Path,
+      names: Seq[String]): Unit = {
+    val folded = names.flatMap(n => readGroupEntry(dir, n))
+    if (folded.isEmpty) return
+    val merged = folded.flatten.groupBy(_._1)
+      .map { case (s, vs) => s -> vs.map(_._2).max }
+    // merged entry FIRST (atomic), absorbed inputs after: a crash or
+    // race in between leaves duplicates, which max-merge absorbs
+    writeGroupEntry(dir, merged)
+    names.foreach { n =>
+      try Files.deleteIfExists(dir.resolve(n))
+      catch { case _: java.io.IOException => () }
+    }
   }
 
   def readSourceConfig(project: String, store: String): Map[String, String] = {

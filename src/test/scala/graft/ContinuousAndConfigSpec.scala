@@ -197,6 +197,29 @@ class ContinuousAndConfigSpec extends AnyFunSuite {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("consumer-group commits: concurrent committers never lose progress; compaction bounds files") {
+    val root = seeded(1)
+    // 8 racing committers, each through its OWN store handle (no shared
+    // lock): the append-only group log makes monotonicity structural —
+    // a read-modify-write design would let one handle overwrite another
+    val threads = (0 until 8).map { t =>
+      new Thread(() => {
+        val s = new EmbeddedLogStore(root)
+        (1 to 50).foreach { i =>
+          s.commitGroupOffsets("proj", "logs", "race",
+            Map(0 -> (t * 50L + i), 1 -> i.toLong))
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val fin = new EmbeddedLogStore(root).readGroupOffsets("proj", "logs", "race")
+    assert(fin === Map(0 -> 400L, 1 -> 50L)) // per-shard max across all 400
+    // opportunistic compaction keeps the entry log bounded
+    val dir = java.nio.file.Paths.get(root, "proj", "logs", "groups", "race")
+    val nFiles = java.nio.file.Files.list(dir).count()
+    assert(nFiles <= 70, s"group entry log not compacted: $nFiles files")
+  }
+
   test("writer hash-key routing by column") {
     val root = Files.createTempDirectory("graft-rt").toString
     new EmbeddedLogStore(root).createStore("proj", "logs", 4)
