@@ -1,0 +1,299 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+/** REAL H.264 (ITU-T Rec. H.264 / MPEG-4 AVC) bitstream-level parsing —
+  * the metadata layer a video pipeline needs before any pixel work:
+  * Annex-B NAL unit framing (B.1.1), emulation-prevention removal
+  * (7.4.1.1), Exp-Golomb bit parsing (9.1), the full sequence parameter
+  * set (7.3.2.1.1) including high-profile chroma/scaling-list paths and
+  * frame cropping, and picture counting from slice headers
+  * (first_mb_in_slice == 0 starts a new picture, 7.3.3/7.4.3).
+  *
+  * What stays stubbed is SLICE DATA reconstruction (CABAC/CAVLC entropy
+  * decode + transform + deblock — a full codec, out of scope in an
+  * environment without codec libraries); everything metadata-shaped is
+  * parsed from real conformant bits, so dimensions, frame counts, IDR
+  * (sync-point) counts, and NAL inventories are exact. The matching
+  * [[BitWriter]]/encode side exists for fixtures, like
+  * [[Multimodal.encodeBmp24]] and the WAV encoder: tests and catalog
+  * fixtures round-trip encode→parse through spec-conformant bytes.
+  */
+object H264 {
+
+  /** MSB-first bit reader over an RBSP (9.1 parsing process). */
+  final class BitReader(bytes: Array[Byte]) {
+    private var pos = 0 // bit position
+    def u(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val b = pos >> 3
+        require(b < bytes.length, s"bit read past RBSP end ($pos)")
+        v = (v << 1) | ((bytes(b) >> (7 - (pos & 7))) & 1)
+        pos += 1; i += 1
+      }
+      v
+    }
+    /** ue(v): Exp-Golomb, 9.1. */
+    def ue(): Int = {
+      var lz = 0
+      while (u(1) == 0) { lz += 1; require(lz <= 31, "ue(v) overflow") }
+      (1 << lz) - 1 + u(lz)
+    }
+    /** se(v): signed Exp-Golomb, 9.1.1. */
+    def se(): Int = {
+      val k = ue()
+      if ((k & 1) == 1) (k + 1) / 2 else -(k / 2)
+    }
+  }
+
+  /** MSB-first bit writer producing an RBSP (fixture/encode side). */
+  final class BitWriter {
+    private val out = ArrayBuffer[Byte]()
+    private var cur = 0
+    private var nbits = 0
+    def u(v: Int, n: Int): this.type = {
+      var i = n - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1)
+        nbits += 1
+        if (nbits == 8) { out += cur.toByte; cur = 0; nbits = 0 }
+        i -= 1
+      }
+      this
+    }
+    def ue(v: Int): this.type = {
+      val code = v + 1
+      val lz = 31 - Integer.numberOfLeadingZeros(code)
+      u(0, lz); u(code, lz + 1)
+    }
+    def se(v: Int): this.type = ue(if (v > 0) 2 * v - 1 else -2 * v)
+    /** rbsp_trailing_bits: stop bit + zero-pad to a byte (7.3.2.11). */
+    def trailing(): Array[Byte] = {
+      u(1, 1)
+      if (nbits != 0) u(0, 8 - nbits)
+      out.toArray
+    }
+  }
+
+  /** EBSP → RBSP: drop emulation_prevention_three_byte (7.4.1.1:
+    * 00 00 03 followed by 00/01/02/03). */
+  def ebspToRbsp(b: Array[Byte]): Array[Byte] = {
+    val out = new ArrayBuffer[Byte](b.length)
+    var i = 0
+    while (i < b.length) {
+      if (i >= 2 && b(i) == 3 && b(i - 1) == 0 && b(i - 2) == 0 &&
+          i + 1 < b.length && (b(i + 1) & 0xFF) <= 3) ()
+      else out += b(i)
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** RBSP → EBSP: insert the emulation-prevention byte wherever two
+    * zeros would otherwise be followed by 00/01/02/03. */
+  def rbspToEbsp(b: Array[Byte]): Array[Byte] = {
+    val out = new ArrayBuffer[Byte](b.length + 8)
+    var zeros = 0
+    var i = 0
+    while (i < b.length) {
+      if (zeros >= 2 && (b(i) & 0xFF) <= 3) { out += 3; zeros = 0 }
+      out += b(i)
+      zeros = if (b(i) == 0) zeros + 1 else 0
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Annex-B framing: split on 00 00 01 / 00 00 00 01 start codes into
+    * (nal_ref_idc, nal_unit_type, ebspPayload) — header per 7.3.1. */
+  def nalUnits(es: Array[Byte]): Seq[(Int, Int, Array[Byte])] = {
+    val starts = ArrayBuffer[Int]() // index of first byte AFTER start code
+    var i = 0
+    while (i + 2 < es.length) {
+      if (es(i) == 0 && es(i + 1) == 0 && es(i + 2) == 1) {
+        starts += i + 3; i += 3
+      } else i += 1
+    }
+    starts.toSeq.zipWithIndex.map { case (s, k) =>
+      var e = if (k + 1 < starts.length) starts(k + 1) - 3 else es.length
+      while (e > s && es(e - 1) == 0) e -= 1 // trailing_zero_8bits
+      val header = es(s) & 0xFF
+      require((header & 0x80) == 0, "forbidden_zero_bit set")
+      ((header >> 5) & 3, header & 0x1F, es.slice(s + 1, e))
+    }
+  }
+
+  /** Parsed SPS — the fields a pipeline filters on. */
+  case class SpsInfo(profileIdc: Int, levelIdc: Int, spsId: Int,
+      chromaFormatIdc: Int, width: Int, height: Int, frameMbsOnly: Boolean)
+
+  private val HighProfiles =
+    Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+
+  /** seq_parameter_set_rbsp, 7.3.2.1.1 — full parse including the
+    * high-profile chroma/bit-depth/scaling-list branch and cropping. */
+  def parseSps(rbsp: Array[Byte]): SpsInfo = {
+    val r = new BitReader(rbsp)
+    val profile = r.u(8)
+    r.u(8) // constraint_set flags + reserved
+    val level = r.u(8)
+    val spsId = r.ue()
+    var chromaFormatIdc = 1 // 4:2:0 default for non-high profiles
+    var separateColour = false
+    if (HighProfiles.contains(profile)) {
+      chromaFormatIdc = r.ue()
+      if (chromaFormatIdc == 3) separateColour = r.u(1) == 1
+      r.ue(); r.ue() // bit_depth_luma/chroma_minus8
+      r.u(1) // qpprime_y_zero_transform_bypass
+      if (r.u(1) == 1) { // seq_scaling_matrix_present
+        val lists = if (chromaFormatIdc != 3) 8 else 12
+        var i = 0
+        while (i < lists) {
+          if (r.u(1) == 1) skipScalingList(r, if (i < 6) 16 else 64)
+          i += 1
+        }
+      }
+    }
+    r.ue() // log2_max_frame_num_minus4
+    r.ue() match { // pic_order_cnt_type
+      case 0 => r.ue()
+      case 1 =>
+        r.u(1); r.se(); r.se()
+        val n = r.ue()
+        var i = 0
+        while (i < n) { r.se(); i += 1 }
+      case _ => ()
+    }
+    r.ue() // max_num_ref_frames
+    r.u(1) // gaps_in_frame_num_value_allowed
+    val picWidthInMbs = r.ue() + 1
+    val picHeightInMapUnits = r.ue() + 1
+    val frameMbsOnly = r.u(1) == 1
+    if (!frameMbsOnly) r.u(1) // mb_adaptive_frame_field
+    r.u(1) // direct_8x8_inference
+    var cropL, cropR, cropT, cropB = 0
+    if (r.u(1) == 1) { cropL = r.ue(); cropR = r.ue(); cropT = r.ue(); cropB = r.ue() }
+    // 7.4.2.1.1 cropping arithmetic
+    val chromaArrayType = if (separateColour) 0 else chromaFormatIdc
+    val (subW, subH) = chromaFormatIdc match {
+      case 1 => (2, 2); case 2 => (2, 1); case _ => (1, 1)
+    }
+    val cropUnitX = if (chromaArrayType == 0) 1 else subW
+    val cropUnitY = (if (chromaArrayType == 0) 1 else subH) *
+      (if (frameMbsOnly) 1 else 2)
+    val width = picWidthInMbs * 16 - cropUnitX * (cropL + cropR)
+    val height = (if (frameMbsOnly) 1 else 2) * picHeightInMapUnits * 16 -
+      cropUnitY * (cropT + cropB)
+    SpsInfo(profile, level, spsId, chromaFormatIdc, width, height, frameMbsOnly)
+  }
+
+  private def skipScalingList(r: BitReader, size: Int): Unit = {
+    var lastScale = 8
+    var nextScale = 8
+    var j = 0
+    while (j < size) {
+      if (nextScale != 0) nextScale = (lastScale + r.se() + 256) % 256
+      lastScale = if (nextScale == 0) lastScale else nextScale
+      j += 1
+    }
+  }
+
+  /** Stream summary from one Annex-B pass. Frame counting: a slice NAL
+    * (type 1/5) with first_mb_in_slice == 0 starts a new picture —
+    * exact for the frame-coded, non-ASO streams this pipeline targets.
+    */
+  case class StreamInfo(width: Int, height: Int, frames: Int,
+      idrFrames: Int, nNals: Int, profileIdc: Int, levelIdc: Int)
+
+  def probe(es: Array[Byte]): StreamInfo = {
+    val nals = nalUnits(es)
+    var sps: Option[SpsInfo] = None
+    var frames = 0
+    var idr = 0
+    nals.foreach { case (_, tpe, ebsp) =>
+      tpe match {
+        case 7 => if (sps.isEmpty) sps = Some(parseSps(ebspToRbsp(ebsp)))
+        case 1 | 5 =>
+          val firstMb = new BitReader(ebspToRbsp(ebsp)).ue()
+          if (firstMb == 0) { frames += 1; if (tpe == 5) idr += 1 }
+        case _ => ()
+      }
+    }
+    val s = sps.getOrElse(
+      throw new IllegalArgumentException("no SPS NAL in stream"))
+    StreamInfo(s.width, s.height, frames, idr, nals.size, s.profileIdc,
+      s.levelIdc)
+  }
+
+  // -------------------------------------------------------------------
+  // Encode side (fixtures): spec-conformant SPS + minimal slice NALs.
+  // -------------------------------------------------------------------
+
+  private def nal(refIdc: Int, tpe: Int, rbsp: Array[Byte],
+      longStart: Boolean): Array[Byte] = {
+    val start = if (longStart) Array[Byte](0, 0, 0, 1) else Array[Byte](0, 0, 1)
+    start ++ Array(((refIdc << 5) | tpe).toByte) ++ rbspToEbsp(rbsp)
+  }
+
+  /** Baseline-profile SPS for the given MB geometry + bottom crop. */
+  def encodeSps(widthMbs: Int, heightMapUnits: Int, cropBottom: Int,
+      levelIdc: Int = 30): Array[Byte] = {
+    val w = new BitWriter
+    w.u(66, 8) // profile_idc: baseline (no chroma branch in SPS)
+    w.u(0, 8).u(levelIdc, 8)
+    w.ue(0) // sps id
+    w.ue(4) // log2_max_frame_num_minus4
+    w.ue(2) // pic_order_cnt_type 2 (no extra fields)
+    w.ue(1) // max_num_ref_frames
+    w.u(0, 1) // gaps_in_frame_num
+    w.ue(widthMbs - 1)
+    w.ue(heightMapUnits - 1)
+    w.u(1, 1) // frame_mbs_only
+    w.u(1, 1) // direct_8x8_inference
+    if (cropBottom > 0) { w.u(1, 1); w.ue(0); w.ue(0); w.ue(0); w.ue(cropBottom) }
+    else w.u(0, 1)
+    w.u(0, 1) // vui_parameters_present
+    nal(3, 7, w.trailing(), longStart = true)
+  }
+
+  /** Minimal slice NAL: real header fields (first_mb_in_slice,
+    * slice_type, pps id, frame_num), arbitrary payload bits standing in
+    * for entropy-coded slice data the parser never needs to touch. */
+  def encodeSliceNal(idr: Boolean, firstMb: Int, frameNum: Int,
+      fillerBytes: Int): Array[Byte] = {
+    val w = new BitWriter
+    w.ue(firstMb)
+    w.ue(if (idr) 7 else 5) // slice_type: I / P (all-slices form)
+    w.ue(0) // pps id
+    w.u(frameNum & 0xFF, 8) // frame_num with log2_max_frame_num = 8
+    var i = 0
+    while (i < fillerBytes) { w.u((i * 37 + frameNum) & 0xFF, 8); i += 1 }
+    nal(if (idr) 3 else 2, if (idr) 5 else 1, w.trailing(),
+      longStart = false)
+  }
+
+  /** access_unit_delimiter_rbsp (7.3.2.4). */
+  def encodeAud(): Array[Byte] = {
+    val w = new BitWriter
+    w.u(7, 3) // primary_pic_type: any
+    nal(0, 9, w.trailing(), longStart = false)
+  }
+
+  /** Deterministic fixture stream: SPS + (AUD + slice)×frames, every
+    * 8th frame an IDR, with emulation-prevention-triggering filler. */
+  def syntheticStream(widthMbs: Int, heightMapUnits: Int, cropBottom: Int,
+      frames: Int): Array[Byte] = {
+    val out = ArrayBuffer[Byte]()
+    out ++= encodeSps(widthMbs, heightMapUnits, cropBottom)
+    var f = 0
+    while (f < frames) {
+      out ++= encodeAud()
+      out ++= encodeSliceNal(idr = f % 8 == 0, firstMb = 0, frameNum = f,
+        fillerBytes = 16 + (f % 5))
+      f += 1
+    }
+    out.toArray
+  }
+}

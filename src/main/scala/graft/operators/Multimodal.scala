@@ -15,8 +15,12 @@ import org.apache.spark.sql.types._
   * `java.util.zip`), and baseline grayscale JPEG
   * ([[graft.operators.JpegGray]], a real ITU T.81 entropy-decode +
   * IDCT codec, oracle-checked in m6), with content-sniffing dispatch
-  * ([[decodeImage]]). Only H.264 video keeps a deterministic stub
-  * (clearly marked — the env ships no codec libs) — and
+  * ([[decodeImage]]). H.264 video gets a real BITSTREAM parser —
+  * Annex-B NAL framing, emulation prevention, Exp-Golomb SPS with
+  * cropping, slice-header frame/IDR counting ([[H264]], oracle-checked
+  * in m10) — with only pixel reconstruction (the CABAC/CAVLC entropy
+  * decode) left as a clearly-marked stub (the env ships no codec
+  * libs) — and
   * everything Spark-side is real and tested either way: the asset
   * schema, binary payload flow through shuffles, per-partition batch
   * processing, feature extraction, fixed-size chunking, and the
@@ -406,6 +410,23 @@ object Multimodal {
   // ---------------------------------------------------------------------
   // Real byte-level operators (no stubbing needed).
   // ---------------------------------------------------------------------
+
+  /** REAL H.264 metadata probe over (asset_id, payload) video assets:
+    * Annex-B NAL framing, SPS parse (dims incl. cropping), frame/IDR
+    * counting from slice headers — see [[H264]]. Zero-shuffle per-asset
+    * pass; only pixel reconstruction (entropy decode) stays stubbed. */
+  def videoProbe(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, es) =>
+        val info = H264.probe(es)
+        (id, info.width.toLong, info.height.toLong, info.frames.toLong,
+          info.idrFrames.toLong, info.nNals.toLong)
+      }
+      .toDF("asset_id", "width", "height", "n_frames", "n_idr", "n_nals")
+  }
 
   /** Fixed-size chunking: split payloads into (asset_id, chunk_idx,
     * chunk) rows — bounds memory per task for multi-GB payloads. Pure

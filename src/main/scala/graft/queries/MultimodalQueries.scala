@@ -24,7 +24,32 @@ object MultimodalQueries {
     "m6_jpeg_roundtrip" -> m6,
     "m7_audio_frames" -> m7,
     "m8_scene_cuts" -> m8,
-    "m9_image_dhash" -> m9)
+    "m9_image_dhash" -> m9,
+    "m10_video_probe" -> m10)
+
+  /** H.264 metadata probe (m10): per-asset synthetic-but-CONFORMANT
+    * Annex-B streams (real SPS bits, real slice headers, real
+    * emulation-prevention bytes — [[graft.operators.H264]]'s encoder,
+    * geometry planted from asset_id) probed through the real bitstream
+    * parser. The oracle recomputes the planted geometry by formula, so
+    * any drift anywhere in encode → EBSP → NAL split → Exp-Golomb SPS
+    * parse → crop arithmetic → slice-header frame counting breaks the
+    * hash — the t10 salted-fixture pattern applied to video.
+    *
+    * Scale: zero-shuffle per-asset map, like every m-family decode. */
+  private def m10: Q = (spark, dir) => {
+    import spark.implicits._
+    val fixtures = t(spark, dir, "documents").select(col("doc_id"))
+      .as[Long].map { id =>
+        val es = graft.operators.H264.syntheticStream(
+          widthMbs = (4 + id % 7).toInt,
+          heightMapUnits = (3 + id % 5).toInt,
+          cropBottom = (id % 3).toInt,
+          frames = (3 + id % 11).toInt)
+        (id, es)
+      }.toDF("asset_id", "payload")
+    Multimodal.videoProbe(fixtures)
+  }
 
   /** Image perceptual hash (m9): dHash — the image-dedup primitive
     * (LAION-style near-dup detection hashes every image; equal or
@@ -314,6 +339,18 @@ object MultimodalQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // m10: the engine parses real H.264 bits; the oracle replays the
+    // PLANTED geometry (4:2:0 frame-coded: CropUnitY=2, so bottom crop
+    // removes 2 rows per unit; an IDR every 8th frame starting at 0 →
+    // (frames-1)//8 + 1; NALs = SPS + per-frame AUD+slice)
+    "m10_video_probe" ->
+      """SELECT doc_id AS asset_id,
+        | 16 * (4 + doc_id % 7) AS width,
+        | 16 * (3 + doc_id % 5) - 2 * (doc_id % 3) AS height,
+        | 3 + doc_id % 11 AS n_frames,
+        | (doc_id % 11 + 2) // 8 + 1 AS n_idr,
+        | 1 + 2 * (3 + doc_id % 11) AS n_nals
+        |FROM documents""".stripMargin,
     "m1_binary_assets" ->
       """SELECT doc_id AS asset_id,
         | octet_length(encode(text)) AS n_bytes,
