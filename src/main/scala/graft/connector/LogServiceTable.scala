@@ -79,21 +79,37 @@ case class LogServiceOptions(all: Map[String, String]) {
   def newStore: EmbeddedLogStore = new EmbeddedLogStore(root)
 }
 
-class LogServiceTable(tableSchema: StructType, opts: LogServiceOptions)
+/** @param acceptAnySchema the options/format path writes arbitrary
+  *   row shapes (routing metadata columns beside payload columns), so
+  *   it advertises ACCEPT_ANY_SCHEMA; a catalog table with a DECLARED
+  *   schema must NOT — with the capability set, SQL `INSERT INTO ...
+  *   VALUES` skips by-name alignment and hands the writer the VALUES
+  *   relation's synthetic col1/col2 names, silently mis-keying every
+  *   record's contents. Strict alignment is exactly what a declared
+  *   schema is for. */
+class LogServiceTable(tableSchema: StructType, opts: LogServiceOptions,
+    acceptAnySchema: Boolean = true)
     extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"${opts.project}#${opts.store}"
   override def schema(): StructType = tableSchema
-  override def capabilities(): util.Set[TableCapability] = Set(
+  override def capabilities(): util.Set[TableCapability] = (Set(
     TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
     TableCapability.CONTINUOUS_READ, TableCapability.BATCH_WRITE,
-    TableCapability.STREAMING_WRITE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
+    TableCapability.STREAMING_WRITE) ++
+    (if (acceptAnySchema) Set(TableCapability.ACCEPT_ANY_SCHEMA)
+     else Set.empty)).asJava
 
+  // per-operation options (spark.read.option(...).table(...) on a
+  // catalog identifier) overlay the table-level options — the format
+  // path passes the same map twice, which the merge absorbs
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LogScanBuilder(tableSchema, opts)
+    new LogScanBuilder(tableSchema,
+      LogServiceOptions(opts.all ++ options.asScala.toMap))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new LogWriteBuilder(info, opts)
+    new LogWriteBuilder(info,
+      LogServiceOptions(opts.all ++ info.options().asScala.toMap))
 }
 
 /** Column pruning reaches the deserializer: only requested fields are

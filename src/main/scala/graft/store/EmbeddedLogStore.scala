@@ -1058,6 +1058,54 @@ class EmbeddedLogStore(root: String, ioRetries: Int = 10,
     }
   }
 
+  /** Declared-schema metadata for the SQL catalog surface
+    * ([[graft.connector.LogServiceCatalog]]): a store is wire-level
+    * schemaless (string key/values), but a CREATE TABLE can pin the
+    * typed read/write schema, persisted as DDL next to meta.json so
+    * every session resolves the same table shape. */
+  def writeTableSchema(project: String, store: String, ddl: String): Unit =
+    Files.write(storeDir(project, store).resolve("schema.ddl"),
+      ddl.getBytes(StandardCharsets.UTF_8))
+
+  def readTableSchema(project: String, store: String): Option[String] = {
+    val p = storeDir(project, store).resolve("schema.ddl")
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p),
+      StandardCharsets.UTF_8)) else None
+  }
+
+  def storeExists(project: String, store: String): Boolean =
+    Files.exists(storeDir(project, store).resolve("meta.json"))
+
+  def listProjects(): Seq[String] = {
+    val rootPath = Paths.get(root)
+    if (!Files.exists(rootPath)) return Seq.empty
+    val s = Files.list(rootPath)
+    try s.iterator().asScala.filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq.sorted
+    finally s.close()
+  }
+
+  def listStores(project: String): Seq[String] = {
+    val p = Paths.get(root, project)
+    if (!Files.exists(p)) return Seq.empty
+    val s = Files.list(p)
+    try s.iterator().asScala
+      .filter(d => Files.exists(d.resolve("meta.json")))
+      .map(_.getFileName.toString).toSeq.sorted
+    finally s.close()
+  }
+
+  /** Irreversibly delete a store (catalog DROP TABLE). */
+  def dropStore(project: String, store: String): Boolean = {
+    val dir = storeDir(project, store)
+    if (!Files.exists(dir)) return false
+    val s = Files.walk(dir)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.deleteIfExists(_))
+    finally s.close()
+    true
+  }
+
   def readSourceConfig(project: String, store: String): Map[String, String] = {
     val p = storeDir(project, store).resolve("config.json")
     if (!Files.exists(p)) return Map.empty
