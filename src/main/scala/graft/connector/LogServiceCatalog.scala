@@ -84,6 +84,29 @@ class LogServiceCatalog extends TableCatalog with SupportsNamespaces {
       acceptAnySchema = declared.isEmpty)
   }
 
+  /** SQL time travel: `SELECT ... FROM graft.proj.logs VERSION AS OF v`
+    * pins the scan at manifest version v — exactly the
+    * `store.snapshotversion` batch option (ordinal-prefix snapshot;
+    * versions compacted away fail loudly). TIMESTAMP AS OF is not
+    * supported: manifest versions are the store's only durable clock
+    * (file mtimes are not commit metadata), and guessing from mtimes
+    * would silently bind to the wrong snapshot. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"VERSION AS OF wants a manifest version number, got '$version'")
+    }
+    val table = loadTable(ident).asInstanceOf[LogServiceTable]
+    new LogServiceTable(table.schema(),
+      LogServiceOptions(table.options.all +
+        ("store.snapshotversion" -> v.toString)),
+      acceptAnySchema = false)
+  }
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "TIMESTAMP AS OF is not supported: use VERSION AS OF <manifestVersion>")
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String])
       : Table = {

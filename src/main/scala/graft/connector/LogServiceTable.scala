@@ -93,6 +93,7 @@ class LogServiceTable(tableSchema: StructType, opts: LogServiceOptions,
 
   override def name(): String = s"${opts.project}#${opts.store}"
   override def schema(): StructType = tableSchema
+  private[connector] def options: LogServiceOptions = opts
   override def capabilities(): util.Set[TableCapability] = (Set(
     TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
     TableCapability.CONTINUOUS_READ, TableCapability.BATCH_WRITE,

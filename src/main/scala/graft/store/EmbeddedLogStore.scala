@@ -294,6 +294,11 @@ class EmbeddedLogStore(root: String, ioRetries: Int = 10,
     manifestFiles(project, store).map(manifestVersion)
       .maxOption.getOrElse(0L)
 
+  /** Current manifest head — the version a snapshot read pins
+    * (`store.snapshotversion` / SQL `VERSION AS OF`). */
+  def headVersion(project: String, store: String): Long =
+    currentVersion(project, store)
+
   /** All committed (shard, file) pairs in commit order. A checkpoint
     * manifest (written by [[compactManifests]]) carries the full prefix
     * folded in, so reading starts at the LAST checkpoint and folds only

@@ -86,6 +86,22 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("VERSION AS OF pins the scan at a manifest version") {
+    withCatalog { cat =>
+      val root = spark.conf.get(s"spark.sql.catalog.$cat.root")
+      spark.sql(s"CREATE TABLE $cat.proj.tt (__time__ INT, msg STRING)")
+      spark.sql(s"INSERT INTO $cat.proj.tt VALUES (100, 'first')")
+      val v1 = new EmbeddedLogStore(root).headVersion("proj", "tt")
+      spark.sql(s"INSERT INTO $cat.proj.tt VALUES (200, 'second')")
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.proj.tt").head().getLong(0) === 2L)
+      assert(spark.sql(
+        s"SELECT msg FROM $cat.proj.tt VERSION AS OF $v1").collect()
+        .map(_.getString(0)).toSeq === Seq("first"))
+      intercept[Exception](spark.sql(
+        s"SELECT * FROM $cat.proj.tt TIMESTAMP AS OF '2026-01-01'").collect())
+    }
+  }
+
   test("namespace lifecycle and DROP NAMESPACE CASCADE") {
     withCatalog { cat =>
       spark.sql(s"CREATE NAMESPACE $cat.p2")
