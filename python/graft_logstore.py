@@ -98,9 +98,11 @@ class LogStore:
 
     def read_batch(self, schema=None, starting_offsets=None,
                    ending_offsets=None, start_time=None, end_time=None,
-                   slice_shard=1):
+                   slice_shard=1, snapshot_version=None):
         r = (self.spark.read.format(FORMAT).options(**self.options())
              .option("store.sliceshard", str(slice_shard)))
+        if snapshot_version is not None:
+            r = r.option("store.snapshotversion", str(snapshot_version))
         if schema is not None:
             r = r.schema(schema)
         if starting_offsets is not None:
