@@ -86,6 +86,17 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("DataFrameWriterV2: df.writeTo(catalog table).append") {
+    withCatalog { cat =>
+      import spark.implicits._
+      spark.sql(s"CREATE TABLE $cat.proj.w2 (__time__ INT, msg STRING)")
+      Seq((1700000000, "via"), (1700000001, "writerV2"))
+        .toDF("__time__", "msg").writeTo(s"$cat.proj.w2").append()
+      assert(spark.table(s"$cat.proj.w2").orderBy("__time__")
+        .collect().map(_.getString(1)).toSeq === Seq("via", "writerV2"))
+    }
+  }
+
   test("VERSION AS OF pins the scan at a manifest version") {
     withCatalog { cat =>
       val root = spark.conf.get(s"spark.sql.catalog.$cat.root")
