@@ -40,8 +40,15 @@ class StoreModelSpec extends AnyFunSuite {
       var committed = Map.empty[String, (Int, Seq[LogRecord])] // name -> (shard, records)
       var abandoned = List.empty[StagedSegment]
       var clock = 1000
+      // consumer groups: the model is a per-shard MAX over every commit
+      val groups = scala.collection.mutable.Map[String, Map[Int, Long]]()
+        .withDefaultValue(Map.empty)
 
       def check(): Unit = {
+        groups.foreach { case (g, want) =>
+          assert(store.readGroupOffsets("p", "s", g) == want,
+            s"group $g offsets diverged")
+        }
         model.keys.foreach { sh =>
           val b = base(sh)
           val live = model(sh).zipWithIndex.drop(b)
@@ -70,7 +77,7 @@ class StoreModelSpec extends AnyFunSuite {
       }
 
       for (step <- 1 to 60) {
-        rnd.nextInt(12) match {
+        rnd.nextInt(13) match {
           case 0 | 1 | 2 | 3 | 4 => // append to a random writable shard
             val sh = writable.toSeq(rnd.nextInt(writable.size))
             // segment times are non-decreasing within the shard's life
@@ -123,6 +130,22 @@ class StoreModelSpec extends AnyFunSuite {
             expectDrop.foreach { case (sh, d) => base(sh) += d.toInt }
             assert((n == 0) == expectDrop.values.forall(_ == 0L),
               s"expireSegments($cutoff) returned $n, expected drops $expectDrop")
+          case 12 => // consumer-group commit: monotonic per-shard max,
+            // including deliberately REGRESSING commits the merge must
+            // absorb; interleaves with every other protocol op
+            val g = if (rnd.nextBoolean()) "ga" else "gb"
+            val shardIds = model.keys.toSeq.sorted
+            val offs = shardIds.filter(_ => rnd.nextBoolean())
+              .map(sh => sh -> rnd.nextLong(50)).toMap
+            if (offs.nonEmpty) {
+              val want = (groups(g).keySet ++ offs.keySet).map { sh =>
+                sh -> math.max(groups(g).getOrElse(sh, -1L),
+                  offs.getOrElse(sh, -1L))
+              }.toMap
+              val got = store.commitGroupOffsets("p", "s", g, offs)
+              assert(got == want, s"commitGroupOffsets($g, $offs)")
+              groups(g) = want
+            }
         }
         check()
       }
