@@ -187,8 +187,17 @@ class LogServiceCatalog extends TableCatalog with SupportsNamespaces {
         s"namespace ${namespace(0)} holds ${stores.size} store(s); " +
           "use DROP NAMESPACE ... CASCADE")
     stores.foreach(s => store.dropStore(namespace(0), s))
-    java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(root, namespace(0)))
+    // The project dir may hold entries listStores doesn't see (a
+    // half-created store without meta.json, stray files) — a flat
+    // deleteIfExists would throw DirectoryNotEmptyException and leave
+    // DROP NAMESPACE ... CASCADE permanently failing. Delete recursively.
+    val dir = java.nio.file.Paths.get(root, namespace(0))
+    if (java.nio.file.Files.exists(dir)) {
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
     true
   }
 }

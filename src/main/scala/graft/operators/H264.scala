@@ -38,7 +38,9 @@ object H264 {
     /** ue(v): Exp-Golomb, 9.1. */
     def ue(): Int = {
       var lz = 0
-      while (u(1) == 0) { lz += 1; require(lz <= 31, "ue(v) overflow") }
+      // lz == 31 would make (1 << lz) - 1 + u(lz) overflow Int and wrap
+      // to garbage; codes above 2^31-2 are unrepresentable, so fail loudly.
+      while (u(1) == 0) { lz += 1; require(lz <= 30, "ue(v) overflow") }
       (1 << lz) - 1 + u(lz)
     }
     /** se(v): signed Exp-Golomb, 9.1.1. */

@@ -589,6 +589,10 @@ object Relational {
     // integer math ((k*n+3)//4), and the continuous median is the mean of
     // the two middle ranks — constructs proven portable by green queries
     // (row_number/COUNT OVER: q25/t21; `//`: m1-m3; MAX(CASE): t21).
+    // The rank-picked values are CAST to DOUBLE because Spark's
+    // percentile_disc over a LongType column yields DOUBLE and the
+    // comparison hashes typed values — r8's red row was dtype-only
+    // (13 vs 13.0), every value numerically identical.
     "q26_percentiles" ->
       """WITH v AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
         |    row_number() OVER (PARTITION BY l_returnflag
@@ -596,9 +600,9 @@ object Relational {
         |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
         |  FROM lineitem)
         |SELECT l_returnflag, COUNT(*) AS n_items,
-        | MAX(CASE WHEN rn = (n + 3) // 4 THEN qty END) AS p25_qty,
-        | MAX(CASE WHEN rn = (n + 1) // 2 THEN qty END) AS p50_qty,
-        | MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN qty END) AS p75_qty,
+        | CAST(MAX(CASE WHEN rn = (n + 3) // 4 THEN qty END) AS DOUBLE) AS p25_qty,
+        | CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN qty END) AS DOUBLE) AS p50_qty,
+        | CAST(MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN qty END) AS DOUBLE) AS p75_qty,
         | 0.5e0 * (MAX(CASE WHEN rn = (n + 1) // 2 THEN qty END)
         |        + MAX(CASE WHEN rn = n // 2 + 1 THEN qty END)) AS median_qty
         |FROM v GROUP BY l_returnflag""".stripMargin,

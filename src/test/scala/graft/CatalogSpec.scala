@@ -123,4 +123,21 @@ class CatalogSpec extends AnyFunSuite {
         .forall(_.getString(0) != "p2"))
     }
   }
+
+  test("DROP NAMESPACE CASCADE survives stray entries in the project dir") {
+    withCatalog { cat =>
+      val root = spark.conf.get(s"spark.sql.catalog.$cat.root")
+      spark.sql(s"CREATE NAMESPACE $cat.p3")
+      spark.sql(s"CREATE TABLE $cat.p3.t (__time__ INT, v STRING)")
+      // A half-created store (no meta.json) and a stray file: neither is
+      // visible to listStores, but both must not wedge the CASCADE drop.
+      val dir = java.nio.file.Paths.get(root, "p3")
+      java.nio.file.Files.createDirectories(dir.resolve("halfmade").resolve("shard-0"))
+      java.nio.file.Files.writeString(dir.resolve("stray.txt"), "x")
+      spark.sql(s"DROP NAMESPACE $cat.p3 CASCADE")
+      assert(!java.nio.file.Files.exists(dir))
+      assert(spark.sql(s"SHOW NAMESPACES IN $cat").collect()
+        .forall(_.getString(0) != "p3"))
+    }
+  }
 }

@@ -15,6 +15,20 @@ class H264Spec extends AnyFunSuite {
     Seq(0, 1, -1, 7, -128, 300).foreach(v => assert(r.se() === v))
   }
 
+  test("ue(v) rejects codes that would overflow Int instead of wrapping") {
+    // 31 leading zero bits would make (1 << 31) - 1 + u(31) wrap negative;
+    // a malformed/adversarial stream must fail loudly, not yield garbage.
+    val bytes = Array.fill[Byte](9)(0) // 72 zero bits: lz runs past 30
+    val r = new H264.BitReader(bytes)
+    val e = intercept[IllegalArgumentException](r.ue())
+    assert(e.getMessage.contains("overflow"))
+    // Largest representable code still parses: 30 zeros, 1, 30 payload
+    // bits → (2^30 - 1) + (2^30 - 1) = 2^31 - 2.
+    val w = new H264.BitWriter
+    w.u(0, 30).u(1, 1).u((1 << 30) - 1, 30)
+    assert(new H264.BitReader(w.trailing()).ue() === Int.MaxValue - 1)
+  }
+
   test("emulation prevention: ebsp↔rbsp round trip on hostile byte runs") {
     // payloads that contain raw start-code / zero-run patterns MUST be
     // escaped on the wire and restored exactly on parse
