@@ -43,4 +43,9 @@ object Tables {
   /** Timestamp → epoch seconds as BIGINT (matches DuckDB
     * CAST(epoch(ts) AS BIGINT) for whole-second values). */
   def epochS(c: Column): Column = c.cast(TimestampType).cast(LongType)
+
+  /** Timestamp → epoch microseconds as BIGINT (matches DuckDB
+    * CAST(epoch_us(ts) AS BIGINT)). The session timezone is pinned to
+    * UTC, so the NTZ→TZ cast is value-preserving. */
+  def epochUs(c: Column): Column = unix_micros(c.cast(TimestampType))
 }

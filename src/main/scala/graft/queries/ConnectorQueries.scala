@@ -49,7 +49,7 @@ object ConnectorQueries {
       "store.name" -> "ret")
     val ev = t(spark, dir, "events")
       .select(pmod(col("user_id"), lit(2)).cast(IntegerType).as("__shard__"),
-        expr("ts DIV 1000000000").cast(IntegerType).as("__time__"),
+        epochS(col("ts")).cast(IntegerType).as("__time__"),
         col("event_id"), col("event_type"), col("value"))
     ev.filter(col("__time__") < cutoff)
       .write.format("graft-logstore").options(opts).mode("append").save()
@@ -86,7 +86,7 @@ object ConnectorQueries {
       "store.name" -> "opt")
     val ev = t(spark, dir, "events")
       .select(pmod(col("user_id"), lit(2)).cast(IntegerType).as("__shard__"),
-        expr("ts DIV 1000000000").cast(IntegerType).as("__time__"),
+        epochS(col("ts")).cast(IntegerType).as("__time__"),
         col("event_id"), col("user_id"), col("event_type"), col("value"))
     for (k <- 0 until 8)
       ev.filter(col("event_id") % 8 === k)
@@ -140,7 +140,7 @@ object ConnectorQueries {
         "store.name" -> "sess")
       val ev = t(spark, dir, "events")
         .select(col("user_id"), col("event_type"), col("value"),
-          expr("ts DIV 1000000000").as("t"))
+          epochS(col("ts")).as("t"))
       val maxT = ev.agg(max(col("t"))).first().getLong(0)
       val sentinel = spark.range(1).select(lit(-1L).as("user_id"),
         lit("__flush__").as("event_type"), lit(0.0).as("value"),
@@ -198,7 +198,7 @@ object ConnectorQueries {
     def write(half: DataFrame): Unit =
       half.select(
           (col("user_id") % 2).cast(IntegerType).as("__shard__"),
-          expr("ts DIV 1000000000").cast(IntegerType).as("__time__"),
+          epochS(col("ts")).cast(IntegerType).as("__time__"),
           col("event_id"), col("user_id"), col("event_type"), col("value"))
         .write.format("graft-logstore").options(opts).mode("append").save()
     val ev = t(spark, dir, "events")
@@ -274,9 +274,9 @@ object ConnectorQueries {
       t(spark, dir, "events")
         .select(
           (col("user_id") % shards).cast(IntegerType).as("__shard__"),
-          expr("ts DIV 1000000000").cast(IntegerType).as("__time__"),
+          epochS(col("ts")).cast(IntegerType).as("__time__"),
           col("event_id"), col("user_id"), col("event_type"),
-          col("value"), col("ts"), col("props"))
+          col("value"), epochUs(col("ts")).as("ts"), col("props"))
         .write.format("graft-logstore").options(opts).mode("append").save()
       opts
     })
@@ -294,8 +294,8 @@ object ConnectorQueries {
         countDistinct(col("user_id")).as("n_users"),
         min(col("event_id")).as("min_id"),
         max(col("event_id")).as("max_id"),
-        // µs precision: DuckDB reads parquet nanos as TIMESTAMP (µs)
-        min(expr("ts DIV 1000")).as("min_ts"))
+        // ts ingested as epoch-µs long (epochUs at write time)
+        min(col("ts")).as("min_ts"))
   }
 
   /** Default-schema path: schema-on-read from the __value__ JSON column
@@ -371,7 +371,7 @@ object ConnectorQueries {
     def write(half: DataFrame, shardExpr: org.apache.spark.sql.Column): Unit =
       half.select(
           shardExpr.cast(IntegerType).as("__shard__"),
-          expr("ts DIV 1000000000").cast(IntegerType).as("__time__"),
+          epochS(col("ts")).cast(IntegerType).as("__time__"),
           col("event_id"), col("event_type"), col("value"))
         .write.format("graft-logstore").options(srcOpts).mode("append").save()
     val ev = t(spark, dir, "events")
@@ -478,7 +478,7 @@ object ConnectorQueries {
     def write(half: DataFrame): Unit =
       half.select(
           (col("user_id") % 2).cast(IntegerType).as("__shard__"),
-          expr("ts DIV 1000000000").cast(IntegerType).as("__time__"),
+          epochS(col("ts")).cast(IntegerType).as("__time__"),
           col("event_id"), col("user_id"), col("event_type"), col("value"))
         .write.format("graft-logstore").options(opts).mode("append").save()
     val ev = t(spark, dir, "events")

@@ -94,7 +94,7 @@ object Relational {
     * per-stage filter prunes before any shuffle. */
   private def q28: Q = (spark, dir) => {
     val ev = t(spark, dir, "events")
-      .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("us"))
+      .select(col("user_id"), col("event_type"), epochUs(col("ts")).as("us"))
     val su = ev.filter(col("event_type") === "signup")
       .groupBy(col("user_id")).agg(min(col("us")).as("s_ts"))
     val vi = ev.filter(col("event_type") === "view")
@@ -140,11 +140,11 @@ object Relational {
     * semantics, mirrored by the oracle). */
   private def q27: Q = (spark, dir) => {
     val ev = t(spark, dir, "events")
-      .select(col("event_id"), col("user_id"), expr("ts DIV 1000").as("us"))
+      .select(col("event_id"), col("user_id"), epochUs(col("ts")).as("us"))
     val win = 120L * 1000 * 1000 // 2 minutes in µs
     val inc = t(spark, dir, "events").filter(col("event_type") === "error")
-      .select(col("event_id").as("incident_id"), expr("ts DIV 1000").as("s"),
-        (expr("ts DIV 1000") + win).as("e"))
+      .select(col("event_id").as("incident_id"), epochUs(col("ts")).as("s"),
+        (epochUs(col("ts")) + win).as("e"))
     graft.operators.RangeJoin.pointInIntervals(inc, ev, "s", "e", "us", win)
       .filter(col("event_id") =!= col("incident_id"))
       .groupBy(col("incident_id"))
@@ -382,10 +382,10 @@ object Relational {
     * watermark+window test, LoghubMicroBatchSourceSuite.scala:381-424).
     * Surfaced as epoch seconds of the hour bucket. */
   private def q12: Q = (spark, dir) => {
-    // ts arrives as epoch-nanos long (nanosAsLong); window() needs a real
+    // ts arrives as TIMESTAMP_NTZ (µs parquet); window() needs a real
     // timestamp — microsecond truncation cannot move an hour bucket.
     val ev = t(spark, dir, "events")
-      .withColumn("ts_t", expr("timestamp_micros(ts DIV 1000)"))
+      .withColumn("ts_t", col("ts").cast(TimestampType))
     ev.groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum6(col("value")).as("sum_value"))
       .select(epochS(col("window.start")).as("hour_start"), col("event_type"),
@@ -398,13 +398,13 @@ object Relational {
   private def q13: Q = (spark, dir) => {
     val ev = t(spark, dir, "events")
     // µs-truncated epoch longs: exact integer interval arithmetic, at the
-    // same precision DuckDB reads the nanos parquet column with. Bucketed
+    // same precision DuckDB's epoch_us reads the µs parquet column with. Bucketed
     // interval join (RangeJoin) keeps hot users from exploding into
     // per-lifetime cross products.
     val v = ev.filter(col("event_type") === "view")
-      .select(col("user_id"), expr("ts DIV 1000").as("v_ts"))
+      .select(col("user_id"), epochUs(col("ts")).as("v_ts"))
     val p = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), expr("ts DIV 1000").as("p_ts"))
+      .select(col("user_id").as("p_user"), epochUs(col("ts")).as("p_ts"))
     graft.operators.RangeJoin.intervalJoin(v, p, "user_id", "p_user",
         "v_ts", "p_ts", lo = 0L, hi = 3600L * 1000 * 1000)
       .groupBy(col("user_id"))
@@ -451,10 +451,10 @@ object Relational {
     * formulation of session windows; the streaming formulation
     * (flatMapGroupsWithState) is covered by StatefulStreamingSpec with
     * this query as its cross-check. Times at µs precision (DuckDB reads
-    * the nanos column as µs). */
+    * the µs column). */
   private def q17: Q = (spark, dir) => {
     val ev = t(spark, dir, "events")
-      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"))
+      .select(col("user_id"), epochUs(col("ts")).as("ts_us"))
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
     val gapUs = 30L * 60 * 1000 * 1000
     val withBreaks = ev
@@ -483,12 +483,12 @@ object Relational {
   private def q18: Q = (spark, dir) => {
     val ev = t(spark, dir, "events")
     val views = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id"), expr("ts DIV 1000").as("v_ts"))
+      .groupBy(col("user_id"), epochUs(col("ts")).as("v_ts"))
       .agg(max(col("value")).as("v_value"))
       .select(col("user_id"), col("v_ts").as("ats"), col("v_ts"), col("v_value"))
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id"), expr("ts DIV 1000").as("ats"),
-        expr("ts DIV 1000").as("p_ts"))
+      .select(col("user_id"), col("event_id"), epochUs(col("ts")).as("ats"),
+        epochUs(col("ts")).as("p_ts"))
     graft.operators.AsOfJoin.asOfInner(purchases, views, "user_id", "ats",
         Seq("v_ts", "v_value"))
       .select(col("user_id"), col("event_id"), col("p_ts"), col("v_ts"),

@@ -689,10 +689,20 @@ object TextQueries {
   private def t21: Q = (spark, dir) => {
     val toks = t(spark, dir, "documents")
       .select(col("doc_id"), explode(TF.tokens(lower(col("text")))).as("tok"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // One tokenize+shuffle pass: dl, the corpus stats, df, and the scoring
+    // join all derive from the per-(doc,tok) counts, which are ~an order of
+    // magnitude smaller than the raw token stream. Persisted because the
+    // plan reads tf four times (query-term selection, tf join, dl, stats);
+    // without the cache each branch re-tokenizes the whole corpus. Same
+    // integer operands as before: df = #docs containing tok = row count in
+    // tf; dl = token count per doc = SUM(tf) — the BM25 doubles and their
+    // fold order are untouched, so the oracle still matches bit-for-bit.
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .persist()
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
       .select(col("nd"), (col("tt").cast(DoubleType) / col("nd")).as("avgdl"))
-    val dfTab = toks.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val dfTab = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val stop = Seq("the", "a", "of", "and", "is", "to", "in")
     val q3 = dfTab.filter(!col("tok").isin(stop: _*))
       .orderBy(col("df").desc, col("tok")).limit(3).collect()
@@ -701,7 +711,6 @@ object TextQueries {
     val qdf = q3.zipWithIndex
       .map { case (r, i) => (r.getString(0), r.getLong(1), i + 1) }
       .toSeq.toDF("tok", "df", "r")
-    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val contrib = tf.join(broadcast(qdf), "tok").join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("r"),

@@ -59,7 +59,7 @@ class AsOfJoinSpec extends AnyFunSuite {
 
   test("matches the naive range-join formulation on events data") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
     val v = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id"), col("ts_us")).agg(max(col("value")).as("v_value"))
     val p = ev.filter(col("event_type") === "purchase")

@@ -62,9 +62,9 @@ class RangeJoinSpec extends AnyFunSuite {
   test("matches the naive range join on events data") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val v = ev.filter(col("event_type") === "view")
-      .select(col("user_id"), expr("ts DIV 1000").as("v_ts"))
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("v_ts"))
     val p = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), expr("ts DIV 1000").as("p_ts"))
+      .select(col("user_id").as("p_user"), unix_micros(col("ts").cast("timestamp")).as("p_ts"))
     val fast = RangeJoin.intervalJoin(v, p, "user_id", "p_user",
         "v_ts", "p_ts", 0L, 3600L * 1000 * 1000)
       .select("user_id", "v_ts", "p_ts")

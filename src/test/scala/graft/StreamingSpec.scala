@@ -221,7 +221,7 @@ class StreamingSpec extends AnyFunSuite {
     new EmbeddedLogStore(root).createStore("proj", "logs", 2)
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .selectExpr("CAST(user_id % 2 AS INT) AS __shard__",
-        "CAST(ts DIV 1000000000 AS INT) AS __time__", "event_type", "value")
+        "CAST(CAST(ts AS TIMESTAMP) AS INT) AS __time__", "event_type", "value")
     ev.write.format("graft-logstore").options(opts(root)).mode("append").save()
     val ckpt = Files.createTempDirectory("ckpt").toString
     val agg = spark.readStream.format("graft-logstore").options(opts(root))
