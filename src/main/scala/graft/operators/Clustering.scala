@@ -89,4 +89,25 @@ object Clustering {
     }
     assigned.map(t => (t._1, t._3)).toDF("vec_id", "cluster")
   }
+
+  /** Cluster purity against a ground-truth label column: per cluster,
+    * the member count, the majority label (ties toward the smallest
+    * label), its count, and purity = n_top / n_members — the SemDeDup /
+    * curation-eval readout for "did clustering recover the domains".
+    * Output: (cluster, n_members, top_label, n_top, purity).
+    *
+    * Scale: one shuffle on (cluster, label) with map-side combine, then
+    * a k-row aggregate; purity is an exact small-int division, portable
+    * across engines. */
+  def clusterPurity(assign: DataFrame, labeled: DataFrame): DataFrame = {
+    val cl = assign.join(labeled.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    cl.groupBy(col("cluster"))
+      .agg(sum(col("n")).as("n_members"),
+        max(struct(col("n").as("v"), (-col("label")).as("negl"))).as("m"))
+      .select(col("cluster"), col("n_members"),
+        (-col("m.negl")).as("top_label"), col("m.v").as("n_top"),
+        (col("m.v").cast("double") / col("n_members")).as("purity"))
+  }
 }

@@ -60,6 +60,34 @@ object Similarity {
       k)
   }
 
+  /** k-NN label vote: classify each query vector by the majority label
+    * of its k exact cosine neighbors (self excluded), ties broken toward
+    * the smallest label — the standard embedding-space eval for "does
+    * this representation separate the classes", and the classifier
+    * behind quality/domain filtering when labels mark curated subsets.
+    * Output: (query_id, true_label, pred_label, n_votes).
+    *
+    * Scale: the vote is a groupBy on (query_id, label) over |Q|×k rows
+    * and the winner a single max(struct) — no window funnel. Label
+    * lookups broadcast only if the optimizer deems the corpus small;
+    * at 100 TB both joins shuffle on their keys. */
+  def knnClassify(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val knn = bruteForceKnn(emb, queries, k)
+    val nl = emb.select(col("vec_id").as("neighbor_id"), col("label").as("nlabel"))
+    val votes = knn.join(nl, "neighbor_id")
+      .groupBy(col("query_id"), col("nlabel"))
+      .agg(count(lit(1)).as("nv"))
+    // lexicographic max over (votes, -label): most votes, then smallest label
+    val pred = votes.groupBy(col("query_id"))
+      .agg(max(struct(col("nv").as("v"), (-col("nlabel")).as("negl"))).as("m"))
+      .select(col("query_id"), (-col("m.negl")).as("pred_label"),
+        col("m.v").as("n_votes"))
+    pred.join(queries.select(col("vec_id").as("query_id"),
+        col("label").as("true_label")), "query_id")
+      .select(col("query_id"), col("true_label"), col("pred_label"),
+        col("n_votes"))
+  }
+
   /** IVF centroid training: a deterministic sample (lowest `nCells`
     * ids, L2-normalized) optionally refined by `iters` spherical-Lloyd
     * sweeps — assign every vector to its best centroid, recompute each

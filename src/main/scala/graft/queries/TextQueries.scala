@@ -66,6 +66,8 @@ object TextQueries {
     "s5_ann_sq" -> s5,
     "s6_ann_pq" -> s6,
     "s7_kmeans" -> s7,
+    "s8_knn_classify" -> s8,
+    "s9_cluster_purity" -> s9,
     "p1_prep_pipeline" -> p1,
     "p2_prep_pipeline_v2" -> p2,
     "p3_dedup_keeper" -> p3
@@ -759,6 +761,59 @@ object TextQueries {
   private def s7: Q = (spark, dir) =>
     Clustering.kmeansAssign(t(spark, dir, "embeddings"), k = 8, iters = 3)
 
+  /** k-NN label-vote classification (s8): the embedding-space eval for
+    * "does this representation separate the classes" — each of the first
+    * 64 vectors is classified by the majority label of its 8 exact
+    * cosine neighbors. Fully oracle-checked: the neighbor set replays
+    * s1's proven-portable cosine fold, the vote is integer counting. */
+  private def s8: Q = (spark, dir) => {
+    val e = t(spark, dir, "embeddings")
+    Similarity.knnClassify(e, e.filter(col("vec_id") < 64), k = 8)
+  }
+
+  /** Cluster purity vs ground-truth labels (s9): composes s7's bit-exact
+    * k-means assignment with the label column — the curation readout for
+    * "did clustering recover the domains". Purity is an exact small-int
+    * division, identical in both engines. */
+  private def s9: Q = (spark, dir) => {
+    val e = t(spark, dir, "embeddings")
+    Clustering.clusterPurity(Clustering.kmeansAssign(e, k = 8, iters = 3), e)
+  }
+
+  /** DuckDB replay of s7's full k-means iteration (WITH ... a3 =
+    * final (vec_id, cid) assignment); shared by the s7 and s9 oracles. */
+  private val kmeansCte =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1024)) AS v
+      |  FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |a1 AS (SELECT vec_id, v, cid FROM (
+        |  SELECT e.vec_id, e.v, c0.cid, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_dot_product(e.v, c0.cv) /
+        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c0.cv, c0.cv))) DESC,
+        |      c0.cid) AS rn
+        |  FROM e CROSS JOIN c0) x WHERE rn = 1),
+        |s1 AS (SELECT cid, list(sv ORDER BY i) AS cv FROM (
+        |  SELECT cid, i, SUM(v[i]) AS sv FROM a1, range(1, 65) t(i) GROUP BY cid, i) y
+        |  GROUP BY cid),
+        |c1 AS (SELECT c0.cid, COALESCE(s1.cv, c0.cv) AS cv FROM c0 LEFT JOIN s1 USING (cid)),
+        |a2 AS (SELECT vec_id, v, cid FROM (
+        |  SELECT e.vec_id, e.v, c1.cid, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_dot_product(e.v, c1.cv) /
+        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c1.cv, c1.cv))) DESC,
+        |      c1.cid) AS rn
+        |  FROM e CROSS JOIN c1) x WHERE rn = 1),
+        |s2 AS (SELECT cid, list(sv ORDER BY i) AS cv FROM (
+        |  SELECT cid, i, SUM(v[i]) AS sv FROM a2, range(1, 65) t(i) GROUP BY cid, i) y
+        |  GROUP BY cid),
+        |c2 AS (SELECT c1.cid, COALESCE(s2.cv, c1.cv) AS cv FROM c1 LEFT JOIN s2 USING (cid)),
+        |a3 AS (SELECT vec_id, cid FROM (
+        |  SELECT e.vec_id, c2.cid, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_dot_product(e.v, c2.cv) /
+        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c2.cv, c2.cv))) DESC,
+        |      c2.cid) AS rn
+        |  FROM e CROSS JOIN c2) x WHERE rn = 1)""".stripMargin
+
   // DuckDB CTE fragments shared by the jaccard-contract oracles.
   private val shingleCte =
     """WITH words AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
@@ -998,39 +1053,40 @@ object TextQueries {
         |  COALESCE(MAX(CASE WHEN r = 3 THEN c END), 0) AS score
         |FROM contrib GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
-    "s7_kmeans" ->
-      """WITH e AS (SELECT vec_id,
-        |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1024)) AS v
-        |  FROM embeddings),
-        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-        |a1 AS (SELECT vec_id, v, cid FROM (
-        |  SELECT e.vec_id, e.v, c0.cid, row_number() OVER (PARTITION BY e.vec_id
-        |    ORDER BY list_dot_product(e.v, c0.cv) /
-        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c0.cv, c0.cv))) DESC,
-        |      c0.cid) AS rn
-        |  FROM e CROSS JOIN c0) x WHERE rn = 1),
-        |s1 AS (SELECT cid, list(sv ORDER BY i) AS cv FROM (
-        |  SELECT cid, i, SUM(v[i]) AS sv FROM a1, range(1, 65) t(i) GROUP BY cid, i) y
-        |  GROUP BY cid),
-        |c1 AS (SELECT c0.cid, COALESCE(s1.cv, c0.cv) AS cv FROM c0 LEFT JOIN s1 USING (cid)),
-        |a2 AS (SELECT vec_id, v, cid FROM (
-        |  SELECT e.vec_id, e.v, c1.cid, row_number() OVER (PARTITION BY e.vec_id
-        |    ORDER BY list_dot_product(e.v, c1.cv) /
-        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c1.cv, c1.cv))) DESC,
-        |      c1.cid) AS rn
-        |  FROM e CROSS JOIN c1) x WHERE rn = 1),
-        |s2 AS (SELECT cid, list(sv ORDER BY i) AS cv FROM (
-        |  SELECT cid, i, SUM(v[i]) AS sv FROM a2, range(1, 65) t(i) GROUP BY cid, i) y
-        |  GROUP BY cid),
-        |c2 AS (SELECT c1.cid, COALESCE(s2.cv, c1.cv) AS cv FROM c1 LEFT JOIN s2 USING (cid)),
-        |a3 AS (SELECT vec_id, cid FROM (
-        |  SELECT e.vec_id, c2.cid, row_number() OVER (PARTITION BY e.vec_id
-        |    ORDER BY list_dot_product(e.v, c2.cv) /
-        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c2.cv, c2.cv))) DESC,
-        |      c2.cid) AS rn
-        |  FROM e CROSS JOIN c2) x WHERE rn = 1)
-        |SELECT vec_id, cid AS cluster FROM a3""".stripMargin,
-    "t20_hashed_features" ->
+    "s7_kmeans" -> (kmeansCte + "\nSELECT vec_id, cid AS cluster FROM a3"),
+    "s8_knn_classify" ->
+      """WITH knn AS (
+        | SELECT query_id, neighbor_id FROM (
+        |  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+        |   row_number() OVER (PARTITION BY q.qid ORDER BY
+        |     list_dot_product(q.qv, e.v) /
+        |     (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) DESC,
+        |     e.vec_id) AS rn
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e
+        |  JOIN (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |        FROM embeddings WHERE vec_id < 64) q ON e.vec_id <> q.qid) x
+        | WHERE rn <= 8),
+        |votes AS (SELECT k.query_id, l.label AS nlabel, COUNT(*) AS nv
+        |          FROM knn k JOIN embeddings l ON k.neighbor_id = l.vec_id
+        |          GROUP BY 1, 2),
+        |pred AS (SELECT query_id, nlabel, nv,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY nv DESC, nlabel) AS rn
+        |  FROM votes)
+        |SELECT p.query_id, q.label AS true_label, p.nlabel AS pred_label,
+        |  p.nv AS n_votes
+        |FROM pred p JOIN embeddings q ON p.query_id = q.vec_id
+        |WHERE p.rn = 1""".stripMargin,
+    "s9_cluster_purity" -> (kmeansCte + """,
+        |j AS (SELECT a3.cid AS cluster, l.label
+        |      FROM a3 JOIN embeddings l USING (vec_id)),
+        |g AS (SELECT cluster, label, COUNT(*) AS n FROM j GROUP BY 1, 2),
+        |p AS (SELECT cluster, label, n,
+        |    row_number() OVER (PARTITION BY cluster ORDER BY n DESC, label) AS rn,
+        |    SUM(n) OVER (PARTITION BY cluster) AS n_members FROM g)
+        |SELECT cluster, CAST(n_members AS BIGINT) AS n_members,
+        |  label AS top_label, CAST(n AS BIGINT) AS n_top,
+        |  CAST(n AS DOUBLE) / n_members AS purity
+        |FROM p WHERE rn = 1""".stripMargin),    "t20_hashed_features" ->
       """WITH toks AS (SELECT doc_id,
         |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
         |  FROM documents)

@@ -72,4 +72,33 @@ class ClusteringSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(two(0L) === 1L && two(1L) === 1L, two) // kept centroid re-attracts
   }
+
+  test("clusterPurity: counts, majority tie-break, exact ratio") {
+    val assign = Seq(
+      (0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), // cluster 0: labels 1,1,2,2 -> tie, pick 1
+      (4L, 1L), (5L, 1L), (6L, 1L) // cluster 1: labels 3,3,4 -> majority 3
+    ).toDF("vec_id", "cluster")
+    val labeled = Seq(
+      (0L, 1), (1L, 1), (2L, 2), (3L, 2),
+      (4L, 3), (5L, 3), (6L, 4)).toDF("vec_id", "label")
+    val got = Clustering.clusterPurity(assign, labeled)
+      .as[(Long, Long, Int, Long, Double)].collect().sortBy(_._1)
+    assert(got === Array(
+      (0L, 4L, 1, 2L, 0.5),
+      (1L, 3L, 3, 2L, 2.0 / 3.0)))
+  }
+
+  test("clusterPurity over kmeansAssign matches a local replay") {
+    val asg = Clustering.kmeansAssign(emb, k = 4, iters = 2)
+    val got = Clustering.clusterPurity(asg, emb)
+      .as[(Long, Long, Int, Long, Double)].collect().sortBy(_._1)
+    val pairs = asg.join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .as[(Long, Long, Int)].collect()
+    val want = pairs.groupBy(_._2).toArray.sortBy(_._1).map { case (cid, members) =>
+      val byLabel = members.groupBy(_._3).map { case (l, xs) => (l, xs.length.toLong) }
+      val (topL, topN) = byLabel.toSeq.maxBy { case (l, n) => (n, -l) }
+      (cid, members.length.toLong, topL, topN, topN.toDouble / members.length)
+    }
+    assert(got === want)
+  }
 }

@@ -129,6 +129,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     ranks.foreach(r => assert(r.getSeq[Int](0) == Seq(1, 2, 3, 4, 5)))
   }
 
+  test("knn label vote: majority of the exact neighbor labels, ties to smallest label") {
+    import spark.implicits._
+    val q = emb.filter(col("vec_id") < 5)
+    val k = 7
+    val got = Similarity.knnClassify(emb, q, k)
+      .as[(Long, Int, Int, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    // replay the vote from the knn output + a label lookup
+    val labels = emb.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    val knn = Similarity.bruteForceKnn(emb, q, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect()
+    val want = knn.groupBy(_._1).map { case (qid, ns) =>
+      val votes = ns.map(n => labels(n._2)).groupBy(identity)
+        .map { case (l, xs) => (l, xs.length.toLong) }
+      val (pl, nv) = votes.toSeq.maxBy { case (l, n) => (n, -l) }
+      (qid, labels(qid), pl, nv)
+    }.toArray.sortBy(_._1)
+    assert(got === want)
+    got.foreach { case (_, _, _, nv) => assert(nv >= 1L && nv <= k.toLong) }
+  }
+
   test("lsh knn is a subset of the corpus with reasonable recall@k on its bucket") {
     val q = emb.filter(col("vec_id") < 8)
     val lsh = Similarity.lshKnn(emb, q, k = 4, bits = 4)
