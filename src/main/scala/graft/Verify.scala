@@ -18,8 +18,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects;
-      // read as epoch-nanos long (exact) and convert where needed.
+      // harmless no-op since the round-9 testdata regen moved every
+      // timestamp column to TIMESTAMP(MICROS); kept so a future regen
+      // back to nanos degrades to the old exact epoch-nanos long read
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

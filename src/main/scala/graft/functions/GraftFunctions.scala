@@ -35,6 +35,10 @@ object GraftFunctions {
     * [[graft.GraftExtensions]] path. */
   def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "rolling_hash" -> ((exprs: Seq[Expression]) => RollingHash(exprs.head)),
+    "dot_product" -> ((exprs: Seq[Expression]) => exprs match {
+      case Seq(a, b) => DotProduct(a, b)
+      case _ => throw new IllegalArgumentException("dot_product(a, b)")
+    }),
     "hll_build" -> ((exprs: Seq[Expression]) => HllSketchBuild(exprs.head)),
     "hll_merge" -> ((exprs: Seq[Expression]) => HllSketchMerge(exprs.head)),
     "hll_estimate" -> ((exprs: Seq[Expression]) => HllEstimate(exprs.head)),
