@@ -39,6 +39,8 @@ object GraftFunctions {
       case Seq(a, b) => DotProduct(a, b)
       case _ => throw new IllegalArgumentException("dot_product(a, b)")
     }),
+    "cosine_sim" -> asColumnFn("cosine_sim", 2)(cs =>
+      VectorFunctions.cosine(cs.head, cs(1))),
     "hll_build" -> ((exprs: Seq[Expression]) => HllSketchBuild(exprs.head)),
     "hll_merge" -> ((exprs: Seq[Expression]) => HllSketchMerge(exprs.head)),
     "hll_estimate" -> ((exprs: Seq[Expression]) => HllEstimate(exprs.head)),

@@ -70,6 +70,16 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(got(4L) === null)
   }
 
+  test("SQL surface: dot_product and cosine_sim registered") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c""".stripMargin)
+      .head()
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getDouble(1) === 1.0)
+  }
+
   test("float arrays widen exactly: dot(float, float) == dot over toDoubleVec") {
     val df = Seq((0.1f, 0.7f), (2.5f, -3.25f), (1e-30f, 1e30f))
       .toDF("x", "y")
