@@ -38,6 +38,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("s1: cosine scoring is the native expression, not interpreted HOFs") {
+    // aggregate(zip_with(...)) lambdas evaluate outside whole-stage
+    // codegen; the scoring projection must use DotProduct instead
+    val p = plan("s1_ann_cosine")
+    assert(p.contains("dotproduct") || p.contains("DotProduct"), p)
+    assert(!p.contains("aggregate(zip_with"), p)
+    assert(!p.contains("ArrayAggregate"), p)
+  }
+
   test("s1: candidates are pruned per partition before the rank window") {
     // a bare row_number window would funnel |Q|x|C| scored rows into
     // |Q| reducers; TopK.perKey's local prune must sit below the window
