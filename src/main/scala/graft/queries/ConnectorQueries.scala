@@ -125,6 +125,9 @@ object ConnectorQueries {
     * the hash. Boundary pinned by real data: an event EXACTLY gap
     * seconds after its predecessor MERGES (session_window merges
     * touching windows), so the islands break is strictly `> gap`. */
+  private val c5Ingested =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Map[String, String], Long)]
+
   private val c9Ingested =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Map[String, String]]
 
@@ -416,21 +419,26 @@ object ConnectorQueries {
     * boundaries. */
   private def c5: Q = (spark, dir) => {
     import spark.implicits._
-    val root = Files.createTempDirectory("graft-logstore-c5").toString
-    val store = new EmbeddedLogStore(root)
-    store.createStore("proj", "docs", 1)
-    val srcOpts = Map("store.root" -> root, "store.project" -> "proj",
-      "store.name" -> "docs")
-    val d = t(spark, dir, "documents").select(col("doc_id"), col("text"))
-    val salted = d.unionAll(d.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
-    val total = salted.count()
-    salted
-      .orderBy("doc_id").coalesce(1) // one sorted segment = arrival order
-      .select(lit(0).as("__shard__"),
-        (lit(1700000000L) + col("doc_id")).cast(IntegerType).as("__time__"),
-        col("doc_id"), col("text"))
-      .write.format("graft-logstore").options(srcOpts).mode("append").save()
+    // immutable, deterministic source store — one ingest per (session,
+    // sf dir), like c9's; each run still gets a fresh sink + checkpoint
+    val (srcOpts, total) = c5Ingested.getOrElseUpdate((spark, dir), {
+      val root = Files.createTempDirectory("graft-logstore-c5").toString
+      val store = new EmbeddedLogStore(root)
+      store.createStore("proj", "docs", 1)
+      val opts = Map("store.root" -> root, "store.project" -> "proj",
+        "store.name" -> "docs")
+      val d = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      val salted = d.unionAll(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val n = salted.count()
+      salted
+        .orderBy("doc_id").coalesce(1) // one sorted segment = arrival order
+        .select(lit(0).as("__shard__"),
+          (lit(1700000000L) + col("doc_id")).cast(IntegerType).as("__time__"),
+          col("doc_id"), col("text"))
+        .write.format("graft-logstore").options(opts).mode("append").save()
+      (opts, n)
+    })
 
     val dstRoot = Files.createTempDirectory("graft-logstore-c5out").toString
     new EmbeddedLogStore(dstRoot).createStore("proj", "verdicts", 1)
