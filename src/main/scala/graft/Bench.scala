@@ -47,12 +47,15 @@ object Bench {
     // (session, sf dir); that one-time store construction is warm-up,
     // not query time. Trigger it at the MEASURED scale before any
     // timer starts (c2/c4 read the same cached store).
-    SparkEntry.queries.get("c1_logstore_roundtrip").foreach { fn =>
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ingest warmup failed: ${e.getMessage}")
+    Seq("c1_logstore_roundtrip", "c5_stream_dedup", "c9_stream_sessions")
+      .foreach { name =>
+        SparkEntry.queries.get(name).foreach { fn =>
+          try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] ingest warmup $name failed: ${e.getMessage}")
+          }
+        }
       }
-    }
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (0 until reps).map { _ =>
