@@ -70,7 +70,8 @@ object TextQueries {
     "s9_cluster_purity" -> s9,
     "p1_prep_pipeline" -> p1,
     "p2_prep_pipeline_v2" -> p2,
-    "p3_dedup_keeper" -> p3
+    "p3_dedup_keeper" -> p3,
+    "p4_leakage_split" -> p4
   )
 
   /** Dedup with a keeper POLICY (p3): near-dup groups (d3 pairs → d9
@@ -95,6 +96,35 @@ object TextQueries {
         min(struct((-col("n_toks")).as("neg"), col("doc_id").as("id")))
           .getField("id").as("keeper_id"))
       .select(col("comp"), col("keeper_id"), col("n_members"), col("max_toks"))
+  }
+
+  /** Leakage-safe train/val/test split (p4): a near-dup pair straddling
+    * train and test silently leaks training data into eval, so the
+    * split must be decided per near-dup GROUP, not per document. Every
+    * doc resolves to a representative — its d9 component min if it is
+    * in a duplicate group, itself otherwise — and inherits the t7
+    * hash-split of the REPRESENTATIVE's text, co-assigning whole groups
+    * by construction. Output: (doc_id, rep_id, split).
+    *
+    * Scale: the components table holds only duplicate-group members (a
+    * sliver of the corpus) and broadcasts into the left join; the split
+    * lookup joins docs-sized tables once on rep_id. Composes d9 + t7,
+    * both individually oracle-proven; the oracle replays the exact
+    * composition. */
+  private def p4: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+    val comps = Dedup.duplicateComponents(
+        Dedup.minHashLshPairs(docs, jaccardThreshold))
+      .select(col("doc_id"), col("comp"))
+    val withRep = docs.select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("rep_id"))
+    val bucket = substring(TF.fingerprint(col("text")), 1, 2)
+    val repSplit = docs.select(col("doc_id").as("rep_id"),
+      when(bucket < "e6", "train").when(bucket < "f3", "val")
+        .otherwise("test").as("split"))
+    withRep.join(repSplit, "rep_id")
+      .select(col("doc_id"), col("rep_id"), col("split"))
   }
 
   /** The composed data-prep pipeline a training run actually executes:
@@ -780,6 +810,30 @@ object TextQueries {
     Clustering.clusterPurity(Clustering.kmeansAssign(e, k = 8, iters = 3), e)
   }
 
+  /** DuckDB replay of the d9 connected-components pipeline (WITH ... comp
+    * = (doc_id, component-min) over the exact-jaccard 0.8 pair graph);
+    * shared by the d9 and p4 oracles. */
+  private val componentsCte =
+    """WITH RECURSIVE words AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+      |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s FROM words),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS aid, b.doc_id AS bid, count(*) AS n
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |p AS (SELECT aid, bid FROM inter
+      |      JOIN sizes s1 ON aid = s1.doc_id JOIN sizes s2 ON bid = s2.doc_id
+      |      WHERE CAST(n AS DOUBLE) / (s1.sz + s2.sz - n) >= 0.8),
+      |edges AS (SELECT aid AS src, bid AS dst FROM p
+      |          UNION SELECT bid, aid FROM p),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |comp AS (SELECT src AS doc_id,
+      |           least(src, MIN(dst)) AS comp
+      |         FROM reach GROUP BY src)""".stripMargin
+
   /** DuckDB replay of s7's full k-means iteration (WITH ... a3 =
     * final (vec_id, cid) assignment); shared by the s7 and s9 oracles. */
   private val kmeansCte =
@@ -1398,29 +1452,22 @@ object TextQueries {
         | CAST(MAX(m.n_toks) AS BIGINT) AS max_toks
         |FROM m JOIN sel s ON m.comp = s.comp AND s.rn = 1
         |GROUP BY m.comp""".stripMargin,
-    "d9_dedup_groups" ->
-      """WITH RECURSIVE words AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
-        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s FROM words),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS aid, b.doc_id AS bid, count(*) AS n
-        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2),
-        |p AS (SELECT aid, bid FROM inter
-        |      JOIN sizes s1 ON aid = s1.doc_id JOIN sizes s2 ON bid = s2.doc_id
-        |      WHERE CAST(n AS DOUBLE) / (s1.sz + s2.sz - n) >= 0.8),
-        |edges AS (SELECT aid AS src, bid AS dst FROM p
-        |          UNION SELECT bid, aid FROM p),
-        |reach(src, dst) AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-        |comp AS (SELECT src AS doc_id,
-        |           least(src, MIN(dst)) AS comp
-        |         FROM reach GROUP BY src)
+    "d9_dedup_groups" -> (componentsCte +
+      """
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(comp AS BIGINT) AS comp,
         |       doc_id = comp AS is_keeper
-        |FROM comp""".stripMargin,
+        |FROM comp""".stripMargin),
+    "p4_leakage_split" -> (componentsCte + """,
+        |rep AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS rep_id
+        |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        |rsplit AS (SELECT doc_id AS rep_id,
+        |   CASE WHEN substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 2) < 'e6' THEN 'train'
+        |        WHEN substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 2) < 'f3' THEN 'val'
+        |        ELSE 'test' END AS split
+        |   FROM documents)
+        |SELECT CAST(r.doc_id AS BIGINT) AS doc_id, CAST(r.rep_id AS BIGINT) AS rep_id,
+        |       s.split
+        |FROM rep r JOIN rsplit s ON r.rep_id = s.rep_id""".stripMargin),
     "d4_dedup_simhash" -> shingleCte,
     "d7_dedup_simhash128" -> shingleCte,
     "d5_dedup_embedding" ->

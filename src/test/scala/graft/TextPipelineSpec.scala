@@ -193,6 +193,30 @@ class TextPipelineSpec extends AnyFunSuite {
       (10L, 10L, 2L, 10L)))// comp 10: tie at 10 tokens -> keeper 10
   }
 
+  test("p4 leakage-safe split: near-dup groups co-assigned, singletons keep t7's split") {
+    import spark.implicits._
+    val out = SparkEntry.queries("p4_leakage_split")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // total: one row per document
+    val nDocs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert(out.length.toLong === nDocs)
+    // leakage invariant: every rep's group has exactly one split
+    out.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.map(_._3).toSet.size === 1, s"rep $rep split across sets")
+    }
+    // singletons (rep == self) must agree with the plain t7 assignment
+    val t7 = SparkEntry.queries("t7_split_assign")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.filter { case (id, rep, _) => id == rep }.foreach { case (id, _, sp) =>
+      assert(sp === t7(id), s"doc $id")
+    }
+    // group members inherit the REPRESENTATIVE's split
+    out.filter { case (id, rep, _) => id != rep }.foreach { case (id, rep, sp) =>
+      assert(sp === t7(rep), s"doc $id rep $rep")
+    }
+  }
+
   test("t19 bigram mass: counts shared vs unique bigrams, 2-token floor") {
     import spark.implicits._
     // "a b" appears in docs 1 and 2 (cnt 2); "b c" only in doc 2 (cnt 1);
