@@ -88,6 +88,84 @@ object Similarity {
         col("n_votes"))
   }
 
+  /** Maximal-marginal-relevance selection: from each query's `poolK`
+    * exact top neighbors, greedily pick `k` that balance relevance to
+    * the query against redundancy with what is already picked —
+    * score(c) = λ·rel(c) − (1−λ)·max_{s∈S} cos(c, s); the first pick is
+    * pure relevance. The diverse-retrieval / eval-set-construction
+    * primitive (Carbonell & Goldstein 1998): plain top-k hands back k
+    * near-copies of the best hit, MMR spends the budget on coverage.
+    * Ties break toward the smaller neighbor id at every step.
+    * Output: (query_id, pick, neighbor_id, score) — pick in 1..k,
+    * score = rel for pick 1, the MMR score after.
+    *
+    * Scale: the greedy loop is inherently sequential in k but runs
+    * per-query over a poolK-bounded candidate set — a flatMapGroups
+    * whose group payload is ≤ poolK vectors; queries parallelize
+    * freely, nothing quadratic in the corpus. Every double op (cosine
+    * fold, λ-blend) is written in the same fixed order as the SQL
+    * oracle's unrolled steps, so selection replays exactly. */
+  def mmrSelect(emb: DataFrame, queries: DataFrame, poolK: Int, k: Int,
+      lam: Double): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val pool = bruteForceKnn(emb, queries, poolK)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    val vecs = emb.select(col("vec_id").as("neighbor_id"),
+      VF.toDoubleVec(col("embedding")).as("nv"))
+    pool.join(vecs, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("nv"))
+      .as[(Long, Long, Double, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        // deterministic candidate order: relevance desc, id asc
+        val cands = it.map { case (_, id, rel, v) => (id, rel, v.toArray) }
+          .toArray.sortBy { case (id, rel, _) => (-rel, id) }
+        def cos(a: Array[Double], b: Array[Double]): Double = {
+          var dab = 0.0; var da = 0.0; var db = 0.0; var i = 0
+          while (i < a.length) {
+            dab += a(i) * b(i); da += a(i) * a(i); db += b(i) * b(i); i += 1
+          }
+          dab / (math.sqrt(da) * math.sqrt(db))
+        }
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+        var pick = 1
+        while (pick <= k && remaining.nonEmpty) {
+          var bestIdx = 0
+          var bestScore = Double.NegativeInfinity
+          var bestId = Long.MaxValue
+          var i = 0
+          while (i < remaining.length) {
+            val (id, rel, v) = remaining(i)
+            val score =
+              if (selected.isEmpty) rel
+              else {
+                var maxSel = Double.NegativeInfinity
+                var j = 0
+                while (j < selected.length) {
+                  val s = cos(v, selected(j))
+                  if (s > maxSel) maxSel = s
+                  j += 1
+                }
+                lam * rel - (1.0 - lam) * maxSel
+              }
+            if (score > bestScore || (score == bestScore && id < bestId)) {
+              bestIdx = i; bestScore = score; bestId = id
+            }
+            i += 1
+          }
+          val (id, _, v) = remaining.remove(bestIdx)
+          selected += v
+          out += ((qid, pick, id, bestScore))
+          pick += 1
+        }
+        out.iterator
+      }
+      .toDF("query_id", "pick", "neighbor_id", "score")
+  }
+
   /** IVF centroid training: a deterministic sample (lowest `nCells`
     * ids, L2-normalized) optionally refined by `iters` spherical-Lloyd
     * sweeps — assign every vector to its best centroid, recompute each

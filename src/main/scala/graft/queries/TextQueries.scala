@@ -68,6 +68,7 @@ object TextQueries {
     "s7_kmeans" -> s7,
     "s8_knn_classify" -> s8,
     "s9_cluster_purity" -> s9,
+    "s10_mmr_select" -> s10,
     "p1_prep_pipeline" -> p1,
     "p2_prep_pipeline_v2" -> p2,
     "p3_dedup_keeper" -> p3,
@@ -801,6 +802,16 @@ object TextQueries {
     Similarity.knnClassify(e, e.filter(col("vec_id") < 64), k = 8)
   }
 
+  /** MMR diverse top-k (s10): each query's 4 picks from its 8-candidate
+    * exact pool, balancing relevance against redundancy (λ = 0.5) — the
+    * diverse-retrieval / eval-set-construction primitive. Greedy steps
+    * replay exactly in the oracle's unrolled CTEs (the s7 precedent). */
+  private def s10: Q = (spark, dir) => {
+    val e = t(spark, dir, "embeddings")
+    Similarity.mmrSelect(e, e.filter(col("vec_id") < 8),
+      poolK = 8, k = 4, lam = 0.5)
+  }
+
   /** Cluster purity vs ground-truth labels (s9): composes s7's bit-exact
     * k-means assignment with the label column — the curation readout for
     * "did clustering recover the domains". Purity is an exact small-int
@@ -1108,6 +1119,50 @@ object TextQueries {
         |FROM contrib GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "s7_kmeans" -> (kmeansCte + "\nSELECT vec_id, cid AS cluster FROM a3"),
+    "s10_mmr_select" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+        |scored AS (SELECT q.qid, e.vec_id AS nid, e.v AS nv,
+        |    list_dot_product(q.qv, e.v) /
+        |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS rel,
+        |    row_number() OVER (PARTITION BY q.qid ORDER BY
+        |      list_dot_product(q.qv, e.v) /
+        |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) DESC,
+        |      e.vec_id) AS rn
+        |  FROM e JOIN q ON e.vec_id <> q.qid),
+        |pool AS (SELECT qid, nid, nv, rel FROM scored WHERE rn <= 8),
+        |p1 AS (SELECT qid, nid, nv, rel FROM (
+        |    SELECT qid, nid, nv, rel,
+        |      row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS r
+        |    FROM pool) x WHERE r = 1),
+        |c2 AS (SELECT p.qid, p.nid, p.nv, p.rel,
+        |    0.5 * p.rel - 0.5 * (list_dot_product(p.nv, s1.nv) / (sqrt(list_dot_product(p.nv, p.nv)) * sqrt(list_dot_product(s1.nv, s1.nv)))) AS score
+        |  FROM pool p JOIN p1 s1 ON p.qid = s1.qid AND p.nid <> s1.nid),
+        |p2 AS (SELECT qid, nid, nv, score FROM (
+        |    SELECT qid, nid, nv, score,
+        |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS r
+        |    FROM c2) x WHERE r = 1),
+        |c3 AS (SELECT p.qid, p.nid, p.nv, p.rel,
+        |    0.5 * p.rel - 0.5 * greatest(list_dot_product(p.nv, s1.nv) / (sqrt(list_dot_product(p.nv, p.nv)) * sqrt(list_dot_product(s1.nv, s1.nv))), list_dot_product(p.nv, s2.nv) / (sqrt(list_dot_product(p.nv, p.nv)) * sqrt(list_dot_product(s2.nv, s2.nv)))) AS score
+        |  FROM pool p JOIN p1 s1 ON p.qid = s1.qid JOIN p2 s2 ON p.qid = s2.qid
+        |  WHERE p.nid <> s1.nid AND p.nid <> s2.nid),
+        |p3 AS (SELECT qid, nid, nv, score FROM (
+        |    SELECT qid, nid, nv, score,
+        |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS r
+        |    FROM c3) x WHERE r = 1),
+        |c4 AS (SELECT p.qid, p.nid, p.rel,
+        |    0.5 * p.rel - 0.5 * greatest(list_dot_product(p.nv, s1.nv) / (sqrt(list_dot_product(p.nv, p.nv)) * sqrt(list_dot_product(s1.nv, s1.nv))), list_dot_product(p.nv, s2.nv) / (sqrt(list_dot_product(p.nv, p.nv)) * sqrt(list_dot_product(s2.nv, s2.nv))), list_dot_product(p.nv, s3.nv) / (sqrt(list_dot_product(p.nv, p.nv)) * sqrt(list_dot_product(s3.nv, s3.nv)))) AS score
+        |  FROM pool p JOIN p1 s1 ON p.qid = s1.qid JOIN p2 s2 ON p.qid = s2.qid
+        |  JOIN p3 s3 ON p.qid = s3.qid
+        |  WHERE p.nid <> s1.nid AND p.nid <> s2.nid AND p.nid <> s3.nid),
+        |p4 AS (SELECT qid, nid, score FROM (
+        |    SELECT qid, nid, score,
+        |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS r
+        |    FROM c4) x WHERE r = 1)
+        |SELECT qid AS query_id, 1 AS pick, nid AS neighbor_id, rel AS score FROM p1
+        |UNION ALL SELECT qid, 2, nid, score FROM p2
+        |UNION ALL SELECT qid, 3, nid, score FROM p3
+        |UNION ALL SELECT qid, 4, nid, score FROM p4""".stripMargin,
     "s8_knn_classify" ->
       """WITH knn AS (
         | SELECT query_id, neighbor_id FROM (

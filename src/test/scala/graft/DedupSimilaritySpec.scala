@@ -152,6 +152,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     got.foreach { case (_, _, _, nv) => assert(nv >= 1L && nv <= k.toLong) }
   }
 
+  test("mmr: pick 1 is the knn top hit; a planted near-copy of it is deferred") {
+    import spark.implicits._
+    // query q points along (1,0); a and a2 are near-identical high-relevance
+    // hits; b is less relevant but diverse. Plain top-2 = {a, a2}; MMR with
+    // lambda 0.5 must pick {a, b}.
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),   // the query
+      (1L, Array(0.99f, 0.14f, 0.0f), 0), // a
+      (2L, Array(0.99f, 0.141f, 0.0f), 0),// a2: near-copy of a
+      (3L, Array(0.7f, 0.0f, 0.71f), 0)   // b: diverse
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.mmrSelect(rows, rows.filter(col("vec_id") === 0L),
+        poolK = 3, k = 2, lam = 0.5)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    assert(got.map(r => (r._2, r._3)).toSeq === Seq((1, 1L), (2, 3L)))
+    // pick 1 equals the brute-force rank-1 neighbor
+    val top1 = Similarity.bruteForceKnn(rows, rows.filter(col("vec_id") === 0L), 1)
+      .select(col("neighbor_id")).as[Long].head()
+    assert(got.head._3 === top1)
+    // on real data: picks are distinct and pick 1 matches knn rank 1
+    val e = emb
+    val mmr = Similarity.mmrSelect(e, e.filter(col("vec_id") < 4), 8, 4, 0.5)
+      .as[(Long, Int, Long, Double)].collect()
+    mmr.groupBy(_._1).foreach { case (q, picks) =>
+      assert(picks.map(_._3).distinct.length === picks.length, s"q=$q")
+      assert(picks.length === 4, s"q=$q")
+    }
+    val rank1 = Similarity.bruteForceKnn(e, e.filter(col("vec_id") < 4), 1)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toMap
+    mmr.filter(_._2 == 1).foreach { case (q, _, n, _) =>
+      assert(n === rank1(q), s"q=$q")
+    }
+  }
+
   test("lsh knn is a subset of the corpus with reasonable recall@k on its bucket") {
     val q = emb.filter(col("vec_id") < 8)
     val lsh = Similarity.lshKnn(emb, q, k = 4, bits = 4)
