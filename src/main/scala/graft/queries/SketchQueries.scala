@@ -28,7 +28,8 @@ object SketchQueries {
   def queries: Map[String, Q] = Map(
     "k1_sketch_rollup" -> k1,
     "k2_freq_sketch" -> k2,
-    "k3_hll_users" -> k3)
+    "k3_hll_users" -> k3,
+    "k4_heavy_hitters" -> k4)
 
   /** Count-min frequency rollup (k2): per-source partial CMS sketches of
     * the token stream (level 1; persisted per partition in production),
@@ -54,6 +55,28 @@ object SketchQueries {
   }
 
   private val K2Probes = Seq("the", "data", "spark", "join", "zzz_absent")
+
+  /** CMS-guided heavy hitters with exact verify (k4): the one-pass
+    * frequent-item pattern at 100 TB — build ONE mergeable count-min
+    * sketch over the token stream (a driver-held binary, like d11's
+    * Bloom and the IVF centroids), broadcast it back as a scan-side
+    * probe, and shuffle ONLY the rows whose estimated frequency clears
+    * the threshold into the exact count. CMS never undercounts, so the
+    * candidate set is a superset of the true heavy set and the exact
+    * post-filter restores equality — which is exactly why the oracle
+    * is plain `GROUP BY tok HAVING count >= T` with no sketch replay
+    * needed: the operator is approximate in COST, exact in RESULT. */
+  private def k4: Q = (spark, dir) => {
+    import graft.functions.{TextFunctions => TF}
+    val thr = 900L
+    val toks = t(spark, dir, "documents")
+      .select(explode(TF.tokens(lower(col("text")))).as("tok"))
+    val sk = toks.agg(cms_build(Fnv64.fnv64(col("tok"))).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    toks.filter(cms_query(lit(sk), Fnv64.fnv64(col("tok"))) >= thr)
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= thr)
+  }
 
   /** HLL distinct-user rollup (k3): per-(event_type, user-slice) HLL
     * registers (level 1), register-max merged per event_type (level 2),
@@ -172,5 +195,10 @@ object SketchQueries {
 
   def oracles: Map[String, String] = Map(
     "k2_freq_sketch" -> k2OracleSql,
-    "k3_hll_users" -> k3OracleSql)
+    "k3_hll_users" -> k3OracleSql,
+    "k4_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |              FROM documents)
+        |SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+        |HAVING COUNT(*) >= 900""".stripMargin)
 }

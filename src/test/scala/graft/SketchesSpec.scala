@@ -215,6 +215,26 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("k4 heavy hitters: CMS candidates are a superset, exact filter restores equality") {
+    val out = SparkEntry.queries("k4_heavy_hitters")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(graft.functions.TextFunctions.tokens(
+        lower(col("text")))).as("tok"))
+    val truth = toks.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).filter(_._2 >= 900L).toMap
+    assert(out === truth)
+    // the probe itself never drops a true heavy (CMS overcounts only)
+    val sk = toks.agg(cms_build(graft.functions.Fnv64.fnv64(col("tok"))))
+      .head().getAs[Array[Byte]](0)
+    val skDf = spark.range(1).select(lit(sk).as("sk"))
+    truth.keySet.foreach { t =>
+      val est = skDf.select(cms_query(col("sk"),
+        lit(graft.functions.Fnv64.hashBytes(t.getBytes("UTF-8"))))).head().getLong(0)
+      assert(est >= truth(t), s"$t: est $est < exact ${truth(t)}")
+    }
+  }
+
   test("cms merge of per-source sketches is BYTE-equal to the global build") {
     val toks = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("source"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
