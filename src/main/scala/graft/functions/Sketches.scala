@@ -449,6 +449,24 @@ object CmsOps {
     est
   }
 
+  /** Probe the SERIALIZED sketch in place: Depth positional 8-byte reads
+    * instead of materializing the 64 KiB counter table — CmsQuery runs
+    * once per SCANNED ROW when the sketch is a broadcast literal (the k4
+    * heavy-hitter probe), where a per-row deserialize was the entire
+    * query cost (measured 3.3 s -> the probe pass itself at sf0.1). */
+  def queryBytes(bytes: Array[Byte], h: Long): Long = {
+    require(bytes.length == Depth * Width * 8, s"not a ${Depth}x$Width CMS")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var est = Long.MaxValue
+    var d = 0
+    while (d < Depth) {
+      val c = buf.getLong((d * Width + indexOf(h, d)) * 8)
+      if (c < est) est = c
+      d += 1
+    }
+    est
+  }
+
   def mergeInto(into: Array[Long], from: Array[Long]): Unit = {
     require(from.length == Depth * Width, s"not a ${Depth}x$Width CMS")
     var i = 0
@@ -527,7 +545,7 @@ case class CmsQuery(left: Expression, right: Expression)
     with CodegenFallback {
   override def dataType: DataType = LongType
   override def nullSafeEval(sk: Any, item: Any): Any =
-    CmsOps.query(CmsOps.deserialize(sk.asInstanceOf[Array[Byte]]),
+    CmsOps.queryBytes(sk.asInstanceOf[Array[Byte]],
       XxHash64Function.hash(item, right.dataType, 42L))
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): CmsQuery = copy(left = l, right = r)
