@@ -24,9 +24,12 @@ import org.apache.spark.sql.types._
   * element, or a length mismatch yields null (zip_with pads the shorter
   * side with null, which poisons the sum).
   *
-  * Accepts array<double> and array<float> on either side independently;
-  * float elements are widened exactly, so dot(float_vec, double_vec)
-  * equals dot over `toDoubleVec` of both.
+  * Accepts any non-decimal numeric array element type on either side
+  * independently (double, float, long, int, short, byte); every element
+  * is widened exactly to double before the multiply, so
+  * dot(int_vec, double_vec) equals dot over `toDoubleVec` of both —
+  * matching the implicit numeric coercion the replaced
+  * aggregate(zip_with(...)) formulation gave SQL callers.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -35,8 +38,7 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullable: Boolean = true
 
   private def elemType(e: Expression): Option[DataType] = e.dataType match {
-    case ArrayType(DoubleType, _) => Some(DoubleType)
-    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(t: NumericType, _) if !t.isInstanceOf[DecimalType] => Some(t)
     case _ => None
   }
 
@@ -45,13 +47,24 @@ case class DotProduct(left: Expression, right: Expression)
       TypeCheckResult.TypeCheckSuccess
     else
       TypeCheckResult.TypeCheckFailure(
-        s"dot_product needs array<double>/array<float> arguments, got " +
+        s"dot_product needs arrays of non-decimal numeric elements, got " +
           s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
 
   // resolved only after analysis; lazy so construction over unresolved
-  // children (the Bridge wrapper) is safe
-  private lazy val lf = elemType(left).contains(FloatType)
-  private lazy val rf = elemType(right).contains(FloatType)
+  // children (the Bridge wrapper) is safe. One branchless accessor per
+  // side, bound once — the per-row loop stays monomorphic.
+  private def accessor(e: Expression): (ArrayData, Int) => Double =
+    elemType(e).get match {
+      case DoubleType => (arr, i) => arr.getDouble(i)
+      case FloatType => (arr, i) => arr.getFloat(i).toDouble
+      case LongType => (arr, i) => arr.getLong(i).toDouble
+      case IntegerType => (arr, i) => arr.getInt(i).toDouble
+      case ShortType => (arr, i) => arr.getShort(i).toDouble
+      case ByteType => (arr, i) => arr.getByte(i).toDouble
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+  private lazy val lGet = accessor(left)
+  private lazy val rGet = accessor(right)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -62,9 +75,7 @@ case class DotProduct(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
-      acc += xv * yv
+      acc += lGet(x, i) * rGet(y, i)
       i += 1
     }
     acc
@@ -75,9 +86,15 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
-      def get(v: String, e: Expression) =
-        if (elemType(e).contains(FloatType)) s"(double) $v.getFloat($i)"
-        else s"$v.getDouble($i)"
+      def get(v: String, e: Expression) = elemType(e).get match {
+        case DoubleType => s"$v.getDouble($i)"
+        case FloatType => s"(double) $v.getFloat($i)"
+        case LongType => s"(double) $v.getLong($i)"
+        case IntegerType => s"(double) $v.getInt($i)"
+        case ShortType => s"(double) $v.getShort($i)"
+        case ByteType => s"(double) $v.getByte($i)"
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {

@@ -121,12 +121,20 @@ object Similarity {
         // deterministic candidate order: relevance desc, id asc
         val cands = it.map { case (_, id, rel, v) => (id, rel, v.toArray) }
           .toArray.sortBy { case (id, rel, _) => (-rel, id) }
+        // Zero-norm guard: cosine against a zero vector is 0/0 = NaN,
+        // which the `score > bestScore` comparison silently never picks
+        // while a SQL ORDER BY would sort it first — a latent oracle
+        // divergence. Pinning cos to 0.0 on a zero norm product makes
+        // the degenerate case deterministic and engine-independent
+        // (a zero vector is "orthogonal to everything": no diversity
+        // penalty, and its rel score upstream is likewise guarded).
         def cos(a: Array[Double], b: Array[Double]): Double = {
           var dab = 0.0; var da = 0.0; var db = 0.0; var i = 0
           while (i < a.length) {
             dab += a(i) * b(i); da += a(i) * a(i); db += b(i) * b(i); i += 1
           }
-          dab / (math.sqrt(da) * math.sqrt(db))
+          val den = math.sqrt(da) * math.sqrt(db)
+          if (den == 0.0) 0.0 else dab / den
         }
         val selected = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
         val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)

@@ -18,6 +18,34 @@ object ConnectorQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Every c-query backs its embedded store / checkpoint with a fresh
+    * temp directory; the shared c5Ingested/c9Ingested source stores
+    * additionally live for the whole session by design (immutable,
+    * one ingest per sf dir). A single JVM shutdown hook deletes them
+    * all best-effort so a long-lived session reusing many sf dirs
+    * doesn't leave unbounded /tmp litter behind. */
+  private val tempRoots =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  private lazy val cleanupHookInstalled: Unit = {
+    sys.addShutdownHook {
+      tempRoots.forEach { root =>
+        try {
+          Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
+        } catch { case _: Exception => () }
+      }
+    }
+    ()
+  }
+
+  private def tempDir(prefix: String): String = {
+    cleanupHookInstalled
+    val p = Files.createTempDirectory(prefix)
+    tempRoots.add(p)
+    p.toString
+  }
+
   def queries: Map[String, Q] = Map(
     "c1_logstore_roundtrip" -> c1,
     "c2_logstore_json_value" -> c2,
@@ -42,7 +70,7 @@ object ConnectorQueries {
     * only because nothing changed). */
   private def c11: Q = (spark, dir) => {
     val cutoff = 1705363200 // 2024-01-16 00:00:00 UTC, mid-corpus
-    val root = Files.createTempDirectory("graft-logstore-c11").toString
+    val root = tempDir("graft-logstore-c11")
     val store = new EmbeddedLogStore(root)
     store.createStore("proj", "ret", 2)
     val opts = Map("store.root" -> root, "store.project" -> "proj",
@@ -79,7 +107,7 @@ object ConnectorQueries {
     * by the rewrite breaks it (ordinal/order stability is pinned by
     * StoreCompactionSpec). */
   private def c10: Q = (spark, dir) => {
-    val root = Files.createTempDirectory("graft-logstore-c10").toString
+    val root = tempDir("graft-logstore-c10")
     val store = new EmbeddedLogStore(root)
     store.createStore("proj", "opt", 2)
     val opts = Map("store.root" -> root, "store.project" -> "proj",
@@ -137,7 +165,7 @@ object ConnectorQueries {
     // per (session, sf dir) — one ingest, like c1/c2/c3's shared store;
     // each run still gets a fresh sink + checkpoint (streaming state)
     val srcOpts = c9Ingested.getOrElseUpdate((spark, dir), {
-      val root = Files.createTempDirectory("graft-logstore-c9").toString
+      val root = tempDir("graft-logstore-c9")
       new EmbeddedLogStore(root).createStore("proj", "sess", 2)
       val opts = Map("store.root" -> root, "store.project" -> "proj",
         "store.name" -> "sess")
@@ -155,11 +183,11 @@ object ConnectorQueries {
         .write.format("graft-logstore").options(opts).mode("append").save()
       opts
     })
-    val dstRoot = Files.createTempDirectory("graft-logstore-c9out").toString
+    val dstRoot = tempDir("graft-logstore-c9out")
     new EmbeddedLogStore(dstRoot).createStore("proj", "sessions", 1)
     val dstOpts = Map("store.root" -> dstRoot, "store.project" -> "proj",
       "store.name" -> "sessions")
-    val ckpt = Files.createTempDirectory("graft-c9-ckpt").toString
+    val ckpt = tempDir("graft-c9-ckpt")
     val q = spark.readStream.format("graft-logstore").options(srcOpts)
       .option("maxoffsetspertrigger", "1000000")
       .schema("user_id LONG, event_type STRING, value DOUBLE, __time__ TIMESTAMP")
@@ -193,7 +221,7 @@ object ConnectorQueries {
     * replayable forever (both bounds are manifest-pinned, immune to
     * concurrent appends). Oracle = the second commit's aggregate. */
   private def c8: Q = (spark, dir) => {
-    val root = Files.createTempDirectory("graft-logstore-c8").toString
+    val root = tempDir("graft-logstore-c8")
     val store = new EmbeddedLogStore(root)
     store.createStore("proj", "inc", 2)
     val opts = Map("store.root" -> root, "store.project" -> "proj",
@@ -236,11 +264,11 @@ object ConnectorQueries {
     val srcOpts = ingest(spark, dir, 2)
     val dim = t(spark, dir, "nation")
       .select(col("n_nationkey").cast(LongType).as("n_nationkey"), col("n_name"))
-    val dstRoot = Files.createTempDirectory("graft-logstore-c7").toString
+    val dstRoot = tempDir("graft-logstore-c7")
     new EmbeddedLogStore(dstRoot).createStore("proj", "enriched", 1)
     val dstOpts = Map("store.root" -> dstRoot, "store.project" -> "proj",
       "store.name" -> "enriched")
-    val ckpt = Files.createTempDirectory("graft-c7-ckpt").toString
+    val ckpt = tempDir("graft-c7-ckpt")
     val q = spark.readStream.format("graft-logstore").options(srcOpts)
       .option("maxoffsetspertrigger", "1000000")
       .schema("user_id LONG, event_type STRING, value DOUBLE").load()
@@ -270,7 +298,7 @@ object ConnectorQueries {
 
   private def ingest(spark: SparkSession, dir: String, shards: Int): Map[String, String] =
     ingested.getOrElseUpdate((spark, dir), {
-      val root = Files.createTempDirectory("graft-logstore").toString
+      val root = tempDir("graft-logstore")
       new EmbeddedLogStore(root).createStore("proj", "events", shards)
       val opts = Map("store.root" -> root, "store.project" -> "proj",
         "store.name" -> "events")
@@ -331,11 +359,11 @@ object ConnectorQueries {
     * answer over the original parquet. */
   private def c3: Q = (spark, dir) => {
     val srcOpts = ingest(spark, dir, 2)
-    val dstRoot = Files.createTempDirectory("graft-logstore-c3").toString
+    val dstRoot = tempDir("graft-logstore-c3")
     new EmbeddedLogStore(dstRoot).createStore("proj", "hourly", 1)
     val dstOpts = Map("store.root" -> dstRoot, "store.project" -> "proj",
       "store.name" -> "hourly")
-    val ckpt = Files.createTempDirectory("graft-c3-ckpt").toString
+    val ckpt = tempDir("graft-c3-ckpt")
     val hourly = spark.readStream.format("graft-logstore").options(srcOpts)
       // admission budget sized to drain the backlog in one trigger at
       // bench scale; pacing across many triggers is covered by
@@ -366,7 +394,7 @@ object ConnectorQueries {
     * the batch answer over the whole parquet table — missing parent
     * drain, skipped children, or double-reads all break the hash. */
   private def c4: Q = (spark, dir) => {
-    val root = Files.createTempDirectory("graft-logstore-c4").toString
+    val root = tempDir("graft-logstore-c4")
     val store = new EmbeddedLogStore(root)
     store.createStore("proj", "events", 2)
     val srcOpts = Map("store.root" -> root, "store.project" -> "proj",
@@ -382,11 +410,11 @@ object ConnectorQueries {
     store.splitShard("proj", "events", 0) // -> {2,3}; 0 readonly
     write(ev.filter(col("event_id") % 2 === 1), (col("user_id") % 3) + 1)
 
-    val dstRoot = Files.createTempDirectory("graft-logstore-c4out").toString
+    val dstRoot = tempDir("graft-logstore-c4out")
     new EmbeddedLogStore(dstRoot).createStore("proj", "agg", 1)
     val dstOpts = Map("store.root" -> dstRoot, "store.project" -> "proj",
       "store.name" -> "agg")
-    val ckpt = Files.createTempDirectory("graft-c4-ckpt").toString
+    val ckpt = tempDir("graft-c4-ckpt")
     val q = spark.readStream.format("graft-logstore").options(srcOpts)
       .option("maxoffsetspertrigger", "1000000")
       .schema("event_id LONG, event_type STRING, value DOUBLE").load()
@@ -422,7 +450,7 @@ object ConnectorQueries {
     // immutable, deterministic source store — one ingest per (session,
     // sf dir), like c9's; each run still gets a fresh sink + checkpoint
     val (srcOpts, total) = c5Ingested.getOrElseUpdate((spark, dir), {
-      val root = Files.createTempDirectory("graft-logstore-c5").toString
+      val root = tempDir("graft-logstore-c5")
       val store = new EmbeddedLogStore(root)
       store.createStore("proj", "docs", 1)
       val opts = Map("store.root" -> root, "store.project" -> "proj",
@@ -440,11 +468,11 @@ object ConnectorQueries {
       (opts, n)
     })
 
-    val dstRoot = Files.createTempDirectory("graft-logstore-c5out").toString
+    val dstRoot = tempDir("graft-logstore-c5out")
     new EmbeddedLogStore(dstRoot).createStore("proj", "verdicts", 1)
     val dstOpts = Map("store.root" -> dstRoot, "store.project" -> "proj",
       "store.name" -> "verdicts")
-    val ckpt = Files.createTempDirectory("graft-c5-ckpt").toString
+    val ckpt = tempDir("graft-c5-ckpt")
     // isolated session: the RocksDB provider conf must not leak into
     // (or race with) other streams on the shared session
     val s2 = spark.newSession()
@@ -478,7 +506,7 @@ object ConnectorQueries {
     * the hash. The reproducible-training-run primitive: pin the data
     * version, not the wall clock. */
   private def c6: Q = (spark, dir) => {
-    val root = Files.createTempDirectory("graft-logstore-c6").toString
+    val root = tempDir("graft-logstore-c6")
     val store = new EmbeddedLogStore(root)
     store.createStore("proj", "tt", 2)
     val opts = Map("store.root" -> root, "store.project" -> "proj",

@@ -196,12 +196,13 @@ object Relational {
     * (plan-guarded). The max broadcasts back; decimal equality is
     * exact, so ties surface instead of being broken arbitrarily. */
   private def q23: Q = (spark, dir) => {
-    val rev = t(spark, dir, "lineitem")
-      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast(TimestampType))
-      .filter(col("l_shipdate") < lit("1997-04-01 00:00:00").cast(TimestampType))
-      .groupBy(col("l_suppkey"))
-      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("rev"))
-      .persist()
+    // CachePool bounds the pinned copies to one across bench reps.
+    val rev = CachePool.persistLatest("q23.rev",
+      t(spark, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast(TimestampType))
+        .filter(col("l_shipdate") < lit("1997-04-01 00:00:00").cast(TimestampType))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("rev")))
     val maxRev = rev.agg(max(col("rev")).as("maxrev"))
     rev.crossJoin(broadcast(maxRev))
       .filter(col("rev") === col("maxrev"))

@@ -182,12 +182,13 @@ object TextQueries {
     // epoch table and the mixed stream, and without the persist each
     // branch — including the maxN action below — would re-run the whole
     // shingle decontamination (the expensive subtree) from scratch.
-    val survivors = d.select(col("doc_id"), col("lang"),
-        size(TF.tokens(lower(col("text")))).cast(LongType).as("n_tokens"),
-        TF.fingerprint(col("text")).as("fp"))
-      .join(contaminated.withColumnRenamed("doc_id", "cid"),
-        col("doc_id") === col("cid"), "left_anti")
-      .persist()
+    // CachePool bounds the pinned copies to one across bench reps.
+    val survivors = CachePool.persistLatest("t16.survivors",
+      d.select(col("doc_id"), col("lang"),
+          size(TF.tokens(lower(col("text")))).cast(LongType).as("n_tokens"),
+          TF.fingerprint(col("text")).as("fp"))
+        .join(contaminated.withColumnRenamed("doc_id", "cid"),
+          col("doc_id") === col("cid"), "left_anti"))
     // stage 2: epoch upsampling of low-resource languages (over survivors)
     val counts = survivors.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
     val maxN = counts.agg(max(col("n_lang"))).head().getLong(0)
@@ -730,8 +731,9 @@ object TextQueries {
     // integer operands as before: df = #docs containing tok = row count in
     // tf; dl = token count per doc = SUM(tf) — the BM25 doubles and their
     // fold order are untouched, so the oracle still matches bit-for-bit.
-    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .persist()
+    // CachePool bounds the pinned copies to one across bench reps.
+    val tf = CachePool.persistLatest("t21.tf",
+      toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tt"))
       .select(col("nd"), (col("tt").cast(DoubleType) / col("nd")).as("avgdl"))

@@ -94,4 +94,14 @@ class VectorFunctionsSpec extends AnyFunSuite {
         java.lang.Double.doubleToRawLongBits(w))
     }
   }
+
+  test("integer arrays widen: SQL dot_product over array<int>/array<bigint>") {
+    // the aggregate(zip_with(...)) formulation this expression replaced
+    // coerced any numeric array; pin that SQL callers keep that contract
+    val r = spark.sql(
+      "SELECT dot_product(array(1, 2, 3), array(4, 5, 6)) AS d, " +
+        "dot_product(array(1L, 2L), array(0.5D, 0.25D)) AS m").head()
+    assert(r.getDouble(0) === 32.0)
+    assert(r.getDouble(1) === 1.0)
+  }
 }
