@@ -57,14 +57,28 @@ object Bench {
         }
       }
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // Adaptive extension: a query whose fastest rep is still dropping
+    // >10% per rep hasn't reached steady state (JIT tiers, page cache,
+    // neighboring-query GC debt) — min-of-3 then reports a warm-up
+    // artifact as query cost (round 9 reported d10 at 1.94s whose
+    // quiet-box steady state is 0.82s). Keep repeating until the min
+    // stops improving materially, bounded by maxReps so a genuinely
+    // noisy query can't stall the run. Converged queries still stop at
+    // `reps`, so the floor cost is unchanged.
+    val maxReps = sys.env.getOrElse("SPARK_GRAFT_MAX_REPS", "7").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (0 until reps).map { _ =>
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var converged = false
+      while (times.length < reps || (!converged && times.length < maxReps)) {
+        val prevMin = if (times.isEmpty) Double.MaxValue else times.min
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        times += t
+        if (times.length >= reps) converged = t >= prevMin * 0.9
       }
       // per-rep trace to stderr: lets a surprising headline number be
       // attributed to a one-off spike vs a real regression after the fact
