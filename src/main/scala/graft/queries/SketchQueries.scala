@@ -29,7 +29,8 @@ object SketchQueries {
     "k1_sketch_rollup" -> k1,
     "k2_freq_sketch" -> k2,
     "k3_hll_users" -> k3,
-    "k4_heavy_hitters" -> k4)
+    "k4_heavy_hitters" -> k4,
+    "k5_kll_quantiles" -> k5)
 
   /** Count-min frequency rollup (k2): per-source partial CMS sketches of
     * the token stream (level 1; persisted per partition in production),
@@ -90,6 +91,59 @@ object SketchQueries {
       .agg(hll_build(col("user_id")).as("sk"))
       .groupBy(col("event_type"))
       .agg(hll_estimate(hll_merge(col("sk"))).as("approx_users"))
+  }
+
+  /** KLL quantile rollup in the compaction-free regime (k5): the same
+    * two-level build/merge pipeline as k1's quantile half — per-slice
+    * kll_build partials, kll_merge across slices, kll_quantile probes —
+    * but with sketch capacity (2^17) above the largest per-group
+    * cardinality at both the oracle (sf0.01, ~2k/group) and bench
+    * (sf0.1, ~20k/group) scales, so the compactor ladder never fires:
+    * every item sits in level 0 at weight 1 and the quantile rank
+    * arithmetic is exact. That makes the WHOLE kll_build → serialize →
+    * shuffle → kll_merge → kll_quantile path a deterministic function
+    * of the input multiset, replayable in SQL: quantile(q) over n
+    * unit-weight items returns the sorted value at 1-based rank
+    * min(n, max(1, floor(q*n))) (q*n in IEEE double both sides). k1
+    * keeps the realistic 256-capacity config where compaction makes the
+    * kept-item set arrival-order-dependent (rows-only + SketchesSpec
+    * error bounds); k5 pins build/merge/quantile end-to-end, the same
+    * isolate-the-deterministic-regime precedent as k3's HLL split. */
+  private def k5: Q = (spark, dir) => {
+    val cap = 1 << 17
+    val ev = t(spark, dir, "events")
+    ev.groupBy(col("event_type"), (col("user_id") % 16).as("slice"))
+      .agg(kll_build(col("value").cast("double"), cap).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(kll_merge(col("sk")).as("sk"))
+      .select(col("event_type"),
+        kll_quantile(col("sk"), 0.25).as("p25_value"),
+        kll_quantile(col("sk"), 0.5).as("p50_value"),
+        kll_quantile(col("sk"), 0.95).as("p95_value"))
+  }
+
+  /** Exact replay of k5: in the compaction-free regime the merged
+    * sketch holds every (event_type, value) at weight 1, so
+    * kll_quantile(q) is the value at 1-based rank
+    * min(n, max(1, floor(q*n))) of the per-group ascending sort —
+    * q*n computed double*double in both engines (the DOUBLE cast
+    * matters: DuckDB would otherwise read 0.95 as DECIMAL and round
+    * the 18.999... cases the other way). */
+  private def k5OracleSql: String = {
+    def pick(q: String, alias: String) =
+      s"""max(CASE WHEN rn = least(n, greatest(1,
+         |    CAST(floor(CAST($q AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT)))
+         |    THEN value END) AS $alias""".stripMargin
+    s"""WITH v AS (
+       |  SELECT event_type, value,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+       |         count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM events)
+       |SELECT event_type,
+       |  ${pick("0.25", "p25_value")},
+       |  ${pick("0.5", "p50_value")},
+       |  ${pick("0.95", "p95_value")}
+       |FROM v GROUP BY event_type""".stripMargin
   }
 
   private def k1: Q = (spark, dir) => {
@@ -196,6 +250,7 @@ object SketchQueries {
   def oracles: Map[String, String] = Map(
     "k2_freq_sketch" -> k2OracleSql,
     "k3_hll_users" -> k3OracleSql,
+    "k5_kll_quantiles" -> k5OracleSql,
     "k4_heavy_hitters" ->
       """WITH toks AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
         |              FROM documents)

@@ -18,6 +18,32 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(est - exact).toDouble / exact < 0.05, s"est $est exact $exact")
   }
 
+  test("compaction-free KLL (capacity > n) reproduces exact rank quantiles") {
+    // the k5 regime: every item sits in level 0 at weight 1, so
+    // quantile(q) must equal the sorted value at 1-based rank
+    // min(n, max(1, floor(q*n))) — exactly, not approximately
+    val cap = 1 << 17
+    val merged = events
+      .groupBy(col("event_type"), (col("user_id") % 16).as("slice"))
+      .agg(kll_build(col("value").cast("double"), cap).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(kll_merge(col("sk")).as("sk"))
+      .select(col("event_type"),
+        kll_quantile(col("sk"), 0.25).as("p25"),
+        kll_quantile(col("sk"), 0.95).as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val grouped = events.select(col("event_type"), col("value"))
+      .collect().groupBy(_.getString(0))
+      .map { case (et, rows) => et -> rows.map(_.getDouble(1)).sorted }
+    assert(merged.keySet === grouped.keySet)
+    for ((et, vals) <- grouped) {
+      val n = vals.length.toLong
+      def rank(q: Double) = ((q * n).toLong.max(1L).min(n) - 1).toInt
+      assert(merged(et)._1 === vals(rank(0.25)), s"$et p25")
+      assert(merged(et)._2 === vals(rank(0.95)), s"$et p95")
+    }
+  }
+
   test("hll merge of per-group sketches equals the global sketch exactly") {
     val global = events.agg(hll_estimate(hll_build(col("user_id")))).head().getLong(0)
     val merged = events.groupBy(col("event_type"))
