@@ -54,6 +54,7 @@ object TextQueries {
     "d12_ngram_decontaminate" -> d12,
     "t16_epoch_mix" -> t16,
     "t17_bpe_tokenize" -> t17,
+    "t23_bpe_small" -> t23,
     "t18_source_mix" -> t18,
     "t19_bigram_mass" -> t19,
     "t20_hashed_features" -> t20,
@@ -642,6 +643,24 @@ object TextQueries {
     * encoded in one zero-shuffle broadcast pass. Merge training is not
     * SQL-expressible → rows-only check; the algorithm itself is pinned
     * by hand-computed merge sequences in TextPipelineSpec. */
+  /** BPE at a bounded merge count (t23): the identical train + encode
+    * pipeline as t17 — same sample, same greedy tie-break, same
+    * rank-loop encode, same checksum — at 8 merges instead of 200,
+    * which brings the whole algorithm inside SQL reach: the 8 training
+    * rounds unroll as CTE layers (pair-count → arg-best → greedy
+    * left-to-right rewrite via run-parity windows) and the encode loop
+    * replays as a recursive CTE picking the lowest-rank leftmost pair
+    * per step, exactly [[graft.functions.Bpe.encodeWord]]'s semantics.
+    * A green hash here pins train AND encode end-to-end; t17 keeps the
+    * realistic 200-merge config with its checksum/spec coverage — the
+    * same isolate-the-replayable-regime precedent as k5/k3. */
+  private def t23: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    val merges = graft.functions.Bpe.trainMerges(d, numMerges = 8,
+      sampleDocs = 100)
+    graft.functions.Bpe.encode(d, merges)
+  }
+
   private def t17: Q = (spark, dir) => {
     val d = t(spark, dir, "documents")
     val merges = graft.functions.Bpe.trainMerges(d, numMerges = 200,
@@ -1053,8 +1072,99 @@ object TextQueries {
        |FROM fp JOIN hits ON fp.doc_id = hits.doc_id WHERE allhit = 0""".stripMargin
   }
 
+  /** Exact replay of t23 (8-merge BPE, train + encode).
+    *
+    * Training: 8 unrolled rounds over the doc_id<100 sample's word
+    * counts. Each round: adjacent-pair counts weighted by word count;
+    * best pair by (count DESC, a, b); greedy left-to-right rewrite.
+    * The rewrite's non-overlap rule ("a merged token never re-matches
+    * in the same pass" — joined=a||b can't equal a since b is
+    * non-empty) reduces to run-parity: consecutive match positions
+    * only occur when a=b, and the engine takes every other one from
+    * each run's start (islands via i − row_number, then (i − min i)
+    * % 2 = 0).
+    *
+    * Encode: a recursive CTE replaying encodeWord exactly — each step
+    * merges the pair with the lowest (rank, position) among the 8
+    * trained merges (ks packs rank*100+pos; NULL where no match;
+    * list_min + list_position pick the winner) until no ranked pair
+    * remains; final state per word = max_by(syms, step). Checksum =
+    * Σ n·(fnv64(sub) mod 2^16) over doc-ordered subword positions,
+    * fnv64 via the shared recursive-CTE replay. MATERIALIZED on every
+    * multiply-referenced CTE — each round reads v{k-1} three times and
+    * DuckDB CTEs are views, so the unmaterialized chain re-evaluates
+    * 3^8 times. */
+  private def t23OracleSql: String = {
+    val numMerges = 8
+    def roundCtes(k: Int): String = {
+      val p = k - 1
+      s"""q$k AS MATERIALIZED (SELECT word, c, syms, unnest(range(1, len(syms))) AS i FROM v$p),
+         |pc$k AS (SELECT syms[i] AS a, syms[i+1] AS b, SUM(c) AS cnt FROM q$k GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT a, b FROM pc$k ORDER BY cnt DESC, a, b LIMIT 1),
+         |mt$k AS (SELECT q.word, q.i FROM q$k q, b$k b WHERE q.syms[q.i] = b.a AND q.syms[q.i+1] = b.b),
+         |r$k AS (SELECT word, i, i - row_number() OVER (PARTITION BY word ORDER BY i) AS g FROM mt$k),
+         |tk$k AS (SELECT word, i FROM (SELECT word, i, min(i) OVER (PARTITION BY word, g) AS i0 FROM r$k) WHERE (i - i0) % 2 = 0),
+         |ps$k AS (SELECT word, c, syms, unnest(range(1, len(syms) + 1)) AS j FROM v$p),
+         |v$k AS MATERIALIZED (
+         |  SELECT p.word, min(p.c) AS c,
+         |         list(CASE WHEN t.i IS NOT NULL THEN b.a || b.b ELSE p.syms[p.j] END ORDER BY p.j) AS syms
+         |  FROM ps$k p
+         |  CROSS JOIN b$k b
+         |  LEFT JOIN tk$k t ON t.word = p.word AND t.i = p.j
+         |  LEFT JOIN tk$k t2 ON t2.word = p.word AND t2.i = p.j - 1
+         |  WHERE t2.i IS NULL
+         |  GROUP BY p.word)""".stripMargin
+    }
+    val rounds = (1 to numMerges).map(roundCtes).mkString(",\n")
+    val mgUnion = (1 to numMerges)
+      .map(k => s"SELECT a, b, $k AS r FROM b$k").mkString(" UNION ALL ")
+    val initSyms =
+      "list_append(list_transform(range(1, length(word) + 1), i -> word[i]), '</w>')"
+    s"""WITH RECURSIVE
+       |docs0 AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+       |wflat AS (SELECT unnest(w) AS word FROM docs0 WHERE doc_id < 100),
+       |wcnt AS (SELECT word, count(*) AS c FROM wflat GROUP BY 1),
+       |v0 AS MATERIALIZED (SELECT word, CAST(c AS BIGINT) AS c, $initSyms AS syms FROM wcnt),
+       |$rounds,
+       |mg AS ($mgUnion),
+       |mgl AS MATERIALIZED (SELECT list(struct_pack(a:=a, b:=b, r:=r)) AS ms FROM mg),
+       |dwf AS (SELECT unnest(w) AS word FROM docs0),
+       |dw AS (SELECT DISTINCT word FROM dwf),
+       |e0 AS (SELECT word, $initSyms AS syms FROM dw),
+       |enc AS (
+       |  SELECT word, syms, 0 AS step FROM e0
+       |  UNION ALL
+       |  SELECT word, syms[1:bi-1] || [syms[bi] || syms[bi+1]] || syms[bi+2:] AS syms, step + 1 AS step
+       |  FROM (
+       |    SELECT word, syms, step,
+       |      list_position(ks, list_min(list_filter(ks, x -> x IS NOT NULL))) AS bi
+       |    FROM (
+       |      SELECT e.word, e.syms, e.step,
+       |        list_transform(range(1, len(e.syms)),
+       |          i -> list_min(list_transform(
+       |                 list_filter(ms, m -> m.a = e.syms[i] AND m.b = e.syms[i+1]),
+       |                 m -> m.r)) * 100 + i) AS ks
+       |      FROM enc e CROSS JOIN mgl)
+       |  ) WHERE bi IS NOT NULL),
+       |fin AS MATERIALIZED (SELECT word, max_by(syms, step) AS syms FROM enc GROUP BY word),
+       |wpos AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS wi, w FROM docs0),
+       |wsub AS (SELECT p.doc_id, p.wi, f.syms FROM wpos p JOIN fin f ON f.word = p.w[p.wi]),
+       |sub1 AS (SELECT doc_id, wi, unnest(range(1, len(syms) + 1)) AS si, syms FROM wsub),
+       |flat AS MATERIALIZED (SELECT doc_id, wi, si, syms[si] AS sub FROM sub1),
+       |orded AS (SELECT doc_id, sub, row_number() OVER (PARTITION BY doc_id ORDER BY wi, si) AS n FROM flat),
+       |ds AS (SELECT DISTINCT sub FROM flat),
+       |${OracleSql.fnv64Ctes(Seq("sub"), "sub", "ds")}
+       |SELECT o.doc_id,
+       |  count(*) AS n_subwords,
+       |  count(DISTINCT o.sub) AS n_distinct_subwords,
+       |  CAST(SUM(o.n * (f.fpu % 65536)) AS BIGINT) AS subword_checksum
+       |FROM orded o JOIN fp f ON f.sub = o.sub
+       |GROUP BY o.doc_id""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "d11_bloom_decontaminate" -> d11OracleSql,
+    "t23_bpe_small" -> t23OracleSql,
     // Exact replay of the RollingHash Expression: mod 2^31-1 keeps every
     // intermediate below 2^52 (plain BIGINT), bytes come from the proven
     // hex(encode(..)) idiom (m8), iteration from a recursive CTE (d9/p3).
