@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress bench: runs the heavy dedup/ANN/packing families on the
+  * sf0.1 corpus AND on a deterministic 10x blow-up of its
+  * documents/embeddings tables, and reports per-query times + scaling
+  * ratios (BENCH_STRESS.json). The point is to convert SCALE.md's
+  * "would survive 100 TB" arguments into measurements: a query whose
+  * 10x time is ~10x the 1x time scales linearly in corpus size; a
+  * super-linear blow-up (quadratic candidate generation, a collect
+  * that grew with the corpus, a spill cliff) shows up as ratio >> 10.
+  *
+  * The blow-up is built so WORKLOAD CHARACTERISTICS stay proportional
+  * — 10 copies that behave like 10 independent corpora:
+  *
+  * - documents: copy k suffixes every token with "x<k>" (copy 0 is the
+  *   original). Shingle/fingerprint spaces across copies are disjoint,
+  *   so planted near-duplicate neighborhoods stay WITHIN each copy and
+  *   true duplicate pairs scale ~10x. Naive replication would instead
+  *   make every doc near-identical to its 9 clones — 45 extra true
+  *   pairs per doc, a quadratic-in-copies workload that would report
+  *   super-linear runtime with no engine fault.
+  * - embeddings: copy k rotates the 64-dim vector by k positions and
+  *   offsets vec_id. Rotation preserves the norm and the coordinate
+  *   distribution (so quantizers/planes see the same geometry) while
+  *   decorrelating copies — cross-copy cosine is that of unrelated
+  *   vectors, keeping per-query neighbor counts constant.
+  *
+  * Query-side sizes (the s-family's 32 probe vectors, t15's 256-row
+  * count table, IVF's nCells) are scale-free by design; the corpus
+  * side is what grows.
+  */
+object BenchStress {
+
+  val Copies = 10
+
+  /** Heavy families per VERDICT r9: the queries whose 100 TB story the
+    * stress run is meant to measure. */
+  val Heavy: Seq[String] = Seq(
+    "d1_dedup_exact", "d3_dedup_minhash_lsh", "d4_dedup_simhash",
+    "d9_dedup_groups", "d10_segment_dedup", "d12_ngram_decontaminate",
+    "s2_ann_lsh", "s3_ann_ivf", "s4_ann_multiprobe", "s5_ann_sq",
+    "s6_ann_pq", "t14_pack_sequences", "t15_global_shuffle",
+    "p4_leakage_split")
+
+  def generate(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val embs = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val idOff = 10000000L
+    val docCopies = (0 until Copies).map { k =>
+      val text =
+        if (k == 0) col("text")
+        else array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"x$k"))), " ")
+      docs.select((col("doc_id") + lit(k * idOff)).as("doc_id"),
+        text.as("text"), col("lang"), col("source"),
+        length(text).as("n_chars"))
+    }.reduce(_.unionAll(_))
+    val embCopies = (0 until Copies).map { k =>
+      val e = col("embedding")
+      val rotated =
+        if (k == 0) e
+        else concat(slice(e, k + 1, 64 - k), slice(e, 1, k))
+      embs.select((col("vec_id") + lit(k * idOff)).as("vec_id"),
+        rotated.as("embedding"), col("label"))
+    }.reduce(_.unionAll(_))
+    docCopies.repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+    embCopies.repartition(8).write.mode("overwrite")
+      .parquet(s"$outDir/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val stressDir = sys.env.getOrElse("SPARK_GRAFT_STRESS_DIR",
+      "/tmp/graft-stress-10x")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT",
+      "/root/repo/BENCH_STRESS.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$stressDir/documents.parquet").isDirectory) {
+      System.err.println(s"[stress] generating ${Copies}x corpus at $stressDir")
+      generate(spark, srcDir, stressDir)
+    }
+
+    def timeQuery(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      // 1 warm rep, then min-of-3 with the same convergence extension
+      // as Bench (up to 6)
+      fn(spark, dir).write.mode("overwrite").format("noop").save()
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var converged = false
+      while (times.length < 3 || (!converged && times.length < 6)) {
+        val prevMin = if (times.isEmpty) Double.MaxValue else times.min
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.mode("overwrite").format("noop").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        times += t
+        if (times.length >= 3) converged = t >= prevMin * 0.9
+      }
+      System.err.println(
+        f"[stress] $name@$dir reps=${times.map(t => f"$t%.2f").mkString(",")}")
+      times.min
+    }
+
+    val rows = Heavy.map { name =>
+      val base = timeQuery(name, srcDir)
+      val stress = timeQuery(name, stressDir)
+      val ratio = stress / base
+      System.err.println(f"[stress] $name base=$base%.2f stress=$stress%.2f ratio=$ratio%.1f")
+      (name, base, stress, ratio)
+    }
+    def r3(v: Double): String = f"$v%.3f"
+    val qjson = rows.map { case (n, b, s, r) =>
+      s""""$n":{"base":${r3(b)},"stress":${r3(s)},"ratio":${r3(r)}}"""
+    }.mkString("{", ",", "}")
+    val worst = rows.maxBy(_._4)
+    val json =
+      s"""{"metric":"stress_ratio","copies":$Copies,"cpus":$cpus,""" +
+        s""""base_sf":"$srcDir","worst":{"query":"${worst._1}","ratio":${r3(worst._4)}},""" +
+        s""""queries":$qjson}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}

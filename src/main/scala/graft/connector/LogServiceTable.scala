@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountS
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import scala.jdk.CollectionConverters._
 
@@ -211,6 +211,28 @@ class LogScanBuilder(fullSchema: StructType, opts: LogServiceOptions)
     case _ => None
   }
 
+  /** String-typed `__time__` bound → conservative epoch second. A STRING
+    * `__time__` column renders `new java.sql.Timestamp(time*1000)
+    * .toString` (RowConverters), which for the store's integer-second
+    * records in the Int epoch range (4-digit years) is the fixed-width
+    * `yyyy-MM-dd HH:mm:ss.0` — STRICTLY increasing in time as a string.
+    * So each string comparison passes an INTERVAL of record times, and
+    * parsing the bound with the same calendar + JVM timezone
+    * (`Timestamp.valueOf`) locates that interval's boundary to within
+    * one second: whatever the fraction text and the `.0`-suffix
+    * comparison quirks resolve to, the passing set is always inside
+    * [s, +inf) for GT/GTE and (-inf, s+1) for LT/LTE/EQ. The pushdown
+    * keeps that superset range — Spark re-evaluates the original string
+    * filter post-scan, so over-keeping by ≤1s can't change results,
+    * only segment skipping. Unparseable bounds (raw epoch digits,
+    * arbitrary strings) refuse and scan. */
+  private def strBoundS(v: Any): Option[Long] = v match {
+    case s: String if timeType.contains(StringType) =>
+      try Some(Math.floorDiv(java.sql.Timestamp.valueOf(s).getTime, 1000L))
+      catch { case _: IllegalArgumentException => None }
+    case _ => None
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     import org.apache.spark.sql.sources._
     var lo = Int.MinValue.toLong
@@ -218,16 +240,22 @@ class LogScanBuilder(fullSchema: StructType, opts: LogServiceOptions)
     def ceilOf(s: Long, frac: Boolean): Long = if (frac) s + 1 else s
     val accepted = filters.filter {
       case GreaterThan(RowConverters.Time, v) =>
-        toEpochS(v).exists { case (s, _) => lo = math.max(lo, s + 1); true }
+        toEpochS(v).exists { case (s, _) => lo = math.max(lo, s + 1); true } ||
+          strBoundS(v).exists { s => lo = math.max(lo, s); true }
       case GreaterThanOrEqual(RowConverters.Time, v) =>
-        toEpochS(v).exists { case (s, f) => lo = math.max(lo, ceilOf(s, f)); true }
+        toEpochS(v).exists { case (s, f) => lo = math.max(lo, ceilOf(s, f)); true } ||
+          strBoundS(v).exists { s => lo = math.max(lo, s); true }
       case LessThan(RowConverters.Time, v) =>
-        toEpochS(v).exists { case (s, f) => hi = math.min(hi, ceilOf(s, f)); true }
+        toEpochS(v).exists { case (s, f) => hi = math.min(hi, ceilOf(s, f)); true } ||
+          strBoundS(v).exists { s => hi = math.min(hi, s + 1); true }
       case LessThanOrEqual(RowConverters.Time, v) =>
-        toEpochS(v).exists { case (s, _) => hi = math.min(hi, s + 1); true }
+        toEpochS(v).exists { case (s, _) => hi = math.min(hi, s + 1); true } ||
+          strBoundS(v).exists { s => hi = math.min(hi, s + 1); true }
       case EqualTo(RowConverters.Time, v) =>
         toEpochS(v).exists { case (s, f) =>
-          lo = math.max(lo, ceilOf(s, f)); hi = math.min(hi, s + 1); true }
+          lo = math.max(lo, ceilOf(s, f)); hi = math.min(hi, s + 1); true } ||
+          strBoundS(v).exists { s =>
+            lo = math.max(lo, s); hi = math.min(hi, s + 1); true }
       case _ => false
     }
     pushed = accepted

@@ -19,10 +19,21 @@ private[queries] object CachePool {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** Persist `df`, releasing whatever the previous invocation of `site`
-    * pinned in this session (non-blocking unpersist). */
+    * pinned in this session (non-blocking unpersist).
+    *
+    * Same-plan re-invocations (every bench rep) are NOT released:
+    * Spark's CacheManager keys cached data by canonicalized plan, so
+    * the fresh persist() and the previous one share a single cache
+    * entry — unpersisting the old handle would wipe the entry out from
+    * under the new one (observed as q23 losing its InMemoryTableScans).
+    * Only a genuinely different plan — a new sf dir — releases the
+    * previous copy. */
   def persistLatest(site: String, df: DataFrame): DataFrame = {
     val p = df.persist()
-    last.put((df.sparkSession, site), p).foreach(_.unpersist(blocking = false))
+    last.put((df.sparkSession, site), p).foreach { old =>
+      if (!old.queryExecution.analyzed.sameResult(p.queryExecution.analyzed))
+        old.unpersist(blocking = false)
+    }
     p
   }
 }

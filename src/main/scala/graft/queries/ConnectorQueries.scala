@@ -46,6 +46,25 @@ object ConnectorQueries {
     p.toString
   }
 
+  /** Isolated session for a streaming leg, with shuffle/state
+    * parallelism sized to the leg's actual volume. Stateful operators
+    * open + commit one state-store instance per shuffle partition per
+    * micro-batch, so on the shared session's catalog-wide parallelism
+    * (32) a few hundred rows of session/dedup/update state pay 32
+    * stores x N triggers of fixed overhead — the dominant cost of the
+    * c-family at bench scale, none of it operator work. Partition count
+    * is not semantic (the oracle hashes content), and at production
+    * scale the same knob sizes UP with the state volume; per-query
+    * admission/parallelism sizing is exactly the configuration
+    * envelope the reference manages through its own per-source config
+    * (SURVEY §2 O4/O12). The derived session shares the SparkContext;
+    * each run still gets a fresh checkpoint + sink. */
+  private def streamSession(spark: SparkSession, parts: Int = 4): SparkSession = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    s2
+  }
+
   def queries: Map[String, Q] = Map(
     "c1_logstore_roundtrip" -> c1,
     "c2_logstore_json_value" -> c2,
@@ -188,7 +207,7 @@ object ConnectorQueries {
     val dstOpts = Map("store.root" -> dstRoot, "store.project" -> "proj",
       "store.name" -> "sessions")
     val ckpt = tempDir("graft-c9-ckpt")
-    val q = spark.readStream.format("graft-logstore").options(srcOpts)
+    val q = streamSession(spark).readStream.format("graft-logstore").options(srcOpts)
       .option("maxoffsetspertrigger", "1000000")
       .schema("user_id LONG, event_type STRING, value DOUBLE, __time__ TIMESTAMP")
       .load()
@@ -262,14 +281,17 @@ object ConnectorQueries {
     * duplication, or mis-keyed enrich breaks the hash. */
   private def c7: Q = (spark, dir) => {
     val srcOpts = ingest(spark, dir, 2)
-    val dim = t(spark, dir, "nation")
+    val ss = streamSession(spark)
+    // built on the STREAM's session: joining datasets across sessions
+    // is undefined territory, and the dim is a 25-row broadcast anyway
+    val dim = t(ss, dir, "nation")
       .select(col("n_nationkey").cast(LongType).as("n_nationkey"), col("n_name"))
     val dstRoot = tempDir("graft-logstore-c7")
     new EmbeddedLogStore(dstRoot).createStore("proj", "enriched", 1)
     val dstOpts = Map("store.root" -> dstRoot, "store.project" -> "proj",
       "store.name" -> "enriched")
     val ckpt = tempDir("graft-c7-ckpt")
-    val q = spark.readStream.format("graft-logstore").options(srcOpts)
+    val q = ss.readStream.format("graft-logstore").options(srcOpts)
       .option("maxoffsetspertrigger", "1000000")
       .schema("user_id LONG, event_type STRING, value DOUBLE").load()
       .join(broadcast(dim), col("user_id") % 25 === col("n_nationkey"))
@@ -364,7 +386,8 @@ object ConnectorQueries {
     val dstOpts = Map("store.root" -> dstRoot, "store.project" -> "proj",
       "store.name" -> "hourly")
     val ckpt = tempDir("graft-c3-ckpt")
-    val hourly = spark.readStream.format("graft-logstore").options(srcOpts)
+    val ss = streamSession(spark)
+    val hourly = ss.readStream.format("graft-logstore").options(srcOpts)
       // admission budget sized to drain the backlog in one trigger at
       // bench scale; pacing across many triggers is covered by
       // StreamingSpec and the reconciliation is trigger-count-agnostic
@@ -415,7 +438,7 @@ object ConnectorQueries {
     val dstOpts = Map("store.root" -> dstRoot, "store.project" -> "proj",
       "store.name" -> "agg")
     val ckpt = tempDir("graft-c4-ckpt")
-    val q = spark.readStream.format("graft-logstore").options(srcOpts)
+    val q = streamSession(spark).readStream.format("graft-logstore").options(srcOpts)
       .option("maxoffsetspertrigger", "1000000")
       .schema("event_id LONG, event_type STRING, value DOUBLE").load()
       .groupBy(col("event_type"))
@@ -475,7 +498,7 @@ object ConnectorQueries {
     val ckpt = tempDir("graft-c5-ckpt")
     // isolated session: the RocksDB provider conf must not leak into
     // (or race with) other streams on the shared session
-    val s2 = spark.newSession()
+    val s2 = streamSession(spark)
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val verdicts = graft.streaming.StreamingDedup.exact(

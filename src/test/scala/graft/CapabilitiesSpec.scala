@@ -12,7 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * StructuredLoghubWordCount.scala:77) and foreachBatch + limit +
   * table insert (StructuredLoghubSinkHive.scala:72-78). Plus IVF ANN
   * recall structure. */
-class CapabilitiesSpec extends AnyFunSuite {
+class CapabilitiesSpec extends AnyFunSuite with StopStreamsAfterAll {
   private lazy val spark = SparkTestSession.spark
 
   private def seeded(): String = {
@@ -40,7 +40,7 @@ class CapabilitiesSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("t_wc").outputMode("complete")
       .option("checkpointLocation", Files.createTempDirectory("ck").toString)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    awaitDone(q)
     val counts = spark.table("t_wc").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts("logs") === 3 && counts("spark") === 2 && counts("fast") === 2)
@@ -58,7 +58,7 @@ class CapabilitiesSpec extends AnyFunSuite {
       }
       .option("checkpointLocation", Files.createTempDirectory("ck").toString)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    awaitDone(q)
     assert(spark.table("t_sink").count() === 2)
     spark.sql("DROP TABLE t_sink")
   }
@@ -118,7 +118,7 @@ class CapabilitiesSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("t_sess").outputMode("complete")
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    awaitDone(q)
     val rows = spark.table("t_sess").collect()
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(rows === Map(1700000000L -> 2L, 1700000100L -> 1L))

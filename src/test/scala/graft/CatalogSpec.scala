@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
 /** SQL catalog surface: stores as tables, no option plumbing. */
-class CatalogSpec extends AnyFunSuite {
+class CatalogSpec extends AnyFunSuite with StopStreamsAfterAll {
   private lazy val spark = SparkTestSession.spark
 
   private def withCatalog(test: String => Unit): Unit = {
@@ -69,7 +69,7 @@ class CatalogSpec extends AnyFunSuite {
         .option("checkpointLocation",
           Files.createTempDirectory("ckpt").toString)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(60000)
+      awaitDone(q)
       assert(spark.table("t_cat_stream").count() === 2)
     }
   }

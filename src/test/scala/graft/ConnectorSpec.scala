@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
-class ConnectorSpec extends AnyFunSuite {
+class ConnectorSpec extends AnyFunSuite with StopStreamsAfterAll {
   private lazy val spark = SparkTestSession.spark
 
   private def freshRoot(): String =

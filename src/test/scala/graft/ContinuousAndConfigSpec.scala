@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
-class ContinuousAndConfigSpec extends AnyFunSuite {
+class ContinuousAndConfigSpec extends AnyFunSuite with StopStreamsAfterAll {
   private lazy val spark = SparkTestSession.spark
 
   private def seeded(n: Int): String = {
@@ -140,7 +140,7 @@ class ContinuousAndConfigSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("t_dyn")
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    awaitDone(q)
     assert(spark.table("t_dyn").count() === 100)
     assert(q.recentProgress.forall(_.numInputRows <= 10))
     assert(q.recentProgress.count(_.numInputRows > 0) >= 10)
@@ -171,7 +171,7 @@ class ContinuousAndConfigSpec extends AnyFunSuite {
         .option("checkpointLocation",
           Files.createTempDirectory("ckpt").toString)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(60000)
+      awaitDone(q)
       assert(spark.table("t_grp").count() === 30)
       // listener events are asynchronous — poll for the final commit
       var tries = 0
@@ -191,7 +191,7 @@ class ContinuousAndConfigSpec extends AnyFunSuite {
         .option("checkpointLocation",
           Files.createTempDirectory("ckpt").toString)
         .trigger(Trigger.AvailableNow()).start()
-      q2.awaitTermination(60000)
+      awaitDone(q2)
       assert(spark.table("t_grp2").collect().map(_.getInt(0)).toSeq ===
         Seq(424242))
     } finally spark.streams.removeListener(listener)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import org.scalatest.funsuite.AnyFunSuite
 
-class PushdownSpec extends AnyFunSuite {
+class PushdownSpec extends AnyFunSuite with StopStreamsAfterAll {
   private lazy val spark = SparkTestSession.spark
 
   private def seeded(): StoreRef = {
@@ -37,6 +37,34 @@ class PushdownSpec extends AnyFunSuite {
     // pushdown must appear in the scan description
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("timeRange=Some((1700000100,1700000200))"), plan)
+  }
+
+  test("string-typed __time__ bounds push to a conservative segment-skipping range") {
+    val ref = seeded()
+    val strSchema = StructType.fromDDL("msg INT, __time__ STRING")
+    // bounds rendered exactly as the STRING column renders its values
+    // (same java.sql.Timestamp calendar + JVM timezone), so the string
+    // comparison semantics and the parsed epoch agree
+    val s1 = 1700000100L
+    val s2 = 1700000200L
+    def asStr(s: Long) = new java.sql.Timestamp(s * 1000L).toString
+    val df = LogServiceUtils.createBatchDF(spark, ref, Some(strSchema))
+      .filter(col("__time__") >= lit(asStr(s1)))
+      .filter(col("__time__") < lit(asStr(s2)))
+    // string order == time order for the fixed-width rendering:
+    // the middle segment only, 50 per shard
+    assert(df.count() === 100)
+    // conservative [s, s+1) interval bounds: lo = s1, hi = s2 + 1 —
+    // over-keeping by <= 1s, never skipping a passing record
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains(s"timeRange=Some((${s1},${s2 + 1}))"), plan)
+    // an unparseable string bound refuses the push and still answers
+    // ('!' sorts below every digit, so all rendered times pass the
+    // residual string filter)
+    val raw = LogServiceUtils.createBatchDF(spark, ref, Some(strSchema))
+      .filter(col("__time__") > lit("!not-a-timestamp"))
+    assert(raw.count() === 300)
+    assert(raw.queryExecution.executedPlan.toString.contains("timeRange=None"))
   }
 
   test("starttime/endtime options bound the scan exactly") {
@@ -182,7 +210,7 @@ class PushdownSpec extends AnyFunSuite {
       .options(dst.options)
       .option("checkpointLocation", Files.createTempDirectory("ckpt").toString)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    awaitDone(q)
     val back = LogServiceUtils.createBatchDF(spark, dst,
       Some(StructType.fromDDL("msg INT")))
     assert(back.count() === 300)

@@ -18,6 +18,37 @@ object SparkTestSession {
   }
 }
 
+/** Mixed into every suite that starts streaming queries: stop whatever
+  * is still active once the suite ends. The test session is shared
+  * across the whole JVM, so a query left running past its suite —
+  * typically an AvailableNow drain whose awaitTermination timed out —
+  * keeps planning micro-batches until JVM exit, where it races the
+  * SparkContext shutdown hook and logs a spurious
+  * MicroBatchExecution INTERNAL_ERROR / NPE (SparkPlan.session is
+  * null) into an otherwise green run. */
+trait StopStreamsAfterAll extends org.scalatest.BeforeAndAfterAll {
+  this: org.scalatest.Suite =>
+
+  /** Drain-and-make-sure: await termination, and if the query outlived
+    * the timeout, stop it HERE. afterAll alone cannot catch queries on
+    * DERIVED sessions (spark.newSession() has its own
+    * StreamingQueryManager, so they never appear in
+    * SparkTestSession.spark.streams.active) — one leaked RocksDB drain
+    * was observed running batches three minutes into later suites
+    * before dying with the planning NPE this trait exists to prevent. */
+  def awaitDone(q: org.apache.spark.sql.streaming.StreamingQuery,
+      ms: Long = 60000): Unit = {
+    try q.awaitTermination(ms)
+    finally if (q.isActive) q.stop()
+  }
+
+  override def afterAll(): Unit = {
+    try SparkTestSession.spark.streams.active.foreach { q =>
+      try q.stop() catch { case _: Exception => () }
+    } finally super.afterAll()
+  }
+}
+
 /** Smoke-level invariants of the query catalog on the sf0.001 fixture.
   * (Value-level correctness is checked against the DuckDB oracle by the
   * driver and tools/check_parity.py.) */

@@ -4,7 +4,7 @@ import graft.functions.Sketches._
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-class SketchesSpec extends AnyFunSuite {
+class SketchesSpec extends AnyFunSuite with StopStreamsAfterAll {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.01"
   private def events = spark.read.parquet(s"$sf/events.parquet")
@@ -201,7 +201,7 @@ class SketchesSpec extends AnyFunSuite {
       .outputMode("complete")
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    awaitDone(q)
     val streamed = spark.table("t_hll_stream").head().getLong(0)
     // deterministic sketch: the streaming state-store merge path must
     // produce the IDENTICAL estimate as one batch pass

@@ -13,7 +13,7 @@ case class UserAgg(userId: Long, nEvents: Long, maxTsS: Long)
   * the KeyValueGroupedDataset custom-state path of SURVEY §7.4 /
   * spark_guide. Pacing forces multiple micro-batches so state is
   * actually carried across triggers. */
-class StatefulStreamingSpec extends AnyFunSuite {
+class StatefulStreamingSpec extends AnyFunSuite with StopStreamsAfterAll {
   private lazy val spark = SparkTestSession.spark
 
   test("mapGroupsWithState running per-user aggregates across micro-batches") {
@@ -56,7 +56,7 @@ class StatefulStreamingSpec extends AnyFunSuite {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    awaitDone(q)
 
     // multiple micro-batches ⇒ state really crossed trigger boundaries
     assert(q.recentProgress.count(_.numInputRows > 0) >= 4)
@@ -103,7 +103,7 @@ class StatefulStreamingSpec extends AnyFunSuite {
         .outputMode(OutputMode.Append())
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(60000)
+      awaitDone(q)
       assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
       val out = s2.table("t_tws").as[DedupVerdict].collect()
       assert(out.length === 30)
@@ -151,7 +151,7 @@ class StatefulStreamingSpec extends AnyFunSuite {
           .outputMode(OutputMode.Append())
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination(60000)
+        awaitDone(q)
       }
       def verdicts(): Seq[(Long, Boolean)] =
         spark.read.format("graft-logstore")

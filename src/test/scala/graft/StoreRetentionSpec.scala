@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Time-based retention (expireSegments): prefix-only expiry, stable
   * surviving ordinals via per-shard bases, earliest resolution, replay
   * memory, and interplay with compaction and streams. */
-class StoreRetentionSpec extends AnyFunSuite {
+class StoreRetentionSpec extends AnyFunSuite with StopStreamsAfterAll {
   private lazy val spark = SparkTestSession.spark
 
   private def rec(t: Int) =
@@ -89,7 +89,7 @@ class StoreRetentionSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("t_retain")
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    awaitDone(q)
     assert(spark.table("t_retain").count() === 4)
     // exact statistics report live rows only
     val stats = df.queryExecution.optimizedPlan.stats

@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * of the reference's LoghubMicroBatchSourceSuite patterns (earliest /
   * latest starts, incremental batches, recovery, admission control, shard
   * split, watermark+window, stream-stream self-join, sink idempotence). */
-class StreamingSpec extends AnyFunSuite {
+class StreamingSpec extends AnyFunSuite with StopStreamsAfterAll {
   private lazy val spark = SparkTestSession.spark
 
   private def freshRoot(): String = Files.createTempDirectory("graft-ss").toString
@@ -34,7 +34,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode).option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    awaitDone(q)
     q
   }
 
@@ -48,7 +48,7 @@ class StreamingSpec extends AnyFunSuite {
       .option("store.name", "out").options(sinkExtra)
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    awaitDone(q)
   }
 
   private def sinkTable(dstRoot: String): DataFrame =
@@ -146,7 +146,7 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("t_paced")
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    awaitDone(q)
     // all data arrives, over >= 5 micro-batches of <= 20
     assert(spark.table("t_paced").count() === 100)
     val progress = q.recentProgress
@@ -276,7 +276,7 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode("update")
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    awaitDone(q)
     val hist = spark.read.format("graft-logstore")
       .option("store.root", dstRoot).option("store.project", "proj")
       .option("store.name", "out")
@@ -330,7 +330,7 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("t_ssij")
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    awaitDone(q)
     val got = spark.table("t_ssij").collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
     // user 1: only the +30min purchase joins; user 2: both views see the
@@ -360,7 +360,7 @@ class StreamingSpec extends AnyFunSuite {
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(60000)
+      awaitDone(q)
     }
     // window [0,5) gets 3 events; value 100 pushes the watermark to 90,
     // finalizing [0,5)
@@ -394,7 +394,7 @@ class StreamingSpec extends AnyFunSuite {
         .option("store.name", "out")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(60000)
+      awaitDone(q)
     }
     writeOnce()
     val read = () => spark.read.format("graft-logstore")
@@ -413,7 +413,7 @@ class StreamingSpec extends AnyFunSuite {
       .option("store.name", "out")
       .option("checkpointLocation", ckpt2)
       .trigger(Trigger.AvailableNow()).start()
-    q2.awaitTermination(60000)
+    awaitDone(q2)
     assert(read().count() === 9) // overwritten, not appended
     assert(read().agg(sum("msg")).first().getLong(0) === (1 to 9).sum)
   }
