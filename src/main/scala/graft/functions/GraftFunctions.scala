@@ -69,6 +69,18 @@ object GraftFunctions {
     "cms_build" -> ((exprs: Seq[Expression]) => CmsSketchBuild(exprs.head)),
     "cms_merge" -> ((exprs: Seq[Expression]) => CmsSketchMerge(exprs.head)),
     "cms_query" -> ((exprs: Seq[Expression]) => CmsQuery(exprs.head, exprs(1))),
+    "kmv_build" -> ((exprs: Seq[Expression]) => exprs match {
+      case Seq(c) => KmvSketchBuild(c)
+      case Seq(c, k) => KmvSketchBuild(c, lit(k, "kmv_build k").intValue())
+      case _ => throw new IllegalArgumentException("kmv_build(col[, k])")
+    }),
+    "kmv_merge" -> ((exprs: Seq[Expression]) => KmvSketchMerge(exprs.head)),
+    "kmv_estimate" -> ((exprs: Seq[Expression]) => KmvEstimate(exprs.head)),
+    "kmv_jaccard" -> ((exprs: Seq[Expression]) => KmvJaccard(exprs.head, exprs(1))),
+    "kmv_union_estimate" -> ((exprs: Seq[Expression]) =>
+      KmvUnionEstimate(exprs.head, exprs(1))),
+    "kmv_intersect_estimate" -> ((exprs: Seq[Expression]) =>
+      KmvIntersectEstimate(exprs.head, exprs(1))),
     // SQL surface takes raw text (tokenization inside), matching t3
     "lang_guess" -> asColumnFn("lang_guess", 1)(cs => TextFunctions.langGuess(
       TextFunctions.tokens(org.apache.spark.sql.functions.lower(cs.head)))),

@@ -70,6 +70,31 @@ object Sketches {
     * undercounts; overcount bounded by (e/width)·N w.h.p.). */
   def cms_query(sketch: Column, item: Column): Column =
     Bridge.column(CmsQuery(Bridge.expression(sketch), Bridge.expression(item)))
+
+  /** Aggregate: KMV bottom-k sketch (binary) of the column's distinct
+    * values — the set-overlap primitive (see [[KmvOps]]). */
+  def kmv_build(c: Column, k: Int = KmvOps.DefaultK): Column =
+    Bridge.column(KmvSketchBuild(Bridge.expression(c), k).toAggregateExpression())
+
+  /** Aggregate: set-union merge of KMV binaries (bottom k kept). */
+  def kmv_merge(c: Column): Column =
+    Bridge.column(KmvSketchMerge(Bridge.expression(c)).toAggregateExpression())
+
+  /** Scalar: estimated distinct count of a KMV binary. */
+  def kmv_estimate(c: Column): Column =
+    Bridge.column(KmvEstimate(Bridge.expression(c)))
+
+  /** Scalar: estimated Jaccard similarity of two KMV binaries. */
+  def kmv_jaccard(a: Column, b: Column): Column =
+    Bridge.column(KmvJaccard(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Scalar: estimated |A ∪ B| from two KMV binaries. */
+  def kmv_union_estimate(a: Column, b: Column): Column =
+    Bridge.column(KmvUnionEstimate(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Scalar: estimated |A ∩ B| from two KMV binaries. */
+  def kmv_intersect_estimate(a: Column, b: Column): Column =
+    Bridge.column(KmvIntersectEstimate(Bridge.expression(a), Bridge.expression(b)))
 }
 
 // ---------------------------------------------------------------- HLL ----

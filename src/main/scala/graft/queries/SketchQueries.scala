@@ -30,7 +30,8 @@ object SketchQueries {
     "k2_freq_sketch" -> k2,
     "k3_hll_users" -> k3,
     "k4_heavy_hitters" -> k4,
-    "k5_kll_quantiles" -> k5)
+    "k5_kll_quantiles" -> k5,
+    "k6_kmv_overlap" -> k6)
 
   /** Count-min frequency rollup (k2): per-source partial CMS sketches of
     * the token stream (level 1; persisted per partition in production),
@@ -77,6 +78,92 @@ object SketchQueries {
     toks.filter(cms_query(lit(sk), Fnv64.fnv64(col("tok"))) >= thr)
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= thr)
+  }
+
+  /** KMV corpus-overlap matrix (k6): per-source bottom-k sketches of
+    * the 8-gram shingle space (built per doc-slice, set-union merged —
+    * the two-level rollup), then every source pair's distinct / union /
+    * Jaccard / intersection ESTIMATES from the sketch columns alone.
+    * The cross-corpus contamination question ("how much of source A is
+    * in source B") answered without ever joining shingle sets — at
+    * 100 TB the per-source sketches are a few KB each and the pair
+    * matrix is driver-sized. Bottom-k is a deterministic order-free
+    * function of the input SET (like HLL registers / CMS counters), so
+    * build, merge, and every estimator replay exactly in SQL: rank the
+    * distinct hashes per source, keep r <= k, re-derive the estimates
+    * with the same IEEE expressions. */
+  private def k6: Q = (spark, dir) => {
+    val k = 128
+    val d = t(spark, dir, "documents")
+    val sh = graft.operators.Dedup.docShingles(d, n = 8)
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+    val sk = sh
+      .groupBy(col("source"), (col("doc_id") % 4).as("slice"))
+      .agg(kmv_build(Fnv64.fnv64(col("shingle")), k).as("psk"))
+      .groupBy(col("source"))
+      .agg(kmv_merge(col("psk")).as("sk"))
+    val a = sk.select(col("source").as("source_a"), col("sk").as("ska"))
+    val b = sk.select(col("source").as("source_b"), col("sk").as("skb"))
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        kmv_estimate(col("ska")).as("est_distinct_a"),
+        kmv_jaccard(col("ska"), col("skb")).as("est_jaccard"),
+        kmv_union_estimate(col("ska"), col("skb")).as("est_union"),
+        kmv_intersect_estimate(col("ska"), col("skb")).as("est_intersect"))
+  }
+
+  /** Exact replay of k6: distinct shingles → fnv64 (recursive CTE) →
+    * xxhash64-of-long → per-source DISTINCT hash ranks (bottom-k =
+    * r <= 128, unsigned order — the CTE hashes are unsigned HUGEINTs);
+    * pair combines re-rank the union of the two retained sets. The
+    * estimators are the same IEEE doubles: exact count below k, else
+    * (k-1) / (kth/2^64); Jaccard = matches / |union bottom-k|;
+    * intersection = jaccard × union (same multiply order). */
+  private def k6OracleSql: String = {
+    val g = "18446744073709551616e0" // 2^64, exactly representable
+    s"""WITH RECURSIVE
+       |words AS (SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+       |shr AS (SELECT doc_id, source,
+       |          unnest(list_distinct(list_transform(range(1, len(w) - 6),
+       |            i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]))) AS s
+       |        FROM words),
+       |dsh AS (SELECT DISTINCT s FROM shr),
+       |${OracleSql.fnv64Ctes(Seq("s"), "s", "dsh")},
+       |spairs AS (SELECT DISTINCT shr.source, fp.fpu FROM shr JOIN fp ON fp.s = shr.s),
+       |xx AS MATERIALIZED (${OracleSql.xxHashLongLayers("SELECT source, fpu FROM spairs")}),
+       |dh AS (SELECT DISTINCT source, h1u FROM xx),
+       |ret AS MATERIALIZED (
+       |  SELECT source, h1u FROM (
+       |    SELECT source, h1u, row_number() OVER (PARTITION BY source ORDER BY h1u) AS r
+       |    FROM dh) WHERE r <= 128),
+       |rstat AS (SELECT source, count(*) AS rcnt, max(h1u) AS rkth FROM ret GROUP BY 1),
+       |srcs AS (SELECT DISTINCT source FROM documents),
+       |prs AS (SELECT a.source AS sa, b.source AS sb
+       |        FROM srcs a, srcs b WHERE a.source < b.source),
+       |uh AS (SELECT DISTINCT p.sa, p.sb, r.h1u
+       |       FROM prs p JOIN ret r ON r.source = p.sa OR r.source = p.sb),
+       |uk AS MATERIALIZED (
+       |  SELECT sa, sb, h1u FROM (
+       |    SELECT sa, sb, h1u, row_number() OVER (PARTITION BY sa, sb ORDER BY h1u) AS r
+       |    FROM uh) WHERE r <= 128),
+       |pstat AS (
+       |  SELECT uk.sa, uk.sb, count(*) AS cnt, max(uk.h1u) AS kth,
+       |    SUM(CASE WHEN ra.h1u IS NOT NULL AND rb.h1u IS NOT NULL THEN 1 ELSE 0 END) AS m
+       |  FROM uk
+       |  LEFT JOIN ret ra ON ra.source = uk.sa AND ra.h1u = uk.h1u
+       |  LEFT JOIN ret rb ON rb.source = uk.sb AND rb.h1u = uk.h1u
+       |  GROUP BY 1, 2),
+       |ests AS (
+       |  SELECT sa, sb,
+       |    CASE WHEN rs.rcnt < 128 THEN CAST(rs.rcnt AS DOUBLE)
+       |         ELSE 127e0 / (CAST(rs.rkth AS DOUBLE) / $g) END AS est_distinct_a,
+       |    CAST(m AS DOUBLE) / CAST(cnt AS DOUBLE) AS est_jaccard,
+       |    CASE WHEN cnt < 128 THEN CAST(cnt AS DOUBLE)
+       |         ELSE 127e0 / (CAST(kth AS DOUBLE) / $g) END AS est_union
+       |  FROM pstat JOIN rstat rs ON rs.source = pstat.sa)
+       |SELECT sa AS source_a, sb AS source_b, est_distinct_a, est_jaccard,
+       |  est_union, est_jaccard * est_union AS est_intersect
+       |FROM ests""".stripMargin
   }
 
   /** HLL distinct-user rollup (k3): per-(event_type, user-slice) HLL
@@ -251,6 +338,7 @@ object SketchQueries {
     "k2_freq_sketch" -> k2OracleSql,
     "k3_hll_users" -> k3OracleSql,
     "k5_kll_quantiles" -> k5OracleSql,
+    "k6_kmv_overlap" -> k6OracleSql,
     "k4_heavy_hitters" ->
       """WITH toks AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
         |              FROM documents)

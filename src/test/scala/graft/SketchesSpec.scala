@@ -114,6 +114,65 @@ class SketchesSpec extends AnyFunSuite with StopStreamsAfterAll {
     assert(math.abs(rank - 0.5 * n) <= 0.03 * n, s"p50=$merged rank=$rank n=$n")
   }
 
+  test("kmv: merge of per-slice sketches is BYTE-equal to the global build") {
+    // bottom-k of a set union is associative+commutative — the same
+    // byte-for-byte merge contract as CMS counters / HLL registers
+    val whole = events.agg(kmv_build(col("user_id"), 64)).head()
+      .getAs[Array[Byte]](0)
+    val merged = events
+      .groupBy((col("user_id") % 7).as("slice"))
+      .agg(kmv_build(col("user_id"), 64).as("sk"))
+      .agg(kmv_merge(col("sk"))).head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(whole, merged))
+  }
+
+  test("kmv estimate within 15% of exact distinct; exact below capacity") {
+    val r = events.agg(
+      kmv_estimate(kmv_build(col("user_id"), 256)).as("est"),
+      countDistinct(col("user_id")).as("exact")).head()
+    val (est, exact) = (r.getDouble(0), r.getLong(1))
+    assert(math.abs(est - exact) / exact < 0.15, s"est $est exact $exact")
+    // capacity above the distinct count: the sketch IS the set
+    val small = events.filter(col("user_id") < 50)
+    val r2 = small.agg(
+      kmv_estimate(kmv_build(col("user_id"), 1024)).as("est"),
+      countDistinct(col("user_id")).as("exact")).head()
+    assert(r2.getDouble(0) === r2.getLong(1).toDouble)
+  }
+
+  test("kmv jaccard: identical sets 1.0, disjoint sets 0.0, overlap tracks truth") {
+    import spark.implicits._
+    def sk(lo: Int, hi: Int) = (lo until hi).toDF("v")
+      .agg(kmv_build(col("v"), 128)).head().getAs[Array[Byte]](0)
+    val a = sk(0, 2000)
+    val b = sk(0, 2000)
+    val c = sk(2000, 4000)
+    val half = sk(1000, 3000) // true J(a, half) = 1000/3000 = 1/3
+    def jac(x: Array[Byte], y: Array[Byte]) =
+      spark.range(1).select(kmv_jaccard(lit(x), lit(y))).head().getDouble(0)
+    assert(jac(a, b) === 1.0)
+    assert(jac(a, c) === 0.0)
+    val j = jac(a, half)
+    assert(j > 0.15 && j < 0.55, s"J estimate $j for truth 1/3")
+    // intersection estimate tracks |a ∩ half| = 1000 within 35%
+    val inter = spark.range(1)
+      .select(kmv_intersect_estimate(lit(a), lit(half))).head().getDouble(0)
+    assert(inter > 650 && inter < 1350, s"intersect estimate $inter for truth 1000")
+  }
+
+  test("kmv SQL surface matches the Column API") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    events.createOrReplaceTempView("ev_kmv_sql")
+    val viaSql = spark.sql(
+      """SELECT kmv_estimate(kmv_build(user_id, 256)) AS est,
+        |       kmv_jaccard(kmv_build(user_id, 64), kmv_build(user_id, 64)) AS j
+        |FROM ev_kmv_sql""".stripMargin).head()
+    val viaCol = events.agg(
+      kmv_estimate(kmv_build(col("user_id"), 256))).head().getDouble(0)
+    assert(viaSql.getDouble(0) === viaCol)
+    assert(viaSql.getDouble(1) === 1.0)
+  }
+
   test("bloom filter: no false negatives, FPR within design bound") {
     import spark.implicits._
     val b = graft.functions.Bloom
