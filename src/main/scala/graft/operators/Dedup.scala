@@ -913,4 +913,75 @@ object Dedup {
             s => s.getField("seg")),
           " ")).as("clean_fp"))
   }
+
+  /** Duplicate-SPAN coverage — the stride-1 generalization of
+    * [[segmentDedup]]'s fixed blocks and the measurement pre-pass of
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): every `spanTokens`-token
+    * sliding window (stride 1) is fingerprinted; a window occurring in
+    * >= `minDocs` DISTINCT documents is a duplicated span, and a token
+    * is COVERED when any duplicated span contains it. Output per doc:
+    * window/duplicate counts, covered-token count, and token count —
+    * the integer signals a pipeline thresholds on ("drop docs >50%
+    * duplicated", "strip docs whose coverage is boilerplate-shaped")
+    * before committing to span removal.
+    *
+    * Scale shape (100 TB): one typed pass explodes docs into
+    * (doc_id, idx, fnv64(window)) rows — stride 1 costs ~n_tokens rows
+    * per doc, the same order as tokenization; duplicate detection is a
+    * count-distinct groupBy on the 8-byte window hash; the flag join
+    * keys on the same hash (AQE reuses the aggregation partitioning);
+    * coverage explodes only FLAGGED windows into their `spanTokens`
+    * positions before a doc_id-keyed distinct count. Integer-exact
+    * end-to-end, so the oracle is a full equality hash. */
+  def duplicateSpanCoverage(docs: DataFrame, spanTokens: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    require(spanTokens >= 1 && minDocs >= 2,
+      s"spanTokens $spanTokens must be >= 1, minDocs $minDocs must be >= 2")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wins = docs
+      .select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.trim.toLowerCase.split("\\s+")
+        val base = Iterator.single((id, -1L, t.length.toLong))
+        val spans =
+          if (t.length < spanTokens) Iterator.empty
+          else t.sliding(spanTokens).zipWithIndex.map { case (w, i) =>
+            (id, i.toLong, fnv64(w.mkString(" ")))
+          }
+        base ++ spans
+      }
+      .toDF("doc_id", "idx", "v")
+    // idx = -1 carries the doc's token count through the same pass
+    val spans = wins.filter(col("idx") >= 0)
+      .select(col("doc_id"), col("idx"), col("v").as("wh"))
+    val nTok = wins.filter(col("idx") === -1L)
+      .select(col("doc_id"), col("v").as("n_tokens"))
+    val dup = spans.groupBy(col("wh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("wh").as("dwh"))
+    val flagged = spans
+      .join(dup, col("wh") === col("dwh"), "left_semi")
+    val covered = flagged
+      .select(col("doc_id"),
+        explode(sequence(col("idx"), col("idx") + lit(spanTokens - 1))).as("pos"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("pos")).as("n_covered_tokens"))
+    val winStats = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"))
+    val dupStats = flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_windows"))
+    nTok
+      .join(winStats, Seq("doc_id"), "left_outer")
+      .join(dupStats, Seq("doc_id"), "left_outer")
+      .join(covered, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_covered_tokens"), lit(0L)).as("n_covered_tokens"),
+        col("n_tokens"))
+  }
 }

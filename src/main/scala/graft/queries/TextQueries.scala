@@ -52,6 +52,8 @@ object TextQueries {
     "d10_segment_dedup" -> d10,
     "d11_bloom_decontaminate" -> d11,
     "d12_ngram_decontaminate" -> d12,
+    "d13_dup_spans" -> ((spark, dir) =>
+      Dedup.duplicateSpanCoverage(t(spark, dir, "documents"))),
     "t16_epoch_mix" -> t16,
     "t17_bpe_tokenize" -> t17,
     "t23_bpe_small" -> t23,
@@ -1162,9 +1164,44 @@ object TextQueries {
        |GROUP BY o.doc_id""".stripMargin
   }
 
+  /** Exact replay of d13 (duplicate-span coverage): stride-1 8-token
+    * windows → fnv64 (recursive CTE over DISTINCT window strings) →
+    * duplicate = hash in >= 2 distinct docs → per-doc window/dup
+    * counts and distinct covered positions. Integer-exact. */
+  private def d13OracleSql: String = {
+    val win8 = "w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]"
+    s"""WITH RECURSIVE
+       |words AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+       |wins AS (SELECT doc_id, unnest(range(1, len(w) - 6)) AS i, w FROM words),
+       |swin AS (SELECT doc_id, i - 1 AS idx, $win8 AS s FROM wins),
+       |dsh AS (SELECT DISTINCT s FROM swin),
+       |${OracleSql.fnv64Ctes(Seq("s"), "s", "dsh")},
+       |sp AS MATERIALIZED (SELECT swin.doc_id, swin.idx, fp.fpu AS wh
+       |                    FROM swin JOIN fp ON fp.s = swin.s),
+       |dup AS (SELECT wh FROM (SELECT wh, count(DISTINCT doc_id) AS nd
+       |                        FROM sp GROUP BY 1) WHERE nd >= 2),
+       |fl AS MATERIALIZED (SELECT sp.doc_id, sp.idx FROM sp JOIN dup USING (wh)),
+       |cov AS (SELECT doc_id, count(DISTINCT pos) AS n_covered FROM (
+       |          SELECT doc_id, unnest(range(idx, idx + 8)) AS pos FROM fl)
+       |        GROUP BY 1),
+       |ws AS (SELECT doc_id, count(*) AS n_windows FROM sp GROUP BY 1),
+       |dps AS (SELECT doc_id, count(*) AS n_dup FROM fl GROUP BY 1),
+       |nt AS (SELECT doc_id, len(w) AS n_tokens FROM words)
+       |SELECT nt.doc_id,
+       |  COALESCE(ws.n_windows, 0) AS n_windows,
+       |  COALESCE(dps.n_dup, 0) AS n_dup_windows,
+       |  COALESCE(cov.n_covered, 0) AS n_covered_tokens,
+       |  nt.n_tokens
+       |FROM nt
+       |LEFT JOIN ws ON ws.doc_id = nt.doc_id
+       |LEFT JOIN dps ON dps.doc_id = nt.doc_id
+       |LEFT JOIN cov ON cov.doc_id = nt.doc_id""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "d11_bloom_decontaminate" -> d11OracleSql,
     "t23_bpe_small" -> t23OracleSql,
+    "d13_dup_spans" -> d13OracleSql,
     // Exact replay of the RollingHash Expression: mod 2^31-1 keeps every
     // intermediate below 2^52 (plain BIGINT), bytes come from the proven
     // hex(encode(..)) idiom (m8), iteration from a recursive CTE (d9/p3).

@@ -10,6 +10,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
   private def docs = spark.read.parquet(s"$sf/documents.parquet")
   private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
 
+  test("duplicate-span coverage: planted shared span counted exactly, unique docs zero") {
+    import spark.implicits._
+    val shared = (1 to 8).map(i => s"boiler$i").mkString(" ")
+    val rows = Seq(
+      (1L, s"alpha beta gamma $shared delta"),          // span at idx 3, 12 tokens
+      (2L, s"$shared epsilon zeta"),                    // span at idx 0, 10 tokens
+      (3L, "wholly unique words that never repeat anywhere else at all"))
+    val out = Dedup.duplicateSpanCoverage(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // doc 1: 12 tokens -> 5 windows; ONLY the exact planted window is
+    // duplicated (neighboring windows mix in unique context words);
+    // its 8 tokens are covered
+    assert(out(1L) === ((5L, 1L, 8L, 12L)))
+    assert(out(2L) === ((3L, 1L, 8L, 10L)))
+    assert(out(3L) === ((3L, 0L, 0L, 10L)))
+  }
+
   test("minhash-LSH pairs equal exact jaccard pairs at 0.8") {
     val exact = Dedup.jaccardPairs(docs, 0.8).select("a_id", "b_id")
     val lsh = Dedup.minHashLshPairs(docs, 0.8).select("a_id", "b_id")
