@@ -34,7 +34,10 @@ import org.apache.spark.sql.functions._
   */
 object BenchStress {
 
-  val Copies = 10
+  /** Blow-up factor (SPARK_GRAFT_STRESS_COPIES, default 10). A second
+    * point at 30 turns the single ratio into a scaling curve. */
+  val Copies: Int =
+    sys.env.getOrElse("SPARK_GRAFT_STRESS_COPIES", "10").toInt
 
   /** Heavy families per VERDICT r9: the queries whose 100 TB story the
     * stress run is meant to measure. */
@@ -75,7 +78,7 @@ object BenchStress {
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val stressDir = sys.env.getOrElse("SPARK_GRAFT_STRESS_DIR",
-      "/tmp/graft-stress-10x")
+      s"/tmp/graft-stress-${Copies}x")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT",
       "/root/repo/BENCH_STRESS.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
