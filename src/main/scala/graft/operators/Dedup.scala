@@ -963,20 +963,22 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("wh").as("dwh"))
-    val flagged = spans
-      .join(dup, col("wh") === col("dwh"), "left_semi")
-    val covered = flagged
+    // one outer join marks every window; window + dup counts fold in a
+    // single doc_id aggregation (d10's flagged shape — no separate
+    // flagged-only count pass)
+    val marked = spans
+      .join(dup, col("wh") === col("dwh"), "left_outer")
+      .select(col("doc_id"), col("idx"), col("dwh").isNotNull.as("dup"))
+    val winStats = marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("dup").cast("long")).as("n_dup_windows"))
+    val covered = marked.filter(col("dup"))
       .select(col("doc_id"),
         explode(sequence(col("idx"), col("idx") + lit(spanTokens - 1))).as("pos"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("pos")).as("n_covered_tokens"))
-    val winStats = spans.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_windows"))
-    val dupStats = flagged.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_dup_windows"))
     nTok
       .join(winStats, Seq("doc_id"), "left_outer")
-      .join(dupStats, Seq("doc_id"), "left_outer")
       .join(covered, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
