@@ -76,8 +76,54 @@ object ConnectorQueries {
     "c8_incremental_read" -> c8,
     "c9_stream_sessions" -> c9,
     "c10_optimize_compact" -> c10,
-    "c11_retention_expire" -> c11
+    "c11_retention_expire" -> c11,
+    "c12_stream_kmv" -> c12
   )
+
+  /** Streaming sketch state on the oracle gate (c12): per-event-type
+    * KMV bottom-k sketches built INSIDE a streaming aggregation —
+    * the TypedImperativeAggregate's buffer is streaming state, so the
+    * sketch must serialize into the state store and carry across
+    * micro-batch boundaries (pacing forces several triggers). The
+    * estimate is MONOTONE in the growing set (the k-th smallest hash
+    * only decreases; below capacity the exact count only grows), so
+    * Update-mode emissions reconcile by max() per key, and the final
+    * value must equal the batch estimate over all data — which the
+    * oracle recomputes exactly (distinct-hash ranks + the same IEEE
+    * estimator, the k6 machinery on the event stream). Any sketch
+    * state lost or double-counted across triggers breaks the hash. */
+  private def c12: Q = (spark, dir) => {
+    import graft.functions.Sketches.{kmv_build, kmv_estimate}
+    val srcOpts = ingest(spark, dir, 2)
+    val total = c12Count.getOrElseUpdate((spark, dir),
+      t(spark, dir, "events").count())
+    val dstRoot = tempDir("graft-logstore-c12")
+    new EmbeddedLogStore(dstRoot).createStore("proj", "kmv", 1)
+    val dstOpts = Map("store.root" -> dstRoot, "store.project" -> "proj",
+      "store.name" -> "kmv")
+    val ckpt = tempDir("graft-c12-ckpt")
+    val q = streamSession(spark).readStream.format("graft-logstore")
+      .options(srcOpts)
+      // ~3 micro-batches at any scale (the c5 pacing idiom): enough to
+      // prove sketch state crosses triggers without 30x trigger cost
+      .option("maxoffsetspertrigger", math.max(1L, total / 3 + 1).toString)
+      .schema("user_id LONG, event_type STRING").load()
+      .groupBy(col("event_type"))
+      .agg(kmv_estimate(kmv_build(col("user_id"), 256)).as("approx_users"))
+      .writeStream.format("graft-logstore").options(dstOpts)
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    spark.read.format("graft-logstore").options(dstOpts)
+      .schema("event_type STRING, approx_users DOUBLE").load()
+      .groupBy(col("event_type"))
+      .agg(max(col("approx_users")).as("approx_users"))
+  }
+
+  private val c12Count =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
 
   /** Time-based retention on the oracle gate (c11): two time-ordered
     * commits (cold half, then hot half), expire everything before the
@@ -557,6 +603,20 @@ object ConnectorQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "c12_stream_kmv" ->
+      s"""WITH du AS (SELECT DISTINCT event_type, CAST(user_id AS HUGEINT) AS fpu FROM events),
+         |xx AS MATERIALIZED (${OracleSql.xxHashLongLayers("SELECT event_type, fpu FROM du")}),
+         |dh AS (SELECT DISTINCT event_type, h1u FROM xx),
+         |rk AS (SELECT event_type, h1u,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY h1u) AS r
+         |       FROM dh),
+         |st AS (SELECT event_type, count(*) AS cnt, max(h1u) AS kth
+         |       FROM rk WHERE r <= 256 GROUP BY 1)
+         |SELECT event_type,
+         |  CASE WHEN cnt < 256 THEN CAST(cnt AS DOUBLE)
+         |       ELSE 255e0 / (CAST(kth AS DOUBLE) / 18446744073709551616e0) END
+         |    AS approx_users
+         |FROM st""".stripMargin,
     "c11_retention_expire" ->
       """SELECT event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
