@@ -25,7 +25,25 @@ object MultimodalQueries {
     "m7_audio_frames" -> m7,
     "m8_scene_cuts" -> m8,
     "m9_image_dhash" -> m9,
-    "m10_video_probe" -> m10)
+    "m10_video_probe" -> m10,
+    "m11_image_dedup_groups" -> m11)
+
+  /** Perceptual-hash image dedup (m11): m9's dHashes grouped by EXACT
+    * hash equality — the LAION-style first dedup pass (hash every
+    * image, drop hash-equal copies, keeper = lowest id). Group rows,
+    * not pair rows: the synthetic planes make near-all-ones hashes
+    * common, so a pair listing would be quadratic in the biggest
+    * clique while the group view stays O(distinct hashes) — the same
+    * reason production pHash dedup dedups by key, not by pairwise
+    * comparison. id_sum pins the exact membership of every group.
+    * Scale: the m9 map is zero-shuffle; the grouping is one
+    * shuffle-on-hash with map-side combine. */
+  private def m11: Q = (spark, dir) =>
+    m9(spark, dir)
+      .groupBy(col("dhash_lo"), col("dhash_hi"))
+      .agg(count(lit(1)).as("n_images"),
+        min(col("doc_id")).as("keeper_id"),
+        sum(col("doc_id")).as("id_sum"))
 
   /** H.264 metadata probe (m10): per-asset synthetic-but-CONFORMANT
     * Annex-B streams (real SPS bits, real slice headers, real
@@ -365,6 +383,20 @@ object MultimodalQueries {
         | CASE WHEN octet_length(encode(text)) >= 128
         |      THEN lower(substring(hex(encode(text)), 1, 256)) END AS first_frame_hex
         |FROM documents""".stripMargin,
+    "m11_image_dedup_groups" ->
+      """WITH h AS (SELECT doc_id,
+        | CAST(list_sum(list_transform(range(0, 32), b ->
+        |   CASE WHEN ((doc_id*31 + (b//8)*9 + (b%8) + 1) % 256)
+        |          > ((doc_id*31 + (b//8)*9 + (b%8)) % 256)
+        |   THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS dhash_lo,
+        | CAST(list_sum(list_transform(range(32, 64), b ->
+        |   CASE WHEN ((doc_id*31 + (b//8)*9 + (b%8) + 1) % 256)
+        |          > ((doc_id*31 + (b//8)*9 + (b%8)) % 256)
+        |   THEN (1::BIGINT << (b - 32)) ELSE 0 END)) AS BIGINT) AS dhash_hi
+        |FROM documents)
+        |SELECT dhash_lo, dhash_hi, COUNT(*) AS n_images,
+        | MIN(doc_id) AS keeper_id, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM h GROUP BY dhash_lo, dhash_hi""".stripMargin,
     "m9_image_dhash" ->
       """SELECT doc_id,
         | CAST(list_sum(list_transform(range(0, 32), b ->

@@ -54,8 +54,64 @@ object Relational {
     "q26_percentiles" -> q26,
     "q27_interval_join" -> q27,
     "q28_funnel" -> q28,
-    "q29_grouping_sets" -> q29
+    "q29_grouping_sets" -> q29,
+    "q30_bucketed_revenue" -> q30
   )
+
+  /** Bucketed co-located fact-fact join (q30): lineitem and orders are
+    * materialized ONCE per (session, sf dir) as bucketBy(order key),
+    * sortBy-sorted managed tables, and the join then runs with ZERO
+    * exchanges — the SortMergeJoin reads matching buckets directly
+    * (plan-guarded in PlanShapeSpec). This is the pre-shuffled layout a
+    * repeated fact-fact join pipeline uses at 100 TB: pay the shuffle
+    * once at WRITE time, never again per query — vs q28's intended
+    * shuffle-per-query fact-fact SMJ on raw parquet. The one-time
+    * bucketed write is warm-up (the same shared-artifact idiom as the
+    * connector ingests); every rep measures the read-side join. The
+    * oracle is the identical join over the raw parquet — bucketing must
+    * be layout-only, changing nothing about the result. */
+  private val bucketedTables = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, String)]
+
+  /** Managed-table locations outlive the in-memory catalog: a previous
+    * JVM's warehouse directory blocks saveAsTable with
+    * LOCATION_ALREADY_EXISTS even though DROP TABLE has nothing to
+    * drop. Clear both the catalog entry and the leftover location. */
+  private def resetManagedTable(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val wh = spark.sessionState.conf.warehousePath.stripPrefix("file:")
+    val dir = new java.io.File(wh, name)
+    if (dir.isDirectory) {
+      java.nio.file.Files.walk(dir.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    }
+  }
+
+  private def q30: Q = (spark, dir) => {
+    val (liT, orT) = bucketedTables.getOrElseUpdate((spark, dir), {
+      val tag = java.lang.Integer.toUnsignedString(dir.hashCode, 16)
+      val li = s"graft_li_bucketed_$tag"
+      val or = s"graft_or_bucketed_$tag"
+      resetManagedTable(spark, li)
+      resetManagedTable(spark, or)
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(li)
+      t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(or)
+      (li, or)
+    })
+    spark.table(liT)
+      .join(spark.table(orT), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast(DoubleType).as("revenue"))
+  }
 
   /** Explicit GROUPING SETS (q29): the general form rollup (q11) and
     * cube (q15) are sugar for — three hand-picked aggregation levels
@@ -561,6 +617,11 @@ object Relational {
   }
 
   def oracles: Map[String, String] = Map(
+    "q30_bucketed_revenue" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q29_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         | grouping(l_returnflag, l_linestatus) AS gid,

@@ -225,4 +225,23 @@ class PlanShapeSpec extends AnyFunSuite {
       !p.contains("CartesianProduct"), p)
     assert("HashAggregate".r.findAllIn(p).size >= 4, p) // per-stage MINs combine map-side
   }
+
+  test("q30: the bucketed fact-fact join runs with ZERO join-side exchanges") {
+    // both tables bucketBy(8, order key): the join must read co-located
+    // buckets directly — any Exchange under it means the pre-shuffled
+    // layout was silently ignored (the aggregation above keeps its own
+    // exchange). At smoke scale the optimizer would BROADCAST the tiny
+    // orders side (also shuffle-free, but not the layout under test),
+    // so pin the shuffle-join path for the assertion.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q30_bucketed_revenue")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      val joinIdx = p.indexOf("MergeJoin") max p.indexOf("ShuffledHashJoin")
+      val belowJoin = p.substring(joinIdx)
+      assert(!belowJoin.contains("Exchange hashpartitioning"), p)
+      assert("Bucketed: true".r.findAllIn(p).size >= 2, p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
