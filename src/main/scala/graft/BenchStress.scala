@@ -39,14 +39,20 @@ object BenchStress {
   val Copies: Int =
     sys.env.getOrElse("SPARK_GRAFT_STRESS_COPIES", "10").toInt
 
-  /** Heavy families per VERDICT r9: the queries whose 100 TB story the
-    * stress run is meant to measure. */
+  /** Heavy families per VERDICT r9, plus the round-10 operators whose
+    * scale story deserves the same measurement: d13 (stride-1 span
+    * coverage), k6 (KMV overlap matrix), t23 (bounded-merge BPE
+    * encode), and c5 — the one streaming member (transformWithState
+    * dedup over the blown-up documents; its ingest is warmed per
+    * (session, dir) so the reps time the stream itself, and the state
+    * store must hold 10x/30x the fingerprints). */
   val Heavy: Seq[String] = Seq(
     "d1_dedup_exact", "d3_dedup_minhash_lsh", "d4_dedup_simhash",
     "d9_dedup_groups", "d10_segment_dedup", "d12_ngram_decontaminate",
-    "s2_ann_lsh", "s3_ann_ivf", "s4_ann_multiprobe", "s5_ann_sq",
-    "s6_ann_pq", "t14_pack_sequences", "t15_global_shuffle",
-    "p4_leakage_split")
+    "d13_dup_spans", "s2_ann_lsh", "s3_ann_ivf", "s4_ann_multiprobe",
+    "s5_ann_sq", "s6_ann_pq", "t14_pack_sequences", "t15_global_shuffle",
+    "t23_bpe_small", "p4_leakage_split", "k6_kmv_overlap",
+    "c5_stream_dedup")
 
   def generate(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")

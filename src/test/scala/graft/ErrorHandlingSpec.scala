@@ -151,6 +151,24 @@ class ErrorHandlingSpec extends AnyFunSuite {
       graft.operators.Similarity.pqKnn(emb, emb, k = 1, m = 3))
   }
 
+  test("mismatched KMV sketches refuse to combine; tiny capacity refused loudly") {
+    import graft.functions.Sketches._
+    import spark.implicits._
+    val a = Seq(1L, 2L).toDF("v").agg(kmv_build(col("v"), 64))
+      .head().getAs[Array[Byte]](0)
+    val b = Seq(1L, 2L).toDF("v").agg(kmv_build(col("v"), 128))
+      .head().getAs[Array[Byte]](0)
+    val e = intercept[Exception](
+      spark.range(1).select(kmv_jaccard(lit(a), lit(b))).head())
+    def msg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg(e).contains("mismatched sketch k"), msg(e))
+    // a 1-element bottom-k cannot estimate anything — constructor refuses
+    intercept[IllegalArgumentException](graft.functions.KmvSketchBuild(
+      org.apache.spark.sql.graft.Bridge.expression(col("v")), k = 1))
+  }
+
   test("mismatched Bloom filters refuse to merge") {
     import spark.implicits._
     val b = graft.functions.Bloom
