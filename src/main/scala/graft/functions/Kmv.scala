@@ -165,7 +165,12 @@ abstract class KmvAggBase extends TypedImperativeAggregate[KmvOps.Buffer]
       val fresh = new KmvOps.Buffer(o.k)
       KmvOps.offerAll(fresh, o.hashes)
       fresh
-    } else { KmvOps.offerAll(b, o.hashes); b }
+    } else {
+      // mixing capacities would silently truncate the larger sketch's
+      // retained set to the smaller k — refuse, like the combines do
+      require(b.k == o.k, s"mismatched sketch k: ${b.k} vs ${o.k}")
+      KmvOps.offerAll(b, o.hashes); b
+    }
   }
   override def eval(b: KmvOps.Buffer): Any = KmvOps.serialize(b)
   override def serialize(b: KmvOps.Buffer): Array[Byte] = KmvOps.serialize(b)

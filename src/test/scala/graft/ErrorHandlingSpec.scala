@@ -164,6 +164,10 @@ class ErrorHandlingSpec extends AnyFunSuite {
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
         .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
     assert(msg(e).contains("mismatched sketch k"), msg(e))
+    // kmv_merge over mixed-capacity partials refuses the same way
+    val e2 = intercept[Exception](
+      Seq(a, b).toDF("sk").agg(kmv_merge(col("sk"))).head())
+    assert(msg(e2).contains("mismatched sketch k"), msg(e2))
     // a 1-element bottom-k cannot estimate anything — constructor refuses
     intercept[IllegalArgumentException](graft.functions.KmvSketchBuild(
       org.apache.spark.sql.graft.Bridge.expression(col("v")), k = 1))
