@@ -117,6 +117,18 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(all === Vector(("a", "b"), ("ab", Bpe.EndOfWord)))
   }
 
+  test("BPE: greedy training is prefix-stable — t23's 8 merges are t17's first 8") {
+    // the oracled t23 and the no-oracle t17 differ ONLY in merge count:
+    // greedy training at a lower count must produce a literal prefix of
+    // the higher-count merge list, so t23's equality oracle pins the
+    // identical code path t17 runs
+    import graft.functions.Bpe
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m50 = Bpe.trainMerges(docs, numMerges = 50, sampleDocs = 100)
+    val m8 = Bpe.trainMerges(docs, numMerges = 8, sampleDocs = 100)
+    assert(m50.take(8) === m8)
+  }
+
   test("BPE: distributed encode is deterministic and matches a local re-encode") {
     import graft.functions.Bpe
     import spark.implicits._
