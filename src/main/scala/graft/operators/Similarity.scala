@@ -60,6 +60,30 @@ object Similarity {
       k)
   }
 
+  /** Radius (threshold) search: every corpus vector within cosine
+    * similarity ≥ `tau` of each query — the "find ALL near neighbors"
+    * variant of [[bruteForceKnn]], used when the downstream consumer
+    * needs the complete neighborhood (near-dup candidate harvesting,
+    * retrieval-augmented filtering) rather than a fixed k.
+    * Output: (query_id, neighbor_id, sim), self-pairs excluded.
+    *
+    * Scale: identical shape to s1 — the bounded query side broadcasts,
+    * the corpus scans in place and never shuffles, and the ≥ tau
+    * predicate filters inside the scan stage, so the result stream is
+    * |matches|, not |Q|×|C|. No window at all (radius search has no
+    * rank), which removes even the TopK exchange. The LSH-bucketed
+    * variants (s2/s4 machinery) remain the 100 TB path when |Q| is
+    * itself corpus-sized. */
+  def rangeSearch(emb: DataFrame, queries: DataFrame, tau: Double): DataFrame = {
+    val corpus = emb.select(col("vec_id"), VF.toDoubleVec(col("embedding")).as("v"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      VF.toDoubleVec(col("embedding")).as("qv"))
+    corpus.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        VF.cosine(col("qv"), col("v")).as("sim"))
+      .filter(col("sim") >= lit(tau))
+  }
+
   /** k-NN label vote: classify each query vector by the majority label
     * of its k exact cosine neighbors (self excluded), ties broken toward
     * the smallest label — the standard embedding-space eval for "does

@@ -77,8 +77,60 @@ object ConnectorQueries {
     "c9_stream_sessions" -> c9,
     "c10_optimize_compact" -> c10,
     "c11_retention_expire" -> c11,
-    "c12_stream_kmv" -> c12
+    "c12_stream_kmv" -> c12,
+    "c13_stream_cms" -> c13
   )
+
+  /** Streaming CMS frequency state on the oracle gate (c13): the c12
+    * idiom with the POINT-FREQUENCY sketch — a count-min counter array
+    * built inside a streaming aggregation, so the 64 KiB buffer is
+    * streaming state that must serialize into the state store and
+    * carry across the forced multi-trigger pacing. CMS counters only
+    * grow, so the per-trigger Update emissions are monotone per key and
+    * reconcile by max(); the final probe estimates must equal the exact
+    * CMS replay over ALL events (the k2 cell machinery, grouped by
+    * event_type) — state lost at a trigger boundary or rows
+    * double-counted on recovery break the hash. Probes cover two mid
+    * users, the heaviest user, and an absent id (whose estimate is
+    * whatever its cells collided into — replayed exactly, not assumed
+    * zero). */
+  private def c13: Q = (spark, dir) => {
+    import graft.functions.Sketches.{cms_build, cms_query}
+    val srcOpts = ingest(spark, dir, 2)
+    val total = c13Count.getOrElseUpdate((spark, dir),
+      t(spark, dir, "events").count())
+    val dstRoot = tempDir("graft-logstore-c13")
+    new EmbeddedLogStore(dstRoot).createStore("proj", "cms", 1)
+    val dstOpts = Map("store.root" -> dstRoot, "store.project" -> "proj",
+      "store.name" -> "cms")
+    val ckpt = tempDir("graft-c13-ckpt")
+    val probes = C13Probes.map(u => cms_query(col("sk"), lit(u)).as(s"est_u$u"))
+    val q = streamSession(spark).readStream.format("graft-logstore")
+      .options(srcOpts)
+      .option("maxoffsetspertrigger", math.max(1L, total / 3 + 1).toString)
+      .schema("user_id LONG, event_type STRING").load()
+      .groupBy(col("event_type"))
+      .agg(cms_build(col("user_id")).as("sk"))
+      .select(col("event_type") +: probes: _*)
+      .writeStream.format("graft-logstore").options(dstOpts)
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val reconcile = C13Probes.map(u => max(col(s"est_u$u")).as(s"est_u$u"))
+    spark.read.format("graft-logstore").options(dstOpts)
+      .schema("event_type STRING, " +
+        C13Probes.map(u => s"est_u$u LONG").mkString(", "))
+      .load()
+      .groupBy(col("event_type"))
+      .agg(reconcile.head, reconcile.tail: _*)
+  }
+
+  private val C13Probes = Seq(7L, 41L, 149L, 999999L)
+
+  private val c13Count =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
 
   /** Streaming sketch state on the oracle gate (c12): per-event-type
     * KMV bottom-k sketches built INSIDE a streaming aggregation —
@@ -602,7 +654,43 @@ object ConnectorQueries {
         max(col("event_id")).as("max_id"))
   }
 
+  /** Exact replay of c13: per-(event_type, user) counts → xxhash64-of-
+    * long (layered projections) → per-row splitmix64 cell index →
+    * integer counters per event_type; each probe's estimate is the min
+    * over its Depth constant-folded cells (folded with the engine's own
+    * XxHash64Function/CmsOps.indexOf — the k2 precedent, grouped). */
+  private def c13OracleSql: String = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.LongType
+    val probeCols = C13Probes.map { u =>
+      val h = XxHash64Function.hash(u, LongType, 42L)
+      val mins = (0 until graft.functions.CmsOps.Depth).map { d =>
+        val idx = graft.functions.CmsOps.indexOf(h, d)
+        s"COALESCE(MAX(CASE WHEN d = $d AND idx = $idx THEN c END), 0)"
+      }
+      s"CAST(least(${mins.mkString(", ")}) AS BIGINT) AS est_u$u"
+    }
+    s"""WITH dt AS (SELECT event_type, CAST(user_id AS HUGEINT) AS fpu,
+       |             COUNT(*) AS cnt
+       |           FROM events GROUP BY 1, 2),
+       |xx AS MATERIALIZED (${
+         OracleSql.xxHashLongLayers("SELECT event_type, cnt, fpu FROM dt")}),
+       |mixin AS (SELECT event_type, cnt, d, ${
+         OracleSql.u64xor("h1u", "d")} AS mxin
+       |          FROM xx CROSS JOIN range(0, 4) t(d)),
+       |mx AS MATERIALIZED (${
+         OracleSql.splitmixLayers("SELECT event_type, cnt, d, mxin FROM mixin")}),
+       |cells AS (SELECT event_type, d,
+       |            CAST(${OracleSql.u64shr("mxout", 1)} % 2048 AS BIGINT) AS idx,
+       |            SUM(cnt) AS c
+       |          FROM mx GROUP BY 1, 2, 3)
+       |SELECT event_type,
+       |  ${probeCols.mkString(",\n  ")}
+       |FROM cells GROUP BY event_type""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "c13_stream_cms" -> c13OracleSql,
     "c12_stream_kmv" ->
       s"""WITH du AS (SELECT DISTINCT event_type, CAST(user_id AS HUGEINT) AS fpu FROM events),
          |xx AS MATERIALIZED (${OracleSql.xxHashLongLayers("SELECT event_type, fpu FROM du")}),

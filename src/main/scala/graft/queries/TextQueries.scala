@@ -62,6 +62,8 @@ object TextQueries {
     "t20_hashed_features" -> t20,
     "t21_bm25" -> t21,
     "t22_novelty" -> t22,
+    "t24_pmi_collocations" -> t24,
+    "t25_stratified_sample" -> t25,
     "s1_ann_cosine" -> s1,
     "s2_ann_lsh" -> s2,
     "s3_ann_ivf" -> s3,
@@ -72,6 +74,7 @@ object TextQueries {
     "s8_knn_classify" -> s8,
     "s9_cluster_purity" -> s9,
     "s10_mmr_select" -> s10,
+    "s11_range_search" -> s11,
     "p1_prep_pipeline" -> p1,
     "p2_prep_pipeline_v2" -> p2,
     "p3_dedup_keeper" -> p3,
@@ -680,6 +683,14 @@ object TextQueries {
     Similarity.lshKnn(e, e.filter(col("vec_id") < 8), k = 4, bits = 4)
   }
 
+  /** Cosine radius search (s11): all neighbors within sim ≥ 0.25 —
+    * the complete-neighborhood variant of s1 (same broadcast-query ×
+    * corpus-scan shape, no rank window at all). */
+  private def s11: Q = (spark, dir) => {
+    val e = t(spark, dir, "embeddings")
+    Similarity.rangeSearch(e, e.filter(col("vec_id") < 8), tau = 0.25)
+  }
+
   private def s3: Q = (spark, dir) => {
     val e = t(spark, dir, "embeddings")
     Similarity.ivfKnn(e, e.filter(col("vec_id") < 8), k = 4)
@@ -1026,6 +1037,70 @@ object TextQueries {
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("cnt")).as("bigram_mass"),
         sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n_unique_bigrams"))
+  }
+
+  /** PMI collocations (t24): the classic phrase-mining signal — rank
+    * adjacent token pairs by pointwise mutual information, i.e. how
+    * much more often the pair co-occurs than its unigram frequencies
+    * predict. PMI = ln(c_xy·N / (c_x·c_y)); ln is monotone, so the
+    * score is emitted as the exact LIFT ratio c_xy·N/(c_x·c_y) instead
+    * — integer multiplies both sides (exact in BIGINT), ONE IEEE
+    * division, identical in both engines, no transcendental anywhere
+    * (the k6/t19 exact-rational precedent). Pairs below `minCount` are
+    * noise (PMI's known low-frequency pathology) and are dropped; the
+    * top `topK` by (lift desc, pair asc — a total order, so the cut
+    * line is deterministic) are returned.
+    *
+    * Scale: bigrams derive per-row with zip_with (no posexplode
+    * self-join); unigram and bigram counts are map-side-combined hash
+    * aggs; the Zipf-bounded unigram table broadcasts back onto the
+    * minCount-pruned bigram table (two broadcast joins, fact side
+    * never reshuffled); the top-k is a TakeOrdered — no global sort. */
+  private def t24: Q = (spark, dir) => {
+    val minCount = 5L
+    val topK = 100
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), TF.tokens(lower(col("text"))).as("a"))
+    val toks = docs.select(explode(col("a")).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    // corpus token total: derived from the (Zipf-bounded) unigram table,
+    // not a second corpus pass; one driver-held long
+    val nTok = uni.agg(sum(col("c"))).head().getLong(0)
+    val pairs = docs
+      .select(explode(zip_with(
+        slice(col("a"), lit(1), size(col("a")) - 1),
+        slice(col("a"), lit(2), greatest(size(col("a")) - 1, lit(0))),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+    pairs
+      .join(broadcast(uni.select(col("tok").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("c2"))), "w2")
+      .select(col("w1"), col("w2"), col("pair_count"),
+        ((col("pair_count") * lit(nTok)).cast(DoubleType) /
+          (col("c1") * col("c2")).cast(DoubleType)).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** Deterministic stratified sampling (t25): the source-mixing step —
+    * down-sample the bulk strata, keep curated strata dense — via
+    * [[graft.operators.Sampling.stratified]]'s hash-threshold rule
+    * (xxhash64(doc_id) mod 10^4 < rate_bp). Reproducible by
+    * construction: no RNG, no partition-layout sensitivity, nested
+    * rates give nested samples. Horvitz–Thompson weight rides along.
+    * The oracle replays the exact xxhash64 chain (the k3/t25 layered
+    * projections) and the same CASE rate table. */
+  private def t25: Q = (spark, dir) => {
+    import graft.operators.Sampling
+    val rates = (0 until 20).map { i =>
+      s"src$i" -> (if (i < 5) 5000 else if (i < 10) 2500 else 1000)
+    }.toMap
+    Sampling.stratified(
+        t(spark, dir, "documents").select(col("doc_id"), col("source")),
+        col("source"), col("doc_id"), rates, defaultBp = 1000)
+      .select(col("doc_id"), col("source"), col("weight"))
   }
 
   /** Feature hashing (t20): the VW/fastText featurizer — each token is
@@ -1700,6 +1775,53 @@ object TextQueries {
         |  ON a.cid = b.cid AND a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v) /
         |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""".stripMargin,
+    // t24: unigram/bigram counts in plain SQL; lift = c_xy*N/(c_x*c_y)
+    // with integer multiplies and ONE double division (identical IEEE op
+    // order to the Spark side); the top-100 cut is deterministic under
+    // the (lift DESC, w1, w2) total order.
+    "t24_pmi_collocations" ->
+      """WITH d AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS a
+        |           FROM documents),
+        |tok AS (SELECT unnest(a) AS tok FROM d),
+        |uni AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS nt FROM uni),
+        |bg AS (SELECT p[1] AS w1, p[2] AS w2
+        |       FROM (SELECT unnest(list_zip(a[1:len(a)-1], a[2:])) AS p FROM d)),
+        |pc AS (SELECT w1, w2, COUNT(*) AS pair_count FROM bg
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT w1, w2, pair_count,
+        | CAST(pair_count * nt AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE) AS lift
+        |FROM pc CROSS JOIN n
+        |JOIN uni u1 ON u1.tok = pc.w1
+        |JOIN uni u2 ON u2.tok = pc.w2
+        |ORDER BY lift DESC, w1, w2 LIMIT 100""".stripMargin,
+    // t25: exact xxhash64(doc_id) replay (layered projections), unsigned
+    // h1u folded back to Spark's SIGNED long before the pmod — then the
+    // same CASE rate table, threshold filter, and 1/rate weight.
+    "t25_stratified_sample" -> {
+      val bucket = s"((${OracleSql.u64signed("h1u")} % 10000) + 10000) % 10000"
+      s"""WITH xx AS (${OracleSql.xxHashLongLayers(
+             "SELECT doc_id, source, CAST(doc_id AS HUGEINT) AS fpu FROM documents")}),
+         |r AS (SELECT doc_id, source, $bucket AS bucket,
+         |        CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 5000
+         |             WHEN source IN ('src5','src6','src7','src8','src9') THEN 2500
+         |             ELSE 1000 END AS bp
+         |      FROM xx)
+         |SELECT doc_id, source,
+         |  CAST(10000.0 AS DOUBLE) / CAST(bp AS DOUBLE) AS weight
+         |FROM r WHERE bucket < bp""".stripMargin
+    },
+    // s11: the s1 cosine replay without the rank window; the ≥ tau
+    // comparison is on bit-identical doubles, so the match set is exact.
+    "s11_range_search" ->
+      """SELECT query_id, neighbor_id, sim FROM (
+        | SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+        |  list_dot_product(q.qv, e.v) /
+        |    (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim
+        | FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e
+        | JOIN (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |       FROM embeddings WHERE vec_id < 8) q ON e.vec_id <> q.qid) x
+        |WHERE sim >= 0.25""".stripMargin,
     "s1_ann_cosine" ->
       """SELECT query_id, neighbor_id, rn AS rank, sim FROM (
         | SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
