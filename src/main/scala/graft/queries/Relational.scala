@@ -55,8 +55,32 @@ object Relational {
     "q27_interval_join" -> q27,
     "q28_funnel" -> q28,
     "q29_grouping_sets" -> q29,
-    "q30_bucketed_revenue" -> q30
+    "q30_bucketed_revenue" -> q30,
+    "q31_salted_join" -> q31
   )
+
+  /** Salted skew join (q31): lineitem ⋈ supplier through
+    * [[graft.operators.SkewJoin.saltedInner]] — big side salted over 8
+    * buckets from its row-content hash, supplier replicated 8×, so a
+    * hot suppkey's rows spread over 8 reducers instead of serializing
+    * on one. Salting is pure EXECUTION layout: the oracle is the plain
+    * unsalted SQL join, and any row lost, duplicated, or mis-salted
+    * breaks the hash. The no-broadcast salted plan shape is pinned in
+    * PlanShapeSpec (at smoke scale the optimizer rightly broadcasts
+    * the replicated dim; at the scale where salting matters, it
+    * shuffles on (key, salt) — both correct, only one under test). */
+  private def q31: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    val sup = t(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    graft.operators.SkewJoin
+      .saltedInner(li, sup, "l_suppkey", "s_suppkey", factor = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast(DoubleType).as("revenue"))
+  }
 
   /** Bucketed co-located fact-fact join (q30): lineitem and orders are
     * materialized ONCE per (session, sf dir) as bucketBy(order key),
@@ -617,6 +641,11 @@ object Relational {
   }
 
   def oracles: Map[String, String] = Map(
+    "q31_salted_join" ->
+      """SELECT s_nationkey, COUNT(*) AS n_items,
+        | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin,
     "q30_bucketed_revenue" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
         | CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue

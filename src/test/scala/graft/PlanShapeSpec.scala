@@ -244,4 +244,21 @@ class PlanShapeSpec extends AnyFunSuite {
       assert("Bucketed: true".r.findAllIn(p).size >= 2, p)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("q31: the salted join shuffles on (key, salt), spreading hot keys") {
+    // with broadcast off (the regime where salting matters), the join
+    // must be a shuffle join whose clustering includes the salt column —
+    // that inclusion IS the skew mitigation: a hot suppkey's rows land
+    // on `factor` reducers instead of one.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan("q31_salted_join")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      val joinLine = p.linesIterator
+        .find(l => l.contains("MergeJoin") || l.contains("ShuffledHashJoin"))
+        .getOrElse("")
+      assert(joinLine.contains("__salt"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -85,6 +85,26 @@ class SamplingAndRangeSpec extends AnyFunSuite {
       Seq("apple", "big", "new", "york"))
   }
 
+  test("salted join returns exactly the unsalted join, any factor") {
+    import graft.operators.SkewJoin
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    val sup = spark.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val plain = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("s_nationkey"))
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    for (factor <- Seq(1, 3, 8)) {
+      val salted = SkewJoin.saltedInner(li, sup, "l_suppkey", "s_suppkey", factor)
+        .select(col("l_orderkey"), col("l_linenumber"), col("s_nationkey"))
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(salted === plain, s"factor $factor")
+    }
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedInner(li, sup, "l_suppkey", "s_suppkey", 0)
+    }
+  }
+
   test("range search: threshold honored, self excluded, knn-consistent") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val tau = 0.2
