@@ -587,6 +587,67 @@ object Dedup {
       .toDF("a_id", "b_id", "sim")
   }
 
+  /** Semantic (embedding-space) decontamination — the vector analogue
+    * of the text decontamination family (exact-fingerprint anti-join,
+    * shingle overlap, Bloom probe): drop every corpus vector whose
+    * cosine similarity to ANY eval/benchmark vector reaches
+    * `threshold`; survivors carry their max eval similarity as the
+    * audit column. This is the filter an LLM pipeline runs against
+    * held-out benchmarks when contamination is paraphrased rather than
+    * verbatim — the text-level passes can't see it, the embedding pass
+    * can.
+    *
+    * Shape: the eval side is a benchmark — tiny and bounded by nature
+    * (guarded by `evalLimit`) — so it collects once and broadcasts as
+    * primitive arrays with precomputed norms; the corpus streams
+    * through a fused max-over-eval loop. ZERO shuffles and zero corpus
+    * materialization: at 100 TB this is a single scan, embarrassingly
+    * parallel, the same cost as reading the column. The dot/norm folds
+    * are the strict ascending-index math of [[embeddingCosinePairs]],
+    * and max over doubles is exactly order-independent, so `max_sim`
+    * is bit-identical to the SQL cross-join replay. */
+  def embeddingDecontaminate(corpus: DataFrame, eval: DataFrame,
+      threshold: Double, evalLimit: Long = 1L << 20): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def vecs(df: DataFrame) = df.select(col("vec_id").cast("long"),
+        VF.toDoubleVec(col("embedding")))
+      .as[(Long, Seq[Double])]
+    val ev = vecs(eval).limit(evalLimit.toInt + 1).collect()
+    require(ev.nonEmpty, "eval set is empty — nothing to decontaminate against")
+    require(ev.length <= evalLimit,
+      s"eval set exceeds $evalLimit vectors; an eval/benchmark side this " +
+        "large should run as a pair join (embeddingLshPairs), not a broadcast scan")
+    val evArrs = ev.map(_._2.toArray)
+    val evNorms = evArrs.map { v =>
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i) * v(i); i += 1 }
+      math.sqrt(acc)
+    }
+    val bc = spark.sparkContext.broadcast((evArrs, evNorms))
+    val thr = threshold
+    vecs(corpus).mapPartitions { it =>
+      val (bArrs, bNorms) = bc.value
+      it.flatMap { case (id, vseq) =>
+        val v = vseq.toArray
+        var acc = 0.0; var i = 0
+        while (i < v.length) { acc += v(i) * v(i); i += 1 }
+        val an = math.sqrt(acc)
+        var best = Double.NegativeInfinity
+        var j = 0
+        while (j < bArrs.length) {
+          val w = bArrs(j)
+          var dot = 0.0; var k = 0
+          while (k < v.length) { dot += v(k) * w(k); k += 1 }
+          val sim = dot / (an * bNorms(j))
+          if (sim > best) best = sim
+          j += 1
+        }
+        if (best < thr) Iterator.single((id, best)) else Iterator.empty
+      }
+    }.toDF("vec_id", "max_sim")
+  }
+
   /** splitmix64 — deterministic pseudo-random stream for hyperplane
     * components; no RNG state, identical on every executor. */
   @inline private[operators] def splitmix64(x0: Long): Long = {

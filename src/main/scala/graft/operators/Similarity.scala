@@ -324,6 +324,63 @@ object Similarity {
     * typed pass per vector (fused primitive loops — the column-HOF
     * formulation re-materializes a dim-length array per plane). The
     * probe fan-out is broadcast; the corpus is never shuffled. */
+  /** (vec_id, v, bucket) with the shared deterministic splitmix64
+    * sign-hyperplane signature — the one bucket space every LSH
+    * operator here (s2/s4/s12 and the embedding-LSH dedup) hashes
+    * into, so their candidate sets are interchangeable and the
+    * bucketing replays exactly in SQL. Strict ascending-index
+    * projection folds, bit j set iff proj_j >= 0. */
+  private[operators] def lshSignatures(emb: DataFrame, bits: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val b = bits
+    emb.select(col("vec_id").cast("long"),
+        VF.toDoubleVec(col("embedding")))
+      .as[(Long, Seq[Double])]
+      .map { case (id, vec) =>
+        val v = vec.toArray
+        var sig = 0L; var j = 0
+        while (j < b) {
+          var acc = 0.0; var i = 0
+          while (i < v.length) { acc += v(i) * Dedup.hyperplaneComponent(i, j); i += 1 }
+          if (acc >= 0) sig |= (1L << j)
+          j += 1
+        }
+        (id, vec, sig)
+      }
+      .toDF("vec_id", "v", "bucket")
+  }
+
+  /** LSH-bucketed nearest-neighbor JOIN (s12): top-k right-side
+    * neighbors for EVERY left row, where BOTH sides are corpus-sized —
+    * the semantic-join shape (align two corpora, pair paraphrases,
+    * attach each document's nearest curated exemplar) that the
+    * query-batch operators (s1–s6, bounded |Q| broadcast) deliberately
+    * don't cover.
+    *
+    * Both sides hash into [[lshSignatures]]' shared deterministic
+    * hyperplane bucket space and meet in a plain shuffle join on the
+    * signature: no broadcast, no all-pairs — |L|·|R|/2^bits expected
+    * candidates, then exact cosine + [[topkPerQuery]]'s partition-local
+    * TopK prune for the rerank. `bits` scales with corpus size (log2 of
+    * rows over target bucket occupancy): 8 here at test scale, 16–20
+    * at 100 TB — the same dial every LSH operator exposes. Planes are
+    * deterministic, so the result replays exactly in SQL (the s2
+    * oracle precedent). A left row whose bucket holds no right member
+    * yields no output — the documented approximate-recall contract
+    * shared with s2; raise recall with wider sketches or the s4
+    * multiprobe machinery, precision is exact regardless. */
+  def nnJoin(left: DataFrame, right: DataFrame, k: Int, bits: Int): DataFrame = {
+    val l = lshSignatures(left, bits)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+    val r = lshSignatures(right, bits)
+    topkPerQuery(
+      r.join(l, "bucket")
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          VF.cosine(col("qv"), col("v")).as("sim")),
+      k)
+  }
+
   def multiProbeLshKnn(emb: DataFrame, queries: DataFrame, k: Int,
       bits: Int, probes: Int): DataFrame = {
     val spark = emb.sparkSession
@@ -347,11 +404,7 @@ object Similarity {
       sig
     }
 
-    val corpus = emb.select(col("vec_id").cast("long"),
-        VF.toDoubleVec(col("embedding")))
-      .as[(Long, Seq[Double])]
-      .map { case (id, vec) => (id, vec, sigOf(projections(vec.toArray))) }
-      .toDF("vec_id", "v", "bucket")
+    val corpus = lshSignatures(emb, bits)
     val qProbes = queries.select(col("vec_id").cast("long"),
         VF.toDoubleVec(col("embedding")))
       .as[(Long, Seq[Double])]

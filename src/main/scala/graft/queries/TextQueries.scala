@@ -54,6 +54,7 @@ object TextQueries {
     "d12_ngram_decontaminate" -> d12,
     "d13_dup_spans" -> ((spark, dir) =>
       Dedup.duplicateSpanCoverage(t(spark, dir, "documents"))),
+    "d14_embedding_decontaminate" -> d14,
     "t16_epoch_mix" -> t16,
     "t17_bpe_tokenize" -> t17,
     "t23_bpe_small" -> t23,
@@ -75,6 +76,7 @@ object TextQueries {
     "s9_cluster_purity" -> s9,
     "s10_mmr_select" -> s10,
     "s11_range_search" -> s11,
+    "s12_nn_join" -> s12,
     "p1_prep_pipeline" -> p1,
     "p2_prep_pipeline_v2" -> p2,
     "p3_dedup_keeper" -> p3,
@@ -489,6 +491,22 @@ object TextQueries {
   private def d5: Q = (spark, dir) =>
     Dedup.embeddingCosinePairs(t(spark, dir, "embeddings"), 0.4)
 
+  /** Semantic decontamination (d14): the embedding-space pass of the
+    * decontamination family — d6 catches verbatim eval leakage, d12
+    * catches shared shingles, d11 probes a Bloom of eval fingerprints;
+    * this one catches PARAPHRASED leakage by cosine proximity to a
+    * benchmark embedding. Eval side = the deterministic vec_id % 53
+    * slice (a stand-in for a held-out benchmark table); corpus = the
+    * rest; anything within cosine 0.3 of any eval vector is dropped.
+    * Zero-shuffle single scan — see [[Dedup.embeddingDecontaminate]]. */
+  private def d14: Q = (spark, dir) => {
+    val e = t(spark, dir, "embeddings")
+    Dedup.embeddingDecontaminate(
+      e.filter(col("vec_id") % 53 =!= 0),
+      e.filter(col("vec_id") % 53 === 0),
+      threshold = 0.3)
+  }
+
   /** Near-dup pairs → per-document components: the keep/drop decision.
     * Pairs come from the LSH path (oracle-equal to the exact pair set),
     * components from distributed min-label propagation; the DuckDB
@@ -689,6 +707,16 @@ object TextQueries {
   private def s11: Q = (spark, dir) => {
     val e = t(spark, dir, "embeddings")
     Similarity.rangeSearch(e, e.filter(col("vec_id") < 8), tau = 0.25)
+  }
+
+  /** LSH nearest-neighbor JOIN (s12): both sides corpus-sized — each
+    * odd vec_id joined to its top-4 nearest EVEN vec_ids through the
+    * shared 8-bit hyperplane bucket space; a shuffle join on the
+    * signature, no broadcast side at all. See [[Similarity.nnJoin]]. */
+  private def s12: Q = (spark, dir) => {
+    val e = t(spark, dir, "embeddings")
+    Similarity.nnJoin(e.filter(col("vec_id") % 2 === 1),
+      e.filter(col("vec_id") % 2 === 0), k = 4, bits = 8)
   }
 
   private def s3: Q = (spark, dir) => {
@@ -1757,6 +1785,14 @@ object TextQueries {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v) /
         |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4""".stripMargin,
+    "d14_embedding_decontaminate" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ev AS (SELECT v AS w FROM e WHERE vec_id % 53 = 0),
+        |scored AS (SELECT c.vec_id,
+        |   max(list_dot_product(c.v, ev.w) /
+        |     (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(ev.w, ev.w)))) AS max_sim
+        | FROM e c CROSS JOIN ev WHERE c.vec_id % 53 <> 0 GROUP BY c.vec_id)
+        |SELECT vec_id, max_sim FROM scored WHERE max_sim < 0.3""".stripMargin,
     "d8_dedup_semantic" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
@@ -1929,6 +1965,19 @@ object TextQueries {
         |cand AS (SELECT q.vec_id AS qid, c.vec_id, c.v FROM c
         |         JOIN (SELECT vec_id, bucket FROM sig WHERE vec_id < 8) q
         |           ON c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+        |""".stripMargin + cosineTopkTail),
+    "s12_nn_join" ->
+      (s"WITH ${splitmixHyperplanes(8)},\n" +
+      """pj AS (SELECT e.vec_id, hp.j, list_dot_product(e.v, hp.hv) AS proj
+        |       FROM e CROSS JOIN hp),
+        |sig AS (SELECT vec_id, CAST(SUM(CASE WHEN proj >= 0e0
+        |          THEN 1::BIGINT << j ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+        |        FROM pj GROUP BY vec_id),
+        |cand AS (SELECT q.vec_id AS qid, c.vec_id, c.v
+        |         FROM (SELECT e.vec_id, e.v, sig.bucket FROM e JOIN sig USING (vec_id)
+        |               WHERE e.vec_id % 2 = 0) c
+        |         JOIN (SELECT vec_id, bucket FROM sig WHERE vec_id % 2 = 1) q
+        |           ON c.bucket = q.bucket),
         |""".stripMargin + cosineTopkTail),
     "s4_ann_multiprobe" ->
       (s"WITH ${splitmixHyperplanes(8)},\n" +

@@ -147,6 +147,70 @@ class DedupSimilaritySpec extends AnyFunSuite {
     ranks.foreach(r => assert(r.getSeq[Int](0) == Seq(1, 2, 3, 4, 5)))
   }
 
+  test("embedding decontamination agrees with radius search; planted eval copy is dropped") {
+    import spark.implicits._
+    val thr = 0.3
+    val eval = emb.filter(col("vec_id") % 7 === 0)
+    // plant an exact copy of an eval vector in the corpus: must be dropped
+    val evalRow = eval.select(col("embedding")).head().getSeq[Float](0)
+    val planted = Seq((999999L, evalRow)).toDF("vec_id", "embedding")
+    val corpus = emb.filter(col("vec_id") % 7 =!= 0)
+      .select(col("vec_id"), col("embedding")).union(planted)
+    val survivors = Dedup.embeddingDecontaminate(corpus, eval, thr)
+    val survivorIds = survivors.select("vec_id").as[Long].collect().toSet
+    assert(!survivorIds.contains(999999L))
+    // survivors' audit column honors the threshold
+    assert(survivors.filter(col("max_sim") >= thr).count() === 0)
+    // cross-operator agreement: dropped = corpus ids hit by a radius
+    // search from the eval side at the same tau (disjoint id spaces, so
+    // rangeSearch's self-pair exclusion never fires)
+    val contaminated = Similarity.rangeSearch(corpus, eval, thr)
+      .select("neighbor_id").as[Long].collect().toSet
+    val corpusIds = corpus.select(col("vec_id").cast("long")).as[Long].collect().toSet
+    assert(survivorIds === (corpusIds -- contaminated))
+    // empty eval side is a contract violation, not a silent keep-all
+    intercept[IllegalArgumentException] {
+      Dedup.embeddingDecontaminate(corpus, eval.filter(col("vec_id") < 0), thr)
+    }
+  }
+
+  test("nn join: right-side-only neighbors, exact sims, planted twin found at rank 1") {
+    import spark.implicits._
+    val left = emb.filter(col("vec_id") % 2 === 1)
+    // plant an even-id exact twin of odd vector 1: identical vectors
+    // share every LSH bucket, so the twin MUST surface as its rank-1
+    val v1 = emb.filter(col("vec_id") === 1).select(col("embedding")).head().getSeq[Float](0)
+    val right = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .union(Seq((888888L, v1)).toDF("vec_id", "embedding"))
+    val out = Similarity.nnJoin(left, right, k = 4, bits = 8).cache()
+    val rightIds = right.select(col("vec_id").cast("long")).as[Long].collect().toSet
+    assert(out.select("neighbor_id").as[Long].collect().forall(rightIds.contains))
+    assert(out.filter(col("query_id") % 2 === 0).count() === 0)
+    val top1 = out.filter(col("query_id") === 1 && col("rank") === 1)
+      .as[(Long, Long, Int, Double)].head()
+    assert(top1._2 === 888888L && top1._4 > 0.999999)
+    // ranks contiguous from 1, bounded by k, ordered by (sim desc, id)
+    out.groupBy("query_id").agg(collect_list(struct(col("rank"), col("sim"), col("neighbor_id"))).as("rs"))
+      .as[(Long, Seq[(Int, Double, Long)])].collect().foreach { case (_, rs) =>
+        val sorted = rs.sortBy(_._1)
+        assert(sorted.map(_._1) == (1 to sorted.length) && sorted.length <= 4)
+        sorted.sliding(2).foreach {
+          case Seq(a, b) =>
+            assert(a._2 > b._2 || (a._2 == b._2 && a._3 < b._3))
+          case _ =>
+        }
+      }
+    // every emitted sim is the exact cosine of the pair
+    val recomputed = out.join(right.select(col("vec_id").as("neighbor_id"),
+        graft.functions.VectorFunctions.toDoubleVec(col("embedding")).as("nv")), "neighbor_id")
+      .join(left.select(col("vec_id").as("query_id"),
+        graft.functions.VectorFunctions.toDoubleVec(col("embedding")).as("qv")), "query_id")
+      .filter(col("sim") =!= graft.functions.VectorFunctions.cosine(col("qv"), col("nv")))
+    assert(recomputed.count() === 0)
+    out.unpersist()
+  }
+
   test("knn label vote: majority of the exact neighbor labels, ties to smallest label") {
     import spark.implicits._
     val q = emb.filter(col("vec_id") < 5)
