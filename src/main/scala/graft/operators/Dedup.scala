@@ -1047,4 +1047,59 @@ object Dedup {
         coalesce(col("n_covered_tokens"), lit(0L)).as("n_covered_tokens"),
         col("n_tokens"))
   }
+
+  /** Edit-distance (Levenshtein) fuzzy-duplicate pairs — the exact
+    * string-level complement to the token-set family (Jaccard/MinHash)
+    * and the bit-level family (SimHash): pairs whose FULL TEXTS are
+    * within `maxDist` single-character edits, the signal that catches
+    * typo-level and small-patch duplication that token-set measures
+    * blur over. Output (a_id, b_id, lev), a_id < b_id, lev exact.
+    *
+    * COMPLETE, not approximate: lev(a,b) >= |len(a)-len(b)|, so
+    * length-banding with band width `maxDist+1` (each right row
+    * emitted to its band and both neighbors) admits every qualifying
+    * pair exactly once; the length filter then prunes, and the
+    * survivors run Spark's THRESHOLDED Levenshtein kernel —
+    * O(maxDist·n) banded DP per pair instead of O(n²), `-1` past the
+    * threshold so non-pairs exit early.
+    *
+    * Scale shape (100 TB): the band join is a plain shuffle join on
+    * the band key — no broadcast side, no all-pairs. Length alone is a
+    * weak blocking key at corpus scale (a band can hold millions of
+    * docs); the documented production composition is MinHash-LSH
+    * (d3's bucketing) as the candidate generator with THIS operator as
+    * the exact verify stage — pass those candidates through
+    * `candidates` and the band join is skipped entirely, leaving one
+    * join to attach texts and the banded-DP kernel per candidate. */
+  def editDistancePairs(docs: DataFrame, maxDist: Int,
+      textCol: String = "text",
+      candidates: Option[DataFrame] = None): DataFrame = {
+    require(maxDist >= 0, s"maxDist $maxDist must be >= 0")
+    val w = maxDist + 1
+    val base = docs.select(col("doc_id").cast("long").as("id"),
+      col(textCol).cast("string").as("txt"),
+      length(col(textCol)).cast("long").as("len"))
+    val cand = candidates match {
+      case Some(p) =>
+        p.select(col("a_id").cast("long"), col("b_id").cast("long"))
+          .join(base.select(col("id").as("a_id"), col("txt").as("ta"),
+            col("len").as("la")), "a_id")
+          .join(base.select(col("id").as("b_id"), col("txt").as("tb"),
+            col("len").as("lb")), "b_id")
+      case None =>
+        val left = base.select(col("id").as("a_id"), col("txt").as("ta"),
+          col("len").as("la"), floor(col("len") / w).as("band"))
+        val right = base.select(col("id").as("b_id"), col("txt").as("tb"),
+          col("len").as("lb"),
+          explode(array((-1 to 1).map(o => floor(col("len") / w) + o): _*))
+            .as("band"))
+        left.join(right, "band")
+    }
+    cand
+      .filter(col("a_id") < col("b_id") &&
+        abs(col("la") - col("lb")) <= maxDist)
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("ta"), col("tb"), maxDist).cast(LongType).as("lev"))
+      .filter(col("lev") >= 0)
+  }
 }

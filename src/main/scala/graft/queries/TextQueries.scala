@@ -55,6 +55,8 @@ object TextQueries {
     "d13_dup_spans" -> ((spark, dir) =>
       Dedup.duplicateSpanCoverage(t(spark, dir, "documents"))),
     "d14_embedding_decontaminate" -> d14,
+    "d15_edit_distance" -> ((spark, dir) =>
+      Dedup.editDistancePairs(t(spark, dir, "documents"), maxDist = 16)),
     "t16_epoch_mix" -> t16,
     "t17_bpe_tokenize" -> t17,
     "t23_bpe_small" -> t23,
@@ -65,6 +67,7 @@ object TextQueries {
     "t22_novelty" -> t22,
     "t24_pmi_collocations" -> t24,
     "t25_stratified_sample" -> t25,
+    "t26_rouge_overlap" -> t26,
     "s1_ann_cosine" -> s1,
     "s2_ann_lsh" -> s2,
     "s3_ann_ivf" -> s3,
@@ -1131,6 +1134,70 @@ object TextQueries {
       .select(col("doc_id"), col("source"), col("weight"))
   }
 
+  /** ROUGE-N overlap scoring (t26): clipped n-gram precision / recall
+    * / F1 for n = 1, 2 per (candidate, reference) document pair — the
+    * standard summarization/eval-harness metric (Lin 2004, "ROUGE: A
+    * Package for Automatic Evaluation of Summaries"), run as a corpus
+    * pipeline op. Pairing here is positional (even doc = candidate,
+    * next odd doc = reference, pair_id = doc_id div 2) — a stand-in
+    * for the (generation, reference) keying a real eval harness
+    * supplies. "Clipped" = multiset intersection: each n-gram counts
+    * min(candidate occurrences, reference occurrences), ROUGE's
+    * anti-gaming rule against repetition.
+    *
+    * Determinism: all counts are integers end-to-end; P/R are ONE
+    * integer→double division each, F1 = 2·p·r/(p+r) in fixed operand
+    * order, zero-overlap pairs pinned to 0 (not 0/0 = NaN, where the
+    * engines' NaN sort semantics diverge) — so full equality replay.
+    *
+    * Scale shape (100 TB): one shuffle per n on (pair_id, gram) with
+    * map-side combine, then a pair_id rollup; grams derive per-row
+    * (zip_with, no posexplode self-join); no windows, no broadcast,
+    * no driver state — cost is O(total tokens) through two hash aggs. */
+  private def t26: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+      .select(floor(col("doc_id") / 2).cast(LongType).as("pair_id"),
+        (col("doc_id") % 2).cast(LongType).as("side"),
+        TF.tokens(lower(col("text"))).as("a"))
+    def stats(grams: DataFrame, pfx: String): DataFrame =
+      grams.groupBy(col("pair_id"), col("g"))
+        .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("side") === 1, 1L).otherwise(0L)).as("c1"))
+        .groupBy(col("pair_id"))
+        .agg(sum(least(col("c0"), col("c1"))).as(s"${pfx}_overlap"),
+          sum(col("c0")).as(s"${pfx}_cand"),
+          sum(col("c1")).as(s"${pfx}_ref"))
+    val uni = stats(docs.select(col("pair_id"), col("side"),
+      explode(col("a")).as("g")), "r1")
+    val bi = stats(docs.select(col("pair_id"), col("side"),
+      explode(zip_with(
+        slice(col("a"), lit(1), size(col("a")) - 1),
+        slice(col("a"), lit(2), greatest(size(col("a")) - 1, lit(0))),
+        (x, y) => concat(x, lit(" "), y))).as("g")), "r2")
+    def prf(j: DataFrame, pfx: String): DataFrame = {
+      val o = col(s"${pfx}_overlap")
+      val p = when(col(s"${pfx}_cand") > 0,
+        o.cast(DoubleType) / col(s"${pfx}_cand").cast(DoubleType))
+        .otherwise(0.0).as(s"${pfx}_p")
+      val r = when(col(s"${pfx}_ref") > 0,
+        o.cast(DoubleType) / col(s"${pfx}_ref").cast(DoubleType))
+        .otherwise(0.0).as(s"${pfx}_r")
+      j.withColumns(Map(s"${pfx}_p" -> p, s"${pfx}_r" -> r))
+        .withColumn(s"${pfx}_f1",
+          when(o > 0, (lit(2.0) * col(s"${pfx}_p") * col(s"${pfx}_r")) /
+            (col(s"${pfx}_p") + col(s"${pfx}_r"))).otherwise(0.0))
+    }
+    val joined = uni.join(bi, Seq("pair_id"), "left_outer")
+      .select(col("pair_id"), col("r1_overlap"), col("r1_cand"), col("r1_ref"),
+        coalesce(col("r2_overlap"), lit(0L)).as("r2_overlap"),
+        coalesce(col("r2_cand"), lit(0L)).as("r2_cand"),
+        coalesce(col("r2_ref"), lit(0L)).as("r2_ref"))
+    prf(prf(joined, "r1"), "r2")
+      .select(col("pair_id"),
+        col("r1_overlap"), col("r1_p"), col("r1_r"), col("r1_f1"),
+        col("r2_overlap"), col("r2_p"), col("r2_r"), col("r2_f1"))
+  }
+
   /** Feature hashing (t20): the VW/fastText featurizer — each token is
     * hashed into one of 128 buckets (first 4 hex chars of md5, mod) and
     * each document becomes its sparse (bucket, count) vector. md5 is
@@ -1793,6 +1860,63 @@ object TextQueries {
         |     (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(ev.w, ev.w)))) AS max_sim
         | FROM e c CROSS JOIN ev WHERE c.vec_id % 53 <> 0 GROUP BY c.vec_id)
         |SELECT vec_id, max_sim FROM scored WHERE max_sim < 0.3""".stripMargin,
+    "d15_edit_distance" ->
+      """WITH cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |                     a.text AS ta, b.text AS tb
+        |              FROM documents a JOIN documents b
+        |                ON a.doc_id < b.doc_id
+        |               AND abs(length(a.text) - length(b.text)) <= 16)
+        |SELECT a_id, b_id, lev FROM (
+        |  SELECT a_id, b_id, CAST(levenshtein(ta, tb) AS BIGINT) AS lev
+        |  FROM cand)
+        |WHERE lev <= 16""".stripMargin,
+    "t26_rouge_overlap" ->
+      """WITH d AS (SELECT doc_id // 2 AS pair_id, doc_id % 2 AS side,
+        |                  regexp_split_to_array(lower(trim(text)), '\s+') AS a
+        |           FROM documents),
+        |u AS (SELECT pair_id, side, unnest(a) AS g FROM d),
+        |b AS (SELECT pair_id, side, p[1] || ' ' || p[2] AS g
+        |      FROM (SELECT pair_id, side,
+        |              unnest(list_zip(a[1:len(a)-1], a[2:])) AS p FROM d)),
+        |uc AS (SELECT pair_id, g,
+        |         SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS c0,
+        |         SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c1
+        |       FROM u GROUP BY 1, 2),
+        |us AS (SELECT pair_id,
+        |         CAST(SUM(least(c0, c1)) AS BIGINT) AS r1_overlap,
+        |         CAST(SUM(c0) AS BIGINT) AS tc1,
+        |         CAST(SUM(c1) AS BIGINT) AS tr1
+        |       FROM uc GROUP BY 1),
+        |bc AS (SELECT pair_id, g,
+        |         SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS c0,
+        |         SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c1
+        |       FROM b GROUP BY 1, 2),
+        |bs AS (SELECT pair_id,
+        |         CAST(SUM(least(c0, c1)) AS BIGINT) AS r2_overlap,
+        |         CAST(SUM(c0) AS BIGINT) AS tc2,
+        |         CAST(SUM(c1) AS BIGINT) AS tr2
+        |       FROM bc GROUP BY 1),
+        |j AS (SELECT us.pair_id, r1_overlap, tc1, tr1,
+        |        COALESCE(r2_overlap, 0) AS r2_overlap,
+        |        COALESCE(tc2, 0) AS tc2, COALESCE(tr2, 0) AS tr2
+        |      FROM us LEFT JOIN bs ON us.pair_id = bs.pair_id),
+        |pr AS (SELECT pair_id, r1_overlap, r2_overlap,
+        |  CASE WHEN tc1 > 0 THEN CAST(r1_overlap AS DOUBLE) / CAST(tc1 AS DOUBLE)
+        |       ELSE 0e0 END AS r1_p,
+        |  CASE WHEN tr1 > 0 THEN CAST(r1_overlap AS DOUBLE) / CAST(tr1 AS DOUBLE)
+        |       ELSE 0e0 END AS r1_r,
+        |  CASE WHEN tc2 > 0 THEN CAST(r2_overlap AS DOUBLE) / CAST(tc2 AS DOUBLE)
+        |       ELSE 0e0 END AS r2_p,
+        |  CASE WHEN tr2 > 0 THEN CAST(r2_overlap AS DOUBLE) / CAST(tr2 AS DOUBLE)
+        |       ELSE 0e0 END AS r2_r
+        |  FROM j)
+        |SELECT pair_id, r1_overlap, r1_p, r1_r,
+        |  CASE WHEN r1_overlap > 0
+        |       THEN (2e0 * r1_p * r1_r) / (r1_p + r1_r) ELSE 0e0 END AS r1_f1,
+        |  r2_overlap, r2_p, r2_r,
+        |  CASE WHEN r2_overlap > 0
+        |       THEN (2e0 * r2_p * r2_r) / (r2_p + r2_r) ELSE 0e0 END AS r2_f1
+        |FROM pr""".stripMargin,
     "d8_dedup_semantic" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),

@@ -28,6 +28,50 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(3L) === ((3L, 0L, 0L, 10L)))
   }
 
+  test("edit-distance pairs: exact distances, banding complete, candidate path agrees") {
+    import spark.implicits._
+    val toy = Seq(
+      (1L, "kitten"), (2L, "sitting"),            // the classic: lev 3
+      (3L, "flaw"), (4L, "lawn"),                 // lev 2
+      (5L, "abcdefghij"), (6L, "abcdefghij"),     // identical: lev 0
+      (7L, "completely different content here"),  // far from everything
+      (8L, "zzzz")                                // lev("zzzz","lawn")=4 > 3
+    ).toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(toy, maxDist = 3)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(out((1L, 2L)) === 3L)
+    assert(out((3L, 4L)) === 2L)
+    assert(out((5L, 6L)) === 0L)
+    assert(!out.keySet.exists(p => p._1 == 7L || p._2 == 7L))
+    assert(!out.contains((4L, 8L)) && !out.contains((3L, 8L)))
+    // banding is complete: equals the naive all-pairs reference on the
+    // real corpus (cross join + plain levenshtein, no banding at all)
+    val banded = Dedup.editDistancePairs(docs, maxDist = 16)
+      .as[(Long, Long, Long)].collect().toSet
+    val base = docs.select(col("doc_id").as("a_id"), col("text").as("ta"))
+    val naive = base.crossJoin(
+        docs.select(col("doc_id").as("b_id"), col("text").as("tb")))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("lev"))
+      .filter(col("lev") <= 16)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded === naive)
+    // candidate-fed path (the LSH-composed production shape) agrees on
+    // the pairs it is given; a planted non-matching candidate is
+    // dropped by the verify, an unknown id never joins
+    val matched = naive.map(t => (t._1, t._2))
+    val nonMatch = (for {
+      a <- 0L to 5L; b <- (a + 1) to 6L if !matched.contains((a, b))
+    } yield (a, b)).head
+    val cands = (matched + nonMatch + ((1L, 999999L))).toSeq
+      .toDF("a_id", "b_id")
+    val viaCands = Dedup.editDistancePairs(docs, maxDist = 16,
+        candidates = Some(cands))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaCands === naive)
+  }
+
   test("minhash-LSH pairs equal exact jaccard pairs at 0.8") {
     val exact = Dedup.jaccardPairs(docs, 0.8).select("a_id", "b_id")
     val lsh = Dedup.minHashLshPairs(docs, 0.8).select("a_id", "b_id")

@@ -30,6 +30,49 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(out(5).getString(0) === "clean text with nothing" && out(5).getLong(1) === 0)
   }
 
+  test("rouge overlap: identical pair scores 1, clipping caps repetition, disjoint is 0") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rouge-docs")
+    tmp.toFile.deleteOnExit()
+    Seq(
+      (0L, "a b c a"), (1L, "a b c a"), // identical candidate/reference
+      (2L, "a a a b"), (3L, "a b"),     // repetition: clipped overlap
+      (4L, "x y"), (5L, "p q")          // disjoint: all zeros, no NaN
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("t26_rouge_overlap")(spark, tmp.toString)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 3)
+    val ident = out(0L) // 4 unigrams + 3 bigrams, all shared
+    assert(ident.getLong(1) === 4L && ident.getDouble(2) === 1.0 &&
+      ident.getDouble(3) === 1.0 && ident.getDouble(4) === 1.0)
+    assert(ident.getLong(5) === 3L && ident.getDouble(8) === 1.0)
+    // "a a a b" vs "a b": clipped r1 overlap = min(3,1)+min(1,1) = 2,
+    // not 4 — the anti-repetition rule; bigram overlap only "a b"
+    val clip = out(1L)
+    assert(clip.getLong(1) === 2L && clip.getDouble(2) === 0.5 &&
+      clip.getDouble(3) === 1.0)
+    assert(math.abs(clip.getDouble(4) - 2.0 / 3.0) < 1e-15)
+    assert(clip.getLong(5) === 1L &&
+      math.abs(clip.getDouble(6) - 1.0 / 3.0) < 1e-15 &&
+      clip.getDouble(7) === 1.0 && clip.getDouble(8) === 0.5)
+    val disj = out(2L)
+    assert(disj.getLong(1) === 0L && disj.getDouble(2) === 0.0 &&
+      disj.getDouble(4) === 0.0 && disj.getLong(5) === 0L &&
+      disj.getDouble(8) === 0.0)
+    // real corpus: scores bounded, F1 positive exactly when overlap is
+    val corpus = SparkEntry.queries("t26_rouge_overlap")(
+      spark, "/root/testdata/sf0.001").cache()
+    try {
+      assert(corpus.filter(col("r1_p") > 1.0 || col("r1_r") > 1.0 ||
+        col("r1_f1") > 1.0 || col("r2_f1") > 1.0).count() === 0)
+      assert(corpus.filter((col("r1_overlap") > 0) =!= (col("r1_f1") > 0.0))
+        .count() === 0)
+      assert(corpus.filter((col("r2_overlap") > 0) =!= (col("r2_f1") > 0.0))
+        .count() === 0)
+    } finally corpus.unpersist()
+  }
+
   test("repetition query drops sub-bigram docs and bounds the fraction") {
     val q = SparkEntry.queries("t11_repetition")
     val df = q(spark, "/root/testdata/sf0.001")
