@@ -26,5 +26,12 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Σ |a(i) − b(i)| over integer arrays as a long (native expression);
+    * the counting-filter kernel — see [[L1Distance]]. */
+  def l1(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(L1Distance(
+      org.apache.spark.sql.graft.Bridge.expression(a),
+      org.apache.spark.sql.graft.Bridge.expression(b)))
+
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 }

@@ -104,4 +104,45 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(r.getDouble(0) === 32.0)
     assert(r.getDouble(1) === 1.0)
   }
+
+  test("l1 distance: matches HOF fold, null semantics, codegen == interpreted") {
+    import graft.functions.L1Distance
+    val rows = (0 until 100).map { i =>
+      def v(seed: Int) = (0 until 128).map { j =>
+        ((seed * 2654435761L + j * 40503L) & 0xff).toInt
+      }
+      (i.toLong, v(i), v(i + 3))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"), VF.l1(col("a"), col("b")).as("d"))
+      .as[(Long, Long)].collect().toMap
+    val want = df.select(col("id"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => abs(x - y)),
+          lit(0L), (acc, x) => acc + x).as("d"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 100 && got === want)
+    // self-distance zero; symmetric
+    assert(df.filter(VF.l1(col("a"), col("a")) =!= 0L).count() === 0)
+    assert(df.filter(VF.l1(col("a"), col("b")) =!=
+      VF.l1(col("b"), col("a"))).count() === 0)
+    // null semantics: null input / null element / length mismatch
+    val edge = Seq(
+      (1L, Seq(1, 2), Seq(1, 5)),
+      (2L, null, Seq(1, 2)),
+      (3L, Seq(1, 2, 3), Seq(1, 2))
+    ).toDF("id", "a", "b")
+      .select(col("id"), VF.l1(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getLong(1)))).toMap
+    assert(edge(1L) === Some(3L) && edge(2L).isEmpty && edge(3L).isEmpty)
+    // interpreted eval matches the plan (codegen) path
+    val a = Array(7, 0, 255, 3)
+    val b = Array(0, 9, 1, 3)
+    val expr = L1Distance(
+      Bridge.toExpression(lit(a)), Bridge.toExpression(lit(b)))
+    val viaPlan = Seq(1).toDF("x")
+      .select(VF.l1(lit(a), lit(b)).as("d")).as[Long].head()
+    assert(expr.eval(null).asInstanceOf[Long] === viaPlan)
+    assert(viaPlan === 7L + 9L + 254L + 0L)
+  }
 }
