@@ -78,8 +78,66 @@ object ConnectorQueries {
     "c10_optimize_compact" -> c10,
     "c11_retention_expire" -> c11,
     "c12_stream_kmv" -> c12,
-    "c13_stream_cms" -> c13
+    "c13_stream_cms" -> c13,
+    "c14_stream_hll" -> c14
   )
+
+  /** Streaming HLL distinct-count state on the oracle gate (c14): the
+    * third sketch family as streaming state — HLL registers built
+    * inside a streaming aggregation, serialized into the state store,
+    * carried across forced multi-trigger pacing. UNLIKE c12 (KMV) and
+    * c13 (CMS), the HLL ESTIMATE is not monotone in the growing
+    * register set: the linear-counting → raw-estimator crossover can
+    * step DOWN as registers fill, so a max() reconcile over Update
+    * emissions is unsound. Instead each micro-batch's emission is
+    * stamped with its batch id (foreachBatch → the idempotent batch
+    * write path) and the final value is each key's LAST emission —
+    * argmax(batch_id) — which must equal the exact register-replay
+    * over ALL events (k3's oracle): registers only grow, so the last
+    * emission IS the full-state estimate iff no state was lost or
+    * double-counted across triggers and the binary sketch round-
+    * tripped the state store intact. */
+  private def c14: Q = (spark, dir) => {
+    import graft.functions.Sketches.{hll_build, hll_estimate}
+    val srcOpts = ingest(spark, dir, 2)
+    val total = c14Count.getOrElseUpdate((spark, dir),
+      t(spark, dir, "events").count())
+    val dstRoot = tempDir("graft-logstore-c14")
+    new EmbeddedLogStore(dstRoot).createStore("proj", "hll", 1)
+    val dstOpts = Map("store.root" -> dstRoot, "store.project" -> "proj",
+      "store.name" -> "hll")
+    val ckpt = tempDir("graft-c14-ckpt")
+    val q = streamSession(spark).readStream.format("graft-logstore")
+      .options(srcOpts)
+      .option("maxoffsetspertrigger", math.max(1L, total / 3 + 1).toString)
+      .schema("user_id LONG, event_type STRING").load()
+      .groupBy(col("event_type"))
+      .agg(hll_estimate(hll_build(col("user_id"))).as("approx_users"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.format("graft-logstore").options(dstOpts)
+          .mode("append").save()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val sink = spark.read.format("graft-logstore").options(dstOpts)
+      .schema("event_type STRING, approx_users LONG, batch_id LONG")
+      .load()
+    // the state-carryover claim is vacuous if pacing collapsed to one
+    // trigger — pin it (the c11 in-query require idiom)
+    require(sink.select(col("batch_id")).distinct().count() >= 2,
+      "c14 expected multiple micro-batches; pacing produced fewer than 2")
+    sink.groupBy(col("event_type"))
+      .agg(max(struct(col("batch_id"), col("approx_users")))
+        .getField("approx_users").as("approx_users"))
+  }
+
+  private val c14Count =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
 
   /** Streaming CMS frequency state on the oracle gate (c13): the c12
     * idiom with the POINT-FREQUENCY sketch — a count-min counter array
@@ -691,6 +749,10 @@ object ConnectorQueries {
 
   def oracles: Map[String, String] = Map(
     "c13_stream_cms" -> c13OracleSql,
+    // exact register replay per event_type over ALL events — identical
+    // to the batch k3 oracle because HLL registers are a function of
+    // the input SET, not of the trigger slicing
+    "c14_stream_hll" -> SketchQueries.k3OracleSql,
     "c12_stream_kmv" ->
       s"""WITH du AS (SELECT DISTINCT event_type, CAST(user_id AS HUGEINT) AS fpu FROM events),
          |xx AS MATERIALIZED (${OracleSql.xxHashLongLayers("SELECT event_type, fpu FROM du")}),

@@ -290,7 +290,7 @@ object SketchQueries {
     * branch reads ln(4096/zeros) from a 4096-entry table of StrictMath
     * doubles (libm-portable by construction); ties-to-even rounding is
     * spelled out (math.rint). */
-  private def k3OracleSql: String = {
+  private[queries] def k3OracleSql: String = {
     val lnRows = (1 to 4096).map { z =>
       s"($z, CAST('${StrictMath.log(4096.0 / z)}' AS DOUBLE))"
     }
