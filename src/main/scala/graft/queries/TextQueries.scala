@@ -68,6 +68,7 @@ object TextQueries {
     "t24_pmi_collocations" -> t24,
     "t25_stratified_sample" -> t25,
     "t26_rouge_overlap" -> t26,
+    "t27_quality_classifier" -> t27,
     "s1_ann_cosine" -> s1,
     "s2_ann_lsh" -> s2,
     "s3_ann_ivf" -> s3,
@@ -1207,6 +1208,44 @@ object TextQueries {
     * Scale: explode + one map-side-combined shuffle on (doc_id, bucket);
     * no vocabulary state anywhere (that's the point of the hashing
     * trick — the feature space is fixed before any data is seen). */
+  /** Quantized linear quality classifier (t27): fastText-style model
+    * INFERENCE as a pipeline op — the hashing-trick bag-of-words
+    * features of t20 scored against a fixed weight vector, emitting
+    * the logit, a length-normalized score, and the keep/drop decision.
+    * The weights are integer-quantized (the int8/int16 inference trick
+    * production scorers ship), so the logit is an exact BIGINT dot
+    * product — no float accumulation order anywhere — and `score` is
+    * ONE integer→double division; full equality oracle. Weights here
+    * derive deterministically from md5 (a stand-in for shipped trained
+    * weights — inference mechanics, not training, are the operator).
+    *
+    * Scale shape (100 TB): the 128-row weight table broadcasts; cost
+    * is the tokenize scan plus two hash aggs on (doc_id, bucket) /
+    * doc_id with map-side combine — the same profile as t20. */
+  private def t27: Q = (spark, dir) => {
+    val nb = 128
+    val feats = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(TF.tokens(lower(col("text")))).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 4), 16, 10).cast(IntegerType) % nb)
+          .as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val weights = spark.range(nb.toLong)
+      .select(col("id").cast(IntegerType).as("bucket"),
+        ((conv(substring(md5(concat(lit("w"), col("id").cast(StringType))),
+            1, 4), 16, 10).cast(IntegerType) % 1024) - 512)
+          .cast(LongType).as("w"))
+    feats.join(broadcast(weights), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n") * col("w")).as("logit"),
+        sum(col("n")).as("n_tokens"))
+      .select(col("doc_id"), col("logit"),
+        (col("logit").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("score"),
+        (col("logit") >= 0).as("keep"))
+  }
+
   private def t20: Q = (spark, dir) => {
     val nb = 128
     t(spark, dir, "documents")
@@ -1514,7 +1553,26 @@ object TextQueries {
         |SELECT cluster, CAST(n_members AS BIGINT) AS n_members,
         |  label AS top_label, CAST(n AS BIGINT) AS n_top,
         |  CAST(n AS DOUBLE) / n_members AS purity
-        |FROM p WHERE rn = 1""".stripMargin),    "t20_hashed_features" ->
+        |FROM p WHERE rn = 1""".stripMargin),    "t27_quality_classifier" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |    (('0x' || substring(md5(tok), 1, 4))::INTEGER % 128) AS bucket,
+        |    COUNT(*) AS n
+        |  FROM toks GROUP BY doc_id, bucket),
+        |w AS (SELECT i::INTEGER AS bucket,
+        |    CAST((('0x' || substring(md5('w' || i::VARCHAR), 1, 4))::INTEGER
+        |          % 1024) - 512 AS BIGINT) AS w
+        |  FROM range(0, 128) t(i)),
+        |s AS (SELECT doc_id, CAST(SUM(n * w) AS BIGINT) AS logit,
+        |    CAST(SUM(n) AS BIGINT) AS n_tokens
+        |  FROM f JOIN w USING (bucket) GROUP BY doc_id)
+        |SELECT doc_id, logit,
+        |  CAST(logit AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS score,
+        |  logit >= 0 AS keep
+        |FROM s""".stripMargin,
+    "t20_hashed_features" ->
       """WITH toks AS (SELECT doc_id,
         |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
         |  FROM documents)

@@ -73,6 +73,35 @@ class TextPipelineSpec extends AnyFunSuite {
     } finally corpus.unpersist()
   }
 
+  test("quality classifier: logit is the exact dot of t20 features and md5 weights") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // weights recomputed locally, independent of the query's plan
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val w = (0 until 128)
+      .map(b => b -> ((Integer.parseInt(md5hex(s"w$b").take(4), 16) % 1024) - 512).toLong)
+      .toMap
+    val feats = SparkEntry.queries("t20_hashed_features")(spark, dir)
+      .as[(Long, Int, Long)].collect()
+    val expect = feats.groupBy(_._1).map { case (id, rows) =>
+      id -> (rows.map(r => r._3 * w(r._2)).sum, rows.map(_._3).sum)
+    }
+    val got = SparkEntry.queries("t27_quality_classifier")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (id, (logit, nTok)) =>
+      val (gLogit, gScore, gKeep) = got(id)
+      assert(gLogit === logit, s"doc $id")
+      assert(gScore === logit.toDouble / nTok.toDouble, s"doc $id")
+      assert(gKeep === (logit >= 0), s"doc $id")
+    }
+    // the model isn't degenerate on real data: both classes occur
+    assert(got.values.exists(_._3) && got.values.exists(!_._3))
+  }
+
   test("repetition query drops sub-bigram docs and bounds the fraction") {
     val q = SparkEntry.queries("t11_repetition")
     val df = q(spark, "/root/testdata/sf0.001")
