@@ -311,19 +311,6 @@ object Similarity {
   }
 
 
-  /** Multi-probe LSH top-k: queries probe their own sign-hyperplane
-    * bucket PLUS the `probes` buckets reached by flipping the
-    * lowest-|margin| projection bits — the planes the query sits closest
-    * to, i.e. the most likely sign disagreements with a true neighbor
-    * (Lv et al., VLDB'07 multi-probe LSH). Lifts recall at the same
-    * bucket granularity for `probes`× the probe cost instead of the
-    * 2^Δbits cost of coarser buckets.
-    *
-    * Hyperplanes are the shared deterministic splitmix64 family
-    * (Dedup.hyperplaneComponent); signature + margins are computed in one
-    * typed pass per vector (fused primitive loops — the column-HOF
-    * formulation re-materializes a dim-length array per plane). The
-    * probe fan-out is broadcast; the corpus is never shuffled. */
   /** (vec_id, v, bucket) with the shared deterministic splitmix64
     * sign-hyperplane signature — the one bucket space every LSH
     * operator here (s2/s4/s12 and the embedding-LSH dedup) hashes
@@ -381,6 +368,19 @@ object Similarity {
       k)
   }
 
+  /** Multi-probe LSH top-k: queries probe their own sign-hyperplane
+    * bucket PLUS the `probes` buckets reached by flipping the
+    * lowest-|margin| projection bits — the planes the query sits closest
+    * to, i.e. the most likely sign disagreements with a true neighbor
+    * (Lv et al., VLDB'07 multi-probe LSH). Lifts recall at the same
+    * bucket granularity for `probes`× the probe cost instead of the
+    * 2^Δbits cost of coarser buckets.
+    *
+    * Hyperplanes are the shared deterministic splitmix64 family
+    * (Dedup.hyperplaneComponent); signature + margins are computed in one
+    * typed pass per vector (fused primitive loops — the column-HOF
+    * formulation re-materializes a dim-length array per plane). The
+    * probe fan-out is broadcast; the corpus is never shuffled. */
   def multiProbeLshKnn(emb: DataFrame, queries: DataFrame, k: Int,
       bits: Int, probes: Int): DataFrame = {
     val spark = emb.sparkSession

@@ -84,7 +84,8 @@ object TextQueries {
     "p1_prep_pipeline" -> p1,
     "p2_prep_pipeline_v2" -> p2,
     "p3_dedup_keeper" -> p3,
-    "p4_leakage_split" -> p4
+    "p4_leakage_split" -> p4,
+    "p5_fuzzy_verify" -> p5
   )
 
   /** Dedup with a keeper POLICY (p3): near-dup groups (d3 pairs → d9
@@ -138,6 +139,24 @@ object TextQueries {
         .otherwise("test").as("split"))
     withRep.join(repSplit, "rep_id")
       .select(col("doc_id"), col("rep_id"), col("split"))
+  }
+
+  /** Fuzzy dedup at the 100 TB shape (p5): the composition d15's
+    * Scaladoc names as the production path — MinHash-LSH (d3) as the
+    * candidate GENERATOR, exact thresholded Levenshtein as the VERIFY
+    * stage via `editDistancePairs(candidates = ...)`. No length-band
+    * join anywhere: the only pair source is the banded LSH bucketing,
+    * so the quadratic-within-band risk of d15's generator is gone and
+    * the kernel runs once per LSH candidate. Output: each near-dup
+    * pair with its exact edit distance — the integer a pipeline
+    * thresholds when token-set similarity alone is too blunt.
+    * Oracle: d3's exact-jaccard pair replay (LSH = exact at 0.8,
+    * spec-pinned) joined back to texts with DuckDB's levenshtein. */
+  private def p5: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+    val cands = Dedup.minHashLshPairs(docs, jaccardThreshold)
+      .select(col("a_id"), col("b_id"))
+    Dedup.editDistancePairs(docs, maxDist = 64, candidates = Some(cands))
   }
 
   /** The composed data-prep pipeline a training run actually executes:
@@ -1850,6 +1869,15 @@ object TextQueries {
         |FROM kept GROUP BY 1""".stripMargin,
     "d2_dedup_jaccard" -> shingleCte,
     "d3_dedup_minhash_lsh" -> shingleCte,
+    "p5_fuzzy_verify" ->
+      (s"WITH cand AS ($shingleCte)\n" +
+        """SELECT a_id, b_id, lev FROM (
+          |  SELECT c.a_id, c.b_id,
+          |         CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev
+          |  FROM cand c
+          |  JOIN documents da ON c.a_id = da.doc_id
+          |  JOIN documents db ON c.b_id = db.doc_id)
+          |WHERE lev <= 64""".stripMargin),
     "p3_dedup_keeper" ->
       """WITH RECURSIVE words AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
