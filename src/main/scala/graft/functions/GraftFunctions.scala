@@ -41,6 +41,12 @@ object GraftFunctions {
     }),
     "cosine_sim" -> asColumnFn("cosine_sim", 2)(cs =>
       VectorFunctions.cosine(cs.head, cs(1))),
+    "splitmix64" -> ((exprs: Seq[Expression]) => exprs match {
+      case Seq(h) => SplitMix64Expr(h,
+        org.apache.spark.sql.catalyst.expressions.Literal(0L))
+      case Seq(h, off) => SplitMix64Expr(h, off)
+      case _ => throw new IllegalArgumentException("splitmix64(h[, offset])")
+    }),
     "hll_build" -> ((exprs: Seq[Expression]) => HllSketchBuild(exprs.head)),
     "hll_merge" -> ((exprs: Seq[Expression]) => HllSketchMerge(exprs.head)),
     "hll_estimate" -> ((exprs: Seq[Expression]) => HllEstimate(exprs.head)),

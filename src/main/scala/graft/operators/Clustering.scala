@@ -90,6 +90,63 @@ object Clustering {
     assigned.map(t => (t._1, t._3)).toDF("vec_id", "cluster")
   }
 
+  @inline private def dist2(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Deterministic farthest-point seeding (Gonzalez's k-center greedy —
+    * the classic 2-approximation, and the deterministic stand-in for
+    * k-means++ when reproducibility matters more than randomization):
+    * seed with the smallest vec_id, then k-1 times pick the point
+    * FARTHEST from the chosen set (ties to the smallest vec_id).
+    * Returns one row per chosen center: (step, vec_id, radius) where
+    * radius is the center's distance² to the previously-chosen set at
+    * selection time — step r's radius is exactly the k-center covering
+    * radius after r-1 centers, so the output doubles as the
+    * diminishing-returns curve used to pick k.
+    *
+    * Distances are squared Euclidean over integer-quantized components
+    * (`round(x·scale)`) — EXACT Long arithmetic, so selection replays
+    * bit-for-bit in SQL (`ORDER BY md DESC, vec_id LIMIT 1` per
+    * round).
+    *
+    * Scale: k passes over the corpus, each a broadcast of one dim-long
+    * vector + a map + a driver-side 1-row reduce; min-distances are
+    * carried forward so round r costs O(n·dim), not O(n·r·dim). The
+    * corpus is never collected. */
+  def farthestPointInit(emb: DataFrame, k: Int = 6,
+      scale: Int = 1024): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vecs = emb.select(col("vec_id").cast("long").as("vec_id"),
+        transform(VF.toDoubleVec(col("embedding")),
+          x => round(x * scale)).as("v"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, v) => (id, v.map(_.toLong).toArray) }
+      .cache()
+    try {
+      val seed = vecs.reduce((a, b) => if (a._1 <= b._1) a else b)
+      var picked = List((1, seed._1, 0L))
+      var cur: Dataset[(Long, Array[Long], Long)] = {
+        val bc = spark.sparkContext.broadcast(seed._2)
+        vecs.map { case (id, v) => (id, v, dist2(v, bc.value)) }
+      }
+      for (r <- 2 to k) {
+        val next = cur.reduce((a, b) =>
+          if (a._3 > b._3 || (a._3 == b._3 && a._1 < b._1)) a else b)
+        picked ::= ((r, next._1, next._3))
+        val bc = spark.sparkContext.broadcast(next._2)
+        cur = cur.map { case (id, v, md) =>
+          (id, v, math.min(md, dist2(v, bc.value)))
+        }
+      }
+      picked.reverse.toDF("step", "vec_id", "radius")
+    } finally vecs.unpersist()
+  }
+
   /** Cluster purity against a ground-truth label column: per cluster,
     * the member count, the majority label (ties toward the smallest
     * label), its count, and purity = n_top / n_members — the SemDeDup /

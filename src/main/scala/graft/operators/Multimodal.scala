@@ -89,6 +89,54 @@ object Multimodal {
     out
   }
 
+  /** REAL nearest-neighbor resize of a row-major luma plane:
+    * out(x, y) = in(x*w/outW, y*h/outH) (floor mapping) — the thumbnail
+    * kernel production image pipelines reach for when throughput beats
+    * quality. Integer-exact, so the m12 oracle replays it
+    * pixel-for-pixel. */
+  def resizeNearest(plane: Array[Byte], w: Int, h: Int,
+      outW: Int, outH: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && outW > 0 && outH > 0 && plane.length == w * h,
+      s"bad resize geometry ${w}x$h -> ${outW}x$outH")
+    val out = new Array[Byte](outW * outH)
+    var y = 0
+    while (y < outH) {
+      val sy = y * h / outH
+      var x = 0
+      while (x < outW) {
+        out(y * outW + x) = plane(sy * w + (x * w / outW))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL 2x2 box-filter downsample (half-size antialias): each output
+    * pixel is the truncating integer mean of its 2x2 source block.
+    * Width and height must be even. Integer-exact like
+    * [[resizeNearest]]. */
+  def downsampleBox2(plane: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0 &&
+      plane.length == w * h, s"bad box2 geometry ${w}x$h")
+    val outW = w / 2
+    val outH = h / 2
+    val out = new Array[Byte](outW * outH)
+    var y = 0
+    while (y < outH) {
+      var x = 0
+      while (x < outW) {
+        val base = (2 * y) * w + 2 * x
+        val s = (plane(base) & 0xFF) + (plane(base + 1) & 0xFF) +
+          (plane(base + w) & 0xFF) + (plane(base + w + 1) & 0xFF)
+        out(y * outW + x) = (s / 4).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** STUB frame sampling for video: every k-th fixed-size frame slice. */
   def stubSampleFrames(payload: Array[Byte], frameBytes: Int,
       everyK: Int): Seq[Array[Byte]] = {

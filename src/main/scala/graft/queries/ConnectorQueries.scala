@@ -39,7 +39,7 @@ object ConnectorQueries {
     ()
   }
 
-  private def tempDir(prefix: String): String = {
+  private[queries] def tempDir(prefix: String): String = {
     cleanupHookInstalled
     val p = Files.createTempDirectory(prefix)
     tempRoots.add(p)
@@ -79,7 +79,8 @@ object ConnectorQueries {
     "c11_retention_expire" -> c11,
     "c12_stream_kmv" -> c12,
     "c13_stream_cms" -> c13,
-    "c14_stream_hll" -> c14
+    "c14_stream_hll" -> c14,
+    "c15_stream_minhash" -> c15
   )
 
   /** Streaming HLL distinct-count state on the oracle gate (c14): the
@@ -138,6 +139,77 @@ object ConnectorQueries {
 
   private val c14Count =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+
+  /** Streaming MinHash signature state (c15): the fourth sketch family
+    * as streaming state — the per-key element-wise-min signature that
+    * feeds MinHash-LSH dedup (d3), built INSIDE a streaming
+    * aggregation via the same [[graft.functions.MinHashAgg]] the batch
+    * path uses. Each row contributes splitmix64(xxhash64(user_id) + i)
+    * for i < 8 (pure codegen'd column arithmetic — no UDF on the hot
+    * path); the Aggregator's long[8] buffer serializes into the state
+    * store and is carried across forced multi-trigger pacing.
+    * Element-wise mins only DECREASE as state grows, so each key's
+    * LAST emission (argmax batch_id over the Update-mode stream) must
+    * equal the signature of the FULL stream — which the oracle
+    * recomputes value-for-value from the events parquet through the
+    * proven u64 replay machinery (xxhash64 layers → +i → splitmix
+    * layers → signed min per permutation). A signature row that
+    * reflects only the final micro-batch (lost state), a double-
+    * counted batch (mins are idempotent — but a missing one isn't),
+    * or a buffer that didn't round-trip the state store intact all
+    * break the hash.
+    *
+    * Scale: this is the streaming form of the d3 sketch side — one
+    * 8-long array per key in state, never the shingle inverted index;
+    * at 100 TB the state is |keys|x64 bytes and the per-row work is
+    * 8 codegen'd mixes. */
+  private def c15: Q = (spark, dir) => {
+    import graft.functions.MinHashAgg
+    val K = 8
+    val srcOpts = ingest(spark, dir, 2)
+    val total = c14Count.getOrElseUpdate((spark, dir),
+      t(spark, dir, "events").count())
+    val dstRoot = tempDir("graft-logstore-c15")
+    new EmbeddedLogStore(dstRoot).createStore("proj", "minhash", 1)
+    val dstOpts = Map("store.root" -> dstRoot, "store.project" -> "proj",
+      "store.name" -> "minhash")
+    val ckpt = tempDir("graft-c15-ckpt")
+    // splitmix64 finalizer via the native wrapping expression (ANSI
+    // mode makes built-in Long +/* THROW on overflow, but a hash
+    // mixer's arithmetic wraps by definition) — bit-identical to
+    // Dedup.splitmix64 / CmsOps.mix, and codegen'd
+    import graft.functions.SplitMix64Expr.splitmix64
+    val sig = array((0 until K).map(i =>
+      splitmix64(xxhash64(col("user_id")), lit(i.toLong))): _*)
+    val q = streamSession(spark).readStream.format("graft-logstore")
+      .options(srcOpts)
+      .option("maxoffsetspertrigger", math.max(1L, total / 3 + 1).toString)
+      .schema("user_id LONG, event_type STRING").load()
+      .withColumn("sig", sig)
+      .groupBy(col("event_type"))
+      .agg(MinHashAgg.minSig(K)(col("sig")).as("sig"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.select(col("event_type"),
+            posexplode(col("sig")).as(Seq("perm", "min_hash")))
+          .withColumn("batch_id", lit(batchId))
+          .write.format("graft-logstore").options(dstOpts)
+          .mode("append").save()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val sink = spark.read.format("graft-logstore").options(dstOpts)
+      .schema("event_type STRING, perm INT, min_hash LONG, batch_id LONG")
+      .load()
+    require(sink.select(col("batch_id")).distinct().count() >= 2,
+      "c15 expected multiple micro-batches; pacing produced fewer than 2")
+    sink.groupBy(col("event_type"), col("perm"))
+      .agg(max(struct(col("batch_id"), col("min_hash")))
+        .getField("min_hash").as("min_hash"))
+  }
 
   /** Streaming CMS frequency state on the oracle gate (c13): the c12
     * idiom with the POINT-FREQUENCY sketch — a count-min counter array
@@ -753,6 +825,21 @@ object ConnectorQueries {
     // to the batch k3 oracle because HLL registers are a function of
     // the input SET, not of the trigger slicing
     "c14_stream_hll" -> SketchQueries.k3OracleSql,
+    // exact signature replay: distinct users per event_type (min is
+    // idempotent — the multiset and the set share a signature) →
+    // xxhash64(seed 42) → +perm → splitmix64 → signed min per perm,
+    // through the same u64 layers the c12/c13/d11 oracles proved
+    "c15_stream_minhash" ->
+      s"""WITH du AS (SELECT DISTINCT event_type, CAST(user_id AS HUGEINT) AS fpu FROM events),
+         |xx AS MATERIALIZED (${
+           OracleSql.xxHashLongLayers("SELECT event_type, fpu FROM du")}),
+         |pm AS (SELECT event_type, p, (h1u + p) % 18446744073709551616 AS mxin
+         |       FROM xx CROSS JOIN range(0, 8) t(p)),
+         |mx AS MATERIALIZED (${
+           OracleSql.splitmixLayers("SELECT event_type, p, mxin FROM pm")})
+         |SELECT event_type, CAST(p AS INTEGER) AS perm,
+         |  MIN(${OracleSql.u64signed("mxout")}) AS min_hash
+         |FROM mx GROUP BY 1, 2""".stripMargin,
     "c12_stream_kmv" ->
       s"""WITH du AS (SELECT DISTINCT event_type, CAST(user_id AS HUGEINT) AS fpu FROM events),
          |xx AS MATERIALIZED (${OracleSql.xxHashLongLayers("SELECT event_type, fpu FROM du")}),

@@ -26,7 +26,45 @@ object MultimodalQueries {
     "m8_scene_cuts" -> m8,
     "m9_image_dhash" -> m9,
     "m10_video_probe" -> m10,
-    "m11_image_dedup_groups" -> m11)
+    "m11_image_dedup_groups" -> m11,
+    "m12_image_resize" -> m12)
+
+  /** Image resize (m12): the thumbnail/downsample stage every
+    * multimodal training pipeline runs before featurization. Each
+    * asset's 16x12 gray plane round-trips the REAL 24bpp BMP codec
+    * (m4's), then two REAL integer resize kernels run on the decoded
+    * plane: nearest-neighbor to 7x5 (non-integer ratios, so the floor
+    * mapping is actually exercised) and 2x2 box-average to 8x6. The
+    * outputs are pinned by position-weighted checksums + plain sums —
+    * the oracle recomputes every output pixel from the plane formula
+    * via the same floor arithmetic, so a one-pixel drift anywhere in
+    * encode → decode → either kernel breaks the hash.
+    *
+    * Scale: zero-shuffle per-asset map like every m-family decode;
+    * the kernels are O(outputPixels) integer ops with no allocation
+    * beyond the output plane. */
+  private def m12: Q = (spark, dir) => {
+    import spark.implicits._
+    val W = 16; val H = 12; val NW = 7; val NH = 5
+    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val plane = Array.tabulate(W * H)(i => ((id * 31 + i) % 256).toByte)
+      val bmp = Multimodal.encodeBmp24(W, H, plane)
+      val (_, _, dec) = Multimodal.decodeBmp24(bmp)
+      val nn = Multimodal.resizeNearest(dec, W, H, NW, NH)
+      val bx = Multimodal.downsampleBox2(dec, W, H)
+      def sums(p: Array[Byte]): (Long, Long) = {
+        var s = 0L; var c = 0L; var i = 0
+        while (i < p.length) {
+          val v = (p(i) & 0xFF).toLong
+          s += v; c += v * (i + 1); i += 1
+        }
+        (s, c)
+      }
+      val (nnSum, nnCk) = sums(nn)
+      val (bxSum, bxCk) = sums(bx)
+      (id, nnSum, nnCk, bxSum, bxCk)
+    }.toDF("doc_id", "nn_sum", "nn_checksum", "box_sum", "box_checksum")
+  }
 
   /** Perceptual-hash image dedup (m11): m9's dHashes grouped by EXACT
     * hash equality — the LAION-style first dedup pass (hash every
@@ -397,6 +435,35 @@ object MultimodalQueries {
         |SELECT dhash_lo, dhash_hi, COUNT(*) AS n_images,
         | MIN(doc_id) AS keeper_id, CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM h GROUP BY dhash_lo, dhash_hi""".stripMargin,
+    // m12: every output pixel recomputed from the plane formula
+    // (doc_id*31 + rowMajorIdx) % 256 with the kernels' own floor
+    // arithmetic — nearest: src = (y*12//5)*16 + (x*16//7); box: mean
+    // of the 2x2 block, truncating — then the same weighted checksums
+    "m12_image_resize" ->
+      """WITH nn AS (SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 35), i ->
+        |      (doc_id*31 + ((i//7)*12//5)*16 + ((i%7)*16//7)) % 256))
+        |      AS BIGINT) AS nn_sum,
+        |    CAST(list_sum(list_transform(range(0, 35), i ->
+        |      ((doc_id*31 + ((i//7)*12//5)*16 + ((i%7)*16//7)) % 256) * (i+1)))
+        |      AS BIGINT) AS nn_checksum
+        |  FROM documents),
+        |bx AS (SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 48), i ->
+        |      ((doc_id*31 + (i//8)*2*16 + (i%8)*2) % 256
+        |       + (doc_id*31 + (i//8)*2*16 + (i%8)*2 + 1) % 256
+        |       + (doc_id*31 + ((i//8)*2+1)*16 + (i%8)*2) % 256
+        |       + (doc_id*31 + ((i//8)*2+1)*16 + (i%8)*2 + 1) % 256) // 4))
+        |      AS BIGINT) AS box_sum,
+        |    CAST(list_sum(list_transform(range(0, 48), i ->
+        |      (((doc_id*31 + (i//8)*2*16 + (i%8)*2) % 256
+        |        + (doc_id*31 + (i//8)*2*16 + (i%8)*2 + 1) % 256
+        |        + (doc_id*31 + ((i//8)*2+1)*16 + (i%8)*2) % 256
+        |        + (doc_id*31 + ((i//8)*2+1)*16 + (i%8)*2 + 1) % 256) // 4) * (i+1)))
+        |      AS BIGINT) AS box_checksum
+        |  FROM documents)
+        |SELECT nn.doc_id, nn_sum, nn_checksum, box_sum, box_checksum
+        |FROM nn JOIN bx ON nn.doc_id = bx.doc_id""".stripMargin,
     "m9_image_dhash" ->
       """SELECT doc_id,
         | CAST(list_sum(list_transform(range(0, 32), b ->

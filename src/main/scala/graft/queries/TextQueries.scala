@@ -69,7 +69,13 @@ object TextQueries {
     "t25_stratified_sample" -> t25,
     "t26_rouge_overlap" -> t26,
     "t27_quality_classifier" -> t27,
+    "t28_gopher_filters" -> t28,
     "s1_ann_cosine" -> s1,
+    // Gonzalez k-center greedy seeding over the quantized embeddings —
+    // the deterministic k-means++ stand-in; integer-exact distances
+    // make the whole selection sequence replay in SQL (s13OracleSql)
+    "s13_farthest_init" -> ((spark, dir) =>
+      Clustering.farthestPointInit(t(spark, dir, "embeddings"), k = 6)),
     "s2_ann_lsh" -> s2,
     "s3_ann_ivf" -> s3,
     "s4_ann_multiprobe" -> s4,
@@ -930,6 +936,38 @@ object TextQueries {
       |           least(src, MIN(dst)) AS comp
       |         FROM reach GROUP BY src)""".stripMargin
 
+  /** DuckDB replay of s13's farthest-point selection: the same
+    * integer-quantized vectors as the kmeans oracle, squared-Euclidean
+    * distances as EXACT integer sums, each round's pick unrolled as
+    * `ORDER BY md DESC, vec_id LIMIT 1` over the carried min-distance
+    * column — the selection sequence the engine produces, value for
+    * value. */
+  private def s13OracleSql: String = {
+    val k = 6
+    def dist(a: String, b: String): String =
+      s"CAST(list_sum(list_transform(range(1, len($a)+1), i -> ($a[i]-$b[i])*($a[i]-$b[i]))) AS BIGINT)"
+    val head =
+      s"""WITH e AS (SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1024)) AS v
+         |  FROM embeddings),
+         |c1 AS (SELECT vec_id, v, CAST(0 AS BIGINT) AS md FROM e
+         |       WHERE vec_id = (SELECT min(vec_id) FROM e)),
+         |m1 AS (SELECT e.vec_id, e.v, ${dist("e.v", "c.v")} AS md
+         |       FROM e CROSS JOIN c1 c)""".stripMargin
+    val rounds = (2 to k).map { r =>
+      val pick =
+        s"c$r AS (SELECT vec_id, v, md FROM m${r - 1} ORDER BY md DESC, vec_id LIMIT 1)"
+      val update = if (r == k) None else Some(
+        s"""m$r AS (SELECT m.vec_id, m.v, LEAST(m.md, ${dist("m.v", "c.v")}) AS md
+           |       FROM m${r - 1} m CROSS JOIN c$r c)""".stripMargin)
+      (pick +: update.toSeq).mkString(",\n")
+    }
+    val selects = (1 to k)
+      .map(r => s"SELECT $r AS step, vec_id, md AS radius FROM c$r")
+      .mkString("\nUNION ALL ")
+    (head +: rounds).mkString(",\n") + "\n" + selects
+  }
+
   /** DuckDB replay of s7's full k-means iteration (WITH ... a3 =
     * final (vec_id, cid) assignment); shared by the s7 and s9 oracles. */
   private val kmeansCte =
@@ -1265,6 +1303,52 @@ object TextQueries {
         (col("logit") >= 0).as("keep"))
   }
 
+  /** Gopher-rule quality filter (t28): the published document-level
+    * filter battery of the Gopher/MassiveText pipeline (word count,
+    * mean word length, symbol-to-word ratio, bullet/ellipsis line
+    * ratios, alphabetic-word ratio, stopword requirement), each rule a
+    * bit in a `reasons` mask so downstream can both hard-filter
+    * (`keep`) and audit WHY documents fell out — the shape every
+    * production pretraining filter uses. All thresholds are evaluated
+    * as cross-multiplied INTEGER comparisons (3·n > chars, not
+    * chars/n < 3), so the oracle replays them exactly with no float
+    * division anywhere.
+    *
+    * Scale: one zero-shuffle codegen'd projection pass — no UDF, no
+    * explode; at 100 TB this filter is scan-bound, which is the
+    * point. */
+  private def t28: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    val toks = TF.tokens(lower(col("text")))
+    val n = size(toks).cast(LongType)
+    val chars = length(regexp_replace(col("text"), "\\s+", "")).cast(LongType)
+    val hashes = (length(col("text")) -
+      length(translate(col("text"), "#", ""))).cast(LongType)
+    val ells = ((length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast(LongType)
+    val lines = split(col("text"), "\n")
+    val nLines = size(lines).cast(LongType)
+    val bullet = size(filter(lines, l =>
+      startswith(ltrim(l), lit("-")) || startswith(ltrim(l), lit("*"))))
+      .cast(LongType)
+    val ellEnd = size(filter(lines, l => endswith(rtrim(l), lit("..."))))
+      .cast(LongType)
+    val alpha = size(filter(toks, t => t.rlike("[a-z]"))).cast(LongType)
+    val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(s => when(array_contains(toks, s), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val reasons =
+      when(n < 50L || n > 100000L, 1L).otherwise(0L) +
+      when(lit(3L) * n > chars || chars > lit(10L) * n, 2L).otherwise(0L) +
+      when(lit(10L) * (hashes + ells) > n, 4L).otherwise(0L) +
+      when(lit(10L) * bullet > lit(9L) * nLines, 8L).otherwise(0L) +
+      when(lit(10L) * ellEnd > lit(3L) * nLines, 16L).otherwise(0L) +
+      when(lit(10L) * alpha < lit(8L) * n, 32L).otherwise(0L) +
+      when(stopHits < 2L, 64L).otherwise(0L)
+    d.select(col("doc_id"), n.as("n_words"), nLines.as("n_lines"),
+      reasons.as("reasons"), (reasons === 0L).as("keep"))
+  }
+
   private def t20: Q = (spark, dir) => {
     val nb = 128
     t(spark, dir, "documents")
@@ -1496,6 +1580,7 @@ object TextQueries {
         |FROM contrib GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "s7_kmeans" -> (kmeansCte + "\nSELECT vec_id, cid AS cluster FROM a3"),
+    "s13_farthest_init" -> s13OracleSql,
     "s10_mmr_select" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
@@ -1572,7 +1657,40 @@ object TextQueries {
         |SELECT cluster, CAST(n_members AS BIGINT) AS n_members,
         |  label AS top_label, CAST(n AS BIGINT) AS n_top,
         |  CAST(n AS DOUBLE) / n_members AS purity
-        |FROM p WHERE rn = 1""".stripMargin),    "t27_quality_classifier" ->
+        |FROM p WHERE rn = 1""".stripMargin),
+    // t28: every rule replayed as the same cross-multiplied integer
+    // comparison; '#' counted via translate, '...' via global regex
+    // removal, lines split on literal \n (both engines keep trailing
+    // empties), bullets/ellipsis-ends on space-trimmed line edges
+    "t28_gopher_filters" ->
+      """WITH x AS (SELECT doc_id, text,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w,
+        |    string_split(text, chr(10)) AS ln FROM documents),
+        |y AS (SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS chars,
+        |    CAST(length(text) - length(translate(text, '#', '')) AS BIGINT) AS hashes,
+        |    CAST((length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) // 3 AS BIGINT) AS ells,
+        |    CAST(len(ln) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(ln, l -> starts_with(ltrim(l), '-')
+        |      OR starts_with(ltrim(l), '*'))) AS BIGINT) AS bullet,
+        |    CAST(len(list_filter(ln, l -> ends_with(rtrim(l), '...'))) AS BIGINT) AS ell_end,
+        |    CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS alpha,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      s -> list_contains(w, s))) AS BIGINT) AS stop_hits
+        |  FROM x),
+        |z AS (SELECT doc_id, n, n_lines,
+        |    CAST((CASE WHEN n < 50 OR n > 100000 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN 3*n > chars OR chars > 10*n THEN 2 ELSE 0 END)
+        |     + (CASE WHEN 10*(hashes + ells) > n THEN 4 ELSE 0 END)
+        |     + (CASE WHEN 10*bullet > 9*n_lines THEN 8 ELSE 0 END)
+        |     + (CASE WHEN 10*ell_end > 3*n_lines THEN 16 ELSE 0 END)
+        |     + (CASE WHEN 10*alpha < 8*n THEN 32 ELSE 0 END)
+        |     + (CASE WHEN stop_hits < 2 THEN 64 ELSE 0 END) AS BIGINT) AS reasons
+        |  FROM y)
+        |SELECT doc_id, n AS n_words, n_lines, reasons, reasons = 0 AS keep
+        |FROM z""".stripMargin,
+    "t27_quality_classifier" ->
       """WITH toks AS (SELECT doc_id,
         |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
         |  FROM documents),

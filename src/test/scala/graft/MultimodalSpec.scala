@@ -38,6 +38,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.toSeq === Multimodal.stubResize(plane, w, h, 4, 4).toSeq)
   }
 
+  test("resizeNearest: floor mapping, identity at same size, corners kept") {
+    val w = 16; val h = 12
+    val plane = Array.tabulate(w * h)(i => (i % 256).toByte)
+    // identity resize is a no-op copy
+    assert(Multimodal.resizeNearest(plane, w, h, w, h).toSeq === plane.toSeq)
+    val out = Multimodal.resizeNearest(plane, w, h, 7, 5)
+    assert(out.length === 35)
+    // hand-check the floor mapping at a few output sites
+    for ((x, y) <- Seq((0, 0), (6, 4), (3, 2))) {
+      val sy = y * h / 5; val sx = x * w / 7
+      assert(out(y * 7 + x) === plane(sy * w + sx),
+        s"pixel ($x,$y) should map to source ($sx,$sy)")
+    }
+    // top-left corner always survives any resize
+    assert(Multimodal.resizeNearest(plane, w, h, 1, 1)(0) === plane(0))
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeNearest(plane, w, h + 1, 7, 5)
+    }
+  }
+
+  test("downsampleBox2: truncating 2x2 means, rejects odd geometry") {
+    val w = 4; val h = 2
+    val plane = Array[Byte](10, 20, 30, 41, 50, 60, 70, 80)
+    val out = Multimodal.downsampleBox2(plane, w, h)
+    // (10+20+50+60)/4 = 35 ; (30+41+70+80)/4 = 221/4 = 55 (truncated)
+    assert(out.toSeq === Seq[Byte](35, 55))
+    // high bytes stay unsigned through the mean
+    val bright = Array.fill[Byte](4)(0xFF.toByte)
+    assert((Multimodal.downsampleBox2(bright, 2, 2)(0) & 0xFF) === 255)
+    intercept[IllegalArgumentException] {
+      Multimodal.downsampleBox2(plane, 4, 4) // length mismatch
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.downsampleBox2(Array.fill[Byte](9)(0), 3, 3) // odd dims
+    }
+  }
+
   test("frame sampling slices every k-th frame") {
     val payload = Array.tabulate[Byte](100)(_.toByte)
     val frames = Multimodal.stubSampleFrames(payload, frameBytes = 10, everyK = 3)

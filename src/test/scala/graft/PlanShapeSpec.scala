@@ -57,6 +57,15 @@ class PlanShapeSpec extends AnyFunSuite {
       "prune must run before the window:\n" + p)
   }
 
+  test("q32: the fact scan carries a dynamic partition pruning filter") {
+    // the dim filter is only knowable at runtime; the partitioned fact
+    // scan must subscribe to it via a dynamicpruning expression — a
+    // plain scan here means DPP was lost and 100 TB reads all 7/7ths
+    val p = plan("q32_dpp_join")
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
+    assert(p.contains("PartitionFilters"), p)
+  }
+
   test("q1: aggregation is partial+final (map-side combine)") {
     val p = plan("q1_pricing_summary")
     assert(p.contains("HashAggregate"), p)
