@@ -1,7 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
@@ -23,18 +22,13 @@ import org.apache.spark.sql.types._
   * permutation values `splitmix64(xxhash64(key), i)` for i < k.
   */
 case class SplitMix64Expr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = left.nullable || right.nullable
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == LongType && right.dataType == LongType)
-      TypeCheckResult.TypeCheckSuccess
-    else
-      TypeCheckResult.TypeCheckFailure(
-        s"splitmix64 needs (bigint, bigint), got " +
-          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  // narrower integrals (SQL integer literals) widen losslessly
+  override def inputTypes = Seq(LongType, LongType)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     SplitMix64Expr.mix(a.asInstanceOf[Long] + b.asInstanceOf[Long])

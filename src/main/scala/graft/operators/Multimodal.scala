@@ -89,6 +89,39 @@ object Multimodal {
     out
   }
 
+  /** REAL 2:1 PCM downsample: each output sample is the floor-mean of
+    * its input pair — the box antialias a sample-rate-halving pass
+    * uses. floorDiv keeps the semantics well-defined for negative
+    * samples (and matches SQL's floor division, so the m13 oracle
+    * replays it sample-for-sample). A trailing odd sample is dropped. */
+  def downsamplePcm2(samples: Array[Short]): Array[Short] = {
+    val out = new Array[Short](samples.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = Math.floorDiv(samples(2 * i) + samples(2 * i + 1), 2).toShort
+      i += 1
+    }
+    out
+  }
+
+  /** REAL 1:2 PCM upsample by linear interpolation: even outputs copy
+    * the source, odd outputs are the floor-midpoint of the bracketing
+    * pair; the final sample repeats (no right neighbor). */
+  def upsamplePcm2Linear(samples: Array[Short]): Array[Short] = {
+    require(samples.nonEmpty, "empty PCM buffer")
+    val n = samples.length
+    val out = new Array[Short](2 * n)
+    var i = 0
+    while (i < n) {
+      out(2 * i) = samples(i)
+      out(2 * i + 1) =
+        if (i < n - 1) Math.floorDiv(samples(i) + samples(i + 1), 2).toShort
+        else samples(n - 1)
+      i += 1
+    }
+    out
+  }
+
   /** REAL nearest-neighbor resize of a row-major luma plane:
     * out(x, y) = in(x*w/outW, y*h/outH) (floor mapping) — the thumbnail
     * kernel production image pipelines reach for when throughput beats

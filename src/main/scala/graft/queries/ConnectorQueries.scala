@@ -80,7 +80,8 @@ object ConnectorQueries {
     "c12_stream_kmv" -> c12,
     "c13_stream_cms" -> c13,
     "c14_stream_hll" -> c14,
-    "c15_stream_minhash" -> c15
+    "c15_stream_minhash" -> c15,
+    "c16_stream_kll" -> c16
   )
 
   /** Streaming HLL distinct-count state on the oracle gate (c14): the
@@ -139,6 +140,62 @@ object ConnectorQueries {
 
   private val c14Count =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+
+  /** Streaming KLL quantile state (c16): the LAST of the five sketch
+    * families as streaming state — k5's compaction-free KLL (capacity
+    * 2^17 > per-key cardinality at oracle scale, so the buffer is the
+    * exact sorted-sample multiset) built inside a streaming
+    * aggregation. Like the HLL estimate (c14), a quantile of a GROWING
+    * sample is not monotone, so each micro-batch's emission is stamped
+    * with its batch id and the final value is each key's LAST emission
+    * — which must equal the exact-rank replay over ALL events: right
+    * iff no state was lost, no batch double-counted, and the sketch
+    * binary survived the state store round-trip.
+    *
+    * Scale: at realistic capacity the same state is a bounded KLL
+    * buffer per key (k1's config); the compaction-free capacity here
+    * is what makes the STREAMING path itself oracle-checkable. */
+  private def c16: Q = (spark, dir) => {
+    import graft.functions.Sketches.{kll_build, kll_quantile}
+    val srcOpts = ingest(spark, dir, 2)
+    val total = c14Count.getOrElseUpdate((spark, dir),
+      t(spark, dir, "events").count())
+    val dstRoot = tempDir("graft-logstore-c16")
+    new EmbeddedLogStore(dstRoot).createStore("proj", "kll", 1)
+    val dstOpts = Map("store.root" -> dstRoot, "store.project" -> "proj",
+      "store.name" -> "kll")
+    val ckpt = tempDir("graft-c16-ckpt")
+    val q = streamSession(spark).readStream.format("graft-logstore")
+      .options(srcOpts)
+      .option("maxoffsetspertrigger", math.max(1L, total / 3 + 1).toString)
+      .schema("event_type STRING, value DOUBLE").load()
+      .groupBy(col("event_type"))
+      .agg(kll_quantile(kll_build(col("value"), 1 << 17), 0.25).as("p25_value"),
+        kll_quantile(kll_build(col("value"), 1 << 17), 0.5).as("p50_value"),
+        kll_quantile(kll_build(col("value"), 1 << 17), 0.95).as("p95_value"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.format("graft-logstore").options(dstOpts)
+          .mode("append").save()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val sink = spark.read.format("graft-logstore").options(dstOpts)
+      .schema("event_type STRING, p25_value DOUBLE, p50_value DOUBLE, " +
+        "p95_value DOUBLE, batch_id LONG")
+      .load()
+    require(sink.select(col("batch_id")).distinct().count() >= 2,
+      "c16 expected multiple micro-batches; pacing produced fewer than 2")
+    sink.groupBy(col("event_type"))
+      .agg(max(struct(col("batch_id"), col("p25_value"), col("p50_value"),
+          col("p95_value"))).as("m"))
+      .select(col("event_type"), col("m.p25_value").as("p25_value"),
+        col("m.p50_value").as("p50_value"), col("m.p95_value").as("p95_value"))
+  }
 
   /** Streaming MinHash signature state (c15): the fourth sketch family
     * as streaming state — the per-key element-wise-min signature that
@@ -825,6 +882,10 @@ object ConnectorQueries {
     // to the batch k3 oracle because HLL registers are a function of
     // the input SET, not of the trigger slicing
     "c14_stream_hll" -> SketchQueries.k3OracleSql,
+    // exact-rank replay over ALL events — identical to the batch k5
+    // oracle because the compaction-free KLL buffer is a function of
+    // the input multiset, not of the trigger slicing
+    "c16_stream_kll" -> SketchQueries.k5OracleSql,
     // exact signature replay: distinct users per event_type (min is
     // idempotent — the multiset and the set share a signature) →
     // xxhash64(seed 42) → +perm → splitmix64 → signed min per perm,

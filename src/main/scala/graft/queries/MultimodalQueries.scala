@@ -27,7 +27,42 @@ object MultimodalQueries {
     "m9_image_dhash" -> m9,
     "m10_video_probe" -> m10,
     "m11_image_dedup_groups" -> m11,
-    "m12_image_resize" -> m12)
+    "m12_image_resize" -> m12,
+    "m13_audio_resample" -> m13)
+
+  /** Audio resample (m13): the sample-rate-conversion stage of an audio
+    * pipeline. Each asset's synthetic 16-bit PCM (even length 64..126,
+    * planted from doc_id) round-trips the REAL RIFF/WAVE codec (m3's),
+    * then two REAL integer DSP kernels run on the decoded samples: 2:1
+    * pair-average downsample and 1:2 linear-interpolation upsample —
+    * both floor-division exact, so the oracle recomputes every output
+    * sample from the PCM formula. Position-weighted checksums pin the
+    * full output sequences.
+    *
+    * Scale: zero-shuffle per-asset map; kernels are O(samples) integer
+    * ops — the multimodal analogue of the t-family's codegen'd scans. */
+  private def m13: Q = (spark, dir) => {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val n = (64 + (id % 32) * 2).toInt
+      val pcm = Array.tabulate(n)(i => ((id * 7 + i * 13) % 20000).toShort)
+      val wav = Multimodal.encodeWavPcm16(8000, pcm)
+      val (_, _, dec) = Multimodal.decodeWavPcm16(wav)
+      val down = Multimodal.downsamplePcm2(dec)
+      val up = Multimodal.upsamplePcm2Linear(dec)
+      def sums(p: Array[Short]): (Long, Long) = {
+        var s = 0L; var c = 0L; var i = 0
+        while (i < p.length) {
+          val v = p(i).toLong
+          s += v; c += v * (i + 1); i += 1
+        }
+        (s, c)
+      }
+      val (dnSum, dnCk) = sums(down)
+      val (upSum, upCk) = sums(up)
+      (id, dnSum, dnCk, upSum, upCk)
+    }.toDF("doc_id", "down_sum", "down_checksum", "up_sum", "up_checksum")
+  }
 
   /** Image resize (m12): the thumbnail/downsample stage every
     * multimodal training pipeline runs before featurization. Each
@@ -435,6 +470,33 @@ object MultimodalQueries {
         |SELECT dhash_lo, dhash_hi, COUNT(*) AS n_images,
         | MIN(doc_id) AS keeper_id, CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM h GROUP BY dhash_lo, dhash_hi""".stripMargin,
+    // m13: every output sample recomputed from the PCM formula
+    // s(x) = (doc_id*7 + x*13) % 20000 with the kernels' floor
+    // arithmetic; n = 64 + (doc_id%32)*2 (even), down has n//2
+    // samples, up has 2n with the final sample repeated
+    "m13_audio_resample" ->
+      """WITH g AS (SELECT doc_id, 64 + (doc_id % 32) * 2 AS n FROM documents),
+        |dn AS (SELECT doc_id,
+        |    CAST(SUM(v) AS BIGINT) AS down_sum,
+        |    CAST(SUM(v * (i+1)) AS BIGINT) AS down_checksum
+        |  FROM (SELECT doc_id, i,
+        |      ((doc_id*7 + (2*i)*13) % 20000
+        |       + (doc_id*7 + (2*i+1)*13) % 20000) // 2 AS v
+        |    FROM g CROSS JOIN range(0, 63) t(i) WHERE i < n // 2) x
+        |  GROUP BY doc_id),
+        |up AS (SELECT doc_id,
+        |    CAST(SUM(v) AS BIGINT) AS up_sum,
+        |    CAST(SUM(v * (j+1)) AS BIGINT) AS up_checksum
+        |  FROM (SELECT doc_id, j,
+        |      CASE WHEN j % 2 = 0 THEN (doc_id*7 + (j//2)*13) % 20000
+        |           WHEN j // 2 < n - 1 THEN
+        |             ((doc_id*7 + (j//2)*13) % 20000
+        |              + (doc_id*7 + (j//2+1)*13) % 20000) // 2
+        |           ELSE (doc_id*7 + (n-1)*13) % 20000 END AS v
+        |    FROM g CROSS JOIN range(0, 252) t(j) WHERE j < 2 * n) x
+        |  GROUP BY doc_id)
+        |SELECT dn.doc_id, down_sum, down_checksum, up_sum, up_checksum
+        |FROM dn JOIN up ON dn.doc_id = up.doc_id""".stripMargin,
     // m12: every output pixel recomputed from the plane formula
     // (doc_id*31 + rowMajorIdx) % 256 with the kernels' own floor
     // arithmetic — nearest: src = (y*12//5)*16 + (x*16//7); box: mean

@@ -216,7 +216,7 @@ object SketchQueries {
     * q*n computed double*double in both engines (the DOUBLE cast
     * matters: DuckDB would otherwise read 0.95 as DECIMAL and round
     * the 18.999... cases the other way). */
-  private def k5OracleSql: String = {
+  private[queries] def k5OracleSql: String = {
     def pick(q: String, alias: String) =
       s"""max(CASE WHEN rn = least(n, greatest(1,
          |    CAST(floor(CAST($q AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT)))

@@ -91,7 +91,8 @@ object TextQueries {
     "p2_prep_pipeline_v2" -> p2,
     "p3_dedup_keeper" -> p3,
     "p4_leakage_split" -> p4,
-    "p5_fuzzy_verify" -> p5
+    "p5_fuzzy_verify" -> p5,
+    "p6_gopher_pipeline" -> p6
   )
 
   /** Dedup with a keeper POLICY (p3): near-dup groups (d3 pairs → d9
@@ -163,6 +164,39 @@ object TextQueries {
     val cands = Dedup.minHashLshPairs(docs, jaccardThreshold)
       .select(col("a_id"), col("b_id"))
     Dedup.editDistancePairs(docs, maxDist = 64, candidates = Some(cands))
+  }
+
+  /** The Gopher-era curation pipeline end-to-end (p6): rule-based
+    * quality filtering (t28's reasons bitmask) → exact dedup keeper
+    * (lowest doc_id per canonical fingerprint, payload carried through
+    * one min(struct)) → deterministic stratified sampling (t25's hash
+    * thresholds) with Horvitz–Thompson weights. The composition is the
+    * load-bearing claim: each stage reshapes what the next stage sees,
+    * and the oracle replays all three in one SQL chain, so a drift in
+    * any stage's SELECTION (not just its scores) breaks the hash.
+    *
+    * Scale: filter is a scan-bound projection, keeper one
+    * shuffle-on-fingerprint with map-side min, sampling a broadcast
+    * rate dim + hash threshold — no window functions, no driver
+    * state. */
+  private def p6: Q = (spark, dir) => {
+    import graft.operators.Sampling
+    val rates = (0 until 20).map { i =>
+      s"src$i" -> (if (i < 5) 5000 else if (i < 10) 2500 else 1000)
+    }.toMap
+    val kept = t28(spark, dir).filter(col("keep"))
+      .select(col("doc_id"), col("n_words"))
+    val enriched = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), TF.fingerprint(col("text")).as("fp"))
+      .join(kept, "doc_id")
+    val keepers = enriched
+      .groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("source"), col("n_words"))).as("m"))
+      .select(col("m.doc_id").as("doc_id"), col("m.source").as("source"),
+        col("m.n_words").as("n_words"))
+    Sampling.stratified(keepers, col("source"), col("doc_id"), rates,
+        defaultBp = 1000)
+      .select(col("doc_id"), col("source"), col("n_words"), col("weight"))
   }
 
   /** The composed data-prep pipeline a training run actually executes:
@@ -936,6 +970,36 @@ object TextQueries {
       |           least(src, MIN(dst)) AS comp
       |         FROM reach GROUP BY src)""".stripMargin
 
+  /** DuckDB replay of t28's Gopher rule battery as a reusable CTE chain
+    * (yields `z` = (doc_id, n, n_lines, reasons)); shared by the t28
+    * and p6 oracles. */
+  private val gopherCtes =
+    """x AS (SELECT doc_id, text,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS w,
+      |    string_split(text, chr(10)) AS ln FROM documents),
+      |y AS (SELECT doc_id,
+      |    CAST(len(w) AS BIGINT) AS n,
+      |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS chars,
+      |    CAST(length(text) - length(translate(text, '#', '')) AS BIGINT) AS hashes,
+      |    CAST((length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) // 3 AS BIGINT) AS ells,
+      |    CAST(len(ln) AS BIGINT) AS n_lines,
+      |    CAST(len(list_filter(ln, l -> starts_with(ltrim(l), '-')
+      |      OR starts_with(ltrim(l), '*'))) AS BIGINT) AS bullet,
+      |    CAST(len(list_filter(ln, l -> ends_with(rtrim(l), '...'))) AS BIGINT) AS ell_end,
+      |    CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS alpha,
+      |    CAST(len(list_filter(['the','a','of','and','is'],
+      |      s -> list_contains(w, s))) AS BIGINT) AS stop_hits
+      |  FROM x),
+      |z AS (SELECT doc_id, n, n_lines,
+      |    CAST((CASE WHEN n < 50 OR n > 100000 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN 3*n > chars OR chars > 10*n THEN 2 ELSE 0 END)
+      |     + (CASE WHEN 10*(hashes + ells) > n THEN 4 ELSE 0 END)
+      |     + (CASE WHEN 10*bullet > 9*n_lines THEN 8 ELSE 0 END)
+      |     + (CASE WHEN 10*ell_end > 3*n_lines THEN 16 ELSE 0 END)
+      |     + (CASE WHEN 10*alpha < 8*n THEN 32 ELSE 0 END)
+      |     + (CASE WHEN stop_hits < 2 THEN 64 ELSE 0 END) AS BIGINT) AS reasons
+      |  FROM y)""".stripMargin
+
   /** DuckDB replay of s13's farthest-point selection: the same
     * integer-quantized vectors as the kmeans oracle, squared-Euclidean
     * distances as EXACT integer sums, each round's pick unrolled as
@@ -1334,7 +1398,11 @@ object TextQueries {
     val ellEnd = size(filter(lines, l => endswith(rtrim(l), lit("..."))))
       .cast(LongType)
     val alpha = size(filter(toks, t => t.rlike("[a-z]"))).cast(LongType)
-    val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    // Gopher's "must contain >= 2 stopwords" rule, parameterized to
+    // this corpus's English function words (the t2/t3 marker set) —
+    // the rule is language-specific by design, so a deployment swaps
+    // the list, not the rule
+    val stopHits = Seq("the", "a", "of", "and", "is")
       .map(s => when(array_contains(toks, s), 1L).otherwise(0L))
       .reduce(_ + _)
     val reasons =
@@ -1663,33 +1731,33 @@ object TextQueries {
     // removal, lines split on literal \n (both engines keep trailing
     // empties), bullets/ellipsis-ends on space-trimmed line edges
     "t28_gopher_filters" ->
-      """WITH x AS (SELECT doc_id, text,
-        |    regexp_split_to_array(lower(trim(text)), '\s+') AS w,
-        |    string_split(text, chr(10)) AS ln FROM documents),
-        |y AS (SELECT doc_id,
-        |    CAST(len(w) AS BIGINT) AS n,
-        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS chars,
-        |    CAST(length(text) - length(translate(text, '#', '')) AS BIGINT) AS hashes,
-        |    CAST((length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) // 3 AS BIGINT) AS ells,
-        |    CAST(len(ln) AS BIGINT) AS n_lines,
-        |    CAST(len(list_filter(ln, l -> starts_with(ltrim(l), '-')
-        |      OR starts_with(ltrim(l), '*'))) AS BIGINT) AS bullet,
-        |    CAST(len(list_filter(ln, l -> ends_with(rtrim(l), '...'))) AS BIGINT) AS ell_end,
-        |    CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS alpha,
-        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
-        |      s -> list_contains(w, s))) AS BIGINT) AS stop_hits
-        |  FROM x),
-        |z AS (SELECT doc_id, n, n_lines,
-        |    CAST((CASE WHEN n < 50 OR n > 100000 THEN 1 ELSE 0 END)
-        |     + (CASE WHEN 3*n > chars OR chars > 10*n THEN 2 ELSE 0 END)
-        |     + (CASE WHEN 10*(hashes + ells) > n THEN 4 ELSE 0 END)
-        |     + (CASE WHEN 10*bullet > 9*n_lines THEN 8 ELSE 0 END)
-        |     + (CASE WHEN 10*ell_end > 3*n_lines THEN 16 ELSE 0 END)
-        |     + (CASE WHEN 10*alpha < 8*n THEN 32 ELSE 0 END)
-        |     + (CASE WHEN stop_hits < 2 THEN 64 ELSE 0 END) AS BIGINT) AS reasons
-        |  FROM y)
-        |SELECT doc_id, n AS n_words, n_lines, reasons, reasons = 0 AS keep
-        |FROM z""".stripMargin,
+      (s"WITH $gopherCtes\n" +
+        """SELECT doc_id, n AS n_words, n_lines, reasons, reasons = 0 AS keep
+          |FROM z""".stripMargin),
+    // p6: the full filter → keeper → sample chain in one statement —
+    // gopherCtes selects, md5-fingerprint keeper picks, the t25 hash
+    // thresholds sample the keepers (xxhash64 layers over doc_id)
+    "p6_gopher_pipeline" -> {
+      val bucket = s"((${OracleSql.u64signed("h1u")} % 10000) + 10000) % 10000"
+      s"""WITH $gopherCtes,
+         |kept AS MATERIALIZED (SELECT doc_id, n AS n_words FROM z WHERE reasons = 0),
+         |fpd AS MATERIALIZED (SELECT d.doc_id, d.source, kept.n_words,
+         |          md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp
+         |        FROM documents d JOIN kept ON d.doc_id = kept.doc_id),
+         |kp AS MATERIALIZED (SELECT doc_id, source, n_words FROM (
+         |        SELECT fpd.*, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |        FROM fpd) q WHERE rn = 1),
+         |xx AS MATERIALIZED (${OracleSql.xxHashLongLayers(
+             "SELECT doc_id, source, n_words, CAST(doc_id AS HUGEINT) AS fpu FROM kp")}),
+         |r AS (SELECT doc_id, source, n_words, $bucket AS bucket,
+         |        CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 5000
+         |             WHEN source IN ('src5','src6','src7','src8','src9') THEN 2500
+         |             ELSE 1000 END AS bp
+         |      FROM xx)
+         |SELECT doc_id, source, n_words,
+         |  CAST(10000.0 AS DOUBLE) / CAST(bp AS DOUBLE) AS weight
+         |FROM r WHERE bucket < bp""".stripMargin
+    },
     "t27_quality_classifier" ->
       """WITH toks AS (SELECT doc_id,
         |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok

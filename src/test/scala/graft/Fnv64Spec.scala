@@ -46,6 +46,42 @@ class Fnv64Spec extends AnyFunSuite {
     assert(plan.contains("*(1) Project"), plan)
   }
 
+  test("splitmix64 expression matches the dedup kernel, wraps instead of throwing") {
+    import graft.functions.SplitMix64Expr
+    import spark.implicits._
+    // probe values include the overflow-triggering region near MaxValue
+    // that made ANSI-mode column arithmetic unusable for the mixer
+    val probes = Seq(0L, 1L, -1L, 42L, Long.MaxValue, Long.MinValue,
+      0x9e3779b97f4a7c15L, -6917529027641081857L)
+    val offs = Seq(0L, 1L, 7L, Long.MaxValue)
+    val df = probes.toDF("h")
+      .select((col("h") +: offs.map(o =>
+        SplitMix64Expr.splitmix64(col("h"), lit(o)).as(s"m$o"))): _*)
+    val rows = df.collect().map(r => r.getLong(0) ->
+      offs.indices.map(i => r.getLong(i + 1))).toMap
+    probes.foreach { h =>
+      offs.zipWithIndex.foreach { case (o, i) =>
+        assert(rows(h)(i) === SplitMix64Expr.mix(h + o), s"h=$h off=$o")
+      }
+    }
+    // interpreted path agrees with codegen
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val r = Seq(Long.MaxValue).toDF("h")
+        .select(SplitMix64Expr.splitmix64(col("h"), lit(Long.MaxValue)))
+        .head().getLong(0)
+      assert(r === SplitMix64Expr.mix(Long.MaxValue + Long.MaxValue))
+    }
+    // SQL surface + null propagation
+    graft.functions.GraftFunctions.registerAll(spark)
+    val viaSql = spark.sql(
+      "SELECT splitmix64(42), splitmix64(42, 3), splitmix64(CAST(NULL AS BIGINT))")
+      .head()
+    assert(viaSql.getLong(0) === SplitMix64Expr.mix(42L))
+    assert(viaSql.getLong(1) === SplitMix64Expr.mix(45L))
+    assert(viaSql.isNullAt(2))
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val conf = spark.conf
     val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }

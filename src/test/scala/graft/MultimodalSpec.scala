@@ -75,6 +75,25 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("PCM resample: floor-mean downsample, linear upsample, negatives floor") {
+    val pcm = Array[Short](100, 200, -3, -4, 7, 8)
+    // down: (100+200)/2=150, (-3-4)/2=floor(-3.5)=-4, (7+8)/2=7
+    assert(Multimodal.downsamplePcm2(pcm).toSeq === Seq[Short](150, -4, 7))
+    // odd trailing sample drops
+    assert(Multimodal.downsamplePcm2(Array[Short](1, 2, 3)).toSeq === Seq[Short](1))
+    val up = Multimodal.upsamplePcm2Linear(Array[Short](10, 20, -5))
+    // evens copy; odds are floor midpoints; final repeats
+    assert(up.toSeq === Seq[Short](10, 15, 20, 7, -5, -5))
+    // down∘up is identity on even-length inputs whose pairs average
+    // exactly (midpoint of (a,a) is a)
+    val const = Array[Short](42, 42, 42, 42)
+    assert(Multimodal.downsamplePcm2(Multimodal.upsamplePcm2Linear(const)).toSeq
+      === const.toSeq)
+    intercept[IllegalArgumentException] {
+      Multimodal.upsamplePcm2Linear(Array.empty[Short])
+    }
+  }
+
   test("frame sampling slices every k-th frame") {
     val payload = Array.tabulate[Byte](100)(_.toByte)
     val frames = Multimodal.stubSampleFrames(payload, frameBytes = 10, everyK = 3)
