@@ -110,6 +110,34 @@ object Dedup {
     withJaccard(inter, sizes, threshold)
   }
 
+  /** Exact shingle-CONTAINMENT pairs: C(A→B) = |A∩B| / |A| >= θ.
+    * Directional where Jaccard is symmetric — a short document quoted
+    * verbatim inside a long one scores containment ≈ 1 while its
+    * Jaccard stays tiny (the union is dominated by the long side), so
+    * the quote/subset duplicates a Jaccard threshold can never see
+    * fall out of this pass. Emits BOTH directions when both clear θ
+    * (a_id != b_id, not a_id < b_id). One exact int division, so the
+    * oracle replays value-for-value.
+    *
+    * Scale: the same inverted-index self-join as [[jaccardPairs]] —
+    * shuffle on the dictionary-encoded shingle, map-side-combined
+    * pair counts; d3's LSH banding is the documented candidate
+    * generator when the corpus outgrows the exact join. */
+  def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = docShingleHashes(docs).cache() // sizes + both join sides
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = sh.as("a"); val b = sh.as("b")
+    a.join(b, col("a.s") === col("b.s") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("sz", "a_sz"), "a_id")
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast(DoubleType) / col("a_sz")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** jaccard = inter / (|A| + |B| - inter), single exact int division. */
   private def withJaccard(inter: DataFrame, sizes: DataFrame,
       threshold: Double): DataFrame =

@@ -55,6 +55,11 @@ object TextQueries {
     "d13_dup_spans" -> ((spark, dir) =>
       Dedup.duplicateSpanCoverage(t(spark, dir, "documents"))),
     "d14_embedding_decontaminate" -> d14,
+    // directional shingle containment (|A∩B| / |A|) — the quote/subset
+    // duplicates symmetric Jaccard can't see; exact inverted-index
+    // self-join, one int division, full SQL replay
+    "d16_containment" -> ((spark, dir) =>
+      Dedup.containmentPairs(t(spark, dir, "documents"), 0.8)),
     "d15_edit_distance" -> ((spark, dir) =>
       Dedup.editDistancePairs(t(spark, dir, "documents"), maxDist = 16)),
     "t16_epoch_mix" -> t16,
@@ -2055,6 +2060,18 @@ object TextQueries {
         |FROM kept GROUP BY 1""".stripMargin,
     "d2_dedup_jaccard" -> shingleCte,
     "d3_dedup_minhash_lsh" -> shingleCte,
+    "d16_containment" ->
+      """WITH words AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s FROM words),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS aid, b.doc_id AS bid, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT aid AS a_id, bid AS b_id,
+        |       CAST(inter AS DOUBLE) / s1.sz AS containment
+        |FROM pairs JOIN sizes s1 ON aid = s1.doc_id
+        |WHERE CAST(inter AS DOUBLE) / s1.sz >= 0.8""".stripMargin,
     "p5_fuzzy_verify" ->
       (s"WITH cand AS ($shingleCte)\n" +
         """SELECT a_id, b_id, lev FROM (

@@ -28,6 +28,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(3L) === ((3L, 0L, 0L, 10L)))
   }
 
+  test("containment pairs: quoted subset scores 1.0 forward, tiny backward") {
+    import spark.implicits._
+    val quote = (1 to 10).map(i => s"q$i").mkString(" ")      // 8 shingles
+    val long = s"intro words here $quote plus trailing unique tail tokens"
+    val toy = Seq(
+      (1L, quote),                                  // wholly quoted in 2
+      (2L, long),
+      (3L, "unrelated text with no shared trigrams at all whatsoever"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(toy, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every shingle of doc 1 appears in doc 2 -> C(1->2) = 1.0
+    assert(out((1L, 2L)) === 1.0)
+    // doc 2 has many shingles outside the quote -> C(2->1) < 0.8 (absent)
+    assert(!out.contains((2L, 1L)))
+    assert(out.keySet === Set((1L, 2L)))
+    // symmetric Jaccard misses the same pair at the same threshold —
+    // the reason this operator exists
+    assert(Dedup.jaccardPairs(toy, 0.8).count() === 0L)
+  }
+
   test("edit-distance pairs: exact distances, banding complete, candidate path agrees") {
     import spark.implicits._
     val toy = Seq(
