@@ -49,10 +49,18 @@ object BenchStress {
   val Heavy: Seq[String] = Seq(
     "d1_dedup_exact", "d3_dedup_minhash_lsh", "d4_dedup_simhash",
     "d9_dedup_groups", "d10_segment_dedup", "d12_ngram_decontaminate",
-    "d13_dup_spans", "s2_ann_lsh", "s3_ann_ivf", "s4_ann_multiprobe",
-    "s5_ann_sq", "s6_ann_pq", "t14_pack_sequences", "t15_global_shuffle",
-    "t23_bpe_small", "p4_leakage_split", "k6_kmv_overlap",
-    "c5_stream_dedup")
+    "d13_dup_spans", "d16_containment", "s2_ann_lsh", "s3_ann_ivf",
+    "s4_ann_multiprobe", "s5_ann_sq", "s6_ann_pq", "s13_farthest_init",
+    "t14_pack_sequences", "t15_global_shuffle", "t23_bpe_small",
+    "t28_gopher_filters", "p4_leakage_split", "p6_gopher_pipeline",
+    "k6_kmv_overlap", "c5_stream_dedup")
+
+  /** Optional comma-separated name-prefix filter
+    * (SPARK_GRAFT_STRESS_ONLY) — stress just the matching queries, so
+    * newly added operators get their scaling point without re-running
+    * the whole battery. */
+  val Only: Option[Seq[String]] =
+    sys.env.get("SPARK_GRAFT_STRESS_ONLY").map(_.split(",").toSeq)
 
   def generate(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
@@ -124,7 +132,7 @@ object BenchStress {
       times.min
     }
 
-    val rows = Heavy.map { name =>
+    val rows = Heavy.filter(n => Only.forall(_.exists(n.startsWith))).map { name =>
       val base = timeQuery(name, srcDir)
       val stress = timeQuery(name, stressDir)
       val ratio = stress / base

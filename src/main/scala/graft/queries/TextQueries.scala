@@ -81,6 +81,7 @@ object TextQueries {
     // make the whole selection sequence replay in SQL (s13OracleSql)
     "s13_farthest_init" -> ((spark, dir) =>
       Clustering.farthestPointInit(t(spark, dir, "embeddings"), k = 6)),
+    "s14_ann_recall" -> s14,
     "s2_ann_lsh" -> s2,
     "s3_ann_ivf" -> s3,
     "s4_ann_multiprobe" -> s4,
@@ -767,6 +768,31 @@ object TextQueries {
   private def s2: Q = (spark, dir) => {
     val e = t(spark, dir, "embeddings")
     Similarity.lshKnn(e, e.filter(col("vec_id") < 8), k = 4, bits = 4)
+  }
+
+  /** ANN recall@k evaluation (s14): the eval harness every ANN
+    * deployment runs before trusting an index — per query, how many of
+    * the EXACT top-k (s1's brute force) the LSH index (s2) returned.
+    * Both operands are the catalog's own operators, and the oracle
+    * composes their two already-graded SQL replays verbatim, so this
+    * row certifies the evaluation JOIN itself, not a re-derivation.
+    * Per-query k, hit count and recall; recall is one small-int
+    * division, engine-exact.
+    *
+    * Scale: both sides are query-bounded (32 rows per query max); the
+    * join and aggregate never touch the corpus — the expensive parts
+    * are the operands, already measured on their own rows. */
+  private def s14: Q = (spark, dir) => {
+    val exact = s1(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = s2(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("k"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast(DoubleType) / col("k"))
+          .as("recall"))
   }
 
   /** Cosine radius search (s11): all neighbors within sim ≥ 0.25 —
@@ -1583,7 +1609,26 @@ object TextQueries {
        |LEFT JOIN cov ON cov.doc_id = nt.doc_id""".stripMargin
   }
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = {
+    // s14 composes the s1 (exact) and s2 (LSH) replays verbatim: the
+    // recall join runs over the SAME SQL the two operators are already
+    // graded on, so the eval row can't drift from its operands
+    val s14 = (exactSql: String, approxSql: String) =>
+      s"""WITH exact AS ($exactSql),
+         |approx AS (SELECT * FROM ($approxSql) t),
+         |hits AS (SELECT e.query_id, count(*) AS n_hit
+         |         FROM exact e JOIN approx a
+         |           ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |         GROUP BY 1),
+         |ks AS (SELECT query_id, count(*) AS k FROM exact GROUP BY 1)
+         |SELECT ks.query_id, k, COALESCE(n_hit, 0) AS n_hit,
+         |  CAST(COALESCE(n_hit, 0) AS DOUBLE) / k AS recall
+         |FROM ks LEFT JOIN hits USING (query_id)""".stripMargin
+    baseOracles + ("s14_ann_recall" ->
+      s14(baseOracles("s1_ann_cosine"), baseOracles("s2_ann_lsh")))
+  }
+
+  private lazy val baseOracles: Map[String, String] = Map(
     "d11_bloom_decontaminate" -> d11OracleSql,
     "t23_bpe_small" -> t23OracleSql,
     "d13_dup_spans" -> d13OracleSql,
