@@ -81,8 +81,140 @@ object ConnectorQueries {
     "c13_stream_cms" -> c13,
     "c14_stream_hll" -> c14,
     "c15_stream_minhash" -> c15,
-    "c16_stream_kll" -> c16
+    "c16_stream_kll" -> c16,
+    "c17_stream_bloom" -> c17,
+    "c18_stream_attribution" -> c18
   )
+
+  /** Stream-STREAM interval join on the oracle gate (c18): q13's
+    * view→purchase attribution run as a watermarked self-join of the
+    * log-store STREAM — the one stateful-join shape the c-family
+    * hadn't pinned against SQL. Both sides read the same store; the
+    * join keeps per-user view/purchase state across the forced
+    * multi-trigger pacing, so a pair whose sides land in DIFFERENT
+    * micro-batches only appears if the join state survived the
+    * trigger boundary (the thing this row proves). The watermark
+    * delay is set far past the fixture's time range so nothing is
+    * dropped and the emitted pair set must equal the batch interval
+    * join EXACTLY — q13's oracle, verbatim. At production scale the
+    * same query runs with a real delay and the state is
+    * watermark-bounded; completeness-vs-latency is then the
+    * documented trade, not a correctness change.
+    *
+    * Scale: state is two per-user event lists pruned by watermark;
+    * the join shuffles both sides on user_id once. */
+  private def c18: Q = (spark, dir) => {
+    val srcOpts = ingest(spark, dir, 2)
+    val total = c14Count.getOrElseUpdate((spark, dir),
+      t(spark, dir, "events").count())
+    val dstRoot = tempDir("graft-logstore-c18")
+    new EmbeddedLogStore(dstRoot).createStore("proj", "pairs", 1)
+    val dstOpts = Map("store.root" -> dstRoot, "store.project" -> "proj",
+      "store.name" -> "pairs")
+    val ckpt = tempDir("graft-c18-ckpt")
+    val stream = streamSession(spark).readStream.format("graft-logstore")
+      .options(srcOpts)
+      .option("maxoffsetspertrigger", math.max(1L, total / 3 + 1).toString)
+      .schema("event_id LONG, user_id LONG, event_type STRING, ts LONG")
+      .load()
+    val views = stream.filter(col("event_type") === "view")
+      .select(col("user_id"), timestamp_micros(col("ts")).as("v_time"))
+      .withWatermark("v_time", "30 days")
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), timestamp_micros(col("ts")).as("p_time"))
+      .withWatermark("p_time", "30 days")
+    val q = views.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_time") > col("v_time") &&
+          col("p_time") <= col("v_time") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), unix_micros(col("v_time")).as("v_us"),
+        unix_micros(col("p_time")).as("p_us"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.format("graft-logstore").options(dstOpts)
+          .mode("append").save()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val sink = spark.read.format("graft-logstore").options(dstOpts)
+      .schema("user_id LONG, v_us LONG, p_us LONG, batch_id LONG")
+      .load()
+    require(sink.select(col("batch_id")).distinct().count() >= 2,
+      "c18 expected pair emissions from multiple micro-batches")
+    sink.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_conversions"))
+  }
+
+  /** Probe ids for c17: half drawn from the live user_id range, half
+    * far outside it — the filter must answer true for every inserted
+    * id (no false negatives, the Bloom contract) and the replay must
+    * agree bit-for-bit on the rest (including any false positive). */
+  private val C17Probes: Seq[Long] =
+    (0L to 7L) ++ (0 until 8).map(i => 900000001L + 7L * i)
+
+  /** Streaming Bloom-filter state (c17): the decontamination FILTER as
+    * streaming state — d11's Bloom (same n=4096/fpp=1e-4 sizing, same
+    * xxhash64 + murmur-fmix Kirsch–Mitzenmacher pair) built over
+    * user_ids inside a streaming aggregation, its bit array serialized
+    * through the state store across forced multi-trigger pacing. Each
+    * emission probes the CURRENT filter against a fixed probe set via
+    * the codegen'd membership expression; bits only get set, so each
+    * (key, probe)'s LAST emission reflects the full stream — and must
+    * equal the d11-style position replay over ALL events (13 bit
+    * positions per distinct user; probe true iff all 13 of its
+    * positions are present). Lost state shows up as a false NEGATIVE
+    * on an inserted id, which the Bloom contract forbids.
+    *
+    * Scale: ~10 KB of state per key regardless of stream length — the
+    * streaming form of the broadcast decontamination filter (d11), so
+    * a live ingest can maintain tomorrow's scan-side filter online. */
+  private def c17: Q = (spark, dir) => {
+    import graft.functions.Bloom
+    val srcOpts = ingest(spark, dir, 2)
+    val total = c14Count.getOrElseUpdate((spark, dir),
+      t(spark, dir, "events").count())
+    val dstRoot = tempDir("graft-logstore-c17")
+    new EmbeddedLogStore(dstRoot).createStore("proj", "bloom", 1)
+    val dstOpts = Map("store.root" -> dstRoot, "store.project" -> "proj",
+      "store.name" -> "bloom")
+    val ckpt = tempDir("graft-c17-ckpt")
+    val q = streamSession(spark).readStream.format("graft-logstore")
+      .options(srcOpts)
+      .option("maxoffsetspertrigger", math.max(1L, total / 3 + 1).toString)
+      .schema("user_id LONG, event_type STRING").load()
+      .groupBy(col("event_type"))
+      .agg(Bloom.bloom_build(col("user_id"), 4096L, 1e-4).as("bf"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.select(col("event_type"),
+            explode(array(C17Probes.map(p =>
+              struct(lit(p).as("probe_uid"),
+                Bloom.bloom_might_contain(col("bf"), lit(p)).as("might"))): _*))
+              .as("pr"))
+          .select(col("event_type"), col("pr.probe_uid").as("probe_uid"),
+            col("pr.might").as("might"))
+          .withColumn("batch_id", lit(batchId))
+          .write.format("graft-logstore").options(dstOpts)
+          .mode("append").save()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val sink = spark.read.format("graft-logstore").options(dstOpts)
+      .schema("event_type STRING, probe_uid LONG, might BOOLEAN, batch_id LONG")
+      .load()
+    require(sink.select(col("batch_id")).distinct().count() >= 2,
+      "c17 expected multiple micro-batches; pacing produced fewer than 2")
+    sink.groupBy(col("event_type"), col("probe_uid"))
+      .agg(max(struct(col("batch_id"), col("might")))
+        .getField("might").as("might"))
+  }
 
   /** Streaming HLL distinct-count state on the oracle gate (c14): the
     * third sketch family as streaming state — HLL registers built
@@ -886,6 +1018,37 @@ object ConnectorQueries {
     // oracle because the compaction-free KLL buffer is a function of
     // the input multiset, not of the trigger slicing
     "c16_stream_kll" -> SketchQueries.k5OracleSql,
+    // the batch interval join, verbatim — the streaming execution must
+    // change nothing about the pair set
+    "c18_stream_attribution" -> Relational.oracles("q13_attribution_join"),
+    // d11's Bloom position replay, per event_type, over LONG values
+    // (xxhash64-of-long + murmur-fmix pair, 13 KM positions mod the
+    // live bit count 78528): probe true iff all 13 of its positions
+    // are present in that key's inserted-position set
+    "c17_stream_bloom" -> {
+      val idx = s"((${OracleSql.u64signed(
+        "(h1u + i * h2u) % 18446744073709551616")}) % 78528 + 78528) % 78528"
+      val probeVals = C17Probes.map(p => s"($p)").mkString(", ")
+      s"""WITH du AS (SELECT DISTINCT event_type, CAST(user_id AS HUGEINT) AS fpu FROM events),
+         |xx AS MATERIALIZED (${OracleSql.xxHashLongLayers(
+             "SELECT event_type, fpu FROM du", withFmix = true)}),
+         |pos AS MATERIALIZED (SELECT DISTINCT event_type, $idx AS p
+         |  FROM xx CROSS JOIN range(0, 13) t(i)),
+         |pb AS (SELECT uid, CAST(uid AS HUGEINT) AS fpu FROM (VALUES $probeVals) v(uid)),
+         |pxx AS MATERIALIZED (${OracleSql.xxHashLongLayers(
+             "SELECT uid, fpu FROM pb", withFmix = true)}),
+         |ppos AS (SELECT uid, $idx AS p FROM pxx CROSS JOIN range(0, 13) t(i)),
+         |et AS (SELECT DISTINCT event_type FROM events),
+         |hits AS (SELECT et.event_type, ppos.uid,
+         |           min(CASE WHEN pos.p IS NULL THEN 0 ELSE 1 END) AS allhit
+         |         FROM et CROSS JOIN ppos
+         |         LEFT JOIN pos ON pos.event_type = et.event_type
+         |           AND pos.p = ppos.p
+         |         GROUP BY 1, 2)
+         |SELECT event_type, CAST(uid AS BIGINT) AS probe_uid,
+         |  allhit = 1 AS might
+         |FROM hits""".stripMargin
+    },
     // exact signature replay: distinct users per event_type (min is
     // idempotent — the multiset and the set share a signature) →
     // xxhash64(seed 42) → +perm → splitmix64 → signed min per perm,

@@ -60,6 +60,7 @@ object TextQueries {
     // self-join, one int division, full SQL replay
     "d16_containment" -> ((spark, dir) =>
       Dedup.containmentPairs(t(spark, dir, "documents"), 0.8)),
+    "d17_soft_dedup" -> d17,
     "d15_edit_distance" -> ((spark, dir) =>
       Dedup.editDistancePairs(t(spark, dir, "documents"), maxDist = 16)),
     "t16_epoch_mix" -> t16,
@@ -585,6 +586,30 @@ object TextQueries {
   private def d9: Q = (spark, dir) =>
     Dedup.duplicateComponents(
       Dedup.minHashLshPairs(t(spark, dir, "documents"), jaccardThreshold))
+
+  /** Soft dedup (d17): keep EVERY document but downweight duplicates
+    * by 1/|cluster| — the RefinedWeb-style alternative to hard removal
+    * (total sampling mass per duplicate cluster stays 1.0, so no
+    * content is lost while repeated text stops dominating the mix).
+    * Clusters are d9's minhash-LSH connected components; singletons
+    * get weight 1.0. The weight is one small-int reciprocal, IEEE-
+    * identical across engines.
+    *
+    * Scale: d9's component cost plus one groupBy(comp) and a
+    * comp-keyed join — both on label-sized tables, not the corpus
+    * text. */
+  private def d17: Q = (spark, dir) => {
+    val comp = Dedup.duplicateComponents(
+        Dedup.minHashLshPairs(t(spark, dir, "documents"), jaccardThreshold))
+      .select(col("doc_id"), col("comp"))
+    val all = t(spark, dir, "documents").select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+    val sizes = all.groupBy(col("comp")).agg(count(lit(1)).as("n_members"))
+    all.join(sizes, "comp")
+      .select(col("doc_id"), col("comp"), col("n_members"),
+        (lit(1.0) / col("n_members").cast(DoubleType)).as("weight"))
+  }
 
   /** SemDeDup-shaped cluster-then-dedup: 8 deterministic seed centroids
     * (lowest vec_ids) keep the assignment SQL-reproducible, so the
@@ -2165,6 +2190,14 @@ object TextQueries {
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(comp AS BIGINT) AS comp,
         |       doc_id = comp AS is_keeper
         |FROM comp""".stripMargin),
+    "d17_soft_dedup" -> (componentsCte + """,
+        |rep AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp
+        |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        |sz AS (SELECT comp, count(*) AS n_members FROM rep GROUP BY comp)
+        |SELECT CAST(r.doc_id AS BIGINT) AS doc_id, CAST(r.comp AS BIGINT) AS comp,
+        |  CAST(n_members AS BIGINT) AS n_members,
+        |  CAST(1.0 AS DOUBLE) / CAST(n_members AS DOUBLE) AS weight
+        |FROM rep r JOIN sz USING (comp)""".stripMargin),
     "p4_leakage_split" -> (componentsCte + """,
         |rep AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS rep_id
         |        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
