@@ -83,8 +83,31 @@ object ConnectorQueries {
     "c15_stream_minhash" -> c15,
     "c16_stream_kll" -> c16,
     "c17_stream_bloom" -> c17,
-    "c18_stream_attribution" -> c18
+    "c18_stream_attribution" -> c18,
+    "c19_stream_anomaly" -> c19
   )
+
+  /** Streaming alerting pipeline (c19): the log-monitoring use case
+    * end-to-end — c3's streaming hourly counts (micro-batch
+    * aggregation through the store sink, update-mode reconcile)
+    * feeding q33's integer-exact two-sigma anomaly test. The flag set
+    * must equal the batch replay over the raw events, so a count lost
+    * or double-reconciled anywhere in the streaming leg flips a flag
+    * and breaks the hash. In production the stats side runs on a
+    * trailing window of the hour grid; the fixture's grid is small
+    * enough to take whole. */
+  private def c19: Q = (spark, dir) => {
+    val hourly = c3(spark, dir)
+      .select(col("event_type"), col("hour_start"), col("n_events").as("n"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("s"), sum(col("n") * col("n")).as("ss"),
+        count(lit(1)).as("h"))
+    val dev = col("n") * col("h") - col("s")
+    hourly.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("hour_start"), col("n"),
+        (dev * dev > lit(4L) * (col("h") * col("ss") - col("s") * col("s")))
+          .as("is_anomaly"))
+  }
 
   /** Stream-STREAM interval join on the oracle gate (c18): q13's
     * view→purchase attribution run as a watermarked self-join of the
@@ -1021,6 +1044,9 @@ object ConnectorQueries {
     // the batch interval join, verbatim — the streaming execution must
     // change nothing about the pair set
     "c18_stream_attribution" -> Relational.oracles("q13_attribution_join"),
+    // q33's anomaly test, verbatim — the streaming count leg must
+    // change nothing about the flag set
+    "c19_stream_anomaly" -> Relational.oracles("q33_anomalous_hours"),
     // d11's Bloom position replay, per event_type, over LONG values
     // (xxhash64-of-long + murmur-fmix pair, 13 KM positions mod the
     // live bit count 78528): probe true iff all 13 of its positions

@@ -57,8 +57,39 @@ object Relational {
     "q29_grouping_sets" -> q29,
     "q30_bucketed_revenue" -> q30,
     "q31_salted_join" -> q31,
-    "q32_dpp_join" -> q32
+    "q32_dpp_join" -> q32,
+    "q33_anomalous_hours" -> q33
   )
+
+  /** Hourly anomaly flags (q33): the monitoring/alerting readout a log
+    * analytics engine exists for — per event type, flag hours whose
+    * event count deviates from that type's mean by more than two
+    * population standard deviations. The two-sigma test is evaluated
+    * WITHOUT any float: |x − S/h| > 2σ cross-multiplies to
+    * (x·h − S)² > 4·(h·SS − S²) over integer sums (S = Σn, SS = Σn²,
+    * h = hours), so the flag set is engine-exact — no Welford-vs-naive
+    * stddev drift, no sqrt. At extreme scale the products promote to
+    * DECIMAL; the shape is unchanged.
+    *
+    * Scale: two map-side-combined hash aggregates (hour grid, then the
+    * per-type 3-number stats) and a broadcast of |types| stat rows back
+    * onto the hour grid — never a shuffle of raw events beyond the
+    * first aggregate, no windows. */
+  private def q33: Q = (spark, dir) => {
+    val hourly = t(spark, dir, "events")
+      .withColumn("es", epochS(col("ts")))
+      .withColumn("hour_start", expr("es DIV 3600 * 3600"))
+      .groupBy(col("event_type"), col("hour_start"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("s"), sum(col("n") * col("n")).as("ss"),
+        count(lit(1)).as("h"))
+    val dev = col("n") * col("h") - col("s")
+    hourly.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("hour_start"), col("n"),
+        (dev * dev > lit(4L) * (col("h") * col("ss") - col("s") * col("s")))
+          .as("is_anomaly"))
+  }
 
   /** Dynamic-partition-pruning join (q32): the events fact is
     * materialized ONCE per (session, sf dir) as a DATE-PARTITIONED
@@ -679,6 +710,18 @@ object Relational {
   }
 
   def oracles: Map[String, String] = Map(
+    "q33_anomalous_hours" ->
+      """WITH hourly AS (SELECT event_type,
+        |    epoch_us(ts) // 1000000 // 3600 * 3600 AS hour_start,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (SELECT event_type, SUM(n) AS s, SUM(n*n) AS ss,
+        |    COUNT(*) AS h
+        |  FROM hourly GROUP BY 1)
+        |SELECT event_type, CAST(hour_start AS BIGINT) AS hour_start,
+        |  CAST(n AS BIGINT) AS n,
+        |  (n*h - s)*(n*h - s) > 4*(h*ss - s*s) AS is_anomaly
+        |FROM hourly JOIN stats USING (event_type)""".stripMargin,
     "q32_dpp_join" ->
       """SELECT event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
