@@ -48,6 +48,12 @@ object H264 {
       val k = ue()
       if ((k & 1) == 1) (k + 1) / 2 else -(k / 2)
     }
+    /** pcm_alignment_zero_bit run (7.3.5): skip to the next byte
+      * boundary, requiring every skipped bit to be zero. */
+    def alignZero(): Unit =
+      while ((posBits & 7) != 0) require(u(1) == 0,
+        "non-zero pcm_alignment bit")
+    def posBits: Int = pos
   }
 
   /** MSB-first bit writer producing an RBSP (fixture/encode side). */
@@ -71,6 +77,8 @@ object H264 {
       u(0, lz); u(code, lz + 1)
     }
     def se(v: Int): this.type = ue(if (v > 0) 2 * v - 1 else -2 * v)
+    /** pcm_alignment_zero_bit: zero-pad to the next byte boundary. */
+    def align(): this.type = { while (nbits != 0) u(0, 1); this }
     /** rbsp_trailing_bits: stop bit + zero-pad to a byte (7.3.2.11). */
     def trailing(): Array[Byte] = {
       u(1, 1)
@@ -274,6 +282,147 @@ object H264 {
     while (i < fillerBytes) { w.u((i * 37 + frameNum) & 0xFF, 8); i += 1 }
     nal(if (idr) 3 else 2, if (idr) 5 else 1, w.trailing(),
       longStart = false)
+  }
+
+  /** Minimal pic_parameter_set_rbsp (7.3.2.2): CAVLC, one slice group,
+    * no deblocking-control or redundant-count flags — the fields the
+    * I_PCM slice header below depends on. */
+  def encodePps(): Array[Byte] = {
+    val w = new BitWriter
+    w.ue(0) // pps id
+    w.ue(0) // sps id
+    w.u(0, 1) // entropy_coding_mode: CAVLC
+    w.u(0, 1) // bottom_field_pic_order_in_frame_present
+    w.ue(0) // num_slice_groups_minus1
+    w.ue(0).ue(0) // num_ref_idx_l0/l1_default_active_minus1
+    w.u(0, 1) // weighted_pred
+    w.u(0, 2) // weighted_bipred_idc
+    w.se(0) // pic_init_qp_minus26
+    w.se(0) // pic_init_qs_minus26
+    w.se(0) // chroma_qp_index_offset
+    w.u(0, 1) // deblocking_filter_control_present
+    w.u(0, 1) // constrained_intra_pred
+    w.u(0, 1) // redundant_pic_cnt_present
+    nal(3, 8, w.trailing(), longStart = true)
+  }
+
+  /** One REAL decodable IDR frame coded entirely as I_PCM macroblocks
+    * (7.3.5: mb_type 25 in an I slice = raw samples in the bitstream,
+    * no prediction, no transform, no entropy coding) — full slice
+    * header (7.3.3: idr_pic_id, dec_ref_pic_marking, slice_qp_delta)
+    * plus per-MB pcm_alignment_zero_bits, 256 luma and 128 4:2:0
+    * chroma samples. `luma` is the row-major widthMbs*16 x
+    * heightMapUnits*16 plane; chroma planes are flat 128 (gray). The
+    * zero-heavy sample payloads routinely form 00 00 0x runs, so this
+    * path exercises emulation prevention with REAL pixel data. */
+  def encodeIPcmFrame(widthMbs: Int, heightMapUnits: Int,
+      luma: Array[Byte], frameNum: Int = 0): Array[Byte] = {
+    val w16 = widthMbs * 16
+    require(luma.length == w16 * heightMapUnits * 16,
+      s"luma plane must be ${w16}x${heightMapUnits * 16}")
+    val w = new BitWriter
+    w.ue(0) // first_mb_in_slice
+    w.ue(7) // slice_type: I (all slices of the picture are I)
+    w.ue(0) // pps id
+    w.u(frameNum & 0xFF, 8) // frame_num (log2_max_frame_num = 8)
+    w.ue(0) // idr_pic_id
+    // pic_order_cnt_type 2: no POC fields
+    w.u(0, 1) // no_output_of_prior_pics_flag   (dec_ref_pic_marking,
+    w.u(0, 1) // long_term_reference_flag        IDR form)
+    w.se(0) // slice_qp_delta
+    var m = 0
+    val nMbs = widthMbs * heightMapUnits
+    while (m < nMbs) {
+      w.ue(25) // mb_type: I_PCM
+      w.align() // pcm_alignment_zero_bits
+      val mbX = m % widthMbs
+      val mbY = m / widthMbs
+      var r = 0
+      while (r < 16) {
+        var c = 0
+        while (c < 16) {
+          w.u(luma((mbY * 16 + r) * w16 + mbX * 16 + c) & 0xFF, 8)
+          c += 1
+        }
+        r += 1
+      }
+      var i = 0
+      while (i < 128) { w.u(128, 8); i += 1 } // Cb then Cr, flat gray
+      m += 1
+    }
+    nal(3, 5, w.trailing(), longStart = false)
+  }
+
+  /** REAL pixel reconstruction for the I_PCM-coded stream shape this
+    * engine emits (SPS + PPS + one all-I_PCM IDR slice, poc type 2,
+    * CAVLC mode, frame_mbs_only): parse SPS geometry, require a CAVLC
+    * PPS, walk the slice header and every macroblock_layer, and
+    * rebuild the luma plane from the raw pcm samples, cropped to the
+    * SPS display window. Returns (width, height, luma). Transform-
+    * coded macroblocks (mb_type != 25) are out of scope and fail
+    * loudly — the boundary is the entropy decoder, not the pixel
+    * path. */
+  def decodeIPcm(es: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val nals = nalUnits(es)
+    var sps: Option[SpsInfo] = None
+    var ppsSeen = false
+    var out: Option[(Int, Int, Array[Byte])] = None
+    nals.foreach { case (_, tpe, ebsp) =>
+      tpe match {
+        case 7 => if (sps.isEmpty) sps = Some(parseSps(ebspToRbsp(ebsp)))
+        case 8 =>
+          val r = new BitReader(ebspToRbsp(ebsp))
+          r.ue(); r.ue()
+          require(r.u(1) == 0, "CABAC slice data not supported (CAVLC only)")
+          ppsSeen = true
+        case 5 if out.isEmpty =>
+          val s = sps.getOrElse(
+            throw new IllegalArgumentException("slice before SPS"))
+          require(ppsSeen, "slice before PPS")
+          require(s.frameMbsOnly, "field coding not supported")
+          val widthMbs = (s.width + 15) / 16
+          val mapUnits = (s.height + 15) / 16
+          val w16 = widthMbs * 16
+          val r = new BitReader(ebspToRbsp(ebsp))
+          require(r.ue() == 0, "multi-slice pictures not supported")
+          val sliceType = r.ue()
+          require(sliceType == 2 || sliceType == 7, s"not an I slice: $sliceType")
+          r.ue() // pps id
+          r.u(8) // frame_num
+          r.ue() // idr_pic_id
+          r.u(1); r.u(1) // IDR dec_ref_pic_marking
+          r.se() // slice_qp_delta
+          val plane = new Array[Byte](w16 * mapUnits * 16)
+          var m = 0
+          val nMbs = widthMbs * mapUnits
+          while (m < nMbs) {
+            val mbType = r.ue()
+            require(mbType == 25, s"mb $m is not I_PCM (mb_type $mbType)")
+            r.alignZero()
+            val mbX = m % widthMbs
+            val mbY = m / widthMbs
+            var i = 0
+            while (i < 256) {
+              plane((mbY * 16 + i / 16) * w16 + mbX * 16 + i % 16) =
+                r.u(8).toByte
+              i += 1
+            }
+            i = 0
+            while (i < 128) { r.u(8); i += 1 } // chroma, discarded
+            m += 1
+          }
+          // 7.4.2.1.1 display-window crop (bottom/right)
+          val cropped = new Array[Byte](s.width * s.height)
+          var row = 0
+          while (row < s.height) {
+            System.arraycopy(plane, row * w16, cropped, row * s.width, s.width)
+            row += 1
+          }
+          out = Some((s.width, s.height, cropped))
+        case _ => ()
+      }
+    }
+    out.getOrElse(throw new IllegalArgumentException("no IDR slice"))
   }
 
   /** access_unit_delimiter_rbsp (7.3.2.4). */

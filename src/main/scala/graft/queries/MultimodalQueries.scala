@@ -28,7 +28,41 @@ object MultimodalQueries {
     "m10_video_probe" -> m10,
     "m11_image_dedup_groups" -> m11,
     "m12_image_resize" -> m12,
-    "m13_audio_resample" -> m13)
+    "m13_audio_resample" -> m13,
+    "m14_video_pixels" -> m14)
+
+  /** H.264 pixel reconstruction (m14): REAL decoded video pixels — each
+    * asset's 32x16 luma plane is coded as a spec-conformant SPS + PPS +
+    * all-I_PCM IDR slice (raw samples in the bitstream per ITU-T H.264
+    * 7.3.5; full slice-header and macroblock_layer syntax, emulation
+    * prevention live on the zero-heavy sample runs) and decoded back
+    * through [[graft.operators.H264.decodeIPcm]], SPS bottom-crop
+    * applied (doc_id % 3 map-unit rows cropped x2 chroma units). The
+    * oracle recomputes every DISPLAYED pixel from the plane formula, so
+    * a drift anywhere in slice-header syntax, MB walking, alignment,
+    * EP bytes, or crop arithmetic breaks the hash. Transform-coded MBs
+    * remain out of scope (the entropy decoder is the documented
+    * boundary); I_PCM is the profile subset where pixel reconstruction
+    * is exact and library-free.
+    *
+    * Scale: zero-shuffle per-asset map like every m-family decode. */
+  private def m14: Q = (spark, dir) => {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val crop = (id % 3).toInt
+      val plane = Array.tabulate(32 * 16)(i => ((id * 31 + i) % 256).toByte)
+      val es = graft.operators.H264.encodeSps(2, 1, crop) ++
+        graft.operators.H264.encodePps() ++
+        graft.operators.H264.encodeIPcmFrame(2, 1, plane)
+      val (w, h, dec) = graft.operators.H264.decodeIPcm(es)
+      var s = 0L; var c = 0L; var i = 0
+      while (i < dec.length) {
+        val v = (dec(i) & 0xFF).toLong
+        s += v; c += v * (i + 1); i += 1
+      }
+      (id, w, h, s, c)
+    }.toDF("doc_id", "width", "height", "luma_sum", "luma_checksum")
+  }
 
   /** Audio resample (m13): the sample-rate-conversion stage of an audio
     * pipeline. Each asset's synthetic 16-bit PCM (even length 64..126,
@@ -470,6 +504,21 @@ object MultimodalQueries {
         |SELECT dhash_lo, dhash_hi, COUNT(*) AS n_images,
         | MIN(doc_id) AS keeper_id, CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM h GROUP BY dhash_lo, dhash_hi""".stripMargin,
+    // m14: displayed pixels recomputed from the plane formula — height
+    // shrinks by the SPS bottom crop (2 rows per crop unit), indices
+    // stay row-major in the 32-wide plane because the crop is
+    // bottom-only
+    "m14_video_pixels" ->
+      """SELECT doc_id, 32 AS width,
+        | CAST(16 - 2*(doc_id % 3) AS INTEGER) AS height,
+        | CAST(list_sum(list_transform(range(0, 512), i ->
+        |   CASE WHEN i < 32*(16 - 2*(doc_id % 3))
+        |        THEN (doc_id*31 + i) % 256 ELSE 0 END)) AS BIGINT) AS luma_sum,
+        | CAST(list_sum(list_transform(range(0, 512), i ->
+        |   CASE WHEN i < 32*(16 - 2*(doc_id % 3))
+        |        THEN ((doc_id*31 + i) % 256) * (i+1) ELSE 0 END)) AS BIGINT)
+        |   AS luma_checksum
+        |FROM documents""".stripMargin,
     // m13: every output sample recomputed from the PCM formula
     // s(x) = (doc_id*7 + x*13) % 20000 with the kernels' floor
     // arithmetic; n = 64 + (doc_id%32)*2 (even), down has n//2

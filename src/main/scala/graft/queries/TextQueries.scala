@@ -76,6 +76,7 @@ object TextQueries {
     "t26_rouge_overlap" -> t26,
     "t27_quality_classifier" -> t27,
     "t28_gopher_filters" -> t28,
+    "t29_bigram_surprisal" -> t29,
     "s1_ann_cosine" -> s1,
     // Gonzalez k-center greedy seeding over the quantized embeddings —
     // the deterministic k-means++ stand-in; integer-exact distances
@@ -1473,6 +1474,43 @@ object TextQueries {
       reasons.as("reasons"), (reasons === 0L).as("keep"))
   }
 
+  /** Bigram-LM surprisal in WHOLE BITS (t29): the language-model
+    * quality signal (documents whose token transitions the corpus LM
+    * finds improbable are noise/garbled/foreign) without a float
+    * anywhere — per bigram occurrence, surprisal ≈ -log2 P(y|x) =
+    * log2 c(x·) - log2 c(xy), floored to whole bits via
+    * floor(log2 n) = len(bin(n)) - 1, an identity both engines
+    * evaluate on the binary-string length, so the score is
+    * integer-exact end-to-end (the t24 no-transcendental principle
+    * applied to LM scoring). Per doc: bigram count, total surprisal
+    * bits, and the rarest transition's bits (max) — the "one
+    * impossible continuation" outlier detector.
+    *
+    * Scale: grams derive per-row (zip_with, no self-join); the
+    * bigram-count join is a plain shuffle join ON PURPOSE — the
+    * bigram table grows with the corpus and must never be broadcast —
+    * while the prefix table is vocab-sized (Zipf-bounded) and
+    * broadcasts. */
+  private def t29: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), TF.tokens(lower(col("text"))).as("a"))
+    val grams = docs.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("a"), lit(1), size(col("a")) - 1),
+          slice(col("a"), lit(2), greatest(size(col("a")) - 1, lit(0))),
+          (x, y) => struct(x.as("p"), concat(x, lit(" "), y).as("b"))))
+          .as("g"))
+      .select(col("doc_id"), col("g.p").as("p"), col("g.b").as("b"))
+    val cb = grams.groupBy(col("b")).agg(count(lit(1)).as("cb"))
+    val cp = grams.groupBy(col("p")).agg(count(lit(1)).as("cp"))
+    val bits = (length(bin(col("cp"))) - 1) - (length(bin(col("cb"))) - 1)
+    grams.join(cb, "b").join(broadcast(cp), "p")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(bits).cast(LongType).as("surprisal_bits"),
+        max(bits).cast(LongType).as("max_bits"))
+  }
+
   private def t20: Q = (spark, dir) => {
     val nb = 128
     t(spark, dir, "documents")
@@ -1809,6 +1847,22 @@ object TextQueries {
       (s"WITH $gopherCtes\n" +
         """SELECT doc_id, n AS n_words, n_lines, reasons, reasons = 0 AS keep
           |FROM z""".stripMargin),
+    // t29: floor(log2 n) = length(bin(n)) - 1 on both engines — the
+    // whole computation stays in integers
+    "t29_bigram_surprisal" ->
+      """WITH docs AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS a FROM documents),
+        |bg AS (SELECT doc_id, a[i] AS p, a[i] || ' ' || a[i+1] AS b
+        |       FROM docs CROSS JOIN UNNEST(range(1, len(a))) t(i)),
+        |cb AS (SELECT b, COUNT(*) AS cb FROM bg GROUP BY b),
+        |cp AS (SELECT p, COUNT(*) AS cp FROM bg GROUP BY p)
+        |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM((length(bin(cp.cp)) - 1) - (length(bin(cb.cb)) - 1)) AS BIGINT)
+        |    AS surprisal_bits,
+        |  CAST(MAX((length(bin(cp.cp)) - 1) - (length(bin(cb.cb)) - 1)) AS BIGINT)
+        |    AS max_bits
+        |FROM bg JOIN cb USING (b) JOIN cp USING (p)
+        |GROUP BY bg.doc_id""".stripMargin,
     // p6: the full filter → keeper → sample chain in one statement —
     // gopherCtes selects, md5-fingerprint keeper picks, the t25 hash
     // thresholds sample the keepers (xxhash64 layers over doc_id)

@@ -80,6 +80,53 @@ class H264Spec extends AnyFunSuite {
     assert(info.height === 720)
   }
 
+  test("I_PCM: pixel round trip is bit-exact, zero runs survive emulation prevention") {
+    // an all-zero plane makes the raw sample payload one long 00 run —
+    // the EBSP escaper must insert 00 00 03 sequences and the decoder
+    // must strip them without disturbing sample values
+    val zeros = new Array[Byte](32 * 16)
+    val esZ = H264.encodeSps(2, 1, 0) ++ H264.encodePps() ++
+      H264.encodeIPcmFrame(2, 1, zeros)
+    assert(esZ.containsSlice(Array[Byte](0, 0, 3)), "no EP bytes inserted")
+    val (wz, hz, decZ) = H264.decodeIPcm(esZ)
+    assert((wz, hz) === ((32, 16)))
+    assert(decZ.toSeq === zeros.toSeq)
+    // a structured plane round-trips exactly too
+    val plane = Array.tabulate(32 * 16)(i => ((i * 7 + 3) % 256).toByte)
+    val es = H264.encodeSps(2, 1, 0) ++ H264.encodePps() ++
+      H264.encodeIPcmFrame(2, 1, plane)
+    val (_, _, dec) = H264.decodeIPcm(es)
+    assert(dec.toSeq === plane.toSeq)
+    // probe still reads the same stream's metadata
+    val info = H264.probe(es)
+    assert(info.width === 32 && info.height === 16 && info.frames === 1)
+  }
+
+  test("I_PCM: SPS bottom crop shrinks the displayed plane") {
+    val plane = Array.tabulate(32 * 16)(i => (i % 251).toByte)
+    val es = H264.encodeSps(2, 1, 2) ++ H264.encodePps() ++
+      H264.encodeIPcmFrame(2, 1, plane)
+    val (w, h, dec) = H264.decodeIPcm(es)
+    // crop unit y = 2 for 4:2:0 frame coding: 2 crop units = 4 rows
+    assert((w, h) === ((32, 12)))
+    assert(dec.length === 32 * 12)
+    assert(dec.toSeq === plane.take(32 * 12).toSeq)
+  }
+
+  test("I_PCM decoder rejects what it cannot reconstruct, loudly") {
+    // transform-coded (non-I_PCM) slice data must fail, not produce
+    // garbage pixels — the synthetic filler stream is exactly that
+    intercept[Exception] {
+      H264.decodeIPcm(H264.syntheticStream(2, 1, 0, 1))
+    }
+    // a slice with no preceding PPS is rejected
+    val plane = new Array[Byte](32 * 16)
+    intercept[Exception] {
+      H264.decodeIPcm(
+        H264.encodeSps(2, 1, 0) ++ H264.encodeIPcmFrame(2, 1, plane))
+    }
+  }
+
   test("probe counts frames, IDR sync points, and NALs from real slice headers") {
     val es = H264.syntheticStream(widthMbs = 5, heightMapUnits = 4,
       cropBottom = 1, frames = 12)
