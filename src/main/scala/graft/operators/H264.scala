@@ -363,10 +363,19 @@ object H264 {
     * loudly — the boundary is the entropy decoder, not the pixel
     * path. */
   def decodeIPcm(es: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val frames = decodeIPcmFrames(es)
+    require(frames.nonEmpty, "no IDR slice")
+    frames.head
+  }
+
+  /** Decode EVERY I_PCM-coded picture in the stream (the multi-frame
+    * form of [[decodeIPcm]] — real decoded-pixel input for frame-level
+    * analysis like SAD shot detection). */
+  def decodeIPcmFrames(es: Array[Byte]): Seq[(Int, Int, Array[Byte])] = {
     val nals = nalUnits(es)
     var sps: Option[SpsInfo] = None
     var ppsSeen = false
-    var out: Option[(Int, Int, Array[Byte])] = None
+    val out = ArrayBuffer[(Int, Int, Array[Byte])]()
     nals.foreach { case (_, tpe, ebsp) =>
       tpe match {
         case 7 => if (sps.isEmpty) sps = Some(parseSps(ebspToRbsp(ebsp)))
@@ -375,54 +384,59 @@ object H264 {
           r.ue(); r.ue()
           require(r.u(1) == 0, "CABAC slice data not supported (CAVLC only)")
           ppsSeen = true
-        case 5 if out.isEmpty =>
+        case 5 =>
           val s = sps.getOrElse(
             throw new IllegalArgumentException("slice before SPS"))
           require(ppsSeen, "slice before PPS")
-          require(s.frameMbsOnly, "field coding not supported")
-          val widthMbs = (s.width + 15) / 16
-          val mapUnits = (s.height + 15) / 16
-          val w16 = widthMbs * 16
-          val r = new BitReader(ebspToRbsp(ebsp))
-          require(r.ue() == 0, "multi-slice pictures not supported")
-          val sliceType = r.ue()
-          require(sliceType == 2 || sliceType == 7, s"not an I slice: $sliceType")
-          r.ue() // pps id
-          r.u(8) // frame_num
-          r.ue() // idr_pic_id
-          r.u(1); r.u(1) // IDR dec_ref_pic_marking
-          r.se() // slice_qp_delta
-          val plane = new Array[Byte](w16 * mapUnits * 16)
-          var m = 0
-          val nMbs = widthMbs * mapUnits
-          while (m < nMbs) {
-            val mbType = r.ue()
-            require(mbType == 25, s"mb $m is not I_PCM (mb_type $mbType)")
-            r.alignZero()
-            val mbX = m % widthMbs
-            val mbY = m / widthMbs
-            var i = 0
-            while (i < 256) {
-              plane((mbY * 16 + i / 16) * w16 + mbX * 16 + i % 16) =
-                r.u(8).toByte
-              i += 1
-            }
-            i = 0
-            while (i < 128) { r.u(8); i += 1 } // chroma, discarded
-            m += 1
-          }
-          // 7.4.2.1.1 display-window crop (bottom/right)
-          val cropped = new Array[Byte](s.width * s.height)
-          var row = 0
-          while (row < s.height) {
-            System.arraycopy(plane, row * w16, cropped, row * s.width, s.width)
-            row += 1
-          }
-          out = Some((s.width, s.height, cropped))
+          out += decodeIPcmSlice(s, ebspToRbsp(ebsp))
         case _ => ()
       }
     }
-    out.getOrElse(throw new IllegalArgumentException("no IDR slice"))
+    out.toSeq
+  }
+
+  private def decodeIPcmSlice(s: SpsInfo,
+      rbsp: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(s.frameMbsOnly, "field coding not supported")
+    val widthMbs = (s.width + 15) / 16
+    val mapUnits = (s.height + 15) / 16
+    val w16 = widthMbs * 16
+    val r = new BitReader(rbsp)
+    require(r.ue() == 0, "multi-slice pictures not supported")
+    val sliceType = r.ue()
+    require(sliceType == 2 || sliceType == 7, s"not an I slice: $sliceType")
+    r.ue() // pps id
+    r.u(8) // frame_num
+    r.ue() // idr_pic_id
+    r.u(1); r.u(1) // IDR dec_ref_pic_marking
+    r.se() // slice_qp_delta
+    val plane = new Array[Byte](w16 * mapUnits * 16)
+    var m = 0
+    val nMbs = widthMbs * mapUnits
+    while (m < nMbs) {
+      val mbType = r.ue()
+      require(mbType == 25, s"mb $m is not I_PCM (mb_type $mbType)")
+      r.alignZero()
+      val mbX = m % widthMbs
+      val mbY = m / widthMbs
+      var i = 0
+      while (i < 256) {
+        plane((mbY * 16 + i / 16) * w16 + mbX * 16 + i % 16) =
+          r.u(8).toByte
+        i += 1
+      }
+      i = 0
+      while (i < 128) { r.u(8); i += 1 } // chroma, discarded
+      m += 1
+    }
+    // 7.4.2.1.1 display-window crop (bottom/right)
+    val cropped = new Array[Byte](s.width * s.height)
+    var row = 0
+    while (row < s.height) {
+      System.arraycopy(plane, row * w16, cropped, row * s.width, s.width)
+      row += 1
+    }
+    (s.width, s.height, cropped)
   }
 
   /** access_unit_delimiter_rbsp (7.3.2.4). */

@@ -29,7 +29,51 @@ object MultimodalQueries {
     "m11_image_dedup_groups" -> m11,
     "m12_image_resize" -> m12,
     "m13_audio_resample" -> m13,
-    "m14_video_pixels" -> m14)
+    "m14_video_pixels" -> m14,
+    "m15_decoded_scene_cuts" -> m15)
+
+  /** Shot detection over REAL decoded video frames (m15): m8's SAD cut
+    * logic upgraded from payload byte slices to DECODED pixels — each
+    * asset is a multi-frame all-I_PCM H.264 stream (3 + id%3 pictures;
+    * one planted regime change at frame 1 + id%2 shifts every pixel),
+    * every picture decoded through the real [[H264.decodeIPcmFrames]]
+    * syntax walk, and adjacent decoded planes compared by
+    * sum-of-absolute-differences. Within-regime neighbors differ by a
+    * drift of 7 per pixel (SAD ≈ 5.3k, below threshold); the regime
+    * boundary shifts by 63 (SAD ≈ 40k, above) — so n_cuts pins that
+    * the decoder reproduced every plane exactly, not just checksums.
+    *
+    * Scale: zero-shuffle per-asset map; decode cost is linear in coded
+    * bytes. */
+  private def m15: Q = (spark, dir) => {
+    import spark.implicits._
+    val cutThreshold = 40L * 512L
+    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val nf = (3 + id % 3).toInt
+      val fc = (1 + id % 2).toInt
+      def plane(f: Int): Array[Byte] = Array.tabulate(32 * 16) { i =>
+        val shift = if (f >= fc) 19000L else 0L
+        ((id * 31 + f * 7 + shift + i) % 256).toByte
+      }
+      val es = scala.collection.mutable.ArrayBuffer[Byte]()
+      es ++= graft.operators.H264.encodeSps(2, 1, 0)
+      es ++= graft.operators.H264.encodePps()
+      (0 until nf).foreach { f =>
+        es ++= graft.operators.H264.encodeIPcmFrame(2, 1, plane(f),
+          frameNum = f)
+      }
+      val frames = graft.operators.H264.decodeIPcmFrames(es.toArray)
+      val sads = frames.sliding(2).collect {
+        case Seq((_, _, a), (_, _, b)) =>
+          var s = 0L; var i = 0
+          while (i < a.length) {
+            s += math.abs((a(i) & 0xFF) - (b(i) & 0xFF)); i += 1
+          }
+          s
+      }.toSeq
+      (id, frames.length, sads.sum, sads.max, sads.count(_ > cutThreshold).toLong)
+    }.toDF("doc_id", "n_frames", "total_sad", "max_sad", "n_cuts")
+  }
 
   /** H.264 pixel reconstruction (m14): REAL decoded video pixels — each
     * asset's 32x16 luma plane is coded as a spec-conformant SPS + PPS +
@@ -504,6 +548,23 @@ object MultimodalQueries {
         |SELECT dhash_lo, dhash_hi, COUNT(*) AS n_images,
         | MIN(doc_id) AS keeper_id, CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM h GROUP BY dhash_lo, dhash_hi""".stripMargin,
+    // m15: adjacent-frame SAD recomputed from the per-frame plane
+    // formula (regime shift of 19000 at frame fc); decoded pixels must
+    // match the formula for every frame or some SAD drifts
+    "m15_decoded_scene_cuts" ->
+      """WITH g AS (SELECT doc_id, CAST(3 + doc_id % 3 AS INTEGER) AS nf,
+        |    1 + doc_id % 2 AS fc FROM documents),
+        |pairs AS (SELECT doc_id, nf,
+        |    CAST(list_sum(list_transform(range(0, 512), i ->
+        |      abs(((doc_id*31 + f*7 + CASE WHEN f >= fc THEN 19000 ELSE 0 END + i) % 256)
+        |        - ((doc_id*31 + (f+1)*7 + CASE WHEN f+1 >= fc THEN 19000 ELSE 0 END + i) % 256))))
+        |      AS BIGINT) AS sad
+        |  FROM g CROSS JOIN UNNEST(range(0, 4)) t(f) WHERE f < nf - 1)
+        |SELECT doc_id, nf AS n_frames,
+        |  CAST(SUM(sad) AS BIGINT) AS total_sad,
+        |  CAST(MAX(sad) AS BIGINT) AS max_sad,
+        |  CAST(SUM(CASE WHEN sad > 40*512 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts
+        |FROM pairs GROUP BY doc_id, nf""".stripMargin,
     // m14: displayed pixels recomputed from the plane formula — height
     // shrinks by the SPS bottom crop (2 rows per crop unit), indices
     // stay row-major in the 32-wide plane because the crop is
