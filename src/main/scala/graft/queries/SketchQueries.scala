@@ -31,7 +31,30 @@ object SketchQueries {
     "k3_hll_users" -> k3,
     "k4_heavy_hitters" -> k4,
     "k5_kll_quantiles" -> k5,
-    "k6_kmv_overlap" -> k6)
+    "k6_kmv_overlap" -> k6,
+    "k7_sketch_error" -> k7)
+
+  /** Sketch accuracy report (k7): the estimator-vs-truth eval every
+    * sketch deployment runs before trusting the estimate — per key,
+    * the HLL distinct-count estimate next to the exact count and the
+    * absolute error. Both sides are deterministic functions of the
+    * input (the estimate via k3's exact register replay), so even the
+    * ERROR column is oracle-checked value-for-value — the s14 eval
+    * principle applied to sketches.
+    *
+    * Scale: at 100 TB the exact side is the expensive one (a
+    * countDistinct shuffle); the point of the row is to certify the
+    * cheap estimator against it on a sample so production can drop
+    * the exact pass. */
+  private def k7: Q = (spark, dir) => {
+    import graft.functions.Sketches.{hll_build, hll_estimate}
+    t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(hll_estimate(hll_build(col("user_id"))).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("approx_users"), col("exact_users"),
+        abs(col("approx_users") - col("exact_users")).as("abs_err"))
+  }
 
   /** Count-min frequency rollup (k2): per-source partial CMS sketches of
     * the token stream (level 1; persisted per partition in production),
@@ -335,6 +358,13 @@ object SketchQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "k7_sketch_error" ->
+      s"""WITH apx AS (SELECT * FROM (${k3OracleSql}) t),
+         |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+         |       FROM events GROUP BY 1)
+         |SELECT event_type, approx_users, exact_users,
+         |  CAST(abs(approx_users - exact_users) AS BIGINT) AS abs_err
+         |FROM apx JOIN ex USING (event_type)""".stripMargin,
     "k2_freq_sketch" -> k2OracleSql,
     "k3_hll_users" -> k3OracleSql,
     "k5_kll_quantiles" -> k5OracleSql,
