@@ -47,8 +47,11 @@ events = spark.read.parquet(f"{SF_DIR}/events.parquet")
 (
     events.select(
         (F.col("user_id") % 4).cast("int").alias("__shard__"),
-        F.expr("ts DIV 1000000000").cast("int").alias("__time__"),
-        "event_id", "user_id", "event_type", "value", "ts",
+        # ts is TIMESTAMP(MICROS)/NTZ since the round-9 testdata regen:
+        # epoch seconds via the catalog's NTZ -> TIMESTAMP -> LONG chain
+        F.expr("CAST(CAST(ts AS TIMESTAMP) AS LONG)").cast("int").alias("__time__"),
+        "event_id", "user_id", "event_type", "value",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts"),
     )
     .write.format("graft-logstore").options(**opts).mode("append").save()
 )
@@ -185,4 +188,33 @@ if got2 != want2:
     print("MISMATCH in mapInPandas BMP batch decode")
     sys.exit(1)
 print(f"OK: mapInPandas decoded {len(got2)} BMP payloads to exact dims + mean luma")
+
+# ---------------------------------------------------------------------------
+# SQL function surface from Python: every engine-registered function is a
+# plain spark.sql call away — no py4j wrapper per function. Pin a few with
+# known values (splitmix64 reference from CmsOps.mix's published constants;
+# dot_product/cosine on a hand vector; an HLL build/estimate on integers).
+# ---------------------------------------------------------------------------
+spark._jvm.graft.functions.GraftFunctions.registerAll(spark._jsparkSession)
+row = spark.sql(
+    "SELECT splitmix64(0), splitmix64(40, 2), "
+    "dot_product(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)), "
+    "cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D))"
+).head()
+# pin the SQL results against the JVM kernel through the same gateway
+jvm_mix0 = spark._jvm.graft.functions.SplitMix64Expr.mix(0)
+jvm_mix42 = spark._jvm.graft.functions.SplitMix64Expr.mix(42)
+if row[0] != jvm_mix0 or row[1] != jvm_mix42:
+    print(f"MISMATCH splitmix64 from SQL: {row[0]}, {row[1]}")
+    sys.exit(1)
+if row[2] != 32.0 or row[3] != 1.0:
+    print(f"MISMATCH dot_product/cosine_sim from SQL: {row[2]}, {row[3]}")
+    sys.exit(1)
+est = spark.sql(
+    "SELECT hll_estimate(hll_build(id)) FROM range(0, 1000)").head()[0]
+if not (900 <= est <= 1100):
+    print(f"MISMATCH hll estimate from SQL: {est}")
+    sys.exit(1)
+print("OK: SQL function surface (splitmix64/dot_product/cosine_sim/hll) "
+      "from Python")
 sys.exit(0)
