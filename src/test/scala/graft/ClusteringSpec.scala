@@ -73,6 +73,35 @@ class ClusteringSpec extends AnyFunSuite {
     assert(two(0L) === 1L && two(1L) === 1L, two) // kept centroid re-attracts
   }
 
+  test("farthestPointInit: seed, distinct picks, non-increasing covering radius") {
+    val picks = Clustering.farthestPointInit(emb, k = 6)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(picks.length === 6)
+    // seed is the smallest vec_id with radius 0
+    assert(picks.head._1 === 1 && picks.head._2 === 0L && picks.head._3 === 0L)
+    // no center chosen twice
+    assert(picks.map(_._2).distinct.length === 6)
+    // the k-center covering radius can only shrink as centers are added:
+    // each pick's selection-time distance bounds the next pick's
+    val radii = picks.drop(1).map(_._3)
+    radii.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, s"radius grew: $a -> $b")
+    }
+    // hand-check pick 2 against a driver-local scan: argmax distance
+    // to the seed, ties to smallest id
+    val vecs = emb.select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1024)))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => (id, v.map(_.toLong).toArray) }
+    val seed = vecs.minBy(_._1)._2
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val best = vecs.map { case (id, v) => (d2(v, seed), id) }
+      .maxBy { case (d, id) => (d, -id) }
+    assert((picks(1)._2, picks(1)._3) === ((best._2, best._1)))
+  }
+
   test("clusterPurity: counts, majority tie-break, exact ratio") {
     val assign = Seq(
       (0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), // cluster 0: labels 1,1,2,2 -> tie, pick 1

@@ -28,6 +28,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(3L) === ((3L, 0L, 0L, 10L)))
   }
 
+  test("soft dedup: all docs kept, member counts structural, weights exact reciprocals") {
+    val out = SparkEntry.queries("d17_soft_dedup")(spark, sf)
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    // soft dedup removes nothing — the point of the operator
+    assert(out.count() === total)
+    // n_members matches each component's actual row count
+    val mismatch = out.groupBy(col("comp"))
+      .agg(count(lit(1)).as("n"), first(col("n_members")).as("m"))
+      .filter(col("n") =!= col("m")).count()
+    assert(mismatch === 0L)
+    // weight is exactly the advertised reciprocal (same IEEE expression)
+    assert(out.filter(col("weight") =!= lit(1.0) / col("n_members"))
+      .count() === 0L)
+    // singletons carry full weight
+    assert(out.filter(col("n_members") === 1 && col("weight") =!= 1.0)
+      .count() === 0L)
+  }
+
   test("containment pairs: quoted subset scores 1.0 forward, tiny backward") {
     import spark.implicits._
     val quote = (1 to 10).map(i => s"q$i").mkString(" ")      // 8 shingles
