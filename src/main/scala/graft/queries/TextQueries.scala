@@ -77,6 +77,7 @@ object TextQueries {
     "t27_quality_classifier" -> t27,
     "t28_gopher_filters" -> t28,
     "t29_bigram_surprisal" -> t29,
+    "t30_overlap_chunks" -> t30,
     "s1_ann_cosine" -> s1,
     // Gonzalez k-center greedy seeding over the quantized embeddings —
     // the deterministic k-means++ stand-in; integer-exact distances
@@ -387,6 +388,44 @@ object TextQueries {
     * token windows (the sequence-packing precursor — map a corpus onto
     * training rows of bounded length). Pure codegen projection +
     * generator, zero shuffle at any corpus size. */
+  /** Overlapping sliding-window chunking (t30): the RAG/embedding-index
+    * chunker — windows of 64 tokens at stride 48, so consecutive chunks
+    * share 16 tokens of context (t13 is the non-overlapping packing
+    * grid; retrieval pipelines overlap so no answer span straddles a
+    * boundary unseen). Every chunk row carries CONTENT bindings — the
+    * first/middle/last tokens and the exact character length of the
+    * reassembled chunk — so the oracle pins window placement and
+    * membership, not just counts. nChunks = 1 + ceil((n-64)/48) in
+    * pure integer arithmetic; the final window is allowed short (the
+    * standard tail rule).
+    *
+    * Scale: chunks derive per-row from the token array (explode of a
+    * sequence; no self-join, no window function) — the chunk table is
+    * the only output-sized thing. */
+  private def t30: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    val base = d
+      .select(col("doc_id"), TF.tokens(lower(col("text"))).as("a"))
+      .withColumn("n", size(col("a")).cast(LongType))
+      .withColumn("nc", expr(
+        "CASE WHEN n <= 64 THEN CAST(1 AS BIGINT) " +
+          "ELSE (n - 64 + 47) DIV 48 + 1 END"))
+    base
+      .select(col("doc_id"), col("a"), col("n"),
+        explode(sequence(lit(0L), col("nc") - 1)).as("chunk_idx"))
+      .withColumn("chunk_start", col("chunk_idx") * 48L)
+      .withColumn("chunk_len", least(lit(64L), col("n") - col("chunk_start")))
+      .withColumn("chunk", slice(col("a"),
+        (col("chunk_start") + 1).cast("int"), col("chunk_len").cast("int")))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        col("chunk_len"),
+        element_at(col("chunk"), 1).as("first_tok"),
+        element_at(col("chunk"),
+          expr("CAST((chunk_len + 1) DIV 2 AS INT)")).as("mid_tok"),
+        element_at(col("chunk"), col("chunk_len").cast("int")).as("last_tok"),
+        length(concat_ws(" ", col("chunk"))).cast(LongType).as("n_chars"))
+  }
+
   private def t13: Q = (spark, dir) => {
     val window = 64
     val d = t(spark, dir, "documents")
@@ -1847,6 +1886,27 @@ object TextQueries {
       (s"WITH $gopherCtes\n" +
         """SELECT doc_id, n AS n_words, n_lines, reasons, reasons = 0 AS keep
           |FROM z""".stripMargin),
+    // t30: windows replayed from the token array with the same integer
+    // stride arithmetic; list_slice is 1-based inclusive like Spark's
+    // slice; lateral range(0, nc) expands per-doc chunk counts
+    "t30_overlap_chunks" ->
+      """WITH x AS (SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS a FROM documents),
+        |y AS (SELECT doc_id, a, CAST(len(a) AS BIGINT) AS n,
+        |    CASE WHEN len(a) <= 64 THEN CAST(1 AS BIGINT)
+        |         ELSE (len(a) - 64 + 47) // 48 + 1 END AS nc
+        |  FROM x),
+        |c AS (SELECT doc_id, a, n, t.ci AS chunk_idx, t.ci * 48 AS cs,
+        |    least(64, n - t.ci * 48) AS cl
+        |  FROM y CROSS JOIN UNNEST(range(0, nc)) t(ci))
+        |SELECT doc_id, chunk_idx, CAST(cs AS BIGINT) AS chunk_start,
+        |  CAST(cl AS BIGINT) AS chunk_len,
+        |  a[cs + 1] AS first_tok,
+        |  a[cs + (cl + 1) // 2] AS mid_tok,
+        |  a[cs + cl] AS last_tok,
+        |  CAST(length(array_to_string(list_slice(a, cs + 1, cs + cl), ' '))
+        |    AS BIGINT) AS n_chars
+        |FROM c""".stripMargin,
     // t29: floor(log2 n) = length(bin(n)) - 1 on both engines — the
     // whole computation stays in integers
     "t29_bigram_surprisal" ->
