@@ -57,6 +57,24 @@ class PlanShapeSpec extends AnyFunSuite {
       "prune must run before the window:\n" + p)
   }
 
+  test("t30: chunks derive per-row — no join, no window, no extra shuffle") {
+    // the chunk table must come straight off the token array (explode
+    // of a sequence); a window or join here means someone rebuilt it
+    // as a self-join, which shuffles the corpus twice at 100 TB
+    val p = plan("t30_overlap_chunks")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q33: stats broadcast back onto the hour grid; events shuffle once") {
+    // the per-type 3-number stat table must broadcast (it is |types|
+    // rows); a sort-merge join here re-shuffles the hour grid
+    val p = plan("q33_anomalous_hours")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q32: the fact scan carries a dynamic partition pruning filter") {
     // the dim filter is only knowable at runtime; the partitioned fact
     // scan must subscribe to it via a dynamicpruning expression — a
