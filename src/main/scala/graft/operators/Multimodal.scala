@@ -18,9 +18,11 @@ import org.apache.spark.sql.types._
   * ([[decodeImage]]). H.264 video gets a real BITSTREAM parser —
   * Annex-B NAL framing, emulation prevention, Exp-Golomb SPS with
   * cropping, slice-header frame/IDR counting ([[H264]], oracle-checked
-  * in m10) — with only pixel reconstruction (the CABAC/CAVLC entropy
-  * decode) left as a clearly-marked stub (the env ships no codec
-  * libs) — and
+  * in m10) — plus REAL pixel reconstruction for the I_PCM profile
+  * subset (H264.decodeIPcm/decodeIPcmFrames: raw samples through the
+  * full macroblock syntax, oracle-checked in m14/m15); only
+  * transform-coded MBs (the CABAC/CAVLC entropy decode) remain a
+  * clearly-marked boundary (the env ships no codec libs) — and
   * everything Spark-side is real and tested either way: the asset
   * schema, binary payload flow through shuffles, per-partition batch
   * processing, feature extraction, fixed-size chunking, and the
