@@ -58,8 +58,29 @@ object Relational {
     "q30_bucketed_revenue" -> q30,
     "q31_salted_join" -> q31,
     "q32_dpp_join" -> q32,
-    "q33_anomalous_hours" -> q33
+    "q33_anomalous_hours" -> q33,
+    "q34_latest_state" -> q34
   )
+
+  /** Latest-row-per-key upsert view (q34): the CDC/materialized-state
+    * read every event log serves — each user's most recent event, with
+    * its full payload. The scalable shape is ONE max(struct(orderKey,
+    * payload)) hash aggregate with map-side combine (plan-guarded: no
+    * Window) — the row_number()-over-user window formulation funnels
+    * every user's whole history through a sort before discarding all
+    * but one row, which at 100 TB is a sort of the corpus. The struct
+    * comparison orders by (ts, event_id) — event_id is unique, so the
+    * winner is total-ordered and the payload fields after it are never
+    * compared. */
+  private def q34: Q = (spark, dir) =>
+    t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(struct(epochUs(col("ts")).as("ts"), col("event_id"),
+        col("event_type"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.ts").as("last_ts"),
+        col("m.event_id").as("last_event_id"),
+        col("m.event_type").as("last_type"),
+        col("m.value").as("last_value"))
 
   /** Hourly anomaly flags (q33): the monitoring/alerting readout a log
     * analytics engine exists for — per event type, flag hours whose
@@ -710,6 +731,14 @@ object Relational {
   }
 
   def oracles: Map[String, String] = Map(
+    "q34_latest_state" ->
+      """SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS last_ts,
+        | event_id AS last_event_id, event_type AS last_type,
+        | value AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) x
+        |WHERE rn = 1""".stripMargin,
     "q33_anomalous_hours" ->
       """WITH hourly AS (SELECT event_type,
         |    epoch_us(ts) // 1000000 // 3600 * 3600 AS hour_start,

@@ -75,6 +75,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q34: latest-per-key is a combined hash aggregate, never a window sort") {
+    val p = plan("q34_latest_state")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_max") || p.contains("HashAggregate"), p)
+  }
+
   test("q32: the fact scan carries a dynamic partition pruning filter") {
     // the dim filter is only knowable at runtime; the partitioned fact
     // scan must subscribe to it via a dynamicpruning expression — a
