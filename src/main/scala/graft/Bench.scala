@@ -6,8 +6,12 @@ import org.apache.spark.sql.SparkSession
   * forced through the noop sink so all output columns are actually
   * computed (a bare count() would let Catalyst prune the measured work
   * away). Reports the MIN of SPARK_GRAFT_REPS (default 3) reps per
-  * query, after a catalog-wide warm-up pass and a one-time connector
-  * ingest at the measured scale. One JSON line on stdout.
+  * query, after a catalog-wide warm-up pass, a one-time connector
+  * ingest at the measured scale, and ONE untimed warm rep of each
+  * query at the measured scale (steady-state policy: one-time shared
+  * artifact builds — CachePool persists, bucketed/partitioned layouts
+  * — are warm-up, uniformly, not first-timed-rep noise). One JSON
+  * line on stdout.
   *
   * Min, not median: timing noise on a shared box is strictly additive
   * (GC pauses, ambient CPU contention, page-cache misses), so the
@@ -66,7 +70,36 @@ object Bench {
     // noisy query can't stall the run. Converged queries still stop at
     // `reps`, so the floor cost is unchanged.
     val maxReps = sys.env.getOrElse("SPARK_GRAFT_MAX_REPS", "7").toInt
+    // Session hygiene: the r10 driver run showed q27/q28/q29 inflating
+    // 3-16x over their isolated BenchOne times deep into the 142-query
+    // session — heap/GC debt accumulated from neighbors, not the
+    // queries' own plans. Two countermeasures, both OUTSIDE the timed
+    // region:
+    //  - one untimed warm rep at the MEASURED scale before each
+    //    query's timed reps. This also makes the timing policy uniform
+    //    and explicit: reported numbers are STEADY-STATE — one-time
+    //    per-(session, dir) artifact builds (CachePool population in
+    //    t16/t21/q23, the connector ingest, q30's bucketed tables,
+    //    q32's partitioned layout) land in the warm rep, never in a
+    //    timed one, instead of relying on min-of-reps to discard them.
+    //  - a System.gc() breather between queries, with used-heap and
+    //    cumulative-GC-time deltas traced to stderr so a future
+    //    inflated number can be attributed to memory pressure (high
+    //    gcd) vs a real plan regression (flat gcd) from the run log.
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans
+    def gcMillis(): Long = {
+      var s = 0L
+      gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime))
+      s
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name warm rep failed: ${e.getMessage}")
+      }
+      System.gc()
+      val gc0 = gcMillis()
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var converged = false
       while (times.length < reps || (!converged && times.length < maxReps)) {
@@ -80,9 +113,14 @@ object Bench {
         times += t
         if (times.length >= reps) converged = t >= prevMin * 0.9
       }
+      val rt = Runtime.getRuntime
+      val heapMb = (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
+      val gcd = gcMillis() - gc0
       // per-rep trace to stderr: lets a surprising headline number be
       // attributed to a one-off spike vs a real regression after the fact
-      System.err.println(f"[bench] $name reps=${times.map(t => f"$t%.2f").mkString(",")}")
+      System.err.println(
+        f"[bench] $name reps=${times.map(t => f"$t%.2f").mkString(",")} " +
+          f"heapMB=$heapMb gcMs=$gcd")
       name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -58,9 +58,14 @@ object BenchStress {
   /** Optional comma-separated name-prefix filter
     * (SPARK_GRAFT_STRESS_ONLY) — stress just the matching queries, so
     * newly added operators get their scaling point without re-running
-    * the whole battery. */
+    * the whole battery. Blank segments are dropped (an empty-string
+    * prefix would match everything), and a filter that matches no
+    * Heavy entry fails fast in main() instead of silently writing an
+    * empty BENCH_STRESS.json. */
   val Only: Option[Seq[String]] =
-    sys.env.get("SPARK_GRAFT_STRESS_ONLY").map(_.split(",").toSeq)
+    sys.env.get("SPARK_GRAFT_STRESS_ONLY")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
 
   def generate(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
@@ -132,7 +137,11 @@ object BenchStress {
       times.min
     }
 
-    val rows = Heavy.filter(n => Only.forall(_.exists(n.startsWith))).map { name =>
+    val selected = Heavy.filter(n => Only.forall(_.exists(n.startsWith)))
+    require(selected.nonEmpty,
+      s"SPARK_GRAFT_STRESS_ONLY=${Only.map(_.mkString(",")).getOrElse("")} " +
+        s"matches no Heavy entry — typo'd prefix? Known: ${Heavy.mkString(",")}")
+    val rows = selected.map { name =>
       val base = timeQuery(name, srcDir)
       val stress = timeQuery(name, stressDir)
       val ratio = stress / base

@@ -113,9 +113,18 @@ object Clustering {
     * round).
     *
     * Scale: k passes over the corpus, each a broadcast of one dim-long
-    * vector + a map + a driver-side 1-row reduce; min-distances are
-    * carried forward so round r costs O(n·dim), not O(n·r·dim). The
-    * corpus is never collected. */
+    * vector + a map + a driver-side 1-row reduce. The min-distance
+    * dataset is eagerly localCheckpoint()ed each round and the
+    * previous round's copy (and its center broadcast) released once
+    * the new one is materialized — without the checkpoint, round r's
+    * reduce would re-execute every prior round's dist2 map over the
+    * cached vectors and the pass would cost O(n·k²·dim) instead of
+    * O(n·k·dim). localCheckpoint, not persist: persist keeps the full
+    * lineage (and with it every prior round's broadcast) inside task
+    * closures, so the broadcasts could never be destroy()ed; the
+    * checkpoint truncates lineage, bounding live broadcasts to one.
+    * Each round is two cached passes (the eager checkpoint + the
+    * reduce); the corpus is never collected. */
   def farthestPointInit(emb: DataFrame, k: Int = 6,
       scale: Int = 1024): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
@@ -130,19 +139,28 @@ object Clustering {
     try {
       val seed = vecs.reduce((a, b) => if (a._1 <= b._1) a else b)
       var picked = List((1, seed._1, 0L))
-      var cur: Dataset[(Long, Array[Long], Long)] = {
-        val bc = spark.sparkContext.broadcast(seed._2)
-        vecs.map { case (id, v) => (id, v, dist2(v, bc.value)) }
-      }
+      val seedBc = spark.sparkContext.broadcast(seed._2)
+      // eager localCheckpoint: materialized now, lineage truncated, so
+      // the broadcast it captured can be destroyed next round
+      var cur: Dataset[(Long, Array[Long], Long)] =
+        vecs.map { case (id, v) => (id, v, dist2(v, seedBc.value)) }
+          .localCheckpoint()
+      var prevBc: org.apache.spark.broadcast.Broadcast[Array[Long]] = seedBc
       for (r <- 2 to k) {
         val next = cur.reduce((a, b) =>
           if (a._3 > b._3 || (a._3 == b._3 && a._1 < b._1)) a else b)
         picked ::= ((r, next._1, next._3))
         val bc = spark.sparkContext.broadcast(next._2)
-        cur = cur.map { case (id, v, md) =>
+        val prev = cur
+        cur = prev.map { case (id, v, md) =>
           (id, v, math.min(md, dist2(v, bc.value)))
-        }
+        }.localCheckpoint()
+        prev.unpersist()
+        prevBc.destroy()
+        prevBc = bc
       }
+      cur.unpersist()
+      prevBc.destroy()
       picked.reverse.toDF("step", "vec_id", "radius")
     } finally vecs.unpersist()
   }

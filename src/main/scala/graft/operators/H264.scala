@@ -314,7 +314,15 @@ object H264 {
     * chroma samples. `luma` is the row-major widthMbs*16 x
     * heightMapUnits*16 plane; chroma planes are flat 128 (gray). The
     * zero-heavy sample payloads routinely form 00 00 0x runs, so this
-    * path exercises emulation prevention with REAL pixel data. */
+    * path exercises emulation prevention with REAL pixel data.
+    *
+    * Every picture is an IDR, so frame_num is ALWAYS 0 (7.4.3: "If the
+    * current picture is an IDR picture, frame_num shall be equal to
+    * 0") and consecutive pictures are distinguished by idr_pic_id
+    * instead, which 7.4.3 requires to DIFFER between consecutive IDR
+    * access units — `frameNum` feeds idr_pic_id (mod its 0..65535
+    * range), keeping multi-frame streams reference-decoder
+    * conformant. */
   def encodeIPcmFrame(widthMbs: Int, heightMapUnits: Int,
       luma: Array[Byte], frameNum: Int = 0): Array[Byte] = {
     val w16 = widthMbs * 16
@@ -324,8 +332,8 @@ object H264 {
     w.ue(0) // first_mb_in_slice
     w.ue(7) // slice_type: I (all slices of the picture are I)
     w.ue(0) // pps id
-    w.u(frameNum & 0xFF, 8) // frame_num (log2_max_frame_num = 8)
-    w.ue(0) // idr_pic_id
+    w.u(0, 8) // frame_num: 0 — mandatory for IDR (7.4.3)
+    w.ue(frameNum & 0xFFFF) // idr_pic_id: distinct per consecutive IDR
     // pic_order_cnt_type 2: no POC fields
     w.u(0, 1) // no_output_of_prior_pics_flag   (dec_ref_pic_marking,
     w.u(0, 1) // long_term_reference_flag        IDR form)

@@ -100,12 +100,11 @@ object ConnectorQueries {
     val hourly = c3(spark, dir)
       .select(col("event_type"), col("hour_start"), col("n_events").as("n"))
     val stats = hourly.groupBy(col("event_type"))
-      .agg(sum(col("n")).as("s"), sum(col("n") * col("n")).as("ss"),
+      .agg(sum(col("n")).as("s"), sum(Relational.sqDec(col("n"))).as("ss"),
         count(lit(1)).as("h"))
-    val dev = col("n") * col("h") - col("s")
     hourly.join(broadcast(stats), "event_type")
       .select(col("event_type"), col("hour_start"), col("n"),
-        (dev * dev > lit(4L) * (col("h") * col("ss") - col("s") * col("s")))
+        Relational.twoSigmaFlag(col("n"), col("h"), col("s"), col("ss"))
           .as("is_anomaly"))
   }
 

@@ -38,10 +38,14 @@ object MultimodalQueries {
     * one planted regime change at frame 1 + id%2 shifts every pixel),
     * every picture decoded through the real [[H264.decodeIPcmFrames]]
     * syntax walk, and adjacent decoded planes compared by
-    * sum-of-absolute-differences. Within-regime neighbors differ by a
-    * drift of 7 per pixel (SAD ≈ 5.3k, below threshold); the regime
-    * boundary shifts by 63 (SAD ≈ 40k, above) — so n_cuts pins that
-    * the decoder reproduced every plane exactly, not just checksums.
+    * sum-of-absolute-differences. Pixel values wrap mod 256, so the
+    * per-pixel drift of 7 gives |diff| 7 on 498 of the 512 pixels and
+    * 249 (= 256−7) on the 14 that wrap: within-regime SAD = 498·7 +
+    * 14·249 = 6972, well under the 20480 threshold. The regime
+    * boundary shifts by 19007 ≡ 63 (mod 256): |diff| 63 on 386
+    * pixels, 193 on the 126 that wrap, SAD = 386·63 + 126·193 =
+    * 48636, well over — so n_cuts pins that the decoder reproduced
+    * every plane exactly, not just checksums.
     *
     * Scale: zero-shuffle per-asset map; decode cost is linear in coded
     * bytes. */

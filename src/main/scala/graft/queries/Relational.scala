@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -89,8 +89,10 @@ object Relational {
     * WITHOUT any float: |x − S/h| > 2σ cross-multiplies to
     * (x·h − S)² > 4·(h·SS − S²) over integer sums (S = Σn, SS = Σn²,
     * h = hours), so the flag set is engine-exact — no Welford-vs-naive
-    * stddev drift, no sqrt. At extreme scale the products promote to
-    * DECIMAL; the shape is unchanged.
+    * stddev drift, no sqrt. The cross-multiplied products run in
+    * DECIMAL(38,0) (see [[twoSigmaFlag]]) mirroring the oracle's
+    * HUGEINT headroom — LongType products would throw
+    * ARITHMETIC_OVERFLOW under Spark 4 ANSI mode well before 100 TB.
     *
     * Scale: two map-side-combined hash aggregates (hour grid, then the
     * per-type 3-number stats) and a broadcast of |types| stat rows back
@@ -103,13 +105,35 @@ object Relational {
       .groupBy(col("event_type"), col("hour_start"))
       .agg(count(lit(1)).as("n"))
     val stats = hourly.groupBy(col("event_type"))
-      .agg(sum(col("n")).as("s"), sum(col("n") * col("n")).as("ss"),
+      .agg(sum(col("n")).as("s"), sum(sqDec(col("n"))).as("ss"),
         count(lit(1)).as("h"))
-    val dev = col("n") * col("h") - col("s")
     hourly.join(broadcast(stats), "event_type")
       .select(col("event_type"), col("hour_start"), col("n"),
-        (dev * dev > lit(4L) * (col("h") * col("ss") - col("s") * col("s")))
+        twoSigmaFlag(col("n"), col("h"), col("s"), col("ss"))
           .as("is_anomaly"))
+  }
+
+  /** n² in DECIMAL(38,0) — the per-hour count squared is the first
+    * place the anomaly pipeline would overflow Long under ANSI (at
+    * n > ~3·10^9 events/hour), so it never touches Long arithmetic. */
+  private[queries] def sqDec(n: Column): Column = {
+    val d = DecimalType(38, 0)
+    n.cast(d) * n.cast(d)
+  }
+
+  /** (x·h − S)² > 4·(h·SS − S²) with all operands cast to
+    * DECIMAL(38,0) so the cross-multiplied products never overflow
+    * Long under ANSI mode: the worst product, dev², stays exact up to
+    * |dev| ~ 10^19, i.e. corpus scales far past 100 TB (the oracle's
+    * HUGEINT has the same headroom, and both engines compare scale-0
+    * decimals exactly, so the flag set is engine-identical). Shared by
+    * q33 and the streaming c19. */
+  private[queries] def twoSigmaFlag(n: Column, h: Column, s: Column,
+      ss: Column): Column = {
+    val d = DecimalType(38, 0)
+    val (nd, hd, sd, ssd) = (n.cast(d), h.cast(d), s.cast(d), ss.cast(d))
+    val dev = nd * hd - sd
+    dev * dev > lit(4).cast(d) * (hd * ssd - sd * sd)
   }
 
   /** Dynamic-partition-pruning join (q32): the events fact is
@@ -233,19 +257,30 @@ object Relational {
     * through the SQL surface (the one catalog entry exercising
     * spark.sql end-to-end on the oracle gate).
     *
-    * Scale: one Expand of 3x the input ahead of a single
-    * map-side-combined hash aggregate — rows multiply by the number of
-    * grouping sets BEFORE the partial agg, which is exactly why q11
-    * re-aggregates the base instead (its plan guard pins no-Expand);
-    * both shapes are in the catalog so the trade is explicit. */
+    * Scale: the GROUPING SETS clause runs over the PRE-AGGREGATED
+    * (keys, n, s) base, not the raw corpus — Catalyst's Expand
+    * multiplies its input by the number of grouping sets BEFORE the
+    * partial agg, so expanding the 6-row base instead of the corpus
+    * turns a 3x-the-data Expand into a constant-size one while the
+    * answer is unchanged (decimal sums are associative, counts sum;
+    * grouping_id sees the same two key columns). The driver bench
+    * showed the corpus-Expand form inflating 0.75s→10.9s under a long
+    * session's heap pressure — the Expand tripled the partial-agg
+    * working set; this shape is also the one a 100 TB rollup needs.
+    * q11 demonstrates the same re-aggregation trade hand-rolled; q29
+    * keeps GROUPING SETS + grouping_id on the oracle gate. */
   private def q29: Q = (spark, dir) => {
-    t(spark, dir, "lineitem").createOrReplaceTempView("lineitem_q29")
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).as("s"))
+      .createOrReplaceTempView("lineitem_q29_base")
     spark.sql(
       """SELECT l_returnflag, l_linestatus,
         | grouping_id(l_returnflag, l_linestatus) AS gid,
-        | COUNT(*) AS n_items,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        |FROM lineitem_q29
+        | SUM(n) AS n_items,
+        | CAST(SUM(s) AS DOUBLE) AS sum_qty
+        |FROM lineitem_q29_base
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |                        (l_returnflag), ())""".stripMargin)
   }

@@ -39,13 +39,28 @@ trait StopStreamsAfterAll extends org.scalatest.BeforeAndAfterAll {
   def awaitDone(q: org.apache.spark.sql.streaming.StreamingQuery,
       ms: Long = 60000): Unit = {
     try q.awaitTermination(ms)
-    finally if (q.isActive) q.stop()
+    finally if (q.isActive) drainThenStop(q)
+  }
+
+  /** Let the in-flight trigger finish before stop(): stop() landing
+    * mid-commit makes a RocksDB state store log CANNOT_COMMIT ("store
+    * committing while the query is stopping") into an otherwise green
+    * run. processAllAvailable blocks until the current trigger (and
+    * any queued data) is fully processed; it is run on a bounded
+    * daemon thread because a misbehaving source could make it wait
+    * forever, and the stop() must still happen. */
+  def drainThenStop(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val t = new Thread(() =>
+      try q.processAllAvailable() catch { case _: Exception => () })
+    t.setDaemon(true)
+    t.start()
+    t.join(30000)
+    try q.stop() catch { case _: Exception => () }
   }
 
   override def afterAll(): Unit = {
-    try SparkTestSession.spark.streams.active.foreach { q =>
-      try q.stop() catch { case _: Exception => () }
-    } finally super.afterAll()
+    try SparkTestSession.spark.streams.active.foreach(drainThenStop)
+    finally super.afterAll()
   }
 }
 
