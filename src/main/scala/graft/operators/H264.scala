@@ -241,7 +241,7 @@ object H264 {
   // Encode side (fixtures): spec-conformant SPS + minimal slice NALs.
   // -------------------------------------------------------------------
 
-  private def nal(refIdc: Int, tpe: Int, rbsp: Array[Byte],
+  private[operators] def nal(refIdc: Int, tpe: Int, rbsp: Array[Byte],
       longStart: Boolean): Array[Byte] = {
     val start = if (longStart) Array[Byte](0, 0, 0, 1) else Array[Byte](0, 0, 1)
     start ++ Array(((refIdc << 5) | tpe).toByte) ++ rbspToEbsp(rbsp)

@@ -1,0 +1,514 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import H264.{BitReader, BitWriter}
+
+/** REAL H.264 CAVLC entropy decode for the Intra_16x16-DC subset —
+  * the first transform-coded (not raw-sample) slice shape this engine
+  * both emits and pixel-reconstructs.
+  *
+  * Scope (documented boundary, shrunk from "all entropy decode"): I
+  * slices whose macroblocks are all I_16x16_2_0_0 (Table 7-11 mb_type
+  * 3: Intra_16x16 prediction, DC mode, CodedBlockPatternLuma = 0,
+  * CodedBlockPatternChroma = 0). For that shape the only residual is
+  * the 4x4 luma DC block (Intra16x16DCLevel), entropy-coded with
+  * CAVLC (clause 9.2), inverse-Hadamard-transformed (8.5.6),
+  * dequantized (8.5.10) and spread flat over each 4x4 block by the
+  * DC-only core transform ((dcY + 32) >> 6, 8.5.12.2), on top of the
+  * Intra_16x16 DC prediction (8.3.3.3). Because every macroblock has
+  * CodedBlockPatternLuma 0, the 4x4 AC TotalCoeff of every possible
+  * neighbour block is 0, so nC (9.2.1) is always < 2 and only the
+  * "0 <= nC < 2" column of Table 9-5 is ever consulted — the decoder
+  * enforces this world and fails loudly outside it. Remaining
+  * boundary: CAVLC AC residuals / other nC columns, CABAC, and inter
+  * prediction.
+  *
+  * All VLC tables are transcribed from the public ITU-T H.264 spec:
+  * coeff_token Table 9-5 (0 <= nC < 2 column), total_zeros Tables
+  * 9-7/9-8 (4x4 blocks), run_before Table 9-10; level coding follows
+  * 9.2.2.1 exactly, including the level_prefix 14/15 escapes and
+  * suffixLength adaptation. The encode side is the exact inverse and
+  * exists for fixtures; CavlcSpec pins the widely-published worked
+  * example bitstring so the tables are checked against an external
+  * vector, not just against themselves.
+  */
+object H264Cavlc {
+
+  // ---------------------------------------------------------------
+  // VLC tables. Codes are stored as (len << 16) | bits.
+  // ---------------------------------------------------------------
+
+  private def c(bits: String): Int = {
+    require(bits.length <= 16)
+    (bits.length << 16) | Integer.parseInt(bits, 2)
+  }
+
+  /** Table 9-5, 0 <= nC < 2: coeffToken(trailingOnes)(totalCoeff). */
+  private val CoeffToken: Array[Array[Int]] = {
+    val t = Array.fill(4, 17)(-1)
+    t(0)(0) = c("1")
+    t(0)(1) = c("000101"); t(1)(1) = c("01")
+    t(0)(2) = c("00000111"); t(1)(2) = c("000100"); t(2)(2) = c("001")
+    t(0)(3) = c("000000111"); t(1)(3) = c("00000110")
+    t(2)(3) = c("0000101"); t(3)(3) = c("00011")
+    t(0)(4) = c("0000000111"); t(1)(4) = c("000000110")
+    t(2)(4) = c("00000101"); t(3)(4) = c("000011")
+    t(0)(5) = c("00000000111"); t(1)(5) = c("0000000110")
+    t(2)(5) = c("000000101"); t(3)(5) = c("0000100")
+    t(0)(6) = c("0000000001111"); t(1)(6) = c("00000000110")
+    t(2)(6) = c("0000000101"); t(3)(6) = c("00000100")
+    t(0)(7) = c("0000000001011"); t(1)(7) = c("0000000001110")
+    t(2)(7) = c("00000000101"); t(3)(7) = c("000000100")
+    t(0)(8) = c("0000000001000"); t(1)(8) = c("0000000001010")
+    t(2)(8) = c("0000000001101"); t(3)(8) = c("0000000100")
+    t(0)(9) = c("00000000001111"); t(1)(9) = c("00000000001110")
+    t(2)(9) = c("0000000001001"); t(3)(9) = c("00000000100")
+    t(0)(10) = c("00000000001011"); t(1)(10) = c("00000000001010")
+    t(2)(10) = c("00000000001101"); t(3)(10) = c("0000000001100")
+    t(0)(11) = c("000000000001111"); t(1)(11) = c("000000000001110")
+    t(2)(11) = c("00000000001001"); t(3)(11) = c("00000000001100")
+    t(0)(12) = c("000000000001011"); t(1)(12) = c("000000000001010")
+    t(2)(12) = c("000000000001101"); t(3)(12) = c("00000000001000")
+    t(0)(13) = c("0000000000001111"); t(1)(13) = c("000000000000001")
+    t(2)(13) = c("000000000001001"); t(3)(13) = c("000000000001100")
+    t(0)(14) = c("0000000000001011"); t(1)(14) = c("0000000000001110")
+    t(2)(14) = c("0000000000001101"); t(3)(14) = c("000000000001000")
+    t(0)(15) = c("0000000000000111"); t(1)(15) = c("0000000000001010")
+    t(2)(15) = c("0000000000001001"); t(3)(15) = c("0000000000001100")
+    t(0)(16) = c("0000000000000100"); t(1)(16) = c("0000000000000110")
+    t(2)(16) = c("0000000000000101"); t(3)(16) = c("0000000000001000")
+    t
+  }
+
+  /** Tables 9-7/9-8: totalZeros(tzVlcIndex = totalCoeff)(total_zeros),
+    * 4x4 blocks (maxNumCoeff 16). */
+  private val TotalZeros: Array[Array[Int]] = {
+    val t = Array.fill(16, 16)(-1)
+    def row(tz: Int, codes: String*): Unit =
+      codes.zipWithIndex.foreach { case (s, z) => t(tz)(z) = c(s) }
+    row(1, "1", "011", "010", "0011", "0010", "00011", "00010", "000011",
+      "000010", "0000011", "0000010", "00000011", "00000010", "000000011",
+      "000000010", "000000001")
+    row(2, "111", "110", "101", "100", "011", "0101", "0100", "0011",
+      "0010", "00011", "00010", "000011", "000010", "000001", "000000")
+    row(3, "0101", "111", "110", "101", "0100", "0011", "100", "011",
+      "0010", "00011", "00010", "000001", "00001", "000000")
+    row(4, "00011", "111", "0101", "0100", "110", "101", "100", "0011",
+      "011", "0010", "00010", "00001", "00000")
+    row(5, "0101", "0100", "0011", "111", "110", "101", "100", "011",
+      "0010", "00001", "0001", "00000")
+    row(6, "000001", "00001", "111", "110", "101", "100", "011", "010",
+      "0001", "001", "000000")
+    row(7, "000001", "00001", "101", "100", "011", "11", "010", "0001",
+      "001", "000000")
+    row(8, "000001", "0001", "00001", "011", "11", "10", "010", "001",
+      "000000")
+    row(9, "000001", "000000", "0001", "11", "10", "001", "01", "00001")
+    row(10, "00001", "00000", "001", "11", "10", "01", "0001")
+    row(11, "0000", "0001", "001", "010", "1", "011")
+    row(12, "0000", "0001", "01", "1", "001")
+    row(13, "000", "001", "1", "01")
+    row(14, "00", "01", "1")
+    row(15, "0", "1")
+    t
+  }
+
+  /** Table 9-10: runBefore(min(zerosLeft,7))(run_before); runs > 6 in
+    * the zerosLeft > 6 column follow the (run-4)-zeros-then-1 tail. */
+  private val RunBefore: Array[Array[Int]] = {
+    val t = Array.fill(8, 15)(-1)
+    def row(zl: Int, codes: String*): Unit =
+      codes.zipWithIndex.foreach { case (s, r) => t(zl)(r) = c(s) }
+    row(1, "1", "0")
+    row(2, "1", "01", "00")
+    row(3, "11", "10", "01", "00")
+    row(4, "11", "10", "01", "001", "000")
+    row(5, "11", "10", "011", "010", "001", "000")
+    row(6, "11", "000", "001", "011", "010", "101", "100")
+    row(7, "111", "110", "101", "100", "011", "010", "001", "0001",
+      "00001", "000001", "0000001", "00000001", "000000001", "0000000001",
+      "00000000001")
+    t
+  }
+
+  private def writeCode(w: BitWriter, code: Int): Unit = {
+    require(code >= 0, "no VLC code for symbol")
+    w.u(code & 0xFFFF, code >>> 16)
+  }
+
+  /** Read one VLC symbol by extending the bit prefix until it matches a
+    * table entry — every table here is prefix-free, so the first match
+    * is the symbol. Returns the matched index. */
+  private def readCode(r: BitReader, codes: Array[Int], what: String): Int = {
+    var bits = 0
+    var len = 0
+    while (len < 16) {
+      bits = (bits << 1) | r.u(1)
+      len += 1
+      val packed = (len << 16) | bits
+      var i = 0
+      while (i < codes.length) {
+        if (codes(i) == packed) return i
+        i += 1
+      }
+    }
+    throw new IllegalArgumentException(s"invalid $what VLC code")
+  }
+
+  /** 4x4 zig-zag scan (Table 8-13): scan index -> (row, col). */
+  private[operators] val ZigZag4x4: Array[(Int, Int)] = Array(
+    (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+    (2, 1), (3, 0), (3, 1), (2, 2), (1, 3), (2, 3), (3, 2), (3, 3))
+
+  // ---------------------------------------------------------------
+  // residual_block_cavlc (7.3.5.3.2 / 9.2) for one 16-coeff block,
+  // nC < 2 (the only column the Intra_16x16-DC world can reach).
+  // ---------------------------------------------------------------
+
+  /** Encode one 16-coefficient block given levels in ZIG-ZAG SCAN
+    * order. Exact inverse of [[decodeBlock]]. */
+  def encodeBlock(scan: Array[Int], w: BitWriter): Unit = {
+    require(scan.length == 16, "scan array must have 16 levels")
+    val nz = (0 until 16).filter(scan(_) != 0)
+    val total = nz.length
+    // TrailingOnes: consecutive +-1s at the high-frequency end, max 3.
+    var t1 = 0
+    while (t1 < 3 && t1 < total && math.abs(scan(nz(total - 1 - t1))) == 1)
+      t1 += 1
+    writeCode(w, CoeffToken(t1)(total))
+    if (total == 0) return
+    var k = total - 1
+    var i = 0
+    while (i < t1) { // trailing-one signs, highest frequency first
+      w.u(if (scan(nz(k)) < 0) 1 else 0, 1)
+      k -= 1; i += 1
+    }
+    var suffixLength = if (total > 10 && t1 < 3) 1 else 0
+    var first = true
+    while (k >= 0) { // remaining levels, highest frequency first (9.2.2.1)
+      val level = scan(nz(k))
+      var levelCode =
+        if (level > 0) 2 * level - 2 else -2 * level - 1
+      if (first && t1 < 3) levelCode -= 2 // decoder adds 2 back
+      first = false
+      require(levelCode >= 0, "levelCode underflow")
+      if (suffixLength == 0) {
+        if (levelCode < 14) w.u(0, levelCode).u(1, 1)
+        else if (levelCode < 30) { // level_prefix 14, 4-bit suffix
+          w.u(0, 14).u(1, 1).u(levelCode - 14, 4)
+        } else { // level_prefix 15, 12-bit suffix
+          require(levelCode - 30 < 4096, "level beyond prefix-15 escape")
+          w.u(0, 15).u(1, 1).u(levelCode - 30, 12)
+        }
+      } else {
+        if (levelCode < (15 << suffixLength)) {
+          w.u(0, levelCode >> suffixLength).u(1, 1)
+            .u(levelCode & ((1 << suffixLength) - 1), suffixLength)
+        } else { // level_prefix 15, 12-bit suffix
+          val suffix = levelCode - (15 << suffixLength)
+          require(suffix < 4096, "level beyond prefix-15 escape")
+          w.u(0, 15).u(1, 1).u(suffix, 12)
+        }
+      }
+      if (suffixLength == 0) suffixLength = 1
+      if (math.abs(level) > (3 << (suffixLength - 1)) && suffixLength < 6)
+        suffixLength += 1
+      k -= 1
+    }
+    if (total < 16) {
+      val totalZeros = nz.last + 1 - total
+      writeCode(w, TotalZeros(total)(totalZeros))
+      var zerosLeft = totalZeros
+      var j = total - 1
+      while (j > 0 && zerosLeft > 0) {
+        val run = nz(j) - nz(j - 1) - 1
+        writeCode(w, RunBefore(math.min(zerosLeft, 7))(run))
+        zerosLeft -= run
+        j -= 1
+      }
+    }
+  }
+
+  /** Decode one 16-coefficient block; returns levels in ZIG-ZAG SCAN
+    * order (9.2: coeff_token, T1 signs, levels, total_zeros,
+    * run_before). */
+  def decodeBlock(r: BitReader): Array[Int] = {
+    val sym = readCode(r, CoeffToken.flatten, "coeff_token")
+    val t1 = sym / 17
+    val total = sym % 17
+    val out = new Array[Int](16)
+    if (total == 0) return out
+    val levels = new Array[Int](total) // index 0 = highest frequency
+    var i = 0
+    while (i < t1) {
+      levels(i) = if (r.u(1) == 1) -1 else 1
+      i += 1
+    }
+    var suffixLength = if (total > 10 && t1 < 3) 1 else 0
+    while (i < total) {
+      var levelPrefix = 0
+      while (r.u(1) == 0) {
+        levelPrefix += 1
+        require(levelPrefix <= 19, "level_prefix overflow")
+      }
+      val levelSuffixSize =
+        if (levelPrefix == 14 && suffixLength == 0) 4
+        else if (levelPrefix >= 15) levelPrefix - 3
+        else suffixLength
+      var levelCode = (math.min(15, levelPrefix) << suffixLength) +
+        (if (levelSuffixSize > 0) r.u(levelSuffixSize) else 0)
+      if (levelPrefix >= 15 && suffixLength == 0) levelCode += 15
+      if (levelPrefix >= 16) levelCode += (1 << (levelPrefix - 3)) - 4096
+      if (i == t1 && t1 < 3) levelCode += 2
+      levels(i) =
+        if (levelCode % 2 == 0) (levelCode + 2) >> 1
+        else (-levelCode - 1) >> 1
+      if (suffixLength == 0) suffixLength = 1
+      if (math.abs(levels(i)) > (3 << (suffixLength - 1)) && suffixLength < 6)
+        suffixLength += 1
+      i += 1
+    }
+    var zerosLeft =
+      if (total < 16) readCode(r, TotalZeros(total), "total_zeros") else 0
+    // Place levels from the highest-frequency coefficient downwards.
+    var pos = total - 1 + zerosLeft // scan index of the current coeff
+    i = 0
+    while (i < total - 1) {
+      out(pos) = levels(i)
+      val run =
+        if (zerosLeft > 0)
+          readCode(r, RunBefore(math.min(zerosLeft, 7)), "run_before")
+        else 0
+      zerosLeft -= run
+      pos -= run + 1
+      i += 1
+    }
+    out(pos) = levels(total - 1)
+    require(pos == zerosLeft, "run_before bookkeeping drift")
+    out
+  }
+
+  // ---------------------------------------------------------------
+  // Intra_16x16-DC frame encode/decode (mb_type 3, QP via
+  // slice_qp_delta + mb_qp_delta, flat scaling lists).
+  // ---------------------------------------------------------------
+
+  /** normAdjust4x4(m, 0, 0) (Table 8-15 first column); LevelScale for
+    * the flat default list is 16x this. */
+  private val NormAdjustDc = Array(10, 11, 13, 14, 16, 18)
+
+  /** Luma DC dequant, 8.5.10, flat weightScale (LevelScale = 16 * v). */
+  private def dequantDc(f: Int, qp: Int): Int = {
+    val ls = 16 * NormAdjustDc(qp % 6)
+    if (qp >= 36) (f * ls) << (qp / 6 - 6)
+    else (f * ls + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+  }
+
+  /** 4x4 Hadamard (8.5.6 inverse DC transform): f = H c H with the
+    * symmetric +-1 matrix. */
+  private val H = Array(
+    Array(1, 1, 1, 1), Array(1, 1, -1, -1),
+    Array(1, -1, -1, 1), Array(1, -1, 1, -1))
+
+  private[operators] def hadamard(cIn: Array[Array[Int]]): Array[Array[Int]] = {
+    val tmp = Array.ofDim[Int](4, 4)
+    var i = 0
+    while (i < 4) {
+      var j = 0
+      while (j < 4) {
+        var s = 0
+        var m = 0
+        while (m < 4) { s += H(i)(m) * cIn(m)(j); m += 1 }
+        tmp(i)(j) = s
+        j += 1
+      }
+      i += 1
+    }
+    val out = Array.ofDim[Int](4, 4)
+    i = 0
+    while (i < 4) {
+      var j = 0
+      while (j < 4) {
+        var s = 0
+        var m = 0
+        while (m < 4) { s += tmp(i)(m) * H(m)(j); m += 1 }
+        out(i)(j) = s
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Encode one IDR picture coded entirely as I_16x16_2_0_0
+    * macroblocks. `dcLevels(mb)` is the 4x4 luma DC COEFFICIENT LEVEL
+    * array (c, pre-dequant, row-major (row)(col)) for macroblock `mb`
+    * in raster order; AC and chroma residuals are zero by the mb_type.
+    * QP handling: slice_qp_delta = qp - 1 - 26 and a constant
+    * mb_qp_delta = +1 on the first MB (0 after — 7.4.5: the delta is
+    * relative to the running QPy), so both syntax elements carry
+    * real information. */
+  def encodeIntra16Frame(widthMbs: Int, heightMapUnits: Int,
+      dcLevels: Array[Array[Array[Int]]], qp: Int,
+      idrPicId: Int = 0): Array[Byte] = {
+    require(dcLevels.length == widthMbs * heightMapUnits)
+    require(qp >= 1 && qp <= 51, s"qp out of range: $qp")
+    val w = new BitWriter
+    w.ue(0) // first_mb_in_slice
+    w.ue(7) // slice_type: I (all slices of the picture are I)
+    w.ue(0) // pps id
+    w.u(0, 8) // frame_num = 0 (IDR, 7.4.3)
+    w.ue(idrPicId & 0xFFFF)
+    w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking (IDR form)
+    w.se(qp - 1 - 26) // slice_qp_delta: SliceQPy = qp - 1
+    var m = 0
+    while (m < dcLevels.length) {
+      w.ue(3) // mb_type: I_16x16_2_0_0 (Table 7-11)
+      w.ue(0) // intra_chroma_pred_mode: DC
+      w.se(if (m == 0) 1 else 0) // mb_qp_delta -> QPy = qp from MB 0 on
+      val scan = new Array[Int](16)
+      var k = 0
+      while (k < 16) {
+        val (i, j) = ZigZag4x4(k)
+        scan(k) = dcLevels(m)(i)(j)
+        k += 1
+      }
+      encodeBlock(scan, w)
+      m += 1
+    }
+    H264.nal(3, 5, w.trailing(), longStart = false)
+  }
+
+  /** Decode every Intra_16x16-DC picture of an SPS+PPS+IDR stream into
+    * (width, height, luma) planes: slice-header walk, per-MB CAVLC DC
+    * block, inverse Hadamard (8.5.6), dequant (8.5.10), DC-only core
+    * transform ((dcY + 32) >> 6, 8.5.12.2), Intra_16x16 DC prediction
+    * from reconstructed neighbours (8.3.3.3), Clip1, SPS crop.
+    * Macroblocks outside the I_16x16_2_0_0 shape fail loudly — the
+    * boundary is AC residuals / other prediction modes, not the DC
+    * path. */
+  def decodeIntra16Frames(es: Array[Byte]): Seq[(Int, Int, Array[Byte])] = {
+    val nals = H264.nalUnits(es)
+    var sps: Option[H264.SpsInfo] = None
+    var ppsQpInit = 26
+    var ppsSeen = false
+    val out = ArrayBuffer[(Int, Int, Array[Byte])]()
+    nals.foreach { case (_, tpe, ebsp) =>
+      tpe match {
+        case 7 => if (sps.isEmpty) sps = Some(H264.parseSps(H264.ebspToRbsp(ebsp)))
+        case 8 =>
+          val r = new BitReader(H264.ebspToRbsp(ebsp))
+          r.ue(); r.ue()
+          require(r.u(1) == 0, "CABAC slice data not supported (CAVLC only)")
+          r.u(1) // bottom_field_pic_order_in_frame_present
+          require(r.ue() == 0, "slice groups not supported")
+          r.ue(); r.ue() // num_ref_idx defaults
+          r.u(1); r.u(2) // weighted_pred / weighted_bipred_idc
+          ppsQpInit = 26 + r.se() // pic_init_qp_minus26
+          ppsSeen = true
+        case 5 =>
+          val s = sps.getOrElse(
+            throw new IllegalArgumentException("slice before SPS"))
+          require(ppsSeen, "slice before PPS")
+          out += decodeIntra16Slice(s, H264.ebspToRbsp(ebsp), ppsQpInit)
+        case _ => ()
+      }
+    }
+    out.toSeq
+  }
+
+  private def clip255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  private def decodeIntra16Slice(s: H264.SpsInfo, rbsp: Array[Byte],
+      qpInit: Int): (Int, Int, Array[Byte]) = {
+    require(s.frameMbsOnly, "field coding not supported")
+    val widthMbs = (s.width + 15) / 16
+    val mapUnits = (s.height + 15) / 16
+    val w16 = widthMbs * 16
+    val r = new BitReader(rbsp)
+    require(r.ue() == 0, "multi-slice pictures not supported")
+    val sliceType = r.ue()
+    require(sliceType == 2 || sliceType == 7, s"not an I slice: $sliceType")
+    r.ue() // pps id
+    r.u(8) // frame_num
+    r.ue() // idr_pic_id
+    r.u(1); r.u(1) // IDR dec_ref_pic_marking
+    var qpy = qpInit + r.se() // SliceQPy, updated per MB by mb_qp_delta
+    val plane = new Array[Byte](w16 * mapUnits * 16)
+    var m = 0
+    val nMbs = widthMbs * mapUnits
+    while (m < nMbs) {
+      val mbType = r.ue()
+      require(mbType == 3,
+        s"mb $m is not I_16x16_2_0_0 (mb_type $mbType) — outside the " +
+          "CAVLC intra-DC decode subset")
+      require(r.ue() <= 3, "invalid intra_chroma_pred_mode")
+      val dq = r.se() // mb_qp_delta
+      qpy = (qpy + dq + 52) % 52 // 7.4.5 wrap (QpBdOffsetY = 0)
+      val scan = decodeBlock(r)
+      val cArr = Array.ofDim[Int](4, 4)
+      var k = 0
+      while (k < 16) {
+        val (i, j) = ZigZag4x4(k)
+        cArr(i)(j) = scan(k)
+        k += 1
+      }
+      val f = hadamard(cArr)
+      val mbX = m % widthMbs
+      val mbY = m / widthMbs
+      // Intra_16x16 DC prediction (8.3.3.3) from reconstructed pixels.
+      var sum = 0
+      var n = 0
+      if (mbX > 0) {
+        var row = 0
+        while (row < 16) {
+          sum += plane((mbY * 16 + row) * w16 + mbX * 16 - 1) & 0xFF
+          row += 1
+        }
+        n += 16
+      }
+      if (mbY > 0) {
+        var col = 0
+        while (col < 16) {
+          sum += plane((mbY * 16 - 1) * w16 + mbX * 16 + col) & 0xFF
+          col += 1
+        }
+        n += 16
+      }
+      val pred =
+        if (n == 32) (sum + 16) >> 5
+        else if (n == 16) (sum + 8) >> 4
+        else 128
+      var bi = 0
+      while (bi < 4) {
+        var bj = 0
+        while (bj < 4) {
+          val dcY = dequantDc(f(bi)(bj), qpy)
+          val res = (dcY + 32) >> 6 // DC-only 8.5.12.2
+          val v = clip255(pred + res).toByte
+          var rr = 0
+          while (rr < 4) {
+            var cc = 0
+            while (cc < 4) {
+              plane((mbY * 16 + bi * 4 + rr) * w16 +
+                mbX * 16 + bj * 4 + cc) = v
+              cc += 1
+            }
+            rr += 1
+          }
+          bj += 1
+        }
+        bi += 1
+      }
+      m += 1
+    }
+    val cropped = new Array[Byte](s.width * s.height)
+    var row = 0
+    while (row < s.height) {
+      System.arraycopy(plane, row * w16, cropped, row * s.width, s.width)
+      row += 1
+    }
+    (s.width, s.height, cropped)
+  }
+}

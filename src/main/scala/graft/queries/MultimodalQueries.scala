@@ -30,7 +30,54 @@ object MultimodalQueries {
     "m12_image_resize" -> m12,
     "m13_audio_resample" -> m13,
     "m14_video_pixels" -> m14,
-    "m15_decoded_scene_cuts" -> m15)
+    "m15_decoded_scene_cuts" -> m15,
+    "m16_video_cavlc_pixels" -> m16)
+
+  /** CAVLC transform-coded pixel reconstruction (m16): the first
+    * ENTROPY-CODED (not raw-sample) video path — each asset is an SPS +
+    * PPS + one IDR picture coded as a single I_16x16_2_0_0 macroblock
+    * (Table 7-11 mb_type 3): four hash-planted luma DC coefficient
+    * levels in row 0 of the DC block (zig-zag positions 0,1,5,6),
+    * CAVLC-coded per clause 9.2 (coeff_token, trailing-one signs,
+    * level prefix/suffix, total_zeros, run_before all live), decoded
+    * through [[graft.operators.H264Cavlc.decodeIntra16Frames]]:
+    * inverse 4x4 Hadamard (8.5.6), QP-24 dequant (8.5.10), DC-only
+    * core transform, Intra_16x16 DC prediction. Row-0-only DC levels
+    * make the reconstruction four vertical 4-column stripes whose
+    * values the oracle recomputes in closed form: stripe_j =
+    * 128 + floor((40*t_j + 32)/64) with t_j the +-1 Hadamard
+    * combination of the four levels (dequant at QP 24 is exactly
+    * 40x). The full-plane weighted checksum pins the stripe LAYOUT,
+    * not just the values — a drift anywhere in the entropy decode,
+    * transform, dequant, prediction, or raster placement breaks it.
+    *
+    * Scale: zero-shuffle per-asset map like every m-family decode. */
+  private def m16: Q = (spark, dir) => {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val c0 = (id % 41).toInt - 20
+      val c1 = (id % 7).toInt - 3
+      val c2 = ((id / 7) % 3).toInt - 1
+      val c3 = ((id / 3) % 3).toInt - 1
+      val dc = Array.fill(4, 4)(0)
+      dc(0)(0) = c0; dc(0)(1) = c1; dc(0)(2) = c2; dc(0)(3) = c3
+      val es = graft.operators.H264.encodeSps(1, 1, 0) ++
+        graft.operators.H264.encodePps() ++
+        graft.operators.H264Cavlc.encodeIntra16Frame(1, 1, Array(dc),
+          qp = 24, idrPicId = (id % 65536).toInt)
+      val frames = graft.operators.H264Cavlc.decodeIntra16Frames(es)
+      require(frames.size == 1)
+      val (w, h, luma) = frames.head
+      var s = 0L; var ck = 0L; var i = 0
+      while (i < luma.length) {
+        val v = (luma(i) & 0xFF).toLong
+        s += v; ck += v * (i + 1); i += 1
+      }
+      def stripe(j: Int): Int = luma(4 * j) & 0xFF // row 0, col 4j
+      (id, w, h, stripe(0), stripe(1), stripe(2), stripe(3), s, ck)
+    }.toDF("doc_id", "width", "height", "s0", "s1", "s2", "s3",
+      "luma_sum", "luma_checksum")
+  }
 
   /** Shot detection over REAL decoded video frames (m15): m8's SAD cut
     * logic upgraded from payload byte slices to DECODED pixels — each
@@ -569,6 +616,33 @@ object MultimodalQueries {
         |  CAST(MAX(sad) AS BIGINT) AS max_sad,
         |  CAST(SUM(CASE WHEN sad > 40*512 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts
         |FROM pairs GROUP BY doc_id, nf""".stripMargin,
+    // m16: stripe values recomputed in closed form — t_j is the +-1
+    // Hadamard combination of the four planted DC levels, dequant at
+    // QP 24 is exactly 40x, the DC-only core transform is
+    // floor((dc+32)/64) (offset +6400 keeps // a floor on negatives),
+    // and the full-plane weighted checksum uses the per-stripe
+    // position-weight sums 7840 + 256*j
+    "m16_video_cavlc_pixels" ->
+      """WITH c AS (SELECT doc_id,
+        |   CAST(doc_id % 41 AS BIGINT) - 20 AS c0,
+        |   CAST(doc_id % 7 AS BIGINT) - 3 AS c1,
+        |   CAST((doc_id // 7) % 3 AS BIGINT) - 1 AS c2,
+        |   CAST((doc_id // 3) % 3 AS BIGINT) - 1 AS c3
+        | FROM documents),
+        |t AS (SELECT doc_id,
+        |   c0+c1+c2+c3 AS t0, c0+c1-c2-c3 AS t1,
+        |   c0-c1-c2+c3 AS t2, c0-c1+c2-c3 AS t3 FROM c),
+        |s AS (SELECT doc_id,
+        |   CAST(LEAST(255, GREATEST(0, 128 + ((40*t0 + 6432) // 64) - 100)) AS INTEGER) AS s0,
+        |   CAST(LEAST(255, GREATEST(0, 128 + ((40*t1 + 6432) // 64) - 100)) AS INTEGER) AS s1,
+        |   CAST(LEAST(255, GREATEST(0, 128 + ((40*t2 + 6432) // 64) - 100)) AS INTEGER) AS s2,
+        |   CAST(LEAST(255, GREATEST(0, 128 + ((40*t3 + 6432) // 64) - 100)) AS INTEGER) AS s3
+        | FROM t)
+        |SELECT doc_id, 16 AS width, 16 AS height, s0, s1, s2, s3,
+        | CAST(64*(s0+s1+s2+s3) AS BIGINT) AS luma_sum,
+        | CAST(7840*s0 + 8096*s1 + 8352*s2 + 8608*s3 AS BIGINT)
+        |   AS luma_checksum
+        |FROM s""".stripMargin,
     // m14: displayed pixels recomputed from the plane formula — height
     // shrinks by the SPS bottom crop (2 rows per crop unit), indices
     // stay row-major in the 32-wide plane because the crop is
