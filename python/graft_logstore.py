@@ -28,6 +28,57 @@ The JVM side must be on the driver classpath
 FORMAT = "graft-logstore"
 
 
+# ---- composite operator surface (graft.api.PyOps) -----------------------
+#
+# The scalar expressions (splitmix64, graft_bloom_might_contain, the
+# vector functions) are plain SQL functions once the session extension is
+# installed; these four are whole-plan operators, so they cross py4j as
+# DataFrame -> DataFrame calls. Each wrapper inherits the Scala plan
+# shape unchanged (salted shuffle, hash-threshold sampling, banded
+# candidate joins, LSH bucket join).
+
+def _wrap(spark, jdf):
+    from pyspark.sql import DataFrame
+    return DataFrame(jdf, spark)
+
+
+def salted_join(big, dim, big_key, dim_key, factor):
+    """Skew-resistant inner join: salt the big side, replicate the dim
+    side ``factor`` ways; result-identical to ``big.join(dim, key)``."""
+    spark = big.sparkSession
+    return _wrap(spark, spark._jvm.graft.api.PyOps.saltedInner(
+        big._jdf, dim._jdf, big_key, dim_key, int(factor)))
+
+
+def stratified_sample(df, strata_col, id_col, rates_bp, default_bp):
+    """Deterministic RNG-free stratified sample; rates in basis points
+    per stratum value, ``default_bp`` for unlisted strata."""
+    spark = df.sparkSession
+    jmap = spark._jvm.java.util.HashMap()
+    for stratum, bp in rates_bp.items():
+        jmap.put(str(stratum), int(bp))
+    return _wrap(spark, spark._jvm.graft.api.PyOps.stratifiedSample(
+        df._jdf, strata_col, id_col, jmap, int(default_bp)))
+
+
+def edit_distance_pairs(docs, max_dist, text_col="text"):
+    """All (a_id, b_id, lev) pairs with Levenshtein <= max_dist over a
+    (doc_id, text) frame — complete, via length bands + counting filter
+    + banded DP."""
+    spark = docs.sparkSession
+    return _wrap(spark, spark._jvm.graft.api.PyOps.editDistancePairs(
+        docs._jdf, int(max_dist), text_col))
+
+
+def nn_join(left, right, k, bits):
+    """Approximate nearest-neighbor join between two (vec_id, embedding)
+    frames: shared LSH hyperplane buckets, exact cosine top-k inside
+    each bucket. Returns (query_id, neighbor_id, rank, sim)."""
+    spark = left.sparkSession
+    return _wrap(spark, spark._jvm.graft.api.PyOps.nnJoin(
+        left._jdf, right._jdf, int(k), int(bits)))
+
+
 class LogStore:
     """One store's full API surface from Python."""
 

@@ -217,4 +217,60 @@ if not (900 <= est <= 1100):
     sys.exit(1)
 print("OK: SQL function surface (splitmix64/dot_product/cosine_sim/hll) "
       "from Python")
+
+# ---------------------------------------------------------------------------
+# Composite operator surface (graft.api.PyOps via graft_logstore wrappers):
+# the whole-plan operators — salted skew join, deterministic stratified
+# sampling, complete thresholded-Levenshtein pair mining, LSH nn-join —
+# callable from Python with the Scala plan shapes unchanged.
+# ---------------------------------------------------------------------------
+from graft_logstore import (salted_join, stratified_sample,
+                            edit_distance_pairs, nn_join)
+
+# salted_join: provably result-identical to the plain inner join
+dim = spark.createDataFrame(
+    [("click", 1), ("view", 2), ("purchase", 3), ("scroll", 4)],
+    "etype STRING, weight INT")
+plain = (events.join(dim, events.event_type == dim.etype)
+         .agg(F.count(F.lit(1)), F.sum("weight")).head())
+salted = (salted_join(events, dim, "event_type", "etype", 8)
+          .agg(F.count(F.lit(1)), F.sum("weight")).head())
+if tuple(plain) != tuple(salted) or plain[0] == 0:
+    print(f"MISMATCH salted_join vs plain join: {tuple(salted)} != {tuple(plain)}")
+    sys.exit(1)
+
+# stratified_sample: deterministic (identical resample), honors 0 bp
+samp1 = stratified_sample(events, "event_type", "event_id",
+                          {"click": 5000, "view": 0}, 2500)
+samp2 = stratified_sample(events, "event_type", "event_id",
+                          {"click": 5000, "view": 0}, 2500)
+ids1 = sorted(r[0] for r in samp1.select("event_id").collect())
+ids2 = sorted(r[0] for r in samp2.select("event_id").collect())
+n_view = samp1.filter(F.col("event_type") == "view").count()
+if ids1 != ids2 or len(ids1) == 0 or n_view != 0:
+    print(f"MISMATCH stratified_sample: n={len(ids1)} vs {len(ids2)}, "
+          f"view rows={n_view}")
+    sys.exit(1)
+
+# edit_distance_pairs: complete answer on a hand corpus
+docs = spark.createDataFrame(
+    [(1, "abcdef"), (2, "abcdefg"), (3, "xyz"), (4, "abcxef")],
+    "doc_id LONG, text STRING")
+pairs = {(r["a_id"], r["b_id"]): r["lev"]
+         for r in edit_distance_pairs(docs, 2).collect()}
+if pairs != {(1, 2): 1, (1, 4): 1, (2, 4): 2}:
+    print(f"MISMATCH edit_distance_pairs: {pairs}")
+    sys.exit(1)
+
+# nn_join: identical corpora -> every vector's top-1 is itself at sim 1
+vecs = spark.createDataFrame(
+    [(i, [float(i == j) + 0.01 * j for j in range(8)]) for i in range(8)],
+    "vec_id LONG, embedding ARRAY<DOUBLE>")
+top1 = nn_join(vecs, vecs, 1, 4).collect()
+self_hits = {r["query_id"]: r["neighbor_id"] for r in top1}
+if len(top1) != 8 or any(q != n for q, n in self_hits.items()):
+    print(f"MISMATCH nn_join self top-1: {self_hits}")
+    sys.exit(1)
+print("OK: composite operator surface (salted_join/stratified_sample/"
+      "edit_distance_pairs/nn_join) from Python")
 sys.exit(0)
