@@ -49,11 +49,15 @@ object BenchStress {
   val Heavy: Seq[String] = Seq(
     "d1_dedup_exact", "d3_dedup_minhash_lsh", "d4_dedup_simhash",
     "d9_dedup_groups", "d10_segment_dedup", "d12_ngram_decontaminate",
-    "d13_dup_spans", "d16_containment", "s2_ann_lsh", "s3_ann_ivf",
-    "s4_ann_multiprobe", "s5_ann_sq", "s6_ann_pq", "s13_farthest_init",
+    "d13_dup_spans", "d15_edit_distance", "d16_containment",
+    "d17_soft_dedup", "s2_ann_lsh", "s3_ann_ivf",
+    "s4_ann_multiprobe", "s5_ann_sq", "s6_ann_pq", "s12_nn_join",
+    "s13_farthest_init",
     "t14_pack_sequences", "t15_global_shuffle", "t23_bpe_small",
-    "t28_gopher_filters", "p4_leakage_split", "p6_gopher_pipeline",
-    "k6_kmv_overlap", "c5_stream_dedup")
+    "t28_gopher_filters", "p4_leakage_split", "p5_fuzzy_verify",
+    "p6_gopher_pipeline",
+    "k6_kmv_overlap", "c5_stream_dedup", "c18_stream_attribution",
+    "q31_salted_join", "q34_latest_state")
 
   /** Optional comma-separated name-prefix filter
     * (SPARK_GRAFT_STRESS_ONLY) — stress just the matching queries, so
@@ -82,16 +86,46 @@ object BenchStress {
     }.reduce(_.unionAll(_))
     val embCopies = (0 until Copies).map { k =>
       val e = col("embedding")
+      // 64 dims bound the rotation: copy k rotates by k % 64, and the
+      // second lap (k >= 64, reachable at the 100x point) additionally
+      // REVERSES the vector — reversal preserves the norm and the
+      // coordinate distribution while decorrelating lap-2 copies from
+      // their lap-1 rotation twins (otherwise copy 64+r would be an
+      // exact duplicate of copy r and the blow-up would plant 10^7
+      // spurious exact-duplicate vectors).
+      val rot = k % 64
       val rotated =
-        if (k == 0) e
-        else concat(slice(e, k + 1, 64 - k), slice(e, 1, k))
+        if (rot == 0) e
+        else concat(slice(e, rot + 1, 64 - rot), slice(e, 1, rot))
+      val decorr = if (k < 64) rotated else reverse(rotated)
       embs.select((col("vec_id") + lit(k * idOff)).as("vec_id"),
-        rotated.as("embedding"), col("label"))
+        decorr.as("embedding"), col("label"))
     }.reduce(_.unionAll(_))
     docCopies.repartition(32).write.mode("overwrite")
       .parquet(s"$outDir/documents.parquet")
     embCopies.repartition(8).write.mode("overwrite")
       .parquet(s"$outDir/embeddings.parquet")
+    // events: copy k offsets event_id AND user_id — the key population
+    // grows ~Copies x while per-key row counts and time density stay
+    // constant, so q34's upsert state, c18's join-pair state, and c5's
+    // dedup state all hold Copies x entries without workload skew.
+    val events = spark.read.parquet(s"$srcDir/events.parquet")
+    (0 until Copies).map { k =>
+      events.withColumn("event_id", col("event_id") + lit(k * idOff))
+        .withColumn("user_id", col("user_id") + lit(k * idOff))
+    }.reduce(_.unionAll(_)).repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/events.parquet")
+    // lineitem: the fact side grows Copies x (new orderkeys) while the
+    // supplier dim stays FIXED — exactly the 100 TB skew-join shape
+    // (per-supplier fan-out scales with the fact table), so q31's salted
+    // exchange is stressed where the unsalted plan would concentrate.
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    (0 until Copies).map { k =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(k * idOff))
+    }.reduce(_.unionAll(_)).repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/lineitem.parquet")
+    spark.read.parquet(s"$srcDir/supplier.parquet").write
+      .mode("overwrite").parquet(s"$outDir/supplier.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -112,7 +146,10 @@ object BenchStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!new java.io.File(s"$stressDir/documents.parquet").isDirectory) {
+    // events/lineitem joined the blow-up for the q31/q34/c18/c5 rows:
+    // regenerate a stress dir from an older round that lacks them
+    if (!Seq("documents", "embeddings", "events", "lineitem", "supplier")
+        .forall(t => new java.io.File(s"$stressDir/$t.parquet").isDirectory)) {
       System.err.println(s"[stress] generating ${Copies}x corpus at $stressDir")
       generate(spark, srcDir, stressDir)
     }

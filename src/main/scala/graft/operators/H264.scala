@@ -10,14 +10,20 @@ import scala.collection.mutable.ArrayBuffer
   * frame cropping, and picture counting from slice headers
   * (first_mb_in_slice == 0 starts a new picture, 7.3.3/7.4.3).
   *
-  * What stays stubbed is SLICE DATA reconstruction (CABAC/CAVLC entropy
-  * decode + transform + deblock — a full codec, out of scope in an
-  * environment without codec libraries); everything metadata-shaped is
-  * parsed from real conformant bits, so dimensions, frame counts, IDR
-  * (sync-point) counts, and NAL inventories are exact. The matching
-  * [[BitWriter]]/encode side exists for fixtures, like
-  * [[Multimodal.encodeBmp24]] and the WAV encoder: tests and catalog
-  * fixtures round-trip encode→parse through spec-conformant bytes.
+  * Pixel reconstruction is REAL for two slice shapes: all-I_PCM
+  * pictures ([[decodeIPcmFrames]] — raw samples, 7.3.5) and
+  * all-I_16x16_2_0_0 pictures ([[H264Cavlc.decodeIntra16Frames]] —
+  * CAVLC-entropy-coded luma DC residuals, clause 9.2, with inverse
+  * Hadamard, dequant, and DC intra prediction). What stays out of
+  * scope is the rest of the entropy layer (CAVLC AC residuals /
+  * other nC columns, CABAC) and inter prediction — a full codec, not
+  * buildable in an environment without codec libraries; everything
+  * metadata-shaped is parsed from real conformant bits, so
+  * dimensions, frame counts, IDR (sync-point) counts, and NAL
+  * inventories are exact. The matching [[BitWriter]]/encode side
+  * exists for fixtures, like [[Multimodal.encodeBmp24]] and the WAV
+  * encoder: tests and catalog fixtures round-trip encode→parse
+  * through spec-conformant bytes.
   */
 object H264 {
 

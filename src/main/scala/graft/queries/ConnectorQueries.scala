@@ -924,7 +924,13 @@ object ConnectorQueries {
       salted
         .orderBy("doc_id").coalesce(1) // one sorted segment = arrival order
         .select(lit(0).as("__shard__"),
-          (lit(1700000000L) + col("doc_id")).cast(IntegerType).as("__time__"),
+          // __time__ is int32 epoch seconds (store format); fold doc_id
+          // into the valid range — identity below 4e8 (every driver
+          // scale and stress copies < 40), wraps at the 100x stress
+          // point instead of CAST_OVERFLOWing. Dedup keys on md5(text);
+          // __time__ is metadata here.
+          (lit(1700000000L) + pmod(col("doc_id"), lit(400000000L)))
+            .cast(IntegerType).as("__time__"),
           col("doc_id"), col("text"))
         .write.format("graft-logstore").options(opts).mode("append").save()
       (opts, n)

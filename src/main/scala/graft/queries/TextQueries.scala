@@ -61,8 +61,10 @@ object TextQueries {
     "d16_containment" -> ((spark, dir) =>
       Dedup.containmentPairs(t(spark, dir, "documents"), 0.8)),
     "d17_soft_dedup" -> d17,
+    "d18_incremental_dedup" -> d18,
     "d15_edit_distance" -> ((spark, dir) =>
       Dedup.editDistancePairs(t(spark, dir, "documents"), maxDist = 16)),
+    "t31_repetition_filters" -> t31,
     "t16_epoch_mix" -> t16,
     "t17_bpe_tokenize" -> t17,
     "t23_bpe_small" -> t23,
@@ -649,6 +651,109 @@ object TextQueries {
     all.join(sizes, "comp")
       .select(col("doc_id"), col("comp"), col("n_members"),
         (lit(1.0) / col("n_members").cast(DoubleType)).as("weight"))
+  }
+
+  /** Incremental dedup against a base corpus (d18): the shape a DAILY
+    * crawl pipeline actually runs at 100 TB — the accumulated corpus is
+    * never re-deduped; only the incoming batch (here doc_id % 10 >= 8,
+    * 20%) is checked against the base (80%). Two stages, both
+    * incoming-sized: an exact-fingerprint equi-join (md5 — the d1
+    * fingerprint), and MinHash-LSH band buckets joined CROSS-SIDE ONLY
+    * (incoming bands ⋈ base bands — no base×base candidate is ever
+    * generated, which is the property that makes the daily run
+    * O(incoming), not O(corpus)) followed by d3's exact shingle
+    * verify. At production scale the base band table is a maintained
+    * materialization (computed once per doc at ingest); here both
+    * sides come from the same zero-shuffle banding map. Per incoming
+    * doc: status 2 = exact dup of base, 1 = near dup (Jaccard >=
+    * 0.8), 0 = genuinely new, plus the matched base doc (min id,
+    * exact match preferred) and the count of near-dup base partners.
+    * Oracle: exhaustive exact cross-pair Jaccard in SQL — the banding
+    * recall gate d2/d3 established, restricted to cross pairs. */
+  private def d18: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+    val base = docs.filter(col("doc_id") % 10 < 8)
+    val inc = docs.filter(col("doc_id") % 10 >= 8)
+    val exact = inc.select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(base.select(md5(col("text")).as("fp"),
+        col("doc_id").as("bid")), "fp")
+      .groupBy(col("doc_id")).agg(min(col("bid")).as("exact_base"))
+    val ib = Dedup.minHashBandsFromDocs(inc)
+      .select(col("doc_id").as("a_id"), col("band_idx"), col("band_hash"))
+    val bb = Dedup.minHashBandsFromDocs(base)
+      .select(col("doc_id").as("b_id"), col("band_idx"), col("band_hash"))
+    val cand = ib.join(bb, Seq("band_idx", "band_hash"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val near = Dedup
+      .verifyCandidates(cand, Dedup.docShingleHashes(docs), jaccardThreshold)
+      .groupBy(col("a_id"))
+      .agg(min(col("b_id")).as("near_base"), count(lit(1)).as("n_near"))
+      .withColumnRenamed("a_id", "doc_id")
+    inc.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_base").isNotNull, 2)
+          .when(col("near_base").isNotNull, 1).otherwise(0).as("status"),
+        coalesce(col("exact_base"), col("near_base")).as("match_id"),
+        coalesce(col("n_near"), lit(0L)).as("n_near_base"))
+  }
+
+  /** In-document repetition filters (t31): the REPETITION half of the
+    * published Gopher/MassiveText quality battery (t28 covers the
+    * length/symbol/stopword half) — excessive within-document
+    * repetition is the single strongest gibberish signal a pretraining
+    * pipeline filters on. Adapted to this corpus' single-line
+    * whitespace tokens: per doc, the character coverage of the single
+    * most frequent word n-gram for n = 2, 3, 4 (cnt × gram length,
+    * most-frequent-then-lexicographic tie-break) and the total
+    * coverage of DUPLICATED 5-grams (all occurrences of grams with
+    * cnt >= 2; overlaps counted per occurrence — deterministic and
+    * integer-exact, a documented divergence from character-merged
+    * coverage). Thresholds are the published ones (0.20/0.18/0.16
+    * top-n-gram, 0.15 dup-n-gram) as cross-multiplied integer
+    * comparisons into a reasons bitmask — no float anywhere.
+    *
+    * Scale: ONE corpus-sized shuffle (the (doc, n, gram) count); the
+    * per-doc reduction and the length join are doc-count-sized. */
+  private def t31: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+    val ws = split(lower(trim(col("text"))), "\\s+")
+    val gramType = "array<struct<n:int,gram:string>>"
+    val grams = (2 to 5).map { n =>
+      when(size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n),
+          i => struct(lit(n).as("n"),
+            concat_ws(" ", slice(ws, i + 1, lit(n))).as("gram"))))
+        .otherwise(array().cast(gramType))
+    }
+    val counts = d
+      .select(col("doc_id"), explode(concat(grams: _*)).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    def top(n: Int) = min(when(col("n") === n,
+      struct((-col("cnt")).as("nc"), col("gram").as("g")))).as(s"t$n")
+    val agg = counts.groupBy(col("doc_id")).agg(top(2), top(3), top(4),
+      sum(when(col("n") === 5 && col("cnt") > 1,
+        col("cnt") * length(col("gram")).cast(LongType)).otherwise(0L))
+        .as("d5"))
+    def cov(n: Int) = coalesce(
+      (-col(s"t$n.nc")) * length(col(s"t$n.g")).cast(LongType), lit(0L))
+    val covs = d
+      .select(col("doc_id"), length(col("text")).cast(LongType).as("n_chars"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"), cov(2).as("top2_cov"),
+        cov(3).as("top3_cov"), cov(4).as("top4_cov"),
+        coalesce(col("d5"), lit(0L)).as("dup5_cov"))
+    val reasons =
+      when(col("top2_cov") * 100 > col("n_chars") * 20, 1).otherwise(0) +
+      when(col("top3_cov") * 100 > col("n_chars") * 18, 2).otherwise(0) +
+      when(col("top4_cov") * 100 > col("n_chars") * 16, 4).otherwise(0) +
+      when(col("dup5_cov") * 100 > col("n_chars") * 15, 8).otherwise(0)
+    covs.select(col("doc_id"), col("n_chars"), col("top2_cov"),
+      col("top3_cov"), col("top4_cov"), col("dup5_cov"),
+      reasons.as("reasons"), (reasons === 0).as("keep"))
   }
 
   /** SemDeDup-shaped cluster-then-dedup: 8 deterministic seed centroids
@@ -2244,6 +2349,68 @@ object TextQueries {
         |FROM kept GROUP BY 1""".stripMargin,
     "d2_dedup_jaccard" -> shingleCte,
     "d3_dedup_minhash_lsh" -> shingleCte,
+    // d18: exhaustive exact replay of the incremental check — md5
+    // equi-join for the exact stage, full cross-pair shingle Jaccard
+    // for the near stage (the banding recall gate d2/d3 established,
+    // restricted to incoming x base pairs)
+    "d18_incremental_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
+        |inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8),
+        |ex AS (SELECT i.doc_id, min(b.doc_id) AS exact_base
+        |       FROM inc i JOIN base b ON md5(i.text) = md5(b.text) GROUP BY 1),
+        |words AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s FROM words),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS aid, b.doc_id AS bid, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.s = b.s
+        |          WHERE a.doc_id % 10 >= 8 AND b.doc_id % 10 < 8 GROUP BY 1, 2),
+        |near AS (SELECT aid, min(bid) AS near_base, count(*) AS n_near
+        |         FROM pairs JOIN sizes s1 ON aid = s1.doc_id JOIN sizes s2 ON bid = s2.doc_id
+        |         WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.8 GROUP BY 1)
+        |SELECT i.doc_id,
+        | CASE WHEN ex.exact_base IS NOT NULL THEN 2
+        |      WHEN near.near_base IS NOT NULL THEN 1 ELSE 0 END AS status,
+        | COALESCE(ex.exact_base, near.near_base) AS match_id,
+        | CAST(COALESCE(near.n_near, 0) AS BIGINT) AS n_near_base
+        |FROM inc i LEFT JOIN ex ON i.doc_id = ex.doc_id
+        |LEFT JOIN near ON i.doc_id = near.aid""".stripMargin,
+    // t31: every n-gram coverage recomputed — counts per (doc, n,
+    // gram), top-1 by (cnt DESC, gram ASC), duplicated-5-gram sum,
+    // thresholds as the same cross-multiplied integer comparisons
+    "t31_repetition_filters" ->
+      """WITH w AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |        regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
+        |g AS (SELECT doc_id, n,
+        |        array_to_string(list_slice(ws, CAST(i AS INTEGER), CAST(i + n - 1 AS INTEGER)), ' ') AS gram
+        |      FROM w CROSS JOIN (VALUES (2), (3), (4), (5)) v(n)
+        |      CROSS JOIN range(1, 2001) t(i) WHERE i <= len(ws) - n + 1),
+        |c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+        |tops AS (SELECT doc_id, n, CAST(cnt * length(gram) AS BIGINT) AS cov,
+        |         row_number() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, gram ASC) AS rn FROM c),
+        |d5 AS (SELECT doc_id,
+        |        CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt * length(gram) END), 0) AS BIGINT) AS dup5_cov
+        |       FROM c WHERE n = 5 GROUP BY doc_id),
+        |f AS (SELECT w.doc_id, w.n_chars,
+        |        CAST(COALESCE(t2.cov, 0) AS BIGINT) AS top2_cov,
+        |        CAST(COALESCE(t3.cov, 0) AS BIGINT) AS top3_cov,
+        |        CAST(COALESCE(t4.cov, 0) AS BIGINT) AS top4_cov,
+        |        CAST(COALESCE(d5.dup5_cov, 0) AS BIGINT) AS dup5_cov
+        |      FROM w
+        |      LEFT JOIN (SELECT doc_id, cov FROM tops WHERE n = 2 AND rn = 1) t2 ON w.doc_id = t2.doc_id
+        |      LEFT JOIN (SELECT doc_id, cov FROM tops WHERE n = 3 AND rn = 1) t3 ON w.doc_id = t3.doc_id
+        |      LEFT JOIN (SELECT doc_id, cov FROM tops WHERE n = 4 AND rn = 1) t4 ON w.doc_id = t4.doc_id
+        |      LEFT JOIN d5 ON w.doc_id = d5.doc_id)
+        |SELECT doc_id, n_chars, top2_cov, top3_cov, top4_cov, dup5_cov,
+        | (CASE WHEN top2_cov * 100 > n_chars * 20 THEN 1 ELSE 0 END +
+        |  CASE WHEN top3_cov * 100 > n_chars * 18 THEN 2 ELSE 0 END +
+        |  CASE WHEN top4_cov * 100 > n_chars * 16 THEN 4 ELSE 0 END +
+        |  CASE WHEN dup5_cov * 100 > n_chars * 15 THEN 8 ELSE 0 END) AS reasons,
+        | (CASE WHEN top2_cov * 100 > n_chars * 20 THEN 1 ELSE 0 END +
+        |  CASE WHEN top3_cov * 100 > n_chars * 18 THEN 2 ELSE 0 END +
+        |  CASE WHEN top4_cov * 100 > n_chars * 16 THEN 4 ELSE 0 END +
+        |  CASE WHEN dup5_cov * 100 > n_chars * 15 THEN 8 ELSE 0 END) = 0 AS keep
+        |FROM f""".stripMargin,
     "d16_containment" ->
       """WITH words AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
