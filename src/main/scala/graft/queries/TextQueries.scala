@@ -1063,13 +1063,17 @@ object TextQueries {
       .select(col("nd"), (col("tt").cast(DoubleType) / col("nd")).as("avgdl"))
     val dfTab = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val stop = Seq("the", "a", "of", "and", "is", "to", "in")
-    val q3 = dfTab.filter(!col("tok").isin(stop: _*))
-      .orderBy(col("df").desc, col("tok")).limit(3).collect()
-    val spark2 = spark
-    import spark2.implicits._
-    val qdf = q3.zipWithIndex
-      .map { case (r, i) => (r.getString(0), r.getLong(1), i + 1) }
-      .toSeq.toDF("tok", "df", "r")
+    // Query-term selection stays IN the plan: a row_number over the
+    // 3-row TopK output (same (df DESC, tok) order and tie-break as
+    // the limit, so ranks are identical to the former collect-side
+    // zipWithIndex) — one job per invocation instead of two; the
+    // collect variant paid a full extra pass over tf plus a driver
+    // round-trip every bench rep.
+    val qdf = dfTab.filter(!col("tok").isin(stop: _*))
+      .orderBy(col("df").desc, col("tok")).limit(3)
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("df").desc, col("tok"))))
     val contrib = tf.join(broadcast(qdf), "tok").join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("r"),
