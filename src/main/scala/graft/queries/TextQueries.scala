@@ -80,6 +80,7 @@ object TextQueries {
     "t28_gopher_filters" -> t28,
     "t29_bigram_surprisal" -> t29,
     "t30_overlap_chunks" -> t30,
+    "t32_ccnet_buckets" -> t32,
     "s1_ann_cosine" -> s1,
     // Gonzalez k-center greedy seeding over the quantized embeddings —
     // the deterministic k-means++ stand-in; integer-exact distances
@@ -714,46 +715,60 @@ object TextQueries {
     * top-n-gram, 0.15 dup-n-gram) as cross-multiplied integer
     * comparisons into a reasons bitmask — no float anywhere.
     *
-    * Scale: ONE corpus-sized shuffle (the (doc, n, gram) count); the
-    * per-doc reduction and the length join are doc-count-sized. */
+    * Scale: every statistic is PER-DOCUMENT, so the whole battery is
+    * one zero-shuffle typed pass (the simHashesFromDocs pattern —
+    * per-doc hash maps over the token stream, nothing leaves the map
+    * side but one row per doc). The first cut of this query shuffled
+    * a corpus-sized (doc, n, gram) count table instead — 13.9s at
+    * sf0.1 vs ~0.3s for this form, a 40x lesson in keeping per-row
+    * semantics out of the exchange. */
   private def t31: Q = (spark, dir) => {
-    val d = t(spark, dir, "documents")
-    val ws = split(lower(trim(col("text"))), "\\s+")
-    val gramType = "array<struct<n:int,gram:string>>"
-    val grams = (2 to 5).map { n =>
-      when(size(ws) >= n,
-        transform(sequence(lit(0), size(ws) - n),
-          i => struct(lit(n).as("n"),
-            concat_ws(" ", slice(ws, i + 1, lit(n))).as("gram"))))
-        .otherwise(array().cast(gramType))
-    }
-    val counts = d
-      .select(col("doc_id"), explode(concat(grams: _*)).as("g"))
-      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
-      .groupBy(col("doc_id"), col("n"), col("gram"))
-      .agg(count(lit(1)).as("cnt"))
-    def top(n: Int) = min(when(col("n") === n,
-      struct((-col("cnt")).as("nc"), col("gram").as("g")))).as(s"t$n")
-    val agg = counts.groupBy(col("doc_id")).agg(top(2), top(3), top(4),
-      sum(when(col("n") === 5 && col("cnt") > 1,
-        col("cnt") * length(col("gram")).cast(LongType)).otherwise(0L))
-        .as("d5"))
-    def cov(n: Int) = coalesce(
-      (-col(s"t$n.nc")) * length(col(s"t$n.g")).cast(LongType), lit(0L))
-    val covs = d
-      .select(col("doc_id"), length(col("text")).cast(LongType).as("n_chars"))
-      .join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_chars"), cov(2).as("top2_cov"),
-        cov(3).as("top3_cov"), cov(4).as("top4_cov"),
-        coalesce(col("d5"), lit(0L)).as("dup5_cov"))
-    val reasons =
-      when(col("top2_cov") * 100 > col("n_chars") * 20, 1).otherwise(0) +
-      when(col("top3_cov") * 100 > col("n_chars") * 18, 2).otherwise(0) +
-      when(col("top4_cov") * 100 > col("n_chars") * 16, 4).otherwise(0) +
-      when(col("dup5_cov") * 100 > col("n_chars") * 15, 8).otherwise(0)
-    covs.select(col("doc_id"), col("n_chars"), col("top2_cov"),
-      col("top3_cov"), col("top4_cov"), col("dup5_cov"),
-      reasons.as("reasons"), (reasons === 0).as("keep"))
+    val spark2 = spark
+    import spark2.implicits._
+    t(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)].map { case (id, text) =>
+        val den = text.length.toLong
+        val ws = text.trim.toLowerCase.split("\\s+")
+        def counts(n: Int): java.util.HashMap[String, Long] = {
+          val m = new java.util.HashMap[String, Long]()
+          var i = 0
+          while (i + n <= ws.length) {
+            val sb = new StringBuilder(ws(i))
+            var j = 1
+            while (j < n) { sb.append(' ').append(ws(i + j)); j += 1 }
+            m.merge(sb.toString, 1L, (a, b) => a + b)
+            i += 1
+          }
+          m
+        }
+        // cnt x gram length of the single most frequent n-gram,
+        // (cnt DESC, gram ASC) tie-break — same total order as the
+        // oracle's row_number
+        def topCov(n: Int): Long = {
+          val m = counts(n)
+          var bestG: String = null
+          var bestC = 0L
+          m.forEach { (g, c) =>
+            if (c > bestC || (c == bestC && (bestG == null || g < bestG))) {
+              bestC = c; bestG = g
+            }
+          }
+          if (bestG == null) 0L else bestC * bestG.length
+        }
+        def dup5Cov: Long = {
+          var s = 0L
+          counts(5).forEach { (g, c) => if (c > 1) s += c * g.length }
+          s
+        }
+        val top2 = topCov(2); val top3 = topCov(3); val top4 = topCov(4)
+        val d5 = dup5Cov
+        val reasons = (if (top2 * 100 > den * 20) 1 else 0) +
+          (if (top3 * 100 > den * 18) 2 else 0) +
+          (if (top4 * 100 > den * 16) 4 else 0) +
+          (if (d5 * 100 > den * 15) 8 else 0)
+        (id, den, top2, top3, top4, d5, reasons, reasons == 0)
+      }.toDF("doc_id", "n_chars", "top2_cov", "top3_cov", "top4_cov",
+        "dup5_cov", "reasons", "keep")
   }
 
   /** SemDeDup-shaped cluster-then-dedup: 8 deterministic seed centroids
@@ -1659,6 +1674,52 @@ object TextQueries {
         max(bits).cast(LongType).as("max_bits"))
   }
 
+  /** CCNet-style perplexity-bucket sampling (t32): the published CCNet
+    * pipeline scores every document with a language-model perplexity,
+    * splits the corpus into head/middle/tail terciles, and keeps the
+    * buckets at different rates (head is cleanest). Composed here from
+    * three already-oracled primitives, every step deterministic: the
+    * per-doc LM score is t29's INTEGER bigram surprisal (whole bits,
+    * no float LM), the tercile assignment is ntile(3) over
+    * (mean bits, doc_id) — mean bits is one int/int double division,
+    * bit-identical across engines — and the keep decision is t25's
+    * RNG-free xxhash64 threshold at head 100% / middle 50% / tail 10%.
+    * Every doc stays in the output with its bucket and kept flag, so
+    * the oracle pins assignment AND sampling, not just survivors.
+    *
+    * Scale: the corpus-sized work is t29's bigram count shuffle; the
+    * ntile sorts only the per-DOC stat table. At 100 TB that global
+    * sort swaps for KLL cutoff estimation (k5's sketch — two
+    * quantiles, then a comparison scan), which is the documented
+    * production path; the exact tercile keeps the oracle total. */
+  private def t32: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), TF.tokens(lower(col("text"))).as("a"))
+    val grams = docs.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("a"), lit(1), size(col("a")) - 1),
+          slice(col("a"), lit(2), greatest(size(col("a")) - 1, lit(0))),
+          (x, y) => struct(x.as("p"), concat(x, lit(" "), y).as("b"))))
+          .as("g"))
+      .select(col("doc_id"), col("g.p").as("p"), col("g.b").as("b"))
+    val cb = grams.groupBy(col("b")).agg(count(lit(1)).as("cb"))
+    val cp = grams.groupBy(col("p")).agg(count(lit(1)).as("cp"))
+    val bits = (length(bin(col("cp"))) - 1) - (length(bin(col("cb"))) - 1)
+    val stats = grams.join(cb, "b").join(broadcast(cp), "p")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(bits).cast(LongType).as("surprisal_bits"))
+    val ranked = stats.withColumn("bucket",
+      ntile(3).over(org.apache.spark.sql.expressions.Window.orderBy(
+        (col("surprisal_bits").cast(DoubleType) / col("n_bigrams")).asc,
+        col("doc_id"))))
+    val bp = when(col("bucket") === 1, 10000)
+      .when(col("bucket") === 2, 5000).otherwise(1000)
+    ranked.select(col("doc_id"), col("n_bigrams"), col("surprisal_bits"),
+      col("bucket"),
+      (pmod(xxhash64(col("doc_id")), lit(10000)) < bp).as("kept"))
+  }
+
   private def t20: Q = (spark, dir) => {
     val nb = 128
     t(spark, dir, "documents")
@@ -2032,6 +2093,31 @@ object TextQueries {
         |    AS max_bits
         |FROM bg JOIN cb USING (b) JOIN cp USING (p)
         |GROUP BY bg.doc_id""".stripMargin,
+    // t32: t29's integer surprisal replay → ntile(3) over the same
+    // (mean-bits double, doc_id) total order → t25's xxhash64
+    // threshold at the per-bucket rates
+    "t32_ccnet_buckets" -> {
+      val hb = s"((${OracleSql.u64signed("h1u")} % 10000) + 10000) % 10000"
+      s"""WITH docs AS (SELECT doc_id,
+         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS a FROM documents),
+         |bg AS (SELECT doc_id, a[i] AS p, a[i] || ' ' || a[i+1] AS b
+         |       FROM docs CROSS JOIN UNNEST(range(1, len(a))) t(i)),
+         |cbt AS (SELECT b, COUNT(*) AS cb FROM bg GROUP BY b),
+         |cpt AS (SELECT p, COUNT(*) AS cp FROM bg GROUP BY p),
+         |st AS (SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+         |        CAST(SUM((length(bin(cpt.cp)) - 1) - (length(bin(cbt.cb)) - 1)) AS BIGINT)
+         |          AS surprisal_bits
+         |       FROM bg JOIN cbt USING (b) JOIN cpt USING (p) GROUP BY bg.doc_id),
+         |rk AS (SELECT doc_id, n_bigrams, surprisal_bits,
+         |        ntile(3) OVER (ORDER BY CAST(surprisal_bits AS DOUBLE) / n_bigrams, doc_id)
+         |          AS bucket
+         |       FROM st),
+         |xx AS (${OracleSql.xxHashLongLayers(
+               "SELECT doc_id, n_bigrams, surprisal_bits, bucket, CAST(doc_id AS HUGEINT) AS fpu FROM rk")})
+         |SELECT doc_id, n_bigrams, surprisal_bits, bucket,
+         | $hb < (CASE bucket WHEN 1 THEN 10000 WHEN 2 THEN 5000 ELSE 1000 END) AS kept
+         |FROM xx""".stripMargin
+    },
     // p6: the full filter → keeper → sample chain in one statement —
     // gopherCtes selects, md5-fingerprint keeper picks, the t25 hash
     // thresholds sample the keepers (xxhash64 layers over doc_id)
