@@ -9,20 +9,26 @@ import H264.{BitReader, BitWriter}
   * both emits and pixel-reconstructs.
   *
   * Scope (documented boundary, shrunk from "all entropy decode"): I
-  * slices whose macroblocks are all I_16x16_2_0_0 (Table 7-11 mb_type
-  * 3: Intra_16x16 prediction, DC mode, CodedBlockPatternLuma = 0,
-  * CodedBlockPatternChroma = 0). For that shape the only residual is
-  * the 4x4 luma DC block (Intra16x16DCLevel), entropy-coded with
-  * CAVLC (clause 9.2), inverse-Hadamard-transformed (8.5.6),
-  * dequantized (8.5.10) and spread flat over each 4x4 block by the
-  * DC-only core transform ((dcY + 32) >> 6, 8.5.12.2), on top of the
-  * Intra_16x16 DC prediction (8.3.3.3). Because every macroblock has
+  * slices whose macroblocks are all I_16x16_2_0_0 or I_16x16_2_1_0
+  * (Table 7-11 mb_type 3 / 7: Intra_16x16 prediction, DC mode,
+  * CodedBlockPatternLuma = 0, CodedBlockPatternChroma = 0 or 1). The
+  * luma residual is the 4x4 luma DC block (Intra16x16DCLevel),
+  * entropy-coded with CAVLC (clause 9.2), inverse-Hadamard-
+  * transformed (8.5.6), dequantized (8.5.10) and spread flat over
+  * each 4x4 block by the DC-only core transform ((dcY + 32) >> 6,
+  * 8.5.12.2), on top of the Intra_16x16 DC prediction (8.3.3.3).
+  * mb_type 7 adds the chroma DC residual (ChromaDCLevel, both
+  * components): the nC == -1 coeff_token column of Table 9-5, chroma
+  * total_zeros Table 9-9, 2x2 inverse Hadamard (8.5.7), QPc mapping
+  * (Table 8-12 + chroma_qp_index_offset), chroma DC dequant
+  * (8.5.10), DC-only core transform, and per-4x4-block chroma DC
+  * prediction (8.3.4.1). Because every macroblock has
   * CodedBlockPatternLuma 0, the 4x4 AC TotalCoeff of every possible
-  * neighbour block is 0, so nC (9.2.1) is always < 2 and only the
-  * "0 <= nC < 2" column of Table 9-5 is ever consulted — the decoder
-  * enforces this world and fails loudly outside it. Remaining
-  * boundary: CAVLC AC residuals / other nC columns, CABAC, and inter
-  * prediction.
+  * neighbour block is 0, so luma nC (9.2.1) is always < 2 and only
+  * the "0 <= nC < 2" and chroma "-1" columns of Table 9-5 are ever
+  * consulted — the decoder enforces this world and fails loudly
+  * outside it. Remaining boundary: CAVLC AC residuals / other nC
+  * columns, CABAC, and inter prediction.
   *
   * All VLC tables are transcribed from the public ITU-T H.264 spec:
   * coeff_token Table 9-5 (0 <= nC < 2 column), total_zeros Tables
@@ -132,6 +138,32 @@ object H264Cavlc {
     t
   }
 
+  /** Table 9-5, nC == -1 column (ChromaDCLevel, 4:2:0 — a 2x2 block,
+    * so TotalCoeff <= 4): coeffToken(trailingOnes)(totalCoeff). */
+  private val CoeffTokenChromaDc: Array[Array[Int]] = {
+    val t = Array.fill(4, 5)(-1)
+    t(0)(0) = c("01")
+    t(0)(1) = c("000111"); t(1)(1) = c("1")
+    t(0)(2) = c("000100"); t(1)(2) = c("000110"); t(2)(2) = c("001")
+    t(0)(3) = c("000011"); t(1)(3) = c("0000011"); t(2)(3) = c("0000010")
+    t(3)(3) = c("000101")
+    t(0)(4) = c("000010"); t(1)(4) = c("00000011"); t(2)(4) = c("00000010")
+    t(3)(4) = c("0000000")
+    t
+  }
+
+  /** Table 9-9(a): total_zeros for chroma DC 2x2 blocks (4:2:0,
+    * maxNumCoeff 4): totalZeros(totalCoeff)(total_zeros). */
+  private val TotalZerosChromaDc: Array[Array[Int]] = {
+    val t = Array.fill(4, 4)(-1)
+    def row(tc: Int, codes: String*): Unit =
+      codes.zipWithIndex.foreach { case (s, z) => t(tc)(z) = c(s) }
+    row(1, "1", "01", "001", "000")
+    row(2, "1", "01", "00")
+    row(3, "1", "0")
+    t
+  }
+
   private def writeCode(w: BitWriter, code: Int): Unit = {
     require(code >= 0, "no VLC code for symbol")
     w.u(code & 0xFFFF, code >>> 16)
@@ -170,13 +202,28 @@ object H264Cavlc {
     * order. Exact inverse of [[decodeBlock]]. */
   def encodeBlock(scan: Array[Int], w: BitWriter): Unit = {
     require(scan.length == 16, "scan array must have 16 levels")
-    val nz = (0 until 16).filter(scan(_) != 0)
+    encodeResidual(scan, CoeffToken, TotalZeros, w)
+  }
+
+  /** Encode one 2x2 chroma DC block (levels in raster order, the 2x2
+    * scan of 8.5.7) with the nC == -1 tables. Exact inverse of
+    * [[decodeChromaDcBlock]]. */
+  def encodeChromaDcBlock(scan: Array[Int], w: BitWriter): Unit = {
+    require(scan.length == 4, "chroma DC scan array must have 4 levels")
+    encodeResidual(scan, CoeffTokenChromaDc, TotalZerosChromaDc, w)
+  }
+
+  private def encodeResidual(scan: Array[Int],
+      coeffTokenTab: Array[Array[Int]], totalZerosTab: Array[Array[Int]],
+      w: BitWriter): Unit = {
+    val maxNumCoeff = scan.length
+    val nz = (0 until maxNumCoeff).filter(scan(_) != 0)
     val total = nz.length
     // TrailingOnes: consecutive +-1s at the high-frequency end, max 3.
     var t1 = 0
     while (t1 < 3 && t1 < total && math.abs(scan(nz(total - 1 - t1))) == 1)
       t1 += 1
-    writeCode(w, CoeffToken(t1)(total))
+    writeCode(w, coeffTokenTab(t1)(total))
     if (total == 0) return
     var k = total - 1
     var i = 0
@@ -216,9 +263,9 @@ object H264Cavlc {
         suffixLength += 1
       k -= 1
     }
-    if (total < 16) {
+    if (total < maxNumCoeff) {
       val totalZeros = nz.last + 1 - total
-      writeCode(w, TotalZeros(total)(totalZeros))
+      writeCode(w, totalZerosTab(total)(totalZeros))
       var zerosLeft = totalZeros
       var j = total - 1
       while (j > 0 && zerosLeft > 0) {
@@ -233,11 +280,22 @@ object H264Cavlc {
   /** Decode one 16-coefficient block; returns levels in ZIG-ZAG SCAN
     * order (9.2: coeff_token, T1 signs, levels, total_zeros,
     * run_before). */
-  def decodeBlock(r: BitReader): Array[Int] = {
-    val sym = readCode(r, CoeffToken.flatten, "coeff_token")
-    val t1 = sym / 17
-    val total = sym % 17
-    val out = new Array[Int](16)
+  def decodeBlock(r: BitReader): Array[Int] =
+    decodeResidual(r, CoeffToken, TotalZeros, 16)
+
+  /** Decode one 2x2 chroma DC block (nC == -1 tables); returns the 4
+    * levels in raster order. */
+  def decodeChromaDcBlock(r: BitReader): Array[Int] =
+    decodeResidual(r, CoeffTokenChromaDc, TotalZerosChromaDc, 4)
+
+  private def decodeResidual(r: BitReader,
+      coeffTokenTab: Array[Array[Int]], totalZerosTab: Array[Array[Int]],
+      maxNumCoeff: Int): Array[Int] = {
+    val nCols = maxNumCoeff + 1
+    val sym = readCode(r, coeffTokenTab.flatten, "coeff_token")
+    val t1 = sym / nCols
+    val total = sym % nCols
+    val out = new Array[Int](maxNumCoeff)
     if (total == 0) return out
     val levels = new Array[Int](total) // index 0 = highest frequency
     var i = 0
@@ -270,7 +328,8 @@ object H264Cavlc {
       i += 1
     }
     var zerosLeft =
-      if (total < 16) readCode(r, TotalZeros(total), "total_zeros") else 0
+      if (total < maxNumCoeff) readCode(r, totalZerosTab(total), "total_zeros")
+      else 0
     // Place levels from the highest-frequency coefficient downwards.
     var pos = total - 1 + zerosLeft // scan index of the current coeff
     i = 0
@@ -303,6 +362,29 @@ object H264Cavlc {
     val ls = 16 * NormAdjustDc(qp % 6)
     if (qp >= 36) (f * ls) << (qp / 6 - 6)
     else (f * ls + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+  }
+
+  /** Table 8-12: qPi (30..51) -> QPc; qPi < 30 maps to itself. */
+  private val QpcTail = Array(
+    29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36,
+    36, 37, 37, 37, 38, 38, 38, 39, 39, 39, 39)
+
+  private[operators] def qpc(qPi: Int): Int = {
+    val q = math.min(51, math.max(0, qPi))
+    if (q < 30) q else QpcTail(q - 30)
+  }
+
+  /** Chroma DC dequant, 8.5.10 (2x2 path, flat weightScale):
+    * dcC = ((f * LevelScale(qPc%6,0,0)) << (qPc/6)) >> 5. */
+  private def dequantChromaDc(f: Int, qp: Int): Int =
+    ((f * 16 * NormAdjustDc(qp % 6)) << (qp / 6)) >> 5
+
+  /** 2x2 inverse chroma DC transform (8.5.7): f = H2 c H2 with
+    * H2 = [[1,1],[1,-1]]. */
+  private[operators] def hadamard2(cIn: Array[Array[Int]]): Array[Array[Int]] = {
+    val a = cIn(0)(0); val b = cIn(0)(1); val p = cIn(1)(0); val q = cIn(1)(1)
+    Array(Array(a + b + p + q, a - b + p - q),
+      Array(a + b - p - q, a - b - p + q))
   }
 
   /** 4x4 Hadamard (8.5.6 inverse DC transform): f = H c H with the
@@ -351,9 +433,17 @@ object H264Cavlc {
     * real information. */
   def encodeIntra16Frame(widthMbs: Int, heightMapUnits: Int,
       dcLevels: Array[Array[Array[Int]]], qp: Int,
-      idrPicId: Int = 0): Array[Byte] = {
+      idrPicId: Int = 0,
+      cbDc: Array[Array[Array[Int]]] = null,
+      crDc: Array[Array[Array[Int]]] = null): Array[Byte] = {
     require(dcLevels.length == widthMbs * heightMapUnits)
     require(qp >= 1 && qp <= 51, s"qp out of range: $qp")
+    require((cbDc == null) == (crDc == null),
+      "chroma DC levels must be given for both components or neither")
+    val chroma = cbDc != null
+    if (chroma) {
+      require(cbDc.length == dcLevels.length && crDc.length == dcLevels.length)
+    }
     val w = new BitWriter
     w.ue(0) // first_mb_in_slice
     w.ue(7) // slice_type: I (all slices of the picture are I)
@@ -364,7 +454,10 @@ object H264Cavlc {
     w.se(qp - 1 - 26) // slice_qp_delta: SliceQPy = qp - 1
     var m = 0
     while (m < dcLevels.length) {
-      w.ue(3) // mb_type: I_16x16_2_0_0 (Table 7-11)
+      // Table 7-11: I_16x16_2_0_0 (mb_type 3) without chroma residual,
+      // I_16x16_2_1_0 (mb_type 7) with CodedBlockPatternChroma = 1
+      // (chroma DC only) — both Intra_16x16 DC prediction, luma CBP 0.
+      w.ue(if (chroma) 7 else 3)
       w.ue(0) // intra_chroma_pred_mode: DC
       w.se(if (m == 0) 1 else 0) // mb_qp_delta -> QPy = qp from MB 0 on
       val scan = new Array[Int](16)
@@ -375,6 +468,14 @@ object H264Cavlc {
         k += 1
       }
       encodeBlock(scan, w)
+      if (chroma) {
+        // residual order (7.3.5.3): ChromaDCLevel for Cb then Cr; the
+        // 2x2 coefficients run in raster order (8.5.7)
+        Seq(cbDc, crDc).foreach { plane =>
+          encodeChromaDcBlock(Array(plane(m)(0)(0), plane(m)(0)(1),
+            plane(m)(1)(0), plane(m)(1)(1)), w)
+        }
+      }
       m += 1
     }
     H264.nal(3, 5, w.trailing(), longStart = false)
@@ -388,12 +489,26 @@ object H264Cavlc {
     * Macroblocks outside the I_16x16_2_0_0 shape fail loudly — the
     * boundary is AC residuals / other prediction modes, not the DC
     * path. */
-  def decodeIntra16Frames(es: Array[Byte]): Seq[(Int, Int, Array[Byte])] = {
+  def decodeIntra16Frames(es: Array[Byte]): Seq[(Int, Int, Array[Byte])] =
+    decodeIntra16FramesYuv(es).map { case (w, h, y, _, _) => (w, h, y) }
+
+  /** Full 4:2:0 decode of an SPS+PPS+IDR Intra_16x16-DC stream:
+    * (width, height, luma, cb, cr) per picture, chroma planes
+    * (width/2) x (height/2). mb_type 3 pictures carry no chroma
+    * residual (chroma = prediction only); mb_type 7 adds the CAVLC
+    * 2x2 ChromaDCLevel path: nC == -1 coeff_token, 2x2 inverse
+    * Hadamard (8.5.7), QPc mapping (Table 8-12 + the PPS
+    * chroma_qp_index_offset), chroma DC dequant (8.5.10), DC-only
+    * core transform, and per-4x4-block chroma DC prediction
+    * (8.3.4.1). */
+  def decodeIntra16FramesYuv(
+      es: Array[Byte]): Seq[(Int, Int, Array[Byte], Array[Byte], Array[Byte])] = {
     val nals = H264.nalUnits(es)
     var sps: Option[H264.SpsInfo] = None
     var ppsQpInit = 26
+    var ppsChromaQpOff = 0
     var ppsSeen = false
-    val out = ArrayBuffer[(Int, Int, Array[Byte])]()
+    val out = ArrayBuffer[(Int, Int, Array[Byte], Array[Byte], Array[Byte])]()
     nals.foreach { case (_, tpe, ebsp) =>
       tpe match {
         case 7 => if (sps.isEmpty) sps = Some(H264.parseSps(H264.ebspToRbsp(ebsp)))
@@ -406,12 +521,15 @@ object H264Cavlc {
           r.ue(); r.ue() // num_ref_idx defaults
           r.u(1); r.u(2) // weighted_pred / weighted_bipred_idc
           ppsQpInit = 26 + r.se() // pic_init_qp_minus26
+          r.se() // pic_init_qs_minus26
+          ppsChromaQpOff = r.se() // chroma_qp_index_offset
           ppsSeen = true
         case 5 =>
           val s = sps.getOrElse(
             throw new IllegalArgumentException("slice before SPS"))
           require(ppsSeen, "slice before PPS")
-          out += decodeIntra16Slice(s, H264.ebspToRbsp(ebsp), ppsQpInit)
+          out += decodeIntra16Slice(s, H264.ebspToRbsp(ebsp), ppsQpInit,
+            ppsChromaQpOff)
         case _ => ()
       }
     }
@@ -420,12 +538,61 @@ object H264Cavlc {
 
   private def clip255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
 
+  /** Chroma DC prediction (8.3.4.1) for the 4x4 chroma block at
+    * (xO, yO) = (4*bj, 4*bi) of the MB at (mbX, mbY): blocks on the
+    * MB's top row prefer the 4 samples above, blocks on the left
+    * column prefer the 4 samples to the left, the two corner blocks
+    * average both — each with availability fallbacks, 128 when
+    * nothing is available. */
+  private def chromaDcPred(plane: Array[Byte], w8: Int,
+      mbX: Int, mbY: Int, bi: Int, bj: Int): Int = {
+    val top = mbY > 0
+    val left = mbX > 0
+    def sumTop(off: Int): Int = {
+      var s = 0; var cc = 0
+      while (cc < 4) {
+        s += plane((mbY * 8 - 1) * w8 + mbX * 8 + off * 4 + cc) & 0xFF
+        cc += 1
+      }
+      s
+    }
+    def sumLeft(off: Int): Int = {
+      var s = 0; var rr = 0
+      while (rr < 4) {
+        s += plane((mbY * 8 + off * 4 + rr) * w8 + mbX * 8 - 1) & 0xFF
+        rr += 1
+      }
+      s
+    }
+    (bj, bi) match {
+      case (0, 0) =>
+        if (top && left) (sumTop(0) + sumLeft(0) + 4) >> 3
+        else if (left) (sumLeft(0) + 2) >> 2
+        else if (top) (sumTop(0) + 2) >> 2
+        else 128
+      case (1, 0) => // top-right block: above samples first
+        if (top) (sumTop(1) + 2) >> 2
+        else if (left) (sumLeft(0) + 2) >> 2
+        else 128
+      case (0, 1) => // bottom-left block: left samples first
+        if (left) (sumLeft(1) + 2) >> 2
+        else if (top) (sumTop(0) + 2) >> 2
+        else 128
+      case _ =>
+        if (top && left) (sumTop(1) + sumLeft(1) + 4) >> 3
+        else if (left) (sumLeft(1) + 2) >> 2
+        else if (top) (sumTop(1) + 2) >> 2
+        else 128
+    }
+  }
+
   private def decodeIntra16Slice(s: H264.SpsInfo, rbsp: Array[Byte],
-      qpInit: Int): (Int, Int, Array[Byte]) = {
+      qpInit: Int, chromaQpOff: Int): (Int, Int, Array[Byte], Array[Byte], Array[Byte]) = {
     require(s.frameMbsOnly, "field coding not supported")
     val widthMbs = (s.width + 15) / 16
     val mapUnits = (s.height + 15) / 16
     val w16 = widthMbs * 16
+    val w8 = widthMbs * 8
     val r = new BitReader(rbsp)
     require(r.ue() == 0, "multi-slice pictures not supported")
     val sliceType = r.ue()
@@ -436,14 +603,16 @@ object H264Cavlc {
     r.u(1); r.u(1) // IDR dec_ref_pic_marking
     var qpy = qpInit + r.se() // SliceQPy, updated per MB by mb_qp_delta
     val plane = new Array[Byte](w16 * mapUnits * 16)
+    val cbPlane = new Array[Byte](w8 * mapUnits * 8)
+    val crPlane = new Array[Byte](w8 * mapUnits * 8)
     var m = 0
     val nMbs = widthMbs * mapUnits
     while (m < nMbs) {
       val mbType = r.ue()
-      require(mbType == 3,
-        s"mb $m is not I_16x16_2_0_0 (mb_type $mbType) — outside the " +
+      require(mbType == 3 || mbType == 7,
+        s"mb $m is not I_16x16_2_{0,1}_0 (mb_type $mbType) — outside the " +
           "CAVLC intra-DC decode subset")
-      require(r.ue() <= 3, "invalid intra_chroma_pred_mode")
+      require(r.ue() == 0, "only chroma DC prediction mode supported")
       val dq = r.se() // mb_qp_delta
       qpy = (qpy + dq + 52) % 52 // 7.4.5 wrap (QpBdOffsetY = 0)
       val scan = decodeBlock(r)
@@ -501,6 +670,38 @@ object H264Cavlc {
         }
         bi += 1
       }
+      // chroma: residual 2x2 DC blocks when CodedBlockPatternChroma = 1
+      // (mb_type 7), prediction-only otherwise; Cb precedes Cr
+      val cbScan =
+        if (mbType == 7) decodeChromaDcBlock(r) else new Array[Int](4)
+      val crScan =
+        if (mbType == 7) decodeChromaDcBlock(r) else new Array[Int](4)
+      val qPc = qpc(qpy + chromaQpOff)
+      Seq((cbPlane, cbScan), (crPlane, crScan)).foreach { case (cp, sc) =>
+        val f2 = hadamard2(Array(Array(sc(0), sc(1)), Array(sc(2), sc(3))))
+        var cbi = 0
+        while (cbi < 2) {
+          var cbj = 0
+          while (cbj < 2) {
+            val pred = chromaDcPred(cp, w8, mbX, mbY, cbi, cbj)
+            val res =
+              if (mbType == 7) (dequantChromaDc(f2(cbi)(cbj), qPc) + 32) >> 6
+              else 0
+            val v = clip255(pred + res).toByte
+            var rr = 0
+            while (rr < 4) {
+              var cc = 0
+              while (cc < 4) {
+                cp((mbY * 8 + cbi * 4 + rr) * w8 + mbX * 8 + cbj * 4 + cc) = v
+                cc += 1
+              }
+              rr += 1
+            }
+            cbj += 1
+          }
+          cbi += 1
+        }
+      }
       m += 1
     }
     val cropped = new Array[Byte](s.width * s.height)
@@ -509,6 +710,17 @@ object H264Cavlc {
       System.arraycopy(plane, row * w16, cropped, row * s.width, s.width)
       row += 1
     }
-    (s.width, s.height, cropped)
+    val cw = s.width / 2
+    val ch = s.height / 2
+    def cropChroma(cp: Array[Byte]): Array[Byte] = {
+      val o = new Array[Byte](cw * ch)
+      var rr = 0
+      while (rr < ch) {
+        System.arraycopy(cp, rr * w8, o, rr * cw, cw)
+        rr += 1
+      }
+      o
+    }
+    (s.width, s.height, cropped, cropChroma(cbPlane), cropChroma(crPlane))
   }
 }

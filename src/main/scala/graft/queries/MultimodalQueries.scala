@@ -31,7 +31,66 @@ object MultimodalQueries {
     "m13_audio_resample" -> m13,
     "m14_video_pixels" -> m14,
     "m15_decoded_scene_cuts" -> m15,
-    "m16_video_cavlc_pixels" -> m16)
+    "m16_video_cavlc_pixels" -> m16,
+    "m17_video_chroma_pixels" -> m17)
+
+  /** Chroma-residual pixel reconstruction (m17): the first COLOR
+    * transform-coded video path — each asset is an SPS + PPS + one IDR
+    * picture coded as a single I_16x16_2_1_0 macroblock (Table 7-11
+    * mb_type 7: Intra_16x16 DC prediction, CodedBlockPatternChroma =
+    * 1), carrying a luma 4x4 DC block (two planted levels -> two
+    * vertical half-stripes) AND 2x2 ChromaDCLevel blocks for Cb and
+    * Cr with four hash-planted levels each, CAVLC-coded with the
+    * nC == -1 coeff_token column and chroma total_zeros Table 9-9,
+    * decoded through [[graft.operators.H264Cavlc.decodeIntra16FramesYuv]]:
+    * 2x2 inverse Hadamard (8.5.7), QPc mapping (Table 8-12; QP 24 maps
+    * to itself), chroma DC dequant (8.5.10 — exactly 80x at QPc 24),
+    * DC-only core transform, chroma DC prediction (8.3.4.1; no
+    * neighbours -> 128). Each chroma quadrant value is closed-form:
+    * q_ij = clip(128 + floor((80*f_ij + 32)/64)) with f_ij the +-1
+    * 2x2 Hadamard combination of the four levels; luma stripes are
+    * m16's 40x form. Position-weighted checksums over all three
+    * planes pin the quadrant LAYOUT, so a drift anywhere in the
+    * chroma entropy decode, transform, dequant, prediction, or
+    * raster placement breaks the hash.
+    *
+    * Scale: zero-shuffle per-asset map like every m-family decode. */
+  private def m17: Q = (spark, dir) => {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val a0 = (id % 13).toInt - 6
+      val a1 = ((id / 13) % 5).toInt - 2
+      val dc = Array.fill(4, 4)(0)
+      dc(0)(0) = a0; dc(0)(1) = a1
+      val cb = Array(
+        Array((id % 7).toInt - 3, ((id / 7) % 5).toInt - 2),
+        Array(((id / 5) % 3).toInt - 1, ((id / 3) % 3).toInt - 1))
+      val cr = Array(
+        Array((id % 9).toInt - 4, ((id / 9) % 3).toInt - 1),
+        Array(((id / 2) % 3).toInt - 1, ((id / 11) % 3).toInt - 1))
+      val es = graft.operators.H264.encodeSps(1, 1, 0) ++
+        graft.operators.H264.encodePps() ++
+        graft.operators.H264Cavlc.encodeIntra16Frame(1, 1, Array(dc),
+          qp = 24, idrPicId = (id % 65536).toInt,
+          cbDc = Array(cb), crDc = Array(cr))
+      val frames = graft.operators.H264Cavlc.decodeIntra16FramesYuv(es)
+      require(frames.size == 1)
+      val (w, h, y, cbP, crP) = frames.head
+      def ck(p: Array[Byte]): Long = {
+        var s = 0L; var i = 0
+        while (i < p.length) { s += (p(i) & 0xFF).toLong * (i + 1); i += 1 }
+        s
+      }
+      def quad(p: Array[Byte], bi: Int, bj: Int): Int =
+        p((bi * 4) * 8 + bj * 4) & 0xFF
+      (id, w, h, y(0) & 0xFF, y(8) & 0xFF,
+        quad(cbP, 0, 0), quad(cbP, 0, 1), quad(cbP, 1, 0), quad(cbP, 1, 1),
+        quad(crP, 0, 0), quad(crP, 0, 1), quad(crP, 1, 0), quad(crP, 1, 1),
+        ck(y), ck(cbP), ck(crP))
+    }.toDF("doc_id", "width", "height", "y0", "y1",
+      "cb00", "cb01", "cb10", "cb11", "cr00", "cr01", "cr10", "cr11",
+      "y_checksum", "cb_checksum", "cr_checksum")
+  }
 
   /** CAVLC transform-coded pixel reconstruction (m16): the first
     * ENTROPY-CODED (not raw-sample) video path — each asset is an SPS +
@@ -622,6 +681,40 @@ object MultimodalQueries {
     // floor((dc+32)/64) (offset +6400 keeps // a floor on negatives),
     // and the full-plane weighted checksum uses the per-stripe
     // position-weight sums 7840 + 256*j
+    // m17: every plane value recomputed in closed form — luma stripes
+    // at 40x dequant (QP 24), chroma quadrants at 80x dequant (QPc 24)
+    // over the 2x2 Hadamard of the planted levels; checksum weights are
+    // the per-region position sums (16x16 halves: 15936/16960; 8x8
+    // quadrants: 232/296/744/808)
+    "m17_video_chroma_pixels" -> {
+      def px(m: Int, f: String) =
+        s"CAST(LEAST(255, GREATEST(0, 128 + (($m*($f) + 6432) // 64) - 100)) AS INTEGER)"
+      s"""WITH c AS (SELECT doc_id,
+         |   CAST(doc_id % 13 AS BIGINT) - 6 AS a0,
+         |   CAST((doc_id // 13) % 5 AS BIGINT) - 2 AS a1,
+         |   CAST(doc_id % 7 AS BIGINT) - 3 AS b0,
+         |   CAST((doc_id // 7) % 5 AS BIGINT) - 2 AS b1,
+         |   CAST((doc_id // 5) % 3 AS BIGINT) - 1 AS b2,
+         |   CAST((doc_id // 3) % 3 AS BIGINT) - 1 AS b3,
+         |   CAST(doc_id % 9 AS BIGINT) - 4 AS r0,
+         |   CAST((doc_id // 9) % 3 AS BIGINT) - 1 AS r1,
+         |   CAST((doc_id // 2) % 3 AS BIGINT) - 1 AS r2,
+         |   CAST((doc_id // 11) % 3 AS BIGINT) - 1 AS r3
+         | FROM documents),
+         |v AS (SELECT doc_id,
+         |   ${px(40, "a0+a1")} AS y0, ${px(40, "a0-a1")} AS y1,
+         |   ${px(80, "b0+b1+b2+b3")} AS cb00, ${px(80, "b0-b1+b2-b3")} AS cb01,
+         |   ${px(80, "b0+b1-b2-b3")} AS cb10, ${px(80, "b0-b1-b2+b3")} AS cb11,
+         |   ${px(80, "r0+r1+r2+r3")} AS cr00, ${px(80, "r0-r1+r2-r3")} AS cr01,
+         |   ${px(80, "r0+r1-r2-r3")} AS cr10, ${px(80, "r0-r1-r2+r3")} AS cr11
+         | FROM c)
+         |SELECT doc_id, 16 AS width, 16 AS height,
+         | y0, y1, cb00, cb01, cb10, cb11, cr00, cr01, cr10, cr11,
+         | CAST(15936*y0 + 16960*y1 AS BIGINT) AS y_checksum,
+         | CAST(232*cb00 + 296*cb01 + 744*cb10 + 808*cb11 AS BIGINT) AS cb_checksum,
+         | CAST(232*cr00 + 296*cr01 + 744*cr10 + 808*cr11 AS BIGINT) AS cr_checksum
+         |FROM v""".stripMargin
+    },
     "m16_video_cavlc_pixels" ->
       """WITH c AS (SELECT doc_id,
         |   CAST(doc_id % 41 AS BIGINT) - 20 AS c0,

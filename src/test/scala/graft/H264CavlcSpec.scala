@@ -150,6 +150,130 @@ class H264CavlcSpec extends AnyFunSuite {
     assert(frames(1)._3.toSeq === ref.take(16 * 12).toSeq)
   }
 
+  test("chroma DC block: hand-derived vector from the public tables") {
+    // scan (-2, 1, 0, -1): TotalCoeff 3, TrailingOnes 2 ->
+    // coeff_token(nC=-1) "0000010"; T1 signs "1","0" (idx3 then idx1);
+    // level -2 with the t1<3 +2 adjust -> levelCode 1 -> "01";
+    // total_zeros(3) 1 -> "0"; run_before(zerosLeft 1) run 1 -> "0".
+    val scan = Array(-2, 1, 0, -1)
+    val w = new H264.BitWriter
+    H264Cavlc.encodeChromaDcBlock(scan, w)
+    w.u(0, 3) // pad to a byte boundary without trailing()'s stop bit
+    val bytes = w.trailing()
+    assert(bitsOf(bytes, 13) === "0000010100100")
+    val r = new H264.BitReader(bytes)
+    assert(H264Cavlc.decodeChromaDcBlock(r).toSeq === scan.toSeq)
+    assert(r.posBits === 13)
+  }
+
+  test("chroma DC block round-trip over all sparsities and magnitudes") {
+    val rnd = new scala.util.Random(20260815L)
+    (0 until 2000).foreach { _ =>
+      val scan = new Array[Int](4)
+      val nnz = rnd.nextInt(5)
+      rnd.shuffle((0 until 4).toList).take(nnz).foreach { p =>
+        val mag = rnd.nextInt(3) match {
+          case 0 => 1
+          case 1 => 1 + rnd.nextInt(6)
+          case _ => 1 + rnd.nextInt(2000) // prefix escapes
+        }
+        scan(p) = if (rnd.nextBoolean()) mag else -mag
+      }
+      val w = new H264.BitWriter
+      H264Cavlc.encodeChromaDcBlock(scan, w)
+      w.u(1, 1)
+      val r = new H264.BitReader(w.trailing())
+      assert(H264Cavlc.decodeChromaDcBlock(r).toSeq === scan.toSeq)
+    }
+  }
+
+  /** Independent chroma-plane reference: Table 8-12 QPc, 2x2 Hadamard,
+    * 8.5.10 chroma DC dequant, DC-only core transform, 8.3.4.1 DC
+    * prediction — all recomputed longhand (raster MB order so the
+    * prediction chains over reconstructed neighbours). */
+  private def referenceChromaPlane(widthMbs: Int, mapUnits: Int,
+      dcC: Array[Array[Array[Int]]], qpy: Int): Array[Byte] = {
+    val qpcTab = Array(29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36,
+      36, 37, 37, 37, 38, 38, 38, 39, 39, 39, 39)
+    val qpc = if (qpy < 30) qpy else qpcTab(qpy - 30)
+    val v = Array(10, 11, 13, 14, 16, 18)(qpc % 6) * 16
+    val w8 = widthMbs * 8
+    val plane = new Array[Byte](w8 * mapUnits * 8)
+    for (mb <- dcC.indices) {
+      val mbX = mb % widthMbs
+      val mbY = mb / widthMbs
+      val cM = dcC(mb)
+      val f = Array(
+        Array(cM(0)(0) + cM(0)(1) + cM(1)(0) + cM(1)(1),
+          cM(0)(0) - cM(0)(1) + cM(1)(0) - cM(1)(1)),
+        Array(cM(0)(0) + cM(0)(1) - cM(1)(0) - cM(1)(1),
+          cM(0)(0) - cM(0)(1) - cM(1)(0) + cM(1)(1)))
+      def sTop(off: Int) = (0 until 4).map(c =>
+        plane((mbY * 8 - 1) * w8 + mbX * 8 + off * 4 + c) & 0xFF).sum
+      def sLeft(off: Int) = (0 until 4).map(r =>
+        plane((mbY * 8 + off * 4 + r) * w8 + mbX * 8 - 1) & 0xFF).sum
+      val top = mbY > 0; val left = mbX > 0
+      for (bi <- 0 until 2; bj <- 0 until 2) {
+        val pred = (bj, bi) match {
+          case (0, 0) =>
+            if (top && left) (sTop(0) + sLeft(0) + 4) >> 3
+            else if (left) (sLeft(0) + 2) >> 2
+            else if (top) (sTop(0) + 2) >> 2 else 128
+          case (1, 0) =>
+            if (top) (sTop(1) + 2) >> 2
+            else if (left) (sLeft(0) + 2) >> 2 else 128
+          case (0, 1) =>
+            if (left) (sLeft(1) + 2) >> 2
+            else if (top) (sTop(0) + 2) >> 2 else 128
+          case _ =>
+            if (top && left) (sTop(1) + sLeft(1) + 4) >> 3
+            else if (left) (sLeft(1) + 2) >> 2
+            else if (top) (sTop(1) + 2) >> 2 else 128
+        }
+        val dcCv = ((f(bi)(bj) * v) << (qpc / 6)) >> 5
+        val res = (dcCv + 32) >> 6
+        val px = math.max(0, math.min(255, pred + res)).toByte
+        for (r <- 0 until 4; c <- 0 until 4)
+          plane((mbY * 8 + bi * 4 + r) * w8 + mbX * 8 + bj * 4 + c) = px
+      }
+    }
+    plane
+  }
+
+  test("chroma-DC frame decode matches independent reference " +
+      "(multi-MB pred chains, QPs across the QPc map)") {
+    val rnd = new scala.util.Random(11L)
+    for (qp <- Seq(10, 24, 30, 38, 51); trial <- 0 until 4) {
+      val (wMbs, hMus) = (2, 2)
+      val dc = Array.fill(wMbs * hMus)(Array.fill(4, 4)(rnd.nextInt(9) - 4))
+      val cb = Array.fill(wMbs * hMus)(Array.fill(2, 2)(rnd.nextInt(7) - 3))
+      val cr = Array.fill(wMbs * hMus)(Array.fill(2, 2)(rnd.nextInt(7) - 3))
+      val es = H264.encodeSps(wMbs, hMus, 0) ++ H264.encodePps() ++
+        H264Cavlc.encodeIntra16Frame(wMbs, hMus, dc, qp, idrPicId = trial,
+          cbDc = cb, crDc = cr)
+      val frames = H264Cavlc.decodeIntra16FramesYuv(es)
+      assert(frames.size === 1)
+      val (w, h, luma, cbP, crP) = frames.head
+      assert(w === 32 && h === 32)
+      assert(cbP.length === 16 * 16 && crP.length === 16 * 16)
+      assert(luma.toSeq === referenceFrame(wMbs, hMus, dc, qp).toSeq)
+      assert(cbP.toSeq === referenceChromaPlane(wMbs, hMus, cb, qp).toSeq)
+      assert(crP.toSeq === referenceChromaPlane(wMbs, hMus, cr, qp).toSeq)
+    }
+  }
+
+  test("mb_type 3 streams decode flat-128 chroma through the YUV API") {
+    val dc = Array.fill(1)(Array.tabulate(4, 4)((i, j) => i - j))
+    val es = H264.encodeSps(1, 1, 0) ++ H264.encodePps() ++
+      H264Cavlc.encodeIntra16Frame(1, 1, dc, qp = 24)
+    val frames = H264Cavlc.decodeIntra16FramesYuv(es)
+    assert(frames.size === 1)
+    val (_, _, luma, cbP, crP) = frames.head
+    assert(luma.toSeq === referenceFrame(1, 1, dc, 24).toSeq)
+    assert(cbP.forall(b => (b & 0xFF) == 128))
+    assert(crP.forall(b => (b & 0xFF) == 128))
+  }
+
   test("streams outside the intra-DC subset fail loudly") {
     // An I_PCM frame is a valid stream but not in this decoder's subset.
     val plane = Array.tabulate(16 * 16)(i => (i % 256).toByte)
