@@ -84,7 +84,8 @@ object ConnectorQueries {
     "c16_stream_kll" -> c16,
     "c17_stream_bloom" -> c17,
     "c18_stream_attribution" -> c18,
-    "c19_stream_anomaly" -> c19
+    "c19_stream_anomaly" -> c19,
+    "c20_stream_dropdup_ttl" -> c20
   )
 
   /** Streaming alerting pipeline (c19): the log-monitoring use case
@@ -897,21 +898,12 @@ object ConnectorQueries {
         min(col("min_id")).as("min_id"), max(col("max_id")).as("max_id"))
   }
 
-  /** transformWithState streaming dedup on the oracle gate: documents
-    * (plus planted exact duplicates of every 5th doc) are ingested in
-    * doc_id order on ONE shard — so arrival order IS doc_id order —
-    * then streamed through [[graft.streaming.StreamingDedup]] under the
-    * RocksDB state provider with pacing that forces several
-    * micro-batches, and the per-doc verdicts flow out through the
-    * connector sink. The oracle computes first-arrival admission
-    * relationally (is_dup ⟺ doc_id ≠ min doc_id of its fingerprint),
-    * so the hash match proves dedup state survives trigger
-    * boundaries. */
-  private def c5: Q = (spark, dir) => {
-    import spark.implicits._
-    // immutable, deterministic source store — one ingest per (session,
-    // sf dir), like c9's; each run still gets a fresh sink + checkpoint
-    val (srcOpts, total) = c5Ingested.getOrElseUpdate((spark, dir), {
+  /** Shared c5/c20 source: documents plus planted exact duplicates of
+    * every 5th doc, one sorted shard so arrival order is doc_id order.
+    * One ingest per (session, sf dir); each consumer still gets a fresh
+    * sink + checkpoint. */
+  private def c5Source(spark: SparkSession, dir: String): (Map[String, String], Long) =
+    c5Ingested.getOrElseUpdate((spark, dir), {
       val root = tempDir("graft-logstore-c5")
       val store = new EmbeddedLogStore(root)
       store.createStore("proj", "docs", 1)
@@ -936,6 +928,19 @@ object ConnectorQueries {
       (opts, n)
     })
 
+  /** transformWithState streaming dedup on the oracle gate: documents
+    * (plus planted exact duplicates of every 5th doc) are ingested in
+    * doc_id order on ONE shard — so arrival order IS doc_id order —
+    * then streamed through [[graft.streaming.StreamingDedup]] under the
+    * RocksDB state provider with pacing that forces several
+    * micro-batches, and the per-doc verdicts flow out through the
+    * connector sink. The oracle computes first-arrival admission
+    * relationally (is_dup ⟺ doc_id ≠ min doc_id of its fingerprint),
+    * so the hash match proves dedup state survives trigger
+    * boundaries. */
+  private def c5: Q = (spark, dir) => {
+    import spark.implicits._
+    val (srcOpts, total) = c5Source(spark, dir)
     val dstRoot = tempDir("graft-logstore-c5out")
     new EmbeddedLogStore(dstRoot).createStore("proj", "verdicts", 1)
     val dstOpts = Map("store.root" -> dstRoot, "store.project" -> "proj",
@@ -963,6 +968,51 @@ object ConnectorQueries {
     q.awaitTermination(120000)
     spark.read.format("graft-logstore").options(dstOpts)
       .schema("doc_id LONG, fp STRING, is_dup BOOLEAN").load()
+  }
+
+  /** Engine-native bounded-state streaming dedup (c20): the same
+    * duplicate-salted arrival stream as c5, deduplicated by Spark's
+    * `dropDuplicatesWithinWatermark` instead of custom
+    * transformWithState — the operator a 100 TB ingest actually wants
+    * for at-least-once source retries, because its state is TTL'd by
+    * the event-time watermark (keys evict once the watermark passes
+    * them) where c5's exact admission state grows with the key space
+    * forever. The fixture's event-time span stays far inside the
+    * 365-day delay, so nothing evicts and the engine guarantee
+    * ("duplicates arriving within the delay are dropped; the first
+    * arrival survives") collapses to exact first-arrival admission:
+    * survivors are exactly (fp, min doc_id) — a full equality oracle
+    * under forced multi-trigger pacing. The eviction/re-admission
+    * boundary itself is crossed deliberately in
+    * StatefulStreamingSpec. */
+  private def c20: Q = (spark, dir) => {
+    val (srcOpts, total) = c5Source(spark, dir)
+    val dstRoot = tempDir("graft-logstore-c20out")
+    new EmbeddedLogStore(dstRoot).createStore("proj", "kept", 1)
+    val dstOpts = Map("store.root" -> dstRoot, "store.project" -> "proj",
+      "store.name" -> "kept")
+    val ckpt = tempDir("graft-c20-ckpt")
+    val s2 = streamSession(spark)
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val kept = s2.readStream.format("graft-logstore").options(srcOpts)
+      // ~3 micro-batches: state must carry across trigger boundaries
+      .option("maxoffsetspertrigger", math.max(1L, total / 3 + 1).toString)
+      .schema("doc_id LONG, text STRING").load()
+      .selectExpr("doc_id", "md5(text) AS fp",
+        // event time mirrors the ingest's __time__ derivation
+        "timestamp_seconds(1700000000 + pmod(doc_id, 400000000)) AS ts")
+      .withWatermark("ts", "365 days")
+      .dropDuplicatesWithinWatermark("fp")
+      .select(col("doc_id"), col("fp"))
+    val q = kept.writeStream.format("graft-logstore").options(dstOpts)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    spark.read.format("graft-logstore").options(dstOpts)
+      .schema("doc_id LONG, fp STRING").load()
   }
 
   /** Delta-style snapshot read (time travel): two batch commits land as
@@ -1177,6 +1227,16 @@ object ConnectorQueries {
         | SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0)
         |SELECT doc_id, md5(text) AS fp,
         | doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
-        |FROM all_docs""".stripMargin
+        |FROM all_docs""".stripMargin,
+    // c20: nothing evicts inside the fixture's event-time span, so the
+    // TTL'd dedup state admits exactly the first arrival per
+    // fingerprint — survivors are (fp, min doc_id)
+    "c20_stream_dropdup_ttl" ->
+      """WITH all_docs AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL
+        | SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0)
+        |SELECT md5(text) AS fp, MIN(doc_id) AS doc_id
+        |FROM all_docs GROUP BY fp""".stripMargin
   )
 }

@@ -172,4 +172,66 @@ class StatefulStreamingSpec extends AnyFunSuite with StopStreamsAfterAll {
       assert(verdicts() === Seq((1L, false), (2L, false)))
     }
   }
+
+  test("dropDuplicatesWithinWatermark: in-window dups drop, evicted keys re-admit") {
+    // The engine-native bounded-state dedup (c20's operator) crossing
+    // its eviction boundary: a duplicate INSIDE the watermark delay is
+    // dropped; once the event-time watermark passes a key's last-seen
+    // time its state evicts, and a later duplicate re-admits — the
+    // state-size-for-dedup-window trade a 100 TB ingest makes.
+    val root = Files.createTempDirectory("graft-wmdedup").toString
+    val store = new EmbeddedLogStore(root)
+    store.createStore("proj", "docs", 1)
+    val t0 = 1700000000
+    def append(seg: String, recs: (Long, Int, String)*): Unit =
+      store.appendSegment("proj", "docs", 0, seg,
+        recs.map { case (doc, ts, text) =>
+          LogRecord(ts, "t", "s", Map.empty,
+            Map("doc" -> doc.toString, "text" -> text)) })
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val outRoot = Files.createTempDirectory("graft-wmdedup-out").toString
+    new EmbeddedLogStore(outRoot).createStore("proj", "kept", 1)
+    val ckpt = Files.createTempDirectory("ckpt-wmdedup").toString
+    // logstore sink: the run resumes from the checkpoint (memory can't)
+    def runOnce(): Unit = {
+      val q = s2.readStream.format("graft-logstore")
+        .option("store.root", root).option("store.project", "proj")
+        .option("store.name", "docs")
+        .schema("doc LONG, text STRING, __time__ TIMESTAMP").load()
+        .selectExpr("doc", "md5(text) AS fp", "__time__ AS ts")
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("fp")
+        .select(col("doc"), col("fp"))
+        .writeStream.format("graft-logstore")
+        .option("store.root", outRoot).option("store.project", "proj")
+        .option("store.name", "kept")
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      awaitDone(q)
+    }
+    def kept(): Seq[Long] =
+      spark.read.format("graft-logstore")
+        .option("store.root", outRoot).option("store.project", "proj")
+        .option("store.name", "kept")
+        .schema("doc LONG, fp STRING").load()
+        .orderBy("doc").collect().map(_.getLong(0)).toSeq
+    // run 1: first arrival admits; a duplicate 300 s later (inside the
+    // 600 s delay) drops — the core in-window guarantee
+    append("seg0", (1L, t0, "same text"), (2L, t0 + 300, "same text"))
+    runOnce()
+    assert(kept() === Seq(1L))
+    // run 2: an unrelated key advances the event-time watermark far
+    // past key 1's expiry (t0 + 300 + 600)
+    append("seg1", (3L, t0 + 100000, "other text"))
+    runOnce()
+    assert(kept() === Seq(1L, 3L))
+    // run 3: key 1's state was evicted by the watermark — the same
+    // fingerprint re-admits (the state-size-for-dedup-window trade)
+    append("seg2", (4L, t0 + 200000, "same text"))
+    runOnce()
+    assert(kept() === Seq(1L, 3L, 4L))
+  }
 }
