@@ -1076,6 +1076,76 @@ object Dedup {
         col("n_tokens"))
   }
 
+  /** Duplicate-span REMOVAL — the rewrite step that
+    * [[duplicateSpanCoverage]] measures for (the ExactSubstr dedup of
+    * Lee et al. 2022): every token covered by a span occurring in
+    * >= `minDocs` distinct documents is cut, and each document is
+    * re-emitted from its surviving tokens in original order. Output
+    * per doc: token/removed/kept counts plus an md5 fingerprint of
+    * the cleaned text (the hash compare can't carry the rebuilt
+    * corpus itself; the fingerprint pins every surviving token AND
+    * its order).
+    *
+    * Scale shape (100 TB): the span pipeline is coverage's (stride-1
+    * window fingerprints → count-distinct groupBy on the 8-byte
+    * hash → flagged-window position explode); the rewrite adds ONE
+    * doc_id-keyed join of the covered-position sets back to the
+    * corpus and a typed per-doc pass (hash-set membership,
+    * O(n_tokens)) — no token-level shuffle for the rebuild. */
+  def duplicateSpanRemoval(docs: DataFrame, spanTokens: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    require(spanTokens >= 1 && minDocs >= 2,
+      s"spanTokens $spanTokens must be >= 1, minDocs $minDocs must be >= 2")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val spans = docs
+      .select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.trim.toLowerCase.split("\\s+")
+        if (t.length < spanTokens) Iterator.empty
+        else t.sliding(spanTokens).zipWithIndex.map { case (w, i) =>
+          (id, i.toLong, fnv64(w.mkString(" ")))
+        }
+      }
+      .toDF("doc_id", "idx", "wh")
+    val dup = spans.groupBy(col("wh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("wh"))
+    val covered = spans.join(dup, Seq("wh"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("idx"), col("idx") + lit(spanTokens - 1))).as("pos"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("pos")).as("cov"))
+    docs
+      .select(col("doc_id").cast("long"), col("text").cast("string"))
+      .join(covered, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("cov"), array().cast("array<bigint>")).as("cov"))
+      .as[(Long, String, Seq[Long])]
+      .map { case (id, text, cov) =>
+        val t = text.trim.toLowerCase.split("\\s+")
+        val covSet = cov.toSet
+        val sb = new StringBuilder
+        var kept = 0
+        var i = 0
+        while (i < t.length) {
+          if (!covSet.contains(i.toLong)) {
+            if (kept > 0) sb.append(' ')
+            sb.append(t(i))
+            kept += 1
+          }
+          i += 1
+        }
+        val fp = java.security.MessageDigest.getInstance("MD5")
+          .digest(sb.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (id, t.length.toLong, cov.size.toLong, kept.toLong, fp)
+      }
+      .toDF("doc_id", "n_tokens", "n_removed", "n_kept", "clean_fp")
+  }
+
   /** Edit-distance (Levenshtein) fuzzy-duplicate pairs — the exact
     * string-level complement to the token-set family (Jaccard/MinHash)
     * and the bit-level family (SimHash): pairs whose FULL TEXTS are

@@ -54,6 +54,8 @@ object TextQueries {
     "d12_ngram_decontaminate" -> d12,
     "d13_dup_spans" -> ((spark, dir) =>
       Dedup.duplicateSpanCoverage(t(spark, dir, "documents"))),
+    "d19_span_removal" -> ((spark, dir) =>
+      Dedup.duplicateSpanRemoval(t(spark, dir, "documents"))),
     "d14_embedding_decontaminate" -> d14,
     // directional shingle containment (|A∩B| / |A|) — the quote/subset
     // duplicates symmetric Jaccard can't see; exact inverted-index
@@ -1881,6 +1883,45 @@ object TextQueries {
        |LEFT JOIN cov ON cov.doc_id = nt.doc_id""".stripMargin
   }
 
+  /** d19: d13's span-fingerprint CTEs, then the covered positions are
+    * anti-joined out of the position-indexed token list and each doc's
+    * survivors re-aggregate in order (string_agg ORDER BY pos) under
+    * the same md5 the Spark side computes; all-removed docs pin to
+    * md5(''). */
+  private def d19OracleSql: String = {
+    val win8 = "w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]"
+    s"""WITH RECURSIVE
+       |words AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+       |wins AS (SELECT doc_id, unnest(range(1, len(w) - 6)) AS i, w FROM words),
+       |swin AS (SELECT doc_id, i - 1 AS idx, $win8 AS s FROM wins),
+       |dsh AS (SELECT DISTINCT s FROM swin),
+       |${OracleSql.fnv64Ctes(Seq("s"), "s", "dsh")},
+       |sp AS MATERIALIZED (SELECT swin.doc_id, swin.idx, fp.fpu AS wh
+       |                    FROM swin JOIN fp ON fp.s = swin.s),
+       |dup AS (SELECT wh FROM (SELECT wh, count(DISTINCT doc_id) AS nd
+       |                        FROM sp GROUP BY 1) WHERE nd >= 2),
+       |fl AS MATERIALIZED (SELECT sp.doc_id, sp.idx FROM sp JOIN dup USING (wh)),
+       |cov AS MATERIALIZED (SELECT DISTINCT doc_id, pos FROM (
+       |         SELECT doc_id, unnest(range(idx, idx + 8)) AS pos FROM fl)),
+       |toks AS (SELECT doc_id, unnest(range(0, len(w))) AS pos, w FROM words),
+       |keptt AS (SELECT t.doc_id, t.pos, t.w[t.pos + 1] AS tok
+       |          FROM toks t LEFT JOIN cov c
+       |            ON c.doc_id = t.doc_id AND c.pos = t.pos
+       |          WHERE c.doc_id IS NULL),
+       |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+       |         md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_fp
+       |        FROM keptt GROUP BY doc_id),
+       |covn AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id)
+       |SELECT words.doc_id,
+       |  CAST(len(words.w) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(covn.n_removed, 0) AS BIGINT) AS n_removed,
+       |  CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+       |  COALESCE(agg.clean_fp, md5('')) AS clean_fp
+       |FROM words
+       |LEFT JOIN agg ON agg.doc_id = words.doc_id
+       |LEFT JOIN covn ON covn.doc_id = words.doc_id""".stripMargin
+  }
+
   def oracles: Map[String, String] = {
     // s14 composes the s1 (exact) and s2 (LSH) replays verbatim: the
     // recall join runs over the SAME SQL the two operators are already
@@ -1904,6 +1945,7 @@ object TextQueries {
     "d11_bloom_decontaminate" -> d11OracleSql,
     "t23_bpe_small" -> t23OracleSql,
     "d13_dup_spans" -> d13OracleSql,
+    "d19_span_removal" -> d19OracleSql,
     // Exact replay of the RollingHash Expression: mod 2^31-1 keeps every
     // intermediate below 2^52 (plain BIGINT), bytes come from the proven
     // hex(encode(..)) idiom (m8), iteration from a recursive CTE (d9/p3).
