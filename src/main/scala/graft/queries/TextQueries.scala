@@ -83,6 +83,7 @@ object TextQueries {
     "t29_bigram_surprisal" -> t29,
     "t30_overlap_chunks" -> t30,
     "t32_ccnet_buckets" -> t32,
+    "t33_dsir_select" -> t33,
     "s1_ann_cosine" -> s1,
     // Gonzalez k-center greedy seeding over the quantized embeddings —
     // the deterministic k-means++ stand-in; integer-exact distances
@@ -1722,6 +1723,58 @@ object TextQueries {
       (pmod(xxhash64(col("doc_id")), lit(10000)) < bp).as("kept"))
   }
 
+  /** DSIR-shaped importance selection (t33): Data Selection via
+    * Importance Resampling (Xie et al. 2023) reduced to deterministic
+    * integer primitives. Documents featurize as hashed n-gram buckets
+    * (t20's md5 bucket hash: 128 unigram + 128 bigram buckets), the
+    * target distribution is the English subset, each bucket's
+    * importance weight is the whole-bit log ratio
+    * bits(target_count + 1) - bits(corpus_count + 1) (t29's
+    * integer-bits idiom — a coarse log2(p_target/p_raw)), a document
+    * scores the sum of its feature-occurrence weights, and the kept
+    * quartile is exact ntile(4) over (mean weight DESC, doc_id) —
+    * one int/int double division, bit-identical across engines (the
+    * t32 pattern). Every doc stays in the output with its quartile
+    * and selected flag, so the oracle pins scoring AND selection.
+    *
+    * Scale: the corpus-sized work is one explode + two 256-row bucket
+    * aggregations; the weight table BROADCASTS back onto the feature
+    * stream before the doc_id re-agg; the ntile sorts only the
+    * per-DOC stat table, with k5's KLL quantile cutoffs as the
+    * documented 100 TB path (the t32 note). */
+  private def t33: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), TF.tokens(lower(col("text"))).as("a"))
+    val uni = docs.select(col("doc_id"), col("lang"),
+      explode(col("a")).as("g"), lit(0).as("off"))
+    val bi = docs.select(col("doc_id"), col("lang"),
+      explode(zip_with(
+        slice(col("a"), lit(1), size(col("a")) - 1),
+        slice(col("a"), lit(2), greatest(size(col("a")) - 1, lit(0))),
+        (x, y) => concat(x, lit(" "), y))).as("g"),
+      lit(128).as("off"))
+    val feats = uni.unionByName(bi)
+      .select(col("doc_id"), col("lang"),
+        ((conv(substring(md5(col("g")), 1, 4), 16, 10).cast(IntegerType) % 128)
+          + col("off")).as("b"))
+    val raw = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgt = feats.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val wts = raw.join(tgt, Seq("b"), "left_outer")
+      .select(col("b"),
+        (length(bin(coalesce(col("ct"), lit(0L)) + 1)) -
+          length(bin(col("cr") + 1))).cast(LongType).as("wt"))
+    val scored = feats.join(broadcast(wts), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("wt")).as("sum_w"))
+    val ranked = scored.withColumn("quartile",
+      ntile(4).over(org.apache.spark.sql.expressions.Window.orderBy(
+        (col("sum_w").cast(DoubleType) / col("n_feats")).desc,
+        col("doc_id"))))
+    ranked.select(col("doc_id"), col("n_feats"), col("sum_w"),
+      col("quartile"), (col("quartile") === 1).as("selected"))
+  }
+
   private def t20: Q = (spark, dir) => {
     val nb = 128
     t(spark, dir, "documents")
@@ -2160,6 +2213,30 @@ object TextQueries {
          | $hb < (CASE bucket WHEN 1 THEN 10000 WHEN 2 THEN 5000 ELSE 1000 END) AS kept
          |FROM xx""".stripMargin
     },
+    // t33: same hashed-bucket featurization (t20's md5 idiom), same
+    // integer-bits weights, same (mean DESC, doc_id) ntile total order
+    "t33_dsir_select" ->
+      """WITH docs AS (SELECT doc_id, lang,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS a FROM documents),
+        |uni AS (SELECT doc_id, lang, unnest(a) AS g, 0 AS off FROM docs),
+        |big AS (SELECT doc_id, lang, a[i] || ' ' || a[i+1] AS g, 128 AS off
+        |        FROM docs CROSS JOIN UNNEST(range(1, len(a))) t(i)),
+        |feats AS (SELECT doc_id, lang,
+        |           (('0x' || substring(md5(g), 1, 4))::INTEGER % 128) + off AS b
+        |          FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+        |raw AS (SELECT b, COUNT(*) AS cr FROM feats GROUP BY b),
+        |tgt AS (SELECT b, COUNT(*) AS ct FROM feats WHERE lang = 'en' GROUP BY b),
+        |wts AS (SELECT raw.b,
+        |         CAST(length(bin(COALESCE(ct, 0) + 1)) - length(bin(cr + 1)) AS BIGINT) AS wt
+        |        FROM raw LEFT JOIN tgt USING (b)),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_feats, CAST(SUM(wt) AS BIGINT) AS sum_w
+        |       FROM feats JOIN wts USING (b) GROUP BY doc_id)
+        |SELECT doc_id, n_feats, sum_w,
+        | ntile(4) OVER (ORDER BY CAST(sum_w AS DOUBLE) / n_feats DESC, doc_id)
+        |   AS quartile,
+        | ntile(4) OVER (ORDER BY CAST(sum_w AS DOUBLE) / n_feats DESC, doc_id) = 1
+        |   AS selected
+        |FROM sc""".stripMargin,
     // p6: the full filter → keeper → sample chain in one statement —
     // gopherCtes selects, md5-fingerprint keeper picks, the t25 hash
     // thresholds sample the keepers (xxhash64 layers over doc_id)
