@@ -106,6 +106,34 @@ object Multimodal {
     out
   }
 
+  /** REAL fast Walsh–Hadamard transform (in place, natural/Hadamard
+    * order): the standard butterfly, so the output satisfies
+    * c(k) = Σ_n (−1)^popcount(k AND n) · x(n) — the identity the m18
+    * oracle replays in SQL via bit_count. Integer-exact and
+    * unnormalized (Σ c² = N·Σ x², pinned in spec); the spectral
+    * front-end an audio featurization pipeline runs where a float FFT
+    * isn't available or wanted. Length must be a power of two. */
+  def fwht(xs: Array[Long]): Array[Long] = {
+    val n = xs.length
+    require(n > 0 && (n & (n - 1)) == 0, s"FWHT length $n not a power of 2")
+    var h = 1
+    while (h < n) {
+      var i = 0
+      while (i < n) {
+        var j = i
+        while (j < i + h) {
+          val x = xs(j); val y = xs(j + h)
+          xs(j) = x + y
+          xs(j + h) = x - y
+          j += 1
+        }
+        i += 2 * h
+      }
+      h *= 2
+    }
+    xs
+  }
+
   /** REAL 1:2 PCM upsample by linear interpolation: even outputs copy
     * the source, odd outputs are the floor-midpoint of the bracketing
     * pair; the final sample repeats (no right neighbor). */

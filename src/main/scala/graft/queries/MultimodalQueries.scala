@@ -32,7 +32,47 @@ object MultimodalQueries {
     "m14_video_pixels" -> m14,
     "m15_decoded_scene_cuts" -> m15,
     "m16_video_cavlc_pixels" -> m16,
-    "m17_video_chroma_pixels" -> m17)
+    "m17_video_chroma_pixels" -> m17,
+    "m18_audio_wht_features" -> m18)
+
+  /** Spectral audio features (m18): the frame → transform → band
+    * energy → log-compress front-end of an audio featurization
+    * pipeline, with the REAL fast Walsh–Hadamard transform as the
+    * integer-exact spectral kernel (a float FFT/mel bank can't be
+    * equality-oracled; the WHT is a true orthogonal transform with
+    * the same pipeline shape and replays in SQL through
+    * c(k) = Σ (−1)^popcount(k AND n) x(n)). Each asset's synthetic
+    * PCM (m13's formula) round-trips the REAL RIFF/WAVE codec, then
+    * per complete 32-sample frame: in-place FWHT butterfly, four
+    * Hadamard-ordered 8-coefficient band energies Σc² (≤ 3.3e12,
+    * BIGINT-exact), and the whole-bit log compression
+    * bits(e + 1) — the t29 integer-bits idiom as the feature scale.
+    * Parseval (Σc² = 32·Σx²) is pinned in MultimodalSpec, so the
+    * butterfly is checked against the direct definition, not just
+    * the oracle.
+    *
+    * Scale: zero-shuffle per-asset map; O(frames · 32 log 32) integer
+    * ops. */
+  private def m18: Q = (spark, dir) => {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long].flatMap { id =>
+      val n = (64 + (id % 32) * 2).toInt
+      val pcm = Array.tabulate(n)(i => ((id * 7 + i * 13) % 20000).toShort)
+      val wav = Multimodal.encodeWavPcm16(8000, pcm)
+      val (_, _, dec) = Multimodal.decodeWavPcm16(wav)
+      (0 until dec.length / 32).map { f =>
+        val frame = Array.tabulate(32)(i => dec(f * 32 + i).toLong)
+        val c = Multimodal.fwht(frame)
+        val e = new Array[Long](4)
+        var k = 0
+        while (k < 32) { e(k / 8) += c(k) * c(k); k += 1 }
+        def bits(v: Long): Int = java.lang.Long.toBinaryString(v + 1).length
+        (id, f.toLong, e(0), e(1), e(2), e(3),
+          bits(e(0)), bits(e(1)), bits(e(2)), bits(e(3)))
+      }
+    }.toDF("doc_id", "frame_idx", "e0", "e1", "e2", "e3",
+      "b0", "b1", "b2", "b3")
+  }
 
   /** Chroma-residual pixel reconstruction (m17): the first COLOR
     * transform-coded video path — each asset is an SPS + PPS + one IDR
@@ -681,6 +721,30 @@ object MultimodalQueries {
     // floor((dc+32)/64) (offset +6400 keeps // a floor on negatives),
     // and the full-plane weighted checksum uses the per-stripe
     // position-weight sums 7840 + 256*j
+    // m18: the WHT replayed straight from the popcount identity over
+    // the PCM formula; band energies pivot via MAX CASE, bits via bin
+    "m18_audio_wht_features" ->
+      """WITH g AS (SELECT doc_id, 64 + (doc_id % 32) * 2 AS n FROM documents),
+        |fr AS (SELECT doc_id, unnest(range(0, n // 32)) AS frame_idx FROM g),
+        |co AS (SELECT doc_id, frame_idx, k,
+        |        SUM((CASE WHEN bit_count(k & s) % 2 = 0 THEN 1 ELSE -1 END)
+        |            * ((doc_id*7 + (frame_idx*32 + s)*13) % 20000)) AS c
+        |       FROM fr CROSS JOIN range(0, 32) tk(k)
+        |               CROSS JOIN range(0, 32) ts(s)
+        |       GROUP BY doc_id, frame_idx, k),
+        |en AS (SELECT doc_id, frame_idx, k // 8 AS band,
+        |        CAST(SUM(c*c) AS BIGINT) AS e
+        |       FROM co GROUP BY 1, 2, 3)
+        |SELECT doc_id, frame_idx,
+        | MAX(CASE WHEN band = 0 THEN e END) AS e0,
+        | MAX(CASE WHEN band = 1 THEN e END) AS e1,
+        | MAX(CASE WHEN band = 2 THEN e END) AS e2,
+        | MAX(CASE WHEN band = 3 THEN e END) AS e3,
+        | CAST(length(bin(MAX(CASE WHEN band = 0 THEN e END) + 1)) AS INTEGER) AS b0,
+        | CAST(length(bin(MAX(CASE WHEN band = 1 THEN e END) + 1)) AS INTEGER) AS b1,
+        | CAST(length(bin(MAX(CASE WHEN band = 2 THEN e END) + 1)) AS INTEGER) AS b2,
+        | CAST(length(bin(MAX(CASE WHEN band = 3 THEN e END) + 1)) AS INTEGER) AS b3
+        |FROM en GROUP BY doc_id, frame_idx""".stripMargin,
     // m17: every plane value recomputed in closed form — luma stripes
     // at 40x dequant (QP 24), chroma quadrants at 80x dequant (QPc 24)
     // over the 2x2 Hadamard of the planted levels; checksum weights are

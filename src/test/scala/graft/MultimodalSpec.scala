@@ -316,4 +316,22 @@ class MultimodalSpec extends AnyFunSuite {
       (1L, 3L, 2L, 2 * sad, sad),
       (2L, 2L, 0L, sadAb, sadAb)))
   }
+
+  test("FWHT butterfly matches the direct popcount definition + Parseval") {
+    val rnd = new scala.util.Random(33L)
+    (0 until 50).foreach { _ =>
+      val n = 32
+      val x = Array.fill(n)(rnd.nextInt(40001).toLong - 20000)
+      val c = graft.operators.Multimodal.fwht(x.clone())
+      val direct = Array.tabulate(n) { k =>
+        (0 until n).map(i =>
+          (if (Integer.bitCount(k & i) % 2 == 0) 1L else -1L) * x(i)).sum
+      }
+      assert(c.toSeq === direct.toSeq)
+      // unnormalized orthogonality: sum c^2 = N * sum x^2
+      assert(c.map(v => v * v).sum === 32L * x.map(v => v * v).sum)
+    }
+    intercept[IllegalArgumentException](
+      graft.operators.Multimodal.fwht(new Array[Long](12)))
+  }
 }
