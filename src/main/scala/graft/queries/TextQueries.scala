@@ -84,6 +84,7 @@ object TextQueries {
     "t30_overlap_chunks" -> t30,
     "t32_ccnet_buckets" -> t32,
     "t33_dsir_select" -> t33,
+    "t34_kneser_ney" -> t34,
     "s1_ann_cosine" -> s1,
     // Gonzalez k-center greedy seeding over the quantized embeddings —
     // the deterministic k-means++ stand-in; integer-exact distances
@@ -1723,6 +1724,51 @@ object TextQueries {
       (pmod(xxhash64(col("doc_id")), lit(10000)) < bp).as("kept"))
   }
 
+  /** Kneser–Ney smoothed bigram LM estimation (t34): the LM-training
+    * artifact behind CCNet-style perplexity filtering (KenLM's default
+    * smoothing), exact. Interpolated KN with discount D = 3/4 kept as
+    * a RATIONAL:
+    *   P(w2|w1) = max(c12 − D, 0)/c1 + D·Nfwd(w1)/c1 · Nback(w2)/Nb
+    * scaled by 4·c1·Nb into integer (num, den):
+    *   num = max(4·c12 − 3, 0)·Nb + 3·Nfwd(w1)·Nback(w2)
+    *   den = 4·c1·Nb
+    * where c1 = Σ_w c(w1,w), Nfwd/Nback are the distinct-continuation
+    * counts, Nb = distinct bigram types. qbits = bits(num) − bits(den)
+    * is the whole-bit quantized log-prob (the t29 idiom — the feature
+    * a scorer consumes). KnSpec proves Σ_{w2∈V} P(w2|w1) = 1 exactly
+    * in rationals on an enumerable corpus, so the smoothing identity
+    * is pinned independently of the oracle.
+    *
+    * Scale: ONE corpus-sized bigram-count shuffle; c1/Nfwd re-aggregate
+    * from the count table (no second corpus pass), Nback is a table of
+    * distinct second words, Nb broadcasts as a 1-row stats join. */
+  private def t34: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+      .select(TF.tokens(lower(col("text"))).as("a"))
+    val grams = docs.select(
+      explode(zip_with(
+        slice(col("a"), lit(1), size(col("a")) - 1),
+        slice(col("a"), lit(2), greatest(size(col("a")) - 1, lit(0))),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val c12 = grams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val left = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nfwd"))
+    val back = c12.groupBy(col("w2")).agg(count(lit(1)).as("nback"))
+    val nb = c12.agg(count(lit(1)).as("nb"))
+    def bits(c: org.apache.spark.sql.Column) = length(bin(c))
+    val num = greatest(lit(4) * col("c12") - 3, lit(0L)) * col("nb") +
+      lit(3L) * col("nfwd") * col("nback")
+    val den = lit(4L) * col("c1") * col("nb")
+    c12.join(broadcast(left), Seq("w1"))
+      .join(broadcast(back), Seq("w2"))
+      .crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("c12"),
+        num.cast(LongType).as("num"), den.cast(LongType).as("den"),
+        (bits(num) - bits(den)).cast(IntegerType).as("qbits"))
+  }
+
   /** DSIR-shaped importance selection (t33): Data Selection via
     * Importance Resampling (Xie et al. 2023) reduced to deterministic
     * integer primitives. Documents featurize as hashed n-gram buckets
@@ -2213,6 +2259,23 @@ object TextQueries {
          | $hb < (CASE bucket WHEN 1 THEN 10000 WHEN 2 THEN 5000 ELSE 1000 END) AS kept
          |FROM xx""".stripMargin
     },
+    // t34: the same count-table derivations and the same scaled
+    // rational, replayed verbatim
+    "t34_kneser_ney" ->
+      """WITH docs AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS a
+        |             FROM documents),
+        |bg AS (SELECT a[i] AS w1, a[i+1] AS w2
+        |       FROM docs CROSS JOIN UNNEST(range(1, len(a))) t(i)),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+        |lft AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS nfwd FROM c12 GROUP BY 1),
+        |bck AS (SELECT w2, COUNT(*) AS nback FROM c12 GROUP BY 1),
+        |nbt AS (SELECT COUNT(*) AS nb FROM c12)
+        |SELECT c12.w1, c12.w2, c12.c12,
+        | CAST(GREATEST(4*c12.c12 - 3, 0) * nb + 3 * nfwd * nback AS BIGINT) AS num,
+        | CAST(4 * c1 * nb AS BIGINT) AS den,
+        | CAST(length(bin(GREATEST(4*c12.c12 - 3, 0) * nb + 3 * nfwd * nback))
+        |    - length(bin(4 * c1 * nb)) AS INTEGER) AS qbits
+        |FROM c12 JOIN lft USING (w1) JOIN bck USING (w2) CROSS JOIN nbt""".stripMargin,
     // t33: same hashed-bucket featurization (t20's md5 idiom), same
     // integer-bits weights, same (mean DESC, doc_id) ntile total order
     "t33_dsir_select" ->
