@@ -85,7 +85,8 @@ object ConnectorQueries {
     "c17_stream_bloom" -> c17,
     "c18_stream_attribution" -> c18,
     "c19_stream_anomaly" -> c19,
-    "c20_stream_dropdup_ttl" -> c20
+    "c20_stream_dropdup_ttl" -> c20,
+    "c21_stream_asof_enrich" -> c21
   )
 
   /** Streaming alerting pipeline (c19): the log-monitoring use case
@@ -618,12 +619,12 @@ object ConnectorQueries {
   private val c9Ingested =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Map[String, String]]
 
-  private def c9: Q = (spark, dir) => {
-    val gapS = 1800L
-    // the sentinel-bearing source store is immutable and deterministic
-    // per (session, sf dir) — one ingest, like c1/c2/c3's shared store;
-    // each run still gets a fresh sink + checkpoint (streaming state)
-    val srcOpts = c9Ingested.getOrElseUpdate((spark, dir), {
+  /** Shared c9/c21 source: the events table (+ a far-future flush
+    * sentinel) on two shards, __time__ = epoch seconds of ts. One
+    * ingest per (session, sf dir). */
+  private def c9Source(spark: SparkSession, dir: String,
+      gapS: Long): Map[String, String] =
+    c9Ingested.getOrElseUpdate((spark, dir), {
       val root = tempDir("graft-logstore-c9")
       new EmbeddedLogStore(root).createStore("proj", "sess", 2)
       val opts = Map("store.root" -> root, "store.project" -> "proj",
@@ -642,6 +643,13 @@ object ConnectorQueries {
         .write.format("graft-logstore").options(opts).mode("append").save()
       opts
     })
+
+  private def c9: Q = (spark, dir) => {
+    val gapS = 1800L
+    // the sentinel-bearing source store is immutable and deterministic
+    // per (session, sf dir) — one ingest, like c1/c2/c3's shared store;
+    // each run still gets a fresh sink + checkpoint (streaming state)
+    val srcOpts = c9Source(spark, dir, gapS)
     val dstRoot = tempDir("graft-logstore-c9out")
     new EmbeddedLogStore(dstRoot).createStore("proj", "sessions", 1)
     val dstOpts = Map("store.root" -> dstRoot, "store.project" -> "proj",
@@ -670,6 +678,70 @@ object ConnectorQueries {
         "n_events LONG, sum_value DOUBLE")
       .load()
       .filter(col("user_id") >= 0) // sentinel session, if ever finalized
+  }
+
+  /** Stream-static TEMPORAL (as-of) enrichment (c21): the streaming
+    * counterpart of q18 — each event picks the version of a
+    * slowly-changing dimension that was effective AT ITS EVENT TIME,
+    * not the latest. The SCD-2 dim (3 versions per nation key at
+    * deterministic cutover times derived from the event-time span) is
+    * prepared batch-side as half-open [from, to) intervals, so the
+    * as-of argmax becomes a single-match join: equi on key with the
+    * range as a residual predicate on the BROADCAST dim — stateless
+    * per micro-batch (stream-static joins re-plan the static side
+    * each trigger; no watermark, no state store), exactly the 100 TB
+    * shape (the q27 interval lesson: never a per-event window).
+    * Oracle replays the same cutovers and interval selection over the
+    * events parquet. */
+  private def c21: Q = (spark, dir) => {
+    val srcOpts = c9Source(spark, dir, 1800L)
+    // versioned dim, batch-side: nation key x versions 0..2; version 0
+    // is effective from the epoch, versions 1/2 cut over at the event
+    // span's thirds — deterministic for any (dataset, sf)
+    val bounds = t(spark, dir, "events")
+      .agg(min(epochS(col("ts"))).as("mn"), max(epochS(col("ts"))).as("mx"))
+      .first()
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    val vers = (0 to 2).map { v =>
+      (v, if (v == 0) 0L else mn + v * (mx - mn) / 3)
+    }
+    val nations = t(spark, dir, "nation")
+      .select(col("n_nationkey").cast(LongType), col("n_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))) // 25 rows: dim prep
+    val spark2 = spark
+    import spark2.implicits._
+    val dim = nations.toSeq.flatMap { case (key, name) =>
+      vers.map { case (v, f) =>
+        val to = if (v == 2) Long.MaxValue else vers(v + 1)._2
+        (key, s"${name}_v$v", f, to)
+      }
+    }.toDF("key", "dim_val", "f", "tto")
+    val dstRoot = tempDir("graft-logstore-c21out")
+    new EmbeddedLogStore(dstRoot).createStore("proj", "enriched", 1)
+    val dstOpts = Map("store.root" -> dstRoot, "store.project" -> "proj",
+      "store.name" -> "enriched")
+    val ckpt = tempDir("graft-c21-ckpt")
+    val s2 = streamSession(spark)
+    val enriched = s2.readStream.format("graft-logstore").options(srcOpts)
+      .option("maxoffsetspertrigger", "1000000")
+      .schema("user_id LONG, event_type STRING, value DOUBLE, __time__ TIMESTAMP")
+      .load()
+      .filter(col("user_id") >= 0) // drop the c9 flush sentinel
+      .withColumn("t", col("__time__").cast(LongType))
+      .join(broadcast(dim),
+        pmod(col("user_id"), lit(25L)) === col("key") &&
+          col("t") >= col("f") && col("t") < col("tto"))
+      .select(col("user_id"), col("event_type"), col("value"), col("t"),
+        col("dim_val"))
+    val q = enriched.writeStream.format("graft-logstore").options(dstOpts)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    spark.read.format("graft-logstore").options(dstOpts)
+      .schema("user_id LONG, event_type STRING, value DOUBLE, t LONG, " +
+        "dim_val STRING").load()
   }
 
   /** CDC-style incremental batch (c8): the rows committed BETWEEN two
@@ -1237,6 +1309,24 @@ object ConnectorQueries {
         | UNION ALL
         | SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0)
         |SELECT md5(text) AS fp, MIN(doc_id) AS doc_id
-        |FROM all_docs GROUP BY fp""".stripMargin
+        |FROM all_docs GROUP BY fp""".stripMargin,
+    // c21: same cutover derivation + half-open interval selection over
+    // the events parquet; version 0 effective from the epoch
+    "c21_stream_asof_enrich" ->
+      """WITH ev AS (SELECT user_id, event_type, value,
+        |    CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t FROM events),
+        |b AS (SELECT MIN(t) AS mn, MAX(t) AS mx FROM ev),
+        |v AS (SELECT n_nationkey AS key, n_name, unnest(range(0, 3)) AS ver
+        |      FROM nation),
+        |dim AS (SELECT key, n_name || '_v' || ver AS dim_val,
+        |         CASE WHEN ver = 0 THEN 0 ELSE mn + ver * (mx - mn) // 3 END AS f
+        |        FROM v CROSS JOIN b),
+        |dim2 AS (SELECT key, dim_val, f,
+        |          COALESCE(LEAD(f) OVER (PARTITION BY key ORDER BY f),
+        |                   9223372036854775807) AS tto
+        |         FROM dim)
+        |SELECT ev.user_id, ev.event_type, ev.value, ev.t, d.dim_val
+        |FROM ev JOIN dim2 d
+        |  ON d.key = ev.user_id % 25 AND ev.t >= d.f AND ev.t < d.tto""".stripMargin
   )
 }
