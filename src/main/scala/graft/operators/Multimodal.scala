@@ -366,6 +366,26 @@ object Multimodal {
 
   /** PNG Paeth predictor (RFC 2083 §6.6): closest of left/above/
     * upper-left to their linear combination, ties left-biased. */
+  /** Integer BT.601-style luma from row-major RGB8:
+    * (77·R + 150·G + 29·B) >> 8 — the standard fixed-point
+    * approximation of 0.299/0.587/0.114 (weights sum to 256, so the
+    * result stays in 0..255). The color → gray featurization kernel
+    * that sits between a color decode and every gray-plane operator
+    * (dHash m9, resize m12, scene cuts m8). */
+  def rgbToGray8(rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length % 3 == 0, "RGB8 buffer length must be a multiple of 3")
+    val out = new Array[Byte](rgb.length / 3)
+    var p = 0
+    while (p < out.length) {
+      val r = rgb(3 * p) & 0xFF
+      val g = rgb(3 * p + 1) & 0xFF
+      val b = rgb(3 * p + 2) & 0xFF
+      out(p) = ((77 * r + 150 * g + 29 * b) >> 8).toByte
+      p += 1
+    }
+    out
+  }
+
   @inline private def paeth(a: Int, b: Int, c: Int): Int = {
     val p = a + b - c
     val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
@@ -379,20 +399,36 @@ object Multimodal {
     * the simplest valid stream, the others exist chiefly to exercise
     * the decoder's full reconstruction logic. */
   def encodePngGray8(w: Int, h: Int, luma: Array[Byte],
-      rowFilter: Int = 0): Array[Byte] = {
-    require(luma.length == w * h, s"plane ${luma.length} != $w x $h")
+      rowFilter: Int = 0): Array[Byte] =
+    encodePng8(w, h, luma, channels = 1, colorType = 0, rowFilter)
+
+  /** Encode an 8-bit RGB (truecolor) plane — row-major, 3 bytes per
+    * pixel — as a REAL PNG (IHDR color type 2). Filter arithmetic per
+    * RFC 2083 §6 operates bytewise with the `a`/`c` neighbours one
+    * PIXEL (bpp = 3 bytes) back, which is exactly what the shared
+    * core does. */
+  def encodePngRgb8(w: Int, h: Int, rgb: Array[Byte],
+      rowFilter: Int = 0): Array[Byte] =
+    encodePng8(w, h, rgb, channels = 3, colorType = 2, rowFilter)
+
+  private def encodePng8(w: Int, h: Int, data: Array[Byte], channels: Int,
+      colorType: Int, rowFilter: Int): Array[Byte] = {
+    require(data.length == w * h * channels,
+      s"plane ${data.length} != $w x $h x $channels")
     require(rowFilter >= 0 && rowFilter <= 4, s"bad filter $rowFilter")
-    // filtered raw stream: one filter-type byte + w filtered bytes per row
-    val raw = new Array[Byte]((w + 1) * h)
+    val stride = w * channels
+    // filtered raw stream: one filter-type byte + stride bytes per row
+    val raw = new Array[Byte]((stride + 1) * h)
     var y = 0
     while (y < h) {
-      raw(y * (w + 1)) = rowFilter.toByte
+      raw(y * (stride + 1)) = rowFilter.toByte
       var x = 0
-      while (x < w) {
-        val cur = luma(y * w + x) & 0xFF
-        val a = if (x > 0) luma(y * w + x - 1) & 0xFF else 0
-        val b = if (y > 0) luma((y - 1) * w + x) & 0xFF else 0
-        val c = if (x > 0 && y > 0) luma((y - 1) * w + x - 1) & 0xFF else 0
+      while (x < stride) {
+        val cur = data(y * stride + x) & 0xFF
+        val a = if (x >= channels) data(y * stride + x - channels) & 0xFF else 0
+        val b = if (y > 0) data((y - 1) * stride + x) & 0xFF else 0
+        val c = if (x >= channels && y > 0)
+          data((y - 1) * stride + x - channels) & 0xFF else 0
         val filtered = rowFilter match {
           case 0 => cur
           case 1 => cur - a
@@ -400,7 +436,7 @@ object Multimodal {
           case 3 => cur - (a + b) / 2
           case 4 => cur - paeth(a, b, c)
         }
-        raw(y * (w + 1) + 1 + x) = filtered.toByte
+        raw(y * (stride + 1) + 1 + x) = filtered.toByte
         x += 1
       }
       y += 1
@@ -426,7 +462,7 @@ object Multimodal {
     val ihdr = java.nio.ByteBuffer.allocate(13)
       .putInt(w).putInt(h)
       .put(8.toByte)  // bit depth
-      .put(0.toByte)  // color type: grayscale
+      .put(colorType.toByte) // 0 grayscale / 2 truecolor
       .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
       .array()
     PngSignature ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
@@ -438,7 +474,18 @@ object Multimodal {
     * five filter types per RFC 2083 §6 — a compliant decoder for the
     * gray8 subset regardless of which encoder produced the file.
     * Returns (w, h, top-down row-major luma). */
-  def decodePngGray8(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+  def decodePngGray8(payload: Array[Byte]): (Int, Int, Array[Byte]) =
+    decodePng8(payload, channels = 1, colorType = 0)
+
+  /** Decode a REAL 8-bit truecolor non-interlaced PNG (IHDR color
+    * type 2): chunk walk, inflate, full five-filter reconstruction
+    * with pixel-width (3-byte) neighbour offsets. Returns
+    * (w, h, row-major RGB, 3 bytes per pixel). */
+  def decodePngRgb8(payload: Array[Byte]): (Int, Int, Array[Byte]) =
+    decodePng8(payload, channels = 3, colorType = 2)
+
+  private def decodePng8(payload: Array[Byte], channels: Int,
+      colorType: Int): (Int, Int, Array[Byte]) = {
     require(payload.length > 8 &&
       PngSignature.indices.forall(i => payload(i) == PngSignature(i)),
       "not a PNG payload")
@@ -455,7 +502,8 @@ object Multimodal {
         case "IHDR" =>
           w = buf.getInt(pos + 8); h = buf.getInt(pos + 12)
           require(payload(pos + 16) == 8, "not 8-bit")
-          require(payload(pos + 17) == 0, "not grayscale")
+          require(payload(pos + 17) == colorType,
+            s"color type ${payload(pos + 17)}, expected $colorType")
           require(payload(pos + 20) == 0, "interlaced PNG not supported")
         case "IDAT" => idat.write(payload, pos + 8, len)
         case _ => // ancillary chunk: skip
@@ -463,9 +511,10 @@ object Multimodal {
       pos += 12 + len
     }
     require(w > 0 && h > 0 && idat.size() > 0, "missing IHDR or IDAT")
+    val stride = w * channels
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
-    val raw = new Array[Byte]((w + 1) * h)
+    val raw = new Array[Byte]((stride + 1) * h)
     var off = 0
     while (off < raw.length && !inflater.finished()) {
       val n = inflater.inflate(raw, off, raw.length - off)
@@ -474,16 +523,17 @@ object Multimodal {
     }
     inflater.end()
     require(off == raw.length, s"IDAT inflated to $off of ${raw.length}")
-    val luma = new Array[Byte](w * h)
+    val data = new Array[Byte](stride * h)
     var y = 0
     while (y < h) {
-      val filter = raw(y * (w + 1)) & 0xFF
+      val filter = raw(y * (stride + 1)) & 0xFF
       var x = 0
-      while (x < w) {
-        val f = raw(y * (w + 1) + 1 + x) & 0xFF
-        val a = if (x > 0) luma(y * w + x - 1) & 0xFF else 0
-        val b = if (y > 0) luma((y - 1) * w + x) & 0xFF else 0
-        val c = if (x > 0 && y > 0) luma((y - 1) * w + x - 1) & 0xFF else 0
+      while (x < stride) {
+        val f = raw(y * (stride + 1) + 1 + x) & 0xFF
+        val a = if (x >= channels) data(y * stride + x - channels) & 0xFF else 0
+        val b = if (y > 0) data((y - 1) * stride + x) & 0xFF else 0
+        val c = if (x >= channels && y > 0)
+          data((y - 1) * stride + x - channels) & 0xFF else 0
         val v = filter match {
           case 0 => f
           case 1 => f + a
@@ -492,12 +542,12 @@ object Multimodal {
           case 4 => f + paeth(a, b, c)
           case other => throw new IllegalArgumentException(s"bad filter $other")
         }
-        luma(y * w + x) = v.toByte
+        data(y * stride + x) = v.toByte
         x += 1
       }
       y += 1
     }
-    (w, h, luma)
+    (w, h, data)
   }
 
   /** Content-sniffing image decode: real BMP, gray8-PNG, and baseline

@@ -33,7 +33,44 @@ object MultimodalQueries {
     "m15_decoded_scene_cuts" -> m15,
     "m16_video_cavlc_pixels" -> m16,
     "m17_video_chroma_pixels" -> m17,
-    "m18_audio_wht_features" -> m18)
+    "m18_audio_wht_features" -> m18,
+    "m19_png_color" -> m19)
+
+  /** COLOR image codec on the oracle-checked path (m19): the PNG
+    * codec's truecolor extension (IHDR color type 2, bpp = 3 filter
+    * offsets) round-trips a deterministic RGB plane per asset with
+    * per-doc filter = doc_id % 5 (every RFC 2083 filter type crosses
+    * the gate at pixel width), then the REAL integer BT.601 color →
+    * gray kernel ((77R + 150G + 29B) >> 8) runs on the decoded
+    * pixels — the conversion every gray-plane operator (dHash,
+    * resize, scene cuts) sits behind for color inputs. The oracle
+    * recomputes byte sums, a position-weighted RGB checksum, and the
+    * gray sum from the plane formula — a hash match proves DEFLATE
+    * round-trips the 3-channel filtered scanlines losslessly AND
+    * pins the fixed-point luma arithmetic.
+    *
+    * Scale: zero-shuffle per-asset map like every m-family decode. */
+  private def m19: Q = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = (12, 8)
+    t(spark, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val rgb = Array.tabulate(w * h * 3)(i => ((id * 31 + i) % 256).toByte)
+        val png = Multimodal.encodePngRgb8(w, h, rgb, (id % 5).toInt)
+        val (dw, dh, dec) = Multimodal.decodePngRgb8(png)
+        val gray = Multimodal.rgbToGray8(dec)
+        var rgbSum = 0L; var rgbCk = 0L; var i = 0
+        while (i < dec.length) {
+          val v = (dec(i) & 0xFF).toLong
+          rgbSum += v; rgbCk += v * (i + 1); i += 1
+        }
+        var graySum = 0L; var p = 0
+        while (p < gray.length) { graySum += gray(p) & 0xFF; p += 1 }
+        (id, dw, dh, rgbSum, rgbCk, graySum)
+      }
+      .toDF("doc_id", "width", "height", "rgb_sum", "rgb_checksum",
+        "gray_sum")
+  }
 
   /** Spectral audio features (m18): the frame → transform → band
     * energy → log-compress front-end of an audio featurization
@@ -721,6 +758,18 @@ object MultimodalQueries {
     // floor((dc+32)/64) (offset +6400 keeps // a floor on negatives),
     // and the full-plane weighted checksum uses the per-stripe
     // position-weight sums 7840 + 256*j
+    // m19: round-trip is lossless, so every output recomputes from the
+    // plane formula; gray replays the exact fixed-point luma
+    "m19_png_color" ->
+      """SELECT doc_id, 12 AS width, 8 AS height,
+        | CAST(list_sum(list_transform(range(0, 288), i ->
+        |   (doc_id*31 + i) % 256)) AS BIGINT) AS rgb_sum,
+        | CAST(list_sum(list_transform(range(0, 288), i ->
+        |   ((doc_id*31 + i) % 256) * (i+1))) AS BIGINT) AS rgb_checksum,
+        | CAST(list_sum(list_transform(range(0, 96), p ->
+        |   (77*((doc_id*31 + 3*p) % 256) + 150*((doc_id*31 + 3*p+1) % 256)
+        |    + 29*((doc_id*31 + 3*p+2) % 256)) // 256)) AS BIGINT) AS gray_sum
+        |FROM documents""".stripMargin,
     // m18: the WHT replayed straight from the popcount identity over
     // the PCM formula; band energies pivot via MAX CASE, bits via bin
     "m18_audio_wht_features" ->

@@ -317,6 +317,28 @@ class MultimodalSpec extends AnyFunSuite {
       (2L, 2L, 0L, sadAb, sadAb)))
   }
 
+  test("RGB8 PNG round-trips losslessly under all five filters") {
+    val rnd = new scala.util.Random(19L)
+    for (filter <- 0 to 4) {
+      val (w, h) = (9, 5) // odd width: pixel-offset filters cross rows
+      val rgb = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val png = graft.operators.Multimodal.encodePngRgb8(w, h, rgb, filter)
+      val (dw, dh, dec) = graft.operators.Multimodal.decodePngRgb8(png)
+      assert(dw === w && dh === h)
+      assert(dec.toSeq === rgb.toSeq, s"filter $filter")
+    }
+    // a gray stream is NOT a truecolor stream: color-type check bites
+    val gray = graft.operators.Multimodal.encodePngGray8(4, 4,
+      Array.fill(16)(7.toByte))
+    val ex = intercept[IllegalArgumentException](
+      graft.operators.Multimodal.decodePngRgb8(gray))
+    assert(ex.getMessage.contains("color type"))
+    // fixed-point luma: pure channels hit exactly their weights
+    val pure = Array[Byte](255.toByte, 0, 0, 0, 255.toByte, 0, 0, 0, 255.toByte)
+    val g = graft.operators.Multimodal.rgbToGray8(pure).map(_ & 0xFF)
+    assert(g.toSeq === Seq(77 * 255 >> 8, 150 * 255 >> 8, 29 * 255 >> 8))
+  }
+
   test("FWHT butterfly matches the direct popcount definition + Parseval") {
     val rnd = new scala.util.Random(33L)
     (0 until 50).foreach { _ =>
