@@ -108,7 +108,8 @@ object TextQueries {
     "p3_dedup_keeper" -> p3,
     "p4_leakage_split" -> p4,
     "p5_fuzzy_verify" -> p5,
-    "p6_gopher_pipeline" -> p6
+    "p6_gopher_pipeline" -> p6,
+    "p7_span_clean_pipeline" -> p7
   )
 
   /** Dedup with a keeper POLICY (p3): near-dup groups (d3 pairs → d9
@@ -213,6 +214,38 @@ object TextQueries {
     Sampling.stratified(keepers, col("source"), col("doc_id"), rates,
         defaultBp = 1000)
       .select(col("doc_id"), col("source"), col("n_words"), col("weight"))
+  }
+
+  /** The ExactSubstr prep chain composed end-to-end (p7): d19's
+    * duplicate-span REMOVAL rewrites the corpus, docs that lost more
+    * than half their tokens to boilerplate are dropped, exact dedup
+    * runs on the CLEANED fingerprints (documents that become identical
+    * only after span removal collapse here — the pass a raw-text d1
+    * cannot see; the planted exact dups all clean to md5('') and
+    * collapse to one keeper), and the survivors sample stratified by
+    * source with Horvitz–Thompson weights. Every stage is an operator
+    * proven individually (d19, d1's keeper shape, t25); this query
+    * pins their COMPOSITION against one SQL oracle.
+    *
+    * Scale: d19's span pipeline + one doc-sized keeper agg + the
+    * zero-shuffle hash-threshold sample — nothing new beyond the
+    * operators' own shapes. */
+  private def p7: Q = (spark, dir) => {
+    import graft.operators.{Dedup, Sampling}
+    val rates = (0 until 20).map { i =>
+      s"src$i" -> (if (i < 5) 8000 else if (i < 10) 4000 else 2000)
+    }.toMap
+    val cleaned = Dedup.duplicateSpanRemoval(t(spark, dir, "documents"))
+    val meta = t(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val kept = cleaned.filter(col("n_kept") * 2 >= col("n_tokens"))
+      .join(meta, "doc_id")
+    val keepers = kept.groupBy(col("clean_fp"))
+      .agg(min(struct(col("doc_id"), col("source"), col("n_kept"))).as("m"))
+      .select(col("m.doc_id").as("doc_id"), col("m.source").as("source"),
+        col("m.n_kept").as("n_kept"))
+    Sampling.stratified(keepers, col("source"), col("doc_id"), rates,
+        defaultBp = 2000)
+      .select(col("doc_id"), col("source"), col("n_kept"), col("weight"))
   }
 
   /** The composed data-prep pipeline a training run actually executes:
@@ -1987,10 +2020,12 @@ object TextQueries {
     * survivors re-aggregate in order (string_agg ORDER BY pos) under
     * the same md5 the Spark side computes; all-removed docs pin to
     * md5(''). */
-  private def d19OracleSql: String = {
+  /** The d19 span-removal CTE chain through a `cleaned` CTE
+    * (doc_id, n_tokens, n_removed, n_kept, clean_fp) — shared by the
+    * d19 oracle and p7's composed-pipeline oracle. */
+  private def d19Ctes: String = {
     val win8 = "w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4]||' '||w[i+5]||' '||w[i+6]||' '||w[i+7]"
-    s"""WITH RECURSIVE
-       |words AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+    s"""words AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
        |wins AS (SELECT doc_id, unnest(range(1, len(w) - 6)) AS i, w FROM words),
        |swin AS (SELECT doc_id, i - 1 AS idx, $win8 AS s FROM wins),
        |dsh AS (SELECT DISTINCT s FROM swin),
@@ -2010,16 +2045,22 @@ object TextQueries {
        |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
        |         md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_fp
        |        FROM keptt GROUP BY doc_id),
-       |covn AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id)
-       |SELECT words.doc_id,
+       |covn AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id),
+       |cleaned AS (SELECT words.doc_id,
        |  CAST(len(words.w) AS BIGINT) AS n_tokens,
        |  CAST(COALESCE(covn.n_removed, 0) AS BIGINT) AS n_removed,
        |  CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
        |  COALESCE(agg.clean_fp, md5('')) AS clean_fp
-       |FROM words
-       |LEFT JOIN agg ON agg.doc_id = words.doc_id
-       |LEFT JOIN covn ON covn.doc_id = words.doc_id""".stripMargin
+       | FROM words
+       | LEFT JOIN agg ON agg.doc_id = words.doc_id
+       | LEFT JOIN covn ON covn.doc_id = words.doc_id)""".stripMargin
   }
+
+  private def d19OracleSql: String =
+    s"""WITH RECURSIVE
+       |$d19Ctes
+       |SELECT doc_id, n_tokens, n_removed, n_kept, clean_fp
+       |FROM cleaned""".stripMargin
 
   def oracles: Map[String, String] = {
     // s14 composes the s1 (exact) and s2 (LSH) replays verbatim: the
@@ -2045,6 +2086,29 @@ object TextQueries {
     "t23_bpe_small" -> t23OracleSql,
     "d13_dup_spans" -> d13OracleSql,
     "d19_span_removal" -> d19OracleSql,
+    // p7: d19's cleaned CTE chain -> survival filter -> keeper on the
+    // CLEAN fingerprint -> t25's xxhash64 threshold chain
+    "p7_span_clean_pipeline" -> {
+      val bucket = s"((${OracleSql.u64signed("h1u")} % 10000) + 10000) % 10000"
+      s"""WITH RECURSIVE
+         |$d19Ctes,
+         |keptd AS MATERIALIZED (SELECT c.doc_id, d.source, c.n_kept, c.clean_fp
+         |        FROM cleaned c JOIN documents d USING (doc_id)
+         |        WHERE 2 * c.n_kept >= c.n_tokens),
+         |kp AS MATERIALIZED (SELECT doc_id, source, n_kept FROM (
+         |        SELECT keptd.*, row_number() OVER (PARTITION BY clean_fp ORDER BY doc_id) AS rn
+         |        FROM keptd) q WHERE rn = 1),
+         |xx AS MATERIALIZED (${OracleSql.xxHashLongLayers(
+               "SELECT doc_id, source, n_kept, CAST(doc_id AS HUGEINT) AS fpu FROM kp")}),
+         |r AS (SELECT doc_id, source, n_kept, $bucket AS bucket,
+         |        CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 8000
+         |             WHEN source IN ('src5','src6','src7','src8','src9') THEN 4000
+         |             ELSE 2000 END AS bp
+         |      FROM xx)
+         |SELECT doc_id, source, n_kept,
+         |  CAST(10000.0 AS DOUBLE) / CAST(bp AS DOUBLE) AS weight
+         |FROM r WHERE bucket < bp""".stripMargin
+    },
     // Exact replay of the RollingHash Expression: mod 2^31-1 keeps every
     // intermediate below 2^52 (plain BIGINT), bytes come from the proven
     // hex(encode(..)) idiom (m8), iteration from a recursive CTE (d9/p3).
