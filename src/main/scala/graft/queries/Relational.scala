@@ -59,8 +59,49 @@ object Relational {
     "q31_salted_join" -> q31,
     "q32_dpp_join" -> q32,
     "q33_anomalous_hours" -> q33,
-    "q34_latest_state" -> q34
+    "q34_latest_state" -> q34,
+    "q35_incremental_rollup" -> q35
   )
+
+  /** Incremental materialized-view maintenance (q35): the daily-rollup
+    * pattern a 100 TB warehouse runs instead of full recomputes — a
+    * STORED per-type state (count, exact decimal sum, min/max, and a
+    * mergeable HLL user sketch) built from the accumulated base is
+    * combined with the incoming delta's partial aggregates; the base
+    * rows are never rescanned. Every aggregate is ALGEBRAIC
+    * (count/sum/min/max merge by their own operation; distinct-count
+    * merges as the k3 HLL register-max), so merged(base ⊕ delta) is
+    * provably the full-scan result — which is exactly what the oracle
+    * computes: the full-table rollup, HLL replayed register-for-
+    * register. Decimal partial sums keep the double cast lossless
+    * across the two-level fold (the dsum6 discipline).
+    *
+    * Scale: the delta-sized scan + two |types|-row merges; at
+    * production scale the base state is a table, not a subquery —
+    * the identity proven here is what makes that table correct. */
+  private def q35: Q = (spark, dir) => {
+    import graft.functions.Sketches.{hll_build, hll_estimate, hll_merge}
+    val ev = t(spark, dir, "events")
+      .select(col("event_type"), col("user_id").cast(LongType).as("user_id"),
+        col("value"), epochS(col("ts")).as("t"))
+    // deterministic time split: 5 of every 7 epoch-seconds are the
+    // accumulated base, the rest arrive as the delta
+    val isBase = pmod(col("t"), lit(7L)) < 5
+    def partials(rows: DataFrame): DataFrame = rows
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).as("s"),
+        min(col("t")).as("mn"), max(col("t")).as("mx"),
+        hll_build(col("user_id")).as("sk"))
+    val base = partials(ev.filter(isBase)) // the stored MV state
+    val delta = partials(ev.filter(!isBase)) // today's increment
+    base.unionByName(delta)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).cast(LongType).as("n_events"),
+        sum(col("s")).cast(DoubleType).as("sum_value"),
+        min(col("mn")).as("min_t"), max(col("mx")).as("max_t"),
+        hll_estimate(hll_merge(col("sk"))).as("approx_users"))
+  }
 
   /** Latest-row-per-key upsert view (q34): the CDC/materialized-state
     * read every event log serves — each user's most recent event, with
@@ -766,6 +807,20 @@ object Relational {
   }
 
   def oracles: Map[String, String] = Map(
+    // q35: the oracle IS the maintenance identity — it computes the
+    // FULL-table rollup (no base/delta anywhere), so a hash match
+    // proves merged partial states equal a fresh recompute; HLL
+    // replays via k3's register chain
+    "q35_incremental_rollup" ->
+      s"""WITH st AS (SELECT event_type, COUNT(*) AS n_events,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+         |    MIN(CAST(epoch_us(ts) // 1000000 AS BIGINT)) AS min_t,
+         |    MAX(CAST(epoch_us(ts) // 1000000 AS BIGINT)) AS max_t
+         |  FROM events GROUP BY 1),
+         |hll AS (${SketchQueries.k3OracleSql})
+         |SELECT st.event_type, st.n_events, st.sum_value, st.min_t,
+         |  st.max_t, hll.approx_users
+         |FROM st JOIN hll USING (event_type)""".stripMargin,
     "q34_latest_state" ->
       """SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS last_ts,
         | event_id AS last_event_id, event_type AS last_type,
