@@ -79,6 +79,15 @@ def nn_join(left, right, k, bits):
         left._jdf, right._jdf, int(k), int(bits)))
 
 
+def span_removal(docs, span_tokens=8, min_docs=2):
+    """ExactSubstr duplicate-span removal over a (doc_id, text) frame:
+    tokens covered by any >= min_docs-document span of span_tokens words
+    are cut. Returns (doc_id, n_tokens, n_removed, n_kept, clean_fp)."""
+    spark = docs.sparkSession
+    return _wrap(spark, spark._jvm.graft.api.PyOps.spanRemoval(
+        docs._jdf, int(span_tokens), int(min_docs)))
+
+
 class LogStore:
     """One store's full API surface from Python."""
 

@@ -51,4 +51,13 @@ object PyOps {
   def nnJoin(left: DataFrame, right: DataFrame, k: Int,
       bits: Int): DataFrame =
     Similarity.nnJoin(left, right, k, bits)
+
+  /** ExactSubstr duplicate-span removal:
+    * [[Dedup.duplicateSpanRemoval]] over a (doc_id, text) frame —
+    * tokens covered by any >= minDocs-document span of spanTokens
+    * words are cut; per doc: token/removed/kept counts + the cleaned
+    * text's md5 fingerprint. */
+  def spanRemoval(docs: DataFrame, spanTokens: Int,
+      minDocs: Int): DataFrame =
+    Dedup.duplicateSpanRemoval(docs, spanTokens, minDocs)
 }

@@ -225,7 +225,7 @@ print("OK: SQL function surface (splitmix64/dot_product/cosine_sim/hll) "
 # callable from Python with the Scala plan shapes unchanged.
 # ---------------------------------------------------------------------------
 from graft_logstore import (salted_join, stratified_sample,
-                            edit_distance_pairs, nn_join)
+                            edit_distance_pairs, nn_join, span_removal)
 
 # salted_join: provably result-identical to the plain inner join
 dim = spark.createDataFrame(
@@ -271,6 +271,18 @@ self_hits = {r["query_id"]: r["neighbor_id"] for r in top1}
 if len(top1) != 8 or any(q != n for q, n in self_hits.items()):
     print(f"MISMATCH nn_join self top-1: {self_hits}")
     sys.exit(1)
+# span_removal: a 10-token span shared by docs 1 and 2 is cut from both;
+# doc 3 shares nothing and keeps every token
+base = "one two three four five six seven eight nine ten"
+sdocs = spark.createDataFrame(
+    [(1, base + " tail1 only"), (2, "head2 " + base), (3, "alpha beta gamma")],
+    "doc_id LONG, text STRING")
+sr = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["n_kept"])
+      for r in span_removal(sdocs, 8, 2).collect()}
+if sr != {1: (12, 10, 2), 2: (11, 10, 1), 3: (3, 0, 3)}:
+    print(f"MISMATCH span_removal: {sr}")
+    sys.exit(1)
+
 print("OK: composite operator surface (salted_join/stratified_sample/"
-      "edit_distance_pairs/nn_join) from Python")
+      "edit_distance_pairs/nn_join/span_removal) from Python")
 sys.exit(0)
