@@ -435,7 +435,8 @@ object H264Cavlc {
       dcLevels: Array[Array[Array[Int]]], qp: Int,
       idrPicId: Int = 0,
       cbDc: Array[Array[Array[Int]]] = null,
-      crDc: Array[Array[Array[Int]]] = null): Array[Byte] = {
+      crDc: Array[Array[Array[Int]]] = null,
+      predModes: Array[Int] = null): Array[Byte] = {
     require(dcLevels.length == widthMbs * heightMapUnits)
     require(qp >= 1 && qp <= 51, s"qp out of range: $qp")
     require((cbDc == null) == (crDc == null),
@@ -443,6 +444,22 @@ object H264Cavlc {
     val chroma = cbDc != null
     if (chroma) {
       require(cbDc.length == dcLevels.length && crDc.length == dcLevels.length)
+    }
+    // per-MB Intra_16x16 luma prediction mode (0 vertical / 1
+    // horizontal / 2 DC / 3 plane); default all-DC. Modes needing
+    // unavailable neighbours are rejected here — a stream carrying
+    // them would be non-conformant (8.3.3).
+    val modes =
+      if (predModes == null) Array.fill(dcLevels.length)(2) else predModes
+    require(modes.length == dcLevels.length)
+    modes.zipWithIndex.foreach { case (mode, mi) =>
+      require(mode >= 0 && mode <= 3, s"bad Intra_16x16 pred mode $mode")
+      val mx = mi % widthMbs
+      val my = mi / widthMbs
+      if (mode == 0) require(my > 0, s"mb $mi: vertical needs a top neighbour")
+      if (mode == 1) require(mx > 0, s"mb $mi: horizontal needs a left neighbour")
+      if (mode == 3) require(mx > 0 && my > 0,
+        s"mb $mi: plane needs left+top neighbours")
     }
     val w = new BitWriter
     w.ue(0) // first_mb_in_slice
@@ -454,10 +471,9 @@ object H264Cavlc {
     w.se(qp - 1 - 26) // slice_qp_delta: SliceQPy = qp - 1
     var m = 0
     while (m < dcLevels.length) {
-      // Table 7-11: I_16x16_2_0_0 (mb_type 3) without chroma residual,
-      // I_16x16_2_1_0 (mb_type 7) with CodedBlockPatternChroma = 1
-      // (chroma DC only) — both Intra_16x16 DC prediction, luma CBP 0.
-      w.ue(if (chroma) 7 else 3)
+      // Table 7-11: mb_type = 1 + predMode + 4*CodedBlockPatternChroma
+      // (luma CBP 0 throughout) — 3/7 are the DC-prediction members.
+      w.ue(1 + modes(m) + (if (chroma) 4 else 0))
       w.ue(0) // intra_chroma_pred_mode: DC
       w.se(if (m == 0) 1 else 0) // mb_qp_delta -> QPy = qp from MB 0 on
       val scan = new Array[Int](16)
@@ -609,9 +625,15 @@ object H264Cavlc {
     val nMbs = widthMbs * mapUnits
     while (m < nMbs) {
       val mbType = r.ue()
-      require(mbType == 3 || mbType == 7,
-        s"mb $m is not I_16x16_2_{0,1}_0 (mb_type $mbType) — outside the " +
-          "CAVLC intra-DC decode subset")
+      // Table 7-11, mb_type 1..8: I_16x16_{pred}_{cbpChroma}_0 with
+      // predMode = (mb_type-1) % 4 (0 vertical / 1 horizontal / 2 DC /
+      // 3 plane) and CodedBlockPatternChroma = (mb_type-1) / 4 (0 or
+      // 1); CodedBlockPatternLuma is 0 for the whole range.
+      require(mbType >= 1 && mbType <= 8,
+        s"mb $m is not I_16x16_x_{0,1}_0 (mb_type $mbType) — outside the " +
+          "CAVLC intra decode subset")
+      val predMode = (mbType - 1) % 4
+      val cbpChroma = (mbType - 1) / 4
       require(r.ue() == 0, "only chroma DC prediction mode supported")
       val dq = r.se() // mb_qp_delta
       qpy = (qpy + dq + 52) % 52 // 7.4.5 wrap (QpBdOffsetY = 0)
@@ -626,42 +648,74 @@ object H264Cavlc {
       val f = hadamard(cArr)
       val mbX = m % widthMbs
       val mbY = m / widthMbs
-      // Intra_16x16 DC prediction (8.3.3.3) from reconstructed pixels.
-      var sum = 0
-      var n = 0
-      if (mbX > 0) {
-        var row = 0
-        while (row < 16) {
-          sum += plane((mbY * 16 + row) * w16 + mbX * 16 - 1) & 0xFF
-          row += 1
-        }
-        n += 16
+      val leftAv = mbX > 0
+      val topAv = mbY > 0
+      def pL(y: Int): Int = plane((mbY * 16 + y) * w16 + mbX * 16 - 1) & 0xFF
+      def pT(x: Int): Int = plane((mbY * 16 - 1) * w16 + mbX * 16 + x) & 0xFF
+      def pTL: Int = plane((mbY * 16 - 1) * w16 + mbX * 16 - 1) & 0xFF
+      // Intra_16x16 luma prediction (8.3.3.1–8.3.3.4) from
+      // reconstructed neighbour samples, as a per-pixel function.
+      val predAt: (Int, Int) => Int = predMode match {
+        case 0 => // vertical: predL[x,y] = p[x,-1]
+          require(topAv,
+            s"mb $m: vertical Intra_16x16 prediction without a top neighbour")
+          val t = Array.tabulate(16)(pT)
+          (x, _) => t(x)
+        case 1 => // horizontal: predL[x,y] = p[-1,y]
+          require(leftAv,
+            s"mb $m: horizontal Intra_16x16 prediction without a left neighbour")
+          val l = Array.tabulate(16)(pL)
+          (_, y) => l(y)
+        case 2 => // DC with availability fallbacks
+          var sum = 0
+          var n = 0
+          if (leftAv) {
+            var row = 0
+            while (row < 16) { sum += pL(row); row += 1 }
+            n += 16
+          }
+          if (topAv) {
+            var col = 0
+            while (col < 16) { sum += pT(col); col += 1 }
+            n += 16
+          }
+          val dc =
+            if (n == 32) (sum + 16) >> 5
+            else if (n == 16) (sum + 8) >> 4
+            else 128
+          (_, _) => dc
+        case _ => // plane (8.3.3.4)
+          require(leftAv && topAv,
+            s"mb $m: plane Intra_16x16 prediction without left+top neighbours")
+          var hAcc = 0
+          var vAcc = 0
+          var i = 0
+          while (i < 8) {
+            val tLo = if (6 - i >= 0) pT(6 - i) else pTL
+            hAcc += (i + 1) * (pT(8 + i) - tLo)
+            val lLo = if (6 - i >= 0) pL(6 - i) else pTL
+            vAcc += (i + 1) * (pL(8 + i) - lLo)
+            i += 1
+          }
+          val a = 16 * (pL(15) + pT(15))
+          val b = (5 * hAcc + 32) >> 6
+          val c = (5 * vAcc + 32) >> 6
+          (x, y) => clip255((a + b * (x - 7) + c * (y - 7) + 16) >> 5)
       }
-      if (mbY > 0) {
-        var col = 0
-        while (col < 16) {
-          sum += plane((mbY * 16 - 1) * w16 + mbX * 16 + col) & 0xFF
-          col += 1
-        }
-        n += 16
-      }
-      val pred =
-        if (n == 32) (sum + 16) >> 5
-        else if (n == 16) (sum + 8) >> 4
-        else 128
       var bi = 0
       while (bi < 4) {
         var bj = 0
         while (bj < 4) {
           val dcY = dequantDc(f(bi)(bj), qpy)
           val res = (dcY + 32) >> 6 // DC-only 8.5.12.2
-          val v = clip255(pred + res).toByte
           var rr = 0
           while (rr < 4) {
             var cc = 0
             while (cc < 4) {
-              plane((mbY * 16 + bi * 4 + rr) * w16 +
-                mbX * 16 + bj * 4 + cc) = v
+              val x = bj * 4 + cc
+              val y = bi * 4 + rr
+              plane((mbY * 16 + y) * w16 + mbX * 16 + x) =
+                clip255(predAt(x, y) + res).toByte
               cc += 1
             }
             rr += 1
@@ -670,12 +724,12 @@ object H264Cavlc {
         }
         bi += 1
       }
-      // chroma: residual 2x2 DC blocks when CodedBlockPatternChroma = 1
-      // (mb_type 7), prediction-only otherwise; Cb precedes Cr
+      // chroma: residual 2x2 DC blocks when CodedBlockPatternChroma = 1,
+      // prediction-only otherwise; Cb precedes Cr
       val cbScan =
-        if (mbType == 7) decodeChromaDcBlock(r) else new Array[Int](4)
+        if (cbpChroma == 1) decodeChromaDcBlock(r) else new Array[Int](4)
       val crScan =
-        if (mbType == 7) decodeChromaDcBlock(r) else new Array[Int](4)
+        if (cbpChroma == 1) decodeChromaDcBlock(r) else new Array[Int](4)
       val qPc = qpc(qpy + chromaQpOff)
       Seq((cbPlane, cbScan), (crPlane, crScan)).foreach { case (cp, sc) =>
         val f2 = hadamard2(Array(Array(sc(0), sc(1)), Array(sc(2), sc(3))))
@@ -685,7 +739,7 @@ object H264Cavlc {
           while (cbj < 2) {
             val pred = chromaDcPred(cp, w8, mbX, mbY, cbi, cbj)
             val res =
-              if (mbType == 7) (dequantChromaDc(f2(cbi)(cbj), qPc) + 32) >> 6
+              if (cbpChroma == 1) (dequantChromaDc(f2(cbi)(cbj), qPc) + 32) >> 6
               else 0
             val v = clip255(pred + res).toByte
             var rr = 0

@@ -34,7 +34,53 @@ object MultimodalQueries {
     "m16_video_cavlc_pixels" -> m16,
     "m17_video_chroma_pixels" -> m17,
     "m18_audio_wht_features" -> m18,
-    "m19_png_color" -> m19)
+    "m19_png_color" -> m19,
+    "m20_video_pred_modes" -> m20)
+
+  /** All four Intra_16x16 luma prediction modes on the oracle gate
+    * (m20): each asset is a 2x2-macroblock IDR picture whose MBs use
+    * DC (no neighbours), horizontal (copies the left MB's edge),
+    * vertical (copies the top MB's edge) and PLANE prediction (the
+    * 8.3.3.4 gradient from the left/top/corner edges) in raster
+    * order, each with its own CAVLC-coded luma DC level — so the
+    * reconstruction CHAINS: MB0 is uniform v0, MB1/MB2 copy v0 and
+    * add their residual, and MB3's plane predictor sees uniform
+    * borders v1 (top), v2 (left) and corner v0, collapsing 8.3.3.4 to
+    * a = 16(v1+v2), b = (40(v1-v0)+32)>>6, c = (40(v2-v0)+32)>>6 —
+    * a true non-uniform gradient the oracle recomputes per pixel.
+    * Position-weighted whole-plane checksum pins every pixel of all
+    * four MBs.
+    *
+    * Scale: zero-shuffle per-asset map like every m-family decode. */
+  private def m20: Q = (spark, dir) => {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      def dcOf(c0: Int) = {
+        val a = Array.fill(4, 4)(0); a(0)(0) = c0; a
+      }
+      val dc = Array(
+        dcOf((id % 13).toInt - 6), dcOf((id % 5).toInt - 2),
+        dcOf(((id / 5) % 5).toInt - 2), dcOf(((id / 3) % 5).toInt - 2))
+      // raster order: DC, horizontal (left avail), vertical (top
+      // avail), plane (both)
+      val modes = Array(2, 1, 0, 3)
+      val es = graft.operators.H264.encodeSps(2, 2, 0) ++
+        graft.operators.H264.encodePps() ++
+        graft.operators.H264Cavlc.encodeIntra16Frame(2, 2, dc, qp = 24,
+          idrPicId = (id % 65536).toInt, predModes = modes)
+      val frames = graft.operators.H264Cavlc.decodeIntra16Frames(es)
+      require(frames.size == 1)
+      val (w, h, y) = frames.head
+      var s = 0L; var ck = 0L; var i = 0
+      while (i < y.length) {
+        val v = (y(i) & 0xFF).toLong
+        s += v; ck += v * (i + 1); i += 1
+      }
+      (id, w, h, y(0) & 0xFF, y(16) & 0xFF, y(16 * 32) & 0xFF,
+        y(16 * 32 + 16) & 0xFF, s, ck)
+    }.toDF("doc_id", "width", "height", "v0", "v1", "v2", "v3corner",
+      "y_sum", "y_checksum")
+  }
 
   /** COLOR image codec on the oracle-checked path (m19): the PNG
     * codec's truecolor extension (IHDR color type 2, bpp = 3 filter
@@ -758,6 +804,42 @@ object MultimodalQueries {
     // floor((dc+32)/64) (offset +6400 keeps // a floor on negatives),
     // and the full-plane weighted checksum uses the per-stripe
     // position-weight sums 7840 + 256*j
+    // m20: the mode chain in closed form — v0 uniform, v1/v2 edge
+    // copies + residual, MB3's plane gradient recomputed per pixel
+    // (a = 16(v1+v2), b/c the 40x-dequant slopes); weights 63616/
+    // 67712/194688 are the per-MB position sums in the 32x32 frame,
+    // 529 + 32*(i//16) + i%16 the per-pixel weight inside MB3
+    "m20_video_pred_modes" -> {
+      def r(c: String) = s"((40*($c) + 6432) // 64 - 100)"
+      s"""WITH c AS (SELECT doc_id,
+         |   CAST(doc_id % 13 AS BIGINT) - 6 AS c0,
+         |   CAST(doc_id % 5 AS BIGINT) - 2 AS c1,
+         |   CAST((doc_id // 5) % 5 AS BIGINT) - 2 AS c2,
+         |   CAST((doc_id // 3) % 5 AS BIGINT) - 2 AS c3
+         | FROM documents),
+         |v AS (SELECT doc_id,
+         |   LEAST(255, GREATEST(0, 128 + ${r("c0")})) AS v0,
+         |   ${r("c1")} AS r1, ${r("c2")} AS r2, ${r("c3")} AS r3 FROM c),
+         |vv AS (SELECT doc_id, v0,
+         |   LEAST(255, GREATEST(0, v0 + r1)) AS v1,
+         |   LEAST(255, GREATEST(0, v0 + r2)) AS v2, r3 FROM v),
+         |p3 AS (SELECT doc_id, v0, v1, v2,
+         |   list_transform(range(0, 256), i ->
+         |     LEAST(255, GREATEST(0,
+         |       LEAST(255, GREATEST(0,
+         |         (16*(v2 + v1) + ${r("v1 - v0")} * ((i % 16) - 7)
+         |          + ${r("v2 - v0")} * ((i // 16) - 7) + 16) // 32))
+         |       + r3))) AS p FROM vv)
+         |SELECT doc_id, 32 AS width, 32 AS height,
+         |  CAST(v0 AS INTEGER) AS v0, CAST(v1 AS INTEGER) AS v1,
+         |  CAST(v2 AS INTEGER) AS v2, CAST(p[1] AS INTEGER) AS v3corner,
+         |  CAST(256*(v0 + v1 + v2) + list_sum(p) AS BIGINT) AS y_sum,
+         |  CAST(63616*v0 + 67712*v1 + 194688*v2 +
+         |    list_sum(list_transform(range(0, 256), i ->
+         |      p[i + 1] * (529 + 32*(i // 16) + (i % 16)))) AS BIGINT)
+         |    AS y_checksum
+         |FROM p3""".stripMargin
+    },
     // m19: round-trip is lossless, so every output recomputes from the
     // plane formula; gray replays the exact fixed-point luma
     "m19_png_color" ->

@@ -78,12 +78,15 @@ class H264CavlcSpec extends AnyFunSuite {
     * (no shared transform/pred helpers beyond the Hadamard matrix
     * definition, recomputed here longhand). */
   private def referenceFrame(widthMbs: Int, mapUnits: Int,
-      dc: Array[Array[Array[Int]]], qp: Int): Array[Byte] = {
+      dc: Array[Array[Array[Int]]], qp: Int,
+      modes: Array[Int] = null): Array[Byte] = {
+    val md = if (modes == null) Array.fill(dc.length)(2) else modes
     val w16 = widthMbs * 16
     val plane = new Array[Byte](w16 * mapUnits * 16)
     val h = Array(Array(1, 1, 1, 1), Array(1, 1, -1, -1),
       Array(1, -1, -1, 1), Array(1, -1, 1, -1))
     val v = Array(10, 11, 13, 14, 16, 18)(qp % 6) * 16
+    def clip(x: Int) = math.max(0, math.min(255, x))
     for (mb <- dc.indices) {
       val mbX = mb % widthMbs
       val mbY = mb / widthMbs
@@ -92,31 +95,72 @@ class H264CavlcSpec extends AnyFunSuite {
         (for (m <- 0 until 4; n <- 0 until 4)
           yield h(i)(m) * dc(mb)(m)(n) * h(n)(j)).sum
       }
-      var sum = 0; var cnt = 0
-      if (mbX > 0) {
-        for (r <- 0 until 16) {
-          sum += plane((mbY * 16 + r) * w16 + mbX * 16 - 1) & 0xFF
-        }
-        cnt += 16
+      def lft(y: Int) = plane((mbY * 16 + y) * w16 + mbX * 16 - 1) & 0xFF
+      def top(x: Int) = plane((mbY * 16 - 1) * w16 + mbX * 16 + x) & 0xFF
+      def tl = plane((mbY * 16 - 1) * w16 + mbX * 16 - 1) & 0xFF
+      val pred: (Int, Int) => Int = md(mb) match {
+        case 0 => (x, _) => top(x)
+        case 1 => (_, y) => lft(y)
+        case 2 =>
+          var sum = 0; var cnt = 0
+          if (mbX > 0) { for (r <- 0 until 16) sum += lft(r); cnt += 16 }
+          if (mbY > 0) { for (c <- 0 until 16) sum += top(c); cnt += 16 }
+          val p = if (cnt == 32) (sum + 16) >> 5
+            else if (cnt == 16) (sum + 8) >> 4 else 128
+          (_, _) => p
+        case _ =>
+          // plane, recomputed longhand from 8.3.3.4
+          val hh = (0 until 8).map(i =>
+            (i + 1) * (top(8 + i) - (if (6 - i >= 0) top(6 - i) else tl))).sum
+          val vv = (0 until 8).map(i =>
+            (i + 1) * (lft(8 + i) - (if (6 - i >= 0) lft(6 - i) else tl))).sum
+          val a = 16 * (lft(15) + top(15))
+          val b = (5 * hh + 32) >> 6
+          val c = (5 * vv + 32) >> 6
+          (x, y) => clip((a + b * (x - 7) + c * (y - 7) + 16) >> 5)
       }
-      if (mbY > 0) {
-        for (c <- 0 until 16) {
-          sum += plane((mbY * 16 - 1) * w16 + mbX * 16 + c) & 0xFF
-        }
-        cnt += 16
-      }
-      val pred = if (cnt == 32) (sum + 16) >> 5
-        else if (cnt == 16) (sum + 8) >> 4 else 128
       for (bi <- 0 until 4; bj <- 0 until 4) {
         val dcY = if (qp >= 36) (f(bi)(bj) * v) << (qp / 6 - 6)
           else (f(bi)(bj) * v + (1 << (5 - qp / 6))) >> (6 - qp / 6)
         val res = (dcY + 32) >> 6
-        val px = math.max(0, math.min(255, pred + res)).toByte
         for (r <- 0 until 4; c <- 0 until 4)
-          plane((mbY * 16 + bi * 4 + r) * w16 + mbX * 16 + bj * 4 + c) = px
+          plane((mbY * 16 + bi * 4 + r) * w16 + mbX * 16 + bj * 4 + c) =
+            clip(pred(bj * 4 + c, bi * 4 + r) + res).toByte
       }
     }
     plane
+  }
+
+  test("all four Intra_16x16 luma prediction modes match the reference " +
+      "(multi-MB chains across modes and QPs)") {
+    val rnd = new scala.util.Random(23L)
+    for (qp <- Seq(10, 24, 38); trial <- 0 until 6) {
+      val (wMbs, hMus) = (3, 3)
+      val dc = Array.fill(wMbs * hMus)(Array.fill(4, 4)(rnd.nextInt(9) - 4))
+      // legal mode per position: top row can't be vertical/plane,
+      // left column can't be horizontal/plane
+      val modes = Array.tabulate(wMbs * hMus) { m =>
+        val mx = m % wMbs; val my = m / wMbs
+        val legal =
+          if (mx > 0 && my > 0) Seq(0, 1, 2, 3)
+          else if (my > 0) Seq(0, 2)
+          else if (mx > 0) Seq(1, 2)
+          else Seq(2)
+        legal(rnd.nextInt(legal.length))
+      }
+      val es = H264.encodeSps(wMbs, hMus, 0) ++ H264.encodePps() ++
+        H264Cavlc.encodeIntra16Frame(wMbs, hMus, dc, qp, idrPicId = trial,
+          predModes = modes)
+      val frames = H264Cavlc.decodeIntra16Frames(es)
+      assert(frames.size === 1)
+      assert(frames.head._3.toSeq ===
+        referenceFrame(wMbs, hMus, dc, qp, modes).toSeq)
+    }
+    // an illegal mode is refused at encode time
+    intercept[IllegalArgumentException] {
+      H264Cavlc.encodeIntra16Frame(1, 1,
+        Array(Array.fill(4, 4)(0)), qp = 24, predModes = Array(3))
+    }
   }
 
   test("intra-16x16-DC frame decode matches independent reference " +
