@@ -63,7 +63,10 @@ object BenchStress {
     // streaming dedup (bounded state over the blown-up stream), CCNet
     // buckets (bigram shuffle + doc-stat ntile)
     "d19_span_removal", "t33_dsir_select", "c20_stream_dropdup_ttl",
-    "t32_ccnet_buckets")
+    "t32_ccnet_buckets",
+    // MV maintenance (events-sized partials), composed ExactSubstr
+    // prep (d19 + keeper + sample end-to-end), KN LM (bigram shuffle)
+    "q35_incremental_rollup", "p7_span_clean_pipeline", "t34_kneser_ney")
 
   /** Optional comma-separated name-prefix filter
     * (SPARK_GRAFT_STRESS_ONLY) — stress just the matching queries, so
