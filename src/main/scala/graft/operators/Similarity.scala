@@ -670,4 +670,54 @@ object Similarity {
     * when a bucket holds < k candidates). */
   def lshKnn(emb: DataFrame, queries: DataFrame, k: Int, bits: Int): DataFrame =
     multiProbeLshKnn(emb, queries, k, bits, probes = 0)
+
+  /** Hyperplane-LSH parameter sweep (s16): the tuning readout behind
+    * every "how many signature bits do I need" decision — for each
+    * width, the precision/recall of SINGLE-PROBE bucket candidates
+    * against the exact cosine >= tau neighborhood ([[rangeSearch]]) of
+    * a bounded query set. One row per width: candidate/truth/hit
+    * counts plus integer basis-point precision and recall. Because
+    * the hyperplanes are deterministic per plane index j, a width-b
+    * signature is the LOW b bits of the widest signature — ONE
+    * [[lshSignatures]] pass serves every config (mask, don't rehash).
+    *
+    * Scale: the signature pass is corpus-sized (zero-shuffle map);
+    * candidates join the |Q|-row masked query buckets broadcast-side;
+    * the truth scan is s11's broadcast-query corpus scan. At 100 TB
+    * the eval runs on a sampled query set exactly as here — |Q| is
+    * the dial, never the corpus. */
+  def lshParameterSweep(emb: DataFrame, queries: DataFrame, tau: Double,
+      bitsList: Seq[Int] = Seq(4, 8, 12)): DataFrame = {
+    require(bitsList.nonEmpty && bitsList.forall(b => b >= 1 && b <= 62))
+    val sig = lshSignatures(emb, bitsList.max)
+      .select(col("vec_id"), col("bucket"))
+    val truth = rangeSearch(emb, queries, tau)
+      .select(col("query_id"), col("neighbor_id"))
+    val qids = queries.select(col("vec_id").cast("long").as("query_id"))
+    val qsig = sig.join(qids, sig("vec_id") === qids("query_id"))
+      .select(col("query_id"), col("bucket").as("qbucket"))
+    val frames = bitsList.map { bits =>
+      val mask = (1L << bits) - 1
+      val cand = sig
+        .join(broadcast(qsig),
+          col("bucket").bitwiseAND(mask) === col("qbucket").bitwiseAND(mask) &&
+            col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      val st = cand
+        .join(truth.withColumn("t", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left_outer")
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(coalesce(col("t"), lit(0L))), lit(0L)).as("n_hit"))
+      st.crossJoin(truth.agg(count(lit(1)).as("n_true")))
+        .select(lit(bits).as("bits"),
+          col("n_candidates"), col("n_true"), col("n_hit"),
+          when(col("n_candidates") === 0, lit(0L))
+            .otherwise(floor(col("n_hit") * 10000 / col("n_candidates")))
+            .cast("long").as("precision_bp"),
+          when(col("n_true") === 0, lit(0L))
+            .otherwise(floor(col("n_hit") * 10000 / col("n_true")))
+            .cast("long").as("recall_bp"))
+    }
+    frames.reduce(_ unionByName _)
+  }
 }

@@ -92,6 +92,7 @@ object TextQueries {
     "s13_farthest_init" -> ((spark, dir) =>
       Clustering.farthestPointInit(t(spark, dir, "embeddings"), k = 6)),
     "s14_ann_recall" -> s14,
+    "s16_lsh_sweep" -> s16,
     "s2_ann_lsh" -> s2,
     "s3_ann_ivf" -> s3,
     "s4_ann_multiprobe" -> s4,
@@ -1023,6 +1024,18 @@ object TextQueries {
   private def s11: Q = (spark, dir) => {
     val e = t(spark, dir, "embeddings")
     Similarity.rangeSearch(e, e.filter(col("vec_id") < 8), tau = 0.25)
+  }
+
+  /** Hyperplane-LSH parameter sweep (s16): per signature width
+    * {4, 8, 12}, precision/recall of single-probe bucket candidates
+    * against s11's exact cosine >= 0.25 neighborhood of the same
+    * 8-query set — the bits dial every LSH operator here exposes,
+    * measured instead of guessed. One lshSignatures pass serves all
+    * widths (a width-b signature is the low b bits of the widest). */
+  private def s16: Q = (spark, dir) => {
+    val e = t(spark, dir, "embeddings")
+    Similarity.lshParameterSweep(e, e.filter(col("vec_id") < 8),
+      tau = 0.25, bitsList = Seq(4, 8, 12))
   }
 
   /** LSH nearest-neighbor JOIN (s12): both sides corpus-sized — each
@@ -2957,6 +2970,43 @@ object TextQueries {
     },
     // s11: the s1 cosine replay without the rank window; the ≥ tau
     // comparison is on bit-identical doubles, so the match set is exact.
+    // s16: s2's signature replay at 12 bits (a width-b bucket is the
+    // low b bits), s11's exact-radius truth, per-config counts with
+    // integer basis-point precision/recall; configs with zero
+    // candidates still emit their row
+    "s16_lsh_sweep" ->
+      (s"WITH ${splitmixHyperplanes(12)},\n" +
+      """pj AS (SELECT e.vec_id, hp.j, list_dot_product(e.v, hp.hv) AS proj
+        |       FROM e CROSS JOIN hp),
+        |sig AS (SELECT vec_id, CAST(SUM(CASE WHEN proj >= 0e0
+        |          THEN 1::BIGINT << j ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+        |        FROM pj GROUP BY vec_id),
+        |truth AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |          FROM e c JOIN (SELECT vec_id, v FROM e WHERE vec_id < 8) q
+        |            ON c.vec_id <> q.vec_id
+        |          WHERE list_dot_product(q.v, c.v) /
+        |            (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.25),
+        |tn AS (SELECT COUNT(*) AS n_true FROM truth),
+        |cfg AS (SELECT unnest([4, 8, 12]) AS bits),
+        |cand AS (SELECT cfg.bits, q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |         FROM cfg CROSS JOIN (SELECT vec_id, bucket FROM sig WHERE vec_id < 8) q
+        |         JOIN sig c ON (c.bucket % (1::BIGINT << cfg.bits)) = (q.bucket % (1::BIGINT << cfg.bits))
+        |              AND c.vec_id <> q.vec_id),
+        |stc AS (SELECT bits, COUNT(*) AS n_candidates,
+        |         SUM(CASE WHEN t.query_id IS NULL THEN 0 ELSE 1 END) AS n_hit
+        |        FROM cand LEFT JOIN truth t ON t.query_id = cand.query_id
+        |          AND t.neighbor_id = cand.neighbor_id
+        |        GROUP BY bits),
+        |st AS (SELECT cfg.bits, COALESCE(stc.n_candidates, 0) AS n_candidates,
+        |         COALESCE(stc.n_hit, 0) AS n_hit
+        |       FROM cfg LEFT JOIN stc USING (bits))
+        |SELECT st.bits, CAST(st.n_candidates AS BIGINT) AS n_candidates,
+        |  tn.n_true, CAST(st.n_hit AS BIGINT) AS n_hit,
+        |  CAST(CASE WHEN st.n_candidates = 0 THEN 0
+        |       ELSE (st.n_hit * 10000) // st.n_candidates END AS BIGINT) AS precision_bp,
+        |  CAST(CASE WHEN tn.n_true = 0 THEN 0
+        |       ELSE (st.n_hit * 10000) // tn.n_true END AS BIGINT) AS recall_bp
+        |FROM st CROSS JOIN tn""".stripMargin),
     "s11_range_search" ->
       """SELECT query_id, neighbor_id, sim FROM (
         | SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
