@@ -365,6 +365,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(hit >= 0) // recorded, not asserted: buckets at 4 bits are coarse
   }
 
+  test("lsh parameter sweep: invariants across widths + exact eval math") {
+    import spark.implicits._
+    val q = emb.filter(col("vec_id") < 8)
+    val sweep = Similarity.lshParameterSweep(emb, q, tau = 0.25,
+        bitsList = Seq(2, 4, 8))
+      .orderBy("bits")
+      .select("bits", "n_candidates", "n_true", "n_hit", "precision_bp",
+        "recall_bp")
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+    assert(sweep.map(_._1).toSeq === Seq(2, 4, 8))
+    // n_true is width-independent and equals the exact radius search
+    val nTrue = Similarity.rangeSearch(emb, q, 0.25).count()
+    assert(sweep.forall(_._3 === nTrue))
+    // a width-b bucket refines width-(b-1): candidates shrink
+    // monotonically, hits can only be lost
+    assert(sweep(0)._2 >= sweep(1)._2 && sweep(1)._2 >= sweep(2)._2)
+    assert(sweep(0)._4 >= sweep(1)._4 && sweep(1)._4 >= sweep(2)._4)
+    // basis points are exactly the integer formulas
+    sweep.foreach { case (_, cand, tru, hit, p, r) =>
+      assert(p === (if (cand == 0) 0L else hit * 10000 / cand))
+      assert(r === (if (tru == 0) 0L else hit * 10000 / tru))
+      assert(hit <= math.min(cand, tru))
+    }
+  }
+
   test("embedding-cosine exact pairs: ordered ids, sims within threshold") {
     val pairs = Dedup.embeddingCosinePairs(emb, 0.3).cache()
     assert(pairs.filter(col("a_id") >= col("b_id")).count() === 0)
