@@ -248,6 +248,90 @@ object Dedup {
     verifyCandidates(candidates, sh, threshold)
   }
 
+  /** MinHash banding parameter sweep (d20): the (bands, rows-per-band)
+    * dial behind every LSH dedup deployment, measured instead of
+    * looked up on an S-curve chart — for each banding of the SAME
+    * 128-permutation signature, the precision/recall of band-bucket
+    * candidate pairs against the exact Jaccard >= threshold truth.
+    * One row per config: candidate/truth/hit counts plus integer
+    * basis-point precision and recall. More rows per band sharpens
+    * the S-curve (fewer false candidates, more misses); the sweep
+    * shows where the operating point sits on THIS corpus.
+    *
+    * Scale: ONE signature pass (the minHashBandsFromDocs mapper,
+    * mins kept instead of folded) serves every config; per config the
+    * only work is the |docs|x bands band table and its bucket
+    * self-join — the d3 candidate shape. The exact-truth pair set is
+    * the d2 inverted-index join: at 100 TB the eval runs on a sampled
+    * partition, the same honesty note as s14/s16. */
+  def minHashBandSweep(docs: DataFrame, threshold: Double = 0.8,
+      configs: Seq[(Int, Int)] = Seq((64, 2), (32, 4), (16, 8))): DataFrame = {
+    require(configs.nonEmpty && configs.forall { case (b, r) =>
+      b >= 1 && r >= 1 && b * r == NumPerms },
+      s"each (bands, rowsPerBand) must factor NumPerms=$NumPerms")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = ShingleN
+    val k = NumPerms
+    val minsDf = docs
+      .select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.trim.toLowerCase.split("\\s+")
+        if (t.length < n) Iterator.empty
+        else {
+          val mins = Array.fill(k)(Long.MaxValue)
+          val seen = new java.util.HashSet[Long]()
+          t.sliding(n).foreach { w =>
+            val base = fnv64(w.mkString(" "))
+            if (seen.add(base)) {
+              var i = 0
+              while (i < k) {
+                val h = splitmix64(base + i)
+                if (h < mins(i)) mins(i) = h
+                i += 1
+              }
+            }
+          }
+          Iterator.single((id, mins.toSeq))
+        }
+      }
+      .toDF("doc_id", "mins")
+    val truth = jaccardPairs(docs, threshold) // pairs already a_id < b_id
+      .select(col("a_id"), col("b_id"))
+    val frames = configs.map { case (bands, rpb) =>
+      val bt = minsDf.as[(Long, Seq[Long])].flatMap { case (id, mins) =>
+        (0 until bands).iterator.map { b =>
+          var bh = 0xcbf29ce484222325L
+          var j = 0
+          while (j < rpb) { bh = splitmix64(bh ^ mins(b * rpb + j)); j += 1 }
+          (id, b, bh)
+        }
+      }.toDF("doc_id", "band_idx", "band_hash")
+      val a = bt.as("a"); val bb = bt.as("b")
+      val cand = a.join(bb,
+          col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      val st = cand
+        .join(truth.withColumn("t", lit(1L)), Seq("a_id", "b_id"), "left_outer")
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(coalesce(col("t"), lit(0L))), lit(0L)).as("n_hit"))
+      st.crossJoin(truth.agg(count(lit(1)).as("n_true")))
+        .select(lit(bands).as("bands"), lit(rpb).as("rows_per_band"),
+          col("n_candidates"), col("n_true"), col("n_hit"),
+          when(col("n_candidates") === 0, lit(0L))
+            .otherwise(floor(col("n_hit") * 10000 / col("n_candidates")))
+            .cast("long").as("precision_bp"),
+          when(col("n_true") === 0, lit(0L))
+            .otherwise(floor(col("n_hit") * 10000 / col("n_true")))
+            .cast("long").as("recall_bp"))
+    }
+    frames.reduce(_ unionByName _)
+  }
+
   /** Exact-Jaccard verification of candidate (a_id, b_id) pairs against a
     * shingle table in either encoded (doc_id, s) or string form.
     *

@@ -56,6 +56,8 @@ object TextQueries {
       Dedup.duplicateSpanCoverage(t(spark, dir, "documents"))),
     "d19_span_removal" -> ((spark, dir) =>
       Dedup.duplicateSpanRemoval(t(spark, dir, "documents"))),
+    "d20_minhash_sweep" -> ((spark, dir) =>
+      Dedup.minHashBandSweep(t(spark, dir, "documents"))),
     "d14_embedding_decontaminate" -> d14,
     // directional shingle containment (|A∩B| / |A|) — the quote/subset
     // duplicates symmetric Jaccard can't see; exact inverted-index
@@ -2028,6 +2030,86 @@ object TextQueries {
        |LEFT JOIN cov ON cov.doc_id = nt.doc_id""".stripMargin
   }
 
+  /** d20: FROM-FIRST-PRINCIPLES replay of the whole MinHash banding
+    * chain — fnv64 shingle bases (recursive CTE), all 128 splitmix64
+    * permutation mins (signed-compare, as the engine's Long min), the
+    * per-band splitmix fold at each (bands, rowsPerBand) config, the
+    * bucket self-join candidates, and the exact-Jaccard truth (d2's
+    * CTEs). Strictly stronger than d3's recall-gate oracle: the
+    * banding itself is checked value-for-value, not just the verified
+    * survivors. Mins dedup is irrelevant to MIN, so the SQL runs over
+    * distinct shingles without replaying the mapper's seen-set
+    * optimization. */
+  private def d20OracleSql: String = {
+    import OracleSql.{splitmixLayers, u64signed, u64xor}
+    // per-config band-hash fold: bh_0 = fnv offset, bh_{j+1} =
+    // splitmix64(bh_j XOR m_j); each fold step is its own subquery so
+    // every u64 helper argument stays a plain column reference
+    def bandFold(rpb: Int): String = {
+      def keep(from: Int): String =
+        (from until rpb).map(j => s"m$j").map(c => s", $c").mkString
+      var cur = s"SELECT doc_id, band${keep(1)}, " +
+        s"${u64xor("14695981039346656037", "m0")} AS mxin FROM piv"
+      for (j <- 1 until rpb) {
+        cur = s"SELECT doc_id, band${keep(j + 1)}, " +
+          s"${u64xor("mxout", s"m$j")} AS mxin FROM (${splitmixLayers(cur)}) q$j"
+      }
+      splitmixLayers(cur)
+    }
+    def cfg(bands: Int, rpb: Int): String = {
+      val pivCols = (0 until rpb).map(j =>
+        s"MAX(CASE WHEN i % $rpb = $j THEN mnu END) AS m$j").mkString(", ")
+      s"""(WITH piv AS (SELECT doc_id, i // $rpb AS band, $pivCols
+         |   FROM minsu GROUP BY doc_id, i // $rpb),
+         | bh AS (SELECT doc_id, band, mxout FROM (${bandFold(rpb)}) fq),
+         | cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |          FROM bh a JOIN bh b ON a.band = b.band
+         |            AND a.mxout = b.mxout AND a.doc_id < b.doc_id),
+         | stc AS (SELECT COUNT(*) AS n_candidates,
+         |          COALESCE(SUM(CASE WHEN t.a_id IS NULL THEN 0 ELSE 1 END), 0) AS n_hit
+         |         FROM cand LEFT JOIN truthp t
+         |           ON t.a_id = cand.a_id AND t.b_id = cand.b_id)
+         | SELECT $bands AS bands, $rpb AS rows_per_band,
+         |   CAST(stc.n_candidates AS BIGINT) AS n_candidates, tn.n_true,
+         |   CAST(stc.n_hit AS BIGINT) AS n_hit,
+         |   CAST(CASE WHEN stc.n_candidates = 0 THEN 0
+         |        ELSE (stc.n_hit * 10000) // stc.n_candidates END AS BIGINT)
+         |     AS precision_bp,
+         |   CAST(CASE WHEN tn.n_true = 0 THEN 0
+         |        ELSE (stc.n_hit * 10000) // tn.n_true END AS BIGINT)
+         |     AS recall_bp
+         | FROM stc CROSS JOIN tn)""".stripMargin
+    }
+    val perms = splitmixLayers(
+      "SELECT doc_id, i, (fpu + i) % 18446744073709551616 AS mxin " +
+        "FROM db, range(0, 128) t(i)")
+    s"""WITH RECURSIVE
+       |words AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w FROM documents),
+       |shs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w)-1),
+       |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s FROM words),
+       |dsh AS (SELECT DISTINCT s FROM shs),
+       |${OracleSql.fnv64Ctes(Seq("s"), "s", "dsh")},
+       |db AS MATERIALIZED (SELECT shs.doc_id, fp.fpu FROM shs JOIN fp ON fp.s = shs.s),
+       |sm AS MATERIALIZED (SELECT doc_id, i, MIN(${u64signed("mxout")}) AS mn
+       |      FROM ($perms) pq GROUP BY doc_id, i),
+       |minsu AS MATERIALIZED (SELECT doc_id, i,
+       |      CAST(mn AS HUGEINT)
+       |        + CASE WHEN mn < 0 THEN 18446744073709551616 ELSE 0 END AS mnu
+       |      FROM sm),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM shs GROUP BY doc_id),
+       |prs AS (SELECT a.doc_id AS aid, b.doc_id AS bid, count(*) AS inter
+       |        FROM shs a JOIN shs b ON a.s = b.s AND a.doc_id < b.doc_id
+       |        GROUP BY 1, 2),
+       |truthp AS MATERIALIZED (SELECT aid AS a_id, bid AS b_id
+       |        FROM prs JOIN sizes s1 ON aid = s1.doc_id
+       |                 JOIN sizes s2 ON bid = s2.doc_id
+       |        WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.8),
+       |tn AS (SELECT COUNT(*) AS n_true FROM truthp)
+       |SELECT * FROM ${cfg(64, 2)}
+       |UNION ALL SELECT * FROM ${cfg(32, 4)}
+       |UNION ALL SELECT * FROM ${cfg(16, 8)}""".stripMargin
+  }
+
   /** d19: d13's span-fingerprint CTEs, then the covered positions are
     * anti-joined out of the position-indexed token list and each doc's
     * survivors re-aggregate in order (string_agg ORDER BY pos) under
@@ -2099,6 +2181,7 @@ object TextQueries {
     "t23_bpe_small" -> t23OracleSql,
     "d13_dup_spans" -> d13OracleSql,
     "d19_span_removal" -> d19OracleSql,
+    "d20_minhash_sweep" -> d20OracleSql,
     // p7: d19's cleaned CTE chain -> survival filter -> keeper on the
     // CLEAN fingerprint -> t25's xxhash64 threshold chain
     "p7_span_clean_pipeline" -> {
