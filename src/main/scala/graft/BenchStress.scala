@@ -66,7 +66,11 @@ object BenchStress {
     "t32_ccnet_buckets",
     // MV maintenance (events-sized partials), composed ExactSubstr
     // prep (d19 + keeper + sample end-to-end), KN LM (bigram shuffle)
-    "q35_incremental_rollup", "p7_span_clean_pipeline", "t34_kneser_ney")
+    "q35_incremental_rollup", "p7_span_clean_pipeline", "t34_kneser_ney",
+    // round 12: the two multi-config sweeps (the catalog's biggest
+    // plans — d20 51 exchanges, s16 29) plus d2 as their shared
+    // exact-Jaccard-kernel control
+    "d2_dedup_jaccard", "d20_minhash_sweep", "s16_lsh_sweep")
 
   /** Optional comma-separated name-prefix filter
     * (SPARK_GRAFT_STRESS_ONLY) — stress just the matching queries, so

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.{MinHashAgg, TextFunctions => TF, VectorFunctions => VF}
+import graft.queries.CachePool
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -237,15 +238,26 @@ object Dedup {
     * exact candidate verification. */
   def minHashLshPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = docShingleHashes(docs).cache()
-    val buckets = minHashBandsFromDocs(docs)
+    verifyCandidates(minHashLshCandidates(docs), sh, threshold)
+  }
+
+  /** Raw banded-LSH candidate pairs (a_id < b_id), NO exact verify: the
+    * band-bucket self-join of [[minHashBandsFromDocs]], distinct'd. This
+    * is the candidate GENERATOR other operators compose with their own
+    * verify stage (exact Jaccard in [[minHashLshPairs]], thresholded
+    * Levenshtein in [[editDistancePairs]]'s auto-routed large-corpus
+    * path) — the join key is a constant-width band hash, so candidate
+    * volume tracks true near-dup density instead of corpus². */
+  def minHashLshCandidates(docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val buckets = minHashBandsFromDocs(docs, textCol)
     val a = buckets.as("a"); val b = buckets.as("b")
-    val candidates = a.join(b,
+    a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    verifyCandidates(candidates, sh, threshold)
   }
 
   /** MinHash banding parameter sweep (d20): the (bands, rows-per-band)
@@ -297,10 +309,25 @@ object Dedup {
         }
       }
       .toDF("doc_id", "mins")
-    val truth = jaccardPairs(docs, threshold) // pairs already a_id < b_id
-      .select(col("a_id"), col("b_id"))
+    // Both shared frames are referenced once per config (3 band tables
+    // off minsDf; per config a left_outer probe + an n_true count off
+    // truth) — without a persist the exact-Jaccard inverted-index
+    // self-join re-executes up to 2x per config (measured: d20 was the
+    // heaviest query in the catalog at 8.1s driver / 4.1s builder).
+    // memoLatest (not a bare persist): both frames sit downstream of
+    // typed mappers whose closure instances defeat plan-canonicalized
+    // cache sharing, so the memo keys on the canonicalized INPUT plan +
+    // params and hands re-invocations the same built frame. One pinned
+    // copy per session; a new sf dir rebuilds and releases it.
+    val docsKey = docs.queryExecution.analyzed.canonicalized
+    val minsCached = CachePool.memoLatest(spark, "d20.mins",
+      (docsKey, n, k))(minsDf)
+    val truth = CachePool.memoLatest(spark, "d20.truth",
+      (docsKey, threshold))(
+      jaccardPairs(docs, threshold) // pairs already a_id < b_id
+        .select(col("a_id"), col("b_id")))
     val frames = configs.map { case (bands, rpb) =>
-      val bt = minsDf.as[(Long, Seq[Long])].flatMap { case (id, mins) =>
+      val bt = minsCached.as[(Long, Seq[Long])].flatMap { case (id, mins) =>
         (0 until bands).iterator.map { b =>
           var bh = 0xcbf29ce484222325L
           var j = 0
@@ -1249,14 +1276,24 @@ object Dedup {
     * Scale shape (100 TB): the band join shuffles only (id, len,
     * 512-byte histogram) — texts attach AFTER both cheap filters, by
     * key. Length alone is a weak blocking key at corpus scale (a band
-    * can hold millions of docs); the documented production composition
-    * is MinHash-LSH (d3's bucketing) as the candidate generator with
-    * THIS operator as the exact verify stage — pass those candidates
-    * through `candidates` and the band join is skipped entirely,
-    * leaving the text-attach joins and the banded-DP kernel. */
+    * can hold millions of docs, and in-band candidate pairs grow
+    * quadratically with band occupancy — measured step10to30 of 7.25
+    * on the 30x stress corpus), so past `autoLshDocLimit` documents
+    * the operator ROUTES ITSELF to the production composition: banded
+    * MinHash-LSH ([[minHashLshCandidates]], d3's bucketing — candidate
+    * volume tracks near-dup density, not corpus²) as the candidate
+    * generator with the same thresholded-Levenshtein verify. Below the
+    * limit, or when callers supply `candidates`, the COMPLETE
+    * length-band path runs unchanged (the LSH route trades the
+    * completeness guarantee for scale: a pair within `maxDist` edits
+    * whose 3-shingle sets never share a band is missed — vanishingly
+    * rare for near-dup text, impossible to afford checking at 10^10
+    * docs). Callers who need the exact small-corpus semantics at any
+    * size pass `autoLshDocLimit = Long.MaxValue`. */
   def editDistancePairs(docs: DataFrame, maxDist: Int,
       textCol: String = "text",
-      candidates: Option[DataFrame] = None): DataFrame = {
+      candidates: Option[DataFrame] = None,
+      autoLshDocLimit: Long = 20000L): DataFrame = {
     require(maxDist >= 0, s"maxDist $maxDist must be >= 0")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -1277,6 +1314,13 @@ object Dedup {
       case Some(p) =>
         p.select(col("a_id").cast("long"), col("b_id").cast("long"))
           .filter(col("a_id") < col("b_id"))
+      case None if base.count() > autoLshDocLimit =>
+        // Large corpus: the length-band join below is quadratic in
+        // band occupancy, so generate candidates with banded
+        // MinHash-LSH instead (p5's measured-linear composition). The
+        // one count() action is a parquet-metadata-cheap scan next to
+        // the join it prevents.
+        minHashLshCandidates(docs, textCol)
       case None =>
         // One typed pass per doc: codepoint count + 128-bucket char
         // histogram (codepoints folded with & 0x7f — merging buckets

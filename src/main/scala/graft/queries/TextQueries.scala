@@ -1809,8 +1809,12 @@ object TextQueries {
     val num = greatest(lit(4) * col("c12") - 3, lit(0L)) * col("nb") +
       lit(3L) * col("nfwd") * col("nback")
     val den = lit(4L) * col("c1") * col("nb")
-    c12.join(broadcast(left), Seq("w1"))
-      .join(broadcast(back), Seq("w2"))
+    // left/back are vocab-sized (one row per distinct w1/w2): no
+    // broadcast hint — AQE broadcasts them at bench scale but the plan
+    // must survive a corpus-scale vocabulary (10^8 rows), where these
+    // join on the shuffle. Only the 1-row nb stats frame is forced.
+    c12.join(left, Seq("w1"))
+      .join(back, Seq("w2"))
       .crossJoin(broadcast(nb))
       .select(col("w1"), col("w2"), col("c12"),
         num.cast(LongType).as("num"), den.cast(LongType).as("den"),

@@ -133,8 +133,19 @@ class StatefulStreamingSpec extends AnyFunSuite with StopStreamsAfterAll {
       val outRoot = Files.createTempDirectory("graft-ttl-out").toString
       new EmbeddedLogStore(outRoot).createStore("proj", "verdicts", 1)
       val ckpt = Files.createTempDirectory("ckpt-ttl").toString
-      // logstore sink (memory sink cannot recover a checkpoint)
-      def runOnce(): Unit = {
+      // logstore sink (memory sink cannot recover a checkpoint).
+      //
+      // NOT Trigger.AvailableNow: a processing-time-TTL'd stateful
+      // operator reports shouldRunAnotherBatch=true unconditionally
+      // (state may expire at any wall-clock instant), so AvailableNow
+      // never terminates — it spins empty housekeeping micro-batches
+      // (observed: epoch 580 in 60 s) until a timeout force-stops it
+      // mid-commit, aborting a RocksDB snapshot upload and a sink epoch
+      // into the log. A long ProcessingTime trigger runs the data batch
+      // at t=0, then parks the stream thread for 60 s — polling the
+      // committed sink and stopping inside that idle window is a clean
+      // between-batches stop.
+      def runOnce(expect: Int): Unit = {
         val q = StreamingDedup.exact(
           s2.readStream.format("graft-logstore")
             .option("store.root", root).option("store.project", "proj")
@@ -150,8 +161,23 @@ class StatefulStreamingSpec extends AnyFunSuite with StopStreamsAfterAll {
           .option("store.name", "verdicts")
           .outputMode(OutputMode.Append())
           .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).start()
-        awaitDone(q)
+          .trigger(Trigger.ProcessingTime("60 seconds")).start()
+        try {
+          // Wait for the sink rows AND the engine's progress event: the
+          // event fires after the commit-log write, so a stop() here
+          // cannot strand a sink-committed-but-engine-uncommitted epoch
+          // whose restart replay would push the next run's data batch
+          // out to the second 60 s tick.
+          val deadline = System.currentTimeMillis() + 45000
+          while ((verdicts().length < expect || q.lastProgress == null) &&
+              System.currentTimeMillis() < deadline)
+            Thread.sleep(200)
+          assert(verdicts().length >= expect,
+            s"sink never reached $expect verdicts")
+        } finally {
+          q.stop() // stream thread parked until the next 60 s tick
+          q.awaitTermination(30000)
+        }
       }
       def verdicts(): Seq[(Long, Boolean)] =
         spark.read.format("graft-logstore")
@@ -160,14 +186,14 @@ class StatefulStreamingSpec extends AnyFunSuite with StopStreamsAfterAll {
           .schema("doc_id LONG, is_dup BOOLEAN").load()
           .orderBy("doc_id").collect()
           .map(r => (r.getLong(0), r.getBoolean(1))).toSeq
-      runOnce() // admits doc 1
+      runOnce(expect = 1) // admits doc 1
       assert(verdicts() === Seq((1L, false)))
       Thread.sleep(2000) // well past the 100 ms TTL
       // a duplicate of doc 1's text arrives after the window
       store.appendSegment("proj", "docs", 0, "second",
         Seq(LogRecord(1700000100, "t", "s", Map.empty,
           Map("doc" -> "2", "text" -> "same text"))))
-      runOnce()
+      runOnce(expect = 2)
       // state for the fingerprint expired between runs: doc 2 re-admits
       assert(verdicts() === Seq((1L, false), (2L, false)))
     }
