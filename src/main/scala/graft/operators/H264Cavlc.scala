@@ -22,13 +22,23 @@ import H264.{BitReader, BitWriter}
   * total_zeros Table 9-9, 2x2 inverse Hadamard (8.5.7), QPc mapping
   * (Table 8-12 + chroma_qp_index_offset), chroma DC dequant
   * (8.5.10), DC-only core transform, and per-4x4-block chroma DC
-  * prediction (8.3.4.1). Because every macroblock has
-  * CodedBlockPatternLuma 0, the 4x4 AC TotalCoeff of every possible
-  * neighbour block is 0, so luma nC (9.2.1) is always < 2 and only
-  * the "0 <= nC < 2" and chroma "-1" columns of Table 9-5 are ever
-  * consulted — the decoder enforces this world and fails loudly
-  * outside it. Remaining boundary: CAVLC AC residuals / other nC
-  * columns, CABAC, and inter prediction.
+  * prediction (8.3.4.1). CodedBlockPatternLuma = 15 macroblocks
+  * (mb_type 13-20) additionally carry Intra16x16ACLevel: all 16 luma
+  * 4x4 blocks residual-coded in 6.4.3 z-scan order with
+  * NEIGHBOUR-DERIVED nC (9.2.1 — the rounded average of the left and
+  * top blocks' TotalCoeff off a picture-wide grid), the 15-coefficient
+  * zig-zag AC scan, position-classed AC dequant (8.5.12.1, Table 8-15
+  * normAdjust), and the full 4x4 inverse core transform butterfly
+  * (8.5.12.2) on top of the Hadamard-spread DC. Only the
+  * "0 <= nC < 2" and chroma "-1" coeff_token columns of Table 9-5 are
+  * implemented — they are the two columns pinned to an external
+  * conformance vector; the 2<=nC<4 / 4<=nC<8 / FLC columns are
+  * reachable only when a block's left+top neighbour TotalCoeff sum is
+  * >= 3, and both encoder and decoder fail loudly there rather than
+  * ship self-consistent-but-unpinned tables. Remaining boundary:
+  * those coeff_token columns (dense-neighbour AC), chroma AC
+  * (CodedBlockPatternChroma = 2), I_4x4/I_8x8 spatial modes, CABAC,
+  * and inter prediction.
   *
   * All VLC tables are transcribed from the public ITU-T H.264 spec:
   * coeff_token Table 9-5 (0 <= nC < 2 column), total_zeros Tables
@@ -291,10 +301,15 @@ object H264Cavlc {
   private def decodeResidual(r: BitReader,
       coeffTokenTab: Array[Array[Int]], totalZerosTab: Array[Array[Int]],
       maxNumCoeff: Int): Array[Int] = {
-    val nCols = maxNumCoeff + 1
+    // the table is indexed by its OWN column count (17 for the luma
+    // tables, 5 for chroma DC) — maxNumCoeff can be smaller (15 for
+    // Intra16x16ACLevel blocks, which share the 4x4 luma tables)
+    val nCols = coeffTokenTab(0).length
     val sym = readCode(r, coeffTokenTab.flatten, "coeff_token")
     val t1 = sym / nCols
     val total = sym % nCols
+    require(total <= maxNumCoeff,
+      s"coeff_token TotalCoeff $total exceeds maxNumCoeff $maxNumCoeff")
     val out = new Array[Int](maxNumCoeff)
     if (total == 0) return out
     val levels = new Array[Int](total) // index 0 = highest frequency
@@ -330,6 +345,8 @@ object H264Cavlc {
     var zerosLeft =
       if (total < maxNumCoeff) readCode(r, totalZerosTab(total), "total_zeros")
       else 0
+    require(total + zerosLeft <= maxNumCoeff,
+      s"total_zeros $zerosLeft overflows a $maxNumCoeff-coeff block")
     // Place levels from the highest-frequency coefficient downwards.
     var pos = total - 1 + zerosLeft // scan index of the current coeff
     i = 0
@@ -423,6 +440,102 @@ object H264Cavlc {
     out
   }
 
+  // ---------------------------------------------------------------
+  // Intra16x16AC machinery: 4x4 block scan order, neighbour-derived
+  // nC (9.2.1), AC dequant (8.5.12.1), inverse core transform
+  // (8.5.12.2).
+  // ---------------------------------------------------------------
+
+  /** 6.4.3 inverse 4x4 luma block scan: luma4x4BlkIdx -> (x, y) pixel
+    * offset within the macroblock (z-order over 8x8 quadrants, then
+    * z-order within each quadrant). */
+  private[operators] val Blk4x4Pos: Array[(Int, Int)] = Array.tabulate(16) {
+    b => (((b >> 2) & 1) * 8 + (b & 1) * 4, ((b >> 3) & 1) * 8 + ((b >> 1) & 1) * 4)
+  }
+
+  /** nC for the coeff_token of luma block `blkIdx` of the MB at
+    * (mbX, mbY) — 9.2.1: the average (rounded up) of the left and top
+    * neighbouring 4x4 blocks' TotalCoeff, one alone when only one is
+    * available, 0 when neither. `tc` is the picture-wide per-4x4-block
+    * TotalCoeff grid (AC TotalCoeff for Intra_16x16 MBs; 0 for
+    * CodedBlockPatternLuma = 0, which IS the 9.2.1 value for uncoded
+    * blocks). The DC block (Intra16x16DCLevel) derives its nC as
+    * blkIdx 0 (9.2.1). All MBs are in one slice, so availability is
+    * purely geometric. */
+  private def lumaNc(tc: Array[Array[Int]], mbX: Int, mbY: Int,
+      blkIdx: Int): Int = {
+    val (ox, oy) = Blk4x4Pos(blkIdx)
+    val bx = mbX * 4 + ox / 4
+    val by = mbY * 4 + oy / 4
+    val hasA = bx > 0
+    val hasB = by > 0
+    if (hasA && hasB) (tc(by)(bx - 1) + tc(by - 1)(bx) + 1) >> 1
+    else if (hasA) tc(by)(bx - 1)
+    else if (hasB) tc(by - 1)(bx)
+    else 0
+  }
+
+  /** The coeff_token column for a luma nC. Only the externally
+    * conformance-pinned 0 <= nC < 2 column is implemented: the
+    * 2 <= nC < 4, 4 <= nC < 8 and FLC columns of Table 9-5 are the
+    * documented boundary (reachable only when the left+top neighbour
+    * blocks' TotalCoeff sum >= 3 — the encoder enforces the same
+    * subset, so every emitted stream decodes). */
+  private def lumaCoeffTokenTab(nC: Int, where: => String): Array[Array[Int]] = {
+    require(nC < 2, s"$where: nC=$nC needs the 2<=nC<4 / 4<=nC<8 / FLC " +
+      "columns of Table 9-5 — outside the conformance-pinned CAVLC subset")
+    CoeffToken
+  }
+
+  /** normAdjust4x4(m, i, j) (Table 8-15): column by coefficient
+    * position class — (even,even) / (odd,odd) / mixed. */
+  private val NormAdjust4x4 = Array(
+    Array(10, 16, 13), Array(11, 18, 14), Array(13, 20, 16),
+    Array(14, 23, 18), Array(16, 25, 20), Array(18, 29, 23))
+
+  private def normClass(i: Int, j: Int): Int =
+    if ((i & 1) == 0 && (j & 1) == 0) 0 else if ((i & 1) == 1 && (j & 1) == 1) 1 else 2
+
+  /** AC coefficient dequant, 8.5.12.1 (flat weightScale, LevelScale =
+    * 16 * normAdjust4x4). The (0,0) position of an Intra_16x16 block
+    * never takes this path — its DC comes from 8.5.10. */
+  private def dequant4x4Ac(c: Int, qp: Int, i: Int, j: Int): Int = {
+    val ls = 16 * NormAdjust4x4(qp % 6)(normClass(i, j))
+    if (qp >= 24) (c * ls) << (qp / 6 - 4)
+    else (c * ls + (1 << (3 - qp / 6))) >> (4 - qp / 6)
+  }
+
+  /** 8.5.12.2 inverse core transform (rows then columns, with the
+    * spec's >>1 butterflies on d1/d3); the caller applies the final
+    * (h + 32) >> 6 rounding. A DC-only d reduces exactly to the flat
+    * (dc + 32) >> 6 spread, so this path also serves
+    * CodedBlockPatternLuma = 0 macroblocks. */
+  private[operators] def inverseTransform4x4(d: Array[Array[Int]]): Array[Array[Int]] = {
+    val f = Array.ofDim[Int](4, 4)
+    var i = 0
+    while (i < 4) {
+      val e0 = d(i)(0) + d(i)(2)
+      val e1 = d(i)(0) - d(i)(2)
+      val e2 = (d(i)(1) >> 1) - d(i)(3)
+      val e3 = d(i)(1) + (d(i)(3) >> 1)
+      f(i)(0) = e0 + e3; f(i)(1) = e1 + e2
+      f(i)(2) = e1 - e2; f(i)(3) = e0 - e3
+      i += 1
+    }
+    val h = Array.ofDim[Int](4, 4)
+    var j = 0
+    while (j < 4) {
+      val g0 = f(0)(j) + f(2)(j)
+      val g1 = f(0)(j) - f(2)(j)
+      val g2 = (f(1)(j) >> 1) - f(3)(j)
+      val g3 = f(1)(j) + (f(3)(j) >> 1)
+      h(0)(j) = g0 + g3; h(1)(j) = g1 + g2
+      h(2)(j) = g1 - g2; h(3)(j) = g0 - g3
+      j += 1
+    }
+    h
+  }
+
   /** Encode one IDR picture coded entirely as I_16x16_2_0_0
     * macroblocks. `dcLevels(mb)` is the 4x4 luma DC COEFFICIENT LEVEL
     * array (c, pre-dequant, row-major (row)(col)) for macroblock `mb`
@@ -430,15 +543,33 @@ object H264Cavlc {
     * QP handling: slice_qp_delta = qp - 1 - 26 and a constant
     * mb_qp_delta = +1 on the first MB (0 after — 7.4.5: the delta is
     * relative to the running QPy), so both syntax elements carry
-    * real information. */
+    * real information.
+    *
+    * `acLevels(mb)(blk)(k)` — optional Intra16x16ACLevel coefficient
+    * levels: per MB, 16 luma 4x4 blocks in 6.4.3 z-scan order, each
+    * with 15 levels at zig-zag scan positions 1..15. An MB with any
+    * nonzero AC level is emitted as CodedBlockPatternLuma = 15
+    * (mb_type + 12, Table 7-11) and ALL 16 of its blocks are
+    * residual-coded with neighbour-derived nC (9.2.1); an all-zero MB
+    * stays CodedBlockPatternLuma = 0. The encoder enforces the pinned
+    * nC < 2 table subset — fixtures must keep every block's left+top
+    * TotalCoeff sum <= 2 (e.g. at most one nonzero level per block). */
   def encodeIntra16Frame(widthMbs: Int, heightMapUnits: Int,
       dcLevels: Array[Array[Array[Int]]], qp: Int,
       idrPicId: Int = 0,
       cbDc: Array[Array[Array[Int]]] = null,
       crDc: Array[Array[Array[Int]]] = null,
-      predModes: Array[Int] = null): Array[Byte] = {
+      predModes: Array[Int] = null,
+      acLevels: Array[Array[Array[Int]]] = null): Array[Byte] = {
     require(dcLevels.length == widthMbs * heightMapUnits)
     require(qp >= 1 && qp <= 51, s"qp out of range: $qp")
+    if (acLevels != null) {
+      require(acLevels.length == dcLevels.length)
+      acLevels.foreach { mb =>
+        require(mb.length == 16 && mb.forall(_.length == 15),
+          "acLevels must be 16 blocks x 15 scan levels per MB")
+      }
+    }
     require((cbDc == null) == (crDc == null),
       "chroma DC levels must be given for both components or neither")
     val chroma = cbDc != null
@@ -469,11 +600,19 @@ object H264Cavlc {
     w.ue(idrPicId & 0xFFFF)
     w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking (IDR form)
     w.se(qp - 1 - 26) // slice_qp_delta: SliceQPy = qp - 1
+    // picture-wide per-4x4-block AC TotalCoeff grid for nC derivation
+    // (9.2.1) — mirrored exactly by the decoder
+    val tcGrid = Array.ofDim[Int](heightMapUnits * 4, widthMbs * 4)
     var m = 0
     while (m < dcLevels.length) {
+      val mbX = m % widthMbs
+      val mbY = m / widthMbs
+      val mbAc = if (acLevels == null) null else acLevels(m)
+      val cbpL15 = mbAc != null && mbAc.exists(_.exists(_ != 0))
       // Table 7-11: mb_type = 1 + predMode + 4*CodedBlockPatternChroma
-      // (luma CBP 0 throughout) — 3/7 are the DC-prediction members.
-      w.ue(1 + modes(m) + (if (chroma) 4 else 0))
+      // + 12*(CodedBlockPatternLuma == 15) — 3/7/15/19 are the
+      // DC-prediction members.
+      w.ue(1 + modes(m) + (if (chroma) 4 else 0) + (if (cbpL15) 12 else 0))
       w.ue(0) // intra_chroma_pred_mode: DC
       w.se(if (m == 0) 1 else 0) // mb_qp_delta -> QPy = qp from MB 0 on
       val scan = new Array[Int](16)
@@ -483,7 +622,21 @@ object H264Cavlc {
         scan(k) = dcLevels(m)(i)(j)
         k += 1
       }
-      encodeBlock(scan, w)
+      encodeResidual(scan,
+        lumaCoeffTokenTab(lumaNc(tcGrid, mbX, mbY, 0), s"mb $m DC"),
+        TotalZeros, w)
+      if (cbpL15) {
+        var blk = 0
+        while (blk < 16) {
+          val nC = lumaNc(tcGrid, mbX, mbY, blk)
+          encodeResidual(mbAc(blk),
+            lumaCoeffTokenTab(nC, s"mb $m blk $blk"), TotalZeros, w)
+          val (ox, oy) = Blk4x4Pos(blk)
+          tcGrid(mbY * 4 + oy / 4)(mbX * 4 + ox / 4) =
+            mbAc(blk).count(_ != 0)
+          blk += 1
+        }
+      }
       if (chroma) {
         // residual order (7.3.5.3): ChromaDCLevel for Cb then Cr; the
         // 2x2 coefficients run in raster order (8.5.7)
@@ -621,23 +774,31 @@ object H264Cavlc {
     val plane = new Array[Byte](w16 * mapUnits * 16)
     val cbPlane = new Array[Byte](w8 * mapUnits * 8)
     val crPlane = new Array[Byte](w8 * mapUnits * 8)
+    // picture-wide per-4x4-block AC TotalCoeff for nC (9.2.1)
+    val tcGrid = Array.ofDim[Int](mapUnits * 4, widthMbs * 4)
     var m = 0
     val nMbs = widthMbs * mapUnits
     while (m < nMbs) {
       val mbType = r.ue()
-      // Table 7-11, mb_type 1..8: I_16x16_{pred}_{cbpChroma}_0 with
-      // predMode = (mb_type-1) % 4 (0 vertical / 1 horizontal / 2 DC /
-      // 3 plane) and CodedBlockPatternChroma = (mb_type-1) / 4 (0 or
-      // 1); CodedBlockPatternLuma is 0 for the whole range.
-      require(mbType >= 1 && mbType <= 8,
-        s"mb $m is not I_16x16_x_{0,1}_0 (mb_type $mbType) — outside the " +
-          "CAVLC intra decode subset")
-      val predMode = (mbType - 1) % 4
-      val cbpChroma = (mbType - 1) / 4
+      // Table 7-11, mb_type 1..24: I_16x16_{pred}_{cbpChroma}_{cbpLuma}
+      // with base = 1 + predMode + 4*cbpChroma and +12 when
+      // CodedBlockPatternLuma = 15. Supported: cbpChroma 0/1 (no
+      // chroma AC), both luma CBPs — mb_type 1..8 and 13..20.
+      require((mbType >= 1 && mbType <= 8) || (mbType >= 13 && mbType <= 20),
+        s"mb $m: mb_type $mbType outside the I_16x16 CAVLC decode subset " +
+          "(chroma AC / I_4x4 / I_8x8 / I_PCM-in-I16 not supported here)")
+      val cbpL15 = mbType >= 13
+      val base = if (cbpL15) mbType - 12 else mbType
+      val predMode = (base - 1) % 4
+      val cbpChroma = (base - 1) / 4
       require(r.ue() == 0, "only chroma DC prediction mode supported")
       val dq = r.se() // mb_qp_delta
       qpy = (qpy + dq + 52) % 52 // 7.4.5 wrap (QpBdOffsetY = 0)
-      val scan = decodeBlock(r)
+      val mbX = m % widthMbs
+      val mbY = m / widthMbs
+      val scan = decodeResidual(r,
+        lumaCoeffTokenTab(lumaNc(tcGrid, mbX, mbY, 0), s"mb $m DC"),
+        TotalZeros, 16)
       val cArr = Array.ofDim[Int](4, 4)
       var k = 0
       while (k < 16) {
@@ -646,8 +807,21 @@ object H264Cavlc {
         k += 1
       }
       val f = hadamard(cArr)
-      val mbX = m % widthMbs
-      val mbY = m / widthMbs
+      // Intra16x16ACLevel: 16 blocks in 6.4.3 z-scan order, each 15
+      // levels at zig-zag positions 1..15, nC from the running grid
+      val acBlocks = Array.ofDim[Int](16, 15)
+      if (cbpL15) {
+        var blk = 0
+        while (blk < 16) {
+          val nC = lumaNc(tcGrid, mbX, mbY, blk)
+          acBlocks(blk) = decodeResidual(r,
+            lumaCoeffTokenTab(nC, s"mb $m blk $blk"), TotalZeros, 15)
+          val (ox, oy) = Blk4x4Pos(blk)
+          tcGrid(mbY * 4 + oy / 4)(mbX * 4 + ox / 4) =
+            acBlocks(blk).count(_ != 0)
+          blk += 1
+        }
+      }
       val leftAv = mbX > 0
       val topAv = mbY > 0
       def pL(y: Int): Int = plane((mbY * 16 + y) * w16 + mbX * 16 - 1) & 0xFF
@@ -702,27 +876,44 @@ object H264Cavlc {
           val c = (5 * vAcc + 32) >> 6
           (x, y) => clip255((a + b * (x - 7) + c * (y - 7) + 16) >> 5)
       }
-      var bi = 0
-      while (bi < 4) {
-        var bj = 0
-        while (bj < 4) {
-          val dcY = dequantDc(f(bi)(bj), qpy)
-          val res = (dcY + 32) >> 6 // DC-only 8.5.12.2
-          var rr = 0
-          while (rr < 4) {
-            var cc = 0
-            while (cc < 4) {
-              val x = bj * 4 + cc
-              val y = bi * 4 + rr
-              plane((mbY * 16 + y) * w16 + mbX * 16 + x) =
-                clip255(predAt(x, y) + res).toByte
-              cc += 1
-            }
-            rr += 1
+      var blk = 0
+      while (blk < 16) {
+        val (ox, oy) = Blk4x4Pos(blk)
+        val dcY = dequantDc(f(oy / 4)(ox / 4), qpy)
+        val ac = acBlocks(blk)
+        var anyAc = false
+        var k2 = 0
+        while (k2 < 15 && !anyAc) { anyAc = ac(k2) != 0; k2 += 1 }
+        // DC-only blocks use the exact flat reduction of 8.5.12.2;
+        // coded blocks run the full 4x4 butterfly on d = (dcY at
+        // (0,0), dequantized AC at zig-zag positions 1..15)
+        val resFlat = (dcY + 32) >> 6
+        var hM: Array[Array[Int]] = null
+        if (anyAc) {
+          val d = Array.ofDim[Int](4, 4)
+          d(0)(0) = dcY
+          var k3 = 1
+          while (k3 < 16) {
+            val (i3, j3) = ZigZag4x4(k3)
+            if (ac(k3 - 1) != 0) d(i3)(j3) = dequant4x4Ac(ac(k3 - 1), qpy, i3, j3)
+            k3 += 1
           }
-          bj += 1
+          hM = inverseTransform4x4(d)
         }
-        bi += 1
+        var rr = 0
+        while (rr < 4) {
+          var cc = 0
+          while (cc < 4) {
+            val x = ox + cc
+            val y = oy + rr
+            val res = if (anyAc) (hM(rr)(cc) + 32) >> 6 else resFlat
+            plane((mbY * 16 + y) * w16 + mbX * 16 + x) =
+              clip255(predAt(x, y) + res).toByte
+            cc += 1
+          }
+          rr += 1
+        }
+        blk += 1
       }
       // chroma: residual 2x2 DC blocks when CodedBlockPatternChroma = 1,
       // prediction-only otherwise; Cb precedes Cr

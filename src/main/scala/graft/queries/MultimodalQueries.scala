@@ -35,7 +35,62 @@ object MultimodalQueries {
     "m17_video_chroma_pixels" -> m17,
     "m18_audio_wht_features" -> m18,
     "m19_png_color" -> m19,
-    "m20_video_pred_modes" -> m20)
+    "m20_video_pred_modes" -> m20,
+    "m21_video_ac_residuals" -> m21)
+
+  /** CAVLC AC residual reconstruction on the oracle gate (m21): each
+    * asset is one I_16x16_2_0_15 macroblock (Table 7-11 mb_type 15 —
+    * DC prediction, CodedBlockPatternLuma = 15), so ALL 16 luma 4x4
+    * blocks are entropy-coded Intra16x16ACLevel residuals with
+    * neighbour-derived nC (9.2.1) on top of the Hadamard-spread DC.
+    * Four block families, one planted coefficient each (TotalCoeff
+    * <= 1 keeps every nC inside the conformance-pinned 0 <= nC < 2
+    * coeff_token column while exercising every decode stage):
+    *  - blocks 0-3:   scan k=3 -> (2,0), even-even dequant class
+    *    (LevelScale 160 at QP 24): a vertical +,-,-,+ stripe pattern
+    *  - blocks 4-7:   scan k=5 -> (0,2): the same pattern horizontally
+    *  - blocks 8-11:  scan k=1 -> (0,1), mixed class (208): the
+    *    butterfly's >>1 halving column pattern 2,1,-1,-2 (x104)
+    *  - blocks 12-15: scan k=4 -> (1,1), odd-odd class (256): the
+    *    full separable 2,1,-1,-2 x 2,1,-1,-2 surface (x64)
+    * Every planted LevelScale is even, so the >>1 halvings are exact
+    * divisions and each pixel has the closed form
+    * clip(128 + floor((40*a0 + h + 32) / 64)) that the oracle replays
+    * per (block, y, x); the position-weighted whole-plane checksum
+    * pins the z-scan block layout, the zig-zag placement, the
+    * position-classed dequant and the butterfly signs at once.
+    *
+    * Scale: zero-shuffle per-asset map like every m-family decode. */
+  private def m21: Q = (spark, dir) => {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val a0 = (id % 41).toInt - 20
+      val dc = Array.fill(4, 4)(0); dc(0)(0) = a0
+      val ac = Array.tabulate(16) { b =>
+        val a = new Array[Int](15)
+        if (b < 4) a(2) = ((id + 7 * b) % 7).toInt - 3
+        else if (b < 8) a(4) = ((id + 5 * b) % 7).toInt - 3
+        else if (b < 12) a(0) = ((id + 3 * b) % 5).toInt - 2
+        else a(3) = ((id + b) % 5).toInt - 2
+        a
+      }
+      val es = graft.operators.H264.encodeSps(1, 1, 0) ++
+        graft.operators.H264.encodePps() ++
+        graft.operators.H264Cavlc.encodeIntra16Frame(1, 1, Array(dc),
+          qp = 24, idrPicId = (id % 65536).toInt, acLevels = Array(ac))
+      val frames = graft.operators.H264Cavlc.decodeIntra16Frames(es)
+      require(frames.size == 1)
+      val (w, h, y) = frames.head
+      var s = 0L; var ck = 0L; var i = 0
+      while (i < y.length) {
+        val v = (y(i) & 0xFF).toLong
+        s += v; ck += v * (i + 1); i += 1
+      }
+      (id, w, h, y(0) & 0xFF, y(3) & 0xFF, y(12) & 0xFF,
+        y(8 * 16) & 0xFF, y(12 * 16 + 12) & 0xFF, s, ck)
+    }.toDF("doc_id", "width", "height", "p00", "p03", "p0c", "p80",
+      "pcc", "y_sum", "y_checksum")
+  }
 
   /** All four Intra_16x16 luma prediction modes on the oracle gate
     * (m20): each asset is a 2x2-macroblock IDR picture whose MBs use
@@ -741,6 +796,50 @@ object MultimodalQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // m21: every pixel of the 16x16 plane recomputed in closed form —
+    // per (block b, y, x): the planted level per family, the even
+    // LevelScales (160/208/256 -> exact >>1 halvings), the butterfly
+    // sign patterns (1,-1,-1,1) and (2,1,-1,-2), DC at 40*a0, and the
+    // shared floor((.. + 32)/64) rounding (offset +6400 keeps // a
+    // floor on negatives); z-scan block offsets reconstruct the
+    // global raster index for the weighted checksum
+    "m21_video_ac_residuals" ->
+      """WITH px AS (
+        | SELECT d.doc_id, b.b, yy.y, xx.x,
+        |   CAST(d.doc_id % 41 AS BIGINT) - 20 AS a0,
+        |   CASE WHEN b.b < 4  THEN (d.doc_id + 7*b.b) % 7 - 3
+        |        WHEN b.b < 8  THEN (d.doc_id + 5*b.b) % 7 - 3
+        |        WHEN b.b < 12 THEN (d.doc_id + 3*b.b) % 5 - 2
+        |        ELSE               (d.doc_id + b.b) % 5 - 2 END AS c,
+        |   CASE WHEN yy.y IN (0, 3) THEN 1 ELSE -1 END AS sy,
+        |   CASE WHEN xx.x IN (0, 3) THEN 1 ELSE -1 END AS sx,
+        |   CASE yy.y WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN -1 ELSE -2 END AS vy,
+        |   CASE xx.x WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN -1 ELSE -2 END AS vx,
+        |   8*((b.b//4)%2) + 4*(b.b%2) + xx.x AS gx,
+        |   8*(b.b//8) + 4*((b.b//2)%2) + yy.y AS gy
+        | FROM documents d
+        |   CROSS JOIN range(0,16) b(b)
+        |   CROSS JOIN range(0,4) yy(y)
+        |   CROSS JOIN range(0,4) xx(x)),
+        |v AS (
+        | SELECT doc_id, gy*16 + gx AS gidx,
+        |   LEAST(255, GREATEST(0, 128 +
+        |     (40*a0
+        |      + CASE WHEN b < 4  THEN 160*c*sy
+        |             WHEN b < 8  THEN 160*c*sx
+        |             WHEN b < 12 THEN 104*c*vx
+        |             ELSE             64*c*vy*vx END
+        |      + 6432) // 64 - 100)) AS pv
+        | FROM px)
+        |SELECT doc_id, 16 AS width, 16 AS height,
+        | CAST(MAX(CASE WHEN gidx = 0 THEN pv END) AS INTEGER) AS p00,
+        | CAST(MAX(CASE WHEN gidx = 3 THEN pv END) AS INTEGER) AS p03,
+        | CAST(MAX(CASE WHEN gidx = 12 THEN pv END) AS INTEGER) AS p0c,
+        | CAST(MAX(CASE WHEN gidx = 128 THEN pv END) AS INTEGER) AS p80,
+        | CAST(MAX(CASE WHEN gidx = 204 THEN pv END) AS INTEGER) AS pcc,
+        | CAST(SUM(pv) AS BIGINT) AS y_sum,
+        | CAST(SUM(pv * (gidx + 1)) AS BIGINT) AS y_checksum
+        |FROM v GROUP BY doc_id""".stripMargin,
     // m10: the engine parses real H.264 bits; the oracle replays the
     // PLANTED geometry (4:2:0 frame-coded: CropUnitY=2, so bottom crop
     // removes 2 rows per unit; an IDR every 8th frame starting at 0 →

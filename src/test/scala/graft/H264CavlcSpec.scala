@@ -79,7 +79,8 @@ class H264CavlcSpec extends AnyFunSuite {
     * definition, recomputed here longhand). */
   private def referenceFrame(widthMbs: Int, mapUnits: Int,
       dc: Array[Array[Array[Int]]], qp: Int,
-      modes: Array[Int] = null): Array[Byte] = {
+      modes: Array[Int] = null,
+      ac: Array[Array[Array[Int]]] = null): Array[Byte] = {
     val md = if (modes == null) Array.fill(dc.length)(2) else modes
     val w16 = widthMbs * 16
     val plane = new Array[Byte](w16 * mapUnits * 16)
@@ -122,10 +123,48 @@ class H264CavlcSpec extends AnyFunSuite {
       for (bi <- 0 until 4; bj <- 0 until 4) {
         val dcY = if (qp >= 36) (f(bi)(bj) * v) << (qp / 6 - 6)
           else (f(bi)(bj) * v + (1 << (5 - qp / 6))) >> (6 - qp / 6)
-        val res = (dcY + 32) >> 6
+        // z-scan index of the 4x4 block at raster (bi, bj), 6.4.3
+        val blkIdx = (bi / 2) * 8 + (bi % 2) * 2 + (bj / 2) * 4 + (bj % 2)
+        val blockAc =
+          if (ac == null) new Array[Int](15) else ac(mb)(blkIdx)
+        val res: (Int, Int) => Int =
+          if (blockAc.forall(_ == 0)) { val flat = (dcY + 32) >> 6; (_, _) => flat }
+          else {
+            // longhand 8.5.12: zig-zag place, Table 8-15 dequant,
+            // row/column butterfly with the spec's >>1 halvings
+            val zz = Seq((0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2),
+              (0, 3), (1, 2), (2, 1), (3, 0), (3, 1), (2, 2), (1, 3),
+              (2, 3), (3, 2), (3, 3))
+            val vTab = Array(
+              Array(10, 16, 13), Array(11, 18, 14), Array(13, 20, 16),
+              Array(14, 23, 18), Array(16, 25, 20), Array(18, 29, 23))
+            val d = Array.ofDim[Int](4, 4)
+            d(0)(0) = dcY
+            for (k <- 1 until 16; if blockAc(k - 1) != 0) {
+              val (i, j) = zz(k)
+              val cls = if (i % 2 == 0 && j % 2 == 0) 0
+                else if (i % 2 == 1 && j % 2 == 1) 1 else 2
+              val ls = 16 * vTab(qp % 6)(cls)
+              d(i)(j) = if (qp >= 24) (blockAc(k - 1) * ls) << (qp / 6 - 4)
+                else (blockAc(k - 1) * ls + (1 << (3 - qp / 6))) >> (4 - qp / 6)
+            }
+            val fr = Array.tabulate(4) { i =>
+              val e0 = d(i)(0) + d(i)(2); val e1 = d(i)(0) - d(i)(2)
+              val e2 = (d(i)(1) >> 1) - d(i)(3); val e3 = d(i)(1) + (d(i)(3) >> 1)
+              Array(e0 + e3, e1 + e2, e1 - e2, e0 - e3)
+            }
+            val hm = Array.ofDim[Int](4, 4)
+            for (j <- 0 until 4) {
+              val g0 = fr(0)(j) + fr(2)(j); val g1 = fr(0)(j) - fr(2)(j)
+              val g2 = (fr(1)(j) >> 1) - fr(3)(j); val g3 = fr(1)(j) + (fr(3)(j) >> 1)
+              hm(0)(j) = g0 + g3; hm(1)(j) = g1 + g2
+              hm(2)(j) = g1 - g2; hm(3)(j) = g0 - g3
+            }
+            (r, c) => (hm(r)(c) + 32) >> 6
+          }
         for (r <- 0 until 4; c <- 0 until 4)
           plane((mbY * 16 + bi * 4 + r) * w16 + mbX * 16 + bj * 4 + c) =
-            clip(pred(bj * 4 + c, bi * 4 + r) + res).toByte
+            clip(pred(bj * 4 + c, bi * 4 + r) + res(r, c)).toByte
       }
     }
     plane
@@ -316,6 +355,78 @@ class H264CavlcSpec extends AnyFunSuite {
     assert(luma.toSeq === referenceFrame(1, 1, dc, 24).toSeq)
     assert(cbP.forall(b => (b & 0xFF) == 128))
     assert(crP.forall(b => (b & 0xFF) == 128))
+  }
+
+  test("Intra16x16AC residuals reconstruct against the longhand reference " +
+      "(single-coefficient blocks across positions, signs, QPs)") {
+    val rnd = new scala.util.Random(2026L)
+    for (qp <- Seq(10, 24, 30, 38, 51); trial <- 0 until 6) {
+      val (wMbs, hMus) = (2, 2)
+      val dc = Array.fill(wMbs * hMus)(Array.fill(4, 4)(rnd.nextInt(9) - 4))
+      // one nonzero AC level per block at most (some blocks zero):
+      // every neighbour TotalCoeff sum stays <= 2, so the stream lives
+      // inside the conformance-pinned nC < 2 coeff_token column while
+      // still exercising all 15 scan positions, both signs, level
+      // magnitudes past the trailing-one range, total_zeros and the
+      // position-classed dequant + full butterfly
+      val ac = Array.fill(wMbs * hMus)(Array.tabulate(16) { _ =>
+        val a = new Array[Int](15)
+        if (rnd.nextInt(5) > 0) {
+          val mag = 1 + rnd.nextInt(6)
+          a(rnd.nextInt(15)) = if (rnd.nextBoolean()) mag else -mag
+        }
+        a
+      })
+      val es = H264.encodeSps(wMbs, hMus, 0) ++ H264.encodePps() ++
+        H264Cavlc.encodeIntra16Frame(wMbs, hMus, dc, qp, idrPicId = trial,
+          acLevels = ac)
+      val frames = H264Cavlc.decodeIntra16Frames(es)
+      assert(frames.size === 1)
+      assert(frames.head._3.toSeq ===
+        referenceFrame(wMbs, hMus, dc, qp, ac = ac).toSeq)
+    }
+  }
+
+  test("mixed CodedBlockPatternLuma: AC MBs chain with DC-only MBs " +
+      "and with non-DC prediction modes") {
+    val rnd = new scala.util.Random(99L)
+    val (wMbs, hMus) = (3, 1)
+    val dc = Array.fill(3)(Array.fill(4, 4)(rnd.nextInt(7) - 3))
+    val ac = Array.tabulate(3) { mb =>
+      Array.tabulate(16) { blk =>
+        val a = new Array[Int](15)
+        // MB1 all-zero -> emitted as CodedBlockPatternLuma = 0
+        if (mb != 1) a((mb * 3 + blk) % 15) = (blk % 3) - 1
+        a
+      }
+    }
+    // MB1/MB2 use horizontal prediction: their predictors read MB0's
+    // AC-reconstructed right edge, so the chain breaks if either the
+    // CBP-0 passthrough or the AC reconstruction drifts
+    val modes = Array(2, 1, 1)
+    val es = H264.encodeSps(wMbs, hMus, 0) ++ H264.encodePps() ++
+      H264Cavlc.encodeIntra16Frame(wMbs, hMus, dc, qp = 24,
+        predModes = modes, acLevels = ac)
+    val frames = H264Cavlc.decodeIntra16Frames(es)
+    assert(frames.size === 1)
+    assert(frames.head._3.toSeq ===
+      referenceFrame(wMbs, hMus, dc, 24, modes = modes, ac = ac).toSeq)
+  }
+
+  test("dense neighbours (nC >= 2) are refused loudly, not mis-coded") {
+    // blk1 TotalCoeff 2 and blk2 TotalCoeff 1 make blk3's
+    // nC = (2 + 1 + 1) >> 1 = 2 — the first unpinned coeff_token
+    // column. The encoder must refuse rather than emit bits from a
+    // table this codec does not carry.
+    val ac = Array.fill(1)(Array.fill(16)(new Array[Int](15)))
+    ac(0)(1)(0) = 5; ac(0)(1)(3) = -2 // blk1: 2 coefficients
+    ac(0)(2)(1) = 1 //                   blk2: 1 coefficient
+    ac(0)(3)(0) = 1 //                   blk3: parsing needs nC = 2
+    val ex = intercept[IllegalArgumentException] {
+      H264Cavlc.encodeIntra16Frame(1, 1,
+        Array(Array.fill(4, 4)(0)), qp = 24, acLevels = ac)
+    }
+    assert(ex.getMessage.contains("Table 9-5"))
   }
 
   test("streams outside the intra-DC subset fail loudly") {
