@@ -36,7 +36,44 @@ object MultimodalQueries {
     "m18_audio_wht_features" -> m18,
     "m19_png_color" -> m19,
     "m20_video_pred_modes" -> m20,
-    "m21_video_ac_residuals" -> m21)
+    "m21_video_ac_residuals" -> m21,
+    "m22_gif_lzw_roundtrip" -> m22)
+
+  /** GIF87a/LZW on the oracle gate (m22): each asset's deterministic
+    * gray plane round-trips the REAL GIF codec — LSB-first
+    * variable-width LZW (the container + bit packing are pinned to a
+    * hand-derived spec vector in GifGraySpec), 256-entry gray global
+    * color table — and a second constant plane per asset crosses the
+    * decoder's KwKwK materialization path. A hash match proves the
+    * LZW dictionary build/rebuild and the sub-block framing are
+    * lossless on every asset; the oracle replays the SOURCE formula,
+    * so any codec drift (a mis-packed width boundary, an off-by-one
+    * in the dictionary lag) breaks equality.
+    *
+    * Scale: zero-shuffle per-asset map like every m-family decode. */
+  private def m22: Q = (spark, dir) => {
+    import spark.implicits._
+    val (w, h) = (24, 16)
+    t(spark, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val px = Array.tabulate(w * h)(i => ((id * 31 + i) % 256).toByte)
+        val gif = graft.operators.GifGray.encode(w, h, px)
+        val (dw, dh, dec) = graft.operators.GifGray.decode(gif)
+        var s = 0L; var ck = 0L; var i = 0
+        while (i < dec.length) {
+          val v = (dec(i) & 0xFF).toLong
+          s += v; ck += v * (i + 1); i += 1
+        }
+        val cpx = Array.fill(64)((id % 256).toByte)
+        val (_, _, cdec) =
+          graft.operators.GifGray.decode(graft.operators.GifGray.encode(8, 8, cpx))
+        var cs = 0L; var p = 0
+        while (p < cdec.length) { cs += cdec(p) & 0xFF; p += 1 }
+        (id, dw, dh, s, ck, cs)
+      }
+      .toDF("doc_id", "width", "height", "gray_sum", "gray_checksum",
+        "const_sum")
+  }
 
   /** CAVLC AC residual reconstruction on the oracle gate (m21): each
     * asset is one I_16x16_2_0_15 macroblock (Table 7-11 mb_type 15 —
@@ -796,6 +833,17 @@ object MultimodalQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // m22: round-trip identity — the decoded plane must equal the
+    // source formula, so the oracle recomputes sums from the formula;
+    // the constant plane is 64 copies of doc_id % 256
+    "m22_gif_lzw_roundtrip" ->
+      """SELECT doc_id, 24 AS width, 16 AS height,
+        | CAST(list_sum(list_transform(range(0, 384), i ->
+        |   (doc_id*31 + i) % 256)) AS BIGINT) AS gray_sum,
+        | CAST(list_sum(list_transform(range(0, 384), i ->
+        |   ((doc_id*31 + i) % 256) * (i+1))) AS BIGINT) AS gray_checksum,
+        | CAST(64 * (doc_id % 256) AS BIGINT) AS const_sum
+        |FROM documents""".stripMargin,
     // m21: every pixel of the 16x16 plane recomputed in closed form —
     // per (block b, y, x): the planted level per family, the even
     // LevelScales (160/208/256 -> exact >>1 halvings), the butterfly

@@ -87,6 +87,7 @@ object TextQueries {
     "t32_ccnet_buckets" -> t32,
     "t33_dsir_select" -> t33,
     "t34_kneser_ney" -> t34,
+    "t36_lm_perplexity_filter" -> t36,
     "s1_ann_cosine" -> s1,
     // Gonzalez k-center greedy seeding over the quantized embeddings —
     // the deterministic k-means++ stand-in; integer-exact distances
@@ -1821,6 +1822,62 @@ object TextQueries {
         (bits(num) - bits(den)).cast(IntegerType).as("qbits"))
   }
 
+  /** CCNet's LM perplexity filter, end-to-end (t36): score every
+    * document against the t34 Kneser-Ney bigram LM and bucket by mean
+    * per-bigram quantized log-probability — the head/middle/tail
+    * split CCNet actually gates on (Wenzek et al. 2020 use a KenLM
+    * 5-gram; the same KN smoothing at bigram order keeps the chain
+    * integer-exact). A doc's score is the SUM of its bigrams' qbits
+    * (t34's whole-bit log2 P quantization); ordering by mean qbits
+    * DESC puts low-perplexity docs first, exact ntile(3) assigns
+    * head(1)/middle(2)/tail(3), and CCNet keeps head+middle. The LM is
+    * trained on the SAME corpus being filtered, like CCNet's
+    * per-snapshot models — every bigram is in-vocabulary by
+    * construction, so no backoff-to-unigram path is exercised (that
+    * remains t34's documented boundary). Docs under 2 tokens have no
+    * bigrams and drop out of the report, exactly as in the oracle.
+    *
+    * Scale: the corpus-sized work is the ONE bigram shuffle shared
+    * with t34 (count + derived tables re-aggregate from it) plus the
+    * doc-bigram-to-LM join, which shuffles on the bigram key — the
+    * same key distribution as the count, no new skew class. The
+    * ntile sorts only the per-DOC stat table; at 100 TB the exact
+    * tercile swaps for k5's KLL quantile cutoffs (the t32 note). */
+  private def t36: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), TF.tokens(lower(col("text"))).as("a"))
+    val grams = docs.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("a"), lit(1), size(col("a")) - 1),
+          slice(col("a"), lit(2), greatest(size(col("a")) - 1, lit(0))),
+          (x, y) => struct(x.as("w1"), y.as("w2")))).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val c12 = grams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val left = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nfwd"))
+    val back = c12.groupBy(col("w2")).agg(count(lit(1)).as("nback"))
+    val nb = c12.agg(count(lit(1)).as("nb"))
+    def bits(c: org.apache.spark.sql.Column) = length(bin(c))
+    val num = greatest(lit(4) * col("c12") - 3, lit(0L)) * col("nb") +
+      lit(3L) * col("nfwd") * col("nback")
+    val den = lit(4L) * col("c1") * col("nb")
+    // vocab-sized LM tables join on the shuffle (the t34 AQE note)
+    val lm = c12.join(left, Seq("w1")).join(back, Seq("w2"))
+      .crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"),
+        (bits(num) - bits(den)).cast(LongType).as("qbits"))
+    val scored = grams.join(lm, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("qbits")).as("sum_qbits"))
+    val ranked = scored.withColumn("tercile",
+      ntile(3).over(org.apache.spark.sql.expressions.Window.orderBy(
+        (col("sum_qbits").cast(DoubleType) / col("n_bigrams")).desc,
+        col("doc_id"))))
+    ranked.select(col("doc_id"), col("n_bigrams"), col("sum_qbits"),
+      col("tercile"), (col("tercile") <= 2).as("keep"))
+  }
+
   /** DSIR-shaped importance selection (t33): Data Selection via
     * Importance Resampling (Xie et al. 2023) reduced to deterministic
     * integer primitives. Documents featurize as hashed n-gram buckets
@@ -2440,6 +2497,32 @@ object TextQueries {
         | CAST(length(bin(GREATEST(4*c12.c12 - 3, 0) * nb + 3 * nfwd * nback))
         |    - length(bin(4 * c1 * nb)) AS INTEGER) AS qbits
         |FROM c12 JOIN lft USING (w1) JOIN bck USING (w2) CROSS JOIN nbt""".stripMargin,
+    // t36: the t34 LM replay extended per-doc — bigrams keep their
+    // doc_id, the qbits table joins back on (w1, w2), and the tercile
+    // uses the same (mean DESC, doc_id) total order as t33's ntile
+    "t36_lm_perplexity_filter" ->
+      """WITH docs AS (SELECT doc_id,
+        |        regexp_split_to_array(lower(trim(text)), '\s+') AS a
+        |      FROM documents),
+        |bg AS (SELECT doc_id, a[i] AS w1, a[i+1] AS w2
+        |       FROM docs CROSS JOIN UNNEST(range(1, len(a))) t(i)),
+        |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+        |lft AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS nfwd FROM c12 GROUP BY 1),
+        |bck AS (SELECT w2, COUNT(*) AS nback FROM c12 GROUP BY 1),
+        |nbt AS (SELECT COUNT(*) AS nb FROM c12),
+        |lm AS (SELECT c12.w1, c12.w2,
+        |        length(bin(GREATEST(4*c12.c12 - 3, 0) * nb + 3 * nfwd * nback))
+        |          - length(bin(4 * c1 * nb)) AS qbits
+        |       FROM c12 JOIN lft USING (w1) JOIN bck USING (w2) CROSS JOIN nbt),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |        CAST(SUM(qbits) AS BIGINT) AS sum_qbits
+        |       FROM bg JOIN lm USING (w1, w2) GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, sum_qbits,
+        | ntile(3) OVER (ORDER BY CAST(sum_qbits AS DOUBLE) / n_bigrams DESC,
+        |                doc_id) AS tercile,
+        | ntile(3) OVER (ORDER BY CAST(sum_qbits AS DOUBLE) / n_bigrams DESC,
+        |                doc_id) <= 2 AS keep
+        |FROM sc""".stripMargin,
     // t33: same hashed-bucket featurization (t20's md5 idiom), same
     // integer-bits weights, same (mean DESC, doc_id) ntile total order
     "t33_dsir_select" ->
