@@ -251,7 +251,13 @@ object Dedup {
   def minHashLshCandidates(docs: DataFrame,
       textCol: String = "text"): DataFrame = {
     val buckets = minHashBandsFromDocs(docs, textCol)
-    val a = buckets.as("a"); val b = buckets.as("b")
+    // merge hint: both sides are corpus-sized typed-mapper outputs
+    // whose STATIC size estimate is the (much smaller) parquet scan
+    // beneath them — without the hint the planner broadcast a 4.8M-row
+    // band table at the 30x stress point (22s vs 7s). The hint blocks
+    // the fake-estimate static broadcast; AQE still upgrades the
+    // shuffle join back to broadcast from REAL sizes at small scale.
+    val a = buckets.as("a"); val b = buckets.as("b").hint("merge")
     a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&
@@ -369,9 +375,15 @@ object Dedup {
       threshold: Double): DataFrame = {
     val shingleCol = if (sh.columns.contains("s")) "s" else "shingle"
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // merge hints on the corpus-sized shingle sides: sh is a typed
+    // flatMap output whose static size estimate is the parquet scan
+    // beneath it, so without the hint the planner broadcast the whole
+    // inverted index at the 30x stress point. AQE re-broadcasts from
+    // real shuffle sizes when the corpus is actually small.
     val inter = candidates
-      .join(sh.withColumnRenamed("doc_id", "a_id"), "a_id")
-      .join(sh.withColumnRenamed("doc_id", "b_id"), Seq("b_id", shingleCol))
+      .join(sh.withColumnRenamed("doc_id", "a_id").hint("merge"), "a_id")
+      .join(sh.withColumnRenamed("doc_id", "b_id").hint("merge"),
+        Seq("b_id", shingleCol))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter"))
     withJaccard(inter, sizes, threshold)
@@ -1304,23 +1316,35 @@ object Dedup {
     // is small, keyed join otherwise) and run the THRESHOLDED
     // Levenshtein kernel — O(maxDist·n) banded DP per pair, -1 past
     // the threshold
-    def verified(cand: DataFrame): DataFrame = cand
-      .join(base.select(col("id").as("a_id"), col("txt").as("ta")), "a_id")
-      .join(base.select(col("id").as("b_id"), col("txt").as("tb")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        levenshtein(col("ta"), col("tb"), maxDist).cast(LongType).as("lev"))
-      .filter(col("lev") >= 0)
-    val cand = candidates match {
+    // merge hints on the corpus text sides (large-corpus routes only):
+    // their static size estimate is the parquet file size, which
+    // statically broadcast the whole 150k-doc text table at the 30x
+    // stress point; AQE restores the broadcast from real shuffle sizes
+    // when the table really is small. The length-band route runs only
+    // under autoLshDocLimit, where the static broadcast is correct —
+    // it keeps the unhinted shape.
+    def verified(cand: DataFrame, hintMerge: Boolean): DataFrame = {
+      def side(d: DataFrame) = if (hintMerge) d.hint("merge") else d
+      cand
+        .join(side(base.select(col("id").as("a_id"), col("txt").as("ta"))),
+          "a_id")
+        .join(side(base.select(col("id").as("b_id"), col("txt").as("tb"))),
+          "b_id")
+        .select(col("a_id"), col("b_id"),
+          levenshtein(col("ta"), col("tb"), maxDist).cast(LongType).as("lev"))
+        .filter(col("lev") >= 0)
+    }
+    val (cand, bigCorpus) = candidates match {
       case Some(p) =>
-        p.select(col("a_id").cast("long"), col("b_id").cast("long"))
-          .filter(col("a_id") < col("b_id"))
+        (p.select(col("a_id").cast("long"), col("b_id").cast("long"))
+          .filter(col("a_id") < col("b_id")), true)
       case None if base.count() > autoLshDocLimit =>
         // Large corpus: the length-band join below is quadratic in
         // band occupancy, so generate candidates with banded
         // MinHash-LSH instead (p5's measured-linear composition). The
         // one count() action is a parquet-metadata-cheap scan next to
         // the join it prevents.
-        minHashLshCandidates(docs, textCol)
+        (minHashLshCandidates(docs, textCol), true)
       case None =>
         // One typed pass per doc: codepoint count + 128-bucket char
         // histogram (codepoints folded with & 0x7f — merging buckets
@@ -1351,12 +1375,13 @@ object Dedup {
           col("hist").as("hb"),
           explode(array((-1 to 1).map(o => floor(col("len") / w) + o): _*))
             .as("band"))
-        left.join(right, "band")
+        val c = left.join(right, "band")
           .filter(col("a_id") < col("b_id") &&
             abs(col("la") - col("lb")) <= maxDist &&
             VF.l1(col("ha"), col("hb")) <= lit(2L * maxDist))
           .select(col("a_id"), col("b_id"))
+        (c, false)
     }
-    verified(cand)
+    verified(cand, hintMerge = bigCorpus)
   }
 }
