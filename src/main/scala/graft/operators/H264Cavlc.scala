@@ -35,10 +35,14 @@ import H264.{BitReader, BitWriter}
   * conformance vector; the 2<=nC<4 / 4<=nC<8 / FLC columns are
   * reachable only when a block's left+top neighbour TotalCoeff sum is
   * >= 3, and both encoder and decoder fail loudly there rather than
-  * ship self-consistent-but-unpinned tables. Remaining boundary:
-  * those coeff_token columns (dense-neighbour AC), chroma AC
-  * (CodedBlockPatternChroma = 2), I_4x4/I_8x8 spatial modes, CABAC,
-  * and inter prediction.
+  * ship self-consistent-but-unpinned tables. CodedBlockPatternChroma
+  * = 2 macroblocks additionally decode ChromaACLevel: per component,
+  * the four chroma 4x4 blocks in raster order with nC off
+  * per-component chroma TotalCoeff grids (9.2.1), dequantized at QPc
+  * (8.5.12.1) on top of the 2x2-Hadamard chroma DC, through the same
+  * inverse core transform. Remaining boundary: the dense-neighbour
+  * coeff_token columns, I_4x4/I_8x8 spatial modes, CABAC, and inter
+  * prediction.
   *
   * All VLC tables are transcribed from the public ITU-T H.264 spec:
   * coeff_token Table 9-5 (0 <= nC < 2 column), total_zeros Tables
@@ -475,6 +479,19 @@ object H264Cavlc {
     else 0
   }
 
+  /** nC for a chroma AC block at picture-wide chroma-block coords
+    * (bx, by) — the same 9.2.1 left/top averaging as [[lumaNc]], over
+    * the per-component chroma TotalCoeff grid (2 blocks per MB per
+    * dimension in 4:2:0). */
+  private def chromaNc(tc: Array[Array[Int]], bx: Int, by: Int): Int = {
+    val hasA = bx > 0
+    val hasB = by > 0
+    if (hasA && hasB) (tc(by)(bx - 1) + tc(by - 1)(bx) + 1) >> 1
+    else if (hasA) tc(by)(bx - 1)
+    else if (hasB) tc(by - 1)(bx)
+    else 0
+  }
+
   /** The coeff_token column for a luma nC. Only the externally
     * conformance-pinned 0 <= nC < 2 column is implemented: the
     * 2 <= nC < 4, 4 <= nC < 8 and FLC columns of Table 9-5 are the
@@ -560,7 +577,9 @@ object H264Cavlc {
       cbDc: Array[Array[Array[Int]]] = null,
       crDc: Array[Array[Array[Int]]] = null,
       predModes: Array[Int] = null,
-      acLevels: Array[Array[Array[Int]]] = null): Array[Byte] = {
+      acLevels: Array[Array[Array[Int]]] = null,
+      cbAc: Array[Array[Array[Int]]] = null,
+      crAc: Array[Array[Array[Int]]] = null): Array[Byte] = {
     require(dcLevels.length == widthMbs * heightMapUnits)
     require(qp >= 1 && qp <= 51, s"qp out of range: $qp")
     if (acLevels != null) {
@@ -568,6 +587,18 @@ object H264Cavlc {
       acLevels.foreach { mb =>
         require(mb.length == 16 && mb.forall(_.length == 15),
           "acLevels must be 16 blocks x 15 scan levels per MB")
+      }
+    }
+    require((cbAc == null) == (crAc == null),
+      "chroma AC must be given for both components or neither")
+    if (cbAc != null) {
+      require(cbDc != null, "chroma AC (CBP chroma 2) requires chroma DC")
+      Seq(cbAc, crAc).foreach { comp =>
+        require(comp.length == dcLevels.length)
+        comp.foreach { mb =>
+          require(mb.length == 4 && mb.forall(_.length == 15),
+            "chroma AC must be 4 blocks x 15 scan levels per MB")
+        }
       }
     }
     require((cbDc == null) == (crDc == null),
@@ -600,19 +631,25 @@ object H264Cavlc {
     w.ue(idrPicId & 0xFFFF)
     w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking (IDR form)
     w.se(qp - 1 - 26) // slice_qp_delta: SliceQPy = qp - 1
-    // picture-wide per-4x4-block AC TotalCoeff grid for nC derivation
-    // (9.2.1) — mirrored exactly by the decoder
+    // picture-wide per-4x4-block AC TotalCoeff grids for nC derivation
+    // (9.2.1) — luma, plus one per chroma component — mirrored exactly
+    // by the decoder
     val tcGrid = Array.ofDim[Int](heightMapUnits * 4, widthMbs * 4)
+    val tcCb = Array.ofDim[Int](heightMapUnits * 2, widthMbs * 2)
+    val tcCr = Array.ofDim[Int](heightMapUnits * 2, widthMbs * 2)
     var m = 0
     while (m < dcLevels.length) {
       val mbX = m % widthMbs
       val mbY = m / widthMbs
       val mbAc = if (acLevels == null) null else acLevels(m)
       val cbpL15 = mbAc != null && mbAc.exists(_.exists(_ != 0))
+      val chromaAcHere = cbAc != null &&
+        (cbAc(m).exists(_.exists(_ != 0)) || crAc(m).exists(_.exists(_ != 0)))
+      val cbpChroma = if (!chroma) 0 else if (chromaAcHere) 2 else 1
       // Table 7-11: mb_type = 1 + predMode + 4*CodedBlockPatternChroma
       // + 12*(CodedBlockPatternLuma == 15) — 3/7/15/19 are the
       // DC-prediction members.
-      w.ue(1 + modes(m) + (if (chroma) 4 else 0) + (if (cbpL15) 12 else 0))
+      w.ue(1 + modes(m) + 4 * cbpChroma + (if (cbpL15) 12 else 0))
       w.ue(0) // intra_chroma_pred_mode: DC
       w.se(if (m == 0) 1 else 0) // mb_qp_delta -> QPy = qp from MB 0 on
       val scan = new Array[Int](16)
@@ -643,6 +680,25 @@ object H264Cavlc {
         Seq(cbDc, crDc).foreach { plane =>
           encodeChromaDcBlock(Array(plane(m)(0)(0), plane(m)(0)(1),
             plane(m)(1)(0), plane(m)(1)(1)), w)
+        }
+        if (cbpChroma == 2) {
+          // ChromaACLevel: per component, the 4 chroma 4x4 blocks in
+          // raster order, 15 AC levels each, nC from the per-component
+          // chroma grid (9.2.1) — same Table 9-5 columns as luma
+          Seq((cbAc, tcCb, "Cb"), (crAc, tcCr, "Cr")).foreach {
+            case (comp, grid, nm) =>
+              var cb4 = 0
+              while (cb4 < 4) {
+                val bx = mbX * 2 + (cb4 & 1)
+                val by = mbY * 2 + (cb4 >> 1)
+                val nC = chromaNc(grid, bx, by)
+                encodeResidual(comp(m)(cb4),
+                  lumaCoeffTokenTab(nC, s"mb $m $nm AC blk $cb4"),
+                  TotalZeros, w)
+                grid(by)(bx) = comp(m)(cb4).count(_ != 0)
+                cb4 += 1
+              }
+          }
         }
       }
       m += 1
@@ -774,19 +830,22 @@ object H264Cavlc {
     val plane = new Array[Byte](w16 * mapUnits * 16)
     val cbPlane = new Array[Byte](w8 * mapUnits * 8)
     val crPlane = new Array[Byte](w8 * mapUnits * 8)
-    // picture-wide per-4x4-block AC TotalCoeff for nC (9.2.1)
+    // picture-wide per-4x4-block AC TotalCoeff for nC (9.2.1):
+    // luma, plus one grid per chroma component (2x2 blocks per MB)
     val tcGrid = Array.ofDim[Int](mapUnits * 4, widthMbs * 4)
+    val tcCb = Array.ofDim[Int](mapUnits * 2, widthMbs * 2)
+    val tcCr = Array.ofDim[Int](mapUnits * 2, widthMbs * 2)
     var m = 0
     val nMbs = widthMbs * mapUnits
     while (m < nMbs) {
       val mbType = r.ue()
       // Table 7-11, mb_type 1..24: I_16x16_{pred}_{cbpChroma}_{cbpLuma}
-      // with base = 1 + predMode + 4*cbpChroma and +12 when
-      // CodedBlockPatternLuma = 15. Supported: cbpChroma 0/1 (no
-      // chroma AC), both luma CBPs — mb_type 1..8 and 13..20.
-      require((mbType >= 1 && mbType <= 8) || (mbType >= 13 && mbType <= 20),
+      // with base = 1 + predMode + 4*cbpChroma (cbpChroma 0/1/2) and
+      // +12 when CodedBlockPatternLuma = 15. The whole I_16x16 range
+      // decodes; I_4x4 (mb_type 0) and I_PCM (25) stay boundaries.
+      require(mbType >= 1 && mbType <= 24,
         s"mb $m: mb_type $mbType outside the I_16x16 CAVLC decode subset " +
-          "(chroma AC / I_4x4 / I_8x8 / I_PCM-in-I16 not supported here)")
+          "(I_4x4 / I_8x8 / I_PCM not supported here)")
       val cbpL15 = mbType >= 13
       val base = if (cbpL15) mbType - 12 else mbType
       val predMode = (base - 1) % 4
@@ -915,32 +974,81 @@ object H264Cavlc {
         }
         blk += 1
       }
-      // chroma: residual 2x2 DC blocks when CodedBlockPatternChroma = 1,
-      // prediction-only otherwise; Cb precedes Cr
+      // chroma: residual 2x2 DC blocks when CodedBlockPatternChroma >=
+      // 1, plus per-component ChromaACLevel (4 blocks x 15 levels, nC
+      // off the chroma grids) when it is 2; Cb DC, Cr DC, Cb AC x4,
+      // Cr AC x4 (7.3.5.3.3 order)
       val cbScan =
-        if (cbpChroma == 1) decodeChromaDcBlock(r) else new Array[Int](4)
+        if (cbpChroma >= 1) decodeChromaDcBlock(r) else new Array[Int](4)
       val crScan =
-        if (cbpChroma == 1) decodeChromaDcBlock(r) else new Array[Int](4)
+        if (cbpChroma >= 1) decodeChromaDcBlock(r) else new Array[Int](4)
+      val cbAcBlk = Array.ofDim[Int](4, 15)
+      val crAcBlk = Array.ofDim[Int](4, 15)
+      if (cbpChroma == 2) {
+        Seq((cbAcBlk, tcCb, "Cb"), (crAcBlk, tcCr, "Cr")).foreach {
+          case (comp, grid, nm) =>
+            var cb4 = 0
+            while (cb4 < 4) {
+              val bx = mbX * 2 + (cb4 & 1)
+              val by = mbY * 2 + (cb4 >> 1)
+              val nC = chromaNc(grid, bx, by)
+              comp(cb4) = decodeResidual(r,
+                lumaCoeffTokenTab(nC, s"mb $m $nm AC blk $cb4"),
+                TotalZeros, 15)
+              grid(by)(bx) = comp(cb4).count(_ != 0)
+              cb4 += 1
+            }
+        }
+      }
       val qPc = qpc(qpy + chromaQpOff)
-      Seq((cbPlane, cbScan), (crPlane, crScan)).foreach { case (cp, sc) =>
+      Seq((cbPlane, cbScan, cbAcBlk), (crPlane, crScan, crAcBlk)).foreach {
+        case (cp, sc, acC) =>
         val f2 = hadamard2(Array(Array(sc(0), sc(1)), Array(sc(2), sc(3))))
         var cbi = 0
         while (cbi < 2) {
           var cbj = 0
           while (cbj < 2) {
             val pred = chromaDcPred(cp, w8, mbX, mbY, cbi, cbj)
-            val res =
-              if (cbpChroma == 1) (dequantChromaDc(f2(cbi)(cbj), qPc) + 32) >> 6
-              else 0
-            val v = clip255(pred + res).toByte
-            var rr = 0
-            while (rr < 4) {
-              var cc = 0
-              while (cc < 4) {
-                cp((mbY * 8 + cbi * 4 + rr) * w8 + mbX * 8 + cbj * 4 + cc) = v
-                cc += 1
+            val dcC =
+              if (cbpChroma >= 1) dequantChromaDc(f2(cbi)(cbj), qPc) else 0
+            val ac = acC(cbi * 2 + cbj)
+            var anyAc = false
+            var q = 0
+            while (q < 15 && !anyAc) { anyAc = ac(q) != 0; q += 1 }
+            if (anyAc) {
+              // coded chroma block: full 4x4 butterfly on (dcC, AC at
+              // zig-zag 1..15 dequantized at QPc per 8.5.12.1)
+              val d = Array.ofDim[Int](4, 4)
+              d(0)(0) = dcC
+              var k4 = 1
+              while (k4 < 16) {
+                val (i4, j4) = ZigZag4x4(k4)
+                if (ac(k4 - 1) != 0)
+                  d(i4)(j4) = dequant4x4Ac(ac(k4 - 1), qPc, i4, j4)
+                k4 += 1
               }
-              rr += 1
+              val hM = inverseTransform4x4(d)
+              var rr = 0
+              while (rr < 4) {
+                var cc = 0
+                while (cc < 4) {
+                  cp((mbY * 8 + cbi * 4 + rr) * w8 + mbX * 8 + cbj * 4 + cc) =
+                    clip255(pred + ((hM(rr)(cc) + 32) >> 6)).toByte
+                  cc += 1
+                }
+                rr += 1
+              }
+            } else {
+              val v = clip255(pred + ((dcC + 32) >> 6)).toByte
+              var rr = 0
+              while (rr < 4) {
+                var cc = 0
+                while (cc < 4) {
+                  cp((mbY * 8 + cbi * 4 + rr) * w8 + mbX * 8 + cbj * 4 + cc) = v
+                  cc += 1
+                }
+                rr += 1
+              }
             }
             cbj += 1
           }

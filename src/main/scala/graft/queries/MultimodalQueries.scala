@@ -37,7 +37,70 @@ object MultimodalQueries {
     "m19_png_color" -> m19,
     "m20_video_pred_modes" -> m20,
     "m21_video_ac_residuals" -> m21,
-    "m22_gif_lzw_roundtrip" -> m22)
+    "m22_gif_lzw_roundtrip" -> m22,
+    "m23_video_chroma_ac" -> m23)
+
+  /** Chroma AC reconstruction on the oracle gate (m23): each asset is
+    * one I_16x16_2_2_0 macroblock (Table 7-11 mb_type 11 —
+    * CodedBlockPatternChroma = 2), so both chroma components carry
+    * ChromaACLevel residuals: four 4x4 blocks each, entropy-coded with
+    * nC off the per-component chroma TotalCoeff grids (9.2.1),
+    * dequantized at QPc (8.5.12.1 — QP 24 maps to itself on Table
+    * 8-12), and reconstructed through the full 4x4 butterfly on top of
+    * the 2x2-Hadamard chroma DC (80x at QPc 24). The same m21 block
+    * families cover all three dequant position classes and both >>1
+    * halving patterns, per component; luma stays DC-only (uniform
+    * 40x), isolating the chroma path. The oracle replays every chroma
+    * pixel in closed form; position-weighted per-plane checksums pin
+    * the raster layout of both components independently.
+    *
+    * Scale: zero-shuffle per-asset map like every m-family decode. */
+  private def m23: Q = (spark, dir) => {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val a0 = (id % 41).toInt - 20
+      val dc = Array.fill(4, 4)(0); dc(0)(0) = a0
+      val cb = Array(
+        Array((id % 7).toInt - 3, ((id / 7) % 5).toInt - 2),
+        Array(((id / 5) % 3).toInt - 1, ((id / 3) % 3).toInt - 1))
+      val cr = Array(
+        Array((id % 9).toInt - 4, ((id / 9) % 3).toInt - 1),
+        Array(((id / 2) % 3).toInt - 1, ((id / 11) % 3).toInt - 1))
+      def acOf(off: Int) = Array.tabulate(4) { b =>
+        val a = new Array[Int](15)
+        val c = ((id + 11 * b + off) % 7).toInt - 3
+        b match {
+          case 0 => a(2) = c // scan k=3 -> (2,0), even-even class
+          case 1 => a(4) = c // k=5 -> (0,2)
+          case 2 => a(0) = c // k=1 -> (0,1), mixed class
+          case _ => a(3) = c // k=4 -> (1,1), odd-odd class
+        }
+        a
+      }
+      val es = graft.operators.H264.encodeSps(1, 1, 0) ++
+        graft.operators.H264.encodePps() ++
+        graft.operators.H264Cavlc.encodeIntra16Frame(1, 1, Array(dc),
+          qp = 24, idrPicId = (id % 65536).toInt,
+          cbDc = Array(cb), crDc = Array(cr),
+          cbAc = Array(acOf(0)), crAc = Array(acOf(3)))
+      val frames = graft.operators.H264Cavlc.decodeIntra16FramesYuv(es)
+      require(frames.size == 1)
+      val (w, h, y, cbP, crP) = frames.head
+      def stats(p: Array[Byte]): (Long, Long) = {
+        var s = 0L; var ck = 0L; var i = 0
+        while (i < p.length) {
+          val v = (p(i) & 0xFF).toLong
+          s += v; ck += v * (i + 1); i += 1
+        }
+        (s, ck)
+      }
+      val (ys, _) = stats(y)
+      val (cbs, cbk) = stats(cbP)
+      val (crs, crk) = stats(crP)
+      (id, w, h, ys, cbs, cbk, crs, crk, cbP(0) & 0xFF, crP(63) & 0xFF)
+    }.toDF("doc_id", "width", "height", "y_sum", "cb_sum", "cb_checksum",
+      "cr_sum", "cr_checksum", "cb00", "cr77")
+  }
 
   /** GIF87a/LZW on the oracle gate (m22): each asset's deterministic
     * gray plane round-trips the REAL GIF codec — LSB-first
@@ -844,6 +907,57 @@ object MultimodalQueries {
         |   ((doc_id*31 + i) % 256) * (i+1))) AS BIGINT) AS gray_checksum,
         | CAST(64 * (doc_id % 256) AS BIGINT) AS const_sum
         |FROM documents""".stripMargin,
+    // m23: every chroma pixel of both 8x8 planes in closed form — f2
+    // is the +-1 2x2 Hadamard of the planted DC levels (80x dequant at
+    // QPc 24), the AC families are m21's four patterns at chroma
+    // scale, and luma is the uniform 40x DC spread
+    "m23_video_chroma_ac" ->
+      """WITH base AS (SELECT doc_id,
+        |   CAST(doc_id % 41 AS BIGINT) - 20 AS a0,
+        |   CAST(doc_id % 7 AS BIGINT) - 3 AS b0,
+        |   CAST((doc_id//7) % 5 AS BIGINT) - 2 AS b1,
+        |   CAST((doc_id//5) % 3 AS BIGINT) - 1 AS b2,
+        |   CAST((doc_id//3) % 3 AS BIGINT) - 1 AS b3,
+        |   CAST(doc_id % 9 AS BIGINT) - 4 AS r0,
+        |   CAST((doc_id//9) % 3 AS BIGINT) - 1 AS r1,
+        |   CAST((doc_id//2) % 3 AS BIGINT) - 1 AS r2,
+        |   CAST((doc_id//11) % 3 AS BIGINT) - 1 AS r3
+        | FROM documents),
+        |px AS (SELECT doc_id, comp.k AS comp, b.b, yy.y, xx.x,
+        |   CASE WHEN comp.k = 0 THEN
+        |     CASE b.b WHEN 0 THEN b0+b1+b2+b3 WHEN 1 THEN b0-b1+b2-b3
+        |              WHEN 2 THEN b0+b1-b2-b3 ELSE b0-b1-b2+b3 END
+        |   ELSE
+        |     CASE b.b WHEN 0 THEN r0+r1+r2+r3 WHEN 1 THEN r0-r1+r2-r3
+        |              WHEN 2 THEN r0+r1-r2-r3 ELSE r0-r1-r2+r3 END END AS f2,
+        |   (doc_id + 11*b.b + comp.k*3) % 7 - 3 AS c,
+        |   CASE WHEN yy.y IN (0,3) THEN 1 ELSE -1 END AS sy,
+        |   CASE WHEN xx.x IN (0,3) THEN 1 ELSE -1 END AS sx,
+        |   CASE yy.y WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN -1 ELSE -2 END AS vy,
+        |   CASE xx.x WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN -1 ELSE -2 END AS vx,
+        |   (b.b//2)*4 + yy.y AS gy, (b.b%2)*4 + xx.x AS gx
+        | FROM base CROSS JOIN (VALUES (0),(1)) comp(k)
+        |   CROSS JOIN range(0,4) b(b)
+        |   CROSS JOIN range(0,4) yy(y) CROSS JOIN range(0,4) xx(x)),
+        |v AS (SELECT doc_id, comp, gy*8 + gx AS gidx,
+        |   LEAST(255, GREATEST(0, 128 + (80*f2
+        |     + CASE b WHEN 0 THEN 160*c*sy WHEN 1 THEN 160*c*sx
+        |              WHEN 2 THEN 104*c*vx ELSE 64*c*vy*vx END
+        |     + 6432) // 64 - 100)) AS pv
+        | FROM px),
+        |agg AS (SELECT doc_id,
+        |   CAST(SUM(CASE WHEN comp=0 THEN pv END) AS BIGINT) AS cb_sum,
+        |   CAST(SUM(CASE WHEN comp=0 THEN pv*(gidx+1) END) AS BIGINT) AS cb_checksum,
+        |   CAST(SUM(CASE WHEN comp=1 THEN pv END) AS BIGINT) AS cr_sum,
+        |   CAST(SUM(CASE WHEN comp=1 THEN pv*(gidx+1) END) AS BIGINT) AS cr_checksum,
+        |   CAST(MAX(CASE WHEN comp=0 AND gidx=0 THEN pv END) AS INTEGER) AS cb00,
+        |   CAST(MAX(CASE WHEN comp=1 AND gidx=63 THEN pv END) AS INTEGER) AS cr77
+        | FROM v GROUP BY doc_id)
+        |SELECT base.doc_id, 16 AS width, 16 AS height,
+        | CAST(256 * LEAST(255, GREATEST(0,
+        |   128 + (40*a0 + 6432) // 64 - 100)) AS BIGINT) AS y_sum,
+        | cb_sum, cb_checksum, cr_sum, cr_checksum, cb00, cr77
+        |FROM base JOIN agg USING (doc_id)""".stripMargin,
     // m21: every pixel of the 16x16 plane recomputed in closed form —
     // per (block b, y, x): the planted level per family, the even
     // LevelScales (160/208/256 -> exact >>1 halvings), the butterfly

@@ -275,7 +275,8 @@ class H264CavlcSpec extends AnyFunSuite {
     * prediction — all recomputed longhand (raster MB order so the
     * prediction chains over reconstructed neighbours). */
   private def referenceChromaPlane(widthMbs: Int, mapUnits: Int,
-      dcC: Array[Array[Array[Int]]], qpy: Int): Array[Byte] = {
+      dcC: Array[Array[Array[Int]]], qpy: Int,
+      ac: Array[Array[Array[Int]]] = null): Array[Byte] = {
     val qpcTab = Array(29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36,
       36, 37, 37, 37, 38, 38, 38, 39, 39, 39, 39)
     val qpc = if (qpy < 30) qpy else qpcTab(qpy - 30)
@@ -314,10 +315,45 @@ class H264CavlcSpec extends AnyFunSuite {
             else if (top) (sTop(1) + 2) >> 2 else 128
         }
         val dcCv = ((f(bi)(bj) * v) << (qpc / 6)) >> 5
-        val res = (dcCv + 32) >> 6
-        val px = math.max(0, math.min(255, pred + res)).toByte
-        for (r <- 0 until 4; c <- 0 until 4)
-          plane((mbY * 8 + bi * 4 + r) * w8 + mbX * 8 + bj * 4 + c) = px
+        val blockAc = if (ac == null) new Array[Int](15) else ac(mb)(bi * 2 + bj)
+        if (blockAc.forall(_ == 0)) {
+          val res = (dcCv + 32) >> 6
+          val px = math.max(0, math.min(255, pred + res)).toByte
+          for (r <- 0 until 4; c <- 0 until 4)
+            plane((mbY * 8 + bi * 4 + r) * w8 + mbX * 8 + bj * 4 + c) = px
+        } else {
+          // longhand chroma AC: zig-zag place, Table 8-15 dequant at
+          // QPc, row/column butterfly — independent of the decoder
+          val zz = Seq((0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2),
+            (0, 3), (1, 2), (2, 1), (3, 0), (3, 1), (2, 2), (1, 3),
+            (2, 3), (3, 2), (3, 3))
+          val vTab = Array(
+            Array(10, 16, 13), Array(11, 18, 14), Array(13, 20, 16),
+            Array(14, 23, 18), Array(16, 25, 20), Array(18, 29, 23))
+          val d = Array.ofDim[Int](4, 4)
+          d(0)(0) = dcCv
+          for (k <- 1 until 16; if blockAc(k - 1) != 0) {
+            val (i, j) = zz(k)
+            val cls = if (i % 2 == 0 && j % 2 == 0) 0
+              else if (i % 2 == 1 && j % 2 == 1) 1 else 2
+            val ls = 16 * vTab(qpc % 6)(cls)
+            d(i)(j) = if (qpc >= 24) (blockAc(k - 1) * ls) << (qpc / 6 - 4)
+              else (blockAc(k - 1) * ls + (1 << (3 - qpc / 6))) >> (4 - qpc / 6)
+          }
+          val fr = Array.tabulate(4) { i =>
+            val e0 = d(i)(0) + d(i)(2); val e1 = d(i)(0) - d(i)(2)
+            val e2 = (d(i)(1) >> 1) - d(i)(3); val e3 = d(i)(1) + (d(i)(3) >> 1)
+            Array(e0 + e3, e1 + e2, e1 - e2, e0 - e3)
+          }
+          for (c <- 0 until 4) {
+            val g0 = fr(0)(c) + fr(2)(c); val g1 = fr(0)(c) - fr(2)(c)
+            val g2 = (fr(1)(c) >> 1) - fr(3)(c); val g3 = fr(1)(c) + (fr(3)(c) >> 1)
+            val hcol = Array(g0 + g3, g1 + g2, g1 - g2, g0 - g3)
+            for (r <- 0 until 4)
+              plane((mbY * 8 + bi * 4 + r) * w8 + mbX * 8 + bj * 4 + c) =
+                math.max(0, math.min(255, pred + ((hcol(r) + 32) >> 6))).toByte
+          }
+        }
       }
     }
     plane
@@ -411,6 +447,37 @@ class H264CavlcSpec extends AnyFunSuite {
     assert(frames.size === 1)
     assert(frames.head._3.toSeq ===
       referenceFrame(wMbs, hMus, dc, 24, modes = modes, ac = ac).toSeq)
+  }
+
+  test("ChromaACLevel (CBP chroma 2) reconstructs against the longhand " +
+      "reference across positions, signs, QPs") {
+    val rnd = new scala.util.Random(4242L)
+    for (qp <- Seq(10, 24, 30, 38, 51); trial <- 0 until 4) {
+      val (wMbs, hMus) = (2, 2)
+      val dc = Array.fill(wMbs * hMus)(Array.fill(4, 4)(rnd.nextInt(9) - 4))
+      val cb = Array.fill(wMbs * hMus)(Array.fill(2, 2)(rnd.nextInt(7) - 3))
+      val cr = Array.fill(wMbs * hMus)(Array.fill(2, 2)(rnd.nextInt(7) - 3))
+      def oneAc() = Array.fill(wMbs * hMus)(Array.tabulate(4) { _ =>
+        val a = new Array[Int](15)
+        if (rnd.nextInt(4) > 0) { // <=1 nonzero per block: nC stays < 2
+          val mag = 1 + rnd.nextInt(5)
+          a(rnd.nextInt(15)) = if (rnd.nextBoolean()) mag else -mag
+        }
+        a
+      })
+      val cbAc = oneAc(); val crAc = oneAc()
+      val es = H264.encodeSps(wMbs, hMus, 0) ++ H264.encodePps() ++
+        H264Cavlc.encodeIntra16Frame(wMbs, hMus, dc, qp, idrPicId = trial,
+          cbDc = cb, crDc = cr, cbAc = cbAc, crAc = crAc)
+      val frames = H264Cavlc.decodeIntra16FramesYuv(es)
+      assert(frames.size === 1)
+      val (_, _, luma, cbP, crP) = frames.head
+      assert(luma.toSeq === referenceFrame(wMbs, hMus, dc, qp).toSeq)
+      assert(cbP.toSeq ===
+        referenceChromaPlane(wMbs, hMus, cb, qp, ac = cbAc).toSeq)
+      assert(crP.toSeq ===
+        referenceChromaPlane(wMbs, hMus, cr, qp, ac = crAc).toSeq)
+    }
   }
 
   test("dense neighbours (nC >= 2) are refused loudly, not mis-coded") {
