@@ -60,6 +60,19 @@ object H264 {
       while ((posBits & 7) != 0) require(u(1) == 0,
         "non-zero pcm_alignment bit")
     def posBits: Int = pos
+    /** more_rbsp_data() (7.2): true while the read position is before
+      * the rbsp_stop_one_bit — the LAST 1 bit of the buffer. Slices
+      * carry no explicit macroblock count; parsing continues while
+      * this holds. */
+    def moreRbspData: Boolean = {
+      var b = bytes.length - 1
+      while (b >= 0 && bytes(b) == 0) b -= 1
+      if (b < 0) false
+      else {
+        val stop = b * 8 + (7 - java.lang.Integer.numberOfTrailingZeros(bytes(b) & 0xFF))
+        pos < stop
+      }
+    }
   }
 
   /** MSB-first bit writer producing an RBSP (fixture/encode side). */

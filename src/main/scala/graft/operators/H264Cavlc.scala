@@ -464,15 +464,18 @@ object H264Cavlc {
     * TotalCoeff grid (AC TotalCoeff for Intra_16x16 MBs; 0 for
     * CodedBlockPatternLuma = 0, which IS the 9.2.1 value for uncoded
     * blocks). The DC block (Intra16x16DCLevel) derives its nC as
-    * blkIdx 0 (9.2.1). All MBs are in one slice, so availability is
-    * purely geometric. */
+    * blkIdx 0 (9.2.1). `mbAvail(x, y)` is the 9.2.1 availability of
+    * the MB holding a neighbour block: within the picture AND in the
+    * CURRENT SLICE (prediction and nC never cross a slice boundary —
+    * that independence is what makes slices the format's parallel
+    * decode unit). */
   private def lumaNc(tc: Array[Array[Int]], mbX: Int, mbY: Int,
-      blkIdx: Int): Int = {
+      blkIdx: Int, mbAvail: (Int, Int) => Boolean): Int = {
     val (ox, oy) = Blk4x4Pos(blkIdx)
     val bx = mbX * 4 + ox / 4
     val by = mbY * 4 + oy / 4
-    val hasA = bx > 0
-    val hasB = by > 0
+    val hasA = bx > 0 && mbAvail((bx - 1) / 4, by / 4)
+    val hasB = by > 0 && mbAvail(bx / 4, (by - 1) / 4)
     if (hasA && hasB) (tc(by)(bx - 1) + tc(by - 1)(bx) + 1) >> 1
     else if (hasA) tc(by)(bx - 1)
     else if (hasB) tc(by - 1)(bx)
@@ -482,10 +485,11 @@ object H264Cavlc {
   /** nC for a chroma AC block at picture-wide chroma-block coords
     * (bx, by) — the same 9.2.1 left/top averaging as [[lumaNc]], over
     * the per-component chroma TotalCoeff grid (2 blocks per MB per
-    * dimension in 4:2:0). */
-  private def chromaNc(tc: Array[Array[Int]], bx: Int, by: Int): Int = {
-    val hasA = bx > 0
-    val hasB = by > 0
+    * dimension in 4:2:0), with the same same-slice availability. */
+  private def chromaNc(tc: Array[Array[Int]], bx: Int, by: Int,
+      mbAvail: (Int, Int) => Boolean): Int = {
+    val hasA = bx > 0 && mbAvail((bx - 1) / 2, by / 2)
+    val hasB = by > 0 && mbAvail(bx / 2, (by - 1) / 2)
     if (hasA && hasB) (tc(by)(bx - 1) + tc(by - 1)(bx) + 1) >> 1
     else if (hasA) tc(by)(bx - 1)
     else if (hasB) tc(by - 1)(bx)
@@ -579,7 +583,8 @@ object H264Cavlc {
       predModes: Array[Int] = null,
       acLevels: Array[Array[Array[Int]]] = null,
       cbAc: Array[Array[Array[Int]]] = null,
-      crAc: Array[Array[Array[Int]]] = null): Array[Byte] = {
+      crAc: Array[Array[Array[Int]]] = null,
+      sliceStarts: Array[Int] = Array(0)): Array[Byte] = {
     require(dcLevels.length == widthMbs * heightMapUnits)
     require(qp >= 1 && qp <= 51, s"qp out of range: $qp")
     if (acLevels != null) {
@@ -614,23 +619,42 @@ object H264Cavlc {
     val modes =
       if (predModes == null) Array.fill(dcLevels.length)(2) else predModes
     require(modes.length == dcLevels.length)
+    // slice layout: sliceStarts must begin at MB 0, be strictly
+    // increasing and in range; MB m belongs to the slice whose start
+    // is the greatest <= m. Prediction/nC availability never crosses
+    // a slice boundary (the format's parallel-decode contract).
+    require(sliceStarts.nonEmpty && sliceStarts.head == 0 &&
+      sliceStarts.forall(st => st >= 0 && st < dcLevels.length) &&
+      sliceStarts.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+      s"bad sliceStarts ${sliceStarts.mkString(",")}")
+    val mbSliceOf = new Array[Int](dcLevels.length)
+    locally {
+      var si = 0
+      var mm = 0
+      while (mm < dcLevels.length) {
+        if (si + 1 < sliceStarts.length && mm == sliceStarts(si + 1)) si += 1
+        mbSliceOf(mm) = si
+        mm += 1
+      }
+    }
+    def mbAvailIn(slice: Int)(x: Int, y: Int): Boolean =
+      mbSliceOf(y * widthMbs + x) == slice
     modes.zipWithIndex.foreach { case (mode, mi) =>
       require(mode >= 0 && mode <= 3, s"bad Intra_16x16 pred mode $mode")
       val mx = mi % widthMbs
       val my = mi / widthMbs
-      if (mode == 0) require(my > 0, s"mb $mi: vertical needs a top neighbour")
-      if (mode == 1) require(mx > 0, s"mb $mi: horizontal needs a left neighbour")
-      if (mode == 3) require(mx > 0 && my > 0,
-        s"mb $mi: plane needs left+top neighbours")
+      val sl = mbSliceOf(mi)
+      val topOk = my > 0 && mbAvailIn(sl)(mx, my - 1)
+      val leftOk = mx > 0 && mbAvailIn(sl)(mx - 1, my)
+      if (mode == 0) require(topOk,
+        s"mb $mi: vertical needs a same-slice top neighbour")
+      if (mode == 1) require(leftOk,
+        s"mb $mi: horizontal needs a same-slice left neighbour")
+      if (mode == 3) require(leftOk && topOk,
+        s"mb $mi: plane needs same-slice left+top neighbours")
     }
-    val w = new BitWriter
-    w.ue(0) // first_mb_in_slice
-    w.ue(7) // slice_type: I (all slices of the picture are I)
-    w.ue(0) // pps id
-    w.u(0, 8) // frame_num = 0 (IDR, 7.4.3)
-    w.ue(idrPicId & 0xFFFF)
-    w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking (IDR form)
-    w.se(qp - 1 - 26) // slice_qp_delta: SliceQPy = qp - 1
+    val nals = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var w: BitWriter = null
     // picture-wide per-4x4-block AC TotalCoeff grids for nC derivation
     // (9.2.1) — luma, plus one per chroma component — mirrored exactly
     // by the decoder
@@ -641,6 +665,20 @@ object H264Cavlc {
     while (m < dcLevels.length) {
       val mbX = m % widthMbs
       val mbY = m / widthMbs
+      val curSlice = mbSliceOf(m)
+      val mbAvail = mbAvailIn(curSlice) _
+      val sliceFirst = sliceStarts(curSlice) == m
+      if (sliceFirst) {
+        if (w != null) nals ++= H264.nal(3, 5, w.trailing(), longStart = false)
+        w = new BitWriter
+        w.ue(m) // first_mb_in_slice
+        w.ue(7) // slice_type: I (all slices of the picture are I)
+        w.ue(0) // pps id
+        w.u(0, 8) // frame_num = 0 (IDR, 7.4.3)
+        w.ue(idrPicId & 0xFFFF)
+        w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking (IDR form)
+        w.se(qp - 1 - 26) // slice_qp_delta: SliceQPy = qp - 1
+      }
       val mbAc = if (acLevels == null) null else acLevels(m)
       val cbpL15 = mbAc != null && mbAc.exists(_.exists(_ != 0))
       val chromaAcHere = cbAc != null &&
@@ -651,7 +689,9 @@ object H264Cavlc {
       // DC-prediction members.
       w.ue(1 + modes(m) + 4 * cbpChroma + (if (cbpL15) 12 else 0))
       w.ue(0) // intra_chroma_pred_mode: DC
-      w.se(if (m == 0) 1 else 0) // mb_qp_delta -> QPy = qp from MB 0 on
+      // QPy resets to SliceQPy at each slice start (7.4.5), so the
+      // first MB of EVERY slice carries the +1 back to qp
+      w.se(if (sliceFirst) 1 else 0)
       val scan = new Array[Int](16)
       var k = 0
       while (k < 16) {
@@ -660,12 +700,12 @@ object H264Cavlc {
         k += 1
       }
       encodeResidual(scan,
-        lumaCoeffTokenTab(lumaNc(tcGrid, mbX, mbY, 0), s"mb $m DC"),
+        lumaCoeffTokenTab(lumaNc(tcGrid, mbX, mbY, 0, mbAvail), s"mb $m DC"),
         TotalZeros, w)
       if (cbpL15) {
         var blk = 0
         while (blk < 16) {
-          val nC = lumaNc(tcGrid, mbX, mbY, blk)
+          val nC = lumaNc(tcGrid, mbX, mbY, blk, mbAvail)
           encodeResidual(mbAc(blk),
             lumaCoeffTokenTab(nC, s"mb $m blk $blk"), TotalZeros, w)
           val (ox, oy) = Blk4x4Pos(blk)
@@ -691,7 +731,7 @@ object H264Cavlc {
               while (cb4 < 4) {
                 val bx = mbX * 2 + (cb4 & 1)
                 val by = mbY * 2 + (cb4 >> 1)
-                val nC = chromaNc(grid, bx, by)
+                val nC = chromaNc(grid, bx, by, mbAvail)
                 encodeResidual(comp(m)(cb4),
                   lumaCoeffTokenTab(nC, s"mb $m $nm AC blk $cb4"),
                   TotalZeros, w)
@@ -703,7 +743,8 @@ object H264Cavlc {
       }
       m += 1
     }
-    H264.nal(3, 5, w.trailing(), longStart = false)
+    nals ++= H264.nal(3, 5, w.trailing(), longStart = false)
+    nals.toArray
   }
 
   /** Decode every Intra_16x16-DC picture of an SPS+PPS+IDR stream into
@@ -734,6 +775,7 @@ object H264Cavlc {
     var ppsChromaQpOff = 0
     var ppsSeen = false
     val out = ArrayBuffer[(Int, Int, Array[Byte], Array[Byte], Array[Byte])]()
+    var pic: Option[PicState] = None
     nals.foreach { case (_, tpe, ebsp) =>
       tpe match {
         case 7 => if (sps.isEmpty) sps = Some(H264.parseSps(H264.ebspToRbsp(ebsp)))
@@ -753,11 +795,24 @@ object H264Cavlc {
           val s = sps.getOrElse(
             throw new IllegalArgumentException("slice before SPS"))
           require(ppsSeen, "slice before PPS")
-          out += decodeIntra16Slice(s, H264.ebspToRbsp(ebsp), ppsQpInit,
-            ppsChromaQpOff)
+          val rbsp = H264.ebspToRbsp(ebsp)
+          // a slice with first_mb_in_slice == 0 starts a new picture;
+          // later slices accumulate into the same picture state —
+          // each is independently entropy-decodable (nC/prediction
+          // never cross the boundary), which is what makes slices the
+          // format's parallel decode unit
+          val firstMb = { val pk = new BitReader(rbsp); pk.ue() }
+          if (firstMb == 0) {
+            pic.foreach(st => out += st.finish())
+            pic = Some(new PicState(s))
+          }
+          val st = pic.getOrElse(throw new IllegalArgumentException(
+            "slice with first_mb_in_slice != 0 before a picture start"))
+          decodeIntra16SliceInto(st, rbsp, ppsQpInit, ppsChromaQpOff)
         case _ => ()
       }
     }
+    pic.foreach(st => out += st.finish())
     out.toSeq
   }
 
@@ -770,9 +825,8 @@ object H264Cavlc {
     * average both — each with availability fallbacks, 128 when
     * nothing is available. */
   private def chromaDcPred(plane: Array[Byte], w8: Int,
-      mbX: Int, mbY: Int, bi: Int, bj: Int): Int = {
-    val top = mbY > 0
-    val left = mbX > 0
+      mbX: Int, mbY: Int, bi: Int, bj: Int,
+      top: Boolean, left: Boolean): Int = {
     def sumTop(off: Int): Int = {
       var s = 0; var cc = 0
       while (cc < 4) {
@@ -811,22 +865,18 @@ object H264Cavlc {
     }
   }
 
-  private def decodeIntra16Slice(s: H264.SpsInfo, rbsp: Array[Byte],
-      qpInit: Int, chromaQpOff: Int): (Int, Int, Array[Byte], Array[Byte], Array[Byte]) = {
+  /** Per-picture decode state shared by that picture's slices: the
+    * three sample planes, the nC TotalCoeff grids, the per-MB slice id
+    * (the 9.2.1/8.3 availability boundary), and the tiling cursor.
+    * Slices must tile the picture in decode order; finish() checks
+    * completeness and applies the SPS crop. */
+  private final class PicState(val s: H264.SpsInfo) {
     require(s.frameMbsOnly, "field coding not supported")
     val widthMbs = (s.width + 15) / 16
     val mapUnits = (s.height + 15) / 16
     val w16 = widthMbs * 16
     val w8 = widthMbs * 8
-    val r = new BitReader(rbsp)
-    require(r.ue() == 0, "multi-slice pictures not supported")
-    val sliceType = r.ue()
-    require(sliceType == 2 || sliceType == 7, s"not an I slice: $sliceType")
-    r.ue() // pps id
-    r.u(8) // frame_num
-    r.ue() // idr_pic_id
-    r.u(1); r.u(1) // IDR dec_ref_pic_marking
-    var qpy = qpInit + r.se() // SliceQPy, updated per MB by mb_qp_delta
+    val nMbs = widthMbs * mapUnits
     val plane = new Array[Byte](w16 * mapUnits * 16)
     val cbPlane = new Array[Byte](w8 * mapUnits * 8)
     val crPlane = new Array[Byte](w8 * mapUnits * 8)
@@ -835,9 +885,72 @@ object H264Cavlc {
     val tcGrid = Array.ofDim[Int](mapUnits * 4, widthMbs * 4)
     val tcCb = Array.ofDim[Int](mapUnits * 2, widthMbs * 2)
     val tcCr = Array.ofDim[Int](mapUnits * 2, widthMbs * 2)
-    var m = 0
-    val nMbs = widthMbs * mapUnits
-    while (m < nMbs) {
+    val mbSlice = Array.fill(nMbs)(-1)
+    var nextMb = 0
+    var nextSliceId = 0
+    def finish(): (Int, Int, Array[Byte], Array[Byte], Array[Byte]) = {
+      require(nextMb == nMbs,
+        s"picture incomplete: $nextMb of $nMbs macroblocks decoded")
+      val cropped = new Array[Byte](s.width * s.height)
+      var row = 0
+      while (row < s.height) {
+        System.arraycopy(plane, row * w16, cropped, row * s.width, s.width)
+        row += 1
+      }
+      val cw = s.width / 2
+      val ch = s.height / 2
+      def cropChroma(cp: Array[Byte]): Array[Byte] = {
+        val o = new Array[Byte](cw * ch)
+        var rr = 0
+        while (rr < ch) {
+          System.arraycopy(cp, rr * w8, o, rr * cw, cw)
+          rr += 1
+        }
+        o
+      }
+      (s.width, s.height, cropped, cropChroma(cbPlane), cropChroma(crPlane))
+    }
+  }
+
+  /** Decode ONE slice into the picture state: slice header (any
+    * first_mb_in_slice, as long as slices tile in order), then MBs
+    * while more_rbsp_data() holds. QPy resets to SliceQPy per slice
+    * (7.4.5); neighbour availability for prediction and nC is
+    * restricted to the current slice. */
+  private def decodeIntra16SliceInto(st: PicState, rbsp: Array[Byte],
+      qpInit: Int, chromaQpOff: Int): Unit = {
+    val s = st.s
+    val widthMbs = st.widthMbs
+    val w16 = st.w16
+    val w8 = st.w8
+    val plane = st.plane
+    val cbPlane = st.cbPlane
+    val crPlane = st.crPlane
+    val tcGrid = st.tcGrid
+    val tcCb = st.tcCb
+    val tcCr = st.tcCr
+    val r = new BitReader(rbsp)
+    val firstMb = r.ue()
+    require(firstMb == st.nextMb,
+      s"slice at MB $firstMb but picture cursor is at ${st.nextMb} — " +
+        "slices must tile the picture in decode order")
+    val sliceType = r.ue()
+    require(sliceType == 2 || sliceType == 7, s"not an I slice: $sliceType")
+    r.ue() // pps id
+    r.u(8) // frame_num
+    r.ue() // idr_pic_id
+    r.u(1); r.u(1) // IDR dec_ref_pic_marking
+    var qpy = qpInit + r.se() // SliceQPy, updated per MB by mb_qp_delta
+    val sliceId = st.nextSliceId
+    st.nextSliceId += 1
+    val mbAvail: (Int, Int) => Boolean =
+      (x, y) => st.mbSlice(y * widthMbs + x) == sliceId
+    var first = true
+    while (st.nextMb < st.nMbs && (first || r.moreRbspData)) {
+      first = false
+      val m = st.nextMb
+      st.mbSlice(m) = sliceId
+      st.nextMb += 1
       val mbType = r.ue()
       // Table 7-11, mb_type 1..24: I_16x16_{pred}_{cbpChroma}_{cbpLuma}
       // with base = 1 + predMode + 4*cbpChroma (cbpChroma 0/1/2) and
@@ -856,7 +969,7 @@ object H264Cavlc {
       val mbX = m % widthMbs
       val mbY = m / widthMbs
       val scan = decodeResidual(r,
-        lumaCoeffTokenTab(lumaNc(tcGrid, mbX, mbY, 0), s"mb $m DC"),
+        lumaCoeffTokenTab(lumaNc(tcGrid, mbX, mbY, 0, mbAvail), s"mb $m DC"),
         TotalZeros, 16)
       val cArr = Array.ofDim[Int](4, 4)
       var k = 0
@@ -872,7 +985,7 @@ object H264Cavlc {
       if (cbpL15) {
         var blk = 0
         while (blk < 16) {
-          val nC = lumaNc(tcGrid, mbX, mbY, blk)
+          val nC = lumaNc(tcGrid, mbX, mbY, blk, mbAvail)
           acBlocks(blk) = decodeResidual(r,
             lumaCoeffTokenTab(nC, s"mb $m blk $blk"), TotalZeros, 15)
           val (ox, oy) = Blk4x4Pos(blk)
@@ -881,8 +994,8 @@ object H264Cavlc {
           blk += 1
         }
       }
-      val leftAv = mbX > 0
-      val topAv = mbY > 0
+      val leftAv = mbX > 0 && mbAvail(mbX - 1, mbY)
+      val topAv = mbY > 0 && mbAvail(mbX, mbY - 1)
       def pL(y: Int): Int = plane((mbY * 16 + y) * w16 + mbX * 16 - 1) & 0xFF
       def pT(x: Int): Int = plane((mbY * 16 - 1) * w16 + mbX * 16 + x) & 0xFF
       def pTL: Int = plane((mbY * 16 - 1) * w16 + mbX * 16 - 1) & 0xFF
@@ -991,7 +1104,7 @@ object H264Cavlc {
             while (cb4 < 4) {
               val bx = mbX * 2 + (cb4 & 1)
               val by = mbY * 2 + (cb4 >> 1)
-              val nC = chromaNc(grid, bx, by)
+              val nC = chromaNc(grid, bx, by, mbAvail)
               comp(cb4) = decodeResidual(r,
                 lumaCoeffTokenTab(nC, s"mb $m $nm AC blk $cb4"),
                 TotalZeros, 15)
@@ -1008,7 +1121,8 @@ object H264Cavlc {
         while (cbi < 2) {
           var cbj = 0
           while (cbj < 2) {
-            val pred = chromaDcPred(cp, w8, mbX, mbY, cbi, cbj)
+            val pred = chromaDcPred(cp, w8, mbX, mbY, cbi, cbj,
+              topAv, leftAv)
             val dcC =
               if (cbpChroma >= 1) dequantChromaDc(f2(cbi)(cbj), qPc) else 0
             val ac = acC(cbi * 2 + cbj)
@@ -1055,25 +1169,6 @@ object H264Cavlc {
           cbi += 1
         }
       }
-      m += 1
     }
-    val cropped = new Array[Byte](s.width * s.height)
-    var row = 0
-    while (row < s.height) {
-      System.arraycopy(plane, row * w16, cropped, row * s.width, s.width)
-      row += 1
-    }
-    val cw = s.width / 2
-    val ch = s.height / 2
-    def cropChroma(cp: Array[Byte]): Array[Byte] = {
-      val o = new Array[Byte](cw * ch)
-      var rr = 0
-      while (rr < ch) {
-        System.arraycopy(cp, rr * w8, o, rr * cw, cw)
-        rr += 1
-      }
-      o
-    }
-    (s.width, s.height, cropped, cropChroma(cbPlane), cropChroma(crPlane))
   }
 }

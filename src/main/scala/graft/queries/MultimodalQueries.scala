@@ -38,7 +38,50 @@ object MultimodalQueries {
     "m20_video_pred_modes" -> m20,
     "m21_video_ac_residuals" -> m21,
     "m22_gif_lzw_roundtrip" -> m22,
-    "m23_video_chroma_ac" -> m23)
+    "m23_video_chroma_ac" -> m23,
+    "m24_video_multi_slice" -> m24)
+
+  /** Multi-slice decode on the oracle gate (m24): each asset is one
+    * IDR picture coded as TWO slices ({MB0, MB1} / {MB2, MB3} of a
+    * 2x2-MB frame) — the unit real encoders split pictures into
+    * precisely so a fleet can entropy-decode them in parallel, and the
+    * semantics a parallel decoder must honour: prediction and nC
+    * availability STOP at the slice boundary and QPy re-anchors per
+    * slice. The fixture pins exactly that: MB2 sits below MB0 but
+    * CANNOT see it (other slice — its DC prediction falls back to
+    * 128), while the single-slice coding of the same levels would
+    * chain through; MB3 predicts from MB2 alone. The oracle replays
+    * the four per-MB uniform values with the boundary fallbacks and
+    * the per-MB position-weight constants of the 32x32 plane.
+    *
+    * Scale: zero-shuffle per-asset map; at 100 TB the same slice
+    * independence is what lets one picture's slices decode on
+    * different executors. */
+  private def m24: Q = (spark, dir) => {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val as = Array((id % 13).toInt - 6, ((id / 13) % 7).toInt - 3,
+        ((id / 7) % 9).toInt - 4, ((id / 3) % 5).toInt - 2)
+      val dc = as.map { a =>
+        val m = Array.fill(4, 4)(0); m(0)(0) = a; m
+      }
+      val es = graft.operators.H264.encodeSps(2, 2, 0) ++
+        graft.operators.H264.encodePps() ++
+        graft.operators.H264Cavlc.encodeIntra16Frame(2, 2, dc, qp = 24,
+          idrPicId = (id % 65536).toInt, sliceStarts = Array(0, 2))
+      val frames = graft.operators.H264Cavlc.decodeIntra16Frames(es)
+      require(frames.size == 1)
+      val (w, h, y) = frames.head
+      var s = 0L; var ck = 0L; var i = 0
+      while (i < y.length) {
+        val v = (y(i) & 0xFF).toLong
+        s += v; ck += v * (i + 1); i += 1
+      }
+      def mb(mx: Int, my: Int) = y((my * 16 + 8) * 32 + mx * 16 + 8) & 0xFF
+      (id, w, h, 2, mb(0, 0), mb(1, 0), mb(0, 1), mb(1, 1), s, ck)
+    }.toDF("doc_id", "width", "height", "n_slices", "v0", "v1", "v2",
+      "v3", "y_sum", "y_checksum")
+  }
 
   /** Chroma AC reconstruction on the oracle gate (m23): each asset is
     * one I_16x16_2_2_0 macroblock (Table 7-11 mb_type 11 —
@@ -907,6 +950,34 @@ object MultimodalQueries {
         |   ((doc_id*31 + i) % 256) * (i+1))) AS BIGINT) AS gray_checksum,
         | CAST(64 * (doc_id % 256) AS BIGINT) AS const_sum
         |FROM documents""".stripMargin,
+    // m24: the slice-boundary prediction chain in closed form — v0
+    // anchors at 128, v1 chains off v0 (same slice), v2 RE-ANCHORS at
+    // 128 (its top neighbour is in the other slice), v3 chains off v2;
+    // weights are the per-MB position sums of the 32x32 plane
+    "m24_video_multi_slice" ->
+      """WITH a AS (SELECT doc_id,
+        |   CAST(doc_id % 13 AS BIGINT) - 6 AS a0,
+        |   CAST((doc_id//13) % 7 AS BIGINT) - 3 AS a1,
+        |   CAST((doc_id//7) % 9 AS BIGINT) - 4 AS a2,
+        |   CAST((doc_id//3) % 5 AS BIGINT) - 2 AS a3
+        | FROM documents),
+        |v AS (SELECT doc_id,
+        |   LEAST(255, GREATEST(0, 128 + (40*a0 + 6432)//64 - 100)) AS v0,
+        |   (40*a1 + 6432)//64 - 100 AS r1,
+        |   LEAST(255, GREATEST(0, 128 + (40*a2 + 6432)//64 - 100)) AS v2,
+        |   (40*a3 + 6432)//64 - 100 AS r3
+        | FROM a),
+        |u AS (SELECT doc_id, v0,
+        |   LEAST(255, GREATEST(0, v0 + r1)) AS v1, v2,
+        |   LEAST(255, GREATEST(0, v2 + r3)) AS v3
+        | FROM v)
+        |SELECT doc_id, 32 AS width, 32 AS height, 2 AS n_slices,
+        | CAST(v0 AS INTEGER) AS v0, CAST(v1 AS INTEGER) AS v1,
+        | CAST(v2 AS INTEGER) AS v2, CAST(v3 AS INTEGER) AS v3,
+        | CAST(256*(v0 + v1 + v2 + v3) AS BIGINT) AS y_sum,
+        | CAST(63616*v0 + 67712*v1 + 194688*v2 + 198784*v3 AS BIGINT)
+        |   AS y_checksum
+        |FROM u""".stripMargin,
     // m23: every chroma pixel of both 8x8 planes in closed form — f2
     // is the +-1 2x2 Hadamard of the planted DC levels (80x dequant at
     // QPc 24), the AC families are m21's four patterns at chroma

@@ -496,6 +496,82 @@ class H264CavlcSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("Table 9-5"))
   }
 
+  test("multi-slice pictures: availability stops at the slice boundary " +
+      "and each slice re-anchors QPy") {
+    // 2x2 MBs, DC prediction, slices {MB0,MB1} and {MB2,MB3}. In the
+    // two-slice picture MB2 must NOT see MB0 above it (other slice:
+    // pred falls back to 128) and MB3 must predict from MB2 only; the
+    // single-slice picture chains through all four. Uniform per-MB
+    // values make both expectations closed-form.
+    val dcs = Seq(3, -5, 6, -2)
+    val dc = dcs.map { a =>
+      val m = Array.fill(4, 4)(0); m(0)(0) = a; m
+    }.toArray
+    def r(a: Int) = ((40 * a + 32 + 6400) >> 6) - 100
+    def clip(v: Int) = math.max(0, math.min(255, v))
+    val es2 = H264.encodeSps(2, 2, 0) ++ H264.encodePps() ++
+      H264Cavlc.encodeIntra16Frame(2, 2, dc, qp = 24,
+        sliceStarts = Array(0, 2))
+    val fr2 = H264Cavlc.decodeIntra16Frames(es2)
+    assert(fr2.size === 1)
+    val y2 = fr2.head._3
+    val v0 = clip(128 + r(dcs(0)))
+    val v1 = clip(v0 + r(dcs(1)))
+    val v2 = clip(128 + r(dcs(2))) // NOT clip(v0 + r2): slice boundary
+    val v3 = clip(v2 + r(dcs(3))) // left (same slice) only
+    def px(mx: Int, my: Int) = y2((my * 16 + 8) * 32 + mx * 16 + 8) & 0xFF
+    assert((px(0, 0), px(1, 0), px(0, 1), px(1, 1)) === (v0, v1, v2, v3))
+    assert(y2.toSeq.map(_ & 0xFF).distinct.sorted ===
+      Seq(v0, v1, v2, v3).distinct.sorted)
+    // the single-slice decode of the same levels differs at MB2/MB3
+    val es1 = H264.encodeSps(2, 2, 0) ++ H264.encodePps() ++
+      H264Cavlc.encodeIntra16Frame(2, 2, dc, qp = 24)
+    val y1 = H264Cavlc.decodeIntra16Frames(es1).head._3
+    val v2s = clip(v0 + r(dcs(2)))
+    assert((y1((24) * 32 + 8) & 0xFF) === v2s)
+    assert(v2s !== v2)
+  }
+
+  test("multi-slice with AC residuals: nC grids respect the boundary; " +
+      "three-slice tiling round-trips") {
+    val rnd = new scala.util.Random(777L)
+    val (wMbs, hMus) = (3, 2)
+    val dc = Array.fill(6)(Array.fill(4, 4)(rnd.nextInt(7) - 3))
+    val ac = Array.fill(6)(Array.tabulate(16) { _ =>
+      val a = new Array[Int](15)
+      if (rnd.nextInt(3) > 0) a(rnd.nextInt(15)) = rnd.nextInt(7) - 3
+      a
+    })
+    val es = H264.encodeSps(wMbs, hMus, 0) ++ H264.encodePps() ++
+      H264Cavlc.encodeIntra16Frame(wMbs, hMus, dc, qp = 24,
+        acLevels = ac, sliceStarts = Array(0, 2, 4))
+    val frames = H264Cavlc.decodeIntra16Frames(es)
+    assert(frames.size === 1 && frames.head._1 === 48)
+    // decode must consume every slice's MBs exactly once — a dropped
+    // slice is an incomplete picture, a leading non-zero slice is
+    // rejected
+    val nals = H264.nalUnits(es)
+    assert(nals.count(_._2 == 5) === 3)
+    val ex = intercept[IllegalArgumentException] {
+      // rebuild the raw stream without the middle slice NAL: split on
+      // start codes, drop the 4th unit (SPS, PPS, slice0, slice1,
+      // slice2)
+      val starts = (0 until es.length - 3).filter(i =>
+        es(i) == 0 && es(i + 1) == 0 &&
+          (es(i + 2) == 1 || (es(i + 2) == 0 && i + 3 < es.length && es(i + 3) == 1)))
+        .foldLeft(List.empty[Int])((acc, i) =>
+          if (acc.nonEmpty && i - acc.head < 3) acc else i :: acc)
+        .reverse
+      assert(starts.length === 5)
+      val units = starts.zipAll(starts.drop(1), -1, es.length).map {
+        case (a, b) => es.slice(a, b)
+      }
+      H264Cavlc.decodeIntra16Frames(
+        (units.take(3) ++ units.drop(4)).flatten.toArray)
+    }
+    assert(ex.getMessage.contains("tile") || ex.getMessage.contains("incomplete"))
+  }
+
   test("streams outside the intra-DC subset fail loudly") {
     // An I_PCM frame is a valid stream but not in this decoder's subset.
     val plane = Array.tabulate(16 * 16)(i => (i % 256).toByte)
