@@ -86,7 +86,8 @@ object ConnectorQueries {
     "c18_stream_attribution" -> c18,
     "c19_stream_anomaly" -> c19,
     "c20_stream_dropdup_ttl" -> c20,
-    "c21_stream_asof_enrich" -> c21
+    "c21_stream_asof_enrich" -> c21,
+    "c22_stream_timer_sessions" -> c22
   )
 
   /** Streaming alerting pipeline (c19): the log-monitoring use case
@@ -693,6 +694,53 @@ object ConnectorQueries {
     * shape (the q27 interval lesson: never a per-event window).
     * Oracle replays the same cutovers and interval selection over the
     * events parquet. */
+  /** EVENT-TIME-TIMER sessionization (c22): c9's exact semantics
+    * rebuilt on `transformWithState` timers — per-key buffered event
+    * times in ListState, ONE registered event-time timer at
+    * (max buffered + gap), gap-island split + FINAL emission when the
+    * watermark passes it (SessionTimers.scala Scaladoc for the state
+    * contract). Same shared sentinel-flushed source as c9, same
+    * DuckDB gaps-and-islands oracle (minus the value sum — the
+    * processor state carries times only, keeping per-key state
+    * minimal). The point of the row: the timer API is how a pipeline
+    * expresses window rules session_window cannot (length caps,
+    * per-key gaps), exercised on the one rule with an exact oracle. */
+  private def c22: Q = (spark, dir) => {
+    val gapS = 1800L
+    val srcOpts = c9Source(spark, dir, gapS)
+    val dstRoot = tempDir("graft-logstore-c22out")
+    new EmbeddedLogStore(dstRoot).createStore("proj", "sessions", 1)
+    val dstOpts = Map("store.root" -> dstRoot, "store.project" -> "proj",
+      "store.name" -> "sessions")
+    val ckpt = tempDir("graft-c22-ckpt")
+    // isolated session: transformWithState needs the RocksDB provider
+    // (multiple column families: list state + value state + timers)
+    val s2 = streamSession(spark)
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s2.implicits._
+    val src = s2.readStream.format("graft-logstore").options(srcOpts)
+      .option("maxoffsetspertrigger", "1000000")
+      .schema("user_id LONG, event_type STRING, value DOUBLE, __time__ TIMESTAMP")
+      .load()
+      .withWatermark("__time__", "1 second")
+      .selectExpr("user_id", "CAST(__time__ AS LONG) AS t")
+      .as[(Long, Long)]
+    val q = graft.streaming.SessionTimers.sessions(src, gapS)
+      .toDF("user_id", "session_start", "session_end", "n_events")
+      .writeStream.format("graft-logstore").options(dstOpts)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    spark.read.format("graft-logstore").options(dstOpts)
+      .schema("user_id LONG, session_start LONG, session_end LONG, " +
+        "n_events LONG")
+      .load()
+      .filter(col("user_id") >= 0) // the sentinel's session never closes
+  }
+
   private def c21: Q = (spark, dir) => {
     val srcOpts = c9Source(spark, dir, 1800L)
     // versioned dim, batch-side: nation key x versions 0..2; version 0
@@ -1242,6 +1290,17 @@ object ConnectorQueries {
         | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
         | MIN(event_id) AS min_id, MAX(event_id) AS max_id
         |FROM events GROUP BY event_type""".stripMargin,
+    "c22_stream_timer_sessions" ->
+      """WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+        |  FROM events),
+        |m AS (SELECT *, CASE WHEN t - lag(t) OVER
+        |    (PARTITION BY user_id ORDER BY t) > 1800 THEN 1 ELSE 0 END AS brk
+        |  FROM ev),
+        |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+        |    ROWS UNBOUNDED PRECEDING) AS grp FROM m)
+        |SELECT user_id, MIN(t) AS session_start, MAX(t) + 1800 AS session_end,
+        | COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, grp""".stripMargin,
     "c9_stream_sessions" ->
       """WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
         |  FROM events),

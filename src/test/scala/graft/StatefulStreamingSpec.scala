@@ -199,6 +199,60 @@ class StatefulStreamingSpec extends AnyFunSuite with StopStreamsAfterAll {
     }
   }
 
+  test("transformWithState event-time timers: sessions close mid-stream " +
+      "as the watermark passes their deadline (timer re-arm across batches)") {
+    import graft.streaming.SessionTimers
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-timers").toString
+    val store = new EmbeddedLogStore(root)
+    store.createStore("proj", "ev", 1)
+    // user 1: five events 100..104 (one session), then 3000 (a new
+    // session: 3000 - 104 > 1800); user 2: a single event; sentinel
+    // key -1 far in the future closes everything. Paced 2 records per
+    // trigger, so the first session's timer is REGISTERED, REPLACED
+    // four times (deadline moves 1900 -> 1904), and finally FIRES on
+    // the batch whose watermark (2999) passes 1904 — before the
+    // flush sentinel arrives.
+    val ts = Seq(1L -> 100L, 1L -> 101L, 1L -> 102L, 1L -> 103L,
+      1L -> 104L, 2L -> 500L, 1L -> 3000L, -1L -> 100000L)
+    store.appendSegment("proj", "ev", 0, "all",
+      ts.map { case (u, t) => LogRecord(t.toInt, "t", "s", Map.empty,
+        Map("user" -> u.toString)) })
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val tupEnc: org.apache.spark.sql.Encoder[(Long, Long)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong)
+    implicit val sessEnc: org.apache.spark.sql.Encoder[graft.streaming.TimedSession] =
+      org.apache.spark.sql.Encoders.product[graft.streaming.TimedSession]
+    val src = s2.readStream.format("graft-logstore")
+      .option("store.root", root).option("store.project", "proj")
+      .option("store.name", "ev")
+      .option("maxoffsetspertrigger", "2")
+      .schema("user LONG, __time__ TIMESTAMP").load()
+      .withWatermark("__time__", "1 second")
+      .selectExpr("user", "CAST(__time__ AS LONG) AS t")
+      .as[(Long, Long)]
+    val q = SessionTimers.sessions(src, gapS = 1800L)
+      .writeStream.format("memory").queryName("t_timers")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+        Files.createTempDirectory("ckpt-timers").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    awaitDone(q)
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3) // really paced
+    val out = s2.table("t_timers")
+      .as[graft.streaming.TimedSession]
+      .collect().filter(_.userId >= 0)
+      .sortBy(s => (s.userId, s.sessionStart))
+    assert(out.toSeq === Seq(
+      graft.streaming.TimedSession(1L, 100L, 1904L, 5L),
+      graft.streaming.TimedSession(1L, 3000L, 4800L, 1L),
+      graft.streaming.TimedSession(2L, 500L, 2300L, 1L)))
+  }
+
   test("dropDuplicatesWithinWatermark: in-window dups drop, evicted keys re-admit") {
     // The engine-native bounded-state dedup (c20's operator) crossing
     // its eviction boundary: a duplicate INSIDE the watermark delay is
