@@ -88,6 +88,7 @@ object TextQueries {
     "t33_dsir_select" -> t33,
     "t34_kneser_ney" -> t34,
     "t36_lm_perplexity_filter" -> t36,
+    "t37_mixture_interleave" -> t37,
     "s1_ann_cosine" -> s1,
     // Gonzalez k-center greedy seeding over the quantized embeddings —
     // the deterministic k-means++ stand-in; integer-exact distances
@@ -1878,6 +1879,44 @@ object TextQueries {
       col("tercile"), (col("tercile") <= 2).as("keep"))
   }
 
+  /** Deterministic weighted mixture interleave (t37): the data-MIXING
+    * scheduler every multi-source training run needs — given
+    * per-source integer weights, assign every document its exact
+    * position in the smooth weighted round-robin (Bresenham) order:
+    * the r-th doc of a weight-w source lands at virtual slot
+    * floor((2r+1)·W / 2w) (W = Σ weights), so sources interleave
+    * proportionally at EVERY prefix of the stream (a ratio-w_i prefix
+    * property no per-epoch shuffle gives), and (slot, source, r) is a
+    * total order → mix_pos. Deterministic, integer-exact, resumable
+    * from any position — the properties a 100 TB training-order
+    * manifest needs. Complements t16 (epoch upsampling decides HOW
+    * MANY copies) and t15 (global shuffle WITHIN a source): t37
+    * decides the cross-source ORDER.
+    *
+    * Scale: per-source ranks partition by source (parallel); the one
+    * global ordering runs over the slot-keyed table — replaced by
+    * t15's per-bucket rank + broadcast prefix-offset enumerate at
+    * 100 TB (slots bucket by range), same note as t15. */
+  private def t37: Q = (spark, dir) => {
+    val W = org.apache.spark.sql.expressions.Window
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        (lit(1) + substring(col("source"), 4, 10).cast(IntegerType) % 3)
+          .as("w"))
+    val wsum = docs.select(col("source"), col("w")).distinct()
+      .agg(sum(col("w")).cast(LongType).as("wtot"))
+    val ranked = docs.withColumn("r",
+      (row_number().over(W.partitionBy(col("source")).orderBy(col("doc_id")))
+        - 1).cast(LongType))
+    ranked.crossJoin(broadcast(wsum))
+      .withColumn("slot", expr("CAST((2*r + 1) * wtot div (2*w) AS BIGINT)"))
+      .withColumn("mix_pos",
+        (row_number().over(W.orderBy(col("slot"), col("source"), col("r")))
+          - 1).cast(LongType))
+      .select(col("doc_id"), col("source"), col("w"), col("r"), col("slot"),
+        col("mix_pos"))
+  }
+
   /** DSIR-shaped importance selection (t33): Data Selection via
     * Importance Resampling (Xie et al. 2023) reduced to deterministic
     * integer primitives. Documents featurize as hashed n-gram buckets
@@ -2497,6 +2536,24 @@ object TextQueries {
         | CAST(length(bin(GREATEST(4*c12.c12 - 3, 0) * nb + 3 * nfwd * nback))
         |    - length(bin(4 * c1 * nb)) AS INTEGER) AS qbits
         |FROM c12 JOIN lft USING (w1) JOIN bck USING (w2) CROSS JOIN nbt""".stripMargin,
+    // t37: the Bresenham slot formula and both window orders replayed
+    // verbatim; weight = 1 + (numeric source suffix % 3)
+    "t37_mixture_interleave" ->
+      """WITH w AS (SELECT source,
+        |    1 + CAST(substr(source, 4) AS INTEGER) % 3 AS w
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |wt AS (SELECT CAST(SUM(w) AS BIGINT) AS wtot FROM w),
+        |r AS (SELECT d.doc_id, d.source, w.w,
+        |    CAST(row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id)
+        |      - 1 AS BIGINT) AS r
+        |  FROM documents d JOIN w USING (source)),
+        |s AS (SELECT doc_id, source, w, r,
+        |    CAST(((2*r + 1) * wtot) // (2*w) AS BIGINT) AS slot
+        |  FROM r CROSS JOIN wt)
+        |SELECT doc_id, source, w, r, slot,
+        | CAST(row_number() OVER (ORDER BY slot, source, r) - 1 AS BIGINT)
+        |   AS mix_pos
+        |FROM s""".stripMargin,
     // t36: the t34 LM replay extended per-doc — bigrams keep their
     // doc_id, the qbits table joins back on (w1, w2), and the tercile
     // uses the same (mean DESC, doc_id) total order as t33's ntile
