@@ -70,7 +70,13 @@ object BenchStress {
     // round 12: the two multi-config sweeps (the catalog's biggest
     // plans — d20 51 exchanges, s16 29) plus d2 as their shared
     // exact-Jaccard-kernel control
-    "d2_dedup_jaccard", "d20_minhash_sweep", "s16_lsh_sweep")
+    "d2_dedup_jaccard", "d20_minhash_sweep", "s16_lsh_sweep",
+    // round 12 (cont.): timer-state sessions (open-session state and
+    // timer count scale with the blown-up key population), the KN
+    // perplexity filter (bigram shuffle + doc-gram LM join), and the
+    // mixture interleave (per-source windows + the one global order)
+    "c22_stream_timer_sessions", "t36_lm_perplexity_filter",
+    "t37_mixture_interleave")
 
   /** Optional comma-separated name-prefix filter
     * (SPARK_GRAFT_STRESS_ONLY) — stress just the matching queries, so
