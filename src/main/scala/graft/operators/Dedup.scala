@@ -1338,7 +1338,18 @@ object Dedup {
       case Some(p) =>
         (p.select(col("a_id").cast("long"), col("b_id").cast("long"))
           .filter(col("a_id") < col("b_id")), true)
-      case None if base.count() > autoLshDocLimit =>
+      case None if {
+        val n = base.count()
+        val routed = n > autoLshDocLimit
+        // no silent caps: the LSH route trades the length-band path's
+        // completeness guarantee for scale — say so when it engages
+        if (routed) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"editDistancePairs: $n docs > autoLshDocLimit=$autoLshDocLimit — " +
+            "routing to MinHash-LSH candidates (approximate: a within-" +
+            "maxDist pair sharing no shingle band is missed); pass " +
+            "autoLshDocLimit=Long.MaxValue for the complete path")
+        routed
+      } =>
         // Large corpus: the length-band join below is quadratic in
         // band occupancy, so generate candidates with banded
         // MinHash-LSH instead (p5's measured-linear composition). The

@@ -66,9 +66,11 @@ object GifGray {
   }
 
   /** Decode a GIF87a/89a gray stream produced by [[encode]] (or any
-    * single-image, GCT-only, non-interlaced 8-bit GIF whose palette
-    * entry i has red channel i — the gray identity this codec reads
-    * back as the pixel byte). Returns (width, height, pixels). */
+    * single-image, 256-entry-GCT, non-interlaced 8-bit GIF whose
+    * palette entry i has red channel i — the gray identity this codec
+    * reads back as the pixel byte). Smaller colour tables are refused
+    * (8-bit root codes could index past them). Returns
+    * (width, height, pixels). */
   def decode(gif: Array[Byte]): (Int, Int, Array[Byte]) = {
     var p = 0
     def u8(): Int = {
@@ -87,6 +89,13 @@ object GifGray {
     u8(); u8() // background index, aspect ratio
     require((packed & 0x80) != 0, "global colour table required")
     val gctSize = 2 << (packed & 7)
+    // 8-bit LZW root codes address 0..255: a GCT smaller than 256
+    // entries would let a valid foreign stream index past the palette
+    // (ArrayIndexOutOfBounds instead of a clean refusal) — require the
+    // full table, like every other unsupported-shape path here
+    require(gctSize == 256,
+      s"only 256-entry global colour tables supported, got $gctSize")
+    require(p + 3 * gctSize <= gif.length, "truncated GIF colour table")
     val palette = new Array[Byte](gctSize)
     var i = 0
     while (i < gctSize) { // keep red channel: gray palettes are (i,i,i)

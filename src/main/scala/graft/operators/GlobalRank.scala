@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Exact distributed global rank / ntile — no single-partition sort.
+  *
+  * `row_number() OVER (ORDER BY k)` and `ntile(n) OVER (ORDER BY k)`
+  * with no PARTITION BY funnel the whole input through ONE reducer: at
+  * bench scale the input is a per-doc stat table and the sort is free,
+  * but at 100 TB a per-doc table is 10^9–10^10 rows and a
+  * single-partition sort does not degrade — it dies. This helper gives
+  * bit-identical ranks/ntiles with a three-step range-bucket plan (the
+  * t15 distributed-enumerate idiom, generalized to arbitrary keys):
+  *
+  *   1. range-repartition on the sort key (Spark's sampled
+  *      RangePartitioner). Bin boundaries only affect LOAD BALANCE,
+  *      never rank values: every row's bin is a monotone function of
+  *      its full sort key, so bin order concatenated with within-bin
+  *      order is always the total order — whatever boundaries the
+  *      sample picks.
+  *   2. per-bin `row_number` — parallel windows, each sorting ~1/P of
+  *      the input.
+  *   3. per-bin counts (a P-row aggregate) → prefix-sum offsets over a
+  *      P-row window, broadcast back. global rank = offset + local rank.
+  *
+  * `ntile` then derives from (rank, N) by the SQL-standard fill rule —
+  * the first N mod n tiles get one extra row — evaluated with integer
+  * `div`/`%` only, so it is bit-identical to `ntile()` in both Spark
+  * and DuckDB. Callers must pass a TOTAL order (include a unique
+  * tiebreaker such as doc_id); ties across a bin boundary would
+  * otherwise make within-bin numbering ambiguous.
+  */
+object GlobalRank {
+
+  private val Bin = "__gr_bin"
+  private val LocalRank = "__gr_r"
+  private val BinCount = "__gr_n"
+  private val Offset = "__gr_off"
+  private val Total = "__gr_total"
+
+  /** (ranked frame with `rankCol`, 1-row total-count frame). Both share
+    * the same range exchange (reused by Catalyst), so the input subtree
+    * is scanned once.
+    */
+  private def rankAndTotal(
+      df: DataFrame, rankCol: String, sort: Seq[Column]): (DataFrame, DataFrame) = {
+    val bins = math.max(df.sparkSession.sessionState.conf.numShufflePartitions, 1)
+    // localCheckpoint pins ONE binning for both consumers (ranks and
+    // counts). Without it each branch plans its own range exchange, and
+    // because row order after an upstream shuffle is nondeterministic,
+    // the two RangePartitioners can SAMPLE DIFFERENT BOUNDARIES — the
+    // offsets then belong to a different binning than the ranks
+    // (observed: 4395/5000 wrong ranks at sf0.1 before the pin). The
+    // materialized frame is the caller's stat table (a few columns per
+    // row), the same cost class as d9/s13's iterative localCheckpoints.
+    val binned = df
+      .repartitionByRange(bins, sort: _*)
+      .withColumn(Bin, spark_partition_id())
+      .localCheckpoint()
+    val w = Window.partitionBy(col(Bin)).orderBy(sort: _*)
+    val ranked = binned.withColumn(LocalRank, row_number().over(w).cast(LongType))
+    // P rows: prefix offsets over the bin id. The global window here
+    // orders a <=P-row table (the t15 count-table exemption).
+    val counts = binned.groupBy(col(Bin)).agg(count(lit(1)).as(BinCount))
+    val offsets = counts
+      .withColumn(Offset,
+        coalesce(
+          sum(col(BinCount)).over(
+            Window.orderBy(col(Bin))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col(Bin), col(Offset))
+    val total = counts.agg(coalesce(sum(col(BinCount)), lit(0L)).as(Total))
+    val out = ranked
+      .join(broadcast(offsets), Bin)
+      .withColumn(rankCol, col(Offset) + col(LocalRank))
+      .drop(Bin, LocalRank, Offset)
+    (out, total)
+  }
+
+  /** Adds `rankCol` = exact 1-based global row number under `sort`
+    * (a Seq of Columns, each optionally `.asc`/`.desc`; must be a total
+    * order). Plan shape: one range exchange of the input, one hash
+    * exchange for the per-bin windows, one P-row aggregate + broadcast
+    * join — never an `Exchange SinglePartition` of the input.
+    */
+  def withGlobalRank(df: DataFrame, rankCol: String, sort: Seq[Column]): DataFrame =
+    rankAndTotal(df, rankCol, sort)._1
+
+  /** Adds `tileCol` = exact `ntile(n)` (IntegerType, matching Spark's
+    * builtin) over the global `sort` order, via [[withGlobalRank]] plus
+    * the SQL-standard tile rule computed in integer `div`/`%`:
+    * q = N div n, rem = N % n; ranks 1..rem*(q+1) fill the first rem
+    * tiles at q+1 rows each, the rest fill at q rows each.
+    */
+  def withNtile(df: DataFrame, tileCol: String, n: Int, sort: Seq[Column]): DataFrame = {
+    require(n >= 1, s"ntile buckets must be >= 1, got $n")
+    val rankCol = "__gr_rank"
+    val (ranked, total) = rankAndTotal(df, rankCol, sort)
+    ranked
+      .crossJoin(broadcast(total))
+      .withColumn(tileCol,
+        expr(
+          s"""CAST(CASE
+             |  WHEN `$rankCol` <= (`$Total` % $n) * (`$Total` div $n + 1)
+             |  THEN 1 + (`$rankCol` - 1) div (`$Total` div $n + 1)
+             |  ELSE 1 + (`$Total` % $n)
+             |       + (`$rankCol` - (`$Total` % $n) * (`$Total` div $n + 1) - 1)
+             |         div greatest(`$Total` div $n, 1)
+             |END AS INT)""".stripMargin).cast(IntegerType))
+      .drop(rankCol, Total)
+  }
+}

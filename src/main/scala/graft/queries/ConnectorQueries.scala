@@ -18,6 +18,21 @@ object ConnectorQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Await an AvailableNow drain and FAIL LOUDLY on timeout: reading
+    * the sink while the query is still running returns a partial
+    * result that surfaces downstream as a confusing oracle mismatch
+    * instead of the actual problem (a slow or hung drain). */
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery,
+      timeoutMs: Long = 120000L): Unit = {
+    val done = q.awaitTermination(timeoutMs)
+    if (!done) {
+      try q.stop()
+      finally throw new IllegalStateException(
+        s"streaming drain did not terminate within ${timeoutMs}ms " +
+          s"(query=${q.name}, id=${q.id}) — sink contents would be partial")
+    }
+  }
+
   /** Every c-query backs its embedded store / checkpoint with a fresh
     * temp directory; the shared c5Ingested/c9Ingested source stores
     * additionally live for the whole session by design (immutable,
@@ -164,7 +179,7 @@ object ConnectorQueries {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    drain(q)
     val sink = spark.read.format("graft-logstore").options(dstOpts)
       .schema("user_id LONG, v_us LONG, p_us LONG, batch_id LONG")
       .load()
@@ -230,7 +245,7 @@ object ConnectorQueries {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    drain(q)
     val sink = spark.read.format("graft-logstore").options(dstOpts)
       .schema("event_type STRING, probe_uid LONG, might BOOLEAN, batch_id LONG")
       .load()
@@ -282,7 +297,7 @@ object ConnectorQueries {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    drain(q)
     val sink = spark.read.format("graft-logstore").options(dstOpts)
       .schema("event_type STRING, approx_users LONG, batch_id LONG")
       .load()
@@ -340,7 +355,7 @@ object ConnectorQueries {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    drain(q)
     val sink = spark.read.format("graft-logstore").options(dstOpts)
       .schema("event_type STRING, p25_value DOUBLE, p50_value DOUBLE, " +
         "p95_value DOUBLE, batch_id LONG")
@@ -414,7 +429,7 @@ object ConnectorQueries {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    drain(q)
     val sink = spark.read.format("graft-logstore").options(dstOpts)
       .schema("event_type STRING, perm INT, min_hash LONG, batch_id LONG")
       .load()
@@ -461,7 +476,7 @@ object ConnectorQueries {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    drain(q)
     val reconcile = C13Probes.map(u => max(col(s"est_u$u")).as(s"est_u$u"))
     spark.read.format("graft-logstore").options(dstOpts)
       .schema("event_type STRING, " +
@@ -511,7 +526,7 @@ object ConnectorQueries {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    drain(q)
     spark.read.format("graft-logstore").options(dstOpts)
       .schema("event_type STRING, approx_users DOUBLE").load()
       .groupBy(col("event_type"))
@@ -673,7 +688,7 @@ object ConnectorQueries {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    drain(q)
     spark.read.format("graft-logstore").options(dstOpts)
       .schema("user_id LONG, session_start LONG, session_end LONG, " +
         "n_events LONG, sum_value DOUBLE")
@@ -733,7 +748,7 @@ object ConnectorQueries {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    drain(q)
     spark.read.format("graft-logstore").options(dstOpts)
       .schema("user_id LONG, session_start LONG, session_end LONG, " +
         "n_events LONG")
@@ -786,7 +801,7 @@ object ConnectorQueries {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    drain(q)
     spark.read.format("graft-logstore").options(dstOpts)
       .schema("user_id LONG, event_type STRING, value DOUBLE, t LONG, " +
         "dim_val STRING").load()
@@ -862,7 +877,7 @@ object ConnectorQueries {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    drain(q)
     spark.read.format("graft-logstore").options(dstOpts)
       .schema("n_name STRING, event_type STRING, n_events LONG, sum_value DOUBLE")
       .load()
@@ -962,7 +977,7 @@ object ConnectorQueries {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    drain(q)
     spark.read.format("graft-logstore").options(dstOpts)
       .schema("hour_start LONG, event_type STRING, n_events LONG").load()
       .groupBy(col("hour_start"), col("event_type"))
@@ -1009,7 +1024,7 @@ object ConnectorQueries {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    drain(q)
     // reconcile the update history: count/max grow, min shrinks
     spark.read.format("graft-logstore").options(dstOpts)
       .schema("event_type STRING, n_events LONG, min_id LONG, max_id LONG").load()
@@ -1085,7 +1100,7 @@ object ConnectorQueries {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    drain(q)
     spark.read.format("graft-logstore").options(dstOpts)
       .schema("doc_id LONG, fp STRING, is_dup BOOLEAN").load()
   }
@@ -1130,7 +1145,7 @@ object ConnectorQueries {
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    drain(q)
     spark.read.format("graft-logstore").options(dstOpts)
       .schema("doc_id LONG, fp STRING").load()
   }

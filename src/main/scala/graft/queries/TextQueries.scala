@@ -584,7 +584,11 @@ object TextQueries {
       }
       .toDF("doc_id", "tok")
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    toks.join(broadcast(freq), "tok")
+    // no broadcast hint: the unigram vocabulary is Zipf-bounded so AQE
+    // broadcasts it at any realistic scale — but the hint buys nothing
+    // AQE wouldn't do, and a 10^8-row vocabulary must be allowed to
+    // degrade to a shuffle join (the t34 idiom).
+    toks.join(freq, "tok")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("cnt")).as("freq_mass"),
@@ -1442,13 +1446,11 @@ object TextQueries {
     *
     * Scale: bigrams are derived per-row with zip_with over the token
     * array (no posexplode self-join); the frequency table is a map-side
-    * partial + final hash agg, then broadcast back against the doc-side
-    * bigrams — the fact stream never shuffles. The explicit broadcast()
-    * hint is a deliberate bet that the frequency table stays
-    * Zipf-bounded; it forces the broadcast unconditionally, so at a
-    * scale where the table outgrows driver memory the operator must be
-    * re-run with the hint removed (Spark then picks a shuffle hash join
-    * on the bigram key) — the plan does not degrade by itself. */
+    * partial + final hash agg. NO broadcast hint on the join back:
+    * bigram TYPE counts grow near-linearly with corpus mass in the
+    * tail (unlike Zipf-bounded unigrams), so the plan must degrade to
+    * a shuffle join on the bigram key by itself at 100 TB — AQE still
+    * picks the broadcast at bench scale (plan-shape asserted). */
   private def t19: Q = (spark, dir) => {
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), TF.tokens(lower(col("text"))).as("a"))
@@ -1459,7 +1461,11 @@ object TextQueries {
           slice(col("a"), lit(2), greatest(size(col("a")) - 1, lit(0))),
           (x, y) => concat(x, lit(" "), y))).as("bigram"))
     val freq = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
-    bigrams.join(broadcast(freq), "bigram")
+    // no broadcast hint: bigram TYPE counts are not Zipf-bounded the
+    // way unigrams are — the tail grows near-linearly with corpus mass.
+    // AQE still broadcasts at bench scale; at 100 TB this joins on the
+    // bigram-key shuffle (the t34 idiom).
+    bigrams.join(freq, "bigram")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("cnt")).as("bigram_mass"),
@@ -1480,9 +1486,11 @@ object TextQueries {
     *
     * Scale: bigrams derive per-row with zip_with (no posexplode
     * self-join); unigram and bigram counts are map-side-combined hash
-    * aggs; the Zipf-bounded unigram table broadcasts back onto the
-    * minCount-pruned bigram table (two broadcast joins, fact side
-    * never reshuffled); the top-k is a TakeOrdered — no global sort. */
+    * aggs; the Zipf-bounded unigram table joins back onto the
+    * minCount-pruned bigram table with NO forced hint — AQE broadcasts
+    * it at bench scale, and a 10^8-row vocabulary degrades to a
+    * shuffle join instead of an OOM (the t34 idiom); the top-k is a
+    * TakeOrdered — no global sort. */
   private def t24: Q = (spark, dir) => {
     val minCount = 5L
     val topK = 100
@@ -1501,9 +1509,12 @@ object TextQueries {
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("pair_count"))
       .filter(col("pair_count") >= minCount)
+    // no broadcast hints: the unigram table is Zipf-bounded so AQE
+    // broadcasts it at bench scale anyway, and the logical plan must
+    // survive a 10^8-row vocabulary (the t34 idiom)
     pairs
-      .join(broadcast(uni.select(col("tok").as("w1"), col("c").as("c1"))), "w1")
-      .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("c2"))), "w2")
+      .join(uni.select(col("tok").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c").as("c2")), "w2")
       .select(col("w1"), col("w2"), col("pair_count"),
         ((col("pair_count") * lit(nTok)).cast(DoubleType) /
           (col("c1") * col("c2")).cast(DoubleType)).as("lift"))
@@ -1742,10 +1753,12 @@ object TextQueries {
     * the oracle pins assignment AND sampling, not just survivors.
     *
     * Scale: the corpus-sized work is t29's bigram count shuffle; the
-    * ntile sorts only the per-DOC stat table. At 100 TB that global
-    * sort swaps for KLL cutoff estimation (k5's sketch — two
-    * quantiles, then a comparison scan), which is the documented
-    * production path; the exact tercile keeps the oracle total. */
+    * exact tercile is [[graft.operators.GlobalRank.withNtile]] —
+    * range-bucket on (mean bits, doc_id), per-bucket rank, broadcast
+    * prefix offsets — so no single-partition sort exists anywhere in
+    * the plan (plan-shape asserted). k5's KLL cutoffs remain the
+    * documented approximate alternative when even exact ranks are
+    * overkill. */
   private def t32: Q = (spark, dir) => {
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), TF.tokens(lower(col("text"))).as("a"))
@@ -1763,10 +1776,9 @@ object TextQueries {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(bits).cast(LongType).as("surprisal_bits"))
-    val ranked = stats.withColumn("bucket",
-      ntile(3).over(org.apache.spark.sql.expressions.Window.orderBy(
-        (col("surprisal_bits").cast(DoubleType) / col("n_bigrams")).asc,
-        col("doc_id"))))
+    val ranked = graft.operators.GlobalRank.withNtile(stats, "bucket", 3,
+      Seq((col("surprisal_bits").cast(DoubleType) / col("n_bigrams")).asc,
+        col("doc_id").asc))
     val bp = when(col("bucket") === 1, 10000)
       .when(col("bucket") === 2, 5000).otherwise(1000)
     ranked.select(col("doc_id"), col("n_bigrams"), col("surprisal_bits"),
@@ -1841,9 +1853,10 @@ object TextQueries {
     * Scale: the corpus-sized work is the ONE bigram shuffle shared
     * with t34 (count + derived tables re-aggregate from it) plus the
     * doc-bigram-to-LM join, which shuffles on the bigram key — the
-    * same key distribution as the count, no new skew class. The
-    * ntile sorts only the per-DOC stat table; at 100 TB the exact
-    * tercile swaps for k5's KLL quantile cutoffs (the t32 note). */
+    * same key distribution as the count, no new skew class. The exact
+    * tercile is GlobalRank.withNtile over the per-DOC stat table —
+    * range-bucketed distributed rank, no single-partition sort (the
+    * t32 note); k5's KLL cutoffs remain the approximate fallback. */
   private def t36: Q = (spark, dir) => {
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), TF.tokens(lower(col("text"))).as("a"))
@@ -1871,10 +1884,9 @@ object TextQueries {
     val scored = grams.join(lm, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("qbits")).as("sum_qbits"))
-    val ranked = scored.withColumn("tercile",
-      ntile(3).over(org.apache.spark.sql.expressions.Window.orderBy(
-        (col("sum_qbits").cast(DoubleType) / col("n_bigrams")).desc,
-        col("doc_id"))))
+    val ranked = graft.operators.GlobalRank.withNtile(scored, "tercile", 3,
+      Seq((col("sum_qbits").cast(DoubleType) / col("n_bigrams")).desc,
+        col("doc_id").asc))
     ranked.select(col("doc_id"), col("n_bigrams"), col("sum_qbits"),
       col("tercile"), (col("tercile") <= 2).as("keep"))
   }
@@ -1894,9 +1906,9 @@ object TextQueries {
     * decides the cross-source ORDER.
     *
     * Scale: per-source ranks partition by source (parallel); the one
-    * global ordering runs over the slot-keyed table — replaced by
-    * t15's per-bucket rank + broadcast prefix-offset enumerate at
-    * 100 TB (slots bucket by range), same note as t15. */
+    * global ordering is GlobalRank.withGlobalRank — slots range-bucket,
+    * per-bucket row_number, broadcast prefix offsets — t15's enumerate
+    * pattern with sampled range boundaries, no single-partition sort. */
   private def t37: Q = (spark, dir) => {
     val W = org.apache.spark.sql.expressions.Window
     val docs = t(spark, dir, "documents")
@@ -1908,11 +1920,12 @@ object TextQueries {
     val ranked = docs.withColumn("r",
       (row_number().over(W.partitionBy(col("source")).orderBy(col("doc_id")))
         - 1).cast(LongType))
-    ranked.crossJoin(broadcast(wsum))
+    val slotted = ranked.crossJoin(broadcast(wsum))
       .withColumn("slot", expr("CAST((2*r + 1) * wtot div (2*w) AS BIGINT)"))
-      .withColumn("mix_pos",
-        (row_number().over(W.orderBy(col("slot"), col("source"), col("r")))
-          - 1).cast(LongType))
+    graft.operators.GlobalRank
+      .withGlobalRank(slotted, "mix_pos1",
+        Seq(col("slot").asc, col("source").asc, col("r").asc))
+      .withColumn("mix_pos", (col("mix_pos1") - 1).cast(LongType))
       .select(col("doc_id"), col("source"), col("w"), col("r"), col("slot"),
         col("mix_pos"))
   }
@@ -1933,9 +1946,9 @@ object TextQueries {
     *
     * Scale: the corpus-sized work is one explode + two 256-row bucket
     * aggregations; the weight table BROADCASTS back onto the feature
-    * stream before the doc_id re-agg; the ntile sorts only the
-    * per-DOC stat table, with k5's KLL quantile cutoffs as the
-    * documented 100 TB path (the t32 note). */
+    * stream before the doc_id re-agg; the exact quartile is
+    * GlobalRank.withNtile over the per-DOC stat table — range-bucketed
+    * distributed rank, no single-partition sort (the t32 note). */
   private def t33: Q = (spark, dir) => {
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), TF.tokens(lower(col("text"))).as("a"))
@@ -1961,10 +1974,9 @@ object TextQueries {
     val scored = feats.join(broadcast(wts), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feats"), sum(col("wt")).as("sum_w"))
-    val ranked = scored.withColumn("quartile",
-      ntile(4).over(org.apache.spark.sql.expressions.Window.orderBy(
-        (col("sum_w").cast(DoubleType) / col("n_feats")).desc,
-        col("doc_id"))))
+    val ranked = graft.operators.GlobalRank.withNtile(scored, "quartile", 4,
+      Seq((col("sum_w").cast(DoubleType) / col("n_feats")).desc,
+        col("doc_id").asc))
     ranked.select(col("doc_id"), col("n_feats"), col("sum_w"),
       col("quartile"), (col("quartile") === 1).as("selected"))
   }

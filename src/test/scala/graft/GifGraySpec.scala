@@ -93,5 +93,13 @@ class GifGraySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       GifGray.decode("NOTGIF86".getBytes("US-ASCII"))
     }
+    // a sub-256-entry GCT is a VALID foreign GIF whose 8-bit root codes
+    // can index past the palette: must refuse cleanly, not AIOOBE
+    val small = gif.clone()
+    small(10) = (small(10) & 0xF8 | 0x03).toByte // GCT size 2<<3 = 16
+    val e = intercept[IllegalArgumentException] { GifGray.decode(small) }
+    assert(e.getMessage.contains("256-entry"), e.getMessage)
+    // a GCT promised by the header but truncated mid-table: clean refusal
+    intercept[IllegalArgumentException] { GifGray.decode(gif.take(13 + 90)) }
   }
 }

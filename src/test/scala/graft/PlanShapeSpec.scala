@@ -294,4 +294,27 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(joinLine.contains("__salt"), p)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("t32/t33/t36/t37: no global-window rank of the stat table — GlobalRank bins instead") {
+    // the round-12 scale-killer: ntile/row_number OVER () with no
+    // PARTITION BY funnels the per-doc stat table through ONE reducer.
+    // All four now rank via GlobalRank (range-bucket + per-bin
+    // row_number + broadcast prefix offsets); the builtin ntile must
+    // not reappear, and every input-side rank window must partition by
+    // the bin column. (The <=P-row offsets table keeps its global
+    // window — the t15 count-table exemption.)
+    for (q <- Seq("t32_ccnet_buckets", "t33_dsir_select",
+        "t36_lm_perplexity_filter", "t37_mixture_interleave")) {
+      val p = plan(q)
+      assert(!p.contains("ntile("), s"$q reverted to builtin ntile:\n$p")
+      assert(p.contains("windowspecdefinition(__gr_bin"),
+        s"$q rank window is not bin-partitioned:\n$p")
+      // the only row_number windows over the stat table are bin-keyed
+      val rnGlobal = p.linesIterator.exists(l =>
+        l.contains("row_number") && l.contains("windowspecdefinition(") &&
+          !l.contains("windowspecdefinition(__gr_bin") &&
+          !l.contains("windowspecdefinition(source"))
+      assert(!rnGlobal, s"$q has a partition-less row_number window:\n$p")
+    }
+  }
 }
