@@ -29,29 +29,30 @@ import H264.{BitReader, BitWriter}
   * top blocks' TotalCoeff off a picture-wide grid), the 15-coefficient
   * zig-zag AC scan, position-classed AC dequant (8.5.12.1, Table 8-15
   * normAdjust), and the full 4x4 inverse core transform butterfly
-  * (8.5.12.2) on top of the Hadamard-spread DC. Only the
-  * "0 <= nC < 2" and chroma "-1" coeff_token columns of Table 9-5 are
-  * implemented — they are the two columns pinned to an external
-  * conformance vector; the 2<=nC<4 / 4<=nC<8 / FLC columns are
-  * reachable only when a block's left+top neighbour TotalCoeff sum is
-  * >= 3, and both encoder and decoder fail loudly there rather than
-  * ship self-consistent-but-unpinned tables. CodedBlockPatternChroma
+  * (8.5.12.2) on top of the Hadamard-spread DC. ALL FOUR luma
+  * coeff_token columns of Table 9-5 are implemented (0 <= nC < 2,
+  * 2 <= nC < 4, 4 <= nC < 8, and the 6-bit FLC for nC >= 8), plus the
+  * chroma "-1" column — arbitrarily dense all-intra residual
+  * neighbourhoods code and decode. CodedBlockPatternChroma
   * = 2 macroblocks additionally decode ChromaACLevel: per component,
   * the four chroma 4x4 blocks in raster order with nC off
   * per-component chroma TotalCoeff grids (9.2.1), dequantized at QPc
   * (8.5.12.1) on top of the 2x2-Hadamard chroma DC, through the same
-  * inverse core transform. Remaining boundary: the dense-neighbour
-  * coeff_token columns, I_4x4/I_8x8 spatial modes, CABAC, and inter
-  * prediction.
+  * inverse core transform. Remaining boundary: I_4x4/I_8x8 spatial
+  * modes, CABAC, and inter prediction.
   *
   * All VLC tables are transcribed from the public ITU-T H.264 spec:
-  * coeff_token Table 9-5 (0 <= nC < 2 column), total_zeros Tables
-  * 9-7/9-8 (4x4 blocks), run_before Table 9-10; level coding follows
-  * 9.2.2.1 exactly, including the level_prefix 14/15 escapes and
-  * suffixLength adaptation. The encode side is the exact inverse and
-  * exists for fixtures; CavlcSpec pins the widely-published worked
-  * example bitstring so the tables are checked against an external
-  * vector, not just against themselves.
+  * coeff_token Table 9-5 (all luma columns + chroma DC), total_zeros
+  * Tables 9-7/9-8 (4x4 blocks), run_before Table 9-10; level coding
+  * follows 9.2.2.1 exactly, including the level_prefix 14/15 escapes
+  * and suffixLength adaptation. The encode side is the exact inverse
+  * and exists for fixtures. Validation is layered: CavlcSpec pins the
+  * 0 <= nC < 2 column to the widely-published worked-example
+  * bitstring (an external vector); the 2 <= nC < 4 and 4 <= nC < 8
+  * columns — for which no worked-example bitstring is published —
+  * are cross-checked against an independently transcribed length
+  * table and asserted prefix-free; the nC >= 8 column is generated
+  * from the spec's closed-form FLC formula.
   */
 object H264Cavlc {
 
@@ -98,6 +99,108 @@ object H264Cavlc {
     t(2)(15) = c("0000000000001001"); t(3)(15) = c("0000000000001100")
     t(0)(16) = c("0000000000000100"); t(1)(16) = c("0000000000000110")
     t(2)(16) = c("0000000000000101"); t(3)(16) = c("0000000000001000")
+    t
+  }
+
+  /** Table 9-5, 2 <= nC < 4: coeffToken(trailingOnes)(totalCoeff).
+    * Transcribed from the published spec table; the length profile is
+    * cross-checked in H264CavlcSpec against an independently
+    * transcribed length table, and prefix-freeness is asserted —
+    * unlike the 0 <= nC < 2 column there is no widely published
+    * worked-example bitstring to pin single codes externally. */
+  private val CoeffToken24: Array[Array[Int]] = {
+    val t = Array.fill(4, 17)(-1)
+    t(0)(0) = c("11")
+    t(0)(1) = c("001011"); t(1)(1) = c("10")
+    t(0)(2) = c("000111"); t(1)(2) = c("00111"); t(2)(2) = c("011")
+    t(0)(3) = c("0000111"); t(1)(3) = c("001010")
+    t(2)(3) = c("001001"); t(3)(3) = c("0101")
+    t(0)(4) = c("00000111"); t(1)(4) = c("000110")
+    t(2)(4) = c("000101"); t(3)(4) = c("0100")
+    t(0)(5) = c("00000100"); t(1)(5) = c("0000110")
+    t(2)(5) = c("0000101"); t(3)(5) = c("00110")
+    t(0)(6) = c("000000111"); t(1)(6) = c("00000110")
+    t(2)(6) = c("00000101"); t(3)(6) = c("001000")
+    t(0)(7) = c("00000001111"); t(1)(7) = c("000000110")
+    t(2)(7) = c("000000101"); t(3)(7) = c("000100")
+    t(0)(8) = c("00000001011"); t(1)(8) = c("00000001110")
+    t(2)(8) = c("00000001101"); t(3)(8) = c("0000100")
+    t(0)(9) = c("000000001111"); t(1)(9) = c("00000001010")
+    t(2)(9) = c("00000001001"); t(3)(9) = c("000000100")
+    t(0)(10) = c("000000001011"); t(1)(10) = c("000000001110")
+    t(2)(10) = c("000000001101"); t(3)(10) = c("00000001100")
+    t(0)(11) = c("000000001000"); t(1)(11) = c("000000001010")
+    t(2)(11) = c("000000001001"); t(3)(11) = c("00000001000")
+    t(0)(12) = c("0000000001111"); t(1)(12) = c("0000000001110")
+    t(2)(12) = c("0000000001101"); t(3)(12) = c("000000001100")
+    t(0)(13) = c("0000000001011"); t(1)(13) = c("0000000001010")
+    t(2)(13) = c("0000000001001"); t(3)(13) = c("0000000001100")
+    t(0)(14) = c("0000000000111"); t(1)(14) = c("00000000001011")
+    t(2)(14) = c("0000000000110"); t(3)(14) = c("0000000001000")
+    t(0)(15) = c("00000000001001"); t(1)(15) = c("00000000001000")
+    t(2)(15) = c("00000000001010"); t(3)(15) = c("0000000000001")
+    t(0)(16) = c("00000000000111"); t(1)(16) = c("00000000000110")
+    t(2)(16) = c("00000000000101"); t(3)(16) = c("00000000000100")
+    t
+  }
+
+  /** Table 9-5, 4 <= nC < 8: coeffToken(trailingOnes)(totalCoeff).
+    * Same provenance and validation as [[CoeffToken24]]. */
+  private val CoeffToken48: Array[Array[Int]] = {
+    val t = Array.fill(4, 17)(-1)
+    t(0)(0) = c("1111")
+    t(0)(1) = c("001111"); t(1)(1) = c("1110")
+    t(0)(2) = c("001011"); t(1)(2) = c("01111"); t(2)(2) = c("1101")
+    t(0)(3) = c("001000"); t(1)(3) = c("01100")
+    t(2)(3) = c("01110"); t(3)(3) = c("1100")
+    t(0)(4) = c("0001111"); t(1)(4) = c("01010")
+    t(2)(4) = c("01011"); t(3)(4) = c("1011")
+    t(0)(5) = c("0001011"); t(1)(5) = c("01000")
+    t(2)(5) = c("01001"); t(3)(5) = c("1010")
+    t(0)(6) = c("0001001"); t(1)(6) = c("001110")
+    t(2)(6) = c("001101"); t(3)(6) = c("1001")
+    t(0)(7) = c("0001000"); t(1)(7) = c("001010")
+    t(2)(7) = c("001001"); t(3)(7) = c("1000")
+    t(0)(8) = c("00001111"); t(1)(8) = c("0001110")
+    t(2)(8) = c("0001101"); t(3)(8) = c("01101")
+    t(0)(9) = c("00001011"); t(1)(9) = c("00001110")
+    t(2)(9) = c("0001010"); t(3)(9) = c("001100")
+    t(0)(10) = c("000001111"); t(1)(10) = c("00001010")
+    t(2)(10) = c("00001101"); t(3)(10) = c("0001100")
+    t(0)(11) = c("000001011"); t(1)(11) = c("000001110")
+    t(2)(11) = c("00001001"); t(3)(11) = c("00001100")
+    t(0)(12) = c("000001000"); t(1)(12) = c("000001010")
+    t(2)(12) = c("000001101"); t(3)(12) = c("00001000")
+    t(0)(13) = c("0000001101"); t(1)(13) = c("000000111")
+    t(2)(13) = c("000001001"); t(3)(13) = c("000001100")
+    t(0)(14) = c("0000001001"); t(1)(14) = c("0000001100")
+    t(2)(14) = c("0000001011"); t(3)(14) = c("0000001010")
+    t(0)(15) = c("0000000101"); t(1)(15) = c("0000001000")
+    t(2)(15) = c("0000000111"); t(3)(15) = c("0000000110")
+    t(0)(16) = c("0000000001"); t(1)(16) = c("0000000100")
+    t(2)(16) = c("0000000011"); t(3)(16) = c("0000000010")
+    t
+  }
+
+  /** Table 9-5, nC >= 8: the 6-bit fixed-length code, by the spec
+    * formula — coeff_token = ((TotalCoeff - 1) << 2) | TrailingOnes,
+    * with TotalCoeff = 0 mapped to the otherwise-impossible value 3
+    * (TrailingOnes 3 needs TotalCoeff >= 3). Fixed-length distinct
+    * values are trivially prefix-free, so the shared VLC reader/writer
+    * handles this column unchanged. */
+  private val CoeffTokenFlc: Array[Array[Int]] = {
+    val t = Array.fill(4, 17)(-1)
+    def six(v: Int): Int = (6 << 16) | v
+    t(0)(0) = six(3)
+    var tc = 1
+    while (tc <= 16) {
+      var t1 = 0
+      while (t1 <= math.min(3, tc)) {
+        t(t1)(tc) = six(((tc - 1) << 2) | t1)
+        t1 += 1
+      }
+      tc += 1
+    }
     t
   }
 
@@ -208,8 +311,8 @@ object H264Cavlc {
     (2, 1), (3, 0), (3, 1), (2, 2), (1, 3), (2, 3), (3, 2), (3, 3))
 
   // ---------------------------------------------------------------
-  // residual_block_cavlc (7.3.5.3.2 / 9.2) for one 16-coeff block,
-  // nC < 2 (the only column the Intra_16x16-DC world can reach).
+  // residual_block_cavlc (7.3.5.3.2 / 9.2) for one 16-coeff block;
+  // the coeff_token column is the caller's (nC-selected, 9.2.1).
   // ---------------------------------------------------------------
 
   /** Encode one 16-coefficient block given levels in ZIG-ZAG SCAN
@@ -296,6 +399,31 @@ object H264Cavlc {
     * run_before). */
   def decodeBlock(r: BitReader): Array[Int] =
     decodeResidual(r, CoeffToken, TotalZeros, 16)
+
+  /** Encode one 16-coefficient block with the Table 9-5 coeff_token
+    * column selected by `nC` (the 9.2.1 neighbour value). Exact
+    * inverse of [[decodeBlockNc]]. */
+  def encodeBlockNc(scan: Array[Int], nC: Int, w: BitWriter): Unit = {
+    require(scan.length == 16, "scan array must have 16 levels")
+    encodeResidual(scan, lumaCoeffTokenTab(nC, "standalone block"),
+      TotalZeros, w)
+  }
+
+  /** Decode one 16-coefficient block with the Table 9-5 coeff_token
+    * column selected by `nC`. */
+  def decodeBlockNc(r: BitReader, nC: Int): Array[Int] =
+    decodeResidual(r, lumaCoeffTokenTab(nC, "standalone block"),
+      TotalZeros, 16)
+
+  /** Test hook: the four luma coeff_token columns of Table 9-5 in nC
+    * range order (0<=nC<2, 2<=nC<4, 4<=nC<8, FLC), for structural
+    * validation (prefix-freeness, length profiles) in the spec. */
+  private[graft] def lumaCoeffTokenColumns: Seq[Array[Array[Int]]] =
+    Seq(CoeffToken, CoeffToken24, CoeffToken48, CoeffTokenFlc)
+
+  /** Test hook: the chroma-DC (nC == -1) coeff_token column. */
+  private[graft] def chromaDcCoeffTokenColumn: Array[Array[Int]] =
+    CoeffTokenChromaDc
 
   /** Decode one 2x2 chroma DC block (nC == -1 tables); returns the 4
     * levels in raster order. */
@@ -496,16 +624,18 @@ object H264Cavlc {
     else 0
   }
 
-  /** The coeff_token column for a luma nC. Only the externally
-    * conformance-pinned 0 <= nC < 2 column is implemented: the
-    * 2 <= nC < 4, 4 <= nC < 8 and FLC columns of Table 9-5 are the
-    * documented boundary (reachable only when the left+top neighbour
-    * blocks' TotalCoeff sum >= 3 — the encoder enforces the same
-    * subset, so every emitted stream decodes). */
+  /** The coeff_token column for a luma/chroma-AC nC (Table 9-5 range
+    * selection, 9.2.1): all four columns — VLC columns for nC < 2,
+    * 2 <= nC < 4, 4 <= nC < 8 and the 6-bit FLC for nC >= 8 — so
+    * arbitrarily dense all-intra residuals code and decode. The
+    * `where` argument survives for call-site context in future
+    * refusals; it is no longer consulted. */
   private def lumaCoeffTokenTab(nC: Int, where: => String): Array[Array[Int]] = {
-    require(nC < 2, s"$where: nC=$nC needs the 2<=nC<4 / 4<=nC<8 / FLC " +
-      "columns of Table 9-5 — outside the conformance-pinned CAVLC subset")
-    CoeffToken
+    require(nC >= 0, s"$where: negative luma nC $nC")
+    if (nC < 2) CoeffToken
+    else if (nC < 4) CoeffToken24
+    else if (nC < 8) CoeffToken48
+    else CoeffTokenFlc
   }
 
   /** normAdjust4x4(m, i, j) (Table 8-15): column by coefficient
@@ -572,9 +702,9 @@ object H264Cavlc {
     * nonzero AC level is emitted as CodedBlockPatternLuma = 15
     * (mb_type + 12, Table 7-11) and ALL 16 of its blocks are
     * residual-coded with neighbour-derived nC (9.2.1); an all-zero MB
-    * stays CodedBlockPatternLuma = 0. The encoder enforces the pinned
-    * nC < 2 table subset — fixtures must keep every block's left+top
-    * TotalCoeff sum <= 2 (e.g. at most one nonzero level per block). */
+    * stays CodedBlockPatternLuma = 0. All Table 9-5 columns are
+    * implemented, so fixtures may carry arbitrarily dense residual
+    * neighbourhoods (any nC). */
   def encodeIntra16Frame(widthMbs: Int, heightMapUnits: Int,
       dcLevels: Array[Array[Array[Int]]], qp: Int,
       idrPicId: Int = 0,

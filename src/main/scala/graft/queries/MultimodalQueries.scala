@@ -39,7 +39,67 @@ object MultimodalQueries {
     "m21_video_ac_residuals" -> m21,
     "m22_gif_lzw_roundtrip" -> m22,
     "m23_video_chroma_ac" -> m23,
-    "m24_video_multi_slice" -> m24)
+    "m24_video_multi_slice" -> m24,
+    "m25_video_dense_cavlc" -> m25)
+
+  /** Dense-neighbour CAVLC sweep (m25): each asset is one IDR picture
+    * (a single I_16x16 macroblock, luma DC zero, QPy 28) whose 16 AC
+    * blocks carry graded coefficient densities (0/3/5/10/15 nonzero
+    * levels in a fixed layout), chosen so the 9.2.1 neighbour-average
+    * nC walks through EVERY coeff_token column of Table 9-5 — 0<=nC<2
+    * (blk0/blk8 + the DC block), 2<=nC<4 (blk1/2/3/11/12), 4<=nC<8
+    * (blk4/7/13) and the nC>=8 FLC (blk5/6/9/10/14/15, including a
+    * ZERO block coded in the FLC column) — and back down across each
+    * boundary. Levels are a fixed ±pattern per density class scaled by
+    * a per-doc integer G ∈ {±1,±2,±3}: at QPy 28 the AC dequant
+    * (8.5.12.1) and inverse core transform (8.5.12.2) are exactly
+    * LINEAR in G (every intermediate is even, so the spec's >>1
+    * butterflies lose nothing), which makes the whole reconstruction
+    * closed-form: pixel = clip(128 + (G·T0[cls][pos] + 32) >> 6) with
+    * T0 a 4x16 constant matrix derived by an independent transcription
+    * of the dequant+transform (tools comment in the oracle). A single
+    * wrong bit in any new VLC table desyncs the reader and garbles
+    * every later block, so the oracle pins the dense-neighbour entropy
+    * path end-to-end.
+    *
+    * Scale: zero-shuffle per-asset map, like every codec query. */
+  private def m25: Q = (spark, dir) => {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val g = (1 + (id % 3)).toInt * (if (id % 2 == 0) 1 else -1)
+      val pats = Map(
+        'A' -> Array(2, -1, 1),
+        'B' -> Array(1, 2, -1, -2, 1),
+        'C' -> Array(2, 1, -1, 1, -2, 1, 1, -1, 1, -1),
+        'D' -> Array(1, -1, 1, -1, 2, -2, 1, 1, -1, 1, -1, 1, 1, -1, 1),
+        'E' -> Array.empty[Int])
+      val cls = "ABECDCABCEBDADCB" // z-scan blk0..blk15 density classes
+      val ac = Array.tabulate(16) { blk =>
+        val a = new Array[Int](15)
+        val e = pats(cls(blk))
+        var k = 0
+        while (k < e.length) { a(k) = e(k) * g; k += 1 }
+        a
+      }
+      val dc = Array.fill(4, 4)(0)
+      val es = graft.operators.H264.encodeSps(1, 1, 0) ++
+        graft.operators.H264.encodePps() ++
+        graft.operators.H264Cavlc.encodeIntra16Frame(1, 1, Array(dc),
+          qp = 28, idrPicId = (id % 65536).toInt, acLevels = Array(ac))
+      val frames = graft.operators.H264Cavlc.decodeIntra16Frames(es)
+      require(frames.size == 1)
+      val (w, h, y) = frames.head
+      var s = 0L; var ck = 0L; var i = 0
+      while (i < y.length) {
+        val v = (y(i) & 0xFF).toLong
+        s += v; ck += v * (i + 1); i += 1
+      }
+      // probes: the (0,0) pixel of one block per density class
+      def px(x: Int, yy: Int) = y(yy * 16 + x) & 0xFF
+      (id, w, h, px(0, 0), px(4, 0), px(4, 4), px(8, 0), px(0, 4), s, ck)
+    }.toDF("doc_id", "width", "height", "p_a", "p_b", "p_c", "p_d",
+      "p_e", "y_sum", "y_checksum")
+  }
 
   /** Multi-slice decode on the oracle gate (m24): each asset is one
     * IDR picture coded as TWO slices ({MB0, MB1} / {MB2, MB3} of a
@@ -939,6 +999,61 @@ object MultimodalQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // m25: closed-form replay of the dense-CAVLC picture. t0(cls,pos)
+    // is the inverse-transform output of each density class's fixed
+    // level pattern, derived by an INDEPENDENT transcription of the
+    // 8.5.12.1 dequant at QPy 28 (LevelScale = 16*normAdjust(4) =
+    // {256,400,320} by position class, shift 0) and the 8.5.12.2
+    // butterfly — both exactly linear in the per-doc scale G because
+    // every >>1 operand is even. pixel = clip(128 + (G*t0 + 32) >> 6);
+    // the +64000/-1000 keeps the floor division on a positive
+    // numerator (|G*t0| <= 6996), the m24 offset idiom.
+    "m25_video_dense_cavlc" ->
+      """WITH base AS (SELECT doc_id,
+        |   CAST((1 + doc_id % 3) *
+        |        (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS G
+        | FROM documents),
+        |px AS (SELECT base.doc_id,
+        |   (blk.oy + rr.r) * 16 + blk.ox + cc.c AS idx,
+        |   LEAST(255, GREATEST(0,
+        |     128 + (base.G * COALESCE(t0.t, 0) + 32 + 64000) // 64 - 1000))
+        |     AS v
+        | FROM base
+        | CROSS JOIN (VALUES
+        |   (0,'A',0,0),(1,'B',4,0),(2,'E',0,4),(3,'C',4,4),
+        |   (4,'D',8,0),(5,'C',12,0),(6,'A',8,4),(7,'B',12,4),
+        |   (8,'C',0,8),(9,'E',4,8),(10,'B',0,12),(11,'D',4,12),
+        |   (12,'A',8,8),(13,'D',12,8),(14,'C',8,12),(15,'B',12,12))
+        |   blk(b, cls, ox, oy)
+        | CROSS JOIN range(4) rr(r) CROSS JOIN range(4) cc(c)
+        | LEFT JOIN (VALUES
+        |   ('A',0,576),('A',1,256),('A',2,-384),('A',3,-704),
+        |   ('A',4,224),('A',5,-96),('A',6,-736),('A',7,-1056),
+        |   ('A',8,544),('A',9,224),('A',10,-416),('A',11,-736),
+        |   ('A',12,1216),('A',13,896),('A',14,256),('A',15,-64),
+        |   ('B',0,160),('B',1,-112),('B',2,368),('B',3,1120),
+        |   ('B',4,752),('B',5,280),('B',6,360),('B',7,912),
+        |   ('B',8,912),('B',9,40),('B',10,-680),('B',11,-528),
+        |   ('B',12,480),('B',13,-592),('B',14,-1712),('B',15,-1760),
+        |   ('C',0,712),('C',1,356),('C',2,476),('C',3,-648),
+        |   ('C',4,1464),('C',5,908),('C',6,-12),('C',7,-1976),
+        |   ('C',8,264),('C',9,948),('C',10,1228),('C',11,-776),
+        |   ('C',12,-1288),('C',13,-164),('C',14,356),('C',15,-1848),
+        |   ('D',0,772),('D',1,-700),('D',2,-580),('D',3,-388),
+        |   ('D',4,-28),('D',5,-484),('D',6,-2204),('D',7,2332),
+        |   ('D',8,92),('D',9,356),('D',10,-1764),('D',11,-348),
+        |   ('D',12,1212),('D',13,1980),('D',14,-700),('D',15,452))
+        |   t0(cls, pos, t)
+        |   ON t0.cls = blk.cls AND t0.pos = 4 * rr.r + cc.c)
+        |SELECT doc_id, 16 AS width, 16 AS height,
+        | CAST(MAX(CASE WHEN idx = 0 THEN v END) AS INTEGER) AS p_a,
+        | CAST(MAX(CASE WHEN idx = 4 THEN v END) AS INTEGER) AS p_b,
+        | CAST(MAX(CASE WHEN idx = 68 THEN v END) AS INTEGER) AS p_c,
+        | CAST(MAX(CASE WHEN idx = 8 THEN v END) AS INTEGER) AS p_d,
+        | CAST(MAX(CASE WHEN idx = 64 THEN v END) AS INTEGER) AS p_e,
+        | CAST(SUM(v) AS BIGINT) AS y_sum,
+        | CAST(SUM(v * (idx + 1)) AS BIGINT) AS y_checksum
+        |FROM px GROUP BY doc_id""".stripMargin,
     // m22: round-trip identity — the decoded plane must equal the
     // source formula, so the oracle recomputes sums from the formula;
     // the constant plane is 64 copies of doc_id % 256

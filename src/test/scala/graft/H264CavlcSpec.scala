@@ -480,20 +480,144 @@ class H264CavlcSpec extends AnyFunSuite {
     }
   }
 
-  test("dense neighbours (nC >= 2) are refused loudly, not mis-coded") {
-    // blk1 TotalCoeff 2 and blk2 TotalCoeff 1 make blk3's
-    // nC = (2 + 1 + 1) >> 1 = 2 — the first unpinned coeff_token
-    // column. The encoder must refuse rather than emit bits from a
-    // table this codec does not carry.
-    val ac = Array.fill(1)(Array.fill(16)(new Array[Int](15)))
-    ac(0)(1)(0) = 5; ac(0)(1)(3) = -2 // blk1: 2 coefficients
-    ac(0)(2)(1) = 1 //                   blk2: 1 coefficient
-    ac(0)(3)(0) = 1 //                   blk3: parsing needs nC = 2
-    val ex = intercept[IllegalArgumentException] {
-      H264Cavlc.encodeIntra16Frame(1, 1,
-        Array(Array.fill(4, 4)(0)), qp = 24, acLevels = ac)
+  test("all Table 9-5 luma columns are prefix-free with distinct codes") {
+    // a single mis-transcribed bit that collides with or prefixes
+    // another code would make some bitstream undecodable or ambiguous;
+    // every column must be a valid prefix code
+    val cols = H264Cavlc.lumaCoeffTokenColumns :+
+      H264Cavlc.chromaDcCoeffTokenColumn
+    for ((tab, ci) <- cols.zipWithIndex) {
+      val codes = tab.flatten.filter(_ >= 0).map { p =>
+        val len = p >>> 16
+        val bits = p & 0xFFFF
+        String.format("%" + len + "s", Integer.toBinaryString(bits))
+          .replace(' ', '0')
+      }
+      assert(codes.distinct.length === codes.length, s"column $ci duplicates")
+      for (a <- codes; b <- codes if a != b)
+        assert(!b.startsWith(a), s"column $ci: '$a' prefixes '$b'")
     }
-    assert(ex.getMessage.contains("Table 9-5"))
+  }
+
+  test("new Table 9-5 columns match an independently transcribed length profile") {
+    // the code LENGTHS of Table 9-5 as transcribed separately (4
+    // entries per TotalCoeff row: TrailingOnes 0..3, 0 = impossible).
+    // Two independent transcriptions of the spec agreeing on all 62
+    // entries per column is the strongest cross-check available —
+    // unlike the nC < 2 column, no worked-example bitstring for these
+    // columns is published to pin single codes externally.
+    val len24 = Array(
+      2, 0, 0, 0, 6, 2, 0, 0, 6, 5, 3, 0, 7, 6, 6, 4,
+      8, 6, 6, 4, 8, 7, 7, 5, 9, 8, 8, 6, 11, 9, 9, 6,
+      11, 11, 11, 7, 12, 11, 11, 9, 12, 12, 12, 11, 12, 12, 12, 11,
+      13, 13, 13, 12, 13, 13, 13, 13, 13, 14, 13, 13, 14, 14, 14, 13,
+      14, 14, 14, 14)
+    val len48 = Array(
+      4, 0, 0, 0, 6, 4, 0, 0, 6, 5, 4, 0, 6, 5, 5, 4,
+      7, 5, 5, 4, 7, 5, 5, 4, 7, 6, 6, 4, 7, 6, 6, 4,
+      8, 7, 7, 5, 8, 8, 7, 6, 9, 8, 8, 7, 9, 9, 8, 8,
+      9, 9, 9, 8, 10, 9, 9, 9, 10, 10, 10, 10, 10, 10, 10, 10,
+      10, 10, 10, 10)
+    val Seq(_, t24, t48, flc) = H264Cavlc.lumaCoeffTokenColumns
+    for ((tab, lens) <- Seq((t24, len24), (t48, len48)); tc <- 0 to 16;
+        t1 <- 0 to 3) {
+      val want = lens(4 * tc + t1)
+      val got = tab(t1)(tc)
+      if (want == 0) assert(got === -1, s"(t1=$t1, tc=$tc) should be absent")
+      else assert(got >>> 16 === want,
+        s"(t1=$t1, tc=$tc): len ${got >>> 16}, expected $want")
+    }
+    // FLC column: 6-bit codes, value ((tc-1) << 2) | t1, tc=0 -> 3
+    assert(flc(0)(0) === ((6 << 16) | 3))
+    for (tc <- 1 to 16; t1 <- 0 to math.min(3, tc))
+      assert(flc(t1)(tc) === ((6 << 16) | (((tc - 1) << 2) | t1)),
+        s"FLC (t1=$t1, tc=$tc)")
+  }
+
+  test("block round-trip through every nC column") {
+    val rnd = new scala.util.Random(20260815L)
+    for (nC <- Seq(0, 1, 2, 3, 4, 7, 8, 16); trial <- 0 until 400) {
+      val scan = new Array[Int](16)
+      val nnz = rnd.nextInt(17)
+      rnd.shuffle((0 until 16).toList).take(nnz).foreach { p =>
+        val mag = rnd.nextInt(3) match {
+          case 0 => 1
+          case 1 => 1 + rnd.nextInt(5)
+          case _ => 1 + rnd.nextInt(500)
+        }
+        scan(p) = if (rnd.nextBoolean()) mag else -mag
+      }
+      val w = new H264.BitWriter
+      H264Cavlc.encodeBlockNc(scan, nC, w)
+      w.u(1, 1)
+      val r = new H264.BitReader(w.trailing())
+      assert(H264Cavlc.decodeBlockNc(r, nC).toSeq === scan.toSeq,
+        s"nC=$nC trial=$trial")
+    }
+  }
+
+  test("dense neighbours reconstruct: fixtures crossing nC 2/4/8 both ways") {
+    // graded density drives the 9.2.1 neighbour average through every
+    // Table 9-5 column and back down: blocks with 0, 2, 5 and 12
+    // nonzero AC levels give nC values on both sides of each boundary
+    // within one picture. Reconstruction is checked against the
+    // longhand referenceFrame path, which never touches the VLC
+    // tables — a wrong code would desync the bit reader and corrupt
+    // the comparison.
+    val rnd = new scala.util.Random(77L)
+    for (qp <- Seq(18, 30, 44); trial <- 0 until 4) {
+      val (wMbs, hMus) = (2, 2)
+      val dc = Array.fill(wMbs * hMus)(Array.fill(4, 4)(rnd.nextInt(9) - 4))
+      val density = Array(12, 5, 2, 0) // per-MB block density classes
+      val ac = Array.tabulate(wMbs * hMus) { mb =>
+        Array.tabulate(16) { blk =>
+          val a = new Array[Int](15)
+          val n = density((mb + blk) % 4)
+          rnd.shuffle((0 until 15).toList).take(n).foreach { p =>
+            a(p) = (if (rnd.nextBoolean()) 1 else -1) * (1 + rnd.nextInt(4))
+          }
+          a
+        }
+      }
+      val es = H264.encodeSps(wMbs, hMus, 0) ++ H264.encodePps() ++
+        H264Cavlc.encodeIntra16Frame(wMbs, hMus, dc, qp, idrPicId = trial,
+          acLevels = ac)
+      val frames = H264Cavlc.decodeIntra16Frames(es)
+      assert(frames.size === 1)
+      assert(frames.head._3.toSeq ===
+        referenceFrame(wMbs, hMus, dc, qp, ac = ac).toSeq)
+    }
+  }
+
+  test("saturated residuals reach the nC >= 8 FLC column and reconstruct") {
+    // every block carries 14-15 nonzero levels: by the second block
+    // row the neighbour average is >= 8 in both luma and chroma-AC
+    // grids, so the FLC column carries real traffic
+    val rnd = new scala.util.Random(88L)
+    val (wMbs, hMus) = (2, 2)
+    val dc = Array.fill(wMbs * hMus)(Array.fill(4, 4)(rnd.nextInt(5) - 2))
+    val ac = Array.fill(wMbs * hMus)(Array.tabulate(16) { _ =>
+      Array.tabulate(15)(_ =>
+        (if (rnd.nextBoolean()) 1 else -1) * (1 + rnd.nextInt(3)))
+    })
+    val cb = Array.fill(wMbs * hMus)(Array.fill(2, 2)(rnd.nextInt(5) - 2))
+    val cr = Array.fill(wMbs * hMus)(Array.fill(2, 2)(rnd.nextInt(5) - 2))
+    def denseChroma() = Array.fill(wMbs * hMus)(Array.tabulate(4) { _ =>
+      Array.tabulate(15)(_ =>
+        (if (rnd.nextBoolean()) 1 else -1) * (1 + rnd.nextInt(2)))
+    })
+    val cbAc = denseChroma(); val crAc = denseChroma()
+    val es = H264.encodeSps(wMbs, hMus, 0) ++ H264.encodePps() ++
+      H264Cavlc.encodeIntra16Frame(wMbs, hMus, dc, qp = 28,
+        cbDc = cb, crDc = cr, cbAc = cbAc, crAc = crAc, acLevels = ac)
+    val frames = H264Cavlc.decodeIntra16FramesYuv(es)
+    assert(frames.size === 1)
+    val (_, _, luma, cbP, crP) = frames.head
+    assert(luma.toSeq === referenceFrame(wMbs, hMus, dc, 28, ac = ac).toSeq)
+    assert(cbP.toSeq ===
+      referenceChromaPlane(wMbs, hMus, cb, 28, ac = cbAc).toSeq)
+    assert(crP.toSeq ===
+      referenceChromaPlane(wMbs, hMus, cr, 28, ac = crAc).toSeq)
   }
 
   test("multi-slice pictures: availability stops at the slice boundary " +
