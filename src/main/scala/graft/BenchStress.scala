@@ -76,7 +76,10 @@ object BenchStress {
     // perplexity filter (bigram shuffle + doc-gram LM join), and the
     // mixture interleave (per-source windows + the one global order)
     "c22_stream_timer_sessions", "t36_lm_perplexity_filter",
-    "t37_mixture_interleave")
+    "t37_mixture_interleave",
+    // round 13: the per-asset codec rows (zero-shuffle maps — the
+    // curve should be flat-at-linear; prove it rather than assert it)
+    "m22_gif_lzw_roundtrip", "m25_video_dense_cavlc")
 
   /** Optional comma-separated name-prefix filter
     * (SPARK_GRAFT_STRESS_ONLY) — stress just the matching queries, so

@@ -254,9 +254,13 @@ object Dedup {
     // merge hint: both sides are corpus-sized typed-mapper outputs
     // whose STATIC size estimate is the (much smaller) parquet scan
     // beneath them — without the hint the planner broadcast a 4.8M-row
-    // band table at the 30x stress point (22s vs 7s). The hint blocks
-    // the fake-estimate static broadcast; AQE still upgrades the
-    // shuffle join back to broadcast from REAL sizes at small scale.
+    // band table at the 30x stress point (22s vs 7s). Note the hint
+    // PINS sort-merge (AQE never re-upgrades a user-hinted join —
+    // measured r13, the same pin that cost d4 0.5s in verifyCandidates)
+    // — which is CORRECT here: this is a self-join of one corpus-sized
+    // table with itself, so neither side is broadcast-sized at any
+    // scale worth planning for, and the d3 bench time is unchanged
+    // hinted vs static-broadcast (0.90s vs 0.93s at sf0.1).
     val a = buckets.as("a"); val b = buckets.as("b").hint("merge")
     a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
@@ -375,14 +379,23 @@ object Dedup {
       threshold: Double): DataFrame = {
     val shingleCol = if (sh.columns.contains("s")) "s" else "shingle"
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    // merge hints on the corpus-sized shingle sides: sh is a typed
-    // flatMap output whose static size estimate is the parquet scan
-    // beneath it, so without the hint the planner broadcast the whole
-    // inverted index at the 30x stress point. AQE re-broadcasts from
-    // real shuffle sizes when the corpus is actually small.
+    // The shingle sides are typed flatMap outputs whose STATIC size
+    // estimate is the parquet scan beneath them, so the static planner
+    // broadcast the whole inverted index at the 30x stress point
+    // (round 12). The round-12 `hint("merge")` fix blocked that but
+    // PINNED sort-merge: AQE never upgrades a user-hinted join, which
+    // cost d4 0.74s -> 1.23s at sf0.1 (measured, r12->r13). The right
+    // shape is an explicit repartition on the join key: the shuffle
+    // stage materializes REAL sizes before the join strategy commits,
+    // so AQE broadcasts the genuinely-small inverted index at bench
+    // scale and demotes to a (already co-partitioned, shuffle-reusing)
+    // sort-merge join at stress scale — no hint, both scales get the
+    // right plan.
     val inter = candidates
-      .join(sh.withColumnRenamed("doc_id", "a_id").hint("merge"), "a_id")
-      .join(sh.withColumnRenamed("doc_id", "b_id").hint("merge"),
+      .join(sh.withColumnRenamed("doc_id", "a_id").repartition(col("a_id")),
+        "a_id")
+      .join(sh.withColumnRenamed("doc_id", "b_id")
+          .repartition(col("b_id"), col(shingleCol)),
         Seq("b_id", shingleCol))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter"))
@@ -450,42 +463,118 @@ object Dedup {
     * (bucket, id, simhash) triple once and runs the quadratic scan as a
     * tight primitive-long loop, emitting only hamming survivors.
     *
-    * Scale note: 4-bit bands are coarse (1/16 selectivity), which at
-    * 100 TB makes both the group size and the quadratic scan blow up —
-    * you widen the sketch rather than narrow the bands:
-    * [[simHashPairs128]] is that widening (16 byte-bands at 1/256
-    * selectivity, complete for hamming <= 15 of 128) behind the same
-    * pipeline shape. The grouped quadratic makes the per-bucket cost
-    * explicit instead of hiding it in a join's output cardinality. */
-  def simHashPairs(docs: DataFrame, maxHamming: Int, threshold: Double): DataFrame = {
+    * Scale note: 4-bit bands are coarse (256 distinct bucket keys, so
+    * per-bucket occupancy — and the quadratic scan — grows linearly
+    * with the corpus). Two mitigations, layered:
+    *
+    *  - within a bucket, members COLLAPSE BY HASH before the scan:
+    *    exact-duplicate texts (the dominant shape in crawl corpora)
+    *    share a simhash, so the scan runs over distinct sketches and
+    *    equal-hash groups emit their (true, output-sized) pair sets
+    *    directly — the m² hash comparisons become D² + output.
+    *  - past `autoWideDocLimit` documents the operator self-routes to
+    *    the WIDENED sketch's candidate generator (the
+    *    [[simHashPairs128]] byte-band pipeline — 4096 bucket keys,
+    *    16x less in-bucket quadratic work) while keeping this
+    *    operator's EXACT 64-bit hamming filter: the 128-bit sketch's
+    *    low half IS the 64-bit simhash (same FNV shingle family), so
+    *    only the candidate-completeness class changes — a
+    *    within-hamming pair whose sketches share no byte band is
+    *    missed (vanishingly rare for near-dup text; the route is
+    *    logged, and `autoWideDocLimit = Long.MaxValue` keeps the
+    *    complete nibble banding at any size). */
+  def simHashPairs(docs: DataFrame, maxHamming: Int, threshold: Double,
+      autoWideDocLimit: Long = 20000L): DataFrame = {
     require(maxHamming < 16, "nibble banding is only complete for hamming < 16")
     val spark = docs.sparkSession
     import spark.implicits._
     val sh = docShingleHashes(docs).cache()
     val maxH = maxHamming
-    val candidates = simHashesFromDocs(docs)
-      .select(col("doc_id"), col("simhash"))
-      .as[(Long, Long)]
-      .flatMap { case (id, hash) =>
-        (0 until 16).iterator.map(bi =>
-          (bi.toLong * 16 + ((hash >>> (bi * 4)) & 0xFL), id, hash))
-      }
+    // parquet-metadata-cheap (the editDistancePairs idiom): one count
+    // action decides the banding width
+    val wide = docs.count() > autoWideDocLimit
+    if (wide) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+      s"simHashPairs: corpus > autoWideDocLimit=$autoWideDocLimit — " +
+        "routing candidates through 128-bit byte bands (approximate: a " +
+        "within-hamming pair sharing no byte band is missed); pass " +
+        "autoWideDocLimit=Long.MaxValue for the complete nibble banding")
+    val banded =
+      if (wide)
+        simHashes128FromDocs(docs)
+          .as[(Long, Long, Long)]
+          .flatMap { case (id, lo, hi) =>
+            (0 until 16).iterator.map { bi =>
+              val byte =
+                if (bi < 8) (lo >>> (bi * 8)) & 0xFFL
+                else (hi >>> ((bi - 8) * 8)) & 0xFFL
+              (bi.toLong * 256 + byte, id, lo)
+            }
+          }
+      else
+        simHashesFromDocs(docs)
+          .select(col("doc_id"), col("simhash"))
+          .as[(Long, Long)]
+          .flatMap { case (id, hash) =>
+            (0 until 16).iterator.map(bi =>
+              (bi.toLong * 16 + ((hash >>> (bi * 4)) & 0xFL), id, hash))
+          }
+    val candidates = banded
       .toDF("bucket", "doc_id", "simhash")
       .groupBy(col("bucket"))
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
       .select(col("members"))
       .as[Seq[(Long, Long)]]
       .flatMap { members =>
-        val arr = members.toArray
+        // collapse identical sketches first: the scan is quadratic in
+        // DISTINCT hashes; equal-hash groups (hamming 0) emit pairs
+        // directly — output-sized, not scan-sized
+        val byHash = new java.util.LinkedHashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+        members.foreach { case (id, h) =>
+          var b = byHash.get(h)
+          if (b == null) { b = scala.collection.mutable.ArrayBuffer.empty[Long]; byHash.put(h, b) }
+          b += id
+        }
+        val hs = new Array[Long](byHash.size)
+        val ids = new Array[scala.collection.mutable.ArrayBuffer[Long]](byHash.size)
+        locally {
+          var i = 0
+          val it = byHash.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next(); hs(i) = e.getKey; ids(i) = e.getValue; i += 1
+          }
+        }
         val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-        var i = 0
-        while (i < arr.length) {
-          var j = i + 1
-          while (j < arr.length) {
-            val (idA, hA) = arr(i); val (idB, hB) = arr(j)
-            if (java.lang.Long.bitCount(hA ^ hB) <= maxH && idA != idB) {
-              out += (if (idA < idB) (idA, idB) else (idB, idA))
+        def cross(as: scala.collection.mutable.ArrayBuffer[Long],
+            bs: scala.collection.mutable.ArrayBuffer[Long]): Unit = {
+          var x = 0
+          while (x < as.length) {
+            var y = 0
+            while (y < bs.length) {
+              val idA = as(x); val idB = bs(y)
+              if (idA < idB) out += ((idA, idB))
+              else if (idB < idA) out += ((idB, idA))
+              y += 1
             }
+            x += 1
+          }
+        }
+        var i = 0
+        while (i < hs.length) {
+          val grp = ids(i)
+          var x = 0 // within-group: hamming 0, every ordered pair
+          while (x < grp.length) {
+            var y = x + 1
+            while (y < grp.length) {
+              val a = grp(x); val b = grp(y)
+              out += (if (a < b) (a, b) else (b, a))
+              y += 1
+            }
+            x += 1
+          }
+          var j = i + 1
+          while (j < hs.length) {
+            if (java.lang.Long.bitCount(hs(i) ^ hs(j)) <= maxH)
+              cross(grp, ids(j))
             j += 1
           }
           i += 1
@@ -1319,9 +1408,11 @@ object Dedup {
     // merge hints on the corpus text sides (large-corpus routes only):
     // their static size estimate is the parquet file size, which
     // statically broadcast the whole 150k-doc text table at the 30x
-    // stress point; AQE restores the broadcast from real shuffle sizes
-    // when the table really is small. The length-band route runs only
-    // under autoLshDocLimit, where the static broadcast is correct —
+    // stress point. The hint PINS sort-merge (AQE never re-upgrades a
+    // user-hinted join — measured r13) — acceptable here because these
+    // routes only run past autoLshDocLimit, where the text table is by
+    // definition too large to broadcast. The length-band route runs
+    // only under the limit, where the static broadcast is correct —
     // it keeps the unhinted shape.
     def verified(cand: DataFrame, hintMerge: Boolean): DataFrame = {
       def side(d: DataFrame) = if (hintMerge) d.hint("merge") else d

@@ -21,9 +21,14 @@ object ConnectorQueries {
   /** Await an AvailableNow drain and FAIL LOUDLY on timeout: reading
     * the sink while the query is still running returns a partial
     * result that surfaces downstream as a confusing oracle mismatch
-    * instead of the actual problem (a slow or hung drain). */
+    * instead of the actual problem (a slow or hung drain). The default
+    * 120s covers every catalog query at bench scale with a wide
+    * margin; stress harnesses driving 100x corpora through the
+    * streaming rows raise SPARK_GRAFT_DRAIN_TIMEOUT_MS instead of
+    * weakening the guard. */
   private def drain(q: org.apache.spark.sql.streaming.StreamingQuery,
-      timeoutMs: Long = 120000L): Unit = {
+      timeoutMs: Long = sys.env.getOrElse(
+        "SPARK_GRAFT_DRAIN_TIMEOUT_MS", "120000").toLong): Unit = {
     val done = q.awaitTermination(timeoutMs)
     if (!done) {
       try q.stop()
