@@ -79,7 +79,8 @@ object BenchStress {
     "t37_mixture_interleave",
     // round 13: the per-asset codec rows (zero-shuffle maps — the
     // curve should be flat-at-linear; prove it rather than assert it)
-    "m22_gif_lzw_roundtrip", "m25_video_dense_cavlc")
+    "m22_gif_lzw_roundtrip", "m25_video_dense_cavlc",
+    "m26_video_intra4x4")
 
   /** Optional comma-separated name-prefix filter
     * (SPARK_GRAFT_STRESS_ONLY) — stress just the matching queries, so

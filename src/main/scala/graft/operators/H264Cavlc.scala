@@ -38,8 +38,14 @@ import H264.{BitReader, BitWriter}
   * the four chroma 4x4 blocks in raster order with nC off
   * per-component chroma TotalCoeff grids (9.2.1), dequantized at QPc
   * (8.5.12.1) on top of the 2x2-Hadamard chroma DC, through the same
-  * inverse core transform. Remaining boundary: I_4x4/I_8x8 spatial
-  * modes, CABAC, and inter prediction.
+  * inverse core transform. I_4x4 macroblocks (mb_type 0) decode too:
+  * per-4x4-block spatial prediction with ALL NINE 8.3.1.2 modes, the
+  * 8.3.1.1 most-probable-mode flag/rem syntax, the Table 9-4 Intra_4x4
+  * me(v) coded_block_pattern mapping, conditional mb_qp_delta (7.3.5),
+  * per-coded-block LumaLevel4x4 residuals with nC off the shared grid,
+  * and within-MB neighbour reconstruction (including the above-right
+  * substitution on blocks whose top-right is undecoded). Remaining
+  * boundary: I_8x8 (transform_size_8x8), CABAC, and inter prediction.
   *
   * All VLC tables are transcribed from the public ITU-T H.264 spec:
   * coeff_token Table 9-5 (all luma columns + chroma DC), total_zeros
@@ -638,6 +644,141 @@ object H264Cavlc {
     else CoeffTokenFlc
   }
 
+  /** Table 9-4, Intra_4x4 column: codeNum -> coded_block_pattern
+    * (cbp = CodedBlockPatternChroma << 4 | CodedBlockPatternLuma) for
+    * the me(v) mapped Exp-Golomb of mb_type 0 macroblocks. Transcribed
+    * from the public spec; validated as a permutation of 0..47 with
+    * the two widely-cited anchors (codeNum 0 -> 47 "everything coded",
+    * cbp 0 -> codeNum 3) in H264CavlcSpec. */
+  private val CbpIntra: Array[Int] = Array(
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41)
+
+  /** cbp -> codeNum (encode side of Table 9-4 Intra_4x4). */
+  private val CbpIntraInv: Array[Int] = {
+    val inv = new Array[Int](48)
+    var i = 0
+    while (i < 48) { inv(CbpIntra(i)) = i; i += 1 }
+    inv
+  }
+
+  /** z-scan index of the 4x4 block at within-MB offset (ox, oy) —
+    * the inverse of [[Blk4x4Pos]]. */
+  private val ZIdxOf: Array[Array[Int]] = {
+    val z = Array.ofDim[Int](4, 4)
+    var b = 0
+    while (b < 16) {
+      val (ox, oy) = Blk4x4Pos(b)
+      z(oy / 4)(ox / 4) = b
+      b += 1
+    }
+    z
+  }
+
+  /** Intra_4x4 sample prediction (8.3.1.2.1–8.3.1.2.9), all nine
+    * modes, reading reconstructed neighbour samples from the luma
+    * plane at global pixel base (gx, gy). `t` spans p[0..7,-1] with
+    * the 8.3.1.2 top-right substitution (p[3,-1] repeated) already
+    * applied by the caller when the above-right block is unavailable;
+    * index -1 of either edge resolves to p[-1,-1]. Modes whose
+    * required neighbours are unavailable are non-conformant input and
+    * fail loudly. */
+  private def intra4x4Pred(mode: Int, l: Array[Int], t: Array[Int],
+      tl: Int, leftAv: Boolean, topAv: Boolean, tlAv: Boolean,
+      where: => String): Array[Array[Int]] = {
+    def tAt(i: Int): Int = if (i >= 0) t(i) else tl
+    def lAt(i: Int): Int = if (i >= 0) l(i) else tl
+    val o = Array.ofDim[Int](4, 4)
+    def fill(f: (Int, Int) => Int): Unit = {
+      var y = 0
+      while (y < 4) {
+        var x = 0
+        while (x < 4) { o(y)(x) = f(x, y); x += 1 }
+        y += 1
+      }
+    }
+    mode match {
+      case 0 =>
+        require(topAv, s"$where: vertical pred without top neighbour")
+        fill((x, _) => t(x))
+      case 1 =>
+        require(leftAv, s"$where: horizontal pred without left neighbour")
+        fill((_, y) => l(y))
+      case 2 =>
+        val v =
+          if (leftAv && topAv) (l.sum + t(0) + t(1) + t(2) + t(3) + 4) >> 3
+          else if (leftAv) (l.sum + 2) >> 2
+          else if (topAv) (t(0) + t(1) + t(2) + t(3) + 2) >> 2
+          else 128
+        fill((_, _) => v)
+      case 3 =>
+        require(topAv, s"$where: diagonal-down-left pred without top")
+        fill((x, y) =>
+          if (x + y == 6) (t(6) + 3 * t(7) + 2) >> 2
+          else (t(x + y) + 2 * t(x + y + 1) + t(x + y + 2) + 2) >> 2)
+      case 4 =>
+        require(leftAv && topAv && tlAv,
+          s"$where: diagonal-down-right pred needs left+top+topleft")
+        fill { (x, y) =>
+          if (x > y) (tAt(x - y - 2) + 2 * tAt(x - y - 1) + t(x - y) + 2) >> 2
+          else if (x < y)
+            (lAt(y - x - 2) + 2 * lAt(y - x - 1) + l(y - x) + 2) >> 2
+          else (t(0) + 2 * tl + l(0) + 2) >> 2
+        }
+      case 5 =>
+        require(leftAv && topAv && tlAv,
+          s"$where: vertical-right pred needs left+top+topleft")
+        fill { (x, y) =>
+          val zVR = 2 * x - y
+          if (zVR >= 0 && (zVR & 1) == 0)
+            (tAt(x - (y >> 1) - 1) + tAt(x - (y >> 1)) + 1) >> 1
+          else if (zVR >= 1)
+            (tAt(x - (y >> 1) - 2) + 2 * tAt(x - (y >> 1) - 1) +
+              tAt(x - (y >> 1)) + 2) >> 2
+          else if (zVR == -1) (l(0) + 2 * tl + t(0) + 2) >> 2
+          else (l(y - 2 * x - 1) + 2 * l(y - 2 * x - 2) +
+            lAt(y - 2 * x - 3) + 2) >> 2
+        }
+      case 6 =>
+        require(leftAv && topAv && tlAv,
+          s"$where: horizontal-down pred needs left+top+topleft")
+        fill { (x, y) =>
+          val zHD = 2 * y - x
+          if (zHD >= 0 && (zHD & 1) == 0)
+            (lAt(y - (x >> 1) - 1) + lAt(y - (x >> 1)) + 1) >> 1
+          else if (zHD >= 1)
+            (lAt(y - (x >> 1) - 2) + 2 * lAt(y - (x >> 1) - 1) +
+              lAt(y - (x >> 1)) + 2) >> 2
+          else if (zHD == -1) (l(0) + 2 * tl + t(0) + 2) >> 2
+          else (t(x - 2 * y - 1) + 2 * tAt(x - 2 * y - 2) +
+            tAt(x - 2 * y - 3) + 2) >> 2
+        }
+      case 7 =>
+        require(topAv, s"$where: vertical-left pred without top")
+        fill { (x, y) =>
+          if ((y & 1) == 0) (t(x + (y >> 1)) + t(x + (y >> 1) + 1) + 1) >> 1
+          else (t(x + (y >> 1)) + 2 * t(x + (y >> 1) + 1) +
+            t(x + (y >> 1) + 2) + 2) >> 2
+        }
+      case 8 =>
+        require(leftAv, s"$where: horizontal-up pred without left")
+        fill { (x, y) =>
+          val zHU = x + 2 * y
+          if (zHU == 0 || zHU == 2 || zHU == 4)
+            (l(y + (x >> 1)) + l(y + (x >> 1) + 1) + 1) >> 1
+          else if (zHU == 1 || zHU == 3)
+            (l(y + (x >> 1)) + 2 * l(y + (x >> 1) + 1) +
+              l(y + (x >> 1) + 2) + 2) >> 2
+          else if (zHU == 5) (l(2) + 3 * l(3) + 2) >> 2
+          else l(3)
+        }
+      case bad =>
+        throw new IllegalArgumentException(s"$where: bad Intra_4x4 mode $bad")
+    }
+    o
+  }
+
   /** normAdjust4x4(m, i, j) (Table 8-15): column by coefficient
     * position class — (even,even) / (odd,odd) / mixed. */
   private val NormAdjust4x4 = Array(
@@ -877,6 +1018,202 @@ object H264Cavlc {
     nals.toArray
   }
 
+  /** Encode one IDR picture of I_4x4 macroblocks (mb_type 0), the
+    * spatial-prediction dual of [[encodeIntra16Frame]] and the fixture
+    * generator for the 9-mode decode path.
+    *
+    *  - `modes(m)(blk)`: Intra4x4PredMode (0..8) per 4x4 block in
+    *    z-scan order. Legality (8.3.1.2: the mode's neighbours must be
+    *    available) is checked with the decoder's own availability
+    *    rules, so every emitted stream decodes.
+    *  - `coeffs(m)(blk)`: 16 LumaLevel4x4 levels in zig-zag order.
+    *    CodedBlockPatternLuma bit i covers z-scan blocks 4i..4i+3 and
+    *    is set iff any of them carries a nonzero level; uncoded groups
+    *    are skipped entirely (their blocks contribute TotalCoeff 0 to
+    *    nC, mirrored by the decoder).
+    *  - `i16Mask(m)` (optional): emit MB m as an all-zero
+    *    I_16x16_2_0_0 instead — mixed pictures exercise the 8.3.1.1
+    *    rule that a non-I_4x4 neighbour predicts as mode 2.
+    *  - chroma: `cbDc`/`crDc` plant 2x2 ChromaDCLevel blocks
+    *    (CodedBlockPatternChroma 1) on every I_4x4 MB; null keeps
+    *    chroma uncoded.
+    *
+    * QP bookkeeping differs from the I_16x16 encoder by necessity:
+    * mb_qp_delta exists only when cbp != 0 (7.3.5), so SliceQPy is set
+    * to `qp` directly (slice_qp_delta = qp - 26) and every emitted
+    * mb_qp_delta is 0. */
+  def encodeIntra4x4Frame(widthMbs: Int, heightMapUnits: Int,
+      modes: Array[Array[Int]], coeffs: Array[Array[Array[Int]]],
+      qp: Int, idrPicId: Int = 0,
+      i16Mask: Array[Boolean] = null,
+      cbDc: Array[Array[Array[Int]]] = null,
+      crDc: Array[Array[Array[Int]]] = null,
+      sliceStarts: Array[Int] = Array(0)): Array[Byte] = {
+    val nMbs = widthMbs * heightMapUnits
+    require(modes.length == nMbs && coeffs.length == nMbs)
+    require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
+    require((cbDc == null) == (crDc == null),
+      "chroma DC levels must be given for both components or neither")
+    val chroma = cbDc != null
+    val i16 = if (i16Mask == null) new Array[Boolean](nMbs) else i16Mask
+    require(i16.length == nMbs)
+    modes.zip(coeffs).foreach { case (ms, cs) =>
+      require(ms.length == 16 && cs.length == 16 && cs.forall(_.length == 16),
+        "modes: 16 per MB; coeffs: 16 blocks x 16 zig-zag levels per MB")
+    }
+    require(sliceStarts.nonEmpty && sliceStarts.head == 0 &&
+      sliceStarts.forall(st => st >= 0 && st < nMbs) &&
+      sliceStarts.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+      s"bad sliceStarts ${sliceStarts.mkString(",")}")
+    val mbSliceOf = new Array[Int](nMbs)
+    locally {
+      var si = 0
+      var mm = 0
+      while (mm < nMbs) {
+        if (si + 1 < sliceStarts.length && mm == sliceStarts(si + 1)) si += 1
+        mbSliceOf(mm) = si
+        mm += 1
+      }
+    }
+    // mirrors of the decoder's grids: per-block TotalCoeff for nC and
+    // per-block Intra4x4PredMode (-1 for I_16x16 MBs) for 8.3.1.1
+    val tcGrid = Array.ofDim[Int](heightMapUnits * 4, widthMbs * 4)
+    val i4 = Array.fill(heightMapUnits * 4, widthMbs * 4)(-1)
+    val nals = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var w: BitWriter = null
+    var m = 0
+    while (m < nMbs) {
+      val mbX = m % widthMbs
+      val mbY = m / widthMbs
+      val curSlice = mbSliceOf(m)
+      // mirrors the decoder exactly: an MB is available iff it is the
+      // CURRENT one (the decoder marks it decoded before parsing — the
+      // within-MB nC/mode neighbours rely on this) or an already
+      // decoded (raster-preceding) same-slice MB. The undecoded right
+      // neighbour stays unavailable, which is what makes the
+      // above-right substitution fire on the row-edge blocks.
+      def mbAvail(x: Int, y: Int): Boolean = {
+        val nmb = y * widthMbs + x
+        nmb <= m && mbSliceOf(nmb) == curSlice
+      }
+      if (sliceStarts(curSlice) == m) {
+        if (w != null) nals ++= H264.nal(3, 5, w.trailing(), longStart = false)
+        w = new BitWriter
+        w.ue(m) // first_mb_in_slice
+        w.ue(7) // slice_type: I
+        w.ue(0) // pps id
+        w.u(0, 8) // frame_num (IDR)
+        w.ue(idrPicId & 0xFFFF)
+        w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking (IDR form)
+        w.se(qp - 26) // SliceQPy = qp (no mb_qp_delta carrier on cbp 0)
+      }
+      if (i16(m)) {
+        // all-zero I_16x16_2_0_0: DC pred, no residual anywhere
+        w.ue(3) // mb_type
+        w.ue(0) // intra_chroma_pred_mode
+        w.se(0) // mb_qp_delta (always present for I_16x16)
+        encodeResidual(new Array[Int](16),
+          lumaCoeffTokenTab(lumaNc(tcGrid, mbX, mbY, 0, mbAvail),
+            s"mb $m DC"), TotalZeros, w)
+        // tcGrid stays 0 for all 16 blocks; i4 stays -1
+      } else {
+        w.ue(0) // mb_type: I_4x4
+        def blkAvail(nbx: Int, nby: Int): Boolean =
+          nbx >= 0 && nby >= 0 && {
+            val nmb = (nby / 4) * widthMbs + (nbx / 4)
+            nmb == m || mbAvail(nbx / 4, nby / 4)
+          }
+        var blk = 0
+        while (blk < 16) {
+          val (ox, oy) = Blk4x4Pos(blk)
+          val bx = mbX * 4 + ox / 4
+          val by = mbY * 4 + oy / 4
+          val availA = bx > 0 && blkAvail(bx - 1, by)
+          val availB = by > 0 && blkAvail(bx, by - 1)
+          val predMode =
+            if (!availA || !availB) 2
+            else math.min(
+              if (i4(by)(bx - 1) < 0) 2 else i4(by)(bx - 1),
+              if (i4(by - 1)(bx) < 0) 2 else i4(by - 1)(bx))
+          val mode = modes(m)(blk)
+          require(mode >= 0 && mode <= 8, s"mb $m blk $blk: bad mode $mode")
+          // decoder-rule legality so every emitted stream decodes
+          val needL = mode == 1 || mode == 4 || mode == 5 || mode == 6 ||
+            mode == 8
+          val needT = mode == 0 || mode == 3 || mode == 4 || mode == 5 ||
+            mode == 6 || mode == 7
+          val needTL = mode == 4 || mode == 5 || mode == 6
+          val gx = mbX * 16 + ox
+          val gy = mbY * 16 + oy
+          def sAv(px: Int, py: Int): Boolean =
+            px >= 0 && py >= 0 && px < widthMbs * 16 &&
+              py < heightMapUnits * 16 && {
+                val bmx = px / 16
+                val bmy = py / 16
+                if (bmy * widthMbs + bmx == m)
+                  ZIdxOf((py % 16) / 4)((px % 16) / 4) < blk
+                else mbAvail(bmx, bmy)
+              }
+          if (needL) require(sAv(gx - 1, gy),
+            s"mb $m blk $blk: mode $mode needs a left neighbour")
+          if (needT) require(sAv(gx, gy - 1),
+            s"mb $m blk $blk: mode $mode needs a top neighbour")
+          if (needTL) require(sAv(gx - 1, gy - 1),
+            s"mb $m blk $blk: mode $mode needs a top-left neighbour")
+          if (mode == predMode) w.u(1, 1)
+          else {
+            w.u(0, 1)
+            w.u(if (mode < predMode) mode else mode - 1, 3)
+          }
+          i4(by)(bx) = mode
+          blk += 1
+        }
+        w.ue(0) // intra_chroma_pred_mode: DC
+        var cbpLuma = 0
+        var g = 0
+        while (g < 4) {
+          var any = false
+          var b2 = 4 * g
+          while (b2 < 4 * g + 4 && !any) {
+            any = coeffs(m)(b2).exists(_ != 0); b2 += 1
+          }
+          if (any) cbpLuma |= 1 << g
+          g += 1
+        }
+        val cbpChroma = if (chroma) 1 else 0
+        val cbp = (cbpChroma << 4) | cbpLuma
+        w.ue(CbpIntraInv(cbp)) // coded_block_pattern, me(v) Table 9-4
+        if (cbp != 0) w.se(0) // mb_qp_delta (QPy stays SliceQPy)
+        blk = 0
+        while (blk < 16) {
+          val (ox, oy) = Blk4x4Pos(blk)
+          val bx = mbX * 4 + ox / 4
+          val by = mbY * 4 + oy / 4
+          if (((cbpLuma >> (blk >> 2)) & 1) == 1) {
+            val nC = lumaNc(tcGrid, mbX, mbY, blk, mbAvail)
+            encodeResidual(coeffs(m)(blk),
+              lumaCoeffTokenTab(nC, s"mb $m i4 blk $blk"), TotalZeros, w)
+            tcGrid(by)(bx) = coeffs(m)(blk).count(_ != 0)
+          } else {
+            require(coeffs(m)(blk).forall(_ == 0),
+              s"mb $m blk $blk: nonzero levels in an uncoded 8x8 group")
+            tcGrid(by)(bx) = 0
+          }
+          blk += 1
+        }
+        if (chroma) {
+          Seq(cbDc, crDc).foreach { plane =>
+            encodeChromaDcBlock(Array(plane(m)(0)(0), plane(m)(0)(1),
+              plane(m)(1)(0), plane(m)(1)(1)), w)
+          }
+        }
+      }
+      m += 1
+    }
+    nals ++= H264.nal(3, 5, w.trailing(), longStart = false)
+    nals.toArray
+  }
+
   /** Decode every Intra_16x16-DC picture of an SPS+PPS+IDR stream into
     * (width, height, luma) planes: slice-header walk, per-MB CAVLC DC
     * block, inverse Hadamard (8.5.6), dequant (8.5.10), DC-only core
@@ -1015,6 +1352,10 @@ object H264Cavlc {
     val tcGrid = Array.ofDim[Int](mapUnits * 4, widthMbs * 4)
     val tcCb = Array.ofDim[Int](mapUnits * 2, widthMbs * 2)
     val tcCr = Array.ofDim[Int](mapUnits * 2, widthMbs * 2)
+    // per-4x4-block Intra4x4PredMode for the 8.3.1.1 most-probable-mode
+    // derivation; -1 marks blocks of non-I_4x4 macroblocks (treated as
+    // mode 2 by neighbours, per the spec)
+    val i4Mode = Array.fill(mapUnits * 4, widthMbs * 4)(-1)
     val mbSlice = Array.fill(nMbs)(-1)
     var nextMb = 0
     var nextSliceId = 0
@@ -1040,6 +1381,146 @@ object H264Cavlc {
       }
       (s.width, s.height, cropped, cropChroma(cbPlane), cropChroma(crPlane))
     }
+  }
+
+  /** Decode one I_4x4 (mb_type 0) macroblock's mb_pred + luma residual
+    * and reconstruct its 16 luma 4x4 blocks in z-scan order (7.3.5.1 /
+    * 8.3.1): per-block most-probable-mode derivation (8.3.1.1 — min of
+    * the left/top blocks' modes, 2 when either is unavailable or in a
+    * non-I_4x4 macroblock), prev_intra4x4_pred_mode_flag / 3-bit
+    * rem_intra4x4_pred_mode, intra_chroma_pred_mode (DC only),
+    * coded_block_pattern via the Table 9-4 Intra_4x4 me(v) mapping,
+    * mb_qp_delta only when cbp != 0 (7.3.5), then per coded block a
+    * 16-coefficient LumaLevel4x4 residual (nC off the shared grid),
+    * uniform 8.5.12.1 dequant and the 8.5.12.2 butterfly on top of the
+    * 9-mode spatial prediction from already-reconstructed neighbours —
+    * within-MB neighbours included, which is why blocks 3/7/11/13/15
+    * (and every block whose above-right falls in the undecoded right
+    * neighbour) see the top-right substitution. Returns
+    * (CodedBlockPatternChroma, updated QPy); chroma decodes in the
+    * caller's shared tail. */
+  private def decodeI4x4MbLuma(st: PicState, r: BitReader, m: Int,
+      mbAvail: (Int, Int) => Boolean, qpyIn: Int): (Int, Int) = {
+    val widthMbs = st.widthMbs
+    val w16 = st.w16
+    val h16 = st.mapUnits * 16
+    val plane = st.plane
+    val tcGrid = st.tcGrid
+    val i4 = st.i4Mode
+    val mbX = m % widthMbs
+    val mbY = m / widthMbs
+    // a neighbour 4x4 block (grid coords) is available iff it is inside
+    // the picture and its MB is same-slice decoded; within the current
+    // MB the left/top neighbours always precede in z-scan order
+    def blkAvail(nbx: Int, nby: Int): Boolean =
+      nbx >= 0 && nby >= 0 && {
+        val nmb = (nby / 4) * widthMbs + (nbx / 4)
+        nmb == m || mbAvail(nbx / 4, nby / 4)
+      }
+    val modes = new Array[Int](16)
+    var blk = 0
+    while (blk < 16) {
+      val (ox, oy) = Blk4x4Pos(blk)
+      val bx = mbX * 4 + ox / 4
+      val by = mbY * 4 + oy / 4
+      val availA = bx > 0 && blkAvail(bx - 1, by)
+      val availB = by > 0 && blkAvail(bx, by - 1)
+      val predMode =
+        if (!availA || !availB) 2
+        else math.min(
+          if (i4(by)(bx - 1) < 0) 2 else i4(by)(bx - 1),
+          if (i4(by - 1)(bx) < 0) 2 else i4(by - 1)(bx))
+      val mode =
+        if (r.u(1) == 1) predMode
+        else {
+          val rem = r.u(3)
+          if (rem < predMode) rem else rem + 1
+        }
+      modes(blk) = mode
+      i4(by)(bx) = mode
+      blk += 1
+    }
+    require(r.ue() == 0, "only chroma DC prediction mode supported")
+    val cbpCode = r.ue()
+    require(cbpCode < 48,
+      s"mb $m: coded_block_pattern codeNum $cbpCode out of range")
+    val cbp = CbpIntra(cbpCode)
+    val cbpLuma = cbp & 15
+    val cbpChroma = cbp >> 4
+    var qpy = qpyIn
+    if (cbp != 0) qpy = (qpy + r.se() + 52) % 52 // 7.4.5 wrap
+    // a neighbour SAMPLE's block must additionally be already decoded
+    // when it sits in the current MB (z-scan order check) — this is
+    // what makes the above-right of blocks 3/7/11/13/15 unavailable
+    def sampleAvail(px: Int, py: Int, curBlk: Int): Boolean =
+      px >= 0 && py >= 0 && px < w16 && py < h16 && {
+        val bmx = px / 16
+        val bmy = py / 16
+        if (bmy * widthMbs + bmx == m)
+          ZIdxOf((py % 16) / 4)((px % 16) / 4) < curBlk
+        else mbAvail(bmx, bmy)
+      }
+    blk = 0
+    while (blk < 16) {
+      val (ox, oy) = Blk4x4Pos(blk)
+      val bx = mbX * 4 + ox / 4
+      val by = mbY * 4 + oy / 4
+      val coded = ((cbpLuma >> (blk >> 2)) & 1) == 1
+      val scan =
+        if (coded) {
+          val nC = lumaNc(tcGrid, mbX, mbY, blk, mbAvail)
+          decodeResidual(r,
+            lumaCoeffTokenTab(nC, s"mb $m i4 blk $blk"), TotalZeros, 16)
+        } else new Array[Int](16)
+      var total = 0
+      var k = 0
+      while (k < 16) { if (scan(k) != 0) total += 1; k += 1 }
+      tcGrid(by)(bx) = total // uncoded blocks: TotalCoeff 0 (9.2.1)
+      val gx = mbX * 16 + ox
+      val gy = mbY * 16 + oy
+      val leftAv = sampleAvail(gx - 1, gy, blk)
+      val topAv = sampleAvail(gx, gy - 1, blk)
+      val tlAv = sampleAvail(gx - 1, gy - 1, blk)
+      val trAv = sampleAvail(gx + 4, gy - 1, blk)
+      val l = Array.tabulate(4)(y =>
+        if (leftAv) plane((gy + y) * w16 + gx - 1) & 0xFF else 0)
+      val tl = if (tlAv) plane((gy - 1) * w16 + gx - 1) & 0xFF else 0
+      val t = new Array[Int](8)
+      if (topAv) {
+        var x = 0
+        while (x < 4) { t(x) = plane((gy - 1) * w16 + gx + x) & 0xFF; x += 1 }
+        while (x < 8) { // 8.3.1.2 top-right substitution
+          t(x) = if (trAv) plane((gy - 1) * w16 + gx + x) & 0xFF else t(3)
+          x += 1
+        }
+      }
+      val pred = intra4x4Pred(modes(blk), l, t, tl, leftAv, topAv, tlAv,
+        s"mb $m i4 blk $blk")
+      val hM =
+        if (total > 0) {
+          val d = Array.ofDim[Int](4, 4)
+          var k2 = 0
+          while (k2 < 16) {
+            val (i2, j2) = ZigZag4x4(k2)
+            if (scan(k2) != 0) d(i2)(j2) = dequant4x4Ac(scan(k2), qpy, i2, j2)
+            k2 += 1
+          }
+          inverseTransform4x4(d)
+        } else null
+      var rr = 0
+      while (rr < 4) {
+        var cc = 0
+        while (cc < 4) {
+          val res = if (hM != null) (hM(rr)(cc) + 32) >> 6 else 0
+          plane((gy + rr) * w16 + gx + cc) =
+            clip255(pred(rr)(cc) + res).toByte
+          cc += 1
+        }
+        rr += 1
+      }
+      blk += 1
+    }
+    (cbpChroma, qpy)
   }
 
   /** Decode ONE slice into the picture state: slice header (any
@@ -1082,22 +1563,28 @@ object H264Cavlc {
       st.mbSlice(m) = sliceId
       st.nextMb += 1
       val mbType = r.ue()
-      // Table 7-11, mb_type 1..24: I_16x16_{pred}_{cbpChroma}_{cbpLuma}
-      // with base = 1 + predMode + 4*cbpChroma (cbpChroma 0/1/2) and
-      // +12 when CodedBlockPatternLuma = 15. The whole I_16x16 range
-      // decodes; I_4x4 (mb_type 0) and I_PCM (25) stay boundaries.
-      require(mbType >= 1 && mbType <= 24,
-        s"mb $m: mb_type $mbType outside the I_16x16 CAVLC decode subset " +
-          "(I_4x4 / I_8x8 / I_PCM not supported here)")
+      // Table 7-11: mb_type 0 is I_4x4 (I_NxN with CAVLC and no 8x8
+      // transform in this profile); 1..24 are
+      // I_16x16_{pred}_{cbpChroma}_{cbpLuma} with base = 1 + predMode
+      // + 4*cbpChroma and +12 when CodedBlockPatternLuma = 15. Both
+      // shapes decode; I_PCM (25) stays a boundary.
+      require(mbType >= 0 && mbType <= 24,
+        s"mb $m: mb_type $mbType outside the intra CAVLC decode subset " +
+          "(I_8x8 / I_PCM not supported here)")
+      val mbX = m % widthMbs
+      val mbY = m / widthMbs
+      val cbpChroma: Int = if (mbType == 0) {
+        val (cbpC, newQpy) = decodeI4x4MbLuma(st, r, m, mbAvail, qpy)
+        qpy = newQpy
+        cbpC
+      } else {
       val cbpL15 = mbType >= 13
       val base = if (cbpL15) mbType - 12 else mbType
       val predMode = (base - 1) % 4
-      val cbpChroma = (base - 1) / 4
+      val cbpChroma16 = (base - 1) / 4
       require(r.ue() == 0, "only chroma DC prediction mode supported")
       val dq = r.se() // mb_qp_delta
       qpy = (qpy + dq + 52) % 52 // 7.4.5 wrap (QpBdOffsetY = 0)
-      val mbX = m % widthMbs
-      val mbY = m / widthMbs
       val scan = decodeResidual(r,
         lumaCoeffTokenTab(lumaNc(tcGrid, mbX, mbY, 0, mbAvail), s"mb $m DC"),
         TotalZeros, 16)
@@ -1217,6 +1704,10 @@ object H264Cavlc {
         }
         blk += 1
       }
+      cbpChroma16
+      }
+      val leftAv = mbX > 0 && mbAvail(mbX - 1, mbY)
+      val topAv = mbY > 0 && mbAvail(mbX, mbY - 1)
       // chroma: residual 2x2 DC blocks when CodedBlockPatternChroma >=
       // 1, plus per-component ChromaACLevel (4 blocks x 15 levels, nC
       // off the chroma grids) when it is 2; Cb DC, Cr DC, Cb AC x4,

@@ -40,7 +40,70 @@ object MultimodalQueries {
     "m22_gif_lzw_roundtrip" -> m22,
     "m23_video_chroma_ac" -> m23,
     "m24_video_multi_slice" -> m24,
-    "m25_video_dense_cavlc" -> m25)
+    "m25_video_dense_cavlc" -> m25,
+    "m26_video_intra4x4" -> m26)
+
+  /** I_4x4 spatial decode on the oracle gate (m26): each asset is one
+    * IDR picture whose single macroblock is mb_type 0 — per-4x4-block
+    * spatial prediction with per-block modes, the most-probable-mode
+    * flag/rem syntax (8.3.1.1), the Table 9-4 me(v) coded_block_pattern
+    * (mask 1 + doc_id % 15 walks all 15 nonzero luma patterns, so
+    * whole 8x8 groups come and go), and per-coded-block LumaLevel4x4
+    * residuals. The fixture keeps every reconstruction step
+    * closed-form: each coded block carries ONE DC coefficient (flat
+    * residual, exactly 4c at QPy 28) and every assigned mode reads a
+    * FLAT already-reconstructed edge — top-row blocks see only their
+    * left block (modes 1/2/8 all reduce to vL), left-column blocks
+    * only their top (modes 0/2 -> vT), interior blocks pick
+    * T / L / (vL+vT+1)>>1 / L by doc parity — so each block's value is
+    * an integer recurrence over the z-scan chain that DuckDB replays
+    * with lateral column references, no clip ever binding (drift is
+    * bounded well inside [0,255]). A wrong bit in the mode syntax, CBP
+    * mapping, nC bookkeeping or prediction source desyncs the chain
+    * and every later block.
+    *
+    * Scale: zero-shuffle per-asset map, like every codec query. */
+  private def m26: Q = (spark, dir) => {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      def zpos(b: Int): (Int, Int) =
+        (((b >> 2) & 1) * 8 + (b & 1) * 4, ((b >> 3) & 1) * 8 + ((b >> 1) & 1) * 4)
+      val cbpMask = 1 + (id % 15).toInt
+      val modes = Array.tabulate(16) { blk =>
+        val (ox, oy) = zpos(blk)
+        val bx = ox / 4; val by = oy / 4
+        if (bx == 0 && by == 0) 2
+        else if (by == 0) Array(1, 2, 8)(((id + blk) % 3).toInt)
+        else if (bx == 0) Array(0, 2)(((id + blk) % 2).toInt)
+        else Array(0, 1, 2, 8)(((id + blk) % 4).toInt)
+      }
+      val coeffs = Array.tabulate(16) { blk =>
+        val a = new Array[Int](16)
+        if (((cbpMask >> (blk >> 2)) & 1) == 1)
+          a(0) = ((id + 5 * blk) % 7).toInt - 3
+        a
+      }
+      val es = graft.operators.H264.encodeSps(1, 1, 0) ++
+        graft.operators.H264.encodePps() ++
+        graft.operators.H264Cavlc.encodeIntra4x4Frame(1, 1,
+          Array(modes), Array(coeffs), qp = 28,
+          idrPicId = (id % 65536).toInt)
+      val frames = graft.operators.H264Cavlc.decodeIntra16Frames(es)
+      require(frames.size == 1)
+      val (w, h, y) = frames.head
+      def bval(blk: Int): Int = {
+        val (ox, oy) = zpos(blk)
+        y(oy * 16 + ox) & 0xFF
+      }
+      var s = 0L; var i = 0
+      while (i < y.length) { s += y(i) & 0xFF; i += 1 }
+      (id, w, h, bval(0), bval(1), bval(2), bval(3), bval(4), bval(5),
+        bval(6), bval(7), bval(8), bval(9), bval(10), bval(11), bval(12),
+        bval(13), bval(14), bval(15), s)
+    }.toDF("doc_id", "width", "height", "v0", "v1", "v2", "v3", "v4",
+      "v5", "v6", "v7", "v8", "v9", "v10", "v11", "v12", "v13", "v14",
+      "v15", "y_sum")
+  }
 
   /** Dense-neighbour CAVLC sweep (m25): each asset is one IDR picture
     * (a single I_16x16 macroblock, luma DC zero, QPy 28) whose 16 AC
@@ -999,6 +1062,72 @@ object MultimodalQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // m26: the I_4x4 flat-block recurrence replayed with DuckDB lateral
+    // column references — per block, pred source by the fixture's mode
+    // rule (top row -> left value, left column -> top value, interior
+    // by (doc_id+blk)%4 among T / L / rounded-average / L), plus the
+    // exact 4*c flat residual (QPy 28: (256c+32)>>6 = 4c), gated by the
+    // same CBP mask bit the encoder derives. Chain order is z-scan.
+    "m26_video_intra4x4" ->
+      """WITH c AS (SELECT doc_id,
+        | 1 + doc_id % 15 AS mask FROM documents),
+        |k AS (SELECT doc_id,
+        | CASE WHEN mask % 2 = 1 THEN (doc_id + 0) % 7 - 3 ELSE 0 END AS c0,
+        | CASE WHEN mask % 2 = 1 THEN (doc_id + 5) % 7 - 3 ELSE 0 END AS c1,
+        | CASE WHEN mask % 2 = 1 THEN (doc_id + 10) % 7 - 3 ELSE 0 END AS c2,
+        | CASE WHEN mask % 2 = 1 THEN (doc_id + 15) % 7 - 3 ELSE 0 END AS c3,
+        | CASE WHEN (mask // 2) % 2 = 1 THEN (doc_id + 20) % 7 - 3 ELSE 0 END AS c4,
+        | CASE WHEN (mask // 2) % 2 = 1 THEN (doc_id + 25) % 7 - 3 ELSE 0 END AS c5,
+        | CASE WHEN (mask // 2) % 2 = 1 THEN (doc_id + 30) % 7 - 3 ELSE 0 END AS c6,
+        | CASE WHEN (mask // 2) % 2 = 1 THEN (doc_id + 35) % 7 - 3 ELSE 0 END AS c7,
+        | CASE WHEN (mask // 4) % 2 = 1 THEN (doc_id + 40) % 7 - 3 ELSE 0 END AS c8,
+        | CASE WHEN (mask // 4) % 2 = 1 THEN (doc_id + 45) % 7 - 3 ELSE 0 END AS c9,
+        | CASE WHEN (mask // 4) % 2 = 1 THEN (doc_id + 50) % 7 - 3 ELSE 0 END AS c10,
+        | CASE WHEN (mask // 4) % 2 = 1 THEN (doc_id + 55) % 7 - 3 ELSE 0 END AS c11,
+        | CASE WHEN (mask // 8) % 2 = 1 THEN (doc_id + 60) % 7 - 3 ELSE 0 END AS c12,
+        | CASE WHEN (mask // 8) % 2 = 1 THEN (doc_id + 65) % 7 - 3 ELSE 0 END AS c13,
+        | CASE WHEN (mask // 8) % 2 = 1 THEN (doc_id + 70) % 7 - 3 ELSE 0 END AS c14,
+        | CASE WHEN (mask // 8) % 2 = 1 THEN (doc_id + 75) % 7 - 3 ELSE 0 END AS c15
+        | FROM c),
+        |v AS (SELECT doc_id,
+        | 128 + 4*c0 AS v0,
+        | v0 + 4*c1 AS v1,
+        | v0 + 4*c2 AS v2,
+        | (CASE (doc_id + 3) % 4 WHEN 0 THEN v1
+        |   WHEN 2 THEN (v2 + v1 + 1)//2 ELSE v2 END) + 4*c3 AS v3,
+        | v1 + 4*c4 AS v4,
+        | v4 + 4*c5 AS v5,
+        | (CASE (doc_id + 6) % 4 WHEN 0 THEN v4
+        |   WHEN 2 THEN (v3 + v4 + 1)//2 ELSE v3 END) + 4*c6 AS v6,
+        | (CASE (doc_id + 7) % 4 WHEN 0 THEN v5
+        |   WHEN 2 THEN (v6 + v5 + 1)//2 ELSE v6 END) + 4*c7 AS v7,
+        | v2 + 4*c8 AS v8,
+        | (CASE (doc_id + 9) % 4 WHEN 0 THEN v3
+        |   WHEN 2 THEN (v8 + v3 + 1)//2 ELSE v8 END) + 4*c9 AS v9,
+        | v8 + 4*c10 AS v10,
+        | (CASE (doc_id + 11) % 4 WHEN 0 THEN v9
+        |   WHEN 2 THEN (v10 + v9 + 1)//2 ELSE v10 END) + 4*c11 AS v11,
+        | (CASE (doc_id + 12) % 4 WHEN 0 THEN v6
+        |   WHEN 2 THEN (v9 + v6 + 1)//2 ELSE v9 END) + 4*c12 AS v12,
+        | (CASE (doc_id + 13) % 4 WHEN 0 THEN v7
+        |   WHEN 2 THEN (v12 + v7 + 1)//2 ELSE v12 END) + 4*c13 AS v13,
+        | (CASE (doc_id + 14) % 4 WHEN 0 THEN v12
+        |   WHEN 2 THEN (v11 + v12 + 1)//2 ELSE v11 END) + 4*c14 AS v14,
+        | (CASE (doc_id + 15) % 4 WHEN 0 THEN v13
+        |   WHEN 2 THEN (v14 + v13 + 1)//2 ELSE v14 END) + 4*c15 AS v15
+        | FROM k)
+        |SELECT doc_id, 16 AS width, 16 AS height,
+        | CAST(v0 AS INTEGER) AS v0, CAST(v1 AS INTEGER) AS v1,
+        | CAST(v2 AS INTEGER) AS v2, CAST(v3 AS INTEGER) AS v3,
+        | CAST(v4 AS INTEGER) AS v4, CAST(v5 AS INTEGER) AS v5,
+        | CAST(v6 AS INTEGER) AS v6, CAST(v7 AS INTEGER) AS v7,
+        | CAST(v8 AS INTEGER) AS v8, CAST(v9 AS INTEGER) AS v9,
+        | CAST(v10 AS INTEGER) AS v10, CAST(v11 AS INTEGER) AS v11,
+        | CAST(v12 AS INTEGER) AS v12, CAST(v13 AS INTEGER) AS v13,
+        | CAST(v14 AS INTEGER) AS v14, CAST(v15 AS INTEGER) AS v15,
+        | CAST(16*(v0+v1+v2+v3+v4+v5+v6+v7+v8+v9+v10+v11+v12+v13+v14+v15)
+        |   AS BIGINT) AS y_sum
+        |FROM v""".stripMargin,
     // m25: closed-form replay of the dense-CAVLC picture. t0(cls,pos)
     // is the inverse-transform output of each density class's fixed
     // level pattern, derived by an INDEPENDENT transcription of the
