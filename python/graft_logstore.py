@@ -88,6 +88,26 @@ def span_removal(docs, span_tokens=8, min_docs=2):
         docs._jdf, int(span_tokens), int(min_docs)))
 
 
+def with_canonical_url(df, url_col, out_col="canonical_url"):
+    """Adds ``out_col`` = the crawl-dedup canonical form of ``url_col``:
+    fragment dropped, scheme+host lowercased, default port stripped,
+    utm_/fbclid/gclid params dropped, surviving params sorted.
+    Zero-shuffle (codegen'd string functions)."""
+    spark = df.sparkSession
+    return _wrap(spark, spark._jvm.graft.api.PyOps.withCanonicalUrl(
+        df._jdf, url_col, out_col))
+
+
+def with_global_rank(df, sort_col, tie_col, rank_col="rank"):
+    """Adds ``rank_col`` = the exact 1-based global row number under
+    (sort_col asc, tie_col asc) WITHOUT a single-partition sort:
+    range-bucketed, per-bucket ranked, prefix-offset joined. ``tie_col``
+    must make the order total (e.g. a unique id)."""
+    spark = df.sparkSession
+    return _wrap(spark, spark._jvm.graft.api.PyOps.withGlobalRank(
+        df._jdf, sort_col, tie_col, rank_col))
+
+
 class LogStore:
     """One store's full API surface from Python."""
 

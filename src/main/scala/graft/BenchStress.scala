@@ -80,7 +80,10 @@ object BenchStress {
     // round 13: the per-asset codec rows (zero-shuffle maps — the
     // curve should be flat-at-linear; prove it rather than assert it)
     "m22_gif_lzw_roundtrip", "m25_video_dense_cavlc",
-    "m26_video_intra4x4")
+    "m26_video_intra4x4",
+    // round 13 (cont.): URL-level dedup — one canonical-key groupBy
+    // whose key population grows with the corpus
+    "t38_url_dedup")
 
   /** Optional comma-separated name-prefix filter
     * (SPARK_GRAFT_STRESS_ONLY) — stress just the matching queries, so

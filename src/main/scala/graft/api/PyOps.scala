@@ -60,4 +60,23 @@ object PyOps {
   def spanRemoval(docs: DataFrame, spanTokens: Int,
       minDocs: Int): DataFrame =
     Dedup.duplicateSpanRemoval(docs, spanTokens, minDocs)
+
+  /** URL canonicalization ([[graft.functions.TextFunctions.canonicalUrl]]):
+    * adds `outCol` = the crawl-dedup canonical form of `urlCol` —
+    * fragment dropped, scheme+host lowercased, default port stripped,
+    * tracking params dropped, survivors sorted. Zero-shuffle. */
+  def withCanonicalUrl(df: DataFrame, urlCol: String,
+      outCol: String): DataFrame =
+    df.withColumn(outCol,
+      graft.functions.TextFunctions.canonicalUrl(col(urlCol)))
+
+  /** Exact distributed global rank
+    * ([[graft.operators.GlobalRank.withGlobalRank]]): adds `rankCol` =
+    * the 1-based row number under (sortCol asc, tieCol asc) with NO
+    * single-partition sort — range-bucketed, per-bucket ranked,
+    * prefix-offset joined. `tieCol` must make the order total. */
+  def withGlobalRank(df: DataFrame, sortCol: String, tieCol: String,
+      rankCol: String): DataFrame =
+    graft.operators.GlobalRank.withGlobalRank(df, rankCol,
+      Seq(col(sortCol).asc, col(tieCol).asc))
 }

@@ -50,6 +50,41 @@ object TextFunctions {
     (size(regexp_extract_all(c, lit(EmailPattern), lit(0))) +
       size(regexp_extract_all(c, lit(Ipv4Pattern), lit(0)))).cast(LongType)
 
+  /** Query parameters a crawl pipeline treats as tracking noise: two
+    * URLs differing only in these are the same resource. */
+  val TrackingParamPrefixes: Seq[String] = Seq("utm_", "fbclid", "gclid")
+
+  /** Canonicalize an absolute http(s) URL with a path component — the
+    * crawl-dedup normalizer (every large-scale pipeline's URL-level
+    * dedup key): drop the fragment, lowercase scheme and host, strip
+    * the scheme's default port (:80 / :443), drop tracking query
+    * params ([[TrackingParamPrefixes]]) and SORT the survivors so
+    * param order stops mattering. Pure codegen'd string/array
+    * functions, zero-shuffle per row; every step replays verbatim in
+    * the SQL oracle (split_part / list_filter / list_sort). Inputs
+    * without "://" or a path are out of contract (crawl frontiers
+    * normalize those upstream). */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = substring_index(url, "#", 1)
+    val base = substring_index(noFrag, "?", 1)
+    val query = when(noFrag.contains("?"), substring_index(noFrag, "?", -1))
+      .otherwise(lit(""))
+    val scheme = lower(substring_index(base, "://", 1))
+    val rest = substring_index(base, "://", -1)
+    val hostport = substring_index(rest, "/", 1)
+    val path = rest.substr(length(hostport) + 1, lit(1 << 20))
+    val host = when(scheme === "https",
+        regexp_replace(lower(hostport), ":443$", ""))
+      .when(scheme === "http", regexp_replace(lower(hostport), ":80$", ""))
+      .otherwise(lower(hostport))
+    val kept = array_sort(filter(split(query, "&"), p =>
+      p =!= "" && TrackingParamPrefixes
+        .map(pre => !p.startsWith(pre)).reduce(_ && _)))
+    concat(scheme, lit("://"), host, path,
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+        .otherwise(lit("")))
+  }
+
   /** Count of tokens contained in a marker set. */
   def markerCount(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => array_contains(array(markers.map(lit): _*), t)))

@@ -89,6 +89,7 @@ object TextQueries {
     "t34_kneser_ney" -> t34,
     "t36_lm_perplexity_filter" -> t36,
     "t37_mixture_interleave" -> t37,
+    "t38_url_dedup" -> t38,
     "s1_ann_cosine" -> s1,
     // Gonzalez k-center greedy seeding over the quantized embeddings —
     // the deterministic k-means++ stand-in; integer-exact distances
@@ -1981,6 +1982,47 @@ object TextQueries {
       col("quartile"), (col("quartile") === 1).as("selected"))
   }
 
+  /** URL canonicalization + URL-level dedup (t38): the crawl
+    * pipeline's FIRST dedup pass — before any content fingerprint is
+    * worth computing, the frontier collapses URL aliases of the same
+    * resource. Six deterministic alias classes per doc_id (scheme/host
+    * case, the scheme default port, query-param order, utm_ tracking
+    * params, fragments) normalize through
+    * [[graft.functions.TextFunctions.canonicalUrl]] — drop fragment,
+    * lowercase scheme+host, strip :80/:443, drop tracking params, sort
+    * the rest — and groups of six ids collapse onto one canonical key.
+    * Output per doc: the canonical URL, its alias-group size and the
+    * group representative (min doc_id) — exactly the (key, count,
+    * keeper) triple the fetch scheduler consumes.
+    *
+    * Scale: canonicalization is a zero-shuffle codegen'd string map;
+    * the dedup is ONE groupBy on the canonical key (map-side combined)
+    * with the group table joined back on the same key — AQE broadcasts
+    * it at bench scale, shuffles it at 10^10 URLs; no window over the
+    * corpus. */
+  private def t38: Q = (spark, dir) => {
+    val k = expr("CAST(doc_id div 6 AS BIGINT)").cast(StringType)
+    val v = pmod(col("doc_id"), lit(6))
+    val url = when(v === 0, concat(lit("https://example"), k,
+        lit(".com/p/"), k, lit("?a=1&b=2")))
+      .when(v === 1, concat(lit("HTTPS://EXAMPLE"), k,
+        lit(".COM/p/"), k, lit("?a=1&b=2")))
+      .when(v === 2, concat(lit("https://example"), k,
+        lit(".com:443/p/"), k, lit("?a=1&b=2")))
+      .when(v === 3, concat(lit("https://example"), k,
+        lit(".com/p/"), k, lit("?b=2&a=1")))
+      .when(v === 4, concat(lit("https://example"), k,
+        lit(".com/p/"), k, lit("?utm_source=tw&a=1&b=2")))
+      .otherwise(concat(lit("https://example"), k,
+        lit(".com/p/"), k, lit("?a=1&b=2#section")))
+    val canon = t(spark, dir, "documents")
+      .select(col("doc_id"), TF.canonicalUrl(url).as("canon"))
+    val groups = canon.groupBy(col("canon"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("rep_id"))
+    canon.join(groups, "canon")
+      .select(col("doc_id"), col("canon"), col("n_dups"), col("rep_id"))
+  }
+
   private def t20: Q = (spark, dir) => {
     val nb = 128
     t(spark, dir, "documents")
@@ -2550,6 +2592,47 @@ object TextQueries {
         |FROM c12 JOIN lft USING (w1) JOIN bck USING (w2) CROSS JOIN nbt""".stripMargin,
     // t37: the Bresenham slot formula and both window orders replayed
     // verbatim; weight = 1 + (numeric source suffix % 3)
+    // t38: the fixture aliases and the canonicalizer replayed step by
+    // step with DuckDB lateral column references (split_part /
+    // list_filter / list_sort mirror substring_index / filter /
+    // array_sort), then the group stats as windows over the canonical
+    // key.
+    "t38_url_dedup" ->
+      """WITH u AS (SELECT doc_id, doc_id // 6 AS k, doc_id % 6 AS v
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |  CASE v
+        |   WHEN 0 THEN 'https://example' || k || '.com/p/' || k || '?a=1&b=2'
+        |   WHEN 1 THEN 'HTTPS://EXAMPLE' || k || '.COM/p/' || k || '?a=1&b=2'
+        |   WHEN 2 THEN 'https://example' || k || '.com:443/p/' || k || '?a=1&b=2'
+        |   WHEN 3 THEN 'https://example' || k || '.com/p/' || k || '?b=2&a=1'
+        |   WHEN 4 THEN 'https://example' || k || '.com/p/' || k || '?utm_source=tw&a=1&b=2'
+        |   ELSE 'https://example' || k || '.com/p/' || k || '?a=1&b=2#section'
+        |  END AS url FROM u),
+        |c AS (SELECT doc_id,
+        |  split_part(url, '#', 1) AS nofrag,
+        |  split_part(nofrag, '?', 1) AS base,
+        |  CASE WHEN contains(nofrag, '?') THEN split_part(nofrag, '?', 2)
+        |       ELSE '' END AS query,
+        |  lower(split_part(base, '://', 1)) AS scheme,
+        |  split_part(base, '://', 2) AS rest,
+        |  split_part(rest, '/', 1) AS hostport,
+        |  substring(rest, length(hostport) + 1) AS path,
+        |  CASE WHEN scheme = 'https' THEN regexp_replace(lower(hostport), ':443$', '')
+        |       WHEN scheme = 'http' THEN regexp_replace(lower(hostport), ':80$', '')
+        |       ELSE lower(hostport) END AS host,
+        |  list_sort(list_filter(string_split(query, '&'), x ->
+        |    x <> '' AND NOT starts_with(x, 'utm_') AND
+        |    NOT starts_with(x, 'fbclid') AND NOT starts_with(x, 'gclid')))
+        |    AS kept,
+        |  scheme || '://' || host || path ||
+        |    CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+        |         ELSE '' END AS canon
+        | FROM r)
+        |SELECT doc_id, canon,
+        | COUNT(*) OVER (PARTITION BY canon) AS n_dups,
+        | MIN(doc_id) OVER (PARTITION BY canon) AS rep_id
+        |FROM c""".stripMargin,
     "t37_mixture_interleave" ->
       """WITH w AS (SELECT source,
         |    1 + CAST(substr(source, 4) AS INTEGER) % 3 AS w

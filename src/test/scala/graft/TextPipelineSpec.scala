@@ -320,4 +320,31 @@ class TextPipelineSpec extends AnyFunSuite {
     // doc3: "z z" twice (corpus cnt 2) -> mass 4, 0 unique
     assert(out === Set((1L, 1L, 2L, 0L), (2L, 2L, 3L, 1L), (3L, 2L, 4L, 0L)))
   }
+
+  test("canonicalUrl: case, default ports, tracking params, order, fragments") {
+    import graft.functions.{TextFunctions => TF}
+    import spark.implicits._
+    val cases = Seq(
+      // scheme+host lowercase; path case PRESERVED
+      ("HTTPS://EXAMPLE.COM/Path/X?a=1", "https://example.com/Path/X?a=1"),
+      // default port stripped per scheme
+      ("https://example.com:443/p?a=1", "https://example.com/p?a=1"),
+      ("http://example.com:80/p?a=1", "http://example.com/p?a=1"),
+      // NON-default port kept
+      ("https://example.com:8443/p?a=1", "https://example.com:8443/p?a=1"),
+      // http on 443 is a real (odd) port — kept
+      ("http://example.com:443/p", "http://example.com:443/p"),
+      // tracking params dropped; survivors sorted; empty query -> no '?'
+      ("https://e.com/p?utm_source=tw&b=2&a=1", "https://e.com/p?a=1&b=2"),
+      ("https://e.com/p?utm_campaign=x&gclid=1&fbclid=2", "https://e.com/p"),
+      // fragment dropped
+      ("https://e.com/p?a=1#frag", "https://e.com/p?a=1"),
+      ("https://e.com/p#frag", "https://e.com/p"),
+      // bare path, no query
+      ("https://e.com/", "https://e.com/"))
+    val got = cases.map(_._1).toDF("url")
+      .select(TF.canonicalUrl(org.apache.spark.sql.functions.col("url")))
+      .as[String].collect().toSeq
+    assert(got === cases.map(_._2))
+  }
 }

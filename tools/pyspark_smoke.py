@@ -225,7 +225,8 @@ print("OK: SQL function surface (splitmix64/dot_product/cosine_sim/hll) "
 # callable from Python with the Scala plan shapes unchanged.
 # ---------------------------------------------------------------------------
 from graft_logstore import (salted_join, stratified_sample,
-                            edit_distance_pairs, nn_join, span_removal)
+                            edit_distance_pairs, nn_join, span_removal,
+                            with_canonical_url, with_global_rank)
 
 # salted_join: provably result-identical to the plain inner join
 dim = spark.createDataFrame(
@@ -283,6 +284,29 @@ if sr != {1: (12, 10, 2), 2: (11, 10, 1), 3: (3, 0, 3)}:
     print(f"MISMATCH span_removal: {sr}")
     sys.exit(1)
 
+# with_canonical_url: aliases collapse onto one canonical form
+urls = spark.createDataFrame(
+    [(1, "HTTPS://E.COM:443/p?utm_source=x&b=2&a=1#f"),
+     (2, "https://e.com/p?a=1&b=2")],
+    "doc_id LONG, url STRING")
+canon = {r["doc_id"]: r["canonical_url"]
+         for r in with_canonical_url(urls, "url").collect()}
+if canon != {1: "https://e.com/p?a=1&b=2", 2: "https://e.com/p?a=1&b=2"}:
+    print(f"MISMATCH with_canonical_url: {canon}")
+    sys.exit(1)
+
+# with_global_rank: exact 1..N permutation matching the sorted order
+rk = with_global_rank(events.select("event_id", "user_id"),
+                      "user_id", "event_id").collect()
+want = sorted(rk, key=lambda r: (r["user_id"], r["event_id"]))
+got_ranks = sorted(r["rank"] for r in rk)
+by_rank = {r["rank"]: r["event_id"] for r in rk}
+if (got_ranks != list(range(1, len(rk) + 1)) or
+        any(by_rank[i + 1] != w["event_id"] for i, w in enumerate(want))):
+    print("MISMATCH with_global_rank ordering")
+    sys.exit(1)
+
 print("OK: composite operator surface (salted_join/stratified_sample/"
-      "edit_distance_pairs/nn_join/span_removal) from Python")
+      "edit_distance_pairs/nn_join/span_removal/with_canonical_url/"
+      "with_global_rank) from Python")
 sys.exit(0)
