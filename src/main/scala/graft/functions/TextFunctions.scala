@@ -67,7 +67,13 @@ object TextFunctions {
   def canonicalUrl(url: Column): Column = {
     val noFrag = substring_index(url, "#", 1)
     val base = substring_index(noFrag, "?", 1)
-    val query = when(noFrag.contains("?"), substring_index(noFrag, "?", -1))
+    // query = everything after the FIRST '?' (RFC 3986: '?' is a legal
+    // character INSIDE the query, so a second '?' stays in the query
+    // string). substring_index(..., -1) would split on the LAST '?' —
+    // a two-'?' URL canonicalized differently from the oracle; pinned
+    // by the t38 fixture's utm_source=t?w alias and the unit spec.
+    val query = when(noFrag.contains("?"),
+        noFrag.substr(length(base) + 2, lit(1 << 20)))
       .otherwise(lit(""))
     val scheme = lower(substring_index(base, "://", 1))
     val rest = substring_index(base, "://", -1)

@@ -481,18 +481,26 @@ object Dedup {
     *    only the candidate-completeness class changes — a
     *    within-hamming pair whose sketches share no byte band is
     *    missed (vanishingly rare for near-dup text; the route is
-    *    logged, and `autoWideDocLimit = Long.MaxValue` keeps the
-    *    complete nibble banding at any size). */
+    *    logged).
+    *
+    * Wide routing is OPT-IN: the default `autoWideDocLimit =
+    * Long.MaxValue` keeps the documented pigeonhole completeness
+    * (every pair with hamming <= maxHamming is a candidate) at any
+    * corpus size. Callers who accept the approximate candidate class
+    * above a size threshold pass a finite limit (the catalog's d4
+    * passes 20000 — measured recall of the wide route on a 25k-doc
+    * near-dup corpus is pinned by DedupSimilaritySpec). */
   def simHashPairs(docs: DataFrame, maxHamming: Int, threshold: Double,
-      autoWideDocLimit: Long = 20000L): DataFrame = {
+      autoWideDocLimit: Long = Long.MaxValue): DataFrame = {
     require(maxHamming < 16, "nibble banding is only complete for hamming < 16")
     val spark = docs.sparkSession
     import spark.implicits._
     val sh = docShingleHashes(docs).cache()
     val maxH = maxHamming
     // parquet-metadata-cheap (the editDistancePairs idiom): one count
-    // action decides the banding width
-    val wide = docs.count() > autoWideDocLimit
+    // action decides the banding width — skipped entirely on the
+    // complete-banding default, so opt-out callers pay no extra action
+    val wide = autoWideDocLimit != Long.MaxValue && docs.count() > autoWideDocLimit
     if (wide) org.slf4j.LoggerFactory.getLogger(getClass).warn(
       s"simHashPairs: corpus > autoWideDocLimit=$autoWideDocLimit — " +
         "routing candidates through 128-bit byte bands (approximate: a " +
@@ -561,12 +569,16 @@ object Dedup {
         var i = 0
         while (i < hs.length) {
           val grp = ids(i)
-          var x = 0 // within-group: hamming 0, every ordered pair
+          var x = 0 // within-group: hamming 0, every ordered pair.
+          // a == b is possible when the input holds duplicate doc_id
+          // rows — the strict guards (mirroring cross()) skip the
+          // self-pair instead of emitting (a, a).
           while (x < grp.length) {
             var y = x + 1
             while (y < grp.length) {
               val a = grp(x); val b = grp(y)
-              out += (if (a < b) (a, b) else (b, a))
+              if (a < b) out += ((a, b))
+              else if (b < a) out += ((b, a))
               y += 1
             }
             x += 1

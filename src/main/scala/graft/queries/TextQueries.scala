@@ -632,9 +632,17 @@ object TextQueries {
   private def d3: Q = (spark, dir) =>
     Dedup.minHashLshPairs(t(spark, dir, "documents"), jaccardThreshold)
 
+  /** Explicit opt-in to wide routing above 20k docs: at sf0.01/sf0.1
+    * (oracle scales) the corpus stays under the limit, so the
+    * pigeonhole-complete nibble banding runs and the DuckDB oracle
+    * matches exactly; at stress scale the catalog accepts the
+    * approximate byte-band candidate class for the 16× smaller
+    * in-bucket quadratic (recall of that route is pinned by
+    * DedupSimilaritySpec's 25k-doc wide-vs-narrow spec). Library
+    * callers who do not pass the limit keep completeness at any size. */
   private def d4: Q = (spark, dir) =>
     Dedup.simHashPairs(t(spark, dir, "documents"), maxHamming = 15,
-      threshold = jaccardThreshold)
+      threshold = jaccardThreshold, autoWideDocLimit = 20000L)
 
   /** Widened 128-bit sketch, 16 byte-bands (1/256 selectivity) — the
     * scale path for corpora where 4-bit bands over-collide; maxHamming
@@ -2011,8 +2019,13 @@ object TextQueries {
         lit(".com:443/p/"), k, lit("?a=1&b=2")))
       .when(v === 3, concat(lit("https://example"), k,
         lit(".com/p/"), k, lit("?b=2&a=1")))
+      // the utm_ value carries a SECOND '?': RFC keeps it inside the
+      // query, so the param still starts with utm_ and is dropped —
+      // the class collapses with its group. A last-'?' split would
+      // instead surface a bogus "w" param and break the collapse;
+      // this alias pins first-'?' semantics against the oracle forever.
       .when(v === 4, concat(lit("https://example"), k,
-        lit(".com/p/"), k, lit("?utm_source=tw&a=1&b=2")))
+        lit(".com/p/"), k, lit("?utm_source=t?w&a=1&b=2")))
       .otherwise(concat(lit("https://example"), k,
         lit(".com/p/"), k, lit("?a=1&b=2#section")))
     val canon = t(spark, dir, "documents")
@@ -2606,13 +2619,13 @@ object TextQueries {
         |   WHEN 1 THEN 'HTTPS://EXAMPLE' || k || '.COM/p/' || k || '?a=1&b=2'
         |   WHEN 2 THEN 'https://example' || k || '.com:443/p/' || k || '?a=1&b=2'
         |   WHEN 3 THEN 'https://example' || k || '.com/p/' || k || '?b=2&a=1'
-        |   WHEN 4 THEN 'https://example' || k || '.com/p/' || k || '?utm_source=tw&a=1&b=2'
+        |   WHEN 4 THEN 'https://example' || k || '.com/p/' || k || '?utm_source=t?w&a=1&b=2'
         |   ELSE 'https://example' || k || '.com/p/' || k || '?a=1&b=2#section'
         |  END AS url FROM u),
         |c AS (SELECT doc_id,
         |  split_part(url, '#', 1) AS nofrag,
         |  split_part(nofrag, '?', 1) AS base,
-        |  CASE WHEN contains(nofrag, '?') THEN split_part(nofrag, '?', 2)
+        |  CASE WHEN contains(nofrag, '?') THEN substring(nofrag, length(base) + 2)
         |       ELSE '' END AS query,
         |  lower(split_part(base, '://', 1)) AS scheme,
         |  split_part(base, '://', 2) AS rest,

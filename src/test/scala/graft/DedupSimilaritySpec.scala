@@ -148,6 +148,84 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(n > 0 && bucketPairs(byte8) < bucketPairs(nibble))
   }
 
+  test("simhash pairs: duplicate doc_id rows never emit a self-pair") {
+    import spark.implicits._
+    // the same doc_id appears twice (identical text — identical simhash),
+    // plus a genuine near-dup pair; the within-bucket equal-hash loop
+    // must skip (a, a) while keeping (a, b)
+    val base = "tok1 tok2 tok3 tok4 tok5 tok6 tok7 tok8 tok9 tok10 " +
+      "tok11 tok12 tok13 tok14 tok15 tok16 tok17 tok18 tok19 tok20"
+    val toy = Seq(
+      (1L, base), (1L, base),                    // duplicate doc_id rows
+      (2L, base),                                // true dup of doc 1
+      (3L, "entirely different words with zero shared trigram shingles here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.simHashPairs(toy, 15, 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(!out.exists(p => p._1 == p._2), s"self-pair emitted: $out")
+    assert(out === Set((1L, 2L)))
+    // same contract on the 128-bit route
+    val out128 = Dedup.simHashPairs128(toy, 31, 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(!out128.exists(p => p._1 == p._2), s"self-pair emitted: $out128")
+    assert(out128 === Set((1L, 2L)))
+  }
+
+  test("simhash wide routing: opt-in only, and wide recall >= 0.95 vs complete banding at 25k docs") {
+    import spark.implicits._
+    // deterministic 25k-doc corpus: 24.6k unique docs + 200 planted
+    // near-dup pairs (one token swapped in 40 -> ~3 of 38 trigram
+    // shingles change -> jaccard ~0.85, simhash hamming small)
+    val rnd = new scala.util.Random(42)
+    def doc(): Array[String] = Array.fill(40)(s"w${rnd.nextInt(50000)}")
+    val uniques = (0L until 24600L).map(i => (i, doc().mkString(" ")))
+    val planted = (0 until 200).map { i =>
+      val t = doc()
+      val a = (25000 + 2 * i).toLong
+      val b = a + 1
+      val orig = t.mkString(" ")
+      t(20) = "swapped"
+      (a, orig, b, t.mkString(" "))
+    }
+    val rows = uniques ++ planted.flatMap(p => Seq((p._1, p._2), (p._3, p._4)))
+    val corpus = rows.toDF("doc_id", "text")
+      .repartition(32).localCheckpoint()
+    val plantedPairs = planted.map(p => (p._1, p._3)).toSet
+
+    // complete nibble banding (the default: no finite limit passed)
+    val narrow = Dedup.simHashPairs(corpus, 15, 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // completeness against the operator's CONTRACT: every planted pair
+    // that really is within hamming 15 AND jaccard >= 0.8 must be
+    // found (a random swap occasionally pushes a pair past a gate —
+    // such pairs are legitimately absent, so compute eligibility
+    // exactly on the 400-doc planted subset first)
+    val plantedDf = planted.flatMap(p => Seq((p._1, p._2), (p._3, p._4)))
+      .toDF("doc_id", "text")
+    val hams = Dedup.simHashesFromDocs(plantedDf)
+      .as[(Long, Long)].collect().toMap
+    val jacOk = Dedup.jaccardPairs(plantedDf, 0.8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val eligible = plantedPairs.filter(p => jacOk.contains(p) &&
+      java.lang.Long.bitCount(hams(p._1) ^ hams(p._2)) <= 15)
+    assert(eligible.size >= 190, // the corpus really does plant near-dups
+      s"only ${eligible.size}/200 planted pairs are contract-eligible")
+    assert(eligible.subsetOf(narrow),
+      s"complete banding missed ${(eligible -- narrow).size} eligible pairs")
+
+    // opt-in wide route (same call d4 makes above 20k docs)
+    val wide = Dedup.simHashPairs(corpus, 15, 0.8, autoWideDocLimit = 20000L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // the wide route keeps the exact 64-bit hamming filter + exact
+    // jaccard verify, so its output is a SUBSET of the complete route —
+    // only candidate generation is approximate
+    assert(wide.subsetOf(narrow),
+      s"wide route emitted pairs outside the complete set: ${wide -- narrow}")
+    val recall = if (narrow.isEmpty) 1.0 else wide.size.toDouble / narrow.size
+    assert(recall >= 0.95, s"wide-route recall $recall < 0.95 " +
+      s"(narrow=${narrow.size}, wide=${wide.size})")
+  }
+
   test("segment dedup removes planted boilerplate everywhere, leaves unique docs intact") {
     import spark.implicits._
     def md5hex(s: String): String =

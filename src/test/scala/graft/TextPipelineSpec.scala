@@ -340,6 +340,11 @@ class TextPipelineSpec extends AnyFunSuite {
       // fragment dropped
       ("https://e.com/p?a=1#frag", "https://e.com/p?a=1"),
       ("https://e.com/p#frag", "https://e.com/p"),
+      // a SECOND '?' stays inside the query (RFC 3986): the query is
+      // everything after the FIRST '?', not the last
+      ("https://e.com/p?a=1?x&b=2", "https://e.com/p?a=1?x&b=2"),
+      // ...even inside a tracking param, which is still dropped whole
+      ("https://e.com/p?utm_source=t?w&a=1", "https://e.com/p?a=1"),
       // bare path, no query
       ("https://e.com/", "https://e.com/"))
     val got = cases.map(_._1).toDF("url")

@@ -5,15 +5,27 @@ across runs (steady-state floor, same policy as Bench's min-of-reps).
 
 Scale points are derived from whatever xN keys are present (not a
 hardcoded 10/30/100): steps are computed over each query's consecutive
-observed scales, and the worst-query summary uses each query's LARGEST
-available ratio — so an x100-only query still participates.
+observed scales.
 
-Usage: merge_stress.py BENCH_STRESS.json run1.json run2.json ..."""
-import json, sys
+The worst-scaler summary compares PER SCALE: ratios at different scales
+are not comparable (an x30-only family can never out-ratio an x100
+curve), so "worst" holds, for every scale present in any query, the
+query with the largest ratio AT that scale. The single headline
+"worst_normalized" uses the scaling exponent log(ratio)/log(scale) —
+1.0 = linear, <1 sub-linear — which IS comparable across scales.
 
-curve_path = sys.argv[1]
+Usage: merge_stress.py BENCH_STRESS.json run1.json run2.json ...
+       merge_stress.py --resummarize BENCH_STRESS.json
+         (recompute ratios/steps/worst from the curve file alone)"""
+import json, math, sys
+
+args = sys.argv[1:]
+resummarize = args and args[0] == "--resummarize"
+if resummarize:
+    args = args[1:]
+curve_path = args[0]
 curve = json.load(open(curve_path))
-runs = [json.load(open(p)) for p in sys.argv[2:]]
+runs = [json.load(open(p)) for p in args[1:]]
 
 for run in runs:
     copies = run["copies"]
@@ -34,18 +46,37 @@ for q, ent in curve["queries"].items():
     for lo, hi in zip(scales, scales[1:]):
         ent[f"step{lo}to{hi}"] = round(ent[f"ratio{hi}"] / ent[f"ratio{lo}"], 3)
 
-def worst_ratio(ent):
+# per-scale worst: only queries measured at THAT scale compete
+all_scales = sorted({int(k[5:]) for ent in curve["queries"].values()
+                     for k in ent if k.startswith("ratio")})
+worst = {}
+for n in all_scales:
+    contenders = [(q, ent[f"ratio{n}"]) for q, ent in curve["queries"].items()
+                  if f"ratio{n}" in ent]
+    q, r = max(contenders, key=lambda kv: kv[1])
+    worst[f"x{n}"] = {"query": q, "ratio": r, "n_queries": len(contenders)}
+curve["worst"] = worst
+
+# cross-scale headline: scaling exponent log(ratio)/log(scale) at each
+# query's largest scale (1.0 = linear in data volume)
+def exponent(ent):
     scales = [int(k[5:]) for k in ent if k.startswith("ratio")]
     if not scales:
-        return (0, 0.0)
+        return (0, 0.0, 0.0)
     top = max(scales)
-    return (top, ent[f"ratio{top}"])
+    r = max(ent[f"ratio{top}"], 1e-9)
+    return (top, r, math.log(r) / math.log(top))
 
-worst_q, (worst_scale, worst_r) = max(
-    ((q, worst_ratio(ent)) for q, ent in curve["queries"].items()),
-    key=lambda kv: kv[1][1])
-curve["worst"] = {"query": worst_q, "scale": worst_scale,
-                  f"ratio{worst_scale}": worst_r}
+wq, (wscale, wr, wexp) = max(
+    ((q, exponent(ent)) for q, ent in curve["queries"].items()),
+    key=lambda kv: kv[1][2])
+curve["worst_normalized"] = {
+    "query": wq, "scale": wscale, "ratio": wr, "exponent": round(wexp, 3),
+    "note": "exponent=log(ratio)/log(scale); 1.0 = linear"}
+
 json.dump(curve, open(curve_path, "w"), indent=None, separators=(",", ":"))
 open(curve_path, "a").write("\n")
-print("merged", [r["copies"] for r in runs], "->", curve_path)
+if resummarize:
+    print("resummarized ->", curve_path)
+else:
+    print("merged", [r["copies"] for r in runs], "->", curve_path)
