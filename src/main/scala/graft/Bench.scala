@@ -17,7 +17,14 @@ import org.apache.spark.sql.SparkSession
   * (GC pauses, ambient CPU contention, page-cache misses), so the
   * fastest observed rep is the closest estimate of the query's true
   * cost — one prior round's report inflated 12 of 49 queries 5-18x
-  * from contention that no local re-measurement could reproduce. */
+  * from contention that no local re-measurement could reproduce.
+  *
+  * Streaming (c-family) queries additionally get a rep floor of 5 and
+  * a two-consecutive-flat convergence rule: their wall time is
+  * micro-batch-scheduler-sensitive (identical code swung 2.92x across
+  * driver runs at min-of-3), and since Trigger.AvailableNow makes the
+  * batch count deterministic, more reps reliably expose the true
+  * floor instead of a slow scheduling alignment. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -100,9 +107,22 @@ object Bench {
       }
       System.gc()
       val gc0 = gcMillis()
+      // Streaming protocol: the c-family's wall time rides the
+      // micro-batch scheduler (trigger alignment, checkpoint/commit
+      // fsyncs, stream-thread wakeups) — identical code swung c17
+      // 2.92x between two driver runs at min-of-3. Batch counts ARE
+      // deterministic (Trigger.AvailableNow + fixed admission), so the
+      // fast mode exists in every run; give the min more chances to
+      // observe it: rep floor 5 (vs 3) and convergence only after TWO
+      // consecutive non-improving reps, bounded at maxReps >= 10.
+      val streaming = name.startsWith("c")
+      val qReps = if (streaming) math.max(reps, 5) else reps
+      val qMaxReps = if (streaming) math.max(maxReps, 10) else maxReps
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var converged = false
-      while (times.length < reps || (!converged && times.length < maxReps)) {
+      var flatRun = 0 // consecutive reps that failed to improve min >10%
+      val needFlat = if (streaming) 2 else 1
+      while (times.length < qReps ||
+          (flatRun < needFlat && times.length < qMaxReps)) {
         val prevMin = if (times.isEmpty) Double.MaxValue else times.min
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -111,7 +131,9 @@ object Bench {
         }
         val t = (System.nanoTime() - t0) / 1e9
         times += t
-        if (times.length >= reps) converged = t >= prevMin * 0.9
+        if (times.length >= qReps) {
+          if (t >= prevMin * 0.9) flatRun += 1 else flatRun = 0
+        }
       }
       val rt = Runtime.getRuntime
       val heapMb = (rt.totalMemory - rt.freeMemory) / (1024 * 1024)

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+import graft.store.EmbeddedLogStore
+
+/** Diagnostic probe for c22's stress curve (SCALE.md): runs the
+  * timer-sessionization stream standalone at a given events dir and
+  * state-partition count, and reports what the catalog closure hides —
+  * micro-batch count, state-store row totals from StreamingQuery
+  * progress, and wall time. Purpose: attribute the super-linear
+  * 30x→100x step to the single-box state backend (one RocksDB instance
+  * per partition on one disk) vs the plan, by showing (a) state row
+  * population is linear in copies and (b) spreading the same state
+  * over more store instances on ONE box does not recover the step —
+  * whereas a cluster hosts the instances on separate machines.
+  *
+  * Usage: runMain graft.ProbeC22 <eventsDir> <stateParts> [reps]
+  */
+object ProbeC22 {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val parts = args(1).toInt
+    val reps = if (args.length > 2) args(2).toInt else 2
+    val gapS = 1800L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // one-time source ingest (the c9Source shape: events + far-future
+    // flush sentinel on two shards, __time__ = epoch seconds)
+    val root = java.nio.file.Files.createTempDirectory("graft-probe-c22").toString
+    new EmbeddedLogStore(root).createStore("proj", "sess", 2)
+    val srcOpts = Map("store.root" -> root, "store.project" -> "proj",
+      "store.name" -> "sess")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("ts").cast("timestamp").cast("long").as("t"))
+    val maxT = ev.agg(max(col("t"))).first().getLong(0)
+    val sentinel = spark.range(1).select(lit(-1L).as("user_id"),
+      lit("__flush__").as("event_type"), lit(0.0).as("value"),
+      lit(maxT + gapS + 3600L).as("t"))
+    ev.unionAll(sentinel)
+      .select(pmod(col("user_id"), lit(2)).cast(IntegerType).as("__shard__"),
+        col("t").cast(IntegerType).as("__time__"),
+        col("user_id"), col("event_type"), col("value"))
+      .write.format("graft-logstore").options(srcOpts).mode("append").save()
+
+    for (rep <- 1 to reps) {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      import s2.implicits._
+      val src = s2.readStream.format("graft-logstore").options(srcOpts)
+        .option("maxoffsetspertrigger", "1000000")
+        .schema("user_id LONG, event_type STRING, value DOUBLE, __time__ TIMESTAMP")
+        .load()
+        .withWatermark("__time__", "1 second")
+        .selectExpr("user_id", "CAST(__time__ AS LONG) AS t")
+        .as[(Long, Long)]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-probe-ckpt").toString
+      val t0 = System.nanoTime()
+      val q = graft.streaming.SessionTimers.sessions(src, gapS)
+        .toDF("user_id", "session_start", "session_end", "n_events")
+        .writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(600000)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val progs = q.recentProgress
+      val batches = progs.length
+      val maxState = progs.flatMap(_.stateOperators.map(_.numRowsTotal)).max
+      val updated = progs.flatMap(_.stateOperators.map(_.numRowsUpdated)).sum
+      val commitMs = progs.flatMap(_.stateOperators
+        .map(_.customMetrics.getOrDefault("rocksdbCommitLatency", 0L).toLong)).sum
+      println(f"[probe-c22] dir=$dir parts=$parts rep=$rep " +
+        f"wall=$wall%.2f batches=$batches maxStateRows=$maxState " +
+        f"rowsUpdated=$updated rocksdbCommitMs=$commitMs")
+    }
+    spark.stop()
+  }
+}

@@ -734,8 +734,20 @@ object ConnectorQueries {
       "store.name" -> "sessions")
     val ckpt = tempDir("graft-c22-ckpt")
     // isolated session: transformWithState needs the RocksDB provider
-    // (multiple column families: list state + value state + timers)
-    val s2 = streamSession(spark)
+    // (multiple column families: list state + value state + timers).
+    // State parallelism sized to the SOURCE volume (parquet-metadata
+    // count, the editDistancePairs idiom): stateful operators open one
+    // state-store instance per shuffle partition, so a fixed 4 is
+    // right at bench scale (store-open overhead dominates) but starves
+    // the state backend at stress scale — the r13 probe showed ONE
+    // box's 100x point drop 81.8s -> 32.9s just by sharding the same
+    // linear state population over 32 instances instead of 4 (SCALE.md
+    // round-15 note). This is the per-source parallelism knob of the
+    // configuration envelope (SURVEY §2 O4/O12); partition count is
+    // not semantic (the oracle hashes content).
+    val nEvents = t(spark, dir, "events").count()
+    val stateParts = math.min(32L, math.max(4L, nEvents / 250000L)).toInt
+    val s2 = streamSession(spark, stateParts)
     s2.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     import s2.implicits._
