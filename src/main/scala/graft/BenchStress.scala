@@ -83,7 +83,10 @@ object BenchStress {
     "m26_video_intra4x4",
     // round 13 (cont.): URL-level dedup — one canonical-key groupBy
     // whose key population grows with the corpus
-    "t38_url_dedup")
+    "t38_url_dedup",
+    // round 15: the mixed I_16x16/I_8x8/I_4x4 codec row — zero-shuffle
+    // per-asset map like m22/m25/m26; prove the flat curve
+    "m27_video_intra8x8")
 
   /** Optional comma-separated name-prefix filter
     * (SPARK_GRAFT_STRESS_ONLY) — stress just the matching queries, so

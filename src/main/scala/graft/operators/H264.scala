@@ -287,6 +287,35 @@ object H264 {
     nal(3, 7, w.trailing(), longStart = true)
   }
 
+  /** High-profile SPS (profile_idc 100) for the given MB geometry:
+    * the [[encodeSps]] shape plus the 7.3.2.1.1 high-profile branch
+    * (chroma_format_idc 1, 8-bit depths, no transform bypass, no
+    * scaling matrices) — the profile gate for transform_size_8x8_flag
+    * streams (A.2.4: the 8x8 transform is High profile and above). */
+  def encodeSpsHigh(widthMbs: Int, heightMapUnits: Int, cropBottom: Int,
+      levelIdc: Int = 30): Array[Byte] = {
+    val w = new BitWriter
+    w.u(100, 8) // profile_idc: High
+    w.u(0, 8).u(levelIdc, 8)
+    w.ue(0) // sps id
+    w.ue(1) // chroma_format_idc: 4:2:0
+    w.ue(0).ue(0) // bit_depth_luma/chroma_minus8
+    w.u(0, 1) // qpprime_y_zero_transform_bypass
+    w.u(0, 1) // seq_scaling_matrix_present (flat 16 weights)
+    w.ue(4) // log2_max_frame_num_minus4
+    w.ue(2) // pic_order_cnt_type 2
+    w.ue(1) // max_num_ref_frames
+    w.u(0, 1) // gaps_in_frame_num
+    w.ue(widthMbs - 1)
+    w.ue(heightMapUnits - 1)
+    w.u(1, 1) // frame_mbs_only
+    w.u(1, 1) // direct_8x8_inference
+    if (cropBottom > 0) { w.u(1, 1); w.ue(0); w.ue(0); w.ue(0); w.ue(cropBottom) }
+    else w.u(0, 1)
+    w.u(0, 1) // vui_parameters_present
+    nal(3, 7, w.trailing(), longStart = true)
+  }
+
   /** Minimal slice NAL: real header fields (first_mb_in_slice,
     * slice_type, pps id, frame_num), arbitrary payload bits standing in
     * for entropy-coded slice data the parser never needs to touch. */
@@ -322,6 +351,33 @@ object H264 {
     w.u(0, 1) // deblocking_filter_control_present
     w.u(0, 1) // constrained_intra_pred
     w.u(0, 1) // redundant_pic_cnt_present
+    nal(3, 8, w.trailing(), longStart = true)
+  }
+
+  /** [[encodePps]] plus the 7.3.2.2 optional tail that enables the
+    * 8x8 transform: transform_8x8_mode_flag = 1,
+    * pic_scaling_matrix_present = 0 (flat weights), and an explicit
+    * second_chroma_qp_index_offset (7.4.2.2: Cr uses the second
+    * offset when the tail is present; Cb keeps the first). */
+  def encodePpsT8(secondChromaQpOffset: Int = 0): Array[Byte] = {
+    val w = new BitWriter
+    w.ue(0) // pps id
+    w.ue(0) // sps id
+    w.u(0, 1) // entropy_coding_mode: CAVLC
+    w.u(0, 1) // bottom_field_pic_order_in_frame_present
+    w.ue(0) // num_slice_groups_minus1
+    w.ue(0).ue(0) // num_ref_idx_l0/l1_default_active_minus1
+    w.u(0, 1) // weighted_pred
+    w.u(0, 2) // weighted_bipred_idc
+    w.se(0) // pic_init_qp_minus26
+    w.se(0) // pic_init_qs_minus26
+    w.se(0) // chroma_qp_index_offset
+    w.u(0, 1) // deblocking_filter_control_present
+    w.u(0, 1) // constrained_intra_pred
+    w.u(0, 1) // redundant_pic_cnt_present
+    w.u(1, 1) // transform_8x8_mode_flag
+    w.u(0, 1) // pic_scaling_matrix_present
+    w.se(secondChromaQpOffset)
     nal(3, 8, w.trailing(), longStart = true)
   }
 

@@ -44,8 +44,16 @@ import H264.{BitReader, BitWriter}
   * me(v) coded_block_pattern mapping, conditional mb_qp_delta (7.3.5),
   * per-coded-block LumaLevel4x4 residuals with nC off the shared grid,
   * and within-MB neighbour reconstruction (including the above-right
-  * substitution on blocks whose top-right is undecoded). Remaining
-  * boundary: I_8x8 (transform_size_8x8), CABAC, and inter prediction.
+  * substitution on blocks whose top-right is undecoded). I_8x8
+  * macroblocks (mb_type 0 + transform_size_8x8_flag, High profile)
+  * decode too: the 7.3.2.2 PPS tail (transform_8x8_mode_flag,
+  * second_chroma_qp_index_offset), per-8x8-block MPM flag/rem over the
+  * shared mode grid (8.3.2.1 — cross-shape 4x4/8x8 mode prediction
+  * resolves through the per-4x4-cell convention), 8.3.2.2.1
+  * reference-sample filtering, all nine 8.3.2 spatial modes, the
+  * 7.3.5.3.2 CAVLC sub-block interleave with per-sub-block nC, and
+  * 8.5.13 dequant + the inverse 8x8 transform. Remaining boundary:
+  * CABAC and inter prediction.
   *
   * All VLC tables are transcribed from the public ITU-T H.264 spec:
   * coeff_token Table 9-5 (all luma columns + chroma DC), total_zeros
@@ -828,6 +836,215 @@ object H264Cavlc {
     h
   }
 
+  // ---------------------------------------------------------------
+  // I_8x8 (transform_size_8x8_flag) machinery: 8x8 zig-zag (Table
+  // 8-8), dequant (8.5.13.1), inverse 8x8 transform (8.5.13.2),
+  // reference-sample filtering (8.3.2.2.1) and the nine Intra_8x8
+  // prediction modes (8.3.2.2.2-10).
+  // ---------------------------------------------------------------
+
+  /** Table 8-8 8x8 frame zig-zag: scan position -> (row, col). */
+  private[operators] val ZigZag8x8: Array[(Int, Int)] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    .map(p => (p / 8, p % 8))
+
+  /** normAdjust8x8(m, class) — the six position-class columns of the
+    * 8x8 dequant table (8.5.13.1). */
+  private val NormAdjust8x8 = Array(
+    Array(20, 18, 32, 19, 25, 24), Array(22, 19, 35, 21, 28, 26),
+    Array(26, 23, 42, 24, 33, 31), Array(28, 25, 45, 26, 35, 33),
+    Array(32, 28, 51, 30, 40, 38), Array(36, 32, 58, 34, 43, 41))
+
+  /** 8.5.13.1 position classing of the 8x8 coefficient (i, j). */
+  private def norm8Class(i: Int, j: Int): Int =
+    if (i % 4 == 0 && j % 4 == 0) 0
+    else if (i % 2 == 1 && j % 2 == 1) 1
+    else if (i % 4 == 2 && j % 4 == 2) 2
+    else if ((i % 4 == 0 && j % 2 == 1) || (i % 2 == 1 && j % 4 == 0)) 3
+    else if ((i % 4 == 0 && j % 4 == 2) || (i % 4 == 2 && j % 4 == 0)) 4
+    else 5
+
+  /** 8x8 coefficient dequant, 8.5.13.1 (flat weightScale8x8 = 16, so
+    * LevelScale8x8 = 16 * normAdjust8x8; threshold 36 and 6-qP/6
+    * rounding, vs the 4x4 path's 24 and 4-qP/6). */
+  private def dequant8x8(c: Int, qp: Int, i: Int, j: Int): Int = {
+    val ls = 16 * NormAdjust8x8(qp % 6)(norm8Class(i, j))
+    if (qp >= 36) (c * ls) << (qp / 6 - 6)
+    else (c * ls + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+  }
+
+  /** 8.5.13.2 inverse 8x8 transform (rows then columns); the caller
+    * applies the final (h + 32) >> 6. A DC-only d reduces exactly to
+    * the flat (dc + 32) >> 6 spread (every butterfly stage copies the
+    * DC through), which is what keeps the m27 oracle closed-form. */
+  private[operators] def inverseTransform8x8(d: Array[Array[Int]]): Array[Array[Int]] = {
+    def pass(v: Array[Int]): Array[Int] = {
+      val e = new Array[Int](8)
+      e(0) = v(0) + v(4)
+      e(1) = -v(3) + v(5) - v(7) - (v(7) >> 1)
+      e(2) = v(0) - v(4)
+      e(3) = v(1) + v(7) - v(3) - (v(3) >> 1)
+      e(4) = (v(2) >> 1) - v(6)
+      e(5) = -v(1) + v(7) + v(5) + (v(5) >> 1)
+      e(6) = v(2) + (v(6) >> 1)
+      e(7) = v(3) + v(5) + v(1) + (v(1) >> 1)
+      val f = new Array[Int](8)
+      f(0) = e(0) + e(6); f(1) = e(1) + (e(7) >> 2)
+      f(2) = e(2) + e(4); f(3) = e(3) + (e(5) >> 2)
+      f(4) = e(2) - e(4); f(5) = (e(3) >> 2) - e(5)
+      f(6) = e(0) - e(6); f(7) = e(7) - (e(1) >> 2)
+      Array(f(0) + f(7), f(2) + f(5), f(4) + f(3), f(6) + f(1),
+        f(6) - f(1), f(4) - f(3), f(2) - f(5), f(0) - f(7))
+    }
+    val g = d.map(pass)
+    val out = Array.ofDim[Int](8, 8)
+    var j = 0
+    while (j < 8) {
+      val col = pass(Array.tabulate(8)(i => g(i)(j)))
+      var i = 0
+      while (i < 8) { out(i)(j) = col(i); i += 1 }
+      j += 1
+    }
+    out
+  }
+
+  /** 8.3.2.2.1 reference sample filtering: the (1,2,1) low-pass over
+    * the raw neighbour samples — Intra_8x8's one structural difference
+    * from Intra_4x4. `t` spans p[0..15,-1] with the top-right
+    * substitution (p[7,-1] repeated) already applied by the caller;
+    * `l` spans p[-1,0..7]. Returns (t', l', tl'). */
+  private def filterRef8x8(t: Array[Int], l: Array[Int], tl: Int,
+      leftAv: Boolean, topAv: Boolean, tlAv: Boolean): (Array[Int], Array[Int], Int) = {
+    val tF = new Array[Int](16)
+    if (topAv) {
+      tF(0) =
+        if (tlAv) (tl + 2 * t(0) + t(1) + 2) >> 2
+        else (3 * t(0) + t(1) + 2) >> 2
+      var x = 1
+      while (x < 15) { tF(x) = (t(x - 1) + 2 * t(x) + t(x + 1) + 2) >> 2; x += 1 }
+      tF(15) = (t(14) + 3 * t(15) + 2) >> 2
+    }
+    val lF = new Array[Int](8)
+    if (leftAv) {
+      lF(0) =
+        if (tlAv) (tl + 2 * l(0) + l(1) + 2) >> 2
+        else (3 * l(0) + l(1) + 2) >> 2
+      var y = 1
+      while (y < 7) { lF(y) = (l(y - 1) + 2 * l(y) + l(y + 1) + 2) >> 2; y += 1 }
+      lF(7) = (l(6) + 3 * l(7) + 2) >> 2
+    }
+    val tlF =
+      if (!tlAv) tl
+      else if (topAv && leftAv) (t(0) + 2 * tl + l(0) + 2) >> 2
+      else if (topAv) (3 * tl + t(0) + 2) >> 2
+      else if (leftAv) (3 * tl + l(0) + 2) >> 2
+      else tl
+    (tF, lF, tlF)
+  }
+
+  /** Intra_8x8 sample prediction (8.3.2.2.2-10), all nine modes, over
+    * FILTERED reference samples. Same mode numbering and neighbour
+    * requirements as Intra_4x4; geometry doubled (t spans 16, l spans
+    * 8, the HU seam moves from zHU 5/6 to 13/14). Output o(y)(x). */
+  private def intra8x8Pred(mode: Int, l: Array[Int], t: Array[Int],
+      tl: Int, leftAv: Boolean, topAv: Boolean, tlAv: Boolean,
+      where: => String): Array[Array[Int]] = {
+    def tAt(i: Int): Int = if (i >= 0) t(i) else tl
+    def lAt(i: Int): Int = if (i >= 0) l(i) else tl
+    val o = Array.ofDim[Int](8, 8)
+    def fill(f: (Int, Int) => Int): Unit = {
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) { o(y)(x) = f(x, y); x += 1 }
+        y += 1
+      }
+    }
+    mode match {
+      case 0 =>
+        require(topAv, s"$where: vertical pred without top neighbour")
+        fill((x, _) => t(x))
+      case 1 =>
+        require(leftAv, s"$where: horizontal pred without left neighbour")
+        fill((_, y) => l(y))
+      case 2 =>
+        val sumT = t.take(8).sum
+        val v =
+          if (leftAv && topAv) (sumT + l.sum + 8) >> 4
+          else if (leftAv) (l.sum + 4) >> 3
+          else if (topAv) (sumT + 4) >> 3
+          else 128
+        fill((_, _) => v)
+      case 3 =>
+        require(topAv, s"$where: diagonal-down-left pred without top")
+        fill((x, y) =>
+          if (x == 7 && y == 7) (t(14) + 3 * t(15) + 2) >> 2
+          else (t(x + y) + 2 * t(x + y + 1) + t(x + y + 2) + 2) >> 2)
+      case 4 =>
+        require(leftAv && topAv && tlAv,
+          s"$where: diagonal-down-right pred needs left+top+topleft")
+        fill { (x, y) =>
+          if (x > y) (tAt(x - y - 2) + 2 * tAt(x - y - 1) + t(x - y) + 2) >> 2
+          else if (x < y)
+            (lAt(y - x - 2) + 2 * lAt(y - x - 1) + l(y - x) + 2) >> 2
+          else (t(0) + 2 * tl + l(0) + 2) >> 2
+        }
+      case 5 =>
+        require(leftAv && topAv && tlAv,
+          s"$where: vertical-right pred needs left+top+topleft")
+        fill { (x, y) =>
+          val zVR = 2 * x - y
+          if (zVR >= 0 && (zVR & 1) == 0)
+            (tAt(x - (y >> 1) - 1) + tAt(x - (y >> 1)) + 1) >> 1
+          else if (zVR >= 1)
+            (tAt(x - (y >> 1) - 2) + 2 * tAt(x - (y >> 1) - 1) +
+              tAt(x - (y >> 1)) + 2) >> 2
+          else if (zVR == -1) (l(0) + 2 * tl + t(0) + 2) >> 2
+          else (l(y - 2 * x - 1) + 2 * l(y - 2 * x - 2) +
+            lAt(y - 2 * x - 3) + 2) >> 2
+        }
+      case 6 =>
+        require(leftAv && topAv && tlAv,
+          s"$where: horizontal-down pred needs left+top+topleft")
+        fill { (x, y) =>
+          val zHD = 2 * y - x
+          if (zHD >= 0 && (zHD & 1) == 0)
+            (lAt(y - (x >> 1) - 1) + lAt(y - (x >> 1)) + 1) >> 1
+          else if (zHD >= 1)
+            (lAt(y - (x >> 1) - 2) + 2 * lAt(y - (x >> 1) - 1) +
+              lAt(y - (x >> 1)) + 2) >> 2
+          else if (zHD == -1) (l(0) + 2 * tl + t(0) + 2) >> 2
+          else (t(x - 2 * y - 1) + 2 * tAt(x - 2 * y - 2) +
+            tAt(x - 2 * y - 3) + 2) >> 2
+        }
+      case 7 =>
+        require(topAv, s"$where: vertical-left pred without top")
+        fill { (x, y) =>
+          if ((y & 1) == 0) (t(x + (y >> 1)) + t(x + (y >> 1) + 1) + 1) >> 1
+          else (t(x + (y >> 1)) + 2 * t(x + (y >> 1) + 1) +
+            t(x + (y >> 1) + 2) + 2) >> 2
+        }
+      case 8 =>
+        require(leftAv, s"$where: horizontal-up pred without left")
+        fill { (x, y) =>
+          val zHU = x + 2 * y
+          if (zHU < 13 && (zHU & 1) == 0)
+            (l(y + (x >> 1)) + l(y + (x >> 1) + 1) + 1) >> 1
+          else if (zHU < 13)
+            (l(y + (x >> 1)) + 2 * l(y + (x >> 1) + 1) +
+              l(y + (x >> 1) + 2) + 2) >> 2
+          else if (zHU == 13) (l(6) + 3 * l(7) + 2) >> 2
+          else l(7)
+        }
+      case bad =>
+        throw new IllegalArgumentException(s"$where: bad Intra_8x8 mode $bad")
+    }
+    o
+  }
+
   /** Encode one IDR picture coded entirely as I_16x16_2_0_0
     * macroblocks. `dcLevels(mb)` is the 4x4 luma DC COEFFICIENT LEVEL
     * array (c, pre-dequant, row-major (row)(col)) for macroblock `mb`
@@ -1214,6 +1431,261 @@ object H264Cavlc {
     nals.toArray
   }
 
+  /** Encode one IDR picture mixing I_8x8, I_4x4 and all-zero I_16x16
+    * macroblocks — the fixture generator for the transform_size_8x8
+    * decode path. MUST be paired with [[H264.encodeSpsHigh]] +
+    * [[H264.encodePpsT8]]: every mb_type 0 macroblock carries a
+    * transform_size_8x8_flag (1 for kind 0, 0 for kind 1).
+    *
+    *  - `kinds(m)`: 0 = I_8x8 (modes8/coeffs8), 1 = I_4x4
+    *    (modes4/coeffs4), 2 = all-zero I_16x16_2_0_0.
+    *  - `modes8(m)(b8)`: Intra8x8PredMode per 8x8 block;
+    *    `coeffs8(m)(b8)`: 64 levels in 8x8 zig-zag scan order. CBP bit
+    *    b8 is set iff the block has a nonzero level; coded blocks emit
+    *    the 7.3.5.3.2 CAVLC interleave (sub-block i4x4 carries scan
+    *    positions 4k + i4x4, nC as luma4x4BlkIdx 4*b8 + i4x4).
+    *  - `modes4`/`coeffs4`: exactly [[encodeIntra4x4Frame]]'s shape.
+    *
+    * Mode legality is checked with the decoder's own availability
+    * rules (including the 8x8 reference geometry), so every emitted
+    * stream decodes. QP bookkeeping: SliceQPy = qp, every mb_qp_delta
+    * 0 (present only when cbp != 0 for I_NxN; always for I_16x16). */
+  def encodeIntra8x8Frame(widthMbs: Int, heightMapUnits: Int,
+      kinds: Array[Int],
+      modes8: Array[Array[Int]], coeffs8: Array[Array[Array[Int]]],
+      modes4: Array[Array[Int]], coeffs4: Array[Array[Array[Int]]],
+      qp: Int, idrPicId: Int = 0,
+      sliceStarts: Array[Int] = Array(0)): Array[Byte] = {
+    val nMbs = widthMbs * heightMapUnits
+    require(kinds.length == nMbs && kinds.forall(k => k >= 0 && k <= 2))
+    require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
+    kinds.zipWithIndex.foreach { case (k, m) =>
+      if (k == 0) require(modes8(m).length == 4 && coeffs8(m).length == 4 &&
+        coeffs8(m).forall(_.length == 64),
+        s"mb $m: I_8x8 needs 4 modes and 4 x 64 zig-zag levels")
+      if (k == 1) require(modes4(m).length == 16 && coeffs4(m).length == 16 &&
+        coeffs4(m).forall(_.length == 16),
+        s"mb $m: I_4x4 needs 16 modes and 16 x 16 zig-zag levels")
+    }
+    require(sliceStarts.nonEmpty && sliceStarts.head == 0 &&
+      sliceStarts.forall(st => st >= 0 && st < nMbs) &&
+      sliceStarts.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+      s"bad sliceStarts ${sliceStarts.mkString(",")}")
+    val mbSliceOf = new Array[Int](nMbs)
+    locally {
+      var si = 0
+      var mm = 0
+      while (mm < nMbs) {
+        if (si + 1 < sliceStarts.length && mm == sliceStarts(si + 1)) si += 1
+        mbSliceOf(mm) = si
+        mm += 1
+      }
+    }
+    // decoder-grid mirrors: per-4x4-cell TotalCoeff (nC) and prediction
+    // mode (-1 = non-I_NxN; I_8x8 writes its mode into all 4 cells)
+    val tcGrid = Array.ofDim[Int](heightMapUnits * 4, widthMbs * 4)
+    val i4 = Array.fill(heightMapUnits * 4, widthMbs * 4)(-1)
+    val nals = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var w: BitWriter = null
+    var m = 0
+    while (m < nMbs) {
+      val mbX = m % widthMbs
+      val mbY = m / widthMbs
+      val curSlice = mbSliceOf(m)
+      def mbAvail(x: Int, y: Int): Boolean = {
+        val nmb = y * widthMbs + x
+        nmb <= m && mbSliceOf(nmb) == curSlice
+      }
+      def blkAvail(nbx: Int, nby: Int): Boolean =
+        nbx >= 0 && nby >= 0 && {
+          val nmb = (nby / 4) * widthMbs + (nbx / 4)
+          nmb == m || mbAvail(nbx / 4, nby / 4)
+        }
+      if (sliceStarts(curSlice) == m) {
+        if (w != null) nals ++= H264.nal(3, 5, w.trailing(), longStart = false)
+        w = new BitWriter
+        w.ue(m) // first_mb_in_slice
+        w.ue(7) // slice_type: I
+        w.ue(0) // pps id
+        w.u(0, 8) // frame_num (IDR)
+        w.ue(idrPicId & 0xFFFF)
+        w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking (IDR form)
+        w.se(qp - 26) // SliceQPy = qp
+      }
+      kinds(m) match {
+        case 2 =>
+          // all-zero I_16x16_2_0_0: DC pred, no residual anywhere
+          w.ue(3) // mb_type
+          w.ue(0) // intra_chroma_pred_mode
+          w.se(0) // mb_qp_delta (always present for I_16x16)
+          encodeResidual(new Array[Int](16),
+            lumaCoeffTokenTab(lumaNc(tcGrid, mbX, mbY, 0, mbAvail),
+              s"mb $m DC"), TotalZeros, w)
+        // tcGrid stays 0; i4 stays -1
+        case 1 =>
+          w.ue(0) // mb_type: I_NxN
+          w.u(0, 1) // transform_size_8x8_flag = 0: I_4x4
+          var blk = 0
+          while (blk < 16) {
+            val (ox, oy) = Blk4x4Pos(blk)
+            val bx = mbX * 4 + ox / 4
+            val by = mbY * 4 + oy / 4
+            val availA = bx > 0 && blkAvail(bx - 1, by)
+            val availB = by > 0 && blkAvail(bx, by - 1)
+            val predMode =
+              if (!availA || !availB) 2
+              else math.min(
+                if (i4(by)(bx - 1) < 0) 2 else i4(by)(bx - 1),
+                if (i4(by - 1)(bx) < 0) 2 else i4(by - 1)(bx))
+            val mode = modes4(m)(blk)
+            require(mode >= 0 && mode <= 8, s"mb $m blk $blk: bad mode $mode")
+            val needL = mode == 1 || mode == 4 || mode == 5 || mode == 6 ||
+              mode == 8
+            val needT = mode == 0 || mode == 3 || mode == 4 || mode == 5 ||
+              mode == 6 || mode == 7
+            val needTL = mode == 4 || mode == 5 || mode == 6
+            val gx = mbX * 16 + ox
+            val gy = mbY * 16 + oy
+            def sAv(px: Int, py: Int): Boolean =
+              px >= 0 && py >= 0 && px < widthMbs * 16 &&
+                py < heightMapUnits * 16 && {
+                  val bmx = px / 16
+                  val bmy = py / 16
+                  if (bmy * widthMbs + bmx == m)
+                    ZIdxOf((py % 16) / 4)((px % 16) / 4) < blk
+                  else mbAvail(bmx, bmy)
+                }
+            if (needL) require(sAv(gx - 1, gy),
+              s"mb $m blk $blk: mode $mode needs a left neighbour")
+            if (needT) require(sAv(gx, gy - 1),
+              s"mb $m blk $blk: mode $mode needs a top neighbour")
+            if (needTL) require(sAv(gx - 1, gy - 1),
+              s"mb $m blk $blk: mode $mode needs a top-left neighbour")
+            if (mode == predMode) w.u(1, 1)
+            else {
+              w.u(0, 1)
+              w.u(if (mode < predMode) mode else mode - 1, 3)
+            }
+            i4(by)(bx) = mode
+            blk += 1
+          }
+          w.ue(0) // intra_chroma_pred_mode: DC
+          var cbpLuma = 0
+          var g = 0
+          while (g < 4) {
+            var any = false
+            var b2 = 4 * g
+            while (b2 < 4 * g + 4 && !any) {
+              any = coeffs4(m)(b2).exists(_ != 0); b2 += 1
+            }
+            if (any) cbpLuma |= 1 << g
+            g += 1
+          }
+          w.ue(CbpIntraInv(cbpLuma)) // coded_block_pattern (chroma 0)
+          if (cbpLuma != 0) w.se(0) // mb_qp_delta
+          blk = 0
+          while (blk < 16) {
+            val (ox, oy) = Blk4x4Pos(blk)
+            val bx = mbX * 4 + ox / 4
+            val by = mbY * 4 + oy / 4
+            if (((cbpLuma >> (blk >> 2)) & 1) == 1) {
+              val nC = lumaNc(tcGrid, mbX, mbY, blk, mbAvail)
+              encodeResidual(coeffs4(m)(blk),
+                lumaCoeffTokenTab(nC, s"mb $m i4 blk $blk"), TotalZeros, w)
+              tcGrid(by)(bx) = coeffs4(m)(blk).count(_ != 0)
+            } else {
+              require(coeffs4(m)(blk).forall(_ == 0),
+                s"mb $m blk $blk: nonzero levels in an uncoded 8x8 group")
+              tcGrid(by)(bx) = 0
+            }
+            blk += 1
+          }
+        case _ =>
+          w.ue(0) // mb_type: I_NxN
+          w.u(1, 1) // transform_size_8x8_flag = 1: I_8x8
+          def sAv8(px: Int, py: Int, curB8: Int): Boolean =
+            px >= 0 && py >= 0 && px < widthMbs * 16 &&
+              py < heightMapUnits * 16 && {
+                val bmx = px / 16
+                val bmy = py / 16
+                if (bmy * widthMbs + bmx == m)
+                  ((py % 16) / 8) * 2 + ((px % 16) / 8) < curB8
+                else mbAvail(bmx, bmy)
+              }
+          var b8 = 0
+          while (b8 < 4) {
+            val bx = mbX * 4 + (b8 & 1) * 2
+            val by = mbY * 4 + (b8 >> 1) * 2
+            val availA = bx > 0 && blkAvail(bx - 1, by)
+            val availB = by > 0 && blkAvail(bx, by - 1)
+            val predMode =
+              if (!availA || !availB) 2
+              else math.min(
+                if (i4(by)(bx - 1) < 0) 2 else i4(by)(bx - 1),
+                if (i4(by - 1)(bx) < 0) 2 else i4(by - 1)(bx))
+            val mode = modes8(m)(b8)
+            require(mode >= 0 && mode <= 8, s"mb $m b8 $b8: bad mode $mode")
+            val needL = mode == 1 || mode == 4 || mode == 5 || mode == 6 ||
+              mode == 8
+            val needT = mode == 0 || mode == 3 || mode == 4 || mode == 5 ||
+              mode == 6 || mode == 7
+            val needTL = mode == 4 || mode == 5 || mode == 6
+            val gx = mbX * 16 + (b8 & 1) * 8
+            val gy = mbY * 16 + (b8 >> 1) * 8
+            if (needL) require(sAv8(gx - 1, gy, b8),
+              s"mb $m b8 $b8: mode $mode needs a left neighbour")
+            if (needT) require(sAv8(gx, gy - 1, b8),
+              s"mb $m b8 $b8: mode $mode needs a top neighbour")
+            if (needTL) require(sAv8(gx - 1, gy - 1, b8),
+              s"mb $m b8 $b8: mode $mode needs a top-left neighbour")
+            if (mode == predMode) w.u(1, 1)
+            else {
+              w.u(0, 1)
+              w.u(if (mode < predMode) mode else mode - 1, 3)
+            }
+            i4(by)(bx) = mode; i4(by)(bx + 1) = mode
+            i4(by + 1)(bx) = mode; i4(by + 1)(bx + 1) = mode
+            b8 += 1
+          }
+          w.ue(0) // intra_chroma_pred_mode: DC
+          var cbpLuma = 0
+          b8 = 0
+          while (b8 < 4) {
+            if (coeffs8(m)(b8).exists(_ != 0)) cbpLuma |= 1 << b8
+            b8 += 1
+          }
+          w.ue(CbpIntraInv(cbpLuma)) // coded_block_pattern (chroma 0)
+          if (cbpLuma != 0) w.se(0) // mb_qp_delta
+          b8 = 0
+          while (b8 < 4) {
+            var i4x4 = 0
+            while (i4x4 < 4) {
+              val blkIdx = b8 * 4 + i4x4
+              val (ox, oy) = Blk4x4Pos(blkIdx)
+              if (((cbpLuma >> b8) & 1) == 1) {
+                // 7.3.5.3.2 interleave: sub-block i4x4 carries scan
+                // positions 4k + i4x4 of the 8x8 zig-zag
+                val sub = Array.tabulate(16)(k => coeffs8(m)(b8)(4 * k + i4x4))
+                val nC = lumaNc(tcGrid, mbX, mbY, blkIdx, mbAvail)
+                encodeResidual(sub,
+                  lumaCoeffTokenTab(nC, s"mb $m i8 blk $b8 sub $i4x4"),
+                  TotalZeros, w)
+                tcGrid(mbY * 4 + oy / 4)(mbX * 4 + ox / 4) =
+                  sub.count(_ != 0)
+              } else {
+                tcGrid(mbY * 4 + oy / 4)(mbX * 4 + ox / 4) = 0
+              }
+              i4x4 += 1
+            }
+            b8 += 1
+          }
+      }
+      m += 1
+    }
+    nals ++= H264.nal(3, 5, w.trailing(), longStart = false)
+    nals.toArray
+  }
+
   /** Decode every Intra_16x16-DC picture of an SPS+PPS+IDR stream into
     * (width, height, luma) planes: slice-header walk, per-MB CAVLC DC
     * block, inverse Hadamard (8.5.6), dequant (8.5.10), DC-only core
@@ -1239,7 +1711,9 @@ object H264Cavlc {
     val nals = H264.nalUnits(es)
     var sps: Option[H264.SpsInfo] = None
     var ppsQpInit = 26
-    var ppsChromaQpOff = 0
+    var ppsCbQpOff = 0
+    var ppsCrQpOff = 0
+    var ppsT8 = false
     var ppsSeen = false
     val out = ArrayBuffer[(Int, Int, Array[Byte], Array[Byte], Array[Byte])]()
     var pic: Option[PicState] = None
@@ -1256,7 +1730,19 @@ object H264Cavlc {
           r.u(1); r.u(2) // weighted_pred / weighted_bipred_idc
           ppsQpInit = 26 + r.se() // pic_init_qp_minus26
           r.se() // pic_init_qs_minus26
-          ppsChromaQpOff = r.se() // chroma_qp_index_offset
+          ppsCbQpOff = r.se() // chroma_qp_index_offset
+          r.u(1) // deblocking_filter_control_present
+          require(r.u(1) == 0, "constrained_intra_pred not supported")
+          r.u(1) // redundant_pic_cnt_present
+          // 7.3.2.2 optional tail: present iff more RBSP data remains
+          if (r.moreRbspData) {
+            ppsT8 = r.u(1) == 1 // transform_8x8_mode_flag
+            require(r.u(1) == 0, "pic scaling matrices not supported")
+            ppsCrQpOff = r.se() // second_chroma_qp_index_offset (Cr)
+          } else {
+            ppsT8 = false
+            ppsCrQpOff = ppsCbQpOff
+          }
           ppsSeen = true
         case 5 =>
           val s = sps.getOrElse(
@@ -1275,7 +1761,8 @@ object H264Cavlc {
           }
           val st = pic.getOrElse(throw new IllegalArgumentException(
             "slice with first_mb_in_slice != 0 before a picture start"))
-          decodeIntra16SliceInto(st, rbsp, ppsQpInit, ppsChromaQpOff)
+          decodeIntra16SliceInto(st, rbsp, ppsQpInit, ppsCbQpOff,
+            ppsCrQpOff, ppsT8)
         case _ => ()
       }
     }
@@ -1523,13 +2010,165 @@ object H264Cavlc {
     (cbpChroma, qpy)
   }
 
+  /** Decode one I_8x8 (mb_type 0 + transform_size_8x8_flag) macroblock
+    * (7.3.5.1 / 8.3.2): four 8x8 prediction blocks, each with the same
+    * most-probable-mode flag/rem syntax as Intra_4x4 (8.3.2.1 — the
+    * MPM reads the shared per-4x4-cell mode grid, which resolves BOTH
+    * neighbour shapes correctly: an I_8x8 neighbour stores its mode in
+    * all four covered cells, and an I_4x4 neighbour's adjacent cell IS
+    * the spec's sub-block 1-of-A / 2-of-B), Table 9-4 intra cbp,
+    * mb_qp_delta when cbp != 0, and per coded 8x8 block the CAVLC
+    * interleave of 7.3.5.3.2: four 4x4 residual blocks whose
+    * coefficient k lands at 8x8 zig-zag position 4k + i4x4, each
+    * sub-block deriving nC as ordinary luma4x4BlkIdx = 4*i8x8 + i4x4
+    * and recording its own TotalCoeff (9.2.1). Reconstruction:
+    * 8.3.2.2.1 reference filtering, nine-mode spatial prediction,
+    * 8.5.13 dequant + inverse 8x8 transform. Returns
+    * (CodedBlockPatternChroma, updated QPy). */
+  private def decodeI8x8MbLuma(st: PicState, r: BitReader, m: Int,
+      mbAvail: (Int, Int) => Boolean, qpyIn: Int): (Int, Int) = {
+    val widthMbs = st.widthMbs
+    val w16 = st.w16
+    val h16 = st.mapUnits * 16
+    val plane = st.plane
+    val tcGrid = st.tcGrid
+    val i4 = st.i4Mode
+    val mbX = m % widthMbs
+    val mbY = m / widthMbs
+    def blkAvail(nbx: Int, nby: Int): Boolean =
+      nbx >= 0 && nby >= 0 && {
+        val nmb = (nby / 4) * widthMbs + (nbx / 4)
+        nmb == m || mbAvail(nbx / 4, nby / 4)
+      }
+    val modes = new Array[Int](4)
+    var b8 = 0
+    while (b8 < 4) {
+      val bx = mbX * 4 + (b8 & 1) * 2
+      val by = mbY * 4 + (b8 >> 1) * 2
+      val availA = bx > 0 && blkAvail(bx - 1, by)
+      val availB = by > 0 && blkAvail(bx, by - 1)
+      val predMode =
+        if (!availA || !availB) 2
+        else math.min(
+          if (i4(by)(bx - 1) < 0) 2 else i4(by)(bx - 1),
+          if (i4(by - 1)(bx) < 0) 2 else i4(by - 1)(bx))
+      val mode =
+        if (r.u(1) == 1) predMode
+        else {
+          val rem = r.u(3)
+          if (rem < predMode) rem else rem + 1
+        }
+      modes(b8) = mode
+      i4(by)(bx) = mode; i4(by)(bx + 1) = mode
+      i4(by + 1)(bx) = mode; i4(by + 1)(bx + 1) = mode
+      b8 += 1
+    }
+    require(r.ue() == 0, "only chroma DC prediction mode supported")
+    val cbpCode = r.ue()
+    require(cbpCode < 48,
+      s"mb $m: coded_block_pattern codeNum $cbpCode out of range")
+    val cbp = CbpIntra(cbpCode)
+    val cbpLuma = cbp & 15
+    val cbpChroma = cbp >> 4
+    var qpy = qpyIn
+    if (cbp != 0) qpy = (qpy + r.se() + 52) % 52 // 7.4.5 wrap
+    // sample availability at 8x8 granularity: within the current MB a
+    // reference sample must lie in an already-reconstructed 8x8 block
+    def sampleAvail(px: Int, py: Int, curB8: Int): Boolean =
+      px >= 0 && py >= 0 && px < w16 && py < h16 && {
+        val bmx = px / 16
+        val bmy = py / 16
+        if (bmy * widthMbs + bmx == m)
+          ((py % 16) / 8) * 2 + ((px % 16) / 8) < curB8
+        else mbAvail(bmx, bmy)
+      }
+    b8 = 0
+    while (b8 < 4) {
+      // residual first in bitstream order, then reconstruct this block
+      // so the next block's references see finished samples
+      val lvl = new Array[Int](64)
+      var anyNz = false
+      var i4x4 = 0
+      while (i4x4 < 4) {
+        val blkIdx = b8 * 4 + i4x4
+        val (ox, oy) = Blk4x4Pos(blkIdx)
+        if (((cbpLuma >> b8) & 1) == 1) {
+          val nC = lumaNc(tcGrid, mbX, mbY, blkIdx, mbAvail)
+          val sub = decodeResidual(r,
+            lumaCoeffTokenTab(nC, s"mb $m i8 blk $b8 sub $i4x4"),
+            TotalZeros, 16)
+          var total = 0
+          var k = 0
+          while (k < 16) {
+            if (sub(k) != 0) { total += 1; anyNz = true }
+            lvl(4 * k + i4x4) = sub(k)
+            k += 1
+          }
+          tcGrid(mbY * 4 + oy / 4)(mbX * 4 + ox / 4) = total
+        } else {
+          tcGrid(mbY * 4 + oy / 4)(mbX * 4 + ox / 4) = 0
+        }
+        i4x4 += 1
+      }
+      val ox8 = (b8 & 1) * 8
+      val oy8 = (b8 >> 1) * 8
+      val gx = mbX * 16 + ox8
+      val gy = mbY * 16 + oy8
+      val leftAv = sampleAvail(gx - 1, gy, b8)
+      val topAv = sampleAvail(gx, gy - 1, b8)
+      val tlAv = sampleAvail(gx - 1, gy - 1, b8)
+      val trAv = sampleAvail(gx + 8, gy - 1, b8)
+      val lRaw = Array.tabulate(8)(y =>
+        if (leftAv) plane((gy + y) * w16 + gx - 1) & 0xFF else 0)
+      val tlRaw = if (tlAv) plane((gy - 1) * w16 + gx - 1) & 0xFF else 0
+      val tRaw = new Array[Int](16)
+      if (topAv) {
+        var x = 0
+        while (x < 8) { tRaw(x) = plane((gy - 1) * w16 + gx + x) & 0xFF; x += 1 }
+        while (x < 16) { // 8.3.2.2.1 top-right substitution
+          tRaw(x) = if (trAv) plane((gy - 1) * w16 + gx + x) & 0xFF else tRaw(7)
+          x += 1
+        }
+      }
+      val (tF, lF, tlF) = filterRef8x8(tRaw, lRaw, tlRaw, leftAv, topAv, tlAv)
+      val pred = intra8x8Pred(modes(b8), lF, tF, tlF, leftAv, topAv, tlAv,
+        s"mb $m i8 blk $b8")
+      var hM: Array[Array[Int]] = null
+      if (anyNz) {
+        val d = Array.ofDim[Int](8, 8)
+        var p = 0
+        while (p < 64) {
+          if (lvl(p) != 0) {
+            val (i, j) = ZigZag8x8(p)
+            d(i)(j) = dequant8x8(lvl(p), qpy, i, j)
+          }
+          p += 1
+        }
+        hM = inverseTransform8x8(d)
+      }
+      var rr = 0
+      while (rr < 8) {
+        var cc = 0
+        while (cc < 8) {
+          val res = if (hM != null) (hM(rr)(cc) + 32) >> 6 else 0
+          plane((gy + rr) * w16 + gx + cc) =
+            clip255(pred(rr)(cc) + res).toByte
+          cc += 1
+        }
+        rr += 1
+      }
+      b8 += 1
+    }
+    (cbpChroma, qpy)
+  }
+
   /** Decode ONE slice into the picture state: slice header (any
     * first_mb_in_slice, as long as slices tile in order), then MBs
     * while more_rbsp_data() holds. QPy resets to SliceQPy per slice
     * (7.4.5); neighbour availability for prediction and nC is
     * restricted to the current slice. */
   private def decodeIntra16SliceInto(st: PicState, rbsp: Array[Byte],
-      qpInit: Int, chromaQpOff: Int): Unit = {
+      qpInit: Int, cbQpOff: Int, crQpOff: Int, t8x8: Boolean): Unit = {
     val s = st.s
     val widthMbs = st.widthMbs
     val w16 = st.w16
@@ -1563,18 +2202,22 @@ object H264Cavlc {
       st.mbSlice(m) = sliceId
       st.nextMb += 1
       val mbType = r.ue()
-      // Table 7-11: mb_type 0 is I_4x4 (I_NxN with CAVLC and no 8x8
-      // transform in this profile); 1..24 are
-      // I_16x16_{pred}_{cbpChroma}_{cbpLuma} with base = 1 + predMode
-      // + 4*cbpChroma and +12 when CodedBlockPatternLuma = 15. Both
-      // shapes decode; I_PCM (25) stays a boundary.
+      // Table 7-11: mb_type 0 is I_NxN — I_4x4, or I_8x8 when the PPS
+      // enables the 8x8 transform and this MB's transform_size_8x8_flag
+      // is set (7.3.5); 1..24 are I_16x16_{pred}_{cbpChroma}_{cbpLuma}
+      // with base = 1 + predMode + 4*cbpChroma and +12 when
+      // CodedBlockPatternLuma = 15. All three shapes decode; I_PCM
+      // (25) stays a boundary.
       require(mbType >= 0 && mbType <= 24,
         s"mb $m: mb_type $mbType outside the intra CAVLC decode subset " +
-          "(I_8x8 / I_PCM not supported here)")
+          "(I_PCM not supported here)")
       val mbX = m % widthMbs
       val mbY = m / widthMbs
       val cbpChroma: Int = if (mbType == 0) {
-        val (cbpC, newQpy) = decodeI4x4MbLuma(st, r, m, mbAvail, qpy)
+        val use8 = t8x8 && r.u(1) == 1 // transform_size_8x8_flag
+        val (cbpC, newQpy) =
+          if (use8) decodeI8x8MbLuma(st, r, m, mbAvail, qpy)
+          else decodeI4x4MbLuma(st, r, m, mbAvail, qpy)
         qpy = newQpy
         cbpC
       } else {
@@ -1734,9 +2377,12 @@ object H264Cavlc {
             }
         }
       }
-      val qPc = qpc(qpy + chromaQpOff)
-      Seq((cbPlane, cbScan, cbAcBlk), (crPlane, crScan, crAcBlk)).foreach {
-        case (cp, sc, acC) =>
+      // 7.4.2.2: Cb uses chroma_qp_index_offset, Cr uses
+      // second_chroma_qp_index_offset (equal to the first when the PPS
+      // carries no tail)
+      Seq((cbPlane, cbScan, cbAcBlk, qpc(qpy + cbQpOff)),
+        (crPlane, crScan, crAcBlk, qpc(qpy + crQpOff))).foreach {
+        case (cp, sc, acC, qPc) =>
         val f2 = hadamard2(Array(Array(sc(0), sc(1)), Array(sc(2), sc(3))))
         var cbi = 0
         while (cbi < 2) {

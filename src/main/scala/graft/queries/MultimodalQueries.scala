@@ -41,7 +41,99 @@ object MultimodalQueries {
     "m23_video_chroma_ac" -> m23,
     "m24_video_multi_slice" -> m24,
     "m25_video_dense_cavlc" -> m25,
-    "m26_video_intra4x4" -> m26)
+    "m26_video_intra4x4" -> m26,
+    "m27_video_intra8x8" -> m27)
+
+  /** m27's 23 output columns (one past the Tuple22 ceiling). */
+  private case class M27Row(doc_id: Long, width: Int, height: Int,
+      u0: Int, u2: Int, u3: Int, b0: Int, b1: Int, b2: Int, b3: Int,
+      b4: Int, b5: Int, b6: Int, b7: Int, b8: Int, b9: Int, b10: Int,
+      b11: Int, b12: Int, b13: Int, b14: Int, b15: Int, y_sum: Long)
+
+  /** I_8x8 (transform_size_8x8) decode on the oracle gate (m27): each
+    * asset is one High-profile IDR picture of 2x2 MIXED macroblocks —
+    * an all-zero I_16x16 (flat 128), an I_8x8 with cbp 0 whose four
+    * blocks walk the MPM flag/rem syntax through ALL NINE 8.3.2 modes
+    * over a uniform-128 neighbourhood (any desync in the
+    * transform_size_8x8_flag, mode syntax or reference filtering
+    * shifts every later bit), an I_8x8 carrying DC residuals through
+    * the 7.3.5.3.2 CAVLC interleave + 8.5.13 dequant/transform, and an
+    * I_4x4 whose 16-block recurrence reads the I_8x8 MB's
+    * reconstruction (cross-shape MPM and prediction). Closed form by
+    * construction: QPy 36 makes both residual paths exactly linear
+    * (8x8 DC: (320c+32)>>6 = 5c; 4x4 DC: (640c+32)>>6 = 10c), the
+    * I_8x8 residual MB pairs its top blocks' coefficients so the
+    * (1,2,1) reference filter always sees flat edges, and every
+    * prediction reduces to a neighbour value or the rounded average —
+    * an integer recurrence DuckDB replays with lateral column
+    * references, clip never binding.
+    *
+    * Scale: zero-shuffle per-asset map, like every codec query. */
+  private def m27: Q = (spark, dir) => {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      def zpos4(b: Int): (Int, Int) =
+        (((b >> 2) & 1) * 8 + (b & 1) * 4, ((b >> 3) & 1) * 8 + ((b >> 1) & 1) * 4)
+      val kinds = Array(2, 0, 0, 1) // I_16x16 | I_8x8 syntax | I_8x8 res | I_4x4
+      // MB1: uniform-128 neighbourhood — top row left-only modes,
+      // bottom row all nine
+      val modes8 = Array.ofDim[Int](4, 4)
+      modes8(1) = Array(
+        Array(1, 2, 8)((id % 3).toInt),
+        Array(1, 2, 8)(((id + 1) % 3).toInt),
+        ((id + 2) % 9).toInt,
+        ((id + 3) % 9).toInt)
+      // MB2: top-only flat modes; blocks 0/1 share a coefficient so
+      // the filtered top of blocks 2/3 stays flat
+      modes8(2) = Array(
+        Array(0, 2, 3, 7)((id % 4).toInt),
+        Array(0, 3, 7)(((id + 1) % 3).toInt),
+        Array(0, 2, 3, 7)(((id + 2) % 4).toInt),
+        Array(0, 3, 7)(((id + 3) % 3).toInt))
+      val coeffs8 = Array.fill(4)(Array.fill(4)(new Array[Int](64)))
+      val g0 = id % 2 == 1
+      val g2 = (id / 2) % 2 == 1
+      val g3 = (id / 4) % 2 == 1
+      val c0 = ((id % 7) - 3).toInt
+      val c2 = (((id + 10) % 7) - 3).toInt
+      val c3 = (((id + 15) % 7) - 3).toInt
+      if (g0) { coeffs8(2)(0)(0) = c0; coeffs8(2)(1)(0) = c0 }
+      if (g2) coeffs8(2)(2)(0) = c2
+      if (g3) coeffs8(2)(3)(0) = c3
+      // MB3 (I_4x4): every block has both neighbours — interior rule
+      // T / L / (T+L+1)>>1 / L by (id+blk)%4, small +-1 DC residuals
+      val modes4 = Array.fill(4)(Array.fill(16)(2))
+      modes4(3) = Array.tabulate(16)(blk => Array(0, 1, 2, 8)(((id + blk) % 4).toInt))
+      val cbp4 = 1 + (id % 15).toInt
+      val coeffs4 = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+      for (blk <- 0 until 16 if ((cbp4 >> (blk >> 2)) & 1) == 1)
+        coeffs4(3)(blk)(0) = (((id + 3 * blk) % 3) - 1).toInt
+      val es = graft.operators.H264.encodeSpsHigh(2, 2, 0) ++
+        graft.operators.H264.encodePpsT8() ++
+        graft.operators.H264Cavlc.encodeIntra8x8Frame(2, 2, kinds,
+          modes8, coeffs8, modes4, coeffs4, qp = 36,
+          idrPicId = (id % 65536).toInt)
+      val frames = graft.operators.H264Cavlc.decodeIntra16Frames(es)
+      require(frames.size == 1)
+      val (w, h, y) = frames.head
+      // probes: the three distinct I_8x8 residual-block values and the
+      // full I_4x4 chain
+      def u(b8: Int): Int = {
+        val gx = (b8 & 1) * 8
+        val gy = 16 + (b8 >> 1) * 8
+        y(gy * 32 + gx) & 0xFF
+      }
+      def bval(blk: Int): Int = {
+        val (ox, oy) = zpos4(blk)
+        y((16 + oy) * 32 + 16 + ox) & 0xFF
+      }
+      var s = 0L; var i = 0
+      while (i < y.length) { s += y(i) & 0xFF; i += 1 }
+      M27Row(id, w, h, u(0), u(2), u(3), bval(0), bval(1), bval(2),
+        bval(3), bval(4), bval(5), bval(6), bval(7), bval(8), bval(9),
+        bval(10), bval(11), bval(12), bval(13), bval(14), bval(15), s)
+    }.toDF()
+  }
 
   /** I_4x4 spatial decode on the oracle gate (m26): each asset is one
     * IDR picture whose single macroblock is mb_type 0 — per-4x4-block
@@ -1062,6 +1154,91 @@ object MultimodalQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // m27: the mixed I_16x16 / I_8x8 / I_4x4 picture replayed closed
+    // form. QPy 36 makes both residual paths exactly linear (8x8 DC
+    // dequant 320c then (320c+32)>>6 = 5c; 4x4 DC 640c -> 10c), the
+    // I_8x8 MBs reconstruct flat per block (uniform or paired-flat
+    // edges through the 8.3.2.2.1 filter), and the I_4x4 chain is the
+    // m26 recurrence with BOTH neighbours available — T from the row
+    // above (128 off the flat I_8x8 syntax MB for the top row), L from
+    // the left column (the residual I_8x8 MB's u0/u3 blocks). Chain
+    // order is z-scan; mode by (doc_id+blk)%4 among T / L / avg / L.
+    "m27_video_intra8x8" ->
+      """WITH k AS (SELECT doc_id,
+        | CASE WHEN doc_id % 2 = 1 THEN doc_id % 7 - 3 ELSE 0 END AS c0,
+        | CASE WHEN (doc_id // 2) % 2 = 1 THEN (doc_id + 10) % 7 - 3 ELSE 0 END AS c2,
+        | CASE WHEN (doc_id // 4) % 2 = 1 THEN (doc_id + 15) % 7 - 3 ELSE 0 END AS c3,
+        | 1 + doc_id % 15 AS mask FROM documents),
+        |u AS (SELECT doc_id, mask,
+        | 128 + 5*c0 AS u0, 128 + 5*c0 + 5*c2 AS u2,
+        | 128 + 5*c0 + 5*c3 AS u3 FROM k),
+        |r AS (SELECT doc_id, u0, u2, u3,
+        | CASE WHEN mask % 2 = 1 THEN 10*((doc_id + 0) % 3 - 1) ELSE 0 END AS r0,
+        | CASE WHEN mask % 2 = 1 THEN 10*((doc_id + 3) % 3 - 1) ELSE 0 END AS r1,
+        | CASE WHEN mask % 2 = 1 THEN 10*((doc_id + 6) % 3 - 1) ELSE 0 END AS r2,
+        | CASE WHEN mask % 2 = 1 THEN 10*((doc_id + 9) % 3 - 1) ELSE 0 END AS r3,
+        | CASE WHEN (mask // 2) % 2 = 1 THEN 10*((doc_id + 12) % 3 - 1) ELSE 0 END AS r4,
+        | CASE WHEN (mask // 2) % 2 = 1 THEN 10*((doc_id + 15) % 3 - 1) ELSE 0 END AS r5,
+        | CASE WHEN (mask // 2) % 2 = 1 THEN 10*((doc_id + 18) % 3 - 1) ELSE 0 END AS r6,
+        | CASE WHEN (mask // 2) % 2 = 1 THEN 10*((doc_id + 21) % 3 - 1) ELSE 0 END AS r7,
+        | CASE WHEN (mask // 4) % 2 = 1 THEN 10*((doc_id + 24) % 3 - 1) ELSE 0 END AS r8,
+        | CASE WHEN (mask // 4) % 2 = 1 THEN 10*((doc_id + 27) % 3 - 1) ELSE 0 END AS r9,
+        | CASE WHEN (mask // 4) % 2 = 1 THEN 10*((doc_id + 30) % 3 - 1) ELSE 0 END AS r10,
+        | CASE WHEN (mask // 4) % 2 = 1 THEN 10*((doc_id + 33) % 3 - 1) ELSE 0 END AS r11,
+        | CASE WHEN (mask // 8) % 2 = 1 THEN 10*((doc_id + 36) % 3 - 1) ELSE 0 END AS r12,
+        | CASE WHEN (mask // 8) % 2 = 1 THEN 10*((doc_id + 39) % 3 - 1) ELSE 0 END AS r13,
+        | CASE WHEN (mask // 8) % 2 = 1 THEN 10*((doc_id + 42) % 3 - 1) ELSE 0 END AS r14,
+        | CASE WHEN (mask // 8) % 2 = 1 THEN 10*((doc_id + 45) % 3 - 1) ELSE 0 END AS r15
+        | FROM u),
+        |v AS (SELECT doc_id, u0, u2, u3,
+        | (CASE (doc_id + 0) % 4 WHEN 0 THEN 128
+        |   WHEN 2 THEN (128 + u0 + 1)//2 ELSE u0 END) + r0 AS b0,
+        | (CASE (doc_id + 1) % 4 WHEN 0 THEN 128
+        |   WHEN 2 THEN (128 + b0 + 1)//2 ELSE b0 END) + r1 AS b1,
+        | (CASE (doc_id + 2) % 4 WHEN 0 THEN b0
+        |   WHEN 2 THEN (b0 + u0 + 1)//2 ELSE u0 END) + r2 AS b2,
+        | (CASE (doc_id + 3) % 4 WHEN 0 THEN b1
+        |   WHEN 2 THEN (b1 + b2 + 1)//2 ELSE b2 END) + r3 AS b3,
+        | (CASE (doc_id + 4) % 4 WHEN 0 THEN 128
+        |   WHEN 2 THEN (128 + b1 + 1)//2 ELSE b1 END) + r4 AS b4,
+        | (CASE (doc_id + 5) % 4 WHEN 0 THEN 128
+        |   WHEN 2 THEN (128 + b4 + 1)//2 ELSE b4 END) + r5 AS b5,
+        | (CASE (doc_id + 6) % 4 WHEN 0 THEN b4
+        |   WHEN 2 THEN (b4 + b3 + 1)//2 ELSE b3 END) + r6 AS b6,
+        | (CASE (doc_id + 7) % 4 WHEN 0 THEN b5
+        |   WHEN 2 THEN (b5 + b6 + 1)//2 ELSE b6 END) + r7 AS b7,
+        | (CASE (doc_id + 8) % 4 WHEN 0 THEN b2
+        |   WHEN 2 THEN (b2 + u3 + 1)//2 ELSE u3 END) + r8 AS b8,
+        | (CASE (doc_id + 9) % 4 WHEN 0 THEN b3
+        |   WHEN 2 THEN (b3 + b8 + 1)//2 ELSE b8 END) + r9 AS b9,
+        | (CASE (doc_id + 10) % 4 WHEN 0 THEN b8
+        |   WHEN 2 THEN (b8 + u3 + 1)//2 ELSE u3 END) + r10 AS b10,
+        | (CASE (doc_id + 11) % 4 WHEN 0 THEN b9
+        |   WHEN 2 THEN (b9 + b10 + 1)//2 ELSE b10 END) + r11 AS b11,
+        | (CASE (doc_id + 12) % 4 WHEN 0 THEN b6
+        |   WHEN 2 THEN (b6 + b9 + 1)//2 ELSE b9 END) + r12 AS b12,
+        | (CASE (doc_id + 13) % 4 WHEN 0 THEN b7
+        |   WHEN 2 THEN (b7 + b12 + 1)//2 ELSE b12 END) + r13 AS b13,
+        | (CASE (doc_id + 14) % 4 WHEN 0 THEN b12
+        |   WHEN 2 THEN (b12 + b11 + 1)//2 ELSE b11 END) + r14 AS b14,
+        | (CASE (doc_id + 15) % 4 WHEN 0 THEN b13
+        |   WHEN 2 THEN (b13 + b14 + 1)//2 ELSE b14 END) + r15 AS b15
+        | FROM r)
+        |SELECT doc_id, 32 AS width, 32 AS height,
+        | CAST(u0 AS INTEGER) AS u0, CAST(u2 AS INTEGER) AS u2,
+        | CAST(u3 AS INTEGER) AS u3,
+        | CAST(b0 AS INTEGER) AS b0, CAST(b1 AS INTEGER) AS b1,
+        | CAST(b2 AS INTEGER) AS b2, CAST(b3 AS INTEGER) AS b3,
+        | CAST(b4 AS INTEGER) AS b4, CAST(b5 AS INTEGER) AS b5,
+        | CAST(b6 AS INTEGER) AS b6, CAST(b7 AS INTEGER) AS b7,
+        | CAST(b8 AS INTEGER) AS b8, CAST(b9 AS INTEGER) AS b9,
+        | CAST(b10 AS INTEGER) AS b10, CAST(b11 AS INTEGER) AS b11,
+        | CAST(b12 AS INTEGER) AS b12, CAST(b13 AS INTEGER) AS b13,
+        | CAST(b14 AS INTEGER) AS b14, CAST(b15 AS INTEGER) AS b15,
+        | CAST(65536 + 64*(2*u0 + u2 + u3)
+        |   + 16*(b0+b1+b2+b3+b4+b5+b6+b7+b8+b9+b10+b11+b12+b13+b14+b15)
+        |   AS BIGINT) AS y_sum
+        |FROM v""".stripMargin,
     // m26: the I_4x4 flat-block recurrence replayed with DuckDB lateral
     // column references — per block, pred source by the fixture's mode
     // rule (top row -> left value, left column -> top value, interior
