@@ -84,9 +84,10 @@ object BenchStress {
     // round 13 (cont.): URL-level dedup — one canonical-key groupBy
     // whose key population grows with the corpus
     "t38_url_dedup",
-    // round 15: the mixed I_16x16/I_8x8/I_4x4 codec row — zero-shuffle
-    // per-asset map like m22/m25/m26; prove the flat curve
-    "m27_video_intra8x8")
+    // round 15: the mixed I_16x16/I_8x8/I_4x4 codec row and the
+    // two-frame inter GOP — zero-shuffle per-asset maps like
+    // m22/m25/m26; prove the flat curve
+    "m27_video_intra8x8", "m28_video_inter_p")
 
   /** Optional comma-separated name-prefix filter
     * (SPARK_GRAFT_STRESS_ONLY) — stress just the matching queries, so

@@ -52,8 +52,17 @@ import H264.{BitReader, BitWriter}
   * resolves through the per-4x4-cell convention), 8.3.2.2.1
   * reference-sample filtering, all nine 8.3.2 spatial modes, the
   * 7.3.5.3.2 CAVLC sub-block interleave with per-sub-block nC, and
-  * 8.5.13 dequant + the inverse 8x8 transform. Remaining boundary:
-  * CABAC and inter prediction.
+  * 8.5.13 dequant + the inverse 8x8 transform. P slices decode too:
+  * mb_skip_run interleave (7.3.4), P_Skip implied motion (8.4.1.1),
+  * P_L0_16x16 with mvd against the 8.4.1.3 median predictor,
+  * quarter-pel 6-tap luma MC (8.4.2.2.1, all 16 fraction positions,
+  * edge-clamped) + eighth-pel bilinear chroma MC (8.4.2.2.2), the
+  * Table 9-4 INTER coded_block_pattern column, inter luma/chroma
+  * residuals through the shared 4x4 machinery, intra macroblocks
+  * inside P slices (Table 7-13's 5 + I mb_type), and I_PCM (mb_type
+  * 25) in the general path with the 9.2.1 nC = 16 convention.
+  * Remaining boundary: CABAC, B slices, multi-reference lists,
+  * sub-16x16 inter partitions, and the deblocking filter.
   *
   * All VLC tables are transcribed from the public ITU-T H.264 spec:
   * coeff_token Table 9-5 (all luma columns + chroma DC), total_zeros
@@ -668,6 +677,23 @@ object H264Cavlc {
     val inv = new Array[Int](48)
     var i = 0
     while (i < 48) { inv(CbpIntra(i)) = i; i += 1 }
+    inv
+  }
+
+  /** Table 9-4, Inter column: codeNum -> coded_block_pattern for the
+    * me(v) mapped Exp-Golomb of inter macroblocks. Transcribed from
+    * the public spec; validated as a permutation of 0..47 (with the
+    * cited codeNum-0 -> cbp-0 anchor) in H264InterSpec. */
+  private val CbpInter: Array[Int] = Array(
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41)
+
+  /** cbp -> codeNum (encode side of Table 9-4 Inter). */
+  private val CbpInterInv: Array[Int] = {
+    val inv = new Array[Int](48)
+    var i = 0
+    while (i < 48) { inv(CbpInter(i)) = i; i += 1 }
     inv
   }
 
@@ -1686,6 +1712,159 @@ object H264Cavlc {
     nals.toArray
   }
 
+  /** Encode one non-IDR P picture — the fixture generator for the
+    * inter decode path. Must FOLLOW an encoded reference picture in
+    * the same stream (list0[0] = the previous decoded picture).
+    *
+    *  - `kinds(m)`: 0 = P_L0_16x16 (mvs/coeffs), 1 = P_Skip, 2 =
+    *    all-zero I_16x16_2_0_0 intra (Table 7-13 mb_type 5 + 3).
+    *  - `mvs(m)` = (mvx, mvy) quarter-luma-pel; the encoder derives
+    *    mvd against the SAME 8.4.1.3 predictor the decoder runs (its
+    *    own mirror of the motion grids), so any MV is encodable.
+    *  - `coeffs(m)(blk)(k)`: LumaLevel4x4 zig-zag levels; CBP luma bit
+    *    g covers z-scan blocks 4g..4g+3 (Table 9-4 INTER column).
+    *  - `cbDc`/`crDc`: optional 2x2 ChromaDCLevel per kind-0 MB
+    *    (CodedBlockPatternChroma 1).
+    *
+    * P_Skip macroblocks take the 8.4.1.1 implied motion — the caller
+    * controls WHERE skips go, not their MV. QP: SliceQPy = qp, every
+    * mb_qp_delta 0. */
+  def encodePFrame(widthMbs: Int, heightMapUnits: Int,
+      kinds: Array[Int],
+      mvs: Array[Array[Int]], coeffs: Array[Array[Array[Int]]],
+      qp: Int, frameNum: Int,
+      cbDc: Array[Array[Array[Int]]] = null,
+      crDc: Array[Array[Array[Int]]] = null,
+      sliceStarts: Array[Int] = Array(0)): Array[Byte] = {
+    val nMbs = widthMbs * heightMapUnits
+    require(kinds.length == nMbs && kinds.forall(k => k >= 0 && k <= 2))
+    require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
+    require((cbDc == null) == (crDc == null),
+      "chroma DC levels must be given for both components or neither")
+    val chroma = cbDc != null
+    kinds.zipWithIndex.foreach { case (k, m) =>
+      if (k == 0) require(mvs(m).length == 2 && coeffs(m).length == 16 &&
+        coeffs(m).forall(_.length == 16),
+        s"mb $m: P_L0_16x16 needs (mvx, mvy) and 16 x 16 zig-zag levels")
+    }
+    require(sliceStarts.nonEmpty && sliceStarts.head == 0 &&
+      sliceStarts.forall(st => st >= 0 && st < nMbs) &&
+      sliceStarts.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+      s"bad sliceStarts ${sliceStarts.mkString(",")}")
+    val mbSliceOf = new Array[Int](nMbs)
+    locally {
+      var si = 0
+      var mm = 0
+      while (mm < nMbs) {
+        if (si + 1 < sliceStarts.length && mm == sliceStarts(si + 1)) si += 1
+        mbSliceOf(mm) = si
+        mm += 1
+      }
+    }
+    // decoder mirrors: nC grid + per-MB motion for the MVP derivation
+    val tcGrid = Array.ofDim[Int](heightMapUnits * 4, widthMbs * 4)
+    val refIdxArr = Array.fill(nMbs)(-1)
+    val mvXA = new Array[Int](nMbs)
+    val mvYA = new Array[Int](nMbs)
+    val nals = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var w: BitWriter = null
+    var skipRun = 0
+    var m = 0
+    while (m < nMbs) {
+      val mbX = m % widthMbs
+      val mbY = m / widthMbs
+      val curSlice = mbSliceOf(m)
+      def mbAvail(x: Int, y: Int): Boolean = {
+        val nmb = y * widthMbs + x
+        nmb <= m && mbSliceOf(nmb) == curSlice
+      }
+      if (sliceStarts(curSlice) == m) {
+        if (w != null) {
+          if (skipRun > 0) { w.ue(skipRun); skipRun = 0 }
+          nals ++= H264.nal(2, 1, w.trailing(), longStart = false)
+        }
+        w = new BitWriter
+        w.ue(m) // first_mb_in_slice
+        w.ue(5) // slice_type: P (all slices of the picture are P)
+        w.ue(0) // pps id
+        w.u(frameNum & 0xFF, 8)
+        w.u(0, 1) // num_ref_idx_active_override_flag
+        w.u(0, 1) // ref_pic_list_modification_flag_l0
+        w.u(0, 1) // adaptive_ref_pic_marking_mode_flag
+        w.se(qp - 26) // SliceQPy = qp
+      }
+      kinds(m) match {
+        case 1 => // P_Skip: count into the pending run; record implied MV
+          val (mvx, mvy) = pSkipMv(widthMbs, heightMapUnits, refIdxArr,
+            mvXA, mvYA, mbAvail, mbX, mbY)
+          refIdxArr(m) = 0; mvXA(m) = mvx; mvYA(m) = mvy
+          skipRun += 1
+        // tcGrid cells stay 0 (9.2.1 for skipped MBs)
+        case 2 => // intra-in-P: all-zero I_16x16_2_0_0 (mb_type 5 + 3)
+          w.ue(skipRun); skipRun = 0
+          w.ue(5 + 3)
+          w.ue(0) // intra_chroma_pred_mode
+          w.se(0) // mb_qp_delta (always present for I_16x16)
+          encodeResidual(new Array[Int](16),
+            lumaCoeffTokenTab(lumaNc(tcGrid, mbX, mbY, 0, mbAvail),
+              s"mb $m DC"), TotalZeros, w)
+        // refIdxArr stays -1 (intra neighbours predict as (0,0,-1))
+        case _ => // P_L0_16x16
+          w.ue(skipRun); skipRun = 0
+          w.ue(0) // mb_type
+          val (px, py) = mvp16x16(widthMbs, heightMapUnits, refIdxArr,
+            mvXA, mvYA, mbAvail, mbX, mbY)
+          val mvx = mvs(m)(0)
+          val mvy = mvs(m)(1)
+          w.se(mvx - px) // mvd_l0 x (ref_idx_l0 absent: single ref)
+          w.se(mvy - py)
+          refIdxArr(m) = 0; mvXA(m) = mvx; mvYA(m) = mvy
+          var cbpLuma = 0
+          var g = 0
+          while (g < 4) {
+            var any = false
+            var b2 = 4 * g
+            while (b2 < 4 * g + 4 && !any) {
+              any = coeffs(m)(b2).exists(_ != 0); b2 += 1
+            }
+            if (any) cbpLuma |= 1 << g
+            g += 1
+          }
+          val cbpChroma = if (chroma) 1 else 0
+          val cbp = (cbpChroma << 4) | cbpLuma
+          w.ue(CbpInterInv(cbp)) // coded_block_pattern, Table 9-4 Inter
+          if (cbp != 0) w.se(0) // mb_qp_delta
+          var blk = 0
+          while (blk < 16) {
+            val (ox, oy) = Blk4x4Pos(blk)
+            val bx = mbX * 4 + ox / 4
+            val by = mbY * 4 + oy / 4
+            if (((cbpLuma >> (blk >> 2)) & 1) == 1) {
+              val nC = lumaNc(tcGrid, mbX, mbY, blk, mbAvail)
+              encodeResidual(coeffs(m)(blk),
+                lumaCoeffTokenTab(nC, s"mb $m p blk $blk"), TotalZeros, w)
+              tcGrid(by)(bx) = coeffs(m)(blk).count(_ != 0)
+            } else {
+              require(coeffs(m)(blk).forall(_ == 0),
+                s"mb $m blk $blk: nonzero levels in an uncoded 8x8 group")
+              tcGrid(by)(bx) = 0
+            }
+            blk += 1
+          }
+          if (chroma) {
+            Seq(cbDc, crDc).foreach { plane =>
+              encodeChromaDcBlock(Array(plane(m)(0)(0), plane(m)(0)(1),
+                plane(m)(1)(0), plane(m)(1)(1)), w)
+            }
+          }
+      }
+      m += 1
+    }
+    if (skipRun > 0) { w.ue(skipRun); skipRun = 0 }
+    nals ++= H264.nal(2, 1, w.trailing(), longStart = false)
+    nals.toArray
+  }
+
   /** Decode every Intra_16x16-DC picture of an SPS+PPS+IDR stream into
     * (width, height, luma) planes: slice-header walk, per-MB CAVLC DC
     * block, inverse Hadamard (8.5.6), dequant (8.5.10), DC-only core
@@ -1717,6 +1896,7 @@ object H264Cavlc {
     var ppsSeen = false
     val out = ArrayBuffer[(Int, Int, Array[Byte], Array[Byte], Array[Byte])]()
     var pic: Option[PicState] = None
+    var lastRef: Option[(Array[Byte], Array[Byte], Array[Byte])] = None
     nals.foreach { case (_, tpe, ebsp) =>
       tpe match {
         case 7 => if (sps.isEmpty) sps = Some(H264.parseSps(H264.ebspToRbsp(ebsp)))
@@ -1744,7 +1924,7 @@ object H264Cavlc {
             ppsCrQpOff = ppsCbQpOff
           }
           ppsSeen = true
-        case 5 =>
+        case 5 | 1 =>
           val s = sps.getOrElse(
             throw new IllegalArgumentException("slice before SPS"))
           require(ppsSeen, "slice before PPS")
@@ -1756,13 +1936,24 @@ object H264Cavlc {
           // format's parallel decode unit
           val firstMb = { val pk = new BitReader(rbsp); pk.ue() }
           if (firstMb == 0) {
-            pic.foreach(st => out += st.finish())
+            pic.foreach { st =>
+              out += st.finish()
+              // the finished picture's UNCROPPED planes become list0[0]
+              // for a following P picture (max_num_ref_frames = 1
+              // sliding window: the most recent reference)
+              lastRef = Some((st.plane, st.cbPlane, st.crPlane))
+            }
             pic = Some(new PicState(s))
+            pic.get.refPic = lastRef
           }
           val st = pic.getOrElse(throw new IllegalArgumentException(
             "slice with first_mb_in_slice != 0 before a picture start"))
-          decodeIntra16SliceInto(st, rbsp, ppsQpInit, ppsCbQpOff,
-            ppsCrQpOff, ppsT8)
+          if (tpe == 5)
+            decodeIntra16SliceInto(st, rbsp, ppsQpInit, ppsCbQpOff,
+              ppsCrQpOff, ppsT8)
+          else
+            decodePSliceInto(st, rbsp, ppsQpInit, ppsCbQpOff,
+              ppsCrQpOff, ppsT8)
         case _ => ()
       }
     }
@@ -1844,6 +2035,15 @@ object H264Cavlc {
     // mode 2 by neighbours, per the spec)
     val i4Mode = Array.fill(mapUnits * 4, widthMbs * 4)(-1)
     val mbSlice = Array.fill(nMbs)(-1)
+    // per-MB motion data for P slices (16x16 partitions): refIdx -1 =
+    // intra (8.4.1.3.2's "not motion-predictable" convention), 0 =
+    // inter off list0's single reference; mv in quarter-luma units
+    val mbRefIdx = Array.fill(nMbs)(-1)
+    val mvX = new Array[Int](nMbs)
+    val mvY = new Array[Int](nMbs)
+    // UNCROPPED planes of the previous decoded picture (list0[0]) —
+    // set by the frames loop before any P slice of this picture
+    var refPic: Option[(Array[Byte], Array[Byte], Array[Byte])] = None
     var nextMb = 0
     var nextSliceId = 0
     def finish(): (Int, Int, Array[Byte], Array[Byte], Array[Byte]) = {
@@ -2162,6 +2362,374 @@ object H264Cavlc {
     (cbpChroma, qpy)
   }
 
+  // ---------------------------------------------------------------
+  // Inter prediction (P slices): quarter-pel luma MC (8.4.2.2.1),
+  // eighth-pel chroma MC (8.4.2.2.2), the 16x16 motion vector
+  // predictor (8.4.1.3) and P_Skip (8.4.1.1).
+  // ---------------------------------------------------------------
+
+  /** One predicted luma sample at integer base (x0, y0) + fraction
+    * (xF, yF) quarter-pels, 8.4.2.2.1: 6-tap (1,-5,20,20,-5,1) half
+    * samples (b/h rounded at 5 bits, the centre j over un-rounded
+    * horizontal sums at 10), quarter samples as rounded averages per
+    * Table 8-12; out-of-picture reads clamp to the edge (the spec's
+    * Clip3 on sample coordinates). */
+  private def interpLuma(refP: Array[Byte], w: Int, h: Int,
+      x0: Int, y0: Int, xF: Int, yF: Int): Int = {
+    def at(x: Int, y: Int): Int = {
+      val cx = if (x < 0) 0 else if (x >= w) w - 1 else x
+      val cy = if (y < 0) 0 else if (y >= h) h - 1 else y
+      refP(cy * w + cx) & 0xFF
+    }
+    @inline def six(a: Int, b: Int, c: Int, d: Int, e: Int, f: Int) =
+      a - 5 * b + 20 * c + 20 * d - 5 * e + f
+    def rawH(x: Int, y: Int) =
+      six(at(x - 2, y), at(x - 1, y), at(x, y), at(x + 1, y), at(x + 2, y),
+        at(x + 3, y))
+    def halfH(x: Int, y: Int) = clip255((rawH(x, y) + 16) >> 5) // b
+    def halfV(x: Int, y: Int) = clip255((six(at(x, y - 2), at(x, y - 1),
+      at(x, y), at(x, y + 1), at(x, y + 2), at(x, y + 3)) + 16) >> 5) // h
+    def centreJ(x: Int, y: Int) = clip255((six(rawH(x, y - 2),
+      rawH(x, y - 1), rawH(x, y), rawH(x, y + 1), rawH(x, y + 2),
+      rawH(x, y + 3)) + 512) >> 10) // j
+    (xF, yF) match {
+      case (0, 0) => at(x0, y0)
+      case (1, 0) => (at(x0, y0) + halfH(x0, y0) + 1) >> 1 // a
+      case (2, 0) => halfH(x0, y0)
+      case (3, 0) => (at(x0 + 1, y0) + halfH(x0, y0) + 1) >> 1 // c
+      case (0, 1) => (at(x0, y0) + halfV(x0, y0) + 1) >> 1 // d
+      case (0, 2) => halfV(x0, y0)
+      case (0, 3) => (at(x0, y0 + 1) + halfV(x0, y0) + 1) >> 1 // n
+      case (1, 1) => (halfH(x0, y0) + halfV(x0, y0) + 1) >> 1 // e
+      case (3, 1) => (halfH(x0, y0) + halfV(x0 + 1, y0) + 1) >> 1 // g
+      case (1, 3) => (halfH(x0, y0 + 1) + halfV(x0, y0) + 1) >> 1 // p
+      case (3, 3) => (halfH(x0, y0 + 1) + halfV(x0 + 1, y0) + 1) >> 1 // r
+      case (2, 1) => (halfH(x0, y0) + centreJ(x0, y0) + 1) >> 1 // f
+      case (2, 3) => (halfH(x0, y0 + 1) + centreJ(x0, y0) + 1) >> 1 // q
+      case (1, 2) => (halfV(x0, y0) + centreJ(x0, y0) + 1) >> 1 // i
+      case (3, 2) => (halfV(x0 + 1, y0) + centreJ(x0, y0) + 1) >> 1 // k
+      case _ => centreJ(x0, y0) // (2, 2) j
+    }
+  }
+
+  /** One predicted chroma sample, 8.4.2.2.2: eighth-pel bilinear (the
+    * 4:2:0 chroma MV equals the luma MV, so fraction = mv & 7). */
+  private def interpChroma(refP: Array[Byte], w: Int, h: Int,
+      x0: Int, y0: Int, xF: Int, yF: Int): Int = {
+    def at(x: Int, y: Int): Int = {
+      val cx = if (x < 0) 0 else if (x >= w) w - 1 else x
+      val cy = if (y < 0) 0 else if (y >= h) h - 1 else y
+      refP(cy * w + cx) & 0xFF
+    }
+    ((8 - xF) * (8 - yF) * at(x0, y0) + xF * (8 - yF) * at(x0 + 1, y0) +
+      (8 - xF) * yF * at(x0, y0 + 1) + xF * yF * at(x0 + 1, y0 + 1) +
+      32) >> 6
+  }
+
+  /** Neighbour motion for MVP (8.4.1.3.2 conventions at 16x16
+    * granularity): availability of mbAddrA/B/C with the D (top-left)
+    * substitution for C, intra/unavailable neighbours as (0, 0, -1),
+    * and the all-of-B/C-unavailable -> copy-A rule. Returns
+    * ((mvxA,mvyA,refA), (..B), (..C)). */
+  private def neighbourMotion(widthMbs: Int, mapUnits: Int,
+      refIdxArr: Array[Int], mvXA: Array[Int], mvYA: Array[Int],
+      mbAvail: (Int, Int) => Boolean, mbX: Int, mbY: Int):
+      ((Int, Int, Int), (Int, Int, Int), (Int, Int, Int), Boolean, Boolean) = {
+    def avail(x: Int, y: Int) = x >= 0 && y >= 0 && x < widthMbs &&
+      y < mapUnits && mbAvail(x, y)
+    def mot(x: Int, y: Int): (Int, Int, Int) =
+      if (!avail(x, y)) (0, 0, -1)
+      else {
+        val n = y * widthMbs + x
+        if (refIdxArr(n) < 0) (0, 0, -1)
+        else (mvXA(n), mvYA(n), 0)
+      }
+    val aAv = avail(mbX - 1, mbY)
+    val bAv = avail(mbX, mbY - 1)
+    val cAv0 = avail(mbX + 1, mbY - 1)
+    val dAv = avail(mbX - 1, mbY - 1)
+    var a = mot(mbX - 1, mbY)
+    var b = mot(mbX, mbY - 1)
+    var c =
+      if (cAv0) mot(mbX + 1, mbY - 1)
+      else if (dAv) mot(mbX - 1, mbY - 1)
+      else (0, 0, -1)
+    val cAv = cAv0 || dAv
+    if (!bAv && !cAv && aAv) { b = a; c = a } // 8.4.1.3.2 copy-A rule
+    (a, b, c, aAv, bAv)
+  }
+
+  /** 16x16 luma MVP (8.4.1.3): the single-match shortcut, else the
+    * component-wise median of A/B/C. Array form so the fixture encoder
+    * mirrors the exact same derivation. */
+  private def mvp16x16(widthMbs: Int, mapUnits: Int,
+      refIdxArr: Array[Int], mvXA: Array[Int], mvYA: Array[Int],
+      mbAvail: (Int, Int) => Boolean, mbX: Int, mbY: Int): (Int, Int) = {
+    val (a, b, c, _, _) = neighbourMotion(widthMbs, mapUnits, refIdxArr,
+      mvXA, mvYA, mbAvail, mbX, mbY)
+    val matches = Seq(a, b, c).count(_._3 == 0)
+    if (matches == 1) {
+      val n = Seq(a, b, c).find(_._3 == 0).get
+      (n._1, n._2)
+    } else {
+      def med(p: Int, q: Int, r2: Int) =
+        math.max(math.min(p, q), math.min(math.max(p, q), r2))
+      (med(a._1, b._1, c._1), med(a._2, b._2, c._2))
+    }
+  }
+
+  /** P_Skip motion (8.4.1.1): zero when either edge neighbour is
+    * unavailable or carries a zero MV on ref 0, else the 16x16 MVP. */
+  private def pSkipMv(widthMbs: Int, mapUnits: Int,
+      refIdxArr: Array[Int], mvXA: Array[Int], mvYA: Array[Int],
+      mbAvail: (Int, Int) => Boolean, mbX: Int, mbY: Int): (Int, Int) = {
+    val (a, b, _, aAv, bAv) = neighbourMotion(widthMbs, mapUnits,
+      refIdxArr, mvXA, mvYA, mbAvail, mbX, mbY)
+    if (!aAv || !bAv ||
+        (a._3 == 0 && a._1 == 0 && a._2 == 0) ||
+        (b._3 == 0 && b._1 == 0 && b._2 == 0)) (0, 0)
+    else mvp16x16(widthMbs, mapUnits, refIdxArr, mvXA, mvYA, mbAvail,
+      mbX, mbY)
+  }
+
+  /** Write the 16x16 luma MC prediction + optional residual into the
+    * picture, sharing the 4x4 residual machinery with the intra paths.
+    * `coeffsByBlk(blk)` may be null (uncoded -> pure prediction). */
+  private def reconInterLuma(st: PicState, m: Int, mvx: Int, mvy: Int,
+      coeffsByBlk: Array[Array[Int]], qpy: Int,
+      refY: Array[Byte]): Unit = {
+    val widthMbs = st.widthMbs
+    val w16 = st.w16
+    val h16 = st.mapUnits * 16
+    val plane = st.plane
+    val mbX = m % widthMbs
+    val mbY = m / widthMbs
+    var blk = 0
+    while (blk < 16) {
+      val (ox, oy) = Blk4x4Pos(blk)
+      val gx = mbX * 16 + ox
+      val gy = mbY * 16 + oy
+      val scan = if (coeffsByBlk == null) null else coeffsByBlk(blk)
+      var anyNz = false
+      if (scan != null) {
+        var k = 0
+        while (k < 16 && !anyNz) { anyNz = scan(k) != 0; k += 1 }
+      }
+      val hM =
+        if (anyNz) {
+          val d = Array.ofDim[Int](4, 4)
+          var k2 = 0
+          while (k2 < 16) {
+            val (i2, j2) = ZigZag4x4(k2)
+            if (scan(k2) != 0) d(i2)(j2) = dequant4x4Ac(scan(k2), qpy, i2, j2)
+            k2 += 1
+          }
+          inverseTransform4x4(d)
+        } else null
+      var rr = 0
+      while (rr < 4) {
+        var cc = 0
+        while (cc < 4) {
+          val pred = interpLuma(refY, w16, h16,
+            gx + cc + (mvx >> 2), gy + rr + (mvy >> 2), mvx & 3, mvy & 3)
+          val res = if (hM != null) (hM(rr)(cc) + 32) >> 6 else 0
+          plane((gy + rr) * w16 + gx + cc) = clip255(pred + res).toByte
+          cc += 1
+        }
+        rr += 1
+      }
+      blk += 1
+    }
+  }
+
+  /** Inter chroma tail: MC prediction per sample + the same DC/AC
+    * residual shapes as the intra chroma tail. */
+  private def reconInterChroma(st: PicState, m: Int, mvx: Int, mvy: Int,
+      cbpChroma: Int, cbScan: Array[Int], crScan: Array[Int],
+      cbAcBlk: Array[Array[Int]], crAcBlk: Array[Array[Int]],
+      qpy: Int, cbQpOff: Int, crQpOff: Int,
+      refCb: Array[Byte], refCr: Array[Byte]): Unit = {
+    val widthMbs = st.widthMbs
+    val w8 = st.w8
+    val h8 = st.mapUnits * 8
+    val mbX = m % widthMbs
+    val mbY = m / widthMbs
+    Seq((st.cbPlane, refCb, cbScan, cbAcBlk, qpc(qpy + cbQpOff)),
+      (st.crPlane, refCr, crScan, crAcBlk, qpc(qpy + crQpOff))).foreach {
+      case (cp, refC, sc, acC, qPc) =>
+        val f2 = hadamard2(Array(Array(sc(0), sc(1)), Array(sc(2), sc(3))))
+        var cbi = 0
+        while (cbi < 2) {
+          var cbj = 0
+          while (cbj < 2) {
+            val dcC =
+              if (cbpChroma >= 1) dequantChromaDc(f2(cbi)(cbj), qPc) else 0
+            val ac = acC(cbi * 2 + cbj)
+            var anyAc = false
+            var q = 0
+            while (q < 15 && !anyAc) { anyAc = ac(q) != 0; q += 1 }
+            val hM =
+              if (anyAc) {
+                val d = Array.ofDim[Int](4, 4)
+                d(0)(0) = dcC
+                var k4 = 1
+                while (k4 < 16) {
+                  val (i4, j4) = ZigZag4x4(k4)
+                  if (ac(k4 - 1) != 0)
+                    d(i4)(j4) = dequant4x4Ac(ac(k4 - 1), qPc, i4, j4)
+                  k4 += 1
+                }
+                inverseTransform4x4(d)
+              } else null
+            val resFlat = (dcC + 32) >> 6
+            var rr = 0
+            while (rr < 4) {
+              var cc = 0
+              while (cc < 4) {
+                val cx = mbX * 8 + cbj * 4 + cc
+                val cy = mbY * 8 + cbi * 4 + rr
+                val pred = interpChroma(refC, w8, h8,
+                  cx + (mvx >> 3), cy + (mvy >> 3), mvx & 7, mvy & 7)
+                val res = if (hM != null) (hM(rr)(cc) + 32) >> 6 else resFlat
+                cp(cy * w8 + cx) = clip255(pred + res).toByte
+                cc += 1
+              }
+              rr += 1
+            }
+            cbj += 1
+          }
+          cbi += 1
+        }
+    }
+  }
+
+  /** Decode one P slice into the picture state (7.3.4 CAVLC slice
+    * data: mb_skip_run interleaved with macroblock_layer). Supported
+    * macroblocks: P_Skip, P_L0_16x16 (mb_type 0), and intra shapes
+    * (mb_type >= 5, Table 7-13's 5 + I-slice mb_type). 16x8 / 8x16 /
+    * P_8x8 partitions are a documented boundary. */
+  private def decodePSliceInto(st: PicState, rbsp: Array[Byte],
+      qpInit: Int, cbQpOff: Int, crQpOff: Int, t8x8: Boolean): Unit = {
+    val widthMbs = st.widthMbs
+    val (refY, refCb, refCr) = st.refPic.getOrElse(
+      throw new IllegalArgumentException(
+        "P slice without a decoded reference picture"))
+    val r = new BitReader(rbsp)
+    val firstMb = r.ue()
+    require(firstMb == st.nextMb,
+      s"slice at MB $firstMb but picture cursor is at ${st.nextMb} — " +
+        "slices must tile the picture in decode order")
+    val sliceType = r.ue()
+    require(sliceType == 0 || sliceType == 5, s"not a P slice: $sliceType")
+    r.ue() // pps id
+    r.u(8) // frame_num
+    // pic_order_cnt_type 2: no POC fields; non-IDR: no idr_pic_id
+    if (r.u(1) == 1) // num_ref_idx_active_override_flag
+      require(r.ue() == 0, "only one reference picture supported")
+    require(r.u(1) == 0, "ref_pic_list_modification not supported")
+    // nal_ref_idc != 0 on our P NALs: dec_ref_pic_marking (non-IDR)
+    require(r.u(1) == 0, "adaptive ref pic marking not supported")
+    var qpy = qpInit + r.se() // SliceQPy
+    val sliceId = st.nextSliceId
+    st.nextSliceId += 1
+    val mbAvail: (Int, Int) => Boolean =
+      (x, y) => st.mbSlice(y * widthMbs + x) == sliceId
+    var more = true
+    while (more && st.nextMb < st.nMbs) {
+      val skipRun = r.ue()
+      var i = 0
+      while (i < skipRun) {
+        require(st.nextMb < st.nMbs, "mb_skip_run past the picture end")
+        val m = st.nextMb
+        st.mbSlice(m) = sliceId
+        st.nextMb += 1
+        val mbX = m % widthMbs
+        val mbY = m / widthMbs
+        val (mvx, mvy) = pSkipMv(widthMbs, st.mapUnits, st.mbRefIdx,
+          st.mvX, st.mvY, mbAvail, mbX, mbY)
+        st.mbRefIdx(m) = 0; st.mvX(m) = mvx; st.mvY(m) = mvy
+        reconInterLuma(st, m, mvx, mvy, null, qpy, refY)
+        reconInterChroma(st, m, mvx, mvy, 0, new Array[Int](4),
+          new Array[Int](4), Array.ofDim[Int](4, 15),
+          Array.ofDim[Int](4, 15), qpy, cbQpOff, crQpOff, refCb, refCr)
+        i += 1
+      }
+      if (st.nextMb < st.nMbs && r.moreRbspData) {
+        val m = st.nextMb
+        st.mbSlice(m) = sliceId
+        st.nextMb += 1
+        val mbType = r.ue()
+        if (mbType >= 5) {
+          require(mbType - 5 <= 25,
+            s"mb $m: P-slice intra mb_type ${mbType - 5} out of range")
+          qpy = decodeIntraMbInto(st, r, m, mbAvail, mbType - 5, qpy,
+            cbQpOff, crQpOff, t8x8)
+        } else {
+          require(mbType == 0, s"mb $m: only P_L0_16x16 inter partitions " +
+            s"supported (mb_type $mbType — 16x8/8x16/8x8 are a boundary)")
+          val mbX = m % widthMbs
+          val mbY = m / widthMbs
+          // mb_pred: ref_idx_l0 absent (single reference), mvd_l0
+          val (px, py) = mvp16x16(widthMbs, st.mapUnits, st.mbRefIdx,
+            st.mvX, st.mvY, mbAvail, mbX, mbY)
+          val mvx = px + r.se()
+          val mvy = py + r.se()
+          st.mbRefIdx(m) = 0; st.mvX(m) = mvx; st.mvY(m) = mvy
+          val cbpCode = r.ue()
+          require(cbpCode < 48,
+            s"mb $m: coded_block_pattern codeNum $cbpCode out of range")
+          val cbp = CbpInter(cbpCode) // Table 9-4 Inter column
+          val cbpLuma = cbp & 15
+          val cbpChroma = cbp >> 4
+          if (t8x8 && cbpLuma > 0)
+            require(r.u(1) == 0, "8x8 transform on inter residuals not supported")
+          if (cbp != 0) qpy = (qpy + r.se() + 52) % 52
+          val tcGrid = st.tcGrid
+          val coeffsByBlk = new Array[Array[Int]](16)
+          var blk = 0
+          while (blk < 16) {
+            val (ox, oy) = Blk4x4Pos(blk)
+            val bx = mbX * 4 + ox / 4
+            val by = mbY * 4 + oy / 4
+            if (((cbpLuma >> (blk >> 2)) & 1) == 1) {
+              val nC = lumaNc(tcGrid, mbX, mbY, blk, mbAvail)
+              val scan = decodeResidual(r,
+                lumaCoeffTokenTab(nC, s"mb $m p blk $blk"), TotalZeros, 16)
+              coeffsByBlk(blk) = scan
+              tcGrid(by)(bx) = scan.count(_ != 0)
+            } else tcGrid(by)(bx) = 0
+            blk += 1
+          }
+          val cbScan =
+            if (cbpChroma >= 1) decodeChromaDcBlock(r) else new Array[Int](4)
+          val crScan =
+            if (cbpChroma >= 1) decodeChromaDcBlock(r) else new Array[Int](4)
+          val cbAcBlk = Array.ofDim[Int](4, 15)
+          val crAcBlk = Array.ofDim[Int](4, 15)
+          if (cbpChroma == 2) {
+            Seq((cbAcBlk, st.tcCb, "Cb"), (crAcBlk, st.tcCr, "Cr")).foreach {
+              case (comp, grid, nm) =>
+                var cb4 = 0
+                while (cb4 < 4) {
+                  val bx = mbX * 2 + (cb4 & 1)
+                  val by = mbY * 2 + (cb4 >> 1)
+                  val nC = chromaNc(grid, bx, by, mbAvail)
+                  comp(cb4) = decodeResidual(r,
+                    lumaCoeffTokenTab(nC, s"mb $m p $nm AC blk $cb4"),
+                    TotalZeros, 15)
+                  grid(by)(bx) = comp(cb4).count(_ != 0)
+                  cb4 += 1
+                }
+            }
+          }
+          reconInterLuma(st, m, mvx, mvy, coeffsByBlk, qpy, refY)
+          reconInterChroma(st, m, mvx, mvy, cbpChroma, cbScan, crScan,
+            cbAcBlk, crAcBlk, qpy, cbQpOff, crQpOff, refCb, refCr)
+        }
+      } else more = false
+    }
+  }
+
   /** Decode ONE slice into the picture state: slice header (any
     * first_mb_in_slice, as long as slices tile in order), then MBs
     * while more_rbsp_data() holds. QPy resets to SliceQPy per slice
@@ -2169,16 +2737,7 @@ object H264Cavlc {
     * restricted to the current slice. */
   private def decodeIntra16SliceInto(st: PicState, rbsp: Array[Byte],
       qpInit: Int, cbQpOff: Int, crQpOff: Int, t8x8: Boolean): Unit = {
-    val s = st.s
     val widthMbs = st.widthMbs
-    val w16 = st.w16
-    val w8 = st.w8
-    val plane = st.plane
-    val cbPlane = st.cbPlane
-    val crPlane = st.crPlane
-    val tcGrid = st.tcGrid
-    val tcCb = st.tcCb
-    val tcCr = st.tcCr
     val r = new BitReader(rbsp)
     val firstMb = r.ue()
     require(firstMb == st.nextMb,
@@ -2208,11 +2767,74 @@ object H264Cavlc {
       // with base = 1 + predMode + 4*cbpChroma and +12 when
       // CodedBlockPatternLuma = 15. All three shapes decode; I_PCM
       // (25) stays a boundary.
-      require(mbType >= 0 && mbType <= 24,
-        s"mb $m: mb_type $mbType outside the intra CAVLC decode subset " +
-          "(I_PCM not supported here)")
+      require(mbType >= 0 && mbType <= 25,
+        s"mb $m: mb_type $mbType outside the intra CAVLC decode subset")
+      qpy = decodeIntraMbInto(st, r, m, mbAvail, mbType, qpy, cbQpOff,
+        crQpOff, t8x8)
+    }
+  }
+
+  /** Decode ONE intra macroblock (mb_type in I-slice terms: 0 = I_NxN,
+    * 1..24 = I_16x16) into the picture, including its chroma tail —
+    * shared by the I-slice loop and by intra macroblocks inside P
+    * slices (whose mb_type arrives as 5 + this value, 7.4.5 Table
+    * 7-13). Returns the updated QPy. */
+  private def decodeIntraMbInto(st: PicState, r: BitReader, m: Int,
+      mbAvail: (Int, Int) => Boolean, mbType: Int, qpyIn: Int,
+      cbQpOff: Int, crQpOff: Int, t8x8: Boolean): Int = {
+    val widthMbs = st.widthMbs
+    val w16 = st.w16
+    val w8 = st.w8
+    val plane = st.plane
+    val cbPlane = st.cbPlane
+    val crPlane = st.crPlane
+    val tcGrid = st.tcGrid
+    val tcCb = st.tcCb
+    val tcCr = st.tcCr
+    var qpy = qpyIn
       val mbX = m % widthMbs
       val mbY = m / widthMbs
+      if (mbType == 25) {
+        // I_PCM (7.3.5): byte-align, then raw 4:2:0 samples. nC
+        // bookkeeping per 9.2.1: neighbours of an I_PCM macroblock
+        // derive nN = 16 on every covered block; mode grids stay -1
+        // (intra-but-not-I_NxN predicts as DC); QPy unchanged.
+        r.alignZero()
+        var yy = 0
+        while (yy < 16) {
+          var xx = 0
+          while (xx < 16) {
+            plane((mbY * 16 + yy) * w16 + mbX * 16 + xx) = r.u(8).toByte
+            xx += 1
+          }
+          yy += 1
+        }
+        Seq(cbPlane, crPlane).foreach { cp =>
+          var cy = 0
+          while (cy < 8) {
+            var cx = 0
+            while (cx < 8) {
+              cp((mbY * 8 + cy) * w8 + mbX * 8 + cx) = r.u(8).toByte
+              cx += 1
+            }
+            cy += 1
+          }
+        }
+        var gi = 0
+        while (gi < 4) {
+          var gj = 0
+          while (gj < 4) {
+            tcGrid(mbY * 4 + gi)(mbX * 4 + gj) = 16
+            gj += 1
+          }
+          gi += 1
+        }
+        tcCb(mbY * 2)(mbX * 2) = 16; tcCb(mbY * 2)(mbX * 2 + 1) = 16
+        tcCb(mbY * 2 + 1)(mbX * 2) = 16; tcCb(mbY * 2 + 1)(mbX * 2 + 1) = 16
+        tcCr(mbY * 2)(mbX * 2) = 16; tcCr(mbY * 2)(mbX * 2 + 1) = 16
+        tcCr(mbY * 2 + 1)(mbX * 2) = 16; tcCr(mbY * 2 + 1)(mbX * 2 + 1) = 16
+        return qpy
+      }
       val cbpChroma: Int = if (mbType == 0) {
         val use8 = t8x8 && r.u(1) == 1 // transform_size_8x8_flag
         val (cbpC, newQpy) =
@@ -2436,6 +3058,6 @@ object H264Cavlc {
           cbi += 1
         }
       }
-    }
+    qpy
   }
 }

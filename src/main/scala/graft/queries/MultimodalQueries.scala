@@ -42,7 +42,86 @@ object MultimodalQueries {
     "m24_video_multi_slice" -> m24,
     "m25_video_dense_cavlc" -> m25,
     "m26_video_intra4x4" -> m26,
-    "m27_video_intra8x8" -> m27)
+    "m27_video_intra8x8" -> m27,
+    "m28_video_inter_p" -> m28)
+
+  /** Inter prediction on the oracle gate (m28): each asset is a
+    * two-frame GOP — an I_16x16-DC IDR whose four macroblocks settle
+    * to per-MB flat values through the DC-prediction chain, then a
+    * non-IDR P picture exercising every supported inter shape:
+    * P_Skip (the 8.4.1.1 zero-MV edge rule — bit-copy of the
+    * co-located reference MB), a P_L0_16x16 whose integer MV selects
+    * its source MB by doc (mvd coded against the real 8.4.1.3
+    * median predictor), a P_L0_16x16 with a FRACTIONAL
+    * far-out-of-bounds MV — the full quarter-pel tap path runs with
+    * every read clamped to the reference corner, so all 16 (xFrac,
+    * yFrac) combinations cycle through the oracle while the 6-tap
+    * output stays closed-form — and an intra I_16x16 inside the P
+    * slice (its DC prediction reads the MC'd neighbours). Inter luma
+    * residuals are uniform per-MB DC levels (QPy 36: exactly 10c),
+    * inter chroma DC residuals land through the MC'd chroma path
+    * (exactly 4c at QPc 34); the frame-0 DC spread (160f + 32) >> 6
+    * replays as positive floor division. A wrong bit in mb_skip_run,
+    * the MVP median, the Table 9-4 inter CBP column or the
+    * interpolator desyncs the chain.
+    *
+    * Scale: zero-shuffle per-asset map, like every codec query. */
+  private def m28: Q = (spark, dir) => {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      // frame 0: I_16x16 DC picture, per-MB flat values
+      val dc = Array.tabulate(4) { mb =>
+        val d = Array.ofDim[Int](4, 4)
+        d(0)(0) = ((id + mb) % 4).toInt
+        d
+      }
+      // frame 1: skip | moved | clamped-fractional | intra
+      val kinds = Array(1, 0, 0, 2)
+      val s1 = (id % 3).toInt
+      val mv1 = Seq(Array(0, 0), Array(-64, 0), Array(0, 64))(s1)
+      val fx = (id % 4).toInt
+      val fy = ((id / 4) % 4).toInt
+      val mvs = Array(Array(0, 0), mv1, Array(-400 - fx, -400 - fy),
+        Array(0, 0))
+      val g1 = id % 2 == 1
+      val g2 = (id / 2) % 2 == 1
+      val c1 = (((id + 2) % 7) - 3).toInt
+      val c2 = (((id + 4) % 7) - 3).toInt
+      val coeffs = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+      if (g1) for (blk <- 0 until 16) coeffs(1)(blk)(0) = c1
+      if (g2) for (blk <- 0 until 16) coeffs(2)(blk)(0) = c2
+      val cbDc = Array.fill(4)(Array.fill(2, 2)(0))
+      val crDc = Array.fill(4)(Array.fill(2, 2)(0))
+      cbDc(1)(0)(0) = (((id + 1) % 5) - 2).toInt
+      crDc(1)(0)(0) = (((id + 3) % 5) - 2).toInt
+      cbDc(2)(0)(0) = (((id + 5) % 5) - 2).toInt
+      crDc(2)(0)(0) = (((id + 7) % 5) - 2).toInt
+      val es = graft.operators.H264.encodeSps(2, 2, 0) ++
+        graft.operators.H264.encodePps() ++
+        graft.operators.H264Cavlc.encodeIntra16Frame(2, 2, dc, qp = 36,
+          idrPicId = (id % 65536).toInt) ++
+        graft.operators.H264Cavlc.encodePFrame(2, 2, kinds, mvs, coeffs,
+          qp = 36, frameNum = 1, cbDc = cbDc, crDc = crDc)
+      val frames = graft.operators.H264Cavlc.decodeIntra16FramesYuv(es)
+      require(frames.size == 2)
+      val (w, h, y0, _, _) = frames(0)
+      val (_, _, y1, cb1, cr1) = frames(1)
+      def mbVal(y: Array[Byte], mb: Int): Int =
+        y(((mb >> 1) * 16) * 32 + (mb & 1) * 16) & 0xFF
+      var ys = 0L
+      var i = 0
+      while (i < y0.length) { ys += (y0(i) & 0xFF) + (y1(i) & 0xFF); i += 1 }
+      def csum(p: Array[Byte]): Long = {
+        var s = 0L; var k = 0
+        while (k < p.length) { s += p(k) & 0xFF; k += 1 }
+        s
+      }
+      (id, w, h, mbVal(y0, 0), mbVal(y0, 1), mbVal(y0, 2), mbVal(y0, 3),
+        mbVal(y1, 0), mbVal(y1, 1), mbVal(y1, 2), mbVal(y1, 3),
+        csum(cb1), csum(cr1), ys)
+    }.toDF("doc_id", "width", "height", "v0", "v1", "v2", "v3",
+      "w0", "w1", "w2", "w3", "cb_sum", "cr_sum", "y_sum")
+  }
 
   /** m27's 23 output columns (one past the Tuple22 ceiling). */
   private case class M27Row(doc_id: Long, width: Int, height: Int,
@@ -1154,6 +1233,51 @@ object MultimodalQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // m28: the two-frame GOP replayed closed form. Frame 0: I16-DC
+    // chain at QPy 36 (spread(f) = (160f+32)//64, f in 0..3 so the
+    // floor runs on a positive numerator); frame 1: skip copies v0,
+    // the moved MB adds the exactly-linear 10c luma DC on its
+    // doc-selected source, the clamped fractional MB lands on v0
+    // whatever its fraction (6-tap over a constant is the constant),
+    // the intra MB is the rounded average of its MC'd neighbours, and
+    // the chroma sums replay the 4c DC drops plus the 8.3.4.1
+    // per-block intra chroma prediction of the last MB.
+    "m28_video_inter_p" ->
+      """WITH f AS (SELECT doc_id,
+        | (doc_id + 0) % 4 AS f0, (doc_id + 1) % 4 AS f1,
+        | (doc_id + 2) % 4 AS f2, (doc_id + 3) % 4 AS f3
+        | FROM documents),
+        |v AS (SELECT doc_id,
+        | 128 + (160*f0 + 32)//64 AS v0,
+        | v0 + (160*f1 + 32)//64 AS v1,
+        | v0 + (160*f2 + 32)//64 AS v2,
+        | (v1 + v2 + 1)//2 + (160*f3 + 32)//64 AS v3
+        | FROM f),
+        |p AS (SELECT doc_id, v0, v1, v2, v3,
+        | v0 AS w0,
+        | (CASE doc_id % 3 WHEN 0 THEN v1 WHEN 1 THEN v0 ELSE v3 END)
+        |   + CASE WHEN doc_id % 2 = 1
+        |       THEN 10*((doc_id + 2) % 7 - 3) ELSE 0 END AS w1,
+        | v0 + CASE WHEN (doc_id // 2) % 2 = 1
+        |       THEN 10*((doc_id + 4) % 7 - 3) ELSE 0 END AS w2,
+        | (w1 + w2 + 1)//2 AS w3,
+        | 128 + 4*((doc_id + 1) % 5 - 2) AS tcb,
+        | 128 + 4*((doc_id + 5) % 5 - 2) AS lcb,
+        | 128 + 4*((doc_id + 3) % 5 - 2) AS tcr,
+        | 128 + 4*((doc_id + 7) % 5 - 2) AS lcr
+        | FROM v)
+        |SELECT doc_id, 32 AS width, 32 AS height,
+        | CAST(v0 AS INTEGER) AS v0, CAST(v1 AS INTEGER) AS v1,
+        | CAST(v2 AS INTEGER) AS v2, CAST(v3 AS INTEGER) AS v3,
+        | CAST(w0 AS INTEGER) AS w0, CAST(w1 AS INTEGER) AS w1,
+        | CAST(w2 AS INTEGER) AS w2, CAST(w3 AS INTEGER) AS w3,
+        | CAST(64*(128 + tcb + lcb)
+        |   + 16*(2*((tcb + lcb + 1)//2) + tcb + lcb) AS BIGINT) AS cb_sum,
+        | CAST(64*(128 + tcr + lcr)
+        |   + 16*(2*((tcr + lcr + 1)//2) + tcr + lcr) AS BIGINT) AS cr_sum,
+        | CAST(256*(v0 + v1 + v2 + v3 + w0 + w1 + w2 + w3) AS BIGINT)
+        |   AS y_sum
+        |FROM p""".stripMargin,
     // m27: the mixed I_16x16 / I_8x8 / I_4x4 picture replayed closed
     // form. QPy 36 makes both residual paths exactly linear (8x8 DC
     // dequant 320c then (320c+32)>>6 = 5c; 4x4 DC 640c -> 10c), the

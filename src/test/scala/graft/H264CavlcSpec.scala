@@ -696,13 +696,30 @@ class H264CavlcSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("tile") || ex.getMessage.contains("incomplete"))
   }
 
-  test("streams outside the intra-DC subset fail loudly") {
-    // An I_PCM frame is a valid stream but not in this decoder's subset.
+  test("I_PCM frames decode bit-exactly in the general path (r15: in subset)") {
+    // I_PCM joined the decode subset with the P-slice work (it is the
+    // conformance suite's bit-exact reference picture); the general
+    // path must reproduce the raw samples untouched.
     val plane = Array.tabulate(16 * 16)(i => (i % 256).toByte)
     val es = H264.encodeSps(1, 1, 0) ++ H264.encodePps() ++
       H264.encodeIPcmFrame(1, 1, plane)
+    val fr = H264Cavlc.decodeIntra16Frames(es)
+    assert(fr.size === 1)
+    assert(fr.head._3.toSeq === plane.toSeq)
+  }
+
+  test("streams outside the decode subset still fail loudly") {
+    // mb_type 26 does not exist in an I slice (Table 7-11 ends at 25)
+    val w = new graft.operators.H264.BitWriter
+    w.ue(0); w.ue(7); w.ue(0) // first_mb, slice_type I, pps id
+    w.u(0, 8); w.ue(0) // frame_num, idr_pic_id
+    w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking
+    w.se(0) // slice_qp_delta
+    w.ue(26) // bogus mb_type
+    val bad = H264.encodeSps(1, 1, 0) ++ H264.encodePps() ++
+      (Array[Byte](0, 0, 1, 0x65.toByte) ++ H264.rbspToEbsp(w.trailing()))
     val ex = intercept[IllegalArgumentException] {
-      H264Cavlc.decodeIntra16Frames(es)
+      H264Cavlc.decodeIntra16Frames(bad)
     }
     assert(ex.getMessage.contains("mb_type"))
   }
