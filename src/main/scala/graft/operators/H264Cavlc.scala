@@ -60,9 +60,14 @@ import H264.{BitReader, BitWriter}
   * Table 9-4 INTER coded_block_pattern column, inter luma/chroma
   * residuals through the shared 4x4 machinery, intra macroblocks
   * inside P slices (Table 7-13's 5 + I mb_type), and I_PCM (mb_type
-  * 25) in the general path with the 9.2.1 nC = 16 convention.
-  * Remaining boundary: CABAC, B slices, multi-reference lists,
-  * sub-16x16 inter partitions, and the deblocking filter.
+  * 25) in the general path with the 9.2.1 nC = 16 convention. Motion
+  * is stored at 4x4-cell granularity, so sub-16x16 partitions decode
+  * too: P_L0_L0_16x8 / 8x16 (with 8.4.1.3's directional predictor
+  * shortcuts) and P_8x8 / P_8x8ref0 with P_L0_8x8 sub-partitions,
+  * each mvd against the 6.4.10.7 cell-neighbour derivation with
+  * within-MB partition decoding order. Remaining boundary: CABAC,
+  * B slices, multi-reference lists, sub-8x8 partitions (8x4/4x8/4x4),
+  * and the deblocking filter.
   *
   * All VLC tables are transcribed from the public ITU-T H.264 spec:
   * coeff_token Table 9-5 (all luma columns + chroma DC), total_zeros
@@ -1716,14 +1721,18 @@ object H264Cavlc {
     * inter decode path. Must FOLLOW an encoded reference picture in
     * the same stream (list0[0] = the previous decoded picture).
     *
-    *  - `kinds(m)`: 0 = P_L0_16x16 (mvs/coeffs), 1 = P_Skip, 2 =
-    *    all-zero I_16x16_2_0_0 intra (Table 7-13 mb_type 5 + 3).
-    *  - `mvs(m)` = (mvx, mvy) quarter-luma-pel; the encoder derives
-    *    mvd against the SAME 8.4.1.3 predictor the decoder runs (its
-    *    own mirror of the motion grids), so any MV is encodable.
+    *  - `kinds(m)`: 0 = P_L0_16x16, 1 = P_Skip, 2 = all-zero
+    *    I_16x16_2_0_0 intra (Table 7-13 mb_type 5 + 3), 3 =
+    *    P_L0_L0_16x8, 4 = P_L0_L0_8x16, 5 = P_8x8 (four P_L0_8x8
+    *    sub-partitions).
+    *  - `mvs(m)(p)` = (mvx, mvy) quarter-luma-pel for partition p (1,
+    *    2 or 4 entries by kind); the encoder derives each mvd against
+    *    the SAME 8.4.1.3 partition predictor the decoder runs (its own
+    *    mirror of the cell-granular motion grids), so any MV is
+    *    encodable.
     *  - `coeffs(m)(blk)(k)`: LumaLevel4x4 zig-zag levels; CBP luma bit
     *    g covers z-scan blocks 4g..4g+3 (Table 9-4 INTER column).
-    *  - `cbDc`/`crDc`: optional 2x2 ChromaDCLevel per kind-0 MB
+    *  - `cbDc`/`crDc`: optional 2x2 ChromaDCLevel per inter-coded MB
     *    (CodedBlockPatternChroma 1).
     *
     * P_Skip macroblocks take the 8.4.1.1 implied motion — the caller
@@ -1731,21 +1740,29 @@ object H264Cavlc {
     * mb_qp_delta 0. */
   def encodePFrame(widthMbs: Int, heightMapUnits: Int,
       kinds: Array[Int],
-      mvs: Array[Array[Int]], coeffs: Array[Array[Array[Int]]],
+      mvs: Array[Array[Array[Int]]], coeffs: Array[Array[Array[Int]]],
       qp: Int, frameNum: Int,
       cbDc: Array[Array[Array[Int]]] = null,
       crDc: Array[Array[Array[Int]]] = null,
       sliceStarts: Array[Int] = Array(0)): Array[Byte] = {
     val nMbs = widthMbs * heightMapUnits
-    require(kinds.length == nMbs && kinds.forall(k => k >= 0 && k <= 2))
+    require(kinds.length == nMbs && kinds.forall(k => k >= 0 && k <= 5))
     require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
     require((cbDc == null) == (crDc == null),
       "chroma DC levels must be given for both components or neither")
     val chroma = cbDc != null
+    def mbTypeOf(kind: Int): Int = kind match {
+      case 0 => 0; case 3 => 1; case 4 => 2; case _ => 3
+    }
     kinds.zipWithIndex.foreach { case (k, m) =>
-      if (k == 0) require(mvs(m).length == 2 && coeffs(m).length == 16 &&
-        coeffs(m).forall(_.length == 16),
-        s"mb $m: P_L0_16x16 needs (mvx, mvy) and 16 x 16 zig-zag levels")
+      if (k == 0 || k >= 3) {
+        val nParts = pPartitions(mbTypeOf(k)).length
+        require(mvs(m).length == nParts &&
+          mvs(m).forall(_.length == 2) &&
+          coeffs(m).length == 16 && coeffs(m).forall(_.length == 16),
+          s"mb $m: kind $k needs $nParts (mvx, mvy) pairs and " +
+            "16 x 16 zig-zag levels")
+      }
     }
     require(sliceStarts.nonEmpty && sliceStarts.head == 0 &&
       sliceStarts.forall(st => st >= 0 && st < nMbs) &&
@@ -1761,11 +1778,11 @@ object H264Cavlc {
         mm += 1
       }
     }
-    // decoder mirrors: nC grid + per-MB motion for the MVP derivation
+    // decoder mirrors: nC grid + cell-granular motion for the MVP
     val tcGrid = Array.ofDim[Int](heightMapUnits * 4, widthMbs * 4)
-    val refIdxArr = Array.fill(nMbs)(-1)
-    val mvXA = new Array[Int](nMbs)
-    val mvYA = new Array[Int](nMbs)
+    val refG = Array.fill(heightMapUnits * 4, widthMbs * 4)(-1)
+    val mvGx = Array.ofDim[Int](heightMapUnits * 4, widthMbs * 4)
+    val mvGy = Array.ofDim[Int](heightMapUnits * 4, widthMbs * 4)
     val nals = scala.collection.mutable.ArrayBuffer.empty[Byte]
     var w: BitWriter = null
     var skipRun = 0
@@ -1795,9 +1812,9 @@ object H264Cavlc {
       }
       kinds(m) match {
         case 1 => // P_Skip: count into the pending run; record implied MV
-          val (mvx, mvy) = pSkipMv(widthMbs, heightMapUnits, refIdxArr,
-            mvXA, mvYA, mbAvail, mbX, mbY)
-          refIdxArr(m) = 0; mvXA(m) = mvx; mvYA(m) = mvy
+          val (mvx, mvy) = pSkipMv(widthMbs, heightMapUnits, refG,
+            mvGx, mvGy, mbAvail, m, mbX, mbY)
+          fillCells(refG, mvGx, mvGy, mbX * 16, mbY * 16, 16, 16, mvx, mvy)
           skipRun += 1
         // tcGrid cells stay 0 (9.2.1 for skipped MBs)
         case 2 => // intra-in-P: all-zero I_16x16_2_0_0 (mb_type 5 + 3)
@@ -1808,17 +1825,31 @@ object H264Cavlc {
           encodeResidual(new Array[Int](16),
             lumaCoeffTokenTab(lumaNc(tcGrid, mbX, mbY, 0, mbAvail),
               s"mb $m DC"), TotalZeros, w)
-        // refIdxArr stays -1 (intra neighbours predict as (0,0,-1))
-        case _ => // P_L0_16x16
+        // refG cells stay -1 (intra neighbours predict as (0,0,-1))
+        case kind => // inter-coded partitions
           w.ue(skipRun); skipRun = 0
-          w.ue(0) // mb_type
-          val (px, py) = mvp16x16(widthMbs, heightMapUnits, refIdxArr,
-            mvXA, mvYA, mbAvail, mbX, mbY)
-          val mvx = mvs(m)(0)
-          val mvy = mvs(m)(1)
-          w.se(mvx - px) // mvd_l0 x (ref_idx_l0 absent: single ref)
-          w.se(mvy - py)
-          refIdxArr(m) = 0; mvXA(m) = mvx; mvYA(m) = mvy
+          val mbType = mbTypeOf(kind)
+          w.ue(mbType)
+          val parts = pPartitions(mbType)
+          if (mbType == 3) {
+            var sb = 0
+            while (sb < 4) { w.ue(0); sb += 1 } // sub_mb_type: P_L0_8x8
+          }
+          var pi = 0
+          while (pi < parts.length) {
+            val (oxp, oyp, pw, ph) = parts(pi)
+            val x0 = mbX * 16 + oxp
+            val y0 = mbY * 16 + oyp
+            val (px, py) = mvpPart(widthMbs, heightMapUnits, refG,
+              mvGx, mvGy, mbAvail, m, partOrderAvail(mbType, pi),
+              x0, y0, pw, ph, pi)
+            val mvx = mvs(m)(pi)(0)
+            val mvy = mvs(m)(pi)(1)
+            w.se(mvx - px) // mvd_l0 (ref_idx_l0 absent: single ref)
+            w.se(mvy - py)
+            fillCells(refG, mvGx, mvGy, x0, y0, pw, ph, mvx, mvy)
+            pi += 1
+          }
           var cbpLuma = 0
           var g = 0
           while (g < 4) {
@@ -2035,12 +2066,14 @@ object H264Cavlc {
     // mode 2 by neighbours, per the spec)
     val i4Mode = Array.fill(mapUnits * 4, widthMbs * 4)(-1)
     val mbSlice = Array.fill(nMbs)(-1)
-    // per-MB motion data for P slices (16x16 partitions): refIdx -1 =
-    // intra (8.4.1.3.2's "not motion-predictable" convention), 0 =
-    // inter off list0's single reference; mv in quarter-luma units
-    val mbRefIdx = Array.fill(nMbs)(-1)
-    val mvX = new Array[Int](nMbs)
-    val mvY = new Array[Int](nMbs)
+    // per-4x4-CELL motion data for P slices (6.4.10.7 neighbour
+    // partitions read motion at 4x4 granularity once sub-16x16
+    // partitions exist): refIdx -1 = intra/unset (8.4.1.3.2's "not
+    // motion-predictable" convention), 0 = inter off list0's single
+    // reference; mv in quarter-luma units
+    val refG = Array.fill(mapUnits * 4, widthMbs * 4)(-1)
+    val mvGx = Array.ofDim[Int](mapUnits * 4, widthMbs * 4)
+    val mvGy = Array.ofDim[Int](mapUnits * 4, widthMbs * 4)
     // UNCROPPED planes of the previous decoded picture (list0[0]) —
     // set by the frames loop before any P slice of this picture
     var refPic: Option[(Array[Byte], Array[Byte], Array[Byte])] = None
@@ -2426,76 +2459,130 @@ object H264Cavlc {
       32) >> 6
   }
 
-  /** Neighbour motion for MVP (8.4.1.3.2 conventions at 16x16
-    * granularity): availability of mbAddrA/B/C with the D (top-left)
-    * substitution for C, intra/unavailable neighbours as (0, 0, -1),
-    * and the all-of-B/C-unavailable -> copy-A rule. Returns
-    * ((mvxA,mvyA,refA), (..B), (..C)). */
-  private def neighbourMotion(widthMbs: Int, mapUnits: Int,
-      refIdxArr: Array[Int], mvXA: Array[Int], mvYA: Array[Int],
-      mbAvail: (Int, Int) => Boolean, mbX: Int, mbY: Int):
-      ((Int, Int, Int), (Int, Int, Int), (Int, Int, Int), Boolean, Boolean) = {
-    def avail(x: Int, y: Int) = x >= 0 && y >= 0 && x < widthMbs &&
-      y < mapUnits && mbAvail(x, y)
-    def mot(x: Int, y: Int): (Int, Int, Int) =
-      if (!avail(x, y)) (0, 0, -1)
-      else {
-        val n = y * widthMbs + x
-        if (refIdxArr(n) < 0) (0, 0, -1)
-        else (mvXA(n), mvYA(n), 0)
-      }
-    val aAv = avail(mbX - 1, mbY)
-    val bAv = avail(mbX, mbY - 1)
-    val cAv0 = avail(mbX + 1, mbY - 1)
-    val dAv = avail(mbX - 1, mbY - 1)
-    var a = mot(mbX - 1, mbY)
-    var b = mot(mbX, mbY - 1)
-    var c =
-      if (cAv0) mot(mbX + 1, mbY - 1)
-      else if (dAv) mot(mbX - 1, mbY - 1)
-      else (0, 0, -1)
-    val cAv = cAv0 || dAv
-    if (!bAv && !cAv && aAv) { b = a; c = a } // 8.4.1.3.2 copy-A rule
-    (a, b, c, aAv, bAv)
+  /** Motion of the 4x4 cell at cell coords (cx, cy), with 6.4.10.7 /
+    * 8.4.1.3.2 conventions: cells outside the picture or in a
+    * different-slice MB are "not available"; cells of the CURRENT
+    * macroblock consult `partAvail` (a partition later in decoding
+    * order is not available); intra cells carry (0, 0, -1). Returns
+    * (mvx, mvy, refIdx, addrAvailable). */
+  private def cellMotion(widthMbs: Int, mapUnits: Int,
+      refG: Array[Array[Int]], mvGx: Array[Array[Int]],
+      mvGy: Array[Array[Int]], mbAvail: (Int, Int) => Boolean, m: Int,
+      partAvail: (Int, Int) => Boolean, cx: Int, cy: Int):
+      (Int, Int, Int, Boolean) = {
+    val ok = cx >= 0 && cy >= 0 && cx < widthMbs * 4 && cy < mapUnits * 4 && {
+      val nmb = (cy / 4) * widthMbs + (cx / 4)
+      if (nmb == m) partAvail(cx, cy) else mbAvail(cx / 4, cy / 4)
+    }
+    if (!ok) (0, 0, -1, false)
+    else if (refG(cy)(cx) < 0) (0, 0, -1, true)
+    else (mvGx(cy)(cx), mvGy(cy)(cx), 0, true)
   }
 
-  /** 16x16 luma MVP (8.4.1.3): the single-match shortcut, else the
-    * component-wise median of A/B/C. Array form so the fixture encoder
-    * mirrors the exact same derivation. */
-  private def mvp16x16(widthMbs: Int, mapUnits: Int,
-      refIdxArr: Array[Int], mvXA: Array[Int], mvYA: Array[Int],
-      mbAvail: (Int, Int) => Boolean, mbX: Int, mbY: Int): (Int, Int) = {
-    val (a, b, c, _, _) = neighbourMotion(widthMbs, mapUnits, refIdxArr,
-      mvXA, mvYA, mbAvail, mbX, mbY)
-    val matches = Seq(a, b, c).count(_._3 == 0)
-    if (matches == 1) {
-      val n = Seq(a, b, c).find(_._3 == 0).get
-      (n._1, n._2)
-    } else {
+  /** Partition-level luma MVP (8.4.1.3) at picture-luma origin
+    * (x0, y0), size pw x ph, macroblock partition index `partIdx`:
+    * neighbour cells A/B/C per 6.4.10.7 (C at the top-right corner
+    * with the D top-left substitution when unavailable), the
+    * 8.4.1.3.2 B/C-unavailable -> copy-A rule, the 16x8 / 8x16
+    * directional shortcuts, the single-matching-refIdx shortcut, and
+    * the component-wise median. Array/grid form shared verbatim by
+    * the decoder and the fixture encoder's mirror. */
+  private def mvpPart(widthMbs: Int, mapUnits: Int,
+      refG: Array[Array[Int]], mvGx: Array[Array[Int]],
+      mvGy: Array[Array[Int]], mbAvail: (Int, Int) => Boolean, m: Int,
+      partAvail: (Int, Int) => Boolean,
+      x0: Int, y0: Int, pw: Int, ph: Int, partIdx: Int): (Int, Int) = {
+    def mot(cx: Int, cy: Int) = cellMotion(widthMbs, mapUnits, refG,
+      mvGx, mvGy, mbAvail, m, partAvail, cx, cy)
+    val a0 = mot(x0 / 4 - 1, y0 / 4)
+    val b0 = mot(x0 / 4, y0 / 4 - 1)
+    val c0 = mot((x0 + pw) / 4, y0 / 4 - 1)
+    val d0 = mot(x0 / 4 - 1, y0 / 4 - 1)
+    var a = (a0._1, a0._2, a0._3)
+    var b = (b0._1, b0._2, b0._3)
+    var c = if (c0._4) (c0._1, c0._2, c0._3)
+      else (d0._1, d0._2, d0._3)
+    val cAv = c0._4 || d0._4
+    if (!b0._4 && !cAv && a0._4) { b = a; c = a } // 8.4.1.3.2 copy-A
+    // 8.4.1.3 directional shortcuts for the two-partition shapes
+    if (pw == 16 && ph == 8 && partIdx == 0 && b._3 == 0) return (b._1, b._2)
+    if (pw == 16 && ph == 8 && partIdx == 1 && a._3 == 0) return (a._1, a._2)
+    if (pw == 8 && ph == 16 && partIdx == 0 && a._3 == 0) return (a._1, a._2)
+    if (pw == 8 && ph == 16 && partIdx == 1 && c._3 == 0) return (c._1, c._2)
+    val hits = Seq(a, b, c).filter(_._3 == 0)
+    if (hits.length == 1) (hits.head._1, hits.head._2)
+    else {
       def med(p: Int, q: Int, r2: Int) =
         math.max(math.min(p, q), math.min(math.max(p, q), r2))
       (med(a._1, b._1, c._1), med(a._2, b._2, c._2))
     }
   }
 
-  /** P_Skip motion (8.4.1.1): zero when either edge neighbour is
+  /** P_Skip motion (8.4.1.1): zero when either 16x16-edge neighbour is
     * unavailable or carries a zero MV on ref 0, else the 16x16 MVP. */
   private def pSkipMv(widthMbs: Int, mapUnits: Int,
-      refIdxArr: Array[Int], mvXA: Array[Int], mvYA: Array[Int],
-      mbAvail: (Int, Int) => Boolean, mbX: Int, mbY: Int): (Int, Int) = {
-    val (a, b, _, aAv, bAv) = neighbourMotion(widthMbs, mapUnits,
-      refIdxArr, mvXA, mvYA, mbAvail, mbX, mbY)
-    if (!aAv || !bAv ||
+      refG: Array[Array[Int]], mvGx: Array[Array[Int]],
+      mvGy: Array[Array[Int]], mbAvail: (Int, Int) => Boolean, m: Int,
+      mbX: Int, mbY: Int): (Int, Int) = {
+    val never = (_: Int, _: Int) => false
+    def mot(cx: Int, cy: Int) = cellMotion(widthMbs, mapUnits, refG,
+      mvGx, mvGy, mbAvail, m, never, cx, cy)
+    val a = mot(mbX * 4 - 1, mbY * 4)
+    val b = mot(mbX * 4, mbY * 4 - 1)
+    if (!a._4 || !b._4 ||
         (a._3 == 0 && a._1 == 0 && a._2 == 0) ||
         (b._3 == 0 && b._1 == 0 && b._2 == 0)) (0, 0)
-    else mvp16x16(widthMbs, mapUnits, refIdxArr, mvXA, mvYA, mbAvail,
-      mbX, mbY)
+    else mvpPart(widthMbs, mapUnits, refG, mvGx, mvGy, mbAvail, m,
+      never, mbX * 16, mbY * 16, 16, 16, 0)
   }
 
-  /** Write the 16x16 luma MC prediction + optional residual into the
-    * picture, sharing the 4x4 residual machinery with the intra paths.
-    * `coeffsByBlk(blk)` may be null (uncoded -> pure prediction). */
-  private def reconInterLuma(st: PicState, m: Int, mvx: Int, mvy: Int,
+  /** Record one partition's motion into the 4x4-cell grids. */
+  private def fillCells(refG: Array[Array[Int]], mvGx: Array[Array[Int]],
+      mvGy: Array[Array[Int]], x0: Int, y0: Int, pw: Int, ph: Int,
+      mvx: Int, mvy: Int): Unit = {
+    var cy = y0 / 4
+    while (cy < (y0 + ph) / 4) {
+      var cx = x0 / 4
+      while (cx < (x0 + pw) / 4) {
+        refG(cy)(cx) = 0; mvGx(cy)(cx) = mvx; mvGy(cy)(cx) = mvy
+        cx += 1
+      }
+      cy += 1
+    }
+  }
+
+  /** Partition geometry per P mb_type (Table 7-13 inter shapes):
+    * (x-offset, y-offset, width, height) within the macroblock. */
+  private def pPartitions(mbType: Int): Array[(Int, Int, Int, Int)] =
+    mbType match {
+      case 0 => Array((0, 0, 16, 16))
+      case 1 => Array((0, 0, 16, 8), (0, 8, 16, 8)) // P_L0_L0_16x8
+      case 2 => Array((0, 0, 8, 16), (8, 0, 8, 16)) // P_L0_L0_8x16
+      case _ => Array((0, 0, 8, 8), (8, 0, 8, 8), (0, 8, 8, 8),
+        (8, 8, 8, 8)) // P_8x8 / P_8x8ref0
+    }
+
+  /** Within-MB decoded-partition predicate for the MVP of partition
+    * `partIdx` of shape `mbType`: a current-MB cell is available iff
+    * its partition precedes in decoding order. */
+  private def partOrderAvail(mbType: Int, partIdx: Int):
+      (Int, Int) => Boolean = (cx, cy) => {
+    val cellPart = mbType match {
+      case 0 => 0
+      case 1 => if (cy % 4 >= 2) 1 else 0
+      case 2 => if (cx % 4 >= 2) 1 else 0
+      case _ => ((cy % 4) / 2) * 2 + ((cx % 4) / 2)
+    }
+    cellPart < partIdx
+  }
+
+  /** Write the macroblock's luma MC prediction + optional residual
+    * into the picture, sharing the 4x4 residual machinery with the
+    * intra paths. Each 4x4 block motion-compensates with ITS covering
+    * partition's MV (read off the cell grids — the caller records all
+    * partitions first). `coeffsByBlk(blk)` may be null (uncoded ->
+    * pure prediction). */
+  private def reconInterLuma(st: PicState, m: Int,
       coeffsByBlk: Array[Array[Int]], qpy: Int,
       refY: Array[Byte]): Unit = {
     val widthMbs = st.widthMbs
@@ -2509,6 +2596,8 @@ object H264Cavlc {
       val (ox, oy) = Blk4x4Pos(blk)
       val gx = mbX * 16 + ox
       val gy = mbY * 16 + oy
+      val mvx = st.mvGx(gy / 4)(gx / 4)
+      val mvy = st.mvGy(gy / 4)(gx / 4)
       val scan = if (coeffsByBlk == null) null else coeffsByBlk(blk)
       var anyNz = false
       if (scan != null) {
@@ -2542,9 +2631,11 @@ object H264Cavlc {
     }
   }
 
-  /** Inter chroma tail: MC prediction per sample + the same DC/AC
-    * residual shapes as the intra chroma tail. */
-  private def reconInterChroma(st: PicState, m: Int, mvx: Int, mvy: Int,
+  /** Inter chroma tail: MC prediction per sample (each chroma 4x4
+    * block lies inside exactly one >=8x8 luma partition, so its MV is
+    * one cell-grid read) + the same DC/AC residual shapes as the intra
+    * chroma tail. */
+  private def reconInterChroma(st: PicState, m: Int,
       cbpChroma: Int, cbScan: Array[Int], crScan: Array[Int],
       cbAcBlk: Array[Array[Int]], crAcBlk: Array[Array[Int]],
       qpy: Int, cbQpOff: Int, crQpOff: Int,
@@ -2562,6 +2653,8 @@ object H264Cavlc {
         while (cbi < 2) {
           var cbj = 0
           while (cbj < 2) {
+            val mvx = st.mvGx(mbY * 4 + cbi * 2)(mbX * 4 + cbj * 2)
+            val mvy = st.mvGy(mbY * 4 + cbi * 2)(mbX * 4 + cbj * 2)
             val dcC =
               if (cbpChroma >= 1) dequantChromaDc(f2(cbi)(cbj), qPc) else 0
             val ac = acC(cbi * 2 + cbj)
@@ -2645,11 +2738,12 @@ object H264Cavlc {
         st.nextMb += 1
         val mbX = m % widthMbs
         val mbY = m / widthMbs
-        val (mvx, mvy) = pSkipMv(widthMbs, st.mapUnits, st.mbRefIdx,
-          st.mvX, st.mvY, mbAvail, mbX, mbY)
-        st.mbRefIdx(m) = 0; st.mvX(m) = mvx; st.mvY(m) = mvy
-        reconInterLuma(st, m, mvx, mvy, null, qpy, refY)
-        reconInterChroma(st, m, mvx, mvy, 0, new Array[Int](4),
+        val (mvx, mvy) = pSkipMv(widthMbs, st.mapUnits, st.refG,
+          st.mvGx, st.mvGy, mbAvail, m, mbX, mbY)
+        fillCells(st.refG, st.mvGx, st.mvGy, mbX * 16, mbY * 16, 16, 16,
+          mvx, mvy)
+        reconInterLuma(st, m, null, qpy, refY)
+        reconInterChroma(st, m, 0, new Array[Int](4),
           new Array[Int](4), Array.ofDim[Int](4, 15),
           Array.ofDim[Int](4, 15), qpy, cbQpOff, crQpOff, refCb, refCr)
         i += 1
@@ -2665,16 +2759,37 @@ object H264Cavlc {
           qpy = decodeIntraMbInto(st, r, m, mbAvail, mbType - 5, qpy,
             cbQpOff, crQpOff, t8x8)
         } else {
-          require(mbType == 0, s"mb $m: only P_L0_16x16 inter partitions " +
-            s"supported (mb_type $mbType — 16x8/8x16/8x8 are a boundary)")
+          require(mbType <= 4, s"mb $m: P mb_type $mbType out of range")
           val mbX = m % widthMbs
           val mbY = m / widthMbs
-          // mb_pred: ref_idx_l0 absent (single reference), mvd_l0
-          val (px, py) = mvp16x16(widthMbs, st.mapUnits, st.mbRefIdx,
-            st.mvX, st.mvY, mbAvail, mbX, mbY)
-          val mvx = px + r.se()
-          val mvy = py + r.se()
-          st.mbRefIdx(m) = 0; st.mvX(m) = mvx; st.mvY(m) = mvy
+          val parts = pPartitions(mbType)
+          // sub_mb_pred (7.3.5.2) for P_8x8 / P_8x8ref0: sub_mb_type
+          // per 8x8 block — only P_L0_8x8 (whole-8x8 sub-partition)
+          // supported; ref_idx_l0 absent throughout (single reference)
+          if (mbType >= 3) {
+            var sb = 0
+            while (sb < 4) {
+              require(r.ue() == 0,
+                s"mb $m: only P_L0_8x8 sub_mb_type supported " +
+                  "(8x4/4x8/4x4 sub-partitions are a boundary)")
+              sb += 1
+            }
+          }
+          // mvd_l0 per partition in decoding order; each partition's
+          // predictor may read the PREVIOUS partitions' cells
+          var pi = 0
+          while (pi < parts.length) {
+            val (oxp, oyp, pw, ph) = parts(pi)
+            val x0 = mbX * 16 + oxp
+            val y0 = mbY * 16 + oyp
+            val (px, py) = mvpPart(widthMbs, st.mapUnits, st.refG,
+              st.mvGx, st.mvGy, mbAvail, m, partOrderAvail(mbType, pi),
+              x0, y0, pw, ph, pi)
+            val mvx = px + r.se()
+            val mvy = py + r.se()
+            fillCells(st.refG, st.mvGx, st.mvGy, x0, y0, pw, ph, mvx, mvy)
+            pi += 1
+          }
           val cbpCode = r.ue()
           require(cbpCode < 48,
             s"mb $m: coded_block_pattern codeNum $cbpCode out of range")
@@ -2722,8 +2837,8 @@ object H264Cavlc {
                 }
             }
           }
-          reconInterLuma(st, m, mvx, mvy, coeffsByBlk, qpy, refY)
-          reconInterChroma(st, m, mvx, mvy, cbpChroma, cbScan, crScan,
+          reconInterLuma(st, m, coeffsByBlk, qpy, refY)
+          reconInterChroma(st, m, cbpChroma, cbScan, crScan,
             cbAcBlk, crAcBlk, qpy, cbQpOff, crQpOff, refCb, refCr)
         }
       } else more = false

@@ -43,7 +43,8 @@ object MultimodalQueries {
     "m25_video_dense_cavlc" -> m25,
     "m26_video_intra4x4" -> m26,
     "m27_video_intra8x8" -> m27,
-    "m28_video_inter_p" -> m28)
+    "m28_video_inter_p" -> m28,
+    "m29_video_inter_parts" -> m29)
 
   /** Inter prediction on the oracle gate (m28): each asset is a
     * two-frame GOP — an I_16x16-DC IDR whose four macroblocks settle
@@ -81,8 +82,8 @@ object MultimodalQueries {
       val mv1 = Seq(Array(0, 0), Array(-64, 0), Array(0, 64))(s1)
       val fx = (id % 4).toInt
       val fy = ((id / 4) % 4).toInt
-      val mvs = Array(Array(0, 0), mv1, Array(-400 - fx, -400 - fy),
-        Array(0, 0))
+      val mvs = Array(Array(Array(0, 0)), Array(mv1),
+        Array(Array(-400 - fx, -400 - fy)), Array(Array(0, 0)))
       val g1 = id % 2 == 1
       val g2 = (id / 2) % 2 == 1
       val c1 = (((id + 2) % 7) - 3).toInt
@@ -121,6 +122,72 @@ object MultimodalQueries {
         csum(cb1), csum(cr1), ys)
     }.toDF("doc_id", "width", "height", "v0", "v1", "v2", "v3",
       "w0", "w1", "w2", "w3", "cb_sum", "cr_sum", "y_sum")
+  }
+
+  /** Sub-16x16 inter partitions on the oracle gate (m29): frame 0 is
+    * m28's I_16x16-DC picture (four flat MBs v0..v3); frame 1 carries
+    * one macroblock of EVERY partition shape — 16x8 (two MVs), 8x16
+    * (two MVs), P_8x8 (four MVs + a uniform luma DC residual), and
+    * P_L0_16x16 (with its own residual) — with every motion vector
+    * MB-grid-aligned (multiples of 64 quarter-pels), so each
+    * partition's prediction is the flat value of the frame-0 MB its
+    * doc-selected source index names. Each mvd is coded against the
+    * REAL partition predictor (8.4.1.3's directional 16x8/8x16 rules
+    * and the cell-granular neighbour derivation run on every
+    * partition), so a wrong rule shifts every later bit. QPy 36 keeps
+    * the residuals exactly linear (10c).
+    *
+    * Scale: zero-shuffle per-asset map, like every codec query. */
+  private def m29: Q = (spark, dir) => {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val dc = Array.tabulate(4) { mb =>
+        val d = Array.ofDim[Int](4, 4)
+        d(0)(0) = ((id + mb) % 4).toInt
+        d
+      }
+      // source MB index per partition, by doc (periods co-prime-ish)
+      def src(k: Int): Int = ((id / k) % 4).toInt
+      val s = Array(src(1), src(3), src(5), src(7), src(9), src(11),
+        src(13), src(17), src(19))
+      // aligned MV from dest MB (mx,my) to source MB index sIdx
+      def mv(mx: Int, my: Int, sIdx: Int): Array[Int] =
+        Array(((sIdx & 1) - mx) * 64, ((sIdx >> 1) - my) * 64)
+      val kinds = Array(3, 4, 5, 0) // 16x8 | 8x16 | P_8x8 | 16x16
+      val mvs = Array(
+        Array(mv(0, 0, s(0)), mv(0, 0, s(1))),
+        Array(mv(1, 0, s(2)), mv(1, 0, s(3))),
+        Array(mv(0, 1, s(4)), mv(0, 1, s(5)), mv(0, 1, s(6)),
+          mv(0, 1, s(7))),
+        Array(mv(1, 1, s(8))))
+      val g2 = (id / 2) % 2 == 1
+      val g3 = id % 2 == 1
+      val c2 = (((id + 4) % 7) - 3).toInt
+      val c3 = (((id + 2) % 7) - 3).toInt
+      val coeffs = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+      if (g2) for (blk <- 0 until 16) coeffs(2)(blk)(0) = c2
+      if (g3) for (blk <- 0 until 16) coeffs(3)(blk)(0) = c3
+      val es = graft.operators.H264.encodeSps(2, 2, 0) ++
+        graft.operators.H264.encodePps() ++
+        graft.operators.H264Cavlc.encodeIntra16Frame(2, 2, dc, qp = 36,
+          idrPicId = (id % 65536).toInt) ++
+        graft.operators.H264Cavlc.encodePFrame(2, 2, kinds, mvs, coeffs,
+          qp = 36, frameNum = 1)
+      val frames = graft.operators.H264Cavlc.decodeIntra16FramesYuv(es)
+      require(frames.size == 2)
+      val (w, h, y1) = (frames(1)._1, frames(1)._2, frames(1)._3)
+      def px(x: Int, yy: Int): Int = y1(yy * 32 + x) & 0xFF
+      var ys = 0L
+      var i = 0
+      while (i < y1.length) { ys += y1(i) & 0xFF; i += 1 }
+      (id, w, h,
+        px(0, 0), px(0, 8),          // 16x8 partitions
+        px(16, 0), px(24, 0),        // 8x16 partitions
+        px(0, 16), px(8, 16), px(0, 24), px(8, 24), // P_8x8 quadrants
+        px(16, 16),                  // 16x16
+        ys)
+    }.toDF("doc_id", "width", "height", "a0", "a1", "b0", "b1",
+      "q0", "q1", "q2", "q3", "w3", "y1_sum")
   }
 
   /** m27's 23 output columns (one past the Tuple22 ceiling). */
@@ -1233,6 +1300,53 @@ object MultimodalQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // m29: frame-0 chain as m28, then one flat value per partition —
+    // source MB picked by (doc_id // period) % 4 per partition,
+    // uniform 10c residuals on the P_8x8 and 16x16 MBs.
+    "m29_video_inter_parts" ->
+      """WITH f AS (SELECT doc_id,
+        | (doc_id + 0) % 4 AS f0, (doc_id + 1) % 4 AS f1,
+        | (doc_id + 2) % 4 AS f2, (doc_id + 3) % 4 AS f3
+        | FROM documents),
+        |v AS (SELECT doc_id,
+        | 128 + (160*f0 + 32)//64 AS v0,
+        | v0 + (160*f1 + 32)//64 AS v1,
+        | v0 + (160*f2 + 32)//64 AS v2,
+        | (v1 + v2 + 1)//2 + (160*f3 + 32)//64 AS v3
+        | FROM f),
+        |p AS (SELECT doc_id, v0, v1, v2, v3,
+        | CASE (doc_id // 1) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END AS a0,
+        | CASE (doc_id // 3) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END AS a1,
+        | CASE (doc_id // 5) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END AS b0,
+        | CASE (doc_id // 7) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END AS b1,
+        | CASE WHEN (doc_id // 2) % 2 = 1
+        |   THEN 10*((doc_id + 4) % 7 - 3) ELSE 0 END AS r2,
+        | CASE WHEN doc_id % 2 = 1
+        |   THEN 10*((doc_id + 2) % 7 - 3) ELSE 0 END AS r3,
+        | (CASE (doc_id // 9) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + r2 AS q0,
+        | (CASE (doc_id // 11) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + r2 AS q1,
+        | (CASE (doc_id // 13) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + r2 AS q2,
+        | (CASE (doc_id // 17) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + r2 AS q3,
+        | (CASE (doc_id // 19) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + r3 AS w3
+        | FROM v)
+        |SELECT doc_id, 32 AS width, 32 AS height,
+        | CAST(a0 AS INTEGER) AS a0, CAST(a1 AS INTEGER) AS a1,
+        | CAST(b0 AS INTEGER) AS b0, CAST(b1 AS INTEGER) AS b1,
+        | CAST(q0 AS INTEGER) AS q0, CAST(q1 AS INTEGER) AS q1,
+        | CAST(q2 AS INTEGER) AS q2, CAST(q3 AS INTEGER) AS q3,
+        | CAST(w3 AS INTEGER) AS w3,
+        | CAST(128*(a0 + a1 + b0 + b1) + 64*(q0 + q1 + q2 + q3)
+        |   + 256*w3 AS BIGINT) AS y1_sum
+        |FROM p""".stripMargin,
     // m28: the two-frame GOP replayed closed form. Frame 0: I16-DC
     // chain at QPy 36 (spread(f) = (160f+32)//64, f in 0..3 so the
     // floor runs on a positive numerator); frame 1: skip copies v0,

@@ -102,43 +102,64 @@ class H264InterSpec extends AnyFunSuite {
   private val DcV = Array(10, 11, 13, 14, 16, 18)
 
   /** Independent full P-frame reconstruction over a known reference
-    * frame. kinds: 0 = P_L0_16x16, 1 = P_Skip, 2 = all-zero I_16x16.
-    * Returns (luma, cb, cr) uncropped planes. */
+    * frame, at 4x4-cell motion granularity. kinds: 0 = P_L0_16x16,
+    * 1 = P_Skip, 2 = all-zero I_16x16, 3 = 16x8, 4 = 8x16, 5 = P_8x8.
+    * mvs(m)(p) = (mvx, mvy) per partition. Returns (luma, cb, cr). */
+  private def partsOf(kind: Int): Array[(Int, Int, Int, Int)] = kind match {
+    case 3 => Array((0, 0, 16, 8), (0, 8, 16, 8))
+    case 4 => Array((0, 0, 8, 16), (8, 0, 8, 16))
+    case 5 => Array((0, 0, 8, 8), (8, 0, 8, 8), (0, 8, 8, 8), (8, 8, 8, 8))
+    case _ => Array((0, 0, 16, 16))
+  }
+
   private def refPFrame(wMbs: Int, hMbs: Int,
       f0Y: Array[Int], f0Cb: Array[Int], f0Cr: Array[Int],
-      kinds: Array[Int], mvs: Array[Array[Int]],
+      kinds: Array[Int], mvs: Array[Array[Array[Int]]],
       coeffs: Array[Array[Array[Int]]],
       cbDc: Array[Array[Array[Int]]], crDc: Array[Array[Array[Int]]],
       qp: Int): (Array[Int], Array[Int], Array[Int]) = {
     val w16 = wMbs * 16; val h16 = hMbs * 16
     val w8 = wMbs * 8; val h8 = hMbs * 8
+    val w4 = wMbs * 4; val h4 = hMbs * 4
     val y = new Array[Int](w16 * h16)
     val cb = new Array[Int](w8 * h8)
     val cr = new Array[Int](w8 * h8)
-    // own motion bookkeeping (8.4.1.3.2 conventions)
-    val refIdx = Array.fill(wMbs * hMbs)(-1)
-    val mx = new Array[Int](wMbs * hMbs)
-    val my = new Array[Int](wMbs * hMbs)
-    def mot(xm: Int, ym: Int, cur: Int): (Int, Int, Int) = {
-      if (xm < 0 || ym < 0 || xm >= wMbs || ym >= hMbs) return (0, 0, -1)
-      val n = ym * wMbs + xm
-      if (n >= cur) (0, 0, -1)
-      else if (refIdx(n) < 0) (0, 0, -1)
-      else (mx(n), my(n), 0)
+    // own cell-granular motion bookkeeping (6.4.10.7 / 8.4.1.3.2)
+    val ref4 = Array.fill(h4, w4)(-1)
+    val mx4 = Array.ofDim[Int](h4, w4)
+    val my4 = Array.ofDim[Int](h4, w4)
+    // decoded(m) partitions-so-far marker: cell decoded iff its MB
+    // precedes, or same MB and its partition index < current one
+    def cellPartIdx(kind: Int, cx: Int, cy: Int): Int = kind match {
+      case 3 => if (cy % 4 >= 2) 1 else 0
+      case 4 => if (cx % 4 >= 2) 1 else 0
+      case 5 => ((cy % 4) / 2) * 2 + ((cx % 4) / 2)
+      case _ => 0
     }
-    def mvp(m: Int): (Int, Int) = {
-      val mbX = m % wMbs; val mbY = m / wMbs
-      def avail(xm: Int, ym: Int) = xm >= 0 && ym >= 0 && xm < wMbs &&
-        ym < hMbs && ym * wMbs + xm < m
-      val aAv = avail(mbX - 1, mbY)
-      val bAv = avail(mbX, mbY - 1)
-      val cAv0 = avail(mbX + 1, mbY - 1)
-      val dAv = avail(mbX - 1, mbY - 1)
-      var a = mot(mbX - 1, mbY, m)
-      var b = mot(mbX, mbY - 1, m)
-      var c = if (cAv0) mot(mbX + 1, mbY - 1, m)
-        else if (dAv) mot(mbX - 1, mbY - 1, m) else (0, 0, -1)
-      if (!bAv && !(cAv0 || dAv) && aAv) { b = a; c = a }
+    def motion(m: Int, curPart: Int, cx: Int, cy: Int): (Int, Int, Int, Boolean) = {
+      val ok = cx >= 0 && cy >= 0 && cx < w4 && cy < h4 && {
+        val nmb = (cy / 4) * wMbs + (cx / 4)
+        if (nmb == m) cellPartIdx(kinds(m), cx, cy) < curPart
+        else nmb < m
+      }
+      if (!ok) (0, 0, -1, false)
+      else if (ref4(cy)(cx) < 0) (0, 0, -1, true)
+      else (mx4(cy)(cx), my4(cy)(cx), 0, true)
+    }
+    def predictor(m: Int, curPart: Int, x0: Int, y0: Int,
+        pw: Int, ph: Int): (Int, Int) = {
+      val a0 = motion(m, curPart, x0 / 4 - 1, y0 / 4)
+      val b0 = motion(m, curPart, x0 / 4, y0 / 4 - 1)
+      val c0 = motion(m, curPart, (x0 + pw) / 4, y0 / 4 - 1)
+      val d0 = motion(m, curPart, x0 / 4 - 1, y0 / 4 - 1)
+      var a = (a0._1, a0._2, a0._3)
+      var b = (b0._1, b0._2, b0._3)
+      var c = if (c0._4) (c0._1, c0._2, c0._3) else (d0._1, d0._2, d0._3)
+      if (!b0._4 && !(c0._4 || d0._4) && a0._4) { b = a; c = a }
+      if (pw == 16 && ph == 8 && curPart == 0 && b._3 == 0) return (b._1, b._2)
+      if (pw == 16 && ph == 8 && curPart == 1 && a._3 == 0) return (a._1, a._2)
+      if (pw == 8 && ph == 16 && curPart == 0 && a._3 == 0) return (a._1, a._2)
+      if (pw == 8 && ph == 16 && curPart == 1 && c._3 == 0) return (c._1, c._2)
       val hits = Seq(a, b, c).filter(_._3 == 0)
       if (hits.length == 1) (hits.head._1, hits.head._2)
       else {
@@ -147,20 +168,23 @@ class H264InterSpec extends AnyFunSuite {
         (med(a._1, b._1, c._1), med(a._2, b._2, c._2))
       }
     }
+    def record(x0: Int, y0: Int, pw: Int, ph: Int, vx: Int, vy: Int): Unit =
+      for (cy <- y0 / 4 until (y0 + ph) / 4; cx <- x0 / 4 until (x0 + pw) / 4) {
+        ref4(cy)(cx) = 0; mx4(cy)(cx) = vx; my4(cy)(cx) = vy
+      }
     for (m <- 0 until wMbs * hMbs) {
       val mbX = m % wMbs; val mbY = m / wMbs
-      def avail(xm: Int, ym: Int) = xm >= 0 && ym >= 0 && xm < wMbs &&
+      def mbAv(xm: Int, ym: Int) = xm >= 0 && ym >= 0 && xm < wMbs &&
         ym < hMbs && ym * wMbs + xm < m
       kinds(m) match {
         case 2 => // all-zero DC I_16x16 off the IN-PROGRESS frame
-          val lAv = avail(mbX - 1, mbY); val tAv = avail(mbX, mbY - 1)
+          val lAv = mbAv(mbX - 1, mbY); val tAv = mbAv(mbX, mbY - 1)
           var s = 0; var n = 0
           if (lAv) { for (yy <- 0 until 16) s += y((mbY * 16 + yy) * w16 + mbX * 16 - 1); n += 16 }
           if (tAv) { for (xx <- 0 until 16) s += y((mbY * 16 - 1) * w16 + mbX * 16 + xx); n += 16 }
           val dc = if (n == 32) (s + 16) >> 5 else if (n == 16) (s + 8) >> 4 else 128
           for (yy <- 0 until 16; xx <- 0 until 16)
             y((mbY * 16 + yy) * w16 + mbX * 16 + xx) = dc
-          // chroma: 8.3.4.1 per-2x2-block DC prediction, no residual
           Seq(cb, cr).foreach { cp =>
             def sumTop(off: Int) =
               (0 until 4).map(i => cp((mbY * 8 - 1) * w8 + mbX * 8 + off * 4 + i)).sum
@@ -187,23 +211,31 @@ class H264InterSpec extends AnyFunSuite {
                 cp((mbY * 8 + bi * 4 + rr) * w8 + mbX * 8 + bj * 4 + cc) = v
             }
           }
-        case k =>
-          val (vx, vy) =
-            if (k == 0) (mvs(m)(0), mvs(m)(1))
-            else { // P_Skip, 8.4.1.1
-              val aAv = avail(mbX - 1, mbY); val bAv = avail(mbX, mbY - 1)
-              val a = mot(mbX - 1, mbY, m); val b = mot(mbX, mbY - 1, m)
-              if (!aAv || !bAv ||
+        case kind =>
+          // record partition motion in decoding order
+          if (kind == 1) { // P_Skip, 8.4.1.1
+            val a = motion(m, 0, mbX * 4 - 1, mbY * 4)
+            val b = motion(m, 0, mbX * 4, mbY * 4 - 1)
+            val (vx, vy) =
+              if (!a._4 || !b._4 ||
                   (a._3 == 0 && a._1 == 0 && a._2 == 0) ||
                   (b._3 == 0 && b._1 == 0 && b._2 == 0)) (0, 0)
-              else mvp(m)
+              else predictor(m, 0, mbX * 16, mbY * 16, 16, 16)
+            record(mbX * 16, mbY * 16, 16, 16, vx, vy)
+          } else {
+            val parts = partsOf(kind)
+            for (pi <- parts.indices) {
+              val (oxp, oyp, pw, ph) = parts(pi)
+              record(mbX * 16 + oxp, mbY * 16 + oyp, pw, ph,
+                mvs(m)(pi)(0), mvs(m)(pi)(1))
             }
-          refIdx(m) = 0; mx(m) = vx; my(m) = vy
+          }
           for (blk <- 0 until 16) {
             val (ox, oy) = ZPos4(blk)
             val gx = mbX * 16 + ox; val gy = mbY * 16 + oy
+            val vx = mx4(gy / 4)(gx / 4); val vy = my4(gy / 4)(gx / 4)
             val res =
-              if (k == 0 && coeffs(m)(blk).exists(_ != 0))
+              if (kind != 1 && coeffs(m)(blk).exists(_ != 0))
                 refResidual4(coeffs(m)(blk), qp)
               else Array.fill(4, 4)(0)
             for (rr <- 0 until 4; cc <- 0 until 4) {
@@ -215,17 +247,17 @@ class H264InterSpec extends AnyFunSuite {
           val qPc = qpc(qp) // both chroma offsets zero in these streams
           Seq((cb, f0Cb, cbDc), (cr, f0Cr, crDc)).foreach {
             case (cp, f0c, dcs) =>
-              // 2x2 chroma DC: hadamard2 of the level block, per-block
-              // dequant ((f * 16 * v0) << (qPc/6)) >> 5, flat spread
-              val lvl = if (k == 0 && dcs != null) dcs(m) else Array.fill(2, 2)(0)
+              val lvl = if (kind != 1 && dcs != null) dcs(m) else Array.fill(2, 2)(0)
               val f2 = Array(
                 Array(lvl(0)(0) + lvl(0)(1) + lvl(1)(0) + lvl(1)(1),
                   lvl(0)(0) - lvl(0)(1) + lvl(1)(0) - lvl(1)(1)),
                 Array(lvl(0)(0) + lvl(0)(1) - lvl(1)(0) - lvl(1)(1),
                   lvl(0)(0) - lvl(0)(1) - lvl(1)(0) + lvl(1)(1)))
               for (bi <- 0 until 2; bj <- 0 until 2) {
+                val vx = mx4(mbY * 4 + bi * 2)(mbX * 4 + bj * 2)
+                val vy = my4(mbY * 4 + bi * 2)(mbX * 4 + bj * 2)
                 val dcC =
-                  if (k == 0 && dcs != null)
+                  if (kind != 1 && dcs != null)
                     ((f2(bi)(bj) * 16 * DcV(qPc % 6)) << (qPc / 6)) >> 5
                   else 0
                 val res = (dcC + 32) >> 6
@@ -247,12 +279,15 @@ class H264InterSpec extends AnyFunSuite {
       rnd: scala.util.Random, withChroma: Boolean) = {
     val n = wMbs * hMbs
     val f0Y = Array.fill(wMbs * 16 * hMbs * 16)(rnd.nextInt(256))
-    val kinds = Array.tabulate(n) { m =>
-      // never start with a long leading skip-only picture; mix kinds
-      val r = rnd.nextInt(10)
-      if (r < 6) 0 else if (r < 8) 1 else 2
+    val kinds = Array.tabulate(n) { _ =>
+      val r = rnd.nextInt(12)
+      if (r < 4) 0 else if (r < 6) 1 else if (r < 7) 2
+      else if (r < 9) 3 else if (r < 11) 4 else 5
     }
-    val mvs = Array.fill(n)(Array(rnd.nextInt(81) - 40, rnd.nextInt(81) - 40))
+    val mvs = Array.tabulate(n) { m =>
+      Array.fill(partsOf(kinds(m)).length)(
+        Array(rnd.nextInt(81) - 40, rnd.nextInt(81) - 40))
+    }
     val coeffs = Array.fill(n)(Array.tabulate(16) { _ =>
       val a = new Array[Int](16)
       if (rnd.nextDouble() < 0.4) {
@@ -289,7 +324,7 @@ class H264InterSpec extends AnyFunSuite {
       val f0 = Array.fill(256)(128.toByte)
       val es = H264.encodeSps(1, 1, 0) ++ H264.encodePps() ++
         H264.encodeIPcmFrame(1, 1, f0, frameNum = 0) ++
-        H264Cavlc.encodePFrame(1, 1, Array(0), Array(Array(0, 0)), coeffs,
+        H264Cavlc.encodePFrame(1, 1, Array(0), Array(Array(Array(0, 0))), coeffs,
           qp = 28, frameNum = 1,
           cbDc = if (chroma) Array(Array.fill(2, 2)(1)) else null,
           crDc = if (chroma) Array(Array.fill(2, 2)(1)) else null)
@@ -322,7 +357,7 @@ class H264InterSpec extends AnyFunSuite {
     for (fx <- 0 until 4; fy <- 0 until 4) {
       val f0Y = Array.fill(wMbs * 16 * hMbs * 16)(rnd.nextInt(256))
       val kinds = Array.fill(n)(0)
-      val mvs = Array.fill(n)(Array(-8 - 4 + fx, 12 + fy)) // mixed signs
+      val mvs = Array.fill(n)(Array(Array(-8 - 4 + fx, 12 + fy))) // mixed signs
       val coeffs = Array.fill(n)(Array.fill(16)(new Array[Int](16)))
       val es = H264.encodeSps(wMbs, hMbs, 0) ++ H264.encodePps() ++
         H264.encodeIPcmFrame(wMbs, hMbs, f0Y.map(_.toByte), frameNum = 1) ++
@@ -346,7 +381,7 @@ class H264InterSpec extends AnyFunSuite {
     val es = H264.encodeSps(wMbs, hMbs, 0) ++ H264.encodePps() ++
       H264.encodeIPcmFrame(wMbs, hMbs, f0Y.map(_.toByte), frameNum = 2) ++
       H264Cavlc.encodePFrame(wMbs, hMbs, Array.fill(n)(1),
-        Array.fill(n)(Array(0, 0)),
+        Array.fill(n)(Array(Array(0, 0))),
         Array.fill(n)(Array.fill(16)(new Array[Int](16))), 28, 1)
     val fr = H264Cavlc.decodeIntra16FramesYuv(es)
     assert(fr.size === 2)
@@ -359,7 +394,8 @@ class H264InterSpec extends AnyFunSuite {
     val n = wMbs * hMbs
     val f0Y = Array.fill(wMbs * 16 * hMbs * 16)(rnd.nextInt(256))
     val kinds = Array(0, 1, 0, 0)
-    val mvs = Array.fill(n)(Array(rnd.nextInt(33) - 16, rnd.nextInt(33) - 16))
+    val mvs = Array.fill(n)(
+      Array(Array(rnd.nextInt(33) - 16, rnd.nextInt(33) - 16)))
     val coeffs = Array.fill(n)(Array.fill(16)(new Array[Int](16)))
     val es = H264.encodeSps(wMbs, hMbs, 0) ++ H264.encodePps() ++
       H264.encodeIPcmFrame(wMbs, hMbs, f0Y.map(_.toByte), frameNum = 3) ++
