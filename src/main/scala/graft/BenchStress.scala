@@ -87,7 +87,8 @@ object BenchStress {
     // round 15: the mixed I_16x16/I_8x8/I_4x4 codec row and the
     // two-frame inter GOP — zero-shuffle per-asset maps like
     // m22/m25/m26; prove the flat curve
-    "m27_video_intra8x8", "m28_video_inter_p", "m29_video_inter_parts")
+    "m27_video_intra8x8", "m28_video_inter_p", "m29_video_inter_parts",
+    "m30_video_bipred")
 
   /** Optional comma-separated name-prefix filter
     * (SPARK_GRAFT_STRESS_ONLY) — stress just the matching queries, so

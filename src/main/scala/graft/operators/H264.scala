@@ -266,16 +266,19 @@ object H264 {
     start ++ Array(((refIdc << 5) | tpe).toByte) ++ rbspToEbsp(rbsp)
   }
 
-  /** Baseline-profile SPS for the given MB geometry + bottom crop. */
+  /** Baseline-profile SPS for the given MB geometry + bottom crop.
+    * `numRefFrames` = 2 enables the low-delay B GOP shape (two past
+    * references; pic_order_cnt_type 2 keeps output order = decode
+    * order, so no POC syntax is needed). */
   def encodeSps(widthMbs: Int, heightMapUnits: Int, cropBottom: Int,
-      levelIdc: Int = 30): Array[Byte] = {
+      levelIdc: Int = 30, numRefFrames: Int = 1): Array[Byte] = {
     val w = new BitWriter
     w.u(66, 8) // profile_idc: baseline (no chroma branch in SPS)
     w.u(0, 8).u(levelIdc, 8)
     w.ue(0) // sps id
     w.ue(4) // log2_max_frame_num_minus4
     w.ue(2) // pic_order_cnt_type 2 (no extra fields)
-    w.ue(1) // max_num_ref_frames
+    w.ue(numRefFrames) // max_num_ref_frames
     w.u(0, 1) // gaps_in_frame_num
     w.ue(widthMbs - 1)
     w.ue(heightMapUnits - 1)

@@ -65,9 +65,21 @@ import H264.{BitReader, BitWriter}
   * too: P_L0_L0_16x8 / 8x16 (with 8.4.1.3's directional predictor
   * shortcuts) and P_8x8 / P_8x8ref0 with P_L0_8x8 sub-partitions,
   * each mvd against the 6.4.10.7 cell-neighbour derivation with
-  * within-MB partition decoding order. Remaining boundary: CABAC,
-  * B slices, multi-reference lists, sub-8x8 partitions (8x4/4x8/4x4),
-  * and the deblocking filter.
+  * within-MB partition decoding order. Low-delay B slices decode:
+  * B_L0_16x16 / B_L1_16x16 / B_Bi_16x16 (Table 7-14) over a
+  * two-entry sliding-window DPB (list0[0] = most recent past
+  * reference, list1[0] = the older one — the 8.2.4.2.5 swap's net
+  * effect; pic_order_cnt_type 2 keeps output order = decode order so
+  * no POC syntax is involved), per-list motion grids and 8.4.1.3
+  * predictors, the 8.4.2.3 default rounded-average bi-prediction, and
+  * intra macroblocks inside B slices (Table 7-14's 23 + I mb_type).
+  * Remaining boundary: CABAC (its context-initialisation tables
+  * cannot be transcribed here with conformance-grade confidence —
+  * deliberately NOT approximated), B_Direct/B_Skip, B partitions,
+  * multi-reference lists, sub-8x8 partitions (8x4/4x8/4x4), and the
+  * deblocking filter (normative for streams that do not disable it;
+  * this decoder targets its own encoder's streams, which it decodes
+  * bit-exactly, and documents the filter as out of subset).
   *
   * All VLC tables are transcribed from the public ITU-T H.264 spec:
   * coeff_token Table 9-5 (all luma columns + chroma DC), total_zeros
@@ -1896,6 +1908,191 @@ object H264Cavlc {
     nals.toArray
   }
 
+  /** Encode one non-IDR, NON-REFERENCE B picture (low-delay shape:
+    * list0[0] = most recent past reference, list1[0] = the older one).
+    * kinds: 0 = B_L0_16x16, 1 = B_L1_16x16, 2 = B_Bi_16x16, 3 =
+    * all-zero I_16x16_2_0_0 (Table 7-14 mb_type 23 + 3). `mvsL0(m)` /
+    * `mvsL1(m)` = (mvx, mvy) for the lists the kind uses; each mvd is
+    * coded against the per-list 8.4.1.3 predictor (mirrored grids).
+    * `coeffs` carries LumaLevel4x4 for inter kinds; `cbDc`/`crDc`
+    * optional chroma DC. QP: SliceQPy = qp, mb_qp_delta 0. */
+  def encodeBFrame(widthMbs: Int, heightMapUnits: Int,
+      kinds: Array[Int],
+      mvsL0: Array[Array[Int]], mvsL1: Array[Array[Int]],
+      coeffs: Array[Array[Array[Int]]],
+      qp: Int, frameNum: Int,
+      cbDc: Array[Array[Array[Int]]] = null,
+      crDc: Array[Array[Array[Int]]] = null,
+      sliceStarts: Array[Int] = Array(0)): Array[Byte] = {
+    val nMbs = widthMbs * heightMapUnits
+    require(kinds.length == nMbs && kinds.forall(k => k >= 0 && k <= 3))
+    require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
+    require((cbDc == null) == (crDc == null),
+      "chroma DC levels must be given for both components or neither")
+    val chroma = cbDc != null
+    require(sliceStarts.nonEmpty && sliceStarts.head == 0 &&
+      sliceStarts.forall(st => st >= 0 && st < nMbs) &&
+      sliceStarts.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+      s"bad sliceStarts ${sliceStarts.mkString(",")}")
+    val mbSliceOf = new Array[Int](nMbs)
+    locally {
+      var si = 0
+      var mm = 0
+      while (mm < nMbs) {
+        if (si + 1 < sliceStarts.length && mm == sliceStarts(si + 1)) si += 1
+        mbSliceOf(mm) = si
+        mm += 1
+      }
+    }
+    val tcGrid = Array.ofDim[Int](heightMapUnits * 4, widthMbs * 4)
+    val refGA = Array.fill(heightMapUnits * 4, widthMbs * 4)(-1)
+    val mvAx = Array.ofDim[Int](heightMapUnits * 4, widthMbs * 4)
+    val mvAy = Array.ofDim[Int](heightMapUnits * 4, widthMbs * 4)
+    val refGB = Array.fill(heightMapUnits * 4, widthMbs * 4)(-1)
+    val mvBx = Array.ofDim[Int](heightMapUnits * 4, widthMbs * 4)
+    val mvBy = Array.ofDim[Int](heightMapUnits * 4, widthMbs * 4)
+    val never = (_: Int, _: Int) => false
+    val nals = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var w: BitWriter = null
+    var m = 0
+    while (m < nMbs) {
+      val mbX = m % widthMbs
+      val mbY = m / widthMbs
+      val curSlice = mbSliceOf(m)
+      def mbAvail(x: Int, y: Int): Boolean = {
+        val nmb = y * widthMbs + x
+        nmb <= m && mbSliceOf(nmb) == curSlice
+      }
+      if (sliceStarts(curSlice) == m) {
+        if (w != null) nals ++= H264.nal(0, 1, w.trailing(), longStart = false)
+        w = new BitWriter
+        w.ue(m) // first_mb_in_slice
+        w.ue(6) // slice_type: B (all slices of the picture are B)
+        w.ue(0) // pps id
+        w.u(frameNum & 0xFF, 8)
+        w.u(0, 1) // direct_spatial_mv_pred_flag
+        w.u(0, 1) // num_ref_idx_active_override_flag
+        w.u(0, 1) // ref_pic_list_modification_flag_l0
+        w.u(0, 1) // ref_pic_list_modification_flag_l1
+        // nal_ref_idc == 0: no dec_ref_pic_marking
+        w.se(qp - 26) // SliceQPy = qp
+      }
+      w.ue(0) // mb_skip_run (B_Skip/direct outside the subset)
+      kinds(m) match {
+        case 3 => // intra-in-B: all-zero I_16x16_2_0_0 (mb_type 23 + 3)
+          w.ue(23 + 3)
+          w.ue(0) // intra_chroma_pred_mode
+          w.se(0) // mb_qp_delta (always present for I_16x16)
+          encodeResidual(new Array[Int](16),
+            lumaCoeffTokenTab(lumaNc(tcGrid, mbX, mbY, 0, mbAvail),
+              s"mb $m DC"), TotalZeros, w)
+        case kind =>
+          w.ue(kind + 1) // mb_type: 1 = B_L0, 2 = B_L1, 3 = B_Bi
+          val useL0 = kind == 0 || kind == 2
+          val useL1 = kind == 1 || kind == 2
+          if (useL0) {
+            val (px, py) = mvpPart(widthMbs, heightMapUnits, refGA,
+              mvAx, mvAy, mbAvail, m, never, mbX * 16, mbY * 16, 16, 16, 0)
+            w.se(mvsL0(m)(0) - px)
+            w.se(mvsL0(m)(1) - py)
+            fillCells(refGA, mvAx, mvAy, mbX * 16, mbY * 16, 16, 16,
+              mvsL0(m)(0), mvsL0(m)(1))
+          }
+          if (useL1) {
+            val (px, py) = mvpPart(widthMbs, heightMapUnits, refGB,
+              mvBx, mvBy, mbAvail, m, never, mbX * 16, mbY * 16, 16, 16, 0)
+            w.se(mvsL1(m)(0) - px)
+            w.se(mvsL1(m)(1) - py)
+            fillCells(refGB, mvBx, mvBy, mbX * 16, mbY * 16, 16, 16,
+              mvsL1(m)(0), mvsL1(m)(1))
+          }
+          var cbpLuma = 0
+          var g = 0
+          while (g < 4) {
+            var any = false
+            var b2 = 4 * g
+            while (b2 < 4 * g + 4 && !any) {
+              any = coeffs(m)(b2).exists(_ != 0); b2 += 1
+            }
+            if (any) cbpLuma |= 1 << g
+            g += 1
+          }
+          val cbpChroma = if (chroma) 1 else 0
+          val cbp = (cbpChroma << 4) | cbpLuma
+          w.ue(CbpInterInv(cbp))
+          if (cbp != 0) w.se(0) // mb_qp_delta
+          var blk = 0
+          while (blk < 16) {
+            val (ox, oy) = Blk4x4Pos(blk)
+            val bx = mbX * 4 + ox / 4
+            val by = mbY * 4 + oy / 4
+            if (((cbpLuma >> (blk >> 2)) & 1) == 1) {
+              val nC = lumaNc(tcGrid, mbX, mbY, blk, mbAvail)
+              encodeResidual(coeffs(m)(blk),
+                lumaCoeffTokenTab(nC, s"mb $m b blk $blk"), TotalZeros, w)
+              tcGrid(by)(bx) = coeffs(m)(blk).count(_ != 0)
+            } else {
+              require(coeffs(m)(blk).forall(_ == 0),
+                s"mb $m blk $blk: nonzero levels in an uncoded 8x8 group")
+              tcGrid(by)(bx) = 0
+            }
+            blk += 1
+          }
+          if (chroma) {
+            Seq(cbDc, crDc).foreach { plane =>
+              encodeChromaDcBlock(Array(plane(m)(0)(0), plane(m)(0)(1),
+                plane(m)(1)(0), plane(m)(1)(1)), w)
+            }
+          }
+      }
+      m += 1
+    }
+    nals ++= H264.nal(0, 1, w.trailing(), longStart = false)
+    nals.toArray
+  }
+
+  /** Encode one non-IDR REFERENCE P picture coded entirely as I_PCM
+    * macroblocks (mb_type 5 + 25 in a P slice) — raw samples under a
+    * P header, giving conformance suites a SECOND bit-exact reference
+    * texture without an IDR (which would flush the DPB). Chroma is
+    * flat 128. */
+  def encodePcmPFrame(widthMbs: Int, heightMapUnits: Int,
+      luma: Array[Byte], frameNum: Int): Array[Byte] = {
+    val w16 = widthMbs * 16
+    require(luma.length == w16 * heightMapUnits * 16,
+      s"luma plane must be ${w16}x${heightMapUnits * 16}")
+    val w = new BitWriter
+    w.ue(0) // first_mb_in_slice
+    w.ue(5) // slice_type: P
+    w.ue(0) // pps id
+    w.u(frameNum & 0xFF, 8)
+    w.u(0, 1) // num_ref_idx_active_override_flag
+    w.u(0, 1) // ref_pic_list_modification_flag_l0
+    w.u(0, 1) // adaptive_ref_pic_marking_mode_flag
+    w.se(0) // slice_qp_delta
+    var m = 0
+    while (m < widthMbs * heightMapUnits) {
+      val mbX = m % widthMbs
+      val mbY = m / widthMbs
+      w.ue(0) // mb_skip_run
+      w.ue(5 + 25) // mb_type: I_PCM in a P slice
+      w.align() // pcm_alignment_zero_bit
+      var yy = 0
+      while (yy < 16) {
+        var xx = 0
+        while (xx < 16) {
+          w.u(luma((mbY * 16 + yy) * w16 + mbX * 16 + xx) & 0xFF, 8)
+          xx += 1
+        }
+        yy += 1
+      }
+      var cs = 0
+      while (cs < 128) { w.u(128, 8); cs += 1 }
+      m += 1
+    }
+    H264.nal(2, 1, w.trailing(), longStart = false)
+  }
+
   /** Decode every Intra_16x16-DC picture of an SPS+PPS+IDR stream into
     * (width, height, luma) planes: slice-header walk, per-MB CAVLC DC
     * block, inverse Hadamard (8.5.6), dequant (8.5.10), DC-only core
@@ -1927,8 +2124,12 @@ object H264Cavlc {
     var ppsSeen = false
     val out = ArrayBuffer[(Int, Int, Array[Byte], Array[Byte], Array[Byte])]()
     var pic: Option[PicState] = None
-    var lastRef: Option[(Array[Byte], Array[Byte], Array[Byte])] = None
-    nals.foreach { case (_, tpe, ebsp) =>
+    // sliding-window DPB, most recent reference first (up to
+    // max_num_ref_frames = 2 for the low-delay B shape); an IDR
+    // flushes it (8.2.5.1)
+    var refs: List[(Array[Byte], Array[Byte], Array[Byte])] = Nil
+    var picIsRef = false
+    nals.foreach { case (refIdc, tpe, ebsp) =>
       tpe match {
         case 7 => if (sps.isEmpty) sps = Some(H264.parseSps(H264.ebspToRbsp(ebsp)))
         case 8 =>
@@ -1965,26 +2166,36 @@ object H264Cavlc {
           // each is independently entropy-decodable (nC/prediction
           // never cross the boundary), which is what makes slices the
           // format's parallel decode unit
-          val firstMb = { val pk = new BitReader(rbsp); pk.ue() }
+          val (firstMb, sliceType) = {
+            val pk = new BitReader(rbsp); (pk.ue(), pk.ue())
+          }
           if (firstMb == 0) {
             pic.foreach { st =>
               out += st.finish()
-              // the finished picture's UNCROPPED planes become list0[0]
-              // for a following P picture (max_num_ref_frames = 1
-              // sliding window: the most recent reference)
-              lastRef = Some((st.plane, st.cbPlane, st.crPlane))
+              // a REFERENCE picture's uncropped planes join the
+              // sliding-window DPB (most recent first)
+              if (picIsRef)
+                refs = ((st.plane, st.cbPlane, st.crPlane) :: refs).take(2)
             }
+            if (tpe == 5) refs = Nil // IDR flush (8.2.5.1)
             pic = Some(new PicState(s))
-            pic.get.refPic = lastRef
+            picIsRef = refIdc != 0
+            // list0[0] = most recent past reference; list1[0] = the
+            // older one (low-delay B: the 8.2.4.2.5 swap's net effect)
+            pic.get.refPic = refs.headOption
+            pic.get.refPic1 = refs.drop(1).headOption
           }
           val st = pic.getOrElse(throw new IllegalArgumentException(
             "slice with first_mb_in_slice != 0 before a picture start"))
           if (tpe == 5)
             decodeIntra16SliceInto(st, rbsp, ppsQpInit, ppsCbQpOff,
               ppsCrQpOff, ppsT8)
-          else
+          else if (sliceType == 0 || sliceType == 5)
             decodePSliceInto(st, rbsp, ppsQpInit, ppsCbQpOff,
               ppsCrQpOff, ppsT8)
+          else
+            decodeBSliceInto(st, rbsp, ppsQpInit, ppsCbQpOff,
+              ppsCrQpOff, ppsT8, refIdc)
         case _ => ()
       }
     }
@@ -2074,9 +2285,17 @@ object H264Cavlc {
     val refG = Array.fill(mapUnits * 4, widthMbs * 4)(-1)
     val mvGx = Array.ofDim[Int](mapUnits * 4, widthMbs * 4)
     val mvGy = Array.ofDim[Int](mapUnits * 4, widthMbs * 4)
-    // UNCROPPED planes of the previous decoded picture (list0[0]) —
-    // set by the frames loop before any P slice of this picture
+    // list-1 motion (B slices); a Bi cell carries both lists' flags
+    val refG1 = Array.fill(mapUnits * 4, widthMbs * 4)(-1)
+    val mvG1x = Array.ofDim[Int](mapUnits * 4, widthMbs * 4)
+    val mvG1y = Array.ofDim[Int](mapUnits * 4, widthMbs * 4)
+    // UNCROPPED planes of the reference pictures: refPic = list0[0]
+    // (most recent past reference), refPic1 = list1[0] for the
+    // low-delay B shape (the OLDER past reference, by the 8.2.4.2.5
+    // first-two-entries swap when both lists would be identical) —
+    // set by the frames loop before any P/B slice of this picture
     var refPic: Option[(Array[Byte], Array[Byte], Array[Byte])] = None
+    var refPic1: Option[(Array[Byte], Array[Byte], Array[Byte])] = None
     var nextMb = 0
     var nextSliceId = 0
     def finish(): (Int, Int, Array[Byte], Array[Byte], Array[Byte]) = {
@@ -2584,7 +2803,7 @@ object H264Cavlc {
     * pure prediction). */
   private def reconInterLuma(st: PicState, m: Int,
       coeffsByBlk: Array[Array[Int]], qpy: Int,
-      refY: Array[Byte]): Unit = {
+      refY: Array[Byte], refY1: Array[Byte] = null): Unit = {
     val widthMbs = st.widthMbs
     val w16 = st.w16
     val h16 = st.mapUnits * 16
@@ -2596,8 +2815,12 @@ object H264Cavlc {
       val (ox, oy) = Blk4x4Pos(blk)
       val gx = mbX * 16 + ox
       val gy = mbY * 16 + oy
+      val useL0 = st.refG(gy / 4)(gx / 4) == 0
+      val useL1 = refY1 != null && st.refG1(gy / 4)(gx / 4) == 0
       val mvx = st.mvGx(gy / 4)(gx / 4)
       val mvy = st.mvGy(gy / 4)(gx / 4)
+      val m1x = st.mvG1x(gy / 4)(gx / 4)
+      val m1y = st.mvG1y(gy / 4)(gx / 4)
       val scan = if (coeffsByBlk == null) null else coeffsByBlk(blk)
       var anyNz = false
       if (scan != null) {
@@ -2619,8 +2842,20 @@ object H264Cavlc {
       while (rr < 4) {
         var cc = 0
         while (cc < 4) {
-          val pred = interpLuma(refY, w16, h16,
-            gx + cc + (mvx >> 2), gy + rr + (mvy >> 2), mvx & 3, mvy & 3)
+          // 8.4.2.3 default weighted sample prediction: the rounded
+          // average when both lists predict (B_Bi), else the single
+          // list's interpolation
+          val p0 =
+            if (useL0) interpLuma(refY, w16, h16, gx + cc + (mvx >> 2),
+              gy + rr + (mvy >> 2), mvx & 3, mvy & 3)
+            else 0
+          val p1 =
+            if (useL1) interpLuma(refY1, w16, h16, gx + cc + (m1x >> 2),
+              gy + rr + (m1y >> 2), m1x & 3, m1y & 3)
+            else 0
+          val pred =
+            if (useL0 && useL1) (p0 + p1 + 1) >> 1
+            else if (useL0) p0 else p1
           val res = if (hM != null) (hM(rr)(cc) + 32) >> 6 else 0
           plane((gy + rr) * w16 + gx + cc) = clip255(pred + res).toByte
           cc += 1
@@ -2639,22 +2874,29 @@ object H264Cavlc {
       cbpChroma: Int, cbScan: Array[Int], crScan: Array[Int],
       cbAcBlk: Array[Array[Int]], crAcBlk: Array[Array[Int]],
       qpy: Int, cbQpOff: Int, crQpOff: Int,
-      refCb: Array[Byte], refCr: Array[Byte]): Unit = {
+      refCb: Array[Byte], refCr: Array[Byte],
+      refCb1: Array[Byte] = null, refCr1: Array[Byte] = null): Unit = {
     val widthMbs = st.widthMbs
     val w8 = st.w8
     val h8 = st.mapUnits * 8
     val mbX = m % widthMbs
     val mbY = m / widthMbs
-    Seq((st.cbPlane, refCb, cbScan, cbAcBlk, qpc(qpy + cbQpOff)),
-      (st.crPlane, refCr, crScan, crAcBlk, qpc(qpy + crQpOff))).foreach {
-      case (cp, refC, sc, acC, qPc) =>
+    Seq((st.cbPlane, refCb, refCb1, cbScan, cbAcBlk, qpc(qpy + cbQpOff)),
+      (st.crPlane, refCr, refCr1, crScan, crAcBlk, qpc(qpy + crQpOff)))
+      .foreach {
+      case (cp, refC, refC1, sc, acC, qPc) =>
         val f2 = hadamard2(Array(Array(sc(0), sc(1)), Array(sc(2), sc(3))))
         var cbi = 0
         while (cbi < 2) {
           var cbj = 0
           while (cbj < 2) {
+            val useL0 = st.refG(mbY * 4 + cbi * 2)(mbX * 4 + cbj * 2) == 0
+            val useL1 = refC1 != null &&
+              st.refG1(mbY * 4 + cbi * 2)(mbX * 4 + cbj * 2) == 0
             val mvx = st.mvGx(mbY * 4 + cbi * 2)(mbX * 4 + cbj * 2)
             val mvy = st.mvGy(mbY * 4 + cbi * 2)(mbX * 4 + cbj * 2)
+            val m1x = st.mvG1x(mbY * 4 + cbi * 2)(mbX * 4 + cbj * 2)
+            val m1y = st.mvG1y(mbY * 4 + cbi * 2)(mbX * 4 + cbj * 2)
             val dcC =
               if (cbpChroma >= 1) dequantChromaDc(f2(cbi)(cbj), qPc) else 0
             val ac = acC(cbi * 2 + cbj)
@@ -2681,8 +2923,17 @@ object H264Cavlc {
               while (cc < 4) {
                 val cx = mbX * 8 + cbj * 4 + cc
                 val cy = mbY * 8 + cbi * 4 + rr
-                val pred = interpChroma(refC, w8, h8,
-                  cx + (mvx >> 3), cy + (mvy >> 3), mvx & 7, mvy & 7)
+                val p0 =
+                  if (useL0) interpChroma(refC, w8, h8,
+                    cx + (mvx >> 3), cy + (mvy >> 3), mvx & 7, mvy & 7)
+                  else 0
+                val p1 =
+                  if (useL1) interpChroma(refC1, w8, h8,
+                    cx + (m1x >> 3), cy + (m1y >> 3), m1x & 7, m1y & 7)
+                  else 0
+                val pred =
+                  if (useL0 && useL1) (p0 + p1 + 1) >> 1
+                  else if (useL0) p0 else p1
                 val res = if (hM != null) (hM(rr)(cc) + 32) >> 6 else resFlat
                 cp(cy * w8 + cx) = clip255(pred + res).toByte
                 cc += 1
@@ -2840,6 +3091,146 @@ object H264Cavlc {
           reconInterLuma(st, m, coeffsByBlk, qpy, refY)
           reconInterChroma(st, m, cbpChroma, cbScan, crScan,
             cbAcBlk, crAcBlk, qpy, cbQpOff, crQpOff, refCb, refCr)
+        }
+      } else more = false
+    }
+  }
+
+  /** Decode one B slice (low-delay shape: both references in the
+    * past, list0[0] = the most recent reference picture, list1[0] =
+    * the older one — the net effect of 8.2.4.2.4 initialisation plus
+    * the 8.2.4.2.5 first-two-entries swap when the lists would be
+    * identical). Supported macroblocks: B_L0_16x16 / B_L1_16x16 /
+    * B_Bi_16x16 (Table 7-14 mb_type 1/2/3) with the 8.4.2.3 default
+    * rounded-average bi-prediction, and intra shapes (mb_type >= 23).
+    * B_Direct / B_Skip and B partitions are a documented boundary. */
+  private def decodeBSliceInto(st: PicState, rbsp: Array[Byte],
+      qpInit: Int, cbQpOff: Int, crQpOff: Int, t8x8: Boolean,
+      nalRefIdc: Int): Unit = {
+    val widthMbs = st.widthMbs
+    val (refY0, refCb0, refCr0) = st.refPic.getOrElse(
+      throw new IllegalArgumentException(
+        "B slice without a decoded list-0 reference picture"))
+    val (refY1, refCb1, refCr1) = st.refPic1.getOrElse(
+      throw new IllegalArgumentException(
+        "B slice without a decoded list-1 reference picture"))
+    val r = new BitReader(rbsp)
+    val firstMb = r.ue()
+    require(firstMb == st.nextMb,
+      s"slice at MB $firstMb but picture cursor is at ${st.nextMb} — " +
+        "slices must tile the picture in decode order")
+    val sliceType = r.ue()
+    require(sliceType == 1 || sliceType == 6, s"not a B slice: $sliceType")
+    r.ue() // pps id
+    r.u(8) // frame_num
+    r.u(1) // direct_spatial_mv_pred_flag (no direct MBs in the subset)
+    if (r.u(1) == 1) { // num_ref_idx_active_override_flag
+      require(r.ue() == 0 && r.ue() == 0,
+        "only one reference per list supported")
+    }
+    require(r.u(1) == 0, "ref_pic_list_modification l0 not supported")
+    require(r.u(1) == 0, "ref_pic_list_modification l1 not supported")
+    if (nalRefIdc != 0)
+      require(r.u(1) == 0, "adaptive ref pic marking not supported")
+    var qpy = qpInit + r.se() // SliceQPy
+    val sliceId = st.nextSliceId
+    st.nextSliceId += 1
+    val mbAvail: (Int, Int) => Boolean =
+      (x, y) => st.mbSlice(y * widthMbs + x) == sliceId
+    var more = true
+    while (more && st.nextMb < st.nMbs) {
+      require(r.ue() == 0,
+        "B_Skip (direct prediction) is outside the decode subset")
+      if (st.nextMb < st.nMbs && r.moreRbspData) {
+        val m = st.nextMb
+        st.mbSlice(m) = sliceId
+        st.nextMb += 1
+        val mbType = r.ue()
+        if (mbType >= 23) {
+          require(mbType - 23 <= 25,
+            s"mb $m: B-slice intra mb_type ${mbType - 23} out of range")
+          qpy = decodeIntraMbInto(st, r, m, mbAvail, mbType - 23, qpy,
+            cbQpOff, crQpOff, t8x8)
+        } else {
+          require(mbType >= 1 && mbType <= 3,
+            s"mb $m: B mb_type $mbType outside the subset " +
+              "(B_Direct_16x16 and B partitions are a boundary)")
+          val mbX = m % widthMbs
+          val mbY = m / widthMbs
+          val useL0 = mbType == 1 || mbType == 3
+          val useL1 = mbType == 2 || mbType == 3
+          val never = (_: Int, _: Int) => false
+          // mvd_l0 then mvd_l1 (7.3.5.1); ref_idx absent (one entry
+          // per list); each list predicts off its OWN motion grids
+          if (useL0) {
+            val (px, py) = mvpPart(widthMbs, st.mapUnits, st.refG,
+              st.mvGx, st.mvGy, mbAvail, m, never,
+              mbX * 16, mbY * 16, 16, 16, 0)
+            val mvx = px + r.se()
+            val mvy = py + r.se()
+            fillCells(st.refG, st.mvGx, st.mvGy, mbX * 16, mbY * 16,
+              16, 16, mvx, mvy)
+          }
+          if (useL1) {
+            val (px, py) = mvpPart(widthMbs, st.mapUnits, st.refG1,
+              st.mvG1x, st.mvG1y, mbAvail, m, never,
+              mbX * 16, mbY * 16, 16, 16, 0)
+            val mvx = px + r.se()
+            val mvy = py + r.se()
+            fillCells(st.refG1, st.mvG1x, st.mvG1y, mbX * 16, mbY * 16,
+              16, 16, mvx, mvy)
+          }
+          val cbpCode = r.ue()
+          require(cbpCode < 48,
+            s"mb $m: coded_block_pattern codeNum $cbpCode out of range")
+          val cbp = CbpInter(cbpCode)
+          val cbpLuma = cbp & 15
+          val cbpChroma = cbp >> 4
+          if (t8x8 && cbpLuma > 0)
+            require(r.u(1) == 0, "8x8 transform on inter residuals not supported")
+          if (cbp != 0) qpy = (qpy + r.se() + 52) % 52
+          val tcGrid = st.tcGrid
+          val coeffsByBlk = new Array[Array[Int]](16)
+          var blk = 0
+          while (blk < 16) {
+            val (ox, oy) = Blk4x4Pos(blk)
+            val bx = mbX * 4 + ox / 4
+            val by = mbY * 4 + oy / 4
+            if (((cbpLuma >> (blk >> 2)) & 1) == 1) {
+              val nC = lumaNc(tcGrid, mbX, mbY, blk, mbAvail)
+              val scan = decodeResidual(r,
+                lumaCoeffTokenTab(nC, s"mb $m b blk $blk"), TotalZeros, 16)
+              coeffsByBlk(blk) = scan
+              tcGrid(by)(bx) = scan.count(_ != 0)
+            } else tcGrid(by)(bx) = 0
+            blk += 1
+          }
+          val cbScan =
+            if (cbpChroma >= 1) decodeChromaDcBlock(r) else new Array[Int](4)
+          val crScan =
+            if (cbpChroma >= 1) decodeChromaDcBlock(r) else new Array[Int](4)
+          val cbAcBlk = Array.ofDim[Int](4, 15)
+          val crAcBlk = Array.ofDim[Int](4, 15)
+          if (cbpChroma == 2) {
+            Seq((cbAcBlk, st.tcCb, "Cb"), (crAcBlk, st.tcCr, "Cr")).foreach {
+              case (comp, grid, nm) =>
+                var cb4 = 0
+                while (cb4 < 4) {
+                  val bx = mbX * 2 + (cb4 & 1)
+                  val by = mbY * 2 + (cb4 >> 1)
+                  val nC = chromaNc(grid, bx, by, mbAvail)
+                  comp(cb4) = decodeResidual(r,
+                    lumaCoeffTokenTab(nC, s"mb $m b $nm AC blk $cb4"),
+                    TotalZeros, 15)
+                  grid(by)(bx) = comp(cb4).count(_ != 0)
+                  cb4 += 1
+                }
+            }
+          }
+          reconInterLuma(st, m, coeffsByBlk, qpy, refY0, refY1)
+          reconInterChroma(st, m, cbpChroma, cbScan, crScan,
+            cbAcBlk, crAcBlk, qpy, cbQpOff, crQpOff, refCb0, refCr0,
+            refCb1, refCr1)
         }
       } else more = false
     }

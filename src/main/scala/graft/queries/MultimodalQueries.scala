@@ -44,7 +44,8 @@ object MultimodalQueries {
     "m26_video_intra4x4" -> m26,
     "m27_video_intra8x8" -> m27,
     "m28_video_inter_p" -> m28,
-    "m29_video_inter_parts" -> m29)
+    "m29_video_inter_parts" -> m29,
+    "m30_video_bipred" -> m30)
 
   /** Inter prediction on the oracle gate (m28): each asset is a
     * two-frame GOP — an I_16x16-DC IDR whose four macroblocks settle
@@ -188,6 +189,73 @@ object MultimodalQueries {
         ys)
     }.toDF("doc_id", "width", "height", "a0", "a1", "b0", "b1",
       "q0", "q1", "q2", "q3", "w3", "y1_sum")
+  }
+
+  /** Bi-prediction on the oracle gate (m30): a three-frame low-delay
+    * IPB GOP. Frame 0: the m28 I_16x16-DC chain (flat v0..v3); frame
+    * 1: a P picture whose four 16x16 MBs copy doc-selected source MBs
+    * (aligned MVs) plus uniform 10c residuals (p0..p3); frame 2: a
+    * NON-REFERENCE B picture — B_L0_16x16 reads the P frame
+    * (list0[0] = most recent reference), B_L1_16x16 reads the I frame
+    * (list1[0] = the older one, the 8.2.4.2.5 swap's net effect),
+    * B_Bi_16x16 lands the exact (L0 + L1 + 1) >> 1 rounded average of
+    * two doc-selected flat sources, and an intra I_16x16 closes the
+    * chain off its MC'd neighbours. Every mvd rides the real per-list
+    * 8.4.1.3 predictors; a wrong reference-list order, averaging rule
+    * or per-list MVP desyncs the chain.
+    *
+    * Scale: zero-shuffle per-asset map, like every codec query. */
+  private def m30: Q = (spark, dir) => {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val dc = Array.tabulate(4) { mb =>
+        val d = Array.ofDim[Int](4, 4)
+        d(0)(0) = ((id + mb) % 4).toInt
+        d
+      }
+      def src(k: Int): Int = ((id / k) % 4).toInt
+      def mv(mx: Int, my: Int, sIdx: Int): Array[Int] =
+        Array(((sIdx & 1) - mx) * 64, ((sIdx >> 1) - my) * 64)
+      // frame 1 (P): four P_L0_16x16, uniform DC residuals
+      val pKinds = Array(0, 0, 0, 0)
+      val pMvs = Array.tabulate(4)(m2 =>
+        Array(mv(m2 & 1, m2 >> 1, src(Seq(1, 3, 5, 7)(m2)))))
+      val pCoeffs = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+      val cP = Array.tabulate(4)(m2 => (((id + m2) % 5) - 2).toInt)
+      for (m2 <- 0 until 4; blk <- 0 until 16)
+        pCoeffs(m2)(blk)(0) = cP(m2)
+      // frame 2 (B): L0 | L1 | Bi | intra
+      val bKinds = Array(0, 1, 2, 3)
+      val bMvs0 = Array(
+        mv(0, 0, src(9)), Array(0, 0), mv(0, 1, src(13)), Array(0, 0))
+      val bMvs1 = Array(
+        Array(0, 0), mv(1, 0, src(11)), mv(0, 1, src(17)), Array(0, 0))
+      val dB = Array.tabulate(4)(m2 => (((id + 3 + m2) % 5) - 2).toInt)
+      val bCoeffs = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+      for (m2 <- 0 until 3; blk <- 0 until 16)
+        bCoeffs(m2)(blk)(0) = dB(m2)
+      val es = graft.operators.H264.encodeSps(2, 2, 0, numRefFrames = 2) ++
+        graft.operators.H264.encodePps() ++
+        graft.operators.H264Cavlc.encodeIntra16Frame(2, 2, dc, qp = 36,
+          idrPicId = (id % 65536).toInt) ++
+        graft.operators.H264Cavlc.encodePFrame(2, 2, pKinds, pMvs,
+          pCoeffs, qp = 36, frameNum = 1) ++
+        graft.operators.H264Cavlc.encodeBFrame(2, 2, bKinds, bMvs0,
+          bMvs1, bCoeffs, qp = 36, frameNum = 2)
+      val frames = graft.operators.H264Cavlc.decodeIntra16FramesYuv(es)
+      require(frames.size == 3)
+      val y1 = frames(1)._3
+      val y2 = frames(2)._3
+      def mbVal(y: Array[Byte], mb: Int): Int =
+        y(((mb >> 1) * 16) * 32 + (mb & 1) * 16) & 0xFF
+      var ys = 0L
+      var i = 0
+      while (i < y2.length) { ys += y2(i) & 0xFF; i += 1 }
+      (id, frames(2)._1, frames(2)._2,
+        mbVal(y1, 0), mbVal(y1, 1), mbVal(y1, 2), mbVal(y1, 3),
+        mbVal(y2, 0), mbVal(y2, 1), mbVal(y2, 2), mbVal(y2, 3), ys)
+    }.toDF("doc_id", "width", "height", "p0", "p1", "p2", "p3",
+      "w0", "w1", "w2", "w3", "y2_sum")
   }
 
   /** m27's 23 output columns (one past the Tuple22 ceiling). */
@@ -1300,6 +1368,49 @@ object MultimodalQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // m30: the IPB GOP replayed closed form — frame-0 chain, P values
+    // p_m = v[src] + 10*c, B values off the doc-selected lists with
+    // the exact rounded bi-average, intra tail as the neighbour mean.
+    "m30_video_bipred" ->
+      """WITH f AS (SELECT doc_id,
+        | (doc_id + 0) % 4 AS f0, (doc_id + 1) % 4 AS f1,
+        | (doc_id + 2) % 4 AS f2, (doc_id + 3) % 4 AS f3
+        | FROM documents),
+        |v AS (SELECT doc_id,
+        | 128 + (160*f0 + 32)//64 AS v0,
+        | v0 + (160*f1 + 32)//64 AS v1,
+        | v0 + (160*f2 + 32)//64 AS v2,
+        | (v1 + v2 + 1)//2 + (160*f3 + 32)//64 AS v3
+        | FROM f),
+        |p AS (SELECT doc_id, v0, v1, v2, v3,
+        | (CASE (doc_id // 1) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 0) % 5 - 2) AS p0,
+        | (CASE (doc_id // 3) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 1) % 5 - 2) AS p1,
+        | (CASE (doc_id // 5) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 2) % 5 - 2) AS p2,
+        | (CASE (doc_id // 7) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 3) % 5 - 2) AS p3
+        | FROM v),
+        |b AS (SELECT doc_id, p0, p1, p2, p3,
+        | (CASE (doc_id // 9) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |   WHEN 2 THEN p2 ELSE p3 END) + 10*((doc_id + 3) % 5 - 2) AS w0,
+        | (CASE (doc_id // 11) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 4) % 5 - 2) AS w1,
+        | ((CASE (doc_id // 13) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |    WHEN 2 THEN p2 ELSE p3 END)
+        |  + (CASE (doc_id // 17) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |    WHEN 2 THEN v2 ELSE v3 END) + 1)//2
+        |  + 10*((doc_id + 5) % 5 - 2) AS w2,
+        | (w1 + w2 + 1)//2 AS w3
+        | FROM p)
+        |SELECT doc_id, 32 AS width, 32 AS height,
+        | CAST(p0 AS INTEGER) AS p0, CAST(p1 AS INTEGER) AS p1,
+        | CAST(p2 AS INTEGER) AS p2, CAST(p3 AS INTEGER) AS p3,
+        | CAST(w0 AS INTEGER) AS w0, CAST(w1 AS INTEGER) AS w1,
+        | CAST(w2 AS INTEGER) AS w2, CAST(w3 AS INTEGER) AS w3,
+        | CAST(256*(w0 + w1 + w2 + w3) AS BIGINT) AS y2_sum
+        |FROM b""".stripMargin,
     // m29: frame-0 chain as m28, then one flat value per partition —
     // source MB picked by (doc_id // period) % 4 per partition,
     // uniform 10c residuals on the P_8x8 and 16x16 MBs.

@@ -310,6 +310,153 @@ class H264InterSpec extends AnyFunSuite {
     (es, f0Y, kinds, mvs, coeffs, cbDc, crDc)
   }
 
+  /** Independent B-frame reconstruction over two known references.
+    * kinds: 0 = B_L0_16x16 (f0 = list0 = most recent), 1 = B_L1_16x16
+    * (f1 = list1 = older), 2 = B_Bi (rounded average), 3 = all-zero
+    * I_16x16. Own per-list MVP grids. Luma only (chroma uncoded in
+    * these fixtures beyond the DC drops, checked in the P suite). */
+  private def refBFrame(wMbs: Int, hMbs: Int,
+      l0Y: Array[Int], l1Y: Array[Int],
+      kinds: Array[Int], mvsL0: Array[Array[Int]],
+      mvsL1: Array[Array[Int]], coeffs: Array[Array[Array[Int]]],
+      qp: Int): Array[Int] = {
+    val w16 = wMbs * 16; val h16 = hMbs * 16
+    val y = new Array[Int](w16 * h16)
+    val n = wMbs * hMbs
+    val refA = Array.fill(n)(-1); val ax = new Array[Int](n); val ay = new Array[Int](n)
+    val refB = Array.fill(n)(-1); val bx = new Array[Int](n); val by = new Array[Int](n)
+    def predictor(refL: Array[Int], lx: Array[Int], ly: Array[Int],
+        m: Int): (Int, Int) = {
+      val mbX = m % wMbs; val mbY = m / wMbs
+      def avail(xm: Int, ym: Int) = xm >= 0 && ym >= 0 && xm < wMbs &&
+        ym < hMbs && ym * wMbs + xm < m
+      def mot(xm: Int, ym: Int): (Int, Int, Int, Boolean) =
+        if (!avail(xm, ym)) (0, 0, -1, false)
+        else {
+          val k = ym * wMbs + xm
+          if (refL(k) < 0) (0, 0, -1, true) else (lx(k), ly(k), 0, true)
+        }
+      val a0 = mot(mbX - 1, mbY)
+      val b0 = mot(mbX, mbY - 1)
+      val c0 = mot(mbX + 1, mbY - 1)
+      val d0 = mot(mbX - 1, mbY - 1)
+      var a = (a0._1, a0._2, a0._3)
+      var b = (b0._1, b0._2, b0._3)
+      var c = if (c0._4) (c0._1, c0._2, c0._3) else (d0._1, d0._2, d0._3)
+      if (!b0._4 && !(c0._4 || d0._4) && a0._4) { b = a; c = a }
+      val hits = Seq(a, b, c).filter(_._3 == 0)
+      if (hits.length == 1) (hits.head._1, hits.head._2)
+      else {
+        def med(p: Int, q: Int, r2: Int) =
+          math.max(math.min(p, q), math.min(math.max(p, q), r2))
+        (med(a._1, b._1, c._1), med(a._2, b._2, c._2))
+      }
+    }
+    for (m <- 0 until n) {
+      val mbX = m % wMbs; val mbY = m / wMbs
+      kinds(m) match {
+        case 3 =>
+          def avail(xm: Int, ym: Int) = xm >= 0 && ym >= 0 && xm < wMbs &&
+            ym < hMbs && ym * wMbs + xm < m
+          val lAv = avail(mbX - 1, mbY); val tAv = avail(mbX, mbY - 1)
+          var s = 0; var cnt = 0
+          if (lAv) { for (yy <- 0 until 16) s += y((mbY * 16 + yy) * w16 + mbX * 16 - 1); cnt += 16 }
+          if (tAv) { for (xx <- 0 until 16) s += y((mbY * 16 - 1) * w16 + mbX * 16 + xx); cnt += 16 }
+          val dc = if (cnt == 32) (s + 16) >> 5 else if (cnt == 16) (s + 8) >> 4 else 128
+          for (yy <- 0 until 16; xx <- 0 until 16)
+            y((mbY * 16 + yy) * w16 + mbX * 16 + xx) = dc
+        case kind =>
+          val useL0 = kind == 0 || kind == 2
+          val useL1 = kind == 1 || kind == 2
+          if (useL0) { refA(m) = 0; ax(m) = mvsL0(m)(0); ay(m) = mvsL0(m)(1) }
+          if (useL1) { refB(m) = 0; bx(m) = mvsL1(m)(0); by(m) = mvsL1(m)(1) }
+          for (blk <- 0 until 16) {
+            val (ox, oy) = ZPos4(blk)
+            val gx = mbX * 16 + ox; val gy = mbY * 16 + oy
+            val res =
+              if (coeffs(m)(blk).exists(_ != 0)) refResidual4(coeffs(m)(blk), qp)
+              else Array.fill(4, 4)(0)
+            for (rr <- 0 until 4; cc <- 0 until 4) {
+              val p0 = if (useL0) refLuma(l0Y, w16, h16,
+                gx + cc + (ax(m) >> 2), gy + rr + (ay(m) >> 2),
+                ax(m) & 3, ay(m) & 3) else 0
+              val p1 = if (useL1) refLuma(l1Y, w16, h16,
+                gx + cc + (bx(m) >> 2), gy + rr + (by(m) >> 2),
+                bx(m) & 3, by(m) & 3) else 0
+              val p = if (useL0 && useL1) (p0 + p1 + 1) >> 1
+                else if (useL0) p0 else p1
+              y((gy + rr) * w16 + gx + cc) = clip(p + res(rr)(cc))
+            }
+          }
+      }
+    }
+    // note: mvd coding is pinned implicitly — the encoder's mirrored
+    // per-list predictors must agree with the decoder's bit-for-bit
+    // for the picture to parse at all (predictor() above is only used
+    // to document the derivation; values come from mvs directly)
+    val _ = predictor _
+    y
+  }
+
+  test("B pictures: L0/L1/Bi 16x16 reconstruct against the independent reference") {
+    val rnd = new scala.util.Random(20260816L)
+    for (qp <- Seq(20, 28, 36, 48); trial <- 0 until 4) {
+      val (wMbs, hMbs) = (3, 2)
+      val n = wMbs * hMbs
+      val f0Y = Array.fill(wMbs * 16 * hMbs * 16)(rnd.nextInt(256)) // IDR ref
+      val f1Y = Array.fill(wMbs * 16 * hMbs * 16)(rnd.nextInt(256)) // P-PCM ref
+      val kinds = Array.tabulate(n)(m => (m + trial) % 4)
+      val mvsL0 = Array.fill(n)(Array(rnd.nextInt(81) - 40, rnd.nextInt(81) - 40))
+      val mvsL1 = Array.fill(n)(Array(rnd.nextInt(81) - 40, rnd.nextInt(81) - 40))
+      val coeffs = Array.fill(n)(Array.tabulate(16) { _ =>
+        val a = new Array[Int](16)
+        if (rnd.nextDouble() < 0.4) {
+          val nnz = 1 + rnd.nextInt(5)
+          rnd.shuffle((0 until 16).toList).take(nnz).foreach { pth =>
+            a(pth) = (if (rnd.nextBoolean()) 1 else -1) * (1 + rnd.nextInt(4))
+          }
+        }
+        a
+      })
+      for (m <- 0 until n if kinds(m) == 3; b <- 0 until 16; k <- 0 until 16)
+        coeffs(m)(b)(k) = 0
+      // decode order: I_PCM IDR (older ref), P-PCM (most recent ref),
+      // then the non-reference B -> list0[0] = f1, list1[0] = f0
+      val es = H264.encodeSps(wMbs, hMbs, 0, numRefFrames = 2) ++
+        H264.encodePps() ++
+        H264.encodeIPcmFrame(wMbs, hMbs, f0Y.map(_.toByte), frameNum = trial) ++
+        H264Cavlc.encodePcmPFrame(wMbs, hMbs, f1Y.map(_.toByte), frameNum = 1) ++
+        H264Cavlc.encodeBFrame(wMbs, hMbs, kinds, mvsL0, mvsL1, coeffs,
+          qp, frameNum = 2)
+      val fr = H264Cavlc.decodeIntra16FramesYuv(es)
+      assert(fr.size === 3, s"qp=$qp trial=$trial")
+      assert(fr(0)._3.map(_ & 0xFF).toSeq === f0Y.toSeq)
+      assert(fr(1)._3.map(_ & 0xFF).toSeq === f1Y.toSeq)
+      val ry = refBFrame(wMbs, hMbs, f1Y, f0Y, kinds, mvsL0, mvsL1,
+        coeffs, qp)
+      assert(fr(2)._3.map(_ & 0xFF).toSeq === ry.toSeq, s"qp=$qp trial=$trial")
+    }
+  }
+
+  test("bi-prediction is the exact rounded average on asymmetric references") {
+    // two constant references with an odd sum pin the +1 rounding
+    val (wMbs, hMbs) = (1, 1)
+    val f0Y = Array.fill(256)(101)
+    val f1Y = Array.fill(256)(50)
+    val kinds = Array(2) // B_Bi
+    val mvs0 = Array(Array(0, 0))
+    val mvs1 = Array(Array(0, 0))
+    val coeffs = Array.fill(1)(Array.fill(16)(new Array[Int](16)))
+    val es = H264.encodeSps(1, 1, 0, numRefFrames = 2) ++ H264.encodePps() ++
+      H264.encodeIPcmFrame(1, 1, f0Y.map(_.toByte), frameNum = 0) ++
+      H264Cavlc.encodePcmPFrame(1, 1, f1Y.map(_.toByte), frameNum = 1) ++
+      H264Cavlc.encodeBFrame(1, 1, kinds, mvs0, mvs1, coeffs, 28, 2)
+    val fr = H264Cavlc.decodeIntra16FramesYuv(es)
+    assert(fr.size === 3)
+    // list0[0] = f1 (50), list1[0] = f0 (101): (50 + 101 + 1) >> 1 = 76
+    assert(fr(2)._3.map(_ & 0xFF).toSet === Set(76))
+  }
+
   test("Table 9-4 inter CBP column is a permutation round-tripping every cbp") {
     // exercised through the API: one inter MB per luma cbp value (+
     // chroma 0/1); each must survive the me(v) round trip
