@@ -73,13 +73,18 @@ import H264.{BitReader, BitWriter}
   * no POC syntax is involved), per-list motion grids and 8.4.1.3
   * predictors, the 8.4.2.3 default rounded-average bi-prediction, and
   * intra macroblocks inside B slices (Table 7-14's 23 + I mb_type).
-  * Remaining boundary: CABAC (its context-initialisation tables
-  * cannot be transcribed here with conformance-grade confidence —
-  * deliberately NOT approximated), B_Direct/B_Skip, B partitions,
-  * multi-reference lists, sub-8x8 partitions (8x4/4x8/4x4), and the
-  * deblocking filter (normative for streams that do not disable it;
-  * this decoder targets its own encoder's streams, which it decodes
-  * bit-exactly, and documents the filter as out of subset).
+  * Sub-8x8 partitions decode too (Table 7-17 P_L0_8x4 / 4x8 / 4x4:
+  * sub_mb_types parsed up front, every sub-partition's mvd against
+  * the cell-ordinal within-MB availability, chroma MC per SAMPLE
+  * since a 4x4 luma sub-partition maps to a 2x2 chroma area) — the
+  * full P partition tree is in subset. Remaining boundary: CABAC
+  * (its context-initialisation tables cannot be transcribed here
+  * with conformance-grade confidence — deliberately NOT
+  * approximated), B_Direct/B_Skip, B partitions, multi-reference
+  * lists, and the deblocking filter (normative for streams that do
+  * not disable it; this decoder targets its own encoder's streams,
+  * which it decodes bit-exactly, and documents the filter as out of
+  * subset).
   *
   * All VLC tables are transcribed from the public ITU-T H.264 spec:
   * coeff_token Table 9-5 (all luma columns + chroma DC), total_zeros
@@ -1756,9 +1761,16 @@ object H264Cavlc {
       qp: Int, frameNum: Int,
       cbDc: Array[Array[Array[Int]]] = null,
       crDc: Array[Array[Array[Int]]] = null,
-      sliceStarts: Array[Int] = Array(0)): Array[Byte] = {
+      sliceStarts: Array[Int] = Array(0),
+      subTypes: Array[Array[Int]] = null): Array[Byte] = {
+    // subTypes(m): kind-5 MBs' four sub_mb_types (Table 7-17:
+    // 0 = 8x8, 1 = 8x4, 2 = 4x8, 3 = 4x4); null = all P_L0_8x8.
+    // For kind 5, mvs(m) holds one (mvx, mvy) per SUB-partition in
+    // decoding order (1, 2 or 4 per 8x8 block).
     val nMbs = widthMbs * heightMapUnits
     require(kinds.length == nMbs && kinds.forall(k => k >= 0 && k <= 5))
+    def subTypesOf(m: Int): Array[Int] =
+      if (subTypes == null) Array(0, 0, 0, 0) else subTypes(m)
     require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
     require((cbDc == null) == (crDc == null),
       "chroma DC levels must be given for both components or neither")
@@ -1768,7 +1780,9 @@ object H264Cavlc {
     }
     kinds.zipWithIndex.foreach { case (k, m) =>
       if (k == 0 || k >= 3) {
-        val nParts = pPartitions(mbTypeOf(k)).length
+        val nParts =
+          if (k == 5) subTypesOf(m).map(pSubPartitions(_).length).sum
+          else pPartitions(mbTypeOf(k)).length
         require(mvs(m).length == nParts &&
           mvs(m).forall(_.length == 2) &&
           coeffs(m).length == 16 && coeffs(m).forall(_.length == 16),
@@ -1844,23 +1858,52 @@ object H264Cavlc {
           w.ue(mbType)
           val parts = pPartitions(mbType)
           if (mbType == 3) {
+            val sts = subTypesOf(m)
+            require(sts.length == 4 && sts.forall(s2 => s2 >= 0 && s2 <= 3),
+              s"mb $m: bad sub_mb_types ${sts.mkString(",")}")
             var sb = 0
-            while (sb < 4) { w.ue(0); sb += 1 } // sub_mb_type: P_L0_8x8
-          }
-          var pi = 0
-          while (pi < parts.length) {
-            val (oxp, oyp, pw, ph) = parts(pi)
-            val x0 = mbX * 16 + oxp
-            val y0 = mbY * 16 + oyp
-            val (px, py) = mvpPart(widthMbs, heightMapUnits, refG,
-              mvGx, mvGy, mbAvail, m, partOrderAvail(mbType, pi),
-              x0, y0, pw, ph, pi)
-            val mvx = mvs(m)(pi)(0)
-            val mvy = mvs(m)(pi)(1)
-            w.se(mvx - px) // mvd_l0 (ref_idx_l0 absent: single ref)
-            w.se(mvy - py)
-            fillCells(refG, mvGx, mvGy, x0, y0, pw, ph, mvx, mvy)
-            pi += 1
+            while (sb < 4) { w.ue(sts(sb)); sb += 1 }
+            val ord = subPartCellOrder(sts)
+            var counter = 0
+            var b8 = 0
+            while (b8 < 4) {
+              val subs = pSubPartitions(sts(b8))
+              var j = 0
+              while (j < subs.length) {
+                val (sx, sy, pw, ph) = subs(j)
+                val x0 = mbX * 16 + (b8 & 1) * 8 + sx
+                val y0 = mbY * 16 + (b8 >> 1) * 8 + sy
+                val cur = counter
+                val (px, py) = mvpPart(widthMbs, heightMapUnits, refG,
+                  mvGx, mvGy, mbAvail, m,
+                  (cx, cy) => ord(cy % 4)(cx % 4) < cur,
+                  x0, y0, pw, ph, counter)
+                val mvx = mvs(m)(counter)(0)
+                val mvy = mvs(m)(counter)(1)
+                w.se(mvx - px)
+                w.se(mvy - py)
+                fillCells(refG, mvGx, mvGy, x0, y0, pw, ph, mvx, mvy)
+                counter += 1
+                j += 1
+              }
+              b8 += 1
+            }
+          } else {
+            var pi = 0
+            while (pi < parts.length) {
+              val (oxp, oyp, pw, ph) = parts(pi)
+              val x0 = mbX * 16 + oxp
+              val y0 = mbY * 16 + oyp
+              val (px, py) = mvpPart(widthMbs, heightMapUnits, refG,
+                mvGx, mvGy, mbAvail, m, partOrderAvail(mbType, pi),
+                x0, y0, pw, ph, pi)
+              val mvx = mvs(m)(pi)(0)
+              val mvy = mvs(m)(pi)(1)
+              w.se(mvx - px) // mvd_l0 (ref_idx_l0 absent: single ref)
+              w.se(mvy - py)
+              fillCells(refG, mvGx, mvGy, x0, y0, pw, ph, mvx, mvy)
+              pi += 1
+            }
           }
           var cbpLuma = 0
           var g = 0
@@ -2795,6 +2838,50 @@ object H264Cavlc {
     cellPart < partIdx
   }
 
+  /** Sub-partition geometry per sub_mb_type (Table 7-17 P shapes):
+    * (x-offset, y-offset, width, height) within the 8x8 block, in
+    * decoding order (top-before-bottom, left-before-right, z-scan). */
+  private def pSubPartitions(subType: Int): Array[(Int, Int, Int, Int)] =
+    subType match {
+      case 0 => Array((0, 0, 8, 8)) // P_L0_8x8
+      case 1 => Array((0, 0, 8, 4), (0, 4, 8, 4)) // P_L0_8x4
+      case 2 => Array((0, 0, 4, 8), (4, 0, 4, 8)) // P_L0_4x8
+      case _ => Array((0, 0, 4, 4), (4, 0, 4, 4), (0, 4, 4, 4),
+        (4, 4, 4, 4)) // P_L0_4x4
+    }
+
+  /** Per-cell decoding ordinal of a P_8x8 macroblock under the four
+    * parsed sub_mb_types — the within-MB availability order for
+    * sub-partition MVP (6.4.10.7: a partition later in decoding order
+    * is not available). Returns a 4x4 array over the MB's cells. */
+  private def subPartCellOrder(subTypes: Array[Int]): Array[Array[Int]] = {
+    val ord = Array.ofDim[Int](4, 4)
+    var counter = 0
+    var b8 = 0
+    while (b8 < 4) {
+      val ox8 = (b8 & 1) * 8
+      val oy8 = (b8 >> 1) * 8
+      val subs = pSubPartitions(subTypes(b8))
+      var j = 0
+      while (j < subs.length) {
+        val (sx, sy, pw, ph) = subs(j)
+        var cy = (oy8 + sy) / 4
+        while (cy < (oy8 + sy + ph) / 4) {
+          var cx = (ox8 + sx) / 4
+          while (cx < (ox8 + sx + pw) / 4) {
+            ord(cy)(cx) = counter
+            cx += 1
+          }
+          cy += 1
+        }
+        counter += 1
+        j += 1
+      }
+      b8 += 1
+    }
+    ord
+  }
+
   /** Write the macroblock's luma MC prediction + optional residual
     * into the picture, sharing the 4x4 residual machinery with the
     * intra paths. Each 4x4 block motion-compensates with ITS covering
@@ -2890,13 +2977,6 @@ object H264Cavlc {
         while (cbi < 2) {
           var cbj = 0
           while (cbj < 2) {
-            val useL0 = st.refG(mbY * 4 + cbi * 2)(mbX * 4 + cbj * 2) == 0
-            val useL1 = refC1 != null &&
-              st.refG1(mbY * 4 + cbi * 2)(mbX * 4 + cbj * 2) == 0
-            val mvx = st.mvGx(mbY * 4 + cbi * 2)(mbX * 4 + cbj * 2)
-            val mvy = st.mvGy(mbY * 4 + cbi * 2)(mbX * 4 + cbj * 2)
-            val m1x = st.mvG1x(mbY * 4 + cbi * 2)(mbX * 4 + cbj * 2)
-            val m1y = st.mvG1y(mbY * 4 + cbi * 2)(mbX * 4 + cbj * 2)
             val dcC =
               if (cbpChroma >= 1) dequantChromaDc(f2(cbi)(cbj), qPc) else 0
             val ac = acC(cbi * 2 + cbj)
@@ -2923,6 +3003,18 @@ object H264Cavlc {
               while (cc < 4) {
                 val cx = mbX * 8 + cbj * 4 + cc
                 val cy = mbY * 8 + cbi * 4 + rr
+                // covering 4x4 luma cell: a chroma sample at (cx, cy)
+                // sits under luma (2cx, 2cy) — with sub-8x8 partitions
+                // one chroma 4x4 block can span several partitions, so
+                // the MV lookup is per sample
+                val lcy = cy / 2
+                val lcx = cx / 2
+                val useL0 = st.refG(lcy)(lcx) == 0
+                val useL1 = refC1 != null && st.refG1(lcy)(lcx) == 0
+                val mvx = st.mvGx(lcy)(lcx)
+                val mvy = st.mvGy(lcy)(lcx)
+                val m1x = st.mvG1x(lcy)(lcx)
+                val m1y = st.mvG1y(lcy)(lcx)
                 val p0 =
                   if (useL0) interpChroma(refC, w8, h8,
                     cx + (mvx >> 3), cy + (mvy >> 3), mvx & 7, mvy & 7)
@@ -3013,33 +3105,54 @@ object H264Cavlc {
           require(mbType <= 4, s"mb $m: P mb_type $mbType out of range")
           val mbX = m % widthMbs
           val mbY = m / widthMbs
-          val parts = pPartitions(mbType)
-          // sub_mb_pred (7.3.5.2) for P_8x8 / P_8x8ref0: sub_mb_type
-          // per 8x8 block — only P_L0_8x8 (whole-8x8 sub-partition)
-          // supported; ref_idx_l0 absent throughout (single reference)
           if (mbType >= 3) {
-            var sb = 0
-            while (sb < 4) {
-              require(r.ue() == 0,
-                s"mb $m: only P_L0_8x8 sub_mb_type supported " +
-                  "(8x4/4x8/4x4 sub-partitions are a boundary)")
-              sb += 1
+            // sub_mb_pred (7.3.5.2) for P_8x8 / P_8x8ref0: four
+            // sub_mb_types FIRST, then every sub-partition's mvd in
+            // decoding order; ref_idx_l0 absent (single reference)
+            val subTypes = Array.fill(4)(r.ue())
+            subTypes.foreach(st2 => require(st2 >= 0 && st2 <= 3,
+              s"mb $m: bad P sub_mb_type $st2"))
+            val ord = subPartCellOrder(subTypes)
+            var counter = 0
+            var b8 = 0
+            while (b8 < 4) {
+              val subs = pSubPartitions(subTypes(b8))
+              var j = 0
+              while (j < subs.length) {
+                val (sx, sy, pw, ph) = subs(j)
+                val x0 = mbX * 16 + (b8 & 1) * 8 + sx
+                val y0 = mbY * 16 + (b8 >> 1) * 8 + sy
+                val cur = counter
+                val (px, py) = mvpPart(widthMbs, st.mapUnits, st.refG,
+                  st.mvGx, st.mvGy, mbAvail, m,
+                  (cx, cy) => ord(cy % 4)(cx % 4) < cur,
+                  x0, y0, pw, ph, counter)
+                val mvx = px + r.se()
+                val mvy = py + r.se()
+                fillCells(st.refG, st.mvGx, st.mvGy, x0, y0, pw, ph,
+                  mvx, mvy)
+                counter += 1
+                j += 1
+              }
+              b8 += 1
             }
-          }
-          // mvd_l0 per partition in decoding order; each partition's
-          // predictor may read the PREVIOUS partitions' cells
-          var pi = 0
-          while (pi < parts.length) {
-            val (oxp, oyp, pw, ph) = parts(pi)
-            val x0 = mbX * 16 + oxp
-            val y0 = mbY * 16 + oyp
-            val (px, py) = mvpPart(widthMbs, st.mapUnits, st.refG,
-              st.mvGx, st.mvGy, mbAvail, m, partOrderAvail(mbType, pi),
-              x0, y0, pw, ph, pi)
-            val mvx = px + r.se()
-            val mvy = py + r.se()
-            fillCells(st.refG, st.mvGx, st.mvGy, x0, y0, pw, ph, mvx, mvy)
-            pi += 1
+          } else {
+            // mvd_l0 per MB partition in decoding order; each
+            // partition's predictor may read the PREVIOUS cells
+            val parts = pPartitions(mbType)
+            var pi = 0
+            while (pi < parts.length) {
+              val (oxp, oyp, pw, ph) = parts(pi)
+              val x0 = mbX * 16 + oxp
+              val y0 = mbY * 16 + oyp
+              val (px, py) = mvpPart(widthMbs, st.mapUnits, st.refG,
+                st.mvGx, st.mvGy, mbAvail, m, partOrderAvail(mbType, pi),
+                x0, y0, pw, ph, pi)
+              val mvx = px + r.se()
+              val mvy = py + r.se()
+              fillCells(st.refG, st.mvGx, st.mvGy, x0, y0, pw, ph, mvx, mvy)
+              pi += 1
+            }
           }
           val cbpCode = r.ue()
           require(cbpCode < 48,

@@ -155,11 +155,15 @@ object MultimodalQueries {
       def mv(mx: Int, my: Int, sIdx: Int): Array[Int] =
         Array(((sIdx & 1) - mx) * 64, ((sIdx >> 1) - my) * 64)
       val kinds = Array(3, 4, 5, 0) // 16x8 | 8x16 | P_8x8 | 16x16
+      // MB2's four 8x8 blocks carry 8x4 / 4x8 / 4x4 / 8x8 sub_mb_types
+      // (Table 7-17), nine sub-partitions in decoding order
+      val subTypes = Array(Array(0, 0, 0, 0), Array(0, 0, 0, 0),
+        Array(1, 2, 3, 0), Array(0, 0, 0, 0))
+      val s9 = Array(23, 29, 31, 37, 41, 43, 47, 53, 59).map(k => src(k))
       val mvs = Array(
         Array(mv(0, 0, s(0)), mv(0, 0, s(1))),
         Array(mv(1, 0, s(2)), mv(1, 0, s(3))),
-        Array(mv(0, 1, s(4)), mv(0, 1, s(5)), mv(0, 1, s(6)),
-          mv(0, 1, s(7))),
+        s9.map(si => mv(0, 1, si)),
         Array(mv(1, 1, s(8))))
       val g2 = (id / 2) % 2 == 1
       val g3 = id % 2 == 1
@@ -173,7 +177,7 @@ object MultimodalQueries {
         graft.operators.H264Cavlc.encodeIntra16Frame(2, 2, dc, qp = 36,
           idrPicId = (id % 65536).toInt) ++
         graft.operators.H264Cavlc.encodePFrame(2, 2, kinds, mvs, coeffs,
-          qp = 36, frameNum = 1)
+          qp = 36, frameNum = 1, subTypes = subTypes)
       val frames = graft.operators.H264Cavlc.decodeIntra16FramesYuv(es)
       require(frames.size == 2)
       val (w, h, y1) = (frames(1)._1, frames(1)._2, frames(1)._3)
@@ -184,11 +188,15 @@ object MultimodalQueries {
       (id, w, h,
         px(0, 0), px(0, 8),          // 16x8 partitions
         px(16, 0), px(24, 0),        // 8x16 partitions
-        px(0, 16), px(8, 16), px(0, 24), px(8, 24), // P_8x8 quadrants
+        // the nine MB2 sub-partitions in decoding order: 8x4 pair,
+        // 4x8 pair, 4x4 quad, trailing 8x8
+        px(0, 16), px(0, 20), px(8, 16), px(12, 16),
+        px(0, 24), px(4, 24), px(0, 28), px(4, 28), px(8, 24),
         px(16, 16),                  // 16x16
         ys)
     }.toDF("doc_id", "width", "height", "a0", "a1", "b0", "b1",
-      "q0", "q1", "q2", "q3", "w3", "y1_sum")
+      "q0", "q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8",
+      "w3", "y1_sum")
   }
 
   /** Bi-prediction on the oracle gate (m30): a three-frame low-delay
@@ -1438,14 +1446,24 @@ object MultimodalQueries {
         |   THEN 10*((doc_id + 4) % 7 - 3) ELSE 0 END AS r2,
         | CASE WHEN doc_id % 2 = 1
         |   THEN 10*((doc_id + 2) % 7 - 3) ELSE 0 END AS r3,
-        | (CASE (doc_id // 9) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        | (CASE (doc_id // 23) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
         |   WHEN 2 THEN v2 ELSE v3 END) + r2 AS q0,
-        | (CASE (doc_id // 11) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        | (CASE (doc_id // 29) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
         |   WHEN 2 THEN v2 ELSE v3 END) + r2 AS q1,
-        | (CASE (doc_id // 13) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        | (CASE (doc_id // 31) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
         |   WHEN 2 THEN v2 ELSE v3 END) + r2 AS q2,
-        | (CASE (doc_id // 17) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        | (CASE (doc_id // 37) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
         |   WHEN 2 THEN v2 ELSE v3 END) + r2 AS q3,
+        | (CASE (doc_id // 41) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + r2 AS q4,
+        | (CASE (doc_id // 43) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + r2 AS q5,
+        | (CASE (doc_id // 47) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + r2 AS q6,
+        | (CASE (doc_id // 53) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + r2 AS q7,
+        | (CASE (doc_id // 59) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + r2 AS q8,
         | (CASE (doc_id // 19) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
         |   WHEN 2 THEN v2 ELSE v3 END) + r3 AS w3
         | FROM v)
@@ -1454,8 +1472,12 @@ object MultimodalQueries {
         | CAST(b0 AS INTEGER) AS b0, CAST(b1 AS INTEGER) AS b1,
         | CAST(q0 AS INTEGER) AS q0, CAST(q1 AS INTEGER) AS q1,
         | CAST(q2 AS INTEGER) AS q2, CAST(q3 AS INTEGER) AS q3,
+        | CAST(q4 AS INTEGER) AS q4, CAST(q5 AS INTEGER) AS q5,
+        | CAST(q6 AS INTEGER) AS q6, CAST(q7 AS INTEGER) AS q7,
+        | CAST(q8 AS INTEGER) AS q8,
         | CAST(w3 AS INTEGER) AS w3,
-        | CAST(128*(a0 + a1 + b0 + b1) + 64*(q0 + q1 + q2 + q3)
+        | CAST(128*(a0 + a1 + b0 + b1) + 32*(q0 + q1 + q2 + q3)
+        |   + 16*(q4 + q5 + q6 + q7) + 64*q8
         |   + 256*w3 AS BIGINT) AS y1_sum
         |FROM p""".stripMargin,
     // m28: the two-frame GOP replayed closed form. Frame 0: I16-DC

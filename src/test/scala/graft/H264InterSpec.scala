@@ -112,12 +112,29 @@ class H264InterSpec extends AnyFunSuite {
     case _ => Array((0, 0, 16, 16))
   }
 
+  private def subsOf(st: Int): Array[(Int, Int, Int, Int)] = st match {
+    case 0 => Array((0, 0, 8, 8))
+    case 1 => Array((0, 0, 8, 4), (0, 4, 8, 4))
+    case 2 => Array((0, 0, 4, 8), (4, 0, 4, 8))
+    case _ => Array((0, 0, 4, 4), (4, 0, 4, 4), (0, 4, 4, 4), (4, 4, 4, 4))
+  }
+
+  /** Full partition list of a kind-5 MB under its sub_mb_types, in
+    * decoding order, as MB-relative (x, y, w, h). */
+  private def kind5Parts(sts: Array[Int]): Array[(Int, Int, Int, Int)] =
+    (0 until 4).flatMap { b8 =>
+      subsOf(sts(b8)).map { case (sx, sy, pw, ph) =>
+        ((b8 & 1) * 8 + sx, (b8 >> 1) * 8 + sy, pw, ph)
+      }
+    }.toArray
+
   private def refPFrame(wMbs: Int, hMbs: Int,
       f0Y: Array[Int], f0Cb: Array[Int], f0Cr: Array[Int],
       kinds: Array[Int], mvs: Array[Array[Array[Int]]],
       coeffs: Array[Array[Array[Int]]],
       cbDc: Array[Array[Array[Int]]], crDc: Array[Array[Array[Int]]],
-      qp: Int): (Array[Int], Array[Int], Array[Int]) = {
+      qp: Int,
+      subTypes: Array[Array[Int]] = null): (Array[Int], Array[Int], Array[Int]) = {
     val w16 = wMbs * 16; val h16 = hMbs * 16
     val w8 = wMbs * 8; val h8 = hMbs * 8
     val w4 = wMbs * 4; val h4 = hMbs * 4
@@ -223,7 +240,9 @@ class H264InterSpec extends AnyFunSuite {
               else predictor(m, 0, mbX * 16, mbY * 16, 16, 16)
             record(mbX * 16, mbY * 16, 16, 16, vx, vy)
           } else {
-            val parts = partsOf(kind)
+            val parts =
+              if (kind == 5 && subTypes != null) kind5Parts(subTypes(m))
+              else partsOf(kind)
             for (pi <- parts.indices) {
               val (oxp, oyp, pw, ph) = parts(pi)
               record(mbX * 16 + oxp, mbY * 16 + oyp, pw, ph,
@@ -254,8 +273,6 @@ class H264InterSpec extends AnyFunSuite {
                 Array(lvl(0)(0) + lvl(0)(1) - lvl(1)(0) - lvl(1)(1),
                   lvl(0)(0) - lvl(0)(1) - lvl(1)(0) + lvl(1)(1)))
               for (bi <- 0 until 2; bj <- 0 until 2) {
-                val vx = mx4(mbY * 4 + bi * 2)(mbX * 4 + bj * 2)
-                val vy = my4(mbY * 4 + bi * 2)(mbX * 4 + bj * 2)
                 val dcC =
                   if (kind != 1 && dcs != null)
                     ((f2(bi)(bj) * 16 * DcV(qPc % 6)) << (qPc / 6)) >> 5
@@ -264,6 +281,8 @@ class H264InterSpec extends AnyFunSuite {
                 for (rr <- 0 until 4; cc <- 0 until 4) {
                   val cx = mbX * 8 + bj * 4 + cc
                   val cy = mbY * 8 + bi * 4 + rr
+                  val vx = mx4(cy / 2)(cx / 2)
+                  val vy = my4(cy / 2)(cx / 2)
                   val p = refChroma(f0c, w8, h8, cx + (vx >> 3),
                     cy + (vy >> 3), vx & 7, vy & 7)
                   cp(cy * w8 + cx) = clip(p + res)
@@ -284,9 +303,13 @@ class H264InterSpec extends AnyFunSuite {
       if (r < 4) 0 else if (r < 6) 1 else if (r < 7) 2
       else if (r < 9) 3 else if (r < 11) 4 else 5
     }
+    val subTypes = Array.tabulate(n)(m =>
+      if (kinds(m) == 5) Array.fill(4)(rnd.nextInt(4)) else Array(0, 0, 0, 0))
     val mvs = Array.tabulate(n) { m =>
-      Array.fill(partsOf(kinds(m)).length)(
-        Array(rnd.nextInt(81) - 40, rnd.nextInt(81) - 40))
+      val nParts =
+        if (kinds(m) == 5) kind5Parts(subTypes(m)).length
+        else partsOf(kinds(m)).length
+      Array.fill(nParts)(Array(rnd.nextInt(81) - 40, rnd.nextInt(81) - 40))
     }
     val coeffs = Array.fill(n)(Array.tabulate(16) { _ =>
       val a = new Array[Int](16)
@@ -306,8 +329,8 @@ class H264InterSpec extends AnyFunSuite {
     val es = H264.encodeSps(wMbs, hMbs, 0) ++ H264.encodePps() ++
       H264.encodeIPcmFrame(wMbs, hMbs, luma0, frameNum = trial) ++
       H264Cavlc.encodePFrame(wMbs, hMbs, kinds, mvs, coeffs, qp,
-        frameNum = 1, cbDc = cbDc, crDc = crDc)
-    (es, f0Y, kinds, mvs, coeffs, cbDc, crDc)
+        frameNum = 1, cbDc = cbDc, crDc = crDc, subTypes = subTypes)
+    (es, f0Y, kinds, mvs, coeffs, cbDc, crDc, subTypes)
   }
 
   /** Independent B-frame reconstruction over two known references.
@@ -483,13 +506,13 @@ class H264InterSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(20260815L)
     for (qp <- Seq(10, 26, 28, 36, 44, 51); trial <- 0 until 4) {
       val (wMbs, hMbs) = (3, 2)
-      val (es, f0Y, kinds, mvs, coeffs, cbDc, crDc) =
+      val (es, f0Y, kinds, mvs, coeffs, cbDc, crDc, subTypes) =
         randomStream(wMbs, hMbs, qp, trial, rnd, withChroma = trial % 2 == 0)
       val fr = H264Cavlc.decodeIntra16FramesYuv(es)
       assert(fr.size === 2, s"qp=$qp trial=$trial")
       val f0Cb = Array.fill(wMbs * 8 * hMbs * 8)(128)
       val (ry, rcb, rcr) = refPFrame(wMbs, hMbs, f0Y, f0Cb, f0Cb.clone(),
-        kinds, mvs, coeffs, cbDc, crDc, qp)
+        kinds, mvs, coeffs, cbDc, crDc, qp, subTypes)
       val (_, _, gy, gcb, gcr) = fr(1)
       assert(gy.map(_ & 0xFF).toSeq === ry.toSeq, s"luma qp=$qp trial=$trial")
       assert(gcb.map(_ & 0xFF).toSeq === rcb.toSeq, s"cb qp=$qp trial=$trial")
