@@ -88,7 +88,7 @@ object BenchStress {
     // two-frame inter GOP — zero-shuffle per-asset maps like
     // m22/m25/m26; prove the flat curve
     "m27_video_intra8x8", "m28_video_inter_p", "m29_video_inter_parts",
-    "m30_video_bipred")
+    "m30_video_bipred", "m31_video_multiref")
 
   /** Optional comma-separated name-prefix filter
     * (SPARK_GRAFT_STRESS_ONLY) — stress just the matching queries, so

@@ -77,7 +77,12 @@ import H264.{BitReader, BitWriter}
   * sub_mb_types parsed up front, every sub-partition's mvd against
   * the cell-ordinal within-MB availability, chroma MC per SAMPLE
   * since a 4x4 luma sub-partition maps to a 2x2 chroma area) — the
-  * full P partition tree is in subset. Remaining boundary: CABAC
+  * full P partition tree is in subset. P list0 may hold TWO past
+  * references (8.2.4.2.1 descending-recency init): the
+  * num_ref_idx_active override, te(v)-coded ref_idx_l0 per partition
+  * (per 8x8 block in P_8x8), per-cell refIdx storage, and
+  * refIdx-matched 8.4.1.3 predictors (the single-matching-refIdx
+  * shortcut now binds for real). Remaining boundary: CABAC
   * (its context-initialisation tables cannot be transcribed here
   * with conformance-grade confidence — deliberately NOT
   * approximated), B_Direct/B_Skip, B partitions, multi-reference
@@ -1762,15 +1767,24 @@ object H264Cavlc {
       cbDc: Array[Array[Array[Int]]] = null,
       crDc: Array[Array[Array[Int]]] = null,
       sliceStarts: Array[Int] = Array(0),
-      subTypes: Array[Array[Int]] = null): Array[Byte] = {
+      subTypes: Array[Array[Int]] = null,
+      numRefIdxL0: Int = 1,
+      refIdxs: Array[Array[Int]] = null): Array[Byte] = {
     // subTypes(m): kind-5 MBs' four sub_mb_types (Table 7-17:
     // 0 = 8x8, 1 = 8x4, 2 = 4x8, 3 = 4x4); null = all P_L0_8x8.
     // For kind 5, mvs(m) holds one (mvx, mvy) per SUB-partition in
     // decoding order (1, 2 or 4 per 8x8 block).
+    // numRefIdxL0 = 2 activates the two-entry list0 (override flag in
+    // the header + te(v) ref_idx per partition / per 8x8 block);
+    // refIdxs(m) then names each partition's reference (kind 5: per
+    // 8x8 BLOCK, 4 entries). null = all 0.
+    require(numRefIdxL0 >= 1 && numRefIdxL0 <= 2)
     val nMbs = widthMbs * heightMapUnits
     require(kinds.length == nMbs && kinds.forall(k => k >= 0 && k <= 5))
     def subTypesOf(m: Int): Array[Int] =
       if (subTypes == null) Array(0, 0, 0, 0) else subTypes(m)
+    def refIdxOf(m: Int, pi: Int): Int =
+      if (refIdxs == null) 0 else refIdxs(m)(pi)
     require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
     require((cbDc == null) == (crDc == null),
       "chroma DC levels must be given for both components or neither")
@@ -1831,7 +1845,10 @@ object H264Cavlc {
         w.ue(5) // slice_type: P (all slices of the picture are P)
         w.ue(0) // pps id
         w.u(frameNum & 0xFF, 8)
-        w.u(0, 1) // num_ref_idx_active_override_flag
+        if (numRefIdxL0 == 2) { // num_ref_idx_active_override_flag
+          w.u(1, 1)
+          w.ue(1) // num_ref_idx_l0_active_minus1
+        } else w.u(0, 1)
         w.u(0, 1) // ref_pic_list_modification_flag_l0
         w.u(0, 1) // adaptive_ref_pic_marking_mode_flag
         w.se(qp - 26) // SliceQPy = qp
@@ -1863,6 +1880,14 @@ object H264Cavlc {
               s"mb $m: bad sub_mb_types ${sts.mkString(",")}")
             var sb = 0
             while (sb < 4) { w.ue(sts(sb)); sb += 1 }
+            // ref_idx_l0 per 8x8 block (te(v)) when the list has two
+            // entries, mirroring 7.3.5.2's field order
+            val ri8 = Array.tabulate(4)(b8 => refIdxOf(m, b8))
+            if (numRefIdxL0 == 2) {
+              var sb2 = 0
+              while (sb2 < 4) { w.u(1 - ri8(sb2), 1); sb2 += 1 }
+            } else require(ri8.forall(_ == 0),
+              s"mb $m: nonzero ref_idx with a single-entry list")
             val ord = subPartCellOrder(sts)
             var counter = 0
             var b8 = 0
@@ -1877,18 +1902,26 @@ object H264Cavlc {
                 val (px, py) = mvpPart(widthMbs, heightMapUnits, refG,
                   mvGx, mvGy, mbAvail, m,
                   (cx, cy) => ord(cy % 4)(cx % 4) < cur,
-                  x0, y0, pw, ph, counter)
+                  x0, y0, pw, ph, counter, ri8(b8))
                 val mvx = mvs(m)(counter)(0)
                 val mvy = mvs(m)(counter)(1)
                 w.se(mvx - px)
                 w.se(mvy - py)
-                fillCells(refG, mvGx, mvGy, x0, y0, pw, ph, mvx, mvy)
+                fillCells(refG, mvGx, mvGy, x0, y0, pw, ph, mvx, mvy,
+                  ri8(b8))
                 counter += 1
                 j += 1
               }
               b8 += 1
             }
           } else {
+            // 7.3.5.1 order: all ref_idx_l0 first, then all mvd_l0
+            val ris = Array.tabulate(parts.length)(pi => refIdxOf(m, pi))
+            if (numRefIdxL0 == 2) {
+              var pi2 = 0
+              while (pi2 < parts.length) { w.u(1 - ris(pi2), 1); pi2 += 1 }
+            } else require(ris.forall(_ == 0),
+              s"mb $m: nonzero ref_idx with a single-entry list")
             var pi = 0
             while (pi < parts.length) {
               val (oxp, oyp, pw, ph) = parts(pi)
@@ -1896,12 +1929,13 @@ object H264Cavlc {
               val y0 = mbY * 16 + oyp
               val (px, py) = mvpPart(widthMbs, heightMapUnits, refG,
                 mvGx, mvGy, mbAvail, m, partOrderAvail(mbType, pi),
-                x0, y0, pw, ph, pi)
+                x0, y0, pw, ph, pi, ris(pi))
               val mvx = mvs(m)(pi)(0)
               val mvy = mvs(m)(pi)(1)
-              w.se(mvx - px) // mvd_l0 (ref_idx_l0 absent: single ref)
+              w.se(mvx - px)
               w.se(mvy - py)
-              fillCells(refG, mvGx, mvGy, x0, y0, pw, ph, mvx, mvy)
+              fillCells(refG, mvGx, mvGy, x0, y0, pw, ph, mvx, mvy,
+                ris(pi))
               pi += 1
             }
           }
@@ -2738,7 +2772,7 @@ object H264Cavlc {
     }
     if (!ok) (0, 0, -1, false)
     else if (refG(cy)(cx) < 0) (0, 0, -1, true)
-    else (mvGx(cy)(cx), mvGy(cy)(cx), 0, true)
+    else (mvGx(cy)(cx), mvGy(cy)(cx), refG(cy)(cx), true)
   }
 
   /** Partition-level luma MVP (8.4.1.3) at picture-luma origin
@@ -2753,7 +2787,8 @@ object H264Cavlc {
       refG: Array[Array[Int]], mvGx: Array[Array[Int]],
       mvGy: Array[Array[Int]], mbAvail: (Int, Int) => Boolean, m: Int,
       partAvail: (Int, Int) => Boolean,
-      x0: Int, y0: Int, pw: Int, ph: Int, partIdx: Int): (Int, Int) = {
+      x0: Int, y0: Int, pw: Int, ph: Int, partIdx: Int,
+      refIdx: Int = 0): (Int, Int) = {
     def mot(cx: Int, cy: Int) = cellMotion(widthMbs, mapUnits, refG,
       mvGx, mvGy, mbAvail, m, partAvail, cx, cy)
     val a0 = mot(x0 / 4 - 1, y0 / 4)
@@ -2766,12 +2801,13 @@ object H264Cavlc {
       else (d0._1, d0._2, d0._3)
     val cAv = c0._4 || d0._4
     if (!b0._4 && !cAv && a0._4) { b = a; c = a } // 8.4.1.3.2 copy-A
-    // 8.4.1.3 directional shortcuts for the two-partition shapes
-    if (pw == 16 && ph == 8 && partIdx == 0 && b._3 == 0) return (b._1, b._2)
-    if (pw == 16 && ph == 8 && partIdx == 1 && a._3 == 0) return (a._1, a._2)
-    if (pw == 8 && ph == 16 && partIdx == 0 && a._3 == 0) return (a._1, a._2)
-    if (pw == 8 && ph == 16 && partIdx == 1 && c._3 == 0) return (c._1, c._2)
-    val hits = Seq(a, b, c).filter(_._3 == 0)
+    // 8.4.1.3 directional shortcuts for the two-partition shapes;
+    // every refIdx comparison is against THIS partition's refIdx
+    if (pw == 16 && ph == 8 && partIdx == 0 && b._3 == refIdx) return (b._1, b._2)
+    if (pw == 16 && ph == 8 && partIdx == 1 && a._3 == refIdx) return (a._1, a._2)
+    if (pw == 8 && ph == 16 && partIdx == 0 && a._3 == refIdx) return (a._1, a._2)
+    if (pw == 8 && ph == 16 && partIdx == 1 && c._3 == refIdx) return (c._1, c._2)
+    val hits = Seq(a, b, c).filter(_._3 == refIdx)
     if (hits.length == 1) (hits.head._1, hits.head._2)
     else {
       def med(p: Int, q: Int, r2: Int) =
@@ -2801,12 +2837,12 @@ object H264Cavlc {
   /** Record one partition's motion into the 4x4-cell grids. */
   private def fillCells(refG: Array[Array[Int]], mvGx: Array[Array[Int]],
       mvGy: Array[Array[Int]], x0: Int, y0: Int, pw: Int, ph: Int,
-      mvx: Int, mvy: Int): Unit = {
+      mvx: Int, mvy: Int, refIdx: Int = 0): Unit = {
     var cy = y0 / 4
     while (cy < (y0 + ph) / 4) {
       var cx = x0 / 4
       while (cx < (x0 + pw) / 4) {
-        refG(cy)(cx) = 0; mvGx(cy)(cx) = mvx; mvGy(cy)(cx) = mvy
+        refG(cy)(cx) = refIdx; mvGx(cy)(cx) = mvx; mvGy(cy)(cx) = mvy
         cx += 1
       }
       cy += 1
@@ -2890,7 +2926,8 @@ object H264Cavlc {
     * pure prediction). */
   private def reconInterLuma(st: PicState, m: Int,
       coeffsByBlk: Array[Array[Int]], qpy: Int,
-      refY: Array[Byte], refY1: Array[Byte] = null): Unit = {
+      refsL0: IndexedSeq[Array[Byte]],
+      refY1: Array[Byte] = null): Unit = {
     val widthMbs = st.widthMbs
     val w16 = st.w16
     val h16 = st.mapUnits * 16
@@ -2902,7 +2939,8 @@ object H264Cavlc {
       val (ox, oy) = Blk4x4Pos(blk)
       val gx = mbX * 16 + ox
       val gy = mbY * 16 + oy
-      val useL0 = st.refG(gy / 4)(gx / 4) == 0
+      val ri0 = st.refG(gy / 4)(gx / 4)
+      val useL0 = ri0 >= 0
       val useL1 = refY1 != null && st.refG1(gy / 4)(gx / 4) == 0
       val mvx = st.mvGx(gy / 4)(gx / 4)
       val mvy = st.mvGy(gy / 4)(gx / 4)
@@ -2933,8 +2971,8 @@ object H264Cavlc {
           // average when both lists predict (B_Bi), else the single
           // list's interpolation
           val p0 =
-            if (useL0) interpLuma(refY, w16, h16, gx + cc + (mvx >> 2),
-              gy + rr + (mvy >> 2), mvx & 3, mvy & 3)
+            if (useL0) interpLuma(refsL0(ri0), w16, h16,
+              gx + cc + (mvx >> 2), gy + rr + (mvy >> 2), mvx & 3, mvy & 3)
             else 0
           val p1 =
             if (useL1) interpLuma(refY1, w16, h16, gx + cc + (m1x >> 2),
@@ -2961,17 +2999,17 @@ object H264Cavlc {
       cbpChroma: Int, cbScan: Array[Int], crScan: Array[Int],
       cbAcBlk: Array[Array[Int]], crAcBlk: Array[Array[Int]],
       qpy: Int, cbQpOff: Int, crQpOff: Int,
-      refCb: Array[Byte], refCr: Array[Byte],
+      refsCb: IndexedSeq[Array[Byte]], refsCr: IndexedSeq[Array[Byte]],
       refCb1: Array[Byte] = null, refCr1: Array[Byte] = null): Unit = {
     val widthMbs = st.widthMbs
     val w8 = st.w8
     val h8 = st.mapUnits * 8
     val mbX = m % widthMbs
     val mbY = m / widthMbs
-    Seq((st.cbPlane, refCb, refCb1, cbScan, cbAcBlk, qpc(qpy + cbQpOff)),
-      (st.crPlane, refCr, refCr1, crScan, crAcBlk, qpc(qpy + crQpOff)))
+    Seq((st.cbPlane, refsCb, refCb1, cbScan, cbAcBlk, qpc(qpy + cbQpOff)),
+      (st.crPlane, refsCr, refCr1, crScan, crAcBlk, qpc(qpy + crQpOff)))
       .foreach {
-      case (cp, refC, refC1, sc, acC, qPc) =>
+      case (cp, refsC, refC1, sc, acC, qPc) =>
         val f2 = hadamard2(Array(Array(sc(0), sc(1)), Array(sc(2), sc(3))))
         var cbi = 0
         while (cbi < 2) {
@@ -3009,14 +3047,15 @@ object H264Cavlc {
                 // the MV lookup is per sample
                 val lcy = cy / 2
                 val lcx = cx / 2
-                val useL0 = st.refG(lcy)(lcx) == 0
+                val ri0 = st.refG(lcy)(lcx)
+                val useL0 = ri0 >= 0
                 val useL1 = refC1 != null && st.refG1(lcy)(lcx) == 0
                 val mvx = st.mvGx(lcy)(lcx)
                 val mvy = st.mvGy(lcy)(lcx)
                 val m1x = st.mvG1x(lcy)(lcx)
                 val m1y = st.mvG1y(lcy)(lcx)
                 val p0 =
-                  if (useL0) interpChroma(refC, w8, h8,
+                  if (useL0) interpChroma(refsC(ri0), w8, h8,
                     cx + (mvx >> 3), cy + (mvy >> 3), mvx & 7, mvy & 7)
                   else 0
                 val p1 =
@@ -3060,8 +3099,19 @@ object H264Cavlc {
     r.ue() // pps id
     r.u(8) // frame_num
     // pic_order_cnt_type 2: no POC fields; non-IDR: no idr_pic_id
-    if (r.u(1) == 1) // num_ref_idx_active_override_flag
-      require(r.ue() == 0, "only one reference picture supported")
+    var numL0 = 1
+    if (r.u(1) == 1) { // num_ref_idx_active_override_flag
+      numL0 = r.ue() + 1
+      require(numL0 >= 1 && numL0 <= 2,
+        s"num_ref_idx_l0_active $numL0 outside the supported 1..2")
+    }
+    // list0 init for P (8.2.4.2.1): descending PicNum = decode-order
+    // recency; [most recent, older]
+    val refsY = (Vector(refY) ++ st.refPic1.map(_._1)).take(numL0)
+    val refsCb = (Vector(refCb) ++ st.refPic1.map(_._2)).take(numL0)
+    val refsCr = (Vector(refCr) ++ st.refPic1.map(_._3)).take(numL0)
+    require(refsY.length == numL0,
+      s"slice needs $numL0 reference pictures, DPB holds ${refsY.length}")
     require(r.u(1) == 0, "ref_pic_list_modification not supported")
     // nal_ref_idc != 0 on our P NALs: dec_ref_pic_marking (non-IDR)
     require(r.u(1) == 0, "adaptive ref pic marking not supported")
@@ -3085,10 +3135,10 @@ object H264Cavlc {
           st.mvGx, st.mvGy, mbAvail, m, mbX, mbY)
         fillCells(st.refG, st.mvGx, st.mvGy, mbX * 16, mbY * 16, 16, 16,
           mvx, mvy)
-        reconInterLuma(st, m, null, qpy, refY)
+        reconInterLuma(st, m, null, qpy, refsY)
         reconInterChroma(st, m, 0, new Array[Int](4),
           new Array[Int](4), Array.ofDim[Int](4, 15),
-          Array.ofDim[Int](4, 15), qpy, cbQpOff, crQpOff, refCb, refCr)
+          Array.ofDim[Int](4, 15), qpy, cbQpOff, crQpOff, refsCb, refsCr)
         i += 1
       }
       if (st.nextMb < st.nMbs && r.moreRbspData) {
@@ -3112,6 +3162,10 @@ object H264Cavlc {
             val subTypes = Array.fill(4)(r.ue())
             subTypes.foreach(st2 => require(st2 >= 0 && st2 <= 3,
               s"mb $m: bad P sub_mb_type $st2"))
+            // ref_idx_l0 per 8x8 block (te(v), present when the list
+            // holds more than one entry; P_8x8ref0 pins all to 0)
+            val refIdx8 = Array.tabulate(4)(_ =>
+              if (mbType == 3 && numL0 == 2) 1 - r.u(1) else 0)
             val ord = subPartCellOrder(subTypes)
             var counter = 0
             var b8 = 0
@@ -3126,20 +3180,24 @@ object H264Cavlc {
                 val (px, py) = mvpPart(widthMbs, st.mapUnits, st.refG,
                   st.mvGx, st.mvGy, mbAvail, m,
                   (cx, cy) => ord(cy % 4)(cx % 4) < cur,
-                  x0, y0, pw, ph, counter)
+                  x0, y0, pw, ph, counter, refIdx8(b8))
                 val mvx = px + r.se()
                 val mvy = py + r.se()
                 fillCells(st.refG, st.mvGx, st.mvGy, x0, y0, pw, ph,
-                  mvx, mvy)
+                  mvx, mvy, refIdx8(b8))
                 counter += 1
                 j += 1
               }
               b8 += 1
             }
           } else {
-            // mvd_l0 per MB partition in decoding order; each
-            // partition's predictor may read the PREVIOUS cells
+            // 7.3.5.1: ALL ref_idx_l0 first (te(v), present when the
+            // list holds more than one entry), then all mvd_l0 in
+            // decoding order; each partition's predictor may read the
+            // PREVIOUS cells
             val parts = pPartitions(mbType)
+            val refIdxs = Array.tabulate(parts.length)(_ =>
+              if (numL0 == 2) 1 - r.u(1) else 0)
             var pi = 0
             while (pi < parts.length) {
               val (oxp, oyp, pw, ph) = parts(pi)
@@ -3147,10 +3205,11 @@ object H264Cavlc {
               val y0 = mbY * 16 + oyp
               val (px, py) = mvpPart(widthMbs, st.mapUnits, st.refG,
                 st.mvGx, st.mvGy, mbAvail, m, partOrderAvail(mbType, pi),
-                x0, y0, pw, ph, pi)
+                x0, y0, pw, ph, pi, refIdxs(pi))
               val mvx = px + r.se()
               val mvy = py + r.se()
-              fillCells(st.refG, st.mvGx, st.mvGy, x0, y0, pw, ph, mvx, mvy)
+              fillCells(st.refG, st.mvGx, st.mvGy, x0, y0, pw, ph, mvx,
+                mvy, refIdxs(pi))
               pi += 1
             }
           }
@@ -3201,9 +3260,9 @@ object H264Cavlc {
                 }
             }
           }
-          reconInterLuma(st, m, coeffsByBlk, qpy, refY)
+          reconInterLuma(st, m, coeffsByBlk, qpy, refsY)
           reconInterChroma(st, m, cbpChroma, cbScan, crScan,
-            cbAcBlk, crAcBlk, qpy, cbQpOff, crQpOff, refCb, refCr)
+            cbAcBlk, crAcBlk, qpy, cbQpOff, crQpOff, refsCb, refsCr)
         }
       } else more = false
     }
@@ -3340,10 +3399,10 @@ object H264Cavlc {
                 }
             }
           }
-          reconInterLuma(st, m, coeffsByBlk, qpy, refY0, refY1)
+          reconInterLuma(st, m, coeffsByBlk, qpy, Vector(refY0), refY1)
           reconInterChroma(st, m, cbpChroma, cbScan, crScan,
-            cbAcBlk, crAcBlk, qpy, cbQpOff, crQpOff, refCb0, refCr0,
-            refCb1, refCr1)
+            cbAcBlk, crAcBlk, qpy, cbQpOff, crQpOff, Vector(refCb0),
+            Vector(refCr0), refCb1, refCr1)
         }
       } else more = false
     }

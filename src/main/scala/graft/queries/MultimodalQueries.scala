@@ -45,7 +45,8 @@ object MultimodalQueries {
     "m27_video_intra8x8" -> m27,
     "m28_video_inter_p" -> m28,
     "m29_video_inter_parts" -> m29,
-    "m30_video_bipred" -> m30)
+    "m30_video_bipred" -> m30,
+    "m31_video_multiref" -> m31)
 
   /** Inter prediction on the oracle gate (m28): each asset is a
     * two-frame GOP — an I_16x16-DC IDR whose four macroblocks settle
@@ -264,6 +265,79 @@ object MultimodalQueries {
         mbVal(y2, 0), mbVal(y2, 1), mbVal(y2, 2), mbVal(y2, 3), ys)
     }.toDF("doc_id", "width", "height", "p0", "p1", "p2", "p3",
       "w0", "w1", "w2", "w3", "y2_sum")
+  }
+
+  /** Multi-reference lists on the oracle gate (m31): a three-frame
+    * I-P-P GOP where the THIRD picture's list0 holds two entries
+    * ([the P frame, the I frame], descending recency per 8.2.4.2.1)
+    * and every partition names its reference through the te(v)-coded
+    * ref_idx_l0 — a 16x16, a 16x8 pair, a P_8x8 quad (ref_idx per 8x8
+    * block) and a second 16x16, each copying a doc-selected flat MB
+    * from its doc-selected REFERENCE with an MB-aligned vector, so a
+    * te(v) polarity slip, a list-order slip or a refIdx-matching slip
+    * in the 8.4.1.3 predictor shifts values or desyncs the parse.
+    * QPy 36 keeps MB0's residual exactly linear (10c).
+    *
+    * Scale: zero-shuffle per-asset map, like every codec query. */
+  private def m31: Q = (spark, dir) => {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val dc = Array.tabulate(4) { mb =>
+        val d = Array.ofDim[Int](4, 4)
+        d(0)(0) = ((id + mb) % 4).toInt
+        d
+      }
+      def src(k: Int): Int = ((id / k) % 4).toInt
+      def ref(k: Int): Int = ((id / k) % 2).toInt
+      def mv(mx: Int, my: Int, sIdx: Int): Array[Int] =
+        Array(((sIdx & 1) - mx) * 64, ((sIdx >> 1) - my) * 64)
+      // frame 1 (reference P): m30's shape — flat p0..p3
+      val pKinds = Array(0, 0, 0, 0)
+      val pMvs = Array.tabulate(4)(m2 =>
+        Array(mv(m2 & 1, m2 >> 1, src(Seq(1, 3, 5, 7)(m2)))))
+      val pCoeffs = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+      for (m2 <- 0 until 4; blk <- 0 until 16)
+        pCoeffs(m2)(blk)(0) = (((id + m2) % 5) - 2).toInt
+      // frame 2 (two-entry list0)
+      val kinds2 = Array(0, 3, 5, 0)
+      val mvs2 = Array(
+        Array(mv(0, 0, src(3))),
+        Array(mv(1, 0, src(7)), mv(1, 0, src(11))),
+        Array(mv(0, 1, src(23)), mv(0, 1, src(25)), mv(0, 1, src(27)),
+          mv(0, 1, src(29))),
+        Array(mv(1, 1, src(33))))
+      val refIdxs2 = Array(
+        Array(ref(2)),
+        Array(ref(5), ref(9)),
+        Array(ref(13), ref(15), ref(17), ref(19)),
+        Array(ref(31)))
+      val c0 = (((id + 6) % 5) - 2).toInt
+      val coeffs2 = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+      for (blk <- 0 until 16) coeffs2(0)(blk)(0) = c0
+      val es = graft.operators.H264.encodeSps(2, 2, 0, numRefFrames = 2) ++
+        graft.operators.H264.encodePps() ++
+        graft.operators.H264Cavlc.encodeIntra16Frame(2, 2, dc, qp = 36,
+          idrPicId = (id % 65536).toInt) ++
+        graft.operators.H264Cavlc.encodePFrame(2, 2, pKinds, pMvs,
+          pCoeffs, qp = 36, frameNum = 1) ++
+        graft.operators.H264Cavlc.encodePFrame(2, 2, kinds2, mvs2,
+          coeffs2, qp = 36, frameNum = 2, numRefIdxL0 = 2,
+          refIdxs = refIdxs2)
+      val frames = graft.operators.H264Cavlc.decodeIntra16FramesYuv(es)
+      require(frames.size == 3)
+      val y2 = frames(2)._3
+      def px(x: Int, yy: Int): Int = y2(yy * 32 + x) & 0xFF
+      var ys = 0L
+      var i = 0
+      while (i < y2.length) { ys += y2(i) & 0xFF; i += 1 }
+      (id, frames(2)._1, frames(2)._2,
+        px(0, 0),                      // MB0 16x16
+        px(16, 0), px(16, 8),          // MB1 16x8 pair
+        px(0, 16), px(8, 16), px(0, 24), px(8, 24), // MB2 quads
+        px(16, 16),                    // MB3 16x16
+        ys)
+    }.toDF("doc_id", "width", "height", "e0", "e1a", "e1b",
+      "f0", "f1", "f2", "f3", "e3", "y2_sum")
   }
 
   /** m27's 23 output columns (one past the Tuple22 ceiling). */
@@ -1376,6 +1450,82 @@ object MultimodalQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // m31: the multi-reference P replayed closed form — frame-0 and
+    // frame-1 chains as m30, then pick(ref, src) = ref 0 -> p[src]
+    // (the recent P frame), ref 1 -> v[src] (the I frame).
+    "m31_video_multiref" ->
+      """WITH f AS (SELECT doc_id,
+        | (doc_id + 0) % 4 AS f0, (doc_id + 1) % 4 AS f1,
+        | (doc_id + 2) % 4 AS f2, (doc_id + 3) % 4 AS f3
+        | FROM documents),
+        |v AS (SELECT doc_id,
+        | 128 + (160*f0 + 32)//64 AS v0,
+        | v0 + (160*f1 + 32)//64 AS v1,
+        | v0 + (160*f2 + 32)//64 AS v2,
+        | (v1 + v2 + 1)//2 + (160*f3 + 32)//64 AS v3
+        | FROM f),
+        |p AS (SELECT doc_id, v0, v1, v2, v3,
+        | (CASE (doc_id // 1) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 0) % 5 - 2) AS p0,
+        | (CASE (doc_id // 3) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 1) % 5 - 2) AS p1,
+        | (CASE (doc_id // 5) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 2) % 5 - 2) AS p2,
+        | (CASE (doc_id // 7) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 3) % 5 - 2) AS p3
+        | FROM v),
+        |e AS (SELECT doc_id, v0, v1, v2, v3, p0, p1, p2, p3,
+        | (CASE WHEN (doc_id // 2) % 2 = 0
+        |   THEN CASE (doc_id // 3) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |     WHEN 2 THEN p2 ELSE p3 END
+        |   ELSE CASE (doc_id // 3) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |     WHEN 2 THEN v2 ELSE v3 END END)
+        |   + 10*((doc_id + 6) % 5 - 2) AS e0,
+        | CASE WHEN (doc_id // 5) % 2 = 0
+        |   THEN CASE (doc_id // 7) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |     WHEN 2 THEN p2 ELSE p3 END
+        |   ELSE CASE (doc_id // 7) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |     WHEN 2 THEN v2 ELSE v3 END END AS e1a,
+        | CASE WHEN (doc_id // 9) % 2 = 0
+        |   THEN CASE (doc_id // 11) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |     WHEN 2 THEN p2 ELSE p3 END
+        |   ELSE CASE (doc_id // 11) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |     WHEN 2 THEN v2 ELSE v3 END END AS e1b,
+        | CASE WHEN (doc_id // 13) % 2 = 0
+        |   THEN CASE (doc_id // 23) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |     WHEN 2 THEN p2 ELSE p3 END
+        |   ELSE CASE (doc_id // 23) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |     WHEN 2 THEN v2 ELSE v3 END END AS q0,
+        | CASE WHEN (doc_id // 15) % 2 = 0
+        |   THEN CASE (doc_id // 25) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |     WHEN 2 THEN p2 ELSE p3 END
+        |   ELSE CASE (doc_id // 25) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |     WHEN 2 THEN v2 ELSE v3 END END AS q1,
+        | CASE WHEN (doc_id // 17) % 2 = 0
+        |   THEN CASE (doc_id // 27) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |     WHEN 2 THEN p2 ELSE p3 END
+        |   ELSE CASE (doc_id // 27) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |     WHEN 2 THEN v2 ELSE v3 END END AS q2,
+        | CASE WHEN (doc_id // 19) % 2 = 0
+        |   THEN CASE (doc_id // 29) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |     WHEN 2 THEN p2 ELSE p3 END
+        |   ELSE CASE (doc_id // 29) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |     WHEN 2 THEN v2 ELSE v3 END END AS q3,
+        | CASE WHEN (doc_id // 31) % 2 = 0
+        |   THEN CASE (doc_id // 33) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |     WHEN 2 THEN p2 ELSE p3 END
+        |   ELSE CASE (doc_id // 33) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |     WHEN 2 THEN v2 ELSE v3 END END AS e3
+        | FROM p)
+        |SELECT doc_id, 32 AS width, 32 AS height,
+        | CAST(e0 AS INTEGER) AS e0,
+        | CAST(e1a AS INTEGER) AS e1a, CAST(e1b AS INTEGER) AS e1b,
+        | CAST(q0 AS INTEGER) AS f0, CAST(q1 AS INTEGER) AS f1,
+        | CAST(q2 AS INTEGER) AS f2, CAST(q3 AS INTEGER) AS f3,
+        | CAST(e3 AS INTEGER) AS e3,
+        | CAST(256*e0 + 128*(e1a + e1b) + 64*(q0 + q1 + q2 + q3)
+        |   + 256*e3 AS BIGINT) AS y2_sum
+        |FROM e""".stripMargin,
     // m30: the IPB GOP replayed closed form — frame-0 chain, P values
     // p_m = v[src] + 10*c, B values off the doc-selected lists with
     // the exact rounded bi-average, intra tail as the neighbour mean.

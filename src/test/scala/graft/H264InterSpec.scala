@@ -582,6 +582,106 @@ class H264InterSpec extends AnyFunSuite {
     assert(fr(1)._1 === wMbs * 16 && fr(1)._2 === hMbs * 16)
   }
 
+  test("two-entry list0: te(v) ref_idx routes each partition to its reference") {
+    val rnd = new scala.util.Random(41L)
+    val (wMbs, hMbs) = (2, 2)
+    val n = wMbs * hMbs
+    val fA = Array.fill(wMbs * 16 * hMbs * 16)(rnd.nextInt(256)) // older (IDR)
+    val fB = Array.fill(wMbs * 16 * hMbs * 16)(rnd.nextInt(256)) // recent (P-PCM)
+    // all-zero MVs, no residuals: every sample must be a bit-exact
+    // copy from the reference its partition's te(v)-coded ref_idx
+    // names (list0 = [B, A])
+    val kinds = Array(0, 0, 3, 5) // 16x16, 16x16, 16x8, P_8x8
+    val mvs = Array(
+      Array(Array(0, 0)), Array(Array(0, 0)),
+      Array(Array(0, 0), Array(0, 0)),
+      Array(Array(0, 0), Array(0, 0), Array(0, 0), Array(0, 0)))
+    val refIdxs = Array(
+      Array(0), Array(1), Array(0, 1), Array(1, 0, 0, 1))
+    val coeffs = Array.fill(n)(Array.fill(16)(new Array[Int](16)))
+    val es = H264.encodeSps(wMbs, hMbs, 0, numRefFrames = 2) ++
+      H264.encodePps() ++
+      H264.encodeIPcmFrame(wMbs, hMbs, fA.map(_.toByte), frameNum = 0) ++
+      H264Cavlc.encodePcmPFrame(wMbs, hMbs, fB.map(_.toByte), frameNum = 1) ++
+      H264Cavlc.encodePFrame(wMbs, hMbs, kinds, mvs, coeffs, 28,
+        frameNum = 2, numRefIdxL0 = 2, refIdxs = refIdxs)
+    val fr = H264Cavlc.decodeIntra16FramesYuv(es)
+    assert(fr.size === 3)
+    val y = fr(2)._3.map(_ & 0xFF)
+    val w16 = wMbs * 16
+    def reg(x0: Int, y0: Int, w: Int, h: Int, src: Array[Int]): Unit =
+      for (yy <- y0 until y0 + h; xx <- x0 until x0 + w)
+        assert(y(yy * w16 + xx) === src(yy * w16 + xx), s"($xx,$yy)")
+    reg(0, 0, 16, 16, fB)   // MB0 ref 0 -> B
+    reg(16, 0, 16, 16, fA)  // MB1 ref 1 -> A
+    reg(0, 16, 16, 8, fB)   // MB2 part0 ref 0
+    reg(0, 24, 16, 8, fA)   // MB2 part1 ref 1
+    reg(16, 16, 8, 8, fA)   // MB3 b8 0 ref 1
+    reg(24, 16, 8, 8, fB)   // MB3 b8 1 ref 0
+    reg(16, 24, 8, 8, fB)   // MB3 b8 2 ref 0
+    reg(24, 24, 8, 8, fA)   // MB3 b8 3 ref 1
+  }
+
+  test("mixed-refIdx MVP: the single-matching-refIdx rule binds each predictor") {
+    // random MVs with mixed per-partition ref_idx: a desync between
+    // the encoder's and decoder's refIdx-matched predictors would
+    // shift every later motion vector and corrupt the copy pattern;
+    // with zero residuals the output must equal per-cell MC of the
+    // recorded vectors (computed here independently via refLuma)
+    val rnd = new scala.util.Random(43L)
+    for (trial <- 0 until 4) {
+      val (wMbs, hMbs) = (3, 2)
+      val n = wMbs * hMbs
+      val fA = Array.fill(wMbs * 16 * hMbs * 16)(rnd.nextInt(256))
+      val fB = Array.fill(wMbs * 16 * hMbs * 16)(rnd.nextInt(256))
+      val kinds = Array.tabulate(n)(m => Seq(0, 3, 4, 5)((m + trial) % 4))
+      val subT = Array.tabulate(n)(m =>
+        if (kinds(m) == 5) Array.fill(4)(rnd.nextInt(4)) else Array(0, 0, 0, 0))
+      def nPartsOf(m: Int): Int =
+        if (kinds(m) == 5) kind5Parts(subT(m)).length
+        else partsOf(kinds(m)).length
+      def nRefSlots(m: Int): Int =
+        if (kinds(m) == 5) 4 else partsOf(kinds(m)).length
+      val mvs = Array.tabulate(n)(m => Array.fill(nPartsOf(m))(
+        Array(rnd.nextInt(41) - 20, rnd.nextInt(41) - 20)))
+      val refIdxs = Array.tabulate(n)(m => Array.fill(nRefSlots(m))(rnd.nextInt(2)))
+      val coeffs = Array.fill(n)(Array.fill(16)(new Array[Int](16)))
+      val es = H264.encodeSps(wMbs, hMbs, 0, numRefFrames = 2) ++
+        H264.encodePps() ++
+        H264.encodeIPcmFrame(wMbs, hMbs, fA.map(_.toByte), frameNum = trial) ++
+        H264Cavlc.encodePcmPFrame(wMbs, hMbs, fB.map(_.toByte), frameNum = 1) ++
+        H264Cavlc.encodePFrame(wMbs, hMbs, kinds, mvs, coeffs, 28,
+          frameNum = 2, subTypes = subT, numRefIdxL0 = 2, refIdxs = refIdxs)
+      val fr = H264Cavlc.decodeIntra16FramesYuv(es)
+      assert(fr.size === 3, s"trial=$trial")
+      val y = fr(2)._3.map(_ & 0xFF)
+      val w16 = wMbs * 16; val h16 = hMbs * 16
+      // independent per-cell expectation
+      for (m <- 0 until n) {
+        val mbX = m % wMbs; val mbY = m / wMbs
+        val parts =
+          if (kinds(m) == 5) kind5Parts(subT(m)) else partsOf(kinds(m))
+        for (pi <- parts.indices) {
+          val (oxp, oyp, pw, ph) = parts(pi)
+          val ri =
+            if (kinds(m) == 5) refIdxs(m)(
+              ((oyp / 8) * 2 + (oxp / 8)))
+            else refIdxs(m)(pi)
+          val src = if (ri == 0) fB else fA
+          val (vx, vy) = (mvs(m)(pi)(0), mvs(m)(pi)(1))
+          for (yy <- 0 until ph; xx <- 0 until pw) {
+            val gx = mbX * 16 + oxp + xx
+            val gy = mbY * 16 + oyp + yy
+            val exp = refLuma(src, w16, h16, gx + (vx >> 2),
+              gy + (vy >> 2), vx & 3, vy & 3)
+            assert(y(gy * w16 + gx) === exp,
+              s"trial=$trial mb=$m part=$pi ($gx,$gy)")
+          }
+        }
+      }
+    }
+  }
+
   test("I_PCM macroblocks decode inside the general path with nC = 16") {
     val rnd = new scala.util.Random(29L)
     val f0Y = Array.tabulate(16 * 16)(i => ((i * 7 + 3) % 256))
