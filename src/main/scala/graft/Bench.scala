@@ -19,7 +19,8 @@ import org.apache.spark.sql.SparkSession
   * cost — one prior round's report inflated 12 of 49 queries 5-18x
   * from contention that no local re-measurement could reproduce.
   *
-  * Streaming (c-family) queries additionally get a rep floor of 5 and
+  * Streaming queries (ConnectorQueries.streamingQueries — the
+  * c-family minus its pure-batch members) additionally get a rep floor of 5 and
   * a two-consecutive-flat convergence rule: their wall time is
   * micro-batch-scheduler-sensitive (identical code swung 2.92x across
   * driver runs at min-of-3), and since Trigger.AvailableNow makes the
@@ -107,7 +108,7 @@ object Bench {
       }
       System.gc()
       val gc0 = gcMillis()
-      // Streaming protocol: the c-family's wall time rides the
+      // Streaming protocol: a streaming query's wall time rides the
       // micro-batch scheduler (trigger alignment, checkpoint/commit
       // fsyncs, stream-thread wakeups) — identical code swung c17
       // 2.92x between two driver runs at min-of-3. Batch counts ARE
@@ -115,7 +116,10 @@ object Bench {
       // fast mode exists in every run; give the min more chances to
       // observe it: rep floor 5 (vs 3) and convergence only after TWO
       // consecutive non-improving reps, bounded at maxReps >= 10.
-      val streaming = name.startsWith("c")
+      // Keyed on the explicit streaming set, not the `c` prefix: the
+      // connector family's batch members (c1/c2/c6/c8/c10/c11) have no
+      // scheduler noise and shouldn't pay the extra reps.
+      val streaming = graft.queries.ConnectorQueries.streamingQueries(name)
       val qReps = if (streaming) math.max(reps, 5) else reps
       val qMaxReps = if (streaming) math.max(maxReps, 10) else maxReps
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]

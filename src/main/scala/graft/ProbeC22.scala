@@ -57,6 +57,10 @@ object ProbeC22 {
     for (rep <- 1 to reps) {
       val s2 = spark.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      // recentProgress is capped (default 100 updates) — a long run
+      // would silently under-report batch counts and summed metrics.
+      // Raise the retention well past any probe's batch count.
+      s2.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
       s2.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       import s2.implicits._
@@ -76,17 +80,26 @@ object ProbeC22 {
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(600000)
+      val finished = q.awaitTermination(600000)
+      if (!finished) {
+        // a timed-out run's wall time is the timeout, not the query —
+        // say so loudly rather than print a misleading number
+        System.err.println(s"[probe-c22] TIMEOUT after 600s (rep=$rep); " +
+          "metrics below cover a PARTIAL run")
+        q.stop()
+      }
       val wall = (System.nanoTime() - t0) / 1e9
       val progs = q.recentProgress
       val batches = progs.length
-      val maxState = progs.flatMap(_.stateOperators.map(_.numRowsTotal)).max
+      val stateRows = progs.flatMap(_.stateOperators.map(_.numRowsTotal))
+      val maxState = if (stateRows.isEmpty) 0L else stateRows.max
       val updated = progs.flatMap(_.stateOperators.map(_.numRowsUpdated)).sum
       val commitMs = progs.flatMap(_.stateOperators
         .map(_.customMetrics.getOrDefault("rocksdbCommitLatency", 0L).toLong)).sum
       println(f"[probe-c22] dir=$dir parts=$parts rep=$rep " +
         f"wall=$wall%.2f batches=$batches maxStateRows=$maxState " +
-        f"rowsUpdated=$updated rocksdbCommitMs=$commitMs")
+        f"rowsUpdated=$updated rocksdbCommitMs=$commitMs" +
+        (if (finished) "" else " PARTIAL(timeout)"))
     }
     spark.stop()
   }

@@ -25,8 +25,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *      the input.
   *   3. per-bin counts (a P-row aggregate off the checkpointed frame)
   *      → prefix-sum folded on the DRIVER (O(P), bounded by cluster
-  *      size) → offsets handed back as a literal map lookup.
-  *      global rank = offset + local rank.
+  *      size) → offsets handed back as a dense array literal indexed
+  *      by bin (O(1) per row). global rank = offset + local rank.
   *
   * `ntile` then derives from (rank, N) by the SQL-standard fill rule —
   * the first N mod n tiles get one extra row — evaluated with integer
@@ -64,9 +64,9 @@ object GlobalRank {
     // Prefix offsets: the per-bin count table is <=P rows and `binned`
     // is already materialized by the checkpoint, so fold it on the
     // DRIVER (probe-set-sized collect, the t15 count-table class) and
-    // hand the offsets back as a LITERAL lookup — versus the previous
-    // P-row window + broadcast-join form this removes two exchanges, a
-    // global WindowExec and a join from every consumer's plan
+    // hand the offsets back as a LITERAL array lookup — versus the
+    // previous P-row window + broadcast-join form this removes two
+    // exchanges, a global WindowExec and a join from every consumer's plan
     // (measured r15 at sf0.1: t36 1.76 -> 1.25s, t33 1.95 -> 1.60s,
     // t32 1.46 -> 1.30s, t37 0.66 -> 0.62s; all four consumers'
     // oracle rows unchanged). P is the partition count — bounded by
@@ -74,13 +74,28 @@ object GlobalRank {
     val cnts = binned.groupBy(col(Bin)).agg(count(lit(1)).as(BinCount))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val total = cnts.map(_._2).sum
-    val offByBin = cnts.map(_._1).zip(
-      cnts.scanLeft(0L)(_ + _._2).init).toMap
+    // Encode the offsets as a DENSE ARRAY literal indexed by bin, not a
+    // map: `element_at` on a map (GetMapValue) is a LINEAR SCAN of the
+    // key array per row in both interpreted and codegen paths, so a map
+    // lookup costs O(N*P) total — invisible at bench P (32) but P is
+    // 10^4-10^5 on a 100 TB cluster. Bins are spark_partition_id()
+    // values, a dense 0..P-1 ordinal, so a zero-filled array indexed by
+    // Bin+1 (element_at on arrays is positional, O(1)) gives O(N) total.
+    // Empty bins get the running prefix (no row carries their bin id,
+    // so the value is never read — filled only to keep the array dense).
+    val cntByBin = cnts.toMap
+    val offsets = Array.ofDim[Long](bins)
+    var acc = 0L
+    var b = 0
+    while (b < bins) {
+      offsets(b) = acc
+      acc += cntByBin.getOrElse(b, 0L)
+      b += 1
+    }
     val offExpr =
-      if (cnts.isEmpty) lit(0L)
+      if (total == 0L) lit(0L)
       else element_at(
-        map(cnts.flatMap { case (b, _) =>
-          Seq(lit(b), lit(offByBin(b))) }: _*), col(Bin))
+        array(offsets.toIndexedSeq.map(lit(_)): _*), col(Bin) + lit(1))
     val out = ranked
       .withColumn(rankCol, offExpr + col(LocalRank))
       .drop(Bin, LocalRank)
@@ -90,8 +105,9 @@ object GlobalRank {
   /** Adds `rankCol` = exact 1-based global row number under `sort`
     * (a Seq of Columns, each optionally `.asc`/`.desc`; must be a total
     * order). Plan shape: one range exchange of the input, one hash
-    * exchange for the per-bin windows, one P-row aggregate + broadcast
-    * join — never an `Exchange SinglePartition` of the input.
+    * exchange for the per-bin windows, one P-row aggregate folded on
+    * the driver into an O(1)-per-row array-literal lookup — never an
+    * `Exchange SinglePartition` of the input, never a per-row O(P) scan.
     */
   def withGlobalRank(df: DataFrame, rankCol: String, sort: Seq[Column]): DataFrame =
     rankAndTotal(df, rankCol, sort)._1

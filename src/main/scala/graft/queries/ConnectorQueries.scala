@@ -110,6 +110,23 @@ object ConnectorQueries {
     "c22_stream_timer_sessions" -> c22
   )
 
+  /** Queries that execute a Structured Streaming query (micro-batch
+    * scheduler in the timed path). Bench keys its streaming rep
+    * protocol (rep floor 5, two-flat convergence) on THIS set, not the
+    * `c` name prefix: the family also contains pure-batch members
+    * (c1/c2/c6/c8/c10/c11) whose wall time has no scheduler noise and
+    * should not pay the extra reps. Kept next to `queries` so a new
+    * entry can't silently miss classification — c4 is the cautionary
+    * case (streaming, but no `_stream_` in its name), and c19 streams
+    * via its internal c3 run. */
+  val streamingQueries: Set[String] = Set(
+    "c3_stream_hourly", "c4_split_reroute", "c5_stream_dedup",
+    "c7_stream_enrich", "c9_stream_sessions", "c12_stream_kmv",
+    "c13_stream_cms", "c14_stream_hll", "c15_stream_minhash",
+    "c16_stream_kll", "c17_stream_bloom", "c18_stream_attribution",
+    "c19_stream_anomaly", "c20_stream_dropdup_ttl",
+    "c21_stream_asof_enrich", "c22_stream_timer_sessions")
+
   /** Streaming alerting pipeline (c19): the log-monitoring use case
     * end-to-end — c3's streaming hourly counts (micro-batch
     * aggregation through the store sink, update-mode reconcile)

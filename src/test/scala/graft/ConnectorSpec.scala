@@ -221,6 +221,22 @@ class ConnectorSpec extends AnyFunSuite with StopStreamsAfterAll {
     val se = intercept[Throwable](q.awaitTermination())
     assert(msgs(se).exists(_.contains("batch-only")))
   }
+
+  test("streamingQueries set stays consistent with the catalog") {
+    import graft.queries.ConnectorQueries
+    val names = ConnectorQueries.queries.keySet
+    // every classified name must exist (a rename can't orphan the set)
+    assert(ConnectorQueries.streamingQueries.subsetOf(names),
+      s"unknown names: ${ConnectorQueries.streamingQueries.diff(names)}")
+    // naming convention holds, with c4 (streams without `_stream_` in
+    // the name) the one documented exception — a NEW exception means
+    // the set wasn't updated alongside the catalog
+    val byName = names.filter(_.contains("_stream_"))
+    assert(ConnectorQueries.streamingQueries.diff(byName) ===
+      Set("c4_split_reroute"))
+    assert(byName.subsetOf(ConnectorQueries.streamingQueries),
+      s"_stream_ queries missing: ${byName.diff(ConnectorQueries.streamingQueries)}")
+  }
 }
 
 /** Minimal UDT for the round-trip test: carried as its DoubleType

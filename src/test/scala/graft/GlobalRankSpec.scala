@@ -115,4 +115,26 @@ class GlobalRankSpec extends AnyFunSuite {
     // the builtin global-ntile path must not reappear
     assert(!p.contains("ntile("), p)
   }
+
+  test("offset lookup is O(1) per row: dense array literal, never a map scan") {
+    // GetMapValue (element_at on a map) is a LINEAR scan of the key
+    // array per row — O(N*P) total where P = numShufflePartitions,
+    // which is 10^4-10^5 on a 100 TB cluster. The offsets must come
+    // back as element_at on a dense ARRAY literal (positional, O(1)),
+    // so total lookup work is O(N) regardless of cluster size.
+    import org.apache.spark.sql.catalyst.expressions.{
+      CreateArray, CreateMap, ElementAt, Expression, GetMapValue}
+    val df = messy(2000)
+    val ranked = GlobalRank.withGlobalRank(df, "r", Seq(col("k").asc, col("id").asc))
+    val all: Seq[Expression] = ranked.queryExecution.analyzed
+      .collect { case p => p.expressions }.flatten
+      .flatMap(e => e.collect { case x => x })
+    assert(!all.exists(e =>
+        e.isInstanceOf[GetMapValue] || e.isInstanceOf[CreateMap]),
+      "offsets regressed to a map literal (O(P)-per-row GetMapValue scan)")
+    assert(all.exists {
+        case e: ElementAt => e.left.isInstanceOf[CreateArray]
+        case _ => false
+      }, "expected element_at(<array literal>, bin+1) in the analyzed plan")
+  }
 }

@@ -60,7 +60,11 @@ curve["worst"] = worst
 # cross-scale headline: scaling exponent log(ratio)/log(scale) at each
 # query's largest scale (1.0 = linear in data volume)
 def exponent(ent):
-    scales = [int(k[5:]) for k in ent if k.startswith("ratio")]
+    # scale 1 carries no slope information and log(1)=0 would divide by
+    # zero (a merged run whose only point is copies=1), so only scales
+    # above the baseline compete
+    scales = [int(k[5:]) for k in ent
+              if k.startswith("ratio") and int(k[5:]) > 1]
     if not scales:
         return (0, 0.0, 0.0)
     top = max(scales)
