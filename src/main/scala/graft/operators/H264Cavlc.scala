@@ -1988,11 +1988,21 @@ object H264Cavlc {
   /** Encode one non-IDR, NON-REFERENCE B picture (low-delay shape:
     * list0[0] = most recent past reference, list1[0] = the older one).
     * kinds: 0 = B_L0_16x16, 1 = B_L1_16x16, 2 = B_Bi_16x16, 3 =
-    * all-zero I_16x16_2_0_0 (Table 7-14 mb_type 23 + 3). `mvsL0(m)` /
-    * `mvsL1(m)` = (mvx, mvy) for the lists the kind uses; each mvd is
-    * coded against the per-list 8.4.1.3 predictor (mirrored grids).
-    * `coeffs` carries LumaLevel4x4 for inter kinds; `cbDc`/`crDc`
-    * optional chroma DC. QP: SliceQPy = qp, mb_qp_delta 0. */
+    * all-zero I_16x16_2_0_0 (Table 7-14 mb_type 23 + 3), 4 =
+    * B_Direct_16x16 (mb_type 0 — no mvd/ref_idx, motion by the
+    * 8.4.1.2.2 spatial derivation, residual allowed), 5 = B_Skip
+    * (mb_skip_run — direct motion, no residual). `mvsL0(m)` /
+    * `mvsL1(m)` = (mvx, mvy) for the lists the kind uses (ignored for
+    * 3/4/5); each mvd is coded against the per-list 8.4.1.3 predictor
+    * (mirrored grids). `coeffs` carries LumaLevel4x4 for inter kinds;
+    * `cbDc`/`crDc` optional chroma DC. QP: SliceQPy = qp, mb_qp_delta
+    * 0. The slice header pins direct_spatial_mv_pred_flag = 1;
+    * `colRef`/`colMvx`/`colMvy` = the CO-LOCATED picture's (list1[0],
+    * the older reference) list-0 motion field at 4x4-cell granularity
+    * for the colZeroFlag — null means an all-intra/IDR co-located
+    * picture (colZeroFlag 0 everywhere). The encoder mirrors the
+    * decoder's derivation exactly; a mismatch desyncs every
+    * downstream MVP and fails conformance loudly. */
   def encodeBFrame(widthMbs: Int, heightMapUnits: Int,
       kinds: Array[Int],
       mvsL0: Array[Array[Int]], mvsL1: Array[Array[Int]],
@@ -2000,9 +2010,15 @@ object H264Cavlc {
       qp: Int, frameNum: Int,
       cbDc: Array[Array[Array[Int]]] = null,
       crDc: Array[Array[Array[Int]]] = null,
-      sliceStarts: Array[Int] = Array(0)): Array[Byte] = {
+      sliceStarts: Array[Int] = Array(0),
+      colRef: Array[Array[Int]] = null,
+      colMvx: Array[Array[Int]] = null,
+      colMvy: Array[Array[Int]] = null): Array[Byte] = {
     val nMbs = widthMbs * heightMapUnits
-    require(kinds.length == nMbs && kinds.forall(k => k >= 0 && k <= 3))
+    require(kinds.length == nMbs && kinds.forall(k => k >= 0 && k <= 5))
+    require((colRef == null) == (colMvx == null) &&
+      (colRef == null) == (colMvy == null),
+      "co-located motion grids must be given together or not at all")
     require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
     require((cbDc == null) == (crDc == null),
       "chroma DC levels must be given for both components or neither")
@@ -2031,6 +2047,7 @@ object H264Cavlc {
     val never = (_: Int, _: Int) => false
     val nals = scala.collection.mutable.ArrayBuffer.empty[Byte]
     var w: BitWriter = null
+    var skipRun = 0
     var m = 0
     while (m < nMbs) {
       val mbX = m % widthMbs
@@ -2041,22 +2058,34 @@ object H264Cavlc {
         nmb <= m && mbSliceOf(nmb) == curSlice
       }
       if (sliceStarts(curSlice) == m) {
-        if (w != null) nals ++= H264.nal(0, 1, w.trailing(), longStart = false)
+        if (w != null) {
+          if (skipRun > 0) { w.ue(skipRun); skipRun = 0 } // trailing run
+          nals ++= H264.nal(0, 1, w.trailing(), longStart = false)
+        }
         w = new BitWriter
         w.ue(m) // first_mb_in_slice
         w.ue(6) // slice_type: B (all slices of the picture are B)
         w.ue(0) // pps id
         w.u(frameNum & 0xFF, 8)
-        w.u(0, 1) // direct_spatial_mv_pred_flag
+        w.u(1, 1) // direct_spatial_mv_pred_flag: 8.4.1.2.2 spatial
         w.u(0, 1) // num_ref_idx_active_override_flag
         w.u(0, 1) // ref_pic_list_modification_flag_l0
         w.u(0, 1) // ref_pic_list_modification_flag_l1
         // nal_ref_idc == 0: no dec_ref_pic_marking
         w.se(qp - 26) // SliceQPy = qp
       }
-      w.ue(0) // mb_skip_run (B_Skip/direct outside the subset)
       kinds(m) match {
+        case 5 => // B_Skip: direct motion, no residual, joins the run
+          require(coeffs(m).forall(_.forall(_ == 0)),
+            s"mb $m: B_Skip cannot carry residual levels")
+          require(!chroma || (cbDc(m).forall(_.forall(_ == 0)) &&
+            crDc(m).forall(_.forall(_ == 0))),
+            s"mb $m: B_Skip cannot carry chroma DC")
+          fillDirectMb(widthMbs, heightMapUnits, refGA, mvAx, mvAy,
+            refGB, mvBx, mvBy, colRef, colMvx, colMvy, mbAvail, m)
+          skipRun += 1
         case 3 => // intra-in-B: all-zero I_16x16_2_0_0 (mb_type 23 + 3)
+          w.ue(skipRun); skipRun = 0
           w.ue(23 + 3)
           w.ue(0) // intra_chroma_pred_mode
           w.se(0) // mb_qp_delta (always present for I_16x16)
@@ -2064,24 +2093,33 @@ object H264Cavlc {
             lumaCoeffTokenTab(lumaNc(tcGrid, mbX, mbY, 0, mbAvail),
               s"mb $m DC"), TotalZeros, w)
         case kind =>
-          w.ue(kind + 1) // mb_type: 1 = B_L0, 2 = B_L1, 3 = B_Bi
-          val useL0 = kind == 0 || kind == 2
-          val useL1 = kind == 1 || kind == 2
-          if (useL0) {
-            val (px, py) = mvpPart(widthMbs, heightMapUnits, refGA,
-              mvAx, mvAy, mbAvail, m, never, mbX * 16, mbY * 16, 16, 16, 0)
-            w.se(mvsL0(m)(0) - px)
-            w.se(mvsL0(m)(1) - py)
-            fillCells(refGA, mvAx, mvAy, mbX * 16, mbY * 16, 16, 16,
-              mvsL0(m)(0), mvsL0(m)(1))
-          }
-          if (useL1) {
-            val (px, py) = mvpPart(widthMbs, heightMapUnits, refGB,
-              mvBx, mvBy, mbAvail, m, never, mbX * 16, mbY * 16, 16, 16, 0)
-            w.se(mvsL1(m)(0) - px)
-            w.se(mvsL1(m)(1) - py)
-            fillCells(refGB, mvBx, mvBy, mbX * 16, mbY * 16, 16, 16,
-              mvsL1(m)(0), mvsL1(m)(1))
+          w.ue(skipRun); skipRun = 0
+          if (kind == 4) {
+            // B_Direct_16x16 (mb_type 0): motion fully derived, no
+            // mvd/ref_idx — only the residual tail follows
+            w.ue(0)
+            fillDirectMb(widthMbs, heightMapUnits, refGA, mvAx, mvAy,
+              refGB, mvBx, mvBy, colRef, colMvx, colMvy, mbAvail, m)
+          } else {
+            w.ue(kind + 1) // mb_type: 1 = B_L0, 2 = B_L1, 3 = B_Bi
+            val useL0 = kind == 0 || kind == 2
+            val useL1 = kind == 1 || kind == 2
+            if (useL0) {
+              val (px, py) = mvpPart(widthMbs, heightMapUnits, refGA,
+                mvAx, mvAy, mbAvail, m, never, mbX * 16, mbY * 16, 16, 16, 0)
+              w.se(mvsL0(m)(0) - px)
+              w.se(mvsL0(m)(1) - py)
+              fillCells(refGA, mvAx, mvAy, mbX * 16, mbY * 16, 16, 16,
+                mvsL0(m)(0), mvsL0(m)(1))
+            }
+            if (useL1) {
+              val (px, py) = mvpPart(widthMbs, heightMapUnits, refGB,
+                mvBx, mvBy, mbAvail, m, never, mbX * 16, mbY * 16, 16, 16, 0)
+              w.se(mvsL1(m)(0) - px)
+              w.se(mvsL1(m)(1) - py)
+              fillCells(refGB, mvBx, mvBy, mbX * 16, mbY * 16, 16, 16,
+                mvsL1(m)(0), mvsL1(m)(1))
+            }
           }
           var cbpLuma = 0
           var g = 0
@@ -2124,6 +2162,7 @@ object H264Cavlc {
       }
       m += 1
     }
+    if (skipRun > 0) { w.ue(skipRun); skipRun = 0 } // picture-trailing run
     nals ++= H264.nal(0, 1, w.trailing(), longStart = false)
     nals.toArray
   }
@@ -2203,8 +2242,11 @@ object H264Cavlc {
     var pic: Option[PicState] = None
     // sliding-window DPB, most recent reference first (up to
     // max_num_ref_frames = 2 for the low-delay B shape); an IDR
-    // flushes it (8.2.5.1)
-    var refs: List[(Array[Byte], Array[Byte], Array[Byte])] = Nil
+    // flushes it (8.2.5.1). Each entry carries the picture's three
+    // sample planes AND its list-0 motion field (refG, mvGx, mvGy) —
+    // the co-located data 8.4.1.2.2 spatial direct reads off list1[0]
+    var refs: List[((Array[Byte], Array[Byte], Array[Byte]),
+      (Array[Array[Int]], Array[Array[Int]], Array[Array[Int]]))] = Nil
     var picIsRef = false
     nals.foreach { case (refIdc, tpe, ebsp) =>
       tpe match {
@@ -2250,17 +2292,20 @@ object H264Cavlc {
             pic.foreach { st =>
               out += st.finish()
               // a REFERENCE picture's uncropped planes join the
-              // sliding-window DPB (most recent first)
+              // sliding-window DPB (most recent first), together with
+              // its motion field for spatial-direct co-location
               if (picIsRef)
-                refs = ((st.plane, st.cbPlane, st.crPlane) :: refs).take(2)
+                refs = (((st.plane, st.cbPlane, st.crPlane),
+                  (st.refG, st.mvGx, st.mvGy)) :: refs).take(2)
             }
             if (tpe == 5) refs = Nil // IDR flush (8.2.5.1)
             pic = Some(new PicState(s))
             picIsRef = refIdc != 0
             // list0[0] = most recent past reference; list1[0] = the
             // older one (low-delay B: the 8.2.4.2.5 swap's net effect)
-            pic.get.refPic = refs.headOption
-            pic.get.refPic1 = refs.drop(1).headOption
+            pic.get.refPic = refs.headOption.map(_._1)
+            pic.get.refPic1 = refs.drop(1).headOption.map(_._1)
+            pic.get.colMotion = refs.drop(1).headOption.map(_._2).orNull
           }
           val st = pic.getOrElse(throw new IllegalArgumentException(
             "slice with first_mb_in_slice != 0 before a picture start"))
@@ -2373,6 +2418,10 @@ object H264Cavlc {
     // set by the frames loop before any P/B slice of this picture
     var refPic: Option[(Array[Byte], Array[Byte], Array[Byte])] = None
     var refPic1: Option[(Array[Byte], Array[Byte], Array[Byte])] = None
+    // list-0 motion field (refG, mvGx, mvGy) of the CO-LOCATED picture
+    // (list1[0]) for 8.4.1.2.2 spatial direct; null = no motion data
+    // (co-located picture is an IDR / all-intra, or absent)
+    var colMotion: (Array[Array[Int]], Array[Array[Int]], Array[Array[Int]]) = null
     var nextMb = 0
     var nextSliceId = 0
     def finish(): (Int, Int, Array[Byte], Array[Byte], Array[Byte]) = {
@@ -2783,24 +2832,41 @@ object H264Cavlc {
     * directional shortcuts, the single-matching-refIdx shortcut, and
     * the component-wise median. Array/grid form shared verbatim by
     * the decoder and the fixture encoder's mirror. */
-  private def mvpPart(widthMbs: Int, mapUnits: Int,
+  /** 8.4.1.3.2 neighbour motion triples (mvx, mvy, refIdx) for the
+    * partition at (x0, y0) of width pw: A (left), B (top), C
+    * (top-right, with the D top-left substitution when unavailable),
+    * then the B/C-unavailable -> copy-A rule — the shared front half
+    * of both the 8.4.1.3 MVP and the 8.4.1.2.2 spatial-direct
+    * refIdx/mv derivation (which consumes the SAME substituted
+    * triples, refIdx included). */
+  private def neighborsABC(widthMbs: Int, mapUnits: Int,
       refG: Array[Array[Int]], mvGx: Array[Array[Int]],
       mvGy: Array[Array[Int]], mbAvail: (Int, Int) => Boolean, m: Int,
-      partAvail: (Int, Int) => Boolean,
-      x0: Int, y0: Int, pw: Int, ph: Int, partIdx: Int,
-      refIdx: Int = 0): (Int, Int) = {
+      partAvail: (Int, Int) => Boolean, x0: Int, y0: Int, pw: Int):
+      ((Int, Int, Int), (Int, Int, Int), (Int, Int, Int)) = {
     def mot(cx: Int, cy: Int) = cellMotion(widthMbs, mapUnits, refG,
       mvGx, mvGy, mbAvail, m, partAvail, cx, cy)
     val a0 = mot(x0 / 4 - 1, y0 / 4)
     val b0 = mot(x0 / 4, y0 / 4 - 1)
     val c0 = mot((x0 + pw) / 4, y0 / 4 - 1)
     val d0 = mot(x0 / 4 - 1, y0 / 4 - 1)
-    var a = (a0._1, a0._2, a0._3)
+    val a = (a0._1, a0._2, a0._3)
     var b = (b0._1, b0._2, b0._3)
     var c = if (c0._4) (c0._1, c0._2, c0._3)
       else (d0._1, d0._2, d0._3)
     val cAv = c0._4 || d0._4
     if (!b0._4 && !cAv && a0._4) { b = a; c = a } // 8.4.1.3.2 copy-A
+    (a, b, c)
+  }
+
+  private def mvpPart(widthMbs: Int, mapUnits: Int,
+      refG: Array[Array[Int]], mvGx: Array[Array[Int]],
+      mvGy: Array[Array[Int]], mbAvail: (Int, Int) => Boolean, m: Int,
+      partAvail: (Int, Int) => Boolean,
+      x0: Int, y0: Int, pw: Int, ph: Int, partIdx: Int,
+      refIdx: Int = 0): (Int, Int) = {
+    val (a, b, c) = neighborsABC(widthMbs, mapUnits, refG, mvGx, mvGy,
+      mbAvail, m, partAvail, x0, y0, pw)
     // 8.4.1.3 directional shortcuts for the two-partition shapes;
     // every refIdx comparison is against THIS partition's refIdx
     if (pw == 16 && ph == 8 && partIdx == 0 && b._3 == refIdx) return (b._1, b._2)
@@ -2832,6 +2898,81 @@ object H264Cavlc {
         (b._3 == 0 && b._1 == 0 && b._2 == 0)) (0, 0)
     else mvpPart(widthMbs, mapUnits, refG, mvGx, mvGy, mbAvail, m,
       never, mbX * 16, mbY * 16, 16, 16, 0)
+  }
+
+  /** Spatial direct luma motion (8.4.1.2.2, direct_spatial_mv_pred =
+    * 1, direct_8x8_inference = 1) for the B_Direct_16x16 / B_Skip
+    * macroblock at index m. Array/grid form shared verbatim by the
+    * decoder and the fixture encoder's mirror, like mvpPart.
+    *
+    *  - per-list reference index = MinPositive over the A/B/C
+    *    neighbour triples of 8.4.1.3.2 (same substitutions as the
+    *    MVP, refIdx included);
+    *  - directZeroPrediction when both lists come back -1: both
+    *    refIdx forced to 0 with zero motion;
+    *  - otherwise each used list takes the 16x16 8.4.1.3 median MVP
+    *    at its derived refIdx;
+    *  - colZeroFlag per 8x8 quadrant off the CO-LOCATED picture
+    *    (list1[0]): with 8x8 inference the quadrant reads the MB's
+    *    corner 4x4 cells ((0,0), (3,0), (0,3), (3,3)); the flag is
+    *    set when that cell is inter off reference 0 with both mv
+    *    components in [-1, 1] quarter-pel (the DPB holds only
+    *    short-term references, so the marked-short-term condition
+    *    always holds), and zeroes the quadrant's mv on every list
+    *    whose derived refIdx is 0.
+    *
+    * `colRef`/`colMvx`/`colMvy` = the co-located picture's list-0
+    * motion field; null = a picture with no motion data (an IDR or
+    * all-intra co-located picture — every refIdxCol is -1, so
+    * colZeroFlag is 0 everywhere).
+    *
+    * Returns (refIdxL0, refIdxL1, quadrant motion) where the
+    * quadrants array is z-scan ordered and each entry is
+    * Array(mv0x, mv0y, mv1x, mv1y); a list with refIdx -1 is not
+    * predicted (its cells record refIdx -1). */
+  private def spatialDirectMotion(widthMbs: Int, mapUnits: Int,
+      refG0: Array[Array[Int]], mv0x: Array[Array[Int]],
+      mv0y: Array[Array[Int]],
+      refG1: Array[Array[Int]], mv1x: Array[Array[Int]],
+      mv1y: Array[Array[Int]],
+      colRef: Array[Array[Int]], colMvx: Array[Array[Int]],
+      colMvy: Array[Array[Int]],
+      mbAvail: (Int, Int) => Boolean, m: Int):
+      (Int, Int, Array[Array[Int]]) = {
+    val mbX = m % widthMbs
+    val mbY = m / widthMbs
+    val never = (_: Int, _: Int) => false
+    def minPositive(t: ((Int, Int, Int), (Int, Int, Int), (Int, Int, Int))): Int = {
+      val rs = Seq(t._1._3, t._2._3, t._3._3).filter(_ >= 0)
+      if (rs.isEmpty) -1 else rs.min
+    }
+    val n0 = neighborsABC(widthMbs, mapUnits, refG0, mv0x, mv0y,
+      mbAvail, m, never, mbX * 16, mbY * 16, 16)
+    val n1 = neighborsABC(widthMbs, mapUnits, refG1, mv1x, mv1y,
+      mbAvail, m, never, mbX * 16, mbY * 16, 16)
+    var r0 = minPositive(n0)
+    var r1 = minPositive(n1)
+    val directZero = r0 < 0 && r1 < 0
+    if (directZero) { r0 = 0; r1 = 0 }
+    val (p0x, p0y) =
+      if (directZero || r0 < 0) (0, 0)
+      else mvpPart(widthMbs, mapUnits, refG0, mv0x, mv0y, mbAvail, m,
+        never, mbX * 16, mbY * 16, 16, 16, 0, r0)
+    val (p1x, p1y) =
+      if (directZero || r1 < 0) (0, 0)
+      else mvpPart(widthMbs, mapUnits, refG1, mv1x, mv1y, mbAvail, m,
+        never, mbX * 16, mbY * 16, 16, 16, 0, r1)
+    val quads = Array.tabulate(4) { q =>
+      val ccx = mbX * 4 + (if ((q & 1) == 1) 3 else 0)
+      val ccy = mbY * 4 + (if ((q >> 1) == 1) 3 else 0)
+      val colZero = colRef != null && colRef(ccy)(ccx) == 0 &&
+        math.abs(colMvx(ccy)(ccx)) <= 1 && math.abs(colMvy(ccy)(ccx)) <= 1
+      val z0 = !directZero && r0 == 0 && colZero
+      val z1 = !directZero && r1 == 0 && colZero
+      Array(if (z0) 0 else p0x, if (z0) 0 else p0y,
+        if (z1) 0 else p1x, if (z1) 0 else p1y)
+    }
+    (r0, r1, quads)
   }
 
   /** Record one partition's motion into the 4x4-cell grids. */
@@ -3268,14 +3409,45 @@ object H264Cavlc {
     }
   }
 
+  /** Fill the motion grids of a B_Direct_16x16 / B_Skip macroblock
+    * from the 8.4.1.2.2 spatial derivation: each 8x8 quadrant records
+    * its (possibly colZero-zeroed) per-list motion at the derived
+    * refIdx (-1 on a list that does not predict). Shared by the
+    * decoder and the fixture encoder's mirror. */
+  private def fillDirectMb(widthMbs: Int, mapUnits: Int,
+      refG0: Array[Array[Int]], mv0x: Array[Array[Int]],
+      mv0y: Array[Array[Int]],
+      refG1: Array[Array[Int]], mv1x: Array[Array[Int]],
+      mv1y: Array[Array[Int]],
+      colRef: Array[Array[Int]], colMvx: Array[Array[Int]],
+      colMvy: Array[Array[Int]],
+      mbAvail: (Int, Int) => Boolean, m: Int): Unit = {
+    val (r0, r1, quads) = spatialDirectMotion(widthMbs, mapUnits,
+      refG0, mv0x, mv0y, refG1, mv1x, mv1y, colRef, colMvx, colMvy,
+      mbAvail, m)
+    val mbX = m % widthMbs
+    val mbY = m / widthMbs
+    var q = 0
+    while (q < 4) {
+      val x0 = mbX * 16 + (q & 1) * 8
+      val y0 = mbY * 16 + (q >> 1) * 8
+      fillCells(refG0, mv0x, mv0y, x0, y0, 8, 8, quads(q)(0), quads(q)(1), r0)
+      fillCells(refG1, mv1x, mv1y, x0, y0, 8, 8, quads(q)(2), quads(q)(3), r1)
+      q += 1
+    }
+  }
+
   /** Decode one B slice (low-delay shape: both references in the
     * past, list0[0] = the most recent reference picture, list1[0] =
     * the older one — the net effect of 8.2.4.2.4 initialisation plus
     * the 8.2.4.2.5 first-two-entries swap when the lists would be
     * identical). Supported macroblocks: B_L0_16x16 / B_L1_16x16 /
     * B_Bi_16x16 (Table 7-14 mb_type 1/2/3) with the 8.4.2.3 default
-    * rounded-average bi-prediction, and intra shapes (mb_type >= 23).
-    * B_Direct / B_Skip and B partitions are a documented boundary. */
+    * rounded-average bi-prediction, B_Direct_16x16 (mb_type 0) and
+    * B_Skip (mb_skip_run) under 8.4.1.2.2 SPATIAL direct with 8x8
+    * inference and the co-located list1[0] colZeroFlag, and intra
+    * shapes (mb_type >= 23). B partitions (16x8/8x16/8x8) and
+    * temporal direct are a documented boundary. */
   private def decodeBSliceInto(st: PicState, rbsp: Array[Byte],
       qpInit: Int, cbQpOff: Int, crQpOff: Int, t8x8: Boolean,
       nalRefIdc: Int): Unit = {
@@ -3295,7 +3467,7 @@ object H264Cavlc {
     require(sliceType == 1 || sliceType == 6, s"not a B slice: $sliceType")
     r.ue() // pps id
     r.u(8) // frame_num
-    r.u(1) // direct_spatial_mv_pred_flag (no direct MBs in the subset)
+    val directSpatial = r.u(1) // direct_spatial_mv_pred_flag
     if (r.u(1) == 1) { // num_ref_idx_active_override_flag
       require(r.ue() == 0 && r.ue() == 0,
         "only one reference per list supported")
@@ -3309,10 +3481,37 @@ object H264Cavlc {
     st.nextSliceId += 1
     val mbAvail: (Int, Int) => Boolean =
       (x, y) => st.mbSlice(y * widthMbs + x) == sliceId
+    val (colRef, colMvx, colMvy) =
+      if (st.colMotion == null) (null, null, null) else st.colMotion
+    def directMotion(m: Int): Unit = {
+      require(directSpatial == 1,
+        "temporal direct (direct_spatial_mv_pred_flag = 0) not supported")
+      fillDirectMb(widthMbs, st.mapUnits, st.refG, st.mvGx, st.mvGy,
+        st.refG1, st.mvG1x, st.mvG1y, colRef, colMvx, colMvy, mbAvail, m)
+    }
     var more = true
     while (more && st.nextMb < st.nMbs) {
-      require(r.ue() == 0,
-        "B_Skip (direct prediction) is outside the decode subset")
+      val skipRun = r.ue()
+      var i = 0
+      while (i < skipRun) {
+        require(st.nextMb < st.nMbs, "mb_skip_run past the picture end")
+        val m = st.nextMb
+        st.mbSlice(m) = sliceId
+        st.nextMb += 1
+        directMotion(m) // B_Skip: spatial direct prediction, no residual
+        val mbX = m % widthMbs
+        val mbY = m / widthMbs
+        var cy = mbY * 4
+        while (cy < mbY * 4 + 4) {
+          java.util.Arrays.fill(st.tcGrid(cy), mbX * 4, mbX * 4 + 4, 0)
+          cy += 1
+        }
+        reconInterLuma(st, m, null, qpy, Vector(refY0), refY1)
+        reconInterChroma(st, m, 0, new Array[Int](4), new Array[Int](4),
+          Array.ofDim[Int](4, 15), Array.ofDim[Int](4, 15), qpy,
+          cbQpOff, crQpOff, Vector(refCb0), Vector(refCr0), refCb1, refCr1)
+        i += 1
+      }
       if (st.nextMb < st.nMbs && r.moreRbspData) {
         val m = st.nextMb
         st.mbSlice(m) = sliceId
@@ -3324,33 +3523,39 @@ object H264Cavlc {
           qpy = decodeIntraMbInto(st, r, m, mbAvail, mbType - 23, qpy,
             cbQpOff, crQpOff, t8x8)
         } else {
-          require(mbType >= 1 && mbType <= 3,
+          require(mbType >= 0 && mbType <= 3,
             s"mb $m: B mb_type $mbType outside the subset " +
-              "(B_Direct_16x16 and B partitions are a boundary)")
+              "(B partitions are a boundary)")
           val mbX = m % widthMbs
           val mbY = m / widthMbs
-          val useL0 = mbType == 1 || mbType == 3
-          val useL1 = mbType == 2 || mbType == 3
-          val never = (_: Int, _: Int) => false
-          // mvd_l0 then mvd_l1 (7.3.5.1); ref_idx absent (one entry
-          // per list); each list predicts off its OWN motion grids
-          if (useL0) {
-            val (px, py) = mvpPart(widthMbs, st.mapUnits, st.refG,
-              st.mvGx, st.mvGy, mbAvail, m, never,
-              mbX * 16, mbY * 16, 16, 16, 0)
-            val mvx = px + r.se()
-            val mvy = py + r.se()
-            fillCells(st.refG, st.mvGx, st.mvGy, mbX * 16, mbY * 16,
-              16, 16, mvx, mvy)
-          }
-          if (useL1) {
-            val (px, py) = mvpPart(widthMbs, st.mapUnits, st.refG1,
-              st.mvG1x, st.mvG1y, mbAvail, m, never,
-              mbX * 16, mbY * 16, 16, 16, 0)
-            val mvx = px + r.se()
-            val mvy = py + r.se()
-            fillCells(st.refG1, st.mvG1x, st.mvG1y, mbX * 16, mbY * 16,
-              16, 16, mvx, mvy)
+          if (mbType == 0) {
+            // B_Direct_16x16: no mvd / ref_idx — motion is fully
+            // derived; residual parses below like any inter MB
+            directMotion(m)
+          } else {
+            val useL0 = mbType == 1 || mbType == 3
+            val useL1 = mbType == 2 || mbType == 3
+            val never = (_: Int, _: Int) => false
+            // mvd_l0 then mvd_l1 (7.3.5.1); ref_idx absent (one entry
+            // per list); each list predicts off its OWN motion grids
+            if (useL0) {
+              val (px, py) = mvpPart(widthMbs, st.mapUnits, st.refG,
+                st.mvGx, st.mvGy, mbAvail, m, never,
+                mbX * 16, mbY * 16, 16, 16, 0)
+              val mvx = px + r.se()
+              val mvy = py + r.se()
+              fillCells(st.refG, st.mvGx, st.mvGy, mbX * 16, mbY * 16,
+                16, 16, mvx, mvy)
+            }
+            if (useL1) {
+              val (px, py) = mvpPart(widthMbs, st.mapUnits, st.refG1,
+                st.mvG1x, st.mvG1y, mbAvail, m, never,
+                mbX * 16, mbY * 16, 16, 16, 0)
+              val mvx = px + r.se()
+              val mvy = py + r.se()
+              fillCells(st.refG1, st.mvG1x, st.mvG1y, mbX * 16, mbY * 16,
+                16, 16, mvx, mvy)
+            }
           }
           val cbpCode = r.ue()
           require(cbpCode < 48,

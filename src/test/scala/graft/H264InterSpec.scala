@@ -134,7 +134,9 @@ class H264InterSpec extends AnyFunSuite {
       coeffs: Array[Array[Array[Int]]],
       cbDc: Array[Array[Array[Int]]], crDc: Array[Array[Array[Int]]],
       qp: Int,
-      subTypes: Array[Array[Int]] = null): (Array[Int], Array[Int], Array[Int]) = {
+      subTypes: Array[Array[Int]] = null):
+      (Array[Int], Array[Int], Array[Int],
+        Array[Array[Int]], Array[Array[Int]], Array[Array[Int]]) = {
     val w16 = wMbs * 16; val h16 = hMbs * 16
     val w8 = wMbs * 8; val h8 = hMbs * 8
     val w4 = wMbs * 4; val h4 = hMbs * 4
@@ -291,7 +293,10 @@ class H264InterSpec extends AnyFunSuite {
           }
       }
     }
-    (y, cb, cr)
+    // the cell-granular motion field doubles as the CO-LOCATED data
+    // for the spatial-direct B reference (P_Skip records its implied
+    // motion; intra cells stay -1)
+    (y, cb, cr, ref4, mx4, my4)
   }
 
   private def randomStream(wMbs: Int, hMbs: Int, qp: Int, trial: Int,
@@ -421,6 +426,152 @@ class H264InterSpec extends AnyFunSuite {
     y
   }
 
+  /** Longhand spatial-direct B reference, written straight from
+    * 8.4.1.2.2 / 8.4.1.3 / 8.4.2 — cell-granular motion bookkeeping
+    * for BOTH lists, sharing nothing with the codec. kinds as
+    * encodeBFrame (0 = L0, 1 = L1, 2 = Bi, 3 = intra DC, 4 =
+    * B_Direct_16x16, 5 = B_Skip). `colRef`/`colMx`/`colMy` = the
+    * co-located (list1[0]) picture's list-0 motion field; null = no
+    * motion (colZeroFlag 0 everywhere). Luma only. */
+  private def refDirectBFrame(wMbs: Int, hMbs: Int,
+      l0Y: Array[Int], l1Y: Array[Int],
+      colRef: Array[Array[Int]], colMx: Array[Array[Int]],
+      colMy: Array[Array[Int]],
+      kinds: Array[Int], mvsL0: Array[Array[Int]],
+      mvsL1: Array[Array[Int]], coeffs: Array[Array[Array[Int]]],
+      qp: Int, sliceStarts: Array[Int] = Array(0)): Array[Int] = {
+    val w16 = wMbs * 16; val h16 = hMbs * 16
+    val w4 = wMbs * 4; val h4 = hMbs * 4
+    val n = wMbs * hMbs
+    val y = new Array[Int](w16 * h16)
+    val sliceOf = {
+      val s = new Array[Int](n); var si = 0
+      for (m <- 0 until n) {
+        if (si + 1 < sliceStarts.length && m == sliceStarts(si + 1)) si += 1
+        s(m) = si
+      }
+      s
+    }
+    // per-list cell grids: refIdx (-1 = intra/unset/not predicted), mv
+    val rg = Array.fill(2)(Array.fill(h4, w4)(-1))
+    val gx = Array.fill(2)(Array.ofDim[Int](h4, w4))
+    val gy = Array.fill(2)(Array.ofDim[Int](h4, w4))
+    def fill(lst: Int, x0: Int, y0: Int, pw: Int, ph: Int,
+        vx: Int, vy: Int, ref: Int): Unit =
+      for (cy <- y0 / 4 until (y0 + ph) / 4; cx <- x0 / 4 until (x0 + pw) / 4) {
+        rg(lst)(cy)(cx) = ref; gx(lst)(cy)(cx) = vx; gy(lst)(cy)(cx) = vy
+      }
+    // 6.4.10.7 neighbour cell motion: same slice, earlier MB
+    def mot(lst: Int, m: Int, cx: Int, cy: Int): (Int, Int, Int, Boolean) = {
+      val ok = cx >= 0 && cy >= 0 && cx < w4 && cy < h4 && {
+        val nmb = (cy / 4) * wMbs + (cx / 4)
+        nmb < m && sliceOf(nmb) == sliceOf(m)
+      }
+      if (!ok) (0, 0, -1, false)
+      else if (rg(lst)(cy)(cx) < 0) (0, 0, -1, true)
+      else (gx(lst)(cy)(cx), gy(lst)(cy)(cx), rg(lst)(cy)(cx), true)
+    }
+    // 8.4.1.3.2 substituted A/B/C triples for a 16x16 partition
+    def nbr(lst: Int, m: Int): ((Int, Int, Int), (Int, Int, Int), (Int, Int, Int)) = {
+      val mbX = m % wMbs; val mbY = m / wMbs
+      val a0 = mot(lst, m, mbX * 4 - 1, mbY * 4)
+      val b0 = mot(lst, m, mbX * 4, mbY * 4 - 1)
+      val c0 = mot(lst, m, mbX * 4 + 4, mbY * 4 - 1)
+      val d0 = mot(lst, m, mbX * 4 - 1, mbY * 4 - 1)
+      val a = (a0._1, a0._2, a0._3)
+      var b = (b0._1, b0._2, b0._3)
+      var c = if (c0._4) (c0._1, c0._2, c0._3) else (d0._1, d0._2, d0._3)
+      if (!b0._4 && !(c0._4 || d0._4) && a0._4) { b = a; c = a }
+      (a, b, c)
+    }
+    // 8.4.1.3 16x16 MVP at a given refIdx (single-hit + median)
+    def mvp(lst: Int, m: Int, refIdx: Int): (Int, Int) = {
+      val (a, b, c) = nbr(lst, m)
+      val hits = Seq(a, b, c).filter(_._3 == refIdx)
+      if (hits.length == 1) (hits.head._1, hits.head._2)
+      else {
+        def med(p: Int, q: Int, r2: Int) =
+          math.max(math.min(p, q), math.min(math.max(p, q), r2))
+        (med(a._1, b._1, c._1), med(a._2, b._2, c._2))
+      }
+    }
+    for (m <- 0 until n) {
+      val mbX = m % wMbs; val mbY = m / wMbs
+      kinds(m) match {
+        case 3 =>
+          def avail(xm: Int, ym: Int) = xm >= 0 && ym >= 0 && xm < wMbs &&
+            ym < hMbs && {
+              val k = ym * wMbs + xm; k < m && sliceOf(k) == sliceOf(m)
+            }
+          val lAv = avail(mbX - 1, mbY); val tAv = avail(mbX, mbY - 1)
+          var s = 0; var cnt = 0
+          if (lAv) { for (yy <- 0 until 16) s += y((mbY * 16 + yy) * w16 + mbX * 16 - 1); cnt += 16 }
+          if (tAv) { for (xx <- 0 until 16) s += y((mbY * 16 - 1) * w16 + mbX * 16 + xx); cnt += 16 }
+          val dc = if (cnt == 32) (s + 16) >> 5 else if (cnt == 16) (s + 8) >> 4 else 128
+          for (yy <- 0 until 16; xx <- 0 until 16)
+            y((mbY * 16 + yy) * w16 + mbX * 16 + xx) = dc
+        case k =>
+          if (k == 4 || k == 5) {
+            // 8.4.1.2.2: MinPositive refIdx per list off the A/B/C
+            // triples, directZeroPrediction, 16x16 MVP at the derived
+            // refIdx, then per-8x8 colZeroFlag (8x8 inference corners)
+            def minPos(lst: Int): Int = {
+              val (a, b, c) = nbr(lst, m)
+              val rs = Seq(a._3, b._3, c._3).filter(_ >= 0)
+              if (rs.isEmpty) -1 else rs.min
+            }
+            var r0 = minPos(0); var r1 = minPos(1)
+            val dz = r0 < 0 && r1 < 0
+            if (dz) { r0 = 0; r1 = 0 }
+            val p0 = if (dz || r0 < 0) (0, 0) else mvp(0, m, r0)
+            val p1 = if (dz || r1 < 0) (0, 0) else mvp(1, m, r1)
+            for (q <- 0 until 4) {
+              val ccx = mbX * 4 + (if ((q & 1) == 1) 3 else 0)
+              val ccy = mbY * 4 + (if ((q >> 1) == 1) 3 else 0)
+              val cz = colRef != null && colRef(ccy)(ccx) == 0 &&
+                math.abs(colMx(ccy)(ccx)) <= 1 && math.abs(colMy(ccy)(ccx)) <= 1
+              val (m0, m1) = (
+                if (!dz && r0 == 0 && cz) (0, 0) else p0,
+                if (!dz && r1 == 0 && cz) (0, 0) else p1)
+              val x0 = mbX * 16 + (q & 1) * 8
+              val y0 = mbY * 16 + (q >> 1) * 8
+              fill(0, x0, y0, 8, 8, m0._1, m0._2, r0)
+              fill(1, x0, y0, 8, 8, m1._1, m1._2, r1)
+            }
+          } else {
+            val useL0 = k == 0 || k == 2
+            val useL1 = k == 1 || k == 2
+            if (useL0) fill(0, mbX * 16, mbY * 16, 16, 16,
+              mvsL0(m)(0), mvsL0(m)(1), 0)
+            if (useL1) fill(1, mbX * 16, mbY * 16, 16, 16,
+              mvsL1(m)(0), mvsL1(m)(1), 0)
+          }
+          for (blk <- 0 until 16) {
+            val (ox, oy) = ZPos4(blk)
+            val bx = mbX * 16 + ox; val by = mbY * 16 + oy
+            val res =
+              if (k != 5 && coeffs(m)(blk).exists(_ != 0))
+                refResidual4(coeffs(m)(blk), qp)
+              else Array.fill(4, 4)(0)
+            val u0 = rg(0)(by / 4)(bx / 4) >= 0
+            val u1 = rg(1)(by / 4)(bx / 4) >= 0
+            val (v0x, v0y) = (gx(0)(by / 4)(bx / 4), gy(0)(by / 4)(bx / 4))
+            val (v1x, v1y) = (gx(1)(by / 4)(bx / 4), gy(1)(by / 4)(bx / 4))
+            for (rr <- 0 until 4; cc <- 0 until 4) {
+              val s0 = if (u0) refLuma(l0Y, w16, h16, bx + cc + (v0x >> 2),
+                by + rr + (v0y >> 2), v0x & 3, v0y & 3) else 0
+              val s1 = if (u1) refLuma(l1Y, w16, h16, bx + cc + (v1x >> 2),
+                by + rr + (v1y >> 2), v1x & 3, v1y & 3) else 0
+              val p = if (u0 && u1) (s0 + s1 + 1) >> 1
+                else if (u0) s0 else s1
+              y((by + rr) * w16 + bx + cc) = clip(p + res(rr)(cc))
+            }
+          }
+      }
+    }
+    y
+  }
+
   test("B pictures: L0/L1/Bi 16x16 reconstruct against the independent reference") {
     val rnd = new scala.util.Random(20260816L)
     for (qp <- Seq(20, 28, 36, 48); trial <- 0 until 4) {
@@ -459,6 +610,107 @@ class H264InterSpec extends AnyFunSuite {
         coeffs, qp)
       assert(fr(2)._3.map(_ & 0xFF).toSeq === ry.toSeq, s"qp=$qp trial=$trial")
     }
+  }
+
+  test("B_Direct_16x16 / B_Skip: spatial direct against the independent reference") {
+    // four-picture GOP: I_PCM IDR (f0, ref) -> CAVLC P (f1, ref: the
+    // CO-LOCATED picture, mixing 16x16 / intra / P_8x8 MBs whose
+    // sub-mvs are drawn half from {-1,0,1} so quadrant colZeroFlags
+    // genuinely differ within one MB) -> PCM P (f2, most recent ref)
+    // -> B mixing explicit, direct, skip and intra MBs. The B's
+    // list0[0] = f2, list1[0] = f1; the decoder derives f1's motion
+    // field by decoding it, the longhand derives its own from the
+    // fixture inputs, and the encoder is handed the longhand's — any
+    // disagreement desyncs the MVPs of the B's explicit MBs or the
+    // direct prediction itself.
+    val rnd = new scala.util.Random(20260815L)
+    for (qp <- Seq(24, 36); trial <- 0 until 6) {
+      val (wMbs, hMbs) = (3, 2)
+      val n = wMbs * hMbs
+      val f0Y = Array.fill(wMbs * 16 * hMbs * 16)(rnd.nextInt(256))
+      val f2Y = Array.fill(wMbs * 16 * hMbs * 16)(rnd.nextInt(256))
+      val pKinds = Array.tabulate(n)(m => Seq(0, 2, 5)((m + trial) % 3))
+      def smallMv() = Array(rnd.nextInt(3) - 1, rnd.nextInt(3) - 1)
+      def bigMv() = Array((2 + rnd.nextInt(20)) * (if (rnd.nextBoolean()) 1 else -1),
+        rnd.nextInt(9) - 4)
+      def anyMv() = if (rnd.nextBoolean()) smallMv() else bigMv()
+      val pSub = Array.fill(n)(Array(0, 0, 0, 0))
+      val pMvs = Array.tabulate(n)(m => pKinds(m) match {
+        case 5 => Array.fill(4)(anyMv())
+        case _ => Array(anyMv())
+      })
+      val pCoeffs = Array.fill(n)(Array.fill(16)(new Array[Int](16)))
+      val f0Cb = Array.fill(wMbs * 8 * hMbs * 8)(128)
+      val (p1y, _, _, colRef, colMx, colMy) = refPFrame(wMbs, hMbs, f0Y,
+        f0Cb, f0Cb.clone(), pKinds, pMvs, pCoeffs, null, null, qp, pSub)
+      val bKinds = Array.tabulate(n)(m => Seq(4, 0, 5, 2, 4, 1)((m + trial) % 6))
+      val bMvs0 = Array.fill(n)(Array(rnd.nextInt(81) - 40, rnd.nextInt(81) - 40))
+      val bMvs1 = Array.fill(n)(Array(rnd.nextInt(81) - 40, rnd.nextInt(81) - 40))
+      val bCoeffs = Array.fill(n)(Array.tabulate(16) { _ =>
+        val a = new Array[Int](16)
+        if (rnd.nextDouble() < 0.4) {
+          val nnz = 1 + rnd.nextInt(4)
+          rnd.shuffle((0 until 16).toList).take(nnz).foreach { pth =>
+            a(pth) = (if (rnd.nextBoolean()) 1 else -1) * (1 + rnd.nextInt(4))
+          }
+        }
+        a
+      })
+      for (m <- 0 until n if bKinds(m) == 3 || bKinds(m) == 5;
+           b <- 0 until 16; k <- 0 until 16) bCoeffs(m)(b)(k) = 0
+      val es = H264.encodeSps(wMbs, hMbs, 0, numRefFrames = 2) ++
+        H264.encodePps() ++
+        H264.encodeIPcmFrame(wMbs, hMbs, f0Y.map(_.toByte), frameNum = 0) ++
+        H264Cavlc.encodePFrame(wMbs, hMbs, pKinds, pMvs, pCoeffs, qp,
+          frameNum = 1, subTypes = pSub) ++
+        H264Cavlc.encodePcmPFrame(wMbs, hMbs, f2Y.map(_.toByte), frameNum = 2) ++
+        H264Cavlc.encodeBFrame(wMbs, hMbs, bKinds, bMvs0, bMvs1, bCoeffs,
+          qp, frameNum = 3, colRef = colRef, colMvx = colMx, colMvy = colMy)
+      val fr = H264Cavlc.decodeIntra16FramesYuv(es)
+      assert(fr.size === 4, s"qp=$qp trial=$trial")
+      assert(fr(1)._3.map(_ & 0xFF).toSeq === p1y.toSeq,
+        s"co-located P desync qp=$qp trial=$trial")
+      assert(fr(2)._3.map(_ & 0xFF).toSeq === f2Y.toSeq)
+      val ry = refDirectBFrame(wMbs, hMbs, f2Y, p1y, colRef, colMx, colMy,
+        bKinds, bMvs0, bMvs1, bCoeffs, qp)
+      assert(fr(3)._3.map(_ & 0xFF).toSeq === ry.toSeq, s"qp=$qp trial=$trial")
+    }
+  }
+
+  test("multi-slice B: slice-isolated direct is directZeroPrediction; trailing skip run") {
+    // 2x2 picture, slices {0,1,2} and {3}. Flat references (I = 101,
+    // P-PCM = 50) make every prediction value closed-form: MB0
+    // explicit L0 -> 50; MB1 direct copies MB0's L0-only motion via
+    // the copy-A rule -> 50; MB2 is a B_Skip ENDING slice 0 (the
+    // trailing-run path) -> 50; MB3 direct in its own slice sees no
+    // neighbours -> both refIdx -1 -> directZeroPrediction -> zero-mv
+    // bi-prediction (50 + 101 + 1) >> 1 = 76. The co-located picture
+    // is the IDR (no motion data): colZeroFlag 0 everywhere, colRef
+    // null on the encoder side.
+    val f0Y = Array.fill(32 * 32)(101)
+    val f1Y = Array.fill(32 * 32)(50)
+    val kinds = Array(0, 4, 5, 4)
+    val mvs0 = Array(Array(8, 12), Array(0, 0), Array(0, 0), Array(0, 0))
+    val mvs1 = Array.fill(4)(Array(0, 0))
+    val coeffs = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+    val es = H264.encodeSps(2, 2, 0, numRefFrames = 2) ++ H264.encodePps() ++
+      H264.encodeIPcmFrame(2, 2, f0Y.map(_.toByte), frameNum = 0) ++
+      H264Cavlc.encodePcmPFrame(2, 2, f1Y.map(_.toByte), frameNum = 1) ++
+      H264Cavlc.encodeBFrame(2, 2, kinds, mvs0, mvs1, coeffs, 28, 2,
+        sliceStarts = Array(0, 3))
+    val fr = H264Cavlc.decodeIntra16FramesYuv(es)
+    assert(fr.size === 3)
+    val g = fr(2)._3.map(_ & 0xFF)
+    def mbSet(mb: Int): Set[Int] =
+      (for (yy <- 0 until 16; xx <- 0 until 16)
+        yield g(((mb >> 1) * 16 + yy) * 32 + (mb & 1) * 16 + xx)).toSet
+    assert(mbSet(0) === Set(50))
+    assert(mbSet(1) === Set(50))
+    assert(mbSet(2) === Set(50))
+    assert(mbSet(3) === Set(76), "slice-isolated direct must bi-predict at zero motion")
+    val ry = refDirectBFrame(2, 2, f1Y, f0Y, null, null, null, kinds,
+      mvs0, mvs1, coeffs, 28, sliceStarts = Array(0, 3))
+    assert(g.toSeq === ry.toSeq)
   }
 
   test("bi-prediction is the exact rounded average on asymmetric references") {
@@ -511,8 +763,8 @@ class H264InterSpec extends AnyFunSuite {
       val fr = H264Cavlc.decodeIntra16FramesYuv(es)
       assert(fr.size === 2, s"qp=$qp trial=$trial")
       val f0Cb = Array.fill(wMbs * 8 * hMbs * 8)(128)
-      val (ry, rcb, rcr) = refPFrame(wMbs, hMbs, f0Y, f0Cb, f0Cb.clone(),
-        kinds, mvs, coeffs, cbDc, crDc, qp, subTypes)
+      val (ry, rcb, rcr, _, _, _) = refPFrame(wMbs, hMbs, f0Y, f0Cb,
+        f0Cb.clone(), kinds, mvs, coeffs, cbDc, crDc, qp, subTypes)
       val (_, _, gy, gcb, gcr) = fr(1)
       assert(gy.map(_ & 0xFF).toSeq === ry.toSeq, s"luma qp=$qp trial=$trial")
       assert(gcb.map(_ & 0xFF).toSeq === rcb.toSeq, s"cb qp=$qp trial=$trial")
@@ -534,8 +786,8 @@ class H264InterSpec extends AnyFunSuite {
         H264Cavlc.encodePFrame(wMbs, hMbs, kinds, mvs, coeffs, 28, 1)
       val fr = H264Cavlc.decodeIntra16FramesYuv(es)
       val f0Cb = Array.fill(wMbs * 8 * hMbs * 8)(128)
-      val (ry, _, _) = refPFrame(wMbs, hMbs, f0Y, f0Cb, f0Cb.clone(),
-        kinds, mvs, coeffs, null, null, 28)
+      val (ry, _, _, _, _, _) = refPFrame(wMbs, hMbs, f0Y, f0Cb,
+        f0Cb.clone(), kinds, mvs, coeffs, null, null, 28)
       assert(fr(1)._3.map(_ & 0xFF).toSeq === ry.toSeq, s"frac=($fx,$fy)")
     }
   }
