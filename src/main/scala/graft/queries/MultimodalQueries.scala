@@ -46,7 +46,8 @@ object MultimodalQueries {
     "m28_video_inter_p" -> m28,
     "m29_video_inter_parts" -> m29,
     "m30_video_bipred" -> m30,
-    "m31_video_multiref" -> m31)
+    "m31_video_multiref" -> m31,
+    "m32_video_direct" -> m32)
 
   /** Inter prediction on the oracle gate (m28): each asset is a
     * two-frame GOP — an I_16x16-DC IDR whose four macroblocks settle
@@ -338,6 +339,110 @@ object MultimodalQueries {
         ys)
     }.toDF("doc_id", "width", "height", "e0", "e1a", "e1b",
       "f0", "f1", "f2", "f3", "e3", "y2_sum")
+  }
+
+  /** Spatial direct prediction on the oracle gate (m32): a four-frame
+    * I-P1-P2-B GOP in which the B picture's CO-LOCATED picture
+    * (list1[0] = P1, the older of the two sliding-window references)
+    * carries a real motion field, so the 8.4.1.2.2 colZeroFlag fires
+    * doc-dependently: a P1 macroblock whose doc-selected source equals
+    * its own position has a zero motion vector, and any direct/skip
+    * quadrant co-located with it must zero its list-0 motion. The B
+    * mixes all four macroblock classes:
+    *
+    *  - MB0 B_L0_16x16 explicit (source in P2 by doc, +10c residual);
+    *  - MB1 B_Direct_16x16 WITH residual — refIdxL0 = MinPositive over
+    *    {A=MB0:0, B/C/D unavailable} = 0, refIdxL1 = -1 (L0-only
+    *    direct), MVP = mvA (8.4.1.3.1 left-only rule), so the MB reads
+    *    P2 at MB0's vector shifted one MB right (column clamp makes
+    *    both horizontal sources land in MB column 1) — UNLESS
+    *    colZero(P1 MB1) zeroes it onto P2's co-located MB1;
+    *  - MB2 B_Skip — refIdx via B=MB0, C=MB1's quadrant-2 cell, whose
+    *    motion is itself colZero-dependent: the median MVP collapses
+    *    to 0 when MB1 was zeroed (median(0, mv, 0)) and to MB0's mv
+    *    otherwise, then MB2's own colZero(P1 MB2) may zero it again —
+    *    a two-deep dependence on the co-located motion field;
+    *  - MB3 B_Bi_16x16 explicit: exact (P2[sa] + P1[sb] + 1) >> 1
+    *    rounded average plus residual.
+    *
+    * A colZero polarity slip, a wrong co-located picture (list0[0]
+    * instead of list1[0]), a skip-run parse slip or a direct-MVP slip
+    * moves w1/w2 between q-values the oracle distinguishes.
+    *
+    * Scale: zero-shuffle per-asset map, like every codec query. */
+  private def m32: Q = (spark, dir) => {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val dc = Array.tabulate(4) { mb =>
+        val d = Array.ofDim[Int](4, 4)
+        d(0)(0) = ((id + mb) % 4).toInt
+        d
+      }
+      def src(k: Int): Int = ((id / k) % 4).toInt
+      def mv(mx: Int, my: Int, sIdx: Int): Array[Int] =
+        Array(((sIdx & 1) - mx) * 64, ((sIdx >> 1) - my) * 64)
+      // frame 1 (reference P1, the future co-located picture): four
+      // P_L0_16x16 with doc-selected aligned sources + 10c residuals
+      val pKinds = Array(0, 0, 0, 0)
+      val p1Src = Array.tabulate(4)(m2 => src(Seq(1, 3, 5, 7)(m2)))
+      val pMvs = Array.tabulate(4)(m2 =>
+        Array(mv(m2 & 1, m2 >> 1, p1Src(m2))))
+      val pCoeffs = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+      for (m2 <- 0 until 4; blk <- 0 until 16)
+        pCoeffs(m2)(blk)(0) = (((id + m2) % 5) - 2).toInt
+      // frame 2 (reference P2 = the B's list0[0]): same shape off P1
+      val qMvs = Array.tabulate(4)(m2 =>
+        Array(mv(m2 & 1, m2 >> 1, src(Seq(9, 11, 13, 15)(m2)))))
+      val qCoeffs = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+      for (m2 <- 0 until 4; blk <- 0 until 16)
+        qCoeffs(m2)(blk)(0) = (((id + 4 + m2) % 5) - 2).toInt
+      // frame 3 (non-reference B): explicit | direct | skip | bi
+      val bKinds = Array(0, 4, 5, 2)
+      val s0 = src(17)
+      val bMvs0 = Array(
+        mv(0, 0, s0), Array(0, 0), Array(0, 0), mv(1, 1, src(19)))
+      val bMvs1 = Array(
+        Array(0, 0), Array(0, 0), Array(0, 0), mv(1, 1, src(21)))
+      val bCoeffs = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+      for (blk <- 0 until 16) {
+        bCoeffs(0)(blk)(0) = (((id + 8) % 5) - 2).toInt
+        bCoeffs(1)(blk)(0) = (((id + 9) % 5) - 2).toInt
+        bCoeffs(3)(blk)(0) = (((id + 11) % 5) - 2).toInt
+      }
+      // P1's list-0 motion field at 4x4-cell granularity — the
+      // co-located data the encoder's direct mirror needs
+      val colRef = Array.fill(8, 8)(0)
+      val colMvx = Array.ofDim[Int](8, 8)
+      val colMvy = Array.ofDim[Int](8, 8)
+      for (m2 <- 0 until 4; cy <- 0 until 4; cx <- 0 until 4) {
+        colMvx((m2 >> 1) * 4 + cy)((m2 & 1) * 4 + cx) = pMvs(m2)(0)(0)
+        colMvy((m2 >> 1) * 4 + cy)((m2 & 1) * 4 + cx) = pMvs(m2)(0)(1)
+      }
+      val es = graft.operators.H264.encodeSps(2, 2, 0, numRefFrames = 2) ++
+        graft.operators.H264.encodePps() ++
+        graft.operators.H264Cavlc.encodeIntra16Frame(2, 2, dc, qp = 36,
+          idrPicId = (id % 65536).toInt) ++
+        graft.operators.H264Cavlc.encodePFrame(2, 2, pKinds, pMvs,
+          pCoeffs, qp = 36, frameNum = 1) ++
+        graft.operators.H264Cavlc.encodePFrame(2, 2, pKinds, qMvs,
+          qCoeffs, qp = 36, frameNum = 2) ++
+        graft.operators.H264Cavlc.encodeBFrame(2, 2, bKinds, bMvs0,
+          bMvs1, bCoeffs, qp = 36, frameNum = 3,
+          colRef = colRef, colMvx = colMvx, colMvy = colMvy)
+      val frames = graft.operators.H264Cavlc.decodeIntra16FramesYuv(es)
+      require(frames.size == 4)
+      val y2 = frames(2)._3
+      val y3 = frames(3)._3
+      def mbVal(y: Array[Byte], mb: Int): Int =
+        y(((mb >> 1) * 16) * 32 + (mb & 1) * 16) & 0xFF
+      var ys = 0L
+      var i = 0
+      while (i < y3.length) { ys += y3(i) & 0xFF; i += 1 }
+      (id, frames(3)._1, frames(3)._2,
+        mbVal(y2, 0), mbVal(y2, 1), mbVal(y2, 2), mbVal(y2, 3),
+        mbVal(y3, 0), mbVal(y3, 1), mbVal(y3, 2), mbVal(y3, 3), ys)
+    }.toDF("doc_id", "width", "height", "q0", "q1", "q2", "q3",
+      "w0", "w1", "w2", "w3", "y3_sum")
   }
 
   /** m27's 23 output columns (one past the Tuple22 ceiling). */
@@ -1450,6 +1555,69 @@ object MultimodalQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // m32: the spatial-direct B replayed closed form — v/p/q chains as
+    // m30 (q = P2 off P1), then colZero_m = "P1 MB m sourced itself"
+    // ((doc_id // k_m) % 4 = m); w1 (direct) reads q1 when zeroed else
+    // the MB0-vector shifted column-1 source; w2 (skip) collapses to
+    // q2 when EITHER its own colZero fires or MB1's did (the median
+    // MVP picked up MB1's zeroed quadrant), else follows MB0's column.
+    "m32_video_direct" ->
+      """WITH f AS (SELECT doc_id,
+        | (doc_id + 0) % 4 AS f0, (doc_id + 1) % 4 AS f1,
+        | (doc_id + 2) % 4 AS f2, (doc_id + 3) % 4 AS f3
+        | FROM documents),
+        |v AS (SELECT doc_id,
+        | 128 + (160*f0 + 32)//64 AS v0,
+        | v0 + (160*f1 + 32)//64 AS v1,
+        | v0 + (160*f2 + 32)//64 AS v2,
+        | (v1 + v2 + 1)//2 + (160*f3 + 32)//64 AS v3
+        | FROM f),
+        |p AS (SELECT doc_id, v0, v1, v2, v3,
+        | (CASE (doc_id // 1) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 0) % 5 - 2) AS p0,
+        | (CASE (doc_id // 3) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 1) % 5 - 2) AS p1,
+        | (CASE (doc_id // 5) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 2) % 5 - 2) AS p2,
+        | (CASE (doc_id // 7) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 3) % 5 - 2) AS p3
+        | FROM v),
+        |q AS (SELECT doc_id, p0, p1, p2, p3,
+        | (CASE (doc_id // 9) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |   WHEN 2 THEN p2 ELSE p3 END) + 10*((doc_id + 4) % 5 - 2) AS q0,
+        | (CASE (doc_id // 11) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |   WHEN 2 THEN p2 ELSE p3 END) + 10*((doc_id + 5) % 5 - 2) AS q1,
+        | (CASE (doc_id // 13) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |   WHEN 2 THEN p2 ELSE p3 END) + 10*((doc_id + 6) % 5 - 2) AS q2,
+        | (CASE (doc_id // 15) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |   WHEN 2 THEN p2 ELSE p3 END) + 10*((doc_id + 7) % 5 - 2) AS q3
+        | FROM p),
+        |b AS (SELECT doc_id, p0, p1, p2, p3, q0, q1, q2, q3,
+        | (doc_id // 17) % 4 AS s0,
+        | CASE WHEN (doc_id // 3) % 4 = 1 THEN 1 ELSE 0 END AS cz1,
+        | CASE WHEN (doc_id // 5) % 4 = 2 THEN 1 ELSE 0 END AS cz2
+        | FROM q),
+        |w AS (SELECT doc_id, q0, q1, q2, q3,
+        | (CASE s0 WHEN 0 THEN q0 WHEN 1 THEN q1 WHEN 2 THEN q2
+        |   ELSE q3 END) + 10*((doc_id + 8) % 5 - 2) AS w0,
+        | (CASE WHEN cz1 = 1 THEN q1
+        |   WHEN s0 >= 2 THEN q3 ELSE q1 END)
+        |   + 10*((doc_id + 9) % 5 - 2) AS w1,
+        | CASE WHEN cz2 = 1 OR cz1 = 1 THEN q2
+        |   WHEN s0 % 2 = 1 THEN q3 ELSE q2 END AS w2,
+        | ((CASE (doc_id // 19) % 4 WHEN 0 THEN q0 WHEN 1 THEN q1
+        |    WHEN 2 THEN q2 ELSE q3 END)
+        |  + (CASE (doc_id // 21) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |    WHEN 2 THEN p2 ELSE p3 END) + 1)//2
+        |  + 10*((doc_id + 11) % 5 - 2) AS w3
+        | FROM b)
+        |SELECT doc_id, 32 AS width, 32 AS height,
+        | CAST(q0 AS INTEGER) AS q0, CAST(q1 AS INTEGER) AS q1,
+        | CAST(q2 AS INTEGER) AS q2, CAST(q3 AS INTEGER) AS q3,
+        | CAST(w0 AS INTEGER) AS w0, CAST(w1 AS INTEGER) AS w1,
+        | CAST(w2 AS INTEGER) AS w2, CAST(w3 AS INTEGER) AS w3,
+        | CAST(256*(w0 + w1 + w2 + w3) AS BIGINT) AS y3_sum
+        |FROM w""".stripMargin,
     // m31: the multi-reference P replayed closed form — frame-0 and
     // frame-1 chains as m30, then pick(ref, src) = ref 0 -> p[src]
     // (the recent P frame), ref 1 -> v[src] (the I frame).
