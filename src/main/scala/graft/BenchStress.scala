@@ -88,7 +88,11 @@ object BenchStress {
     // two-frame inter GOP — zero-shuffle per-asset maps like
     // m22/m25/m26; prove the flat curve
     "m27_video_intra8x8", "m28_video_inter_p", "m29_video_inter_parts",
-    "m30_video_bipred", "m31_video_multiref")
+    "m30_video_bipred", "m31_video_multiref",
+    // round 16: the d3 -> d9 keeper composition (previously the only
+    // heavy p-family member without a curve), plus the spatial-direct
+    // and deblocking codec rows
+    "p3_dedup_keeper", "m32_video_direct", "m33_video_deblock")
 
   /** Optional comma-separated name-prefix filter
     * (SPARK_GRAFT_STRESS_ONLY) — stress just the matching queries, so

@@ -336,9 +336,13 @@ object H264 {
   }
 
   /** Minimal pic_parameter_set_rbsp (7.3.2.2): CAVLC, one slice group,
-    * no deblocking-control or redundant-count flags — the fields the
-    * I_PCM slice header below depends on. */
-  def encodePps(): Array[Byte] = {
+    * no redundant-count flag — the fields the I_PCM slice header below
+    * depends on. `deblockingControl` sets
+    * deblocking_filter_control_present, so slice headers carry
+    * disable_deblocking_filter_idc and the in-loop 8.7 filter can be
+    * switched per slice (legacy fixtures leave it absent and decode to
+    * the pre-filter picture). */
+  def encodePps(deblockingControl: Boolean = false): Array[Byte] = {
     val w = new BitWriter
     w.ue(0) // pps id
     w.ue(0) // sps id
@@ -351,7 +355,7 @@ object H264 {
     w.se(0) // pic_init_qp_minus26
     w.se(0) // pic_init_qs_minus26
     w.se(0) // chroma_qp_index_offset
-    w.u(0, 1) // deblocking_filter_control_present
+    w.u(if (deblockingControl) 1 else 0, 1) // deblocking_filter_control_present
     w.u(0, 1) // constrained_intra_pred
     w.u(0, 1) // redundant_pic_cnt_present
     nal(3, 8, w.trailing(), longStart = true)

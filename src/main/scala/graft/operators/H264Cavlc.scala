@@ -1116,6 +1116,19 @@ object H264Cavlc {
     * stays CodedBlockPatternLuma = 0. All Table 9-5 columns are
     * implemented, so fixtures may carry arbitrarily dense residual
     * neighbourhoods (any nC). */
+  /** Write the 7.3.3 deblocking tail of a slice header, for streams
+    * whose PPS codes deblocking_filter_control_present = 1:
+    * disable_deblocking_filter_idc plus zero alpha/beta offsets when
+    * filtering is enabled. idc < 0 = the PPS carries no control bit
+    * (every legacy fixture) — write nothing, byte-identical streams. */
+  private def writeDeblockTail(w: BitWriter, idc: Int): Unit = {
+    if (idc >= 0) {
+      require(idc <= 2, s"bad disable_deblocking_filter_idc $idc")
+      w.ue(idc)
+      if (idc != 1) { w.se(0); w.se(0) } // alpha/beta offsets div2 = 0
+    }
+  }
+
   def encodeIntra16Frame(widthMbs: Int, heightMapUnits: Int,
       dcLevels: Array[Array[Array[Int]]], qp: Int,
       idrPicId: Int = 0,
@@ -1125,7 +1138,8 @@ object H264Cavlc {
       acLevels: Array[Array[Array[Int]]] = null,
       cbAc: Array[Array[Array[Int]]] = null,
       crAc: Array[Array[Array[Int]]] = null,
-      sliceStarts: Array[Int] = Array(0)): Array[Byte] = {
+      sliceStarts: Array[Int] = Array(0),
+      deblockIdc: Int = -1): Array[Byte] = {
     require(dcLevels.length == widthMbs * heightMapUnits)
     require(qp >= 1 && qp <= 51, s"qp out of range: $qp")
     if (acLevels != null) {
@@ -1219,6 +1233,7 @@ object H264Cavlc {
         w.ue(idrPicId & 0xFFFF)
         w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking (IDR form)
         w.se(qp - 1 - 26) // slice_qp_delta: SliceQPy = qp - 1
+        writeDeblockTail(w, deblockIdc)
       }
       val mbAc = if (acLevels == null) null else acLevels(m)
       val cbpL15 = mbAc != null && mbAc.exists(_.exists(_ != 0))
@@ -1318,7 +1333,8 @@ object H264Cavlc {
       i16Mask: Array[Boolean] = null,
       cbDc: Array[Array[Array[Int]]] = null,
       crDc: Array[Array[Array[Int]]] = null,
-      sliceStarts: Array[Int] = Array(0)): Array[Byte] = {
+      sliceStarts: Array[Int] = Array(0),
+      deblockIdc: Int = -1): Array[Byte] = {
     val nMbs = widthMbs * heightMapUnits
     require(modes.length == nMbs && coeffs.length == nMbs)
     require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
@@ -1376,6 +1392,7 @@ object H264Cavlc {
         w.ue(idrPicId & 0xFFFF)
         w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking (IDR form)
         w.se(qp - 26) // SliceQPy = qp (no mb_qp_delta carrier on cbp 0)
+        writeDeblockTail(w, deblockIdc)
       }
       if (i16(m)) {
         // all-zero I_16x16_2_0_0: DC pred, no residual anywhere
@@ -1508,7 +1525,8 @@ object H264Cavlc {
       modes8: Array[Array[Int]], coeffs8: Array[Array[Array[Int]]],
       modes4: Array[Array[Int]], coeffs4: Array[Array[Array[Int]]],
       qp: Int, idrPicId: Int = 0,
-      sliceStarts: Array[Int] = Array(0)): Array[Byte] = {
+      sliceStarts: Array[Int] = Array(0),
+      deblockIdc: Int = -1): Array[Byte] = {
     val nMbs = widthMbs * heightMapUnits
     require(kinds.length == nMbs && kinds.forall(k => k >= 0 && k <= 2))
     require(qp >= 0 && qp <= 51, s"qp out of range: $qp")
@@ -1564,6 +1582,7 @@ object H264Cavlc {
         w.ue(idrPicId & 0xFFFF)
         w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking (IDR form)
         w.se(qp - 26) // SliceQPy = qp
+        writeDeblockTail(w, deblockIdc)
       }
       kinds(m) match {
         case 2 =>
@@ -1769,7 +1788,8 @@ object H264Cavlc {
       sliceStarts: Array[Int] = Array(0),
       subTypes: Array[Array[Int]] = null,
       numRefIdxL0: Int = 1,
-      refIdxs: Array[Array[Int]] = null): Array[Byte] = {
+      refIdxs: Array[Array[Int]] = null,
+      deblockIdc: Int = -1): Array[Byte] = {
     // subTypes(m): kind-5 MBs' four sub_mb_types (Table 7-17:
     // 0 = 8x8, 1 = 8x4, 2 = 4x8, 3 = 4x4); null = all P_L0_8x8.
     // For kind 5, mvs(m) holds one (mvx, mvy) per SUB-partition in
@@ -1852,6 +1872,7 @@ object H264Cavlc {
         w.u(0, 1) // ref_pic_list_modification_flag_l0
         w.u(0, 1) // adaptive_ref_pic_marking_mode_flag
         w.se(qp - 26) // SliceQPy = qp
+        writeDeblockTail(w, deblockIdc)
       }
       kinds(m) match {
         case 1 => // P_Skip: count into the pending run; record implied MV
@@ -2013,7 +2034,8 @@ object H264Cavlc {
       sliceStarts: Array[Int] = Array(0),
       colRef: Array[Array[Int]] = null,
       colMvx: Array[Array[Int]] = null,
-      colMvy: Array[Array[Int]] = null): Array[Byte] = {
+      colMvy: Array[Array[Int]] = null,
+      deblockIdc: Int = -1): Array[Byte] = {
     val nMbs = widthMbs * heightMapUnits
     require(kinds.length == nMbs && kinds.forall(k => k >= 0 && k <= 5))
     require((colRef == null) == (colMvx == null) &&
@@ -2073,6 +2095,7 @@ object H264Cavlc {
         w.u(0, 1) // ref_pic_list_modification_flag_l1
         // nal_ref_idc == 0: no dec_ref_pic_marking
         w.se(qp - 26) // SliceQPy = qp
+        writeDeblockTail(w, deblockIdc)
       }
       kinds(m) match {
         case 5 => // B_Skip: direct motion, no residual, joins the run
@@ -2237,6 +2260,7 @@ object H264Cavlc {
     var ppsCbQpOff = 0
     var ppsCrQpOff = 0
     var ppsT8 = false
+    var ppsDeblockCtl = false
     var ppsSeen = false
     val out = ArrayBuffer[(Int, Int, Array[Byte], Array[Byte], Array[Byte])]()
     var pic: Option[PicState] = None
@@ -2262,7 +2286,7 @@ object H264Cavlc {
           ppsQpInit = 26 + r.se() // pic_init_qp_minus26
           r.se() // pic_init_qs_minus26
           ppsCbQpOff = r.se() // chroma_qp_index_offset
-          r.u(1) // deblocking_filter_control_present
+          ppsDeblockCtl = r.u(1) == 1 // deblocking_filter_control_present
           require(r.u(1) == 0, "constrained_intra_pred not supported")
           r.u(1) // redundant_pic_cnt_present
           // 7.3.2.2 optional tail: present iff more RBSP data remains
@@ -2311,13 +2335,13 @@ object H264Cavlc {
             "slice with first_mb_in_slice != 0 before a picture start"))
           if (tpe == 5)
             decodeIntra16SliceInto(st, rbsp, ppsQpInit, ppsCbQpOff,
-              ppsCrQpOff, ppsT8)
+              ppsCrQpOff, ppsT8, ppsDeblockCtl)
           else if (sliceType == 0 || sliceType == 5)
             decodePSliceInto(st, rbsp, ppsQpInit, ppsCbQpOff,
-              ppsCrQpOff, ppsT8)
+              ppsCrQpOff, ppsT8, ppsDeblockCtl)
           else
             decodeBSliceInto(st, rbsp, ppsQpInit, ppsCbQpOff,
-              ppsCrQpOff, ppsT8, refIdc)
+              ppsCrQpOff, ppsT8, refIdc, ppsDeblockCtl)
         case _ => ()
       }
     }
@@ -2424,9 +2448,34 @@ object H264Cavlc {
     var colMotion: (Array[Array[Int]], Array[Array[Int]], Array[Array[Int]]) = null
     var nextMb = 0
     var nextSliceId = 0
+    // 8.7 deblocking metadata: per-MB QPy (I_PCM records 0, 8.7.2),
+    // intra and 8x8-transform flags, plus each slice's
+    // disable_deblocking_filter_idc and alpha/beta offsets (pushed in
+    // sliceId order as slices decode). Streams whose PPS leaves
+    // deblocking_filter_control_present = 0 decode to the PRE-FILTER
+    // picture (idc recorded as 1) — the legacy-fixture subset; every
+    // fixture that wants the in-loop filter codes the control
+    // explicitly (encodePps(deblockingControl = true) + a slice idc).
+    val mbQp = new Array[Int](nMbs)
+    val mbIntra = new Array[Boolean](nMbs)
+    val mbT8 = new Array[Boolean](nMbs)
+    val sliceIdc = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val sliceOffA = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val sliceOffB = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var cbQpOffPic = 0
+    var crQpOffPic = 0
     def finish(): (Int, Int, Array[Byte], Array[Byte], Array[Byte]) = {
       require(nextMb == nMbs,
         s"picture incomplete: $nextMb of $nMbs macroblocks decoded")
+      // In-loop deblocking (8.7) runs on the UNCROPPED planes before
+      // the caller snapshots them into the DPB, so reference pictures
+      // are filtered — the property that makes the filter in-loop.
+      if (sliceIdc.exists(_ != 1))
+        H264Deblock.filterPicture(plane, cbPlane, crPlane,
+          H264Deblock.PicMeta(widthMbs, mapUnits, mbQp, mbIntra, mbT8,
+            mbSlice, sliceIdc.toArray, sliceOffA.toArray,
+            sliceOffB.toArray, tcGrid, refG, mvGx, mvGy,
+            refG1, mvG1x, mvG1y, cbQpOffPic, crQpOffPic))
       val cropped = new Array[Byte](s.width * s.height)
       var row = 0
       while (row < s.height) {
@@ -3225,7 +3274,8 @@ object H264Cavlc {
     * (mb_type >= 5, Table 7-13's 5 + I-slice mb_type). 16x8 / 8x16 /
     * P_8x8 partitions are a documented boundary. */
   private def decodePSliceInto(st: PicState, rbsp: Array[Byte],
-      qpInit: Int, cbQpOff: Int, crQpOff: Int, t8x8: Boolean): Unit = {
+      qpInit: Int, cbQpOff: Int, crQpOff: Int, t8x8: Boolean,
+      deblockCtl: Boolean = false): Unit = {
     val widthMbs = st.widthMbs
     val (refY, refCb, refCr) = st.refPic.getOrElse(
       throw new IllegalArgumentException(
@@ -3257,6 +3307,7 @@ object H264Cavlc {
     // nal_ref_idc != 0 on our P NALs: dec_ref_pic_marking (non-IDR)
     require(r.u(1) == 0, "adaptive ref pic marking not supported")
     var qpy = qpInit + r.se() // SliceQPy
+    parseSliceDeblock(st, r, deblockCtl, cbQpOff, crQpOff)
     val sliceId = st.nextSliceId
     st.nextSliceId += 1
     val mbAvail: (Int, Int) => Boolean =
@@ -3270,6 +3321,7 @@ object H264Cavlc {
         val m = st.nextMb
         st.mbSlice(m) = sliceId
         st.nextMb += 1
+        st.mbQp(m) = qpy // skip carries no mb_qp_delta
         val mbX = m % widthMbs
         val mbY = m / widthMbs
         val (mvx, mvy) = pSkipMv(widthMbs, st.mapUnits, st.refG,
@@ -3363,6 +3415,7 @@ object H264Cavlc {
           if (t8x8 && cbpLuma > 0)
             require(r.u(1) == 0, "8x8 transform on inter residuals not supported")
           if (cbp != 0) qpy = (qpy + r.se() + 52) % 52
+          st.mbQp(m) = qpy
           val tcGrid = st.tcGrid
           val coeffsByBlk = new Array[Array[Int]](16)
           var blk = 0
@@ -3450,7 +3503,7 @@ object H264Cavlc {
     * temporal direct are a documented boundary. */
   private def decodeBSliceInto(st: PicState, rbsp: Array[Byte],
       qpInit: Int, cbQpOff: Int, crQpOff: Int, t8x8: Boolean,
-      nalRefIdc: Int): Unit = {
+      nalRefIdc: Int, deblockCtl: Boolean = false): Unit = {
     val widthMbs = st.widthMbs
     val (refY0, refCb0, refCr0) = st.refPic.getOrElse(
       throw new IllegalArgumentException(
@@ -3477,6 +3530,7 @@ object H264Cavlc {
     if (nalRefIdc != 0)
       require(r.u(1) == 0, "adaptive ref pic marking not supported")
     var qpy = qpInit + r.se() // SliceQPy
+    parseSliceDeblock(st, r, deblockCtl, cbQpOff, crQpOff)
     val sliceId = st.nextSliceId
     st.nextSliceId += 1
     val mbAvail: (Int, Int) => Boolean =
@@ -3498,6 +3552,7 @@ object H264Cavlc {
         val m = st.nextMb
         st.mbSlice(m) = sliceId
         st.nextMb += 1
+        st.mbQp(m) = qpy // skip carries no mb_qp_delta
         directMotion(m) // B_Skip: spatial direct prediction, no residual
         val mbX = m % widthMbs
         val mbY = m / widthMbs
@@ -3566,6 +3621,7 @@ object H264Cavlc {
           if (t8x8 && cbpLuma > 0)
             require(r.u(1) == 0, "8x8 transform on inter residuals not supported")
           if (cbp != 0) qpy = (qpy + r.se() + 52) % 52
+          st.mbQp(m) = qpy
           val tcGrid = st.tcGrid
           val coeffsByBlk = new Array[Array[Int]](16)
           var blk = 0
@@ -3618,8 +3674,30 @@ object H264Cavlc {
     * while more_rbsp_data() holds. QPy resets to SliceQPy per slice
     * (7.4.5); neighbour availability for prediction and nC is
     * restricted to the current slice. */
+  /** Parse the 7.3.3 deblocking tail of a slice header (present only
+    * when the PPS coded deblocking_filter_control_present) and
+    * register this slice's filter controls on the picture state; a
+    * control-absent stream registers idc 1 (the pre-filter legacy
+    * subset — see PicState). Call order matters: immediately after
+    * slice_qp_delta, before any macroblock data. */
+  private def parseSliceDeblock(st: PicState, r: BitReader,
+      deblockCtl: Boolean, cbQpOff: Int, crQpOff: Int): Unit = {
+    val (idc, offA, offB) =
+      if (deblockCtl) {
+        val v = r.ue()
+        require(v <= 2, s"disable_deblocking_filter_idc $v out of range")
+        if (v != 1) (v, 2 * r.se(), 2 * r.se()) else (1, 0, 0)
+      } else (1, 0, 0)
+    st.sliceIdc += idc
+    st.sliceOffA += offA
+    st.sliceOffB += offB
+    st.cbQpOffPic = cbQpOff
+    st.crQpOffPic = crQpOff
+  }
+
   private def decodeIntra16SliceInto(st: PicState, rbsp: Array[Byte],
-      qpInit: Int, cbQpOff: Int, crQpOff: Int, t8x8: Boolean): Unit = {
+      qpInit: Int, cbQpOff: Int, crQpOff: Int, t8x8: Boolean,
+      deblockCtl: Boolean = false): Unit = {
     val widthMbs = st.widthMbs
     val r = new BitReader(rbsp)
     val firstMb = r.ue()
@@ -3633,6 +3711,7 @@ object H264Cavlc {
     r.ue() // idr_pic_id
     r.u(1); r.u(1) // IDR dec_ref_pic_marking
     var qpy = qpInit + r.se() // SliceQPy, updated per MB by mb_qp_delta
+    parseSliceDeblock(st, r, deblockCtl, cbQpOff, crQpOff)
     val sliceId = st.nextSliceId
     st.nextSliceId += 1
     val mbAvail: (Int, Int) => Boolean =
@@ -3716,10 +3795,13 @@ object H264Cavlc {
         tcCb(mbY * 2 + 1)(mbX * 2) = 16; tcCb(mbY * 2 + 1)(mbX * 2 + 1) = 16
         tcCr(mbY * 2)(mbX * 2) = 16; tcCr(mbY * 2)(mbX * 2 + 1) = 16
         tcCr(mbY * 2 + 1)(mbX * 2) = 16; tcCr(mbY * 2 + 1)(mbX * 2 + 1) = 16
+        st.mbIntra(m) = true
+        st.mbQp(m) = 0 // 8.7.2: the filter treats I_PCM as QPy = 0
         return qpy
       }
       val cbpChroma: Int = if (mbType == 0) {
         val use8 = t8x8 && r.u(1) == 1 // transform_size_8x8_flag
+        st.mbT8(m) = use8
         val (cbpC, newQpy) =
           if (use8) decodeI8x8MbLuma(st, r, m, mbAvail, qpy)
           else decodeI4x4MbLuma(st, r, m, mbAvail, qpy)
@@ -3941,6 +4023,8 @@ object H264Cavlc {
           cbi += 1
         }
       }
+    st.mbIntra(m) = true
+    st.mbQp(m) = qpy
     qpy
   }
 }

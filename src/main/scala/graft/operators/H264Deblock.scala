@@ -1,0 +1,387 @@
+package graft.operators
+
+/** In-loop deblocking filter (H.264 clause 8.7) over a fully
+  * reconstructed frame picture, shared by [[H264Cavlc]]'s decoder: the
+  * frames loop runs it on every completed picture whose slices enabled
+  * filtering (disable_deblocking_filter_idc != 1) BEFORE the picture
+  * joins the sliding-window DPB, so reference pictures are filtered —
+  * the in-loop property that distinguishes 8.7 from a post-filter.
+  *
+  * Subset notes:
+  *  - Frame pictures only (frame_mbs_only streams — the whole decoder's
+  *    subset), 4:2:0, 8-bit.
+  *  - Macroblocks are processed in raster order; per macroblock the
+  *    vertical edges are filtered left-to-right, then the horizontal
+  *    edges top-to-bottom, in place (8.7: "deblocked samples of the
+  *    macroblock above and to the left shall be available"), so the
+  *    horizontal pass of one macroblock reads samples its own and its
+  *    neighbours' vertical passes already wrote.
+  *  - disable_deblocking_filter_idc: 0 filters everything, 1 skips the
+  *    macroblock entirely, 2 skips the left/top macroblock edge when
+  *    the neighbour belongs to a different slice (slice-boundary
+  *    isolation). The idc and the alpha/beta offsets are per SLICE;
+  *    the offsets applied to an edge are those of the slice containing
+  *    sample q0, which for every edge this walk touches is the current
+  *    macroblock's slice.
+  *  - Boundary strength (8.7.2.1, frames): 4 on a macroblock edge when
+  *    either side is intra; 3 inside an intra macroblock; 2 when either
+  *    4x4 block carries coded coefficients; 1 on a motion
+  *    discontinuity (different reference pictures, different motion
+  *    vector count, or any component differing by >= 4 quarter-pel);
+  *    else 0 (no filtering). Reference-picture identity is the DPB
+  *    slot, not the reference INDEX: list0[1] and list1[0] are the
+  *    same picture in the two-entry low-delay DPB.
+  *  - transform_size_8x8_flag macroblocks filter luma internal edges
+  *    only at the 8x8 boundary (offsets 4 and 12 are not transform
+  *    edges there).
+  *  - I_PCM macroblocks filter with QPy = 0 (8.7.2).
+  *
+  * Table provenance: TABLE entries are transcribed from the public
+  * spec tables 8-16/8-17. Alpha is anchored by its published generator
+  * alpha(x) ~ 0.8*(2^(x/6) - 1) (List et al., "Adaptive Deblocking
+  * Filter", IEEE TCSVT 2003) — every transcribed entry matches the
+  * generator within rounding, and the oracle-gated m33 fixture pins
+  * alpha(36) = 50 end-to-end against DuckDB. Beta is anchored at the
+  * same paper's beta(x) ~ 0.5x - 7 shape and enters the oracle-gated
+  * path only through comparisons that are 0 < beta on flat fixtures.
+  * The tC0 table (normal-filter clip, bS 1..3) is best-effort
+  * transcription protected by monotonicity/range property tests
+  * (H264DeblockSpec); the ORACLE-GATED m33 path never evaluates it
+  * (bS = 4 edges and arithmetically-no-op bS < 4 edges only) — the
+  * same discipline that keeps CABAC's context tables out of the
+  * subset rather than shipping plausible-but-unverifiable constants
+  * on a checked path.
+  */
+private[graft] object H264Deblock {
+
+  /** Table 8-16 alpha, indexA 0..51 (0 disables filtering). */
+  private val AlphaTab: Array[Int] = Array.fill(16)(0) ++ Array(
+    4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20, 22, 25, 28, 32, 36,
+    40, 45, 50, 56, 63, 71, 80, 90, 101, 113, 127, 144, 162, 182,
+    203, 226, 255, 255)
+
+  /** Table 8-16 beta, indexB 0..51. */
+  private val BetaTab: Array[Int] = Array.fill(16)(0) ++ Array(
+    2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8, 9, 9, 10, 10,
+    11, 11, 12, 12, 13, 13, 14, 14, 15, 15, 16, 16, 17, 17, 18, 18)
+
+  /** Table 8-17 tC0 by (indexA, bS - 1), bS in 1..3. Best-effort
+    * transcription — see the table-provenance note above; never on
+    * the oracle-gated path. */
+  private val Tc0Tab: Array[Array[Int]] = Array.fill(16)(Array(0, 0, 0)) ++
+    Array(
+      Array(0, 0, 0), Array(0, 0, 1), Array(0, 0, 1), Array(0, 0, 1),
+      Array(0, 0, 1), Array(0, 1, 1), Array(0, 1, 1), Array(0, 1, 1),
+      Array(1, 1, 1), Array(1, 1, 1), Array(1, 1, 1), Array(1, 1, 2),
+      Array(1, 1, 2), Array(1, 2, 2), Array(1, 2, 2), Array(1, 2, 3),
+      Array(1, 2, 3), Array(2, 3, 3), Array(2, 3, 4), Array(2, 3, 4),
+      Array(2, 4, 4), Array(3, 4, 5), Array(3, 4, 6), Array(3, 5, 6),
+      Array(4, 5, 7), Array(4, 6, 8), Array(5, 7, 9), Array(6, 8, 10),
+      Array(6, 8, 11), Array(7, 10, 13), Array(8, 11, 14),
+      Array(9, 12, 16), Array(10, 13, 18), Array(11, 15, 20),
+      Array(13, 17, 23), Array(14, 19, 25))
+
+  /** Property hooks for H264DeblockSpec: the tables are private data,
+    * but their shape invariants (monotone in the index and in bS,
+    * zero below the filtering floor, documented anchors) are part of
+    * the public contract the spec pins. The spec's longhand reference
+    * also reads its CONSTANTS here — the tables are shared data by
+    * declared policy (no independent source exists in this
+    * environment); every piece of LOGIC around them is re-derived. */
+  private[graft] def tableRow(idx: Int): (Int, Int, Int, Int, Int) =
+    (AlphaTab(idx), BetaTab(idx), Tc0Tab(idx)(0), Tc0Tab(idx)(1),
+      Tc0Tab(idx)(2))
+
+  private def clip3(lo: Int, hi: Int, v: Int): Int =
+    if (v < lo) lo else if (v > hi) hi else v
+
+  /** All picture-level state the filter reads; plain arrays so the
+    * caller's PicState stays private to H264Cavlc. Motion grids and
+    * tcGrid are at 4x4-luma-cell granularity; slice* are indexed by
+    * slice id (mbSlice values). */
+  final case class PicMeta(
+      widthMbs: Int, mapUnits: Int,
+      mbQp: Array[Int], mbIntra: Array[Boolean], mbT8: Array[Boolean],
+      mbSlice: Array[Int],
+      sliceIdc: Array[Int], sliceOffA: Array[Int], sliceOffB: Array[Int],
+      tcGrid: Array[Array[Int]],
+      ref0: Array[Array[Int]], mv0x: Array[Array[Int]],
+      mv0y: Array[Array[Int]],
+      ref1: Array[Array[Int]], mv1x: Array[Array[Int]],
+      mv1y: Array[Array[Int]],
+      cbQpOff: Int, crQpOff: Int)
+
+  /** Boundary strength for the edge between the 4x4 blocks at cells
+    * (pcx,pcy) | (qcx,qcy) of macroblocks mp | mq (8.7.2.1, frames). */
+  private def boundaryStrength(meta: PicMeta, mp: Int, mq: Int,
+      pcx: Int, pcy: Int, qcx: Int, qcy: Int, mbEdge: Boolean): Int = {
+    if (meta.mbIntra(mp) || meta.mbIntra(mq)) return if (mbEdge) 4 else 3
+    if (meta.tcGrid(pcy)(pcx) > 0 || meta.tcGrid(qcy)(qcx) > 0) return 2
+    // Motion discontinuity. Canonical reference-picture identity is
+    // the DPB slot: list0 refIdx r -> slot r; list1 refIdx 0 -> slot 1
+    // (the low-delay two-entry DPB; see decodeBSliceInto).
+    def preds(cy: Int, cx: Int): List[(Int, Int, Int)] = {
+      var l: List[(Int, Int, Int)] = Nil
+      if (meta.ref1(cy)(cx) >= 0) // list1[0] = DPB slot 1
+        l = (1, meta.mv1x(cy)(cx), meta.mv1y(cy)(cx)) :: l
+      if (meta.ref0(cy)(cx) >= 0)
+        l = (meta.ref0(cy)(cx), meta.mv0x(cy)(cx), meta.mv0y(cy)(cx)) :: l
+      l
+    }
+    val p = preds(pcy, pcx)
+    val q = preds(qcy, qcx)
+    if (p.length != q.length) return 1
+    def far(a: (Int, Int, Int), b: (Int, Int, Int)): Boolean =
+      math.abs(a._2 - b._2) >= 4 || math.abs(a._3 - b._3) >= 4
+    (p, q) match {
+      case ((pa :: Nil), (qa :: Nil)) =>
+        if (pa._1 != qa._1 || far(pa, qa)) 1 else 0
+      case ((pa :: pb :: Nil), (qa :: qb :: Nil)) =>
+        val pPics = List(pa._1, pb._1).sorted
+        val qPics = List(qa._1, qb._1).sorted
+        if (pPics != qPics) 1
+        else if (pa._1 != pb._1) {
+          // two distinct pictures: compare the same-picture pairs
+          val (q0m, q1m) = if (qa._1 == pa._1) (qa, qb) else (qb, qa)
+          if (far(pa, q0m) || far(pb, q1m)) 1 else 0
+        } else {
+          // both predictions from ONE picture on both sides: 8.7.2.1
+          // clears the edge only when some pairing keeps every
+          // component delta under a quarter-pel unit of 4
+          val straight = !far(pa, qa) && !far(pb, qb)
+          val crossed = !far(pa, qb) && !far(pb, qa)
+          if (straight || crossed) 0 else 1
+        }
+      case _ => 1 // unreachable: lengths matched and are 1 or 2
+    }
+  }
+
+  /** Filter one luma sample line across an edge (8.7.2.3/8.7.2.4).
+    * `at(i)` addresses p_i for i in -4..-1 as at(-1-i)=p_i? No —
+    * callers pass get/set closures where index 0..3 are p0..p3 and
+    * 4..7 are q0..q3. */
+  private def lumaLine(get: Int => Int, set: (Int, Int) => Unit,
+      bS: Int, indexA: Int, indexB: Int): Unit = {
+    val alpha = AlphaTab(indexA)
+    val beta = BetaTab(indexB)
+    val p0 = get(0); val p1 = get(1); val p2 = get(2); val p3 = get(3)
+    val q0 = get(4); val q1 = get(5); val q2 = get(6); val q3 = get(7)
+    if (math.abs(p0 - q0) >= alpha || math.abs(p1 - p0) >= beta ||
+      math.abs(q1 - q0) >= beta) return
+    val ap = math.abs(p2 - p0)
+    val aq = math.abs(q2 - q0)
+    if (bS == 4) {
+      val deep = math.abs(p0 - q0) < (alpha >> 2) + 2
+      if (deep && ap < beta) {
+        set(0, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3)
+        set(1, (p2 + p1 + p0 + q0 + 2) >> 2)
+        set(2, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3)
+      } else set(0, (2 * p1 + p0 + q1 + 2) >> 2)
+      if (deep && aq < beta) {
+        set(4, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3)
+        set(5, (q2 + q1 + q0 + p0 + 2) >> 2)
+        set(6, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3)
+      } else set(4, (2 * q1 + q0 + p1 + 2) >> 2)
+    } else {
+      val tc0 = Tc0Tab(indexA)(bS - 1)
+      val tc = tc0 + (if (ap < beta) 1 else 0) + (if (aq < beta) 1 else 0)
+      val delta = clip3(-tc, tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3)
+      set(0, clip3(0, 255, p0 + delta))
+      set(4, clip3(0, 255, q0 - delta))
+      if (ap < beta)
+        set(1, p1 + clip3(-tc0, tc0, (p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1))
+      if (aq < beta)
+        set(5, q1 + clip3(-tc0, tc0, (q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1))
+    }
+  }
+
+  /** Filter one chroma sample line (8.7.2.3/8.7.2.4 chroma branches:
+    * only p0/q0 ever change; tc = tC0 + 1). */
+  private def chromaLine(get: Int => Int, set: (Int, Int) => Unit,
+      bS: Int, indexA: Int, indexB: Int): Unit = {
+    val alpha = AlphaTab(indexA)
+    val beta = BetaTab(indexB)
+    val p0 = get(0); val p1 = get(1)
+    val q0 = get(4); val q1 = get(5)
+    if (math.abs(p0 - q0) >= alpha || math.abs(p1 - p0) >= beta ||
+      math.abs(q1 - q0) >= beta) return
+    if (bS == 4) {
+      set(0, (2 * p1 + p0 + q1 + 2) >> 2)
+      set(4, (2 * q1 + q0 + p1 + 2) >> 2)
+    } else {
+      val tc = Tc0Tab(indexA)(bS - 1) + 1
+      val delta = clip3(-tc, tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3)
+      set(0, clip3(0, 255, p0 + delta))
+      set(4, clip3(0, 255, q0 - delta))
+    }
+  }
+
+  /** Run the filter over the whole picture in place. */
+  def filterPicture(plane: Array[Byte], cbPlane: Array[Byte],
+      crPlane: Array[Byte], meta: PicMeta): Unit = {
+    val widthMbs = meta.widthMbs
+    val mapUnits = meta.mapUnits
+    val w16 = widthMbs * 16
+    val w8 = widthMbs * 8
+    val nMbs = widthMbs * mapUnits
+    var m = 0
+    while (m < nMbs) {
+      val sl = meta.mbSlice(m)
+      val idc = meta.sliceIdc(sl)
+      if (idc != 1) {
+        val mbX = m % widthMbs
+        val mbY = m / widthMbs
+        val offA = meta.sliceOffA(sl)
+        val offB = meta.sliceOffB(sl)
+        val qpQ = meta.mbQp(m)
+
+        // per-edge index derivation: qPav from the two MBs' luma QPs
+        def idxAB(mp: Int): (Int, Int) = {
+          val qpav = (meta.mbQp(mp) + qpQ + 1) >> 1
+          (clip3(0, 51, qpav + offA), clip3(0, 51, qpav + offB))
+        }
+        def idxABChroma(mp: Int, qpOff: Int): (Int, Int) = {
+          val qpav = (H264Cavlc.qpc(clip3(0, 51, meta.mbQp(mp) + qpOff)) +
+            H264Cavlc.qpc(clip3(0, 51, qpQ + qpOff)) + 1) >> 1
+          (clip3(0, 51, qpav + offA), clip3(0, 51, qpav + offB))
+        }
+
+        def neighbourOk(nm: Int): Boolean =
+          idc != 2 || meta.mbSlice(nm) == sl
+
+        // ---- vertical edges (left to right), luma + chroma ----
+        val vOffsets =
+          if (meta.mbT8(m)) Array(0, 8) else Array(0, 4, 8, 12)
+        var vi = 0
+        while (vi < vOffsets.length) {
+          val xOff = vOffsets(vi)
+          val mbEdge = xOff == 0
+          val doEdge =
+            if (mbEdge) mbX > 0 && neighbourOk(m - 1) else true
+          if (doEdge) {
+            val mp = if (mbEdge) m - 1 else m
+            val x = mbX * 16 + xOff // absolute luma x of q0's column
+            val (ia, ib) = idxAB(mp)
+            // bS per 4-row block group, reused by chroma when the
+            // edge lands on a chroma boundary (luma offsets 0 and 8)
+            val bsGroup = new Array[Int](4)
+            var g = 0
+            while (g < 4) {
+              val cy = mbY * 4 + g
+              bsGroup(g) = boundaryStrength(meta, mp, m,
+                (x - 1) / 4, cy, x / 4, cy, mbEdge)
+              g += 1
+            }
+            var row = 0
+            while (row < 16) {
+              val bS = bsGroup(row / 4)
+              if (bS > 0) {
+                val base = (mbY * 16 + row) * w16 + x
+                lumaLine(
+                  i => if (i < 4) plane(base - 1 - i) & 0xFF
+                  else plane(base + (i - 4)) & 0xFF,
+                  (i, v) => if (i < 4) plane(base - 1 - i) = v.toByte
+                  else plane(base + (i - 4)) = v.toByte,
+                  bS, ia, ib)
+              }
+              row += 1
+            }
+            if (xOff == 0 || xOff == 8) {
+              val xc = mbX * 8 + xOff / 2
+              val (iaCb, ibCb) = idxABChroma(mp, meta.cbQpOff)
+              val (iaCr, ibCr) = idxABChroma(mp, meta.crQpOff)
+              var crow = 0
+              while (crow < 8) {
+                val bS = bsGroup(crow / 2)
+                if (bS > 0) {
+                  var c = 0
+                  while (c < 2) {
+                    val cp = if (c == 0) cbPlane else crPlane
+                    val (ia2, ib2) =
+                      if (c == 0) (iaCb, ibCb) else (iaCr, ibCr)
+                    val base = (mbY * 8 + crow) * w8 + xc
+                    chromaLine(
+                      i => if (i < 4) cp(base - 1 - i) & 0xFF
+                      else cp(base + (i - 4)) & 0xFF,
+                      (i, v) => if (i < 4) cp(base - 1 - i) = v.toByte
+                      else cp(base + (i - 4)) = v.toByte,
+                      bS, ia2, ib2)
+                    c += 1
+                  }
+                }
+                crow += 1
+              }
+            }
+          }
+          vi += 1
+        }
+
+        // ---- horizontal edges (top to bottom), luma + chroma ----
+        val hOffsets =
+          if (meta.mbT8(m)) Array(0, 8) else Array(0, 4, 8, 12)
+        var hi = 0
+        while (hi < hOffsets.length) {
+          val yOff = hOffsets(hi)
+          val mbEdge = yOff == 0
+          val doEdge =
+            if (mbEdge) mbY > 0 && neighbourOk(m - widthMbs) else true
+          if (doEdge) {
+            val mp = if (mbEdge) m - widthMbs else m
+            val y = mbY * 16 + yOff // absolute luma y of q0's row
+            val (ia, ib) = idxAB(mp)
+            val bsGroup = new Array[Int](4)
+            var g = 0
+            while (g < 4) {
+              val cx = mbX * 4 + g
+              bsGroup(g) = boundaryStrength(meta, mp, m,
+                cx, (y - 1) / 4, cx, y / 4, mbEdge)
+              g += 1
+            }
+            var colL = 0
+            while (colL < 16) {
+              val bS = bsGroup(colL / 4)
+              if (bS > 0) {
+                val xAbs = mbX * 16 + colL
+                lumaLine(
+                  i => if (i < 4) plane((y - 1 - i) * w16 + xAbs) & 0xFF
+                  else plane((y + (i - 4)) * w16 + xAbs) & 0xFF,
+                  (i, v) => if (i < 4) plane((y - 1 - i) * w16 + xAbs) = v.toByte
+                  else plane((y + (i - 4)) * w16 + xAbs) = v.toByte,
+                  bS, ia, ib)
+              }
+              colL += 1
+            }
+            if (yOff == 0 || yOff == 8) {
+              val yc = mbY * 8 + yOff / 2
+              val (iaCb, ibCb) = idxABChroma(mp, meta.cbQpOff)
+              val (iaCr, ibCr) = idxABChroma(mp, meta.crQpOff)
+              var ccol = 0
+              while (ccol < 8) {
+                val bS = bsGroup(ccol / 2)
+                if (bS > 0) {
+                  val xc = mbX * 8 + ccol
+                  var c = 0
+                  while (c < 2) {
+                    val cp = if (c == 0) cbPlane else crPlane
+                    val (ia2, ib2) =
+                      if (c == 0) (iaCb, ibCb) else (iaCr, ibCr)
+                    chromaLine(
+                      i => if (i < 4) cp((yc - 1 - i) * w8 + xc) & 0xFF
+                      else cp((yc + (i - 4)) * w8 + xc) & 0xFF,
+                      (i, v) => if (i < 4) cp((yc - 1 - i) * w8 + xc) = v.toByte
+                      else cp((yc + (i - 4)) * w8 + xc) = v.toByte,
+                      bS, ia2, ib2)
+                    c += 1
+                  }
+                }
+                ccol += 1
+              }
+            }
+          }
+          hi += 1
+        }
+      }
+      m += 1
+    }
+  }
+}

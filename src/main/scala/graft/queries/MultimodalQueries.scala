@@ -47,7 +47,8 @@ object MultimodalQueries {
     "m29_video_inter_parts" -> m29,
     "m30_video_bipred" -> m30,
     "m31_video_multiref" -> m31,
-    "m32_video_direct" -> m32)
+    "m32_video_direct" -> m32,
+    "m33_video_deblock" -> m33)
 
   /** Inter prediction on the oracle gate (m28): each asset is a
     * two-frame GOP — an I_16x16-DC IDR whose four macroblocks settle
@@ -443,6 +444,74 @@ object MultimodalQueries {
         mbVal(y3, 0), mbVal(y3, 1), mbVal(y3, 2), mbVal(y3, 3), ys)
     }.toDF("doc_id", "width", "height", "q0", "q1", "q2", "q3",
       "w0", "w1", "w2", "w3", "y3_sum")
+  }
+
+  /** In-loop deblocking on the oracle gate (m33): two one-frame IDR
+    * streams per doc whose PPS codes deblocking_filter_control_present
+    * and whose slice enables the 8.7 filter (idc 0, zero offsets) —
+    * unlike every other codec fixture, whose control-absent streams
+    * decode to the pre-filter picture. Stream V is a 32x16 picture of
+    * two flat I_16x16 macroblocks A | B (one vertical bS=4 macroblock
+    * edge); stream H is its 16x32 transpose (one horizontal edge). The
+    * doc-selected step |A - B| sweeps 0..60, crossing BOTH strong-
+    * filter thresholds at QP 36: (alpha >> 2) + 2 = 14 (the 3-tap vs
+    * 1-tap branch) and alpha = 50 (the filterSamplesFlag gate), so the
+    * oracle pins alpha(36) = 50 — the table value anchored by the
+    * published generator 0.8 * (2^(idx/6) - 1) — plus every strong-
+    * filter tap sum, the p/q asymmetry, and the no-filter branch.
+    * The chroma edges and almost every internal bS=3 edge are
+    * arithmetic no-ops on flat content — EXCEPT the internal edge one
+    * 4x4 ring into the q-side macroblock, which runs AFTER the
+    * macroblock-edge strong filter (8.7 filters each macroblock's
+    * edges sequentially in place) and whose p1-adjustment re-touches
+    * the q2 sample by -1 for s in {3, 4, 11, 12}: the oracle models
+    * that aftershock, pinning the sequential order itself, while of
+    * the tC0 table it needs only tC0(36, bS=3) >= 1 (the raw
+    * adjustment is already +-1 before the clip; full provenance note
+    * in H264Deblock). Probes vp3..vq3 / hp3..hq3 are the eight
+    * samples straddling each edge (p3/q3 must come back UNfiltered);
+    * the y-sums pin every remaining pixel.
+    *
+    * Scale: zero-shuffle per-asset map, like every codec query. */
+  private def m33: Q = (spark, dir) => {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      def dcArr(v: Int): Array[Array[Int]] = {
+        val d = Array.ofDim[Int](4, 4)
+        d(0)(0) = v
+        d
+      }
+      def stream(wMbs: Int, hMbs: Int, f0: Int, f1: Int): Array[Byte] =
+        graft.operators.H264.encodeSps(wMbs, hMbs, 0) ++
+          graft.operators.H264.encodePps(deblockingControl = true) ++
+          graft.operators.H264Cavlc.encodeIntra16Frame(wMbs, hMbs,
+            Array(dcArr(f0), dcArr(f1)), qp = 36,
+            idrPicId = (id % 65536).toInt, deblockIdc = 0)
+      val a = (id % 7).toInt
+      val b = (id % 25).toInt
+      val a2 = ((id / 7) % 7).toInt
+      val b2 = ((id / 25) % 25).toInt
+      val fv = graft.operators.H264Cavlc
+        .decodeIntra16FramesYuv(stream(2, 1, a, b))
+      val fh = graft.operators.H264Cavlc
+        .decodeIntra16FramesYuv(stream(1, 2, a2, b2))
+      require(fv.size == 1 && fh.size == 1)
+      val yv = fv(0)._3
+      val yh = fh(0)._3
+      var sv = 0L
+      var i = 0
+      while (i < yv.length) { sv += yv(i) & 0xFF; i += 1 }
+      var sh = 0L
+      i = 0
+      while (i < yh.length) { sh += yh(i) & 0xFF; i += 1 }
+      def vp(x: Int): Int = yv(x) & 0xFF // row 0 of the 32-wide V pic
+      def hp(y: Int): Int = yh(y * 16) & 0xFF // col 0 of the H pic
+      (id, fv(0)._1, fv(0)._2,
+        vp(12), vp(13), vp(14), vp(15), vp(16), vp(17), vp(18), vp(19), sv,
+        hp(12), hp(13), hp(14), hp(15), hp(16), hp(17), hp(18), hp(19), sh)
+    }.toDF("doc_id", "width", "height",
+      "vp3", "vp2", "vp1", "vp0", "vq0", "vq1", "vq2", "vq3", "ysum_v",
+      "hp3", "hp2", "hp1", "hp0", "hq0", "hq1", "hq2", "hq3", "ysum_h")
   }
 
   /** m27's 23 output columns (one past the Tuple22 ceiling). */
@@ -1555,6 +1624,66 @@ object MultimodalQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // m33: the 8.7 strong filter replayed closed form. Flat A | B
+    // macroblocks at QP 36 (alpha 50, deep threshold (50>>2)+2 = 14):
+    // step s < 14 -> the 3-tap branch rewrites p2..q2; 14 <= s < 50 ->
+    // only p0/q0 move (each to the OTHER side's 3:1 average); s >= 50
+    // -> the edge is left alone. Same formulas for both orientations.
+    // aftv/afth = the SEQUENTIAL-ORDER aftershock: MB1's internal
+    // bS=3 edge (offset 4) runs after the MB-edge strong filter and
+    // its p1-adjustment re-touches the q2 sample by (2*e2 - e1) >> 1
+    // where e1/e2 are q1/q2's strong-filter drops — a function of s
+    // alone, equal to -1 exactly for s in {3, 4, 11, 12} (the clip
+    // only needs tC0(36, bS=3) >= 1). A decoder that filters from a
+    // pre-filter snapshot instead of in place misses it.
+    "m33_video_deblock" ->
+      """WITH base AS (SELECT doc_id,
+        | doc_id % 7 AS av, doc_id % 25 AS bv,
+        | (doc_id // 7) % 7 AS ah, (doc_id // 25) % 25 AS bh
+        | FROM documents),
+        |vals AS (SELECT doc_id,
+        | 128 + (160*av + 32)//64 AS va,
+        | (160*bv + 32)//64 AS sv,
+        | 128 + (160*ah + 32)//64 AS ha,
+        | (160*bh + 32)//64 AS sh
+        | FROM base),
+        |f AS (SELECT doc_id, va, sv, ha, sh,
+        | va + sv AS vb, ha + sh AS hb,
+        | CASE WHEN sv < 14 THEN (7*va + vb + 4)//8 ELSE va END AS vp2,
+        | CASE WHEN sv < 14 THEN (3*va + vb + 2)//4 ELSE va END AS vp1,
+        | CASE WHEN sv < 14 THEN (5*va + 3*vb + 4)//8
+        |   WHEN sv < 50 THEN (3*va + vb + 2)//4 ELSE va END AS vp0,
+        | CASE WHEN sv < 14 THEN (5*vb + 3*va + 4)//8
+        |   WHEN sv < 50 THEN (3*vb + va + 2)//4 ELSE vb END AS vq0,
+        | CASE WHEN sv < 14 THEN (3*vb + va + 2)//4 ELSE vb END AS vq1,
+        | CASE WHEN sv < 14 THEN (7*vb + va + 4)//8 ELSE vb END AS vq2,
+        | CASE WHEN sh < 14 THEN (7*ha + hb + 4)//8 ELSE ha END AS hp2,
+        | CASE WHEN sh < 14 THEN (3*ha + hb + 2)//4 ELSE ha END AS hp1,
+        | CASE WHEN sh < 14 THEN (5*ha + 3*hb + 4)//8
+        |   WHEN sh < 50 THEN (3*ha + hb + 2)//4 ELSE ha END AS hp0,
+        | CASE WHEN sh < 14 THEN (5*hb + 3*ha + 4)//8
+        |   WHEN sh < 50 THEN (3*hb + ha + 2)//4 ELSE hb END AS hq0,
+        | CASE WHEN sh < 14 THEN (3*hb + ha + 2)//4 ELSE hb END AS hq1,
+        | CASE WHEN sh < 14 THEN (7*hb + ha + 4)//8 ELSE hb END AS hq2,
+        | CASE WHEN sv IN (3, 4, 11, 12) THEN -1 ELSE 0 END AS aftv,
+        | CASE WHEN sh IN (3, 4, 11, 12) THEN -1 ELSE 0 END AS afth
+        | FROM vals)
+        |SELECT doc_id, 32 AS width, 16 AS height,
+        | CAST(va AS INTEGER) AS vp3,
+        | CAST(vp2 AS INTEGER) AS vp2, CAST(vp1 AS INTEGER) AS vp1,
+        | CAST(vp0 AS INTEGER) AS vp0, CAST(vq0 AS INTEGER) AS vq0,
+        | CAST(vq1 AS INTEGER) AS vq1, CAST(vq2 + aftv AS INTEGER) AS vq2,
+        | CAST(vb AS INTEGER) AS vq3,
+        | CAST(16*(13*va + 13*vb + vp2 + vp1 + vp0 + vq0 + vq1 + vq2 + aftv)
+        |   AS BIGINT) AS ysum_v,
+        | CAST(ha AS INTEGER) AS hp3,
+        | CAST(hp2 AS INTEGER) AS hp2, CAST(hp1 AS INTEGER) AS hp1,
+        | CAST(hp0 AS INTEGER) AS hp0, CAST(hq0 AS INTEGER) AS hq0,
+        | CAST(hq1 AS INTEGER) AS hq1, CAST(hq2 + afth AS INTEGER) AS hq2,
+        | CAST(hb AS INTEGER) AS hq3,
+        | CAST(16*(13*ha + 13*hb + hp2 + hp1 + hp0 + hq0 + hq1 + hq2 + afth)
+        |   AS BIGINT) AS ysum_h
+        |FROM f""".stripMargin,
     // m32: the spatial-direct B replayed closed form — v/p/q chains as
     // m30 (q = P2 off P1), then colZero_m = "P1 MB m sourced itself"
     // ((doc_id // k_m) % 4 = m); w1 (direct) reads q1 when zeroed else
