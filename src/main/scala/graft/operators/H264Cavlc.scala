@@ -82,14 +82,16 @@ import H264.{BitReader, BitWriter}
   * num_ref_idx_active override, te(v)-coded ref_idx_l0 per partition
   * (per 8x8 block in P_8x8), per-cell refIdx storage, and
   * refIdx-matched 8.4.1.3 predictors (the single-matching-refIdx
-  * shortcut now binds for real). Remaining boundary: CABAC
-  * (its context-initialisation tables cannot be transcribed here
-  * with conformance-grade confidence — deliberately NOT
-  * approximated), B_Direct/B_Skip, B partitions, multi-reference
-  * lists, and the deblocking filter (normative for streams that do
-  * not disable it; this decoder targets its own encoder's streams,
-  * which it decodes bit-exactly, and documents the filter as out of
-  * subset).
+  * shortcut now binds for real). B slices additionally decode
+  * B_Direct_16x16 / B_Skip (8.4.1.2.2 spatial direct with the
+  * co-located colZeroFlag) and the Table 7-14 two-partition types.
+  * The 8.7 in-loop deblocking filter runs for streams that code
+  * deblocking control and enable it (H264Deblock); control-absent
+  * streams — all legacy fixtures — decode to the pre-filter picture,
+  * documented on PicState. Remaining boundary: CABAC (its
+  * context-initialisation tables cannot be transcribed here with
+  * conformance-grade confidence — deliberately NOT approximated),
+  * B_8x8 sub-partitions, and temporal direct.
   *
   * All VLC tables are transcribed from the public ITU-T H.264 spec:
   * coeff_token Table 9-5 (all luma columns + chroma DC), total_zeros
@@ -2035,9 +2037,17 @@ object H264Cavlc {
       colRef: Array[Array[Int]] = null,
       colMvx: Array[Array[Int]] = null,
       colMvy: Array[Array[Int]] = null,
-      deblockIdc: Int = -1): Array[Byte] = {
+      deblockIdc: Int = -1,
+      mvsL0P: Array[Array[Array[Int]]] = null,
+      mvsL1P: Array[Array[Array[Int]]] = null): Array[Byte] = {
+    // kinds 6..23 = the Table 7-14 two-partition types (mb_type =
+    // kind - 2, i.e. 4..21): mvsL0P(m)/mvsL1P(m) carry one (mvx, mvy)
+    // PER PARTITION for each list the partition uses (ignored slots
+    // may be null); mvsL0/mvsL1 are ignored for those macroblocks
     val nMbs = widthMbs * heightMapUnits
-    require(kinds.length == nMbs && kinds.forall(k => k >= 0 && k <= 5))
+    require(kinds.length == nMbs && kinds.forall(k => k >= 0 && k <= 23))
+    require(!kinds.exists(_ >= 6) || (mvsL0P != null && mvsL1P != null),
+      "two-partition kinds need mvsL0P/mvsL1P")
     require((colRef == null) == (colMvx == null) &&
       (colRef == null) == (colMvy == null),
       "co-located motion grids must be given together or not at all")
@@ -2123,6 +2133,40 @@ object H264Cavlc {
             w.ue(0)
             fillDirectMb(widthMbs, heightMapUnits, refGA, mvAx, mvAy,
               refGB, mvBx, mvBy, colRef, colMvx, colMvy, mbAvail, m)
+          } else if (kind >= 6) {
+            // two-partition type (Table 7-14): kind = mb_type + 2;
+            // mirror of the decoder's list-major mvd order
+            val mbType = kind - 2
+            w.ue(mbType)
+            val pair = (mbType - 4) / 2
+            val is8x16 = (mbType - 4) % 2 == 1
+            val modes = BPairModes(pair)
+            val parts: Array[(Int, Int, Int, Int)] =
+              if (is8x16) Array((0, 0, 8, 16), (8, 0, 8, 16))
+              else Array((0, 0, 16, 8), (0, 8, 16, 8))
+            var list = 0
+            while (list < 2) {
+              val (rg, gx, gy) =
+                if (list == 0) (refGA, mvAx, mvAy)
+                else (refGB, mvBx, mvBy)
+              val mvsP = if (list == 0) mvsL0P(m) else mvsL1P(m)
+              var pi = 0
+              while (pi < 2) {
+                if (modes(pi) == 2 || modes(pi) == list) {
+                  val (ox, oy, pw, ph) = parts(pi)
+                  val within = partOrderAvail(if (is8x16) 2 else 1, pi)
+                  val (px, py) = mvpPart(widthMbs, heightMapUnits, rg,
+                    gx, gy, mbAvail, m, within, mbX * 16 + ox,
+                    mbY * 16 + oy, pw, ph, pi)
+                  w.se(mvsP(pi)(0) - px)
+                  w.se(mvsP(pi)(1) - py)
+                  fillCells(rg, gx, gy, mbX * 16 + ox, mbY * 16 + oy,
+                    pw, ph, mvsP(pi)(0), mvsP(pi)(1))
+                }
+                pi += 1
+              }
+              list += 1
+            }
           } else {
             w.ue(kind + 1) // mb_type: 1 = B_L0, 2 = B_L1, 3 = B_Bi
             val useL0 = kind == 0 || kind == 2
@@ -3039,6 +3083,13 @@ object H264Cavlc {
     }
   }
 
+  /** Table 7-14 two-partition prediction modes, indexed by
+    * (mb_type - 4) / 2: per-partition 0 = Pred_L0, 1 = Pred_L1,
+    * 2 = BiPred, in the table's enumeration order. */
+  private val BPairModes: Array[Array[Int]] = Array(
+    Array(0, 0), Array(1, 1), Array(0, 1), Array(1, 0), Array(0, 2),
+    Array(1, 2), Array(2, 0), Array(2, 1), Array(2, 2))
+
   /** Partition geometry per P mb_type (Table 7-13 inter shapes):
     * (x-offset, y-offset, width, height) within the macroblock. */
   private def pPartitions(mbType: Int): Array[(Int, Int, Int, Int)] =
@@ -3499,8 +3550,10 @@ object H264Cavlc {
     * rounded-average bi-prediction, B_Direct_16x16 (mb_type 0) and
     * B_Skip (mb_skip_run) under 8.4.1.2.2 SPATIAL direct with 8x8
     * inference and the co-located list1[0] colZeroFlag, and intra
-    * shapes (mb_type >= 23). B partitions (16x8/8x16/8x8) and
-    * temporal direct are a documented boundary. */
+    * shapes (mb_type >= 23), and the Table 7-14 two-partition types
+    * (mb_type 4..21: 16x8 / 8x16 with independent per-partition
+    * L0/L1/Bi prediction). B_8x8 sub-partitions and temporal direct
+    * are a documented boundary. */
   private def decodeBSliceInto(st: PicState, rbsp: Array[Byte],
       qpInit: Int, cbQpOff: Int, crQpOff: Int, t8x8: Boolean,
       nalRefIdc: Int, deblockCtl: Boolean = false): Unit = {
@@ -3578,15 +3631,53 @@ object H264Cavlc {
           qpy = decodeIntraMbInto(st, r, m, mbAvail, mbType - 23, qpy,
             cbQpOff, crQpOff, t8x8)
         } else {
-          require(mbType >= 0 && mbType <= 3,
+          require(mbType >= 0 && mbType <= 21,
             s"mb $m: B mb_type $mbType outside the subset " +
-              "(B partitions are a boundary)")
+              "(B_8x8 sub-partitions are a boundary)")
           val mbX = m % widthMbs
           val mbY = m / widthMbs
           if (mbType == 0) {
             // B_Direct_16x16: no mvd / ref_idx — motion is fully
             // derived; residual parses below like any inter MB
             directMotion(m)
+          } else if (mbType >= 4) {
+            // Table 7-14 two-partition types: mb_type = 4 + 2*pair +
+            // shape (shape 0 = 16x8, 1 = 8x16), pair enumerating
+            // (L0,L0),(L1,L1),(L0,L1),(L1,L0),(L0,Bi),(L1,Bi),
+            // (Bi,L0),(Bi,L1),(Bi,Bi). ref_idx absent (one entry per
+            // list); 7.3.5.1 orders ALL mvd_l0 (partitions that
+            // predict list 0, in partition order) before any mvd_l1.
+            // Each partition's MVP runs per list on that list's grids
+            // with the 8.4.1.3 directional shortcuts (same mvpPart
+            // geometry the P 16x8/8x16 path pinned).
+            val pair = (mbType - 4) / 2
+            val is8x16 = (mbType - 4) % 2 == 1
+            val modes = BPairModes(pair)
+            val parts: Array[(Int, Int, Int, Int)] =
+              if (is8x16) Array((0, 0, 8, 16), (8, 0, 8, 16))
+              else Array((0, 0, 16, 8), (0, 8, 16, 8))
+            var list = 0
+            while (list < 2) {
+              val (rg, gx, gy) =
+                if (list == 0) (st.refG, st.mvGx, st.mvGy)
+                else (st.refG1, st.mvG1x, st.mvG1y)
+              var pi = 0
+              while (pi < 2) {
+                if (modes(pi) == 2 || modes(pi) == list) {
+                  val (ox, oy, pw, ph) = parts(pi)
+                  val within = partOrderAvail(if (is8x16) 2 else 1, pi)
+                  val (px, py) = mvpPart(widthMbs, st.mapUnits, rg, gx,
+                    gy, mbAvail, m, within, mbX * 16 + ox,
+                    mbY * 16 + oy, pw, ph, pi)
+                  val mvx = px + r.se()
+                  val mvy = py + r.se()
+                  fillCells(rg, gx, gy, mbX * 16 + ox, mbY * 16 + oy,
+                    pw, ph, mvx, mvy)
+                }
+                pi += 1
+              }
+              list += 1
+            }
           } else {
             val useL0 = mbType == 1 || mbType == 3
             val useL1 = mbType == 2 || mbType == 3

@@ -48,7 +48,8 @@ object MultimodalQueries {
     "m30_video_bipred" -> m30,
     "m31_video_multiref" -> m31,
     "m32_video_direct" -> m32,
-    "m33_video_deblock" -> m33)
+    "m33_video_deblock" -> m33,
+    "m34_video_bparts" -> m34)
 
   /** Inter prediction on the oracle gate (m28): each asset is a
     * two-frame GOP — an I_16x16-DC IDR whose four macroblocks settle
@@ -444,6 +445,87 @@ object MultimodalQueries {
         mbVal(y3, 0), mbVal(y3, 1), mbVal(y3, 2), mbVal(y3, 3), ys)
     }.toDF("doc_id", "width", "height", "q0", "q1", "q2", "q3",
       "w0", "w1", "w2", "w3", "y3_sum")
+  }
+
+  /** B two-partition types on the oracle gate (m34): an I-P-B GOP
+    * whose B picture is four Table 7-14 two-partition macroblocks,
+    * one per geometry/prediction family — B_L0_L1_16x8 (each half
+    * names a DIFFERENT list: top reads the P frame, bottom the I
+    * frame), B_Bi_L0_8x16 (exact rounded bi-average on the left
+    * half only), B_L1_Bi_16x8 (the mirror), and B_L0_L0_8x16. Every
+    * partition copies a doc-selected flat macroblock half with an
+    * aligned vector, each mvd rides the per-list 8.4.1.3 predictor
+    * at the partition's own geometry (the 16x8/8x16 directional
+    * shortcuts bind per list), and 7.3.5.1's list-major mvd order
+    * (all mvd_l0 before any mvd_l1) is load-bearing for the parse —
+    * a swapped order, a Table 7-14 pair slip, or a per-partition
+    * list-routing slip moves outputs between oracle-separated
+    * values. Uniform 10c residuals ride MB0 and MB3.
+    *
+    * Scale: zero-shuffle per-asset map, like every codec query. */
+  private def m34: Q = (spark, dir) => {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val dc = Array.tabulate(4) { mb =>
+        val d = Array.ofDim[Int](4, 4)
+        d(0)(0) = ((id + mb) % 4).toInt
+        d
+      }
+      def src(k: Int): Int = ((id / k) % 4).toInt
+      def mv(mx: Int, my: Int, sIdx: Int): Array[Int] =
+        Array(((sIdx & 1) - mx) * 64, ((sIdx >> 1) - my) * 64)
+      // frame 1 (reference P): m30's shape — flat p0..p3
+      val pKinds = Array(0, 0, 0, 0)
+      val pMvs = Array.tabulate(4)(m2 =>
+        Array(mv(m2 & 1, m2 >> 1, src(Seq(1, 3, 5, 7)(m2)))))
+      val pCoeffs = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+      for (m2 <- 0 until 4; blk <- 0 until 16)
+        pCoeffs(m2)(blk)(0) = (((id + m2) % 5) - 2).toInt
+      // frame 2 (B): kind = mb_type + 2
+      val bKinds = Array(10, 19, 16, 7) // L0_L1_16x8 | Bi_L0_8x16 |
+      // L1_Bi_16x8 | L0_L0_8x16
+      val zz = Array(0, 0)
+      val mvsL0P = Array(
+        Array[Array[Int]](mv(0, 0, src(9)), null),
+        Array[Array[Int]](mv(1, 0, src(13)), mv(1, 0, src(19))),
+        Array[Array[Int]](null, mv(0, 1, src(23))),
+        Array[Array[Int]](mv(1, 1, src(29)), mv(1, 1, src(31))))
+      val mvsL1P = Array(
+        Array[Array[Int]](null, mv(0, 0, src(11))),
+        Array[Array[Int]](mv(1, 0, src(17)), null),
+        Array[Array[Int]](mv(0, 1, src(21)), mv(0, 1, src(27))),
+        Array[Array[Int]](null, null))
+      val d0 = (((id + 8) % 5) - 2).toInt
+      val d3 = (((id + 9) % 5) - 2).toInt
+      val bCoeffs = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+      for (blk <- 0 until 16) {
+        bCoeffs(0)(blk)(0) = d0
+        bCoeffs(3)(blk)(0) = d3
+      }
+      val es = graft.operators.H264.encodeSps(2, 2, 0, numRefFrames = 2) ++
+        graft.operators.H264.encodePps() ++
+        graft.operators.H264Cavlc.encodeIntra16Frame(2, 2, dc, qp = 36,
+          idrPicId = (id % 65536).toInt) ++
+        graft.operators.H264Cavlc.encodePFrame(2, 2, pKinds, pMvs,
+          pCoeffs, qp = 36, frameNum = 1) ++
+        graft.operators.H264Cavlc.encodeBFrame(2, 2, bKinds,
+          Array(zz, zz, zz, zz), Array(zz, zz, zz, zz), bCoeffs,
+          qp = 36, frameNum = 2, mvsL0P = mvsL0P, mvsL1P = mvsL1P)
+      val frames = graft.operators.H264Cavlc.decodeIntra16FramesYuv(es)
+      require(frames.size == 3)
+      val y2 = frames(2)._3
+      def px(x: Int, yy: Int): Int = y2(yy * 32 + x) & 0xFF
+      var ys = 0L
+      var i = 0
+      while (i < y2.length) { ys += y2(i) & 0xFF; i += 1 }
+      (id, frames(2)._1, frames(2)._2,
+        px(0, 0), px(0, 8),    // MB0 top | bottom 16x8
+        px(16, 0), px(24, 0),  // MB1 left | right 8x16
+        px(0, 16), px(0, 24),  // MB2 top | bottom 16x8
+        px(16, 16), px(24, 16), // MB3 left | right 8x16
+        ys)
+    }.toDF("doc_id", "width", "height", "w0t", "w0b", "w1l", "w1r",
+      "w2t", "w2b", "w3l", "w3r", "y2_sum")
   }
 
   /** In-loop deblocking on the oracle gate (m33): two one-frame IDR
@@ -1624,6 +1706,66 @@ object MultimodalQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // m34: the B two-partition GOP replayed closed form — v/p chains
+    // as m30, then one flat value per PARTITION: list routing picks
+    // the p-chain (L0 -> the P frame) or the v-chain (L1 -> the I
+    // frame), Bi partitions land the exact rounded average, and the
+    // MB0/MB3 residuals ride both of their partitions.
+    "m34_video_bparts" ->
+      """WITH f AS (SELECT doc_id,
+        | (doc_id + 0) % 4 AS f0, (doc_id + 1) % 4 AS f1,
+        | (doc_id + 2) % 4 AS f2, (doc_id + 3) % 4 AS f3
+        | FROM documents),
+        |v AS (SELECT doc_id,
+        | 128 + (160*f0 + 32)//64 AS v0,
+        | v0 + (160*f1 + 32)//64 AS v1,
+        | v0 + (160*f2 + 32)//64 AS v2,
+        | (v1 + v2 + 1)//2 + (160*f3 + 32)//64 AS v3
+        | FROM f),
+        |p AS (SELECT doc_id, v0, v1, v2, v3,
+        | (CASE (doc_id // 1) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 0) % 5 - 2) AS p0,
+        | (CASE (doc_id // 3) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 1) % 5 - 2) AS p1,
+        | (CASE (doc_id // 5) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 2) % 5 - 2) AS p2,
+        | (CASE (doc_id // 7) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 3) % 5 - 2) AS p3
+        | FROM v),
+        |w AS (SELECT doc_id,
+        | (CASE (doc_id // 9) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |   WHEN 2 THEN p2 ELSE p3 END)
+        |   + 10*((doc_id + 8) % 5 - 2) AS w0t,
+        | (CASE (doc_id // 11) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END)
+        |   + 10*((doc_id + 8) % 5 - 2) AS w0b,
+        | ((CASE (doc_id // 13) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |    WHEN 2 THEN p2 ELSE p3 END)
+        |  + (CASE (doc_id // 17) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |    WHEN 2 THEN v2 ELSE v3 END) + 1)//2 AS w1l,
+        | CASE (doc_id // 19) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |   WHEN 2 THEN p2 ELSE p3 END AS w1r,
+        | CASE (doc_id // 21) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END AS w2t,
+        | ((CASE (doc_id // 23) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |    WHEN 2 THEN p2 ELSE p3 END)
+        |  + (CASE (doc_id // 27) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |    WHEN 2 THEN v2 ELSE v3 END) + 1)//2 AS w2b,
+        | (CASE (doc_id // 29) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |   WHEN 2 THEN p2 ELSE p3 END)
+        |   + 10*((doc_id + 9) % 5 - 2) AS w3l,
+        | (CASE (doc_id // 31) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |   WHEN 2 THEN p2 ELSE p3 END)
+        |   + 10*((doc_id + 9) % 5 - 2) AS w3r
+        | FROM p)
+        |SELECT doc_id, 32 AS width, 32 AS height,
+        | CAST(w0t AS INTEGER) AS w0t, CAST(w0b AS INTEGER) AS w0b,
+        | CAST(w1l AS INTEGER) AS w1l, CAST(w1r AS INTEGER) AS w1r,
+        | CAST(w2t AS INTEGER) AS w2t, CAST(w2b AS INTEGER) AS w2b,
+        | CAST(w3l AS INTEGER) AS w3l, CAST(w3r AS INTEGER) AS w3r,
+        | CAST(128*(w0t + w0b + w1l + w1r + w2t + w2b + w3l + w3r)
+        |   AS BIGINT) AS y2_sum
+        |FROM w""".stripMargin,
     // m33: the 8.7 strong filter replayed closed form. Flat A | B
     // macroblocks at QP 36 (alpha 50, deep threshold (50>>2)+2 = 14):
     // step s < 14 -> the 3-tap branch rewrites p2..q2; 14 <= s < 50 ->

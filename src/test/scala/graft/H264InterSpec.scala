@@ -934,6 +934,101 @@ class H264InterSpec extends AnyFunSuite {
     }
   }
 
+  test("B two-partition types: list routing, geometry, bi rounding " +
+    "and the list-major mvd order across all 18 Table 7-14 types") {
+    // I (flat chain) -> P (flat copies) -> B of random two-partition
+    // macroblocks: every partition copies a doc-aligned flat source
+    // half from the list(s) its Table 7-14 mode names, so the
+    // expected plane is per-partition flat values read from the
+    // DECODED reference frames (pinned by their own suites) plus the
+    // exact (L0 + L1 + 1) >> 1 bi-average and the uniform inter
+    // residual. The per-list MVPs cancel through the encoder mirror;
+    // their geometry/directional rules are the same mvpPart calls the
+    // P 16x8/8x16 suite pins. Sweeps all mb_types 4..21 across trials.
+    val rnd = new scala.util.Random(8160L)
+    for (trial <- 0 until 12) {
+      val dc = Array.tabulate(4) { mb =>
+        val d = Array.ofDim[Int](4, 4)
+        d(0)(0) = rnd.between(0, 4) + mb % 2
+        d
+      }
+      val pKinds = Array(0, 0, 0, 0)
+      val pSrc = Array.fill(4)(rnd.between(0, 4))
+      def mvTo(mx: Int, my: Int, s: Int) =
+        Array(((s & 1) - mx) * 64, ((s >> 1) - my) * 64)
+      val pMvs = Array.tabulate(4)(m => Array(mvTo(m & 1, m >> 1, pSrc(m))))
+      val pCoeffs = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+      // ONE draw per macroblock (uniform DC over its 16 blocks): the
+      // expectation below needs FLAT reference macroblocks
+      val pcs = Array.fill(4)(rnd.between(-2, 3))
+      for (m <- 0 until 4; blk <- 0 until 16)
+        pCoeffs(m)(blk)(0) = pcs(m)
+      val bTypes = Array.tabulate(4)(i =>
+        if (trial < 9) 4 + 2 * trial + i % 2 // systematic pair sweep
+        else rnd.between(4, 22))
+      val bKinds = bTypes.map(_ + 2)
+      val srcL0 = Array.fill(4, 2)(rnd.between(0, 4))
+      val srcL1 = Array.fill(4, 2)(rnd.between(0, 4))
+      val pairTable = Array(
+        Array(0, 0), Array(1, 1), Array(0, 1), Array(1, 0), Array(0, 2),
+        Array(1, 2), Array(2, 0), Array(2, 1), Array(2, 2))
+      def pairModes(t: Int): Array[Int] = pairTable((t - 4) / 2)
+      val mvsL0P = Array.tabulate(4) { m =>
+        Array.tabulate(2) { pi =>
+          val md = pairModes(bTypes(m))(pi)
+          if (md == 0 || md == 2) mvTo(m & 1, m >> 1, srcL0(m)(pi)) else null
+        }
+      }
+      val mvsL1P = Array.tabulate(4) { m =>
+        Array.tabulate(2) { pi =>
+          val md = pairModes(bTypes(m))(pi)
+          if (md == 1 || md == 2) mvTo(m & 1, m >> 1, srcL1(m)(pi)) else null
+        }
+      }
+      val resMb = rnd.between(0, 4)
+      val resC = rnd.between(-2, 3)
+      val bCoeffs = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+      for (blk <- 0 until 16) bCoeffs(resMb)(blk)(0) = resC
+      val zz = Array(0, 0)
+      val es = H264.encodeSps(2, 2, 0, numRefFrames = 2) ++
+        H264.encodePps() ++
+        H264Cavlc.encodeIntra16Frame(2, 2, dc, qp = 36, idrPicId = trial) ++
+        H264Cavlc.encodePFrame(2, 2, pKinds, pMvs, pCoeffs, qp = 36,
+          frameNum = 1) ++
+        H264Cavlc.encodeBFrame(2, 2, bKinds, Array(zz, zz, zz, zz),
+          Array(zz, zz, zz, zz), bCoeffs, qp = 36, frameNum = 2,
+          mvsL0P = mvsL0P, mvsL1P = mvsL1P)
+      val frames = H264Cavlc.decodeIntra16FramesYuv(es)
+      assert(frames.size === 3)
+      val yI = frames(0)._3
+      val yP = frames(1)._3
+      val yB = frames(2)._3
+      def flat(y: Array[Byte], s: Int): Int =
+        y(((s >> 1) * 16) * 32 + (s & 1) * 16) & 0xFF
+      for (m <- 0 until 4; pi <- 0 until 2) {
+        val t = bTypes(m)
+        val md = pairModes(t)(pi)
+        val is8x16 = (t - 4) % 2 == 1
+        val (ox, oy, pw, ph) =
+          if (is8x16) ((pi * 8), 0, 8, 16) else (0, pi * 8, 16, 8)
+        val l0 = flat(yP, srcL0(m)(pi))
+        val l1 = flat(yI, srcL1(m)(pi))
+        val base = md match {
+          case 0 => l0
+          case 1 => l1
+          case _ => (l0 + l1 + 1) >> 1
+        }
+        val exp = base + (if (m == resMb) 10 * resC else 0)
+        for (yy <- 0 until ph; xx <- 0 until pw) {
+          val gx = (m & 1) * 16 + ox + xx
+          val gy = (m >> 1) * 16 + oy + yy
+          assert((yB(gy * 32 + gx) & 0xFF) === exp,
+            s"trial=$trial mb=$m part=$pi type=$t mode=$md ($gx,$gy)")
+        }
+      }
+    }
+  }
+
   test("I_PCM macroblocks decode inside the general path with nC = 16") {
     val rnd = new scala.util.Random(29L)
     val f0Y = Array.tabulate(16 * 16)(i => ((i * 7 + 3) % 256))
