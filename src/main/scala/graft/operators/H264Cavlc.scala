@@ -2039,15 +2039,26 @@ object H264Cavlc {
       colMvy: Array[Array[Int]] = null,
       deblockIdc: Int = -1,
       mvsL0P: Array[Array[Array[Int]]] = null,
-      mvsL1P: Array[Array[Array[Int]]] = null): Array[Byte] = {
+      mvsL1P: Array[Array[Array[Int]]] = null,
+      bSubTypes: Array[Array[Int]] = null,
+      mvsL0S: Array[Array[Array[Int]]] = null,
+      mvsL1S: Array[Array[Array[Int]]] = null): Array[Byte] = {
     // kinds 6..23 = the Table 7-14 two-partition types (mb_type =
     // kind - 2, i.e. 4..21): mvsL0P(m)/mvsL1P(m) carry one (mvx, mvy)
     // PER PARTITION for each list the partition uses (ignored slots
-    // may be null); mvsL0/mvsL1 are ignored for those macroblocks
+    // may be null); mvsL0/mvsL1 are ignored for those macroblocks.
+    // kind 24 = B_8x8 (mb_type 22): bSubTypes(m) carries the four
+    // Table 7-17 sub_mb_types, and mvsL0S(m)/mvsL1S(m) one (mvx, mvy)
+    // per NON-DIRECT sub-partition that uses the list, flattened in
+    // decoding order (the order the decoder consumes mvds per list).
     val nMbs = widthMbs * heightMapUnits
-    require(kinds.length == nMbs && kinds.forall(k => k >= 0 && k <= 23))
-    require(!kinds.exists(_ >= 6) || (mvsL0P != null && mvsL1P != null),
+    require(kinds.length == nMbs && kinds.forall(k => k >= 0 && k <= 24))
+    require(!kinds.exists(k => k >= 6 && k <= 23) ||
+      (mvsL0P != null && mvsL1P != null),
       "two-partition kinds need mvsL0P/mvsL1P")
+    require(!kinds.contains(24) ||
+      (bSubTypes != null && mvsL0S != null && mvsL1S != null),
+      "B_8x8 kinds need bSubTypes/mvsL0S/mvsL1S")
     require((colRef == null) == (colMvx == null) &&
       (colRef == null) == (colMvy == null),
       "co-located motion grids must be given together or not at all")
@@ -2133,6 +2144,68 @@ object H264Cavlc {
             w.ue(0)
             fillDirectMb(widthMbs, heightMapUnits, refGA, mvAx, mvAy,
               refGB, mvBx, mvBy, colRef, colMvx, colMvy, mbAvail, m)
+          } else if (kind == 24) {
+            // B_8x8 (mb_type 22): mirror of the decoder's
+            // sub_mb_pred — direct quadrants derived and filled up
+            // front, then per-list per-b8 per-sub-partition mvds
+            w.ue(22)
+            val subTypes = bSubTypes(m)
+            require(subTypes.length == 4 &&
+              subTypes.forall(t => t >= 0 && t <= 12),
+              s"mb $m: bad B sub_mb_types ${subTypes.mkString(",")}")
+            subTypes.foreach(t => w.ue(t))
+            val ord = bSubPartCellOrder(subTypes)
+            if (subTypes.contains(0)) {
+              val (r0, r1, quads) = spatialDirectMotion(widthMbs,
+                heightMapUnits, refGA, mvAx, mvAy, refGB, mvBx, mvBy,
+                colRef, colMvx, colMvy, mbAvail, m)
+              var q = 0
+              while (q < 4) {
+                if (subTypes(q) == 0) {
+                  val x0 = mbX * 16 + (q & 1) * 8
+                  val y0 = mbY * 16 + (q >> 1) * 8
+                  fillCells(refGA, mvAx, mvAy, x0, y0, 8, 8,
+                    quads(q)(0), quads(q)(1), r0)
+                  fillCells(refGB, mvBx, mvBy, x0, y0, 8, 8,
+                    quads(q)(2), quads(q)(3), r1)
+                }
+                q += 1
+              }
+            }
+            var list = 0
+            while (list < 2) {
+              val (rg, gxg, gyg) =
+                if (list == 0) (refGA, mvAx, mvAy)
+                else (refGB, mvBx, mvBy)
+              val mvsS = if (list == 0) mvsL0S(m) else mvsL1S(m)
+              var si = 0
+              var b8 = 0
+              while (b8 < 4) {
+                val t = subTypes(b8)
+                if (t != 0 && (bSubMode(t) == 2 || bSubMode(t) == list)) {
+                  val subs = bSubPartitions(t)
+                  var j = 0
+                  while (j < subs.length) {
+                    val (sx, sy, pw, ph) = subs(j)
+                    val x0 = mbX * 16 + (b8 & 1) * 8 + sx
+                    val y0 = mbY * 16 + (b8 >> 1) * 8 + sy
+                    val cur = ord(((b8 >> 1) * 8 + sy) / 4)(((b8 & 1) * 8 + sx) / 4)
+                    val (px, py) = mvpPart(widthMbs, heightMapUnits,
+                      rg, gxg, gyg, mbAvail, m,
+                      (cx, cy) => ord(cy % 4)(cx % 4) < cur,
+                      x0, y0, pw, ph, cur)
+                    w.se(mvsS(si)(0) - px)
+                    w.se(mvsS(si)(1) - py)
+                    fillCells(rg, gxg, gyg, x0, y0, pw, ph,
+                      mvsS(si)(0), mvsS(si)(1))
+                    si += 1
+                    j += 1
+                  }
+                }
+                b8 += 1
+              }
+              list += 1
+            }
           } else if (kind >= 6) {
             // two-partition type (Table 7-14): kind = mb_type + 2;
             // mirror of the decoder's list-major mvd order
@@ -3127,6 +3200,61 @@ object H264Cavlc {
         (4, 4, 4, 4)) // P_L0_4x4
     }
 
+  /** Table 7-17 B column: prediction mode per B sub_mb_type
+    * (0 = Pred_L0, 1 = Pred_L1, 2 = BiPred); sub_mb_type 0 is
+    * B_Direct_8x8, handled by the caller. */
+  private def bSubMode(t: Int): Int = t match {
+    case 1 | 4 | 5 | 10 => 0
+    case 2 | 6 | 7 | 11 => 1
+    case _ => 2 // 3, 8, 9, 12
+  }
+
+  /** Table 7-17 B column sub-partition geometry within the 8x8 block,
+    * in decoding order: 1..3 = one 8x8, 4/6/8 = two 8x4, 5/7/9 = two
+    * 4x8, 10..12 = four 4x4. */
+  private def bSubPartitions(t: Int): Array[(Int, Int, Int, Int)] =
+    t match {
+      case 1 | 2 | 3 => Array((0, 0, 8, 8))
+      case 4 | 6 | 8 => Array((0, 0, 8, 4), (0, 4, 8, 4))
+      case 5 | 7 | 9 => Array((0, 0, 4, 8), (4, 0, 4, 8))
+      case _ => Array((0, 0, 4, 4), (4, 0, 4, 4), (0, 4, 4, 4),
+        (4, 4, 4, 4))
+    }
+
+  /** Per-cell decoding ordinal of a B_8x8 macroblock (the B analogue
+    * of [[subPartCellOrder]]): a B_Direct_8x8 block is ONE partition
+    * in decoding order (its derived motion is available to later
+    * sub-partitions, 6.4.10.7). */
+  private def bSubPartCellOrder(subTypes: Array[Int]): Array[Array[Int]] = {
+    val ord = Array.ofDim[Int](4, 4)
+    var counter = 0
+    var b8 = 0
+    while (b8 < 4) {
+      val ox8 = (b8 & 1) * 8
+      val oy8 = (b8 >> 1) * 8
+      val subs =
+        if (subTypes(b8) == 0) Array((0, 0, 8, 8))
+        else bSubPartitions(subTypes(b8))
+      var j = 0
+      while (j < subs.length) {
+        val (sx, sy, pw, ph) = subs(j)
+        var cy = (oy8 + sy) / 4
+        while (cy < (oy8 + sy + ph) / 4) {
+          var cx = (ox8 + sx) / 4
+          while (cx < (ox8 + sx + pw) / 4) {
+            ord(cy)(cx) = counter
+            cx += 1
+          }
+          cy += 1
+        }
+        counter += 1
+        j += 1
+      }
+      b8 += 1
+    }
+    ord
+  }
+
   /** Per-cell decoding ordinal of a P_8x8 macroblock under the four
     * parsed sub_mb_types — the within-MB availability order for
     * sub-partition MVP (6.4.10.7: a partition later in decoding order
@@ -3631,15 +3759,77 @@ object H264Cavlc {
           qpy = decodeIntraMbInto(st, r, m, mbAvail, mbType - 23, qpy,
             cbQpOff, crQpOff, t8x8)
         } else {
-          require(mbType >= 0 && mbType <= 21,
-            s"mb $m: B mb_type $mbType outside the subset " +
-              "(B_8x8 sub-partitions are a boundary)")
+          require(mbType >= 0 && mbType <= 22,
+            s"mb $m: B mb_type $mbType out of range")
           val mbX = m % widthMbs
           val mbY = m / widthMbs
           if (mbType == 0) {
             // B_Direct_16x16: no mvd / ref_idx — motion is fully
             // derived; residual parses below like any inter MB
             directMotion(m)
+          } else if (mbType == 22) {
+            // B_8x8: sub_mb_pred (7.3.5.2) — four Table 7-17
+            // sub_mb_types, no ref_idx (one entry per list), then ALL
+            // mvd_l0 in decoding order (b8-major, sub-partition
+            // within), then all mvd_l1. B_Direct_8x8 blocks take the
+            // MB-level 8.4.1.2.2 spatial derivation (same MinPositive
+            // refIdx + 16x16 MVP + per-quadrant colZero as
+            // B_Direct_16x16) applied to their own quadrant; their
+            // derived cells are available to later sub-partitions'
+            // MVPs per the decoding-order predicate, and may be
+            // filled up front because the derivation itself reads
+            // only outside-MB neighbours.
+            val subTypes = Array.fill(4)(r.ue())
+            subTypes.foreach(t => require(t >= 0 && t <= 12,
+              s"mb $m: bad B sub_mb_type $t"))
+            val ord = bSubPartCellOrder(subTypes)
+            if (subTypes.contains(0)) {
+              val (r0, r1, quads) = spatialDirectMotion(widthMbs,
+                st.mapUnits, st.refG, st.mvGx, st.mvGy, st.refG1,
+                st.mvG1x, st.mvG1y, colRef, colMvx, colMvy, mbAvail, m)
+              var q = 0
+              while (q < 4) {
+                if (subTypes(q) == 0) {
+                  val x0 = mbX * 16 + (q & 1) * 8
+                  val y0 = mbY * 16 + (q >> 1) * 8
+                  fillCells(st.refG, st.mvGx, st.mvGy, x0, y0, 8, 8,
+                    quads(q)(0), quads(q)(1), r0)
+                  fillCells(st.refG1, st.mvG1x, st.mvG1y, x0, y0, 8, 8,
+                    quads(q)(2), quads(q)(3), r1)
+                }
+                q += 1
+              }
+            }
+            var list = 0
+            while (list < 2) {
+              val (rg, gxg, gyg) =
+                if (list == 0) (st.refG, st.mvGx, st.mvGy)
+                else (st.refG1, st.mvG1x, st.mvG1y)
+              var b8 = 0
+              while (b8 < 4) {
+                val t = subTypes(b8)
+                if (t != 0 && (bSubMode(t) == 2 || bSubMode(t) == list)) {
+                  val subs = bSubPartitions(t)
+                  var j = 0
+                  while (j < subs.length) {
+                    val (sx, sy, pw, ph) = subs(j)
+                    val x0 = mbX * 16 + (b8 & 1) * 8 + sx
+                    val y0 = mbY * 16 + (b8 >> 1) * 8 + sy
+                    val cur = ord(((b8 >> 1) * 8 + sy) / 4)(((b8 & 1) * 8 + sx) / 4)
+                    val (px, py) = mvpPart(widthMbs, st.mapUnits, rg,
+                      gxg, gyg, mbAvail, m,
+                      (cx, cy) => ord(cy % 4)(cx % 4) < cur,
+                      x0, y0, pw, ph, cur)
+                    val mvx = px + r.se()
+                    val mvy = py + r.se()
+                    fillCells(rg, gxg, gyg, x0, y0, pw, ph, mvx, mvy)
+                    j += 1
+                  }
+                }
+                b8 += 1
+              }
+              list += 1
+            }
           } else if (mbType >= 4) {
             // Table 7-14 two-partition types: mb_type = 4 + 2*pair +
             // shape (shape 0 = 16x8, 1 = 8x16), pair enumerating

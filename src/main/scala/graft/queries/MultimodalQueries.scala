@@ -49,7 +49,8 @@ object MultimodalQueries {
     "m31_video_multiref" -> m31,
     "m32_video_direct" -> m32,
     "m33_video_deblock" -> m33,
-    "m34_video_bparts" -> m34)
+    "m34_video_bparts" -> m34,
+    "m35_video_b8x8" -> m35)
 
   /** Inter prediction on the oracle gate (m28): each asset is a
     * two-frame GOP — an I_16x16-DC IDR whose four macroblocks settle
@@ -445,6 +446,100 @@ object MultimodalQueries {
         mbVal(y3, 0), mbVal(y3, 1), mbVal(y3, 2), mbVal(y3, 3), ys)
     }.toDF("doc_id", "width", "height", "q0", "q1", "q2", "q3",
       "w0", "w1", "w2", "w3", "y3_sum")
+  }
+
+  /** B_8x8 sub-partitions on the oracle gate (m35): an I-P-B GOP
+    * whose B picture is four B_8x8 macroblocks sweeping the whole
+    * Table 7-17 B column —
+    *
+    *  - MB0: L0_8x8 | L1_8x8 | Bi_8x8 | DIRECT_8x8 (the corner MB has
+    *    no neighbours, so the 8.4.1.2.2 derivation lands
+    *    directZeroPrediction: BOTH lists at refIdx 0, zero motion —
+    *    the quadrant is the exact bi-average of the two co-located
+    *    reference areas);
+    *  - MB1: 8x4 pair | 4x8 pair | 4x4 quad | 8x8, ALL Pred_L0 (nine
+    *    doc-selected sources from the P frame);
+    *  - MB2: the same geometry, ALL Pred_L1 (nine sources from the I
+    *    frame — a list-routing mirror of MB1);
+    *  - MB3: the same geometry, ALL BiPred (nine exact rounded
+    *    averages, two doc-selected sources each).
+    *
+    * Each mvd rides its per-list 8.4.1.3 predictor under the
+    * 6.4.10.7 sub-partition decoding-order availability (the direct
+    * quadrant's derived cells included); 7.3.5.2's per-list mvd order
+    * is load-bearing. Probes pin each macroblock's four 8x8-block
+    * corners; the y-sum pins all 31 sub-partitions.
+    *
+    * Scale: zero-shuffle per-asset map, like every codec query. */
+  private def m35: Q = (spark, dir) => {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val dc = Array.tabulate(4) { mb =>
+        val d = Array.ofDim[Int](4, 4)
+        d(0)(0) = ((id + mb) % 4).toInt
+        d
+      }
+      def src(k: Int): Int = ((id / k) % 4).toInt
+      def mv(mx: Int, my: Int, sIdx: Int): Array[Int] =
+        Array(((sIdx & 1) - mx) * 64, ((sIdx >> 1) - my) * 64)
+      val pKinds = Array(0, 0, 0, 0)
+      val pMvs = Array.tabulate(4)(m2 =>
+        Array(mv(m2 & 1, m2 >> 1, src(Seq(1, 3, 5, 7)(m2)))))
+      val pCoeffs = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+      for (m2 <- 0 until 4; blk <- 0 until 16)
+        pCoeffs(m2)(blk)(0) = (((id + m2) % 5) - 2).toInt
+      val bKinds = Array(24, 24, 24, 24)
+      val bSubTypes = Array(
+        Array(1, 2, 3, 0),    // L0 | L1 | Bi | direct
+        Array(4, 5, 10, 1),   // L0: 8x4 | 4x8 | 4x4 | 8x8
+        Array(6, 7, 11, 2),   // L1 mirror
+        Array(8, 9, 12, 3))   // Bi mirror
+      val k1 = Seq(19, 21, 23, 25, 29, 31, 37, 41, 43)
+      val k2 = Seq(47, 53, 59, 61, 67, 71, 73, 79, 83)
+      val k3a = Seq(89, 97, 101, 103, 107, 109, 113, 127, 131)
+      val k3b = Seq(137, 139, 149, 151, 157, 163, 167, 173, 179)
+      val mvsL0S = Array(
+        Array(mv(0, 0, src(9)), mv(0, 0, src(13))),
+        k1.map(k => mv(1, 0, src(k))).toArray,
+        Array.empty[Array[Int]],
+        k3a.map(k => mv(1, 1, src(k))).toArray)
+      val mvsL1S = Array(
+        Array(mv(0, 0, src(11)), mv(0, 0, src(17))),
+        Array.empty[Array[Int]],
+        k2.map(k => mv(0, 1, src(k))).toArray,
+        k3b.map(k => mv(1, 1, src(k))).toArray)
+      val bCoeffs = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+      val zz = Array(0, 0)
+      val es = graft.operators.H264.encodeSps(2, 2, 0, numRefFrames = 2) ++
+        graft.operators.H264.encodePps() ++
+        graft.operators.H264Cavlc.encodeIntra16Frame(2, 2, dc, qp = 36,
+          idrPicId = (id % 65536).toInt) ++
+        graft.operators.H264Cavlc.encodePFrame(2, 2, pKinds, pMvs,
+          pCoeffs, qp = 36, frameNum = 1) ++
+        graft.operators.H264Cavlc.encodeBFrame(2, 2, bKinds,
+          Array(zz, zz, zz, zz), Array(zz, zz, zz, zz), bCoeffs,
+          qp = 36, frameNum = 2, bSubTypes = bSubTypes,
+          mvsL0S = mvsL0S, mvsL1S = mvsL1S)
+      val frames = graft.operators.H264Cavlc.decodeIntra16FramesYuv(es)
+      require(frames.size == 3)
+      val y2 = frames(2)._3
+      def px(x: Int, yy: Int): Int = y2(yy * 32 + x) & 0xFF
+      var ys = 0L
+      var i = 0
+      while (i < y2.length) { ys += y2(i) & 0xFF; i += 1 }
+      // the four 8x8-block corners of each macroblock
+      def mbCorners(mx: Int, my: Int): (Int, Int, Int, Int) =
+        (px(mx * 16, my * 16), px(mx * 16 + 8, my * 16),
+          px(mx * 16, my * 16 + 8), px(mx * 16 + 8, my * 16 + 8))
+      val (a1, a2, a3, a4) = mbCorners(0, 0)
+      val (u0, u1, u2, u3) = mbCorners(1, 0)
+      val (w0, w1, w2, w3) = mbCorners(0, 1)
+      val (b0, b1, b2, b3) = mbCorners(1, 1)
+      (id, frames(2)._1, frames(2)._2, a1, a2, a3, a4,
+        u0, u1, u2, u3, w0, w1, w2, w3, b0, b1, b2, b3, ys)
+    }.toDF("doc_id", "width", "height", "a1", "a2", "a3", "a4",
+      "u0", "u1", "u2", "u3", "w0", "w1", "w2", "w3",
+      "b0", "b1", "b2", "b3", "y2_sum")
   }
 
   /** B two-partition types on the oracle gate (m34): an I-P-B GOP
@@ -1706,6 +1801,120 @@ object MultimodalQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // m35: the B_8x8 sweep replayed closed form — v/p chains as m30;
+    // one flat value per SUB-PARTITION (list routing picks the p- or
+    // v-chain; Bi and the directZeroPrediction quadrant land exact
+    // rounded averages); the y-sum weighs every sub-partition by its
+    // pixel area (8x8 = 64, 8x4/4x8 = 32, 4x4 = 16).
+    "m35_video_b8x8" ->
+      """WITH f AS (SELECT doc_id,
+        | (doc_id + 0) % 4 AS f0, (doc_id + 1) % 4 AS f1,
+        | (doc_id + 2) % 4 AS f2, (doc_id + 3) % 4 AS f3
+        | FROM documents),
+        |v AS (SELECT doc_id,
+        | 128 + (160*f0 + 32)//64 AS v0,
+        | v0 + (160*f1 + 32)//64 AS v1,
+        | v0 + (160*f2 + 32)//64 AS v2,
+        | (v1 + v2 + 1)//2 + (160*f3 + 32)//64 AS v3
+        | FROM f),
+        |p AS (SELECT doc_id, v0, v1, v2, v3,
+         | (CASE (doc_id // 1) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+ |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 0) % 5 - 2) AS p0,
+         | (CASE (doc_id // 3) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+ |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 1) % 5 - 2) AS p1,
+         | (CASE (doc_id // 5) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+ |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 2) % 5 - 2) AS p2,
+         | (CASE (doc_id // 7) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+ |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 3) % 5 - 2) AS p3
+         | FROM v),
+        |w AS (SELECT doc_id,
+         | (CASE (doc_id // 9) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+ |   WHEN 2 THEN p2 ELSE p3 END) AS a1,
+         | (CASE (doc_id // 11) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+ |   WHEN 2 THEN v2 ELSE v3 END) AS a2,
+         | ((CASE (doc_id // 13) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+ |   WHEN 2 THEN p2 ELSE p3 END) + (CASE (doc_id // 17) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+ |   WHEN 2 THEN v2 ELSE v3 END) + 1)//2 AS a3,
+         | (p0 + v0 + 1)//2 AS a4,
+         | (CASE (doc_id // 19) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+ |   WHEN 2 THEN p2 ELSE p3 END) AS m1s0,
+         | (CASE (doc_id // 21) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+ |   WHEN 2 THEN p2 ELSE p3 END) AS m1s1,
+         | (CASE (doc_id // 23) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+ |   WHEN 2 THEN p2 ELSE p3 END) AS m1s2,
+         | (CASE (doc_id // 25) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+ |   WHEN 2 THEN p2 ELSE p3 END) AS m1s3,
+         | (CASE (doc_id // 29) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+ |   WHEN 2 THEN p2 ELSE p3 END) AS m1s4,
+         | (CASE (doc_id // 31) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+ |   WHEN 2 THEN p2 ELSE p3 END) AS m1s5,
+         | (CASE (doc_id // 37) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+ |   WHEN 2 THEN p2 ELSE p3 END) AS m1s6,
+         | (CASE (doc_id // 41) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+ |   WHEN 2 THEN p2 ELSE p3 END) AS m1s7,
+         | (CASE (doc_id // 43) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+ |   WHEN 2 THEN p2 ELSE p3 END) AS m1s8,
+         | (CASE (doc_id // 47) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+ |   WHEN 2 THEN v2 ELSE v3 END) AS m2s0,
+         | (CASE (doc_id // 53) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+ |   WHEN 2 THEN v2 ELSE v3 END) AS m2s1,
+         | (CASE (doc_id // 59) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+ |   WHEN 2 THEN v2 ELSE v3 END) AS m2s2,
+         | (CASE (doc_id // 61) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+ |   WHEN 2 THEN v2 ELSE v3 END) AS m2s3,
+         | (CASE (doc_id // 67) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+ |   WHEN 2 THEN v2 ELSE v3 END) AS m2s4,
+         | (CASE (doc_id // 71) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+ |   WHEN 2 THEN v2 ELSE v3 END) AS m2s5,
+         | (CASE (doc_id // 73) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+ |   WHEN 2 THEN v2 ELSE v3 END) AS m2s6,
+         | (CASE (doc_id // 79) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+ |   WHEN 2 THEN v2 ELSE v3 END) AS m2s7,
+         | (CASE (doc_id // 83) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+ |   WHEN 2 THEN v2 ELSE v3 END) AS m2s8,
+         | ((CASE (doc_id // 89) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+ |   WHEN 2 THEN p2 ELSE p3 END) + (CASE (doc_id // 137) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+ |   WHEN 2 THEN v2 ELSE v3 END) + 1)//2 AS m3s0,
+         | ((CASE (doc_id // 97) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+ |   WHEN 2 THEN p2 ELSE p3 END) + (CASE (doc_id // 139) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+ |   WHEN 2 THEN v2 ELSE v3 END) + 1)//2 AS m3s1,
+         | ((CASE (doc_id // 101) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+ |   WHEN 2 THEN p2 ELSE p3 END) + (CASE (doc_id // 149) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+ |   WHEN 2 THEN v2 ELSE v3 END) + 1)//2 AS m3s2,
+         | ((CASE (doc_id // 103) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+ |   WHEN 2 THEN p2 ELSE p3 END) + (CASE (doc_id // 151) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+ |   WHEN 2 THEN v2 ELSE v3 END) + 1)//2 AS m3s3,
+         | ((CASE (doc_id // 107) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+ |   WHEN 2 THEN p2 ELSE p3 END) + (CASE (doc_id // 157) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+ |   WHEN 2 THEN v2 ELSE v3 END) + 1)//2 AS m3s4,
+         | ((CASE (doc_id // 109) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+ |   WHEN 2 THEN p2 ELSE p3 END) + (CASE (doc_id // 163) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+ |   WHEN 2 THEN v2 ELSE v3 END) + 1)//2 AS m3s5,
+         | ((CASE (doc_id // 113) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+ |   WHEN 2 THEN p2 ELSE p3 END) + (CASE (doc_id // 167) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+ |   WHEN 2 THEN v2 ELSE v3 END) + 1)//2 AS m3s6,
+         | ((CASE (doc_id // 127) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+ |   WHEN 2 THEN p2 ELSE p3 END) + (CASE (doc_id // 173) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+ |   WHEN 2 THEN v2 ELSE v3 END) + 1)//2 AS m3s7,
+         | ((CASE (doc_id // 131) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+ |   WHEN 2 THEN p2 ELSE p3 END) + (CASE (doc_id // 179) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+ |   WHEN 2 THEN v2 ELSE v3 END) + 1)//2 AS m3s8
+         | FROM p)
+        |SELECT doc_id, 32 AS width, 32 AS height,
+         | CAST(a1 AS INTEGER) AS a1, CAST(a2 AS INTEGER) AS a2,
+         | CAST(a3 AS INTEGER) AS a3, CAST(a4 AS INTEGER) AS a4,
+         | CAST(m1s0 AS INTEGER) AS u0, CAST(m1s2 AS INTEGER) AS u1,
+         | CAST(m1s4 AS INTEGER) AS u2, CAST(m1s8 AS INTEGER) AS u3,
+         | CAST(m2s0 AS INTEGER) AS w0, CAST(m2s2 AS INTEGER) AS w1,
+         | CAST(m2s4 AS INTEGER) AS w2, CAST(m2s8 AS INTEGER) AS w3,
+         | CAST(m3s0 AS INTEGER) AS b0, CAST(m3s2 AS INTEGER) AS b1,
+         | CAST(m3s4 AS INTEGER) AS b2, CAST(m3s8 AS INTEGER) AS b3,
+         | CAST(64*(a1 + a2 + a3 + a4)
+         |  + 32*(m1s0 + m1s1 + m1s2 + m1s3) + 16*(m1s4 + m1s5 + m1s6 + m1s7) + 64*m1s8
+         |  + 32*(m2s0 + m2s1 + m2s2 + m2s3) + 16*(m2s4 + m2s5 + m2s6 + m2s7) + 64*m2s8
+         |  + 32*(m3s0 + m3s1 + m3s2 + m3s3) + 16*(m3s4 + m3s5 + m3s6 + m3s7) + 64*m3s8
+         |  AS BIGINT) AS y2_sum
+        |FROM w""".stripMargin,
     // m34: the B two-partition GOP replayed closed form — v/p chains
     // as m30, then one flat value per PARTITION: list routing picks
     // the p-chain (L0 -> the P frame) or the v-chain (L1 -> the I

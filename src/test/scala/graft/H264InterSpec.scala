@@ -1029,6 +1029,76 @@ class H264InterSpec extends AnyFunSuite {
     }
   }
 
+  test("B_Direct_8x8: the MB-level spatial derivation drives all-direct " +
+    "B_8x8 macroblocks, colZero in both polarities") {
+    // I-P1-P2-B GOP (the m32 shape): the B's co-located picture is P1
+    // with a live motion field. MB0 is an explicit B_L0_16x16 whose
+    // vector selects source s0 in P2; MB1 is B_8x8 with FOUR direct
+    // sub-blocks — no mvd anywhere in it, so nothing cancels through
+    // the encoder mirror: refIdxL0 = MinPositive{A=0} = 0, refIdxL1 =
+    // -1 (L0-only), MVP = mvA (left-only rule), and the per-quadrant
+    // colZeroFlag comes from P1's co-located MB1: when P1's MB1
+    // sourced ITSELF its vector is zero and every quadrant collapses
+    // onto P2's co-located MB1; otherwise the MB reads P2 at MB0's
+    // vector (landing in MB column 1 by the clamp argument).
+    for (s0 <- 0 until 4; colZero <- Seq(true, false)) {
+      val dc = Array.tabulate(4) { mb =>
+        val d = Array.ofDim[Int](4, 4)
+        d(0)(0) = mb
+        d
+      }
+      def mvTo(mx: Int, my: Int, s: Int) =
+        Array(((s & 1) - mx) * 64, ((s >> 1) - my) * 64)
+      val pKinds = Array(0, 0, 0, 0)
+      val p1Src = Array(2, if (colZero) 1 else 0, 3, 0)
+      val p1Mvs = Array.tabulate(4)(m => Array(mvTo(m & 1, m >> 1, p1Src(m))))
+      val p2Mvs = Array.tabulate(4)(m => Array(mvTo(m & 1, m >> 1, (m + 1) % 4)))
+      val pCoeffs = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+      val cs = Array(2, -1, 1, -2)
+      for (m <- 0 until 4; blk <- 0 until 16) pCoeffs(m)(blk)(0) = cs(m)
+      val colRef = Array.fill(8, 8)(0)
+      val colMvx = Array.ofDim[Int](8, 8)
+      val colMvy = Array.ofDim[Int](8, 8)
+      for (m <- 0 until 4; cy <- 0 until 4; cx <- 0 until 4) {
+        colMvx((m >> 1) * 4 + cy)((m & 1) * 4 + cx) = p1Mvs(m)(0)(0)
+        colMvy((m >> 1) * 4 + cy)((m & 1) * 4 + cx) = p1Mvs(m)(0)(1)
+      }
+      val bKinds = Array(0, 24, 5, 5) // explicit L0 | all-direct 8x8 | skips
+      val bSubTypes = Array[Array[Int]](null, Array(0, 0, 0, 0), null, null)
+      val bMvs0 = Array(mvTo(0, 0, s0), Array(0, 0), Array(0, 0), Array(0, 0))
+      val zz = Array(0, 0)
+      val bCoeffs = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+      val noMvs = Array.fill(4)(Array.empty[Array[Int]])
+      val es = H264.encodeSps(2, 2, 0, numRefFrames = 2) ++
+        H264.encodePps() ++
+        H264Cavlc.encodeIntra16Frame(2, 2, dc, qp = 36, idrPicId = s0) ++
+        H264Cavlc.encodePFrame(2, 2, pKinds, p1Mvs, pCoeffs, qp = 36,
+          frameNum = 1) ++
+        H264Cavlc.encodePFrame(2, 2, pKinds, p2Mvs, pCoeffs, qp = 36,
+          frameNum = 2) ++
+        H264Cavlc.encodeBFrame(2, 2, bKinds, bMvs0,
+          Array(zz, zz, zz, zz), bCoeffs, qp = 36, frameNum = 3,
+          colRef = colRef, colMvx = colMvx, colMvy = colMvy,
+          bSubTypes = bSubTypes, mvsL0S = noMvs, mvsL1S = noMvs)
+      val frames = H264Cavlc.decodeIntra16FramesYuv(es)
+      assert(frames.size === 4)
+      val yP2 = frames(2)._3
+      val yB = frames(3)._3
+      def flat(y: Array[Byte], s: Int): Int =
+        y(((s >> 1) * 16) * 32 + (s & 1) * 16) & 0xFF
+      val expMb0 = flat(yP2, s0)
+      val expMb1 =
+        if (colZero) flat(yP2, 1)
+        else flat(yP2, (s0 >> 1) * 2 + 1)
+      for (yy <- 0 until 16; xx <- 0 until 16) {
+        assert((yB(yy * 32 + xx) & 0xFF) === expMb0,
+          s"s0=$s0 cz=$colZero MB0 ($xx,$yy)")
+        assert((yB(yy * 32 + 16 + xx) & 0xFF) === expMb1,
+          s"s0=$s0 cz=$colZero MB1 ($xx,$yy)")
+      }
+    }
+  }
+
   test("I_PCM macroblocks decode inside the general path with nC = 16") {
     val rnd = new scala.util.Random(29L)
     val f0Y = Array.tabulate(16 * 16)(i => ((i * 7 + 3) % 256))
