@@ -154,9 +154,12 @@ object H264 {
     }
   }
 
-  /** Parsed SPS — the fields a pipeline filters on. */
+  /** Parsed SPS — the fields a pipeline filters on, plus the POC
+    * machinery the decoder needs (pic_order_cnt_type and, for type 0,
+    * MaxPicOrderCntLsb = 2^(log2_max_pic_order_cnt_lsb_minus4 + 4)). */
   case class SpsInfo(profileIdc: Int, levelIdc: Int, spsId: Int,
-      chromaFormatIdc: Int, width: Int, height: Int, frameMbsOnly: Boolean)
+      chromaFormatIdc: Int, width: Int, height: Int, frameMbsOnly: Boolean,
+      pocType: Int = 2, maxPocLsb: Int = 16)
 
   private val HighProfiles =
     Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
@@ -186,8 +189,10 @@ object H264 {
       }
     }
     r.ue() // log2_max_frame_num_minus4
-    r.ue() match { // pic_order_cnt_type
-      case 0 => r.ue()
+    val pocType = r.ue() // pic_order_cnt_type
+    var maxPocLsb = 16
+    pocType match {
+      case 0 => maxPocLsb = 1 << (r.ue() + 4)
       case 1 =>
         r.u(1); r.se(); r.se()
         val n = r.ue()
@@ -215,7 +220,8 @@ object H264 {
     val width = picWidthInMbs * 16 - cropUnitX * (cropL + cropR)
     val height = (if (frameMbsOnly) 1 else 2) * picHeightInMapUnits * 16 -
       cropUnitY * (cropT + cropB)
-    SpsInfo(profile, level, spsId, chromaFormatIdc, width, height, frameMbsOnly)
+    SpsInfo(profile, level, spsId, chromaFormatIdc, width, height,
+      frameMbsOnly, pocType, maxPocLsb)
   }
 
   private def skipScalingList(r: BitReader, size: Int): Unit = {
@@ -271,13 +277,18 @@ object H264 {
     * references; pic_order_cnt_type 2 keeps output order = decode
     * order, so no POC syntax is needed). */
   def encodeSps(widthMbs: Int, heightMapUnits: Int, cropBottom: Int,
-      levelIdc: Int = 30, numRefFrames: Int = 1): Array[Byte] = {
+      levelIdc: Int = 30, numRefFrames: Int = 1,
+      pocType: Int = 2): Array[Byte] = {
+    require(pocType == 0 || pocType == 2, s"pocType $pocType unsupported")
     val w = new BitWriter
     w.u(66, 8) // profile_idc: baseline (no chroma branch in SPS)
     w.u(0, 8).u(levelIdc, 8)
     w.ue(0) // sps id
     w.ue(4) // log2_max_frame_num_minus4
-    w.ue(2) // pic_order_cnt_type 2 (no extra fields)
+    w.ue(pocType) // pic_order_cnt_type: 2 = decode order IS output
+    // order (the low-delay subset); 0 = explicit pic_order_cnt_lsb in
+    // every slice header (display-reordered B pictures)
+    if (pocType == 0) w.ue(0) // log2_max_pic_order_cnt_lsb_minus4 -> 16
     w.ue(numRefFrames) // max_num_ref_frames
     w.u(0, 1) // gaps_in_frame_num
     w.ue(widthMbs - 1)

@@ -1141,7 +1141,8 @@ object H264Cavlc {
       cbAc: Array[Array[Array[Int]]] = null,
       crAc: Array[Array[Array[Int]]] = null,
       sliceStarts: Array[Int] = Array(0),
-      deblockIdc: Int = -1): Array[Byte] = {
+      deblockIdc: Int = -1,
+      pocLsb: Int = -1): Array[Byte] = {
     require(dcLevels.length == widthMbs * heightMapUnits)
     require(qp >= 1 && qp <= 51, s"qp out of range: $qp")
     if (acLevels != null) {
@@ -1233,6 +1234,7 @@ object H264Cavlc {
         w.ue(0) // pps id
         w.u(0, 8) // frame_num = 0 (IDR, 7.4.3)
         w.ue(idrPicId & 0xFFFF)
+        if (pocLsb >= 0) w.u(pocLsb & 15, 4) // pic_order_cnt_lsb
         w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking (IDR form)
         w.se(qp - 1 - 26) // slice_qp_delta: SliceQPy = qp - 1
         writeDeblockTail(w, deblockIdc)
@@ -1791,7 +1793,8 @@ object H264Cavlc {
       subTypes: Array[Array[Int]] = null,
       numRefIdxL0: Int = 1,
       refIdxs: Array[Array[Int]] = null,
-      deblockIdc: Int = -1): Array[Byte] = {
+      deblockIdc: Int = -1,
+      pocLsb: Int = -1): Array[Byte] = {
     // subTypes(m): kind-5 MBs' four sub_mb_types (Table 7-17:
     // 0 = 8x8, 1 = 8x4, 2 = 4x8, 3 = 4x4); null = all P_L0_8x8.
     // For kind 5, mvs(m) holds one (mvx, mvy) per SUB-partition in
@@ -1867,6 +1870,7 @@ object H264Cavlc {
         w.ue(5) // slice_type: P (all slices of the picture are P)
         w.ue(0) // pps id
         w.u(frameNum & 0xFF, 8)
+        if (pocLsb >= 0) w.u(pocLsb & 15, 4) // pic_order_cnt_lsb
         if (numRefIdxL0 == 2) { // num_ref_idx_active_override_flag
           w.u(1, 1)
           w.ue(1) // num_ref_idx_l0_active_minus1
@@ -2042,7 +2046,18 @@ object H264Cavlc {
       mvsL1P: Array[Array[Array[Int]]] = null,
       bSubTypes: Array[Array[Int]] = null,
       mvsL0S: Array[Array[Array[Int]]] = null,
-      mvsL1S: Array[Array[Array[Int]]] = null): Array[Byte] = {
+      mvsL1S: Array[Array[Array[Int]]] = null,
+      directSpatial: Boolean = true,
+      pocLsb: Int = -1,
+      curPoc: Int = 0,
+      list0Pocs: Array[Int] = null,
+      list1Poc: Int = 0,
+      colL0Pocs: Array[Int] = null): Array[Byte] = {
+    // directSpatial = false codes direct_spatial_mv_pred_flag = 0:
+    // the 8.4.1.2.3 TEMPORAL derivation, which needs the POC context
+    // (curPoc / list0Pocs / list1Poc / colL0Pocs mirroring the
+    // decoder's picture state). pocLsb >= 0 writes pic_order_cnt_lsb
+    // (4 bits — log2_max_pic_order_cnt_lsb_minus4 = 0 SPS).
     // kinds 6..23 = the Table 7-14 two-partition types (mb_type =
     // kind - 2, i.e. 4..21): mvsL0P(m)/mvsL1P(m) carry one (mvx, mvy)
     // PER PARTITION for each list the partition uses (ignored slots
@@ -2110,7 +2125,8 @@ object H264Cavlc {
         w.ue(6) // slice_type: B (all slices of the picture are B)
         w.ue(0) // pps id
         w.u(frameNum & 0xFF, 8)
-        w.u(1, 1) // direct_spatial_mv_pred_flag: 8.4.1.2.2 spatial
+        if (pocLsb >= 0) w.u(pocLsb & 15, 4) // pic_order_cnt_lsb
+        w.u(if (directSpatial) 1 else 0, 1) // direct_spatial_mv_pred_flag
         w.u(0, 1) // num_ref_idx_active_override_flag
         w.u(0, 1) // ref_pic_list_modification_flag_l0
         w.u(0, 1) // ref_pic_list_modification_flag_l1
@@ -2125,8 +2141,13 @@ object H264Cavlc {
           require(!chroma || (cbDc(m).forall(_.forall(_ == 0)) &&
             crDc(m).forall(_.forall(_ == 0))),
             s"mb $m: B_Skip cannot carry chroma DC")
-          fillDirectMb(widthMbs, heightMapUnits, refGA, mvAx, mvAy,
-            refGB, mvBx, mvBy, colRef, colMvx, colMvy, mbAvail, m)
+          if (directSpatial)
+            fillDirectMb(widthMbs, heightMapUnits, refGA, mvAx, mvAy,
+              refGB, mvBx, mvBy, colRef, colMvx, colMvy, mbAvail, m)
+          else
+            fillTemporalDirectMb(widthMbs, refGA, mvAx, mvAy, refGB,
+              mvBx, mvBy, colRef, colMvx, colMvy, colL0Pocs, curPoc,
+              list0Pocs, list1Poc, m)
           skipRun += 1
         case 3 => // intra-in-B: all-zero I_16x16_2_0_0 (mb_type 23 + 3)
           w.ue(skipRun); skipRun = 0
@@ -2142,8 +2163,13 @@ object H264Cavlc {
             // B_Direct_16x16 (mb_type 0): motion fully derived, no
             // mvd/ref_idx — only the residual tail follows
             w.ue(0)
-            fillDirectMb(widthMbs, heightMapUnits, refGA, mvAx, mvAy,
-              refGB, mvBx, mvBy, colRef, colMvx, colMvy, mbAvail, m)
+            if (directSpatial)
+              fillDirectMb(widthMbs, heightMapUnits, refGA, mvAx, mvAy,
+                refGB, mvBx, mvBy, colRef, colMvx, colMvy, mbAvail, m)
+            else
+              fillTemporalDirectMb(widthMbs, refGA, mvAx, mvAy, refGB,
+                mvBx, mvBy, colRef, colMvx, colMvy, colL0Pocs, curPoc,
+                list0Pocs, list1Poc, m)
           } else if (kind == 24) {
             // B_8x8 (mb_type 22): mirror of the decoder's
             // sub_mb_pred — direct quadrants derived and filled up
@@ -2156,20 +2182,37 @@ object H264Cavlc {
             subTypes.foreach(t => w.ue(t))
             val ord = bSubPartCellOrder(subTypes)
             if (subTypes.contains(0)) {
-              val (r0, r1, quads) = spatialDirectMotion(widthMbs,
-                heightMapUnits, refGA, mvAx, mvAy, refGB, mvBx, mvBy,
-                colRef, colMvx, colMvy, mbAvail, m)
-              var q = 0
-              while (q < 4) {
-                if (subTypes(q) == 0) {
-                  val x0 = mbX * 16 + (q & 1) * 8
-                  val y0 = mbY * 16 + (q >> 1) * 8
-                  fillCells(refGA, mvAx, mvAy, x0, y0, 8, 8,
-                    quads(q)(0), quads(q)(1), r0)
-                  fillCells(refGB, mvBx, mvBy, x0, y0, 8, 8,
-                    quads(q)(2), quads(q)(3), r1)
+              if (directSpatial) {
+                val (r0, r1, quads) = spatialDirectMotion(widthMbs,
+                  heightMapUnits, refGA, mvAx, mvAy, refGB, mvBx, mvBy,
+                  colRef, colMvx, colMvy, mbAvail, m)
+                var q = 0
+                while (q < 4) {
+                  if (subTypes(q) == 0) {
+                    val x0 = mbX * 16 + (q & 1) * 8
+                    val y0 = mbY * 16 + (q >> 1) * 8
+                    fillCells(refGA, mvAx, mvAy, x0, y0, 8, 8,
+                      quads(q)(0), quads(q)(1), r0)
+                    fillCells(refGB, mvBx, mvBy, x0, y0, 8, 8,
+                      quads(q)(2), quads(q)(3), r1)
+                  }
+                  q += 1
                 }
-                q += 1
+              } else {
+                val quads = temporalDirectMotion(colRef, colMvx, colMvy,
+                  colL0Pocs, curPoc, list0Pocs, list1Poc, mbX, mbY)
+                var q = 0
+                while (q < 4) {
+                  if (subTypes(q) == 0) {
+                    val x0 = mbX * 16 + (q & 1) * 8
+                    val y0 = mbY * 16 + (q >> 1) * 8
+                    fillCells(refGA, mvAx, mvAy, x0, y0, 8, 8,
+                      quads(q)(1), quads(q)(2), quads(q)(0))
+                    fillCells(refGB, mvBx, mvBy, x0, y0, 8, 8,
+                      quads(q)(3), quads(q)(4), 0)
+                  }
+                  q += 1
+                }
               }
             }
             var list = 0
@@ -2386,9 +2429,19 @@ object H264Cavlc {
     // flushes it (8.2.5.1). Each entry carries the picture's three
     // sample planes AND its list-0 motion field (refG, mvGx, mvGy) —
     // the co-located data 8.4.1.2.2 spatial direct reads off list1[0]
-    var refs: List[((Array[Byte], Array[Byte], Array[Byte]),
-      (Array[Array[Int]], Array[Array[Int]], Array[Array[Int]]))] = Nil
+    // One sliding-window DPB entry: sample planes, list-0 motion
+    // field (for spatial/temporal direct co-location), the picture's
+    // POC, and the POCs ITS list0 referenced at decode time (the
+    // refPicCol identity 8.4.1.2.3 temporal direct maps through).
+    case class DpbRef(planes: (Array[Byte], Array[Byte], Array[Byte]),
+        motion: (Array[Array[Int]], Array[Array[Int]], Array[Array[Int]]),
+        poc: Int, l0Pocs: Array[Int])
+    var refs: List[DpbRef] = Nil
     var picIsRef = false
+    // 8.2.1.1 pic_order_cnt_type 0 state: PicOrderCntMsb/Lsb of the
+    // previous REFERENCE picture in decode order (IDR resets)
+    var prevPocMsb = 0
+    var prevPocLsb = 0
     nals.foreach { case (refIdc, tpe, ebsp) =>
       tpe match {
         case 7 => if (sps.isEmpty) sps = Some(H264.parseSps(H264.ebspToRbsp(ebsp)))
@@ -2426,27 +2479,72 @@ object H264Cavlc {
           // each is independently entropy-decodable (nC/prediction
           // never cross the boundary), which is what makes slices the
           // format's parallel decode unit
-          val (firstMb, sliceType) = {
-            val pk = new BitReader(rbsp); (pk.ue(), pk.ue())
+          // peek the header through pic_order_cnt_lsb: the POC must
+          // be known BEFORE reference lists are built
+          val (firstMb, sliceType, pocLsb, frameNum) = {
+            val pk = new BitReader(rbsp)
+            val fm = pk.ue()
+            val stp = pk.ue()
+            pk.ue() // pps id
+            val fn = pk.u(8) // frame_num (log2_max_frame_num = 8)
+            if (tpe == 5) pk.ue() // idr_pic_id
+            val lsb = if (s.pocType == 0)
+              pk.u(Integer.numberOfTrailingZeros(s.maxPocLsb)) else 0
+            (fm, stp, lsb, fn)
           }
           if (firstMb == 0) {
             pic.foreach { st =>
               out += st.finish()
               // a REFERENCE picture's uncropped planes join the
               // sliding-window DPB (most recent first), together with
-              // its motion field for spatial-direct co-location
+              // its motion field and POC bookkeeping
               if (picIsRef)
-                refs = (((st.plane, st.cbPlane, st.crPlane),
-                  (st.refG, st.mvGx, st.mvGy)) :: refs).take(2)
+                refs = (DpbRef((st.plane, st.cbPlane, st.crPlane),
+                  (st.refG, st.mvGx, st.mvGy), st.poc,
+                  st.list0Pocs) :: refs).take(2)
             }
-            if (tpe == 5) refs = Nil // IDR flush (8.2.5.1)
+            if (tpe == 5) { refs = Nil; prevPocMsb = 0; prevPocLsb = 0 }
             pic = Some(new PicState(s))
             picIsRef = refIdc != 0
-            // list0[0] = most recent past reference; list1[0] = the
-            // older one (low-delay B: the 8.2.4.2.5 swap's net effect)
-            pic.get.refPic = refs.headOption.map(_._1)
-            pic.get.refPic1 = refs.drop(1).headOption.map(_._1)
-            pic.get.colMotion = refs.drop(1).headOption.map(_._2).orNull
+            // POC (8.2.1): type 2 orders by decode (non-reference
+            // pictures sit between their neighbours); type 0 decodes
+            // pic_order_cnt_lsb with MSB wrap against the previous
+            // reference picture
+            val poc =
+              if (s.pocType == 0) {
+                val half = s.maxPocLsb / 2
+                val msb =
+                  if (pocLsb < prevPocLsb && prevPocLsb - pocLsb >= half)
+                    prevPocMsb + s.maxPocLsb
+                  else if (pocLsb > prevPocLsb && pocLsb - prevPocLsb > half)
+                    prevPocMsb - s.maxPocLsb
+                  else prevPocMsb
+                if (refIdc != 0) { prevPocMsb = msb; prevPocLsb = pocLsb }
+                msb + pocLsb
+              } else 2 * frameNum - (if (refIdc == 0) 1 else 0)
+            val st = pic.get
+            st.poc = poc
+            // 8.2.4.2 frame reference lists from the POC-bucketed
+            // DPB: list0 = past (POC descending) then future (POC
+            // ascending); list1 = the mirror; when both lists come
+            // out identical with 2+ entries, 8.2.4.2.5 swaps list1's
+            // first two — the low-delay all-past case degenerates to
+            // exactly the old most-recent / older assignment
+            val past = refs.filter(_.poc < poc).sortBy(-_.poc)
+            val future = refs.filter(_.poc > poc).sortBy(_.poc)
+            val l0 = past ++ future
+            val l1base = future ++ past
+            val l1 =
+              if (l1base.length >= 2 &&
+                l1base.map(_.poc) == l0.map(_.poc))
+                l1base(1) :: l1base(0) :: l1base.drop(2)
+              else l1base
+            st.refPic = l0.headOption.map(_.planes)
+            st.refPic1 = l1.headOption.map(_.planes)
+            st.colMotion = l1.headOption.map(_.motion).orNull
+            st.list0Pocs = l0.map(_.poc).toArray
+            st.list1Poc = l1.headOption.map(_.poc).getOrElse(0)
+            st.colL0Pocs = l1.headOption.map(_.l0Pocs).orNull
           }
           val st = pic.getOrElse(throw new IllegalArgumentException(
             "slice with first_mb_in_slice != 0 before a picture start"))
@@ -2563,6 +2661,14 @@ object H264Cavlc {
     // (list1[0]) for 8.4.1.2.2 spatial direct; null = no motion data
     // (co-located picture is an IDR / all-intra, or absent)
     var colMotion: (Array[Array[Int]], Array[Array[Int]], Array[Array[Int]]) = null
+    // POC bookkeeping for temporal direct (8.4.1.2.3): this picture's
+    // POC, the POCs of its list0 entries, the POC of list1[0] (the
+    // co-located picture), and the POCs the CO-LOCATED picture's own
+    // list0 referenced (refPicCol identity; null = intra co-located)
+    var poc = 0
+    var list0Pocs: Array[Int] = Array.empty
+    var list1Poc = 0
+    var colL0Pocs: Array[Int] = null
     var nextMb = 0
     var nextSliceId = 0
     // 8.7 deblocking metadata: per-MB QPy (I_PCM records 0, 8.7.2),
@@ -3141,6 +3247,75 @@ object H264Cavlc {
     (r0, r1, quads)
   }
 
+  /** Temporal direct luma motion (8.4.1.2.3, direct_spatial_mv_pred
+    * = 0, direct_8x8_inference = 1): per 8x8 quadrant the co-located
+    * corner cell's list-0 motion is scaled by POC distances —
+    * refIdxL0 maps the co-located block's reference picture into the
+    * CURRENT list0 by POC identity, refIdxL1 = 0, and
+    *   tx  = (16384 + |td/2|) / td
+    *   DSF = Clip3(-1024, 1023, (tb*tx + 32) >> 6)
+    *   mvL0 = (DSF * mvCol + 128) >> 8,  mvL1 = mvL0 - mvCol
+    * with tb/td the Clip3(-128,127) POC deltas. An intra co-located
+    * block contributes mvCol = 0 at refIdxCol = 0; a co-located
+    * reference outside the current list0 is a loud error (only
+    * constructible outside the POC-0 reordered-GOP subset).
+    * Returns per-quadrant Array(refIdxL0, mv0x, mv0y, mv1x, mv1y). */
+  private def temporalDirectMotion(colRef: Array[Array[Int]],
+      colMvx: Array[Array[Int]], colMvy: Array[Array[Int]],
+      colL0Pocs: Array[Int], curPoc: Int, list0Pocs: Array[Int],
+      list1Poc: Int, mbX: Int, mbY: Int): Array[Array[Int]] = {
+    def clipD(v: Int) = math.max(-128, math.min(127, v))
+    Array.tabulate(4) { q =>
+      val ccx = mbX * 4 + (if ((q & 1) == 1) 3 else 0)
+      val ccy = mbY * 4 + (if ((q >> 1) == 1) 3 else 0)
+      val (refIdxCol, mvColX, mvColY) =
+        if (colRef == null || colRef(ccy)(ccx) < 0) (0, 0, 0)
+        else (colRef(ccy)(ccx), colMvx(ccy)(ccx), colMvy(ccy)(ccx))
+      require(colL0Pocs != null && refIdxCol < colL0Pocs.length,
+        "temporal direct: co-located picture has no reference list")
+      val refIdxL0 = list0Pocs.indexOf(colL0Pocs(refIdxCol))
+      require(refIdxL0 >= 0,
+        "temporal direct: co-located reference picture not in list0")
+      val tb = clipD(curPoc - list0Pocs(refIdxL0))
+      val td = clipD(list1Poc - list0Pocs(refIdxL0))
+      if (td == 0) Array(refIdxL0, mvColX, mvColY, 0, 0)
+      else {
+        val tx = (16384 + math.abs(td / 2)) / td
+        val dsf = math.max(-1024, math.min(1023, (tb * tx + 32) >> 6))
+        val mv0x = (dsf * mvColX + 128) >> 8
+        val mv0y = (dsf * mvColY + 128) >> 8
+        Array(refIdxL0, mv0x, mv0y, mv0x - mvColX, mv0y - mvColY)
+      }
+    }
+  }
+
+  /** Fill the motion grids of a temporal-direct B_Direct_16x16 /
+    * B_Skip macroblock; shared by the decoder and the fixture
+    * encoder's mirror, like [[fillDirectMb]]. */
+  private def fillTemporalDirectMb(widthMbs: Int,
+      refG0: Array[Array[Int]], mv0x: Array[Array[Int]],
+      mv0y: Array[Array[Int]],
+      refG1: Array[Array[Int]], mv1x: Array[Array[Int]],
+      mv1y: Array[Array[Int]],
+      colRef: Array[Array[Int]], colMvx: Array[Array[Int]],
+      colMvy: Array[Array[Int]], colL0Pocs: Array[Int],
+      curPoc: Int, list0Pocs: Array[Int], list1Poc: Int, m: Int): Unit = {
+    val mbX = m % widthMbs
+    val mbY = m / widthMbs
+    val quads = temporalDirectMotion(colRef, colMvx, colMvy, colL0Pocs,
+      curPoc, list0Pocs, list1Poc, mbX, mbY)
+    var q = 0
+    while (q < 4) {
+      val x0 = mbX * 16 + (q & 1) * 8
+      val y0 = mbY * 16 + (q >> 1) * 8
+      fillCells(refG0, mv0x, mv0y, x0, y0, 8, 8,
+        quads(q)(1), quads(q)(2), quads(q)(0))
+      fillCells(refG1, mv1x, mv1y, x0, y0, 8, 8,
+        quads(q)(3), quads(q)(4), 0)
+      q += 1
+    }
+  }
+
   /** Record one partition's motion into the 4x4-cell grids. */
   private def fillCells(refG: Array[Array[Int]], mvGx: Array[Array[Int]],
       mvGy: Array[Array[Int]], x0: Int, y0: Int, pw: Int, ph: Int,
@@ -3468,7 +3643,8 @@ object H264Cavlc {
     require(sliceType == 0 || sliceType == 5, s"not a P slice: $sliceType")
     r.ue() // pps id
     r.u(8) // frame_num
-    // pic_order_cnt_type 2: no POC fields; non-IDR: no idr_pic_id
+    if (st.s.pocType == 0) // pic_order_cnt_lsb (POC set at pic start)
+      r.u(Integer.numberOfTrailingZeros(st.s.maxPocLsb))
     var numL0 = 1
     if (r.u(1) == 1) { // num_ref_idx_active_override_flag
       numL0 = r.ue() + 1
@@ -3701,6 +3877,8 @@ object H264Cavlc {
     require(sliceType == 1 || sliceType == 6, s"not a B slice: $sliceType")
     r.ue() // pps id
     r.u(8) // frame_num
+    if (st.s.pocType == 0) // pic_order_cnt_lsb (POC set at pic start)
+      r.u(Integer.numberOfTrailingZeros(st.s.maxPocLsb))
     val directSpatial = r.u(1) // direct_spatial_mv_pred_flag
     if (r.u(1) == 1) { // num_ref_idx_active_override_flag
       require(r.ue() == 0 && r.ue() == 0,
@@ -3718,12 +3896,14 @@ object H264Cavlc {
       (x, y) => st.mbSlice(y * widthMbs + x) == sliceId
     val (colRef, colMvx, colMvy) =
       if (st.colMotion == null) (null, null, null) else st.colMotion
-    def directMotion(m: Int): Unit = {
-      require(directSpatial == 1,
-        "temporal direct (direct_spatial_mv_pred_flag = 0) not supported")
-      fillDirectMb(widthMbs, st.mapUnits, st.refG, st.mvGx, st.mvGy,
-        st.refG1, st.mvG1x, st.mvG1y, colRef, colMvx, colMvy, mbAvail, m)
-    }
+    def directMotion(m: Int): Unit =
+      if (directSpatial == 1)
+        fillDirectMb(widthMbs, st.mapUnits, st.refG, st.mvGx, st.mvGy,
+          st.refG1, st.mvG1x, st.mvG1y, colRef, colMvx, colMvy, mbAvail, m)
+      else
+        fillTemporalDirectMb(widthMbs, st.refG, st.mvGx, st.mvGy,
+          st.refG1, st.mvG1x, st.mvG1y, colRef, colMvx, colMvy,
+          st.colL0Pocs, st.poc, st.list0Pocs, st.list1Poc, m)
     var more = true
     while (more && st.nextMb < st.nMbs) {
       val skipRun = r.ue()
@@ -3742,10 +3922,13 @@ object H264Cavlc {
           java.util.Arrays.fill(st.tcGrid(cy), mbX * 4, mbX * 4 + 4, 0)
           cy += 1
         }
-        reconInterLuma(st, m, null, qpy, Vector(refY0), refY1)
+        // list0 may hold two entries (list0[1] = list1[0] in every
+        // two-entry configuration) — temporal direct's refIdxL0 can be 1
+        reconInterLuma(st, m, null, qpy, Vector(refY0, refY1), refY1)
         reconInterChroma(st, m, 0, new Array[Int](4), new Array[Int](4),
           Array.ofDim[Int](4, 15), Array.ofDim[Int](4, 15), qpy,
-          cbQpOff, crQpOff, Vector(refCb0), Vector(refCr0), refCb1, refCr1)
+          cbQpOff, crQpOff, Vector(refCb0, refCb1), Vector(refCr0, refCr1),
+          refCb1, refCr1)
         i += 1
       }
       if (st.nextMb < st.nMbs && r.moreRbspData) {
@@ -3784,20 +3967,38 @@ object H264Cavlc {
               s"mb $m: bad B sub_mb_type $t"))
             val ord = bSubPartCellOrder(subTypes)
             if (subTypes.contains(0)) {
-              val (r0, r1, quads) = spatialDirectMotion(widthMbs,
-                st.mapUnits, st.refG, st.mvGx, st.mvGy, st.refG1,
-                st.mvG1x, st.mvG1y, colRef, colMvx, colMvy, mbAvail, m)
-              var q = 0
-              while (q < 4) {
-                if (subTypes(q) == 0) {
-                  val x0 = mbX * 16 + (q & 1) * 8
-                  val y0 = mbY * 16 + (q >> 1) * 8
-                  fillCells(st.refG, st.mvGx, st.mvGy, x0, y0, 8, 8,
-                    quads(q)(0), quads(q)(1), r0)
-                  fillCells(st.refG1, st.mvG1x, st.mvG1y, x0, y0, 8, 8,
-                    quads(q)(2), quads(q)(3), r1)
+              if (directSpatial == 1) {
+                val (r0, r1, quads) = spatialDirectMotion(widthMbs,
+                  st.mapUnits, st.refG, st.mvGx, st.mvGy, st.refG1,
+                  st.mvG1x, st.mvG1y, colRef, colMvx, colMvy, mbAvail, m)
+                var q = 0
+                while (q < 4) {
+                  if (subTypes(q) == 0) {
+                    val x0 = mbX * 16 + (q & 1) * 8
+                    val y0 = mbY * 16 + (q >> 1) * 8
+                    fillCells(st.refG, st.mvGx, st.mvGy, x0, y0, 8, 8,
+                      quads(q)(0), quads(q)(1), r0)
+                    fillCells(st.refG1, st.mvG1x, st.mvG1y, x0, y0, 8, 8,
+                      quads(q)(2), quads(q)(3), r1)
+                  }
+                  q += 1
                 }
-                q += 1
+              } else {
+                val quads = temporalDirectMotion(colRef, colMvx, colMvy,
+                  st.colL0Pocs, st.poc, st.list0Pocs, st.list1Poc,
+                  mbX, mbY)
+                var q = 0
+                while (q < 4) {
+                  if (subTypes(q) == 0) {
+                    val x0 = mbX * 16 + (q & 1) * 8
+                    val y0 = mbY * 16 + (q >> 1) * 8
+                    fillCells(st.refG, st.mvGx, st.mvGy, x0, y0, 8, 8,
+                      quads(q)(1), quads(q)(2), quads(q)(0))
+                    fillCells(st.refG1, st.mvG1x, st.mvG1y, x0, y0, 8, 8,
+                      quads(q)(3), quads(q)(4), 0)
+                  }
+                  q += 1
+                }
               }
             }
             var list = 0
@@ -3941,10 +4142,12 @@ object H264Cavlc {
                 }
             }
           }
-          reconInterLuma(st, m, coeffsByBlk, qpy, Vector(refY0), refY1)
+          reconInterLuma(st, m, coeffsByBlk, qpy, Vector(refY0, refY1),
+            refY1)
           reconInterChroma(st, m, cbpChroma, cbScan, crScan,
-            cbAcBlk, crAcBlk, qpy, cbQpOff, crQpOff, Vector(refCb0),
-            Vector(refCr0), refCb1, refCr1)
+            cbAcBlk, crAcBlk, qpy, cbQpOff, crQpOff,
+            Vector(refCb0, refCb1), Vector(refCr0, refCr1),
+            refCb1, refCr1)
         }
       } else more = false
     }
@@ -3990,6 +4193,8 @@ object H264Cavlc {
     r.ue() // pps id
     r.u(8) // frame_num
     r.ue() // idr_pic_id
+    if (st.s.pocType == 0) // pic_order_cnt_lsb (POC set at pic start)
+      r.u(Integer.numberOfTrailingZeros(st.s.maxPocLsb))
     r.u(1); r.u(1) // IDR dec_ref_pic_marking
     var qpy = qpInit + r.se() // SliceQPy, updated per MB by mb_qp_delta
     parseSliceDeblock(st, r, deblockCtl, cbQpOff, crQpOff)

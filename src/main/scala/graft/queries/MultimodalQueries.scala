@@ -50,7 +50,8 @@ object MultimodalQueries {
     "m32_video_direct" -> m32,
     "m33_video_deblock" -> m33,
     "m34_video_bparts" -> m34,
-    "m35_video_b8x8" -> m35)
+    "m35_video_b8x8" -> m35,
+    "m36_video_temporal_direct" -> m36)
 
   /** Inter prediction on the oracle gate (m28): each asset is a
     * two-frame GOP — an I_16x16-DC IDR whose four macroblocks settle
@@ -446,6 +447,105 @@ object MultimodalQueries {
         mbVal(y3, 0), mbVal(y3, 1), mbVal(y3, 2), mbVal(y3, 3), ys)
     }.toDF("doc_id", "width", "height", "q0", "q1", "q2", "q3",
       "w0", "w1", "w2", "w3", "y3_sum")
+  }
+
+  /** Temporal direct prediction on the oracle gate (m36): the first
+    * DISPLAY-REORDERED fixture — a pic_order_cnt_type 0 stream whose
+    * B picture sits BETWEEN its references in output order (I poc 0,
+    * P poc 8, B poc 2 decoded last), so the POC-bucketed list
+    * initialisation puts the PAST picture in list0 and the FUTURE
+    * picture in list1 (the co-located side), and
+    * direct_spatial_mv_pred_flag = 0 selects the 8.4.1.2.3 TEMPORAL
+    * derivation: tb = 2, td = 8, tx = (16384+4)/8 = 2048,
+    * DistScaleFactor = (2*2048 + 32) >> 6 = 64, so mvL0 = mvCol/4
+    * and mvL1 = -3*mvCol/4 exactly.
+    *
+    *  - MB0 B_Direct_16x16 over a ZERO co-located vector (+residual):
+    *    the exact (I + P + 1) >> 1 co-located average;
+    *  - MB1 B_Skip over co-located vector (-64, 0): mvL0 = (-16, 0)
+    *    shifts the list0 (I) read 4 px LEFT — the leftmost four
+    *    columns read v0, the rest v1 (a wrong DistScaleFactor moves
+    *    the split or the values) — while mvL1 = (48, 0) clamps into
+    *    flat p1;
+    *  - MB2 explicit B_L0_16x16: reads the I frame — list0[0] is the
+    *    PAST picture here, so a decoder that kept the low-delay
+    *    most-recent-first order fails this macroblock;
+    *  - MB3 explicit B_Bi_16x16 across both lists (+residual).
+    *
+    * pic_order_cnt_lsb rides every slice header (4 bits, MaxPocLsb
+    * 16) and the B's POC is NOT derivable from decode order — a POC
+    * slip reorders the lists and moves every output.
+    *
+    * Scale: zero-shuffle per-asset map, like every codec query. */
+  private def m36: Q = (spark, dir) => {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val dc = Array.tabulate(4) { mb =>
+        val d = Array.ofDim[Int](4, 4)
+        d(0)(0) = ((id + mb) % 4).toInt
+        d
+      }
+      def src(k: Int): Int = ((id / k) % 4).toInt
+      def mv(mx: Int, my: Int, sIdx: Int): Array[Int] =
+        Array(((sIdx & 1) - mx) * 64, ((sIdx >> 1) - my) * 64)
+      // P (poc 8): MB0/MB1 pinned to source 0 (zero / (-64,0) vectors
+      // — the co-located motion the temporal derivation scales);
+      // MB2/MB3 doc-selected
+      val pKinds = Array(0, 0, 0, 0)
+      val pSrc = Array(0, 0, src(5), src(7))
+      val pMvs = Array.tabulate(4)(m2 =>
+        Array(mv(m2 & 1, m2 >> 1, pSrc(m2))))
+      val pCoeffs = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+      for (m2 <- 0 until 4; blk <- 0 until 16)
+        pCoeffs(m2)(blk)(0) = (((id + m2) % 5) - 2).toInt
+      // B (poc 2): temporal direct | temporal skip | L0 | Bi
+      val bKinds = Array(4, 5, 0, 2)
+      val bMvs0 = Array(
+        Array(0, 0), Array(0, 0), mv(0, 1, src(9)), mv(1, 1, src(11)))
+      val bMvs1 = Array(
+        Array(0, 0), Array(0, 0), Array(0, 0), mv(1, 1, src(13)))
+      val bCoeffs = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+      for (blk <- 0 until 16) {
+        bCoeffs(0)(blk)(0) = (((id + 6) % 5) - 2).toInt
+        bCoeffs(3)(blk)(0) = (((id + 9) % 5) - 2).toInt
+      }
+      val colRef = Array.fill(8, 8)(0)
+      val colMvx = Array.ofDim[Int](8, 8)
+      val colMvy = Array.ofDim[Int](8, 8)
+      for (m2 <- 0 until 4; cy <- 0 until 4; cx <- 0 until 4) {
+        colMvx((m2 >> 1) * 4 + cy)((m2 & 1) * 4 + cx) = pMvs(m2)(0)(0)
+        colMvy((m2 >> 1) * 4 + cy)((m2 & 1) * 4 + cx) = pMvs(m2)(0)(1)
+      }
+      val es = graft.operators.H264.encodeSps(2, 2, 0, numRefFrames = 2,
+        pocType = 0) ++
+        graft.operators.H264.encodePps() ++
+        graft.operators.H264Cavlc.encodeIntra16Frame(2, 2, dc, qp = 36,
+          idrPicId = (id % 65536).toInt, pocLsb = 0) ++
+        graft.operators.H264Cavlc.encodePFrame(2, 2, pKinds, pMvs,
+          pCoeffs, qp = 36, frameNum = 1, pocLsb = 8) ++
+        graft.operators.H264Cavlc.encodeBFrame(2, 2, bKinds, bMvs0,
+          bMvs1, bCoeffs, qp = 36, frameNum = 2,
+          colRef = colRef, colMvx = colMvx, colMvy = colMvy,
+          directSpatial = false, pocLsb = 2, curPoc = 2,
+          list0Pocs = Array(0, 8), list1Poc = 8,
+          colL0Pocs = Array(0))
+      val frames = graft.operators.H264Cavlc.decodeIntra16FramesYuv(es)
+      require(frames.size == 3)
+      val y1 = frames(1)._3
+      val y2 = frames(2)._3
+      def mbVal(y: Array[Byte], mb: Int): Int =
+        y(((mb >> 1) * 16) * 32 + (mb & 1) * 16) & 0xFF
+      def px(x: Int, yy: Int): Int = y2(yy * 32 + x) & 0xFF
+      var ys = 0L
+      var i = 0
+      while (i < y2.length) { ys += y2(i) & 0xFF; i += 1 }
+      (id, frames(2)._1, frames(2)._2,
+        mbVal(y1, 0), mbVal(y1, 1), mbVal(y1, 2), mbVal(y1, 3),
+        px(0, 0),            // MB0 temporal direct
+        px(16, 0), px(24, 0), // MB1 skip: the DSF split columns
+        px(0, 16), px(16, 16), ys)
+    }.toDF("doc_id", "width", "height", "p0", "p1", "p2", "p3",
+      "w0", "w1a", "w1b", "w2", "w3", "y2_sum")
   }
 
   /** B_8x8 sub-partitions on the oracle gate (m35): an I-P-B GOP
@@ -1801,6 +1901,51 @@ object MultimodalQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // m36: temporal direct replayed closed form. DSF = 64 makes the
+    // skip MB's list0 read shift exactly 4 px left: four columns of
+    // v0 then twelve of v1, each averaged against flat p1 — the
+    // split IS the DistScaleFactor check. MB2 reads v (list0[0] =
+    // the PAST picture under POC ordering), not p.
+    "m36_video_temporal_direct" ->
+      """WITH f AS (SELECT doc_id,
+        | (doc_id + 0) % 4 AS f0, (doc_id + 1) % 4 AS f1,
+        | (doc_id + 2) % 4 AS f2, (doc_id + 3) % 4 AS f3
+        | FROM documents),
+        |v AS (SELECT doc_id,
+        | 128 + (160*f0 + 32)//64 AS v0,
+        | v0 + (160*f1 + 32)//64 AS v1,
+        | v0 + (160*f2 + 32)//64 AS v2,
+        | (v1 + v2 + 1)//2 + (160*f3 + 32)//64 AS v3
+        | FROM f),
+        |p AS (SELECT doc_id, v0, v1, v2, v3,
+        | v0 + 10*((doc_id + 0) % 5 - 2) AS p0,
+        | v0 + 10*((doc_id + 1) % 5 - 2) AS p1,
+        | (CASE (doc_id // 5) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 2) % 5 - 2) AS p2,
+        | (CASE (doc_id // 7) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 3) % 5 - 2) AS p3
+        | FROM v),
+        |w AS (SELECT doc_id, p0, p1, p2, p3,
+        | (v0 + p0 + 1)//2 + 10*((doc_id + 6) % 5 - 2) AS w0,
+        | (v0 + p1 + 1)//2 AS w1a,
+        | (v1 + p1 + 1)//2 AS w1b,
+        | CASE (doc_id // 9) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END AS w2,
+        | ((CASE (doc_id // 11) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |    WHEN 2 THEN v2 ELSE v3 END)
+        |  + (CASE (doc_id // 13) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |    WHEN 2 THEN p2 ELSE p3 END) + 1)//2
+        |  + 10*((doc_id + 9) % 5 - 2) AS w3
+        | FROM p)
+        |SELECT doc_id, 32 AS width, 32 AS height,
+        | CAST(p0 AS INTEGER) AS p0, CAST(p1 AS INTEGER) AS p1,
+        | CAST(p2 AS INTEGER) AS p2, CAST(p3 AS INTEGER) AS p3,
+        | CAST(w0 AS INTEGER) AS w0,
+        | CAST(w1a AS INTEGER) AS w1a, CAST(w1b AS INTEGER) AS w1b,
+        | CAST(w2 AS INTEGER) AS w2, CAST(w3 AS INTEGER) AS w3,
+        | CAST(256*(w0 + w2 + w3) + 64*w1a + 192*w1b AS BIGINT)
+        |   AS y2_sum
+        |FROM w""".stripMargin,
     // m35: the B_8x8 sweep replayed closed form — v/p chains as m30;
     // one flat value per SUB-PARTITION (list routing picks the p- or
     // v-chain; Bi and the directZeroPrediction quadrant land exact

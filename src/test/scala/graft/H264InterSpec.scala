@@ -1099,6 +1099,144 @@ class H264InterSpec extends AnyFunSuite {
     }
   }
 
+  test("temporal direct: POC-reordered GOP, DistScaleFactor splits, " +
+    "B_8x8 temporal quadrants — against hand-derived expectations") {
+    // I (poc 0) -> P (poc 8, reference) -> B (poc 2, decoded LAST,
+    // displayed in the middle): list0 = [I] (past), list1 = [P]
+    // (future, the co-located side). tb=2, td=8 -> DSF = 64 ->
+    // mvL0 = mvCol/4, mvL1 = -3*mvCol/4. Nothing here is
+    // mirror-cancelled: direct/skip macroblocks carry no mvd.
+    val dc = Array.tabulate(4) { mb =>
+      val d = Array.ofDim[Int](4, 4)
+      d(0)(0) = Array(1, 3, 2, 0)(mb)
+      d
+    }
+    def mvTo(mx: Int, my: Int, s: Int) =
+      Array(((s & 1) - mx) * 64, ((s >> 1) - my) * 64)
+    for (variant <- 0 until 2) {
+      val pKinds = Array(0, 0, 0, 0)
+      // col motion: MB0 zero; MB1 (-64,0) (horizontal split); MB2
+      // zero; MB3 zero or (0,-64) (vertical split) by variant
+      val pSrc = Array(0, 0, 2, if (variant == 1) 1 else 3)
+      val pMvs = Array.tabulate(4)(m => Array(mvTo(m & 1, m >> 1, pSrc(m))))
+      val pCoeffs = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+      val cs = Array(2, -1, 1, -2)
+      for (m <- 0 until 4; blk <- 0 until 16) pCoeffs(m)(blk)(0) = cs(m)
+      val colRef = Array.fill(8, 8)(0)
+      val colMvx = Array.ofDim[Int](8, 8)
+      val colMvy = Array.ofDim[Int](8, 8)
+      for (m <- 0 until 4; cy <- 0 until 4; cx <- 0 until 4) {
+        colMvx((m >> 1) * 4 + cy)((m & 1) * 4 + cx) = pMvs(m)(0)(0)
+        colMvy((m >> 1) * 4 + cy)((m & 1) * 4 + cx) = pMvs(m)(0)(1)
+      }
+      val bKinds = Array(4, 5, 24, 4) // direct | skip | B_8x8 direct | direct
+      val bSubTypes = Array[Array[Int]](null, null, Array(0, 0, 0, 0), null)
+      val noMvs = Array.fill(4)(Array.empty[Array[Int]])
+      val zz = Array(0, 0)
+      val bCoeffs = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+      val es = H264.encodeSps(2, 2, 0, numRefFrames = 2, pocType = 0) ++
+        H264.encodePps() ++
+        H264Cavlc.encodeIntra16Frame(2, 2, dc, qp = 36, idrPicId = variant,
+          pocLsb = 0) ++
+        H264Cavlc.encodePFrame(2, 2, pKinds, pMvs, pCoeffs, qp = 36,
+          frameNum = 1, pocLsb = 8) ++
+        H264Cavlc.encodeBFrame(2, 2, bKinds, Array(zz, zz, zz, zz),
+          Array(zz, zz, zz, zz), bCoeffs, qp = 36, frameNum = 2,
+          colRef = colRef, colMvx = colMvx, colMvy = colMvy,
+          bSubTypes = bSubTypes, mvsL0S = noMvs, mvsL1S = noMvs,
+          directSpatial = false, pocLsb = 2, curPoc = 2,
+          list0Pocs = Array(0, 8), list1Poc = 8, colL0Pocs = Array(0))
+      val frames = H264Cavlc.decodeIntra16FramesYuv(es)
+      assert(frames.size === 3)
+      val yI = frames(0)._3
+      val yP = frames(1)._3
+      val yB = frames(2)._3
+      def at(y: Array[Byte], x: Int, yy: Int) = y(yy * 32 + x) & 0xFF
+      def avg(a: Int, b: Int) = (a + b + 1) >> 1
+      // MB0 / MB2: zero co-located vector -> co-located average
+      for (yy <- 0 until 16; xx <- 0 until 16) {
+        assert(at(yB, xx, yy) === avg(at(yI, 0, 0), at(yP, 0, 0)),
+          s"v$variant MB0 ($xx,$yy)")
+        assert(at(yB, xx, 16 + yy) === avg(at(yI, 0, 16), at(yP, 0, 16)),
+          s"v$variant MB2 ($xx,$yy)")
+      }
+      // MB1: mvCol (-64,0) -> mvL0 (-16,0): four columns of I-MB0
+      // samples, twelve of I-MB1; mvL1 (48,0) clamps into flat P-MB1
+      for (yy <- 0 until 16; xx <- 16 until 32) {
+        val l0 = if (xx < 20) at(yI, 12, 0) else at(yI, 20, 0)
+        assert(at(yB, xx, yy) === avg(l0, at(yP, 16, 0)),
+          s"v$variant MB1 ($xx,$yy)")
+      }
+      // MB3: variant 0 -> mvCol (0,0)... pSrc(3)=3 is its own
+      // position, co-located average; variant 1 -> mvCol (0,-64):
+      // mvL0 (0,-16) reads four rows of I-MB1 then I-MB3, mvL1
+      // (0,48) clamps into flat P-MB3
+      for (yy <- 16 until 32; xx <- 16 until 32) {
+        val exp =
+          if (variant == 0) avg(at(yI, 16, 16), at(yP, 16, 16))
+          else {
+            val l0 = if (yy < 20) at(yI, 16, 12) else at(yI, 16, 20)
+            avg(l0, at(yP, 16, 16))
+          }
+        assert(at(yB, xx, yy) === exp, s"v$variant MB3 ($xx,$yy)")
+      }
+    }
+  }
+
+  test("POC msb wrap: pic_order_cnt_lsb wrapping keeps the reordered " +
+    "lists and temporal scaling right") {
+    // I (lsb 0 -> poc 0), P1 (lsb 8 -> poc 8), P2 (lsb 0 -> msb wrap
+    // -> poc 16), B (lsb 12 -> poc 12, BETWEEN P1 and P2): a decoder
+    // that trusted the raw lsb would give P2 poc 0 and invert the
+    // lists. B is all temporal direct over P2's zero motion: every
+    // macroblock must land the (P1 + P2 + 1) >> 1 co-located average.
+    val dc = Array.tabulate(4) { mb =>
+      val d = Array.ofDim[Int](4, 4)
+      d(0)(0) = mb
+      d
+    }
+    def mvTo(mx: Int, my: Int, s: Int) =
+      Array(((s & 1) - mx) * 64, ((s >> 1) - my) * 64)
+    val pKinds = Array(0, 0, 0, 0)
+    val selfMvs = Array.tabulate(4)(m => Array(mvTo(m & 1, m >> 1, m)))
+    val c1 = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+    val c2 = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+    for (m <- 0 until 4; blk <- 0 until 16) {
+      c1(m)(blk)(0) = m - 1
+      c2(m)(blk)(0) = 2 - m
+    }
+    val colRef = Array.fill(8, 8)(0)
+    val colZeroMv = Array.ofDim[Int](8, 8)
+    val bKinds = Array(4, 5, 5, 5)
+    val zz = Array(0, 0)
+    val bCoeffs = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+    val es = H264.encodeSps(2, 2, 0, numRefFrames = 2, pocType = 0) ++
+      H264.encodePps() ++
+      H264Cavlc.encodeIntra16Frame(2, 2, dc, qp = 36, idrPicId = 7,
+        pocLsb = 0) ++
+      H264Cavlc.encodePFrame(2, 2, pKinds, selfMvs, c1, qp = 36,
+        frameNum = 1, pocLsb = 8) ++
+      H264Cavlc.encodePFrame(2, 2, pKinds, selfMvs, c2, qp = 36,
+        frameNum = 2, pocLsb = 0) ++ // poc 16 via msb wrap
+      H264Cavlc.encodeBFrame(2, 2, bKinds, Array(zz, zz, zz, zz),
+        Array(zz, zz, zz, zz), bCoeffs, qp = 36, frameNum = 3,
+        colRef = colRef, colMvx = colZeroMv, colMvy = colZeroMv,
+        directSpatial = false, pocLsb = 12, curPoc = 12,
+        list0Pocs = Array(8, 16), list1Poc = 16, colL0Pocs = Array(8))
+    val frames = H264Cavlc.decodeIntra16FramesYuv(es)
+    assert(frames.size === 4)
+    val yP1 = frames(1)._3
+    val yP2 = frames(2)._3
+    val yB = frames(3)._3
+    for (mb <- 0 until 4; yy <- 0 until 16; xx <- 0 until 16) {
+      val gx = (mb & 1) * 16 + xx
+      val gy = (mb >> 1) * 16 + yy
+      val exp = ((yP1(((mb >> 1) * 16) * 32 + (mb & 1) * 16) & 0xFF) +
+        (yP2(((mb >> 1) * 16) * 32 + (mb & 1) * 16) & 0xFF) + 1) >> 1
+      assert((yB(gy * 32 + gx) & 0xFF) === exp, s"mb=$mb ($gx,$gy)")
+    }
+  }
+
   test("I_PCM macroblocks decode inside the general path with nC = 16") {
     val rnd = new scala.util.Random(29L)
     val f0Y = Array.tabulate(16 * 16)(i => ((i * 7 + 3) % 256))
