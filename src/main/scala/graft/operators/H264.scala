@@ -353,7 +353,11 @@ object H264 {
     * disable_deblocking_filter_idc and the in-loop 8.7 filter can be
     * switched per slice (legacy fixtures leave it absent and decode to
     * the pre-filter picture). */
-  def encodePps(deblockingControl: Boolean = false): Array[Byte] = {
+  def encodePps(deblockingControl: Boolean = false,
+      weightedPred: Boolean = false,
+      weightedBipredIdc: Int = 0): Array[Byte] = {
+    require(weightedBipredIdc == 0 || weightedBipredIdc == 1,
+      "only explicit B weighting (idc 0/1) is in subset")
     val w = new BitWriter
     w.ue(0) // pps id
     w.ue(0) // sps id
@@ -361,8 +365,8 @@ object H264 {
     w.u(0, 1) // bottom_field_pic_order_in_frame_present
     w.ue(0) // num_slice_groups_minus1
     w.ue(0).ue(0) // num_ref_idx_l0/l1_default_active_minus1
-    w.u(0, 1) // weighted_pred
-    w.u(0, 2) // weighted_bipred_idc
+    w.u(if (weightedPred) 1 else 0, 1) // weighted_pred
+    w.u(weightedBipredIdc, 2) // weighted_bipred_idc
     w.se(0) // pic_init_qp_minus26
     w.se(0) // pic_init_qs_minus26
     w.se(0) // chroma_qp_index_offset

@@ -1118,6 +1118,38 @@ object H264Cavlc {
     * stays CodedBlockPatternLuma = 0. All Table 9-5 columns are
     * implemented, so fixtures may carry arbitrarily dense residual
     * neighbourhoods (any nC). */
+  /** Write pred_weight_table (7.3.3.1): log2 denominators then, per
+    * list entry, luma and chroma weight flags + (weight, offset)
+    * pairs. `luma(i)` = Array(weight, offset) or null (flag 0 — the
+    * spec defaults 1 << denom / 0); `cb`/`cr` likewise, flagged
+    * together. */
+  private def writePredWeightTable(w: BitWriter, lumaDenom: Int,
+      chromaDenom: Int, entries: Seq[(Int, Array[Array[Int]],
+        Array[Array[Int]], Array[Array[Int]])]): Unit = {
+    require(lumaDenom >= 0 && lumaDenom <= 7 &&
+      chromaDenom >= 0 && chromaDenom <= 7, "bad weight denom")
+    w.ue(lumaDenom)
+    w.ue(chromaDenom)
+    entries.foreach { case (n, luma, cb, cr) =>
+      var i = 0
+      while (i < n) {
+        val le = if (luma == null) null else luma(i)
+        if (le != null) { w.u(1, 1); w.se(le(0)); w.se(le(1)) }
+        else w.u(0, 1)
+        val cbe = if (cb == null) null else cb(i)
+        val cre = if (cr == null) null else cr(i)
+        require((cbe == null) == (cre == null),
+          "chroma weights come in Cb/Cr pairs")
+        if (cbe != null) {
+          w.u(1, 1)
+          w.se(cbe(0)); w.se(cbe(1)) // j = 0: Cb
+          w.se(cre(0)); w.se(cre(1)) // j = 1: Cr
+        } else w.u(0, 1)
+        i += 1
+      }
+    }
+  }
+
   /** Write the 7.3.3 deblocking tail of a slice header, for streams
     * whose PPS codes deblocking_filter_control_present = 1:
     * disable_deblocking_filter_idc plus zero alpha/beta offsets when
@@ -1794,7 +1826,14 @@ object H264Cavlc {
       numRefIdxL0: Int = 1,
       refIdxs: Array[Array[Int]] = null,
       deblockIdc: Int = -1,
-      pocLsb: Int = -1): Array[Byte] = {
+      pocLsb: Int = -1,
+      wpDenom: Int = -1,
+      wpChromaDenom: Int = 0,
+      wpLuma: Array[Array[Int]] = null,
+      wpCb: Array[Array[Int]] = null,
+      wpCr: Array[Array[Int]] = null): Array[Byte] = {
+    // wpDenom >= 0 writes a pred_weight_table (PPS must set
+    // weighted_pred): wpLuma(refIdx) = Array(weight, offset) or null
     // subTypes(m): kind-5 MBs' four sub_mb_types (Table 7-17:
     // 0 = 8x8, 1 = 8x4, 2 = 4x8, 3 = 4x4); null = all P_L0_8x8.
     // For kind 5, mvs(m) holds one (mvx, mvy) per SUB-partition in
@@ -1876,6 +1915,9 @@ object H264Cavlc {
           w.ue(1) // num_ref_idx_l0_active_minus1
         } else w.u(0, 1)
         w.u(0, 1) // ref_pic_list_modification_flag_l0
+        if (wpDenom >= 0)
+          writePredWeightTable(w, wpDenom, wpChromaDenom,
+            Seq((numRefIdxL0, wpLuma, wpCb, wpCr)))
         w.u(0, 1) // adaptive_ref_pic_marking_mode_flag
         w.se(qp - 26) // SliceQPy = qp
         writeDeblockTail(w, deblockIdc)
@@ -2052,7 +2094,15 @@ object H264Cavlc {
       curPoc: Int = 0,
       list0Pocs: Array[Int] = null,
       list1Poc: Int = 0,
-      colL0Pocs: Array[Int] = null): Array[Byte] = {
+      colL0Pocs: Array[Int] = null,
+      wpDenom: Int = -1,
+      wpChromaDenom: Int = 0,
+      wpLumaL0: Array[Array[Int]] = null,
+      wpLumaL1: Array[Array[Int]] = null,
+      wpCbL0: Array[Array[Int]] = null,
+      wpCrL0: Array[Array[Int]] = null,
+      wpCbL1: Array[Array[Int]] = null,
+      wpCrL1: Array[Array[Int]] = null): Array[Byte] = {
     // directSpatial = false codes direct_spatial_mv_pred_flag = 0:
     // the 8.4.1.2.3 TEMPORAL derivation, which needs the POC context
     // (curPoc / list0Pocs / list1Poc / colL0Pocs mirroring the
@@ -2130,6 +2180,10 @@ object H264Cavlc {
         w.u(0, 1) // num_ref_idx_active_override_flag
         w.u(0, 1) // ref_pic_list_modification_flag_l0
         w.u(0, 1) // ref_pic_list_modification_flag_l1
+        if (wpDenom >= 0) // explicit B weighting (PPS idc 1)
+          writePredWeightTable(w, wpDenom, wpChromaDenom,
+            Seq((1, wpLumaL0, wpCbL0, wpCrL0),
+              (1, wpLumaL1, wpCbL1, wpCrL1)))
         // nal_ref_idc == 0: no dec_ref_pic_marking
         w.se(qp - 26) // SliceQPy = qp
         writeDeblockTail(w, deblockIdc)
@@ -2421,6 +2475,8 @@ object H264Cavlc {
     var ppsCrQpOff = 0
     var ppsT8 = false
     var ppsDeblockCtl = false
+    var ppsWeightedPred = false
+    var ppsWeightedBipred = 0
     var ppsSeen = false
     val out = ArrayBuffer[(Int, Int, Array[Byte], Array[Byte], Array[Byte])]()
     var pic: Option[PicState] = None
@@ -2449,10 +2505,18 @@ object H264Cavlc {
           val r = new BitReader(H264.ebspToRbsp(ebsp))
           r.ue(); r.ue()
           require(r.u(1) == 0, "CABAC slice data not supported (CAVLC only)")
-          r.u(1) // bottom_field_pic_order_in_frame_present
+          // loud boundaries: each of these flags changes slice-header
+          // or prediction semantics downstream (delta_pic_order_cnt_
+          // bottom / pred_weight_table / weighted averaging) — a
+          // silent skip would desync the parse instead of failing
+          require(r.u(1) == 0,
+            "bottom_field_pic_order_in_frame_present not supported")
           require(r.ue() == 0, "slice groups not supported")
           r.ue(); r.ue() // num_ref_idx defaults
-          r.u(1); r.u(2) // weighted_pred / weighted_bipred_idc
+          ppsWeightedPred = r.u(1) == 1 // weighted_pred (explicit P WP)
+          ppsWeightedBipred = r.u(2) // weighted_bipred_idc
+          require(ppsWeightedBipred <= 1,
+            "implicit weighted bipred (idc 2) not supported")
           ppsQpInit = 26 + r.se() // pic_init_qp_minus26
           r.se() // pic_init_qs_minus26
           ppsCbQpOff = r.se() // chroma_qp_index_offset
@@ -2553,10 +2617,11 @@ object H264Cavlc {
               ppsCrQpOff, ppsT8, ppsDeblockCtl)
           else if (sliceType == 0 || sliceType == 5)
             decodePSliceInto(st, rbsp, ppsQpInit, ppsCbQpOff,
-              ppsCrQpOff, ppsT8, ppsDeblockCtl)
+              ppsCrQpOff, ppsT8, ppsDeblockCtl, ppsWeightedPred)
           else
             decodeBSliceInto(st, rbsp, ppsQpInit, ppsCbQpOff,
-              ppsCrQpOff, ppsT8, refIdc, ppsDeblockCtl)
+              ppsCrQpOff, ppsT8, refIdc, ppsDeblockCtl,
+              ppsWeightedBipred)
         case _ => ()
       }
     }
@@ -3468,10 +3533,61 @@ object H264Cavlc {
     * partition's MV (read off the cell grids — the caller records all
     * partitions first). `coeffsByBlk(blk)` may be null (uncoded ->
     * pure prediction). */
+  /** Explicit weighted-prediction state for one slice (7.3.3.1 /
+    * 8.4.2.3.2): log2 denominators plus per-list per-refIdx weight
+    * and offset for luma and each chroma component. Entries a stream
+    * leaves unflagged carry the spec defaults (1 << denom, 0). A null
+    * WpState selects default (unweighted) prediction. */
+  private final case class WpState(lumaLog2Denom: Int,
+      chromaLog2Denom: Int,
+      lumaW: Array[Array[Int]], lumaO: Array[Array[Int]],
+      cbW: Array[Array[Int]], cbO: Array[Array[Int]],
+      crW: Array[Array[Int]], crO: Array[Array[Int]])
+
+  /** Parse pred_weight_table (7.3.3.1) for numL0/numL1 active
+    * references (numL1 = 0 in P slices). */
+  private def parsePredWeightTable(r: BitReader, numL0: Int,
+      numL1: Int): WpState = {
+    val lwd = r.ue()
+    val cwd = r.ue()
+    require(lwd <= 7 && cwd <= 7, s"bad log2 weight denom $lwd/$cwd")
+    val counts = Array(numL0, numL1)
+    val lumaW = Array.tabulate(2)(l => Array.fill(counts(l))(1 << lwd))
+    val lumaO = Array.tabulate(2)(l => new Array[Int](counts(l)))
+    val cbW = Array.tabulate(2)(l => Array.fill(counts(l))(1 << cwd))
+    val cbO = Array.tabulate(2)(l => new Array[Int](counts(l)))
+    val crW = Array.tabulate(2)(l => Array.fill(counts(l))(1 << cwd))
+    val crO = Array.tabulate(2)(l => new Array[Int](counts(l)))
+    var list = 0
+    while (list < 2) {
+      var i = 0
+      while (i < counts(list)) {
+        if (r.u(1) == 1) { // luma_weight_lX_flag
+          lumaW(list)(i) = r.se()
+          lumaO(list)(i) = r.se()
+        }
+        if (r.u(1) == 1) { // chroma_weight_lX_flag
+          cbW(list)(i) = r.se(); cbO(list)(i) = r.se()
+          crW(list)(i) = r.se(); crO(list)(i) = r.se()
+        }
+        i += 1
+      }
+      list += 1
+    }
+    WpState(lwd, cwd, lumaW, lumaO, cbW, cbO, crW, crO)
+  }
+
+  /** One weighted sample (8.4.2.3.2): uni-directional explicit
+    * weighting with the logWD >= 1 rounding split. The caller adds
+    * the residual and applies the final Clip1. */
+  private def wpUni(p: Int, w: Int, o: Int, d: Int): Int =
+    clip255((if (d == 0) p * w else (p * w + (1 << (d - 1))) >> d) + o)
+
   private def reconInterLuma(st: PicState, m: Int,
       coeffsByBlk: Array[Array[Int]], qpy: Int,
       refsL0: IndexedSeq[Array[Byte]],
-      refY1: Array[Byte] = null): Unit = {
+      refY1: Array[Byte] = null,
+      wp: WpState = null): Unit = {
     val widthMbs = st.widthMbs
     val w16 = st.w16
     val h16 = st.mapUnits * 16
@@ -3511,9 +3627,10 @@ object H264Cavlc {
       while (rr < 4) {
         var cc = 0
         while (cc < 4) {
-          // 8.4.2.3 default weighted sample prediction: the rounded
-          // average when both lists predict (B_Bi), else the single
-          // list's interpolation
+          // 8.4.2.3: default weighted sample prediction (rounded
+          // average for B_Bi, the single list's interpolation
+          // otherwise), or 8.4.2.3.2 EXPLICIT weighting when the
+          // slice carried a pred_weight_table
           val p0 =
             if (useL0) interpLuma(refsL0(ri0), w16, h16,
               gx + cc + (mvx >> 2), gy + rr + (mvy >> 2), mvx & 3, mvy & 3)
@@ -3523,8 +3640,18 @@ object H264Cavlc {
               gy + rr + (m1y >> 2), m1x & 3, m1y & 3)
             else 0
           val pred =
-            if (useL0 && useL1) (p0 + p1 + 1) >> 1
-            else if (useL0) p0 else p1
+            if (wp == null) {
+              if (useL0 && useL1) (p0 + p1 + 1) >> 1
+              else if (useL0) p0 else p1
+            } else {
+              val d = wp.lumaLog2Denom
+              if (useL0 && useL1)
+                clip255(((p0 * wp.lumaW(0)(ri0) + p1 * wp.lumaW(1)(0) +
+                  (1 << d)) >> (d + 1)) +
+                  ((wp.lumaO(0)(ri0) + wp.lumaO(1)(0) + 1) >> 1))
+              else if (useL0) wpUni(p0, wp.lumaW(0)(ri0), wp.lumaO(0)(ri0), d)
+              else wpUni(p1, wp.lumaW(1)(0), wp.lumaO(1)(0), d)
+            }
           val res = if (hM != null) (hM(rr)(cc) + 32) >> 6 else 0
           plane((gy + rr) * w16 + gx + cc) = clip255(pred + res).toByte
           cc += 1
@@ -3544,16 +3671,19 @@ object H264Cavlc {
       cbAcBlk: Array[Array[Int]], crAcBlk: Array[Array[Int]],
       qpy: Int, cbQpOff: Int, crQpOff: Int,
       refsCb: IndexedSeq[Array[Byte]], refsCr: IndexedSeq[Array[Byte]],
-      refCb1: Array[Byte] = null, refCr1: Array[Byte] = null): Unit = {
+      refCb1: Array[Byte] = null, refCr1: Array[Byte] = null,
+      wp: WpState = null): Unit = {
     val widthMbs = st.widthMbs
     val w8 = st.w8
     val h8 = st.mapUnits * 8
     val mbX = m % widthMbs
     val mbY = m / widthMbs
-    Seq((st.cbPlane, refsCb, refCb1, cbScan, cbAcBlk, qpc(qpy + cbQpOff)),
-      (st.crPlane, refsCr, refCr1, crScan, crAcBlk, qpc(qpy + crQpOff)))
+    Seq((st.cbPlane, refsCb, refCb1, cbScan, cbAcBlk, qpc(qpy + cbQpOff),
+      if (wp == null) null else wp.cbW, if (wp == null) null else wp.cbO),
+      (st.crPlane, refsCr, refCr1, crScan, crAcBlk, qpc(qpy + crQpOff),
+        if (wp == null) null else wp.crW, if (wp == null) null else wp.crO))
       .foreach {
-      case (cp, refsC, refC1, sc, acC, qPc) =>
+      case (cp, refsC, refC1, sc, acC, qPc, wW, wO) =>
         val f2 = hadamard2(Array(Array(sc(0), sc(1)), Array(sc(2), sc(3))))
         var cbi = 0
         while (cbi < 2) {
@@ -3607,8 +3737,18 @@ object H264Cavlc {
                     cx + (m1x >> 3), cy + (m1y >> 3), m1x & 7, m1y & 7)
                   else 0
                 val pred =
-                  if (useL0 && useL1) (p0 + p1 + 1) >> 1
-                  else if (useL0) p0 else p1
+                  if (wW == null) {
+                    if (useL0 && useL1) (p0 + p1 + 1) >> 1
+                    else if (useL0) p0 else p1
+                  } else {
+                    val d = wp.chromaLog2Denom
+                    if (useL0 && useL1)
+                      clip255(((p0 * wW(0)(ri0) + p1 * wW(1)(0) +
+                        (1 << d)) >> (d + 1)) +
+                        ((wO(0)(ri0) + wO(1)(0) + 1) >> 1))
+                    else if (useL0) wpUni(p0, wW(0)(ri0), wO(0)(ri0), d)
+                    else wpUni(p1, wW(1)(0), wO(1)(0), d)
+                  }
                 val res = if (hM != null) (hM(rr)(cc) + 32) >> 6 else resFlat
                 cp(cy * w8 + cx) = clip255(pred + res).toByte
                 cc += 1
@@ -3629,7 +3769,8 @@ object H264Cavlc {
     * P_8x8 partitions are a documented boundary. */
   private def decodePSliceInto(st: PicState, rbsp: Array[Byte],
       qpInit: Int, cbQpOff: Int, crQpOff: Int, t8x8: Boolean,
-      deblockCtl: Boolean = false): Unit = {
+      deblockCtl: Boolean = false,
+      weightedPred: Boolean = false): Unit = {
     val widthMbs = st.widthMbs
     val (refY, refCb, refCr) = st.refPic.getOrElse(
       throw new IllegalArgumentException(
@@ -3659,6 +3800,9 @@ object H264Cavlc {
     require(refsY.length == numL0,
       s"slice needs $numL0 reference pictures, DPB holds ${refsY.length}")
     require(r.u(1) == 0, "ref_pic_list_modification not supported")
+    // pred_weight_table (7.3.3): present when the PPS set
+    // weighted_pred_flag — P_Skip macroblocks weight too
+    val wps = if (weightedPred) parsePredWeightTable(r, numL0, 0) else null
     // nal_ref_idc != 0 on our P NALs: dec_ref_pic_marking (non-IDR)
     require(r.u(1) == 0, "adaptive ref pic marking not supported")
     var qpy = qpInit + r.se() // SliceQPy
@@ -3683,10 +3827,11 @@ object H264Cavlc {
           st.mvGx, st.mvGy, mbAvail, m, mbX, mbY)
         fillCells(st.refG, st.mvGx, st.mvGy, mbX * 16, mbY * 16, 16, 16,
           mvx, mvy)
-        reconInterLuma(st, m, null, qpy, refsY)
+        reconInterLuma(st, m, null, qpy, refsY, wp = wps)
         reconInterChroma(st, m, 0, new Array[Int](4),
           new Array[Int](4), Array.ofDim[Int](4, 15),
-          Array.ofDim[Int](4, 15), qpy, cbQpOff, crQpOff, refsCb, refsCr)
+          Array.ofDim[Int](4, 15), qpy, cbQpOff, crQpOff, refsCb, refsCr,
+          wp = wps)
         i += 1
       }
       if (st.nextMb < st.nMbs && r.moreRbspData) {
@@ -3809,9 +3954,10 @@ object H264Cavlc {
                 }
             }
           }
-          reconInterLuma(st, m, coeffsByBlk, qpy, refsY)
+          reconInterLuma(st, m, coeffsByBlk, qpy, refsY, wp = wps)
           reconInterChroma(st, m, cbpChroma, cbScan, crScan,
-            cbAcBlk, crAcBlk, qpy, cbQpOff, crQpOff, refsCb, refsCr)
+            cbAcBlk, crAcBlk, qpy, cbQpOff, crQpOff, refsCb, refsCr,
+            wp = wps)
         }
       } else more = false
     }
@@ -3860,7 +4006,8 @@ object H264Cavlc {
     * are a documented boundary. */
   private def decodeBSliceInto(st: PicState, rbsp: Array[Byte],
       qpInit: Int, cbQpOff: Int, crQpOff: Int, t8x8: Boolean,
-      nalRefIdc: Int, deblockCtl: Boolean = false): Unit = {
+      nalRefIdc: Int, deblockCtl: Boolean = false,
+      weightedBipredIdc: Int = 0): Unit = {
     val widthMbs = st.widthMbs
     val (refY0, refCb0, refCr0) = st.refPic.getOrElse(
       throw new IllegalArgumentException(
@@ -3886,6 +4033,10 @@ object H264Cavlc {
     }
     require(r.u(1) == 0, "ref_pic_list_modification l0 not supported")
     require(r.u(1) == 0, "ref_pic_list_modification l1 not supported")
+    // pred_weight_table (7.3.3): EXPLICIT B weighting (idc 1); the
+    // implicit mode (idc 2) is rejected at the PPS
+    val wps =
+      if (weightedBipredIdc == 1) parsePredWeightTable(r, 1, 1) else null
     if (nalRefIdc != 0)
       require(r.u(1) == 0, "adaptive ref pic marking not supported")
     var qpy = qpInit + r.se() // SliceQPy
@@ -3924,11 +4075,12 @@ object H264Cavlc {
         }
         // list0 may hold two entries (list0[1] = list1[0] in every
         // two-entry configuration) — temporal direct's refIdxL0 can be 1
-        reconInterLuma(st, m, null, qpy, Vector(refY0, refY1), refY1)
+        reconInterLuma(st, m, null, qpy, Vector(refY0, refY1), refY1,
+          wp = wps)
         reconInterChroma(st, m, 0, new Array[Int](4), new Array[Int](4),
           Array.ofDim[Int](4, 15), Array.ofDim[Int](4, 15), qpy,
           cbQpOff, crQpOff, Vector(refCb0, refCb1), Vector(refCr0, refCr1),
-          refCb1, refCr1)
+          refCb1, refCr1, wp = wps)
         i += 1
       }
       if (st.nextMb < st.nMbs && r.moreRbspData) {
@@ -4143,11 +4295,11 @@ object H264Cavlc {
             }
           }
           reconInterLuma(st, m, coeffsByBlk, qpy, Vector(refY0, refY1),
-            refY1)
+            refY1, wp = wps)
           reconInterChroma(st, m, cbpChroma, cbScan, crScan,
             cbAcBlk, crAcBlk, qpy, cbQpOff, crQpOff,
             Vector(refCb0, refCb1), Vector(refCr0, refCr1),
-            refCb1, refCr1)
+            refCb1, refCr1, wp = wps)
         }
       } else more = false
     }

@@ -51,7 +51,8 @@ object MultimodalQueries {
     "m33_video_deblock" -> m33,
     "m34_video_bparts" -> m34,
     "m35_video_b8x8" -> m35,
-    "m36_video_temporal_direct" -> m36)
+    "m36_video_temporal_direct" -> m36,
+    "m37_video_weighted_pred" -> m37)
 
   /** Inter prediction on the oracle gate (m28): each asset is a
     * two-frame GOP — an I_16x16-DC IDR whose four macroblocks settle
@@ -447,6 +448,88 @@ object MultimodalQueries {
         mbVal(y3, 0), mbVal(y3, 1), mbVal(y3, 2), mbVal(y3, 3), ys)
     }.toDF("doc_id", "width", "height", "q0", "q1", "q2", "q3",
       "w0", "w1", "w2", "w3", "y3_sum")
+  }
+
+  /** Explicit weighted prediction on the oracle gate (m37): the
+    * fade-handling tool real encoders reach for. The PPS sets
+    * weighted_pred AND weighted_bipred_idc = 1, so the P and B slice
+    * headers carry pred_weight_table (7.3.3.1) with doc-selected
+    * luma weights/offsets at denominator 32, and every inter
+    * prediction runs 8.4.2.3.2:
+    *
+    *  - P picture: p_m = ((v[src]*wP + 16) >> 5) + oP (+10c
+    *    residual) — P_L0 copies are SCALED, so a decoder that skips
+    *    the table desyncs the parse and one that ignores the weights
+    *    shifts every P value;
+    *  - B picture: B_L0 and a second B_L0 at the list-0 weights, a
+    *    B_L1 at the list-1 weights, and a B_Bi landing the exact
+    *    two-weight formula ((p*w0 + v*w1 + 32) >> 6) +
+    *    ((o0 + o1 + 1) >> 1) — NOT the plain rounded average.
+    *
+    * Weights/offsets are chosen so no Clip1 binds; the oracle is
+    * exact integer arithmetic end to end.
+    *
+    * Scale: zero-shuffle per-asset map, like every codec query. */
+  private def m37: Q = (spark, dir) => {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val dc = Array.tabulate(4) { mb =>
+        val d = Array.ofDim[Int](4, 4)
+        d(0)(0) = ((id + mb) % 4).toInt
+        d
+      }
+      def src(k: Int): Int = ((id / k) % 4).toInt
+      def mv(mx: Int, my: Int, sIdx: Int): Array[Int] =
+        Array(((sIdx & 1) - mx) * 64, ((sIdx >> 1) - my) * 64)
+      val wP = (24 + id % 17).toInt
+      val oP = ((id % 11) - 5).toInt * 2
+      val w0 = (26 + id % 7).toInt
+      val o0 = ((id % 7) - 3).toInt
+      val w1 = (30 + id % 5).toInt
+      val o1 = ((id % 5) - 2).toInt
+      val pKinds = Array(0, 0, 0, 0)
+      val pMvs = Array.tabulate(4)(m2 =>
+        Array(mv(m2 & 1, m2 >> 1, src(Seq(1, 3, 5, 7)(m2)))))
+      val pCoeffs = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+      for (m2 <- 0 until 4; blk <- 0 until 16)
+        pCoeffs(m2)(blk)(0) = (((id + m2) % 5) - 2).toInt
+      val bKinds = Array(0, 1, 2, 0) // L0 | L1 | Bi | L0
+      val bMvs0 = Array(
+        mv(0, 0, src(9)), Array(0, 0), mv(0, 1, src(13)),
+        mv(1, 1, src(19)))
+      val bMvs1 = Array(
+        Array(0, 0), mv(1, 0, src(11)), mv(0, 1, src(17)), Array(0, 0))
+      val bCoeffs = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+      for (blk <- 0 until 16) {
+        bCoeffs(0)(blk)(0) = (((id + 6) % 5) - 2).toInt
+        bCoeffs(2)(blk)(0) = (((id + 8) % 5) - 2).toInt
+      }
+      val es = graft.operators.H264.encodeSps(2, 2, 0, numRefFrames = 2) ++
+        graft.operators.H264.encodePps(weightedPred = true,
+          weightedBipredIdc = 1) ++
+        graft.operators.H264Cavlc.encodeIntra16Frame(2, 2, dc, qp = 36,
+          idrPicId = (id % 65536).toInt) ++
+        graft.operators.H264Cavlc.encodePFrame(2, 2, pKinds, pMvs,
+          pCoeffs, qp = 36, frameNum = 1,
+          wpDenom = 5, wpLuma = Array(Array(wP, oP))) ++
+        graft.operators.H264Cavlc.encodeBFrame(2, 2, bKinds, bMvs0,
+          bMvs1, bCoeffs, qp = 36, frameNum = 2,
+          wpDenom = 5, wpLumaL0 = Array(Array(w0, o0)),
+          wpLumaL1 = Array(Array(w1, o1)))
+      val frames = graft.operators.H264Cavlc.decodeIntra16FramesYuv(es)
+      require(frames.size == 3)
+      val y1 = frames(1)._3
+      val y2 = frames(2)._3
+      def mbVal(y: Array[Byte], mb: Int): Int =
+        y(((mb >> 1) * 16) * 32 + (mb & 1) * 16) & 0xFF
+      var ys = 0L
+      var i = 0
+      while (i < y2.length) { ys += y2(i) & 0xFF; i += 1 }
+      (id, frames(2)._1, frames(2)._2,
+        mbVal(y1, 0), mbVal(y1, 1), mbVal(y1, 2), mbVal(y1, 3),
+        mbVal(y2, 0), mbVal(y2, 1), mbVal(y2, 2), mbVal(y2, 3), ys)
+    }.toDF("doc_id", "width", "height", "p0", "p1", "p2", "p3",
+      "w0", "w1", "w2", "w3", "y2_sum")
   }
 
   /** Temporal direct prediction on the oracle gate (m36): the first
@@ -1901,6 +1984,62 @@ object MultimodalQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // m37: explicit weighted prediction replayed closed form. The P
+    // chain scales through ((v*wP + 16) >> 5) + oP before its
+    // residual; the B values run the per-list weights, and the Bi
+    // macroblock is the exact two-weight sum — weights chosen so no
+    // Clip1 binds, so the SQL stays pure integer arithmetic.
+    "m37_video_weighted_pred" ->
+      """WITH f AS (SELECT doc_id,
+        | (doc_id + 0) % 4 AS f0, (doc_id + 1) % 4 AS f1,
+        | (doc_id + 2) % 4 AS f2, (doc_id + 3) % 4 AS f3,
+        | 24 + doc_id % 17 AS wp, 2*((doc_id % 11) - 5) AS op,
+        | 26 + doc_id % 7 AS w0, (doc_id % 7) - 3 AS o0,
+        | 30 + doc_id % 5 AS w1, (doc_id % 5) - 2 AS o1
+        | FROM documents),
+        |v AS (SELECT doc_id, wp, op, w0, o0, w1, o1,
+        | 128 + (160*f0 + 32)//64 AS v0,
+        | v0 + (160*f1 + 32)//64 AS v1,
+        | v0 + (160*f2 + 32)//64 AS v2,
+        | (v1 + v2 + 1)//2 + (160*f3 + 32)//64 AS v3
+        | FROM f),
+        |p AS (SELECT doc_id, w0, o0, w1, o1, v0, v1, v2, v3,
+        | ((CASE (doc_id // 1) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END)*wp + 16)//32 + op
+        |   + 10*((doc_id + 0) % 5 - 2) AS p0,
+        | ((CASE (doc_id // 3) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END)*wp + 16)//32 + op
+        |   + 10*((doc_id + 1) % 5 - 2) AS p1,
+        | ((CASE (doc_id // 5) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END)*wp + 16)//32 + op
+        |   + 10*((doc_id + 2) % 5 - 2) AS p2,
+        | ((CASE (doc_id // 7) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END)*wp + 16)//32 + op
+        |   + 10*((doc_id + 3) % 5 - 2) AS p3
+        | FROM v),
+        |w AS (SELECT doc_id, p0, p1, p2, p3,
+        | ((CASE (doc_id // 9) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |    WHEN 2 THEN p2 ELSE p3 END)*w0 + 16)//32 + o0
+        |   + 10*((doc_id + 6) % 5 - 2) AS w0v,
+        | ((CASE (doc_id // 11) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |    WHEN 2 THEN v2 ELSE v3 END)*w1 + 16)//32 + o1 AS w1v,
+        | ((CASE (doc_id // 13) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |    WHEN 2 THEN p2 ELSE p3 END)*w0
+        |  + (CASE (doc_id // 17) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |    WHEN 2 THEN v2 ELSE v3 END)*w1 + 32)//64
+        |  -- (o0+o1+1) >> 1 is a FLOOR shift; DuckDB // truncates, so
+        |  -- bias the (possibly negative) operand positive first
+        |   + ((o0 + o1 + 1 + 8)//2 - 4) + 10*((doc_id + 8) % 5 - 2) AS w2v,
+        | ((CASE (doc_id // 19) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |    WHEN 2 THEN p2 ELSE p3 END)*w0 + 16)//32 + o0 AS w3v
+        | FROM p)
+        |SELECT doc_id, 32 AS width, 32 AS height,
+        | CAST(p0 AS INTEGER) AS p0, CAST(p1 AS INTEGER) AS p1,
+        | CAST(p2 AS INTEGER) AS p2, CAST(p3 AS INTEGER) AS p3,
+        | CAST(w0v AS INTEGER) AS w0, CAST(w1v AS INTEGER) AS w1,
+        | CAST(w2v AS INTEGER) AS w2, CAST(w3v AS INTEGER) AS w3,
+        | CAST(256*(w0v + w1v + w2v + w3v) AS BIGINT) AS y2_sum
+        |FROM w""".stripMargin,
     // m36: temporal direct replayed closed form. DSF = 64 makes the
     // skip MB's list0 read shift exactly 4 px left: four columns of
     // v0 then twelve of v1, each averaged against flat p1 — the

@@ -1237,6 +1237,98 @@ class H264InterSpec extends AnyFunSuite {
     }
   }
 
+  test("explicit weighted prediction: random weights/offsets/denoms, " +
+    "luma + chroma, uni/bi/skip, clipping included") {
+    // I (random luma + chroma DCs) -> P (weighted zero-mv copies +
+    // residuals) -> B (weighted L0/L1/Bi/Skip at zero mv). Every
+    // prediction is a co-located read, so the expected planes are the
+    // 8.4.2.3.2 formulas applied per pixel to the DECODED I/P planes
+    // — including both Clip1 stages and the denom-0 no-shift edge.
+    // The skip MB derives spatial-direct bi at zero motion from its
+    // all-zero neighbours, so it must land the WEIGHTED bi formula.
+    val rnd = new scala.util.Random(3737L)
+    for (iter <- 0 until 10) {
+      val dc = Array.tabulate(4) { mb =>
+        val d = Array.ofDim[Int](4, 4)
+        d(0)(0) = rnd.between(-8, 9)
+        d
+      }
+      val cbDc = Array.fill(4)(Array.fill(2, 2)(0))
+      val crDc = Array.fill(4)(Array.fill(2, 2)(0))
+      for (m <- 0 until 4) {
+        cbDc(m)(0)(0) = rnd.between(-4, 5)
+        crDc(m)(0)(0) = rnd.between(-4, 5)
+      }
+      val dP = if (iter == 0) 0 else rnd.between(0, 7) // denom-0 edge
+      val cdP = rnd.between(0, 7)
+      val wPl = rnd.between(-10, 51)
+      val oPl = rnd.between(-40, 41)
+      val wPcb = rnd.between(-8, 40)
+      val oPcb = rnd.between(-30, 31)
+      val wPcr = rnd.between(-8, 40)
+      val oPcr = rnd.between(-30, 31)
+      val dB = rnd.between(0, 7)
+      val w0 = rnd.between(-10, 51); val o0 = rnd.between(-40, 41)
+      val w1 = rnd.between(-10, 51); val o1 = rnd.between(-40, 41)
+      val pKinds = Array(0, 0, 0, 0)
+      val zeroMvs = Array.fill(4)(Array(Array(0, 0)))
+      val pCoeffs = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+      val pcs = Array.fill(4)(rnd.between(-2, 3))
+      for (m <- 0 until 4; blk <- 0 until 16) pCoeffs(m)(blk)(0) = pcs(m)
+      val bKinds = Array(0, 1, 2, 5)
+      val zz = Array(0, 0)
+      val bCoeffs = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+      val bc0 = rnd.between(-2, 3)
+      for (blk <- 0 until 16) bCoeffs(0)(blk)(0) = bc0
+      val es = H264.encodeSps(2, 2, 0, numRefFrames = 2) ++
+        H264.encodePps(weightedPred = true, weightedBipredIdc = 1) ++
+        H264Cavlc.encodeIntra16Frame(2, 2, dc, qp = 36, idrPicId = iter,
+          cbDc = cbDc, crDc = crDc) ++
+        H264Cavlc.encodePFrame(2, 2, pKinds, zeroMvs, pCoeffs, qp = 36,
+          frameNum = 1, wpDenom = dP, wpChromaDenom = cdP,
+          wpLuma = Array(Array(wPl, oPl)),
+          wpCb = Array(Array(wPcb, oPcb)), wpCr = Array(Array(wPcr, oPcr))) ++
+        H264Cavlc.encodeBFrame(2, 2, bKinds, Array(zz, zz, zz, zz),
+          Array(zz, zz, zz, zz), bCoeffs, qp = 36, frameNum = 2,
+          wpDenom = dB, wpLumaL0 = Array(Array(w0, o0)),
+          wpLumaL1 = Array(Array(w1, o1)))
+      val frames = H264Cavlc.decodeIntra16FramesYuv(es)
+      assert(frames.size === 3)
+      def clip(v: Int) = math.max(0, math.min(255, v))
+      def uni(p: Int, w: Int, o: Int, d: Int) =
+        clip((if (d == 0) p * w else (p * w + (1 << (d - 1))) >> d) + o)
+      def bi(p0: Int, p1: Int, wa: Int, wb: Int, oa: Int, ob: Int, d: Int) =
+        clip(((p0 * wa + p1 * wb + (1 << d)) >> (d + 1)) + ((oa + ob + 1) >> 1))
+      val (yI, cbI, crI) = (frames(0)._3, frames(0)._4, frames(0)._5)
+      val (yP, cbP, crP) = (frames(1)._3, frames(1)._4, frames(1)._5)
+      val yB = frames(2)._3
+      // P: weighted zero-mv copy of I plus residual, luma and chroma
+      for (i <- 0 until 32 * 32) {
+        val mb = (i / 32 / 16) * 2 + (i % 32) / 16
+        val exp = clip(uni(yI(i) & 0xFF, wPl, oPl, dP) + 10 * pcs(mb))
+        assert((yP(i) & 0xFF) === exp, s"iter $iter P luma @$i")
+      }
+      for (i <- 0 until 16 * 16) {
+        assert((cbP(i) & 0xFF) === uni(cbI(i) & 0xFF, wPcb, oPcb, cdP),
+          s"iter $iter P Cb @$i")
+        assert((crP(i) & 0xFF) === uni(crI(i) & 0xFF, wPcr, oPcr, cdP),
+          s"iter $iter P Cr @$i")
+      }
+      // B: MB0 weighted L0 (+res), MB1 weighted L1, MB2/MB3 weighted bi
+      for (i <- 0 until 32 * 32) {
+        val mb = (i / 32 / 16) * 2 + (i % 32) / 16
+        val p = yP(i) & 0xFF
+        val v = yI(i) & 0xFF
+        val exp = mb match {
+          case 0 => clip(uni(p, w0, o0, dB) + 10 * bc0)
+          case 1 => uni(v, w1, o1, dB)
+          case _ => bi(p, v, w0, w1, o0, o1, dB)
+        }
+        assert((yB(i) & 0xFF) === exp, s"iter $iter B mb$mb @$i")
+      }
+    }
+  }
+
   test("I_PCM macroblocks decode inside the general path with nC = 16") {
     val rnd = new scala.util.Random(29L)
     val f0Y = Array.tabulate(16 * 16)(i => ((i * 7 + 3) % 256))
