@@ -356,8 +356,8 @@ object H264 {
   def encodePps(deblockingControl: Boolean = false,
       weightedPred: Boolean = false,
       weightedBipredIdc: Int = 0): Array[Byte] = {
-    require(weightedBipredIdc == 0 || weightedBipredIdc == 1,
-      "only explicit B weighting (idc 0/1) is in subset")
+    require(weightedBipredIdc >= 0 && weightedBipredIdc <= 2,
+      s"weighted_bipred_idc $weightedBipredIdc out of range")
     val w = new BitWriter
     w.ue(0) // pps id
     w.ue(0) // sps id

@@ -2514,9 +2514,10 @@ object H264Cavlc {
           require(r.ue() == 0, "slice groups not supported")
           r.ue(); r.ue() // num_ref_idx defaults
           ppsWeightedPred = r.u(1) == 1 // weighted_pred (explicit P WP)
-          ppsWeightedBipred = r.u(2) // weighted_bipred_idc
-          require(ppsWeightedBipred <= 1,
-            "implicit weighted bipred (idc 2) not supported")
+          ppsWeightedBipred = r.u(2) // weighted_bipred_idc: 0 default,
+          // 1 explicit (pred_weight_table), 2 implicit (POC-derived)
+          require(ppsWeightedBipred <= 2,
+            s"weighted_bipred_idc $ppsWeightedBipred out of range")
           ppsQpInit = 26 + r.se() // pic_init_qp_minus26
           r.se() // pic_init_qs_minus26
           ppsCbQpOff = r.se() // chroma_qp_index_offset
@@ -3542,7 +3543,45 @@ object H264Cavlc {
       chromaLog2Denom: Int,
       lumaW: Array[Array[Int]], lumaO: Array[Array[Int]],
       cbW: Array[Array[Int]], cbO: Array[Array[Int]],
-      crW: Array[Array[Int]], crO: Array[Array[Int]])
+      crW: Array[Array[Int]], crO: Array[Array[Int]],
+      implicitBi: Boolean = false, implW1: Array[Int] = null)
+
+  /** IMPLICIT weighted bi-prediction state (8.4.2.3.1, PPS
+    * weighted_bipred_idc = 2): per list0 refIdx, POC-distance-derived
+    * (w0, w1) for the (refIdx, 0) pair — same tb/td/tx/DSF machinery
+    * as temporal direct, w1 = DSF >> 2 and w0 = 64 - w1 unless the
+    * degenerate conditions (equal POCs, w1 outside [-64, 128]) fall
+    * back to 32/32. Uni-directional predictions stay DEFAULT
+    * (implicitBi gates them off in recon); offsets are zero and the
+    * denominator is fixed at 5. Luma and chroma share the weights. */
+  private def implicitWpState(curPoc: Int, list0Pocs: Array[Int],
+      list1Poc: Int): WpState = {
+    def clipD(v: Int) = math.max(-128, math.min(127, v))
+    val n = math.max(1, list0Pocs.length)
+    val w0 = new Array[Int](n)
+    val w1 = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val poc0 = if (i < list0Pocs.length) list0Pocs(i) else 0
+      val (a, b) =
+        if (list1Poc == poc0) (32, 32)
+        else {
+          val tb = clipD(curPoc - poc0)
+          val td = clipD(list1Poc - poc0)
+          val tx = (16384 + math.abs(td / 2)) / td
+          val dsf = math.max(-1024, math.min(1023, (tb * tx + 32) >> 6))
+          val w1c = dsf >> 2
+          if (w1c < -64 || w1c > 128) (32, 32) else (64 - w1c, w1c)
+        }
+      w0(i) = a
+      w1(i) = b
+      i += 1
+    }
+    val zero = Array(new Array[Int](n), Array(0))
+    WpState(5, 5, Array(w0, Array(32)), zero,
+      Array(w0, Array(32)), zero, Array(w0, Array(32)), zero,
+      implicitBi = true, implW1 = w1)
+  }
 
   /** Parse pred_weight_table (7.3.3.1) for numL0/numL1 active
     * references (numL1 = 0 in P slices). */
@@ -3640,15 +3679,20 @@ object H264Cavlc {
               gy + rr + (m1y >> 2), m1x & 3, m1y & 3)
             else 0
           val pred =
-            if (wp == null) {
+            if (wp == null || (wp.implicitBi && !(useL0 && useL1))) {
+              // default prediction — also the implicit-WP uni case
+              // (8.4.2.3.1 weights only bi-predicted partitions)
               if (useL0 && useL1) (p0 + p1 + 1) >> 1
               else if (useL0) p0 else p1
             } else {
               val d = wp.lumaLog2Denom
-              if (useL0 && useL1)
-                clip255(((p0 * wp.lumaW(0)(ri0) + p1 * wp.lumaW(1)(0) +
+              if (useL0 && useL1) {
+                val w1v = if (wp.implicitBi) wp.implW1(ri0)
+                  else wp.lumaW(1)(0)
+                clip255(((p0 * wp.lumaW(0)(ri0) + p1 * w1v +
                   (1 << d)) >> (d + 1)) +
                   ((wp.lumaO(0)(ri0) + wp.lumaO(1)(0) + 1) >> 1))
+              }
               else if (useL0) wpUni(p0, wp.lumaW(0)(ri0), wp.lumaO(0)(ri0), d)
               else wpUni(p1, wp.lumaW(1)(0), wp.lumaO(1)(0), d)
             }
@@ -3737,15 +3781,19 @@ object H264Cavlc {
                     cx + (m1x >> 3), cy + (m1y >> 3), m1x & 7, m1y & 7)
                   else 0
                 val pred =
-                  if (wW == null) {
+                  if (wW == null ||
+                    (wp.implicitBi && !(useL0 && useL1))) {
                     if (useL0 && useL1) (p0 + p1 + 1) >> 1
                     else if (useL0) p0 else p1
                   } else {
                     val d = wp.chromaLog2Denom
-                    if (useL0 && useL1)
-                      clip255(((p0 * wW(0)(ri0) + p1 * wW(1)(0) +
+                    if (useL0 && useL1) {
+                      val w1v = if (wp.implicitBi) wp.implW1(ri0)
+                        else wW(1)(0)
+                      clip255(((p0 * wW(0)(ri0) + p1 * w1v +
                         (1 << d)) >> (d + 1)) +
                         ((wO(0)(ri0) + wO(1)(0) + 1) >> 1))
+                    }
                     else if (useL0) wpUni(p0, wW(0)(ri0), wO(0)(ri0), d)
                     else wpUni(p1, wW(1)(0), wO(1)(0), d)
                   }
@@ -4033,10 +4081,13 @@ object H264Cavlc {
     }
     require(r.u(1) == 0, "ref_pic_list_modification l0 not supported")
     require(r.u(1) == 0, "ref_pic_list_modification l1 not supported")
-    // pred_weight_table (7.3.3): EXPLICIT B weighting (idc 1); the
-    // implicit mode (idc 2) is rejected at the PPS
+    // pred_weight_table (7.3.3): EXPLICIT B weighting (idc 1), or the
+    // table-less IMPLICIT mode (idc 2) with POC-derived weights
     val wps =
-      if (weightedBipredIdc == 1) parsePredWeightTable(r, 1, 1) else null
+      if (weightedBipredIdc == 1) parsePredWeightTable(r, 1, 1)
+      else if (weightedBipredIdc == 2)
+        implicitWpState(st.poc, st.list0Pocs, st.list1Poc)
+      else null
     if (nalRefIdc != 0)
       require(r.u(1) == 0, "adaptive ref pic marking not supported")
     var qpy = qpInit + r.se() // SliceQPy

@@ -52,7 +52,8 @@ object MultimodalQueries {
     "m34_video_bparts" -> m34,
     "m35_video_b8x8" -> m35,
     "m36_video_temporal_direct" -> m36,
-    "m37_video_weighted_pred" -> m37)
+    "m37_video_weighted_pred" -> m37,
+    "m38_video_implicit_wp" -> m38)
 
   /** Inter prediction on the oracle gate (m28): each asset is a
     * two-frame GOP — an I_16x16-DC IDR whose four macroblocks settle
@@ -448,6 +449,75 @@ object MultimodalQueries {
         mbVal(y3, 0), mbVal(y3, 1), mbVal(y3, 2), mbVal(y3, 3), ys)
     }.toDF("doc_id", "width", "height", "q0", "q1", "q2", "q3",
       "w0", "w1", "w2", "w3", "y3_sum")
+  }
+
+  /** IMPLICIT weighted bi-prediction on the oracle gate (m38,
+    * weighted_bipred_idc = 2): no weight table in the bitstream —
+    * the weights fall out of POC distances through the same
+    * DistScaleFactor machinery as temporal direct. The B picture's
+    * doc-selected POC t in 1..7 sits between its references (I poc
+    * 0, P poc 8), giving w1 = 8t toward the FUTURE picture and
+    * w0 = 64 - 8t toward the past one: every Bi macroblock lands
+    * ((L0*(64-8t) + L1*8t + 32) >> 6) — a sliding POC-proportional
+    * blend the plain rounded average cannot reproduce for t != 4 —
+    * while the uni L0/L1 macroblocks must stay UNWEIGHTED (8.4.2.3.1
+    * weights only bi-predicted partitions). A POC slip, a
+    * DistScaleFactor slip, or weighting the uni paths all move
+    * oracle-separated outputs.
+    *
+    * Scale: zero-shuffle per-asset map, like every codec query. */
+  private def m38: Q = (spark, dir) => {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val dc = Array.tabulate(4) { mb =>
+        val d = Array.ofDim[Int](4, 4)
+        d(0)(0) = ((id + mb) % 4).toInt
+        d
+      }
+      def src(k: Int): Int = ((id / k) % 4).toInt
+      def mv(mx: Int, my: Int, sIdx: Int): Array[Int] =
+        Array(((sIdx & 1) - mx) * 64, ((sIdx >> 1) - my) * 64)
+      val tPoc = (1 + id % 7).toInt
+      val pKinds = Array(0, 0, 0, 0)
+      val pMvs = Array.tabulate(4)(m2 =>
+        Array(mv(m2 & 1, m2 >> 1, src(Seq(1, 3, 5, 7)(m2)))))
+      val pCoeffs = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+      for (m2 <- 0 until 4; blk <- 0 until 16)
+        pCoeffs(m2)(blk)(0) = (((id + m2) % 5) - 2).toInt
+      // B (poc t, reordered lists: list0 = [I, P], list1 = [P, I])
+      val bKinds = Array(2, 2, 0, 1) // Bi | Bi | L0 uni | L1 uni
+      val bMvs0 = Array(
+        mv(0, 0, src(9)), mv(1, 0, src(13)), mv(0, 1, src(19)),
+        Array(0, 0))
+      val bMvs1 = Array(
+        mv(0, 0, src(11)), mv(1, 0, src(17)), Array(0, 0),
+        mv(1, 1, src(21)))
+      val bCoeffs = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+      for (blk <- 0 until 16)
+        bCoeffs(0)(blk)(0) = (((id + 6) % 5) - 2).toInt
+      val es = graft.operators.H264.encodeSps(2, 2, 0, numRefFrames = 2,
+        pocType = 0) ++
+        graft.operators.H264.encodePps(weightedBipredIdc = 2) ++
+        graft.operators.H264Cavlc.encodeIntra16Frame(2, 2, dc, qp = 36,
+          idrPicId = (id % 65536).toInt, pocLsb = 0) ++
+        graft.operators.H264Cavlc.encodePFrame(2, 2, pKinds, pMvs,
+          pCoeffs, qp = 36, frameNum = 1, pocLsb = 8) ++
+        graft.operators.H264Cavlc.encodeBFrame(2, 2, bKinds, bMvs0,
+          bMvs1, bCoeffs, qp = 36, frameNum = 2, pocLsb = tPoc)
+      val frames = graft.operators.H264Cavlc.decodeIntra16FramesYuv(es)
+      require(frames.size == 3)
+      val y1 = frames(1)._3
+      val y2 = frames(2)._3
+      def mbVal(y: Array[Byte], mb: Int): Int =
+        y(((mb >> 1) * 16) * 32 + (mb & 1) * 16) & 0xFF
+      var ys = 0L
+      var i = 0
+      while (i < y2.length) { ys += y2(i) & 0xFF; i += 1 }
+      (id, frames(2)._1, frames(2)._2,
+        mbVal(y1, 0), mbVal(y1, 1), mbVal(y1, 2), mbVal(y1, 3),
+        mbVal(y2, 0), mbVal(y2, 1), mbVal(y2, 2), mbVal(y2, 3), ys)
+    }.toDF("doc_id", "width", "height", "p0", "p1", "p2", "p3",
+      "w0", "w1", "w2", "w3", "y2_sum")
   }
 
   /** Explicit weighted prediction on the oracle gate (m37): the
@@ -1984,6 +2054,54 @@ object MultimodalQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    // m38: implicit weighted bi-prediction replayed closed form. The
+    // weights are pure POC arithmetic: w1 = 8t toward the future
+    // reference, w0 = 64 - 8t toward the past one (t = the B's
+    // doc-selected POC in 1..7); uni macroblocks stay unweighted.
+    "m38_video_implicit_wp" ->
+      """WITH f AS (SELECT doc_id,
+        | (doc_id + 0) % 4 AS f0, (doc_id + 1) % 4 AS f1,
+        | (doc_id + 2) % 4 AS f2, (doc_id + 3) % 4 AS f3,
+        | 1 + doc_id % 7 AS t
+        | FROM documents),
+        |v AS (SELECT doc_id, t,
+        | 128 + (160*f0 + 32)//64 AS v0,
+        | v0 + (160*f1 + 32)//64 AS v1,
+        | v0 + (160*f2 + 32)//64 AS v2,
+        | (v1 + v2 + 1)//2 + (160*f3 + 32)//64 AS v3
+        | FROM f),
+        |p AS (SELECT doc_id, t, v0, v1, v2, v3,
+        | (CASE (doc_id // 1) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 0) % 5 - 2) AS p0,
+        | (CASE (doc_id // 3) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 1) % 5 - 2) AS p1,
+        | (CASE (doc_id // 5) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 2) % 5 - 2) AS p2,
+        | (CASE (doc_id // 7) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 3) % 5 - 2) AS p3
+        | FROM v),
+        |w AS (SELECT doc_id, p0, p1, p2, p3,
+        | (((CASE (doc_id // 9) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |    WHEN 2 THEN v2 ELSE v3 END)*(64 - 8*t)
+        |  + (CASE (doc_id // 11) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |    WHEN 2 THEN p2 ELSE p3 END)*(8*t) + 32)//64)
+        |   + 10*((doc_id + 6) % 5 - 2) AS w0v,
+        | (((CASE (doc_id // 13) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |    WHEN 2 THEN v2 ELSE v3 END)*(64 - 8*t)
+        |  + (CASE (doc_id // 17) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |    WHEN 2 THEN p2 ELSE p3 END)*(8*t) + 32)//64) AS w1v,
+        | CASE (doc_id // 19) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END AS w2v,
+        | CASE (doc_id // 21) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |   WHEN 2 THEN p2 ELSE p3 END AS w3v
+        | FROM p)
+        |SELECT doc_id, 32 AS width, 32 AS height,
+        | CAST(p0 AS INTEGER) AS p0, CAST(p1 AS INTEGER) AS p1,
+        | CAST(p2 AS INTEGER) AS p2, CAST(p3 AS INTEGER) AS p3,
+        | CAST(w0v AS INTEGER) AS w0, CAST(w1v AS INTEGER) AS w1,
+        | CAST(w2v AS INTEGER) AS w2, CAST(w3v AS INTEGER) AS w3,
+        | CAST(256*(w0v + w1v + w2v + w3v) AS BIGINT) AS y2_sum
+        |FROM w""".stripMargin,
     // m37: explicit weighted prediction replayed closed form. The P
     // chain scales through ((v*wP + 16) >> 5) + oP before its
     // residual; the B values run the per-list weights, and the Bi
