@@ -381,7 +381,8 @@ object H264 {
     * pic_scaling_matrix_present = 0 (flat weights), and an explicit
     * second_chroma_qp_index_offset (7.4.2.2: Cr uses the second
     * offset when the tail is present; Cb keeps the first). */
-  def encodePpsT8(secondChromaQpOffset: Int = 0): Array[Byte] = {
+  def encodePpsT8(secondChromaQpOffset: Int = 0,
+      deblockingControl: Boolean = false): Array[Byte] = {
     val w = new BitWriter
     w.ue(0) // pps id
     w.ue(0) // sps id
@@ -394,7 +395,7 @@ object H264 {
     w.se(0) // pic_init_qp_minus26
     w.se(0) // pic_init_qs_minus26
     w.se(0) // chroma_qp_index_offset
-    w.u(0, 1) // deblocking_filter_control_present
+    w.u(if (deblockingControl) 1 else 0, 1) // deblocking_filter_control_present
     w.u(0, 1) // constrained_intra_pred
     w.u(0, 1) // redundant_pic_cnt_present
     w.u(1, 1) // transform_8x8_mode_flag

@@ -429,6 +429,48 @@ class H264DeblockSpec extends AnyFunSuite {
         s"idc 2 touched the cross-slice edge at ($x, $row)")
   }
 
+  test("transform_size_8x8 macroblocks skip the 4x4 internal edges " +
+    "(offsets 4 and 12) but filter the 8x8 edge and macroblock edges") {
+    // Two I_8x8 macroblocks; MB0's top-left 8x8 block carries a
+    // horizontal-frequency AC coefficient, so a 4x4-grid filter
+    // WOULD smooth the x = 4 column ring. The spec says an 8x8
+    // transform has no edge there: those pixels must be identical
+    // between the filtered and unfiltered decodes, while the x = 8
+    // (8x8 boundary) and x = 16 (macroblock) edges do filter.
+    val kinds = Array(0, 0) // both I_8x8
+    val modes8 = Array.fill(2)(Array(2, 2, 2, 2)) // DC everywhere
+    val coeffs8 = Array.fill(2)(Array.fill(4)(new Array[Int](64)))
+    coeffs8(0)(0)(0) = 6
+    coeffs8(0)(0)(1) = 8 // first two AC positions: gradients in both
+    coeffs8(0)(0)(2) = 6 // orientations, whatever the zig-zag order
+    coeffs8(0)(1)(0) = 6
+    coeffs8(1)(0)(0) = -6 // MB1 level steps at the x = 16 MB edge
+    val modes4 = Array.fill(2)(new Array[Int](16))
+    val coeffs4 = Array.fill(2)(Array.fill(16)(new Array[Int](16)))
+    def stream(idc: Int) =
+      H264.encodeSpsHigh(2, 1, 0) ++
+        H264.encodePpsT8(deblockingControl = true) ++
+        H264Cavlc.encodeIntra8x8Frame(2, 1, kinds, modes8, coeffs8,
+          modes4, coeffs4, qp = 36, idrPicId = 3, deblockIdc = idc)
+    val off = H264Cavlc.decodeIntra16FramesYuv(stream(1)).head
+    val on = H264Cavlc.decodeIntra16FramesYuv(stream(0)).head
+    assert(off._3.toSeq != on._3.toSeq, "the filter must do something")
+    // the x = 8 ring must have filtered somewhere (the gradient is
+    // filterable), proving the x = 4 equality below is meaningful
+    val ring8 = for (y <- 0 until 16; x <- 6 to 9)
+      yield (off._3(y * 32 + x) & 0xFF) != (on._3(y * 32 + x) & 0xFF)
+    assert(ring8.contains(true), "8x8-boundary edge should filter")
+    // x = 4: NOT a transform edge under T8 — untouched (away from
+    // the filtered y = 8 horizontal band, rows 6..9)
+    for (y <- (0 until 6) ++ (10 until 16); x <- 2 to 5)
+      assert((off._3(y * 32 + x) & 0xFF) === (on._3(y * 32 + x) & 0xFF),
+        s"T8 4x4-offset edge touched at ($x,$y)")
+    // and the macroblock edge at x = 16 filtered the level step
+    val ring16 = for (y <- 0 until 16; x <- 13 to 18)
+      yield (off._3(y * 32 + x) & 0xFF) != (on._3(y * 32 + x) & 0xFF)
+    assert(ring16.contains(true), "macroblock edge should filter")
+  }
+
   test("tables follow their published generator laws") {
     // alpha(x) ~ 0.8 * (2^(x/6) - 1) capped at 255 (List et al. 2003);
     // the published table was hand-rounded, so allow max(1.5, 2%) —
