@@ -12,7 +12,14 @@ class CatalogSpec extends AnyFunSuite with StopStreamsAfterAll {
 
   private def withCatalog(test: String => Unit): Unit = {
     val root = Files.createTempDirectory("graft-cat").toString
-    val cat = s"gcat${math.abs(root.hashCode % 1000)}"
+    // the catalog NAME must be unique per test: Spark's CatalogManager
+    // caches catalog instances by name, so a name collision (the old
+    // root.hashCode % 1000 scheme collided at the few-per-thousand
+    // level) hands this test a cached catalog pinned to a PREVIOUS
+    // test's root — tables then land in one root while direct
+    // EmbeddedLogStore reads go to the other (observed as a flaky
+    // empty VERSION AS OF)
+    val cat = s"gcat${CatalogSpec.NextCatalogId.incrementAndGet()}"
     spark.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.connector.LogServiceCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -140,4 +147,9 @@ class CatalogSpec extends AnyFunSuite with StopStreamsAfterAll {
         .forall(_.getString(0) != "p3"))
     }
   }
+}
+
+object CatalogSpec {
+  /** JVM-unique catalog-name counter — see withCatalog. */
+  val NextCatalogId = new java.util.concurrent.atomic.AtomicInteger(0)
 }
