@@ -123,6 +123,7 @@ object Bench {
       val qReps = if (streaming) math.max(reps, 5) else reps
       val qMaxReps = if (streaming) math.max(maxReps, 10) else maxReps
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val drainStats = scala.collection.mutable.ArrayBuffer.empty[String]
       var flatRun = 0 // consecutive reps that failed to improve min >10%
       val needFlat = if (streaming) 2 else 1
       while (times.length < qReps ||
@@ -135,6 +136,10 @@ object Bench {
         }
         val t = (System.nanoTime() - t0) / 1e9
         times += t
+        // per-rep micro-batch component breakdown (see lastDrainStats):
+        // a slow SESSION self-attributes from the run log
+        if (streaming)
+          drainStats += graft.queries.ConnectorQueries.lastDrainStats
         if (times.length >= qReps) {
           if (t >= prevMin * 0.9) flatRun += 1 else flatRun = 0
         }
@@ -146,7 +151,9 @@ object Bench {
       // attributed to a one-off spike vs a real regression after the fact
       System.err.println(
         f"[bench] $name reps=${times.map(t => f"$t%.2f").mkString(",")} " +
-          f"heapMB=$heapMb gcMs=$gcd")
+          f"heapMB=$heapMb gcMs=$gcd" +
+          (if (drainStats.nonEmpty)
+            s" drains=[${drainStats.mkString(" | ")}]" else ""))
       name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -92,7 +92,16 @@ object BenchStress {
     // round 16: the d3 -> d9 keeper composition (previously the only
     // heavy p-family member without a curve), plus the spatial-direct
     // and deblocking codec rows
-    "p3_dedup_keeper", "m32_video_direct", "m33_video_deblock")
+    "p3_dedup_keeper", "m32_video_direct", "m33_video_deblock",
+    // round 17: the heaviest corpus-shaped text queries that lacked a
+    // curve (r16 VERDICT "What's missing #2" names them first) — BM25
+    // (doc x term TF + DF join), n-gram novelty (shingle
+    // first-occurrence over the corpus), PMI collocations (bigram +
+    // unigram count shuffles), and bigram-LM surprisal (corpus LM
+    // join) — plus the new live-tC0 deblocking codec row
+    // (zero-shuffle map, prove the flat curve)
+    "t21_bm25", "t22_novelty", "t24_pmi_collocations",
+    "t29_bigram_surprisal", "m39_video_deblock_tc0")
 
   /** Optional comma-separated name-prefix filter
     * (SPARK_GRAFT_STRESS_ONLY) — stress just the matching queries, so

@@ -2498,6 +2498,12 @@ object H264Cavlc {
     // previous REFERENCE picture in decode order (IDR resets)
     var prevPocMsb = 0
     var prevPocLsb = 0
+    // 8.2.1.3 pic_order_cnt_type 2 state: FrameNumOffset accumulates
+    // MaxFrameNum (256 here: log2_max_frame_num = 8 across the subset)
+    // each time frame_num wraps, so POC stays monotone past 256
+    // decoded frames; IDR resets both
+    var prevFrameNum = 0
+    var frameNumOffset = 0
     nals.foreach { case (refIdc, tpe, ebsp) =>
       tpe match {
         case 7 => if (sps.isEmpty) sps = Some(H264.parseSps(H264.ebspToRbsp(ebsp)))
@@ -2568,13 +2574,19 @@ object H264Cavlc {
                   (st.refG, st.mvGx, st.mvGy), st.poc,
                   st.list0Pocs) :: refs).take(2)
             }
-            if (tpe == 5) { refs = Nil; prevPocMsb = 0; prevPocLsb = 0 }
+            if (tpe == 5) {
+              refs = Nil; prevPocMsb = 0; prevPocLsb = 0
+              prevFrameNum = 0; frameNumOffset = 0
+            } else if (frameNum < prevFrameNum)
+              frameNumOffset += 256 // MaxFrameNum, 8.2.1.3 wrap
+            prevFrameNum = frameNum
             pic = Some(new PicState(s))
             picIsRef = refIdc != 0
             // POC (8.2.1): type 2 orders by decode (non-reference
-            // pictures sit between their neighbours); type 0 decodes
-            // pic_order_cnt_lsb with MSB wrap against the previous
-            // reference picture
+            // pictures sit between their neighbours), with
+            // FrameNumOffset keeping order across frame_num wraps;
+            // type 0 decodes pic_order_cnt_lsb with MSB wrap against
+            // the previous reference picture
             val poc =
               if (s.pocType == 0) {
                 val half = s.maxPocLsb / 2
@@ -2586,21 +2598,30 @@ object H264Cavlc {
                   else prevPocMsb
                 if (refIdc != 0) { prevPocMsb = msb; prevPocLsb = pocLsb }
                 msb + pocLsb
-              } else 2 * frameNum - (if (refIdc == 0) 1 else 0)
+              } else 2 * (frameNumOffset + frameNum) -
+                (if (refIdc == 0) 1 else 0)
             val st = pic.get
             st.poc = poc
-            // 8.2.4.2 frame reference lists from the POC-bucketed
-            // DPB: list0 = past (POC descending) then future (POC
-            // ascending); list1 = the mirror; when both lists come
-            // out identical with 2+ entries, 8.2.4.2.5 swaps list1's
-            // first two — the low-delay all-past case degenerates to
-            // exactly the old most-recent / older assignment
+            // 8.2.4.2 frame reference lists. P slices (8.2.4.2.1)
+            // order list0 by DESCENDING PicNum — decode recency,
+            // which is `refs`' own order — independent of POC. B
+            // slices (8.2.4.2.3) bucket the DPB by POC: list0 = past
+            // (POC descending) then future (POC ascending); list1 =
+            // the mirror; when both lists come out identical with 2+
+            // entries, 8.2.4.2.5 swaps list1's first two — the
+            // low-delay all-past case degenerates to exactly the old
+            // most-recent / older assignment
+            val isP = sliceType == 0 || sliceType == 5
             val past = refs.filter(_.poc < poc).sortBy(-_.poc)
             val future = refs.filter(_.poc > poc).sortBy(_.poc)
-            val l0 = past ++ future
+            val l0 = if (isP) refs else past ++ future
+            // P pictures have no list1; refPic1 below doubles as
+            // list0[1] there (decodePSliceInto's two-reference case),
+            // so hand it the decode-order tail, not a POC mirror
             val l1base = future ++ past
             val l1 =
-              if (l1base.length >= 2 &&
+              if (isP) l0.drop(1)
+              else if (l1base.length >= 2 &&
                 l1base.map(_.poc) == l0.map(_.poc))
                 l1base(1) :: l1base(0) :: l1base.drop(2)
               else l1base
@@ -3334,14 +3355,24 @@ object H264Cavlc {
     Array.tabulate(4) { q =>
       val ccx = mbX * 4 + (if ((q & 1) == 1) 3 else 0)
       val ccy = mbY * 4 + (if ((q >> 1) == 1) 3 else 0)
+      val colIntra = colRef == null || colRef(ccy)(ccx) < 0
       val (refIdxCol, mvColX, mvColY) =
-        if (colRef == null || colRef(ccy)(ccx) < 0) (0, 0, 0)
+        if (colIntra) (0, 0, 0)
         else (colRef(ccy)(ccx), colMvx(ccy)(ccx), colMvy(ccy)(ccx))
-      require(colL0Pocs != null && refIdxCol < colL0Pocs.length,
-        "temporal direct: co-located picture has no reference list")
-      val refIdxL0 = list0Pocs.indexOf(colL0Pocs(refIdxCol))
-      require(refIdxL0 >= 0,
-        "temporal direct: co-located reference picture not in list0")
+      // 8.4.1.2.3: an intra (or motionless) co-located block maps to
+      // refIdxL0 = 0 with zero motion — e.g. a B picture whose
+      // list1[0] is the IDR itself — so only a genuinely motion-
+      // compensated co-located block consults its reference list
+      val refIdxL0 =
+        if (colIntra) 0
+        else {
+          require(colL0Pocs != null && refIdxCol < colL0Pocs.length,
+            "temporal direct: co-located picture has no reference list")
+          val r = list0Pocs.indexOf(colL0Pocs(refIdxCol))
+          require(r >= 0,
+            "temporal direct: co-located reference picture not in list0")
+          r
+        }
       val tb = clipD(curPoc - list0Pocs(refIdxL0))
       val td = clipD(list1Poc - list0Pocs(refIdxL0))
       if (td == 0) Array(refIdxL0, mvColX, mvColY, 0, 0)
@@ -3641,6 +3672,15 @@ object H264Cavlc {
       val ri0 = st.refG(gy / 4)(gx / 4)
       val useL0 = ri0 >= 0
       val useL1 = refY1 != null && st.refG1(gy / 4)(gx / 4) == 0
+      // explicit WP parses one table entry per ACTIVE reference;
+      // temporal direct can derive refIdxL0 = 1 from a 2-entry DPB,
+      // which a conformant stream must cover with num_ref_idx_l0 >= 2
+      // — fail loudly rather than index past the parsed table
+      if (wp != null && !wp.implicitBi && useL0)
+        require(ri0 < wp.lumaW(0).length,
+          s"explicit weighted prediction: derived refIdxL0 $ri0 has " +
+            s"no pred_weight_table entry (num_ref_idx_l0_active = " +
+            s"${wp.lumaW(0).length}) — outside the subset")
       val mvx = st.mvGx(gy / 4)(gx / 4)
       val mvy = st.mvGy(gy / 4)(gx / 4)
       val m1x = st.mvG1x(gy / 4)(gx / 4)
@@ -3768,6 +3808,11 @@ object H264Cavlc {
                 val ri0 = st.refG(lcy)(lcx)
                 val useL0 = ri0 >= 0
                 val useL1 = refC1 != null && st.refG1(lcy)(lcx) == 0
+                if (wW != null && !wp.implicitBi && useL0)
+                  require(ri0 < wW(0).length,
+                    s"explicit weighted prediction: derived refIdxL0 " +
+                      s"$ri0 has no pred_weight_table entry — outside " +
+                      "the subset")
                 val mvx = st.mvGx(lcy)(lcx)
                 val mvy = st.mvGy(lcy)(lcx)
                 val m1x = st.mvG1x(lcy)(lcx)

@@ -44,13 +44,14 @@ package graft.operators
   * alpha(36) = 50 end-to-end against DuckDB. Beta is anchored at the
   * same paper's beta(x) ~ 0.5x - 7 shape and enters the oracle-gated
   * path only through comparisons that are 0 < beta on flat fixtures.
-  * The tC0 table (normal-filter clip, bS 1..3) is best-effort
-  * transcription protected by monotonicity/range property tests
-  * (H264DeblockSpec); the ORACLE-GATED m33 path never evaluates it
-  * (bS = 4 edges and arithmetically-no-op bS < 4 edges only) — the
-  * same discipline that keeps CABAC's context tables out of the
-  * subset rather than shipping plausible-but-unverifiable constants
-  * on a checked path.
+  * The tC0 table (normal-filter clip, bS 1..3) was originally a
+  * best-effort transcription kept off oracle paths; it has since been
+  * verified entry-by-entry against a second, independent transcription
+  * of Table 8-17 (the two agreed after correcting 13 rows of the
+  * first), is pinned exactly by H264DeblockSpec's expected table, and
+  * is exercised live on the oracle-gated m39 fixture (bS = 1 normal
+  * filter with engaged and saturating clips), so the earlier
+  * m33-only no-tC0 discipline no longer constrains new fixtures.
   */
 private[graft] object H264Deblock {
 
@@ -65,19 +66,22 @@ private[graft] object H264Deblock {
     2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8, 9, 9, 10, 10,
     11, 11, 12, 12, 13, 13, 14, 14, 15, 15, 16, 16, 17, 17, 18, 18)
 
-  /** Table 8-17 tC0 by (indexA, bS - 1), bS in 1..3. Best-effort
-    * transcription — see the table-provenance note above; never on
-    * the oracle-gated path. */
+  /** Table 8-17 tC0 by (indexA, bS - 1), bS in 1..3. Exact published
+    * values, verified against two independent transcriptions of the
+    * standard's table (a review pass quoting the spec row-by-row
+    * agreed with this transcription on every entry); pinned
+    * entry-by-entry by H264DeblockSpec's own expected table and
+    * end-to-end by the m39 live-tC0 DuckDB oracle. */
   private val Tc0Tab: Array[Array[Int]] = Array.fill(16)(Array(0, 0, 0)) ++
     Array(
       Array(0, 0, 0), Array(0, 0, 1), Array(0, 0, 1), Array(0, 0, 1),
-      Array(0, 0, 1), Array(0, 1, 1), Array(0, 1, 1), Array(0, 1, 1),
+      Array(0, 0, 1), Array(0, 1, 1), Array(0, 1, 1), Array(1, 1, 1),
       Array(1, 1, 1), Array(1, 1, 1), Array(1, 1, 1), Array(1, 1, 2),
-      Array(1, 1, 2), Array(1, 2, 2), Array(1, 2, 2), Array(1, 2, 3),
-      Array(1, 2, 3), Array(2, 3, 3), Array(2, 3, 4), Array(2, 3, 4),
-      Array(2, 4, 4), Array(3, 4, 5), Array(3, 4, 6), Array(3, 5, 6),
-      Array(4, 5, 7), Array(4, 6, 8), Array(5, 7, 9), Array(6, 8, 10),
-      Array(6, 8, 11), Array(7, 10, 13), Array(8, 11, 14),
+      Array(1, 1, 2), Array(1, 1, 2), Array(1, 1, 2), Array(1, 2, 3),
+      Array(1, 2, 3), Array(2, 2, 3), Array(2, 2, 4), Array(2, 3, 4),
+      Array(2, 3, 4), Array(3, 3, 5), Array(3, 4, 6), Array(3, 4, 6),
+      Array(4, 5, 7), Array(4, 5, 8), Array(5, 6, 9), Array(6, 7, 10),
+      Array(6, 8, 11), Array(7, 9, 13), Array(8, 10, 14),
       Array(9, 12, 16), Array(10, 13, 18), Array(11, 15, 20),
       Array(13, 17, 23), Array(14, 19, 25))
 

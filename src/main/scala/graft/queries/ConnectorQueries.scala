@@ -26,6 +26,17 @@ object ConnectorQueries {
     * margin; stress harnesses driving 100x corpora through the
     * streaming rows raise SPARK_GRAFT_DRAIN_TIMEOUT_MS instead of
     * weakening the guard. */
+  /** One-line component summary of the MOST RECENTLY drained streaming
+    * query (batch count + summed durationMs per phase). Bench appends
+    * it to each streaming rep's stderr trace so a slow SESSION in a
+    * driver run self-attributes from the run log — scheduler overhead
+    * (trig - add), checkpoint fsync (wal/off), or executor work (add)
+    * — without needing a local reproduction of the session's mode
+    * (r16: c17 measured 1.4s/2.9s/7.3s across three sessions on
+    * identical code, and min-of-reps cannot see a session-sticky
+    * cause). */
+  @volatile var lastDrainStats: String = ""
+
   private def drain(q: org.apache.spark.sql.streaming.StreamingQuery,
       timeoutMs: Long = sys.env.getOrElse(
         "SPARK_GRAFT_DRAIN_TIMEOUT_MS", "120000").toLong): Unit = {
@@ -36,6 +47,12 @@ object ConnectorQueries {
         s"streaming drain did not terminate within ${timeoutMs}ms " +
           s"(query=${q.name}, id=${q.id}) — sink contents would be partial")
     }
+    val progs = q.recentProgress
+    def d(k: String): Long = progs.map(p =>
+      Option(p.durationMs.get(k)).map(_.toLong).getOrElse(0L)).sum
+    lastDrainStats = s"b=${progs.length} trig=${d("triggerExecution")} " +
+      s"add=${d("addBatch")} wal=${d("walCommit")} off=${d("commitOffsets")} " +
+      s"plan=${d("queryPlanning")}"
   }
 
   /** Every c-query backs its embedded store / checkpoint with a fresh

@@ -53,7 +53,8 @@ object MultimodalQueries {
     "m35_video_b8x8" -> m35,
     "m36_video_temporal_direct" -> m36,
     "m37_video_weighted_pred" -> m37,
-    "m38_video_implicit_wp" -> m38)
+    "m38_video_implicit_wp" -> m38,
+    "m39_video_deblock_tc0" -> m39)
 
   /** Inter prediction on the oracle gate (m28): each asset is a
     * two-frame GOP — an I_16x16-DC IDR whose four macroblocks settle
@@ -942,6 +943,86 @@ object MultimodalQueries {
     }.toDF("doc_id", "width", "height",
       "vp3", "vp2", "vp1", "vp0", "vq0", "vq1", "vq2", "vq3", "ysum_v",
       "hp3", "hp2", "hp1", "hp0", "hq0", "hq1", "hq2", "hq3", "ysum_h")
+  }
+
+  /** LIVE-tC0 normal-filter deblocking on the oracle gate (m39):
+    * closes r16 VERDICT "What's missing #1" — m33 certified the
+    * strong filter end-to-end but kept the tC0 table off every oracle
+    * path while it was a best-effort transcription. The table has
+    * since been corrected against a second independent transcription
+    * of Table 8-17 (13 rows changed) and is pinned entry-by-entry in
+    * H264DeblockSpec; this fixture puts it LIVE on the DuckDB gate.
+    *
+    * Two two-frame streams per doc, each 32x16 (two macroblocks A | B
+    * side by side), IDR filtered OFF (idc 1) then a P picture
+    * filtered ON (idc 0) at QP 36:
+    *  - stream A: both P MBs uncoded; MB0 mv (0,0), MB1 mv (0,4) — a
+    *    pure motion discontinuity (|dmv_y| = 4 quarter-pel), so the
+    *    MB edge is bS = 1 and every internal edge is bS = 0. The
+    *    8.7.2.4 normal filter runs with tC0(36, 1) = 2, tC = 4 (flat
+    *    sides), on the step s = vb - va swept 0..60 by the doc's DC
+    *    choices: raw delta (3s+4)>>3 below the clip, the tC clamp
+    *    from s ~ 12, the p1/q1 tC0 clamp from s ~ 9, and the
+    *    filterSamplesFlag alpha(36) = 50 gate at s >= 50 — table
+    *    VALUE and clip STRUCTURE both decide the pixels.
+    *  - stream B: zero motion, MB1's LEFT-COLUMN 4x4 blocks carry a
+    *    DC residual (+10c, c in 1..3), so cbp marks quadrants 0|2 and
+    *    TWO bS = 2 edges run with tC0(36, 2) = 3: the MB edge (step
+    *    sv + 10c, positive) and the internal x = 20 edge (step -10c,
+    *    negative, reading the MB edge's q1 output as its p2 — the
+    *    in-place sequential order again). c = 2 drives the q1
+    *    adjustment's raw value to 5 > tC0: with the r15 table's
+    *    inflated tC0(36, 2) = 4 this row hashes DIFFERENTLY, so the
+    *    oracle now distinguishes the corrected table from the old one.
+    * Probes are the eight samples straddling each live edge on row 0;
+    * the plane sums pin row-uniformity and every untouched pixel.
+    *
+    * Scale: zero-shuffle per-asset map, like every codec query. */
+  private def m39: Q = (spark, dir) => {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      def dcArr(v: Int): Array[Array[Int]] = {
+        val d = Array.ofDim[Int](4, 4)
+        d(0)(0) = v
+        d
+      }
+      val a = (id % 7).toInt
+      val b = (id % 25).toInt
+      val c = 1 + ((id / 175) % 3).toInt
+      val idr = graft.operators.H264.encodeSps(2, 1, 0) ++
+        graft.operators.H264.encodePps(deblockingControl = true) ++
+        graft.operators.H264Cavlc.encodeIntra16Frame(2, 1,
+          Array(dcArr(a), dcArr(b)), qp = 36,
+          idrPicId = (id % 65536).toInt, deblockIdc = 1)
+      val zeroCoeffs = Array.fill(2)(Array.fill(16)(new Array[Int](16)))
+      val pA = graft.operators.H264Cavlc.encodePFrame(2, 1,
+        Array(0, 0), Array(Array(Array(0, 0)), Array(Array(0, 4))),
+        zeroCoeffs, qp = 36, frameNum = 1, deblockIdc = 0)
+      val coeffsB = Array.fill(2)(Array.fill(16)(new Array[Int](16)))
+      Seq(0, 2, 8, 10).foreach(blk => coeffsB(1)(blk)(0) = c)
+      val pB = graft.operators.H264Cavlc.encodePFrame(2, 1,
+        Array(0, 0), Array(Array(Array(0, 0)), Array(Array(0, 0))),
+        coeffsB, qp = 36, frameNum = 1, deblockIdc = 0)
+      val fa = graft.operators.H264Cavlc.decodeIntra16FramesYuv(idr ++ pA)
+      val fb = graft.operators.H264Cavlc.decodeIntra16FramesYuv(idr ++ pB)
+      require(fa.size == 2 && fb.size == 2)
+      val ya = fa(1)._3
+      val yb = fb(1)._3
+      var sa = 0L
+      var i = 0
+      while (i < ya.length) { sa += ya(i) & 0xFF; i += 1 }
+      var sb = 0L
+      i = 0
+      while (i < yb.length) { sb += yb(i) & 0xFF; i += 1 }
+      def pa(x: Int): Int = ya(x) & 0xFF // row 0
+      def pb(x: Int): Int = yb(x) & 0xFF
+      (id, fa(1)._1, fa(1)._2,
+        pa(13), pa(14), pa(15), pa(16), pa(17), pa(18), sa,
+        pb(14), pb(15), pb(16), pb(17), pb(18), pb(19), pb(20), pb(21), sb)
+    }.toDF("doc_id", "width", "height",
+      "ap2", "ap1", "ap0", "aq0", "aq1", "aq2", "ysum_a",
+      "bp1a", "bp0a", "bq0a", "bq1a", "bp1b", "bp0b", "bq0b", "bq1b",
+      "ysum_b")
   }
 
   /** m27's 23 output columns (one past the Tuple22 ceiling). */
@@ -2437,6 +2518,74 @@ object MultimodalQueries {
         | CAST(16*(13*ha + 13*hb + hp2 + hp1 + hp0 + hq0 + hq1 + hq2 + afth)
         |   AS BIGINT) AS ysum_h
         |FROM f""".stripMargin,
+    // m39: the 8.7.2.4 NORMAL filter with LIVE tC0, replayed closed
+    // form. Both sides of every live edge are flat, so delta =
+    // clip(+-tc, (3d+4)>>3) with tc = tC0 + 2, and the p1/q1
+    // adjustments are clip(+-tC0, .). Stream A: bS=1 MB edge (tC0=2),
+    // step sv gated at alpha=50. Stream B: two bS=2 edges (tC0=3) —
+    // MB edge step sv+10c, then the internal x=20 edge step -10c whose
+    // p2 is the MB edge's q1 OUTPUT (sequential in-place order).
+    // NOTE: DuckDB's // TRUNCATES toward zero while the decoder's >>
+    // floors — every division whose numerator can go negative is
+    // spelled FLOOR(x / k.0); the rest stay // (nonnegative there).
+    "m39_video_deblock_tc0" ->
+      """WITH base AS (SELECT doc_id,
+        | doc_id % 7 AS a, doc_id % 25 AS b,
+        | 1 + (doc_id // 175) % 3 AS c
+        | FROM documents),
+        |v AS (SELECT doc_id, c,
+        | 128 + (160*a + 32)//64 AS va,
+        | (160*b + 32)//64 AS sv
+        | FROM base),
+        |v2 AS (SELECT doc_id, c, va, sv,
+        | va + sv AS vb, va + sv + 10*c AS vbp, sv + 10*c AS d1
+        | FROM v),
+        |ea AS (SELECT doc_id, c, va, sv, vb, vbp, d1,
+        | CASE WHEN sv < 50
+        |   THEN va + LEAST(2, ((sv+1)//2)//2) ELSE va END AS ap1,
+        | CASE WHEN sv < 50
+        |   THEN va + LEAST(4, (3*sv+4)//8) ELSE va END AS ap0,
+        | CASE WHEN sv < 50
+        |   THEN vb - LEAST(4, (3*sv+4)//8) ELSE vb END AS aq0,
+        | CASE WHEN sv < 50
+        |   THEN vb + GREATEST(-2,
+        |     CAST(FLOOR((va + (sv+1)//2 - vb) / 2.0) AS INTEGER))
+        |   ELSE vb END AS aq1,
+        | CASE WHEN d1 < 50
+        |   THEN va + LEAST(3, ((d1+1)//2)//2) ELSE va END AS bp1a,
+        | CASE WHEN d1 < 50
+        |   THEN va + LEAST(5, (3*d1+4)//8) ELSE va END AS bp0a,
+        | CASE WHEN d1 < 50
+        |   THEN vbp - LEAST(5, (3*d1+4)//8) ELSE vbp END AS bq0a,
+        | CASE WHEN d1 < 50
+        |   THEN vbp + GREATEST(-3,
+        |     CAST(FLOOR((va + (d1+1)//2 - vbp) / 2.0) AS INTEGER))
+        |   ELSE vbp END AS bq1a
+        | FROM v2),
+        |eb AS (SELECT doc_id, va, vb, vbp, ap1, ap0, aq0, aq1,
+        | bp1a, bp0a, bq0a, bq1a,
+        | vbp + GREATEST(-3, LEAST(3,
+        |   CAST(FLOOR((bq1a + vb + 5*c - 2*vbp) / 2.0) AS INTEGER))) AS bp1b,
+        | vbp + GREATEST(-5,
+        |   CAST(FLOOR((4 - 30*c) / 8.0) AS INTEGER)) AS bp0b,
+        | vb - GREATEST(-5,
+        |   CAST(FLOOR((4 - 30*c) / 8.0) AS INTEGER)) AS bq0b,
+        | vb + LEAST(3, (5*c)//2) AS bq1b
+        | FROM ea)
+        |SELECT doc_id, 32 AS width, 16 AS height,
+        | CAST(va AS INTEGER) AS ap2,
+        | CAST(ap1 AS INTEGER) AS ap1, CAST(ap0 AS INTEGER) AS ap0,
+        | CAST(aq0 AS INTEGER) AS aq0, CAST(aq1 AS INTEGER) AS aq1,
+        | CAST(vb AS INTEGER) AS aq2,
+        | CAST(16*(14*va + ap1 + ap0 + aq0 + aq1 + 14*vb) AS BIGINT)
+        |   AS ysum_a,
+        | CAST(bp1a AS INTEGER) AS bp1a, CAST(bp0a AS INTEGER) AS bp0a,
+        | CAST(bq0a AS INTEGER) AS bq0a, CAST(bq1a AS INTEGER) AS bq1a,
+        | CAST(bp1b AS INTEGER) AS bp1b, CAST(bp0b AS INTEGER) AS bp0b,
+        | CAST(bq0b AS INTEGER) AS bq0b, CAST(bq1b AS INTEGER) AS bq1b,
+        | CAST(16*(14*va + bp1a + bp0a + bq0a + bq1a
+        |   + bp1b + bp0b + bq0b + bq1b + 10*vb) AS BIGINT) AS ysum_b
+        |FROM eb""".stripMargin,
     // m32: the spatial-direct B replayed closed form — v/p/q chains as
     // m30 (q = P2 off P1), then colZero_m = "P1 MB m sourced itself"
     // ((doc_id // k_m) % 4 = m); w1 (direct) reads q1 when zeroed else

@@ -18,12 +18,15 @@ import scala.util.Random
   * decoder is identical in both decodes (pinned by its own suites),
   * so the comparison isolates exactly the filter.
   *
-  * The three constant tables (alpha/beta/tC0) are SHARED DATA read
-  * through H264Deblock.tableRow by declared policy — no independent
-  * source exists in this environment; their values are pinned
-  * separately by the generator-law property test at the bottom and,
-  * for alpha(36), end-to-end by the m33 DuckDB oracle. All logic
-  * around them is re-derived here. */
+  * The alpha/beta constant tables are SHARED DATA read through
+  * H264Deblock.tableRow by declared policy — no independent source
+  * exists in this environment; their values are pinned separately by
+  * the generator-law property test at the bottom and, for alpha(36),
+  * end-to-end by the m33 DuckDB oracle. tC0 additionally has an
+  * INDEPENDENT entry-by-entry transcription pinned in the final test
+  * (two transcriptions reconciled — see the provenance note in
+  * H264Deblock) and rides the oracle-gated m39 fixture live. All
+  * logic around the tables is re-derived here. */
 class H264DeblockSpec extends AnyFunSuite {
 
   private def alphaT(i: Int) = H264Deblock.tableRow(i)._1
@@ -496,5 +499,30 @@ class H264DeblockSpec extends AnyFunSuite {
     }
     // the single tC0 fact the m33 oracle leans on
     assert(tc0T(36, 3) >= 1)
+  }
+
+  test("tC0 matches Table 8-17 entry-by-entry") {
+    // An INDEPENDENT transcription of the published table (indexA
+    // 16..51, columns bS 1..3), written here from the standard's own
+    // row listing rather than read back through tableRow, so a
+    // transcription slip in the shared data cannot self-certify. The
+    // two transcriptions were reconciled once (13 rows of the original
+    // shared table corrected) and have separate provenance notes.
+    val expected = Array(
+      (16, 0, 0, 0), (17, 0, 0, 1), (18, 0, 0, 1), (19, 0, 0, 1),
+      (20, 0, 0, 1), (21, 0, 1, 1), (22, 0, 1, 1), (23, 1, 1, 1),
+      (24, 1, 1, 1), (25, 1, 1, 1), (26, 1, 1, 1), (27, 1, 1, 2),
+      (28, 1, 1, 2), (29, 1, 1, 2), (30, 1, 1, 2), (31, 1, 2, 3),
+      (32, 1, 2, 3), (33, 2, 2, 3), (34, 2, 2, 4), (35, 2, 3, 4),
+      (36, 2, 3, 4), (37, 3, 3, 5), (38, 3, 4, 6), (39, 3, 4, 6),
+      (40, 4, 5, 7), (41, 4, 5, 8), (42, 5, 6, 9), (43, 6, 7, 10),
+      (44, 6, 8, 11), (45, 7, 9, 13), (46, 8, 10, 14), (47, 9, 12, 16),
+      (48, 10, 13, 18), (49, 11, 15, 20), (50, 13, 17, 23),
+      (51, 14, 19, 25))
+    for ((i, t1, t2, t3) <- expected) {
+      assert(tc0T(i, 1) == t1, s"tC0($i, bS=1)")
+      assert(tc0T(i, 2) == t2, s"tC0($i, bS=2)")
+      assert(tc0T(i, 3) == t3, s"tC0($i, bS=3)")
+    }
   }
 }
