@@ -101,7 +101,10 @@ object BenchStress {
     // join) — plus the new live-tC0 deblocking codec row
     // (zero-shuffle map, prove the flat curve)
     "t21_bm25", "t22_novelty", "t24_pmi_collocations",
-    "t29_bigram_surprisal", "m39_video_deblock_tc0")
+    "t29_bigram_surprisal", "m39_video_deblock_tc0",
+    // round 17 (cont.): constrained intra (two decodes per asset,
+    // zero-shuffle map)
+    "m40_video_constrained_intra")
 
   /** Optional comma-separated name-prefix filter
     * (SPARK_GRAFT_STRESS_ONLY) — stress just the matching queries, so

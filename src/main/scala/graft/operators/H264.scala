@@ -355,7 +355,8 @@ object H264 {
     * the pre-filter picture). */
   def encodePps(deblockingControl: Boolean = false,
       weightedPred: Boolean = false,
-      weightedBipredIdc: Int = 0): Array[Byte] = {
+      weightedBipredIdc: Int = 0,
+      constrainedIntra: Boolean = false): Array[Byte] = {
     require(weightedBipredIdc >= 0 && weightedBipredIdc <= 2,
       s"weighted_bipred_idc $weightedBipredIdc out of range")
     val w = new BitWriter
@@ -371,7 +372,7 @@ object H264 {
     w.se(0) // pic_init_qs_minus26
     w.se(0) // chroma_qp_index_offset
     w.u(if (deblockingControl) 1 else 0, 1) // deblocking_filter_control_present
-    w.u(0, 1) // constrained_intra_pred
+    w.u(if (constrainedIntra) 1 else 0, 1) // constrained_intra_pred
     w.u(0, 1) // redundant_pic_cnt_present
     nal(3, 8, w.trailing(), longStart = true)
   }

@@ -2477,6 +2477,7 @@ object H264Cavlc {
     var ppsDeblockCtl = false
     var ppsWeightedPred = false
     var ppsWeightedBipred = 0
+    var ppsConstrainedIntra = false
     var ppsSeen = false
     val out = ArrayBuffer[(Int, Int, Array[Byte], Array[Byte], Array[Byte])]()
     var pic: Option[PicState] = None
@@ -2528,7 +2529,12 @@ object H264Cavlc {
           r.se() // pic_init_qs_minus26
           ppsCbQpOff = r.se() // chroma_qp_index_offset
           ppsDeblockCtl = r.u(1) == 1 // deblocking_filter_control_present
-          require(r.u(1) == 0, "constrained_intra_pred not supported")
+          // constrained_intra_pred (8.3): intra prediction in P/B
+          // slices treats INTER-coded neighbours as unavailable —
+          // samples AND Intra_NxN most-probable-mode; nC (9.2.1) is
+          // NOT affected (that special case needs slice data
+          // partitioning, which is outside the subset)
+          ppsConstrainedIntra = r.u(1) == 1
           r.u(1) // redundant_pic_cnt_present
           // 7.3.2.2 optional tail: present iff more RBSP data remains
           if (r.moreRbspData) {
@@ -2639,11 +2645,12 @@ object H264Cavlc {
               ppsCrQpOff, ppsT8, ppsDeblockCtl)
           else if (sliceType == 0 || sliceType == 5)
             decodePSliceInto(st, rbsp, ppsQpInit, ppsCbQpOff,
-              ppsCrQpOff, ppsT8, ppsDeblockCtl, ppsWeightedPred)
+              ppsCrQpOff, ppsT8, ppsDeblockCtl, ppsWeightedPred,
+              ppsConstrainedIntra)
           else
             decodeBSliceInto(st, rbsp, ppsQpInit, ppsCbQpOff,
               ppsCrQpOff, ppsT8, refIdc, ppsDeblockCtl,
-              ppsWeightedBipred)
+              ppsWeightedBipred, ppsConstrainedIntra)
         case _ => ()
       }
     }
@@ -2824,7 +2831,9 @@ object H264Cavlc {
     * (CodedBlockPatternChroma, updated QPy); chroma decodes in the
     * caller's shared tail. */
   private def decodeI4x4MbLuma(st: PicState, r: BitReader, m: Int,
-      mbAvail: (Int, Int) => Boolean, qpyIn: Int): (Int, Int) = {
+      mbAvail: (Int, Int) => Boolean, qpyIn: Int,
+      predAvailIn: (Int, Int) => Boolean = null): (Int, Int) = {
+    val predAvail = if (predAvailIn == null) mbAvail else predAvailIn
     val widthMbs = st.widthMbs
     val w16 = st.w16
     val h16 = st.mapUnits * 16
@@ -2834,12 +2843,13 @@ object H264Cavlc {
     val mbX = m % widthMbs
     val mbY = m / widthMbs
     // a neighbour 4x4 block (grid coords) is available iff it is inside
-    // the picture and its MB is same-slice decoded; within the current
-    // MB the left/top neighbours always precede in z-scan order
+    // the picture and its MB is same-slice decoded (and intra, under
+    // constrained_intra_pred — predAvail); within the current MB the
+    // left/top neighbours always precede in z-scan order
     def blkAvail(nbx: Int, nby: Int): Boolean =
       nbx >= 0 && nby >= 0 && {
         val nmb = (nby / 4) * widthMbs + (nbx / 4)
-        nmb == m || mbAvail(nbx / 4, nby / 4)
+        nmb == m || predAvail(nbx / 4, nby / 4)
       }
     val modes = new Array[Int](16)
     var blk = 0
@@ -2882,7 +2892,7 @@ object H264Cavlc {
         val bmy = py / 16
         if (bmy * widthMbs + bmx == m)
           ZIdxOf((py % 16) / 4)((px % 16) / 4) < curBlk
-        else mbAvail(bmx, bmy)
+        else predAvail(bmx, bmy)
       }
     blk = 0
     while (blk < 16) {
@@ -2963,7 +2973,9 @@ object H264Cavlc {
     * 8.5.13 dequant + inverse 8x8 transform. Returns
     * (CodedBlockPatternChroma, updated QPy). */
   private def decodeI8x8MbLuma(st: PicState, r: BitReader, m: Int,
-      mbAvail: (Int, Int) => Boolean, qpyIn: Int): (Int, Int) = {
+      mbAvail: (Int, Int) => Boolean, qpyIn: Int,
+      predAvailIn: (Int, Int) => Boolean = null): (Int, Int) = {
+    val predAvail = if (predAvailIn == null) mbAvail else predAvailIn
     val widthMbs = st.widthMbs
     val w16 = st.w16
     val h16 = st.mapUnits * 16
@@ -2975,7 +2987,7 @@ object H264Cavlc {
     def blkAvail(nbx: Int, nby: Int): Boolean =
       nbx >= 0 && nby >= 0 && {
         val nmb = (nby / 4) * widthMbs + (nbx / 4)
-        nmb == m || mbAvail(nbx / 4, nby / 4)
+        nmb == m || predAvail(nbx / 4, nby / 4)
       }
     val modes = new Array[Int](4)
     var b8 = 0
@@ -3017,7 +3029,7 @@ object H264Cavlc {
         val bmy = py / 16
         if (bmy * widthMbs + bmx == m)
           ((py % 16) / 8) * 2 + ((px % 16) / 8) < curB8
-        else mbAvail(bmx, bmy)
+        else predAvail(bmx, bmy)
       }
     b8 = 0
     while (b8 < 4) {
@@ -3863,7 +3875,8 @@ object H264Cavlc {
   private def decodePSliceInto(st: PicState, rbsp: Array[Byte],
       qpInit: Int, cbQpOff: Int, crQpOff: Int, t8x8: Boolean,
       deblockCtl: Boolean = false,
-      weightedPred: Boolean = false): Unit = {
+      weightedPred: Boolean = false,
+      constrainedIntra: Boolean = false): Unit = {
     val widthMbs = st.widthMbs
     val (refY, refCb, refCr) = st.refPic.getOrElse(
       throw new IllegalArgumentException(
@@ -3904,6 +3917,12 @@ object H264Cavlc {
     st.nextSliceId += 1
     val mbAvail: (Int, Int) => Boolean =
       (x, y) => st.mbSlice(y * widthMbs + x) == sliceId
+    // constrained_intra_pred: intra PREDICTION (samples + Intra_NxN
+    // MPM) additionally treats inter-coded neighbours as unavailable;
+    // nC and motion prediction keep the plain same-slice availability
+    val intraPredAvail: (Int, Int) => Boolean =
+      if (!constrainedIntra) mbAvail
+      else (x, y) => mbAvail(x, y) && st.mbIntra(y * widthMbs + x)
     var more = true
     while (more && st.nextMb < st.nMbs) {
       val skipRun = r.ue()
@@ -3936,7 +3955,7 @@ object H264Cavlc {
           require(mbType - 5 <= 25,
             s"mb $m: P-slice intra mb_type ${mbType - 5} out of range")
           qpy = decodeIntraMbInto(st, r, m, mbAvail, mbType - 5, qpy,
-            cbQpOff, crQpOff, t8x8)
+            cbQpOff, crQpOff, t8x8, intraPredAvail)
         } else {
           require(mbType <= 4, s"mb $m: P mb_type $mbType out of range")
           val mbX = m % widthMbs
@@ -4100,7 +4119,8 @@ object H264Cavlc {
   private def decodeBSliceInto(st: PicState, rbsp: Array[Byte],
       qpInit: Int, cbQpOff: Int, crQpOff: Int, t8x8: Boolean,
       nalRefIdc: Int, deblockCtl: Boolean = false,
-      weightedBipredIdc: Int = 0): Unit = {
+      weightedBipredIdc: Int = 0,
+      constrainedIntra: Boolean = false): Unit = {
     val widthMbs = st.widthMbs
     val (refY0, refCb0, refCr0) = st.refPic.getOrElse(
       throw new IllegalArgumentException(
@@ -4141,6 +4161,10 @@ object H264Cavlc {
     st.nextSliceId += 1
     val mbAvail: (Int, Int) => Boolean =
       (x, y) => st.mbSlice(y * widthMbs + x) == sliceId
+    // constrained_intra_pred, same split as decodePSliceInto
+    val intraPredAvail: (Int, Int) => Boolean =
+      if (!constrainedIntra) mbAvail
+      else (x, y) => mbAvail(x, y) && st.mbIntra(y * widthMbs + x)
     val (colRef, colMvx, colMvy) =
       if (st.colMotion == null) (null, null, null) else st.colMotion
     def directMotion(m: Int): Unit =
@@ -4188,7 +4212,7 @@ object H264Cavlc {
           require(mbType - 23 <= 25,
             s"mb $m: B-slice intra mb_type ${mbType - 23} out of range")
           qpy = decodeIntraMbInto(st, r, m, mbAvail, mbType - 23, qpy,
-            cbQpOff, crQpOff, t8x8)
+            cbQpOff, crQpOff, t8x8, intraPredAvail)
         } else {
           require(mbType >= 0 && mbType <= 22,
             s"mb $m: B mb_type $mbType out of range")
@@ -4477,7 +4501,12 @@ object H264Cavlc {
     * 7-13). Returns the updated QPy. */
   private def decodeIntraMbInto(st: PicState, r: BitReader, m: Int,
       mbAvail: (Int, Int) => Boolean, mbType: Int, qpyIn: Int,
-      cbQpOff: Int, crQpOff: Int, t8x8: Boolean): Int = {
+      cbQpOff: Int, crQpOff: Int, t8x8: Boolean,
+      predAvailIn: (Int, Int) => Boolean = null): Int = {
+    // prediction availability may be STRICTER than mbAvail
+    // (constrained_intra_pred excludes inter neighbours); nC always
+    // uses plain mbAvail
+    val predAvail = if (predAvailIn == null) mbAvail else predAvailIn
     val widthMbs = st.widthMbs
     val w16 = st.w16
     val w8 = st.w8
@@ -4537,8 +4566,8 @@ object H264Cavlc {
         val use8 = t8x8 && r.u(1) == 1 // transform_size_8x8_flag
         st.mbT8(m) = use8
         val (cbpC, newQpy) =
-          if (use8) decodeI8x8MbLuma(st, r, m, mbAvail, qpy)
-          else decodeI4x4MbLuma(st, r, m, mbAvail, qpy)
+          if (use8) decodeI8x8MbLuma(st, r, m, mbAvail, qpy, predAvail)
+          else decodeI4x4MbLuma(st, r, m, mbAvail, qpy, predAvail)
         qpy = newQpy
         cbpC
       } else {
@@ -4575,8 +4604,8 @@ object H264Cavlc {
           blk += 1
         }
       }
-      val leftAv = mbX > 0 && mbAvail(mbX - 1, mbY)
-      val topAv = mbY > 0 && mbAvail(mbX, mbY - 1)
+      val leftAv = mbX > 0 && predAvail(mbX - 1, mbY)
+      val topAv = mbY > 0 && predAvail(mbX, mbY - 1)
       def pL(y: Int): Int = plane((mbY * 16 + y) * w16 + mbX * 16 - 1) & 0xFF
       def pT(x: Int): Int = plane((mbY * 16 - 1) * w16 + mbX * 16 + x) & 0xFF
       def pTL: Int = plane((mbY * 16 - 1) * w16 + mbX * 16 - 1) & 0xFF
@@ -4670,8 +4699,8 @@ object H264Cavlc {
       }
       cbpChroma16
       }
-      val leftAv = mbX > 0 && mbAvail(mbX - 1, mbY)
-      val topAv = mbY > 0 && mbAvail(mbX, mbY - 1)
+      val leftAv = mbX > 0 && predAvail(mbX - 1, mbY)
+      val topAv = mbY > 0 && predAvail(mbX, mbY - 1)
       // chroma: residual 2x2 DC blocks when CodedBlockPatternChroma >=
       // 1, plus per-component ChromaACLevel (4 blocks x 15 levels, nC
       // off the chroma grids) when it is 2; Cb DC, Cr DC, Cb AC x4,

@@ -54,7 +54,8 @@ object MultimodalQueries {
     "m36_video_temporal_direct" -> m36,
     "m37_video_weighted_pred" -> m37,
     "m38_video_implicit_wp" -> m38,
-    "m39_video_deblock_tc0" -> m39)
+    "m39_video_deblock_tc0" -> m39,
+    "m40_video_constrained_intra" -> m40)
 
   /** Inter prediction on the oracle gate (m28): each asset is a
     * two-frame GOP — an I_16x16-DC IDR whose four macroblocks settle
@@ -1023,6 +1024,73 @@ object MultimodalQueries {
       "ap2", "ap1", "ap0", "aq0", "aq1", "aq2", "ysum_a",
       "bp1a", "bp0a", "bq0a", "bq1a", "bp1b", "bp0b", "bq0b", "bq1b",
       "ysum_b")
+  }
+
+  /** Constrained intra prediction on the oracle gate (m40): PPS
+    * constrained_intra_pred_flag makes intra prediction in P/B slices
+    * treat INTER-coded neighbours as unavailable (samples and
+    * Intra_NxN most-probable-mode), while nC (9.2.1) keeps the plain
+    * same-slice availability. Two streams per doc share the SAME
+    * slice payload bytes — only the PPS flag differs, which is itself
+    * the 9.2.1 point: the entropy layer must not move. Each stream is
+    * an IDR (flat va | anything) then a P picture [P_L0 mv (0,0) with
+    * a chroma DC residual | intra I_16x16_2_0_0]:
+    *  - unconstrained: the intra MB's luma DC prediction reads the
+    *    inter MB's reconstructed right edge -> va; its chroma DC
+    *    prediction reads the inter MB's chroma -> 128 + 4*level.
+    *  - constrained: the left neighbour is inter, so both fall back
+    *    to the no-neighbour DC default 128.
+    * The probes pin the intra MB's luma and both chroma components
+    * under each flag plus the inter MB's copy (unchanged by the
+    * flag); the plane sums pin every remaining pixel.
+    *
+    * Scale: zero-shuffle per-asset map, like every codec query. */
+  private def m40: Q = (spark, dir) => {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      def dcArr(v: Int): Array[Array[Int]] = {
+        val d = Array.ofDim[Int](4, 4)
+        d(0)(0) = v
+        d
+      }
+      val a = (id % 7).toInt
+      val cbL = (id % 5).toInt
+      val crL = ((id / 5) % 5).toInt
+      val sps = graft.operators.H264.encodeSps(2, 1, 0)
+      val idr = graft.operators.H264Cavlc.encodeIntra16Frame(2, 1,
+        Array(dcArr(a), dcArr(0)), qp = 36, idrPicId = (id % 65536).toInt)
+      val cbDc = Array(Array(Array(cbL, 0), Array(0, 0)),
+        Array(Array(0, 0), Array(0, 0)))
+      val crDc = Array(Array(Array(crL, 0), Array(0, 0)),
+        Array(Array(0, 0), Array(0, 0)))
+      val pf = graft.operators.H264Cavlc.encodePFrame(2, 1,
+        Array(0, 2), Array(Array(Array(0, 0)), Array[Array[Int]]()),
+        Array.fill(2)(Array.fill(16)(new Array[Int](16))),
+        qp = 36, frameNum = 1, cbDc = cbDc, crDc = crDc)
+      def decode(constrained: Boolean) = {
+        val pps = graft.operators.H264.encodePps(
+          constrainedIntra = constrained)
+        val fr = graft.operators.H264Cavlc
+          .decodeIntra16FramesYuv(sps ++ pps ++ idr ++ pf)
+        require(fr.size == 2)
+        fr(1)
+      }
+      val (_, _, yu, cbu, cru) = decode(false)
+      val (_, _, yc, cbc, crc) = decode(true)
+      def sum(p: Array[Byte]): Long = {
+        var s = 0L
+        var i = 0
+        while (i < p.length) { s += p(i) & 0xFF; i += 1 }
+        s
+      }
+      (id, 32, 16,
+        yu(0) & 0xFF, yu(16) & 0xFF, cbu(8) & 0xFF, cru(8) & 0xFF,
+        sum(yu), sum(cbu), sum(cru),
+        yc(16) & 0xFF, cbc(8) & 0xFF, crc(8) & 0xFF,
+        sum(yc), sum(cbc), sum(crc))
+    }.toDF("doc_id", "width", "height",
+      "u_y0", "u_y1", "u_cb1", "u_cr1", "ysum_u", "cbsum_u", "crsum_u",
+      "c_y1", "c_cb1", "c_cr1", "ysum_c", "cbsum_c", "crsum_c")
   }
 
   /** m27's 23 output columns (one past the Tuple22 ceiling). */
@@ -2586,6 +2654,33 @@ object MultimodalQueries {
         | CAST(16*(14*va + bp1a + bp0a + bq0a + bq1a
         |   + bp1b + bp0b + bq0b + bq1b + 10*vb) AS BIGINT) AS ysum_b
         |FROM eb""".stripMargin,
+    // m40: constrained intra replayed closed form. The P picture is
+    // [P_L0 copy of va + chroma DC residual (+4*level at QP 36) |
+    // intra I_16x16_2_0_0]; unconstrained the intra MB predicts va /
+    // 128+4*level off its inter neighbour, constrained it falls back
+    // to 128 on all three components. Same slice bytes decode under
+    // both PPS flags — only prediction moves, never the parse.
+    "m40_video_constrained_intra" ->
+      """WITH v AS (SELECT doc_id,
+        | 128 + (160*(doc_id % 7) + 32)//64 AS va,
+        | 4*(doc_id % 5) AS dcb,
+        | 4*((doc_id // 5) % 5) AS dcr
+        | FROM documents)
+        |SELECT doc_id, 32 AS width, 16 AS height,
+        | CAST(va AS INTEGER) AS u_y0,
+        | CAST(va AS INTEGER) AS u_y1,
+        | CAST(128 + dcb AS INTEGER) AS u_cb1,
+        | CAST(128 + dcr AS INTEGER) AS u_cr1,
+        | CAST(512*va AS BIGINT) AS ysum_u,
+        | CAST(128*(128 + dcb) AS BIGINT) AS cbsum_u,
+        | CAST(128*(128 + dcr) AS BIGINT) AS crsum_u,
+        | CAST(128 AS INTEGER) AS c_y1,
+        | CAST(128 AS INTEGER) AS c_cb1,
+        | CAST(128 AS INTEGER) AS c_cr1,
+        | CAST(256*(va + 128) AS BIGINT) AS ysum_c,
+        | CAST(64*(128 + dcb) + 64*128 AS BIGINT) AS cbsum_c,
+        | CAST(64*(128 + dcr) + 64*128 AS BIGINT) AS crsum_c
+        |FROM v""".stripMargin,
     // m32: the spatial-direct B replayed closed form — v/p/q chains as
     // m30 (q = P2 off P1), then colZero_m = "P1 MB m sourced itself"
     // ((doc_id // k_m) % 4 = m); w1 (direct) reads q1 when zeroed else

@@ -1,0 +1,147 @@
+package graft
+
+import graft.operators.{H264, H264Cavlc}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Conformance for constrained_intra_pred (PPS flag, clause 8.3):
+  * intra prediction in P/B slices treats INTER-coded neighbours as
+  * unavailable — reference samples and the Intra_NxN most-probable-
+  * mode — while nC (9.2.1) keeps the plain same-slice availability
+  * (its constrained-intra special case requires slice data
+  * partitioning, outside the subset).
+  *
+  * Method: the SAME slice payload bytes are decoded under two PPS
+  * that differ only in the flag. Predictions may move; the parse must
+  * not — which is exactly what the dense-neighbour nC test pins (a
+  * decoder that wrongly constrained nC would pick a different Table
+  * 9-5 column than the encoder and desync loudly).
+  *
+  * Subset note: P/B-slice intra macroblocks are I_16x16 in the
+  * encoder (P kind 2 / B kind 3, both I_16x16_2_0_0), so the
+  * fixture-reachable constrained paths are I_16x16 luma DC and
+  * chroma DC. The I_4x4/I_8x8 decoders take the same prediction-
+  * availability predicate (the MPM and sample-availability sites),
+  * but no encodable stream reaches them inside a P/B slice yet. */
+class H264ConstrainedIntraSpec extends AnyFunSuite {
+
+  private def dcArr(v: Int): Array[Array[Int]] = {
+    val d = Array.ofDim[Int](4, 4)
+    d(0)(0) = v
+    d
+  }
+
+  private def decode(es: Array[Byte]) =
+    H264Cavlc.decodeIntra16FramesYuv(es)
+
+  test("P-slice intra I_16x16: constrained flag flips the DC source " +
+    "from the inter neighbour to 128, luma and both chroma components") {
+    // IDR MB0 dc 4 -> va = 128 + (160*4+32)>>6 = 138; P = [P_L0 mv
+    // (0,0) with chroma DC residuals (+8 Cb, +12 Cr at QP 36) |
+    // I_16x16_2_0_0]
+    val sps = H264.encodeSps(2, 1, 0)
+    val idr = H264Cavlc.encodeIntra16Frame(2, 1,
+      Array(dcArr(4), dcArr(0)), qp = 36, idrPicId = 7)
+    val cbDc = Array(Array(Array(2, 0), Array(0, 0)),
+      Array(Array(0, 0), Array(0, 0)))
+    val crDc = Array(Array(Array(3, 0), Array(0, 0)),
+      Array(Array(0, 0), Array(0, 0)))
+    val pf = H264Cavlc.encodePFrame(2, 1,
+      Array(0, 2), Array(Array(Array(0, 0)), Array[Array[Int]]()),
+      Array.fill(2)(Array.fill(16)(new Array[Int](16))),
+      qp = 36, frameNum = 1, cbDc = cbDc, crDc = crDc)
+    def frame(constrained: Boolean) = {
+      val pps = H264.encodePps(constrainedIntra = constrained)
+      val fr = decode(sps ++ pps ++ idr ++ pf)
+      assert(fr.size == 2)
+      fr(1)
+    }
+    val (_, _, yu, cbu, cru) = frame(false)
+    val (_, _, yc, cbc, crc) = frame(true)
+    // unconstrained: the whole luma plane is 138 (inter copy + intra
+    // DC prediction off it); chroma follows the inter MB's residual
+    assert(yu.forall(b => (b & 0xFF) == 138))
+    for (y <- 0 until 8; x <- 0 until 16) {
+      assert((cbu(y * 16 + x) & 0xFF) == 136, s"U Cb ($x,$y)")
+      assert((cru(y * 16 + x) & 0xFF) == 140, s"U Cr ($x,$y)")
+    }
+    // constrained: the inter half is untouched, the intra half falls
+    // back to the no-neighbour default on all three components
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val want = if (x < 16) 138 else 128
+      assert((yc(y * 32 + x) & 0xFF) == want, s"C luma ($x,$y)")
+    }
+    for (y <- 0 until 8; x <- 0 until 16) {
+      assert((cbc(y * 16 + x) & 0xFF) == (if (x < 8) 136 else 128),
+        s"C Cb ($x,$y)")
+      assert((crc(y * 16 + x) & 0xFF) == (if (x < 8) 140 else 128),
+        s"C Cr ($x,$y)")
+    }
+  }
+
+  test("nC is NOT constrained: a dense inter neighbour still feeds the " +
+    "intra macroblock's coeff_token column selection") {
+    // MB0's right-column blocks (5/7/13/15) carry TWO coefficients
+    // each, so MB1's Intra16x16DCLevel decodes with nC = 2 — the
+    // CoeffToken24 column. The encoder's nC mirror always uses plain
+    // availability; a decoder that constrained nC would read nC = 0
+    // under the flag, pick the wrong Table 9-5 column, and desync.
+    val sps = H264.encodeSps(2, 1, 0)
+    val idr = H264Cavlc.encodeIntra16Frame(2, 1,
+      Array(dcArr(4), dcArr(0)), qp = 36, idrPicId = 8)
+    val coeffs = Array.fill(2)(Array.fill(16)(new Array[Int](16)))
+    Seq(5, 7, 13, 15).foreach { blk =>
+      coeffs(0)(blk)(0) = 3
+      coeffs(0)(blk)(1) = 2
+    }
+    val pf = H264Cavlc.encodePFrame(2, 1,
+      Array(0, 2), Array(Array(Array(0, 0)), Array[Array[Int]]()),
+      coeffs, qp = 36, frameNum = 1)
+    def lumaOf(constrained: Boolean) = {
+      val pps = H264.encodePps(constrainedIntra = constrained)
+      decode(sps ++ pps ++ idr ++ pf)(1)._3
+    }
+    val yc = lumaOf(true)
+    // constrained: the intra half is exactly 128 whatever the (now
+    // non-flat) inter neighbour reconstructs to
+    for (y <- 0 until 16; x <- 16 until 32)
+      assert((yc(y * 32 + x) & 0xFF) == 128, s"C luma ($x,$y)")
+    // and the same bytes carry a REAL neighbour signal: unconstrained,
+    // the DC prediction is the (residual-shifted) right-edge mean
+    val yu = lumaOf(false)
+    assert((yu(16) & 0xFF) != 128, "unconstrained prediction should " +
+      "read the inter neighbour's reconstruction")
+  }
+
+  test("B-slice intra I_16x16 honours the flag too") {
+    // I (flat 138) -> P (copies) -> B = [B_L0 mv (0,0) | intra]
+    val sps = H264.encodeSps(2, 1, 0, numRefFrames = 2)
+    val idr = H264Cavlc.encodeIntra16Frame(2, 1,
+      Array(dcArr(4), dcArr(4)), qp = 36, idrPicId = 9)
+    val pKinds = Array(0, 0)
+    val pMvs = Array.tabulate(2)(_ => Array(Array(0, 0)))
+    val pCoeffs = Array.fill(2)(Array.fill(16)(new Array[Int](16)))
+    val pf = H264Cavlc.encodePFrame(2, 1, pKinds, pMvs, pCoeffs,
+      qp = 36, frameNum = 1)
+    val bKinds = Array(0, 3) // B_L0_16x16 | intra
+    val bMvs0 = Array(Array(0, 0), Array(0, 0))
+    val bMvs1 = Array(Array(0, 0), Array(0, 0))
+    val bCoeffs = Array.fill(2)(Array.fill(16)(new Array[Int](16)))
+    val bf = H264Cavlc.encodeBFrame(2, 1, bKinds, bMvs0, bMvs1, bCoeffs,
+      qp = 36, frameNum = 2)
+    def bLuma(constrained: Boolean) = {
+      val pps = H264.encodePps(constrainedIntra = constrained)
+      val fr = decode(sps ++ pps ++ idr ++ pf ++ bf)
+      assert(fr.size == 3)
+      fr(2)._3
+    }
+    val yu = bLuma(false)
+    val yc = bLuma(true)
+    // IDR MB1's dc 4 chains off MB0: 138 + 10 = 148 — the B intra MB
+    // reads its LEFT neighbour (the B_L0 copy of MB0 = 138) when
+    // unconstrained, 128 when constrained
+    for (y <- 0 until 16; x <- 16 until 32) {
+      assert((yu(y * 32 + x) & 0xFF) == 138, s"U B luma ($x,$y)")
+      assert((yc(y * 32 + x) & 0xFF) == 128, s"C B luma ($x,$y)")
+    }
+  }
+}

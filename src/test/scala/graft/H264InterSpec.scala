@@ -874,6 +874,40 @@ class H264InterSpec extends AnyFunSuite {
     reg(24, 24, 8, 8, fA)   // MB3 b8 3 ref 1
   }
 
+  test("P-slice list0 orders by decode recency (PicNum), not POC: a " +
+    "non-monotone-POC P stream routes ref_idx by decode order") {
+    // pocType 0 with POCs 0 -> 8 -> 4 in decode order: the current
+    // picture (poc 4) sees the MOST RECENTLY DECODED reference (poc 8)
+    // as its list0[0] per 8.2.4.2.1 — a POC-bucketed init (the B rule)
+    // would put the IDR (poc 0, the only PAST picture) first instead
+    // and swap both copies below.
+    val dc = Array(Array.ofDim[Int](4, 4), Array.ofDim[Int](4, 4))
+    dc(0)(0)(0) = 4 // IDR flat 138
+    val p1Coeffs = Array.fill(2)(Array.fill(16)(new Array[Int](16)))
+    for (m <- 0 until 2; blk <- 0 until 16) p1Coeffs(m)(blk)(0) = 1
+    val p2Coeffs = Array.fill(2)(Array.fill(16)(new Array[Int](16)))
+    val es = H264.encodeSps(2, 1, 0, numRefFrames = 2, pocType = 0) ++
+      H264.encodePps() ++
+      H264Cavlc.encodeIntra16Frame(2, 1, dc, qp = 36, idrPicId = 3,
+        pocLsb = 0) ++
+      H264Cavlc.encodePFrame(2, 1, Array(0, 0),
+        Array.tabulate(2)(_ => Array(Array(0, 0))), p1Coeffs, qp = 36,
+        frameNum = 1, pocLsb = 8) ++ // P1 = 148 flat, poc 8
+      H264Cavlc.encodePFrame(2, 1, Array(0, 0),
+        Array.tabulate(2)(_ => Array(Array(0, 0))), p2Coeffs, qp = 36,
+        frameNum = 2, pocLsb = 4, numRefIdxL0 = 2,
+        refIdxs = Array(Array(0), Array(1)))
+    val fr = H264Cavlc.decodeIntra16FramesYuv(es)
+    assert(fr.size === 3)
+    val y = fr(2)._3.map(_ & 0xFF)
+    for (yy <- 0 until 16; xx <- 0 until 16)
+      assert(y(yy * 32 + xx) === 148, // ref_idx 0 -> decode-recent P1
+        s"MB0 ($xx,$yy)")
+    for (yy <- 0 until 16; xx <- 16 until 32)
+      assert(y(yy * 32 + xx) === 138, // ref_idx 1 -> the older IDR
+        s"MB1 ($xx,$yy)")
+  }
+
   test("mixed-refIdx MVP: the single-matching-refIdx rule binds each predictor") {
     // random MVs with mixed per-partition ref_idx: a desync between
     // the encoder's and decoder's refIdx-matched predictors would
