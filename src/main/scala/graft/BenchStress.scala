@@ -102,9 +102,10 @@ object BenchStress {
     // (zero-shuffle map, prove the flat curve)
     "t21_bm25", "t22_novelty", "t24_pmi_collocations",
     "t29_bigram_surprisal", "m39_video_deblock_tc0",
-    // round 17 (cont.): constrained intra (two decodes per asset,
-    // zero-shuffle map)
-    "m40_video_constrained_intra")
+    // round 17 (cont.): constrained intra (two decodes per asset)
+    // and per-slice deblock idc (three decodes per asset), both
+    // zero-shuffle maps
+    "m40_video_constrained_intra", "m41_video_slice_deblock")
 
   /** Optional comma-separated name-prefix filter
     * (SPARK_GRAFT_STRESS_ONLY) — stress just the matching queries, so

@@ -1826,6 +1826,7 @@ object H264Cavlc {
       numRefIdxL0: Int = 1,
       refIdxs: Array[Array[Int]] = null,
       deblockIdc: Int = -1,
+      deblockIdcBySlice: Array[Int] = null,
       pocLsb: Int = -1,
       wpDenom: Int = -1,
       wpChromaDenom: Int = 0,
@@ -1920,7 +1921,11 @@ object H264Cavlc {
             Seq((numRefIdxL0, wpLuma, wpCb, wpCr)))
         w.u(0, 1) // adaptive_ref_pic_marking_mode_flag
         w.se(qp - 26) // SliceQPy = qp
-        writeDeblockTail(w, deblockIdc)
+        // per-slice idc override (8.7: the idc/offsets applied to an
+        // edge are those of the slice containing q0) when given
+        writeDeblockTail(w,
+          if (deblockIdcBySlice != null) deblockIdcBySlice(curSlice)
+          else deblockIdc)
       }
       kinds(m) match {
         case 1 => // P_Skip: count into the pending run; record implied MV

@@ -55,7 +55,8 @@ object MultimodalQueries {
     "m37_video_weighted_pred" -> m37,
     "m38_video_implicit_wp" -> m38,
     "m39_video_deblock_tc0" -> m39,
-    "m40_video_constrained_intra" -> m40)
+    "m40_video_constrained_intra" -> m40,
+    "m41_video_slice_deblock" -> m41)
 
   /** Inter prediction on the oracle gate (m28): each asset is a
     * two-frame GOP — an I_16x16-DC IDR whose four macroblocks settle
@@ -1091,6 +1092,70 @@ object MultimodalQueries {
     }.toDF("doc_id", "width", "height",
       "u_y0", "u_y1", "u_cb1", "u_cr1", "ysum_u", "cbsum_u", "crsum_u",
       "c_y1", "c_cb1", "c_cr1", "ysum_c", "cbsum_c", "crsum_c")
+  }
+
+  /** Multi-slice P deblocking with PER-SLICE idc on the oracle gate
+    * (m41): 8.7 applies the idc/offsets of the slice containing q0,
+    * and idc 2 isolates only CROSS-slice macroblock edges — semantics
+    * m33 pinned for intra slices in spec tests only. One 16x32
+    * two-macroblock column per doc, the P picture split into two
+    * slices (one MB each), MB1 carrying a (4,0) motion discontinuity
+    * against MB0's (0,0) — a bS = 1 horizontal MB edge at y = 16 that
+    * is also the slice boundary. Three streams per doc share the same
+    * macroblock payloads and differ only in the two slices' idc:
+    *  - A = (0, 0): the edge filters — the m39 normal-filter closed
+    *    form on step vb - va with live tC0(36, 1).
+    *  - B = (0, 2): q0's slice says 2 and the p side is another
+    *    slice -> the edge is SKIPPED, every row comes back raw.
+    *  - C = (2, 0): the p-side slice's idc 2 is IRRELEVANT — q0's
+    *    slice says 0, so the edge filters exactly like A.
+    *
+    * Scale: zero-shuffle per-asset map, like every codec query. */
+  private def m41: Q = (spark, dir) => {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      def dcArr(v: Int): Array[Array[Int]] = {
+        val d = Array.ofDim[Int](4, 4)
+        d(0)(0) = v
+        d
+      }
+      val a = (id % 7).toInt
+      val b = (id % 25).toInt
+      val head = graft.operators.H264.encodeSps(1, 2, 0) ++
+        graft.operators.H264.encodePps(deblockingControl = true) ++
+        graft.operators.H264Cavlc.encodeIntra16Frame(1, 2,
+          Array(dcArr(a), dcArr(b)), qp = 36,
+          idrPicId = (id % 65536).toInt, deblockIdc = 1)
+      val zero = Array.fill(2)(Array.fill(16)(new Array[Int](16)))
+      def stream(idcs: Array[Int]): Array[Byte] =
+        head ++ graft.operators.H264Cavlc.encodePFrame(1, 2,
+          Array(0, 0), Array(Array(Array(0, 0)), Array(Array(4, 0))),
+          zero, qp = 36, frameNum = 1, sliceStarts = Array(0, 1),
+          deblockIdcBySlice = idcs)
+      def lumaOf(idcs: Array[Int]): Array[Byte] = {
+        val fr = graft.operators.H264Cavlc
+          .decodeIntra16FramesYuv(stream(idcs))
+        require(fr.size == 2)
+        fr(1)._3
+      }
+      val ya = lumaOf(Array(0, 0))
+      val yb = lumaOf(Array(0, 2))
+      val ycs = lumaOf(Array(2, 0))
+      def sum(p: Array[Byte]): Long = {
+        var s = 0L
+        var i = 0
+        while (i < p.length) { s += p(i) & 0xFF; i += 1 }
+        s
+      }
+      def row(p: Array[Byte], r: Int): Int = p(r * 16) & 0xFF
+      (id, 16, 32,
+        row(ya, 13), row(ya, 14), row(ya, 15), row(ya, 16), row(ya, 17),
+        row(ya, 18), sum(ya),
+        row(yb, 14), row(yb, 15), row(yb, 16), row(yb, 17), sum(yb),
+        row(ycs, 16), sum(ycs))
+    }.toDF("doc_id", "width", "height",
+      "ap2", "ap1", "ap0", "aq0", "aq1", "aq2", "ysum_a",
+      "b14", "b15", "b16", "b17", "ysum_b", "c_q0", "ysum_c")
   }
 
   /** m27's 23 output columns (one past the Tuple22 ceiling). */
@@ -2654,6 +2719,44 @@ object MultimodalQueries {
         | CAST(16*(14*va + bp1a + bp0a + bq0a + bq1a
         |   + bp1b + bp0b + bq0b + bq1b + 10*vb) AS BIGINT) AS ysum_b
         |FROM eb""".stripMargin,
+    // m41: per-slice deblocking idc replayed closed form — the same
+    // m39 stream-A normal-filter formulas (bS=1, tC0(36,1)=2, tc=4,
+    // gate at alpha=50) on the horizontal slice-boundary edge, with
+    // stream B raw (q0's slice idc 2 isolates the cross-slice edge)
+    // and stream C identical to A (the p-side slice's idc is not
+    // consulted).
+    "m41_video_slice_deblock" ->
+      """WITH v AS (SELECT doc_id,
+        | 128 + (160*(doc_id % 7) + 32)//64 AS va,
+        | (160*(doc_id % 25) + 32)//64 AS sv
+        | FROM documents),
+        |f AS (SELECT doc_id, va, sv, va + sv AS vb,
+        | CASE WHEN sv < 50
+        |   THEN va + LEAST(2, ((sv+1)//2)//2) ELSE va END AS ap1,
+        | CASE WHEN sv < 50
+        |   THEN va + LEAST(4, (3*sv+4)//8) ELSE va END AS ap0,
+        | CASE WHEN sv < 50
+        |   THEN va + sv - LEAST(4, (3*sv+4)//8)
+        |   ELSE va + sv END AS aq0,
+        | CASE WHEN sv < 50
+        |   THEN va + sv + GREATEST(-2,
+        |     CAST(FLOOR((va + (sv+1)//2 - va - sv) / 2.0) AS INTEGER))
+        |   ELSE va + sv END AS aq1
+        | FROM v)
+        |SELECT doc_id, 16 AS width, 32 AS height,
+        | CAST(va AS INTEGER) AS ap2,
+        | CAST(ap1 AS INTEGER) AS ap1, CAST(ap0 AS INTEGER) AS ap0,
+        | CAST(aq0 AS INTEGER) AS aq0, CAST(aq1 AS INTEGER) AS aq1,
+        | CAST(vb AS INTEGER) AS aq2,
+        | CAST(16*(14*va + ap1 + ap0 + aq0 + aq1 + 14*vb) AS BIGINT)
+        |   AS ysum_a,
+        | CAST(va AS INTEGER) AS b14, CAST(va AS INTEGER) AS b15,
+        | CAST(vb AS INTEGER) AS b16, CAST(vb AS INTEGER) AS b17,
+        | CAST(256*(va + vb) AS BIGINT) AS ysum_b,
+        | CAST(aq0 AS INTEGER) AS c_q0,
+        | CAST(16*(14*va + ap1 + ap0 + aq0 + aq1 + 14*vb) AS BIGINT)
+        |   AS ysum_c
+        |FROM f""".stripMargin,
     // m40: constrained intra replayed closed form. The P picture is
     // [P_L0 copy of va + chroma DC residual (+4*level at QP 36) |
     // intra I_16x16_2_0_0]; unconstrained the intra MB predicts va /
