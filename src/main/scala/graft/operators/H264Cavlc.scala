@@ -1845,7 +1845,7 @@ object H264Cavlc {
     // 8x8 BLOCK, 4 entries). null = all 0.
     require(numRefIdxL0 >= 1 && numRefIdxL0 <= 2)
     val nMbs = widthMbs * heightMapUnits
-    require(kinds.length == nMbs && kinds.forall(k => k >= 0 && k <= 5))
+    require(kinds.length == nMbs && kinds.forall(k => k >= 0 && k <= 6))
     def subTypesOf(m: Int): Array[Int] =
       if (subTypes == null) Array(0, 0, 0, 0) else subTypes(m)
     def refIdxOf(m: Int, pi: Int): Int =
@@ -1858,7 +1858,7 @@ object H264Cavlc {
       case 0 => 0; case 3 => 1; case 4 => 2; case _ => 3
     }
     kinds.zipWithIndex.foreach { case (k, m) =>
-      if (k == 0 || k >= 3) {
+      if (k == 0 || (k >= 3 && k <= 5)) {
         val nParts =
           if (k == 5) subTypesOf(m).map(pSubPartitions(_).length).sum
           else pPartitions(mbTypeOf(k)).length
@@ -1943,6 +1943,22 @@ object H264Cavlc {
             lumaCoeffTokenTab(lumaNc(tcGrid, mbX, mbY, 0, mbAvail),
               s"mb $m DC"), TotalZeros, w)
         // refG cells stay -1 (intra neighbours predict as (0,0,-1))
+        case 6 => // intra-in-P, NxN shape: I_4x4 with every block DC
+          // and cbp 0 (mb_type 5 + 0). With all modes DC, the 8.3.1.1
+          // most-probable-mode is DC for every block under EVERY
+          // availability rule — an unavailable or non-I_4x4 neighbour
+          // predicts as DC, and all coded cells here ARE DC — so the
+          // 16 flag bits below are availability-independent and the
+          // stream decodes identically with or without
+          // constrained_intra_pred modelling on the encoder side;
+          // only the decoder's SAMPLE availability moves the pixels.
+          w.ue(skipRun); skipRun = 0
+          w.ue(5 + 0)
+          var fb = 0
+          while (fb < 16) { w.u(1, 1); fb += 1 } // use-MPM (= DC)
+          w.ue(0) // intra_chroma_pred_mode
+          w.ue(CbpIntraInv(0)) // cbp 0: no residual, no mb_qp_delta
+        // refG cells stay -1; tcGrid cells stay 0 (uncoded blocks)
         case kind => // inter-coded partitions
           w.ue(skipRun); skipRun = 0
           val mbType = mbTypeOf(kind)

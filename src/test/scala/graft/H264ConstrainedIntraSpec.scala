@@ -16,12 +16,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * decoder that wrongly constrained nC would pick a different Table
   * 9-5 column than the encoder and desync loudly).
   *
-  * Subset note: P/B-slice intra macroblocks are I_16x16 in the
-  * encoder (P kind 2 / B kind 3, both I_16x16_2_0_0), so the
-  * fixture-reachable constrained paths are I_16x16 luma DC and
-  * chroma DC. The I_4x4/I_8x8 decoders take the same prediction-
-  * availability predicate (the MPM and sample-availability sites),
-  * but no encodable stream reaches them inside a P/B slice yet. */
+  * Subset note: fixture-reachable constrained paths are I_16x16 luma
+  * DC + chroma DC (P kind 2 / B kind 3) and, via P kind 6 (all-DC
+  * cbp-0 I_4x4), the I_4x4 SAMPLE availability. The I_4x4/I_8x8 MPM
+  * sites take the same predicate but are semantically inert under it:
+  * an inter neighbour predicts as DC whether it is excluded by the
+  * flag or merely recorded as a non-I_NxN cell, so no stream can
+  * distinguish the two rules there. I_8x8 sample availability shares
+  * the I_4x4 code shape and stays encoder-unreachable in P/B. */
 class H264ConstrainedIntraSpec extends AnyFunSuite {
 
   private def dcArr(v: Int): Array[Array[Int]] = {
@@ -110,6 +112,38 @@ class H264ConstrainedIntraSpec extends AnyFunSuite {
     val yu = lumaOf(false)
     assert((yu(16) & 0xFF) != 128, "unconstrained prediction should " +
       "read the inter neighbour's reconstruction")
+  }
+
+  test("P-slice I_4x4: constrained sample availability reaches the " +
+    "NxN path (all-DC I_4x4 macroblock beside an inter neighbour)") {
+    // kind 6: I_4x4, every block mode DC, cbp 0. The 8.3.1.1 MPM is
+    // DC under every availability rule here (inter/unavailable
+    // neighbours predict as DC and every coded cell IS DC), so the
+    // SAME bytes decode under both flags and only the per-block DC
+    // SAMPLE availability moves: unconstrained, block (0,0) reads the
+    // inter MB's right edge and the rest chain off it -> all va;
+    // constrained, block (0,0) has no usable neighbour -> 128, and
+    // the within-MB chain (never constrained) spreads 128.
+    val sps = H264.encodeSps(2, 1, 0)
+    val idr = H264Cavlc.encodeIntra16Frame(2, 1,
+      Array(dcArr(4), dcArr(0)), qp = 36, idrPicId = 11)
+    val pf = H264Cavlc.encodePFrame(2, 1,
+      Array(0, 6), Array(Array(Array(0, 0)), Array[Array[Int]]()),
+      Array.fill(2)(Array.fill(16)(new Array[Int](16))),
+      qp = 36, frameNum = 1)
+    def luma(constrained: Boolean) = {
+      val pps = H264.encodePps(constrainedIntra = constrained)
+      val fr = decode(sps ++ pps ++ idr ++ pf)
+      assert(fr.size == 2)
+      fr(1)._3
+    }
+    val yu = luma(false)
+    val yc = luma(true)
+    for (y <- 0 until 16; x <- 0 until 32) {
+      assert((yu(y * 32 + x) & 0xFF) == 138, s"U ($x,$y)")
+      assert((yc(y * 32 + x) & 0xFF) == (if (x < 16) 138 else 128),
+        s"C ($x,$y)")
+    }
   }
 
   test("B-slice intra I_16x16 honours the flag too") {
