@@ -2652,6 +2652,7 @@ object H264Cavlc {
                 l1base.map(_.poc) == l0.map(_.poc))
                 l1base(1) :: l1base(0) :: l1base.drop(2)
               else l1base
+            st.listsForP = isP
             st.refPic = l0.headOption.map(_.planes)
             st.refPic1 = l1.headOption.map(_.planes)
             st.colMotion = l1.headOption.map(_.motion).orNull
@@ -2784,6 +2785,11 @@ object H264Cavlc {
     var list0Pocs: Array[Int] = Array.empty
     var list1Poc = 0
     var colL0Pocs: Array[Int] = null
+    // the reference lists above are built ONCE per picture from the
+    // FIRST slice's type (P: decode-recency list0; B: POC buckets) —
+    // a picture mixing P and B slices would silently reuse the wrong
+    // shape, so the slice decoders require the class to match
+    var listsForP = false
     var nextMb = 0
     var nextSliceId = 0
     // 8.7 deblocking metadata: per-MB QPy (I_PCM records 0, 8.7.2),
@@ -3909,6 +3915,9 @@ object H264Cavlc {
         "slices must tile the picture in decode order")
     val sliceType = r.ue()
     require(sliceType == 0 || sliceType == 5, s"not a P slice: $sliceType")
+    require(st.listsForP,
+      "P slice in a picture whose reference lists were built for B " +
+        "slices — mixed P/B pictures are outside the subset")
     r.ue() // pps id
     r.u(8) // frame_num
     if (st.s.pocType == 0) // pic_order_cnt_lsb (POC set at pic start)
@@ -4156,6 +4165,9 @@ object H264Cavlc {
         "slices must tile the picture in decode order")
     val sliceType = r.ue()
     require(sliceType == 1 || sliceType == 6, s"not a B slice: $sliceType")
+    require(!st.listsForP,
+      "B slice in a picture whose reference lists were built for P " +
+        "slices — mixed P/B pictures are outside the subset")
     r.ue() // pps id
     r.u(8) // frame_num
     if (st.s.pocType == 0) // pic_order_cnt_lsb (POC set at pic start)
