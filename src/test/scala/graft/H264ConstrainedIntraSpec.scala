@@ -146,6 +146,122 @@ class H264ConstrainedIntraSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized P pictures mixing inter copies, I_16x16 and I_4x4 " +
+    "reconstruct against a longhand model under BOTH flag settings") {
+    // Differential interaction fuzz: a random I_PCM reference, then a
+    // P picture whose macroblocks are randomly P_L0 (random full-pel
+    // MV, no residual), I_16x16_2_0_0, or the all-DC I_4x4 (kind 6),
+    // decoded with constrained_intra_pred 0 AND 1. The expected luma
+    // is rebuilt here from first principles: inter MBs are clamped
+    // reference copies; intra MBs run the 8.3 DC rules with
+    // availability = same-picture raster order, gated on neighbour
+    // intra-ness only under the flag. Any desync between the three
+    // kinds' bitstream layouts, the per-kind grids (refG/i4/tcGrid),
+    // or the two availability predicates shifts some pixel.
+    val rnd = new scala.util.Random(20260816L)
+    val (wMbs, hMbs) = (3, 2)
+    val w16 = wMbs * 16
+    val h16 = hMbs * 16
+    val n = wMbs * hMbs
+    def zIdx(cx: Int, cy: Int): Int = { // inverse of Blk4x4Pos
+      var b = 0
+      while (b < 16) {
+        val ox = ((b >> 2) & 1) * 8 + (b & 1) * 4
+        val oy = ((b >> 3) & 1) * 8 + ((b >> 1) & 1) * 4
+        if (ox / 4 == cx && oy / 4 == cy) return b
+        b += 1
+      }
+      -1
+    }
+    for (iter <- 0 until 10) {
+      val fA = Array.fill(w16 * h16)(rnd.nextInt(256))
+      val kinds = Array.fill(n)(Seq(0, 2, 6)(rnd.nextInt(3)))
+      if (!kinds.contains(0)) kinds(0) = 0 // keep an inter MB around
+      val mvs = Array.tabulate(n)(m =>
+        if (kinds(m) == 0)
+          Array(Array(4 * rnd.between(-6, 7), 4 * rnd.between(-6, 7)))
+        else Array[Array[Int]]())
+      val zero = Array.fill(n)(Array.fill(16)(new Array[Int](16)))
+      val es = H264.encodeSps(wMbs, hMbs, 0) ++
+        H264.encodeIPcmFrame(wMbs, hMbs, fA.map(_.toByte), frameNum = 0) ++
+        H264Cavlc.encodePFrame(wMbs, hMbs, kinds, mvs, zero, qp = 30,
+          frameNum = 1)
+      for (con <- Seq(false, true)) {
+        val pps = H264.encodePps(constrainedIntra = con)
+        // PPS between SPS and slices: splice it in
+        val sps = H264.encodeSps(wMbs, hMbs, 0)
+        val stream = sps ++ pps ++ es.drop(sps.length)
+        val fr = decode(stream)
+        assert(fr.size == 2, s"iter $iter con=$con")
+        val got = fr(1)._3.map(_ & 0xFF)
+        // longhand expected luma
+        val exp = new Array[Int](w16 * h16)
+        val isIntra = kinds.map(_ != 0)
+        def predOK(nm: Int): Boolean = !con || isIntra(nm)
+        for (m <- 0 until n) {
+          val mbX = m % wMbs
+          val mbY = m / wMbs
+          kinds(m) match {
+            case 0 =>
+              val mvx = mvs(m)(0)(0) / 4
+              val mvy = mvs(m)(0)(1) / 4
+              for (y <- 0 until 16; x <- 0 until 16) {
+                val sx = math.max(0, math.min(w16 - 1, mbX * 16 + x + mvx))
+                val sy = math.max(0, math.min(h16 - 1, mbY * 16 + y + mvy))
+                exp((mbY * 16 + y) * w16 + mbX * 16 + x) = fA(sy * w16 + sx)
+              }
+            case 2 =>
+              val leftAv = mbX > 0 && predOK(m - 1)
+              val topAv = mbY > 0 && predOK(m - wMbs)
+              var s = 0
+              if (leftAv) for (y <- 0 until 16)
+                s += exp((mbY * 16 + y) * w16 + mbX * 16 - 1)
+              if (topAv) for (x <- 0 until 16)
+                s += exp((mbY * 16 - 1) * w16 + mbX * 16 + x)
+              val dc =
+                if (leftAv && topAv) (s + 16) >> 5
+                else if (leftAv || topAv) (s + 8) >> 4
+                else 128
+              for (y <- 0 until 16; x <- 0 until 16)
+                exp((mbY * 16 + y) * w16 + mbX * 16 + x) = dc
+            case _ => // kind 6: all-DC I_4x4, cbp 0, z-scan order
+              def sAv(px: Int, py: Int, curBlk: Int): Boolean =
+                px >= 0 && py >= 0 && px < w16 && py < h16 && {
+                  val bmx = px / 16
+                  val bmy = py / 16
+                  if (bmy * wMbs + bmx == m)
+                    zIdx((px % 16) / 4, (py % 16) / 4) < curBlk
+                  else predOK(bmy * wMbs + bmx)
+                }
+              for (blk <- 0 until 16) {
+                val ox = ((blk >> 2) & 1) * 8 + (blk & 1) * 4
+                val oy = ((blk >> 3) & 1) * 8 + ((blk >> 1) & 1) * 4
+                val gx = mbX * 16 + ox
+                val gy = mbY * 16 + oy
+                val leftAv = sAv(gx - 1, gy, blk)
+                val topAv = sAv(gx, gy - 1, blk)
+                var s = 0
+                if (leftAv) for (y <- 0 until 4)
+                  s += exp((gy + y) * w16 + gx - 1)
+                if (topAv) for (x <- 0 until 4)
+                  s += exp((gy - 1) * w16 + gx + x)
+                val dc =
+                  if (leftAv && topAv) (s + 4) >> 3
+                  else if (leftAv || topAv) (s + 2) >> 2
+                  else 128
+                for (y <- 0 until 4; x <- 0 until 4)
+                  exp((gy + y) * w16 + gx + x) = dc
+              }
+          }
+        }
+        for (i <- 0 until w16 * h16)
+          assert(got(i) == exp(i),
+            s"iter $iter con=$con pixel (${i % w16}, ${i / w16}) " +
+              s"kinds=${kinds.mkString(",")}")
+      }
+    }
+  }
+
   test("B-slice intra I_16x16 honours the flag too") {
     // I (flat 138) -> P (copies) -> B = [B_L0 mv (0,0) | intra]
     val sps = H264.encodeSps(2, 1, 0, numRefFrames = 2)
