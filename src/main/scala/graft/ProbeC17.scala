@@ -132,7 +132,7 @@ object ProbeC17 {
           Option(p.durationMs.get(k)).map(_.toLong).getOrElse(0L)).sum
       }
       val stateRows = progs.flatMap(_.stateOperators.map(_.numRowsTotal))
-      val commitMs = progs.flatMap(_.stateOperators
+      val stateBytes = progs.flatMap(_.stateOperators
         .map(_.customMetrics.getOrDefault("stateOnCurrentVersionSizeBytes", 0L)
           .toLong))
       val stCommit = progs.flatMap(_.stateOperators.map(s =>
@@ -141,7 +141,7 @@ object ProbeC17 {
         f"batches=${progs.length} gcMs=$gcd " +
         sums.map { case (k, v) => s"$k=$v" }.mkString(" ") +
         f" stateRowsMax=${if (stateRows.isEmpty) 0L else stateRows.max} " +
-        f"stateCommitMs=${stCommit.sum} stateBytes=${commitMs.sum}")
+        f"stateCommitMs=${stCommit.sum} stateBytes=${stateBytes.sum}")
     }
     spark.stop()
   }

@@ -188,7 +188,14 @@ object H264 {
         }
       }
     }
-    r.ue() // log2_max_frame_num_minus4
+    // The slice-header decoder reads frame_num as u(8) and the pocType-2
+    // FrameNumOffset wrap uses MaxFrameNum = 256 (H264Cavlc), so an SPS
+    // with any other width would silently misparse every later slice
+    // header — fail loudly instead.
+    val log2MaxFrameNumMinus4 = r.ue()
+    require(log2MaxFrameNumMinus4 == 4,
+      s"log2_max_frame_num_minus4=$log2MaxFrameNumMinus4 unsupported: " +
+        "this decoder subset reads frame_num as u(8) (MaxFrameNum=256)")
     val pocType = r.ue() // pic_order_cnt_type
     var maxPocLsb = 16
     pocType match {

@@ -1873,6 +1873,10 @@ object H264Cavlc {
       sliceStarts.forall(st => st >= 0 && st < nMbs) &&
       sliceStarts.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
       s"bad sliceStarts ${sliceStarts.mkString(",")}")
+    require(deblockIdcBySlice == null ||
+      deblockIdcBySlice.length == sliceStarts.length,
+      s"deblockIdcBySlice has ${deblockIdcBySlice.length} entries for " +
+        s"${sliceStarts.length} slices")
     val mbSliceOf = new Array[Int](nMbs)
     locally {
       var si = 0

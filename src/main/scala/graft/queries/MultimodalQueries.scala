@@ -1158,11 +1158,19 @@ object MultimodalQueries {
       "b14", "b15", "b16", "b17", "ysum_b", "c_q0", "ysum_c")
   }
 
-  /** m27's 23 output columns (one past the Tuple22 ceiling). */
-  private case class M27Row(doc_id: Long, width: Int, height: Int,
-      u0: Int, u2: Int, u3: Int, b0: Int, b1: Int, b2: Int, b3: Int,
-      b4: Int, b5: Int, b6: Int, b7: Int, b8: Int, b9: Int, b10: Int,
-      b11: Int, b12: Int, b13: Int, b14: Int, b15: Int, y_sum: Long)
+  /** m27's 23 output columns (one past the Tuple22 ceiling). MUST stay
+    * non-private: a `private` nested case class is JVM-private, Janino-
+    * generated serializer code cannot call its accessors, and the
+    * encoder silently degrades every m27 run to interpreted projection
+    * (round-17 verdict; CodegenGuardSpec keeps the failing shape as a
+    * positive control and the test session runs CODEGEN_ONLY so a
+    * regression is red, not a WARN). The oracle-facing column names
+    * (u0/b0../y_sum) are restored by an explicit toDF. */
+  case class M27Row(docId: Long, widthPx: Int, heightPx: Int,
+      up0: Int, up2: Int, up3: Int, blk0: Int, blk1: Int, blk2: Int,
+      blk3: Int, blk4: Int, blk5: Int, blk6: Int, blk7: Int, blk8: Int,
+      blk9: Int, blk10: Int, blk11: Int, blk12: Int, blk13: Int,
+      blk14: Int, blk15: Int, lumaSum: Long)
 
   /** I_8x8 (transform_size_8x8) decode on the oracle gate (m27): each
     * asset is one High-profile IDR picture of 2x2 MIXED macroblocks —
@@ -1246,7 +1254,9 @@ object MultimodalQueries {
       M27Row(id, w, h, u(0), u(2), u(3), bval(0), bval(1), bval(2),
         bval(3), bval(4), bval(5), bval(6), bval(7), bval(8), bval(9),
         bval(10), bval(11), bval(12), bval(13), bval(14), bval(15), s)
-    }.toDF()
+    }.toDF("doc_id", "width", "height", "u0", "u2", "u3",
+      "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7", "b8", "b9",
+      "b10", "b11", "b12", "b13", "b14", "b15", "y_sum")
   }
 
   /** I_4x4 spatial decode on the oracle gate (m26): each asset is one

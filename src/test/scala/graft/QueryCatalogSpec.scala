@@ -12,6 +12,12 @@ object SparkTestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Hard-fail instead of silently degrading to interpreted
+      // projection when generated code does not compile (the round-17
+      // M27Row encoder regression class). Set on the SparkConf so every
+      // derived newSession() — streaming closures included — inherits
+      // it. CodegenGuardSpec holds the positive control.
+      .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
