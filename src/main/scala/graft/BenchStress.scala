@@ -105,7 +105,8 @@ object BenchStress {
     // round 17 (cont.): constrained intra (two decodes per asset)
     // and per-slice deblock idc (three decodes per asset), both
     // zero-shuffle maps
-    "m40_video_constrained_intra", "m41_video_slice_deblock")
+    "m40_video_constrained_intra", "m41_video_slice_deblock",
+    "m42_video_poc_order", "m43_video_frame_num_wrap")
 
   /** Optional comma-separated name-prefix filter
     * (SPARK_GRAFT_STRESS_ONLY) — stress just the matching queries, so

@@ -159,7 +159,12 @@ object H264 {
     * MaxPicOrderCntLsb = 2^(log2_max_pic_order_cnt_lsb_minus4 + 4)). */
   case class SpsInfo(profileIdc: Int, levelIdc: Int, spsId: Int,
       chromaFormatIdc: Int, width: Int, height: Int, frameMbsOnly: Boolean,
-      pocType: Int = 2, maxPocLsb: Int = 16)
+      pocType: Int = 2, maxPocLsb: Int = 16, maxFrameNum: Int = 256) {
+    /** Width of the frame_num slice-header field (7.4.3: fixed at
+      * log2_max_frame_num bits) — every slice parser must read exactly
+      * this many bits or desync. */
+    def frameNumBits: Int = Integer.numberOfTrailingZeros(maxFrameNum)
+  }
 
   private val HighProfiles =
     Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
@@ -188,14 +193,14 @@ object H264 {
         }
       }
     }
-    // The slice-header decoder reads frame_num as u(8) and the pocType-2
-    // FrameNumOffset wrap uses MaxFrameNum = 256 (H264Cavlc), so an SPS
-    // with any other width would silently misparse every later slice
-    // header — fail loudly instead.
+    // frame_num is a FIXED-WIDTH u(log2_max_frame_num) field: every
+    // slice parser must size its read (and the 8.2.1.3 FrameNumOffset
+    // wrap constant) from this value, so it rides SpsInfo rather than
+    // being hardwired to u(8).
     val log2MaxFrameNumMinus4 = r.ue()
-    require(log2MaxFrameNumMinus4 == 4,
-      s"log2_max_frame_num_minus4=$log2MaxFrameNumMinus4 unsupported: " +
-        "this decoder subset reads frame_num as u(8) (MaxFrameNum=256)")
+    require(log2MaxFrameNumMinus4 <= 12,
+      s"log2_max_frame_num_minus4=$log2MaxFrameNumMinus4 out of range (7.4.2.1.1)")
+    val maxFrameNum = 1 << (log2MaxFrameNumMinus4 + 4)
     val pocType = r.ue() // pic_order_cnt_type
     var maxPocLsb = 16
     pocType match {
@@ -228,7 +233,7 @@ object H264 {
     val height = (if (frameMbsOnly) 1 else 2) * picHeightInMapUnits * 16 -
       cropUnitY * (cropT + cropB)
     SpsInfo(profile, level, spsId, chromaFormatIdc, width, height,
-      frameMbsOnly, pocType, maxPocLsb)
+      frameMbsOnly, pocType, maxPocLsb, maxFrameNum)
   }
 
   private def skipScalingList(r: BitReader, size: Int): Unit = {
@@ -285,13 +290,15 @@ object H264 {
     * order, so no POC syntax is needed). */
   def encodeSps(widthMbs: Int, heightMapUnits: Int, cropBottom: Int,
       levelIdc: Int = 30, numRefFrames: Int = 1,
-      pocType: Int = 2): Array[Byte] = {
+      pocType: Int = 2, log2MaxFrameNumMinus4: Int = 4): Array[Byte] = {
     require(pocType == 0 || pocType == 2, s"pocType $pocType unsupported")
+    require(log2MaxFrameNumMinus4 >= 0 && log2MaxFrameNumMinus4 <= 12,
+      s"log2_max_frame_num_minus4 $log2MaxFrameNumMinus4 out of range")
     val w = new BitWriter
     w.u(66, 8) // profile_idc: baseline (no chroma branch in SPS)
     w.u(0, 8).u(levelIdc, 8)
     w.ue(0) // sps id
-    w.ue(4) // log2_max_frame_num_minus4
+    w.ue(log2MaxFrameNumMinus4) // log2_max_frame_num_minus4
     w.ue(pocType) // pic_order_cnt_type: 2 = decode order IS output
     // order (the low-delay subset); 0 = explicit pic_order_cnt_lsb in
     // every slice header (display-reordered B pictures)
@@ -520,7 +527,7 @@ object H264 {
     val sliceType = r.ue()
     require(sliceType == 2 || sliceType == 7, s"not an I slice: $sliceType")
     r.ue() // pps id
-    r.u(8) // frame_num
+    r.u(s.frameNumBits) // frame_num
     r.ue() // idr_pic_id
     r.u(1); r.u(1) // IDR dec_ref_pic_marking
     r.se() // slice_qp_delta

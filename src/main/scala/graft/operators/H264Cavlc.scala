@@ -1174,7 +1174,8 @@ object H264Cavlc {
       crAc: Array[Array[Array[Int]]] = null,
       sliceStarts: Array[Int] = Array(0),
       deblockIdc: Int = -1,
-      pocLsb: Int = -1): Array[Byte] = {
+      pocLsb: Int = -1,
+      frameNumBits: Int = 8): Array[Byte] = {
     require(dcLevels.length == widthMbs * heightMapUnits)
     require(qp >= 1 && qp <= 51, s"qp out of range: $qp")
     if (acLevels != null) {
@@ -1264,7 +1265,7 @@ object H264Cavlc {
         w.ue(m) // first_mb_in_slice
         w.ue(7) // slice_type: I (all slices of the picture are I)
         w.ue(0) // pps id
-        w.u(0, 8) // frame_num = 0 (IDR, 7.4.3)
+        w.u(0, frameNumBits) // frame_num = 0 (IDR, 7.4.3)
         w.ue(idrPicId & 0xFFFF)
         if (pocLsb >= 0) w.u(pocLsb & 15, 4) // pic_order_cnt_lsb
         w.u(0, 1); w.u(0, 1) // dec_ref_pic_marking (IDR form)
@@ -1832,7 +1833,8 @@ object H264Cavlc {
       wpChromaDenom: Int = 0,
       wpLuma: Array[Array[Int]] = null,
       wpCb: Array[Array[Int]] = null,
-      wpCr: Array[Array[Int]] = null): Array[Byte] = {
+      wpCr: Array[Array[Int]] = null,
+      frameNumBits: Int = 8): Array[Byte] = {
     // wpDenom >= 0 writes a pred_weight_table (PPS must set
     // weighted_pred): wpLuma(refIdx) = Array(weight, offset) or null
     // subTypes(m): kind-5 MBs' four sub_mb_types (Table 7-17:
@@ -1913,7 +1915,7 @@ object H264Cavlc {
         w.ue(m) // first_mb_in_slice
         w.ue(5) // slice_type: P (all slices of the picture are P)
         w.ue(0) // pps id
-        w.u(frameNum & 0xFF, 8)
+        w.u(frameNum & ((1 << frameNumBits) - 1), frameNumBits)
         if (pocLsb >= 0) w.u(pocLsb & 15, 4) // pic_order_cnt_lsb
         if (numRefIdxL0 == 2) { // num_ref_idx_active_override_flag
           w.u(1, 1)
@@ -2127,7 +2129,8 @@ object H264Cavlc {
       wpCbL0: Array[Array[Int]] = null,
       wpCrL0: Array[Array[Int]] = null,
       wpCbL1: Array[Array[Int]] = null,
-      wpCrL1: Array[Array[Int]] = null): Array[Byte] = {
+      wpCrL1: Array[Array[Int]] = null,
+      frameNumBits: Int = 8): Array[Byte] = {
     // directSpatial = false codes direct_spatial_mv_pred_flag = 0:
     // the 8.4.1.2.3 TEMPORAL derivation, which needs the POC context
     // (curPoc / list0Pocs / list1Poc / colL0Pocs mirroring the
@@ -2199,7 +2202,7 @@ object H264Cavlc {
         w.ue(m) // first_mb_in_slice
         w.ue(6) // slice_type: B (all slices of the picture are B)
         w.ue(0) // pps id
-        w.u(frameNum & 0xFF, 8)
+        w.u(frameNum & ((1 << frameNumBits) - 1), frameNumBits)
         if (pocLsb >= 0) w.u(pocLsb & 15, 4) // pic_order_cnt_lsb
         w.u(if (directSpatial) 1 else 0, 1) // direct_spatial_mv_pred_flag
         w.u(0, 1) // num_ref_idx_active_override_flag
@@ -2525,7 +2528,7 @@ object H264Cavlc {
     var prevPocMsb = 0
     var prevPocLsb = 0
     // 8.2.1.3 pic_order_cnt_type 2 state: FrameNumOffset accumulates
-    // MaxFrameNum (256 here: log2_max_frame_num = 8 across the subset)
+    // MaxFrameNum (SPS-driven: 1 << log2_max_frame_num)
     // each time frame_num wraps, so POC stays monotone past 256
     // decoded frames; IDR resets both
     var prevFrameNum = 0
@@ -2588,7 +2591,7 @@ object H264Cavlc {
             val fm = pk.ue()
             val stp = pk.ue()
             pk.ue() // pps id
-            val fn = pk.u(8) // frame_num (log2_max_frame_num = 8)
+            val fn = pk.u(s.frameNumBits) // frame_num, u(log2_max_frame_num)
             if (tpe == 5) pk.ue() // idr_pic_id
             val lsb = if (s.pocType == 0)
               pk.u(Integer.numberOfTrailingZeros(s.maxPocLsb)) else 0
@@ -2609,7 +2612,7 @@ object H264Cavlc {
               refs = Nil; prevPocMsb = 0; prevPocLsb = 0
               prevFrameNum = 0; frameNumOffset = 0
             } else if (frameNum < prevFrameNum)
-              frameNumOffset += 256 // MaxFrameNum, 8.2.1.3 wrap
+              frameNumOffset += s.maxFrameNum // 8.2.1.3 wrap
             prevFrameNum = frameNum
             pic = Some(new PicState(s))
             picIsRef = refIdc != 0
@@ -3923,7 +3926,7 @@ object H264Cavlc {
       "P slice in a picture whose reference lists were built for B " +
         "slices — mixed P/B pictures are outside the subset")
     r.ue() // pps id
-    r.u(8) // frame_num
+    r.u(st.s.frameNumBits) // frame_num
     if (st.s.pocType == 0) // pic_order_cnt_lsb (POC set at pic start)
       r.u(Integer.numberOfTrailingZeros(st.s.maxPocLsb))
     var numL0 = 1
@@ -4173,7 +4176,7 @@ object H264Cavlc {
       "B slice in a picture whose reference lists were built for P " +
         "slices — mixed P/B pictures are outside the subset")
     r.ue() // pps id
-    r.u(8) // frame_num
+    r.u(st.s.frameNumBits) // frame_num
     if (st.s.pocType == 0) // pic_order_cnt_lsb (POC set at pic start)
       r.u(Integer.numberOfTrailingZeros(st.s.maxPocLsb))
     val directSpatial = r.u(1) // direct_spatial_mv_pred_flag
@@ -4500,7 +4503,7 @@ object H264Cavlc {
     val sliceType = r.ue()
     require(sliceType == 2 || sliceType == 7, s"not an I slice: $sliceType")
     r.ue() // pps id
-    r.u(8) // frame_num
+    r.u(st.s.frameNumBits) // frame_num
     r.ue() // idr_pic_id
     if (st.s.pocType == 0) // pic_order_cnt_lsb (POC set at pic start)
       r.u(Integer.numberOfTrailingZeros(st.s.maxPocLsb))

@@ -56,7 +56,9 @@ object MultimodalQueries {
     "m38_video_implicit_wp" -> m38,
     "m39_video_deblock_tc0" -> m39,
     "m40_video_constrained_intra" -> m40,
-    "m41_video_slice_deblock" -> m41)
+    "m41_video_slice_deblock" -> m41,
+    "m42_video_poc_order" -> m42,
+    "m43_video_frame_num_wrap" -> m43)
 
   /** Inter prediction on the oracle gate (m28): each asset is a
     * two-frame GOP — an I_16x16-DC IDR whose four macroblocks settle
@@ -1156,6 +1158,213 @@ object MultimodalQueries {
     }.toDF("doc_id", "width", "height",
       "ap2", "ap1", "ap0", "aq0", "aq1", "aq2", "ysum_a",
       "b14", "b15", "b16", "b17", "ysum_b", "c_q0", "ysum_c")
+  }
+
+  /** The m42 three-frame GOP: pocType-0 with DELIBERATELY non-monotone
+    * POC in decode order (IDR poc 8, P1 poc 2, P2 poc 4), so the
+    * decode-recency list0 [P1, IDR] the 8.2.4.2.1 init prescribes for
+    * P slices DIFFERS from a POC-descending order [IDR, P1] — every
+    * refIdx then decides which PICTURE a partition copies. `flipRefs`
+    * inverts every ref_idx_l0 (what a POC-ordered list0 would have
+    * resolved each index to), and `monotonePoc` re-poses the same
+    * payload with in-order POCs (0, 2, 4); H264InterSpec uses both to
+    * pin that P-list0 ignores POC entirely. */
+  private[graft] def m42Stream(id: Long, flipRefs: Boolean = false,
+      monotonePoc: Boolean = false): Array[Byte] = {
+    val dc = Array.tabulate(4) { mb =>
+      val d = Array.ofDim[Int](4, 4)
+      d(0)(0) = ((id + mb) % 4).toInt
+      d
+    }
+    def mv(mx: Int, my: Int, sIdx: Int): Array[Int] =
+      Array(((sIdx & 1) - mx) * 64, ((sIdx >> 1) - my) * 64)
+    // frame 1 (reference P, poc 2): flat p0..p3, residual NEVER zero
+    // (10..40) so p[s] differs from its own source v[s] on every doc
+    val pKinds = Array(0, 0, 0, 0)
+    val pSrcK = Seq(2L, 3L, 5L, 7L)
+    val pMvs = Array.tabulate(4)(m =>
+      Array(mv(m & 1, m >> 1, ((id / pSrcK(m)) % 4).toInt)))
+    val pCoeffs = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+    for (m <- 0 until 4; blk <- 0 until 16)
+      pCoeffs(m)(blk)(0) = (((id + 2 * m) % 4) + 1).toInt
+    // frame 2 (poc 4, BETWEEN its two references): four P_L0_16x16,
+    // each naming its reference through te(v) ref_idx_l0
+    val refJ = Seq(2L, 5L, 7L, 11L)
+    val srcQ = Seq(3L, 7L, 11L, 13L)
+    val kinds2 = Array(0, 0, 0, 0)
+    val mvs2 = Array.tabulate(4)(m =>
+      Array(mv(m & 1, m >> 1, ((id / srcQ(m)) % 4).toInt)))
+    val refIdxs2 = Array.tabulate(4) { m =>
+      val r = ((id / refJ(m)) % 2).toInt
+      Array(if (flipRefs) 1 - r else r)
+    }
+    val c6 = (((id + 6) % 5) - 2).toInt
+    val coeffs2 = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+    for (blk <- 0 until 16) coeffs2(0)(blk)(0) = c6
+    graft.operators.H264.encodeSps(2, 2, 0, numRefFrames = 2,
+      pocType = 0) ++
+      graft.operators.H264.encodePps() ++
+      graft.operators.H264Cavlc.encodeIntra16Frame(2, 2, dc, qp = 36,
+        idrPicId = (id % 65536).toInt,
+        pocLsb = if (monotonePoc) 0 else 8) ++
+      graft.operators.H264Cavlc.encodePFrame(2, 2, pKinds, pMvs,
+        pCoeffs, qp = 36, frameNum = 1, pocLsb = 2) ++
+      graft.operators.H264Cavlc.encodePFrame(2, 2, kinds2, mvs2,
+        coeffs2, qp = 36, frameNum = 2, numRefIdxL0 = 2,
+        refIdxs = refIdxs2, pocLsb = 4)
+  }
+
+  /** Decode-order vs POC-order reference lists on the oracle gate
+    * (m42): the round-17 P-list0 fix (8.2.4.2.1 orders by descending
+    * PicNum — decode recency — never POC) certified spec-to-spec only,
+    * because every earlier fixture's decode order agreed with its POC
+    * order. This GOP breaks the tie: the IDR's POC (8) is HIGHER than
+    * the first P reference's (2), so when the third picture (poc 4,
+    * display-between its references) builds list0, recency says
+    * [P1, IDR] while a POC-descending implementation says [IDR, P1] —
+    * and all four macroblocks name references through te(v) ref_idx_l0,
+    * so either order decides which picture every partition copies and
+    * the DuckDB gate hash-mismatches a POC-ordered list0 (the flipped
+    * twin in [[m42Stream]], pinned by H264InterSpec).
+    *
+    * Scale: zero-shuffle per-asset map, like every codec query. */
+  private def m42: Q = (spark, dir) => {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val frames = graft.operators.H264Cavlc
+        .decodeIntra16FramesYuv(m42Stream(id))
+      require(frames.size == 3)
+      val y2 = frames(2)._3
+      def px(x: Int, yy: Int): Int = y2(yy * 32 + x) & 0xFF
+      var ys = 0L
+      var i = 0
+      while (i < y2.length) { ys += y2(i) & 0xFF; i += 1 }
+      (id, frames(2)._1, frames(2)._2,
+        px(0, 0), px(16, 0), px(0, 16), px(16, 16), ys)
+    }.toDF("doc_id", "width", "height", "e0", "e1", "e2", "e3",
+      "y2_sum")
+  }
+
+  /** The m43 GOP: IDR + 14 all-skip P pictures walk frame_num to 15
+    * (the SPS sets log2_max_frame_num_minus4 = 0, so MaxFrameNum = 16
+    * and every slice header carries a 4-bit frame_num), then a
+    * reference P picture with frame_num 0 fires the 8.2.1.3
+    * FrameNumOffset += MaxFrameNum wrap, and a non-reference temporal-
+    * direct B (frame_num 0 again, poc 2*(16+0)-1 = 31) sits BETWEEN
+    * the two wrapped-side references in output order. Built by the
+    * fixture and by H264InterSpec's closed-form replay. */
+  private[graft] def m43Stream(id: Long): Array[Byte] = {
+    val dc = Array.tabulate(4) { mb =>
+      val d = Array.ofDim[Int](4, 4)
+      d(0)(0) = ((id + mb) % 4).toInt
+      d
+    }
+    def mv(mx: Int, my: Int, sIdx: Int): Array[Int] =
+      Array(((sIdx & 1) - mx) * 64, ((sIdx >> 1) - my) * 64)
+    val kF = Seq(3L, 5L, 7L, 11L)
+    val gA = Seq(2L, 3L, 5L, 7L)
+    val gB = Seq(11L, 13L, 17L, 19L)
+    def ax(m: Int): Int = ((id / gA(m)) % 2).toInt
+    def ay(m: Int): Int = ((id / gB(m)) % 2).toInt
+    // f15 (poc 30): doc-selected copies of the (still-IDR-valued)
+    // plane, residual never zero
+    val fKinds = Array(0, 0, 0, 0)
+    val fMvs = Array.tabulate(4)(m =>
+      Array(mv(m & 1, m >> 1, ((id / kF(m)) % 4).toInt)))
+    val fCoeffs = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+    for (m <- 0 until 4; blk <- 0 until 16)
+      fCoeffs(m)(blk)(0) = (((id + 3 * m) % 4) + 1).toInt
+    // f0w (the WRAPPED reference, poc 2*(16+0) = 32): MB-pair-aligned
+    // vectors (128 qpel = 32 px, clamping into f15's right/bottom
+    // macroblocks) — the co-located motion the B's 8.4.1.2.3 scales
+    val wKinds = Array(0, 0, 0, 0)
+    val wMvs = Array.tabulate(4)(m =>
+      Array(Array(128 * ax(m), 128 * ay(m))))
+    val wCoeffs = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+    for (m <- 0 until 4; blk <- 0 until 16)
+      wCoeffs(m)(blk)(0) = (((id + 1 + 2 * m) % 4) + 1).toInt
+    // B (poc 31): all four macroblocks B_Direct_16x16; tb = 1, td = 2
+    // EXIST only because the wrap put f0w at 32 — DSF = 128, so
+    // mvL0 = mvCol/2 (16 px) and mvL1 = -mvCol/2
+    val bKinds = Array(4, 4, 4, 4)
+    val bZero = Array.fill(4)(Array(0, 0))
+    val bCoeffs = Array.fill(4)(Array.fill(16)(new Array[Int](16)))
+    for (blk <- 0 until 16)
+      bCoeffs(0)(blk)(0) = (((id + 6) % 5) - 2).toInt
+    val colRef = Array.fill(8, 8)(0)
+    val colMvx = Array.ofDim[Int](8, 8)
+    val colMvy = Array.ofDim[Int](8, 8)
+    for (m <- 0 until 4; cy <- 0 until 4; cx <- 0 until 4) {
+      colMvx((m >> 1) * 4 + cy)((m & 1) * 4 + cx) = 128 * ax(m)
+      colMvy((m >> 1) * 4 + cy)((m & 1) * 4 + cx) = 128 * ay(m)
+    }
+    val skipMvs = Array.fill(4)(Array.empty[Array[Int]])
+    val skipCoeffs = Array.fill(4)(Array.empty[Array[Int]])
+    val nals = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    nals ++= graft.operators.H264.encodeSps(2, 2, 0, numRefFrames = 2,
+      log2MaxFrameNumMinus4 = 0)
+    nals ++= graft.operators.H264.encodePps()
+    nals ++= graft.operators.H264Cavlc.encodeIntra16Frame(2, 2, dc,
+      qp = 36, idrPicId = (id % 65536).toInt, frameNumBits = 4)
+    for (fn <- 1 to 14)
+      nals ++= graft.operators.H264Cavlc.encodePFrame(2, 2,
+        Array(1, 1, 1, 1), skipMvs, skipCoeffs, qp = 36, frameNum = fn,
+        frameNumBits = 4)
+    nals ++= graft.operators.H264Cavlc.encodePFrame(2, 2, fKinds, fMvs,
+      fCoeffs, qp = 36, frameNum = 15, frameNumBits = 4)
+    nals ++= graft.operators.H264Cavlc.encodePFrame(2, 2, wKinds, wMvs,
+      wCoeffs, qp = 36, frameNum = 0, frameNumBits = 4)
+    nals ++= graft.operators.H264Cavlc.encodeBFrame(2, 2, bKinds, bZero,
+      bZero, bCoeffs, qp = 36, frameNum = 0, frameNumBits = 4,
+      colRef = colRef, colMvx = colMvx, colMvy = colMvy,
+      directSpatial = false, curPoc = 31,
+      list0Pocs = Array(30, 32), list1Poc = 32,
+      colL0Pocs = Array(30, 28))
+    nals.toArray
+  }
+
+  /** frame_num wrap on the oracle gate (m43): the 8.2.1.3
+    * FrameNumOffset += MaxFrameNum step (round-17 fix, previously
+    * spec-test-pinned only) decides pixels — and MaxFrameNum itself is
+    * SPS-driven (log2_max_frame_num_minus4 = 0 here, so frame_num is a
+    * 4-BIT field wrapping at 16; a decoder hardwired to u(8) desyncs
+    * on the first slice header). frame_num walks 0..15 (14 all-skip P
+    * pictures keep the plane constant), a reference P with frame_num 0
+    * WRAPS (FrameNumOffset 16 -> poc 32, one MORE than the pre-wrap
+    * f15's 30 instead of 0), and a non-reference temporal-direct B
+    * lands at poc 31 — BETWEEN its references only because the wrap
+    * fired. Its 8.4.1.2.3 scaling (tb = 31-30 = 1, td = 32-30 = 2,
+    * DSF = 128 -> mvL0 = mvCol/2, mvL1 = -mvCol/2) and the POC-identity
+    * refIdxL0 lookup both read wrapped POCs. A decoder that drops the
+    * offset computes poc(f0w) = 0 and poc(B) = -1: both references
+    * become "future", the identical-list swap flips the co-located
+    * side to f15, and the co-located reference POC (28) resolves
+    * nowhere in [0, 30] — the 8.4.1.2.3 derivation fails loudly
+    * instead of limping, so the gate distinguishes the wrap as hard as
+    * a hash mismatch.
+    *
+    * Scale: zero-shuffle per-asset map; 18 pictures of 4 macroblocks
+    * each keep the per-row cost flat. */
+  private def m43: Q = (spark, dir) => {
+    import spark.implicits._
+    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+      val frames = graft.operators.H264Cavlc
+        .decodeIntra16FramesYuv(m43Stream(id))
+      require(frames.size == 18)
+      val yp = frames(15)._3
+      val yw = frames(16)._3
+      val yb = frames(17)._3
+      def mbVal(y: Array[Byte], mb: Int): Int =
+        y(((mb >> 1) * 16) * 32 + (mb & 1) * 16) & 0xFF
+      var ys = 0L
+      var i = 0
+      while (i < yb.length) { ys += yb(i) & 0xFF; i += 1 }
+      (id, frames(17)._1, frames(17)._2,
+        mbVal(yp, 0), mbVal(yp, 1), mbVal(yp, 2), mbVal(yp, 3),
+        mbVal(yw, 0), mbVal(yw, 1), mbVal(yw, 2), mbVal(yw, 3),
+        mbVal(yb, 0), mbVal(yb, 1), mbVal(yb, 2), mbVal(yb, 3), ys)
+    }.toDF("doc_id", "width", "height", "p0", "p1", "p2", "p3",
+      "w0", "w1", "w2", "w3", "b0", "b1", "b2", "b3", "yb_sum")
   }
 
   /** m27's 23 output columns (one past the Tuple22 ceiling). MUST stay
@@ -2794,6 +3003,124 @@ object MultimodalQueries {
         | CAST(64*(128 + dcb) + 64*128 AS BIGINT) AS cbsum_c,
         | CAST(64*(128 + dcr) + 64*128 AS BIGINT) AS crsum_c
         |FROM v""".stripMargin,
+    // m42: the non-monotone-POC P GOP replayed closed form — the I
+    // frame's v chain as m30/m31, frame 1's p values off doc-selected
+    // v sources with a NEVER-ZERO residual, then frame 2's picks
+    // resolve ref 0 -> p (the decode-RECENT P1, poc 2) and ref 1 -> v
+    // (the IDR, poc 8). A POC-descending list0 resolves every pick the
+    // other way round, so this oracle distinguishes the orderings.
+    "m42_video_poc_order" ->
+      """WITH f AS (SELECT doc_id,
+        | (doc_id + 0) % 4 AS f0, (doc_id + 1) % 4 AS f1,
+        | (doc_id + 2) % 4 AS f2, (doc_id + 3) % 4 AS f3
+        | FROM documents),
+        |v AS (SELECT doc_id,
+        | 128 + (160*f0 + 32)//64 AS v0,
+        | v0 + (160*f1 + 32)//64 AS v1,
+        | v0 + (160*f2 + 32)//64 AS v2,
+        | (v1 + v2 + 1)//2 + (160*f3 + 32)//64 AS v3
+        | FROM f),
+        |p AS (SELECT doc_id, v0, v1, v2, v3,
+        | (CASE (doc_id // 2) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 0) % 4 + 1) AS p0,
+        | (CASE (doc_id // 3) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 2) % 4 + 1) AS p1,
+        | (CASE (doc_id // 5) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 4) % 4 + 1) AS p2,
+        | (CASE (doc_id // 7) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 6) % 4 + 1) AS p3
+        | FROM v),
+        |e AS (SELECT doc_id,
+        | (CASE WHEN (doc_id // 2) % 2 = 0
+        |   THEN CASE (doc_id // 3) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |     WHEN 2 THEN p2 ELSE p3 END
+        |   ELSE CASE (doc_id // 3) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |     WHEN 2 THEN v2 ELSE v3 END END)
+        |   + 10*((doc_id + 6) % 5 - 2) AS e0,
+        | CASE WHEN (doc_id // 5) % 2 = 0
+        |   THEN CASE (doc_id // 7) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |     WHEN 2 THEN p2 ELSE p3 END
+        |   ELSE CASE (doc_id // 7) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |     WHEN 2 THEN v2 ELSE v3 END END AS e1,
+        | CASE WHEN (doc_id // 7) % 2 = 0
+        |   THEN CASE (doc_id // 11) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |     WHEN 2 THEN p2 ELSE p3 END
+        |   ELSE CASE (doc_id // 11) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |     WHEN 2 THEN v2 ELSE v3 END END AS e2,
+        | CASE WHEN (doc_id // 11) % 2 = 0
+        |   THEN CASE (doc_id // 13) % 4 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |     WHEN 2 THEN p2 ELSE p3 END
+        |   ELSE CASE (doc_id // 13) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |     WHEN 2 THEN v2 ELSE v3 END END AS e3
+        | FROM p)
+        |SELECT doc_id, 32 AS width, 32 AS height,
+        | CAST(e0 AS INTEGER) AS e0, CAST(e1 AS INTEGER) AS e1,
+        | CAST(e2 AS INTEGER) AS e2, CAST(e3 AS INTEGER) AS e3,
+        | CAST(256*(e0 + e1 + e2 + e3) AS BIGINT) AS y2_sum
+        |FROM e""".stripMargin,
+    // m43: the frame_num-wrap GOP replayed closed form. 254 all-skip
+    // pictures keep the plane at the IDR's v chain; f255's p values
+    // copy doc-selected v macroblocks (+never-zero residual); the
+    // wrapped f0w copies f255 with 32-px vectors whose out-of-frame
+    // halves CLAMP into column/row 1; the B averages f255 at +16 px
+    // (exactly mvCol/2 — DSF 128 from the wrapped tb=1/td=2) with f0w
+    // at -16 px (clamping into column/row 0).
+    "m43_video_frame_num_wrap" ->
+      """WITH f AS (SELECT doc_id,
+        | (doc_id + 0) % 4 AS f0, (doc_id + 1) % 4 AS f1,
+        | (doc_id + 2) % 4 AS f2, (doc_id + 3) % 4 AS f3
+        | FROM documents),
+        |v AS (SELECT doc_id,
+        | 128 + (160*f0 + 32)//64 AS v0,
+        | v0 + (160*f1 + 32)//64 AS v1,
+        | v0 + (160*f2 + 32)//64 AS v2,
+        | (v1 + v2 + 1)//2 + (160*f3 + 32)//64 AS v3
+        | FROM f),
+        |a AS (SELECT doc_id, v0, v1, v2, v3,
+        | (doc_id // 2) % 2 AS ax0, (doc_id // 3) % 2 AS ax1,
+        | (doc_id // 5) % 2 AS ax2, (doc_id // 7) % 2 AS ax3,
+        | (doc_id // 11) % 2 AS ay0, (doc_id // 13) % 2 AS ay1,
+        | (doc_id // 17) % 2 AS ay2, (doc_id // 19) % 2 AS ay3
+        | FROM v),
+        |p AS (SELECT *,
+        | (CASE (doc_id // 3) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 0) % 4 + 1) AS p0,
+        | (CASE (doc_id // 5) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 3) % 4 + 1) AS p1,
+        | (CASE (doc_id // 7) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 6) % 4 + 1) AS p2,
+        | (CASE (doc_id // 11) % 4 WHEN 0 THEN v0 WHEN 1 THEN v1
+        |   WHEN 2 THEN v2 ELSE v3 END) + 10*((doc_id + 9) % 4 + 1) AS p3
+        | FROM a),
+        |w AS (SELECT *,
+        | (CASE 2*ay0 + ax0 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |   WHEN 2 THEN p2 ELSE p3 END) + 10*((doc_id + 1) % 4 + 1) AS w0,
+        | (CASE WHEN ay1 = 1 THEN p3 ELSE p1 END)
+        |   + 10*((doc_id + 3) % 4 + 1) AS w1,
+        | (CASE WHEN ax2 = 1 THEN p3 ELSE p2 END)
+        |   + 10*((doc_id + 5) % 4 + 1) AS w2,
+        | p3 + 10*((doc_id + 7) % 4 + 1) AS w3
+        | FROM p),
+        |b AS (SELECT *,
+        | ((CASE 2*ay0 + ax0 WHEN 0 THEN p0 WHEN 1 THEN p1
+        |    WHEN 2 THEN p2 ELSE p3 END) + w0 + 1)//2
+        |   + 10*((doc_id + 6) % 5 - 2) AS b0,
+        | ((CASE WHEN ay1 = 1 THEN p3 ELSE p1 END)
+        |   + (CASE WHEN ax1 = 1 THEN w0 ELSE w1 END) + 1)//2 AS b1,
+        | ((CASE WHEN ax2 = 1 THEN p3 ELSE p2 END)
+        |   + (CASE WHEN ay2 = 1 THEN w0 ELSE w2 END) + 1)//2 AS b2,
+        | (p3 + (CASE 2*ay3 + ax3 WHEN 0 THEN w3 WHEN 1 THEN w2
+        |    WHEN 2 THEN w1 ELSE w0 END) + 1)//2 AS b3
+        | FROM w)
+        |SELECT doc_id, 32 AS width, 32 AS height,
+        | CAST(p0 AS INTEGER) AS p0, CAST(p1 AS INTEGER) AS p1,
+        | CAST(p2 AS INTEGER) AS p2, CAST(p3 AS INTEGER) AS p3,
+        | CAST(w0 AS INTEGER) AS w0, CAST(w1 AS INTEGER) AS w1,
+        | CAST(w2 AS INTEGER) AS w2, CAST(w3 AS INTEGER) AS w3,
+        | CAST(b0 AS INTEGER) AS b0, CAST(b1 AS INTEGER) AS b1,
+        | CAST(b2 AS INTEGER) AS b2, CAST(b3 AS INTEGER) AS b3,
+        | CAST(256*(b0 + b1 + b2 + b3) AS BIGINT) AS yb_sum
+        |FROM b""".stripMargin,
     // m32: the spatial-direct B replayed closed form — v/p/q chains as
     // m30 (q = P2 off P1), then colZero_m = "P1 MB m sourced itself"
     // ((doc_id // k_m) % 4 = m); w1 (direct) reads q1 when zeroed else

@@ -1363,6 +1363,71 @@ class H264InterSpec extends AnyFunSuite {
     }
   }
 
+  test("P-list0 ignores POC: the m42 GOP decodes identically under " +
+      "non-monotone and monotone POC, and a POC-ordered list0 would " +
+      "change pixels") {
+    var distinguishing = 0
+    for (id <- 0L until 48L) {
+      val base = H264Cavlc.decodeIntra16FramesYuv(
+        graft.queries.MultimodalQueries.m42Stream(id))
+      assert(base.size === 3, s"id $id")
+      // same payload, in-order POCs (0,2,4): recency == POC order, so
+      // a correct decoder's output cannot move — P list0 never reads POC
+      val mono = H264Cavlc.decodeIntra16FramesYuv(
+        graft.queries.MultimodalQueries.m42Stream(id, monotonePoc = true))
+      assert(base(2)._3.toSeq === mono(2)._3.toSeq,
+        s"id $id: P decode depends on POC")
+      // the flipped twin resolves every ref_idx_l0 the way a
+      // POC-DESCENDING list0 would have — the oracle values must
+      // distinguish the orderings on (at least almost) every doc
+      val flip = H264Cavlc.decodeIntra16FramesYuv(
+        graft.queries.MultimodalQueries.m42Stream(id, flipRefs = true))
+      if (base(2)._3.toSeq != flip(2)._3.toSeq) distinguishing += 1
+    }
+    assert(distinguishing >= 46,
+      s"only $distinguishing/48 docs distinguish the list orderings")
+  }
+
+  test("frame_num wrap (m43 GOP, MaxFrameNum 16): wrapped POCs drive " +
+      "the temporal-direct scale to exactly (p + w + 1) >> 1") {
+    for (id <- 0L until 32L) {
+      val frames = H264Cavlc.decodeIntra16FramesYuv(
+        graft.queries.MultimodalQueries.m43Stream(id))
+      assert(frames.size === 18, s"id $id")
+      def mb(fi: Int, m: Int): Int =
+        frames(fi)._3(((m >> 1) * 16) * 32 + (m & 1) * 16) & 0xFF
+      // closed-form replay, independent of the decoder (mirrors the
+      // DuckDB oracle): v chain, f15's p, the wrapped f0w's w, then
+      // the B's DSF-128 halves of the co-located 32-px vectors
+      def f(m: Int) = ((id + m) % 4).toInt
+      def res(d: Int) = (160 * d + 32) / 64
+      val v0 = 128 + res(f(0))
+      val v = Array(v0, v0 + res(f(1)), v0 + res(f(2)), 0)
+      v(3) = (v(1) + v(2) + 1) / 2 + res(f(3))
+      val kF = Seq(3L, 5L, 7L, 11L)
+      val p = Array.tabulate(4)(m =>
+        v(((id / kF(m)) % 4).toInt) + 10 * ((((id + 3 * m) % 4) + 1).toInt))
+      val ax = Seq(2L, 3L, 5L, 7L).map(g => ((id / g) % 2).toInt)
+      val ay = Seq(11L, 13L, 17L, 19L).map(g => ((id / g) % 2).toInt)
+      val w = Array.tabulate(4) { m =>
+        val (mx, my) = (m & 1, m >> 1)
+        val src = (if (ay(m) == 1) 1 else my) * 2 +
+          (if (ax(m) == 1) 1 else mx)
+        p(src) + 10 * ((((id + 1 + 2 * m) % 4) + 1).toInt)
+      }
+      val cB = (((id + 6) % 5) - 2).toInt
+      for (m <- 0 until 4) {
+        assert(mb(15, m) === p(m), s"id $id p$m")
+        assert(mb(16, m) === w(m), s"id $id w$m")
+        val (mx, my) = (m & 1, m >> 1)
+        val q0 = math.min(my + ay(m), 1) * 2 + math.min(mx + ax(m), 1)
+        val q1 = math.max(my - ay(m), 0) * 2 + math.max(mx - ax(m), 0)
+        val b = (p(q0) + w(q1) + 1) / 2 + (if (m == 0) 10 * cB else 0)
+        assert(mb(17, m) === b, s"id $id b$m")
+      }
+    }
+  }
+
   test("I_PCM macroblocks decode inside the general path with nC = 16") {
     val rnd = new scala.util.Random(29L)
     val f0Y = Array.tabulate(16 * 16)(i => ((i * 7 + 3) % 256))
