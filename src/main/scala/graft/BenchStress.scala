@@ -51,7 +51,8 @@ object BenchStress {
     "d9_dedup_groups", "d10_segment_dedup", "d12_ngram_decontaminate",
     "d13_dup_spans", "d15_edit_distance", "d16_containment",
     "d17_soft_dedup", "s2_ann_lsh", "s3_ann_ivf",
-    "s4_ann_multiprobe", "s5_ann_sq", "s6_ann_pq", "s12_nn_join",
+    "s4_ann_multiprobe", "s5_ann_sq", "s6_ann_pq", "s15_ann_ivfpq",
+    "s12_nn_join",
     "s13_farthest_init",
     "t14_pack_sequences", "t15_global_shuffle", "t23_bpe_small",
     "t28_gopher_filters", "p4_leakage_split", "p5_fuzzy_verify",
@@ -106,7 +107,8 @@ object BenchStress {
     // and per-slice deblock idc (three decodes per asset), both
     // zero-shuffle maps
     "m40_video_constrained_intra", "m41_video_slice_deblock",
-    "m42_video_poc_order", "m43_video_frame_num_wrap")
+    "m42_video_poc_order", "m43_video_frame_num_wrap",
+    "m44_audio_fingerprint")
 
   /** Optional comma-separated name-prefix filter
     * (SPARK_GRAFT_STRESS_ONLY) — stress just the matching queries, so

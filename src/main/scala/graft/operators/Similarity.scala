@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{VectorFunctions => VF}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -510,87 +510,74 @@ object Similarity {
       k)
   }
 
-  /** Product-quantized ANN (the FAISS "PQ / ADC" shape): vectors are
-    * L2-normalized, split into `m` subspaces, and each subvector is
-    * replaced by the id of its nearest subspace centroid — `m` BYTES per
-    * vector, a 32× smaller scan artifact than float64 (8× smaller than
-    * s5's int8 codes), which is what moves the IO/broadcast ceiling at
-    * 100 TB. Queries score codes by Asymmetric Distance Computation:
-    * one m×`nCodes` lookup table of exact query-subvector · centroid
-    * dots per query, then each corpus vector's approximate sim is m
-    * table lookups — no float vector is touched during the scan.
-    * Candidates prune per partition to rerank·k (TopK.perKey) and only
-    * those ids fetch full-precision vectors for the exact rerank, same
-    * contract as [[sqKnn]].
-    *
-    * Codebooks are deterministic (seed = the lowest `nCodes` vec_ids'
-    * subvectors, the [[ivfCentroids]] idiom, plus optional Lloyd sweeps
-    * — each sweep is ONE distributed pass assigning all m subspaces and
-    * a m×nCodes-row collect). Approximate by design → recall spec, no
-    * equality oracle; with rerank·k covering the corpus the output is
-    * row-for-row brute force (spec-pinned). */
-  def pqKnn(emb: DataFrame, queries: DataFrame, k: Int,
-      m: Int = 8, nCodes: Int = 16, rerank: Int = 4,
-      kmeansIters: Int = 1): DataFrame = {
-    require(m >= 1 && nCodes >= 1 && nCodes <= 256 && rerank >= 1,
-      s"bad PQ params (m=$m nCodes=$nCodes rerank=$rerank)")
+  /** Shared by the PQ family: L2-normalize. */
+  private def l2unit(v: Array[Double]): Array[Double] = {
+    var acc = 0.0; var i = 0
+    while (i < v.length) { acc += v(i) * v(i); i += 1 }
+    val n = math.sqrt(acc)
+    if (n == 0.0) v else {
+      val o = new Array[Double](v.length)
+      i = 0; while (i < v.length) { o(i) = v(i) / n; i += 1 }; o
+    }
+  }
+
+  /** Nearest subspace centroid by L2 within subspace j; first-min
+    * tie-break (= the oracle's ORDER BY d, cid). */
+  private def pqCodeOf(v: Array[Double], j: Int, sub: Int,
+      book: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < book.length) {
+      var d = 0.0; var i = 0
+      val cv = book(c)
+      while (i < cv.length) {
+        val x = v(j * sub + i) - cv(i); d += x * x; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Deterministic PQ codebook training shared by [[pqKnn]] and
+    * [[ivfPqKnn]]: seed = the lowest `nCodes` vec_ids' subvectors (the
+    * [[ivfCentroids]] idiom), then `iters` Lloyd sweeps — each sweep is
+    * ONE distributed pass assigning all m subspaces and an m×nCodes-row
+    * collect, with integer-quantized means (the s7/Clustering idiom:
+    * summing round-half-away(x·1024) Longs is order-free where a double
+    * fold would depend on partition arrival order, and the power-of-two
+    * scale keeps x·1024 exact, identical to SQL round()). Returns the
+    * L2-normalized corpus, the subspace width and the trained books. */
+  private def pqTrain(emb: DataFrame, m: Int, nCodes: Int, iters: Int)
+      : (Dataset[(Long, Seq[Double])], Int, Array[Array[Array[Double]]]) = {
     val spark = emb.sparkSession
     import spark.implicits._
-    def normalize(v: Array[Double]): Array[Double] = {
-      var acc = 0.0; var i = 0
-      while (i < v.length) { acc += v(i) * v(i); i += 1 }
-      val n = math.sqrt(acc)
-      if (n == 0.0) v else { val o = new Array[Double](v.length)
-        i = 0; while (i < v.length) { o(i) = v(i) / n; i += 1 }; o }
-    }
     val vecs = emb.select(col("vec_id").cast("long"),
         VF.toDoubleVec(col("embedding")))
       .as[(Long, Seq[Double])]
-      .map { case (id, vec) => (id, normalize(vec.toArray).toSeq) }
+      .map { case (id, vec) => (id, l2unit(vec.toArray).toSeq) }
     val dim = vecs.head()._2.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val sub = dim / m
-    // deterministic seed codebooks: lowest nCodes ids' subvectors
     var books: Array[Array[Array[Double]]] = {
       val seeds = vecs.filter(_._1 < nCodes).collect().sortBy(_._1).map(_._2.toArray)
       require(seeds.nonEmpty, "no codebook seeds: no vec_id below nCodes")
       Array.tabulate(m)(j =>
         seeds.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub)))
     }
-    def codeOf(v: Array[Double], j: Int, book: Array[Array[Double]]): Int = {
-      // nearest centroid by L2 within the subspace; first-min tie-break
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < book.length) {
-        var d = 0.0; var i = 0
-        val cv = book(c)
-        while (i < cv.length) {
-          val x = v(j * sub + i) - cv(i); d += x * x; i += 1
-        }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-    for (_ <- 0 until kmeansIters) {
+    for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(books)
       val means = vecs
         .flatMap { case (id, vec) =>
           val v = vec.toArray
           val bs = bc.value
           (0 until bs.length).iterator.map { j =>
-            ((j, codeOf(v, j, bs(j))), (id, vec))
+            ((j, pqCodeOf(v, j, sub, bs(j))), (id, vec))
           }
         }
         .groupByKey(_._1)
         .mapGroups { (jc: (Int, Int), it: Iterator[((Int, Int), (Long, Seq[Double]))]) =>
           val (j, c) = jc
-          // integer-quantized mean (the s7/Clustering idiom): summing
-          // round-half-away(x·1024) Longs is order-free, where a double
-          // fold would depend on nondeterministic partition arrival
-          // order (and be un-replayable in SQL). The power-of-two scale
-          // keeps x·1024 exact, so the round itself is the only
-          // semantic step — identical to SQL round() on doubles.
           var n = 0L
           val qsum = new Array[Long](sub)
           it.foreach { case (_, (_, vec)) =>
@@ -607,6 +594,74 @@ object Similarity {
       means.foreach { case (j, c, mean) => next(j)(c) = mean.toArray }
       books = next
     }
+    (vecs, sub, books)
+  }
+
+  /** Per-query ADC lookup tables: exact dots of each normalized query
+    * subvector with each subspace centroid — m × nCodes doubles per
+    * query, built once and broadcast. */
+  private def adcTables(queries: DataFrame, m: Int, sub: Int,
+      books: Array[Array[Array[Double]]]): Array[(Long, Array[Array[Double]])] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    queries.select(col("vec_id").cast("long"),
+        VF.toDoubleVec(col("embedding")))
+      .as[(Long, Seq[Double])]
+      .map { case (id, vec) => (id, l2unit(vec.toArray).toSeq) }
+      .collect()
+      .map { case (qid, qv) =>
+        val q = qv.toArray
+        val t = Array.tabulate(m, books(0).length) { (j, c) =>
+          var acc = 0.0; var i = 0
+          val cv = books(j)(c)
+          while (i < sub) { acc += q(j * sub + i) * cv(i); i += 1 }
+          acc
+        }
+        (qid, t)
+      }
+  }
+
+  /** Exact cosine rerank of broadcast (query_id, neighbor_id) candidate
+    * pairs — the tail every quantized scan ([[sqKnn]], [[pqKnn]],
+    * [[ivfPqKnn]]) shares: only candidate ids touch full-precision
+    * vectors. */
+  private def rerankExact(emb: DataFrame, queries: DataFrame,
+      cands: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      VF.toDoubleVec(col("embedding")).as("qv"))
+    val full = emb.select(col("vec_id"), VF.toDoubleVec(col("embedding")).as("v"))
+    topkPerQuery(
+      full.join(broadcast(cands), full("vec_id") === cands("neighbor_id"))
+        .join(broadcast(q), "query_id")
+        .select(col("query_id"), col("neighbor_id"),
+          VF.cosine(col("qv"), col("v")).as("sim")),
+      k)
+  }
+
+  /** Product-quantized ANN (the FAISS "PQ / ADC" shape): vectors are
+    * L2-normalized, split into `m` subspaces, and each subvector is
+    * replaced by the id of its nearest subspace centroid — `m` BYTES per
+    * vector, a 32× smaller scan artifact than float64 (8× smaller than
+    * s5's int8 codes), which is what moves the IO/broadcast ceiling at
+    * 100 TB. Queries score codes by Asymmetric Distance Computation:
+    * one m×`nCodes` lookup table of exact query-subvector · centroid
+    * dots per query, then each corpus vector's approximate sim is m
+    * table lookups — no float vector is touched during the scan.
+    * Candidates prune per partition to rerank·k (TopK.perKey) and only
+    * those ids fetch full-precision vectors for the exact rerank, same
+    * contract as [[sqKnn]].
+    *
+    * Codebooks: [[pqTrain]] (deterministic). Approximate by design →
+    * recall spec, no equality oracle; with rerank·k covering the corpus
+    * the output is row-for-row brute force (spec-pinned). */
+  def pqKnn(emb: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, nCodes: Int = 16, rerank: Int = 4,
+      kmeansIters: Int = 1): DataFrame = {
+    require(m >= 1 && nCodes >= 1 && nCodes <= 256 && rerank >= 1,
+      s"bad PQ params (m=$m nCodes=$nCodes rerank=$rerank)")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (vecs, sub, books) = pqTrain(emb, m, nCodes, kmeansIters)
     val bcBooks = spark.sparkContext.broadcast(books)
     // the persisted artifact: m bytes per vector
     val codes = vecs.map { case (id, vec) =>
@@ -614,27 +669,12 @@ object Similarity {
         val bs = bcBooks.value
         val cs = new Array[Byte](m)
         var j = 0
-        while (j < m) { cs(j) = codeOf(v, j, bs(j)).toByte; j += 1 }
+        while (j < m) { cs(j) = pqCodeOf(v, j, sub, bs(j)).toByte; j += 1 }
         (id, cs)
       }
       .toDF("vec_id", "codes")
-    val qNorm = queries.select(col("vec_id").cast("long"),
-        VF.toDoubleVec(col("embedding")))
-      .as[(Long, Seq[Double])]
-      .map { case (id, vec) => (id, normalize(vec.toArray).toSeq) }
-      .collect()
-    // ADC tables: per query, exact dot of each query subvector with each
-    // subspace centroid — m × nCodes doubles per query, built once
-    val bcTables = spark.sparkContext.broadcast(qNorm.map { case (qid, qv) =>
-      val q = qv.toArray
-      val t = Array.tabulate(m, books(0).length) { (j, c) =>
-        var acc = 0.0; var i = 0
-        val cv = books(j)(c)
-        while (i < sub) { acc += q(j * sub + i) * cv(i); i += 1 }
-        acc
-      }
-      (qid, t)
-    })
+    val bcTables = spark.sparkContext.broadcast(
+      adcTables(queries, m, sub, books))
     val approx = codes.as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val qs = bcTables.value
@@ -650,15 +690,86 @@ object Similarity {
     val cands = TopK.perKey(approx, Seq("query_id"),
         Seq(col("approx").desc, col("neighbor_id")), rerank * k)
       .select(col("query_id"), col("neighbor_id"))
-    val q = queries.select(col("vec_id").as("query_id"),
-      VF.toDoubleVec(col("embedding")).as("qv"))
-    val full = emb.select(col("vec_id"), VF.toDoubleVec(col("embedding")).as("v"))
-    topkPerQuery(
-      full.join(broadcast(cands), full("vec_id") === cands("neighbor_id"))
-        .join(broadcast(q), "query_id")
-        .select(col("query_id"), col("neighbor_id"),
-          VF.cosine(col("qv"), col("v")).as("sim")),
-      k)
+    rerankExact(emb, queries, cands, k)
+  }
+
+  /** IVF + PQ composite ANN (the FAISS "IVFPQ" shape — THE 100 TB
+    * layout): the corpus is routed into [[ivfCentroids]] cells AND
+    * compressed to m-byte PQ codes in the same pass, so a query's scan
+    * touches only its nProbe probed cells' CODES — candidate volume
+    * drops by nProbe/nCells on top of PQ's 32× byte shrink, which is
+    * the difference between scanning 100 TB of floats and ~hundreds of
+    * GB of routed codes. Per query: ADC tables score the probed codes
+    * (a broadcast hash join of the tiny (query, cell) probe table
+    * against the coded corpus — the corpus never shuffles), the top
+    * rerank·k survive, and only those fetch full vectors for the exact
+    * rerank. Cell assignment/probing reuses s3's exact arithmetic
+    * (raw-vector dots against normalized seed centroids, first-max
+    * tie-break) and the codes reuse s6's [[pqTrain]], so the whole
+    * composite replays exactly in the SQL oracle. */
+  def ivfPqKnn(emb: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, m: Int = 8, nCodes: Int = 16,
+      rerank: Int = 4, kmeansIters: Int = 1): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"bad IVF params (nCells=$nCells nProbe=$nProbe)")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = ivfCentroids(emb, nCells)
+    def bestCells(v: Array[Double], n: Int): Seq[Int] = {
+      val sims = new Array[Double](centroids.length)
+      var c = 0
+      while (c < centroids.length) {
+        var acc = 0.0; var i = 0
+        val cv = centroids(c)
+        while (i < v.length) { acc += v(i) * cv(i); i += 1 }
+        sims(c) = acc; c += 1
+      }
+      sims.indices.sortBy(c => (-sims(c), c)).take(n).map(_ + 1)
+    }
+    val (_, sub, books) = pqTrain(emb, m, nCodes, kmeansIters)
+    val bcBooks = spark.sparkContext.broadcast(books)
+    // one corpus pass emits BOTH routing and compression: (cell, codes)
+    val coded = emb.select(col("vec_id").cast("long"),
+        VF.toDoubleVec(col("embedding")))
+      .as[(Long, Seq[Double])]
+      .map { case (id, vec) =>
+        val v = vec.toArray
+        val u = l2unit(v)
+        val bs = bcBooks.value
+        val cs = new Array[Byte](m)
+        var j = 0
+        while (j < m) { cs(j) = pqCodeOf(u, j, sub, bs(j)).toByte; j += 1 }
+        (id, bestCells(v, 1).head, cs)
+      }
+      .toDF("vec_id", "cell", "codes")
+    // each query probes its nProbe closest cells (desc sim, asc cell)
+    val probed = queries.select(col("vec_id").cast("long"),
+        VF.toDoubleVec(col("embedding")))
+      .as[(Long, Seq[Double])]
+      .flatMap { case (id, vec) =>
+        bestCells(vec.toArray, nProbe).map(c => (id, c))
+      }
+      .toDF("query_id", "cell")
+    val bcTables = spark.sparkContext.broadcast(
+      adcTables(queries, m, sub, books).toMap)
+    val approx = coded.join(broadcast(probed), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("codes"))
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions { it =>
+        val qs = bcTables.value
+        it.map { case (qid, id, cs) =>
+          val t = qs(qid)
+          var acc = 0.0; var j = 0
+          while (j < m) { acc += t(j)(cs(j) & 0xFF); j += 1 }
+          (qid, id, acc)
+        }
+      }
+      .toDF("query_id", "neighbor_id", "approx")
+    val cands = TopK.perKey(approx, Seq("query_id"),
+        Seq(col("approx").desc, col("neighbor_id")), rerank * k)
+      .select(col("query_id"), col("neighbor_id"))
+    rerankExact(emb, queries, cands, k)
   }
 
   /** LSH-bucketed approximate top-k: exact rerank within each signature

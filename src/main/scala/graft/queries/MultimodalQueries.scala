@@ -58,7 +58,8 @@ object MultimodalQueries {
     "m40_video_constrained_intra" -> m40,
     "m41_video_slice_deblock" -> m41,
     "m42_video_poc_order" -> m42,
-    "m43_video_frame_num_wrap" -> m43)
+    "m43_video_frame_num_wrap" -> m43,
+    "m44_audio_fingerprint" -> m44)
 
   /** Inter prediction on the oracle gate (m28): each asset is a
     * two-frame GOP — an I_16x16-DC IDR whose four macroblocks settle
@@ -1253,6 +1254,22 @@ object MultimodalQueries {
     * direct B (frame_num 0 again, poc 2*(16+0)-1 = 31) sits BETWEEN
     * the two wrapped-side references in output order. Built by the
     * fixture and by H264InterSpec's closed-form replay. */
+  /** m43's doc-INDEPENDENT bytes, encoded once per executor JVM: the
+    * SPS/PPS head and the 14 all-skip P pictures that walk frame_num
+    * 1..14 (each is just a slice header + mb_skip_run 4, but encoding
+    * them 5,000 times per task was pure waste). */
+  private lazy val m43Head: Array[Byte] =
+    graft.operators.H264.encodeSps(2, 2, 0, numRefFrames = 2,
+      log2MaxFrameNumMinus4 = 0) ++ graft.operators.H264.encodePps()
+
+  private lazy val m43SkipRun: Array[Byte] = {
+    val skipMvs = Array.fill(4)(Array.empty[Array[Int]])
+    val skipCoeffs = Array.fill(4)(Array.empty[Array[Int]])
+    (1 to 14).toArray.flatMap(fn =>
+      graft.operators.H264Cavlc.encodePFrame(2, 2, Array(1, 1, 1, 1),
+        skipMvs, skipCoeffs, qp = 36, frameNum = fn, frameNumBits = 4))
+  }
+
   private[graft] def m43Stream(id: Long): Array[Byte] = {
     val dc = Array.tabulate(4) { mb =>
       val d = Array.ofDim[Int](4, 4)
@@ -1298,18 +1315,11 @@ object MultimodalQueries {
       colMvx((m >> 1) * 4 + cy)((m & 1) * 4 + cx) = 128 * ax(m)
       colMvy((m >> 1) * 4 + cy)((m & 1) * 4 + cx) = 128 * ay(m)
     }
-    val skipMvs = Array.fill(4)(Array.empty[Array[Int]])
-    val skipCoeffs = Array.fill(4)(Array.empty[Array[Int]])
     val nals = scala.collection.mutable.ArrayBuffer.empty[Byte]
-    nals ++= graft.operators.H264.encodeSps(2, 2, 0, numRefFrames = 2,
-      log2MaxFrameNumMinus4 = 0)
-    nals ++= graft.operators.H264.encodePps()
+    nals ++= m43Head
     nals ++= graft.operators.H264Cavlc.encodeIntra16Frame(2, 2, dc,
       qp = 36, idrPicId = (id % 65536).toInt, frameNumBits = 4)
-    for (fn <- 1 to 14)
-      nals ++= graft.operators.H264Cavlc.encodePFrame(2, 2,
-        Array(1, 1, 1, 1), skipMvs, skipCoeffs, qp = 36, frameNum = fn,
-        frameNumBits = 4)
+    nals ++= m43SkipRun
     nals ++= graft.operators.H264Cavlc.encodePFrame(2, 2, fKinds, fMvs,
       fCoeffs, qp = 36, frameNum = 15, frameNumBits = 4)
     nals ++= graft.operators.H264Cavlc.encodePFrame(2, 2, wKinds, wMvs,
@@ -1365,6 +1375,66 @@ object MultimodalQueries {
         mbVal(yb, 0), mbVal(yb, 1), mbVal(yb, 2), mbVal(yb, 3), ys)
     }.toDF("doc_id", "width", "height", "p0", "p1", "p2", "p3",
       "w0", "w1", "w2", "w3", "b0", "b1", "b2", "b3", "yb_sum")
+  }
+
+  /** Audio fingerprint dedup (m44): the Haitsma-Kalker idea — quantize
+    * each frame's spectral BAND-ENERGY DISTRIBUTION, not its absolute
+    * energies — over the WAV + FWHT stack m3/m18 pinned, then exact-dup
+    * audio by grouping on the fingerprint. Per doc: a 96-sample PCM
+    * track (docs come in groups of four: an original, a 2x-GAIN copy,
+    * a structural perturbation, different content), WAV round-trip,
+    * three 32-sample FWHT frames, four band energies each, and per
+    * band r = (16*e) // total — a RATIO, so the g^2 energy scale of a
+    * gain change cancels EXACTLY in integer division and the gain copy
+    * fingerprints identically while the perturbed/different tracks
+    * diverge. The 12 five-bit ratios pack into one 60-bit BIGINT; a
+    * single hash shuffle on it yields keeper/duplicate-count per doc.
+    *
+    * Scale: the fingerprint is a zero-shuffle per-asset map (the codec
+    * class); the dedup is d1's groupBy-on-fingerprint shape — one
+    * map-side-combinable exchange on a 8-byte key, at 100 TB the same
+    * plan with more partitions. */
+  private def m44: Q = (spark, dir) => {
+    import spark.implicits._
+    val fps = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val group = id / 4
+        val role = (id % 4).toInt
+        val n = 96
+        val base = Array.tabulate(n)(i =>
+          ((group * 997 + i * i * 31 + i * 13) % 15000).toInt)
+        val pcm = role match {
+          case 0 => base
+          case 1 => base.map(_ * 2) // gain x2: fingerprint-invariant
+          case 2 => Array.tabulate(n)(i => base(i) + (i % 5) * 900)
+          case _ => Array.tabulate(n)(i =>
+            ((group * 997 + 1234 + i * i * 17 + i * 29) % 15000).toInt)
+        }
+        val wav = Multimodal.encodeWavPcm16(8000, pcm.map(_.toShort))
+        val (_, _, dec) = Multimodal.decodeWavPcm16(wav)
+        var fp = 0L
+        var f = 0
+        while (f < 3) {
+          val frame = Array.tabulate(32)(i => dec(f * 32 + i).toLong)
+          val c = Multimodal.fwht(frame)
+          val e = new Array[Long](4)
+          var k = 0
+          while (k < 32) { e(k / 8) += c(k) * c(k); k += 1 }
+          val tot = e(0) + e(1) + e(2) + e(3)
+          k = 0
+          while (k < 4) {
+            fp |= (16L * e(k) / tot) << (5 * (f * 4 + k))
+            k += 1
+          }
+          f += 1
+        }
+        (id, fp)
+      }.toDF("doc_id", "fp")
+    val groups = fps.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
+    fps.join(groups, "fp")
+      .select(col("doc_id"), col("fp"), col("keeper"), col("n_dups"),
+        (col("doc_id") > col("keeper")).as("is_dup"))
   }
 
   /** m27's 23 output columns (one past the Tuple22 ceiling). MUST stay
@@ -3058,6 +3128,41 @@ object MultimodalQueries {
         | CAST(e2 AS INTEGER) AS e2, CAST(e3 AS INTEGER) AS e3,
         | CAST(256*(e0 + e1 + e2 + e3) AS BIGINT) AS y2_sum
         |FROM e""".stripMargin,
+    // m44: the fingerprint replayed from first principles — the same
+    // bit_count-parity FWHT replay as m18 over the role-dependent PCM
+    // synth, band energies -> integer ratio quantization (g^2 cancels
+    // exactly in (16*e)//tot, which is what makes the 2x-gain copy an
+    // exact duplicate), 5-bit packing via shifts, then the same
+    // keeper/count group-join.
+    "m44_audio_fingerprint" ->
+      """WITH d AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS role
+        |  FROM documents),
+        |sa AS (SELECT doc_id, t.i,
+        |    CASE role
+        |      WHEN 0 THEN (g*997 + t.i*t.i*31 + t.i*13) % 15000
+        |      WHEN 1 THEN 2 * ((g*997 + t.i*t.i*31 + t.i*13) % 15000)
+        |      WHEN 2 THEN (g*997 + t.i*t.i*31 + t.i*13) % 15000
+        |        + (t.i % 5) * 900
+        |      ELSE (g*997 + 1234 + t.i*t.i*17 + t.i*29) % 15000 END AS s
+        |  FROM d CROSS JOIN range(0, 96) t(i)),
+        |co AS (SELECT doc_id, sa.i // 32 AS f, tk.k,
+        |    SUM((CASE WHEN bit_count(tk.k & (sa.i % 32)) % 2 = 0
+        |         THEN 1 ELSE -1 END) * sa.s) AS c
+        |  FROM sa CROSS JOIN range(0, 32) tk(k)
+        |  GROUP BY 1, 2, 3),
+        |en AS (SELECT doc_id, f, k // 8 AS band,
+        |    CAST(SUM(c*c) AS BIGINT) AS e
+        |  FROM co GROUP BY 1, 2, 3),
+        |tot AS (SELECT doc_id, f, SUM(e) AS te FROM en GROUP BY 1, 2),
+        |fp AS (SELECT en.doc_id,
+        |    CAST(SUM(((16 * e) // te) * (1::BIGINT << (5*(f*4 + band))))
+        |      AS BIGINT) AS fp
+        |  FROM en JOIN tot USING (doc_id, f) GROUP BY en.doc_id),
+        |gr AS (SELECT fp, MIN(doc_id) AS keeper, COUNT(*) AS n_dups
+        |  FROM fp GROUP BY fp)
+        |SELECT fp.doc_id, fp.fp, gr.keeper, gr.n_dups,
+        |  fp.doc_id > gr.keeper AS is_dup
+        |FROM fp JOIN gr USING (fp)""".stripMargin,
     // m43: the frame_num-wrap GOP replayed closed form. 254 all-skip
     // pictures keep the plane at the IDR's v chain; f255's p values
     // copy doc-selected v macroblocks (+never-zero residual); the

@@ -97,6 +97,7 @@ object TextQueries {
     "s13_farthest_init" -> ((spark, dir) =>
       Clustering.farthestPointInit(t(spark, dir, "embeddings"), k = 6)),
     "s14_ann_recall" -> s14,
+    "s15_ann_ivfpq" -> s15,
     "s16_lsh_sweep" -> s16,
     "s2_ann_lsh" -> s2,
     "s3_ann_ivf" -> s3,
@@ -1104,6 +1105,20 @@ object TextQueries {
     val e = t(spark, dir, "embeddings")
     Similarity.pqKnn(e, e.filter(col("vec_id") < 8), k = 4,
       m = 8, nCodes = 16, rerank = 8)
+  }
+
+  /** IVF + PQ composite ANN (s15): the FAISS IVFPQ layout — s3's cell
+    * routing OVER s6's m-byte codes, the genuine 100 TB serving shape
+    * (a query scans only its probed cells' codes: nProbe/nCells of the
+    * corpus at 32× fewer bytes, then an exact rerank of rerank·k ids).
+    * Approximate by design yet fully deterministic — routing, codebook
+    * training, ADC scan and rerank all replay exactly in the SQL
+    * oracle; full-cover-equals-brute-force and planted-duplicate
+    * contracts in DedupSimilaritySpec. */
+  private def s15: Q = (spark, dir) => {
+    val e = t(spark, dir, "embeddings")
+    Similarity.ivfPqKnn(e, e.filter(col("vec_id") < 8), k = 4,
+      nCells = 16, nProbe = 4, m = 8, nCodes = 16, rerank = 8)
   }
 
   /** BM25 retrieval scoring (t21): the classic Robertson/Spärck-Jones
@@ -3403,6 +3418,67 @@ object TextQueries {
     // ADC tables as subvector dots, approx score folded j=0..7 in
     // explicit left-assoc order (8-term SUM would be order-free), top
     // rerank·k=32 by (approx DESC, id), exact cosine rerank.
+    // s15: the s6 PQ replay gated by the s3 IVF replay — identical
+    // codebook/ADC CTEs, plus icell/iprobe (raw-vector dots against the
+    // normalized lowest-16 centroids, first-max tie-break) restricting
+    // the ap scan to candidates whose cell the query probed.
+    "s15_ann_ivfpq" -> {
+      val diff = "list_transform(range(1, 9), i -> n2.u[bk.j*8 + i] - bk.cv[i])"
+      def assign(books: String) =
+        s"""(SELECT vec_id, j, cid FROM (
+           |  SELECT vec_id, j, cid,
+           |    row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+           |  FROM (SELECT n2.vec_id, bk.j, bk.cid,
+           |          list_dot_product($diff, $diff) AS d
+           |        FROM nv n2 CROSS JOIN $books bk) y) x WHERE rn = 1)""".stripMargin
+      val adcFold = (0 until 8).map(j => s"MAX(CASE WHEN t.j = $j THEN tv END)")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nv AS (SELECT vec_id, v,
+         |    CASE WHEN sqrt(list_dot_product(v, v)) = 0e0 THEN v
+         |         ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS u
+         |  FROM e),
+         |ivfc AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid,
+         |    list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv
+         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+         |icell AS (SELECT vec_id, cell FROM (
+         |  SELECT e.vec_id, ivfc.cid AS cell, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY list_dot_product(e.v, ivfc.cv) DESC, ivfc.cid) AS rn
+         |  FROM e CROSS JOIN ivfc) x WHERE rn = 1),
+         |iprobe AS (SELECT qid, cell FROM (
+         |  SELECT e.vec_id AS qid, ivfc.cid AS cell, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY list_dot_product(e.v, ivfc.cv) DESC, ivfc.cid) AS rn
+         |  FROM e CROSS JOIN ivfc WHERE e.vec_id < 8) x WHERE rn <= 4),
+         |c0 AS (SELECT t.j, s.cid, s.u[t.j*8 + 1 : t.j*8 + 8] AS cv
+         |       FROM (SELECT row_number() OVER (ORDER BY vec_id) AS cid, u
+         |             FROM nv WHERE vec_id < 16) s CROSS JOIN range(0, 8) t(j)),
+         |a0 AS ${assign("c0")},
+         |m1 AS (SELECT a0.j, a0.cid, t.i,
+         |         SUM(CAST(round(nv.u[a0.j*8 + t.i] * 1024e0) AS BIGINT)) AS qs,
+         |         COUNT(*) AS n
+         |       FROM a0 JOIN nv USING (vec_id) CROSS JOIN range(1, 9) t(i)
+         |       GROUP BY 1, 2, 3),
+         |b1c AS (SELECT j, cid,
+         |          list(CAST(qs AS DOUBLE) / CAST(n * 1024 AS BIGINT) ORDER BY i) AS cv
+         |        FROM m1 GROUP BY j, cid),
+         |b1 AS (SELECT c0.j, c0.cid, COALESCE(b1c.cv, c0.cv) AS cv
+         |       FROM c0 LEFT JOIN b1c ON b1c.j = c0.j AND b1c.cid = c0.cid),
+         |a1 AS ${assign("b1")},
+         |tbl AS (SELECT q.vec_id AS qid, b1.j, b1.cid,
+         |          list_dot_product(q.u[b1.j*8 + 1 : b1.j*8 + 8], b1.cv) AS tv
+         |        FROM (SELECT vec_id, u FROM nv WHERE vec_id < 8) q CROSS JOIN b1),
+         |ap AS (SELECT t.qid, a1.vec_id, $adcFold AS approx
+         |       FROM a1 JOIN tbl t ON t.j = a1.j AND t.cid = a1.cid
+         |         AND t.qid <> a1.vec_id
+         |         JOIN icell ON icell.vec_id = a1.vec_id
+         |         JOIN iprobe ON iprobe.cell = icell.cell AND iprobe.qid = t.qid
+         |       GROUP BY t.qid, a1.vec_id),
+         |cand AS (SELECT x.qid, x.vec_id, e.v FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS rn
+         |    FROM ap) x JOIN e ON e.vec_id = x.vec_id WHERE x.rn <= 32),
+         |""".stripMargin + cosineTopkTail
+    },
     "s6_ann_pq" -> {
       val diff = "list_transform(range(1, 9), i -> n2.u[bk.j*8 + i] - bk.cv[i])"
       def assign(books: String) =

@@ -736,6 +736,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(cover.exceptAll(brute).isEmpty && brute.exceptAll(cover).isEmpty)
   }
 
+  test("IVF+PQ knn: exact rerank sims, planted duplicates found, full cover equals brute force") {
+    val q = emb.filter(col("vec_id") < 8)
+    val brute = Similarity.bruteForceKnn(emb, q, k = 4).cache()
+    val ivfpq = Similarity.ivfPqKnn(emb, q, k = 4, nCells = 16,
+      nProbe = 4, m = 8, nCodes = 16, rerank = 8).cache()
+    // contract: no self matches, and wherever the routed scan surfaced
+    // the true neighbor the reranked sim is BIT-IDENTICAL to brute
+    // force (shared strict cosine fold)
+    assert(ivfpq.filter(col("neighbor_id") === col("query_id")).count() === 0)
+    val joined = ivfpq.select(col("query_id"), col("neighbor_id"), col("sim").as("s1"))
+      .join(brute.select(col("query_id"), col("neighbor_id"), col("sim").as("s2")),
+        Seq("query_id", "neighbor_id"))
+    assert(joined.filter(col("s1") =!= col("s2")).count() === 0)
+    // planted exact duplicates: a copy of each query vector lands in
+    // the SAME cell with the SAME codes, so the routed ADC scan MUST
+    // surface it and the exact rerank MUST rank it first
+    val planted = emb.select(col("vec_id"), col("embedding")).union(
+      q.select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val found = Similarity.ivfPqKnn(planted, q, k = 4, nCells = 16,
+        nProbe = 4, m = 8, nCodes = 16, rerank = 8)
+      .filter(col("neighbor_id") === col("query_id") + 10000 &&
+        col("rank") === 1)
+    assert(found.count() === q.count(), "every planted duplicate must rank first")
+    // probing EVERY cell with a corpus-covering rerank window ⇒
+    // row-for-row brute force (the IVF gate and the PQ scan both drop
+    // out, leaving only the exact rerank)
+    val cover = Similarity.ivfPqKnn(emb, q, k = 4, nCells = 16,
+      nProbe = 16, m = 8, nCodes = 16,
+      rerank = (emb.count() / 4 + 1).toInt)
+    assert(cover.exceptAll(brute).isEmpty && brute.exceptAll(cover).isEmpty)
+  }
+
   test("minhash signature length and determinism") {
     val sh = Dedup.docShingles(docs.limit(20))
     val sig = Dedup.minHashSignatures(sh).collect()

@@ -356,4 +356,33 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       graft.operators.Multimodal.fwht(new Array[Long](12)))
   }
+
+  test("m44 fingerprint: gain copies dedup together, keeper/count are consistent") {
+    val spark = SparkTestSession.spark
+    val out = graft.SparkEntry.queries("m44_audio_fingerprint")(
+      spark, "/root/testdata/sf0.001").cache()
+    val rows = out.collect().map(r => (r.getLong(0),
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // contract: every group's role-1 doc (2x gain) shares the role-0
+    // doc's fingerprint — the g^2 energy scale cancels in the integer
+    // ratio — so it is ALWAYS marked duplicate with the lower keeper
+    val groups = rows.keys.map(_ / 4).toSeq.distinct
+    groups.foreach { g =>
+      val (orig, gain) = (g * 4, g * 4 + 1)
+      if (rows.contains(orig) && rows.contains(gain)) {
+        assert(rows(gain)._1 === rows(orig)._1, s"group $g fp mismatch")
+        assert(rows(gain)._4, s"group $g gain copy not marked duplicate")
+      }
+    }
+    // keeper is the min doc_id of its fingerprint class; n_dups counts it
+    val byFp = rows.toSeq.groupBy(_._2._1)
+    byFp.foreach { case (fp, ds) =>
+      val minId = ds.map(_._1).min
+      assert(ds.forall(_._2._2 == minId), s"fp $fp keeper wrong")
+      assert(ds.forall(_._2._3 == ds.size), s"fp $fp count wrong")
+    }
+    // the fingerprint must actually SEPARATE content: more distinct
+    // fingerprints than groups (roles 2/3 mostly diverge from role 0)
+    assert(byFp.size > groups.size)
+  }
 }
