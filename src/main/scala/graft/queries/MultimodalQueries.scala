@@ -13,6 +13,23 @@ import org.apache.spark.sql.functions._
   * stubs are covered by MultimodalSpec. */
 object MultimodalQueries {
 
+  /** The per-asset compute spine: the documents table's doc_ids SPREAD
+    * over the session's default parallelism before the decode map. The
+    * base-scale tables arrive as ONE parquet file with one row group —
+    * one input partition — so without this exchange every per-asset
+    * codec map in the family would run on a single core at bench
+    * scale. The exchange moves 8-byte ids only; at cluster scale a
+    * multi-file corpus already arrives spread (the multi-file stress
+    * corpora measure exactly that), so the repartition is a no-op-cost
+    * guard, not a scale crutch. */
+  private def docIds(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[java.lang.Long] = {
+    t(spark, dir, "documents").select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[java.lang.Long](org.apache.spark.sql.Encoders.LONG)
+  }
+
+
   type Q = (SparkSession, String) => DataFrame
 
   def queries: Map[String, Q] = Map(
@@ -81,10 +98,10 @@ object MultimodalQueries {
     * the MVP median, the Table 9-4 inter CBP column or the
     * interpolator desyncs the chain.
     *
-    * Scale: zero-shuffle per-asset map, like every codec query. */
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]), like every codec query. */
   private def m28: Q = (spark, dir) => {
     import spark.implicits._
-    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    docIds(spark, dir).as[Long].map { id =>
       // frame 0: I_16x16 DC picture, per-MB flat values
       val dc = Array.tabulate(4) { mb =>
         val d = Array.ofDim[Int](4, 4)
@@ -152,10 +169,10 @@ object MultimodalQueries {
     * partition), so a wrong rule shifts every later bit. QPy 36 keeps
     * the residuals exactly linear (10c).
     *
-    * Scale: zero-shuffle per-asset map, like every codec query. */
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]), like every codec query. */
   private def m29: Q = (spark, dir) => {
     import spark.implicits._
-    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    docIds(spark, dir).as[Long].map { id =>
       val dc = Array.tabulate(4) { mb =>
         val d = Array.ofDim[Int](4, 4)
         d(0)(0) = ((id + mb) % 4).toInt
@@ -226,10 +243,10 @@ object MultimodalQueries {
     * 8.4.1.3 predictors; a wrong reference-list order, averaging rule
     * or per-list MVP desyncs the chain.
     *
-    * Scale: zero-shuffle per-asset map, like every codec query. */
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]), like every codec query. */
   private def m30: Q = (spark, dir) => {
     import spark.implicits._
-    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    docIds(spark, dir).as[Long].map { id =>
       val dc = Array.tabulate(4) { mb =>
         val d = Array.ofDim[Int](4, 4)
         d(0)(0) = ((id + mb) % 4).toInt
@@ -291,10 +308,10 @@ object MultimodalQueries {
     * in the 8.4.1.3 predictor shifts values or desyncs the parse.
     * QPy 36 keeps MB0's residual exactly linear (10c).
     *
-    * Scale: zero-shuffle per-asset map, like every codec query. */
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]), like every codec query. */
   private def m31: Q = (spark, dir) => {
     import spark.implicits._
-    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    docIds(spark, dir).as[Long].map { id =>
       val dc = Array.tabulate(4) { mb =>
         val d = Array.ofDim[Int](4, 4)
         d(0)(0) = ((id + mb) % 4).toInt
@@ -381,10 +398,10 @@ object MultimodalQueries {
     * instead of list1[0]), a skip-run parse slip or a direct-MVP slip
     * moves w1/w2 between q-values the oracle distinguishes.
     *
-    * Scale: zero-shuffle per-asset map, like every codec query. */
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]), like every codec query. */
   private def m32: Q = (spark, dir) => {
     import spark.implicits._
-    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    docIds(spark, dir).as[Long].map { id =>
       val dc = Array.tabulate(4) { mb =>
         val d = Array.ofDim[Int](4, 4)
         d(0)(0) = ((id + mb) % 4).toInt
@@ -471,10 +488,10 @@ object MultimodalQueries {
     * DistScaleFactor slip, or weighting the uni paths all move
     * oracle-separated outputs.
     *
-    * Scale: zero-shuffle per-asset map, like every codec query. */
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]), like every codec query. */
   private def m38: Q = (spark, dir) => {
     import spark.implicits._
-    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    docIds(spark, dir).as[Long].map { id =>
       val dc = Array.tabulate(4) { mb =>
         val d = Array.ofDim[Int](4, 4)
         d(0)(0) = ((id + mb) % 4).toInt
@@ -545,10 +562,10 @@ object MultimodalQueries {
     * Weights/offsets are chosen so no Clip1 binds; the oracle is
     * exact integer arithmetic end to end.
     *
-    * Scale: zero-shuffle per-asset map, like every codec query. */
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]), like every codec query. */
   private def m37: Q = (spark, dir) => {
     import spark.implicits._
-    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    docIds(spark, dir).as[Long].map { id =>
       val dc = Array.tabulate(4) { mb =>
         val d = Array.ofDim[Int](4, 4)
         d(0)(0) = ((id + mb) % 4).toInt
@@ -635,10 +652,10 @@ object MultimodalQueries {
     * 16) and the B's POC is NOT derivable from decode order — a POC
     * slip reorders the lists and moves every output.
     *
-    * Scale: zero-shuffle per-asset map, like every codec query. */
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]), like every codec query. */
   private def m36: Q = (spark, dir) => {
     import spark.implicits._
-    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    docIds(spark, dir).as[Long].map { id =>
       val dc = Array.tabulate(4) { mb =>
         val d = Array.ofDim[Int](4, 4)
         d(0)(0) = ((id + mb) % 4).toInt
@@ -729,10 +746,10 @@ object MultimodalQueries {
     * is load-bearing. Probes pin each macroblock's four 8x8-block
     * corners; the y-sum pins all 31 sub-partitions.
     *
-    * Scale: zero-shuffle per-asset map, like every codec query. */
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]), like every codec query. */
   private def m35: Q = (spark, dir) => {
     import spark.implicits._
-    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    docIds(spark, dir).as[Long].map { id =>
       val dc = Array.tabulate(4) { mb =>
         val d = Array.ofDim[Int](4, 4)
         d(0)(0) = ((id + mb) % 4).toInt
@@ -816,10 +833,10 @@ object MultimodalQueries {
     * list-routing slip moves outputs between oracle-separated
     * values. Uniform 10c residuals ride MB0 and MB3.
     *
-    * Scale: zero-shuffle per-asset map, like every codec query. */
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]), like every codec query. */
   private def m34: Q = (spark, dir) => {
     import spark.implicits._
-    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    docIds(spark, dir).as[Long].map { id =>
       val dc = Array.tabulate(4) { mb =>
         val d = Array.ofDim[Int](4, 4)
         d(0)(0) = ((id + mb) % 4).toInt
@@ -908,10 +925,10 @@ object MultimodalQueries {
     * samples straddling each edge (p3/q3 must come back UNfiltered);
     * the y-sums pin every remaining pixel.
     *
-    * Scale: zero-shuffle per-asset map, like every codec query. */
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]), like every codec query. */
   private def m33: Q = (spark, dir) => {
     import spark.implicits._
-    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    docIds(spark, dir).as[Long].map { id =>
       def dcArr(v: Int): Array[Array[Int]] = {
         val d = Array.ofDim[Int](4, 4)
         d(0)(0) = v
@@ -982,10 +999,10 @@ object MultimodalQueries {
     * Probes are the eight samples straddling each live edge on row 0;
     * the plane sums pin row-uniformity and every untouched pixel.
     *
-    * Scale: zero-shuffle per-asset map, like every codec query. */
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]), like every codec query. */
   private def m39: Q = (spark, dir) => {
     import spark.implicits._
-    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    docIds(spark, dir).as[Long].map { id =>
       def dcArr(v: Int): Array[Array[Int]] = {
         val d = Array.ofDim[Int](4, 4)
         d(0)(0) = v
@@ -1048,10 +1065,10 @@ object MultimodalQueries {
     * under each flag plus the inter MB's copy (unchanged by the
     * flag); the plane sums pin every remaining pixel.
     *
-    * Scale: zero-shuffle per-asset map, like every codec query. */
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]), like every codec query. */
   private def m40: Q = (spark, dir) => {
     import spark.implicits._
-    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    docIds(spark, dir).as[Long].map { id =>
       def dcArr(v: Int): Array[Array[Int]] = {
         val d = Array.ofDim[Int](4, 4)
         d(0)(0) = v
@@ -1113,10 +1130,10 @@ object MultimodalQueries {
     *  - C = (2, 0): the p-side slice's idc 2 is IRRELEVANT — q0's
     *    slice says 0, so the edge filters exactly like A.
     *
-    * Scale: zero-shuffle per-asset map, like every codec query. */
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]), like every codec query. */
   private def m41: Q = (spark, dir) => {
     import spark.implicits._
-    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    docIds(spark, dir).as[Long].map { id =>
       def dcArr(v: Int): Array[Array[Int]] = {
         val d = Array.ofDim[Int](4, 4)
         d(0)(0) = v
@@ -1228,10 +1245,10 @@ object MultimodalQueries {
     * the DuckDB gate hash-mismatches a POC-ordered list0 (the flipped
     * twin in [[m42Stream]], pinned by H264InterSpec).
     *
-    * Scale: zero-shuffle per-asset map, like every codec query. */
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]), like every codec query. */
   private def m42: Q = (spark, dir) => {
     import spark.implicits._
-    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    docIds(spark, dir).as[Long].map { id =>
       val frames = graft.operators.H264Cavlc
         .decodeIntra16FramesYuv(m42Stream(id))
       require(frames.size == 3)
@@ -1353,11 +1370,11 @@ object MultimodalQueries {
     * instead of limping, so the gate distinguishes the wrap as hard as
     * a hash mismatch.
     *
-    * Scale: zero-shuffle per-asset map; 18 pictures of 4 macroblocks
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]); 18 pictures of 4 macroblocks
     * each keep the per-row cost flat. */
   private def m43: Q = (spark, dir) => {
     import spark.implicits._
-    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    docIds(spark, dir).as[Long].map { id =>
       val frames = graft.operators.H264Cavlc
         .decodeIntra16FramesYuv(m43Stream(id))
       require(frames.size == 18)
@@ -1390,13 +1407,13 @@ object MultimodalQueries {
     * diverge. The 12 five-bit ratios pack into one 60-bit BIGINT; a
     * single hash shuffle on it yields keeper/duplicate-count per doc.
     *
-    * Scale: the fingerprint is a zero-shuffle per-asset map (the codec
+    * Scale: the fingerprint is an id-spread per-asset map (the codec
     * class); the dedup is d1's groupBy-on-fingerprint shape — one
     * map-side-combinable exchange on a 8-byte key, at 100 TB the same
     * plan with more partitions. */
   private def m44: Q = (spark, dir) => {
     import spark.implicits._
-    val fps = t(spark, dir, "documents").select(col("doc_id")).as[Long]
+    val fps = docIds(spark, dir).as[Long]
       .map { id =>
         val group = id / 4
         val role = (id % 4).toInt
@@ -1469,10 +1486,10 @@ object MultimodalQueries {
     * an integer recurrence DuckDB replays with lateral column
     * references, clip never binding.
     *
-    * Scale: zero-shuffle per-asset map, like every codec query. */
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]), like every codec query. */
   private def m27: Q = (spark, dir) => {
     import spark.implicits._
-    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    docIds(spark, dir).as[Long].map { id =>
       def zpos4(b: Int): (Int, Int) =
         (((b >> 2) & 1) * 8 + (b & 1) * 4, ((b >> 3) & 1) * 8 + ((b >> 1) & 1) * 4)
       val kinds = Array(2, 0, 0, 1) // I_16x16 | I_8x8 syntax | I_8x8 res | I_4x4
@@ -1557,10 +1574,10 @@ object MultimodalQueries {
     * mapping, nC bookkeeping or prediction source desyncs the chain
     * and every later block.
     *
-    * Scale: zero-shuffle per-asset map, like every codec query. */
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]), like every codec query. */
   private def m26: Q = (spark, dir) => {
     import spark.implicits._
-    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    docIds(spark, dir).as[Long].map { id =>
       def zpos(b: Int): (Int, Int) =
         (((b >> 2) & 1) * 8 + (b & 1) * 4, ((b >> 3) & 1) * 8 + ((b >> 1) & 1) * 4)
       val cbpMask = 1 + (id % 15).toInt
@@ -1620,10 +1637,10 @@ object MultimodalQueries {
     * every later block, so the oracle pins the dense-neighbour entropy
     * path end-to-end.
     *
-    * Scale: zero-shuffle per-asset map, like every codec query. */
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]), like every codec query. */
   private def m25: Q = (spark, dir) => {
     import spark.implicits._
-    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    docIds(spark, dir).as[Long].map { id =>
       val g = (1 + (id % 3)).toInt * (if (id % 2 == 0) 1 else -1)
       val pats = Map(
         'A' -> Array(2, -1, 1),
@@ -1672,12 +1689,12 @@ object MultimodalQueries {
     * the four per-MB uniform values with the boundary fallbacks and
     * the per-MB position-weight constants of the 32x32 plane.
     *
-    * Scale: zero-shuffle per-asset map; at 100 TB the same slice
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]); at 100 TB the same slice
     * independence is what lets one picture's slices decode on
     * different executors. */
   private def m24: Q = (spark, dir) => {
     import spark.implicits._
-    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    docIds(spark, dir).as[Long].map { id =>
       val as = Array((id % 13).toInt - 6, ((id / 13) % 7).toInt - 3,
         ((id / 7) % 9).toInt - 4, ((id / 3) % 5).toInt - 2)
       val dc = as.map { a =>
@@ -1715,10 +1732,10 @@ object MultimodalQueries {
     * pixel in closed form; position-weighted per-plane checksums pin
     * the raster layout of both components independently.
     *
-    * Scale: zero-shuffle per-asset map like every m-family decode. */
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]) like every m-family decode. */
   private def m23: Q = (spark, dir) => {
     import spark.implicits._
-    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    docIds(spark, dir).as[Long].map { id =>
       val a0 = (id % 41).toInt - 20
       val dc = Array.fill(4, 4)(0); dc(0)(0) = a0
       val cb = Array(
@@ -1774,7 +1791,7 @@ object MultimodalQueries {
     * so any codec drift (a mis-packed width boundary, an off-by-one
     * in the dictionary lag) breaks equality.
     *
-    * Scale: zero-shuffle per-asset map like every m-family decode. */
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]) like every m-family decode. */
   private def m22: Q = (spark, dir) => {
     import spark.implicits._
     val (w, h) = (24, 16)
@@ -1821,10 +1838,10 @@ object MultimodalQueries {
     * pins the z-scan block layout, the zig-zag placement, the
     * position-classed dequant and the butterfly signs at once.
     *
-    * Scale: zero-shuffle per-asset map like every m-family decode. */
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]) like every m-family decode. */
   private def m21: Q = (spark, dir) => {
     import spark.implicits._
-    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    docIds(spark, dir).as[Long].map { id =>
       val a0 = (id % 41).toInt - 20
       val dc = Array.fill(4, 4)(0); dc(0)(0) = a0
       val ac = Array.tabulate(16) { b =>
@@ -1867,10 +1884,10 @@ object MultimodalQueries {
     * Position-weighted whole-plane checksum pins every pixel of all
     * four MBs.
     *
-    * Scale: zero-shuffle per-asset map like every m-family decode. */
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]) like every m-family decode. */
   private def m20: Q = (spark, dir) => {
     import spark.implicits._
-    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    docIds(spark, dir).as[Long].map { id =>
       def dcOf(c0: Int) = {
         val a = Array.fill(4, 4)(0); a(0)(0) = c0; a
       }
@@ -1911,7 +1928,7 @@ object MultimodalQueries {
     * round-trips the 3-channel filtered scanlines losslessly AND
     * pins the fixed-point luma arithmetic.
     *
-    * Scale: zero-shuffle per-asset map like every m-family decode. */
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]) like every m-family decode. */
   private def m19: Q = (spark, dir) => {
     import spark.implicits._
     val (w, h) = (12, 8)
@@ -1950,11 +1967,11 @@ object MultimodalQueries {
     * butterfly is checked against the direct definition, not just
     * the oracle.
     *
-    * Scale: zero-shuffle per-asset map; O(frames · 32 log 32) integer
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]); O(frames · 32 log 32) integer
     * ops. */
   private def m18: Q = (spark, dir) => {
     import spark.implicits._
-    t(spark, dir, "documents").select(col("doc_id")).as[Long].flatMap { id =>
+    docIds(spark, dir).as[Long].flatMap { id =>
       val n = (64 + (id % 32) * 2).toInt
       val pcm = Array.tabulate(n)(i => ((id * 7 + i * 13) % 20000).toShort)
       val wav = Multimodal.encodeWavPcm16(8000, pcm)
@@ -1993,10 +2010,10 @@ object MultimodalQueries {
     * chroma entropy decode, transform, dequant, prediction, or
     * raster placement breaks the hash.
     *
-    * Scale: zero-shuffle per-asset map like every m-family decode. */
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]) like every m-family decode. */
   private def m17: Q = (spark, dir) => {
     import spark.implicits._
-    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    docIds(spark, dir).as[Long].map { id =>
       val a0 = (id % 13).toInt - 6
       val a1 = ((id / 13) % 5).toInt - 2
       val dc = Array.fill(4, 4)(0)
@@ -2049,10 +2066,10 @@ object MultimodalQueries {
     * not just the values — a drift anywhere in the entropy decode,
     * transform, dequant, prediction, or raster placement breaks it.
     *
-    * Scale: zero-shuffle per-asset map like every m-family decode. */
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]) like every m-family decode. */
   private def m16: Q = (spark, dir) => {
     import spark.implicits._
-    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    docIds(spark, dir).as[Long].map { id =>
       val c0 = (id % 41).toInt - 20
       val c1 = (id % 7).toInt - 3
       val c2 = ((id / 7) % 3).toInt - 1
@@ -2092,12 +2109,12 @@ object MultimodalQueries {
     * 48636, well over — so n_cuts pins that the decoder reproduced
     * every plane exactly, not just checksums.
     *
-    * Scale: zero-shuffle per-asset map; decode cost is linear in coded
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]); decode cost is linear in coded
     * bytes. */
   private def m15: Q = (spark, dir) => {
     import spark.implicits._
     val cutThreshold = 40L * 512L
-    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    docIds(spark, dir).as[Long].map { id =>
       val nf = (3 + id % 3).toInt
       val fc = (1 + id % 2).toInt
       def plane(f: Int): Array[Byte] = Array.tabulate(32 * 16) { i =>
@@ -2138,10 +2155,10 @@ object MultimodalQueries {
     * boundary); I_PCM is the profile subset where pixel reconstruction
     * is exact and library-free.
     *
-    * Scale: zero-shuffle per-asset map like every m-family decode. */
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]) like every m-family decode. */
   private def m14: Q = (spark, dir) => {
     import spark.implicits._
-    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    docIds(spark, dir).as[Long].map { id =>
       val crop = (id % 3).toInt
       val plane = Array.tabulate(32 * 16)(i => ((id * 31 + i) % 256).toByte)
       val es = graft.operators.H264.encodeSps(2, 1, crop) ++
@@ -2166,11 +2183,11 @@ object MultimodalQueries {
     * sample from the PCM formula. Position-weighted checksums pin the
     * full output sequences.
     *
-    * Scale: zero-shuffle per-asset map; kernels are O(samples) integer
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]); kernels are O(samples) integer
     * ops — the multimodal analogue of the t-family's codegen'd scans. */
   private def m13: Q = (spark, dir) => {
     import spark.implicits._
-    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    docIds(spark, dir).as[Long].map { id =>
       val n = (64 + (id % 32) * 2).toInt
       val pcm = Array.tabulate(n)(i => ((id * 7 + i * 13) % 20000).toShort)
       val wav = Multimodal.encodeWavPcm16(8000, pcm)
@@ -2202,13 +2219,13 @@ object MultimodalQueries {
     * via the same floor arithmetic, so a one-pixel drift anywhere in
     * encode → decode → either kernel breaks the hash.
     *
-    * Scale: zero-shuffle per-asset map like every m-family decode;
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]) like every m-family decode;
     * the kernels are O(outputPixels) integer ops with no allocation
     * beyond the output plane. */
   private def m12: Q = (spark, dir) => {
     import spark.implicits._
     val W = 16; val H = 12; val NW = 7; val NH = 5
-    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    docIds(spark, dir).as[Long].map { id =>
       val plane = Array.tabulate(W * H)(i => ((id * 31 + i) % 256).toByte)
       val bmp = Multimodal.encodeBmp24(W, H, plane)
       val (_, _, dec) = Multimodal.decodeBmp24(bmp)
@@ -2254,7 +2271,7 @@ object MultimodalQueries {
     * parse → crop arithmetic → slice-header frame counting breaks the
     * hash — the t10 salted-fixture pattern applied to video.
     *
-    * Scale: zero-shuffle per-asset map, like every m-family decode. */
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]), like every m-family decode. */
   private def m10: Q = (spark, dir) => {
     import spark.implicits._
     val fixtures = t(spark, dir, "documents").select(col("doc_id"))
@@ -2277,14 +2294,14 @@ object MultimodalQueries {
     * oracle's integer math stays overflow-free. All deterministic byte
     * arithmetic — the oracle recomputes the exact bits.
     *
-    * Scale: zero-shuffle per-asset map; downstream near-dup grouping is
+    * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]); downstream near-dup grouping is
     * a groupBy on the hash (or banded hamming join, exactly d4's
     * simhash machinery — same band-bucket-verify pipeline). */
   private def m9: Q = (spark, dir) => {
     import spark.implicits._
     val W = 9
     val H = 8
-    t(spark, dir, "documents").select(col("doc_id")).as[Long].map { id =>
+    docIds(spark, dir).as[Long].map { id =>
       val plane = Array.tabulate(W * H)(i => ((id * 31 + i) % 256).toByte)
       val bmp = Multimodal.encodeBmp24(W, H, plane)
       val (_, _, dec) = Multimodal.decodeBmp24(bmp)
