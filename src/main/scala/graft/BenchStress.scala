@@ -58,7 +58,7 @@ object BenchStress {
     "t28_gopher_filters", "p4_leakage_split", "p5_fuzzy_verify",
     "p6_gopher_pipeline",
     "k6_kmv_overlap", "c5_stream_dedup", "c18_stream_attribution",
-    "q31_salted_join", "q34_latest_state",
+    "q31_salted_join", "q34_latest_state", "q36_scd2_history",
     // round 11: span removal (covered-set join + typed rebuild), DSIR
     // (feature explode + broadcast weights + doc ntile), TTL'd
     // streaming dedup (bounded state over the blown-up stream), CCNet

@@ -60,7 +60,8 @@ object Relational {
     "q32_dpp_join" -> q32,
     "q33_anomalous_hours" -> q33,
     "q34_latest_state" -> q34,
-    "q35_incremental_rollup" -> q35
+    "q35_incremental_rollup" -> q35,
+    "q36_scd2_history" -> q36
   )
 
   /** Incremental materialized-view maintenance (q35): the daily-rollup
@@ -122,6 +123,36 @@ object Relational {
         col("m.event_id").as("last_event_id"),
         col("m.event_type").as("last_type"),
         col("m.value").as("last_value"))
+
+  /** SCD2 state history (q36): compress each user's event stream into
+    * validity intervals of its event_type "state" — the slowly-
+    * changing-dimension type-2 table every lakehouse keeps for
+    * dimension history (q34 answers "what is the state NOW"; this
+    * answers "what was it at any time t"). A row opens where the state
+    * CHANGES (lag-detect against the previous event under the total
+    * (t, event_id) order) and closes at the next change (lead); the
+    * open interval carries valid_to = -1. Both windows and the oracle
+    * share the exact (epoch-seconds, event_id) ordering, so the
+    * compression is deterministic and engine-exact.
+    *
+    * Scale: both windows partition by user_id — high cardinality, one
+    * hash exchange that the second window REUSES (same partitioning,
+    * no second shuffle); per-user state is a single lag/lead frame,
+    * never a driver-side pass. */
+  private def q36: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        epochS(col("ts")).as("t"), col("event_id"))
+    e.withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("valid_to",
+        coalesce(lead(col("t"), 1).over(w), lit(-1L)))
+      .select(col("user_id"), col("event_type"),
+        col("t").as("valid_from"), col("valid_to"),
+        col("event_id").as("open_event_id"))
+  }
 
   /** Hourly anomaly flags (q33): the monitoring/alerting readout a log
     * analytics engine exists for — per event type, flag hours whose
@@ -821,6 +852,19 @@ object Relational {
          |SELECT st.event_type, st.n_events, st.sum_value, st.min_t,
          |  st.max_t, hll.approx_users
          |FROM st JOIN hll USING (event_type)""".stripMargin,
+    "q36_scd2_history" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t, event_id
+        |  FROM events),
+        |m AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY t, event_id) AS prev FROM e),
+        |s AS (SELECT user_id, event_type, t, event_id FROM m
+        |      WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, t AS valid_from,
+        |  COALESCE(lead(t) OVER (PARTITION BY user_id
+        |    ORDER BY t, event_id), -1) AS valid_to,
+        |  event_id AS open_event_id
+        |FROM s""".stripMargin,
     "q34_latest_state" ->
       """SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS last_ts,
         | event_id AS last_event_id, event_type AS last_type,
