@@ -27,20 +27,61 @@ import org.apache.spark.sql.SparkSession
   * batch count deterministic, more reps reliably expose the true
   * floor instead of a slow scheduling alignment. */
 object Bench {
+  /** Task-metrics accumulator (the ProbeC22 shape): snapshot-and-diff
+    * around each streaming rep so the committed drain trace carries
+    * shuffle/spill/cpu alongside the micro-batch durations. */
+  private class TaskAgg extends org.apache.spark.scheduler.SparkListener {
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    val spillMem = new java.util.concurrent.atomic.AtomicLong
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    val runMs = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        spillMem.addAndGet(m.memoryBytesSpilled)
+        spillDisk.addAndGet(m.diskBytesSpilled)
+        cpuNs.addAndGet(m.executorCpuTime)
+        runMs.addAndGet(m.executorRunTime)
+      }
+    }
+    def snap(): Map[String, Long] = Map(
+      "shufWB" -> shufWrite.get, "shufRB" -> shufRead.get,
+      "spillMB" -> spillMem.get, "spillDB" -> spillDisk.get,
+      "cpuMs" -> cpuNs.get / 1000000L, "runMs" -> runMs.get)
+    // the listener bus is async — poll until the counters stabilize so
+    // in-flight task-end events don't bleed into the next rep's delta
+    def drainedSnap(): Map[String, Long] = {
+      var prev = snap()
+      var tries = 0
+      while (tries < 10) {
+        Thread.sleep(50)
+        val cur = snap()
+        if (cur == prev) return cur
+        prev = cur; tries += 1
+      }
+      prev
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the machine: a benchmark main should use every core
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
-    val spark = SparkSession.builder()
+    val spark = MainSessions(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true"))
       .getOrCreate()
+    MainSessions.assertGuarded(spark)
     spark.sparkContext.setLogLevel("WARN")
+    val taskAgg = new TaskAgg
+    spark.sparkContext.addSparkListener(taskAgg)
     // JIT/classload warm-up at sf0.001 (smoke scale): run each catalog
     // query once so the measured pass reflects steady-state performance
     // rather than first-use DSv2/codegen/typed-lambda compilation. The
@@ -129,6 +170,14 @@ object Bench {
       while (times.length < qReps ||
           (flatRun < needFlat && times.length < qMaxReps)) {
         val prevMin = if (times.isEmpty) Double.MaxValue else times.min
+        // per-rep component snapshots OUTSIDE the timed region: GC time
+        // and task-level shuffle/spill/cpu deltas join the micro-batch
+        // durations in the drain trace, so a slow streaming rep in a
+        // driver session splits into scheduler / state-backend /
+        // executor / GC components from the committed artifact alone
+        // (VERDICT r18 item 1)
+        val repGc0 = if (streaming) gcMillis() else 0L
+        val repTask0 = if (streaming) taskAgg.drainedSnap() else null
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>
@@ -138,8 +187,15 @@ object Bench {
         times += t
         // per-rep micro-batch component breakdown (see lastDrainStats):
         // a slow SESSION self-attributes from the run log
-        if (streaming)
-          drainStats += graft.queries.ConnectorQueries.lastDrainStats
+        if (streaming) {
+          val td = taskAgg.drainedSnap()
+            .map { case (k, v) => k -> (v - repTask0(k)) }
+          drainStats += f"wall=$t%.2f " +
+            graft.queries.ConnectorQueries.lastDrainStats +
+            s" gc=${gcMillis() - repGc0} " +
+            td.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+              .mkString(" ")
+        }
         if (times.length >= qReps) {
           if (t >= prevMin * 0.9) flatRun += 1 else flatRun = 0
         }
@@ -154,9 +210,9 @@ object Bench {
           f"heapMB=$heapMb gcMs=$gcd" +
           (if (drainStats.nonEmpty)
             s" drains=[${drainStats.mkString(" | ")}]" else ""))
-      name -> times.min
+      (name, times.min, times.toSeq, drainStats.toSeq, gcd)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // The driver captures only a ~2 KB stdout tail: a 95-query map
@@ -166,7 +222,29 @@ object Bench {
     // BENCH_DETAIL.json in the repo (plus stderr for the run log).
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL",
       "/root/repo/BENCH_DETAIL.json")
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","stat":"min","reps":$reps,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}"""
+    // Artifact-of-record attribution (VERDICT r18 item 1): the detail
+    // file carries, beyond the per-query mins, every rep's wall time
+    // ("rep_times") and — for streaming queries — the full per-rep
+    // component trace ("drains": wall, batch count, micro-batch
+    // durationMs phases, state-op update/remove/commit ms, state rows,
+    // GC delta, task shuffle/spill/cpu deltas), plus the per-query GC
+    // delta across the timed reps ("gc_ms"). A future session-inflated
+    // number splits into components from this file without a re-run.
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val repsJson = results.map { case (k, _, ts, _, _) =>
+      "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val drainsJson = results.collect { case (k, _, _, ds, _) if ds.nonEmpty =>
+      "\"" + k + "\":[" + ds.map(jstr).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val gcJson = results.map { case (k, _, _, _, g) => "\"" + k + "\":" + g }
+      .mkString("{", ",", "}")
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","stat":"min","reps":$reps,"cpus":$cpus,"queries":$qs,"sf":"$sfDir","rep_times":$repsJson,"gc_ms":$gcJson,"drains":$drainsJson}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
@@ -179,7 +257,7 @@ object Bench {
       .map { case (p, rs) => "\"" + p + "\":" + r3(rs.map(_._2).sum) }
       .mkString("{", ",", "}")
     val slowest = results.sortBy(-_._2).take(5)
-      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .map { case (k, v, _, _, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","stat":"min","reps":$reps,"cpus":$cpus,"sf":"$sfDir","n_queries":${results.size},"subtotals":$subtotals,"slowest5":$slowest,"detail":"$detailPath"}""")
     spark.stop()

@@ -187,14 +187,12 @@ object BenchStress {
       "/root/repo/BENCH_STRESS.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
-    val spark = SparkSession.builder()
+    val spark = MainSessions(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true"))
       .getOrCreate()
+    MainSessions.assertGuarded(spark)
     spark.sparkContext.setLogLevel("WARN")
 
     // events/lineitem joined the blow-up for the q31/q34/c18/c5 rows:

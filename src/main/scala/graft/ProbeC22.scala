@@ -72,6 +72,22 @@ object ProbeC22 {
     spark.sparkContext.setLogLevel("WARN")
     val agg = new TaskAgg
     spark.sparkContext.addSparkListener(agg)
+    // The listener bus delivers task-end events asynchronously — a
+    // snapshot taken right after q.stop() can miss in-flight events and
+    // bleed their bytes/cpu into the NEXT rep's delta. waitUntilEmpty is
+    // private[spark], so drain by polling until the accumulator
+    // stabilizes (bounded at 2s).
+    def drainedSnap(): Map[String, Long] = {
+      var prev = agg.snap()
+      var tries = 0
+      while (tries < 20) {
+        Thread.sleep(100)
+        val cur = agg.snap()
+        if (cur == prev) return cur
+        prev = cur; tries += 1
+      }
+      prev
+    }
     val gcBeans = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans
     def gcMillis(): Long = {
@@ -137,7 +153,7 @@ object ProbeC22 {
       }
       val wall = (System.nanoTime() - t0) / 1e9
       val gcd = gcMillis() - gc0
-      val task1 = agg.snap()
+      val task1 = drainedSnap()
       val taskD = task1.map { case (k, v) => k -> (v - task0(k)) }
       val progs = q.recentProgress
       val batches = progs.length

@@ -13,16 +13,11 @@ object Verify {
     def selected(name: String): Boolean =
       only.forall(_.exists(name.startsWith))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = MainSessions(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // harmless no-op since the round-9 testdata regen moved every
-      // timestamp column to TIMESTAMP(MICROS); kept so a future regen
-      // back to nanos degrades to the old exact epoch-nanos long read
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
+    MainSessions.assertGuarded(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(e => selected(e._1)).foreach { case (name, fn) =>

@@ -10,13 +10,11 @@ object VerifyOne {
     val sfDir = args(0)
     val outDir = args(1)
     val names = args.drop(2)
-    val spark = SparkSession.builder()
+    val spark = MainSessions(SparkSession.builder()
       .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.shuffle.partitions", "8"))
       .getOrCreate()
+    MainSessions.assertGuarded(spark)
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
       SparkEntry.queries(name)(spark, sfDir)

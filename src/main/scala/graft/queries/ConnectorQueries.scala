@@ -50,9 +50,18 @@ object ConnectorQueries {
     val progs = q.recentProgress
     def d(k: String): Long = progs.map(p =>
       Option(p.durationMs.get(k)).map(_.toLong).getOrElse(0L)).sum
+    // ProbeC22-style state-operator split (zero for stateless queries):
+    // upd/rm/cmt split addBatch's state-backend share out of the
+    // executor share; stRows pins the state population the rep carried.
+    def st(f: org.apache.spark.sql.streaming.StateOperatorProgress => Long)
+        : Long = progs.flatMap(_.stateOperators.map(f)).sum
+    val stRows = progs.flatMap(_.stateOperators.map(_.numRowsTotal))
     lastDrainStats = s"b=${progs.length} trig=${d("triggerExecution")} " +
       s"add=${d("addBatch")} wal=${d("walCommit")} off=${d("commitOffsets")} " +
-      s"plan=${d("queryPlanning")}"
+      s"plan=${d("queryPlanning")} " +
+      s"upd=${st(_.allUpdatesTimeMs)} rm=${st(_.allRemovalsTimeMs)} " +
+      s"cmt=${st(_.commitTimeMs)} " +
+      s"stRows=${if (stRows.isEmpty) 0L else stRows.max}"
   }
 
   /** Every c-query backs its embedded store / checkpoint with a fresh

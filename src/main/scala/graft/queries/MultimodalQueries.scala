@@ -1795,8 +1795,7 @@ object MultimodalQueries {
   private def m22: Q = (spark, dir) => {
     import spark.implicits._
     val (w, h) = (24, 16)
-    t(spark, dir, "documents").select(col("doc_id").cast("long")).as[Long]
-      .map { id =>
+    docIds(spark, dir).as[Long].map { id =>
         val px = Array.tabulate(w * h)(i => ((id * 31 + i) % 256).toByte)
         val gif = graft.operators.GifGray.encode(w, h, px)
         val (dw, dh, dec) = graft.operators.GifGray.decode(gif)
@@ -1932,8 +1931,7 @@ object MultimodalQueries {
   private def m19: Q = (spark, dir) => {
     import spark.implicits._
     val (w, h) = (12, 8)
-    t(spark, dir, "documents").select(col("doc_id").cast("long")).as[Long]
-      .map { id =>
+    docIds(spark, dir).as[Long].map { id =>
         val rgb = Array.tabulate(w * h * 3)(i => ((id * 31 + i) % 256).toByte)
         val png = Multimodal.encodePngRgb8(w, h, rgb, (id % 5).toInt)
         val (dw, dh, dec) = Multimodal.decodePngRgb8(png)
@@ -2274,8 +2272,7 @@ object MultimodalQueries {
     * Scale: id-spread per-asset map (one 8-byte-id exchange, see [[docIds]]), like every m-family decode. */
   private def m10: Q = (spark, dir) => {
     import spark.implicits._
-    val fixtures = t(spark, dir, "documents").select(col("doc_id"))
-      .as[Long].map { id =>
+    val fixtures = docIds(spark, dir).as[Long].map { id =>
         val es = graft.operators.H264.syntheticStream(
           widthMbs = (4 + id % 7).toInt,
           heightMapUnits = (3 + id % 5).toInt,
@@ -2498,8 +2495,7 @@ object MultimodalQueries {
   private def m4: Q = (spark, dir) => {
     import spark.implicits._
     val (w, h) = (16, 8)
-    t(spark, dir, "documents").select(col("doc_id").cast("long"))
-      .as[Long]
+    docIds(spark, dir).as[Long]
       .map { id =>
         val luma = Array.tabulate(w * h)(i => ((id * 31 + i) % 256).toByte)
         val bmp = Multimodal.encodeBmp24(w, h, luma)
@@ -2523,8 +2519,7 @@ object MultimodalQueries {
   private def m6: Q = (spark, dir) => {
     import spark.implicits._
     val (w, h) = (16, 16) // 4 constant tiles
-    t(spark, dir, "documents").select(col("doc_id").cast("long"))
-      .as[Long]
+    docIds(spark, dir).as[Long]
       .map { id =>
         val luma = new Array[Byte](w * h)
         var y = 0
@@ -2559,8 +2554,7 @@ object MultimodalQueries {
   private def m5: Q = (spark, dir) => {
     import spark.implicits._
     val (w, h) = (16, 8)
-    t(spark, dir, "documents").select(col("doc_id").cast("long"))
-      .as[Long]
+    docIds(spark, dir).as[Long]
       .map { id =>
         val luma = Array.tabulate(w * h)(i => ((id * 31 + i) % 256).toByte)
         val png = Multimodal.encodePngGray8(w, h, luma, (id % 5).toInt)
@@ -3180,13 +3174,14 @@ object MultimodalQueries {
         |SELECT fp.doc_id, fp.fp, gr.keeper, gr.n_dups,
         |  fp.doc_id > gr.keeper AS is_dup
         |FROM fp JOIN gr USING (fp)""".stripMargin,
-    // m43: the frame_num-wrap GOP replayed closed form. 254 all-skip
-    // pictures keep the plane at the IDR's v chain; f255's p values
-    // copy doc-selected v macroblocks (+never-zero residual); the
-    // wrapped f0w copies f255 with 32-px vectors whose out-of-frame
-    // halves CLAMP into column/row 1; the B averages f255 at +16 px
-    // (exactly mvCol/2 — DSF 128 from the wrapped tb=1/td=2) with f0w
-    // at -16 px (clamping into column/row 0).
+    // m43: the frame_num-wrap GOP replayed closed form (MaxFrameNum
+    // 16 via the SPS's log2_max_frame_num). 14 all-skip pictures keep
+    // the plane at the IDR's v chain; f15's p values copy doc-selected
+    // v macroblocks (+never-zero residual); the wrapped f0w copies f15
+    // with 32-px vectors whose out-of-frame halves CLAMP into
+    // column/row 1; the B averages f15 at +16 px (exactly mvCol/2 —
+    // DSF 128 from the wrapped tb=1/td=2) with f0w at -16 px (clamping
+    // into column/row 0).
     "m43_video_frame_num_wrap" ->
       """WITH f AS (SELECT doc_id,
         | (doc_id + 0) % 4 AS f0, (doc_id + 1) % 4 AS f1,

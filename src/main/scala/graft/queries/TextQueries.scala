@@ -973,9 +973,13 @@ object TextQueries {
   /** Real BPE tokenization (t17): merges trained on the deterministic
     * lowest-100 doc sample (bounded driver artifact, the production
     * shape — GPT-2's vocabulary trained on a corpus subset), corpus
-    * encoded in one zero-shuffle broadcast pass. Merge training is not
-    * SQL-expressible → rows-only check; the algorithm itself is pinned
-    * by hand-computed merge sequences in TextPipelineSpec. */
+    * encoded in one zero-shuffle broadcast pass. Round 19 closed the
+    * long-standing no_oracle: the t23 oracle generator unrolls to ANY
+    * merge count, and bpeOracleSql(200) replays all 200 training
+    * rounds + the recursive-CTE encode in DuckDB in ~34s at sf0.01 AND
+    * sf0.1 (training cost is dominated by the fixed 100-doc sample, so
+    * the unroll doesn't grow with corpus scale) — full equality oracle,
+    * same as t23. */
   /** BPE at a bounded merge count (t23): the identical train + encode
     * pipeline as t17 — same sample, same greedy tie-break, same
     * rank-loop encode, same checksum — at 8 merges instead of 200,
@@ -2110,8 +2114,9 @@ object TextQueries {
     * multiply-referenced CTE — each round reads v{k-1} three times and
     * DuckDB CTEs are views, so the unmaterialized chain re-evaluates
     * 3^8 times. */
-  private def t23OracleSql: String = {
-    val numMerges = 8
+  private def t23OracleSql: String = bpeOracleSql(8)
+
+  private def bpeOracleSql(numMerges: Int): String = {
     def roundCtes(k: Int): String = {
       val p = k - 1
       s"""q$k AS MATERIALIZED (SELECT word, c, syms, unnest(range(1, len(syms))) AS i FROM v$p),
@@ -2361,6 +2366,7 @@ object TextQueries {
   private lazy val baseOracles: Map[String, String] = Map(
     "d11_bloom_decontaminate" -> d11OracleSql,
     "t23_bpe_small" -> t23OracleSql,
+    "t17_bpe_tokenize" -> bpeOracleSql(200),
     "d13_dup_spans" -> d13OracleSql,
     "d19_span_removal" -> d19OracleSql,
     "d20_minhash_sweep" -> d20OracleSql,

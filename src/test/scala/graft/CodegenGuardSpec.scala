@@ -47,6 +47,22 @@ class CodegenGuardSpec extends AnyFunSuite {
       == "CODEGEN_ONLY")
   }
 
+  test("driver-facing mains carry the same guard (MainSessions)") {
+    // Verify/Bench/BenchOne/VerifyOne/BenchStress/Plans all build their
+    // sessions through MainSessions and assertGuarded at startup — this
+    // pins the shared constant so the mains' guarantee can't drift, and
+    // exercises assertGuarded both ways on live sessions.
+    assert(MainSessions.CodegenFactoryMode == "CODEGEN_ONLY")
+    assert(MainSessions.common.contains(
+      "spark.sql.codegen.factoryMode" -> "CODEGEN_ONLY"))
+    MainSessions.assertGuarded(spark) // test session is guarded: passes
+    val unguarded = spark.newSession()
+    unguarded.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    intercept[IllegalArgumentException] {
+      MainSessions.assertGuarded(unguarded)
+    }
+  }
+
   test("positive control: the round-17 M27Row shape fails loudly under the guard") {
     val thrown = intercept[Throwable] {
       CodegenGuardSpec.legacyM27Frame(spark).collect()

@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Spec-level closure for the two catalog rows whose outputs DuckDB
-  * cannot replay (CORRECTNESS records them `no_oracle`):
+/** Spec-level closure for the catalog row whose output DuckDB cannot
+  * replay (CORRECTNESS records it `no_oracle`):
   *
   *  - k1_sketch_rollup: its 256-capacity KLL compacts, making the
   *    kept-item set arrival-order-dependent — no SQL replay exists.
@@ -12,15 +12,12 @@ import org.scalatest.funsuite.AnyFunSuite
   *    distribution: every reported quantile must sit within the same
   *    rank-error envelope SketchesSpec proves for the merged-sketch
   *    regime, and the HLL half within the established 5% band.
-  *  - t17_bpe_tokenize: 200 greedy merges over a sampled vocabulary —
-  *    DuckDB cannot iterate 200 data-dependent rounds. Closure = the
-  *    algebraic invariants a correct BPE must satisfy by construction:
-  *    the merge table is duplicate-free and WELL-FOUNDED (every
-  *    component is a base symbol or the product of an earlier merge),
-  *    and the encode is LOSSLESS over every distinct word of the very
-  *    corpus t17 runs on (subwords concatenate back to word + EOW).
-  *    The bounded-merge twin t23 stays the equality-oracled anchor of
-  *    the shared code path.
+  *
+  * t17_bpe_tokenize gained a FULL equality oracle in round 19 (the t23
+  * generator unrolled to 200 merge rounds, ~34s in DuckDB — the cost
+  * rides the fixed 100-doc training sample, not corpus scale); its
+  * algebraic invariants below are kept as extra pinning — they'd
+  * localize a failure the hash gate can only detect.
   */
 class NoOracleClosureSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
