@@ -108,7 +108,12 @@ object BenchStress {
     // zero-shuffle maps
     "m40_video_constrained_intra", "m41_video_slice_deblock",
     "m42_video_poc_order", "m43_video_frame_num_wrap",
-    "m44_audio_fingerprint")
+    "m44_audio_fingerprint",
+    // round 19: MIPS (norm-augmented broadcast scan — prove the s1
+    // shape holds with the extra augmentation pre-pass), the PII
+    // redaction chain (zero-shuffle regex map over the text payload),
+    // and cohort retention (one (user, week) distinct + broadcast-back)
+    "s17_ann_mips", "t39_pii_redact", "q38_cohort_retention")
 
   /** Optional comma-separated name-prefix filter
     * (SPARK_GRAFT_STRESS_ONLY) — stress just the matching queries, so

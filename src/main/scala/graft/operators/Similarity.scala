@@ -46,6 +46,50 @@ object Similarity {
         Seq(col("sim").desc, col("neighbor_id")), k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
 
+  /** Maximum-inner-product search (MIPS) via the norm-augmentation
+    * reduction (Bachrach et al., RecSys'14; the asymmetric transform
+    * behind every "MIPS on a cosine index" deployment — retrieval over
+    * unnormalized reward/preference embeddings, where the neighbor with
+    * the largest dot product is NOT the nearest-cosine one):
+    * corpus x ↦ [x; √(M² − ‖x‖²)] with M the max corpus norm, query
+    * q ↦ [q; 0]. Every augmented corpus vector then has norm exactly M,
+    * so cosine(q̂, x̂) = ⟨q,x⟩ / (‖q‖·M) — per query a positive affine
+    * map of the inner product, making argmax-IP equal argmax-augmented-
+    * cosine. The output carries BOTH scores: ranking is by the
+    * augmented cosine (what a cosine index would return), `ip` is the
+    * raw inner product (what MIPS semantics promise); MipsSpec pins
+    * their rank agreement, and the oracle replays both doubles exactly.
+    *
+    * Scale: same shape as [[bruteForceKnn]] — bounded query side
+    * broadcast, corpus scanned in place, per-partition TopK pruning
+    * before the rank window. M² is a one-pass scalar aggregate (at
+    * 100 TB it's computed once at index-build time alongside the
+    * centroids/planes, not per query batch); the augmented column then
+    * feeds the SAME LSH/IVF bucketing (s2/s3) unchanged, which is the
+    * whole point of the reduction. */
+  def mipsKnn(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val corpus = emb.select(col("vec_id"), VF.toDoubleVec(col("embedding")).as("v"))
+    // one scalar to the driver (the k-row-collect policy): max squared
+    // corpus norm, computed by the same dot fold the oracle replays.
+    // m2 - dot(v,v) >= 0 holds exactly (m2 IS one of those dots).
+    val m2 = corpus.agg(max(VF.dot(col("v"), col("v")))).head().getDouble(0)
+    val aug = corpus.select(col("vec_id"), col("v"),
+      concat(col("v"), array(sqrt(lit(m2) - VF.dot(col("v"), col("v")))))
+        .as("av"))
+    val q = queries.select(col("vec_id").as("query_id"),
+        VF.toDoubleVec(col("embedding")).as("qv"))
+      .select(col("query_id"), col("qv"),
+        concat(col("qv"), array(lit(0.0))).as("aqv"))
+    val scored = aug.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        VF.dot(col("qv"), col("v")).as("ip"),
+        VF.cosine(col("aqv"), col("av")).as("aug_sim"))
+    TopK.perKey(scored, Seq("query_id"),
+        Seq(col("aug_sim").desc, col("neighbor_id")), k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("ip"), col("aug_sim"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     * Output: (query_id, neighbor_id, rank, sim) — double math as a strict
     * left-to-right fold for cross-engine determinism. */

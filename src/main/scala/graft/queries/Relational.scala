@@ -61,7 +61,8 @@ object Relational {
     "q33_anomalous_hours" -> q33,
     "q34_latest_state" -> q34,
     "q35_incremental_rollup" -> q35,
-    "q36_scd2_history" -> q36
+    "q36_scd2_history" -> q36,
+    "q38_cohort_retention" -> q38
   )
 
   /** Incremental materialized-view maintenance (q35): the daily-rollup
@@ -152,6 +153,37 @@ object Relational {
       .select(col("user_id"), col("event_type"),
         col("t").as("valid_from"), col("valid_to"),
         col("event_id").as("open_event_id"))
+  }
+
+  /** Cohort retention (q38): the product-analytics staple — users
+    * cohorted by their first-activity week, then for every (cohort,
+    * week-offset) cell the count of that cohort's users still active
+    * and the retention fraction. Weeks are pure integer arithmetic
+    * (epoch-seconds div 604800), so the grid is engine-exact with no
+    * date_trunc/locale semantics in play; retention is a small-int
+    * division (exact in binary floating point at these cardinalities).
+    *
+    * Scale: one distinct on (user_id, week) — map-side combined, the
+    * only corpus-sized shuffle; the per-user cohort min reuses the
+    * user clustering, and the cohort-size table is |weeks| rows —
+    * broadcast back onto the cells. No windows, no per-user sort. */
+  private def q38: Q = (spark, dir) => {
+    val uw = t(spark, dir, "events")
+      .select(col("user_id"),
+        expr("CAST(CAST(CAST(ts AS TIMESTAMP) AS BIGINT) DIV 604800 AS BIGINT)")
+          .as("wk"))
+      .distinct()
+    val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cwk"))
+    val sizes = cohort.groupBy(col("cwk"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val cells = uw.join(cohort, "user_id")
+      .groupBy(col("cwk"), (col("wk") - col("cwk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    cells.join(broadcast(sizes), "cwk")
+      .select(col("cwk").as("cohort_week"), col("week_offset"),
+        col("n_active"), col("cohort_users"),
+        (col("n_active").cast(DoubleType) / col("cohort_users"))
+          .as("retention"))
   }
 
   /** Hourly anomaly flags (q33): the monitoring/alerting readout a log
@@ -865,6 +897,19 @@ object Relational {
         |    ORDER BY t, event_id), -1) AS valid_to,
         |  event_id AS open_event_id
         |FROM s""".stripMargin,
+    "q38_cohort_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    CAST(epoch_us(ts) // 1000000 // 604800 AS BIGINT) AS wk
+        |  FROM events),
+        |co AS (SELECT user_id, min(wk) AS cwk FROM uw GROUP BY 1),
+        |sz AS (SELECT cwk, count(*) AS cohort_users FROM co GROUP BY 1),
+        |cells AS (SELECT co.cwk, uw.wk - co.cwk AS week_offset,
+        |    count(*) AS n_active
+        |  FROM uw JOIN co USING (user_id) GROUP BY 1, 2)
+        |SELECT cells.cwk AS cohort_week, week_offset, n_active,
+        |  cohort_users,
+        |  CAST(n_active AS DOUBLE) / cohort_users AS retention
+        |FROM cells JOIN sz USING (cwk)""".stripMargin,
     "q34_latest_state" ->
       """SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS last_ts,
         | event_id AS last_event_id, event_type AS last_type,

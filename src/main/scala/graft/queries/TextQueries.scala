@@ -90,6 +90,7 @@ object TextQueries {
     "t36_lm_perplexity_filter" -> t36,
     "t37_mixture_interleave" -> t37,
     "t38_url_dedup" -> t38,
+    "t39_pii_redact" -> t39,
     "s1_ann_cosine" -> s1,
     // Gonzalez k-center greedy seeding over the quantized embeddings —
     // the deterministic k-means++ stand-in; integer-exact distances
@@ -99,6 +100,7 @@ object TextQueries {
     "s14_ann_recall" -> s14,
     "s15_ann_ivfpq" -> s15,
     "s16_lsh_sweep" -> s16,
+    "s17_ann_mips" -> s17,
     "s2_ann_lsh" -> s2,
     "s3_ann_ivf" -> s3,
     "s4_ann_multiprobe" -> s4,
@@ -1058,6 +1060,17 @@ object TextQueries {
     val e = t(spark, dir, "embeddings")
     Similarity.lshParameterSweep(e, e.filter(col("vec_id") < 8),
       tau = 0.25, bitsList = Seq(4, 8, 12))
+  }
+
+  /** MIPS top-k (s17): max-inner-product retrieval over unnormalized
+    * embeddings via the norm-augmentation reduction — see
+    * [[graft.operators.Similarity.mipsKnn]]. Emits both the raw inner
+    * product and the augmented cosine a cosine index would rank by;
+    * the oracle replays the augmentation (max corpus norm, appended
+    * √(M²−‖x‖²) slot) and both doubles exactly. */
+  private def s17: Q = (spark, dir) => {
+    val e = t(spark, dir, "embeddings")
+    Similarity.mipsKnn(e, e.filter(col("vec_id") < 8), k = 4)
   }
 
   /** LSH nearest-neighbor JOIN (s12): both sides corpus-sized — each
@@ -2055,6 +2068,60 @@ object TextQueries {
       .select(col("doc_id"), col("canon"), col("n_dups"), col("rep_id"))
   }
 
+  /** Multi-class PII redaction CHAIN (t39): extends t10's single-pass
+    * email/IP scrub with the ordered multi-pattern pipeline production
+    * scrubbers actually run — emails, then phone-shaped numbers, then
+    * long digit runs, each counted and replaced with a typed
+    * placeholder, where ORDER matters (the id pattern must not see the
+    * phone's digit groups: n_longid is counted on the already
+    * email/phone-redacted text, which the oracle replays stage by
+    * stage). Deterministic PII is PLANTED onto the real doc text
+    * (doc_id mod 3 → an email, mod 5 → a 415-XXX-YYYY phone, mod 7 →
+    * a 9-digit id, the t10/t38 salted-fixture pattern), so every
+    * pattern class has known positives while the regexes still sweep
+    * the full real text for accidental matches. The three patterns use
+    * only the regex intersection Java and RE2 agree on (character
+    * classes + bounded repetition; no lookaround, no \b), and the
+    * replacement chain is order-pinned (email → phone → id, global
+    * left-to-right non-overlapping in both engines), so counts,
+    * redacted length and the redacted-text md5 all hash-match.
+    *
+    * Scale: a zero-shuffle codegen'd string map over the corpus —
+    * regexp_count/regexp_replace are native expressions, no UDF; per
+    * the measured family policy (SCALE.md r18 note 4) the text-payload
+    * scan is NOT pre-spread (the exchange would move the whole corpus
+    * to save a map that AQE already parallelizes on a multi-file
+    * corpus). */
+  private def t39: Q = (spark, dir) => {
+    val id = col("doc_id")
+    val pii = concat(col("text"),
+      when(pmod(id, lit(3)) === 0, concat(lit(" contact user"),
+        id.cast(StringType), lit("@mail.example.com now")))
+        .otherwise(lit("")),
+      when(pmod(id, lit(5)) === 0, concat(lit(" call 415-"),
+        lpad(pmod(id, lit(1000)).cast(StringType), 3, "0"), lit("-"),
+        lpad(pmod(id * 7, lit(10000)).cast(StringType), 4, "0")))
+        .otherwise(lit("")),
+      when(pmod(id, lit(7)) === 0, concat(lit(" ref "),
+        lpad(pmod(id * 31, lit(1000000000L)).cast(StringType), 9, "0")))
+        .otherwise(lit("")))
+    val reEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+    val rePhone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val reId = "[0-9]{9}[0-9]*"
+    t(spark, dir, "documents")
+      .select(id, pii.as("txt"))
+      .select(id,
+        expr(s"regexp_count(txt, '$reEmail')").as("n_email"),
+        expr(s"regexp_count(txt, '$rePhone')").as("n_phone"),
+        regexp_replace(regexp_replace(col("txt"), reEmail, "[EMAIL]"),
+          rePhone, "[PHONE]").as("r2"))
+      .select(id, col("n_email"), col("n_phone"),
+        expr(s"regexp_count(r2, '$reId')").as("n_longid"),
+        regexp_replace(col("r2"), reId, "[ID]").as("red"))
+      .select(id, col("n_email"), col("n_phone"), col("n_longid"),
+        length(col("red")).as("red_len"), md5(col("red")).as("red_md5"))
+  }
+
   private def t20: Q = (spark, dir) => {
     val nb = 128
     t(spark, dir, "documents")
@@ -2631,6 +2698,33 @@ object TextQueries {
     // list_filter / list_sort mirror substring_index / filter /
     // array_sort), then the group stats as windows over the canonical
     // key.
+    // t39: the planted-PII construction and the email → phone → id
+    // redaction chain replayed verbatim; DuckDB's regexp_replace needs
+    // the explicit 'g' flag (Spark's is global by default) and counts
+    // come from len(regexp_extract_all). Patterns are in the Java∩RE2
+    // dialect intersection, so both engines find the same matches.
+    "t39_pii_redact" ->
+      """WITH p AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@mail.example.com now' ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' call 415-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0 THEN ' ref ' || lpad(CAST((doc_id * 31) % 1000000000 AS VARCHAR), 9, '0') ELSE '' END
+        |  AS txt FROM documents),
+        |r1 AS (SELECT doc_id,
+        |  len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS n_email,
+        |  len(regexp_extract_all(txt, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phone,
+        |  regexp_replace(regexp_replace(txt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '[EMAIL]', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS r2
+        |  FROM p),
+        |r2 AS (SELECT doc_id, n_email, n_phone,
+        |  len(regexp_extract_all(r2, '[0-9]{9}[0-9]*')) AS n_longid,
+        |  regexp_replace(r2, '[0-9]{9}[0-9]*', '[ID]', 'g') AS red
+        |  FROM r1)
+        |SELECT doc_id, CAST(n_email AS INTEGER) AS n_email,
+        |  CAST(n_phone AS INTEGER) AS n_phone,
+        |  CAST(n_longid AS INTEGER) AS n_longid,
+        |  CAST(length(red) AS INTEGER) AS red_len, md5(red) AS red_md5
+        |FROM r2""".stripMargin,
     "t38_url_dedup" ->
       """WITH u AS (SELECT doc_id, doc_id // 6 AS k, doc_id % 6 AS v
         |  FROM documents),
@@ -3326,6 +3420,30 @@ object TextQueries {
     },
     // s11: the s1 cosine replay without the rank window; the ≥ tau
     // comparison is on bit-identical doubles, so the match set is exact.
+    // s17: the norm-augmentation replayed exactly — m2 is the max of
+    // the SAME ascending-fold dots the engine computes, the appended
+    // slot is sqrt(m2 - dot), the query side appends 0e0, and the
+    // ranking key is the augmented cosine over the augmented lists
+    // (identical float ops both engines).
+    "s17_ann_mips" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT max(list_dot_product(v, v)) AS m2 FROM e),
+        |a AS (SELECT vec_id, v,
+        |    list_append(v, sqrt(m.m2 - list_dot_product(v, v))) AS av
+        |  FROM e, m),
+        |q AS (SELECT vec_id AS qid, v AS qv, list_append(v, 0e0) AS aqv
+        |  FROM e WHERE vec_id < 8),
+        |x AS (SELECT q.qid AS query_id, a.vec_id AS neighbor_id,
+        |   list_dot_product(q.qv, a.v) AS ip,
+        |   list_dot_product(q.aqv, a.av) /
+        |     (sqrt(list_dot_product(q.aqv, q.aqv)) * sqrt(list_dot_product(a.av, a.av))) AS aug_sim,
+        |   row_number() OVER (PARTITION BY q.qid ORDER BY
+        |     list_dot_product(q.aqv, a.av) /
+        |       (sqrt(list_dot_product(q.aqv, q.aqv)) * sqrt(list_dot_product(a.av, a.av))) DESC,
+        |     a.vec_id) AS rn
+        | FROM a JOIN q ON a.vec_id <> q.qid)
+        |SELECT query_id, neighbor_id, rn AS rank, ip, aug_sim
+        |FROM x WHERE rn <= 4""".stripMargin,
     // s16: s2's signature replay at 12 bits (a width-b bucket is the
     // low b bits), s11's exact-radius truth, per-config counts with
     // integer basis-point precision/recall; configs with zero

@@ -768,6 +768,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(cover.exceptAll(brute).isEmpty && brute.exceptAll(cover).isEmpty)
   }
 
+  test("mips: augmented-cosine ranking equals raw inner-product ranking " +
+      "and augmented corpus norms all equal the max norm") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 8)
+    val res = Similarity.mipsKnn(emb, q, k = 10)
+    // re-rank the SAME output rows by raw ip: orders must agree (the
+    // augmentation is a per-query positive affine map of ip)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col("neighbor_id"))
+    val both = res.withColumn("ipRank", row_number().over(w)).collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getAs[Int]("rank") === r.getAs[Int]("ipRank"),
+        s"aug-cos rank diverged from ip rank on $r")
+    }
+    // every augmented corpus vector has norm M (to float tolerance):
+    // ip == aug_sim * ||q|| * M must reconstruct for every row
+    val qn = q.select(col("vec_id"),
+      graft.functions.VectorFunctions
+        .norm(graft.functions.VectorFunctions.toDoubleVec(col("embedding"))).as("qn"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val m = math.sqrt(emb.agg(max(graft.functions.VectorFunctions.dot(
+      graft.functions.VectorFunctions.toDoubleVec(col("embedding")),
+      graft.functions.VectorFunctions.toDoubleVec(col("embedding")))))
+      .head().getDouble(0))
+    both.foreach { r =>
+      val ip = r.getAs[Double]("ip")
+      val rec = r.getAs[Double]("aug_sim") * qn(r.getAs[Long]("query_id")) * m
+      assert(math.abs(ip - rec) <= 1e-9 * math.max(1.0, math.abs(ip)),
+        s"ip=$ip but aug_sim*|q|*M=$rec")
+    }
+  }
+
   test("minhash signature length and determinism") {
     val sh = Dedup.docShingles(docs.limit(20))
     val sig = Dedup.minHashSignatures(sh).collect()

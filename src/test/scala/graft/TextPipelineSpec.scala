@@ -30,6 +30,49 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(out(5).getString(0) === "clean text with nothing" && out(5).getLong(1) === 0)
   }
 
+  test("t39 redaction chain: planted classes count exactly once each and " +
+      "the order shields phone digits from the id pass") {
+    // doc_id 105 is divisible by 3, 5 and 7 — all three classes plant;
+    // doc_id 1 plants none. Run the catalog query at smoke scale and
+    // check the planted arithmetic.
+    val out = graft.SparkEntry.queries("t39_pii_redact")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d105 = out(105L)
+    assert(d105.getAs[Int]("n_email") >= 1 &&
+      d105.getAs[Int]("n_phone") >= 1 && d105.getAs[Int]("n_longid") >= 1)
+    val d1 = out(1L)
+    assert(d1.getAs[Int]("n_email") === 0 && d1.getAs[Int]("n_phone") === 0)
+    // order pin: a phone inside text must NOT surface as a long id —
+    // the 10-digit run 4151234567 would match [0-9]{9}[0-9]* only if
+    // the phone pass hadn't consumed 415-123-4567 first (it has dashes,
+    // so here we check the inverse: the id count ignores dashed groups)
+    import spark.implicits._
+    val probe = Seq((0L, "call 415-123-4567 ok")).toDF("doc_id", "text")
+    val got = probe.select(
+      org.apache.spark.sql.functions.expr(
+        "regexp_count(regexp_replace(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]'), '[0-9]{9}[0-9]*')"))
+      .head().getInt(0)
+    assert(got === 0)
+  }
+
+  test("q38 cohort retention: offset-0 cells retain 100% and cells never " +
+      "exceed their cohort size") {
+    val rows = graft.SparkEntry.queries("q38_cohort_retention")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val off = r.getAs[Long]("week_offset")
+      val active = r.getAs[Long]("n_active")
+      val size = r.getAs[Long]("cohort_users")
+      assert(active <= size, s"cell exceeds cohort: $r")
+      if (off == 0L)
+        assert(active === size && r.getAs[Double]("retention") === 1.0,
+          s"cohort week must retain everyone: $r")
+      assert(off >= 0L)
+    }
+  }
+
   test("rouge overlap: identical pair scores 1, clipping caps repetition, disjoint is 0") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-rouge-docs")
