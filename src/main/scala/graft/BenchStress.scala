@@ -113,7 +113,20 @@ object BenchStress {
     // shape holds with the extra augmentation pre-pass), the PII
     // redaction chain (zero-shuffle regex map over the text payload),
     // and cohort retention (one (user, week) distinct + broadcast-back)
-    "s17_ann_mips", "t39_pii_redact", "q38_cohort_retention")
+    "s17_ann_mips", "t39_pii_redact", "q38_cohort_retention",
+    // round 19 (cont.): streaming IVF routing — stateless stream map,
+    // the ingest is corpus-sized so the curve measures the store
+    // write + stream scan + route end-to-end
+    "c23_stream_ann_route",
+    // round 19 (cont. 2): hard-negative mining (the s1 broadcast-scan
+    // shape with the label predicate inside the scan stage) and the
+    // z-order layout manifest over the growing lineitem fact table
+    // (one codegen'd projection + one 256-key hash agg)
+    "s18_hard_negatives", "q39_zorder_layout",
+    // round 19 (cont. 3): gap-fill resample — the events blow-up grows
+    // the user population ~Copies x at constant per-user density, so
+    // the spine explode and the per-user fill window scale in keys
+    "q40_gapfill_ffill")
 
   /** Optional comma-separated name-prefix filter
     * (SPARK_GRAFT_STRESS_ONLY) — stress just the matching queries, so
@@ -208,12 +221,18 @@ object BenchStress {
       generate(spark, srcDir, stressDir)
     }
 
-    def timeQuery(name: String, dir: String): Double = {
+    // (min seconds, per-rep drain traces for streaming rows — the same
+    // artifact-of-record principle as Bench's BENCH_DETAIL drains: a
+    // streaming stress point's components are citable from the
+    // committed curve file, not just a local probe re-run)
+    def timeQuery(name: String, dir: String): (Double, Seq[String]) = {
       val fn = SparkEntry.queries(name)
+      val streaming = graft.queries.ConnectorQueries.streamingQueries(name)
       // 1 warm rep, then min-of-3 with the same convergence extension
       // as Bench (up to 6)
       fn(spark, dir).write.mode("overwrite").format("noop").save()
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val drains = scala.collection.mutable.ArrayBuffer.empty[String]
       var converged = false
       while (times.length < 3 || (!converged && times.length < 6)) {
         val prevMin = if (times.isEmpty) Double.MaxValue else times.min
@@ -221,11 +240,15 @@ object BenchStress {
         fn(spark, dir).write.mode("overwrite").format("noop").save()
         val t = (System.nanoTime() - t0) / 1e9
         times += t
+        if (streaming)
+          drains += f"wall=$t%.2f " +
+            graft.queries.ConnectorQueries.lastDrainStats
         if (times.length >= 3) converged = t >= prevMin * 0.9
       }
       System.err.println(
-        f"[stress] $name@$dir reps=${times.map(t => f"$t%.2f").mkString(",")}")
-      times.min
+        f"[stress] $name@$dir reps=${times.map(t => f"$t%.2f").mkString(",")}" +
+          (if (drains.nonEmpty) s" drains=[${drains.mkString(" | ")}]" else ""))
+      (times.min, drains.toSeq)
     }
 
     val selected = Heavy.filter(n => Only.forall(_.exists(n.startsWith)))
@@ -233,15 +256,23 @@ object BenchStress {
       s"SPARK_GRAFT_STRESS_ONLY=${Only.map(_.mkString(",")).getOrElse("")} " +
         s"matches no Heavy entry — typo'd prefix? Known: ${Heavy.mkString(",")}")
     val rows = selected.map { name =>
-      val base = timeQuery(name, srcDir)
-      val stress = timeQuery(name, stressDir)
+      val (base, _) = timeQuery(name, srcDir)
+      val (stress, drains) = timeQuery(name, stressDir)
       val ratio = stress / base
       System.err.println(f"[stress] $name base=$base%.2f stress=$stress%.2f ratio=$ratio%.1f")
-      (name, base, stress, ratio)
+      (name, base, stress, ratio, drains)
     }
     def r3(v: Double): String = f"$v%.3f"
-    val qjson = rows.map { case (n, b, s, r) =>
-      s""""$n":{"base":${r3(b)},"stress":${r3(s)},"ratio":${r3(r)}}"""
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qjson = rows.map { case (n, b, s, r, ds) =>
+      val drainPart = if (ds.isEmpty) ""
+        else s""","drains":[${ds.map(jstr).mkString(",")}]"""
+      s""""$n":{"base":${r3(b)},"stress":${r3(s)},"ratio":${r3(r)}$drainPart}"""
     }.mkString("{", ",", "}")
     val worst = rows.maxBy(_._4)
     val json =

@@ -90,6 +90,41 @@ object Similarity {
         col("ip"), col("aug_sim"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query,
+    * the top-k most-similar corpus vectors whose label DIFFERS from the
+    * query's — the negatives that sit closest to the decision boundary,
+    * which is what dense-retriever / embedding-model training pairs with
+    * each positive (DPR, Karpukhin et al. 2020; "hard" because a random
+    * negative is trivially far). Same-label vectors (potential
+    * positives) and the query itself are excluded BEFORE scoring.
+    * Output: (query_id, query_label, neighbor_id, neighbor_label,
+    * rank, sim) — rank over (sim DESC, neighbor_id), total.
+    *
+    * Scale: identical shape to [[bruteForceKnn]] — bounded query side
+    * broadcast, corpus scanned in place (never shuffled), the label
+    * filter applied inside the scan stage so the candidate stream
+    * shrinks before TopK's per-partition pruning. When the query side
+    * is itself corpus-sized, route through the LSH/IVF bucketing
+    * (s2/s12 machinery) with the same label predicate on the
+    * bucket join. */
+  def hardNegatives(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val corpus = emb.select(col("vec_id"), col("label").as("neighbor_label"),
+      VF.toDoubleVec(col("embedding")).as("v"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("label").as("query_label"),
+      VF.toDoubleVec(col("embedding")).as("qv"))
+    val scored = corpus.join(broadcast(q),
+        col("vec_id") =!= col("query_id") &&
+          col("neighbor_label") =!= col("query_label"))
+      .select(col("query_id"), col("query_label"),
+        col("vec_id").as("neighbor_id"), col("neighbor_label"),
+        VF.cosine(col("qv"), col("v")).as("sim"))
+    TopK.perKey(scored, Seq("query_id"),
+        Seq(col("sim").desc, col("neighbor_id")), k)
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), col("rank"), col("sim"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     * Output: (query_id, neighbor_id, rank, sim) — double math as a strict
     * left-to-right fold for cross-engine determinism. */

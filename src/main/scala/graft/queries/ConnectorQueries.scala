@@ -133,7 +133,8 @@ object ConnectorQueries {
     "c19_stream_anomaly" -> c19,
     "c20_stream_dropdup_ttl" -> c20,
     "c21_stream_asof_enrich" -> c21,
-    "c22_stream_timer_sessions" -> c22
+    "c22_stream_timer_sessions" -> c22,
+    "c23_stream_ann_route" -> c23
   )
 
   /** Queries that execute a Structured Streaming query (micro-batch
@@ -151,7 +152,8 @@ object ConnectorQueries {
     "c13_stream_cms", "c14_stream_hll", "c15_stream_minhash",
     "c16_stream_kll", "c17_stream_bloom", "c18_stream_attribution",
     "c19_stream_anomaly", "c20_stream_dropdup_ttl",
-    "c21_stream_asof_enrich", "c22_stream_timer_sessions")
+    "c21_stream_asof_enrich", "c22_stream_timer_sessions",
+    "c23_stream_ann_route")
 
   /** Streaming alerting pipeline (c19): the log-monitoring use case
     * end-to-end — c3's streaming hourly counts (micro-batch
@@ -867,6 +869,83 @@ object ConnectorQueries {
         "dim_val STRING").load()
   }
 
+  /** Streaming ANN index routing (c23): the ONLINE half of the s3/s15
+    * index build — new embeddings arrive as log records (the vector
+    * packed as a CSV string, the textual record shape the row
+    * converters actually ship) and each micro-batch routes every
+    * vector to its IVF cell against the broadcast batch-trained
+    * centroids (s3's trainer: first-16-by-id, normalized), emitting
+    * (vec_id, cell, centroid sim) to a store the offline index
+    * compacts from. Semantics are exactly s3's assignment — the
+    * oracle replays the centroid construction and the argmax (DESC
+    * sim, ASC cell tie-break) in SQL over the same embeddings, so a
+    * drift anywhere in CSV pack → store round-trip → parse →
+    * float→double widening → fused dot fold → argmax breaks the hash.
+    * The float→string→float round trip is exact by Java's
+    * Float.toString contract (shortest uniquely-distinguishing
+    * decimal), which is what makes a textual vector log losslessly
+    * replayable.
+    *
+    * Scale: stateless per-record map — no state store, no watermark,
+    * nothing shuffles; admission control (maxoffsetspertrigger 256)
+    * forces multi-batch pacing at every SF so the oracle also proves
+    * batch-boundary invariance. At 100 TB this is the shape that
+    * matters: routing is embarrassingly parallel on the stream, and
+    * the centroid table is the only broadcast (k rows). */
+  private def c23: Q = (spark, dir) => {
+    val srcRoot = tempDir("graft-logstore-c23src")
+    new EmbeddedLogStore(srcRoot).createStore("proj", "vecs", 2)
+    val srcOpts = Map("store.root" -> srcRoot, "store.project" -> "proj",
+      "store.name" -> "vecs")
+    val emb = t(spark, dir, "embeddings")
+    emb.select(
+        pmod(col("vec_id"), lit(2)).cast(IntegerType).as("__shard__"),
+        lit(1700000000).cast(IntegerType).as("__time__"),
+        col("vec_id"),
+        array_join(transform(col("embedding"), x => x.cast(StringType)), ",")
+          .as("emb_csv"))
+      .write.format("graft-logstore").options(srcOpts).mode("append").save()
+    val cs = graft.operators.Similarity.ivfCentroids(emb, 16)
+    val dstRoot = tempDir("graft-logstore-c23out")
+    new EmbeddedLogStore(dstRoot).createStore("proj", "routed", 1)
+    val dstOpts = Map("store.root" -> dstRoot, "store.project" -> "proj",
+      "store.name" -> "routed")
+    val ckpt = tempDir("graft-c23-ckpt")
+    val s2 = streamSession(spark)
+    import s2.implicits._
+    val routed = s2.readStream.format("graft-logstore").options(srcOpts)
+      .option("maxoffsetspertrigger", "256")
+      .schema("vec_id LONG, emb_csv STRING")
+      .load()
+      .select(col("vec_id"), split(col("emb_csv"), ",").as("parts"))
+      .as[(Long, Seq[String])]
+      .map { case (id, parts) =>
+        val v = new Array[Double](parts.length)
+        var i = 0
+        while (i < parts.length) {
+          v(i) = parts(i).toFloat.toDouble; i += 1
+        }
+        // first max wins (strict >) = the oracle's (sim DESC, cid ASC)
+        var best = 0; var bestSim = Double.MinValue; var c = 0
+        while (c < cs.length) {
+          var acc = 0.0; var j = 0; val cv = cs(c)
+          while (j < v.length) { acc += v(j) * cv(j); j += 1 }
+          if (acc > bestSim) { bestSim = acc; best = c }
+          c += 1
+        }
+        (id, best + 1, bestSim)
+      }
+      .toDF("vec_id", "cell", "csim")
+    val q = routed.writeStream.format("graft-logstore").options(dstOpts)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    drain(q)
+    spark.read.format("graft-logstore").options(dstOpts)
+      .schema("vec_id LONG, cell INT, csim DOUBLE").load()
+  }
+
   /** CDC-style incremental batch (c8): the rows committed BETWEEN two
     * pinned snapshot versions, with no new reader surface — a snapshot's
     * per-shard ends ARE offsets, so "changes since v1" is a bounded scan
@@ -1446,6 +1525,22 @@ object ConnectorQueries {
         |FROM all_docs GROUP BY fp""".stripMargin,
     // c21: same cutover derivation + half-open interval selection over
     // the events parquet; version 0 effective from the epoch
+    // c23: s3's centroid construction (first 16 by vec_id, normalized)
+    // and cell argmax (sim DESC, cid ASC) replayed over the same
+    // embeddings — the streamed CSV round trip must land every vector
+    // back on its exact float bits for the csim doubles to hash-match.
+    "c23_stream_ann_route" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid,
+        |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv
+        |       FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+        |a AS (SELECT vec_id, cell, csim FROM (
+        |  SELECT e.vec_id, c0.cid AS cell,
+        |    list_dot_product(e.v, c0.cv) AS csim,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_dot_product(e.v, c0.cv) DESC, c0.cid) AS rn
+        |  FROM e CROSS JOIN c0) x WHERE rn = 1)
+        |SELECT vec_id, CAST(cell AS INTEGER) AS cell, csim FROM a""".stripMargin,
     "c21_stream_asof_enrich" ->
       """WITH ev AS (SELECT user_id, event_type, value,
         |    CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t FROM events),

@@ -62,7 +62,9 @@ object Relational {
     "q34_latest_state" -> q34,
     "q35_incremental_rollup" -> q35,
     "q36_scd2_history" -> q36,
-    "q38_cohort_retention" -> q38
+    "q38_cohort_retention" -> q38,
+    "q39_zorder_layout" -> q39,
+    "q40_gapfill_ffill" -> q40
   )
 
   /** Incremental materialized-view maintenance (q35): the daily-rollup
@@ -184,6 +186,102 @@ object Relational {
         col("n_active"), col("cohort_users"),
         (col("n_active").cast(DoubleType) / col("cohort_users"))
           .as("retention"))
+  }
+
+  /** Hourly gap-fill + forward-fill resample (q40): the metrics/IoT
+    * regularization every time-series store exposes (InfluxDB's
+    * `fill(previous)`, TimescaleDB's `locf`, Pandas `resample.ffill`) —
+    * each user's irregular event stream becomes a DENSE hourly grid
+    * from their first to their last active hour, carrying observation
+    * count, the hour's last observed value, and that value forward
+    * through gap hours. Floats are PICKED, never folded: the per-hour
+    * representative is the max over (ts, event_id)-ordered structs (a
+    * selection, engine-exact) and the fill is `last(_, ignoreNulls)`
+    * under a per-user row frame — no float aggregation anywhere, so
+    * the DOUBLE column hash-matches DuckDB bit-for-bit.
+    *
+    * Scale: one (user, hour) hash aggregate over the events, a
+    * per-user bounds aggregate whose `sequence()` explode generates
+    * the spine (rows ∝ user-hours, never materialized on the driver),
+    * and ONE per-user window for the fill — user-partitioned, so the
+    * sort parallelizes across the key population; no global order, no
+    * SinglePartition exchange. The spine join shuffles on user_id
+    * only. */
+  private def q40: Q = (spark, dir) => {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value"),
+        epochUs(col("ts")).as("us"))
+      .withColumn("hr", expr("us DIV 3600000000"))
+    val perHour = ev.groupBy(col("user_id"), col("hr"))
+      .agg(count(lit(1)).as("n_obs"),
+        max(struct(col("us"), col("event_id"), col("value")))
+          .getField("value").as("v_last"))
+    val spine = ev.groupBy(col("user_id"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"))).as("hr"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(perHour, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), (col("hr") * 3600L).as("hour_start"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"), col("v_last"),
+        last(col("v_last"), ignoreNulls = true).over(w).as("v_ffill"))
+  }
+
+  /** Z-order clustering layout (q39): the data-layout half of
+    * Delta/Iceberg's `OPTIMIZE ZORDER BY (a, b)` — rows mapped onto a
+    * space-filling curve over (l_partkey, l_suppkey) so that files
+    * clustered by curve position carry TIGHT min/max zone maps on BOTH
+    * dimensions at once (a single-column sort gives perfect pruning on
+    * one dim and none on the other; the z-curve trades a little of each
+    * for locality on both — Morton 1966, the layout every lakehouse
+    * OPTIMIZE implements). Each dim is min/max-normalized to a 16-bit
+    * grid with pure integer arithmetic ((v − vmin)·65535 DIV
+    * max(vmax − vmin, 1)), the two grids bit-interleave into a 32-bit
+    * z-value (x in even bits, y in odd), and the top 8 z-bits name the
+    * target file (a 16×16 grid cell ↔ 4 high bits per dim). The output
+    * is the layout's MANIFEST — per bucket: row count and the zone map
+    * (min/max of both dims) a scan planner would prune with. Every step
+    * is integer-exact, so the whole layout replays in SQL.
+    *
+    * Scale: the z-value is one codegen'd projection (32 bit-ops per
+    * row, no shuffle); the manifest is one map-side-combined hash
+    * aggregate on the 8-bit bucket id. The min/max stats are a single
+    * scalar aggregate collected once (4 longs — at 100 TB these come
+    * free from table statistics). The actual file rewrite this manifest
+    * describes is `repartitionByRange(bucket) .sortWithinPartitions
+    * (zval) .write` — the exchange moves each row once, same as any
+    * rewrite; this query is the oracle-checkable readout of where rows
+    * land and how tight the resulting zone maps are. */
+  private def q39: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+    val st = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    val (pMin, pMax) = (st.getLong(0), st.getLong(1))
+    val (sMin, sMax) = (st.getLong(2), st.getLong(3))
+    // integral DIV (not Divide: long / long is DOUBLE division in
+    // Spark SQL, and a float quotient half-ulp from an integer would
+    // floor differently than the oracle's integer //)
+    val pd = math.max(pMax - pMin, 1L)
+    val sd = math.max(sMax - sMin, 1L)
+    val gridded = li.select(col("l_partkey"), col("l_suppkey"),
+      expr(s"(l_partkey - $pMin) * 65535 DIV $pd").as("px"),
+      expr(s"(l_suppkey - $sMin) * 65535 DIV $sd").as("sy"))
+    // Morton interleave: x bit i -> z bit 2i, y bit i -> z bit 2i+1.
+    // Disjoint bit positions, so OR-reduce; stays one codegen'd
+    // projection (shiftright/and/shiftleft are all native expressions).
+    val z = (0 until 16).map { i =>
+      shiftleft(shiftright(col("px"), i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(col("sy"), i).bitwiseAND(lit(1L)),
+          2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+    gridded.select(col("l_partkey"), col("l_suppkey"),
+        shiftright(z, 24).cast(IntegerType).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
+        min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"))
   }
 
   /** Hourly anomaly flags (q33): the monitoring/alerting readout a log
@@ -897,6 +995,56 @@ object Relational {
         |    ORDER BY t, event_id), -1) AS valid_to,
         |  event_id AS open_event_id
         |FROM s""".stripMargin,
+    // q40: the resample replayed — same (us, event_id)-max selection
+    // for the per-hour representative (a pick, so the DOUBLE passes
+    // through bit-exactly), generate_series spine per user, and
+    // last_value IGNORE NULLS under the identical row frame
+    "q40_gapfill_ffill" ->
+      """WITH ev AS (SELECT user_id, event_id, value,
+        |    CAST(epoch_us(ts) AS BIGINT) AS us,
+        |    CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr
+        |  FROM events),
+        |ph AS (SELECT user_id, hr, count(*) AS n_obs FROM ev GROUP BY 1, 2),
+        |pick AS (SELECT user_id, hr, value AS v_last FROM (
+        |    SELECT user_id, hr, value, row_number() OVER (
+        |      PARTITION BY user_id, hr ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM ev) x WHERE rn = 1),
+        |b AS (SELECT user_id, min(hr) AS h0, max(hr) AS h1
+        |  FROM ev GROUP BY 1),
+        |spine AS (SELECT user_id, unnest(generate_series(h0, h1)) AS hr
+        |  FROM b),
+        |j AS (SELECT s.user_id, s.hr,
+        |    COALESCE(ph.n_obs, 0) AS n_obs, pick.v_last
+        |  FROM spine s
+        |  LEFT JOIN ph ON ph.user_id = s.user_id AND ph.hr = s.hr
+        |  LEFT JOIN pick ON pick.user_id = s.user_id AND pick.hr = s.hr)
+        |SELECT user_id, hr * 3600 AS hour_start,
+        |  CAST(n_obs AS BIGINT) AS n_obs, v_last,
+        |  last_value(v_last IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS v_ffill
+        |FROM j""".stripMargin,
+    // q39: the z-layout replayed in pure integer SQL — same min/max
+    // normalization (// == DIV on the non-negative operands), the
+    // 16-bit Morton interleave unrolled as 32 disjoint shift-and-or
+    // terms, bucket = top 8 z-bits, manifest = count + per-dim min/max
+    "q39_zorder_layout" -> {
+      val inter = (0 until 16).map { i =>
+        s"((((px >> $i) & 1) << ${2 * i}) | (((sy >> $i) & 1) << ${2 * i + 1}))"
+      }.mkString(" | ")
+      s"""WITH st AS (SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+         |    min(l_suppkey) AS smin, max(l_suppkey) AS smax FROM lineitem),
+         |g AS (SELECT l_partkey, l_suppkey,
+         |    (l_partkey - st.pmin) * 65535 // greatest(st.pmax - st.pmin, 1) AS px,
+         |    (l_suppkey - st.smin) * 65535 // greatest(st.smax - st.smin, 1) AS sy
+         |  FROM lineitem, st),
+         |z AS (SELECT l_partkey, l_suppkey,
+         |    CAST(($inter) >> 24 AS INTEGER) AS bucket FROM g)
+         |SELECT bucket, count(*) AS n_rows,
+         |  min(l_partkey) AS p_min, max(l_partkey) AS p_max,
+         |  min(l_suppkey) AS s_min, max(l_suppkey) AS s_max
+         |FROM z GROUP BY bucket""".stripMargin
+    },
     "q38_cohort_retention" ->
       """WITH uw AS (SELECT DISTINCT user_id,
         |    CAST(epoch_us(ts) // 1000000 // 604800 AS BIGINT) AS wk

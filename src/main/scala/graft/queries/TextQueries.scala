@@ -101,6 +101,7 @@ object TextQueries {
     "s15_ann_ivfpq" -> s15,
     "s16_lsh_sweep" -> s16,
     "s17_ann_mips" -> s17,
+    "s18_hard_negatives" -> s18,
     "s2_ann_lsh" -> s2,
     "s3_ann_ivf" -> s3,
     "s4_ann_multiprobe" -> s4,
@@ -1071,6 +1072,16 @@ object TextQueries {
   private def s17: Q = (spark, dir) => {
     val e = t(spark, dir, "embeddings")
     Similarity.mipsKnn(e, e.filter(col("vec_id") < 8), k = 4)
+  }
+
+  /** Hard-negative mining (s18): per query, the top-4 most-cosine-
+    * similar corpus vectors of a DIFFERENT label — the contrastive-
+    * training negative selection (DPR-style), s1's scan shape with the
+    * label predicate pushed into the candidate join. See
+    * [[graft.operators.Similarity.hardNegatives]]. */
+  private def s18: Q = (spark, dir) => {
+    val e = t(spark, dir, "embeddings")
+    Similarity.hardNegatives(e, e.filter(col("vec_id") < 8), k = 4)
   }
 
   /** LSH nearest-neighbor JOIN (s12): both sides corpus-sized — each
@@ -3444,6 +3455,27 @@ object TextQueries {
         | FROM a JOIN q ON a.vec_id <> q.qid)
         |SELECT query_id, neighbor_id, rn AS rank, ip, aug_sim
         |FROM x WHERE rn <= 4""".stripMargin,
+    // s18: the s1 replay with the label-mismatch predicate in the
+    // candidate join — same bit-identical cosine, rank over
+    // (sim DESC, neighbor_id)
+    "s18_hard_negatives" ->
+      """SELECT query_id, query_label, neighbor_id, neighbor_label,
+        |  rn AS rank, sim FROM (
+        | SELECT q.qid AS query_id, q.ql AS query_label,
+        |  e.vec_id AS neighbor_id, e.label AS neighbor_label,
+        |  list_dot_product(q.qv, e.v) /
+        |    (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim,
+        |  row_number() OVER (PARTITION BY q.qid ORDER BY
+        |    list_dot_product(q.qv, e.v) /
+        |    (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) DESC,
+        |    e.vec_id) AS rn
+        | FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |       FROM embeddings) e
+        | JOIN (SELECT vec_id AS qid, label AS ql,
+        |         CAST(embedding AS DOUBLE[]) AS qv
+        |       FROM embeddings WHERE vec_id < 8) q
+        |   ON e.vec_id <> q.qid AND e.label <> q.ql) x
+        |WHERE rn <= 4""".stripMargin,
     // s16: s2's signature replay at 12 bits (a width-b bucket is the
     // low b bits), s11's exact-radius truth, per-config counts with
     // integer basis-point precision/recall; configs with zero

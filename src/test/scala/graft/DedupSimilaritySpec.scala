@@ -802,6 +802,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("hard negatives: labels always differ, ranks total, and the " +
+      "result equals brute-force knn restricted to other-label vectors") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 8)
+    val res = Similarity.hardNegatives(emb, q, k = 4)
+    val rows = res.collect()
+    assert(rows.length === q.count() * 4)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("query_label") !== r.getAs[Int]("neighbor_label"),
+        s"same-label negative leaked: $r")
+      assert(r.getAs[Long]("query_id") !== r.getAs[Long]("neighbor_id"))
+    }
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Int]("rank")).sorted.toSeq === Seq(1, 2, 3, 4))
+      val byRank = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // differential: rank the FULL neighbor list (k = |corpus|), drop
+    // same-label rows, re-rank — the first 4 per query must match
+    val full = Similarity.bruteForceKnn(emb, q, k = emb.count().toInt)
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nl")), "neighbor_id")
+      .join(emb.select(col("vec_id").as("query_id"),
+        col("label").as("ql")), "query_id")
+      .filter(col("nl") =!= col("ql"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val expect = full.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 4)
+      .select(col("query_id"), col("neighbor_id"), col("rk").as("rank"))
+    val got = res.select(col("query_id"), col("neighbor_id"), col("rank"))
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+  }
+
   test("minhash signature length and determinism") {
     val sh = Dedup.docShingles(docs.limit(20))
     val sig = Dedup.minHashSignatures(sh).collect()

@@ -417,4 +417,33 @@ class StreamingSpec extends AnyFunSuite with StopStreamsAfterAll {
     assert(read().count() === 9) // overwritten, not appended
     assert(read().agg(sum("msg")).first().getLong(0) === (1 to 9).sum)
   }
+
+  test("c23 streamed ANN routing: total coverage, sane cells, and csim " +
+      "reconstructable from the batch-side centroids") {
+    val sf = "/root/testdata/sf0.01"
+    val out = graft.SparkEntry.queries("c23_stream_ann_route")(spark, sf)
+      .collect()
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val n = emb.count()
+    assert(out.length.toLong === n, "every streamed vector must route")
+    assert(out.map(_.getLong(0)).distinct.length.toLong === n)
+    val cells = out.map(_.getInt(1)).toSet
+    assert(cells.forall(c => c >= 1 && c <= 16))
+    assert(cells.size > 1, "a single cell would mean a degenerate argmax")
+    // independent csim reconstruction for a sample: the streamed score
+    // must equal dot(v, normalize(centroid)) computed batch-side
+    val cs = graft.operators.Similarity.ivfCentroids(emb, 16)
+    val byId = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDoubleVec(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    out.filter(r => byId.contains(r.getLong(0))).foreach { r =>
+      val v = byId(r.getLong(0))
+      val cv = cs(r.getInt(1) - 1)
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i) * cv(i); i += 1 }
+      assert(acc === r.getDouble(2),
+        s"csim mismatch for vec ${r.getLong(0)}: $acc vs ${r.getDouble(2)}")
+    }
+  }
 }

@@ -73,6 +73,74 @@ class TextPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q39 z-order layout: lossless row accounting, bucket domain, and " +
+      "zone maps tight on BOTH dims where a single-dim sort cannot be") {
+    val sf = "/root/testdata/sf0.01"
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val n = li.count()
+    val st = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    val pSpan = (st.getLong(1) - st.getLong(0)).toDouble
+    val sSpan = (st.getLong(3) - st.getLong(2)).toDouble
+    val rows = graft.SparkEntry.queries("q39_zorder_layout")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum === n, "manifest loses rows")
+    assert(rows.forall { r =>
+      val b = r.getAs[Int]("bucket"); b >= 0 && b <= 255
+    })
+    def avgSpan(ps: Seq[(Double, Long)]): Double =
+      ps.map { case (s, w) => s * w }.sum / ps.map(_._2).sum
+    val zP = avgSpan(rows.map(r => ((r.getAs[Long]("p_max") -
+      r.getAs[Long]("p_min")).toDouble / pSpan, r.getAs[Long]("n_rows"))).toSeq)
+    val zS = avgSpan(rows.map(r => ((r.getAs[Long]("s_max") -
+      r.getAs[Long]("s_min")).toDouble / sSpan, r.getAs[Long]("n_rows"))).toSeq)
+    // 16x16 z-cells: each dim's weighted zone-map span should sit near
+    // 1/16 of its global span — well under 0.15 on BOTH dims at once
+    assert(zP < 0.15, s"partkey zone maps too loose: $zP")
+    assert(zS < 0.15, s"suppkey zone maps too loose: $zS")
+    // contrast: 256 range buckets on partkey ALONE prune partkey
+    // perfectly but leave suppkey unpruned (span ~ the full domain)
+    val single = li.groupBy((col("l_partkey") * 256 /
+        (st.getLong(1) + 1)).cast("int").as("b"))
+      .agg(count(lit(1)).as("w"),
+        (max(col("l_suppkey")) - min(col("l_suppkey"))).as("span"))
+      .collect()
+    val sgS = avgSpan(single.map(r =>
+      (r.getAs[Long]("span").toDouble / sSpan, r.getAs[Long]("w"))).toSeq)
+    assert(sgS > 0.8, s"single-dim layout unexpectedly pruned suppkey: $sgS")
+  }
+
+  test("q40 gap-fill: dense per-user hour grid, fills carry the last " +
+      "observation through gaps, and observation counts are lossless") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val rows = graft.SparkEntry.queries("q40_gapfill_ffill")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[Long]("n_obs")).sum === ev.count(),
+      "grid loses or invents observations")
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (u, g) =>
+      val hours = g.map(_.getAs[Long]("hour_start")).sorted
+      // dense: consecutive hours, no holes, bounded by observed hours
+      assert(hours.zip(hours.tail).forall { case (a, b) => b - a == 3600L },
+        s"user $u grid has holes")
+      assert(g.filter(_.getAs[Long]("n_obs") > 0).length >= 1)
+      // forward fill: on observed hours v_ffill == v_last; on gaps it
+      // equals the most recent earlier v_last
+      var lastSeen: Option[Double] = None
+      g.sortBy(_.getAs[Long]("hour_start")).foreach { r =>
+        if (r.getAs[Long]("n_obs") > 0) {
+          lastSeen = Some(r.getAs[Double]("v_last"))
+          assert(r.getAs[Double]("v_ffill") === r.getAs[Double]("v_last"))
+        } else {
+          assert(r.isNullAt(r.fieldIndex("v_last")))
+          assert(Some(r.getAs[Double]("v_ffill")) === lastSeen,
+            s"gap fill diverged for user $u at ${r.getAs[Long]("hour_start")}")
+        }
+      }
+    }
+  }
+
   test("rouge overlap: identical pair scores 1, clipping caps repetition, disjoint is 0") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-rouge-docs")

@@ -33,6 +33,8 @@ for run in runs:
         ent = curve["queries"].setdefault(q, {})
         ent["base"] = round(min(ent.get("base", 1e18), row["base"]), 3)
         ent[f"x{copies}"] = row["stress"]
+        if "drains" in row:  # streaming rows: per-rep component traces
+            ent[f"drains{copies}"] = row["drains"]
 
 for q, ent in curve["queries"].items():
     b = ent["base"]
