@@ -126,7 +126,11 @@ object BenchStress {
     // round 19 (cont. 3): gap-fill resample — the events blow-up grows
     // the user population ~Copies x at constant per-user density, so
     // the spine explode and the per-user fill window scale in keys
-    "q40_gapfill_ffill")
+    "q40_gapfill_ffill",
+    // round 19 (cont. 4): the dataset card (distinct-fingerprint
+    // count-distinct is the corpus-sized exchange) and the video
+    // phash dedup (codec-class decode map + fingerprint groupBy)
+    "t40_dataset_card", "m45_video_phash_dedup")
 
   /** Optional comma-separated name-prefix filter
     * (SPARK_GRAFT_STRESS_ONLY) — stress just the matching queries, so

@@ -76,7 +76,8 @@ object MultimodalQueries {
     "m41_video_slice_deblock" -> m41,
     "m42_video_poc_order" -> m42,
     "m43_video_frame_num_wrap" -> m43,
-    "m44_audio_fingerprint" -> m44)
+    "m44_audio_fingerprint" -> m44,
+    "m45_video_phash_dedup" -> m45)
 
   /** Inter prediction on the oracle gate (m28): each asset is a
     * two-frame GOP — an I_16x16-DC IDR whose four macroblocks settle
@@ -1451,6 +1452,70 @@ object MultimodalQueries {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
     fps.join(groups, "fp")
       .select(col("doc_id"), col("fp"), col("keeper"), col("n_dups"),
+        (col("doc_id") > col("keeper")).as("is_dup"))
+  }
+
+  /** Video perceptual-hash dedup (m45): m44's dedup idea on the VISUAL
+    * stack — per doc a short video (3-6 frames of 9×8 gray, frame
+    * count and content keyed by group g = doc_id % 200), every frame
+    * round-tripped through the REAL 24bpp BMP codec (m4's) and
+    * perceptually hashed with m9's dHash, then the per-frame hashes
+    * fold order-weighted ((f+1)·hash, disjoint 32-bit halves so the
+    * sums stay overflow-free) into one video fingerprint, and exact-dup
+    * videos group on it. Docs sharing g differ by a CONSTANT BRIGHTNESS
+    * offset ((doc_id / 200) % 100, bounded so no pixel wraps): dHash
+    * compares adjacent pixels, a constant offset cancels in every
+    * comparison, so re-encodes at different brightness fingerprint
+    * identically — the visual analogue of m44's gain invariance —
+    * while different-g content diverges. The oracle replays pixel
+    * formula, comparisons, bit packing and the weighted fold exactly.
+    *
+    * Scale: id-spread per-asset decode map (the codec class), then
+    * d1's groupBy-on-fingerprint — one map-side-combinable exchange
+    * on a 16-byte key. */
+  private def m45: Q = (spark, dir) => {
+    import spark.implicits._
+    val W = 9
+    val H = 8
+    val fps = docIds(spark, dir).as[Long].map { id =>
+      val g = (id % 200).toInt
+      val off = ((id / 200) % 100).toInt
+      val nf = 3 + g % 4
+      var vlo = 0L
+      var vhi = 0L
+      var f = 0
+      while (f < nf) {
+        val plane = Array.tabulate(W * H)(i =>
+          (off + (g * 131 + f * 17 + i * 7) % 156).toByte)
+        val bmp = Multimodal.encodeBmp24(W, H, plane)
+        val (_, _, dec) = Multimodal.decodeBmp24(bmp)
+        var lo = 0L
+        var hi = 0L
+        var r = 0
+        while (r < H) {
+          var c = 0
+          while (c < 8) {
+            val a = dec(r * W + c) & 0xFF
+            val b = dec(r * W + c + 1) & 0xFF
+            if (b > a) {
+              val bit = r * 8 + c
+              if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+            }
+            c += 1
+          }
+          r += 1
+        }
+        vlo += (f + 1) * lo
+        vhi += (f + 1) * hi
+        f += 1
+      }
+      (id, vlo, vhi, nf)
+    }.toDF("doc_id", "v_lo", "v_hi", "n_frames")
+    val groups = fps.groupBy(col("v_lo"), col("v_hi"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
+    fps.join(groups, Seq("v_lo", "v_hi"))
+      .select(col("doc_id"), col("v_lo"), col("v_hi"), col("n_frames"),
+        col("keeper"), col("n_dups"),
         (col("doc_id") > col("keeper")).as("is_dup"))
   }
 
@@ -3139,6 +3204,34 @@ object MultimodalQueries {
         | CAST(e2 AS INTEGER) AS e2, CAST(e3 AS INTEGER) AS e3,
         | CAST(256*(e0 + e1 + e2 + e3) AS BIGINT) AS y2_sum
         |FROM e""".stripMargin,
+    // m45: the video fingerprint replayed — m9's dHash comparison on
+    // the planted pixel formula (off + (g*131 + f*17 + i*7) % 156,
+    // the constant off cancels in every > but is replayed anyway),
+    // bit b's pixel index i = (b//8)*9 + (b%8), the (f+1)-weighted
+    // per-half fold, then the keeper/count group-join.
+    "m45_video_phash_dedup" ->
+      """WITH v AS (SELECT doc_id, doc_id % 200 AS g,
+        |    (doc_id // 200) % 100 AS off,
+        |    3 + (doc_id % 200) % 4 AS nf
+        |  FROM documents),
+        |h AS (SELECT doc_id, nf,
+        |  CAST(list_sum(list_transform(range(0, nf), f -> (f + 1) *
+        |    list_sum(list_transform(range(0, 32), b ->
+        |      CASE WHEN off + (g*131 + f*17 + ((b//8)*9 + (b%8) + 1)*7) % 156
+        |             > off + (g*131 + f*17 + ((b//8)*9 + (b%8))*7) % 156
+        |      THEN (1::BIGINT << b) ELSE 0 END)))) AS BIGINT) AS v_lo,
+        |  CAST(list_sum(list_transform(range(0, nf), f -> (f + 1) *
+        |    list_sum(list_transform(range(32, 64), b ->
+        |      CASE WHEN off + (g*131 + f*17 + ((b//8)*9 + (b%8) + 1)*7) % 156
+        |             > off + (g*131 + f*17 + ((b//8)*9 + (b%8))*7) % 156
+        |      THEN (1::BIGINT << (b - 32)) ELSE 0 END)))) AS BIGINT) AS v_hi
+        |  FROM v),
+        |grp AS (SELECT v_lo, v_hi, min(doc_id) AS keeper,
+        |    count(*) AS n_dups
+        |  FROM h GROUP BY 1, 2)
+        |SELECT h.doc_id, h.v_lo, h.v_hi, CAST(h.nf AS INTEGER) AS n_frames,
+        |  grp.keeper, grp.n_dups, h.doc_id > grp.keeper AS is_dup
+        |FROM h JOIN grp ON h.v_lo = grp.v_lo AND h.v_hi = grp.v_hi""".stripMargin,
     // m44: the fingerprint replayed from first principles — the same
     // bit_count-parity FWHT replay as m18 over the role-dependent PCM
     // synth, band energies -> integer ratio quantization (g^2 cancels

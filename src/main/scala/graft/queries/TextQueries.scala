@@ -91,6 +91,7 @@ object TextQueries {
     "t37_mixture_interleave" -> t37,
     "t38_url_dedup" -> t38,
     "t39_pii_redact" -> t39,
+    "t40_dataset_card" -> t40,
     "s1_ann_cosine" -> s1,
     // Gonzalez k-center greedy seeding over the quantized embeddings —
     // the deterministic k-means++ stand-in; integer-exact distances
@@ -2103,6 +2104,53 @@ object TextQueries {
     * scan is NOT pre-spread (the exchange would move the whole corpus
     * to save a map that AQE already parallelizes on a multi-file
     * corpus). */
+  /** Dataset card (t40): the per-source summary every published
+    * training corpus ships (dataset cards, Dolma/RedPajama-style
+    * composition tables) — document and token volume, language
+    * composition (distinct count + modal language), and the exact-
+    * duplicate rate, all from the catalog's own kernels (t1 tokens,
+    * t4 canonical fingerprint) so the card is consistent with the
+    * queries it summarizes. Integer-exact throughout: sums are over
+    * ints, the dup rate is one small-int division — no float folds.
+    *
+    * Scale: one corpus pass computes (tokens, chars, fingerprint) per
+    * doc; then two map-side-combined aggregates — per source, and per
+    * (source, lang) for the modal language, whose window runs over
+    * |sources|×|langs| POST-aggregate rows (a few dozen), partitioned
+    * by source. The distinct-fingerprint count shuffles hashes, the
+    * classic count-distinct — at 100 TB swap in the k3 HLL sketch for
+    * a one-pass approximate card; this row keeps the exact semantics
+    * the oracle can replay. */
+  private def t40: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(spark, dir, "documents")
+    val base = d.select(col("source"), col("lang"),
+      size(TF.tokens(col("text"))).as("nt"),
+      length(col("text")).as("nc"),
+      TF.fingerprint(col("text")).as("fp"))
+    val per = base.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("nt")).as("n_tokens"),
+      sum(col("nc")).as("n_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("fp")).as("n_fp"))
+    val lc = base.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("lang"))
+    val top = lc.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"),
+        col("cnt").as("top_lang_docs"))
+    per.join(top, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_chars"), col("n_langs"), col("top_lang"),
+        col("top_lang_docs"),
+        (col("n_docs") - col("n_fp")).as("n_exact_dups"),
+        ((col("n_docs") - col("n_fp")).cast(DoubleType) / col("n_docs"))
+          .as("dup_rate"))
+  }
+
   private def t39: Q = (spark, dir) => {
     val id = col("doc_id")
     val pii = concat(col("text"),
@@ -2709,6 +2757,31 @@ object TextQueries {
     // list_filter / list_sort mirror substring_index / filter /
     // array_sort), then the group stats as windows over the canonical
     // key.
+    // t40: the card replayed from the t1/t4 oracle kernels — token
+    // split, canonical-md5 fingerprint, per-source aggregates, modal
+    // language by (cnt DESC, lang) row_number; SUM(INTEGER) widens to
+    // HUGEINT in DuckDB, hence the BIGINT casts
+    "t40_dataset_card" ->
+      """WITH b AS (SELECT source, lang,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS nt,
+        |    length(text) AS nc,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |per AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |    CAST(sum(nc) AS BIGINT) AS n_chars,
+        |    count(DISTINCT lang) AS n_langs,
+        |    count(DISTINCT fp) AS n_fp
+        |  FROM b GROUP BY 1),
+        |lc AS (SELECT source, lang, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |top AS (SELECT source, lang AS top_lang, cnt AS top_lang_docs
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY source
+        |          ORDER BY cnt DESC, lang) AS rn FROM lc) x
+        |  WHERE rn = 1)
+        |SELECT per.source, n_docs, n_tokens, n_chars, n_langs,
+        |  top_lang, top_lang_docs, n_docs - n_fp AS n_exact_dups,
+        |  CAST(n_docs - n_fp AS DOUBLE) / n_docs AS dup_rate
+        |FROM per JOIN top ON per.source = top.source""".stripMargin,
     // t39: the planted-PII construction and the email → phone → id
     // redaction chain replayed verbatim; DuckDB's regexp_replace needs
     // the explicit 'g' flag (Spark's is global by default) and counts

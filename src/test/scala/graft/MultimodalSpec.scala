@@ -385,4 +385,36 @@ class MultimodalSpec extends AnyFunSuite {
     // fingerprints than groups (roles 2/3 mostly diverge from role 0)
     assert(byFp.size > groups.size)
   }
+
+  test("m45 video phash: brightness copies dedup together, content " +
+      "separates, keeper/count consistent") {
+    val spark = SparkTestSession.spark
+    val out = graft.SparkEntry.queries("m45_video_phash_dedup")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getLong(4), r.getLong(5), r.getBoolean(6))).toMap
+    // brightness invariance: doc g and g+200 share group content at a
+    // different constant offset — identical fingerprints, the higher
+    // id always marked duplicate of the lower keeper
+    out.keys.filter(id => out.contains(id + 200)).foreach { id =>
+      val (a, b) = (out(id), out(id + 200))
+      assert((a._1, a._2) === (b._1, b._2),
+        s"brightness copy $id/${id + 200} fingerprints diverged")
+      assert(b._6, s"${id + 200} not marked duplicate")
+    }
+    // content separation: adjacent groups differ
+    out.keys.filter(id => id < 199 && out.contains(id + 1)).take(50)
+      .foreach { id =>
+        assert((out(id)._1, out(id)._2) !== (out(id + 1)._1, out(id + 1)._2),
+          s"different-content $id/${id + 1} collided")
+      }
+    // keeper = min id of the fingerprint class, n_dups = class size,
+    // frame count rides the group key only
+    out.toSeq.groupBy(t => (t._2._1, t._2._2)).foreach { case (fp, ds) =>
+      val minId = ds.map(_._1).min
+      assert(ds.forall(_._2._4 == minId), s"fp $fp keeper wrong")
+      assert(ds.forall(_._2._5 == ds.size), s"fp $fp count wrong")
+      assert(ds.map(_._2._3).distinct.size === 1)
+    }
+  }
 }

@@ -110,6 +110,38 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(sgS > 0.8, s"single-dim layout unexpectedly pruned suppkey: $sgS")
   }
 
+  test("t40 dataset card: volumes account for every document and the " +
+      "card is internally consistent") {
+    val sf = "/root/testdata/sf0.001"
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val rows = graft.SparkEntry.queries("t40_dataset_card")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === d.count())
+    assert(rows.map(_.getAs[Long]("n_chars")).sum ===
+      d.agg(sum(length(col("text")))).head().getLong(0))
+    rows.foreach { r =>
+      val nDocs = r.getAs[Long]("n_docs")
+      assert(r.getAs[Long]("top_lang_docs") <= nDocs)
+      assert(r.getAs[Long]("top_lang_docs") >= 1L)
+      assert(r.getAs[Long]("n_langs") >= 1L)
+      val dups = r.getAs[Long]("n_exact_dups")
+      assert(dups >= 0L && dups < nDocs)
+      val rate = r.getAs[Double]("dup_rate")
+      assert(rate >= 0.0 && rate < 1.0)
+      assert(rate === dups.toDouble / nDocs)
+      assert(r.getAs[Long]("n_tokens") >= nDocs) // every doc tokenizes
+    }
+    // the modal language must actually be the mode: recompute for one
+    // source directly
+    val src = rows.head.getAs[String]("source")
+    val expect = d.filter(col("source") === src)
+      .groupBy(col("lang")).count()
+      .collect().map(r => (r.getLong(1), r.getString(0)))
+      .sortBy { case (c, l) => (-c, l) }.head
+    assert(rows.head.getAs[String]("top_lang") === expect._2)
+    assert(rows.head.getAs[Long]("top_lang_docs") === expect._1)
+  }
+
   test("q40 gap-fill: dense per-user hour grid, fills carry the last " +
       "observation through gaps, and observation counts are lossless") {
     val sf = "/root/testdata/sf0.001"
