@@ -130,7 +130,11 @@ object BenchStress {
     // round 19 (cont. 4): the dataset card (distinct-fingerprint
     // count-distinct is the corpus-sized exchange) and the video
     // phash dedup (codec-class decode map + fingerprint groupBy)
-    "t40_dataset_card", "m45_video_phash_dedup")
+    "t40_dataset_card", "m45_video_phash_dedup",
+    // round 19 (cont. 5): fixed-point graph rank — edge extraction
+    // (lineitem x orders distinct) is the corpus-sized stage; the
+    // four rank iterations ride the constant distinct-edge graph
+    "q41_graph_rank")
 
   /** Optional comma-separated name-prefix filter
     * (SPARK_GRAFT_STRESS_ONLY) — stress just the matching queries, so
@@ -199,6 +203,15 @@ object BenchStress {
       .parquet(s"$outDir/lineitem.parquet")
     spark.read.parquet(s"$srcDir/supplier.parquet").write
       .mode("overwrite").parquet(s"$outDir/supplier.parquet")
+    // orders: o_orderkey follows lineitem's offset so the fact join
+    // stays aligned; o_custkey is NOT offset — the customer population
+    // is fixed, so q41's graph keeps constant nodes while its edge
+    // EXTRACTION (the corpus-sized stage) scales with the fact table
+    val ord = spark.read.parquet(s"$srcDir/orders.parquet")
+    (0 until Copies).map { k =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * idOff))
+    }.reduce(_.unionAll(_)).repartition(32).write.mode("overwrite")
+      .parquet(s"$outDir/orders.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -219,7 +232,8 @@ object BenchStress {
 
     // events/lineitem joined the blow-up for the q31/q34/c18/c5 rows:
     // regenerate a stress dir from an older round that lacks them
-    if (!Seq("documents", "embeddings", "events", "lineitem", "supplier")
+    if (!Seq("documents", "embeddings", "events", "lineitem", "supplier",
+        "orders")
         .forall(t => new java.io.File(s"$stressDir/$t.parquet").isDirectory)) {
       System.err.println(s"[stress] generating ${Copies}x corpus at $stressDir")
       generate(spark, srcDir, stressDir)

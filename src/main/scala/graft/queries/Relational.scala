@@ -64,7 +64,8 @@ object Relational {
     "q36_scd2_history" -> q36,
     "q38_cohort_retention" -> q38,
     "q39_zorder_layout" -> q39,
-    "q40_gapfill_ffill" -> q40
+    "q40_gapfill_ffill" -> q40,
+    "q41_graph_rank" -> q41
   )
 
   /** Incremental materialized-view maintenance (q35): the daily-rollup
@@ -186,6 +187,74 @@ object Relational {
         col("n_active"), col("cohort_users"),
         (col("n_active").cast(DoubleType) / col("cohort_users"))
           .as("retention"))
+  }
+
+  /** Fixed-point graph centrality (q41): PageRank-style rank flow over
+    * the customer↔supplier purchase graph (distinct (o_custkey,
+    * l_suppkey) pairs from lineitem⋈orders, bidirected) — the
+    * domain-centrality signal web-corpus pipelines weight pages by
+    * (CommonCrawl ranks hosts with exactly this harmonic/PageRank
+    * family before sampling). Four damped iterations in INTEGER fixed
+    * point (scale 10^6): contrib(u) = r(u) DIV outdeg(u), r'(v) =
+    * 150000 + (850000 · Σ contrib) DIV 10^6 — Long sums are
+    * order-free and the integer divisions replay exactly, so the
+    * whole iterative computation is engine-exact with no float-fold
+    * caveat, and the oracle unrolls the four iterations as CTE
+    * layers. Output: per supplier, the converged-enough rank and its
+    * neighbor count.
+    *
+    * Scale: the Pregel-lite pattern — per iteration ONE broadcast join
+    * of the edge list with the |nodes|-row rank vector (the edge list
+    * never shuffles) and one map-side-combined sum on dst;
+    * `localCheckpoint` bounds plan lineage per round (the s7 k-means
+    * precedent). The explicit broadcast holds while the rank vector
+    * fits an executor (a domain-centrality graph is ~10^7 hosts =
+    * hundreds of MB — it does); past that the same plan runs as a
+    * shuffle join on v with the edge list pre-partitioned by src, the
+    * standard GraphX/Pregel layout. Edge EXTRACTION is the
+    * corpus-sized stage (the lineitem⋈orders distinct); the iteration
+    * cost rides |edges|, fixed once the graph is built. */
+  private def q41: Q = (spark, dir) => {
+    val Scale = 1000000L
+    val Base = 150000L
+    val Damp = 850000L
+    val Off = 10000000L
+    val e0 = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    // materialize the graph ONCE (without this every iteration would
+    // recompute the corpus-sized extraction — measured 11s at sf0.1),
+    // and carry the out-degree INSIDE the rank vector so each
+    // iteration is a single broadcast join over the edge list (the
+    // vector is |nodes| rows — checkpointed data loses stats, so the
+    // explicit broadcast() keeps the planner off a sort-merge join of
+    // the edges) plus one map-side-combined dst-sum. The edge list
+    // itself never shuffles.
+    val ed = e0.select(col("c").as("src"), (col("s") + lit(Off)).as("dst"))
+      .unionAll(e0.select((col("s") + lit(Off)).as("src"),
+        col("c").as("dst")))
+      .localCheckpoint()
+    val degrees = ed.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .select(col("src").as("v"), col("d")).localCheckpoint()
+    var r = degrees.select(col("v"), col("d"), lit(Scale).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to 4) {
+      val m = ed.join(broadcast(r), col("src") === col("v"))
+        .select(col("dst"), expr("r DIV d").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("m"))
+      r = degrees.join(broadcast(m), col("v") === col("dst"), "left")
+        .select(col("v"), col("d"), (lit(Base) +
+          expr(s"($Damp * coalesce(m, CAST(0 AS BIGINT))) DIV $Scale"))
+          .as("r"))
+        .localCheckpoint()
+    }
+    r.filter(col("v") >= Off)
+      .select((col("v") - Off).as("s_suppkey"), col("r").as("rank_fp"),
+        col("d").as("n_neighbors"))
   }
 
   /** Hourly gap-fill + forward-fill resample (q40): the metrics/IoT
@@ -995,6 +1064,34 @@ object Relational {
         |    ORDER BY t, event_id), -1) AS valid_to,
         |  event_id AS open_event_id
         |FROM s""".stripMargin,
+    // q41: the four fixed-point iterations unrolled as CTE layers —
+    // same integer contrib/damp arithmetic (SUM widens to HUGEINT,
+    // hence the BIGINT casts; // == DIV on the non-negative operands)
+    "q41_graph_rank" -> {
+      def layer(k: Int): String =
+        s"""r$k AS (SELECT n.v, CAST(150000 + (850000 *
+           |    COALESCE(x.m, 0)) // 1000000 AS BIGINT) AS r
+           |  FROM n LEFT JOIN (
+           |    SELECT ed.dst AS v, SUM(r${k - 1}.r // deg.d) AS m
+           |    FROM ed JOIN r${k - 1} ON ed.src = r${k - 1}.v
+           |      JOIN deg ON deg.src = ed.src
+           |    GROUP BY 1) x ON x.v = n.v)""".stripMargin
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |ed AS (SELECT c AS src, 10000000 + s AS dst FROM e0
+         |  UNION ALL SELECT 10000000 + s AS src, c AS dst FROM e0),
+         |deg AS (SELECT src, count(*) AS d FROM ed GROUP BY 1),
+         |n AS (SELECT DISTINCT src AS v FROM ed),
+         |r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM n),
+         |${layer(1)},
+         |${layer(2)},
+         |${layer(3)},
+         |${layer(4)}
+         |SELECT r4.v - 10000000 AS s_suppkey, r4.r AS rank_fp,
+         |  deg.d AS n_neighbors
+         |FROM r4 JOIN deg ON deg.src = r4.v
+         |WHERE r4.v >= 10000000""".stripMargin
+    },
     // q40: the resample replayed — same (us, event_id)-max selection
     // for the per-hour representative (a pick, so the DOUBLE passes
     // through bit-exactly), generate_series spine per user, and

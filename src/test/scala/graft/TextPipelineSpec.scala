@@ -110,6 +110,40 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(sgS > 0.8, s"single-dim layout unexpectedly pruned suppkey: $sgS")
   }
 
+  test("q41 graph rank: matches a driver-side fixed-point replay " +
+      "exactly, neighbor counts and node coverage included") {
+    val sf = "/root/testdata/sf0.001"
+    val e0 = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(spark.read.parquet(s"$sf/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = e0.flatMap { case (c, s) =>
+      Seq((c, 10000000L + s), (10000000L + s, c)) }
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val nodes = edges.map(_._1).distinct
+    var r = nodes.map(v => v -> 1000000L).toMap
+    for (_ <- 1 to 4) {
+      val m = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      edges.foreach { case (src, dst) => m(dst) += r(src) / deg(src) }
+      r = nodes.map(v => v -> (150000L + 850000L * m(v) / 1000000L)).toMap
+    }
+    val out = graft.SparkEntry.queries("q41_graph_rank")(spark, sf)
+      .collect()
+    assert(out.length === nodes.count(_ >= 10000000L))
+    out.foreach { row =>
+      val v = 10000000L + row.getAs[Long]("s_suppkey")
+      assert(row.getAs[Long]("rank_fp") === r(v),
+        s"rank diverged for supplier ${v - 10000000L}")
+      assert(row.getAs[Long]("n_neighbors") === deg(v))
+    }
+    // ranks must differentiate suppliers (not a fixed point collapse)
+    assert(out.map(_.getAs[Long]("rank_fp")).distinct.length > 1)
+  }
+
   test("t40 dataset card: volumes account for every document and the " +
       "card is internally consistent") {
     val sf = "/root/testdata/sf0.001"
