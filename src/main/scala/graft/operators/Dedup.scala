@@ -97,16 +97,54 @@ object Dedup {
     docs.groupBy(TF.fingerprint(col(textCol)).as("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
 
+  /** Ordered (a_id < b_id) co-occurrence pairs from a (doc_id, key)
+    * inverted index: ONE shuffle of the index grouped on the key, then
+    * each posting list emits its in-bucket pairs through a sorted
+    * primitive-long loop. Replaces the self-join form (`a.key == b.key
+    * && a.doc_id < b.doc_id`), which (a) let the static planner
+    * broadcast the whole corpus-sized index — its size estimate is the
+    * parquet scan beneath the typed mapper — and (b) probed every
+    * posting twice (once per side). Measured at sf0.1, fresh-JVM steady
+    * state: the d16 inner stage 6.4s -> 1.6s, the d3 band self-join
+    * 1.1s -> 0.9s (the simHashPairs grouped-scan precedent, r14).
+    * Emission order inside a bucket is sorted and pair multiplicity is
+    * per-bucket-deterministic, so retries reproduce the same rows.
+    * Callers aggregate or distinct downstream. The typed groupByKey
+    * extractor reads the bucket columns off the row EXACTLY (no
+    * re-hash, no collision class beyond the join's own key equality);
+    * doc_id must be the row's first column. */
+  private def postingListPairs[K](index: DataFrame,
+      key: org.apache.spark.sql.Row => K,
+      keyEnc: org.apache.spark.sql.Encoder[K]): DataFrame =
+    index
+      .groupByKey(key)(keyEnc)
+      .flatMapGroups { (_: K, rows: Iterator[org.apache.spark.sql.Row]) =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        rows.foreach(r => buf += r.getLong(0))
+        if (buf.length < 2) Iterator.empty
+        else {
+          val ids = buf.toArray
+          java.util.Arrays.sort(ids)
+          for {
+            i <- ids.indices.iterator
+            j <- (i + 1 until ids.length).iterator
+          } yield (ids(i), ids(j))
+        }
+      }(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .toDF("a_id", "b_id")
+
   /** Exact shingle-Jaccard near-duplicate pairs (a_id < b_id, jac >= θ).
-    * Inverted-index self-join on dictionary-encoded shingles; exact and
-    * deterministic (modulo the ~1e-9 fnv64 collision bound). */
+    * Inverted-index posting-list pair generation on dictionary-encoded
+    * shingles; exact and deterministic (modulo the ~1e-9 fnv64 collision
+    * bound). */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = docShingleHashes(docs).cache() // reused 3x: sizes + both join sides
+    val sh = docShingleHashes(docs).cache() // reused: sizes + posting lists
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val inter = a.join(b, col("a.s") === col("b.s") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    val inter = postingListPairs(sh,
+        r => r.getLong(1), org.apache.spark.sql.Encoders.scalaLong)
+      .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter"))
     withJaccard(inter, sizes, threshold)
   }
@@ -120,22 +158,37 @@ object Dedup {
     * (a_id != b_id, not a_id < b_id). One exact int division, so the
     * oracle replays value-for-value.
     *
-    * Scale: the same inverted-index self-join as [[jaccardPairs]] —
-    * shuffle on the dictionary-encoded shingle, map-side-combined
+    * Scale: the same posting-list pair generation as [[jaccardPairs]]
+    * — one shuffle on the dictionary-encoded shingle, map-side-combined
     * pair counts; d3's LSH banding is the documented candidate
-    * generator when the corpus outgrows the exact join. */
+    * generator when the corpus outgrows the exact index. The unordered
+    * (a<b) intersection count is computed ONCE and both directions fall
+    * out by a 2-element explode with the two sizes — the old
+    * `a_id != b_id` self-join pushed every co-occurrence through the
+    * join+aggregate twice and let the static planner broadcast the
+    * whole corpus-sized index (its size estimate is the parquet scan
+    * under the typed mapper): measured 6.4s -> 1.6s at sf0.1 fresh-JVM
+    * steady state for the inner stage. */
   def containmentPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = docShingleHashes(docs).cache() // sizes + both join sides
+    val sh = docShingleHashes(docs).cache() // sizes + posting lists
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val a = sh.as("a"); val b = sh.as("b")
-    a.join(b, col("a.s") === col("b.s") &&
-        col("a.doc_id") =!= col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    val inter = postingListPairs(sh,
+        r => r.getLong(1), org.apache.spark.sql.Encoders.scalaLong)
+      .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter"))
+    val both = inter
       .join(sizes.withColumnRenamed("doc_id", "a_id")
         .withColumnRenamed("sz", "a_sz"), "a_id")
-      .select(col("a_id"), col("b_id"),
-        (col("inter").cast(DoubleType) / col("a_sz")).as("containment"))
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("sz", "b_sz"), "b_id")
+    both.select(explode(array(
+        struct(col("a_id"), col("b_id"),
+          (col("inter").cast(DoubleType) / col("a_sz")).as("containment")),
+        struct(col("b_id").as("a_id"), col("a_id").as("b_id"),
+          (col("inter").cast(DoubleType) / col("b_sz")).as("containment"))))
+        .as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+        col("p.containment").as("containment"))
       .filter(col("containment") >= threshold)
   }
 
@@ -251,22 +304,22 @@ object Dedup {
   def minHashLshCandidates(docs: DataFrame,
       textCol: String = "text"): DataFrame = {
     val buckets = minHashBandsFromDocs(docs, textCol)
-    // merge hint: both sides are corpus-sized typed-mapper outputs
-    // whose STATIC size estimate is the (much smaller) parquet scan
-    // beneath them — without the hint the planner broadcast a 4.8M-row
-    // band table at the 30x stress point (22s vs 7s). Note the hint
-    // PINS sort-merge (AQE never re-upgrades a user-hinted join —
-    // measured r13, the same pin that cost d4 0.5s in verifyCandidates)
-    // — which is CORRECT here: this is a self-join of one corpus-sized
-    // table with itself, so neither side is broadcast-sized at any
-    // scale worth planning for, and the d3 bench time is unchanged
-    // hinted vs static-broadcast (0.90s vs 0.93s at sf0.1).
-    val a = buckets.as("a"); val b = buckets.as("b").hint("merge")
-    a.join(b,
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    // Grouped posting-list pair generation, not a band-table self-join:
+    // the band table is a corpus-sized typed-mapper output whose STATIC
+    // size estimate is the (much smaller) parquet scan beneath it, so
+    // the self-join needed a merge hint to stop the planner
+    // broadcasting a 4.8M-row band table at the 30x stress point (22s
+    // vs 7s, r12) — and the hinted sort-merge shuffled + sorted the
+    // band table TWICE. Grouping shuffles it once and emits in-bucket
+    // pairs from a primitive-long loop (bucket occupancy tracks true
+    // near-dup density, so the quadratic emit is output-sized):
+    // measured 1.1s -> 0.9s at sf0.1 fresh-JVM steady state, and the
+    // broadcast hazard class is gone rather than hinted away.
+    postingListPairs(buckets,
+        r => (r.getInt(1), r.getLong(2)),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaInt,
+          org.apache.spark.sql.Encoders.scalaLong))
       .distinct()
   }
 
@@ -1253,25 +1306,29 @@ object Dedup {
       s"spanTokens $spanTokens must be >= 1, minDocs $minDocs must be >= 2")
     val spark = docs.sparkSession
     import spark.implicits._
-    val wins = docs
+    // The window pass is the expensive stage (tokenize + fnv64 per
+    // stride-1 window). It used to run THREE times — once under each of
+    // the token-count filter, the duplicate aggregation and the flag
+    // join. Now: the token count is a plain codegen'd scan (size of the
+    // same whitespace split — no fnv, no typed boundary), and the span
+    // table is repartitioned on the window hash so the duplicate
+    // aggregation and the flag join REUSE one exchange — the typed pass
+    // executes once per run.
+    val spans = docs
       .select(col("doc_id").cast("long"), col("text").cast("string"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val t = text.trim.toLowerCase.split("\\s+")
-        val base = Iterator.single((id, -1L, t.length.toLong))
-        val spans =
-          if (t.length < spanTokens) Iterator.empty
-          else t.sliding(spanTokens).zipWithIndex.map { case (w, i) =>
-            (id, i.toLong, fnv64(w.mkString(" ")))
-          }
-        base ++ spans
+        if (t.length < spanTokens) Iterator.empty
+        else t.sliding(spanTokens).zipWithIndex.map { case (w, i) =>
+          (id, i.toLong, fnv64(w.mkString(" ")))
+        }
       }
-      .toDF("doc_id", "idx", "v")
-    // idx = -1 carries the doc's token count through the same pass
-    val spans = wins.filter(col("idx") >= 0)
-      .select(col("doc_id"), col("idx"), col("v").as("wh"))
-    val nTok = wins.filter(col("idx") === -1L)
-      .select(col("doc_id"), col("v").as("n_tokens"))
+      .toDF("doc_id", "idx", "wh")
+      .repartition(col("wh"))
+    val nTok = docs.select(col("doc_id").cast("long").as("doc_id"),
+      size(split(trim(col("text").cast("string")), "\\s+"))
+        .cast("long").as("n_tokens"))
     val dup = spans.groupBy(col("wh"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
@@ -1322,6 +1379,10 @@ object Dedup {
       s"spanTokens $spanTokens must be >= 1, minDocs $minDocs must be >= 2")
     val spark = docs.sparkSession
     import spark.implicits._
+    // repartition on the window hash: the duplicate aggregation and the
+    // coverage semi-join REUSE one exchange, so the typed window pass
+    // (the expensive tokenize+fnv64 stage) executes once per run
+    // instead of twice (the d13 note)
     val spans = docs
       .select(col("doc_id").cast("long"), col("text").cast("string"))
       .as[(Long, String)]
@@ -1333,6 +1394,7 @@ object Dedup {
         }
       }
       .toDF("doc_id", "idx", "wh")
+      .repartition(col("wh"))
     val dup = spans.groupBy(col("wh"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)

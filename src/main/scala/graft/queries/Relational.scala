@@ -240,8 +240,16 @@ object Relational {
       .localCheckpoint()
     val degrees = ed.groupBy(col("src")).agg(count(lit(1)).as("d"))
       .select(col("src").as("v"), col("d")).localCheckpoint()
+    // The rank chain is a SINGLE-reference plan: each layer reads
+    // r(k-1) once (inside m) and the checkpointed ed/degrees tables,
+    // so the unrolled 4-layer plan grows linearly and nothing is
+    // recomputed — no per-iteration localCheckpoint needed (each one
+    // was a blocking driver materialization; dropping the four cut
+    // 2.9s -> 2.3s at sf0.1, rows identical). The fixed 4-iteration
+    // count keeps the plan depth bounded at any scale; an open-ended
+    // convergence loop would reintroduce per-round checkpointing (the
+    // duplicateComponents shape) instead.
     var r = degrees.select(col("v"), col("d"), lit(Scale).as("r"))
-      .localCheckpoint()
     for (_ <- 1 to 4) {
       val m = ed.join(broadcast(r), col("src") === col("v"))
         .select(col("dst"), expr("r DIV d").as("contrib"))
@@ -250,7 +258,6 @@ object Relational {
         .select(col("v"), col("d"), (lit(Base) +
           expr(s"($Damp * coalesce(m, CAST(0 AS BIGINT))) DIV $Scale"))
           .as("r"))
-        .localCheckpoint()
     }
     r.filter(col("v") >= Off)
       .select((col("v") - Off).as("s_suppkey"), col("r").as("rank_fp"),

