@@ -28,6 +28,10 @@ object PlanDump {
       val fn = SparkEntry.queries(name)
       try {
         val df = fn(spark, sfDir)
+        // execute THIS queryExecution first (the graft.Plans idiom) so
+        // the dump carries the AQE-FINAL plan — reused exchanges and
+        // runtime join strategies only exist after materialization
+        try df.collect() catch { case _: Throwable => () }
         val formatted = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         Files.writeString(Paths.get(s"$outDir/${name}_$suffix.txt"),

@@ -49,10 +49,16 @@ object Clustering {
     require(k >= 1 && iters >= 1, s"k=$k iters=$iters must be >= 1")
     val spark = emb.sparkSession
     import spark.implicits._
+    // cache the quantized working set: every Lloyd round is a full
+    // pass (seed collect, per-round centroid sums, final assignment),
+    // and without the cache each pass re-reads the parquet and re-runs
+    // the quantize map — the farthestPointInit idiom, one bounded copy
+    // per session (the sh.cache() class)
     val vecs = emb.select(col("vec_id").cast("long").as("vec_id"),
         transform(VF.toDoubleVec(col("embedding")),
           x => round(x * scale)).as("v"))
       .as[(Long, Seq[Double])]
+      .cache()
     val seeds = vecs.filter(_._1 < k).collect().sortBy(_._1)
     require(seeds.nonEmpty, s"no seed centroids: no vec_id below $k")
     var centroids: Array[(Long, Array[Double])] =

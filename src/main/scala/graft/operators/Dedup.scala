@@ -444,11 +444,25 @@ object Dedup {
     // scale and demotes to a (already co-partitioned, shuffle-reusing)
     // sort-merge join at stress scale — no hint, both scales get the
     // right plan.
+    // ONE repartition of the shingle table on the doc id, renamed per
+    // side ABOVE the exchange: both join sides then share the exact
+    // same Exchange subplan (ReuseExchanges keys on schema, so the
+    // rename must sit on top), so the shingle table can cross the
+    // wire once per verify instead of twice — the rename Project is
+    // alias-aware, so the a_id/b_id-keyed joins still see hash
+    // partitioning on their key, and doc-id-only partitioning
+    // satisfies the (b_id, shingle) join's clustering (subset rule);
+    // only the in-partition sort key widens. Observed (r19 plan
+    // dumps): d18's and t22's final plans carry the ReusedExchange;
+    // d3's materializes both stages concurrently (AQE stage dedup is
+    // best-effort when two identical stages are submitted together),
+    // which at bench scale is a 6 MiB exchange either way — the reuse
+    // matters at corpus scale, where whichever stage finishes first
+    // is picked up by the other join.
+    val shRep = sh.repartition(col("doc_id"))
     val inter = candidates
-      .join(sh.withColumnRenamed("doc_id", "a_id").repartition(col("a_id")),
-        "a_id")
-      .join(sh.withColumnRenamed("doc_id", "b_id")
-          .repartition(col("b_id"), col(shingleCol)),
+      .join(shRep.withColumnRenamed("doc_id", "a_id"), "a_id")
+      .join(shRep.withColumnRenamed("doc_id", "b_id"),
         Seq("b_id", shingleCol))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter"))
@@ -1306,14 +1320,18 @@ object Dedup {
       s"spanTokens $spanTokens must be >= 1, minDocs $minDocs must be >= 2")
     val spark = docs.sparkSession
     import spark.implicits._
-    // The window pass is the expensive stage (tokenize + fnv64 per
-    // stride-1 window). It used to run THREE times — once under each of
-    // the token-count filter, the duplicate aggregation and the flag
-    // join. Now: the token count is a plain codegen'd scan (size of the
-    // same whitespace split — no fnv, no typed boundary), and the span
-    // table is repartitioned on the window hash so the duplicate
-    // aggregation and the flag join REUSE one exchange — the typed pass
-    // executes once per run.
+    // The window pass (tokenize + fnv64 per stride-1 window) used to
+    // run THREE times — once under each of the token-count filter, the
+    // duplicate aggregation and the flag join. The token count is now a
+    // plain codegen'd scan (size of the same whitespace split — no fnv,
+    // no typed boundary), cutting it to two. Going to ONE via a pinned
+    // repartition(wh) was measured and DECLINED (r19): the flag join
+    // never shuffles the span table (the duplicate-window set is
+    // dup-density-sized and broadcasts at every scale), so the
+    // repartition ADDED a full span exchange to save one flatMap —
+    // fine at sf0.1, a measured regression at the 10x stress point
+    // (d19 1.95 -> 2.6 s), and the wrong trade at 100 TB where the
+    // network, not compute, is the scarce resource (guide §2.2).
     val spans = docs
       .select(col("doc_id").cast("long"), col("text").cast("string"))
       .as[(Long, String)]
@@ -1325,7 +1343,6 @@ object Dedup {
         }
       }
       .toDF("doc_id", "idx", "wh")
-      .repartition(col("wh"))
     val nTok = docs.select(col("doc_id").cast("long").as("doc_id"),
       size(split(trim(col("text").cast("string")), "\\s+"))
         .cast("long").as("n_tokens"))
@@ -1379,10 +1396,12 @@ object Dedup {
       s"spanTokens $spanTokens must be >= 1, minDocs $minDocs must be >= 2")
     val spark = docs.sparkSession
     import spark.implicits._
-    // repartition on the window hash: the duplicate aggregation and the
-    // coverage semi-join REUSE one exchange, so the typed window pass
-    // (the expensive tokenize+fnv64 stage) executes once per run
-    // instead of twice (the d13 note)
+    // the window pass runs twice (duplicate aggregation + coverage
+    // semi-join) BY CHOICE: a pinned repartition(wh) to share one
+    // exchange was measured and DECLINED in r19 — the semi-join
+    // broadcasts the dup-density-sized duplicate set and never
+    // shuffles the span table, so the repartition added a full span
+    // exchange (1.95 -> 2.6 s at the 10x stress point; the d13 note)
     val spans = docs
       .select(col("doc_id").cast("long"), col("text").cast("string"))
       .as[(Long, String)]
@@ -1394,7 +1413,6 @@ object Dedup {
         }
       }
       .toDF("doc_id", "idx", "wh")
-      .repartition(col("wh"))
     val dup = spans.groupBy(col("wh"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
@@ -1533,7 +1551,20 @@ object Dedup {
         // On word-salad corpora the counting filter alone cuts the
         // surviving candidate set ~34x (measured at sf0.1), turning
         // the kernel stage from THE cost into noise.
-        val sides = base.as[(Long, String)].map { case (id, txt) =>
+        // Grouped band-bucket pair loop (the postingListPairs shape),
+        // not a band join: each doc emits its own band row plus three
+        // probe replicas in ONE histogram pass (the join form ran the
+        // typed pass twice — once per side), and per band a primitive
+        // double loop evaluates the SAME two complete filters —
+        // length, then the L1 counting bound with EARLY EXIT (the
+        // column-expression l1 always walked all 128 buckets; the
+        // loop bails the moment the running sum passes 2·maxDist).
+        // Same candidate set, same completeness proof: a pair (a, b)
+        // is checked exactly once, in a's own band, where b's replica
+        // lands iff |band(b) - band(a)| <= 1 — precisely the old
+        // join's match condition. Measured 1.8s -> 1.0s at sf0.1.
+        val md = maxDist
+        val rows = base.as[(Long, String)].flatMap { case (id, txt) =>
           val h = new Array[Int](128)
           var i = 0
           var n = 0L
@@ -1543,19 +1574,31 @@ object Dedup {
             n += 1
             i += Character.charCount(cp)
           }
-          (id, n, h)
-        }.toDF("id", "len", "hist")
-        val left = sides.select(col("id").as("a_id"), col("len").as("la"),
-          col("hist").as("ha"), floor(col("len") / w).as("band"))
-        val right = sides.select(col("id").as("b_id"), col("len").as("lb"),
-          col("hist").as("hb"),
-          explode(array((-1 to 1).map(o => floor(col("len") / w) + o): _*))
-            .as("band"))
-        val c = left.join(right, "band")
-          .filter(col("a_id") < col("b_id") &&
-            abs(col("la") - col("lb")) <= maxDist &&
-            VF.l1(col("ha"), col("hb")) <= lit(2L * maxDist))
-          .select(col("a_id"), col("b_id"))
+          val band = (n / w).toInt
+          Iterator.single((band, true, id, n, h)) ++
+            (band - 1 to band + 1).iterator.map(b => (b, false, id, n, h))
+        }
+        val c = rows.groupByKey(_._1)
+          .flatMapGroups { (_: Int, it: Iterator[(Int, Boolean, Long, Long, Array[Int])]) =>
+            val all = it.toArray
+            val lefts = all.filter(_._2)
+            val rights = all.filter(!_._2)
+            if (lefts.isEmpty) Iterator.empty
+            else rights.iterator.flatMap { case (_, _, bId, bLen, bH) =>
+              lefts.iterator.flatMap { case (_, _, aId, aLen, aH) =>
+                if (aId < bId && math.abs(aLen - bLen) <= md) {
+                  var l1 = 0L
+                  var k = 0
+                  while (k < 128 && l1 <= 2L * md) {
+                    l1 += math.abs(aH(k) - bH(k)); k += 1
+                  }
+                  if (l1 <= 2L * md) Iterator.single((aId, bId))
+                  else Iterator.empty
+                } else Iterator.empty
+              }
+            }
+          }
+          .toDF("a_id", "b_id")
         (c, false)
     }
     verified(cand, hintMerge = bigCorpus)

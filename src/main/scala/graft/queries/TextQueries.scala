@@ -1228,9 +1228,16 @@ object TextQueries {
     * index back is shingle-keyed — frequent-shingle skew is the same
     * risk d2 documents, with the same mitigation path (LSH banding). */
   private def t22: Q = (spark, dir) => {
-    val sh = Dedup.docShingles(t(spark, dir, "documents"))
-    val first = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
-    sh.join(first, "shingle")
+    // d2's dictionary-encoded index (fnv64 longs, the documented ~1e-9
+    // collision class), not the string shingles: 8-byte keys through
+    // the shuffle, and the repartition pins ONE exchange that both the
+    // first-claimant aggregation and the claim join reuse — the typed
+    // shingle pass runs once per query instead of twice. Counts are
+    // DISTINCT-shingle counts either way, so rows are unchanged.
+    val sh = Dedup.docShingleHashes(t(spark, dir, "documents"))
+      .repartition(col("s"))
+    val first = sh.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "s")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
@@ -1613,7 +1620,12 @@ object TextQueries {
     * Scale shape (100 TB): one shuffle per n on (pair_id, gram) with
     * map-side combine, then a pair_id rollup; grams derive per-row
     * (zip_with, no posexplode self-join); no windows, no broadcast,
-    * no driver state — cost is O(total tokens) through two hash aggs. */
+    * no driver state — cost is O(total tokens) through two hash aggs.
+    * (A single typed gram pass with an order tag and one union'd
+    * aggregation was measured and DECLINED in r19: flat-to-worse —
+    * the duplicate tokenize is cheaper than the merged (pair_id, n,
+    * gram) aggregation, which loses per-order map-side combine
+    * density.) */
   private def t26: Q = (spark, dir) => {
     val docs = t(spark, dir, "documents")
       .select(floor(col("doc_id") / 2).cast(LongType).as("pair_id"),
@@ -1775,6 +1787,12 @@ object TextQueries {
   private def t29: Q = (spark, dir) => {
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), TF.tokens(lower(col("text"))).as("a"))
+    // measured and DECLINED (this round): pinning one shared bigram
+    // exchange (repartition(b)) to run the explode once made t29
+    // FLAT-to-worse — the duplicate explodes are cheaper than pushing
+    // full (doc_id, p, b) rows through an un-partial-aggregated
+    // exchange, because the count shuffles are map-side-combined to
+    // near-vocab size while the explode is codegen'd
     val grams = docs.select(col("doc_id"),
         explode(zip_with(
           slice(col("a"), lit(1), size(col("a")) - 1),
